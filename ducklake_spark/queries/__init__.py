@@ -1,0 +1,129 @@
+"""Query registry for the driver correctness gate and bench.
+
+Each :class:`Query` couples a Spark callable ``(spark, sf_dir) ->
+DataFrame`` with the equivalent DuckDB oracle SQL. Where the two SQL
+dialects agree the text is shared verbatim (one source of truth);
+where they differ (JSON access, list/array functions, …) a separate
+oracle string is supplied.
+
+Determinism rules applied throughout so value-hashes match the oracle
+bit-for-bit:
+
+- Monetary/quantity aggregates go through exact DECIMAL arithmetic
+  (the synthetic data carries 2 decimal digits) and are cast to
+  DOUBLE only at the end: the sum is order-independent and the final
+  double conversion is exact, so Spark's and DuckDB's different
+  aggregation orders cannot produce different last-ulp results.
+- AVG is always written as CAST(SUM(decimal) AS DOUBLE)/COUNT(*).
+- Every LIMIT query carries a total ORDER BY (tiebreak on a key).
+- Timestamp outputs are cast to DATE/STRING where the driver would
+  otherwise compare tz-aware vs naive values.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable, Sequence
+from dataclasses import dataclass, field
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+ALL_TABLES = (
+    "region",
+    "nation",
+    "customer",
+    "supplier",
+    "part",
+    "orders",
+    "lineitem",
+    "events",
+    "documents",
+    "embeddings",
+)
+
+
+def load_tables(spark: SparkSession, sf_dir: str, tables: Sequence[str] = ALL_TABLES) -> None:
+    """Register the driver's parquet tables as temp views.
+
+    ``events.ts`` is parquet TIMESTAMP(NANOS), which Spark's vectorized
+    reader rejects; read it as raw nanos (legacy conf) and convert with
+    integer division (ns ≈ 1.7e18 overflows double precision, so DIV,
+    not ``/``) — DuckDB equivalently truncates ns → µs on read.
+    """
+    for t in tables:
+        if t == "events":
+            spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+            df = spark.read.parquet(f"{sf_dir}/{t}.parquet")
+            if dict(df.dtypes).get("ts") == "bigint":
+                df = df.withColumn(
+                    "ts", F.expr("timestamp_micros(CAST(ts DIV 1000 AS BIGINT))")
+                )
+            df.createOrReplaceTempView(t)
+        else:
+            spark.read.parquet(f"{sf_dir}/{t}.parquet").createOrReplaceTempView(t)
+
+
+@dataclass(frozen=True)
+class Query:
+    name: str
+    run: Callable[[SparkSession, str], DataFrame]
+    oracle: str | None
+    tables: tuple[str, ...] = ALL_TABLES
+    doc: str = ""
+
+
+_REGISTRY: dict[str, Query] = {}
+
+
+def register(q: Query) -> Query:
+    if q.name in _REGISTRY:
+        raise ValueError(f"duplicate query name {q.name!r}")
+    _REGISTRY[q.name] = q
+    return q
+
+
+def sql_query(
+    name: str,
+    sql: str,
+    *,
+    oracle: str | None = "same",
+    tables: Sequence[str] = ALL_TABLES,
+    doc: str = "",
+) -> Query:
+    """Register a query whose Spark side is a plain ``spark.sql``.
+
+    ``oracle="same"`` shares the SQL text with DuckDB; ``oracle=None``
+    marks the query non-SQL-expressible (rows-only driver check).
+    """
+    tables = tuple(tables)
+
+    def run(spark: SparkSession, sf_dir: str) -> DataFrame:
+        load_tables(spark, sf_dir, tables)
+        return spark.sql(sql)
+
+    return register(Query(name, run, sql if oracle == "same" else oracle, tables, doc))
+
+
+def df_query(
+    name: str,
+    fn: Callable[[SparkSession, str], DataFrame],
+    *,
+    oracle: str | None,
+    tables: Sequence[str] = ALL_TABLES,
+    doc: str = "",
+) -> Query:
+    """Register a query implemented with the DataFrame API."""
+    return register(Query(name, fn, oracle, tuple(tables), doc))
+
+
+def all_queries() -> dict[str, Query]:
+    # Import side-effect modules on first use so registration happens once.
+    from ducklake_spark.queries import (  # noqa: F401
+        analytics,
+        dedup,
+        similarity,
+        text,
+        tpch,
+    )
+
+    return dict(_REGISTRY)

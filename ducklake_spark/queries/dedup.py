@@ -1,0 +1,173 @@
+"""Deduplication operators over the ``documents`` table.
+
+Scale design: every variant is a pure DataFrame/SQL pipeline —
+shingling explodes to a (doc_id, shingle) relation that Spark
+shuffles by shingle/band hash, so 100 TB of documents parallelizes by
+key with no driver-side state. MinHash signatures use md5 (available
+and bit-identical in both Spark and DuckDB), with per-band seeds and
+lexicographic-min hex as the min-hash — engine-portable determinism
+without custom hash UDFs.
+
+- exact dedup: hash-groupBy on content digest.
+- MinHash+LSH: shingle -> per-band min(md5(shingle||seed)) -> band
+  bucket join -> candidate pairs.
+- n-gram Jaccard: exact verification of LSH candidate pairs.
+"""
+
+from __future__ import annotations
+
+from ducklake_spark.queries import sql_query
+
+N_BANDS = 8
+
+sql_query(
+    "dedup_exact",
+    """
+    SELECT
+        md5(text) AS content_hash,
+        COUNT(*) AS n_copies,
+        MIN(doc_id) AS keeper_doc_id
+    FROM documents
+    GROUP BY md5(text)
+    HAVING COUNT(*) >= 1
+    ORDER BY content_hash
+    """,
+    tables=["documents"],
+    doc="exact dedup via content-hash groupBy (keeper = min doc_id)",
+)
+
+sql_query(
+    "dedup_exact_normalized",
+    """
+    WITH normed AS (
+        SELECT doc_id, md5(lower(trim(replace(text, '  ', ' ')))) AS h
+        FROM documents
+    )
+    SELECT h AS content_hash, COUNT(*) AS n_copies, MIN(doc_id) AS keeper_doc_id
+    FROM normed
+    GROUP BY h
+    ORDER BY content_hash
+    """,
+    tables=["documents"],
+    doc="exact dedup after whitespace/case normalization",
+)
+
+# --- MinHash + LSH -------------------------------------------------------
+# Spark dialect: split/transform/sequence + explode.
+# DuckDB dialect: string_split/list_transform/range + unnest.
+# Both feed md5-based band signatures; signature equality is the bucket key.
+
+_SPARK_SHINGLES = """
+    toks AS (
+        SELECT doc_id, split(text, ' ') AS t FROM documents
+    ),
+    shingles AS (
+        SELECT DISTINCT doc_id, shingle
+        FROM (
+            SELECT doc_id,
+                   explode(transform(sequence(0, size(t) - 3),
+                                     i -> concat_ws(' ', t[i], t[i+1], t[i+2]))) AS shingle
+            FROM toks
+            WHERE size(t) >= 3
+        ) s
+    )
+"""
+
+_DUCK_SHINGLES = """
+    toks AS (
+        SELECT doc_id, string_split(text, ' ') AS t FROM documents
+    ),
+    shingles AS (
+        SELECT DISTINCT doc_id, shingle
+        FROM (
+            SELECT doc_id,
+                   unnest(list_transform(range(1, len(t) - 1),
+                                         i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2])) AS shingle
+            FROM toks
+            WHERE len(t) >= 3
+        ) s
+    )
+"""
+
+_SPARK_BANDS = "bands AS (SELECT explode(sequence(0, {n})) AS band)"
+_DUCK_BANDS = "bands AS (SELECT unnest(range(0, {n1})) AS band)"
+
+_SIG = """
+    sig AS (
+        SELECT doc_id, band,
+               MIN(md5(concat(shingle, '#', CAST(band AS STRING)))) AS minhash
+        FROM shingles CROSS JOIN bands
+        GROUP BY doc_id, band
+    )
+"""
+
+_PAIRS = """
+    SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+    FROM sig a
+    JOIN sig b ON a.band = b.band AND a.minhash = b.minhash AND a.doc_id < b.doc_id
+    ORDER BY doc_a, doc_b
+"""
+
+
+def _minhash_sql(dialect: str) -> str:
+    shingles = _SPARK_SHINGLES if dialect == "spark" else _DUCK_SHINGLES
+    bands = (
+        _SPARK_BANDS.format(n=N_BANDS - 1)
+        if dialect == "spark"
+        else _DUCK_BANDS.format(n1=N_BANDS)
+    )
+    return f"WITH {shingles}, {bands}, {_SIG} {_PAIRS}"
+
+
+sql_query(
+    "dedup_minhash_lsh",
+    _minhash_sql("spark"),
+    oracle=_minhash_sql("duckdb"),
+    tables=["documents"],
+    doc=f"MinHash+LSH near-dup candidates ({N_BANDS} md5-seeded bands over 3-token shingles)",
+)
+
+
+def _jaccard_sql(dialect: str) -> str:
+    shingles = _SPARK_SHINGLES if dialect == "spark" else _DUCK_SHINGLES
+    bands = (
+        _SPARK_BANDS.format(n=N_BANDS - 1)
+        if dialect == "spark"
+        else _DUCK_BANDS.format(n1=N_BANDS)
+    )
+    return f"""
+    WITH {shingles}, {bands}, {_SIG},
+    cand AS (
+        SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+        FROM sig a
+        JOIN sig b ON a.band = b.band AND a.minhash = b.minhash AND a.doc_id < b.doc_id
+    ),
+    sizes AS (
+        SELECT doc_id, COUNT(*) AS n FROM shingles GROUP BY doc_id
+    ),
+    inter AS (
+        SELECT c.doc_a, c.doc_b, COUNT(*) AS n_common
+        FROM cand c
+        JOIN shingles sa ON sa.doc_id = c.doc_a
+        JOIN shingles sb ON sb.doc_id = c.doc_b AND sb.shingle = sa.shingle
+        GROUP BY c.doc_a, c.doc_b
+    )
+    SELECT
+        i.doc_a,
+        i.doc_b,
+        CAST(i.n_common AS DOUBLE) / (za.n + zb.n - i.n_common) AS jaccard
+    FROM inter i
+    JOIN sizes za ON za.doc_id = i.doc_a
+    JOIN sizes zb ON zb.doc_id = i.doc_b
+    WHERE CAST(i.n_common AS DOUBLE) / (za.n + zb.n - i.n_common) >= 0.4
+    ORDER BY doc_a, doc_b
+    """
+
+
+sql_query(
+    "dedup_ngram_jaccard",
+    _jaccard_sql("spark"),
+    oracle=_jaccard_sql("duckdb"),
+    tables=["documents"],
+    doc="exact 3-gram Jaccard verification of LSH candidate pairs (>= 0.4)",
+)

@@ -1,0 +1,118 @@
+"""Local mirror of the driver's correctness gate.
+
+Runs each registered query on Spark and its oracle SQL on DuckDB over
+the same parquet tables, then compares row count, column names, and
+order-insensitive values (columns sorted by name, rows sorted).
+
+Usage:
+    python tools/check_oracle.py [--sf /root/testdata/sf0.01] [names...]
+"""
+
+from __future__ import annotations
+
+import argparse
+import math
+import sys
+import time
+import traceback
+
+import duckdb
+
+TABLES = (
+    "region nation customer supplier part orders lineitem events documents embeddings"
+).split()
+
+
+def _norm_cell(v):
+    import datetime
+    import decimal
+
+    if isinstance(v, decimal.Decimal):
+        return float(v)
+    if isinstance(v, datetime.datetime):
+        return v.replace(tzinfo=None).isoformat()
+    if isinstance(v, datetime.date):
+        return v.isoformat()
+    if isinstance(v, float):
+        if math.isnan(v):
+            return "NaN"
+        return v
+    if isinstance(v, list):
+        return tuple(_norm_cell(x) for x in v)
+    return v
+
+
+def normalize(cols, rows):
+    order = sorted(range(len(cols)), key=lambda i: cols[i])
+    out = [tuple(_norm_cell(r[i]) for i in order) for r in rows]
+    out.sort(key=lambda t: tuple((x is None, str(type(x)), x) for x in t))
+    return [cols[i] for i in order], out
+
+
+def main() -> int:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--sf", default="/root/testdata/sf0.01")
+    ap.add_argument("names", nargs="*")
+    args = ap.parse_args()
+
+    from ducklake_spark.queries import all_queries
+    from ducklake_spark.session import get_spark
+
+    queries = all_queries()
+    names = args.names or sorted(queries)
+    spark = get_spark("check_oracle")
+
+    con = duckdb.connect()
+    for t in TABLES:
+        con.execute(
+            f"CREATE OR REPLACE VIEW {t} AS SELECT * FROM '{args.sf}/{t}.parquet'"
+        )
+
+    n_pass = n_fail = 0
+    for name in names:
+        q = queries[name]
+        t0 = time.time()
+        try:
+            sdf = q.run(spark, args.sf)
+            s_cols = sdf.columns
+            s_rows = [tuple(r) for r in sdf.collect()]
+            if q.oracle is None:
+                print(f"  {name}: rows-only ({len(s_rows)} rows) [no oracle] "
+                      f"{time.time()-t0:.1f}s")
+                n_pass += 1
+                continue
+            o = con.execute(q.oracle)
+            o_cols = [d[0] for d in o.description]
+            o_rows = o.fetchall()
+            sc, sr = normalize(s_cols, s_rows)
+            oc, orows = normalize(o_cols, o_rows)
+            problems = []
+            if sc != oc:
+                problems.append(f"cols spark={sc} duck={oc}")
+            if len(sr) != len(orows):
+                problems.append(f"rowcount spark={len(sr)} duck={len(orows)}")
+            elif sc == oc and sr != orows:
+                # find first mismatching row for debugging
+                for i, (a, b) in enumerate(zip(sr, orows)):
+                    if a != b:
+                        problems.append(f"values differ at sorted row {i}:\n"
+                                        f"    spark={a}\n    duck ={b}")
+                        break
+            if problems:
+                n_fail += 1
+                print(f"✗ {name} ({time.time()-t0:.1f}s)")
+                for p in problems:
+                    print(f"    {p}")
+            else:
+                n_pass += 1
+                print(f"✓ {name} ({len(sr)} rows, {time.time()-t0:.1f}s)")
+        except Exception:
+            n_fail += 1
+            print(f"✗ {name} EXCEPTION")
+            traceback.print_exc()
+    print(f"\n{n_pass} pass, {n_fail} fail")
+    return 1 if n_fail else 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())
