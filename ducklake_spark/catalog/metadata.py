@@ -1,0 +1,317 @@
+"""DuckLake catalog metadata layer (SQLite backend).
+
+Keeps the reference's metadata schema verbatim — every table below
+mirrors ``DuckLakeMetadataManager::GetCreateTableStatements``
+(reference: src/storage/ducklake_metadata_manager.cpp:228-301) — so a
+catalog written by this library is row-compatible with one written by
+the reference, and all planning questions ("which files at snapshot
+S, pruned by these filters?") are answered by SQL against this DB.
+
+All metadata operations run on the Spark *driver* over stdlib
+``sqlite3`` (the reference's SQL is deliberately ANSI-portable across
+DuckDB/SQLite/Postgres — ducklake_metadata_manager.cpp:1241-1244);
+executors never touch the catalog. A Postgres backend can drop in by
+swapping the connection factory.
+"""
+
+from __future__ import annotations
+
+import sqlite3
+import threading
+import time
+import uuid
+from dataclasses import dataclass, field
+
+SCHEMA_STATEMENTS = [
+    # ducklake_metadata_manager.cpp:230-231
+    """CREATE TABLE IF NOT EXISTS ducklake_metadata(
+        key VARCHAR NOT NULL, value VARCHAR NOT NULL,
+        scope VARCHAR, scope_id BIGINT)""",
+    # :232-234
+    """CREATE TABLE IF NOT EXISTS ducklake_snapshot(
+        snapshot_id BIGINT PRIMARY KEY, snapshot_time TIMESTAMP,
+        schema_version BIGINT, next_catalog_id BIGINT, next_file_id BIGINT)""",
+    # :235-236
+    """CREATE TABLE IF NOT EXISTS ducklake_snapshot_changes(
+        snapshot_id BIGINT PRIMARY KEY, changes_made VARCHAR,
+        author VARCHAR, commit_message VARCHAR, commit_extra_info VARCHAR)""",
+    # :237-239
+    """CREATE TABLE IF NOT EXISTS ducklake_schema(
+        schema_id BIGINT PRIMARY KEY, schema_uuid VARCHAR,
+        begin_snapshot BIGINT, end_snapshot BIGINT,
+        schema_name VARCHAR, path VARCHAR, path_is_relative BOOLEAN)""",
+    # :240-242
+    """CREATE TABLE IF NOT EXISTS ducklake_table(
+        table_id BIGINT, table_uuid VARCHAR,
+        begin_snapshot BIGINT, end_snapshot BIGINT,
+        schema_id BIGINT, table_name VARCHAR,
+        path VARCHAR, path_is_relative BOOLEAN)""",
+    # :243-245
+    """CREATE TABLE IF NOT EXISTS ducklake_view(
+        view_id BIGINT, view_uuid VARCHAR,
+        begin_snapshot BIGINT, end_snapshot BIGINT,
+        schema_id BIGINT, view_name VARCHAR,
+        dialect VARCHAR, sql VARCHAR, column_aliases VARCHAR)""",
+    # :246-249
+    """CREATE TABLE IF NOT EXISTS ducklake_tag(
+        object_id BIGINT, begin_snapshot BIGINT, end_snapshot BIGINT,
+        key VARCHAR, value VARCHAR)""",
+    """CREATE TABLE IF NOT EXISTS ducklake_column_tag(
+        table_id BIGINT, column_id BIGINT,
+        begin_snapshot BIGINT, end_snapshot BIGINT,
+        key VARCHAR, value VARCHAR)""",
+    # :214-219
+    """CREATE TABLE IF NOT EXISTS ducklake_data_file(
+        data_file_id BIGINT PRIMARY KEY, table_id BIGINT,
+        begin_snapshot BIGINT, end_snapshot BIGINT,
+        file_order BIGINT, path VARCHAR, path_is_relative BOOLEAN,
+        file_format VARCHAR, record_count BIGINT, file_size_bytes BIGINT,
+        footer_size BIGINT, row_id_start BIGINT, partition_id BIGINT,
+        encryption_key VARCHAR, mapping_id BIGINT, partial_max BIGINT)""",
+    # :221-226
+    """CREATE TABLE IF NOT EXISTS ducklake_delete_file(
+        delete_file_id BIGINT PRIMARY KEY, table_id BIGINT,
+        begin_snapshot BIGINT, end_snapshot BIGINT,
+        data_file_id BIGINT, path VARCHAR, path_is_relative BOOLEAN,
+        format VARCHAR, delete_count BIGINT, file_size_bytes BIGINT,
+        footer_size BIGINT, encryption_key VARCHAR, partial_max BIGINT)""",
+    # :251-253
+    """CREATE TABLE IF NOT EXISTS ducklake_file_column_stats(
+        data_file_id BIGINT, table_id BIGINT, column_id BIGINT,
+        column_size_bytes BIGINT, value_count BIGINT, null_count BIGINT,
+        min_value VARCHAR, max_value VARCHAR, contains_nan BOOLEAN,
+        extra_stats VARCHAR)""",
+    # :254-257
+    """CREATE TABLE IF NOT EXISTS ducklake_file_variant_stats(
+        data_file_id BIGINT, table_id BIGINT, column_id BIGINT,
+        variant_path VARCHAR, shredded_type VARCHAR,
+        value_count BIGINT, null_count BIGINT,
+        min_value VARCHAR, max_value VARCHAR)""",
+    # :259-262
+    """CREATE TABLE IF NOT EXISTS ducklake_column(
+        column_id BIGINT, begin_snapshot BIGINT, end_snapshot BIGINT,
+        table_id BIGINT, column_order BIGINT, column_name VARCHAR,
+        column_type VARCHAR, initial_default VARCHAR, default_value VARCHAR,
+        nulls_allowed BOOLEAN, parent_column BIGINT,
+        default_value_type VARCHAR, default_value_dialect VARCHAR)""",
+    # :263-264
+    """CREATE TABLE IF NOT EXISTS ducklake_table_stats(
+        table_id BIGINT PRIMARY KEY, record_count BIGINT,
+        next_row_id BIGINT, file_size_bytes BIGINT)""",
+    # :265-267
+    """CREATE TABLE IF NOT EXISTS ducklake_table_column_stats(
+        table_id BIGINT, column_id BIGINT, contains_null BOOLEAN,
+        contains_nan BOOLEAN, min_value VARCHAR, max_value VARCHAR,
+        extra_stats VARCHAR)""",
+    # :268-271
+    """CREATE TABLE IF NOT EXISTS ducklake_partition_info(
+        partition_id BIGINT, table_id BIGINT,
+        begin_snapshot BIGINT, end_snapshot BIGINT)""",
+    """CREATE TABLE IF NOT EXISTS ducklake_partition_column(
+        partition_id BIGINT, table_id BIGINT, partition_key_index BIGINT,
+        column_id BIGINT, transform VARCHAR)""",
+    # :272-273
+    """CREATE TABLE IF NOT EXISTS ducklake_file_partition_value(
+        data_file_id BIGINT, table_id BIGINT,
+        partition_key_index BIGINT, partition_value VARCHAR)""",
+    # :274-275
+    """CREATE TABLE IF NOT EXISTS ducklake_files_scheduled_for_deletion(
+        data_file_id BIGINT, path VARCHAR, path_is_relative BOOLEAN,
+        schedule_start TIMESTAMP)""",
+    # :276-277
+    """CREATE TABLE IF NOT EXISTS ducklake_inlined_data_tables(
+        table_id BIGINT, table_name VARCHAR, schema_version BIGINT)""",
+    # :278-281
+    """CREATE TABLE IF NOT EXISTS ducklake_column_mapping(
+        mapping_id BIGINT, table_id BIGINT, type VARCHAR)""",
+    """CREATE TABLE IF NOT EXISTS ducklake_name_mapping(
+        mapping_id BIGINT, column_id BIGINT, source_name VARCHAR,
+        target_field_id BIGINT, parent_column BIGINT, is_partition BOOLEAN)""",
+    # :282-283
+    """CREATE TABLE IF NOT EXISTS ducklake_schema_versions(
+        begin_snapshot BIGINT, schema_version BIGINT, table_id BIGINT)""",
+    # :284-290
+    """CREATE TABLE IF NOT EXISTS ducklake_macro(
+        macro_id BIGINT, begin_snapshot BIGINT, end_snapshot BIGINT,
+        schema_id BIGINT, macro_name VARCHAR, is_table_macro BOOLEAN)""",
+    """CREATE TABLE IF NOT EXISTS ducklake_macro_impl(
+        macro_id BIGINT, impl_index BIGINT, dialect VARCHAR, body VARCHAR)""",
+    """CREATE TABLE IF NOT EXISTS ducklake_macro_parameters(
+        macro_id BIGINT, impl_index BIGINT, parameter_index BIGINT,
+        parameter_name VARCHAR, default_value VARCHAR)""",
+    # :291-295
+    """CREATE TABLE IF NOT EXISTS ducklake_sort_info(
+        sort_id BIGINT, table_id BIGINT,
+        begin_snapshot BIGINT, end_snapshot BIGINT)""",
+    """CREATE TABLE IF NOT EXISTS ducklake_sort_expression(
+        sort_id BIGINT, table_id BIGINT, sort_key_index BIGINT,
+        expression VARCHAR, dialect VARCHAR,
+        sort_direction VARCHAR, null_order VARCHAR)""",
+]
+
+FORMAT_VERSION = "0.3"
+
+
+@dataclass
+class Snapshot:
+    """reference: src/include/common/ducklake_snapshot.hpp:18-31"""
+
+    snapshot_id: int
+    schema_version: int
+    next_catalog_id: int
+    next_file_id: int
+
+
+class ConflictError(Exception):
+    """Raised when commit-time conflict detection finds an incompatible
+    concurrent snapshot (reference: ducklake_transaction_state.cpp:77-214)."""
+
+
+class MetadataManager:
+    """Driver-side connection to the catalog database."""
+
+    def __init__(self, db_path: str):
+        self.db_path = db_path
+        self._local = threading.local()
+
+    @property
+    def con(self) -> sqlite3.Connection:
+        con = getattr(self._local, "con", None)
+        if con is None:
+            con = sqlite3.connect(self.db_path, timeout=30.0, isolation_level=None)
+            con.execute("PRAGMA journal_mode=WAL")
+            con.execute("PRAGMA busy_timeout=30000")
+            self._local.con = con
+        return con
+
+    # -- bootstrap ---------------------------------------------------------
+
+    def initialize(self, data_path: str, *, encrypted: bool = False) -> None:
+        """Create the metadata schema + snapshot 0 + schema ``main``.
+
+        reference: ducklake_metadata_manager.cpp:186-212
+        """
+        con = self.con
+        con.execute("BEGIN IMMEDIATE")
+        try:
+            for stmt in SCHEMA_STATEMENTS:
+                con.execute(stmt)
+            if con.execute("SELECT COUNT(*) FROM ducklake_snapshot").fetchone()[0] == 0:
+                con.executemany(
+                    "INSERT INTO ducklake_metadata(key, value, scope, scope_id) "
+                    "VALUES (?, ?, NULL, NULL)",
+                    [
+                        ("version", FORMAT_VERSION),
+                        ("created_by", "ducklake_spark v0.1.0"),
+                        ("data_path", data_path),
+                        ("encrypted", "true" if encrypted else "false"),
+                    ],
+                )
+                con.execute(
+                    "INSERT INTO ducklake_snapshot VALUES (0, ?, 0, 1, 0)",
+                    (_now_ts(),),
+                )
+                con.execute(
+                    "INSERT INTO ducklake_snapshot_changes VALUES "
+                    "(0, 'created_schema:\"main\"', NULL, NULL, NULL)"
+                )
+                con.execute(
+                    "INSERT INTO ducklake_schema VALUES (0, ?, 0, NULL, 'main', 'main/', 1)",
+                    (str(uuid.uuid4()),),
+                )
+            con.execute("COMMIT")
+        except BaseException:
+            con.execute("ROLLBACK")
+            raise
+
+    # -- snapshot access ---------------------------------------------------
+
+    def latest_snapshot(self) -> Snapshot:
+        row = self.con.execute(
+            "SELECT snapshot_id, schema_version, next_catalog_id, next_file_id "
+            "FROM ducklake_snapshot ORDER BY snapshot_id DESC LIMIT 1"
+        ).fetchone()
+        return Snapshot(*row)
+
+    def snapshot_at_version(self, version: int) -> Snapshot:
+        row = self.con.execute(
+            "SELECT snapshot_id, schema_version, next_catalog_id, next_file_id "
+            "FROM ducklake_snapshot WHERE snapshot_id = ?",
+            (version,),
+        ).fetchone()
+        if row is None:
+            raise ValueError(f"no snapshot with version {version}")
+        return Snapshot(*row)
+
+    def snapshot_at_timestamp(self, ts: str) -> Snapshot:
+        """AT (TIMESTAMP => t): latest snapshot with snapshot_time <= t
+        (reference: ducklake_metadata_manager.cpp:4352-4389)."""
+        row = self.con.execute(
+            "SELECT snapshot_id, schema_version, next_catalog_id, next_file_id "
+            "FROM ducklake_snapshot WHERE snapshot_time <= ? "
+            "ORDER BY snapshot_id DESC LIMIT 1",
+            (ts,),
+        ).fetchone()
+        if row is None:
+            raise ValueError(f"no snapshot at or before timestamp {ts!r}")
+        return Snapshot(*row)
+
+    def snapshots_since(self, snapshot_id: int) -> list[tuple[int, str]]:
+        """(snapshot_id, changes_made) committed after ``snapshot_id``."""
+        return self.con.execute(
+            "SELECT s.snapshot_id, COALESCE(c.changes_made, '') "
+            "FROM ducklake_snapshot s "
+            "LEFT JOIN ducklake_snapshot_changes c ON s.snapshot_id = c.snapshot_id "
+            "WHERE s.snapshot_id > ? ORDER BY s.snapshot_id",
+            (snapshot_id,),
+        ).fetchall()
+
+    # -- generic helpers ---------------------------------------------------
+
+    def query(self, sql: str, params: tuple = ()) -> list[tuple]:
+        return self.con.execute(sql, params).fetchall()
+
+    def option(self, key: str, default: str | None = None,
+               scope: str | None = None, scope_id: int | None = None) -> str | None:
+        """Scoped config lookup: table scope wins over schema over global
+        (reference: ducklake_set_option.cpp:92-171)."""
+        if scope_id is not None:
+            row = self.con.execute(
+                "SELECT value FROM ducklake_metadata WHERE key=? AND scope=? AND scope_id=?",
+                (key, scope, scope_id),
+            ).fetchone()
+            if row:
+                return row[0]
+        row = self.con.execute(
+            "SELECT value FROM ducklake_metadata WHERE key=? AND scope IS NULL",
+            (key,),
+        ).fetchone()
+        return row[0] if row else default
+
+    def set_option(self, key: str, value: str,
+                   scope: str | None = None, scope_id: int | None = None) -> None:
+        if scope is None:
+            self.con.execute(
+                "DELETE FROM ducklake_metadata WHERE key=? AND scope IS NULL", (key,)
+            )
+        else:
+            self.con.execute(
+                "DELETE FROM ducklake_metadata WHERE key=? AND scope=? AND scope_id=?",
+                (key, scope, scope_id),
+            )
+        self.con.execute(
+            "INSERT INTO ducklake_metadata VALUES (?, ?, ?, ?)",
+            (key, value, scope, scope_id),
+        )
+
+    def close(self) -> None:
+        con = getattr(self._local, "con", None)
+        if con is not None:
+            con.close()
+            self._local.con = None
+
+
+def _now_ts() -> str:
+    t = time.time()
+    frac = f"{t % 1:.6f}"[2:]
+    return time.strftime("%Y-%m-%d %H:%M:%S", time.gmtime(t)) + "." + frac

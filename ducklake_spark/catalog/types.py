@@ -1,0 +1,155 @@
+"""DuckLake <-> Spark type mapping.
+
+Type names follow the reference's declared set
+(src/common/ducklake_types.cpp:17-49 + aliases :58-67); the Spark
+equivalents use the widening rules documented in SURVEY §1.2 (Spark
+has no unsigned ints / TIME, so those widen, with the original
+DuckLake type name retained in the catalog's ``column_type`` string).
+"""
+
+from __future__ import annotations
+
+import re
+
+from pyspark.sql import types as T
+
+_SIMPLE_TO_SPARK: dict[str, T.DataType] = {
+    "boolean": T.BooleanType(),
+    "int8": T.ByteType(),
+    "int16": T.ShortType(),
+    "int32": T.IntegerType(),
+    "int64": T.LongType(),
+    "int128": T.DecimalType(38, 0),
+    "uint8": T.ShortType(),
+    "uint16": T.IntegerType(),
+    "uint32": T.LongType(),
+    "uint64": T.DecimalType(20, 0),
+    "uint128": T.DecimalType(38, 0),
+    "float32": T.FloatType(),
+    "float64": T.DoubleType(),
+    "date": T.DateType(),
+    "time": T.LongType(),  # micros since midnight; Spark has no TIME type
+    "timestamp": T.TimestampNTZType(),
+    "timestamp_us": T.TimestampNTZType(),
+    "timestamp_ms": T.TimestampNTZType(),
+    "timestamp_ns": T.TimestampNTZType(),
+    "timestamp_s": T.TimestampNTZType(),
+    "timestamptz": T.TimestampType(),
+    "timestamptz_ns": T.TimestampType(),
+    "varchar": T.StringType(),
+    "blob": T.BinaryType(),
+    "uuid": T.StringType(),
+    "json": T.StringType(),
+    "variant": T.StringType(),
+    "geometry": T.BinaryType(),
+    "interval": T.DayTimeIntervalType(),
+}
+
+_SPARK_TO_SIMPLE: dict[str, str] = {
+    "boolean": "boolean",
+    "byte": "int8",
+    "short": "int16",
+    "integer": "int32",
+    "long": "int64",
+    "float": "float32",
+    "double": "float64",
+    "date": "date",
+    "timestamp_ntz": "timestamp",
+    "timestamp": "timestamptz",
+    "string": "varchar",
+    "binary": "blob",
+}
+
+
+class UnsupportedTypeError(ValueError):
+    """reference: CheckSupportedType, src/storage/ducklake_insert.cpp:869-871
+    + negative tests test/sql/types/unsupported.test (enums, collations,
+    user-defined types are rejected)."""
+
+
+def ducklake_to_spark(name: str) -> T.DataType:
+    name = name.strip().lower()
+    if name in _SIMPLE_TO_SPARK:
+        return _SIMPLE_TO_SPARK[name]
+    m = re.fullmatch(r"decimal\((\d+)\s*,\s*(\d+)\)", name)
+    if m:
+        return T.DecimalType(int(m.group(1)), int(m.group(2)))
+    m = re.fullmatch(r"(\w+)\[\]", name) or re.fullmatch(r"list<(.+)>", name)
+    if m:
+        return T.ArrayType(ducklake_to_spark(m.group(1)))
+    m = re.fullmatch(r"map<(.+),\s*(.+)>", name)
+    if m:
+        return T.MapType(ducklake_to_spark(m.group(1)), ducklake_to_spark(m.group(2)))
+    m = re.fullmatch(r"struct<(.+)>", name)
+    if m:
+        fields = []
+        for part in _split_top(m.group(1)):
+            fname, ftype = part.split(":", 1)
+            fields.append(T.StructField(fname.strip(), ducklake_to_spark(ftype)))
+        if not fields:
+            raise UnsupportedTypeError("empty struct not supported")
+        return T.StructType(fields)
+    raise UnsupportedTypeError(f"unsupported DuckLake type: {name!r}")
+
+
+def spark_to_ducklake(dt: T.DataType) -> str:
+    tn = dt.typeName()
+    if tn in _SPARK_TO_SIMPLE:
+        return _SPARK_TO_SIMPLE[tn]
+    if isinstance(dt, T.DecimalType):
+        return f"decimal({dt.precision},{dt.scale})"
+    if isinstance(dt, T.ArrayType):
+        return f"list<{spark_to_ducklake(dt.elementType)}>"
+    if isinstance(dt, T.MapType):
+        return f"map<{spark_to_ducklake(dt.keyType)}, {spark_to_ducklake(dt.valueType)}>"
+    if isinstance(dt, T.StructType):
+        if not dt.fields:
+            raise UnsupportedTypeError("empty struct not supported")
+        inner = ",".join(f"{f.name}:{spark_to_ducklake(f.dataType)}" for f in dt.fields)
+        return f"struct<{inner}>"
+    raise UnsupportedTypeError(f"unsupported Spark type: {dt}")
+
+
+def check_supported(dt: T.DataType) -> None:
+    spark_to_ducklake(dt)
+
+
+# Widening promotion rule: ALTER ... CHANGE TYPE is allowed iff the
+# promotion is lossless (reference: ducklake_table_entry.cpp:912-921,
+# "MaxLogicalType(source, target) == target").
+_PROMOTIONS: dict[str, set[str]] = {
+    "int8": {"int16", "int32", "int64"},
+    "int16": {"int32", "int64"},
+    "int32": {"int64"},
+    "uint8": {"uint16", "uint32", "uint64", "int16", "int32", "int64"},
+    "uint16": {"uint32", "uint64", "int32", "int64"},
+    "uint32": {"uint64", "int64"},
+    "float32": {"float64"},
+    "timestamp_s": {"timestamp_ms", "timestamp", "timestamp_ns"},
+    "timestamp_ms": {"timestamp", "timestamp_ns"},
+    "timestamp": {"timestamp_ns"},
+}
+
+
+def is_widening(src: str, dst: str) -> bool:
+    src, dst = src.strip().lower(), dst.strip().lower()
+    if src == dst:
+        return True
+    return dst in _PROMOTIONS.get(src, set())
+
+
+def _split_top(s: str) -> list[str]:
+    out, depth, cur = [], 0, []
+    for ch in s:
+        if ch in "<(":
+            depth += 1
+        elif ch in ">)":
+            depth -= 1
+        if ch == "," and depth == 0:
+            out.append("".join(cur))
+            cur = []
+        else:
+            cur.append(ch)
+    if cur:
+        out.append("".join(cur))
+    return out

@@ -1,0 +1,324 @@
+"""Change data feed: table_insertions / table_deletions / table_changes.
+
+Reference semantics:
+- ``ducklake_table_insertions(schema, tbl, start, end)`` scans only
+  rows whose files were committed with begin_snapshot in
+  [start, end] (src/functions/ducklake_table_insertions.cpp:47-99).
+- ``ducklake_table_deletions`` returns rows whose positions became
+  deleted in the range: new delete-file content minus the previous
+  delete file for the same data file, plus whole files dropped by a
+  DELETE (ducklake_multi_file_list.cpp:396-421).
+- ``table_changes`` is the reference's SQL macro verbatim
+  (src/functions/ducklake_table_changes.cpp:7-25): insertions
+  left-join deletions on (snapshot_id, rowid) to classify
+  insert/update_postimage, unioned with the symmetric
+  delete/update_preimage side.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from ducklake_spark.lake import ROWID_COL, DuckLake
+
+
+def table_insertions(lake: DuckLake, name: str, start: int, end: int) -> DataFrame:
+    h = lake._handle(name)
+    schema = lake._spark_schema(h)
+    files = lake.meta.query(
+        "SELECT data_file_id, path, record_count, row_id_start, partial_max, "
+        "file_size_bytes, begin_snapshot FROM ducklake_data_file "
+        "WHERE table_id = ? AND begin_snapshot >= ? AND begin_snapshot <= ? "
+        "AND row_id_start IS NOT NULL "
+        "ORDER BY data_file_id",
+        (h.table_id, start, end),
+    )
+    frames = []
+    for fid, path, rc, rid_start, pmax, fsz, bsnap in files:
+        df = (
+            lake.spark.read.schema(schema)
+            .parquet(os.path.join(lake.data_path, path))
+            .withColumn("rowid", F.lit(rid_start) + F.col("_metadata.row_index"))
+            .withColumn("snapshot_id", F.lit(bsnap))
+        )
+        frames.append(df)
+    # snapshots in range that actually performed inserts on this table —
+    # distinguishes update-written files (insert CDC) from rewrite /
+    # compaction / flush files (not new rows)
+    insert_snaps = {
+        sid
+        for sid, changes in lake.meta.query(
+            "SELECT snapshot_id, changes_made FROM ducklake_snapshot_changes "
+            "WHERE snapshot_id >= ? AND snapshot_id <= ?",
+            (start, end),
+        )
+        if f"inserted_into_table:{h.table_id}" in (changes or "")
+    }
+    upd_files = lake.meta.query(
+        "SELECT path, begin_snapshot, partial_max FROM ducklake_data_file "
+        "WHERE table_id = ? AND row_id_start IS NULL "
+        "AND ((begin_snapshot >= ? AND begin_snapshot <= ?) "
+        "     OR (partial_max IS NOT NULL AND begin_snapshot <= ? AND partial_max >= ?)) "
+        "ORDER BY data_file_id",
+        (h.table_id, start, end, end, start),
+    )
+    from ducklake_spark.lake import SNAPID_COL
+
+    for path, bsnap, pmax in upd_files:
+        df = lake.spark.read.parquet(os.path.join(lake.data_path, path))
+        if pmax is not None and SNAPID_COL in df.columns:
+            # compacted multi-snapshot file: rows carry their original
+            # insert snapshot; filter to the requested range
+            df = (
+                df.filter(
+                    (F.col(SNAPID_COL) >= F.lit(start))
+                    & (F.col(SNAPID_COL) <= F.lit(end))
+                )
+                .withColumn("rowid", F.col(ROWID_COL))
+                .withColumn("snapshot_id", F.col(SNAPID_COL))
+            )
+        elif bsnap in insert_snaps and start <= bsnap <= end:
+            df = (
+                df.withColumn("rowid", F.col(ROWID_COL))
+                .withColumn("snapshot_id", F.lit(bsnap))
+            )
+        else:
+            continue
+        frames.append(df.select(*[f.name for f in schema.fields], "rowid", "snapshot_id"))
+    # inlined rows inserted in range
+    inl = _inlined_rows(lake, h, schema, start, end)
+    if inl is not None:
+        frames.append(inl)
+    if not frames:
+        from ducklake_spark.lake import _with_virtual_schema
+        from pyspark.sql import types as T
+
+        empty = T.StructType(
+            list(schema.fields)
+            + [T.StructField("rowid", T.LongType()), T.StructField("snapshot_id", T.LongType())]
+        )
+        return lake.spark.createDataFrame([], empty)
+    out = frames[0]
+    for f in frames[1:]:
+        out = out.unionByName(f)
+    cols = ["snapshot_id", "rowid"] + [f.name for f in schema.fields]
+    return out.select(*cols)
+
+
+def _inlined_rows(lake, h, schema, start, end):
+    tabs = lake.meta.query(
+        "SELECT table_name FROM ducklake_inlined_data_tables WHERE table_id=?",
+        (h.table_id,),
+    )
+    rows_out = []
+    for (tname,) in tabs:
+        rows = lake.meta.query(
+            f"SELECT * FROM {tname} WHERE begin_snapshot >= ? AND begin_snapshot <= ?",
+            (start, end),
+        )
+        rows_out.extend(rows)
+    if not rows_out:
+        return None
+    from ducklake_spark.lake import _from_sql_value
+    from pyspark.sql import types as T
+
+    sch = T.StructType(
+        list(schema.fields)
+        + [T.StructField("rowid", T.LongType()), T.StructField("snapshot_id", T.LongType())]
+    )
+    data = [
+        tuple(_from_sql_value(v, f.dataType) for v, f in zip(r[3:], schema.fields))
+        + (r[0], r[1])
+        for r in rows_out
+    ]
+    return lake.spark.createDataFrame(data, sch)
+
+
+def table_deletions(lake: DuckLake, name: str, start: int, end: int) -> DataFrame:
+    h = lake._handle(name)
+    schema = lake._spark_schema(h)
+    spark = lake.spark
+    frames = []
+
+    # 1) delete files committed in range: content minus predecessor content
+    dels = lake.meta.query(
+        "SELECT delete_file_id, data_file_id, path, begin_snapshot "
+        "FROM ducklake_delete_file WHERE table_id=? "
+        "AND begin_snapshot >= ? AND begin_snapshot <= ?",
+        (h.table_id, start, end),
+    )
+    for dfid, data_fid, path, bsnap in dels:
+        cur = spark.read.schema("file_path string, pos long").parquet(
+            os.path.join(lake.data_path, path)
+        )
+        prev = lake.meta.query(
+            "SELECT path FROM ducklake_delete_file WHERE data_file_id=? "
+            "AND begin_snapshot < ? ORDER BY begin_snapshot DESC LIMIT 1",
+            (data_fid, bsnap),
+        )
+        if prev:
+            prev_df = spark.read.schema("file_path string, pos long").parquet(
+                os.path.join(lake.data_path, prev[0][0])
+            )
+            cur = cur.join(prev_df, ["file_path", "pos"], "left_anti")
+        rows = _rows_at_positions(lake, h, schema, data_fid, cur, bsnap)
+        if rows is not None:
+            frames.append(rows)
+
+    # 2) whole files dropped in range by a DELETE (not compaction)
+    delete_snaps = {
+        sid
+        for sid, changes in lake.meta.query(
+            "SELECT snapshot_id, changes_made FROM ducklake_snapshot_changes "
+            "WHERE snapshot_id >= ? AND snapshot_id <= ?",
+            (start, end),
+        )
+        if f"deleted_from_table:{h.table_id}" in (changes or "")
+    }
+    dropped = lake.meta.query(
+        "SELECT data_file_id, path, row_id_start, end_snapshot "
+        "FROM ducklake_data_file WHERE table_id=? "
+        "AND end_snapshot >= ? AND end_snapshot <= ?",
+        (h.table_id, start, end),
+    )
+    for fid, path, rid_start, esnap in dropped:
+        if esnap not in delete_snaps:
+            continue  # compaction/rewrite, not a logical delete
+        df = spark.read.schema(schema).parquet(os.path.join(lake.data_path, path))
+        df = (
+            df.withColumn("__pos", F.col("_metadata.row_index"))
+            .withColumn(
+                "rowid",
+                F.lit(rid_start) + F.col("__pos")
+                if rid_start is not None
+                else F.col(ROWID_COL),
+            )
+            .withColumn("snapshot_id", F.lit(esnap))
+        )
+        # subtract positions already deleted before the drop
+        prev = lake.meta.query(
+            "SELECT path FROM ducklake_delete_file WHERE data_file_id=? "
+            "AND begin_snapshot < ? ORDER BY begin_snapshot DESC LIMIT 1",
+            (fid, esnap),
+        )
+        if prev:
+            prev_df = (
+                spark.read.schema("file_path string, pos long")
+                .parquet(os.path.join(lake.data_path, prev[0][0]))
+                .select(F.col("pos").alias("__pos"))
+            )
+            df = df.join(prev_df, "__pos", "left_anti")
+        frames.append(df.select("snapshot_id", "rowid", *[f.name for f in schema.fields]))
+
+    # 3) inlined rows whose end_snapshot landed in range — but only when
+    # that snapshot was a logical DELETE (a flush also sets end_snapshot)
+    tabs = lake.meta.query(
+        "SELECT table_name FROM ducklake_inlined_data_tables WHERE table_id=?",
+        (h.table_id,),
+    )
+    inl_rows = []
+    for (tname,) in tabs:
+        inl_rows.extend(
+            r
+            for r in lake.meta.query(
+                f"SELECT * FROM {tname} WHERE end_snapshot >= ? AND end_snapshot <= ?",
+                (start, end),
+            )
+            if r[2] in delete_snaps
+        )
+    if inl_rows:
+        from ducklake_spark.lake import _from_sql_value
+        from pyspark.sql import types as T
+
+        sch = T.StructType(
+            [T.StructField("snapshot_id", T.LongType()), T.StructField("rowid", T.LongType())]
+            + list(schema.fields)
+        )
+        data = [
+            (r[2], r[0])
+            + tuple(_from_sql_value(v, f.dataType) for v, f in zip(r[3:], schema.fields))
+            for r in inl_rows
+        ]
+        frames.append(lake.spark.createDataFrame(data, sch))
+
+    if not frames:
+        from pyspark.sql import types as T
+
+        empty = T.StructType(
+            [T.StructField("snapshot_id", T.LongType()), T.StructField("rowid", T.LongType())]
+            + list(schema.fields)
+        )
+        return spark.createDataFrame([], empty)
+    out = frames[0]
+    for f in frames[1:]:
+        out = out.unionByName(f)
+    return out.select("snapshot_id", "rowid", *[f.name for f in schema.fields])
+
+
+def _rows_at_positions(lake, h, schema, data_fid, positions: DataFrame, snap_id: int):
+    row = lake.meta.query(
+        "SELECT path, row_id_start FROM ducklake_data_file WHERE data_file_id=?",
+        (data_fid,),
+    )
+    if not row:
+        return None
+    path, rid_start = row[0]
+    df = (
+        lake.spark.read.schema(schema)
+        .parquet(os.path.join(lake.data_path, path))
+        .withColumn("__pos", F.col("_metadata.row_index"))
+    )
+    pos = positions.select(F.col("pos").alias("__pos"))
+    df = df.join(F.broadcast(pos), "__pos", "left_semi")
+    rowid = (
+        F.lit(rid_start) + F.col("__pos") if rid_start is not None else F.col(ROWID_COL)
+    )
+    return (
+        df.withColumn("rowid", rowid)
+        .withColumn("snapshot_id", F.lit(snap_id))
+        .select("snapshot_id", "rowid", *[f.name for f in schema.fields])
+    )
+
+
+def table_changes(lake: DuckLake, name: str, start: int, end: int) -> DataFrame:
+    """The reference macro (ducklake_table_changes.cpp:7-25) as DataFrame ops."""
+    ins = table_insertions(lake, name, start, end)
+    dels = table_deletions(lake, name, start, end)
+    d_keys = dels.select(
+        F.col("snapshot_id").alias("__dsnap"), F.col("rowid").alias("__drow")
+    )
+    i_keys = ins.select(
+        F.col("snapshot_id").alias("__isnap"), F.col("rowid").alias("__irow")
+    )
+    ins_marked = ins.join(
+        d_keys,
+        (ins["snapshot_id"] == d_keys["__dsnap"]) & (ins["rowid"] == d_keys["__drow"]),
+        "left",
+    ).withColumn(
+        "change_type",
+        F.when(F.col("__drow").isNotNull(), F.lit("update_postimage")).otherwise(
+            F.lit("insert")
+        ),
+    ).drop("__dsnap", "__drow")
+    dels_marked = dels.join(
+        i_keys,
+        (dels["snapshot_id"] == i_keys["__isnap"]) & (dels["rowid"] == i_keys["__irow"]),
+        "left",
+    ).withColumn(
+        "change_type",
+        F.when(F.col("__irow").isNotNull(), F.lit("update_preimage")).otherwise(
+            F.lit("delete")
+        ),
+    ).drop("__isnap", "__irow")
+    cols = ["snapshot_id", "rowid", "change_type"] + [
+        c for c in ins.columns if c not in ("snapshot_id", "rowid")
+    ]
+    return ins_marked.select(*cols).unionByName(dels_marked.select(*cols))
+
+
+DuckLake.table_insertions = lambda self, name, start, end: table_insertions(self, name, start, end)
+DuckLake.table_deletions = lambda self, name, start, end: table_deletions(self, name, start, end)
+DuckLake.table_changes = lambda self, name, start, end: table_changes(self, name, start, end)

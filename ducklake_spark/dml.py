@@ -1,0 +1,441 @@
+"""DELETE / UPDATE / MERGE physical operators.
+
+Reference semantics (SURVEY §2.2):
+- DELETE scans victim positions ``(file, file_row_number)``, writes
+  **one positional-delete parquet per touched data file**, merging
+  pre-existing deletes; files whose every live row is deleted are
+  dropped instead of getting a delete file
+  (src/storage/ducklake_delete.cpp:36-158,410-424,598-631).
+- UPDATE = delete + insert, with the new rows carrying the preserved
+  ``_ducklake_internal_row_id`` column
+  (src/storage/ducklake_update.cpp:260-334,
+  update_is_del_and_insert = true).
+- MERGE INTO composes the two Delta-style: full-outer join + action
+  disposition (src/storage/ducklake_merge_into.cpp:474-641).
+
+Scale shape: victims are computed by a single distributed scan; the
+per-file grouping is a shuffle on file path (bounded by #touched
+files); only per-file *counts* ever reach the driver.
+"""
+
+from __future__ import annotations
+
+import glob as globmod
+import os
+import shutil
+import uuid
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from ducklake_spark.lake import (
+    ROWID_COL,
+    SNAPID_COL,
+    DuckLake,
+    DuckLakeError,
+    TableHandle,
+)
+from ducklake_spark.transaction import DataFileInfo, DeleteFileInfo
+
+
+def _victims(lake: DuckLake, name: str, where: str) -> tuple[TableHandle, DataFrame]:
+    h = lake._handle(name)
+    snap = lake._resolve_snapshot(None, None)
+    files = lake._visible_files(h, snap, where)
+    schema = lake._spark_schema(h)
+    deletes = lake._delete_entries(h, snap, [f["data_file_id"] for f in files])
+    df = lake._read_files(h, snap, files, schema, deletes, with_virtual=True)
+    if df is None:
+        return h, None
+    return h, df.filter(where)
+
+
+def delete(lake: DuckLake, name: str, where: str) -> int:
+    """DELETE FROM name WHERE ...; returns deleted row count."""
+    h = lake._handle(name)
+    snap = lake._resolve_snapshot(None, None)
+    files = lake._visible_files(h, snap, where)
+    file_by_path = {
+        "file:" + os.path.join(lake.data_path, f["path"]): f for f in files
+    }
+    schema = lake._spark_schema(h)
+    delete_entries = lake._delete_entries(h, snap, [f["data_file_id"] for f in files])
+    df = lake._read_files(h, snap, files, schema, delete_entries, with_virtual=True)
+
+    n_deleted = 0
+    per_file: list[tuple] = []
+    if df is not None:
+        victims = (
+            df.filter(where)
+            .select(F.col("filename"), F.col("file_row_number").alias("pos"))
+        )
+        counts = victims.groupBy("filename").count().collect()
+        per_file = [(r["filename"], r["count"]) for r in counts]
+        n_deleted = sum(c for _, c in per_file)
+
+    n_deleted += _delete_inlined(lake, h, where)
+    if n_deleted == 0:
+        return 0
+
+    txn = lake.begin()
+    existing = {
+        fid: path
+        for fid, path in lake.meta.query(
+            "SELECT data_file_id, path FROM ducklake_delete_file "
+            "WHERE table_id=? AND begin_snapshot <= ? "
+            "AND (end_snapshot IS NULL OR end_snapshot > ?)",
+            (h.table_id, snap.snapshot_id, snap.snapshot_id),
+        )
+    }
+    existing_ids = {
+        fid: dfid
+        for dfid, fid in lake.meta.query(
+            "SELECT delete_file_id, data_file_id FROM ducklake_delete_file "
+            "WHERE table_id=? AND begin_snapshot <= ? "
+            "AND (end_snapshot IS NULL OR end_snapshot > ?)",
+            (h.table_id, snap.snapshot_id, snap.snapshot_id),
+        )
+    }
+
+    full_drop: list[int] = []
+    partial: list[dict] = []
+    for fname, cnt in per_file:
+        finfo = file_by_path[fname]
+        fid = finfo["data_file_id"]
+        prev_deleted = _existing_delete_count(lake, existing.get(fid))
+        if prev_deleted + cnt >= finfo["record_count"]:
+            full_drop.append(fid)
+        else:
+            partial.append(
+                {"fid": fid, "fname": fname, "rel": finfo["path"],
+                 "prev": existing.get(fid), "new": cnt, "prev_cnt": prev_deleted}
+            )
+
+    if partial:
+        victims = (
+            df.filter(where)
+            .select(F.col("filename"), F.col("file_row_number").alias("pos"))
+        )
+        keep_paths = {p["fname"] for p in partial}
+        rel_map = {p["fname"]: p["rel"] for p in partial}
+        new_dels = victims.filter(F.col("filename").isin(list(keep_paths)))
+        # merge pre-existing delete content for the touched files
+        prev_paths = [
+            os.path.join(lake.data_path, p["prev"]) for p in partial if p["prev"]
+        ]
+        prefix = "file:" + lake.data_path
+        new_dels = new_dels.withColumn(
+            "file_path", F.expr(f"substring(filename, {len(prefix) + 1})")
+        ).select("file_path", "pos")
+        if prev_paths:
+            prev = lake.spark.read.schema("file_path string, pos long").parquet(*prev_paths)
+            prev = prev.join(
+                lake.spark.createDataFrame(
+                    [(p["rel"],) for p in partial], "file_path string"
+                ),
+                "file_path",
+                "left_semi",
+            )
+            new_dels = new_dels.unionByName(prev).distinct()
+        delete_dir = os.path.join(lake.data_path, h.path)
+        tmp = os.path.join(delete_dir, f".del_{uuid.uuid4().hex}")
+        (
+            new_dels.repartition(max(1, min(len(partial), 64)), "file_path")
+            .sortWithinPartitions("file_path", "pos")
+            .select(
+                F.col("file_path").alias(
+                    "file_path", metadata={"parquet.field.id": 2147483546}
+                ),
+                F.col("pos").alias("pos", metadata={"parquet.field.id": 2147483545}),
+            )
+            .write.mode("overwrite")
+            .partitionBy("file_path")  # hive dir per data file
+            .parquet(tmp)
+        )
+        # a partitioned write puts file_path in the dir name, not the file;
+        # re-read each partition dir and emit the reference layout instead
+        _finalize_delete_files(lake, h, txn, tmp, partial, existing_ids)
+        shutil.rmtree(tmp, ignore_errors=True)
+
+    for fid in full_drop:
+        txn.removed_data_files.setdefault(h.table_id, []).append(fid)
+        txn.touched_delete_data_files.add(fid)
+
+    txn.stats_delta.setdefault(h.table_id, {}).setdefault("records", 0)
+    txn.stats_delta[h.table_id]["records"] -= n_deleted
+    txn.change_log.append(f"deleted_from_table:{h.table_id}")
+    lake._autocommit()
+    return n_deleted
+
+
+def _finalize_delete_files(lake, h, txn, tmp: str, partial: list[dict],
+                           existing_ids: dict) -> None:
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    delete_dir = os.path.join(lake.data_path, h.path)
+    for p in partial:
+        # hive dir name: file_path=<urlencoded rel path>
+        import urllib.parse
+
+        cand = None
+        for d in os.listdir(tmp):
+            if not d.startswith("file_path="):
+                continue
+            if urllib.parse.unquote(d[len("file_path="):]) == p["rel"]:
+                cand = os.path.join(tmp, d)
+                break
+        if cand is None:
+            continue
+        parts = sorted(globmod.glob(os.path.join(cand, "*.parquet")))
+        tables = [pq.read_table(f, columns=["pos"]) for f in parts]
+        pos = pa.concat_tables(tables)["pos"]
+        n = len(pos)
+        schema = pa.schema(
+            [
+                pa.field("file_path", pa.string(),
+                         metadata={b"PARQUET:field_id": b"2147483546"}),
+                pa.field("pos", pa.int64(),
+                         metadata={b"PARQUET:field_id": b"2147483545"}),
+            ]
+        )
+        out = pa.table(
+            {"file_path": pa.array([p["rel"]] * n), "pos": pos.combine_chunks()},
+            schema=schema,
+        )
+        final = os.path.join(delete_dir, f"ducklake-delete-{uuid.uuid4().hex}.parquet")
+        pq.write_table(out, final)
+        if p["prev"] is not None and p["fid"] in existing_ids:
+            txn.replaced_delete_files.append(existing_ids[p["fid"]])
+        txn.new_delete_files.setdefault(h.table_id, []).append(
+            DeleteFileInfo(
+                data_file_id=p["fid"],
+                path=os.path.relpath(final, lake.data_path),
+                delete_count=n,
+                file_size_bytes=os.path.getsize(final),
+            )
+        )
+        txn.touched_delete_data_files.add(p["fid"])
+
+
+def _existing_delete_count(lake, rel_path: str | None) -> int:
+    if rel_path is None:
+        return 0
+    import pyarrow.parquet as pq
+
+    return pq.ParquetFile(os.path.join(lake.data_path, rel_path)).metadata.num_rows
+
+
+def _delete_inlined(lake: DuckLake, h: TableHandle, where: str) -> int:
+    """Inlined-row deletes mark end_snapshot in the catalog DB
+    (reference inlined deletions: ducklake_delete.cpp:530-546)."""
+    tabs = lake.meta.query(
+        "SELECT table_name FROM ducklake_inlined_data_tables WHERE table_id=?",
+        (h.table_id,),
+    )
+    if not tabs:
+        return 0
+    snap = lake.meta.latest_snapshot()
+    schema = lake._spark_schema(h)
+    total = 0
+    pending = snap.snapshot_id + 1
+    for (tname,) in tabs:
+        rows = lake.meta.query(
+            f"SELECT * FROM {tname} WHERE begin_snapshot <= ? "
+            "AND end_snapshot IS NULL",
+            (snap.snapshot_id,),
+        )
+        if not rows:
+            continue
+        from ducklake_spark.lake import _from_sql_value
+
+        data = [
+            tuple(_from_sql_value(v, f.dataType) for v, f in zip(r[3:], schema.fields))
+            + (r[0],)
+            for r in rows
+        ]
+        from pyspark.sql import types as T
+
+        sch = T.StructType(list(schema.fields) + [T.StructField("__rid", T.LongType())])
+        victims = lake.spark.createDataFrame(data, sch).filter(where)
+        rids = [r["__rid"] for r in victims.select("__rid").collect()]
+        if rids:
+            qs = ",".join("?" * len(rids))
+            lake.meta.con.execute(
+                f"UPDATE {tname} SET end_snapshot=? WHERE row_id IN ({qs})",
+                (pending, *rids),
+            )
+            total += len(rids)
+    return total
+
+
+def update(lake: DuckLake, name: str, assignments: dict[str, str], where: str) -> int:
+    """UPDATE name SET col=expr WHERE ...; delete+insert preserving rowid."""
+    h = lake._handle(name)
+    n_inlined = _update_inlined(lake, h, assignments, where)
+    _h, matched = _victims(lake, name, where)
+    if matched is None:
+        if n_inlined:
+            lake._autocommit()
+        return n_inlined
+    n = matched.count()
+    if n == 0:
+        if n_inlined:
+            lake._autocommit()
+        return n_inlined
+    schema = lake._spark_schema(h)
+    new_rows = matched
+    for col, expr in assignments.items():
+        new_rows = new_rows.withColumn(col, F.expr(expr))
+    new_rows = new_rows.select(
+        *[F.col(f.name) for f in schema.fields],
+        F.col("rowid").alias(ROWID_COL),
+    )
+    with lake.transaction():
+        # write replacement rows first (they carry preserved rowids)
+        files = lake._write_parquet(h, new_rows, schema, [], [])
+        for f in files:
+            f.row_id_start = None  # rowid comes from the embedded column
+            f.allocate = False
+        txn = lake.begin()
+        txn.new_data_files.setdefault(str(h.table_id), []).extend(files)
+        delete(lake, name, where)
+        txn.change_log.append(f"inserted_into_table:{h.table_id}")
+    return n + n_inlined
+
+
+def _update_inlined(lake: DuckLake, h: TableHandle, assignments: dict[str, str],
+                    where: str) -> int:
+    """Update rows living in the catalog DB: end-snapshot the old row,
+    insert the updated one with the same row_id (delete+insert shape)."""
+    tabs = lake.meta.query(
+        "SELECT table_name FROM ducklake_inlined_data_tables WHERE table_id=?",
+        (h.table_id,),
+    )
+    if not tabs:
+        return 0
+    snap = lake.meta.latest_snapshot()
+    pending = snap.snapshot_id + 1
+    schema = lake._spark_schema(h)
+    total = 0
+    from ducklake_spark.lake import _from_sql_value, _to_sql_value
+    from pyspark.sql import types as T
+
+    txn = lake.begin()
+    for (tname,) in tabs:
+        rows = lake.meta.query(
+            f"SELECT * FROM {tname} WHERE begin_snapshot <= ? "
+            "AND end_snapshot IS NULL",
+            (snap.snapshot_id,),
+        )
+        if not rows:
+            continue
+        sch = T.StructType(list(schema.fields) + [T.StructField("__rid", T.LongType())])
+        data = [
+            tuple(_from_sql_value(v, f.dataType) for v, f in zip(r[3:], schema.fields))
+            + (r[0],)
+            for r in rows
+        ]
+        matched = lake.spark.createDataFrame(data, sch).filter(where)
+        for col, expr in assignments.items():
+            matched = matched.withColumn(col, F.expr(expr))
+        updated = matched.collect()
+        if not updated:
+            continue
+        rids = [r["__rid"] for r in updated]
+        qs = ",".join("?" * len(rids))
+        lake.meta.con.execute(
+            f"UPDATE {tname} SET end_snapshot=? WHERE row_id IN ({qs}) "
+            "AND end_snapshot IS NULL",
+            (pending, *rids),
+        )
+        packed = [
+            (r["__rid"], pending, None)
+            + tuple(_to_sql_value(r[f.name]) for f in schema.fields)
+            for r in updated
+        ]
+        txn.inlined_inserts.append((h.table_id, tname, packed))
+        total += len(updated)
+    if total:
+        txn.change_log.append(f"deleted_from_table:{h.table_id}")
+        txn.change_log.append(f"inserted_into_table:{h.table_id}")
+    return total
+
+
+def merge_into(lake: DuckLake, target: str, source: DataFrame, on: list[str],
+               *, when_matched_update: dict[str, str] | None = None,
+               when_matched_delete: bool = False,
+               when_not_matched_insert: bool = True) -> dict[str, int]:
+    """MERGE INTO target USING source ON equality keys.
+
+    Supports WHEN MATCHED THEN UPDATE (or DELETE) and WHEN NOT MATCHED
+    THEN INSERT — the same action set as the reference's common path
+    (ducklake_merge_into.cpp:474-641). Returns per-action row counts.
+    """
+    if when_matched_update and when_matched_delete:
+        raise DuckLakeError("at most one WHEN MATCHED action (like the reference)")
+    h = lake._handle(target)
+    tgt = lake.table(target)
+    src = source
+    counts = {"updated": 0, "deleted": 0, "inserted": 0}
+
+    key_pred = " AND ".join(f"t.{k} = s.{k}" for k in on)
+    tgt.alias("t").createOrReplaceTempView("__merge_t")
+    src.alias("s").createOrReplaceTempView("__merge_s")
+
+    matched_keys = lake.spark.sql(
+        f"SELECT {', '.join('s.' + k for k in on)} FROM __merge_s s "
+        f"JOIN __merge_t t ON {key_pred}"
+    )
+    if when_matched_delete or when_matched_update:
+        preds = []
+        for r in matched_keys.collect():
+            conj = " AND ".join(_key_eq(k, r[k]) for k in on)
+            preds.append(f"({conj})")
+        if preds:
+            pred = " OR ".join(preds)
+            if when_matched_delete:
+                counts["deleted"] = delete(lake, target, pred)
+            else:
+                # UPDATE ... with values taken from the source row
+                src_rows = {tuple(r[k] for k in on): r for r in src.collect()}
+                for key, r in src_rows.items():
+                    conj = " AND ".join(_key_eq(k, v) for k, v in zip(on, key))
+                    assigns = {
+                        c: _sql_literal(r[c])
+                        for c in when_matched_update
+                    }
+                    counts["updated"] += update(lake, target, assigns, conj)
+    if when_not_matched_insert:
+        new_rows = src.join(tgt, on, "left_anti")
+        n = new_rows.count()
+        if n:
+            lake.insert(target, new_rows)
+            counts["inserted"] = n
+    return counts
+
+
+def _key_eq(col: str, v) -> str:
+    return f"{col} = {_sql_literal(v)}"
+
+
+def _sql_literal(v) -> str:
+    import datetime
+
+    if v is None:
+        return "NULL"
+    if isinstance(v, str):
+        return "'" + v.replace("'", "''") + "'"
+    if isinstance(v, (datetime.date, datetime.datetime)):
+        return f"'{v}'"
+    if isinstance(v, bool):
+        return "true" if v else "false"
+    return str(v)
+
+
+# install as methods
+DuckLake.delete = lambda self, name, where: delete(self, name, where)
+DuckLake.update = lambda self, name, assignments, where: update(self, name, assignments, where)
+DuckLake.merge = (
+    lambda self, target, source, on, **kw: merge_into(self, target, source, on, **kw)
+)

@@ -1,0 +1,1038 @@
+"""The ``DuckLake`` session object: lakehouse operations on Spark.
+
+Architecture (SURVEY §7): Spark SQL/Catalyst is the relational
+engine; this layer implements the reference's *lakehouse* semantics —
+SQL-catalog metadata, snapshots/time travel, transactional commits,
+scan planning with file pruning, DML, maintenance. All planning is
+driver-side SQL against the catalog DB; all data movement is
+declarative DataFrame work that Catalyst optimizes.
+
+Scale notes (how this behaves at 100 TB / 1000 executors):
+- scans pass Spark an explicit pruned file list; Parquet predicate
+  pushdown + column pruning still apply per file (the pruning here is
+  *file-level* zone-map pruning the way the reference does it —
+  ducklake_metadata_manager.cpp:1774-1930).
+- delete application is an anti-join on (file, position); the delete
+  side is broadcast when small (the common case) so the scan needs no
+  shuffle.
+- commits write O(#files) metadata rows from the driver — no
+  executor involvement, identical to the reference's commit shape.
+"""
+
+from __future__ import annotations
+
+import glob as globmod
+import os
+import re
+import shutil
+import uuid
+from dataclasses import dataclass
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from ducklake_spark.catalog.metadata import MetadataManager, Snapshot
+from ducklake_spark.catalog.types import (
+    check_supported,
+    ducklake_to_spark,
+    is_widening,
+    spark_to_ducklake,
+)
+from ducklake_spark.transaction import (
+    ColumnDef,
+    ColumnStatsRow,
+    DataFileInfo,
+    DeleteFileInfo,
+    TableDef,
+    Transaction,
+)
+
+ROWID_COL = "_ducklake_internal_row_id"
+SNAPID_COL = "_ducklake_internal_snapshot_id"
+# Iceberg positional-delete field ids (reference: ducklake_delete.cpp:36-158)
+DELETE_FILE_PATH_FIELD_ID = 2147483546
+DELETE_POS_FIELD_ID = 2147483545
+
+
+@dataclass
+class TableHandle:
+    table_id: int
+    table_uuid: str
+    schema_id: int
+    schema_name: str
+    table_name: str
+    path: str  # relative to data_path
+    columns: list[tuple[int, str, str, bool]]  # (column_id, name, type, nulls_allowed)
+
+
+class DuckLakeError(Exception):
+    pass
+
+
+class DuckLake:
+    """One attached lake = one catalog DB + one data path."""
+
+    def __init__(self, spark: SparkSession, metadata_path: str, data_path: str,
+                 *, snapshot_version: int | None = None,
+                 snapshot_time: str | None = None,
+                 data_inlining_row_limit: int | None = None):
+        self.spark = spark
+        self.metadata_path = metadata_path
+        self.data_path = data_path.rstrip("/") + "/"
+        self.meta = MetadataManager(metadata_path)
+        self.meta.initialize(self.data_path)
+        self._pinned: Snapshot | None = None
+        if snapshot_version is not None:
+            self._pinned = self.meta.snapshot_at_version(snapshot_version)
+        elif snapshot_time is not None:
+            self._pinned = self.meta.snapshot_at_timestamp(snapshot_time)
+        if data_inlining_row_limit is not None:
+            self.meta.set_option("data_inlining_row_limit", str(data_inlining_row_limit))
+        self._txn: Transaction | None = None
+        self._commit_note: tuple[str | None, str | None, str | None] = (None, None, None)
+        spark.conf.set("spark.sql.parquet.fieldId.write.enabled", "true")
+        spark.conf.set("spark.sql.parquet.fieldId.read.enabled", "true")
+
+    # -- attach ------------------------------------------------------------
+
+    @classmethod
+    def attach(cls, spark: SparkSession, metadata_path: str, data_path: str, **kw) -> DuckLake:
+        """ATTACH 'ducklake:<metadata_path>' (DATA_PATH ...) equivalent
+        (reference: ducklake_storage.cpp:13-126)."""
+        return cls(spark, metadata_path, data_path, **kw)
+
+    # -- transactions ------------------------------------------------------
+
+    def begin(self) -> Transaction:
+        if self._txn is None:
+            self._txn = Transaction(self.meta)
+            self._txn.commit_message = self._commit_note
+        return self._txn
+
+    def commit(self) -> int:
+        if self._txn is None:
+            return self.current_snapshot()
+        try:
+            snap = self._txn.commit()
+        finally:
+            self._txn = None
+            self._commit_note = (None, None, None)
+        return snap
+
+    def rollback(self) -> None:
+        self._txn = None
+
+    class _TxnCtx:
+        def __init__(self, lake: DuckLake):
+            self.lake = lake
+
+        def __enter__(self):
+            self.lake._explicit_txn = True
+            self.lake.begin()
+            return self.lake
+
+        def __exit__(self, exc_type, *a):
+            self.lake._explicit_txn = False
+            if exc_type is None:
+                self.lake.commit()
+            else:
+                self.lake.rollback()
+
+    _explicit_txn = False
+
+    def transaction(self) -> DuckLake._TxnCtx:
+        """``with lake.transaction(): ...`` groups ops into one snapshot."""
+        return DuckLake._TxnCtx(self)
+
+    def _autocommit(self) -> int | None:
+        if not self._explicit_txn:
+            return self.commit()
+        return None
+
+    def set_commit_message(self, author: str | None, message: str | None,
+                           extra_info: str | None = None) -> None:
+        """reference: ducklake_set_commit_message.cpp:55-57"""
+        self._commit_note = (author, message, extra_info)
+        if self._txn is not None:
+            self._txn.commit_message = self._commit_note
+
+    # -- snapshot helpers --------------------------------------------------
+
+    def current_snapshot(self) -> int:
+        if self._pinned is not None:
+            return self._pinned.snapshot_id
+        return self.meta.latest_snapshot().snapshot_id
+
+    def last_committed_snapshot(self) -> int | None:
+        return getattr(self, "_last_committed", None)
+
+    def _resolve_snapshot(self, at_version: int | None, at_timestamp: str | None) -> Snapshot:
+        if at_version is not None:
+            return self.meta.snapshot_at_version(at_version)
+        if at_timestamp is not None:
+            return self.meta.snapshot_at_timestamp(at_timestamp)
+        if self._pinned is not None:
+            return self._pinned
+        return self.meta.latest_snapshot()
+
+    # -- DDL ---------------------------------------------------------------
+
+    def create_schema(self, name: str) -> None:
+        txn = self.begin()
+        txn.created_schemas.append(name)
+        txn.change_log.append(f'created_schema:"{name}"')
+        self._autocommit()
+
+    def create_table(self, name: str, schema, *, not_null: tuple[str, ...] = (),
+                     if_not_exists: bool = False) -> None:
+        """``schema`` is a Spark StructType or DuckLake DDL-ish list of
+        (name, type-name) pairs. PRIMARY KEY / CHECK / FOREIGN KEY are
+        unsupported, like the reference (test/sql/constraints/unsupported.test);
+        NOT NULL is supported via ``not_null``."""
+        schema_name, table_name = self._split_name(name)
+        if self._find_table(schema_name, table_name) is not None:
+            if if_not_exists:
+                return
+            raise DuckLakeError(f"table {name!r} already exists")
+        cols = []
+        if isinstance(schema, T.StructType):
+            for f_ in schema.fields:
+                check_supported(f_.dataType)
+                cols.append(
+                    ColumnDef(
+                        f_.name,
+                        spark_to_ducklake(f_.dataType),
+                        nulls_allowed=f_.name not in not_null and f_.nullable,
+                    )
+                )
+        else:
+            for cname, ctype in schema:
+                ducklake_to_spark(ctype)  # validates
+                cols.append(ColumnDef(cname, ctype, nulls_allowed=cname not in not_null))
+        td = TableDef(schema_name, table_name, cols, path=f"{schema_name}/{table_name}/")
+        txn = self.begin()
+        txn.created_tables.append(td)
+        txn.change_log.append(f'created_table:"{schema_name}"."{table_name}"')
+        self._autocommit()
+
+    def drop_table(self, name: str) -> None:
+        h = self._handle(name)
+        txn = self.begin()
+        txn.dropped_tables.append(h.table_id)
+        txn.change_log.append(f"dropped_table:{h.table_id}")
+        self._autocommit()
+
+    def rename_table(self, name: str, new_name: str) -> None:
+        h = self._handle(name)
+        txn = self.begin()
+        txn.renamed_tables.append((h.table_id, new_name.split(".")[-1]))
+        txn.change_log.append(f"altered_table:{h.table_id}")
+        self._autocommit()
+
+    def add_column(self, name: str, col_name: str, col_type: str,
+                   default: str | None = None) -> None:
+        h = self._handle(name)
+        ducklake_to_spark(col_type)
+        txn = self.begin()
+
+        def op(con, snap_id, h=h, col_name=col_name, col_type=col_type, default=default):
+            order = con.execute(
+                "SELECT COALESCE(MAX(column_order), -1) + 1 FROM ducklake_column "
+                "WHERE table_id=? AND end_snapshot IS NULL",
+                (h.table_id,),
+            ).fetchone()[0]
+            snap = self.meta.latest_snapshot()
+            new_id = snap.next_catalog_id
+            con.execute(
+                "UPDATE ducklake_snapshot SET next_catalog_id = next_catalog_id + 1 "
+                "WHERE snapshot_id = ?",
+                (snap.snapshot_id,),
+            )
+            con.execute(
+                "INSERT INTO ducklake_column VALUES "
+                "(?, ?, NULL, ?, ?, ?, ?, ?, ?, 1, NULL, NULL, NULL)",
+                (new_id, snap_id, h.table_id, order, col_name, col_type, default, default),
+            )
+
+        txn.column_changes.setdefault(h.table_id, []).append(op)
+        txn.change_log.append(f"altered_table:{h.table_id}")
+        self._autocommit()
+
+    def drop_column(self, name: str, col_name: str) -> None:
+        h = self._handle(name)
+        txn = self.begin()
+
+        def op(con, snap_id, h=h, col_name=col_name):
+            con.execute(
+                "UPDATE ducklake_column SET end_snapshot=? "
+                "WHERE table_id=? AND column_name=? AND end_snapshot IS NULL",
+                (snap_id, h.table_id, col_name),
+            )
+
+        txn.column_changes.setdefault(h.table_id, []).append(op)
+        txn.change_log.append(f"altered_table:{h.table_id}")
+        self._autocommit()
+
+    def rename_column(self, name: str, col_name: str, new_name: str) -> None:
+        h = self._handle(name)
+        txn = self.begin()
+
+        def op(con, snap_id, h=h, col_name=col_name, new_name=new_name):
+            row = con.execute(
+                "SELECT column_id, column_order, column_type, initial_default, "
+                "default_value, nulls_allowed, parent_column FROM ducklake_column "
+                "WHERE table_id=? AND column_name=? AND end_snapshot IS NULL",
+                (h.table_id, col_name),
+            ).fetchone()
+            if row is None:
+                raise DuckLakeError(f"no column {col_name!r}")
+            con.execute(
+                "UPDATE ducklake_column SET end_snapshot=? "
+                "WHERE table_id=? AND column_id=? AND end_snapshot IS NULL",
+                (snap_id, h.table_id, row[0]),
+            )
+            con.execute(
+                "INSERT INTO ducklake_column VALUES "
+                "(?, ?, NULL, ?, ?, ?, ?, ?, ?, ?, ?, NULL, NULL)",
+                (row[0], snap_id, h.table_id, row[1], new_name, row[2], row[3],
+                 row[4], row[5], row[6]),
+            )
+
+        txn.column_changes.setdefault(h.table_id, []).append(op)
+        txn.change_log.append(f"altered_table:{h.table_id}")
+        self._autocommit()
+
+    def change_column_type(self, name: str, col_name: str, new_type: str) -> None:
+        """Widening promotions only (reference: ducklake_table_entry.cpp:912-921)."""
+        h = self._handle(name)
+        cur = next((c for c in h.columns if c[1] == col_name), None)
+        if cur is None:
+            raise DuckLakeError(f"no column {col_name!r}")
+        if not is_widening(cur[2], new_type):
+            raise DuckLakeError(
+                f"type change {cur[2]} -> {new_type} is not a widening promotion"
+            )
+        txn = self.begin()
+
+        def op(con, snap_id, h=h, cid=cur[0], new_type=new_type):
+            row = con.execute(
+                "SELECT column_order, column_name, initial_default, default_value, "
+                "nulls_allowed, parent_column FROM ducklake_column "
+                "WHERE table_id=? AND column_id=? AND end_snapshot IS NULL",
+                (h.table_id, cid),
+            ).fetchone()
+            con.execute(
+                "UPDATE ducklake_column SET end_snapshot=? "
+                "WHERE table_id=? AND column_id=? AND end_snapshot IS NULL",
+                (snap_id, h.table_id, cid),
+            )
+            con.execute(
+                "INSERT INTO ducklake_column VALUES "
+                "(?, ?, NULL, ?, ?, ?, ?, ?, ?, ?, ?, NULL, NULL)",
+                (cid, snap_id, h.table_id, row[0], row[1], new_type, row[2], row[3],
+                 row[4], row[5]),
+            )
+
+        txn.column_changes.setdefault(h.table_id, []).append(op)
+        txn.change_log.append(f"altered_table:{h.table_id}")
+        self._autocommit()
+
+    def set_partitioned_by(self, name: str, keys: list[tuple[str, str]]) -> None:
+        """keys = [(column_name, transform)] with transform in
+        identity|year|month|day|hour|bucket(N)
+        (reference: ducklake_partition_data.cpp:14-66)."""
+        h = self._handle(name)
+        txn = self.begin()
+
+        def op(con, snap_id, h=h, keys=keys):
+            con.execute(
+                "UPDATE ducklake_partition_info SET end_snapshot=? "
+                "WHERE table_id=? AND end_snapshot IS NULL",
+                (snap_id, h.table_id),
+            )
+            pid = con.execute(
+                "SELECT COALESCE(MAX(partition_id), -1) + 1 FROM ducklake_partition_info"
+            ).fetchone()[0]
+            con.execute(
+                "INSERT INTO ducklake_partition_info VALUES (?, ?, ?, NULL)",
+                (pid, h.table_id, snap_id),
+            )
+            colmap = {c[1]: c[0] for c in h.columns}
+            for i, (cname, transform) in enumerate(keys):
+                con.execute(
+                    "INSERT INTO ducklake_partition_column VALUES (?, ?, ?, ?, ?)",
+                    (pid, h.table_id, i, colmap[cname], transform),
+                )
+
+        txn.column_changes.setdefault(h.table_id, []).append(op)
+        txn.change_log.append(f"altered_table:{h.table_id}")
+        self._autocommit()
+
+    def create_view(self, name: str, sql: str, dialect: str = "spark") -> None:
+        schema_name, vname = self._split_name(name)
+        txn = self.begin()
+        txn.created_views.append((schema_name, vname, dialect, sql))
+        txn.change_log.append(f'created_view:"{schema_name}"."{vname}"')
+        self._autocommit()
+
+    def view_sql(self, name: str) -> str:
+        schema_name, vname = self._split_name(name)
+        rows = self.meta.query(
+            "SELECT v.sql FROM ducklake_view v JOIN ducklake_schema s "
+            "ON v.schema_id = s.schema_id "
+            "WHERE s.schema_name=? AND v.view_name=? AND v.end_snapshot IS NULL",
+            (schema_name, vname),
+        )
+        if not rows:
+            raise DuckLakeError(f"no view {name!r}")
+        return rows[0][0]
+
+    def view(self, name: str) -> DataFrame:
+        """Bind a stored view: register current lake tables and run its SQL."""
+        sql = self.view_sql(name)
+        for t in self._table_names():
+            self.table(t).createOrReplaceTempView(t.split(".")[-1])
+        return self.spark.sql(sql)
+
+    # -- insert ------------------------------------------------------------
+
+    def insert(self, name: str, df: DataFrame) -> None:
+        """INSERT INTO: write parquet (executors) then commit metadata
+        (driver) — the two-phase shape of reference ducklake_insert.cpp
+        :802-853 with Spark's job success as the data barrier."""
+        h = self._handle(name)
+        schema = self._spark_schema(h)
+        df = self._conform(df, schema, h)
+
+        inline_limit = int(self.meta.option("data_inlining_row_limit", "0") or 0)
+        if inline_limit > 0:
+            head = df.limit(inline_limit + 1).collect()
+            if len(head) <= inline_limit:
+                self._insert_inlined(h, schema, head)
+                return
+
+        part_keys = self._partition_spec(h)
+        sort_spec = self._sort_spec(h)
+        files = self._write_parquet(h, df, schema, part_keys, sort_spec)
+        txn = self.begin()
+        txn.new_data_files.setdefault(str(h.table_id), []).extend(files)
+        txn.change_log.append(f"inserted_into_table:{h.table_id}")
+        self._autocommit()
+
+    def create_table_as(self, name: str, df: DataFrame) -> None:
+        """CTAS = create + insert in one snapshot (ducklake_insert.cpp:855-885)."""
+        with self.transaction():
+            self.create_table(name, df.schema)
+            schema_name, table_name = self._split_name(name)
+            td = next(
+                t for t in self._txn.created_tables
+                if t.schema_name == schema_name and t.table_name == table_name
+            )
+            # files must be written before commit; column ids are assigned at
+            # commit, so pre-assign them here from a reservation
+            self._preassign_column_ids(td)
+            h = TableHandle(
+                table_id=-1, table_uuid=td.table_uuid, schema_id=-1,
+                schema_name=schema_name, table_name=table_name, path=td.path,
+                columns=[(c.column_id, c.name, c.type, c.nulls_allowed) for c in td.columns],
+            )
+            schema = self._spark_schema(h)
+            files = self._write_parquet(h, self._conform(df, schema, h), schema, [], [])
+            self._txn.new_data_files.setdefault(f"{schema_name}.{table_name}", []).extend(files)
+            self._txn.change_log.append(f'inserted_into_table:-1')
+
+    def _preassign_column_ids(self, td: TableDef) -> None:
+        snap = self.meta.latest_snapshot()
+        base = snap.next_catalog_id + 1000  # reserved band; commit honors preset ids
+        for i, c in enumerate(td.columns):
+            if c.column_id is None:
+                c.column_id = base + i
+
+    def _conform(self, df: DataFrame, schema: T.StructType, h: TableHandle) -> DataFrame:
+        names = [f.name for f in schema.fields]
+        missing = [n for n in names if n not in df.columns]
+        for n in missing:
+            df = df.withColumn(n, F.lit(None))
+        df = df.select([F.col(n).cast(f.dataType).alias(n) for n, f in zip(names, schema.fields)])
+        # NOT NULL enforcement at write time (reference supports NOT NULL —
+        # ducklake_table_entry.cpp:661-730; PRIMARY KEY/CHECK are rejected)
+        for _cid, cname, _ctype, nulls_allowed in h.columns:
+            if not nulls_allowed:
+                df = df.withColumn(
+                    cname,
+                    F.when(
+                        F.col(cname).isNull(),
+                        F.raise_error(f"NOT NULL constraint failed: column {cname}"),
+                    ).otherwise(F.col(cname)),
+                )
+        return df
+
+    def _write_parquet(self, h: TableHandle, df: DataFrame, schema: T.StructType,
+                       part_keys, sort_spec) -> list[DataFileInfo]:
+        import pyarrow.parquet as pq
+
+        table_dir = os.path.join(self.data_path, h.path)
+        tmp = os.path.join(table_dir, f".tmp_{uuid.uuid4().hex}")
+        os.makedirs(table_dir, exist_ok=True)
+
+        # attach parquet field ids (column metadata survives into the file
+        # footer with spark.sql.parquet.fieldId.write.enabled) so files are
+        # schema-mapped by id, not name — same idea as Iceberg (SURVEY §1.2)
+        id_by_name = {cname: cid for cid, cname, _t, _na in h.columns}
+        id_by_name[ROWID_COL] = ROWID_FIELD_ID
+        id_by_name[SNAPID_COL] = SNAPID_FIELD_ID
+        out = df.select(
+            [
+                F.col(f_.name).alias(
+                    f_.name, metadata={"parquet.field.id": id_by_name[f_.name]}
+                )
+                if f_.name in id_by_name
+                else F.col(f_.name)
+                for f_ in df.schema.fields
+            ]
+        )
+
+        writer = out
+        part_cols = []
+        if part_keys:
+            for i, (cname, transform) in enumerate(part_keys):
+                writer = writer.withColumn(f"__part_{i}", _transform_col(cname, transform))
+                part_cols.append(f"__part_{i}")
+        if sort_spec:
+            writer = writer.sortWithinPartitions(
+                *[F.col(c).asc() if d == "asc" else F.col(c).desc() for c, d in sort_spec]
+            )
+        target_file_size = int(self.meta.option("target_file_size", "0") or 0)
+        w = writer.write.mode("overwrite")
+        if target_file_size:
+            w = w.option("maxRecordsPerFile", max(10_000, target_file_size // 200))
+        if part_cols:
+            w = w.partitionBy(*part_cols)
+        w.parquet(tmp)
+
+        infos: list[DataFileInfo] = []
+        colmap = {c[1]: c[0] for c in h.columns}
+        for path in sorted(globmod.glob(os.path.join(tmp, "**", "*.parquet"), recursive=True)):
+            rel_parts = os.path.relpath(path, tmp).split(os.sep)
+            part_values: list[tuple[int, str]] = []
+            for seg in rel_parts[:-1]:
+                k, _, v = seg.partition("=")
+                idx = int(k.split("_")[-1])
+                part_values.append((idx, v))
+            final = os.path.join(table_dir, f"ducklake-{uuid.uuid4().hex}.parquet")
+            shutil.move(path, final)
+            pf = pq.ParquetFile(final)
+            stats = _harvest_stats(pf, colmap)
+            infos.append(
+                DataFileInfo(
+                    path=os.path.relpath(final, self.data_path),
+                    record_count=pf.metadata.num_rows,
+                    file_size_bytes=os.path.getsize(final),
+                    footer_size=0,
+                    partition_values=part_values,
+                    column_stats=stats,
+                )
+            )
+        shutil.rmtree(tmp, ignore_errors=True)
+        return infos
+
+    def _insert_inlined(self, h: TableHandle, schema: T.StructType, rows) -> None:
+        """Data inlining: small inserts live in the catalog DB
+        (reference: ducklake_inline_data.cpp:15-120, SURVEY §1.5)."""
+        txn = self.begin()
+        sv = self.meta.latest_snapshot().schema_version
+        tname = f"ducklake_inlined_data_{h.table_id}_{sv}"
+        con = self.meta.con
+        exists = con.execute(
+            "SELECT 1 FROM ducklake_inlined_data_tables WHERE table_id=? AND table_name=?",
+            (h.table_id, tname),
+        ).fetchone()
+        if not exists:
+            col_ddl = ", ".join(f'"{c[1]}"' for c in h.columns)
+            con.execute(
+                f"CREATE TABLE IF NOT EXISTS {tname} "
+                f"(row_id BIGINT, begin_snapshot BIGINT, end_snapshot BIGINT, {col_ddl})"
+            )
+            con.execute(
+                "INSERT INTO ducklake_inlined_data_tables VALUES (?, ?, ?)",
+                (h.table_id, tname, sv),
+            )
+        stats = self.meta.query(
+            "SELECT next_row_id FROM ducklake_table_stats WHERE table_id=?",
+            (h.table_id,),
+        )
+        next_row_id = stats[0][0] if stats else 0
+        pending = next_snap = self.meta.latest_snapshot().snapshot_id + 1
+        packed = []
+        for i, r in enumerate(rows):
+            packed.append((next_row_id + i, pending, None) + tuple(_to_sql_value(v) for v in r))
+        txn.inlined_inserts.append((h.table_id, tname, packed))
+        con.execute(
+            "UPDATE ducklake_table_stats SET next_row_id = next_row_id + ?, "
+            "record_count = record_count + ? WHERE table_id = ?",
+            (len(rows), len(rows), h.table_id),
+        )
+        txn.change_log.append(f"inserted_into_table:{h.table_id}")
+        self._autocommit()
+
+    # -- scan --------------------------------------------------------------
+
+    def table(self, name: str, *, at_version: int | None = None,
+              at_timestamp: str | None = None, where: str | None = None,
+              with_virtual: bool = False) -> DataFrame:
+        """Read a lake table as a DataFrame.
+
+        ``where`` additionally drives file-level zone-map pruning (the
+        predicate itself is still applied by Catalyst). ``with_virtual``
+        adds the reference's virtual columns (filename,
+        file_row_number, rowid, snapshot_id —
+        ducklake_table_entry.cpp:398-410).
+        """
+        h = self._handle(name, at_version=at_version, at_timestamp=at_timestamp)
+        snap = self._resolve_snapshot(at_version, at_timestamp)
+        files = self._visible_files(h, snap, where)
+        schema = self._spark_schema(h)
+        deletes = self._delete_entries(h, snap, [f["data_file_id"] for f in files])
+        df = self._read_files(h, snap, files, schema, deletes, with_virtual)
+        inlined = self._read_inlined(h, snap, schema, with_virtual)
+        if inlined is not None:
+            df = df.unionByName(inlined) if df is not None else inlined
+        if df is None:
+            empty = schema if not with_virtual else _with_virtual_schema(schema)
+            df = self.spark.createDataFrame([], empty)
+        if where is not None:
+            df = df.filter(where)
+        return df
+
+    def sql(self, query: str, *, at_version: int | None = None) -> DataFrame:
+        """Run Spark SQL with every lake table registered as a temp view."""
+        for t in self._table_names():
+            self.table(t, at_version=at_version).createOrReplaceTempView(t.split(".")[-1])
+        return self.spark.sql(query)
+
+    def _visible_files(self, h: TableHandle, snap: Snapshot,
+                       where: str | None) -> list[dict]:
+        sql = (
+            "SELECT data_file_id, path, record_count, row_id_start, partial_max, "
+            "file_size_bytes FROM ducklake_data_file "
+            "WHERE table_id = ? AND begin_snapshot <= ? "
+            "AND (end_snapshot IS NULL OR end_snapshot > ?)"
+        )
+        params: list = [h.table_id, snap.snapshot_id, snap.snapshot_id]
+        pruned_sql, pruned_params = self._pruning_clauses(h, where)
+        rows = self.meta.query(sql + pruned_sql + " ORDER BY data_file_id",
+                               tuple(params + pruned_params))
+        return [
+            dict(zip(
+                ["data_file_id", "path", "record_count", "row_id_start",
+                 "partial_max", "file_size_bytes"], r))
+            for r in rows
+        ]
+
+    def _pruning_clauses(self, h: TableHandle, where: str | None) -> tuple[str, list]:
+        """File pruning from zone maps: compile simple conjuncts of the
+        predicate into NOT-IN subqueries over ducklake_file_column_stats
+        (the reference compiles the same SQL —
+        ducklake_metadata_manager.cpp:1246-1343,1492-1553). Files
+        without stats are always kept (:1522-1533)."""
+        if not where:
+            return "", []
+        colmap = {c[1]: c[0] for c in h.columns}
+        clauses, params = [], []
+        for col, op, val in _parse_conjuncts(where):
+            if col not in colmap:
+                continue
+            if isinstance(val, float) and val != val:  # NaN: never prune (:1294-1343)
+                continue
+            cid = colmap[col]
+            numeric = isinstance(val, (int, float))
+            cast = "CAST(%s AS REAL)" if numeric else "%s"
+            mn, mx = cast % "min_value", cast % "max_value"
+            contradiction = {
+                "=": f"({mn} > ? OR {mx} < ?)",
+                ">": f"{mx} <= ?",
+                ">=": f"{mx} < ?",
+                "<": f"{mn} >= ?",
+                "<=": f"{mn} > ?",
+            }.get(op)
+            if contradiction is None:
+                continue
+            nan_guard = " AND contains_nan = 0" if numeric and op in (">", ">=") else ""
+            clauses.append(
+                " AND data_file_id NOT IN ("
+                "SELECT data_file_id FROM ducklake_file_column_stats "
+                f"WHERE table_id = ? AND column_id = ? AND min_value IS NOT NULL "
+                f"AND max_value IS NOT NULL AND {contradiction}{nan_guard})"
+            )
+            params.extend([h.table_id, cid] + [val] * contradiction.count("?"))
+        return "".join(clauses), params
+
+    def _delete_entries(self, h: TableHandle, snap: Snapshot,
+                        file_ids: list[int]) -> list[tuple[int, str]]:
+        if not file_ids:
+            return []
+        rows = self.meta.query(
+            "SELECT data_file_id, path FROM ducklake_delete_file "
+            "WHERE table_id = ? AND begin_snapshot <= ? "
+            "AND (end_snapshot IS NULL OR end_snapshot > ?)",
+            (h.table_id, snap.snapshot_id, snap.snapshot_id),
+        )
+        keep = set(file_ids)
+        return [(fid, p) for fid, p in rows if fid in keep]
+
+    def _read_files(self, h: TableHandle, snap: Snapshot, files: list[dict],
+                    schema: T.StructType, deletes: list[tuple[int, str]],
+                    with_virtual: bool) -> DataFrame | None:
+        if not files:
+            return None
+        abs_paths = [os.path.join(self.data_path, f["path"]) for f in files]
+        reader_schema = self._reader_schema(h, schema)
+        df = (
+            self.spark.read.schema(reader_schema)
+            .parquet(*abs_paths)
+            .withColumn("__file", F.col("_metadata.file_path"))
+            .withColumn("__pos", F.col("_metadata.row_index"))
+        )
+        # per-file row_id_start / begin-snapshot map (small; broadcast join)
+        file_rows = [
+            (os.path.join(self.data_path, f["path"]), f["row_id_start"],
+             self._file_begin_snapshot(f), f["partial_max"])
+            for f in files
+        ]
+        fmap = self.spark.createDataFrame(
+            file_rows, "____path string, __row_id_start long, __file_snap long, __partial_max long"
+        ).withColumn("____path", F.concat(F.lit("file:"), F.col("____path")))
+        df = df.join(F.broadcast(fmap), df["__file"] == fmap["____path"], "left").drop("____path")
+
+        # positional deletes -> anti join on (file, pos)
+        if deletes:
+            del_paths = [os.path.join(self.data_path, p) for _, p in deletes]
+            ddf = (
+                self.spark.read.schema("file_path string, pos long")
+                .parquet(*del_paths)
+                .withColumnRenamed("file_path", "__dfile")
+                .withColumnRenamed("pos", "__dpos")
+                .distinct()
+            )
+            ddf = ddf.withColumn(
+                "__dfile", F.concat(F.lit("file:" + self.data_path), F.col("__dfile"))
+            )
+            df = df.join(
+                F.broadcast(ddf),
+                (df["__file"] == ddf["__dfile"]) & (df["__pos"] == ddf["__dpos"]),
+                "left_anti",
+            )
+
+        # compaction partial_max: filter rows committed after the target snapshot
+        if SNAPID_COL in df.columns:
+            df = df.filter(
+                (F.col("__partial_max").isNull())
+                | F.col(SNAPID_COL).isNull()
+                | (F.col(SNAPID_COL) <= F.lit(snap.snapshot_id))
+            )
+
+        rowid = (
+            F.col(ROWID_COL)
+            if ROWID_COL in df.columns
+            else F.col("__row_id_start") + F.col("__pos")
+        )
+        if ROWID_COL in df.columns and "__row_id_start" in df.columns:
+            rowid = F.coalesce(F.col(ROWID_COL), F.col("__row_id_start") + F.col("__pos"))
+        snapid = (
+            F.coalesce(F.col(SNAPID_COL), F.col("__file_snap"))
+            if SNAPID_COL in df.columns
+            else F.col("__file_snap")
+        )
+        if with_virtual:
+            df = (
+                df.withColumn("rowid", rowid)
+                .withColumn("snapshot_id", snapid)
+                .withColumn("filename", F.col("__file"))
+                .withColumn("file_row_number", F.col("__pos"))
+            )
+            keep = [f.name for f in schema.fields] + [
+                "rowid", "snapshot_id", "filename", "file_row_number"]
+        else:
+            keep = [f.name for f in schema.fields]
+        return df.select(*keep)
+
+    def _file_begin_snapshot(self, f: dict) -> int:
+        row = self.meta.query(
+            "SELECT begin_snapshot FROM ducklake_data_file WHERE data_file_id=?",
+            (f["data_file_id"],),
+        )
+        return row[0][0]
+
+    def _reader_schema(self, h: TableHandle, schema: T.StructType) -> T.StructType:
+        """Schema used against parquet: table columns (+ embedded rowid /
+        snapshot columns if any file carries them)."""
+        fields = [
+            T.StructField(f.name, f.dataType, True, {"parquet.field.id": cid})
+            for (cid, _n, _t, _na), f in zip(h.columns, schema.fields)
+        ]
+        if self._any_file_has_embedded(h):
+            fields.append(T.StructField(ROWID_COL, T.LongType(), True,
+                                        {"parquet.field.id": ROWID_FIELD_ID}))
+            fields.append(T.StructField(SNAPID_COL, T.LongType(), True,
+                                        {"parquet.field.id": SNAPID_FIELD_ID}))
+        return T.StructType(fields)
+
+    def _any_file_has_embedded(self, h: TableHandle) -> bool:
+        rows = self.meta.query(
+            "SELECT 1 FROM ducklake_data_file WHERE table_id=? AND row_id_start IS NULL "
+            "AND end_snapshot IS NULL LIMIT 1",
+            (h.table_id,),
+        )
+        return bool(rows)
+
+    def _read_inlined(self, h: TableHandle, snap: Snapshot, schema: T.StructType,
+                      with_virtual: bool) -> DataFrame | None:
+        tabs = self.meta.query(
+            "SELECT table_name FROM ducklake_inlined_data_tables WHERE table_id=?",
+            (h.table_id,),
+        )
+        all_rows = []
+        for (tname,) in tabs:
+            rows = self.meta.query(
+                f"SELECT * FROM {tname} WHERE begin_snapshot <= ? "
+                "AND (end_snapshot IS NULL OR end_snapshot > ?)",
+                (snap.snapshot_id, snap.snapshot_id),
+            )
+            all_rows.extend(rows)
+        if not all_rows:
+            return None
+        data = [
+            tuple(_from_sql_value(v, f.dataType) for v, f in zip(r[3:], schema.fields))
+            + ((r[0], r[1], "<inlined>", r[0]) if with_virtual else ())
+            for r in all_rows
+        ]
+        out_schema = schema if not with_virtual else _with_virtual_schema(schema)
+        return self.spark.createDataFrame(data, out_schema)
+
+    # -- catalog lookups ---------------------------------------------------
+
+    def _split_name(self, name: str) -> tuple[str, str]:
+        parts = name.split(".")
+        return (parts[0], parts[1]) if len(parts) == 2 else ("main", parts[0])
+
+    def _find_table(self, schema_name: str, table_name: str,
+                    snap: Snapshot | None = None) -> tuple | None:
+        if snap is None:
+            rows = self.meta.query(
+                "SELECT t.table_id, t.table_uuid, t.schema_id, t.path "
+                "FROM ducklake_table t JOIN ducklake_schema s ON t.schema_id=s.schema_id "
+                "WHERE s.schema_name=? AND t.table_name=? AND t.end_snapshot IS NULL",
+                (schema_name, table_name),
+            )
+        else:
+            rows = self.meta.query(
+                "SELECT t.table_id, t.table_uuid, t.schema_id, t.path "
+                "FROM ducklake_table t JOIN ducklake_schema s ON t.schema_id=s.schema_id "
+                "WHERE s.schema_name=? AND t.table_name=? AND t.begin_snapshot <= ? "
+                "AND (t.end_snapshot IS NULL OR t.end_snapshot > ?)",
+                (schema_name, table_name, snap.snapshot_id, snap.snapshot_id),
+            )
+        return rows[0] if rows else None
+
+    def _handle(self, name: str, *, at_version: int | None = None,
+                at_timestamp: str | None = None) -> TableHandle:
+        schema_name, table_name = self._split_name(name)
+        snap = self._resolve_snapshot(at_version, at_timestamp)
+        row = self._find_table(schema_name, table_name, snap)
+        if row is None:
+            raise DuckLakeError(f"table {name!r} does not exist")
+        table_id, table_uuid, schema_id, path = row
+        cols = self.meta.query(
+            "SELECT column_id, column_name, column_type, nulls_allowed "
+            "FROM ducklake_column WHERE table_id=? AND begin_snapshot <= ? "
+            "AND (end_snapshot IS NULL OR end_snapshot > ?) AND parent_column IS NULL "
+            "ORDER BY column_order",
+            (table_id, snap.snapshot_id, snap.snapshot_id),
+        )
+        return TableHandle(table_id, table_uuid, schema_id, schema_name,
+                           table_name, path, [tuple(c) for c in cols])
+
+    def _table_names(self) -> list[str]:
+        rows = self.meta.query(
+            "SELECT s.schema_name, t.table_name FROM ducklake_table t "
+            "JOIN ducklake_schema s ON t.schema_id = s.schema_id "
+            "WHERE t.end_snapshot IS NULL"
+        )
+        return [f"{s}.{t}" for s, t in rows]
+
+    def _spark_schema(self, h: TableHandle) -> T.StructType:
+        return T.StructType(
+            [
+                T.StructField(cname, ducklake_to_spark(ctype), True)
+                for _cid, cname, ctype, _na in h.columns
+            ]
+        )
+
+    def _partition_spec(self, h: TableHandle) -> list[tuple[str, str]]:
+        rows = self.meta.query(
+            "SELECT pc.column_id, pc.transform FROM ducklake_partition_info pi "
+            "JOIN ducklake_partition_column pc ON pi.partition_id = pc.partition_id "
+            "AND pi.table_id = pc.table_id "
+            "WHERE pi.table_id = ? AND pi.end_snapshot IS NULL "
+            "ORDER BY pc.partition_key_index",
+            (h.table_id,),
+        )
+        colmap = {c[0]: c[1] for c in h.columns}
+        return [(colmap[cid], transform) for cid, transform in rows]
+
+    def _sort_spec(self, h: TableHandle) -> list[tuple[str, str]]:
+        rows = self.meta.query(
+            "SELECT se.expression, se.sort_direction FROM ducklake_sort_info si "
+            "JOIN ducklake_sort_expression se ON si.sort_id = se.sort_id "
+            "AND si.table_id = se.table_id "
+            "WHERE si.table_id = ? AND si.end_snapshot IS NULL "
+            "ORDER BY se.sort_key_index",
+            (h.table_id,),
+        )
+        return [(e, (d or "asc").lower()) for e, d in rows]
+
+
+ROWID_FIELD_ID = 2147483530
+SNAPID_FIELD_ID = 2147483531
+
+
+def _with_virtual_schema(schema: T.StructType) -> T.StructType:
+    return T.StructType(
+        list(schema.fields)
+        + [
+            T.StructField("rowid", T.LongType()),
+            T.StructField("snapshot_id", T.LongType()),
+            T.StructField("filename", T.StringType()),
+            T.StructField("file_row_number", T.LongType()),
+        ]
+    )
+
+
+def _transform_col(cname: str, transform: str):
+    """Partition transforms (reference: ducklake_partition_data.cpp:14-66)."""
+    t = transform.lower()
+    if t == "identity":
+        return F.col(cname)
+    if t in ("year", "month", "day", "hour"):
+        return getattr(F, t)(F.col(cname))
+    m = re.fullmatch(r"bucket\((\d+)\)", t)
+    if m:
+        from ducklake_spark.functions.murmur3 import murmur3_bucket_col
+
+        return murmur3_bucket_col(F.col(cname), int(m.group(1)))
+    raise DuckLakeError(f"unknown partition transform {transform!r}")
+
+
+def _parse_conjuncts(where: str) -> list[tuple[str, str, object]]:
+    """Extract simple ``col <op> literal`` conjuncts for file pruning."""
+    out = []
+    for part in re.split(r"(?i)\s+AND\s+", where):
+        m = re.fullmatch(
+            r"\s*(\w+)\s*(=|==|>=|<=|>|<)\s*('(?:[^']*)'|-?\d+(?:\.\d+)?)\s*",
+            part,
+        )
+        if not m:
+            continue
+        col, op, lit = m.group(1), m.group(2), m.group(3)
+        if op == "==":
+            op = "="
+        val: object
+        if lit.startswith("'"):
+            val = lit[1:-1]
+        elif "." in lit:
+            val = float(lit)
+        else:
+            val = int(lit)
+        out.append((col, op, val))
+    return out
+
+
+def _harvest_stats(pf, colmap: dict[str, int]) -> list[ColumnStatsRow]:
+    """Per-file zone maps from the parquet footer (SURVEY §1.4: the
+    reference harvests these from the writer; we read them back with
+    pyarrow on the driver)."""
+    md = pf.metadata
+    agg: dict[str, ColumnStatsRow] = {}
+    for rg in range(md.num_row_groups):
+        g = md.row_group(rg)
+        for ci in range(g.num_columns):
+            col = g.column(ci)
+            name = col.path_in_schema.split(".")[0]
+            if name not in colmap:
+                continue
+            row = agg.setdefault(name, ColumnStatsRow(column_id=colmap[name]))
+            row.column_size_bytes += col.total_compressed_size
+            s = col.statistics
+            if s is None:
+                continue
+            row.value_count += s.num_values or 0
+            row.null_count += s.null_count or 0
+            if s.has_min_max:
+                mn, mx = _stat_str(s.min), _stat_str(s.max)
+                if isinstance(s.min, float) and (s.min != s.min or s.max != s.max):
+                    row.contains_nan = True
+                else:
+                    row.min_value = mn if row.min_value is None else _min2(row.min_value, mn, s.min)
+                    row.max_value = mx if row.max_value is None else _max2(row.max_value, mx, s.max)
+    return list(agg.values())
+
+
+def _stat_str(v) -> str:
+    import datetime
+
+    if isinstance(v, bytes):
+        try:
+            return v.decode("utf-8", "replace")
+        except Exception:
+            return v.hex()
+    if isinstance(v, (datetime.datetime, datetime.date)):
+        return v.isoformat(sep=" ") if isinstance(v, datetime.datetime) else v.isoformat()
+    return str(v)
+
+
+def _min2(cur: str, new: str, raw) -> str:
+    if isinstance(raw, (int, float)):
+        return cur if float(cur) <= float(new) else new
+    return min(cur, new)
+
+
+def _max2(cur: str, new: str, raw) -> str:
+    if isinstance(raw, (int, float)):
+        return cur if float(cur) >= float(new) else new
+    return max(cur, new)
+
+
+def _to_sql_value(v):
+    import datetime
+
+    if isinstance(v, (datetime.datetime, datetime.date)):
+        return v.isoformat(sep=" ") if isinstance(v, datetime.datetime) else v.isoformat()
+    if isinstance(v, bytes):
+        return v
+    return v
+
+
+def _from_sql_value(v, dt: T.DataType):
+    import datetime
+    import decimal
+
+    if v is None:
+        return None
+    if isinstance(dt, (T.TimestampType, T.TimestampNTZType)) and isinstance(v, str):
+        return datetime.datetime.fromisoformat(v)
+    if isinstance(dt, T.DateType) and isinstance(v, str):
+        return datetime.date.fromisoformat(v)
+    if isinstance(dt, T.DecimalType) and not isinstance(v, decimal.Decimal):
+        return decimal.Decimal(str(v))
+    if isinstance(dt, (T.DoubleType, T.FloatType)):
+        return float(v)
+    return v
+
+
+# Installing DML/maintenance/CDC methods (modules monkeypatch DuckLake on
+# import; the bottom-of-module import avoids a circular-import problem).
+from ducklake_spark import cdc as _cdc  # noqa: E402,F401
+from ducklake_spark import dml as _dml  # noqa: E402,F401
+from ducklake_spark import maintenance as _maintenance  # noqa: E402,F401
+from ducklake_spark import table_functions as _table_functions  # noqa: E402,F401

@@ -1,0 +1,372 @@
+"""Maintenance jobs: compaction, rewrite, snapshot expiry, file cleanup,
+inlined-data flush, checkpoint orchestration.
+
+Reference: §2.2/§3.3 of SURVEY —
+- merge_adjacent_files groups candidate files by (partition values,
+  schema compatibility), skips files with deletes, greedily packs
+  adjacent files toward target_file_size, rewrites each group
+  preserving row ids and embedding the snapshot id column so time
+  travel still works over merged files
+  (ducklake_compaction_functions.cpp:284-414, operator :80-175).
+- rewrite_data_files rewrites files whose deleted fraction >=
+  delete_threshold, dropping dead rows (:778-830).
+- expire_snapshots / cleanup_old_files / delete_orphaned_files
+  (ducklake_expire_snapshots.cpp:25-105, ducklake_cleanup_files.cpp:66-177).
+- CHECKPOINT runs all six in the reference's fixed order
+  (ducklake_checkpoint.cpp:14-35).
+"""
+
+from __future__ import annotations
+
+import os
+import uuid
+
+from pyspark.sql import functions as F
+
+from ducklake_spark.lake import ROWID_COL, SNAPID_COL, DuckLake
+from ducklake_spark.transaction import DataFileInfo
+
+DEFAULT_TARGET_FILE_SIZE = 512 * 1024 * 1024
+
+
+def merge_adjacent_files(lake: DuckLake, *, target_file_size: int | None = None,
+                         table: str | None = None) -> int:
+    """Compact small adjacent files; returns number of groups rewritten."""
+    if target_file_size is None:
+        target_file_size = int(
+            lake.meta.option("target_file_size", str(DEFAULT_TARGET_FILE_SIZE))
+        )
+    tables = [table] if table else lake._table_names()
+    n_groups = 0
+    for tname in tables:
+        h = lake._handle(tname)
+        snap = lake.meta.latest_snapshot()
+        files = lake._visible_files(h, snap, None)
+        with_deletes = {
+            fid
+            for (fid,) in lake.meta.query(
+                "SELECT DISTINCT data_file_id FROM ducklake_delete_file "
+                "WHERE table_id=? AND end_snapshot IS NULL",
+                (h.table_id,),
+            )
+        }
+        part_vals = {
+            fid: tuple(
+                v
+                for _, v in sorted(
+                    lake.meta.query(
+                        "SELECT partition_key_index, partition_value "
+                        "FROM ducklake_file_partition_value WHERE data_file_id=?",
+                        (fid,),
+                    )
+                )
+            )
+            for fid in [f["data_file_id"] for f in files]
+        }
+        # group by partition values; keep file order (adjacency)
+        groups: dict[tuple, list[dict]] = {}
+        for f in files:
+            if f["data_file_id"] in with_deletes:
+                continue
+            groups.setdefault(part_vals[f["data_file_id"]], []).append(f)
+        for pv, members in groups.items():
+            # greedy adjacent packing toward target size
+            # (ducklake_compaction_functions.cpp:367-414)
+            batch: list[dict] = []
+            size = 0
+            packs = []
+            for f in members:
+                if size + f["file_size_bytes"] > target_file_size and len(batch) > 1:
+                    packs.append(batch)
+                    batch, size = [], 0
+                batch.append(f)
+                size += f["file_size_bytes"]
+            if len(batch) > 1:
+                packs.append(batch)
+            for pack in packs:
+                _rewrite_pack(lake, h, pack, pv)
+                n_groups += 1
+    return n_groups
+
+
+def _rewrite_pack(lake: DuckLake, h, pack: list[dict], part_vals: tuple) -> None:
+    schema = lake._spark_schema(h)
+    snapmap = {
+        f["data_file_id"]: lake._file_begin_snapshot(f) for f in pack
+    }
+    frames = []
+    for f in pack:
+        path = os.path.join(lake.data_path, f["path"])
+        df = lake.spark.read.schema(lake._reader_schema(h, schema)).parquet(path)
+        rowid = (
+            F.lit(f["row_id_start"]) + F.col("_metadata.row_index")
+            if f["row_id_start"] is not None
+            else F.col(ROWID_COL)
+        )
+        snapid = (
+            F.coalesce(F.col(SNAPID_COL), F.lit(snapmap[f["data_file_id"]]))
+            if SNAPID_COL in df.columns
+            else F.lit(snapmap[f["data_file_id"]])
+        )
+        frames.append(
+            df.withColumn(ROWID_COL, rowid).withColumn(SNAPID_COL, snapid).select(
+                *[x.name for x in schema.fields], ROWID_COL, SNAPID_COL
+            )
+        )
+    merged = frames[0]
+    for fr in frames[1:]:
+        merged = merged.unionByName(fr)
+    merged = merged.orderBy(ROWID_COL).coalesce(1)
+
+    files = lake._write_parquet(h, merged, schema, [], [])
+    begin = min(snapmap.values())
+    pmax = max(snapmap.values())
+    txn = lake.begin()
+    for fi in files:
+        fi.allocate = False
+        fi.row_id_start = None
+        fi.partial_max = pmax if len(set(snapmap.values())) > 1 else None
+        fi.begin_snapshot_override = begin
+        fi.partition_values = [(i, v) for i, v in enumerate(part_vals)]
+        # compacted rows are not *new* rows: don't bump table stats
+        fi.record_count_for_stats = 0
+    # compensate stats: _try_commit adds record_count for allocate=False files
+    txn.stats_delta.setdefault(h.table_id, {}).setdefault("records", 0)
+    txn.stats_delta[h.table_id]["records"] -= sum(f.record_count for f in files)
+    txn.new_data_files.setdefault(str(h.table_id), []).extend(files)
+    for f in pack:
+        txn.purged_data_files.setdefault(h.table_id, []).append(f["data_file_id"])
+    txn.change_log.append(f"compacted_table:{h.table_id}")
+    lake._autocommit()
+
+
+def rewrite_data_files(lake: DuckLake, *, delete_threshold: float | None = None,
+                       table: str | None = None) -> int:
+    """Rewrite files whose deleted fraction >= threshold; returns count."""
+    if delete_threshold is None:
+        delete_threshold = float(lake.meta.option("rewrite_delete_threshold", "0.95"))
+    tables = [table] if table else lake._table_names()
+    n = 0
+    for tname in tables:
+        h = lake._handle(tname)
+        rows = lake.meta.query(
+            "SELECT d.data_file_id, d.path, d.record_count, d.row_id_start, "
+            "del.delete_count, del.path "
+            "FROM ducklake_data_file d JOIN ducklake_delete_file del "
+            "ON del.data_file_id = d.data_file_id AND del.end_snapshot IS NULL "
+            "WHERE d.table_id=? AND d.end_snapshot IS NULL",
+            (h.table_id,),
+        )
+        schema = lake._spark_schema(h)
+        for fid, path, rc, rid_start, del_cnt, del_path in rows:
+            if rc == 0 or del_cnt / rc < delete_threshold:
+                continue
+            df = (
+                lake.spark.read.schema(lake._reader_schema(h, schema))
+                .parquet(os.path.join(lake.data_path, path))
+                .withColumn("__pos", F.col("_metadata.row_index"))
+            )
+            dels = (
+                lake.spark.read.schema("file_path string, pos long")
+                .parquet(os.path.join(lake.data_path, del_path))
+                .select(F.col("pos").alias("__pos"))
+            )
+            live = df.join(F.broadcast(dels), "__pos", "left_anti")
+            rowid = (
+                F.lit(rid_start) + F.col("__pos")
+                if rid_start is not None
+                else F.col(ROWID_COL)
+            )
+            live = live.withColumn(ROWID_COL, rowid).select(
+                *[x.name for x in schema.fields], ROWID_COL
+            ).orderBy(ROWID_COL).coalesce(1)
+            files = lake._write_parquet(h, live, schema, [], [])
+            txn = lake.begin()
+            for fi in files:
+                # copy-on-write: new file begins at the rewrite snapshot; the
+                # old file keeps serving earlier snapshots (incl. rows that
+                # were live before the deletes being collected here)
+                fi.allocate = False
+                fi.row_id_start = None
+            txn.stats_delta.setdefault(h.table_id, {}).setdefault("records", 0)
+            txn.stats_delta[h.table_id]["records"] -= sum(f.record_count for f in files)
+            txn.new_data_files.setdefault(str(h.table_id), []).extend(files)
+            txn.removed_data_files.setdefault(h.table_id, []).append(fid)
+            txn.change_log.append(f"compacted_table:{h.table_id}")
+            lake._autocommit()
+            n += 1
+    return n
+
+
+def expire_snapshots(lake: DuckLake, *, older_than: str | None = None,
+                     versions: list[int] | None = None,
+                     dry_run: bool = False) -> list[int]:
+    """Expire old snapshots (never the latest —
+    ducklake_expire_snapshots.cpp:25-105). Returns expired ids."""
+    latest = lake.meta.latest_snapshot().snapshot_id
+    if versions is not None:
+        victims = [v for v in versions if v != latest]
+    elif older_than is not None:
+        victims = [
+            sid
+            for (sid,) in lake.meta.query(
+                "SELECT snapshot_id FROM ducklake_snapshot "
+                "WHERE snapshot_time < ? AND snapshot_id <> ?",
+                (older_than, latest),
+            )
+        ]
+    else:
+        raise ValueError("need older_than= or versions=")
+    if dry_run or not victims:
+        return victims
+    con = lake.meta.con
+    con.execute("BEGIN IMMEDIATE")
+    try:
+        qs = ",".join("?" * len(victims))
+        con.execute(f"DELETE FROM ducklake_snapshot WHERE snapshot_id IN ({qs})", victims)
+        con.execute(
+            f"DELETE FROM ducklake_snapshot_changes WHERE snapshot_id IN ({qs})", victims
+        )
+        # files whose lifetime no longer intersects any live snapshot
+        live = [s for (s,) in con.execute("SELECT snapshot_id FROM ducklake_snapshot")]
+        for table in ("ducklake_data_file", "ducklake_delete_file"):
+            rows = con.execute(
+                f"SELECT rowid, begin_snapshot, end_snapshot, path FROM {table} "
+                "WHERE end_snapshot IS NOT NULL"
+            ).fetchall()
+            for rid, b, e, path in rows:
+                if not any(b <= s < e for s in live):
+                    con.execute(f"DELETE FROM {table} WHERE rowid=?", (rid,))
+                    con.execute(
+                        "INSERT INTO ducklake_files_scheduled_for_deletion "
+                        "VALUES (NULL, ?, 1, datetime('now'))",
+                        (path,),
+                    )
+        con.execute("COMMIT")
+    except BaseException:
+        con.execute("ROLLBACK")
+        raise
+    return victims
+
+
+def cleanup_old_files(lake: DuckLake, *, older_than: str | None = None,
+                      cleanup_all: bool = False, dry_run: bool = False) -> list[str]:
+    """Physically remove tombstoned files (ducklake_cleanup_files.cpp:66-177)."""
+    if not cleanup_all and older_than is None:
+        raise ValueError("need older_than= or cleanup_all=True")
+    where, params = "", ()
+    if older_than is not None and not cleanup_all:
+        where, params = " WHERE schedule_start < ?", (older_than,)
+    rows = lake.meta.query(
+        "SELECT rowid, path FROM ducklake_files_scheduled_for_deletion" + where, params
+    )
+    out = []
+    for rid, path in rows:
+        abs_path = os.path.join(lake.data_path, path)
+        out.append(path)
+        if not dry_run:
+            if os.path.exists(abs_path):
+                os.remove(abs_path)
+            lake.meta.con.execute(
+                "DELETE FROM ducklake_files_scheduled_for_deletion WHERE rowid=?", (rid,)
+            )
+    return out
+
+
+def delete_orphaned_files(lake: DuckLake, *, dry_run: bool = False) -> list[str]:
+    """Remove data files on disk that no metadata row references."""
+    known = {
+        p
+        for (p,) in lake.meta.query("SELECT path FROM ducklake_data_file")
+    } | {
+        p for (p,) in lake.meta.query("SELECT path FROM ducklake_delete_file")
+    } | {
+        p for (p,) in lake.meta.query(
+            "SELECT path FROM ducklake_files_scheduled_for_deletion")
+    }
+    orphans = []
+    for root, _dirs, fnames in os.walk(lake.data_path):
+        for fn in fnames:
+            if not fn.endswith(".parquet"):
+                continue
+            rel = os.path.relpath(os.path.join(root, fn), lake.data_path)
+            if rel not in known:
+                orphans.append(rel)
+                if not dry_run:
+                    os.remove(os.path.join(root, fn))
+    return orphans
+
+
+def flush_inlined_data(lake: DuckLake, *, table: str | None = None) -> int:
+    """Move inlined rows to parquet, preserving row ids
+    (ducklake_flush_inlined_data.cpp; honors sort spec :355-356)."""
+    tables = [table] if table else lake._table_names()
+    n_flushed = 0
+    for tname in tables:
+        h = lake._handle(tname)
+        tabs = lake.meta.query(
+            "SELECT table_name FROM ducklake_inlined_data_tables WHERE table_id=?",
+            (h.table_id,),
+        )
+        schema = lake._spark_schema(h)
+        for (itname,) in tabs:
+            rows = lake.meta.query(
+                f"SELECT * FROM {itname} WHERE end_snapshot IS NULL"
+            )
+            if not rows:
+                continue
+            from ducklake_spark.lake import _from_sql_value
+            from pyspark.sql import types as T
+
+            sch = T.StructType(list(schema.fields) + [T.StructField(ROWID_COL, T.LongType())])
+            data = [
+                tuple(_from_sql_value(v, f.dataType) for v, f in zip(r[3:], schema.fields))
+                + (r[0],)
+                for r in rows
+            ]
+            df = lake.spark.createDataFrame(data, sch).coalesce(1)
+            files = lake._write_parquet(h, df, schema, [], lake._sort_spec(h))
+            txn = lake.begin()
+            for fi in files:
+                fi.allocate = False
+                fi.row_id_start = None
+            txn.stats_delta.setdefault(h.table_id, {}).setdefault("records", 0)
+            txn.stats_delta[h.table_id]["records"] -= sum(f.record_count for f in files)
+            txn.new_data_files.setdefault(str(h.table_id), []).extend(files)
+            txn.change_log.append(f"flushed_inlined_data:{h.table_id}")
+            # end-snapshot (not delete) the flushed rows: historical scans
+            # still read them, while the parquet file serves from here on
+            pending = lake.meta.latest_snapshot().snapshot_id + 1
+            lake.meta.con.execute(
+                f"UPDATE {itname} SET end_snapshot=? WHERE end_snapshot IS NULL",
+                (pending,),
+            )
+            lake._autocommit()
+            n_flushed += len(rows)
+    return n_flushed
+
+
+def checkpoint(lake: DuckLake) -> None:
+    """Fixed maintenance order per reference ducklake_checkpoint.cpp:14-35."""
+    flush_inlined_data(lake)
+    # expire/cleanup need an age cutoff; checkpoint uses configured defaults
+    older = lake.meta.option("expire_older_than", None)
+    if older:
+        expire_snapshots(lake, older_than=older)
+    merge_adjacent_files(lake)
+    rewrite_data_files(lake)
+    delete_older = lake.meta.option("delete_older_than", None)
+    if delete_older:
+        cleanup_old_files(lake, older_than=delete_older)
+    delete_orphaned_files(lake)
+
+
+DuckLake.merge_adjacent_files = (
+    lambda self, **kw: merge_adjacent_files(self, **kw)
+)
+DuckLake.rewrite_data_files = lambda self, **kw: rewrite_data_files(self, **kw)
+DuckLake.expire_snapshots = lambda self, **kw: expire_snapshots(self, **kw)
+DuckLake.cleanup_old_files = lambda self, **kw: cleanup_old_files(self, **kw)
+DuckLake.delete_orphaned_files = lambda self, **kw: delete_orphaned_files(self, **kw)
+DuckLake.flush_inlined_data = lambda self, **kw: flush_inlined_data(self, **kw)
+DuckLake.checkpoint = lambda self: checkpoint(self)

@@ -1,0 +1,117 @@
+"""Metadata / maintenance table-function surface (SURVEY §2.6).
+
+Each reference table function becomes a DuckLake method returning a
+small DataFrame (catalog-DB queries only; no cluster work):
+snapshots(), table_info(), list_files(), options(), settings(),
+current/last_committed snapshot (registration list:
+src/ducklake_extension.cpp:53-126).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+
+from ducklake_spark.lake import DuckLake
+
+
+def snapshots(lake: DuckLake) -> DataFrame:
+    """reference: ducklake_snapshots.cpp:39-58"""
+    rows = lake.meta.query(
+        "SELECT s.snapshot_id, s.snapshot_time, s.schema_version, "
+        "COALESCE(c.changes_made, ''), c.author, c.commit_message, c.commit_extra_info "
+        "FROM ducklake_snapshot s LEFT JOIN ducklake_snapshot_changes c "
+        "ON s.snapshot_id = c.snapshot_id ORDER BY s.snapshot_id"
+    )
+    data = []
+    for sid, ts, sv, changes, author, msg, extra in rows:
+        changes_map = {}
+        for entry in (changes or "").split(","):
+            if not entry:
+                continue
+            kind, _, payload = entry.partition(":")
+            changes_map.setdefault(kind, []).append(payload)
+        data.append((sid, str(ts), sv, changes_map, author, msg, extra))
+    return lake.spark.createDataFrame(
+        data,
+        "snapshot_id long, snapshot_time string, schema_version long, "
+        "changes map<string,array<string>>, author string, commit_message string, "
+        "commit_extra_info string",
+    )
+
+
+def table_info(lake: DuckLake) -> DataFrame:
+    """reference: ducklake_table_info.cpp:29-52"""
+    rows = lake.meta.query(
+        """
+        SELECT t.table_name, t.schema_id, t.table_id, t.table_uuid,
+               (SELECT COUNT(*) FROM ducklake_data_file f
+                WHERE f.table_id = t.table_id AND f.end_snapshot IS NULL),
+               (SELECT COALESCE(SUM(f.file_size_bytes), 0) FROM ducklake_data_file f
+                WHERE f.table_id = t.table_id AND f.end_snapshot IS NULL),
+               (SELECT COUNT(*) FROM ducklake_delete_file d
+                WHERE d.table_id = t.table_id AND d.end_snapshot IS NULL),
+               (SELECT COALESCE(SUM(d.file_size_bytes), 0) FROM ducklake_delete_file d
+                WHERE d.table_id = t.table_id AND d.end_snapshot IS NULL)
+        FROM ducklake_table t WHERE t.end_snapshot IS NULL
+        """
+    )
+    return lake.spark.createDataFrame(
+        [tuple(r) for r in rows],
+        "table_name string, schema_id long, table_id long, table_uuid string, "
+        "file_count long, file_size_bytes long, delete_file_count long, "
+        "delete_file_size_bytes long",
+    )
+
+
+def list_files(lake: DuckLake, table: str, *, at_version: int | None = None,
+               at_timestamp: str | None = None) -> DataFrame:
+    """reference: ducklake_list_files.cpp:40-62,108-114"""
+    h = lake._handle(table, at_version=at_version, at_timestamp=at_timestamp)
+    snap = lake._resolve_snapshot(at_version, at_timestamp)
+    rows = lake.meta.query(
+        """
+        SELECT d.path, d.file_size_bytes, d.footer_size,
+               del.path, del.file_size_bytes, del.footer_size
+        FROM ducklake_data_file d
+        LEFT JOIN ducklake_delete_file del ON del.data_file_id = d.data_file_id
+             AND del.begin_snapshot <= ? AND (del.end_snapshot IS NULL OR del.end_snapshot > ?)
+        WHERE d.table_id = ? AND d.begin_snapshot <= ?
+          AND (d.end_snapshot IS NULL OR d.end_snapshot > ?)
+        ORDER BY d.data_file_id
+        """,
+        (snap.snapshot_id, snap.snapshot_id, h.table_id, snap.snapshot_id, snap.snapshot_id),
+    )
+    return lake.spark.createDataFrame(
+        [tuple(r) for r in rows],
+        "data_file string, data_file_size_bytes long, data_file_footer_size long, "
+        "delete_file string, delete_file_size_bytes long, delete_file_footer_size long",
+    )
+
+
+def options(lake: DuckLake) -> DataFrame:
+    """reference: ducklake_options.cpp:71-84"""
+    rows = lake.meta.query(
+        "SELECT key, value, scope, scope_id FROM ducklake_metadata "
+        "WHERE key NOT IN ('version', 'created_by', 'data_path', 'encrypted')"
+    )
+    return lake.spark.createDataFrame(
+        [tuple(r) for r in rows],
+        "option_name string, value string, scope string, scope_entry long",
+    )
+
+
+def settings(lake: DuckLake) -> DataFrame:
+    """reference: ducklake_settings.cpp:12-19"""
+    rows = lake.meta.query(
+        "SELECT key, value FROM ducklake_metadata WHERE scope IS NULL"
+    )
+    return lake.spark.createDataFrame(
+        [tuple(r) for r in rows], "setting string, value string"
+    )
+
+
+DuckLake.snapshots = lambda self: snapshots(self)
+DuckLake.table_info = lambda self: table_info(self)
+DuckLake.list_files = lambda self, table, **kw: list_files(self, table, **kw)
+DuckLake.options = lambda self: options(self)
+DuckLake.settings = lambda self: settings(self)

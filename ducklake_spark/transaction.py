@@ -1,0 +1,592 @@
+"""Transactions: txn-local buffered changes + optimistic commit loop.
+
+Mirrors the reference's protocol (src/storage/ducklake_transaction.cpp
+:769-791,1341-1393,1418-1545): all changes buffer locally; at commit
+we take the next snapshot id, re-check snapshots committed since the
+transaction began against a conflict matrix
+(ducklake_transaction_changes.cpp:36-135 grammar,
+ducklake_transaction_state.cpp:77-214 checks), write all metadata
+rows in one catalog-DB transaction, and retry with backoff on
+conflict (defaults max_retry_count=10, retry_wait_ms=100,
+backoff=1.5 — src/ducklake_extension.cpp:29-35).
+
+Data files are written to storage *before* commit (uniquely named,
+invisible until referenced by metadata) — the metadata transaction is
+the atomic point, exactly like the reference (SURVEY §2.4).
+"""
+
+from __future__ import annotations
+
+import time
+import uuid
+from dataclasses import dataclass, field
+
+from ducklake_spark.catalog.metadata import (
+    ConflictError,
+    MetadataManager,
+    Snapshot,
+    _now_ts,
+)
+
+MAX_RETRY_COUNT = 10
+RETRY_WAIT_MS = 100
+RETRY_BACKOFF = 1.5
+
+
+@dataclass
+class ColumnDef:
+    name: str
+    type: str  # DuckLake type name
+    nulls_allowed: bool = True
+    column_id: int | None = None  # field id; assigned at commit when None
+    parent_column: int | None = None
+    default_value: str | None = None
+    initial_default: str | None = None
+
+
+@dataclass
+class ColumnStatsRow:
+    column_id: int
+    column_size_bytes: int = 0
+    value_count: int = 0
+    null_count: int = 0
+    min_value: str | None = None
+    max_value: str | None = None
+    contains_nan: bool = False
+
+
+@dataclass
+class DataFileInfo:
+    path: str  # relative to table path
+    record_count: int
+    file_size_bytes: int
+    footer_size: int = 0
+    row_id_start: int | None = None  # assigned from next_row_id at commit
+    partition_id: int | None = None
+    partition_values: list[tuple[int, str]] = field(default_factory=list)
+    column_stats: list[ColumnStatsRow] = field(default_factory=list)
+    mapping_id: int | None = None
+    partial_max: int | None = None
+    file_order: int | None = None
+    begin_snapshot_override: int | None = None  # compaction keeps original
+    # False for update/compaction files whose rows carry an embedded
+    # _ducklake_internal_row_id column (row ids preserved, not allocated)
+    allocate: bool = True
+
+
+@dataclass
+class DeleteFileInfo:
+    data_file_id: int
+    path: str
+    delete_count: int
+    file_size_bytes: int
+    footer_size: int = 0
+    format: str = "parquet"
+
+
+@dataclass
+class TableDef:
+    schema_name: str
+    table_name: str
+    columns: list[ColumnDef]
+    path: str  # relative to data_path
+    table_uuid: str = field(default_factory=lambda: str(uuid.uuid4()))
+    table_id: int | None = None
+
+
+class Transaction:
+    """Buffered txn-local state for one commit."""
+
+    def __init__(self, meta: MetadataManager):
+        self.meta = meta
+        self.base: Snapshot = meta.latest_snapshot()
+        # buffered DDL/DML
+        self.created_schemas: list[str] = []
+        self.created_tables: list[TableDef] = []
+        self.dropped_tables: list[int] = []
+        self.renamed_tables: list[tuple[int, str]] = []
+        self.created_views: list[tuple[str, str, str, str]] = []  # schema, name, dialect, sql
+        self.dropped_views: list[int] = []
+        self.new_data_files: dict[str, list[DataFileInfo]] = {}  # key: table key
+        self.new_delete_files: dict[int, list[DeleteFileInfo]] = {}  # table_id ->
+        self.replaced_delete_files: list[int] = []  # delete_file_ids superseded
+        self.removed_data_files: dict[int, list[int]] = {}  # table_id -> data_file_ids
+        # compaction replacements: metadata rows are purged outright (the new
+        # compacted file serves ALL snapshots via partial_max + embedded
+        # snapshot ids) and the physical file is tombstoned immediately
+        self.purged_data_files: dict[int, list[int]] = {}
+        self.compacted_files: dict[int, list[tuple[DataFileInfo, list[int]]]] = {}
+        self.stats_delta: dict[int, dict] = {}  # table_id -> {records, bytes, rows_needed}
+        self.column_changes: dict[int, list] = {}  # table_id -> alter ops
+        self.inlined_inserts: list[tuple[int, str, list[tuple]]] = []
+        self.inlined_clears: list[int] = []  # table_ids whose inlined rows flush
+        self.schema_bump_tables: set[int] = set()
+        self.change_log: list[str] = []
+        self.touched_delete_data_files: set[int] = set()  # for delete/delete conflicts
+        self.commit_message: tuple[str | None, str | None, str | None] = (None, None, None)
+        self.committed_snapshot: int | None = None
+
+    # -- conflict detection ------------------------------------------------
+
+    _TABLE_LEVEL = {
+        "inserted_into_table",
+        "deleted_from_table",
+        "altered_table",
+        "dropped_table",
+        "compacted_table",
+    }
+
+    def _our_table_targets(self, kind: str) -> set[int]:
+        out: set[int] = set()
+        for entry in self.change_log:
+            k, _, payload = entry.partition(":")
+            if k == kind and payload.isdigit():
+                out.add(int(payload))
+        return out
+
+    def _check_conflicts(self, since: list[tuple[int, str]]) -> None:
+        """Cross-check our buffered changes against later snapshots.
+
+        Matrix follows ducklake_transaction_state.cpp:77-214:
+        - create object vs create of the same name -> conflict
+        - insert conflicts with drop/alter of the same table
+        - delete conflicts with delete/drop/alter/compact of same table
+          (file-level: only if the same data file was touched)
+        - alter conflicts with any concurrent change to the table
+        """
+        ours_insert = self._our_table_targets("inserted_into_table")
+        ours_delete = self._our_table_targets("deleted_from_table")
+        ours_alter = self._our_table_targets("altered_table")
+        ours_compact = self._our_table_targets("compacted_table")
+        our_creates = {
+            e.partition(":")[2] for e in self.change_log if e.startswith("created_")
+        }
+        for snap_id, changes in since:
+            for entry in changes.split(","):
+                if not entry:
+                    continue
+                kind, _, payload = entry.partition(":")
+                tid = int(payload) if payload.lstrip("-").isdigit() else None
+                if kind.startswith("created_") and payload in our_creates:
+                    raise ConflictError(
+                        f"snapshot {snap_id} created {payload} concurrently"
+                    )
+                if tid is None:
+                    continue
+                if kind in ("dropped_table", "altered_table"):
+                    if tid in ours_insert | ours_delete | ours_alter | ours_compact:
+                        raise ConflictError(
+                            f"table {tid}: {kind} in snapshot {snap_id} conflicts "
+                            "with this transaction"
+                        )
+                if kind in ("deleted_from_table", "compacted_table"):
+                    if tid in ours_delete | ours_compact:
+                        # file-level refinement: conflicting only if the same
+                        # data files were touched
+                        rows = self.meta.query(
+                            "SELECT data_file_id FROM ducklake_delete_file "
+                            "WHERE begin_snapshot = ? AND table_id = ?",
+                            (snap_id, tid),
+                        ) + self.meta.query(
+                            "SELECT data_file_id FROM ducklake_data_file "
+                            "WHERE end_snapshot = ? AND table_id = ?",
+                            (snap_id, tid),
+                        )
+                        touched = {r[0] for r in rows}
+                        if touched & self.touched_delete_data_files:
+                            raise ConflictError(
+                                f"table {tid}: concurrent delete/compact of the "
+                                f"same data files in snapshot {snap_id}"
+                            )
+                    if tid in ours_alter:
+                        raise ConflictError(
+                            f"table {tid}: {kind} in snapshot {snap_id} conflicts "
+                            "with alter in this transaction"
+                        )
+                if kind == "inserted_into_table" and tid in ours_alter:
+                    raise ConflictError(
+                        f"table {tid}: concurrent insert conflicts with alter"
+                    )
+
+    # -- commit ------------------------------------------------------------
+
+    def has_changes(self) -> bool:
+        return bool(self.change_log)
+
+    def commit(self) -> int:
+        """Run the optimistic commit loop; returns the new snapshot id."""
+        if not self.has_changes():
+            return self.base.snapshot_id
+        wait_ms = RETRY_WAIT_MS
+        for attempt in range(MAX_RETRY_COUNT + 1):
+            try:
+                return self._try_commit()
+            except ConflictError:
+                raise
+            except Exception as exc:  # sqlite busy/locked -> retry
+                if "lock" not in str(exc).lower() or attempt == MAX_RETRY_COUNT:
+                    raise
+                time.sleep(wait_ms / 1000.0)
+                wait_ms *= RETRY_BACKOFF
+        raise RuntimeError("unreachable")
+
+    def _try_commit(self) -> int:
+        con = self.meta.con
+        con.execute("BEGIN IMMEDIATE")
+        try:
+            since = self.meta.snapshots_since(self.base.snapshot_id)
+            if since:
+                self._check_conflicts(since)
+            latest = self.meta.latest_snapshot()
+            snap_id = latest.snapshot_id + 1
+            next_cat = latest.next_catalog_id
+            next_file = latest.next_file_id
+            schema_version = latest.schema_version
+            bump_schema = bool(
+                self.created_schemas
+                or self.created_tables
+                or self.dropped_tables
+                or self.renamed_tables
+                or self.created_views
+                or self.dropped_views
+                or self.column_changes
+                or self.schema_bump_tables
+            )
+            if bump_schema:
+                schema_version += 1
+
+            # --- DDL: schemas
+            for name in self.created_schemas:
+                con.execute(
+                    "INSERT INTO ducklake_schema VALUES (?, ?, ?, NULL, ?, ?, 1)",
+                    (next_cat, str(uuid.uuid4()), snap_id, name, name + "/"),
+                )
+                next_cat += 1
+
+            # --- DDL: tables
+            for td in self.created_tables:
+                sid = self._schema_id(td.schema_name, snap_id)
+                td.table_id = next_cat
+                next_cat += 1
+                con.execute(
+                    "INSERT INTO ducklake_table VALUES (?, ?, ?, NULL, ?, ?, ?, 1)",
+                    (td.table_id, td.table_uuid, snap_id, sid, td.table_name, td.path),
+                )
+                order = 0
+                for c in td.columns:
+                    if c.column_id is None:
+                        c.column_id = next_cat
+                        next_cat += 1
+                    con.execute(
+                        "INSERT INTO ducklake_column VALUES "
+                        "(?, ?, NULL, ?, ?, ?, ?, ?, ?, ?, ?, NULL, NULL)",
+                        (
+                            c.column_id,
+                            snap_id,
+                            td.table_id,
+                            order,
+                            c.name,
+                            c.type,
+                            c.initial_default,
+                            c.default_value,
+                            c.nulls_allowed,
+                            c.parent_column,
+                        ),
+                    )
+                    order += 1
+                con.execute(
+                    "INSERT INTO ducklake_table_stats VALUES (?, 0, 0, 0)",
+                    (td.table_id,),
+                )
+                con.execute(
+                    "INSERT INTO ducklake_schema_versions VALUES (?, ?, ?)",
+                    (snap_id, schema_version, td.table_id),
+                )
+
+            for tid in self.dropped_tables:
+                con.execute(
+                    "UPDATE ducklake_table SET end_snapshot = ? "
+                    "WHERE table_id = ? AND end_snapshot IS NULL",
+                    (snap_id, tid),
+                )
+            for tid, new_name in self.renamed_tables:
+                row = con.execute(
+                    "SELECT table_uuid, schema_id, path, path_is_relative "
+                    "FROM ducklake_table WHERE table_id=? AND end_snapshot IS NULL",
+                    (tid,),
+                ).fetchone()
+                con.execute(
+                    "UPDATE ducklake_table SET end_snapshot=? "
+                    "WHERE table_id=? AND end_snapshot IS NULL",
+                    (snap_id, tid),
+                )
+                con.execute(
+                    "INSERT INTO ducklake_table VALUES (?, ?, ?, NULL, ?, ?, ?, ?)",
+                    (tid, row[0], snap_id, row[1], new_name, row[2], row[3]),
+                )
+
+            # --- DDL: views
+            for schema_name, vname, dialect, sql in self.created_views:
+                sid = self._schema_id(schema_name, snap_id)
+                con.execute(
+                    "INSERT INTO ducklake_view VALUES (?, ?, ?, NULL, ?, ?, ?, ?, NULL)",
+                    (next_cat, str(uuid.uuid4()), snap_id, sid, vname, dialect, sql),
+                )
+                next_cat += 1
+            for vid in self.dropped_views:
+                con.execute(
+                    "UPDATE ducklake_view SET end_snapshot=? "
+                    "WHERE view_id=? AND end_snapshot IS NULL",
+                    (snap_id, vid),
+                )
+
+            # --- column-level alters (list of SQL thunks prepared by lake)
+            for tid, ops in self.column_changes.items():
+                for op in ops:
+                    op(con, snap_id)
+                con.execute(
+                    "INSERT INTO ducklake_schema_versions VALUES (?, ?, ?)",
+                    (snap_id, schema_version, tid),
+                )
+
+            # --- data files
+            for key, files in self.new_data_files.items():
+                tid = self._resolve_table_id(key)
+                stats = con.execute(
+                    "SELECT record_count, next_row_id, file_size_bytes "
+                    "FROM ducklake_table_stats WHERE table_id = ?",
+                    (tid,),
+                ).fetchone() or (0, 0, 0)
+                rec_cnt, next_row_id, fsize = stats
+                for f in files:
+                    fid = next_file
+                    next_file += 1
+                    if f.allocate and f.row_id_start is None:
+                        f.row_id_start = next_row_id
+                        next_row_id += f.record_count
+                        rec_cnt += f.record_count
+                        fsize += f.file_size_bytes
+                    elif not f.allocate:
+                        rec_cnt += f.record_count
+                        fsize += f.file_size_bytes
+                    con.execute(
+                        "INSERT INTO ducklake_data_file VALUES "
+                        "(?, ?, ?, NULL, ?, ?, 1, 'parquet', ?, ?, ?, ?, ?, NULL, ?, ?)",
+                        (
+                            fid,
+                            tid,
+                            f.begin_snapshot_override
+                            if f.begin_snapshot_override is not None
+                            else snap_id,
+                            f.file_order,
+                            f.path,
+                            f.record_count,
+                            f.file_size_bytes,
+                            f.footer_size,
+                            f.row_id_start,
+                            f.partition_id,
+                            f.mapping_id,
+                            f.partial_max,
+                        ),
+                    )
+                    for idx, val in f.partition_values:
+                        con.execute(
+                            "INSERT INTO ducklake_file_partition_value VALUES (?, ?, ?, ?)",
+                            (fid, tid, idx, val),
+                        )
+                    for cs in f.column_stats:
+                        con.execute(
+                            "INSERT INTO ducklake_file_column_stats VALUES "
+                            "(?, ?, ?, ?, ?, ?, ?, ?, ?, NULL)",
+                            (
+                                fid,
+                                tid,
+                                cs.column_id,
+                                cs.column_size_bytes,
+                                cs.value_count,
+                                cs.null_count,
+                                cs.min_value,
+                                cs.max_value,
+                                cs.contains_nan,
+                            ),
+                        )
+                        self._merge_global_column_stats(con, tid, cs)
+                con.execute(
+                    "UPDATE ducklake_table_stats SET record_count=?, next_row_id=?, "
+                    "file_size_bytes=? WHERE table_id=?",
+                    (rec_cnt, next_row_id, fsize, tid),
+                )
+
+            # --- delete files
+            for dfid in self.replaced_delete_files:
+                con.execute(
+                    "UPDATE ducklake_delete_file SET end_snapshot=? "
+                    "WHERE delete_file_id=? AND end_snapshot IS NULL",
+                    (snap_id, dfid),
+                )
+            for tid, dfiles in self.new_delete_files.items():
+                for df in dfiles:
+                    con.execute(
+                        "INSERT INTO ducklake_delete_file VALUES "
+                        "(?, ?, ?, NULL, ?, ?, 1, ?, ?, ?, ?, NULL, NULL)",
+                        (
+                            next_file,
+                            tid,
+                            snap_id,
+                            df.data_file_id,
+                            df.path,
+                            df.format,
+                            df.delete_count,
+                            df.file_size_bytes,
+                            df.footer_size,
+                        ),
+                    )
+                    next_file += 1
+
+            # --- removed data files (whole-file delete / rewrite): the old
+            # file keeps serving snapshots < snap_id (copy-on-write lifetime);
+            # physical cleanup happens only once snapshot expiry strands it
+            for tid, fids in self.removed_data_files.items():
+                for fid in fids:
+                    con.execute(
+                        "UPDATE ducklake_data_file SET end_snapshot=? "
+                        "WHERE data_file_id=? AND end_snapshot IS NULL",
+                        (snap_id, fid),
+                    )
+                    con.execute(
+                        "UPDATE ducklake_delete_file SET end_snapshot=? "
+                        "WHERE data_file_id=? AND end_snapshot IS NULL",
+                        (snap_id, fid),
+                    )
+
+            # --- purged data files (compaction replacements)
+            for tid, fids in self.purged_data_files.items():
+                for fid in fids:
+                    row = con.execute(
+                        "SELECT path FROM ducklake_data_file WHERE data_file_id=?",
+                        (fid,),
+                    ).fetchone()
+                    con.execute(
+                        "DELETE FROM ducklake_data_file WHERE data_file_id=?", (fid,)
+                    )
+                    con.execute(
+                        "DELETE FROM ducklake_file_column_stats WHERE data_file_id=?",
+                        (fid,),
+                    )
+                    con.execute(
+                        "DELETE FROM ducklake_file_partition_value WHERE data_file_id=?",
+                        (fid,),
+                    )
+                    if row:
+                        con.execute(
+                            "INSERT INTO ducklake_files_scheduled_for_deletion "
+                            "VALUES (?, ?, 1, ?)",
+                            (fid, row[0], _now_ts()),
+                        )
+
+            # --- record-count deltas from deletes
+            for tid, delta in self.stats_delta.items():
+                con.execute(
+                    "UPDATE ducklake_table_stats SET record_count = record_count + ? "
+                    "WHERE table_id = ?",
+                    (delta.get("records", 0), tid),
+                )
+
+            # --- inlined data
+            for tid, table_name, rows in self.inlined_inserts:
+                if rows:
+                    placeholders = ",".join("?" * len(rows[0]))
+                    con.executemany(
+                        f"INSERT INTO {table_name} VALUES ({placeholders})", rows
+                    )
+
+            # --- snapshot row
+            con.execute(
+                "INSERT INTO ducklake_snapshot VALUES (?, ?, ?, ?, ?)",
+                (snap_id, _now_ts(), schema_version, next_cat, next_file),
+            )
+            author, message, extra = self.commit_message
+            con.execute(
+                "INSERT INTO ducklake_snapshot_changes VALUES (?, ?, ?, ?, ?)",
+                (snap_id, ",".join(self.change_log), author, message, extra),
+            )
+            con.execute("COMMIT")
+            self.committed_snapshot = snap_id
+            return snap_id
+        except BaseException:
+            con.execute("ROLLBACK")
+            raise
+
+    # -- helpers -----------------------------------------------------------
+
+    def _schema_id(self, name: str, snap_id: int) -> int:
+        row = self.meta.con.execute(
+            "SELECT schema_id FROM ducklake_schema "
+            "WHERE schema_name=? AND end_snapshot IS NULL",
+            (name,),
+        ).fetchone()
+        if row is None:
+            raise ValueError(f"schema {name!r} does not exist")
+        return row[0]
+
+    def _resolve_table_id(self, key: str) -> int:
+        if key.isdigit():
+            return int(key)
+        for td in self.created_tables:
+            if f"{td.schema_name}.{td.table_name}" == key:
+                assert td.table_id is not None
+                return td.table_id
+        raise ValueError(f"unknown table key {key!r}")
+
+    def _merge_global_column_stats(self, con, tid: int, cs: ColumnStatsRow) -> None:
+        """Merge-only global stats: widen, never tighten
+        (reference: DuckLakeColumnStats::MergeStats, ducklake_stats.cpp:102)."""
+        row = con.execute(
+            "SELECT contains_null, contains_nan, min_value, max_value "
+            "FROM ducklake_table_column_stats WHERE table_id=? AND column_id=?",
+            (tid, cs.column_id),
+        ).fetchone()
+        has_null = cs.null_count > 0
+        if row is None:
+            con.execute(
+                "INSERT INTO ducklake_table_column_stats VALUES (?, ?, ?, ?, ?, ?, NULL)",
+                (tid, cs.column_id, has_null, cs.contains_nan, cs.min_value, cs.max_value),
+            )
+            return
+        cn, cnan, mn, mx = row
+        new_min = _merge_min(mn, cs.min_value)
+        new_max = _merge_max(mx, cs.max_value)
+        con.execute(
+            "UPDATE ducklake_table_column_stats SET contains_null=?, contains_nan=?, "
+            "min_value=?, max_value=? WHERE table_id=? AND column_id=?",
+            (
+                bool(cn) or has_null,
+                bool(cnan) or cs.contains_nan,
+                new_min,
+                new_max,
+                tid,
+                cs.column_id,
+            ),
+        )
+
+
+def _merge_min(a: str | None, b: str | None) -> str | None:
+    if a is None:
+        return b
+    if b is None:
+        return a
+    try:
+        return a if float(a) <= float(b) else b
+    except ValueError:
+        return min(a, b)
+
+
+def _merge_max(a: str | None, b: str | None) -> str | None:
+    if a is None:
+        return b
+    if b is None:
+        return a
+    try:
+        return a if float(a) >= float(b) else b
+    except ValueError:
+        return max(a, b)

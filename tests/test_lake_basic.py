@@ -1,0 +1,158 @@
+"""Lakehouse core: create/insert/scan/persist, snapshots, time travel.
+
+Mirrors reference test/sql/ducklake_basic.test and
+test/sql/time_travel/basic_time_travel.test.
+"""
+
+from __future__ import annotations
+
+import pytest
+
+from pyspark.sql import Row
+from pyspark.sql import functions as F
+
+
+@pytest.fixture()
+def lake(spark, tmp_path):
+    from ducklake_spark.lake import DuckLake
+
+    return DuckLake.attach(
+        spark, str(tmp_path / "meta.db"), str(tmp_path / "data")
+    )
+
+
+def test_create_insert_scan(lake, spark):
+    lake.create_table("t1", [("i", "int32"), ("j", "int32")])
+    df = spark.createDataFrame([(1, 2), (None, 3), (4, 5), (6, 7)], "i int, j int")
+    lake.insert("t1", df)
+    out = lake.table("t1").orderBy("j").collect()
+    assert [(r.i, r.j) for r in out] == [(1, 2), (None, 3), (4, 5), (6, 7)]
+
+
+def test_reattach_persistence(lake, spark, tmp_path):
+    from ducklake_spark.lake import DuckLake
+
+    lake.create_table("t1", [("i", "int64")])
+    lake.insert("t1", spark.range(10).withColumnRenamed("id", "i"))
+    lake2 = DuckLake.attach(spark, str(tmp_path / "meta.db"), str(tmp_path / "data"))
+    assert lake2.table("t1").count() == 10
+
+
+def test_multiple_inserts_rowids(lake, spark):
+    lake.create_table("t", [("i", "int64")])
+    lake.insert("t", spark.range(5).withColumnRenamed("id", "i"))
+    lake.insert("t", spark.range(5, 10).withColumnRenamed("id", "i"))
+    out = lake.table("t", with_virtual=True).select("i", "rowid").orderBy("rowid")
+    rows = out.collect()
+    assert [r.rowid for r in rows] == list(range(10))
+    assert [r.i for r in rows] == list(range(10))
+
+
+def test_snapshots_and_time_travel(lake, spark):
+    lake.create_table("tt", [("i", "int32"), ("v", "varchar")])
+    lake.insert("tt", spark.createDataFrame([(1, "a")], "i int, v string"))
+    s1 = lake.current_snapshot()
+    lake.insert("tt", spark.createDataFrame([(2, "b")], "i int, v string"))
+    s2 = lake.current_snapshot()
+    assert s2 == s1 + 1
+    assert lake.table("tt", at_version=s1).count() == 1
+    assert lake.table("tt", at_version=s2).count() == 2
+    # snapshots() surface
+    snaps = lake.snapshots().collect()
+    assert snaps[0].snapshot_id == 0
+    assert any("inserted_into_table" in r.changes for r in snaps)
+
+
+def test_time_travel_before_table(lake, spark):
+    from ducklake_spark.lake import DuckLakeError
+
+    s0 = lake.current_snapshot()
+    lake.create_table("later", [("i", "int32")])
+    with pytest.raises(DuckLakeError):
+        lake.table("later", at_version=s0)
+
+
+def test_drop_and_rename(lake, spark):
+    from ducklake_spark.lake import DuckLakeError
+
+    lake.create_table("a", [("i", "int32")])
+    lake.insert("a", spark.createDataFrame([(1,)], "i int"))
+    lake.rename_table("a", "b")
+    assert lake.table("b").count() == 1
+    with pytest.raises(DuckLakeError):
+        lake.table("a")
+    lake.drop_table("b")
+    with pytest.raises(DuckLakeError):
+        lake.table("b")
+
+
+def test_ctas(lake, spark):
+    lake.create_table_as("ct", spark.range(7).withColumnRenamed("id", "x"))
+    assert lake.table("ct").count() == 7
+    assert lake.table("ct").columns == ["x"]
+
+
+def test_not_null_enforced(lake, spark):
+    lake.create_table("nn", [("i", "int32"), ("j", "int32")], not_null=("i",))
+    with pytest.raises(Exception):
+        lake.insert("nn", spark.createDataFrame([(None, 1)], "i int, j int"))
+    lake.insert("nn", spark.createDataFrame([(1, None)], "i int, j int"))
+    assert lake.table("nn").count() == 1
+
+
+def test_table_info_and_list_files(lake, spark):
+    lake.create_table("ti", [("i", "int64")])
+    lake.insert("ti", spark.range(100).withColumnRenamed("id", "i"))
+    info = {r.table_name: r for r in lake.table_info().collect()}
+    assert info["ti"].file_count >= 1
+    files = lake.list_files("ti").collect()
+    assert all(f.data_file.endswith(".parquet") for f in files)
+
+
+def test_schema_evolution_add_drop_column(lake, spark):
+    lake.create_table("se", [("i", "int32")])
+    lake.insert("se", spark.createDataFrame([(1,)], "i int"))
+    lake.add_column("se", "j", "int32")
+    lake.insert("se", spark.createDataFrame([(2, 20)], "i int, j int"))
+    rows = lake.table("se").orderBy("i").collect()
+    assert [(r.i, r.j) for r in rows] == [(1, None), (2, 20)]
+    lake.drop_column("se", "j")
+    assert lake.table("se").columns == ["i"]
+    # old snapshot still sees j
+    snaps = [r.snapshot_id for r in lake.snapshots().collect()]
+    assert lake.table("se", at_version=snaps[-2]).columns == ["i", "j"]
+
+
+def test_rename_column_field_id_read(lake, spark):
+    lake.create_table("rc", [("i", "int32"), ("v", "varchar")])
+    lake.insert("rc", spark.createDataFrame([(1, "x")], "i int, v string"))
+    lake.rename_column("rc", "v", "w")
+    rows = lake.table("rc").collect()
+    assert rows[0].w == "x"  # field-id-based resolution maps old file column
+
+
+def test_type_promotion(lake, spark):
+    from ducklake_spark.lake import DuckLakeError
+
+    lake.create_table("tp", [("i", "int32")])
+    lake.insert("tp", spark.createDataFrame([(1,)], "i int"))
+    lake.change_column_type("tp", "i", "int64")
+    assert dict(lake.table("tp").dtypes)["i"] == "bigint"
+    with pytest.raises(DuckLakeError):
+        lake.change_column_type("tp", "i", "int32")  # narrowing rejected
+
+
+def test_views(lake, spark):
+    lake.create_table("vt", [("i", "int64")])
+    lake.insert("vt", spark.range(4).withColumnRenamed("id", "i"))
+    lake.create_view("v1", "SELECT i * 2 AS d FROM vt")
+    assert sorted(r.d for r in lake.view("v1").collect()) == [0, 2, 4, 6]
+
+
+def test_transaction_groups_snapshot(lake, spark):
+    with lake.transaction():
+        lake.create_table("g1", [("i", "int32")])
+        lake.create_table("g2", [("i", "int32")])
+    snaps = lake.snapshots().collect()
+    assert "created_table" in snaps[-1].changes
+    assert len(snaps[-1].changes["created_table"]) == 2

@@ -1,0 +1,247 @@
+"""DELETE / UPDATE / MERGE + CDC + maintenance.
+
+Mirrors reference test/sql/delete/*, update/*, merge/*,
+table_changes/*, compaction/*, data_inlining/*.
+"""
+
+from __future__ import annotations
+
+import pytest
+
+
+@pytest.fixture()
+def lake(spark, tmp_path):
+    from ducklake_spark.lake import DuckLake
+
+    return DuckLake.attach(spark, str(tmp_path / "meta.db"), str(tmp_path / "data"))
+
+
+def _mk(lake, spark, name="d", n=100, files=1):
+    lake.create_table(name, [("i", "int64"), ("v", "varchar")])
+    for k in range(files):
+        lo, hi = k * n // files, (k + 1) * n // files
+        df = spark.createDataFrame(
+            [(i, f"val{i}") for i in range(lo, hi)], "i long, v string"
+        )
+        lake.insert(name, df.coalesce(1))
+    return name
+
+
+def test_delete_partial(lake, spark):
+    _mk(lake, spark, n=100)
+    n = lake.delete("d", "i >= 90")
+    assert n == 10
+    assert lake.table("d").count() == 90
+    assert lake.table("d").filter("i >= 90").count() == 0
+
+
+def test_delete_merges_existing(lake, spark):
+    _mk(lake, spark, n=100)
+    lake.delete("d", "i >= 90")
+    lake.delete("d", "i < 10")
+    assert lake.table("d").count() == 80
+    # one live delete file binding the single data file, holding both batches
+    rows = lake.meta.query(
+        "SELECT delete_count FROM ducklake_delete_file WHERE end_snapshot IS NULL"
+    )
+    assert [r[0] for r in rows] == [20]
+
+
+def test_delete_whole_file_drops(lake, spark):
+    _mk(lake, spark, n=40, files=2)
+    n = lake.delete("d", "i < 20")  # exactly file 1
+    assert n == 20
+    live = lake.meta.query(
+        "SELECT COUNT(*) FROM ducklake_data_file WHERE end_snapshot IS NULL"
+    )[0][0]
+    assert live == 1
+    assert lake.table("d").count() == 20
+
+
+def test_delete_time_travel(lake, spark):
+    _mk(lake, spark, n=50)
+    s_before = lake.current_snapshot()
+    lake.delete("d", "i % 2 = 0")
+    assert lake.table("d").count() == 25
+    assert lake.table("d", at_version=s_before).count() == 50
+
+
+def test_rowid_stable_after_delete(lake, spark):
+    _mk(lake, spark, n=20)
+    before = {
+        r.i: r.rowid
+        for r in lake.table("d", with_virtual=True).select("i", "rowid").collect()
+    }
+    lake.delete("d", "i < 5")
+    after = {
+        r.i: r.rowid
+        for r in lake.table("d", with_virtual=True).select("i", "rowid").collect()
+    }
+    for i, rid in after.items():
+        assert before[i] == rid
+
+
+def test_update_preserves_rowid(lake, spark):
+    _mk(lake, spark, n=20)
+    before = {
+        r.i: r.rowid
+        for r in lake.table("d", with_virtual=True).select("i", "rowid").collect()
+    }
+    n = lake.update("d", {"v": "'updated'"}, "i >= 15")
+    assert n == 5
+    out = lake.table("d", with_virtual=True).select("i", "v", "rowid").collect()
+    assert len(out) == 20
+    for r in out:
+        assert r.rowid == before[r.i]
+        assert (r.v == "updated") == (r.i >= 15)
+
+
+def test_update_time_travel(lake, spark):
+    _mk(lake, spark, n=10)
+    s0 = lake.current_snapshot()
+    lake.update("d", {"v": "'new'"}, "i = 3")
+    old = lake.table("d", at_version=s0).filter("i = 3").collect()
+    assert old[0].v == "val3"
+    new = lake.table("d").filter("i = 3").collect()
+    assert new[0].v == "new"
+
+
+def test_merge(lake, spark):
+    _mk(lake, spark, n=10)
+    src = spark.createDataFrame(
+        [(5, "merged5"), (11, "merged11")], "i long, v string"
+    )
+    counts = lake.merge("d", src, ["i"], when_matched_update={"v": None},
+                        when_not_matched_insert=True)
+    assert counts["updated"] == 1
+    assert counts["inserted"] == 1
+    rows = {r.i: r.v for r in lake.table("d").collect()}
+    assert rows[5] == "merged5"
+    assert rows[11] == "merged11"
+    assert len(rows) == 11
+
+
+def test_cdc_insertions_deletions_changes(lake, spark):
+    name = _mk(lake, spark, n=10)
+    s1 = lake.current_snapshot()
+    lake.insert(
+        name, spark.createDataFrame([(100, "x")], "i long, v string")
+    )
+    s2 = lake.current_snapshot()
+    lake.delete(name, "i = 3")
+    s3 = lake.current_snapshot()
+
+    ins = lake.table_insertions(name, s2, s2).collect()
+    assert [r.i for r in ins] == [100]
+    dels = lake.table_deletions(name, s3, s3).collect()
+    assert [r.i for r in dels] == [3]
+    ch = lake.table_changes(name, s2, s3).collect()
+    types = {(r.i, r.change_type) for r in ch}
+    assert (100, "insert") in types
+    assert (3, "delete") in types
+
+
+def test_cdc_update_pre_post_image(lake, spark):
+    name = _mk(lake, spark, n=10)
+    lake.update(name, {"v": "'upd'"}, "i = 7")
+    s = lake.current_snapshot()
+    ch = lake.table_changes(name, s, s).collect()
+    types = {(r.i, r.change_type, r.v) for r in ch}
+    assert (7, "update_postimage", "upd") in types
+    assert (7, "update_preimage", "val7") in types
+
+
+def test_compaction_merges_files(lake, spark):
+    name = _mk(lake, spark, n=40, files=8)
+    files_before = lake.meta.query(
+        "SELECT COUNT(*) FROM ducklake_data_file WHERE end_snapshot IS NULL"
+    )[0][0]
+    assert files_before == 8
+    s_before = lake.current_snapshot()
+    n = lake.merge_adjacent_files()
+    assert n == 1
+    files_after = lake.meta.query(
+        "SELECT COUNT(*) FROM ducklake_data_file WHERE end_snapshot IS NULL"
+    )[0][0]
+    assert files_after == 1
+    # data intact, rowids preserved, time travel across the merge works
+    rows = lake.table(name, with_virtual=True).select("i", "rowid").collect()
+    assert sorted(r.rowid for r in rows) == list(range(40))
+    assert lake.table(name, at_version=s_before).count() == 40
+    assert lake.table(name).count() == 40
+
+
+def test_compaction_time_travel_partial(lake, spark):
+    lake.create_table("c", [("i", "int64")])
+    lake.insert("c", spark.createDataFrame([(1,)], "i long"))
+    s1 = lake.current_snapshot()
+    lake.insert("c", spark.createDataFrame([(2,)], "i long"))
+    s2 = lake.current_snapshot()
+    lake.merge_adjacent_files()
+    assert lake.table("c", at_version=s1).count() == 1
+    assert lake.table("c", at_version=s2).count() == 2
+    assert lake.table("c").count() == 2
+
+
+def test_rewrite_data_files(lake, spark):
+    _mk(lake, spark, n=100)
+    lake.delete("d", "i < 96")
+    n = lake.rewrite_data_files(delete_threshold=0.5)
+    assert n == 1
+    assert lake.table("d").count() == 4
+    assert sorted(r.i for r in lake.table("d").collect()) == [96, 97, 98, 99]
+    live_deletes = lake.meta.query(
+        "SELECT COUNT(*) FROM ducklake_delete_file WHERE end_snapshot IS NULL"
+    )[0][0]
+    assert live_deletes == 0
+
+
+def test_expire_and_cleanup(lake, spark, tmp_path):
+    import os
+
+    _mk(lake, spark, n=20, files=2)
+    lake.delete("d", "i < 10")  # drops file 1 entirely
+    expired = lake.expire_snapshots(older_than="9999-01-01")
+    assert expired
+    removed = lake.cleanup_old_files(cleanup_all=True)
+    assert removed
+    for rel in removed:
+        assert not os.path.exists(os.path.join(str(tmp_path / "data"), rel))
+    assert lake.table("d").count() == 10
+
+
+def test_inlining_roundtrip(lake, spark, tmp_path):
+    from ducklake_spark.lake import DuckLake
+
+    lk = DuckLake.attach(
+        spark, str(tmp_path / "m2.db"), str(tmp_path / "data2"),
+        data_inlining_row_limit=10,
+    )
+    lk.create_table("inl", [("i", "int32"), ("v", "varchar")])
+    lk.insert("inl", spark.createDataFrame([(1, "a"), (2, "b")], "i int, v string"))
+    # no parquet written
+    assert lk.meta.query("SELECT COUNT(*) FROM ducklake_data_file")[0][0] == 0
+    assert lk.table("inl").count() == 2
+    # big insert goes to parquet
+    lk.insert(
+        "inl",
+        spark.createDataFrame([(i, f"v{i}") for i in range(3, 40)], "i int, v string"),
+    )
+    assert lk.table("inl").count() == 39
+    # delete hits inlined rows too
+    n = lk.delete("inl", "i = 1")
+    assert n == 1
+    assert lk.table("inl").count() == 38
+    # flush moves remaining inlined rows to parquet
+    flushed = lk.flush_inlined_data()
+    assert flushed == 1
+    assert lk.table("inl").count() == 38
+    rows = {r.i for r in lk.table("inl").collect()}
+    assert 2 in rows and 1 not in rows
+
+
+def test_checkpoint_runs(lake, spark):
+    _mk(lake, spark, n=30, files=3)
+    lake.delete("d", "i = 0")
+    lake.checkpoint()
+    assert lake.table("d").count() == 29
