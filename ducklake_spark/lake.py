@@ -93,6 +93,8 @@ class DuckLake:
         self._commit_note: tuple[str | None, str | None, str | None] = (None, None, None)
         spark.conf.set("spark.sql.parquet.fieldId.write.enabled", "true")
         spark.conf.set("spark.sql.parquet.fieldId.read.enabled", "true")
+        # foreign (adopted) files carry no field ids -> resolve those by name
+        spark.conf.set("spark.sql.parquet.fieldId.read.ignoreMissing", "true")
 
     # -- attach ------------------------------------------------------------
 
@@ -615,7 +617,7 @@ class DuckLake:
                        where: str | None) -> list[dict]:
         sql = (
             "SELECT data_file_id, path, record_count, row_id_start, partial_max, "
-            "file_size_bytes FROM ducklake_data_file "
+            "file_size_bytes, mapping_id FROM ducklake_data_file "
             "WHERE table_id = ? AND begin_snapshot <= ? "
             "AND (end_snapshot IS NULL OR end_snapshot > ?)"
         )
@@ -626,7 +628,7 @@ class DuckLake:
         return [
             dict(zip(
                 ["data_file_id", "path", "record_count", "row_id_start",
-                 "partial_max", "file_size_bytes"], r))
+                 "partial_max", "file_size_bytes", "mapping_id"], r))
             for r in rows
         ]
 
@@ -639,12 +641,19 @@ class DuckLake:
         if not where:
             return "", []
         colmap = {c[1]: c[0] for c in h.columns}
+        part_keys = {}  # cname -> (key_index, transform)
+        for i, (cname, transform) in enumerate(self._partition_spec(h)):
+            part_keys[cname] = (i, transform)
         clauses, params = [], []
         for col, op, val in _parse_conjuncts(where):
             if col not in colmap:
                 continue
             if isinstance(val, float) and val != val:  # NaN: never prune (:1294-1343)
                 continue
+            part_clause = self._partition_prune_clause(h, part_keys, col, op, val)
+            if part_clause is not None:
+                clauses.append(part_clause[0])
+                params.extend(part_clause[1])
             cid = colmap[col]
             numeric = isinstance(val, (int, float))
             cast = "CAST(%s AS REAL)" if numeric else "%s"
@@ -668,6 +677,71 @@ class DuckLake:
             params.extend([h.table_id, cid] + [val] * contradiction.count("?"))
         return "".join(clauses), params
 
+    def _partition_prune_clause(self, h: TableHandle, part_keys: dict,
+                                col: str, op: str, val) -> tuple[str, list] | None:
+        """Partition pruning over ducklake_file_partition_value
+        (reference: ducklake_metadata_manager.cpp:1843-1853; bucket
+        clause :2201). Files lacking partition values are kept."""
+        if col not in part_keys:
+            return None
+        idx, transform = part_keys[col]
+        t = transform.lower()
+        base = (
+            " AND data_file_id NOT IN ("
+            "SELECT data_file_id FROM ducklake_file_partition_value "
+            "WHERE table_id = ? AND partition_key_index = ? AND {cond})"
+        )
+        if t == "identity":
+            if op == "=":
+                return base.format(cond="partition_value <> ?"), [h.table_id, idx, str(val)]
+            if isinstance(val, (int, float)):
+                inv = {">": "<=", ">=": "<", "<": ">=", "<=": ">"}[op]
+                return (
+                    base.format(cond=f"CAST(partition_value AS REAL) {inv} ?"),
+                    [h.table_id, idx, val],
+                )
+            return None
+        if t in ("year", "month", "day", "hour") and isinstance(val, str):
+            bucket_val = _date_part_of_literal(t, val)
+            if bucket_val is None:
+                return None
+            if op == "=":
+                return (
+                    base.format(cond="CAST(partition_value AS REAL) <> ?"),
+                    [h.table_id, idx, bucket_val],
+                )
+            # range on the source column -> range on the (monotonic for
+            # year/truncation) transform value
+            if t == "year":
+                inv = {">": "<", ">=": "<", "<": ">", "<=": ">"}[op]
+                return (
+                    base.format(cond=f"CAST(partition_value AS REAL) {inv} ?"),
+                    [h.table_id, idx, bucket_val],
+                )
+            return None
+        m = re.fullmatch(r"bucket\((\d+)\)", t)
+        if m and op == "=":
+            from ducklake_spark.functions.murmur3 import bucket_py
+
+            b = bucket_py(val, int(m.group(1)))
+            return (
+                base.format(cond="CAST(partition_value AS REAL) <> ?"),
+                [h.table_id, idx, b],
+            )
+        return None
+
+    def row_count(self, name: str) -> int:
+        """count(*) fast path answered from ducklake_table_stats
+        (reference: DuckLakeGetPartitionStats exactness rule,
+        ducklake_scan.cpp:138-229 — our record_count is net of deletes,
+        so it is exact at the latest snapshot)."""
+        h = self._handle(name)
+        rows = self.meta.query(
+            "SELECT record_count FROM ducklake_table_stats WHERE table_id=?",
+            (h.table_id,),
+        )
+        return rows[0][0] if rows else 0
+
     def _delete_entries(self, h: TableHandle, snap: Snapshot,
                         file_ids: list[int]) -> list[tuple[int, str]]:
         if not file_ids:
@@ -686,24 +760,63 @@ class DuckLake:
                     with_virtual: bool) -> DataFrame | None:
         if not files:
             return None
-        abs_paths = [os.path.join(self.data_path, f["path"]) for f in files]
-        reader_schema = self._reader_schema(h, schema)
-        df = (
-            self.spark.read.schema(reader_schema)
-            .parquet(*abs_paths)
-            .withColumn("__file", F.col("_metadata.file_path"))
-            .withColumn("__pos", F.col("_metadata.row_index"))
-        )
-        # per-file row_id_start / begin-snapshot map (small; broadcast join)
+        # two read groups: native files resolve columns by parquet field id
+        # (rename-safe); adopted foreign files (mapping_id set) have no field
+        # ids and resolve by name via their recorded name map
+        native = [f for f in files if f.get("mapping_id") is None]
+        foreign = [f for f in files if f.get("mapping_id") is not None]
+        parts = []
+        if native:
+            reader_schema = self._reader_schema(h, schema)
+            parts.append(
+                self.spark.read.schema(reader_schema)
+                .parquet(*[os.path.join(self.data_path, f["path"]) for f in native])
+            )
+        if foreign:
+            plain = T.StructType(
+                [T.StructField(f_.name, f_.dataType, True) for f_ in schema.fields]
+            )
+            fdf = self.spark.read.schema(plain).parquet(
+                *[os.path.join(self.data_path, f["path"]) for f in foreign]
+            )
+            if native and len(parts[0].schema.fields) > len(plain.fields):
+                fdf = fdf.withColumn(ROWID_COL, F.lit(None).cast("long")).withColumn(
+                    SNAPID_COL, F.lit(None).cast("long")
+                )
+            parts.append(fdf)
+        df = None
+        for p in parts:
+            p = (
+                p.withColumn("__file", F.col("_metadata.file_path"))
+                .withColumn("__pos", F.col("_metadata.row_index"))
+            )
+            df = p if df is None else df.unionByName(p)
+        # per-file row_id_start / begin-snapshot / hive-value map (small;
+        # broadcast join — at 100 TB this is #files rows, not data rows)
+        pv_fill = self._foreign_partition_values(h, files)
         file_rows = [
             (os.path.join(self.data_path, f["path"]), f["row_id_start"],
-             self._file_begin_snapshot(f), f["partial_max"])
+             self._file_begin_snapshot(f), f["partial_max"],
+             pv_fill.get(f["data_file_id"]) or {})
             for f in files
         ]
         fmap = self.spark.createDataFrame(
-            file_rows, "____path string, __row_id_start long, __file_snap long, __partial_max long"
+            file_rows,
+            "____path string, __row_id_start long, __file_snap long, "
+            "__partial_max long, __pv map<string,string>",
         ).withColumn("____path", F.concat(F.lit("file:"), F.col("____path")))
         df = df.join(F.broadcast(fmap), df["__file"] == fmap["____path"], "left").drop("____path")
+        # foreign hive-partitioned files: the partition column exists only in
+        # the directory name -> backfill from recorded partition values
+        if any(pv_fill.values()):
+            for f_ in schema.fields:
+                df = df.withColumn(
+                    f_.name,
+                    F.coalesce(
+                        F.col(f_.name),
+                        F.element_at(F.col("__pv"), f_.name).cast(f_.dataType),
+                    ),
+                )
 
         # positional deletes -> anti join on (file, pos)
         if deletes:
@@ -756,6 +869,28 @@ class DuckLake:
         else:
             keep = [f.name for f in schema.fields]
         return df.select(*keep)
+
+    def _foreign_partition_values(self, h: TableHandle,
+                                  files: list[dict]) -> dict[int, dict[str, str]]:
+        """For adopted (name-mapped) files: data_file_id -> {column: hive value}."""
+        out: dict[int, dict[str, str]] = {}
+        foreign = [f for f in files if f.get("mapping_id") is not None]
+        if not foreign:
+            return out
+        spec = self._partition_spec(h)
+        for f in foreign:
+            vals = self.meta.query(
+                "SELECT partition_key_index, partition_value "
+                "FROM ducklake_file_partition_value WHERE data_file_id=?",
+                (f["data_file_id"],),
+            )
+            m = {}
+            for idx, v in vals:
+                if idx < len(spec) and spec[idx][1] == "identity":
+                    m[spec[idx][0]] = v
+            if m:
+                out[f["data_file_id"]] = m
+        return out
 
     def _file_begin_snapshot(self, f: dict) -> int:
         row = self.meta.query(
@@ -925,11 +1060,14 @@ def _transform_col(cname: str, transform: str):
 
 
 def _parse_conjuncts(where: str) -> list[tuple[str, str, object]]:
-    """Extract simple ``col <op> literal`` conjuncts for file pruning."""
+    """Extract simple ``col <op> literal`` conjuncts for file pruning.
+    Handles numeric, quoted-string, and DATE/TIMESTAMP literals (the
+    latter compare correctly against ISO-serialized zone-map strings)."""
     out = []
     for part in re.split(r"(?i)\s+AND\s+", where):
         m = re.fullmatch(
-            r"\s*(\w+)\s*(=|==|>=|<=|>|<)\s*('(?:[^']*)'|-?\d+(?:\.\d+)?)\s*",
+            r"\s*(\w+)\s*(=|==|>=|<=|>|<)\s*"
+            r"((?:(?i:DATE|TIMESTAMP)\s*)?'(?:[^']*)'|-?\d+(?:\.\d+)?)\s*",
             part,
         )
         if not m:
@@ -938,14 +1076,24 @@ def _parse_conjuncts(where: str) -> list[tuple[str, str, object]]:
         if op == "==":
             op = "="
         val: object
-        if lit.startswith("'"):
-            val = lit[1:-1]
+        if "'" in lit:
+            val = lit[lit.index("'") + 1 : -1]
         elif "." in lit:
             val = float(lit)
         else:
             val = int(lit)
         out.append((col, op, val))
     return out
+
+
+def _date_part_of_literal(part: str, iso: str) -> int | None:
+    try:
+        import datetime
+
+        dt = datetime.datetime.fromisoformat(iso)
+    except ValueError:
+        return None
+    return {"year": dt.year, "month": dt.month, "day": dt.day, "hour": dt.hour}[part]
 
 
 def _harvest_stats(pf, colmap: dict[str, int]) -> list[ColumnStatsRow]:
@@ -1032,7 +1180,9 @@ def _from_sql_value(v, dt: T.DataType):
 
 # Installing DML/maintenance/CDC methods (modules monkeypatch DuckLake on
 # import; the bottom-of-module import avoids a circular-import problem).
+from ducklake_spark import add_files as _add_files  # noqa: E402,F401
 from ducklake_spark import cdc as _cdc  # noqa: E402,F401
 from ducklake_spark import dml as _dml  # noqa: E402,F401
+from ducklake_spark import macros as _macros  # noqa: E402,F401
 from ducklake_spark import maintenance as _maintenance  # noqa: E402,F401
 from ducklake_spark import table_functions as _table_functions  # noqa: E402,F401

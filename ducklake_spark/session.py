@@ -31,6 +31,7 @@ def get_spark(app_name: str = "ducklake_spark", cpus: int | None = None) -> Spar
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.sql.parquet.fieldId.write.enabled", "true")
         .config("spark.sql.parquet.fieldId.read.enabled", "true")
+        .config("spark.sql.parquet.fieldId.read.ignoreMissing", "true")
         .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "32g"))
         .config("spark.ui.enabled", "false")
         .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))

@@ -344,10 +344,11 @@ class Transaction:
             for tid, ops in self.column_changes.items():
                 for op in ops:
                     op(con, snap_id)
-                con.execute(
-                    "INSERT INTO ducklake_schema_versions VALUES (?, ?, ?)",
-                    (snap_id, schema_version, tid),
-                )
+                if tid >= 0:  # negative keys = non-table ops (macros, comments)
+                    con.execute(
+                        "INSERT INTO ducklake_schema_versions VALUES (?, ?, ?)",
+                        (snap_id, schema_version, tid),
+                    )
 
             # --- data files
             for key, files in self.new_data_files.items():

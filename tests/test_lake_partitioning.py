@@ -1,0 +1,172 @@
+"""Partitioned writes + file pruning (zone maps, partition values, bucket).
+
+Mirrors reference test/sql/partitioning/* and the pruning SQL of
+ducklake_metadata_manager.cpp:1246-1343,1843-1853.
+"""
+
+from __future__ import annotations
+
+import datetime
+
+import pytest
+
+
+@pytest.fixture()
+def lake(spark, tmp_path):
+    from ducklake_spark.lake import DuckLake
+
+    return DuckLake.attach(spark, str(tmp_path / "meta.db"), str(tmp_path / "data"))
+
+
+def test_identity_partition_write_and_prune(lake, spark):
+    lake.create_table("p", [("id", "int64"), ("cat", "varchar"), ("amount", "float64")])
+    lake.set_partitioned_by("p", [("cat", "identity")])
+    df = spark.createDataFrame(
+        [(i, "abc"[i % 3], float(i)) for i in range(90)],
+        "id long, cat string, amount double",
+    )
+    lake.insert("p", df)
+    h = lake._handle("p")
+    snap = lake.meta.latest_snapshot()
+    all_files = lake._visible_files(h, snap, None)
+    assert len(all_files) >= 3  # one file tree per partition value
+    pruned = lake._visible_files(h, snap, "cat = 'a'")
+    assert 0 < len(pruned) < len(all_files)
+    # values correct and filter works through the scan
+    assert lake.table("p", where="cat = 'a'").count() == 30
+    rows = lake.meta.query("SELECT DISTINCT partition_value FROM ducklake_file_partition_value")
+    assert {r[0] for r in rows} == {"a", "b", "c"}
+
+
+def test_year_partition_prune(lake, spark):
+    lake.create_table("py", [("id", "int64"), ("ts", "timestamp")])
+    lake.set_partitioned_by("py", [("ts", "year")])
+    rows = [
+        (i, datetime.datetime(1995 + (i % 3), 1 + i % 12, 1)) for i in range(60)
+    ]
+    lake.insert("py", spark.createDataFrame(rows, "id long, ts timestamp_ntz"))
+    h = lake._handle("py")
+    snap = lake.meta.latest_snapshot()
+    all_files = lake._visible_files(h, snap, None)
+    pruned = lake._visible_files(h, snap, "ts >= TIMESTAMP '1997-01-01 00:00:00'")
+    assert 0 < len(pruned) < len(all_files)
+    assert lake.table("py", where="ts >= TIMESTAMP '1997-01-01 00:00:00'").count() == 20
+
+
+def test_bucket_partition_iceberg_hash(lake, spark):
+    from ducklake_spark.functions.murmur3 import bucket_py, murmur3_32_py
+
+    # Iceberg spec test vectors: bucket hash of int 34 = 2017239379
+    assert murmur3_32_py(34) == 2017239379
+    # strings hash as utf8: murmur3_32("iceberg") = 1210000089 per spec
+    assert murmur3_32_py("iceberg") == 1210000089
+
+    lake.create_table("pb", [("k", "int64"), ("v", "varchar")])
+    lake.set_partitioned_by("pb", [("k", "bucket(4)")])
+    lake.insert(
+        "pb",
+        spark.createDataFrame([(i, f"v{i}") for i in range(40)], "k long, v string"),
+    )
+    h = lake._handle("pb")
+    snap = lake.meta.latest_snapshot()
+    all_files = lake._visible_files(h, snap, None)
+    assert len(all_files) >= 2
+    pruned = lake._visible_files(h, snap, "k = 7")
+    assert 0 < len(pruned) < len(all_files)
+    assert lake.table("pb", where="k = 7").count() == 1
+    # stored partition value matches the planner's bucket computation
+    expected = str(bucket_py(7, 4))
+    vals = {
+        v
+        for (v,) in lake.meta.query(
+            "SELECT partition_value FROM ducklake_file_partition_value fpv "
+            "JOIN ducklake_data_file df ON df.data_file_id = fpv.data_file_id "
+            "WHERE df.end_snapshot IS NULL"
+        )
+    }
+    assert expected in vals
+
+
+def test_zone_map_pruning(lake, spark):
+    lake.create_table("z", [("i", "int64"), ("v", "float64")])
+    for k in range(4):  # 4 files with disjoint i ranges
+        lake.insert(
+            "z",
+            spark.createDataFrame(
+                [(i, float(i)) for i in range(k * 100, (k + 1) * 100)],
+                "i long, v double",
+            ).coalesce(1),
+        )
+    h = lake._handle("z")
+    snap = lake.meta.latest_snapshot()
+    assert len(lake._visible_files(h, snap, None)) == 4
+    assert len(lake._visible_files(h, snap, "i >= 300")) == 1
+    assert len(lake._visible_files(h, snap, "i < 100")) == 1
+    assert len(lake._visible_files(h, snap, "i = 150")) == 1
+    assert len(lake._visible_files(h, snap, "i > 150 AND i < 250")) == 2
+    assert len(lake._visible_files(h, snap, "i > 1000")) == 0
+    # correctness preserved
+    assert lake.table("z", where="i >= 300").count() == 100
+
+
+def test_zone_map_string_and_timestamp(lake, spark):
+    lake.create_table("zs", [("s", "varchar"), ("ts", "timestamp")])
+    lake.insert(
+        "zs",
+        spark.createDataFrame(
+            [("apple", datetime.datetime(1995, 1, 1))], "s string, ts timestamp_ntz"
+        ).coalesce(1),
+    )
+    lake.insert(
+        "zs",
+        spark.createDataFrame(
+            [("zebra", datetime.datetime(1999, 1, 1))], "s string, ts timestamp_ntz"
+        ).coalesce(1),
+    )
+    h = lake._handle("zs")
+    snap = lake.meta.latest_snapshot()
+    assert len(lake._visible_files(h, snap, "s = 'apple'")) == 1
+    assert len(lake._visible_files(h, snap, "ts > TIMESTAMP '1997-01-01 00:00:00'")) == 1
+
+
+def test_stats_kept_for_no_stats_file(lake, spark):
+    # files without stats rows must never be pruned (reference :1522-1533)
+    lake.create_table("ns", [("i", "int64")])
+    lake.insert("ns", spark.range(10).withColumnRenamed("id", "i").coalesce(1))
+    lake.meta.con.execute("DELETE FROM ducklake_file_column_stats")
+    h = lake._handle("ns")
+    snap = lake.meta.latest_snapshot()
+    assert len(lake._visible_files(h, snap, "i = 5")) == 1
+
+
+def test_row_count_fast_path(lake, spark):
+    lake.create_table("rcnt", [("i", "int64")])
+    lake.insert("rcnt", spark.range(500).withColumnRenamed("id", "i"))
+    lake.delete("rcnt", "i < 50")
+    assert lake.row_count("rcnt") == 450
+    assert lake.table("rcnt").count() == 450
+
+
+def test_sorted_write(lake, spark):
+    lake.create_table("srt", [("i", "int64")])
+    lake.meta.con.execute(
+        "INSERT INTO ducklake_sort_info VALUES (0, "
+        "(SELECT table_id FROM ducklake_table WHERE table_name='srt'), 0, NULL)"
+    )
+    lake.meta.con.execute(
+        "INSERT INTO ducklake_sort_expression VALUES (0, "
+        "(SELECT table_id FROM ducklake_table WHERE table_name='srt'), 0, 'i', "
+        "'spark', 'desc', 'nulls_last')"
+    )
+    import random
+
+    vals = list(range(100))
+    random.Random(7).shuffle(vals)
+    lake.insert(
+        "srt", spark.createDataFrame([(v,) for v in vals], "i long").coalesce(1)
+    )
+    # file content is sorted desc -> zone maps per file; read back in file order
+    first_rows = [
+        r.i for r in lake.table("srt").limit(5).collect()
+    ]
+    assert first_rows == sorted(first_rows, reverse=True)
