@@ -1,0 +1,188 @@
+"""Multimodal (image/audio/video) columns as opaque binary + metadata.
+
+Storage convention: a modality column is a pair
+``(<name> BINARY, <name>_meta STRUCT<format, width, height,
+sample_rate, n_frames, duration_ms>)`` — Parquet stores the bytes as
+a regular BYTE_ARRAY column, so zone maps, time travel, deletes and
+compaction from the lake layer apply unchanged, and 100 TB of blobs
+partitions like any other table (the metadata struct is tiny; filters
+like ``width >= 512`` prune on the struct without touching bytes).
+
+Decode / feature extraction runs in Arrow-batched Python
+(``mapInPandas``): the only place raw bytes cross into Python, sized
+by ``spark.sql.execution.arrow.maxRecordsPerBatch``. The actual codec
+calls (PIL/libav/ffmpeg) are NOT available in this container, so the
+codec boundary is a single function each (`_decode_image_real`, …)
+raising ``NotImplementedError``; the deterministic fake path keeps
+the full Spark plumbing — schemas, batching, partitioning —
+executable and tested. Swap the codec function, nothing else moves.
+"""
+
+from __future__ import annotations
+
+import hashlib
+from collections.abc import Iterator
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame, functions as F
+from pyspark.sql import types as T
+
+MEDIA_META = T.StructType(
+    [
+        T.StructField("format", T.StringType()),
+        T.StructField("width", T.IntegerType()),
+        T.StructField("height", T.IntegerType()),
+        T.StructField("sample_rate", T.IntegerType()),
+        T.StructField("n_frames", T.IntegerType()),
+        T.StructField("duration_ms", T.LongType()),
+    ]
+)
+
+
+def media_schema(id_field: T.StructField, name: str = "media") -> T.StructType:
+    """Canonical schema for a modality table: id + bytes + typed meta."""
+    return T.StructType(
+        [id_field, T.StructField(name, T.BinaryType()), T.StructField(f"{name}_meta", MEDIA_META)]
+    )
+
+
+# -- codec boundary (container has no image/audio libs: stubbed) -----------
+
+
+def _decode_image_real(data: bytes) -> np.ndarray:
+    raise NotImplementedError(
+        "image codec not available in this environment; "
+        "plug PIL.Image.open(io.BytesIO(data)) here"
+    )
+
+
+def _decode_image_fake(data: bytes, w: int = 8, h: int = 8) -> np.ndarray:
+    """Deterministic stand-in: h×w uint8 gray derived from sha256(data)."""
+    seed = hashlib.sha256(data or b"").digest()
+    reps = (w * h) // len(seed) + 1
+    return np.frombuffer((seed * reps)[: w * h], dtype=np.uint8).reshape(h, w)
+
+
+def _sample_frames_fake(data: bytes, n_frames: int, every: int) -> list[bytes]:
+    """Deterministic frame sampler: frame i = sha256(data || '#i').
+
+    ASCII seed suffix (not packed ints) so SQL oracles can restate it
+    as plain string concatenation."""
+    return [
+        hashlib.sha256((data or b"") + f"#{i}".encode()).digest()
+        for i in range(0, n_frames, every)
+    ]
+
+
+# -- operators -------------------------------------------------------------
+
+_FEATURE_FIELDS = (
+    "mean_intensity DOUBLE, std_intensity DOUBLE, "
+    "p05 DOUBLE, p95 DOUBLE, byte_len BIGINT"
+)
+
+
+def image_features(
+    df: DataFrame, *, media_col: str = "media", id_cols: tuple[str, ...] = ("doc_id",),
+    fake: bool = True
+) -> DataFrame:
+    """Decode images and emit per-image intensity statistics.
+
+    Arrow-batched; output = id columns + 5 feature doubles. With a
+    real codec this is where resize/normalize would run.
+    """
+    id_schema = ", ".join(
+        f"{c} {df.schema[c].dataType.simpleString()}" for c in id_cols
+    )
+    out_schema = f"{id_schema}, {_FEATURE_FIELDS}"
+    decode = _decode_image_fake if fake else _decode_image_real
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for _, r in pdf.iterrows():
+                img = decode(r[media_col]).astype(np.float64)
+                rows.append(
+                    tuple(r[c] for c in id_cols)
+                    + (
+                        float(img.mean()),
+                        float(img.std()),
+                        float(np.percentile(img, 5)),
+                        float(np.percentile(img, 95)),
+                        len(r[media_col] or b""),
+                    )
+                )
+            yield pd.DataFrame(
+                rows,
+                columns=list(id_cols)
+                + ["mean_intensity", "std_intensity", "p05", "p95", "byte_len"],
+            )
+
+    return df.select(*id_cols, media_col).mapInPandas(run, out_schema)
+
+
+def sample_frames(
+    df: DataFrame, *, media_col: str = "media", meta_col: str = "media_meta",
+    id_cols: tuple[str, ...] = ("doc_id",), every: int = 10, fake: bool = True
+) -> DataFrame:
+    """Explode a video column into sampled frames (one row per frame).
+
+    Output: id cols + frame_idx INT + frame BINARY. Partition count is
+    preserved; a 100 TB video table fans out executor-side with no
+    shuffle (the explode happens inside the Arrow batch).
+    """
+    if not fake:
+        raise NotImplementedError("video codec not available; see module docstring")
+    id_schema = ", ".join(
+        f"{c} {df.schema[c].dataType.simpleString()}" for c in id_cols
+    )
+    out_schema = f"{id_schema}, frame_idx INT, frame BINARY"
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for _, r in pdf.iterrows():
+                nf = r[meta_col]["n_frames"] if r[meta_col] is not None else 0
+                for j, frame in enumerate(
+                    _sample_frames_fake(r[media_col], int(nf or 0), every)
+                ):
+                    rows.append(tuple(r[c] for c in id_cols) + (j * every, frame))
+            yield pd.DataFrame(
+                rows, columns=list(id_cols) + ["frame_idx", "frame"]
+            )
+
+    return df.select(*id_cols, media_col, meta_col).mapInPandas(run, out_schema)
+
+
+def media_stats(df: DataFrame, *, media_col: str = "media", meta_col: str = "media_meta") -> DataFrame:
+    """Metadata-only profile — never touches the bytes (no decode, the
+    binary column is pruned from the scan entirely)."""
+    return df.groupBy(F.col(f"{meta_col}.format").alias("format")).agg(
+        F.count("*").alias("n"),
+        F.sum(F.length(media_col)).alias("total_bytes"),
+        F.avg(f"{meta_col}.width").alias("avg_width"),
+        F.avg(f"{meta_col}.height").alias("avg_height"),
+        F.max(f"{meta_col}.duration_ms").alias("max_duration_ms"),
+    )
+
+
+def attach_fake_media(
+    df: DataFrame, *, from_col: str = "text", name: str = "media", fmt="png"
+) -> DataFrame:
+    """Testing helper: synthesize a media column from an existing string
+    column (bytes = utf8 of the text; dims derived from its length).
+    ``fmt`` may be a literal string or a Column."""
+    ln = F.octet_length(F.col(from_col))
+    fmt_col = F.lit(fmt) if isinstance(fmt, str) else fmt
+    return df.withColumn(name, F.encode(F.col(from_col), "utf-8")).withColumn(
+        f"{name}_meta",
+        F.struct(
+            fmt_col.alias("format"),
+            (ln % 512 + 16).cast("int").alias("width"),
+            (ln % 256 + 16).cast("int").alias("height"),
+            F.lit(None).cast("int").alias("sample_rate"),
+            (ln % 100 + 1).cast("int").alias("n_frames"),
+            (ln * 33).cast("long").alias("duration_ms"),
+        ),
+    )

@@ -120,7 +120,9 @@ def all_queries() -> dict[str, Query]:
     # Import side-effect modules on first use so registration happens once.
     from ducklake_spark.queries import (  # noqa: F401
         analytics,
+        ann,
         dedup,
+        multimodal,
         similarity,
         text,
         tpch,

@@ -1,0 +1,150 @@
+"""Approximate nearest-neighbor queries over ``embeddings``.
+
+The Spark side runs the *DataFrame operator implementations* from
+:mod:`ducklake_spark.operators.similarity` (IVF coarse quantization,
+sign-random-projection LSH); the oracle re-derives the identical
+semantics in DuckDB SQL — same centroids, same md5-seeded
+projections, same id tiebreaks — so the driver hash-checks the whole
+approximate pipeline, not just a brute-force reference.
+
+Scale story vs the brute-force baseline (``sim_knn_cosine``): these
+replace the O(n·q) all-pairs join with one broadcast join against a
+tiny centroid/plane set plus one equi-join on the cell/bucket key, so
+the candidate set per query is |cell| ≈ n/C instead of n.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+
+from ducklake_spark.queries import df_query
+
+N_QUERIES = 10          # vec_id < 10 probe
+CENT_LO, CENT_HI = 10, 18  # vec_id in [10,18) are the 8 IVF centroids
+TOP_K = 5
+N_PLANES = 6            # 64 LSH buckets
+
+
+def _duck_cos(x: str, y: str) -> str:
+    return f"""
+    list_sum(list_transform(list_zip({x}, {y}),
+                            p -> CAST(p[1] AS DOUBLE) * CAST(p[2] AS DOUBLE)))
+    / (sqrt(list_sum(list_transform({x}, v -> CAST(v AS DOUBLE) * CAST(v AS DOUBLE))))
+     * sqrt(list_sum(list_transform({y}, v -> CAST(v AS DOUBLE) * CAST(v AS DOUBLE)))))
+    """
+
+
+def _run_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import functions as F
+
+    from ducklake_spark.operators.similarity import ivf_topk
+    from ducklake_spark.queries import load_tables
+
+    load_tables(spark, sf_dir, ["embeddings"])
+    emb = spark.table("embeddings")
+    centroids = emb.filter(
+        (F.col("vec_id") >= CENT_LO) & (F.col("vec_id") < CENT_HI)
+    ).select(F.col("vec_id").alias("centroid_id"), F.col("embedding").alias("centroid"))
+    probes = emb.filter(F.col("vec_id") < N_QUERIES)
+    return ivf_topk(emb, probes, centroids, k=TOP_K, nprobe=1).orderBy(
+        "query_id", "rank"
+    )
+
+
+_IVF_ORACLE = f"""
+WITH cents AS (
+    SELECT vec_id AS cid, embedding AS cvec FROM embeddings
+    WHERE vec_id >= {CENT_LO} AND vec_id < {CENT_HI}
+),
+scored AS (
+    SELECT e.vec_id, e.embedding, c.cid,
+           ROW_NUMBER() OVER (
+               PARTITION BY e.vec_id
+               ORDER BY ({_duck_cos('e.embedding', 'c.cvec')}) DESC, c.cid
+           ) AS rk
+    FROM embeddings e CROSS JOIN cents c
+),
+cells AS (SELECT vec_id, embedding, cid FROM scored WHERE rk = 1),
+probes AS (
+    SELECT vec_id AS query_id, embedding AS qvec, cid
+    FROM cells WHERE vec_id < {N_QUERIES}
+),
+ranked AS (
+    SELECT p.query_id, x.vec_id AS neighbor_id,
+           ROW_NUMBER() OVER (
+               PARTITION BY p.query_id
+               ORDER BY ({_duck_cos('p.qvec', 'x.embedding')}) DESC, x.vec_id
+           ) AS rank
+    FROM probes p JOIN cells x ON x.cid = p.cid AND x.vec_id <> p.query_id
+)
+SELECT query_id, neighbor_id, rank FROM ranked
+WHERE rank <= {TOP_K} ORDER BY query_id, rank
+"""
+
+df_query(
+    "sim_ann_ivf",
+    _run_ivf,
+    oracle=_IVF_ORACLE,
+    tables=["embeddings"],
+    doc=f"IVF ANN top-{TOP_K} (8 centroid cells, nprobe=1, broadcast centroids)",
+)
+
+
+def _run_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import functions as F
+
+    from ducklake_spark.operators.similarity import lsh_topk
+    from ducklake_spark.queries import load_tables
+
+    load_tables(spark, sf_dir, ["embeddings"])
+    emb = spark.table("embeddings")
+    probes = emb.filter(F.col("vec_id") < N_QUERIES)
+    return lsh_topk(emb, probes, k=TOP_K, n_planes=N_PLANES).orderBy(
+        "query_id", "rank"
+    )
+
+
+def _duck_bucket(col: str) -> str:
+    """64-bucket sign-random-projection key; projections derived from
+    md5('p<plane>_<dim>') first-hex-digit parity — mirrors
+    operators.similarity._projection_sign bit-for-bit."""
+    bits = []
+    for p in range(N_PLANES):
+        dot = f"""
+        list_sum(list_transform(range(1, len({col}) + 1),
+            i -> CAST({col}[i] AS DOUBLE) *
+                 CASE WHEN (strpos('0123456789abcdef',
+                            substring(md5('p{p}_' || CAST(i - 1 AS VARCHAR)), 1, 1)) - 1) % 2 = 0
+                      THEN 1.0 ELSE -1.0 END))
+        """
+        bits.append(f"(CASE WHEN ({dot}) >= 0 THEN {1 << p} ELSE 0 END)")
+    return "(" + " + ".join(bits) + ")"
+
+
+_LSH_ORACLE = f"""
+WITH tagged AS (
+    SELECT vec_id, embedding, {_duck_bucket('embedding')} AS bucket FROM embeddings
+),
+probes AS (
+    SELECT vec_id AS query_id, embedding AS qvec, bucket
+    FROM tagged WHERE vec_id < {N_QUERIES}
+),
+ranked AS (
+    SELECT p.query_id, x.vec_id AS neighbor_id,
+           ROW_NUMBER() OVER (
+               PARTITION BY p.query_id
+               ORDER BY ({_duck_cos('p.qvec', 'x.embedding')}) DESC, x.vec_id
+           ) AS rank
+    FROM probes p JOIN tagged x ON x.bucket = p.bucket AND x.vec_id <> p.query_id
+)
+SELECT query_id, neighbor_id, rank FROM ranked
+WHERE rank <= {TOP_K} ORDER BY query_id, rank
+"""
+
+df_query(
+    "sim_ann_lsh",
+    _run_lsh,
+    oracle=_LSH_ORACLE,
+    tables=["embeddings"],
+    doc=f"LSH ANN top-{TOP_K} ({N_PLANES} sign-projection planes, bucket equi-join)",
+)

@@ -171,3 +171,89 @@ sql_query(
     tables=["documents"],
     doc="exact 3-gram Jaccard verification of LSH candidate pairs (>= 0.4)",
 )
+
+
+# --- SimHash -------------------------------------------------------------
+# 16-bit SimHash over distinct whitespace tokens: bit i's weight is the
+# sum of ±1 contributions from bit i of md5(token); engine-portable via
+# hex-digit arithmetic (instr/strpos on a hex alphabet — no bit ops that
+# differ across dialects). Near-dup pairs use the 4-band pigeonhole:
+# hamming(a,b) <= 3 guarantees at least one identical 4-bit band.
+
+def _simhash_cte(dialect: str) -> str:
+    if dialect == "spark":
+        toks = ("SELECT DISTINCT doc_id, tok FROM (SELECT doc_id, "
+                "explode(split(text, ' ')) AS tok FROM documents) t WHERE tok <> ''")
+        bits = "SELECT explode(sequence(0, 15)) AS bit"
+        idx = "instr('0123456789abcdef', substring(md5(tok), 1 + CAST(floor(bit / 4) AS INT), 1)) - 1"
+    else:
+        toks = ("SELECT DISTINCT doc_id, tok FROM (SELECT doc_id, "
+                "unnest(string_split(text, ' ')) AS tok FROM documents) t WHERE tok <> ''")
+        bits = "SELECT unnest(range(0, 16)) AS bit"
+        idx = "strpos('0123456789abcdef', substring(md5(tok), 1 + CAST(floor(bit / 4) AS INT), 1)) - 1"
+    return f"""
+    toks AS ({toks}),
+    bits AS ({bits}),
+    contrib AS (
+        SELECT doc_id, bit,
+               SUM(CASE WHEN CAST(floor(({idx}) / pow(2, bit % 4)) AS INT) % 2 = 1
+                        THEN 1 ELSE -1 END) AS w
+        FROM toks CROSS JOIN bits
+        GROUP BY doc_id, bit
+    ),
+    sh AS (
+        SELECT doc_id,
+               CAST(SUM(CASE WHEN w >= 0 THEN CAST(pow(2, bit) AS BIGINT) ELSE 0 END) AS BIGINT) AS simhash
+        FROM contrib
+        GROUP BY doc_id
+    )"""
+
+
+def _simhash_sql(dialect: str) -> str:
+    return f"WITH {_simhash_cte(dialect)} SELECT doc_id, simhash FROM sh ORDER BY doc_id"
+
+
+sql_query(
+    "dedup_simhash",
+    _simhash_sql("spark"),
+    oracle=_simhash_sql("duckdb"),
+    tables=["documents"],
+    doc="16-bit SimHash fingerprint per document (md5-derived bit weights)",
+)
+
+
+def _simhash_pairs_sql(dialect: str) -> str:
+    return f"""
+    WITH {_simhash_cte(dialect)},
+    banded AS (
+        SELECT doc_id, simhash, band,
+               CAST(floor(simhash / pow(2, 4 * band)) AS BIGINT) % 16 AS band_val
+        FROM sh CROSS JOIN (SELECT bit AS band FROM bits WHERE bit < 4) b
+    )
+    SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+    FROM banded a
+    JOIN banded b ON a.band = b.band AND a.band_val = b.band_val
+                 AND a.doc_id < b.doc_id
+    WHERE {_hamming16(dialect)} <= 3
+    ORDER BY doc_a, doc_b
+    """
+
+
+def _hamming16(dialect: str) -> str:
+    # popcount(a XOR b) over 16 bits, written dialect-portably as a sum
+    # of per-bit disagreements (pow/floor arithmetic only).
+    terms = " + ".join(
+        f"abs(CAST(floor(a.simhash / {1 << i}) AS BIGINT) % 2 - "
+        f"CAST(floor(b.simhash / {1 << i}) AS BIGINT) % 2)"
+        for i in range(16)
+    )
+    return f"({terms})"
+
+
+sql_query(
+    "dedup_simhash_pairs",
+    _simhash_pairs_sql("spark"),
+    oracle=_simhash_pairs_sql("duckdb"),
+    tables=["documents"],
+    doc="SimHash near-dup pairs: 4-band LSH candidates, hamming <= 3 verify",
+)

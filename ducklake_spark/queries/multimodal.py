@@ -1,0 +1,121 @@
+"""Multimodal-column queries: binary media plumbing over ``documents``.
+
+The container ships no image/audio codecs, so media bytes are
+synthesized deterministically from ``documents.text``
+(:func:`ducklake_spark.operators.multimodal.attach_fake_media`) — but
+everything Spark-side is the real pipeline: BINARY columns + typed
+metadata structs, metadata-only scans that never touch the bytes, and
+Arrow-batched ``mapInPandas`` frame sampling whose byte fidelity the
+oracle checks via sha256.
+
+- ``mm_media_profile``: per-format stats off the metadata struct +
+  byte lengths (oracle re-derives from text arithmetic).
+- ``mm_frame_sample``: video-style frame sampling through the Arrow
+  boundary; oracle checks sampled-frame counts AND the sha256 of
+  frame 0's bytes (so the bytes that crossed into Python and back are
+  verified, not just row counts).
+- ``mm_image_features``: fake-decode intensity stats (np.percentile
+  has no exact SQL twin -> rows-only driver check).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+
+from ducklake_spark.queries import df_query
+
+
+def _media_df(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import functions as F
+
+    from ducklake_spark.operators.multimodal import attach_fake_media
+    from ducklake_spark.queries import load_tables
+
+    load_tables(spark, sf_dir, ["documents"])
+    fmt = (
+        F.when(F.col("doc_id") % 3 == 0, "png")
+        .when(F.col("doc_id") % 3 == 1, "jpeg")
+        .otherwise("webp")
+    )
+    return attach_fake_media(spark.table("documents"), fmt=fmt)
+
+
+def _run_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ducklake_spark.operators.multimodal import media_stats
+
+    return media_stats(_media_df(spark, sf_dir)).orderBy("format")
+
+
+_PROFILE_ORACLE = """
+WITH m AS (
+    SELECT doc_id,
+           octet_length(encode(text)) AS bl,
+           CASE CAST(doc_id % 3 AS INT) WHEN 0 THEN 'png' WHEN 1 THEN 'jpeg'
+                ELSE 'webp' END AS format
+    FROM documents
+)
+SELECT format,
+       COUNT(*) AS n,
+       SUM(bl) AS total_bytes,
+       AVG(CAST(bl % 512 + 16 AS BIGINT)) AS avg_width,
+       AVG(CAST(bl % 256 + 16 AS BIGINT)) AS avg_height,
+       MAX(bl * 33) AS max_duration_ms
+FROM m GROUP BY format ORDER BY format
+"""
+
+df_query(
+    "mm_media_profile",
+    _run_profile,
+    oracle=_PROFILE_ORACLE,
+    tables=["documents"],
+    doc="per-format media profile from metadata structs (bytes never decoded)",
+)
+
+
+def _run_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import functions as F
+
+    from ducklake_spark.operators.multimodal import sample_frames
+
+    frames = sample_frames(_media_df(spark, sf_dir), every=10)
+    return (
+        frames.groupBy("doc_id")
+        .agg(
+            F.count("*").alias("n_sampled"),
+            F.lower(
+                F.hex(F.min_by("frame", "frame_idx"))
+            ).alias("frame0_sha256"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+_FRAMES_ORACLE = """
+SELECT doc_id,
+       CAST(ceil((octet_length(encode(text)) % 100 + 1) / 10.0) AS BIGINT) AS n_sampled,
+       sha256(text || '#0') AS frame0_sha256
+FROM documents ORDER BY doc_id
+"""
+
+df_query(
+    "mm_frame_sample",
+    _run_frames,
+    oracle=_FRAMES_ORACLE,
+    tables=["documents"],
+    doc="Arrow-batched frame sampling; oracle verifies count + frame-0 sha256",
+)
+
+
+def _run_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ducklake_spark.operators.multimodal import image_features
+
+    return image_features(_media_df(spark, sf_dir)).orderBy("doc_id")
+
+
+df_query(
+    "mm_image_features",
+    _run_features,
+    oracle=None,  # np.percentile interpolation: no exact SQL twin
+    tables=["documents"],
+    doc="fake-decode image intensity features via mapInPandas (rows-only check)",
+)

@@ -1,0 +1,138 @@
+"""Unit tests for the scale-path operators (ANN, multimodal, as-of)."""
+
+from __future__ import annotations
+
+import hashlib
+
+import pytest
+from pyspark.sql import functions as F
+
+SF_DIR = "/root/testdata/sf0.001"
+
+
+@pytest.fixture(scope="module")
+def emb(spark):
+    return spark.read.parquet(f"{SF_DIR}/embeddings.parquet")
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    return spark.read.parquet(f"{SF_DIR}/documents.parquet")
+
+
+def test_ivf_assign_covers_all_vectors(emb):
+    from ducklake_spark.operators.similarity import ivf_assign
+
+    centroids = emb.filter("vec_id >= 10 AND vec_id < 18").select(
+        F.col("vec_id").alias("centroid_id"), F.col("embedding").alias("centroid")
+    )
+    assigned = ivf_assign(emb, centroids)
+    assert assigned.count() == emb.count()  # exactly one cell per vector
+    cells = {r.cell_id for r in assigned.select("cell_id").distinct().collect()}
+    assert cells <= set(range(10, 18))
+    # a centroid's own vector must land in its own cell (cos=1 maximum)
+    own = assigned.filter("vec_id >= 10 AND vec_id < 18")
+    assert all(r.vec_id == r.cell_id for r in own.collect())
+
+
+def test_ivf_topk_matches_bruteforce_within_cell(emb, spark):
+    from ducklake_spark.operators.similarity import cosine, ivf_topk
+
+    centroids = emb.filter("vec_id >= 10 AND vec_id < 18").select(
+        F.col("vec_id").alias("centroid_id"), F.col("embedding").alias("centroid")
+    )
+    probes = emb.filter("vec_id < 3")
+    out = ivf_topk(emb, probes, centroids, k=5, nprobe=1).collect()
+    assert {r.query_id for r in out} <= {0, 1, 2}
+    for qid in {r.query_id for r in out}:
+        ranks = sorted(r.rank for r in out if r.query_id == qid)
+        assert ranks == list(range(1, len(ranks) + 1))
+        assert all(r.neighbor_id != qid for r in out if r.query_id == qid)
+
+
+def test_lsh_bucket_is_deterministic(emb):
+    from ducklake_spark.operators.similarity import lsh_bucket
+
+    tagged = emb.select("vec_id", lsh_bucket(F.col("embedding"), 6).alias("b"))
+    a = {r.vec_id: r.b for r in tagged.collect()}
+    b = {r.vec_id: r.b for r in tagged.collect()}
+    assert a == b
+    assert all(0 <= v < 64 for v in a.values())
+    assert len(set(a.values())) > 8  # projections actually spread the space
+
+
+def test_multimodal_image_features_schema_and_determinism(docs):
+    from ducklake_spark.operators.multimodal import (
+        _decode_image_fake,
+        attach_fake_media,
+        image_features,
+    )
+
+    media = attach_fake_media(docs.limit(20))
+    feats = image_features(media).collect()
+    assert len(feats) == 20
+    row = {r.doc_id: r for r in feats}
+    src = {r.doc_id: r.text for r in docs.limit(20).collect()}
+    for did, r in row.items():
+        img = _decode_image_fake(src[did].encode()).astype(float)
+        assert r.mean_intensity == pytest.approx(img.mean())
+        assert r.byte_len == len(src[did].encode())
+
+
+def test_multimodal_frame_bytes_cross_arrow_boundary(docs):
+    from ducklake_spark.operators.multimodal import attach_fake_media, sample_frames
+
+    media = attach_fake_media(docs.limit(5))
+    frames = sample_frames(media, every=10).collect()
+    src = {r.doc_id: r.text.encode() for r in docs.limit(5).collect()}
+    for fr in frames:
+        expect = hashlib.sha256(src[fr.doc_id] + f"#{fr.frame_idx}".encode()).digest()
+        assert bytes(fr.frame) == expect
+
+
+def test_multimodal_real_codec_is_explicit_stub(docs):
+    from ducklake_spark.operators.multimodal import _decode_image_real
+
+    with pytest.raises(NotImplementedError):
+        _decode_image_real(b"\x89PNG")
+
+
+def test_asof_join_backward(spark):
+    from ducklake_spark.operators.asof import asof_join
+
+    trades = spark.createDataFrame(
+        [("A", 10, 100.0), ("A", 20, 101.0), ("B", 15, 50.0)],
+        "sym string, t long, px double",
+    )
+    quotes = spark.createDataFrame(
+        [("A", 5, 99.0), ("A", 12, 100.5), ("A", 25, 102.0), ("B", 20, 51.0)],
+        "sym string, t long, bid double",
+    )
+    out = asof_join(trades, quotes, on="sym", time_col="t").collect()
+    got = {(r.sym, r.t): r.bid_right for r in out}
+    assert got == {("A", 10): 99.0, ("A", 20): 100.5, ("B", 15): None}
+
+
+def test_range_join_buckets(spark):
+    import datetime as dt
+
+    from ducklake_spark.operators.asof import range_join
+
+    base = dt.datetime(2024, 1, 1)
+    left = spark.createDataFrame(
+        [(1, base), (2, base + dt.timedelta(hours=3))], "id long, ts timestamp"
+    )
+    right = spark.createDataFrame(
+        [(10, base + dt.timedelta(minutes=30)), (11, base + dt.timedelta(hours=5))],
+        "rid long, rts timestamp",
+    )
+    out = range_join(
+        left,
+        right,
+        left_time="ts",
+        right_time="rts",
+        lower=F.expr("INTERVAL 0 seconds"),
+        upper=F.expr("INTERVAL 1 hour"),
+        bucket="1 hour",
+    ).collect()
+    assert {(r.id, r.rid) for r in out} == {(1, 10)}
