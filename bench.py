@@ -46,6 +46,15 @@ def main() -> None:
     spark = get_spark("bench")
     registry = all_queries()
 
+    # Untimed warmup: registers every input table once (footer reads)
+    # and runs one cheap scan+filter+agg so JVM/codegen startup is not
+    # billed to the first timed query. Steady-state is what the
+    # median-of-N protocol in BASELINE.md measures.
+    from ducklake_spark.queries import load_tables
+
+    load_tables(spark, sf_dir)
+    registry["tpch_q06"].run(spark, sf_dir).count()
+
     timings: dict[str, float] = {}
     for name in BENCH_QUERIES:
         q = registry[name]

@@ -730,6 +730,113 @@ class DuckLake:
             )
         return None
 
+    def topn(self, name: str, order_col: str, limit: int, *,
+             descending: bool = True, where: str | None = None) -> DataFrame:
+        """Top-N scan with stats-ordered file pruning.
+
+        The reference re-prunes the file list mid-scan from the Top-N
+        operator's evolving threshold (ducklake_multi_file_list.cpp:58-84,
+        stats-ordered listing ducklake_metadata_manager.cpp:1779-1827).
+        Spark has no mid-query re-planning seam, so we apply the static
+        variant at plan time: sort surviving files by the order column's
+        zone-map bound, walk until the accumulated net row count can
+        satisfy N (threshold T = worst kept bound), and drop every file
+        whose range provably cannot beat T. Files lacking stats are
+        always kept. At 100 TB this turns "sort everything" into
+        "scan the few newest/densest files" for the common
+        ORDER BY ts DESC LIMIT k access pattern.
+        """
+        h = self._handle(name)
+        snap = self._resolve_snapshot(None, None)
+        files = self._visible_files(h, snap, where)
+        colmap = {c[1]: c[0] for c in h.columns}
+        cid = colmap.get(order_col)
+        if cid is not None and files:
+            stats = {
+                fid: (mn, mx)
+                for fid, mn, mx in self.meta.query(
+                    "SELECT data_file_id, min_value, max_value "
+                    "FROM ducklake_file_column_stats "
+                    "WHERE table_id = ? AND column_id = ? "
+                    "AND min_value IS NOT NULL AND max_value IS NOT NULL",
+                    (h.table_id, cid),
+                )
+            }
+            dtype = dict((c[1], c[2]) for c in h.columns).get(order_col, "varchar")
+            numeric = dtype in (
+                "int8", "int16", "int32", "int64", "float32", "float64",
+            ) or dtype.startswith("decimal")
+            conv = (lambda s: float(s)) if numeric else (lambda s: s)
+            deletes = dict(
+                self.meta.query(
+                    "SELECT data_file_id, SUM(delete_count) FROM ducklake_delete_file "
+                    "WHERE table_id = ? AND begin_snapshot <= ? "
+                    "AND (end_snapshot IS NULL OR end_snapshot > ?) "
+                    "GROUP BY data_file_id",
+                    (h.table_id, snap.snapshot_id, snap.snapshot_id),
+                )
+            )
+
+            def bound(f):  # best value this file could contribute
+                s = stats.get(f["data_file_id"])
+                if s is None:
+                    return None
+                return conv(s[1]) if descending else conv(s[0])
+
+            def worst(f):
+                s = stats.get(f["data_file_id"])
+                return conv(s[0]) if descending else conv(s[1])
+
+            with_stats = [f for f in files if bound(f) is not None]
+            no_stats = [f for f in files if bound(f) is None]
+            with_stats.sort(key=bound, reverse=descending)
+            kept, acc, thresh = [], 0, None
+            for f in with_stats:
+                if thresh is not None:
+                    b = bound(f)
+                    if (descending and b < thresh) or (not descending and b > thresh):
+                        continue  # provably cannot reach the top N
+                kept.append(f)
+                acc += f["record_count"] - int(deletes.get(f["data_file_id"], 0) or 0)
+                if acc >= limit and thresh is None:
+                    w = [worst(f2) for f2 in kept]
+                    thresh = min(w) if descending else max(w)
+            files = kept + no_stats
+        schema = self._spark_schema(h)
+        deletes_e = self._delete_entries(h, snap, [f["data_file_id"] for f in files])
+        df = self._read_files(h, snap, files, schema, deletes_e, False)
+        inlined = self._read_inlined(h, snap, schema, False)
+        if inlined is not None:
+            df = df.unionByName(inlined) if df is not None else inlined
+        if df is None:
+            df = self.spark.createDataFrame([], schema)
+        if where is not None:
+            df = df.filter(where)
+        order = F.col(order_col).desc() if descending else F.col(order_col).asc()
+        return df.orderBy(order).limit(limit)
+
+    def column_stats(self, name: str) -> DataFrame:
+        """Global per-column stats from the catalog — a metadata-only
+        answer for min/max/null questions (reference:
+        ducklake_table_column_stats, merged write-side; stats are
+        widen-only so they are bounds, exact after pure inserts)."""
+        h = self._handle(name)
+        cols = {c[0]: (c[1], c[2]) for c in h.columns}
+        rows = [
+            (cols[cid][0], cols[cid][1], bool(cn), mn, mx)
+            for cid, cn, mn, mx in self.meta.query(
+                "SELECT column_id, contains_null, min_value, max_value "
+                "FROM ducklake_table_column_stats WHERE table_id = ?",
+                (h.table_id,),
+            )
+            if cid in cols
+        ]
+        return self.spark.createDataFrame(
+            rows,
+            "column_name string, column_type string, contains_null boolean, "
+            "min_value string, max_value string",
+        )
+
     def row_count(self, name: str) -> int:
         """count(*) fast path answered from ducklake_table_stats
         (reference: DuckLakeGetPartitionStats exactness rule,

@@ -28,6 +28,9 @@ from dataclasses import dataclass, field
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+# applicationId -> {table: sf_dir} of already-registered temp views
+_LOADED: dict[str, dict[str, str]] = {}
+
 ALL_TABLES = (
     "region",
     "nation",
@@ -49,7 +52,15 @@ def load_tables(spark: SparkSession, sf_dir: str, tables: Sequence[str] = ALL_TA
     reader rejects; read it as raw nanos (legacy conf) and convert with
     integer division (ns ≈ 1.7e18 overflows double precision, so DIV,
     not ``/``) — DuckDB equivalently truncates ns → µs on read.
+
+    Registration is memoized per (session, sf_dir): footer/schema reads
+    cost ~100 ms per call, which a 30-query bench pays 30× otherwise.
+    The testdata is immutable, so staleness is not a concern.
     """
+    loaded = _LOADED.setdefault(spark.sparkContext.applicationId, {})
+    tables = [t for t in tables if loaded.get(t) != sf_dir]
+    if not tables:
+        return
     for t in tables:
         if t == "events":
             spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
@@ -61,6 +72,7 @@ def load_tables(spark: SparkSession, sf_dir: str, tables: Sequence[str] = ALL_TA
             df.createOrReplaceTempView(t)
         else:
             spark.read.parquet(f"{sf_dir}/{t}.parquet").createOrReplaceTempView(t)
+        loaded[t] = sf_dir
 
 
 @dataclass(frozen=True)

@@ -5,8 +5,8 @@ shingling explodes to a (doc_id, shingle) relation that Spark
 shuffles by shingle/band hash, so 100 TB of documents parallelizes by
 key with no driver-side state. MinHash signatures use md5 (available
 and bit-identical in both Spark and DuckDB), with per-band seeds and
-lexicographic-min hex as the min-hash — engine-portable determinism
-without custom hash UDFs.
+the numeric min of the 60-bit md5 prefix as the min-hash —
+engine-portable determinism without custom hash UDFs.
 
 - exact dedup: hash-groupBy on content digest.
 - MinHash+LSH: shingle -> per-band min(md5(shingle||seed)) -> band
@@ -92,10 +92,27 @@ _DUCK_SHINGLES = """
 _SPARK_BANDS = "bands AS (SELECT explode(sequence(0, {n})) AS band)"
 _DUCK_BANDS = "bands AS (SELECT unnest(range(0, {n1})) AS band)"
 
-_SIG = """
+# The per-band min-hash is a 32-bit slice of md5, as a BIGINT: two md5
+# calls per shingle (seeded '', '#') cover all 8 bands — hashing is the
+# dominant per-shingle cost, so 2 beats 8 — and numeric agg buffers
+# keep Spark on HashAggregate (min(string) falls back to the slower
+# SortAggregate). Spark converts hex with conv(), DuckDB with the '0x'
+# cast; both yield the same integer.
+
+
+def _band_hash(dialect: str, band: str) -> str:
+    h = f"CASE WHEN {band} < 4 THEN md5(shingle) ELSE md5(concat('#', shingle)) END"
+    off = f"1 + 8 * CAST({band} % 4 AS INT)"
+    if dialect == "spark":
+        return f"CAST(conv(substring({h}, {off}, 8), 16, 10) AS BIGINT)"
+    return f"CAST('0x' || substring({h}, {off}, 8) AS BIGINT)"
+
+
+def _sig(dialect: str) -> str:
+    return f"""
     sig AS (
         SELECT doc_id, band,
-               MIN(md5(concat(shingle, '#', CAST(band AS STRING)))) AS minhash
+               MIN({_band_hash(dialect, "band")}) AS minhash
         FROM shingles CROSS JOIN bands
         GROUP BY doc_id, band
     )
@@ -109,14 +126,73 @@ _PAIRS = """
 """
 
 
-def _minhash_sql(dialect: str) -> str:
-    shingles = _SPARK_SHINGLES if dialect == "spark" else _DUCK_SHINGLES
-    bands = (
-        _SPARK_BANDS.format(n=N_BANDS - 1)
-        if dialect == "spark"
-        else _DUCK_BANDS.format(n1=N_BANDS)
+# Spark fast path for the signature: MIN is insensitive to duplicate
+# shingles, so the DISTINCT shuffle is dropped, and all 8 band
+# minhashes are computed as agg columns in ONE grouped pass (map-side
+# partial min -> the shuffle carries |docs| rows, not |shingles|x8),
+# then unpivoted with stack(). Semantically identical to the banded
+# form the oracle runs.
+_SPARK_SHINGLES_DUP = """
+    toks AS (
+        SELECT doc_id, split(text, ' ') AS t FROM documents
+    ),
+    shingles AS (
+        SELECT doc_id,
+               explode(transform(sequence(0, size(t) - 3),
+                                 i -> concat_ws(' ', t[i], t[i+1], t[i+2]))) AS shingle
+        FROM toks
+        WHERE size(t) >= 3
     )
-    return f"WITH {shingles}, {bands}, {_SIG} {_PAIRS}"
+"""
+
+
+def _spark_sig_wide() -> str:
+    mins = ",\n               ".join(
+        f"MIN({_band_hash('spark', str(b))}) AS m{b}" for b in range(N_BANDS)
+    )
+    stack = ", ".join(f"{b}, m{b}" for b in range(N_BANDS))
+    return f"""
+    sigw AS (
+        SELECT doc_id,
+               {mins}
+        FROM shingles
+        GROUP BY doc_id
+    ),
+    sig AS (
+        SELECT doc_id, stack({N_BANDS}, {stack}) AS (band, minhash) FROM sigw
+    )
+"""
+
+
+# Spark pair generation: a sig self-join recomputes the whole shingle
+# pipeline for the broadcast build side (no exchange reuse under a
+# broadcast), doubling the query. Grouping each (band, minhash) bucket
+# once and emitting in-bucket combinations from the sorted doc list
+# computes sig exactly once — same pairs, one pass.
+_SPARK_BUCKET_PAIRS = """
+    buckets AS (
+        SELECT array_sort(collect_list(doc_id)) AS ds
+        FROM sig
+        GROUP BY band, minhash
+    ),
+    pairs AS (
+        SELECT explode(flatten(transform(ds, (x, i) ->
+                   transform(slice(ds, i + 2, size(ds)),
+                             y -> named_struct('doc_a', x, 'doc_b', y))))) AS p
+        FROM buckets
+        WHERE size(ds) >= 2
+    )
+    SELECT DISTINCT p.doc_a AS doc_a, p.doc_b AS doc_b
+    FROM pairs
+    ORDER BY doc_a, doc_b
+"""
+
+
+def _minhash_sql(dialect: str) -> str:
+    if dialect == "spark":
+        return f"WITH {_SPARK_SHINGLES_DUP}, {_spark_sig_wide()}, {_SPARK_BUCKET_PAIRS}"
+    bands = _DUCK_BANDS.format(n1=N_BANDS)
+    return f"WITH {_DUCK_SHINGLES}, {bands}, {_sig('duckdb')} {_PAIRS}"
 
 
 sql_query(
@@ -136,7 +212,7 @@ def _jaccard_sql(dialect: str) -> str:
         else _DUCK_BANDS.format(n1=N_BANDS)
     )
     return f"""
-    WITH {shingles}, {bands}, {_SIG},
+    WITH {shingles}, {bands}, {_sig(dialect)},
     cand AS (
         SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
         FROM sig a

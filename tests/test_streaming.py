@@ -87,3 +87,38 @@ def test_streaming_windowed_agg_with_watermark(lake, spark):
     out = spark.sql("SELECT n, total FROM win_out ORDER BY total").collect()
     assert [r.n for r in out] == [10, 10, 10]
     assert [r.total for r in out] == [45.0, 145.0, 245.0]
+
+
+def test_lake_sink_end_to_end(lake, spark, tmp_path):
+    """bronze -> silver: stream one table's change feed into another
+    lake table via foreachBatch; each batch = one snapshot."""
+    from ducklake_spark.streaming.cdc_source import changes_stream
+    from ducklake_spark.streaming.lake_sink import write_stream
+
+    lake.create_table("bronze", [("i", "int64"), ("v", "varchar")])
+    lake.create_table("silver", [("i", "int64"), ("v", "varchar")])
+    lake.insert(
+        "bronze", spark.createDataFrame([(1, "a"), (2, "b")], "i long, v string")
+    )
+    stream = changes_stream(lake, "bronze").filter("change_type = 'insert'").select(
+        "i", "v"
+    )
+    q = write_stream(
+        stream,
+        lake,
+        "silver",
+        checkpoint=str(tmp_path / "ckpt"),
+        trigger={"availableNow": True},
+    )
+    q.awaitTermination(120)
+    out = lake.table("silver").collect()
+    assert {(r.i, r.v) for r in out} == {(1, "a"), (2, "b")}
+    # the batch snapshot carries the idempotence tag
+    tags = [
+        r[0]
+        for r in lake.meta.query(
+            "SELECT commit_message FROM ducklake_snapshot_changes "
+            "WHERE commit_message LIKE 'streaming_batch:%'"
+        )
+    ]
+    assert tags and tags[0].startswith("streaming_batch:silver:")
