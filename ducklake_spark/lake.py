@@ -371,6 +371,102 @@ class DuckLake:
         txn.change_log.append(f"altered_table:{h.table_id}")
         self._autocommit()
 
+    def set_sorted_by(self, name: str, keys: list[tuple[str, str]]) -> None:
+        """keys = [(column_expr, 'asc'|'desc')]; applied on insert when
+        ``sort_on_insert`` (reference: SET SORTED BY,
+        ducklake_table_entry.cpp:1262; schema ducklake_sort_info/
+        ducklake_sort_expression)."""
+        h = self._handle(name)
+        txn = self.begin()
+
+        def op(con, snap_id, h=h, keys=keys):
+            con.execute(
+                "UPDATE ducklake_sort_info SET end_snapshot=? "
+                "WHERE table_id=? AND end_snapshot IS NULL",
+                (snap_id, h.table_id),
+            )
+            sid = con.execute(
+                "SELECT COALESCE(MAX(sort_id), -1) + 1 FROM ducklake_sort_info"
+            ).fetchone()[0]
+            con.execute(
+                "INSERT INTO ducklake_sort_info VALUES (?, ?, ?, NULL)",
+                (sid, h.table_id, snap_id),
+            )
+            for i, (expr, direction) in enumerate(keys):
+                con.execute(
+                    "INSERT INTO ducklake_sort_expression VALUES "
+                    "(?, ?, ?, ?, 'spark', ?, 'nulls_last')",
+                    (sid, h.table_id, i, expr, direction.lower()),
+                )
+
+        txn.column_changes.setdefault(h.table_id, []).append(op)
+        txn.change_log.append(f"altered_table:{h.table_id}")
+        self._autocommit()
+
+    def _alter_column(self, name: str, col_name: str, mutate) -> None:
+        """Version a single column row: close the live row, insert the
+        mutated copy at the new snapshot (the AlterTable pattern of
+        ducklake_table_entry.cpp)."""
+        h = self._handle(name)
+        cur = next((c for c in h.columns if c[1] == col_name), None)
+        if cur is None:
+            raise DuckLakeError(f"no column {col_name!r}")
+        txn = self.begin()
+
+        def op(con, snap_id, h=h, cid=cur[0], mutate=mutate):
+            row = con.execute(
+                "SELECT column_order, column_name, column_type, initial_default, "
+                "default_value, nulls_allowed, parent_column FROM ducklake_column "
+                "WHERE table_id=? AND column_id=? AND end_snapshot IS NULL",
+                (h.table_id, cid),
+            ).fetchone()
+            vals = mutate(dict(zip(
+                ["column_order", "column_name", "column_type", "initial_default",
+                 "default_value", "nulls_allowed", "parent_column"], row)))
+            con.execute(
+                "UPDATE ducklake_column SET end_snapshot=? "
+                "WHERE table_id=? AND column_id=? AND end_snapshot IS NULL",
+                (snap_id, h.table_id, cid),
+            )
+            con.execute(
+                "INSERT INTO ducklake_column VALUES "
+                "(?, ?, NULL, ?, ?, ?, ?, ?, ?, ?, ?, NULL, NULL)",
+                (cid, snap_id, h.table_id, vals["column_order"], vals["column_name"],
+                 vals["column_type"], vals["initial_default"], vals["default_value"],
+                 vals["nulls_allowed"], vals["parent_column"]),
+            )
+
+        txn.column_changes.setdefault(h.table_id, []).append(op)
+        txn.change_log.append(f"altered_table:{h.table_id}")
+        self._autocommit()
+
+    def set_not_null(self, name: str, col_name: str) -> None:
+        """reference: ducklake_table_entry.cpp:661-730 — existing rows
+        must already satisfy the constraint."""
+        df = self.table(name)
+        if df.filter(F.col(col_name).isNull()).limit(1).count() > 0:
+            raise DuckLakeError(
+                f"cannot SET NOT NULL: column {col_name!r} contains NULLs"
+            )
+        self._alter_column(name, col_name, lambda v: {**v, "nulls_allowed": 0})
+
+    def drop_not_null(self, name: str, col_name: str) -> None:
+        self._alter_column(name, col_name, lambda v: {**v, "nulls_allowed": 1})
+
+    def set_default(self, name: str, col_name: str, default: str | None) -> None:
+        """SET/DROP DEFAULT (ducklake_table_entry.cpp:831): applies to
+        future inserts; stored as SQL text."""
+        self._alter_column(name, col_name, lambda v: {**v, "default_value": default})
+
+    def set_option(self, option: str, value: str, *, table_name: str | None = None) -> None:
+        """Scoped config (reference: ducklake_set_option.cpp:92-171).
+        Table scope when ``table_name`` given, else global."""
+        if table_name is not None:
+            h = self._handle(table_name)
+            self.meta.set_option(option, value, scope="table", scope_id=h.table_id)
+        else:
+            self.meta.set_option(option, value)
+
     def create_view(self, name: str, sql: str, dialect: str = "spark") -> None:
         schema_name, vname = self._split_name(name)
         txn = self.begin()
@@ -454,8 +550,22 @@ class DuckLake:
     def _conform(self, df: DataFrame, schema: T.StructType, h: TableHandle) -> DataFrame:
         names = [f.name for f in schema.fields]
         missing = [n for n in names if n not in df.columns]
+        defaults = {}
+        if missing:
+            defaults = {
+                cname: dv
+                for cname, dv in self.meta.query(
+                    "SELECT column_name, default_value FROM ducklake_column "
+                    "WHERE table_id=? AND end_snapshot IS NULL "
+                    "AND default_value IS NOT NULL",
+                    (h.table_id,),
+                )
+            }
         for n in missing:
-            df = df.withColumn(n, F.lit(None))
+            # stored DEFAULT (SQL text, dialect 'spark') applies to new rows
+            df = df.withColumn(
+                n, F.expr(defaults[n]) if n in defaults else F.lit(None)
+            )
         df = df.select([F.col(n).cast(f.dataType).alias(n) for n, f in zip(names, schema.fields)])
         # NOT NULL enforcement at write time (reference supports NOT NULL —
         # ducklake_table_entry.cpp:661-730; PRIMARY KEY/CHECK are rejected)
@@ -505,10 +615,20 @@ class DuckLake:
             writer = writer.sortWithinPartitions(
                 *[F.col(c).asc() if d == "asc" else F.col(c).desc() for c, d in sort_spec]
             )
-        target_file_size = int(self.meta.option("target_file_size", "0") or 0)
+        opt = lambda k, d=None: self.meta.option(k, d, scope="table", scope_id=h.table_id)
+        target_file_size = int(opt("target_file_size", "0") or 0)
         w = writer.write.mode("overwrite")
         if target_file_size:
             w = w.option("maxRecordsPerFile", max(10_000, target_file_size // 200))
+        compression = opt("parquet_compression")
+        if compression:  # uncompressed/snappy/gzip/zstd/lz4 (ducklake_set_option.cpp:92)
+            w = w.option("compression", compression)
+        rg_size = opt("parquet_row_group_size")
+        if rg_size:
+            w = w.option("parquet.block.size.row.check.min", rg_size)
+        rg_bytes = opt("parquet_row_group_size_bytes")
+        if rg_bytes:
+            w = w.option("parquet.block.size", rg_bytes)
         if part_cols:
             w = w.partitionBy(*part_cols)
         w.parquet(tmp)

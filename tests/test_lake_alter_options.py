@@ -1,0 +1,82 @@
+"""SET SORTED BY / NOT NULL / DEFAULT / scoped options coverage."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+
+@pytest.fixture()
+def lake(spark, tmp_path):
+    from ducklake_spark.lake import DuckLake
+
+    return DuckLake.attach(spark, str(tmp_path / "meta.db"), str(tmp_path / "data"))
+
+
+def test_set_sorted_by_orders_rows_in_files(lake, spark):
+    lake.create_table("t", [("k", "int64"), ("v", "varchar")])
+    lake.set_sorted_by("t", [("k", "desc")])
+    lake.insert(
+        "t",
+        spark.createDataFrame([(3, "c"), (1, "a"), (2, "b")], "k long, v string")
+        .coalesce(1),
+    )
+    # rows inside the written file follow the sort spec
+    import glob as g
+    import pyarrow.parquet as pq
+
+    files = g.glob(f"{lake.data_path}/**/*.parquet", recursive=True)
+    ks = pq.read_table(files[0]).column("k").to_pylist()
+    assert ks == sorted(ks, reverse=True)
+
+
+def test_set_not_null_validates_and_enforces(lake, spark):
+    from ducklake_spark.lake import DuckLakeError
+
+    lake.create_table("t", [("i", "int64"), ("s", "varchar")])
+    lake.insert(
+        "t", spark.createDataFrame([(1, "a"), (2, None)], "i long, s string")
+    )
+    with pytest.raises(DuckLakeError):
+        lake.set_not_null("t", "s")  # existing NULLs block the alter
+    lake.set_not_null("t", "i")
+    with pytest.raises(Exception):
+        lake.insert("t", spark.createDataFrame([(None, "x")], "i long, s string"))
+    lake.drop_not_null("t", "i")
+    lake.insert("t", spark.createDataFrame([(None, "x")], "i long, s string"))
+    assert lake.table("t").count() == 3
+
+
+def test_set_default_applies_to_future_inserts(lake, spark):
+    lake.create_table("t", [("i", "int64"), ("tag", "varchar")])
+    lake.set_default("t", "tag", "'untagged'")
+    lake.insert("t", spark.createDataFrame([(1,)], "i long"))
+    lake.set_default("t", "tag", None)  # DROP DEFAULT
+    lake.insert("t", spark.createDataFrame([(2,)], "i long"))
+    rows = {r.i: r.tag for r in lake.table("t").collect()}
+    assert rows == {1: "untagged", 2: None}
+
+
+def test_scoped_options_drive_writer(lake, spark, tmp_path):
+    lake.create_table("t", [("i", "int64")])
+    lake.set_option("parquet_compression", "zstd", table_name="t")
+    lake.insert("t", spark.range(1000).select(F.col("id").alias("i")))
+    import glob as g
+    import pyarrow.parquet as pq
+
+    files = g.glob(f"{lake.data_path}/**/*.parquet", recursive=True)
+    codecs = {
+        pq.ParquetFile(f).metadata.row_group(0).column(0).compression
+        for f in files
+    }
+    assert codecs == {"ZSTD"}
+    # global scope fills where the table scope is silent
+    lake.create_table("u", [("i", "int64")])
+    lake.set_option("parquet_compression", "gzip")
+    lake.insert("u", spark.range(10).select(F.col("id").alias("i")))
+    ufiles = [f for f in g.glob(f"{lake.data_path}/**/*.parquet", recursive=True)
+              if f not in files]
+    assert {
+        pq.ParquetFile(f).metadata.row_group(0).column(0).compression
+        for f in ufiles
+    } == {"GZIP"}
