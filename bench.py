@@ -68,6 +68,8 @@ def main() -> None:
         timings[name] = round(statistics.median(samples), 4)
         print(f"# {name}: {timings[name]:.3f}s ({n} rows)", file=sys.stderr)
 
+    maintenance = _bench_maintenance(spark, sf_dir)
+
     total = round(sum(timings.values()), 4)
     print(
         json.dumps(
@@ -76,10 +78,66 @@ def main() -> None:
                 "value": total,
                 "unit": "sec",
                 "queries": timings,
+                "maintenance": maintenance,
                 "sf": sf,
             }
         )
     )
+
+
+def _bench_maintenance(spark, sf_dir: str) -> dict[str, float]:
+    """DML/maintenance round: bulk insert -> delete 10% -> update ->
+    compact -> checkpoint, timed per step on a scratch lake (the
+    BASELINE.md protocol's maintenance suite). Not part of the
+    headline query total."""
+    import shutil
+    import tempfile
+
+    from pyspark.sql import functions as F
+
+    from ducklake_spark.lake import DuckLake
+    from ducklake_spark import dml, maintenance as maint
+
+    scratch = tempfile.mkdtemp(prefix="bench_lake_")
+    out: dict[str, float] = {}
+    try:
+        lake = DuckLake.attach(
+            spark, f"{scratch}/meta.db", f"{scratch}/data"
+        )
+        # 16 writer tasks -> 16 files, so compaction has real work
+        src = spark.read.parquet(f"{sf_dir}/lineitem.parquet").repartition(16)
+
+        t0 = time.time()
+        lake.create_table_as("lineitem", src)
+        out["insert_lineitem"] = round(time.time() - t0, 4)
+
+        t0 = time.time()
+        maint.merge_adjacent_files(lake)  # packs the fresh small files
+        out["compact"] = round(time.time() - t0, 4)
+
+        t0 = time.time()
+        dml.delete(lake, "lineitem", "l_quantity < 5")
+        out["delete_10pct"] = round(time.time() - t0, 4)
+
+        t0 = time.time()
+        dml.update(
+            lake, "lineitem", {"l_comment": "'updated'"}, "l_quantity >= 49"
+        )
+        out["update_2pct"] = round(time.time() - t0, 4)
+
+        t0 = time.time()
+        maint.rewrite_data_files(lake, delete_threshold=0.05)
+        out["rewrite_deleted"] = round(time.time() - t0, 4)
+
+        t0 = time.time()
+        n = lake.table("lineitem").count()
+        out["full_scan_after"] = round(time.time() - t0, 4)
+        print(f"# maintenance: {out} ({n} rows after)", file=sys.stderr)
+    except Exception as e:  # never fail the bench line on maintenance
+        print(f"# maintenance bench failed: {e}", file=sys.stderr)
+    finally:
+        shutil.rmtree(scratch, ignore_errors=True)
+    return out
 
 
 if __name__ == "__main__":
