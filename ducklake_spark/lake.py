@@ -458,6 +458,129 @@ class DuckLake:
         future inserts; stored as SQL text."""
         self._alter_column(name, col_name, lambda v: {**v, "default_value": default})
 
+    # -- nested struct field evolution (ducklake_table_entry.cpp:1069-1306) --
+
+    @staticmethod
+    def _struct_parts(type_str: str) -> list[tuple[str, str]]:
+        from ducklake_spark.catalog.types import _split_top
+
+        m = re.fullmatch(r"struct<(.+)>", type_str)
+        if m is None:
+            raise DuckLakeError(f"not a struct column: {type_str!r}")
+        return [tuple(p.split(":", 1)) for p in _split_top(m.group(1))]
+
+    def _mutate_struct(self, name: str, col_name: str, edit) -> None:
+        h = self._handle(name)
+        cur = next((c for c in h.columns if c[1] == col_name), None)
+        if cur is None:
+            raise DuckLakeError(f"no column {col_name!r}")
+        parts = self._struct_parts(cur[2])
+        new_parts = edit(parts)
+        if not new_parts:
+            raise DuckLakeError("cannot drop the last struct field")
+        new_type = "struct<" + ",".join(f"{n}:{t}" for n, t in new_parts) + ">"
+        self._alter_column(name, col_name, lambda v: {**v, "column_type": new_type})
+
+    def add_field(self, name: str, col_name: str, field_name: str, field_type: str) -> None:
+        """ADD nested FIELD: appended at the end of the struct; old files
+        read the new field as NULL (name-resolved nested schema merge)."""
+        def edit(parts):
+            if any(n == field_name for n, _ in parts):
+                raise DuckLakeError(f"field {field_name!r} already exists")
+            return parts + [(field_name, field_type)]
+
+        self._mutate_struct(name, col_name, edit)
+
+    def drop_field(self, name: str, col_name: str, field_name: str) -> None:
+        """REMOVE nested FIELD: dropped from the requested read schema;
+        bytes in old files are simply never scanned again."""
+        def edit(parts):
+            if not any(n == field_name for n, _ in parts):
+                raise DuckLakeError(f"no field {field_name!r}")
+            return [(n, t) for n, t in parts if n != field_name]
+
+        self._mutate_struct(name, col_name, edit)
+
+    def rename_field(self, name: str, col_name: str, old: str, new: str) -> None:
+        """RENAME nested FIELD (metadata-only). Files written before the
+        rename still carry the old name; the reader replays the rename
+        log per file epoch (``field_rename`` column tags) and rebuilds
+        the struct positionally — no data rewrite."""
+        h = self._handle(name)
+        cur = next((c for c in h.columns if c[1] == col_name), None)
+        if cur is None:
+            raise DuckLakeError(f"no column {col_name!r}")
+
+        parts = self._struct_parts(cur[2])
+        if not any(n == old for n, _ in parts):
+            raise DuckLakeError(f"no field {old!r}")
+        if any(n == new for n, _ in parts):
+            raise DuckLakeError(f"field {new!r} already exists")
+
+        txn = self.begin()
+
+        def tag_op(con, snap_id, h=h, cid=cur[0], old=old, new=new):
+            con.execute(
+                "INSERT INTO ducklake_column_tag VALUES (?, ?, ?, NULL, "
+                "'field_rename', ?)",
+                (h.table_id, cid, snap_id, f"{old}:{new}"),
+            )
+
+        txn.column_changes.setdefault(h.table_id, []).append(tag_op)
+        self._mutate_struct(
+            name, col_name,
+            lambda ps: [(new if n == old else n, t) for n, t in ps],
+        )
+
+    def _epoch_schema(
+        self, h: TableHandle, reader_schema: T.StructType, later: tuple
+    ) -> tuple[T.StructType, list[tuple[str, T.DataType]]]:
+        """Revert the renames in ``later`` (newest first) inside
+        ``reader_schema``; returns (epoch schema, [(col, current type)]
+        fix-ups to cast back after the read)."""
+        if not later:
+            return reader_schema, []
+        name_by_cid = {c[0]: c[1] for c in h.columns}
+        fields = {f.name: f for f in reader_schema.fields}
+        affected: set[str] = set()
+        for snap, cid, old, new in sorted(later, reverse=True):
+            cname = name_by_cid.get(cid)
+            if cname is None or cname not in fields:
+                continue
+            st = fields[cname].dataType
+            if not isinstance(st, T.StructType):
+                continue
+            fields[cname] = T.StructField(
+                cname,
+                T.StructType(
+                    [
+                        T.StructField(old if sf.name == new else sf.name, sf.dataType,
+                                      sf.nullable)
+                        for sf in st.fields
+                    ]
+                ),
+                fields[cname].nullable,
+            )
+            affected.add(cname)
+        epoch = T.StructType([fields[f.name] for f in reader_schema.fields])
+        fixups = [
+            (cname, next(f.dataType for f in reader_schema.fields if f.name == cname))
+            for cname in affected
+        ]
+        return epoch, fixups
+
+    def _rename_log(self, h: TableHandle) -> list[tuple[int, int, str, str]]:
+        """[(begin_snapshot, column_id, old, new)] of nested renames."""
+        out = []
+        for cid, snap, val in self.meta.query(
+            "SELECT column_id, begin_snapshot, value FROM ducklake_column_tag "
+            "WHERE table_id=? AND key='field_rename'",
+            (h.table_id,),
+        ):
+            old, _, new = val.partition(":")
+            out.append((snap, cid, old, new))
+        return sorted(out)
+
     def set_option(self, option: str, value: str, *, table_name: str | None = None) -> None:
         """Scoped config (reference: ducklake_set_option.cpp:92-171).
         Table scope when ``table_name`` given, else global."""
@@ -995,10 +1118,25 @@ class DuckLake:
         parts = []
         if native:
             reader_schema = self._reader_schema(h, schema)
-            parts.append(
-                self.spark.read.schema(reader_schema)
-                .parquet(*[os.path.join(self.data_path, f["path"]) for f in native])
-            )
+            renames = self._rename_log(h)
+            # group files by the nested renames that postdate them: those
+            # files still carry the old field names, so each epoch group
+            # reads with its own reverted schema and is rebuilt to the
+            # current names by positional struct cast (no rewrite).
+            groups: dict[tuple, list[dict]] = {}
+            for f in native:
+                later = tuple(
+                    r for r in renames if r[0] > self._file_begin_snapshot(f)
+                )
+                groups.setdefault(later, []).append(f)
+            for later, members in groups.items():
+                gschema, fixups = self._epoch_schema(h, reader_schema, later)
+                part = self.spark.read.schema(gschema).parquet(
+                    *[os.path.join(self.data_path, f["path"]) for f in members]
+                )
+                for cname, dtype in fixups:
+                    part = part.withColumn(cname, F.col(cname).cast(dtype))
+                parts.append(part)
         if foreign:
             plain = T.StructType(
                 [T.StructField(f_.name, f_.dataType, True) for f_ in schema.fields]
@@ -1333,11 +1471,17 @@ def _harvest_stats(pf, colmap: dict[str, int]) -> list[ColumnStatsRow]:
         g = md.row_group(rg)
         for ci in range(g.num_columns):
             col = g.column(ci)
-            name = col.path_in_schema.split(".")[0]
+            path = col.path_in_schema.split(".")
+            name = path[0]
             if name not in colmap:
                 continue
             row = agg.setdefault(name, ColumnStatsRow(column_id=colmap[name]))
             row.column_size_bytes += col.total_compressed_size
+            if len(path) > 1:
+                # nested leaf: the catalog keys stats by top-level column
+                # only (no per-leaf ids), so min/max of different leaves
+                # must not be merged — track size, skip value stats
+                continue
             s = col.statistics
             if s is None:
                 continue

@@ -133,6 +133,7 @@ def all_queries() -> dict[str, Query]:
     from ducklake_spark.queries import (  # noqa: F401
         analytics,
         ann,
+        clickbench,
         dedup,
         multimodal,
         similarity,

@@ -80,3 +80,63 @@ def test_scoped_options_drive_writer(lake, spark, tmp_path):
         pq.ParquetFile(f).metadata.row_group(0).column(0).compression
         for f in ufiles
     } == {"GZIP"}
+
+
+def test_nested_field_add_drop(lake, spark):
+    lake.create_table("t", [("i", "int64"), ("s", "struct<a:int64,b:varchar>")])
+    lake.insert(
+        "t",
+        spark.createDataFrame(
+            [(1, (10, "x"))], "i long, s struct<a:long,b:string>"
+        ),
+    )
+    lake.add_field("t", "s", "c", "float64")
+    lake.insert(
+        "t",
+        spark.createDataFrame(
+            [(2, (20, "y", 2.5))], "i long, s struct<a:long,b:string,c:double>"
+        ),
+    )
+    rows = {r.i: r.s.asDict() for r in lake.table("t").collect()}
+    assert rows[1] == {"a": 10, "b": "x", "c": None}  # old file: new field NULL
+    assert rows[2] == {"a": 20, "b": "y", "c": 2.5}
+    lake.drop_field("t", "s", "b")
+    rows = {r.i: r.s.asDict() for r in lake.table("t").collect()}
+    assert rows[1] == {"a": 10, "c": None}
+    assert rows[2] == {"a": 20, "c": 2.5}
+
+
+def test_nested_field_rename_reads_old_files(lake, spark):
+    lake.create_table("t", [("i", "int64"), ("s", "struct<a:int64,b:varchar>")])
+    lake.insert(
+        "t",
+        spark.createDataFrame(
+            [(1, (10, "x"))], "i long, s struct<a:long,b:string>"
+        ),
+    )
+    lake.rename_field("t", "s", "a", "alpha")
+    lake.insert(
+        "t",
+        spark.createDataFrame(
+            [(2, (20, "y"))], "i long, s struct<alpha:long,b:string>"
+        ),
+    )
+    rows = {r.i: r.s.asDict() for r in lake.table("t").collect()}
+    assert rows[1] == {"alpha": 10, "b": "x"}  # old file, old name, no rewrite
+    assert rows[2] == {"alpha": 20, "b": "y"}
+    # chained rename still resolves the oldest epoch
+    lake.rename_field("t", "s", "alpha", "alef")
+    rows = {r.i: r.s.asDict() for r in lake.table("t").collect()}
+    assert rows[1]["alef"] == 10 and rows[2]["alef"] == 20
+
+
+def test_nested_field_errors(lake, spark):
+    from ducklake_spark.lake import DuckLakeError
+
+    lake.create_table("t", [("s", "struct<a:int64>")])
+    with pytest.raises(DuckLakeError):
+        lake.drop_field("t", "s", "a")  # empty struct rejected
+    with pytest.raises(DuckLakeError):
+        lake.add_field("t", "s", "a", "int64")  # duplicate
+    with pytest.raises(DuckLakeError):
+        lake.rename_field("t", "s", "zz", "q")  # unknown field
