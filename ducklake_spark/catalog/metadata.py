@@ -227,16 +227,31 @@ class MetadataManager:
     # -- snapshot access ---------------------------------------------------
 
     def latest_snapshot(self) -> Snapshot:
+        """Latest *committed* snapshot (staged rows carry a NULL
+        snapshot_time until ducklake_commit finalizes them)."""
         row = self.con.execute(
             "SELECT snapshot_id, schema_version, next_catalog_id, next_file_id "
-            "FROM ducklake_snapshot ORDER BY snapshot_id DESC LIMIT 1"
+            "FROM ducklake_snapshot WHERE snapshot_time IS NOT NULL "
+            "ORDER BY snapshot_id DESC LIMIT 1"
         ).fetchone()
         return Snapshot(*row)
+
+    def allocation_head(self) -> Snapshot:
+        """Allocator state: the next snapshot id extends the committed
+        chain, but the catalog/file-id counters take the MAX over
+        staged rows too — staged commits hold id reservations that
+        must never be reused."""
+        latest = self.latest_snapshot()
+        next_cat, next_file = self.con.execute(
+            "SELECT MAX(next_catalog_id), MAX(next_file_id) FROM ducklake_snapshot"
+        ).fetchone()
+        return Snapshot(latest.snapshot_id, latest.schema_version, next_cat, next_file)
 
     def snapshot_at_version(self, version: int) -> Snapshot:
         row = self.con.execute(
             "SELECT snapshot_id, schema_version, next_catalog_id, next_file_id "
-            "FROM ducklake_snapshot WHERE snapshot_id = ?",
+            "FROM ducklake_snapshot WHERE snapshot_id = ? "
+            "AND snapshot_time IS NOT NULL",
             (version,),
         ).fetchone()
         if row is None:
@@ -262,7 +277,8 @@ class MetadataManager:
             "SELECT s.snapshot_id, COALESCE(c.changes_made, '') "
             "FROM ducklake_snapshot s "
             "LEFT JOIN ducklake_snapshot_changes c ON s.snapshot_id = c.snapshot_id "
-            "WHERE s.snapshot_id > ? ORDER BY s.snapshot_id",
+            "WHERE s.snapshot_id > ? AND s.snapshot_time IS NOT NULL "
+            "ORDER BY s.snapshot_id",
             (snapshot_id,),
         ).fetchall()
 

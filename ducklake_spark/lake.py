@@ -126,26 +126,48 @@ class DuckLake:
         self._txn = None
 
     class _TxnCtx:
-        def __init__(self, lake: DuckLake):
+        def __init__(self, lake: DuckLake, staged: bool = False):
             self.lake = lake
+            self.staged = staged
+            self.staged_snapshot: int | None = None
 
         def __enter__(self):
             self.lake._explicit_txn = True
             self.lake.begin()
-            return self.lake
+            return self
 
         def __exit__(self, exc_type, *a):
             self.lake._explicit_txn = False
             if exc_type is None:
-                self.lake.commit()
+                if self.staged:
+                    txn, self.lake._txn = self.lake._txn, None
+                    self.staged_snapshot = txn.commit(staged=True)
+                else:
+                    self.lake.commit()
             else:
                 self.lake.rollback()
 
+        def __getattr__(self, item):  # delegate lake ops inside the ctx
+            return getattr(self.lake, item)
+
     _explicit_txn = False
 
-    def transaction(self) -> DuckLake._TxnCtx:
-        """``with lake.transaction(): ...`` groups ops into one snapshot."""
-        return DuckLake._TxnCtx(self)
+    def transaction(self, *, staged: bool = False) -> DuckLake._TxnCtx:
+        """``with lake.transaction(): ...`` groups ops into one snapshot.
+
+        ``staged=True`` stages instead of publishing: the context's
+        ``staged_snapshot`` holds the reserved id, invisible to readers
+        until :meth:`commit_staged` (reference: staged commits +
+        ducklake_commit())."""
+        return DuckLake._TxnCtx(self, staged)
+
+    def commit_staged(self, snapshot_id: int) -> int:
+        """ducklake_commit(cat, snapshot_id): finalize a staged snapshot."""
+        return Transaction.finalize_staged(self.meta, snapshot_id)
+
+    def rollback_staged(self, snapshot_id: int) -> None:
+        """Abandon a staged snapshot (e.g. after a finalize conflict)."""
+        Transaction.rollback_staged(self.meta, snapshot_id)
 
     def _autocommit(self) -> int | None:
         if not self._explicit_txn:

@@ -78,7 +78,7 @@ class DuckLakeChangesStreamReader(DataSourceStreamReader):
         con = self._meta()
         try:
             (latest,) = con.execute(
-                "SELECT MAX(snapshot_id) FROM ducklake_snapshot"
+                "SELECT MAX(snapshot_id) FROM ducklake_snapshot WHERE snapshot_time IS NOT NULL"
             ).fetchone()
         finally:
             con.close()

@@ -20,7 +20,7 @@ def snapshots(lake: DuckLake) -> DataFrame:
         "SELECT s.snapshot_id, s.snapshot_time, s.schema_version, "
         "COALESCE(c.changes_made, ''), c.author, c.commit_message, c.commit_extra_info "
         "FROM ducklake_snapshot s LEFT JOIN ducklake_snapshot_changes c "
-        "ON s.snapshot_id = c.snapshot_id ORDER BY s.snapshot_id"
+        "ON s.snapshot_id = c.snapshot_id WHERE s.snapshot_time IS NOT NULL ORDER BY s.snapshot_id"
     )
     data = []
     for sid, ts, sv, changes, author, msg, extra in rows:

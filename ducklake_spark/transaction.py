@@ -31,6 +31,9 @@ from ducklake_spark.catalog.metadata import (
 MAX_RETRY_COUNT = 10
 RETRY_WAIT_MS = 100
 RETRY_BACKOFF = 1.5
+# staged snapshots park in this id-space until ducklake_commit remaps
+# them onto the committed chain; interval predicates never reach it
+STAGED_BASE = 1 << 40
 
 
 @dataclass
@@ -213,14 +216,22 @@ class Transaction:
     def has_changes(self) -> bool:
         return bool(self.change_log)
 
-    def commit(self) -> int:
-        """Run the optimistic commit loop; returns the new snapshot id."""
+    def commit(self, *, staged: bool = False) -> int:
+        """Run the optimistic commit loop; returns the new snapshot id.
+
+        ``staged=True`` writes every catalog row but leaves the
+        snapshot's ``snapshot_time`` NULL: the id and catalog/file-id
+        ranges are reserved, yet no reader or conflict check sees the
+        snapshot until :meth:`finalize_staged` stamps it (reference:
+        staged commits, ducklake_staged_commit.cpp; finalize =
+        ducklake_commit()).
+        """
         if not self.has_changes():
             return self.base.snapshot_id
         wait_ms = RETRY_WAIT_MS
         for attempt in range(MAX_RETRY_COUNT + 1):
             try:
-                return self._try_commit()
+                return self._try_commit(staged=staged)
             except ConflictError:
                 raise
             except Exception as exc:  # sqlite busy/locked -> retry
@@ -230,18 +241,152 @@ class Transaction:
                 wait_ms *= RETRY_BACKOFF
         raise RuntimeError("unreachable")
 
-    def _try_commit(self) -> int:
+    @classmethod
+    def finalize_staged(cls, meta: MetadataManager, snapshot_id: int) -> int:
+        """ducklake_commit(cat, snapshot_id): make a staged snapshot
+        visible by remapping its high-space id onto the committed chain,
+        after conflict-checking against everything committed since it
+        was staged. Delete/delete conflicts are re-derived at file
+        level from the staged snapshot's own delete rows."""
+        con = meta.con
+        con.execute("BEGIN IMMEDIATE")
+        try:
+            row = con.execute(
+                "SELECT snapshot_time FROM ducklake_snapshot WHERE snapshot_id=?",
+                (snapshot_id,),
+            ).fetchone()
+            if row is None:
+                raise ValueError(f"no staged snapshot {snapshot_id}")
+            if row[0] is not None or snapshot_id < STAGED_BASE:
+                raise ValueError(f"snapshot {snapshot_id} is already committed")
+            base_row = con.execute(
+                "SELECT value FROM ducklake_metadata WHERE key=?",
+                (f"staged_base:{snapshot_id}",),
+            ).fetchone()
+            base = int(base_row[0]) if base_row else 0
+            changes = con.execute(
+                "SELECT COALESCE(changes_made, '') FROM ducklake_snapshot_changes "
+                "WHERE snapshot_id=?",
+                (snapshot_id,),
+            ).fetchone()
+            probe = cls(meta)
+            probe.change_log = [e for e in (changes[0] if changes else "").split(",") if e]
+            probe.touched_delete_data_files = {
+                fid
+                for (fid,) in con.execute(
+                    "SELECT data_file_id FROM ducklake_delete_file "
+                    "WHERE begin_snapshot=? UNION "
+                    "SELECT data_file_id FROM ducklake_data_file "
+                    "WHERE end_snapshot=?",
+                    (snapshot_id, snapshot_id),
+                )
+            }
+            files_row = con.execute(
+                "SELECT value FROM ducklake_metadata WHERE key=?",
+                (f"staged_files:{snapshot_id}",),
+            ).fetchone()
+            if files_row and files_row[0]:
+                probe.touched_delete_data_files |= {
+                    int(x) for x in files_row[0].split(",")
+                }
+            since = meta.snapshots_since(base)
+            if since:
+                probe._check_conflicts(since)
+            new_id = meta.latest_snapshot().snapshot_id + 1
+            # remap the staged id across every snapshot-versioned table
+            # (incl. per-table inlined-data tables)
+            for (tbl,) in con.execute(
+                "SELECT name FROM sqlite_master WHERE type='table'"
+            ).fetchall():
+                cols = {r[1] for r in con.execute(f"PRAGMA table_info({tbl})")}
+                for c in ("begin_snapshot", "end_snapshot"):
+                    if c in cols:
+                        con.execute(
+                            f"UPDATE {tbl} SET {c}=? WHERE {c}=?",
+                            (new_id, snapshot_id),
+                        )
+            con.execute(
+                "UPDATE ducklake_snapshot SET snapshot_id=?, snapshot_time=? "
+                "WHERE snapshot_id=?",
+                (new_id, _now_ts(), snapshot_id),
+            )
+            con.execute(
+                "UPDATE ducklake_snapshot_changes SET snapshot_id=? WHERE snapshot_id=?",
+                (new_id, snapshot_id),
+            )
+            con.execute(
+                "DELETE FROM ducklake_metadata WHERE key IN (?, ?)",
+                (f"staged_base:{snapshot_id}", f"staged_files:{snapshot_id}"),
+            )
+            con.execute("COMMIT")
+            return new_id
+        except BaseException:
+            con.execute("ROLLBACK")
+            raise
+
+    @classmethod
+    def rollback_staged(cls, meta: MetadataManager, snapshot_id: int) -> None:
+        """Abandon a staged snapshot: purge its parked rows and restore
+        any still-staged end-markers. Files it wrote become orphans for
+        delete_orphaned_files."""
+        con = meta.con
+        if snapshot_id < STAGED_BASE:
+            raise ValueError(f"snapshot {snapshot_id} is not staged")
+        con.execute("BEGIN IMMEDIATE")
+        try:
+            for (tbl,) in con.execute(
+                "SELECT name FROM sqlite_master WHERE type='table'"
+            ).fetchall():
+                cols = {r[1] for r in con.execute(f"PRAGMA table_info({tbl})")}
+                if "begin_snapshot" in cols:
+                    con.execute(
+                        f"DELETE FROM {tbl} WHERE begin_snapshot=?", (snapshot_id,)
+                    )
+                if "end_snapshot" in cols:
+                    con.execute(
+                        f"UPDATE {tbl} SET end_snapshot=NULL WHERE end_snapshot=?",
+                        (snapshot_id,),
+                    )
+            con.execute(
+                "DELETE FROM ducklake_snapshot WHERE snapshot_id=?", (snapshot_id,)
+            )
+            con.execute(
+                "DELETE FROM ducklake_snapshot_changes WHERE snapshot_id=?",
+                (snapshot_id,),
+            )
+            con.execute(
+                "DELETE FROM ducklake_metadata WHERE key IN (?, ?)",
+                (f"staged_base:{snapshot_id}", f"staged_files:{snapshot_id}"),
+            )
+            con.execute("COMMIT")
+        except BaseException:
+            con.execute("ROLLBACK")
+            raise
+
+    def _try_commit(self, *, staged: bool = False) -> int:
         con = self.meta.con
         con.execute("BEGIN IMMEDIATE")
         try:
             since = self.meta.snapshots_since(self.base.snapshot_id)
             if since:
                 self._check_conflicts(since)
-            latest = self.meta.latest_snapshot()
-            snap_id = latest.snapshot_id + 1
-            next_cat = latest.next_catalog_id
-            next_file = latest.next_file_id
-            schema_version = latest.schema_version
+            head = self.meta.allocation_head()  # staged rows hold id reservations
+            if staged:
+                # staged snapshots live in a high id-space: every interval
+                # visibility predicate (begin_snapshot <= S) then hides
+                # them from all readers until finalize remaps the id into
+                # the committed chain.
+                (max_staged,) = con.execute(
+                    "SELECT COALESCE(MAX(snapshot_id), ?) FROM ducklake_snapshot "
+                    "WHERE snapshot_id >= ?",
+                    (STAGED_BASE - 1, STAGED_BASE),
+                ).fetchone()
+                snap_id = max_staged + 1
+            else:
+                snap_id = head.snapshot_id + 1
+            next_cat = head.next_catalog_id
+            next_file = head.next_file_id
+            schema_version = self.meta.latest_snapshot().schema_version
             bump_schema = bool(
                 self.created_schemas
                 or self.created_tables
@@ -449,15 +594,20 @@ class Transaction:
             # physical cleanup happens only once snapshot expiry strands it
             for tid, fids in self.removed_data_files.items():
                 for fid in fids:
+                    # a committed drop overwrites a staged snapshot's
+                    # (>= STAGED_BASE) marker — the staged commit then
+                    # fails its file-overlap check at finalize
                     con.execute(
                         "UPDATE ducklake_data_file SET end_snapshot=? "
-                        "WHERE data_file_id=? AND end_snapshot IS NULL",
-                        (snap_id, fid),
+                        "WHERE data_file_id=? AND (end_snapshot IS NULL "
+                        "OR end_snapshot >= ?)",
+                        (snap_id, fid, STAGED_BASE),
                     )
                     con.execute(
                         "UPDATE ducklake_delete_file SET end_snapshot=? "
-                        "WHERE data_file_id=? AND end_snapshot IS NULL",
-                        (snap_id, fid),
+                        "WHERE data_file_id=? AND (end_snapshot IS NULL "
+                        "OR end_snapshot >= ?)",
+                        (snap_id, fid, STAGED_BASE),
                     )
 
             # --- purged data files (compaction replacements)
@@ -501,16 +651,33 @@ class Transaction:
                         f"INSERT INTO {table_name} VALUES ({placeholders})", rows
                     )
 
-            # --- snapshot row
+            # --- snapshot row (staged commits reserve the id with a NULL
+            # time; finalize_staged stamps it later)
             con.execute(
                 "INSERT INTO ducklake_snapshot VALUES (?, ?, ?, ?, ?)",
-                (snap_id, _now_ts(), schema_version, next_cat, next_file),
+                (snap_id, None if staged else _now_ts(), schema_version,
+                 next_cat, next_file),
             )
             author, message, extra = self.commit_message
             con.execute(
                 "INSERT INTO ducklake_snapshot_changes VALUES (?, ?, ?, ?, ?)",
                 (snap_id, ",".join(self.change_log), author, message, extra),
             )
+            if staged:
+                # remember the stage-point and touched-file set for
+                # finalize's conflict window (catalog markers can be
+                # overwritten by later committed drops)
+                con.execute(
+                    "INSERT INTO ducklake_metadata VALUES (?, ?, NULL, NULL)",
+                    (f"staged_base:{snap_id}", str(self.base.snapshot_id)),
+                )
+                con.execute(
+                    "INSERT INTO ducklake_metadata VALUES (?, ?, NULL, NULL)",
+                    (
+                        f"staged_files:{snap_id}",
+                        ",".join(map(str, sorted(self.touched_delete_data_files))),
+                    ),
+                )
             con.execute("COMMIT")
             self.committed_snapshot = snap_id
             return snap_id

@@ -127,3 +127,65 @@ def test_column_stats_metadata_only(spark, lake_path):
     stats = {r.column_name: r for r in lake.column_stats("t").collect()}
     assert stats["i"].min_value == "1" and stats["i"].max_value == "9"
     assert stats["s"].contains_null is True
+
+
+def test_staged_commit_invisible_until_finalized(spark, lake_path):
+    """Staged commits (reference: ducklake_staged_commit.cpp +
+    ducklake_commit()): data lands, snapshot stays invisible until
+    finalize; ids reserved so later commits never collide."""
+    lake = _attach(spark, lake_path)
+    lake.create_table("t", [("i", "int64")])
+    lake.insert("t", spark.createDataFrame([(1,)], "i long"))
+
+    with lake.transaction(staged=True) as txn:
+        lake.insert("t", spark.createDataFrame([(2,)], "i long"))
+    staged_id = txn.staged_snapshot
+    assert staged_id is not None
+    # invisible: readers and snapshots() don't see the staged row
+    assert {r.i for r in lake.table("t").collect()} == {1}
+    from ducklake_spark import table_functions as tf
+
+    assert staged_id not in {r.snapshot_id for r in tf.snapshots(lake).collect()}
+
+    # a commit in between must not collide with the reserved id
+    lake.insert("t", spark.createDataFrame([(3,)], "i long"))
+    assert {r.i for r in lake.table("t").collect()} == {1, 3}
+
+    final_id = lake.commit_staged(staged_id)
+    assert {r.i for r in lake.table("t").collect()} == {1, 2, 3}
+    # finalize remapped the staged id onto the committed chain
+    assert final_id in {r.snapshot_id for r in tf.snapshots(lake).collect()}
+    assert final_id < staged_id
+
+
+def test_staged_commit_conflict_detected_at_finalize(spark, lake_path):
+    from ducklake_spark.transaction import ConflictError
+    from ducklake_spark.dml import delete
+
+    lake = _attach(spark, lake_path)
+    lake.create_table("t", [("i", "int64")])
+    lake.insert("t", spark.range(20).select(F.col("id").alias("i")))
+
+    with lake.transaction(staged=True) as txn:
+        delete(lake, "t", "i < 5")
+    delete(lake, "t", "i < 10")  # commits normally before finalize
+    with pytest.raises(ConflictError):
+        lake.commit_staged(txn.staged_snapshot)
+
+
+def test_staged_commit_rollback(spark, lake_path):
+    lake = _attach(spark, lake_path)
+    lake.create_table("t", [("i", "int64")])
+    lake.insert("t", spark.createDataFrame([(1,)], "i long"))
+    with lake.transaction(staged=True) as txn:
+        lake.insert("t", spark.createDataFrame([(2,)], "i long"))
+    lake.rollback_staged(txn.staged_snapshot)
+    assert {r.i for r in lake.table("t").collect()} == {1}
+    # abandoned data file becomes an orphan, catalog has no staged rows
+    assert not lake.meta.query(
+        "SELECT 1 FROM ducklake_snapshot WHERE snapshot_time IS NULL"
+    )
+    from ducklake_spark.maintenance import delete_orphaned_files
+
+    orphans = delete_orphaned_files(lake, dry_run=True)
+    assert orphans  # the staged parquet is stranded on disk
