@@ -25,7 +25,26 @@ from pyspark.sql import functions as F
 from ducklake_spark.lake import ROWID_COL, DuckLake
 
 
-def table_insertions(lake: DuckLake, name: str, start: int, end: int) -> DataFrame:
+def _snapshot_bound(lake: DuckLake, v, side: str) -> int:
+    """BIGINT-version or TIMESTAMPTZ overload resolution (reference:
+    ducklake_table_insertions.cpp:89-107): a timestamp start maps to
+    the first snapshot at/after it, an end to the last at/before."""
+    if isinstance(v, int):
+        return v
+    agg, cmp = ("MIN", ">=") if side == "start" else ("MAX", "<=")
+    rows = lake.meta.query(
+        f"SELECT {agg}(snapshot_id) FROM ducklake_snapshot "
+        f"WHERE snapshot_time IS NOT NULL AND snapshot_time {cmp} ?",
+        (str(v),),
+    )
+    if not rows or rows[0][0] is None:
+        raise ValueError(f"no snapshot {cmp} {v!r}")
+    return rows[0][0]
+
+
+def table_insertions(lake: DuckLake, name: str, start, end) -> DataFrame:
+    start = _snapshot_bound(lake, start, "start")
+    end = _snapshot_bound(lake, end, "end")
     h = lake._handle(name)
     schema = lake._spark_schema(h)
     files = lake.meta.query(
@@ -137,7 +156,9 @@ def _inlined_rows(lake, h, schema, start, end):
     return lake.spark.createDataFrame(data, sch)
 
 
-def table_deletions(lake: DuckLake, name: str, start: int, end: int) -> DataFrame:
+def table_deletions(lake: DuckLake, name: str, start, end) -> DataFrame:
+    start = _snapshot_bound(lake, start, "start")
+    end = _snapshot_bound(lake, end, "end")
     h = lake._handle(name)
     schema = lake._spark_schema(h)
     spark = lake.spark
@@ -283,7 +304,7 @@ def _rows_at_positions(lake, h, schema, data_fid, positions: DataFrame, snap_id:
     )
 
 
-def table_changes(lake: DuckLake, name: str, start: int, end: int) -> DataFrame:
+def table_changes(lake: DuckLake, name: str, start, end) -> DataFrame:
     """The reference macro (ducklake_table_changes.cpp:7-25) as DataFrame ops."""
     ins = table_insertions(lake, name, start, end)
     dels = table_deletions(lake, name, start, end)

@@ -148,3 +148,47 @@ df_query(
     tables=["embeddings"],
     doc=f"LSH ANN top-{TOP_K} ({N_PLANES} sign-projection planes, bucket equi-join)",
 )
+
+
+def _run_neardup_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup pairs restricted to LSH bucket collisions: the scale
+    path for all-pairs similarity (``sim_neardup_cosine``) — candidate
+    generation is an equi-join on the bucket key, exact cosine only
+    inside buckets."""
+    from pyspark.sql import functions as F
+
+    from ducklake_spark.operators.similarity import cosine, lsh_bucket
+    from ducklake_spark.queries import load_tables
+
+    load_tables(spark, sf_dir, ["embeddings"])
+    emb = spark.table("embeddings")
+    tagged = emb.select(
+        "vec_id", "embedding", lsh_bucket(F.col("embedding"), N_PLANES).alias("b")
+    )
+    a, b = tagged.alias("a"), tagged.alias("b")
+    return (
+        a.join(b, (F.col("a.b") == F.col("b.b"))
+               & (F.col("a.vec_id") < F.col("b.vec_id")))
+        .filter(cosine(F.col("a.embedding"), F.col("b.embedding")) > 0.45)
+        .select(F.col("a.vec_id").alias("vec_a"), F.col("b.vec_id").alias("vec_b"))
+        .orderBy("vec_a", "vec_b")
+    )
+
+
+_NEARDUP_LSH_ORACLE = f"""
+WITH tagged AS (
+    SELECT vec_id, embedding, {_duck_bucket('embedding')} AS b FROM embeddings
+)
+SELECT a.vec_id AS vec_a, b.vec_id AS vec_b
+FROM tagged a JOIN tagged b ON a.b = b.b AND a.vec_id < b.vec_id
+WHERE ({_duck_cos('a.embedding', 'b.embedding')}) > 0.45
+ORDER BY vec_a, vec_b
+"""
+
+df_query(
+    "sim_neardup_lsh",
+    _run_neardup_lsh,
+    oracle=_NEARDUP_LSH_ORACLE,
+    tables=["embeddings"],
+    doc="LSH-bucketed near-duplicate pairs (cosine > 0.45 within buckets)",
+)

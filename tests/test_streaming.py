@@ -122,3 +122,57 @@ def test_lake_sink_end_to_end(lake, spark, tmp_path):
         )
     ]
     assert tags and tags[0].startswith("streaming_batch:silver:")
+
+
+def test_cdc_timestamp_overloads(lake, spark):
+    """TIMESTAMPTZ bounds resolve through the snapshot log (reference:
+    BIGINT-version or TIMESTAMPTZ overloads of table_insertions)."""
+    from ducklake_spark.cdc import table_changes, table_insertions
+
+    lake.create_table("tt", [("i", "int64")])
+    lake.insert("tt", spark.createDataFrame([(1,)], "i long"))
+    lake.insert("tt", spark.createDataFrame([(2,)], "i long"))
+    by_version = table_insertions(lake, "tt", 0, lake.current_snapshot())
+    by_time = table_insertions(lake, "tt", "1970-01-01", "9999-01-01")
+    assert {r.i for r in by_version.collect()} == {1, 2}
+    assert {r.i for r in by_time.collect()} == {1, 2}
+    ch = table_changes(lake, "tt", "1970-01-01", "9999-01-01")
+    assert {(r.i, r.change_type) for r in ch.collect()} == {
+        (1, "insert"), (2, "insert")
+    }
+
+
+def test_stateful_running_profile_over_cdc(lake, spark, tmp_path):
+    """applyInPandasWithState over the change feed: per-key state
+    persists across micro-batches via the checkpoint."""
+    import datetime as dt
+
+    from ducklake_spark.streaming.cdc_source import changes_stream
+    from ducklake_spark.streaming.stateful import running_profile
+
+    lake.create_table("ev", [("user_id", "int64"), ("ts", "timestamptz"),
+                             ("value", "float64")])
+    base = dt.datetime(2024, 1, 1, tzinfo=dt.timezone.utc)
+    lake.insert(
+        "ev",
+        spark.createDataFrame(
+            [(1, base, 10.0), (1, base + dt.timedelta(minutes=1), 5.0),
+             (2, base, 7.0)],
+            "user_id long, ts timestamp, value double",
+        ),
+    )
+    stream = changes_stream(lake, "ev").filter("change_type = 'insert'")
+    out = running_profile(stream, key_col="user_id", ts_col="ts", value_col="value")
+    q = (
+        out.writeStream.format("memory")
+        .queryName("prof_out")
+        .outputMode("update")
+        .option("checkpointLocation", str(tmp_path / "ck"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    rows = {r.key: r for r in spark.sql("SELECT * FROM prof_out").collect()}
+    assert rows[1].n_events == 2 and rows[1].total == 15.0
+    assert rows[2].n_events == 1 and rows[2].total == 7.0
+    assert rows[1].last_ts > rows[1].first_ts
