@@ -632,8 +632,11 @@ class DuckLake:
         return rows[0][0]
 
     def view(self, name: str) -> DataFrame:
-        """Bind a stored view: register current lake tables and run its SQL."""
-        sql = self.view_sql(name)
+        """Bind a stored view: register current lake tables and run its
+        SQL. ``{DUCKLAKE_CATALOG}`` placeholders (reference:
+        ducklake_view_entry.cpp:125,141 — kept so views survive catalog
+        renames) resolve to the session's unqualified temp views."""
+        sql = self.view_sql(name).replace("{DUCKLAKE_CATALOG}.", "")
         for t in self._table_names():
             self.table(t).createOrReplaceTempView(t.split(".")[-1])
         return self.spark.sql(sql)

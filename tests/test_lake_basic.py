@@ -156,3 +156,25 @@ def test_transaction_groups_snapshot(lake, spark):
     snaps = lake.snapshots().collect()
     assert "created_table" in snaps[-1].changes
     assert len(snaps[-1].changes["created_table"]) == 2
+
+
+def test_scan_pushes_filters_and_prunes_columns(lake, spark):
+    """Plan quality: predicates reach the parquet scan (PushedFilters)
+    and unreferenced columns are pruned from ReadSchema — the two
+    .explain properties that matter at 100 TB (SURVEY §4)."""
+    from pyspark.sql import functions as F
+
+    lake.create_table("pq", [("a", "int64"), ("b", "varchar"), ("c", "float64")])
+    lake.insert(
+        "pq",
+        spark.range(1000).select(
+            F.col("id").alias("a"),
+            F.concat(F.lit("v"), F.col("id")).alias("b"),
+            (F.col("id") * 1.5).alias("c"),
+        ),
+    )
+    df = lake.table("pq", where="a > 500").select("a", "b")
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "PushedFilters: [" in plan and "GreaterThan(a,500)" in plan
+    scan_line = next(l for l in plan.splitlines() if "ReadSchema" in l)
+    assert "c:" not in scan_line  # unused column pruned from the scan
