@@ -234,6 +234,25 @@ def table_deletions(lake: DuckLake, name: str, start, end) -> DataFrame:
             df = df.join(prev_df, "__pos", "left_anti")
         frames.append(df.select("snapshot_id", "rowid", *[f.name for f in schema.fields]))
 
+    # 2b) catalog-inlined small deletes committed in range
+    idt = f"ducklake_inlined_deletes_{h.table_id}"
+    if lake.meta.query(
+        "SELECT 1 FROM sqlite_master WHERE type='table' AND name=?", (idt,)
+    ):
+        inl = lake.meta.query(
+            f"SELECT data_file_id, pos, begin_snapshot FROM {idt} "
+            "WHERE begin_snapshot >= ? AND begin_snapshot <= ?",
+            (start, end),
+        )
+        by_file_snap: dict[tuple[int, int], list[int]] = {}
+        for fid, pos, bsnap in inl:
+            by_file_snap.setdefault((fid, bsnap), []).append(pos)
+        for (fid, bsnap), poss in by_file_snap.items():
+            pos_df = spark.createDataFrame([(p,) for p in poss], "pos long")
+            rows = _rows_at_positions(lake, h, schema, fid, pos_df, bsnap)
+            if rows is not None:
+                frames.append(rows)
+
     # 3) inlined rows whose end_snapshot landed in range — but only when
     # that snapshot was a logical DELETE (a flush also sets end_snapshot)
     tabs = lake.meta.query(

@@ -103,6 +103,7 @@ def delete(lake: DuckLake, name: str, where: str) -> int:
         finfo = file_by_path[fname]
         fid = finfo["data_file_id"]
         prev_deleted = _existing_delete_count(lake, existing.get(fid))
+        prev_deleted += _inlined_delete_count(lake, h, fid)
         if prev_deleted + cnt >= finfo["record_count"]:
             full_drop.append(fid)
         else:
@@ -110,6 +111,29 @@ def delete(lake: DuckLake, name: str, where: str) -> int:
                 {"fid": fid, "fname": fname, "rel": finfo["path"],
                  "prev": existing.get(fid), "new": cnt, "prev_cnt": prev_deleted}
             )
+
+    # small partial deletes absorb into the catalog instead of writing a
+    # delete parquet per file (reference: inlined file deletions,
+    # ducklake_delete.cpp:530-546; flushed by ducklake_flush_inlined_data)
+    inline_limit = int(
+        lake.meta.option("deletion_inlining_row_limit", "0",
+                         scope="table", scope_id=h.table_id) or 0
+    )
+    if partial and 0 < sum(p["new"] for p in partial) <= inline_limit:
+        keep_paths = {p["fname"] for p in partial}
+        fid_by_path = {p["fname"]: p["fid"] for p in partial}
+        pos_rows = (
+            df.filter(where)
+            .select(F.col("filename"), F.col("file_row_number").alias("pos"))
+            .filter(F.col("filename").isin(list(keep_paths)))
+            .collect()
+        )
+        txn.inlined_deletes.setdefault(h.table_id, []).extend(
+            (fid_by_path[r["filename"]], r["pos"]) for r in pos_rows
+        )
+        for p in partial:
+            txn.touched_delete_data_files.add(p["fid"])
+        partial = []
 
     if partial:
         victims = (
@@ -216,6 +240,19 @@ def _finalize_delete_files(lake, h, txn, tmp: str, partial: list[dict],
             )
         )
         txn.touched_delete_data_files.add(p["fid"])
+
+
+def _inlined_delete_count(lake, h, fid: int) -> int:
+    tname = f"ducklake_inlined_deletes_{h.table_id}"
+    if not lake.meta.query(
+        "SELECT 1 FROM sqlite_master WHERE type='table' AND name=?", (tname,)
+    ):
+        return 0
+    rows = lake.meta.query(
+        f"SELECT COUNT(*) FROM {tname} WHERE data_file_id=? AND end_snapshot IS NULL",
+        (fid,),
+    )
+    return rows[0][0] if rows else 0
 
 
 def _existing_delete_count(lake, rel_path: str | None) -> int:

@@ -1117,6 +1117,23 @@ class DuckLake:
         )
         return rows[0][0] if rows else 0
 
+    def _inlined_delete_positions(self, h: TableHandle, snap: Snapshot,
+                                  file_ids: list[int]) -> list[tuple[int, int]]:
+        """Catalog-absorbed small deletes live at snap (reference:
+        inlined file deletions, ducklake_delete.cpp:530-546)."""
+        tname = f"ducklake_inlined_deletes_{h.table_id}"
+        if not self.meta.query(
+            "SELECT 1 FROM sqlite_master WHERE type='table' AND name=?", (tname,)
+        ):
+            return []
+        keep = set(file_ids)
+        rows = self.meta.query(
+            f"SELECT data_file_id, pos FROM {tname} "
+            "WHERE begin_snapshot <= ? AND (end_snapshot IS NULL OR end_snapshot > ?)",
+            (snap.snapshot_id, snap.snapshot_id),
+        )
+        return [(fid, pos) for fid, pos in rows if fid in keep]
+
     def _delete_entries(self, h: TableHandle, snap: Snapshot,
                         file_ids: list[int]) -> list[tuple[int, str]]:
         if not file_ids:
@@ -1208,19 +1225,36 @@ class DuckLake:
                     ),
                 )
 
-        # positional deletes -> anti join on (file, pos)
-        if deletes:
-            del_paths = [os.path.join(self.data_path, p) for _, p in deletes]
-            ddf = (
-                self.spark.read.schema("file_path string, pos long")
-                .parquet(*del_paths)
-                .withColumnRenamed("file_path", "__dfile")
-                .withColumnRenamed("pos", "__dpos")
-                .distinct()
-            )
-            ddf = ddf.withColumn(
-                "__dfile", F.concat(F.lit("file:" + self.data_path), F.col("__dfile"))
-            )
+        # positional deletes -> anti join on (file, pos); positions come
+        # from delete parquet files and/or catalog-inlined small deletes
+        inline_dels = self._inlined_delete_positions(
+            h, snap, [f["data_file_id"] for f in files]
+        )
+        if deletes or inline_dels:
+            ddf = None
+            if deletes:
+                del_paths = [os.path.join(self.data_path, p) for _, p in deletes]
+                ddf = (
+                    self.spark.read.schema("file_path string, pos long")
+                    .parquet(*del_paths)
+                    .withColumnRenamed("file_path", "__dfile")
+                    .withColumnRenamed("pos", "__dpos")
+                    .withColumn(
+                        "__dfile",
+                        F.concat(F.lit("file:" + self.data_path), F.col("__dfile")),
+                    )
+                )
+            if inline_dels:
+                path_by_fid = {
+                    f["data_file_id"]: "file:" + os.path.join(self.data_path, f["path"])
+                    for f in files
+                }
+                idf = self.spark.createDataFrame(
+                    [(path_by_fid[fid], pos) for fid, pos in inline_dels],
+                    "__dfile string, __dpos long",
+                )
+                ddf = idf if ddf is None else ddf.unionByName(idf)
+            ddf = ddf.distinct()
             df = df.join(
                 F.broadcast(ddf),
                 (df["__file"] == ddf["__dfile"]) & (df["__pos"] == ddf["__dpos"]),

@@ -343,7 +343,82 @@ def flush_inlined_data(lake: DuckLake, *, table: str | None = None) -> int:
             )
             lake._autocommit()
             n_flushed += len(rows)
+        n_flushed += _flush_inlined_deletes(lake, h)
     return n_flushed
+
+
+def _flush_inlined_deletes(lake: DuckLake, h) -> int:
+    """Convert catalog-inlined delete positions to positional delete
+    parquet (reference: ducklake_flush_inlined_data.cpp:459-529 flushes
+    inlined deletions), merging any existing delete file per target."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    tname = f"ducklake_inlined_deletes_{h.table_id}"
+    if not lake.meta.query(
+        "SELECT 1 FROM sqlite_master WHERE type='table' AND name=?", (tname,)
+    ):
+        return 0
+    rows = lake.meta.query(
+        f"SELECT data_file_id, pos FROM {tname} WHERE end_snapshot IS NULL"
+    )
+    if not rows:
+        return 0
+    from collections import defaultdict
+
+    from ducklake_spark.transaction import DeleteFileInfo
+
+    by_fid: dict[int, set[int]] = defaultdict(set)
+    for fid, pos in rows:
+        by_fid[fid].add(pos)
+    txn = lake.begin()
+    delete_dir = os.path.join(lake.data_path, h.path)
+    for fid, positions in by_fid.items():
+        frow = lake.meta.query(
+            "SELECT path FROM ducklake_data_file WHERE data_file_id=?", (fid,)
+        )
+        if not frow:
+            continue
+        rel = frow[0][0]
+        prev = lake.meta.query(
+            "SELECT delete_file_id, path FROM ducklake_delete_file "
+            "WHERE data_file_id=? AND end_snapshot IS NULL", (fid,)
+        )
+        if prev:
+            positions |= set(
+                pq.read_table(os.path.join(lake.data_path, prev[0][1]))["pos"].to_pylist()
+            )
+            txn.replaced_delete_files.append(prev[0][0])
+        schema = pa.schema(
+            [
+                pa.field("file_path", pa.string(),
+                         metadata={b"PARQUET:field_id": b"2147483546"}),
+                pa.field("pos", pa.int64(),
+                         metadata={b"PARQUET:field_id": b"2147483545"}),
+            ]
+        )
+        ordered = sorted(positions)
+        out = pa.table(
+            {"file_path": [rel] * len(ordered), "pos": ordered}, schema=schema
+        )
+        final = os.path.join(delete_dir, f"ducklake-delete-{uuid.uuid4().hex}.parquet")
+        pq.write_table(out, final)
+        txn.new_delete_files.setdefault(h.table_id, []).append(
+            DeleteFileInfo(
+                data_file_id=fid,
+                path=os.path.relpath(final, lake.data_path),
+                delete_count=len(ordered),
+                file_size_bytes=os.path.getsize(final),
+            )
+        )
+        txn.touched_delete_data_files.add(fid)
+    txn.change_log.append(f"flushed_inlined_data:{h.table_id}")
+    pending = lake.meta.latest_snapshot().snapshot_id + 1
+    lake.meta.con.execute(
+        f"UPDATE {tname} SET end_snapshot=? WHERE end_snapshot IS NULL", (pending,)
+    )
+    lake._autocommit()
+    return len(rows)
 
 
 def checkpoint(lake: DuckLake) -> None:

@@ -135,3 +135,27 @@ sql_query(
     tables=["documents"],
     doc="per-source corpus profile",
 )
+
+
+def _ngram_freq_sql(dialect: str) -> str:
+    from ducklake_spark.queries.dedup import _DUCK_SHINGLES, _SPARK_SHINGLES
+
+    shingles = _SPARK_SHINGLES if dialect == "spark" else _DUCK_SHINGLES
+    return f"""
+    WITH {shingles}
+    SELECT shingle AS trigram, COUNT(*) AS n_docs
+    FROM shingles
+    GROUP BY shingle
+    HAVING COUNT(*) >= 3
+    ORDER BY n_docs DESC, trigram
+    LIMIT 50
+    """
+
+
+sql_query(
+    "doc_ngram_freq",
+    _ngram_freq_sql("spark"),
+    oracle=_ngram_freq_sql("duckdb"),
+    tables=["documents"],
+    doc="top-50 corpus trigrams by document frequency (distinct per doc)",
+)

@@ -123,6 +123,10 @@ class Transaction:
         self.column_changes: dict[int, list] = {}  # table_id -> alter ops
         self.inlined_inserts: list[tuple[int, str, list[tuple]]] = []
         self.inlined_clears: list[int] = []  # table_ids whose inlined rows flush
+        # small deletes absorbed into the catalog instead of a delete
+        # parquet (reference: inlined file deletions,
+        # ducklake_delete.cpp:530-546): table_id -> [(data_file_id, pos)]
+        self.inlined_deletes: dict[int, list[tuple[int, int]]] = {}
         self.schema_bump_tables: set[int] = set()
         self.change_log: list[str] = []
         self.touched_delete_data_files: set[int] = set()  # for delete/delete conflicts
@@ -569,6 +573,17 @@ class Transaction:
                     "UPDATE ducklake_delete_file SET end_snapshot=? "
                     "WHERE delete_file_id=? AND end_snapshot IS NULL",
                     (snap_id, dfid),
+                )
+            for tid, pairs in self.inlined_deletes.items():
+                con.execute(
+                    f"CREATE TABLE IF NOT EXISTS ducklake_inlined_deletes_{tid}("
+                    "data_file_id BIGINT, pos BIGINT, "
+                    "begin_snapshot BIGINT, end_snapshot BIGINT)"
+                )
+                con.executemany(
+                    f"INSERT INTO ducklake_inlined_deletes_{tid} "
+                    "VALUES (?, ?, ?, NULL)",
+                    [(fid, pos, snap_id) for fid, pos in pairs],
                 )
             for tid, dfiles in self.new_delete_files.items():
                 for df in dfiles:

@@ -245,3 +245,51 @@ def test_checkpoint_runs(lake, spark):
     lake.delete("d", "i = 0")
     lake.checkpoint()
     assert lake.table("d").count() == 29
+
+
+def test_inlined_deletions_roundtrip(lake, spark):
+    """Small deletes absorb into the catalog (no delete parquet),
+    subtract from scans/time-travel/CDC, and flush to a positional
+    delete file (reference: deletion inlining + flush)."""
+    import glob as g
+
+    from pyspark.sql import functions as F
+
+    from ducklake_spark.cdc import table_changes
+    from ducklake_spark.maintenance import flush_inlined_data
+
+    lake.create_table("t", [("i", "int64")])
+    lake.set_option("deletion_inlining_row_limit", "10", table_name="t")
+    lake.insert("t", spark.range(100).coalesce(1).select(F.col("id").alias("i")))
+    snap_before = lake.current_snapshot()
+
+    from ducklake_spark.dml import delete
+
+    n = delete(lake, "t", "i < 3")
+    assert n == 3
+    # no delete parquet was written
+    assert not [f for f in g.glob(f"{lake.data_path}/**/*.parquet", recursive=True)
+                if "delete" in f]
+    assert lake.table("t").count() == 97
+    assert {r.i for r in lake.table("t", where="i < 5").collect()} == {3, 4}
+    # time travel still sees the rows
+    assert lake.table("t", at_version=snap_before).count() == 100
+    # CDC reports the inlined deletions
+    ch = table_changes(lake, "t", snap_before + 1, lake.current_snapshot())
+    assert {(r.i, r.change_type) for r in ch.collect()} == {
+        (0, "delete"), (1, "delete"), (2, "delete")
+    }
+
+    # a second small delete stacks on top
+    delete(lake, "t", "i = 50")
+    assert lake.table("t").count() == 96
+
+    # flush converts to a delete parquet; scan unchanged
+    flush_inlined_data(lake, table="t")
+    dels = [f for f in g.glob(f"{lake.data_path}/**/*.parquet", recursive=True)
+            if "delete" in f]
+    assert len(dels) == 1
+    assert lake.table("t").count() == 96
+    # large delete after flush merges with the flushed file
+    delete(lake, "t", "i >= 90")
+    assert lake.table("t").count() == 86
