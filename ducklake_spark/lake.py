@@ -169,10 +169,31 @@ class DuckLake:
         """Abandon a staged snapshot (e.g. after a finalize conflict)."""
         Transaction.rollback_staged(self.meta, snapshot_id)
 
+    _in_auto_compact = False
+
     def _autocommit(self) -> int | None:
-        if not self._explicit_txn:
-            return self.commit()
-        return None
+        if self._explicit_txn:
+            return None
+        touched_data = self._txn is not None and any(
+            e.startswith(("inserted_into_table", "deleted_from_table"))
+            for e in self._txn.change_log
+        )
+        snap = self.commit()
+        # auto_compact: compaction piggybacks on DML commits (reference:
+        # ducklake_compaction_functions.cpp:842,865-878)
+        if (
+            touched_data
+            and not DuckLake._in_auto_compact
+            and (self.meta.option("auto_compact", "") or "").lower() == "true"
+        ):
+            from ducklake_spark.maintenance import merge_adjacent_files
+
+            DuckLake._in_auto_compact = True
+            try:
+                merge_adjacent_files(self)
+            finally:
+                DuckLake._in_auto_compact = False
+        return snap
 
     def set_commit_message(self, author: str | None, message: str | None,
                            extra_info: str | None = None) -> None:

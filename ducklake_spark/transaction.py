@@ -232,6 +232,14 @@ class Transaction:
         """
         if not self.has_changes():
             return self.base.snapshot_id
+        if (
+            (self.meta.option("require_commit_message", "") or "").lower() == "true"
+            and self.commit_message[1] is None
+        ):
+            raise ValueError(
+                "require_commit_message is set: call set_commit_message() first "
+                "(reference: ducklake_set_option.cpp require_commit_message)"
+            )
         wait_ms = RETRY_WAIT_MS
         for attempt in range(MAX_RETRY_COUNT + 1):
             try:

@@ -140,3 +140,26 @@ def test_nested_field_errors(lake, spark):
         lake.add_field("t", "s", "a", "int64")  # duplicate
     with pytest.raises(DuckLakeError):
         lake.rename_field("t", "s", "zz", "q")  # unknown field
+
+
+def test_auto_compact_after_dml(lake, spark):
+    lake.create_table("t", [("i", "int64")])
+    lake.set_option("auto_compact", "true")
+    for _ in range(3):
+        lake.insert("t", spark.range(100).repartition(4)
+                    .select(F.col("id").alias("i")))
+    h = lake._handle("t")
+    files = lake._visible_files(h, lake._resolve_snapshot(None, None), None)
+    # 12 written files were compacted down behind the last insert
+    assert len(files) < 12
+    assert lake.table("t").count() == 300
+
+
+def test_require_commit_message(lake, spark):
+    lake.create_table("t", [("i", "int64")])
+    lake.set_option("require_commit_message", "true")
+    with pytest.raises(ValueError, match="require_commit_message"):
+        lake.insert("t", spark.createDataFrame([(1,)], "i long"))
+    lake.set_commit_message("me", "loaded batch 1")
+    lake.insert("t", spark.createDataFrame([(1,)], "i long"))
+    assert lake.table("t").count() == 1

@@ -189,3 +189,35 @@ def test_staged_commit_rollback(spark, lake_path):
 
     orphans = delete_orphaned_files(lake, dry_run=True)
     assert orphans  # the staged parquet is stranded on disk
+
+
+def test_insert_conflicts_with_concurrent_drop(spark, lake_path):
+    from ducklake_spark.transaction import ConflictError
+
+    lake, lake2 = _attach(spark, lake_path), _attach(spark, lake_path)
+    lake.create_table("t", [("i", "int64")])
+    with pytest.raises(ConflictError):
+        with lake.transaction():
+            lake.insert("t", spark.createDataFrame([(1,)], "i long"))
+            lake2.drop_table("t")  # commits while our insert is buffered
+
+
+def test_alter_conflicts_with_concurrent_insert(spark, lake_path):
+    from ducklake_spark.transaction import ConflictError
+
+    lake, lake2 = _attach(spark, lake_path), _attach(spark, lake_path)
+    lake.create_table("t", [("i", "int64")])
+    with pytest.raises(ConflictError):
+        with lake.transaction():
+            lake.add_column("t", "x", "varchar")
+            lake2.insert("t", spark.createDataFrame([(1,)], "i long"))
+
+
+def test_create_create_same_name_conflicts(spark, lake_path):
+    from ducklake_spark.transaction import ConflictError
+
+    lake, lake2 = _attach(spark, lake_path), _attach(spark, lake_path)
+    with pytest.raises(ConflictError):
+        with lake.transaction():
+            lake.create_table("dup", [("i", "int64")])
+            lake2.create_table("dup", [("i", "int64")])
