@@ -55,25 +55,42 @@ def delete(lake: DuckLake, name: str, where: str) -> int:
     h = lake._handle(name)
     snap = lake._resolve_snapshot(None, None)
     files = lake._visible_files(h, snap, where)
-    file_by_path = {
-        "file:" + os.path.join(lake.data_path, f["path"]): f for f in files
-    }
     schema = lake._spark_schema(h)
     delete_entries = lake._delete_entries(h, snap, [f["data_file_id"] for f in files])
     df = lake._read_files(h, snap, files, schema, delete_entries, with_virtual=True)
-
-    n_deleted = 0
-    per_file: list[tuple] = []
+    victims = None
     if df is not None:
         victims = (
             df.filter(where)
             .select(F.col("filename"), F.col("file_row_number").alias("pos"))
         )
-        counts = victims.groupBy("filename").count().collect()
-        per_file = [(r["filename"], r["count"]) for r in counts]
-        n_deleted = sum(c for _, c in per_file)
-
+    n_deleted = _apply_file_deletes(lake, h, snap, files, victims)
     n_deleted += _delete_inlined(lake, h, where)
+    if n_deleted == 0:
+        return 0
+    txn = lake.begin()
+    txn.stats_delta.setdefault(h.table_id, {}).setdefault("records", 0)
+    txn.stats_delta[h.table_id]["records"] -= n_deleted
+    txn.change_log.append(f"deleted_from_table:{h.table_id}")
+    lake._autocommit()
+    return n_deleted
+
+
+def _apply_file_deletes(lake: DuckLake, h: TableHandle, snap, files: list[dict],
+                        victims: DataFrame | None) -> int:
+    """Apply a victims relation (filename, pos) against parquet-backed
+    rows: whole-file drops, inlined absorption, or per-file positional
+    delete parquet with merge. Shared by DELETE / UPDATE / MERGE —
+    victims can come from a predicate scan or a join, always as one
+    distributed relation (no driver-side row loops)."""
+    if victims is None:
+        return 0
+    file_by_path = {
+        "file:" + os.path.join(lake.data_path, f["path"]): f for f in files
+    }
+    counts = victims.groupBy("filename").count().collect()
+    per_file = [(r["filename"], r["count"]) for r in counts]
+    n_deleted = sum(c for _, c in per_file)
     if n_deleted == 0:
         return 0
 
@@ -123,10 +140,7 @@ def delete(lake: DuckLake, name: str, where: str) -> int:
         keep_paths = {p["fname"] for p in partial}
         fid_by_path = {p["fname"]: p["fid"] for p in partial}
         pos_rows = (
-            df.filter(where)
-            .select(F.col("filename"), F.col("file_row_number").alias("pos"))
-            .filter(F.col("filename").isin(list(keep_paths)))
-            .collect()
+            victims.filter(F.col("filename").isin(list(keep_paths))).collect()
         )
         txn.inlined_deletes.setdefault(h.table_id, []).extend(
             (fid_by_path[r["filename"]], r["pos"]) for r in pos_rows
@@ -136,10 +150,6 @@ def delete(lake: DuckLake, name: str, where: str) -> int:
         partial = []
 
     if partial:
-        victims = (
-            df.filter(where)
-            .select(F.col("filename"), F.col("file_row_number").alias("pos"))
-        )
         keep_paths = {p["fname"] for p in partial}
         rel_map = {p["fname"]: p["rel"] for p in partial}
         new_dels = victims.filter(F.col("filename").isin(list(keep_paths)))
@@ -184,11 +194,6 @@ def delete(lake: DuckLake, name: str, where: str) -> int:
     for fid in full_drop:
         txn.removed_data_files.setdefault(h.table_id, []).append(fid)
         txn.touched_delete_data_files.add(fid)
-
-    txn.stats_delta.setdefault(h.table_id, {}).setdefault("records", 0)
-    txn.stats_delta[h.table_id]["records"] -= n_deleted
-    txn.change_log.append(f"deleted_from_table:{h.table_id}")
-    lake._autocommit()
     return n_deleted
 
 
@@ -400,55 +405,85 @@ def _update_inlined(lake: DuckLake, h: TableHandle, assignments: dict[str, str],
 
 
 def merge_into(lake: DuckLake, target: str, source: DataFrame, on: list[str],
-               *, when_matched_update: dict[str, str] | None = None,
+               *, when_matched_update: dict[str, str | None] | None = None,
                when_matched_delete: bool = False,
                when_not_matched_insert: bool = True) -> dict[str, int]:
     """MERGE INTO target USING source ON equality keys.
 
     Supports WHEN MATCHED THEN UPDATE (or DELETE) and WHEN NOT MATCHED
     THEN INSERT — the same action set as the reference's common path
-    (ducklake_merge_into.cpp:474-641). Returns per-action row counts.
+    (ducklake_merge_into.cpp:474-641). ``when_matched_update`` maps
+    target column -> SQL expression over ``t.``/``s.`` aliases; a None
+    value means "take the source's same-named column".
+
+    Scale shape: one equi-join computes matched rows; victims flow
+    into the shared positional-delete applier and replacement rows are
+    written as one distributed job with preserved rowids — no per-row
+    driver loops (the reference plans it the same way: join + action
+    disposition routed to the update/delete/insert operators).
     """
     if when_matched_update and when_matched_delete:
         raise DuckLakeError("at most one WHEN MATCHED action (like the reference)")
     h = lake._handle(target)
-    tgt = lake.table(target)
-    src = source
+    # matched victims address rows as (file, pos): flush catalog-inlined
+    # rows first so every target row is parquet-backed
+    if lake.meta.query(
+        "SELECT 1 FROM ducklake_inlined_data_tables WHERE table_id=?",
+        (h.table_id,),
+    ):
+        from ducklake_spark.maintenance import flush_inlined_data
+
+        flush_inlined_data(lake, table=target)
+
+    snap = lake._resolve_snapshot(None, None)
+    files = lake._visible_files(h, snap, None)
+    schema = lake._spark_schema(h)
+    tgt = lake.table(target, with_virtual=True)
+    t, sdf = tgt.alias("t"), source.alias("s")
+    cond = [F.col(f"t.{k}") == F.col(f"s.{k}") for k in on]
     counts = {"updated": 0, "deleted": 0, "inserted": 0}
 
-    key_pred = " AND ".join(f"t.{k} = s.{k}" for k in on)
-    tgt.alias("t").createOrReplaceTempView("__merge_t")
-    src.alias("s").createOrReplaceTempView("__merge_s")
-
-    matched_keys = lake.spark.sql(
-        f"SELECT {', '.join('s.' + k for k in on)} FROM __merge_s s "
-        f"JOIN __merge_t t ON {key_pred}"
-    )
-    if when_matched_delete or when_matched_update:
-        preds = []
-        for r in matched_keys.collect():
-            conj = " AND ".join(_key_eq(k, r[k]) for k in on)
-            preds.append(f"({conj})")
-        if preds:
-            pred = " OR ".join(preds)
-            if when_matched_delete:
-                counts["deleted"] = delete(lake, target, pred)
-            else:
-                # UPDATE ... with values taken from the source row
-                src_rows = {tuple(r[k] for k in on): r for r in src.collect()}
-                for key, r in src_rows.items():
-                    conj = " AND ".join(_key_eq(k, v) for k, v in zip(on, key))
-                    assigns = {
-                        c: _sql_literal(r[c])
-                        for c in when_matched_update
-                    }
-                    counts["updated"] += update(lake, target, assigns, conj)
-    if when_not_matched_insert:
-        new_rows = src.join(tgt, on, "left_anti")
-        n = new_rows.count()
-        if n:
-            lake.insert(target, new_rows)
-            counts["inserted"] = n
+    with lake.transaction():
+        if when_matched_update or when_matched_delete:
+            joined = t.join(sdf, cond, "inner")
+            if when_matched_update:
+                new_rows = joined.select(
+                    *[
+                        (
+                            F.expr(when_matched_update[f.name])
+                            if when_matched_update.get(f.name) is not None
+                            else F.col(f"s.{f.name}")
+                            if f.name in when_matched_update
+                            else F.col(f"t.{f.name}")
+                        ).alias(f.name)
+                        for f in schema.fields
+                    ],
+                    F.col("t.rowid").alias(ROWID_COL),
+                )
+                wfiles = lake._write_parquet(h, new_rows, schema, [], [])
+                for fw in wfiles:
+                    fw.row_id_start = None  # rowid rides the embedded column
+                    fw.allocate = False
+                txn = lake.begin()
+                txn.new_data_files.setdefault(str(h.table_id), []).extend(wfiles)
+                txn.change_log.append(f"inserted_into_table:{h.table_id}")
+            victims = joined.select(
+                F.col("t.filename").alias("filename"),
+                F.col("t.file_row_number").alias("pos"),
+            )
+            n = _apply_file_deletes(lake, h, snap, files, victims)
+            if n:
+                txn = lake.begin()
+                txn.stats_delta.setdefault(h.table_id, {}).setdefault("records", 0)
+                txn.stats_delta[h.table_id]["records"] -= n
+                txn.change_log.append(f"deleted_from_table:{h.table_id}")
+            counts["deleted" if when_matched_delete else "updated"] = n
+        if when_not_matched_insert:
+            new_rows = source.join(tgt, on, "left_anti")
+            n_new = new_rows.count()
+            if n_new:
+                lake.insert(target, new_rows)
+                counts["inserted"] = n_new
     return counts
 
 

@@ -293,3 +293,30 @@ def test_inlined_deletions_roundtrip(lake, spark):
     # large delete after flush merges with the flushed file
     delete(lake, "t", "i >= 90")
     assert lake.table("t").count() == 86
+
+
+def test_merge_expressions_and_delete_action(lake, spark):
+    """Distributed MERGE: update expressions over t./s. aliases, and
+    the WHEN MATCHED DELETE action; rowids preserved across updates."""
+    from pyspark.sql import functions as F
+
+    lake.create_table("m", [("k", "int64"), ("v", "int64")])
+    lake.insert("m", spark.createDataFrame([(1, 10), (2, 20), (3, 30)],
+                                           "k long, v long"))
+    src = spark.createDataFrame([(2, 5), (4, 40)], "k long, v long")
+    counts = lake.merge(
+        "m", src, ["k"], when_matched_update={"v": "t.v + s.v"},
+    )
+    assert counts == {"updated": 1, "deleted": 0, "inserted": 1}
+    rows = {r.k: r.v for r in lake.table("m").collect()}
+    assert rows == {1: 10, 2: 25, 3: 30, 4: 40}
+    # rowid of the updated row survived the rewrite
+    rid = {r.k: r.rowid for r in lake.table("m", with_virtual=True).collect()}
+    assert rid[2] == 1  # original insert order 0,1,2
+
+    counts = lake.merge(
+        "m", spark.createDataFrame([(1,)], "k long"), ["k"],
+        when_matched_delete=True, when_not_matched_insert=False,
+    )
+    assert counts == {"updated": 0, "deleted": 1, "inserted": 0}
+    assert sorted(r.k for r in lake.table("m").collect()) == [2, 3, 4]
