@@ -1065,6 +1065,13 @@ class DuckLake:
                     (h.table_id, snap.snapshot_id, snap.snapshot_id),
                 )
             )
+            # inlined delete positions also shrink a file's net count —
+            # overcounting here could satisfy N too early and wrongly
+            # prune a file that still holds a top-N row
+            for fid, pos in self._inlined_delete_positions(
+                h, snap, [f["data_file_id"] for f in files]
+            ):
+                deletes[fid] = int(deletes.get(fid, 0) or 0) + 1
 
             def bound(f):  # best value this file could contribute
                 s = stats.get(f["data_file_id"])

@@ -49,7 +49,7 @@ def merge_adjacent_files(lake: DuckLake, *, target_file_size: int | None = None,
                 "WHERE table_id=? AND end_snapshot IS NULL",
                 (h.table_id,),
             )
-        }
+        } | _fids_with_inlined_deletes(lake, h)
         part_vals = {
             fid: tuple(
                 v
@@ -158,8 +158,13 @@ def rewrite_data_files(lake: DuckLake, *, delete_threshold: float | None = None,
             (h.table_id,),
         )
         schema = lake._spark_schema(h)
+        inlined_del_fids = _fids_with_inlined_deletes(lake, h)
         for fid, path, rc, rid_start, del_cnt, del_path in rows:
             if rc == 0 or del_cnt / rc < delete_threshold:
+                continue
+            if fid in inlined_del_fids:
+                # catalog-inlined positions would be lost by a rewrite;
+                # flush_inlined_data converts them first
                 continue
             df = (
                 lake.spark.read.schema(lake._reader_schema(h, schema))
@@ -345,6 +350,23 @@ def flush_inlined_data(lake: DuckLake, *, table: str | None = None) -> int:
             n_flushed += len(rows)
         n_flushed += _flush_inlined_deletes(lake, h)
     return n_flushed
+
+
+def _fids_with_inlined_deletes(lake: DuckLake, h) -> set[int]:
+    """Files whose delete positions live inlined in the catalog — they
+    must be treated exactly like files with delete parquet by every
+    rewrite path, or deleted rows resurrect."""
+    tname = f"ducklake_inlined_deletes_{h.table_id}"
+    if not lake.meta.query(
+        "SELECT 1 FROM sqlite_master WHERE type='table' AND name=?", (tname,)
+    ):
+        return set()
+    return {
+        fid
+        for (fid,) in lake.meta.query(
+            f"SELECT DISTINCT data_file_id FROM {tname} WHERE end_snapshot IS NULL"
+        )
+    }
 
 
 def _flush_inlined_deletes(lake: DuckLake, h) -> int:

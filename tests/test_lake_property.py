@@ -1,0 +1,88 @@
+"""Randomized DML sequences vs an in-memory model.
+
+The reference ships no property-based tests (SURVEY §5); this goes
+beyond it: each scenario replays a random interleaving of insert /
+delete / update / compaction / flush / inlined ops against both the
+lake and a plain dict model, checking full-table equality after every
+step and time-travel correctness against remembered snapshots at the
+end. Seeds are fixed — failures reproduce.
+"""
+
+from __future__ import annotations
+
+import random
+
+import pytest
+from pyspark.sql import functions as F
+
+
+def _run_scenario(spark, tmp_path, seed: int, *, inline_rows: int, inline_dels: int):
+    from ducklake_spark import maintenance as maint
+    from ducklake_spark.dml import delete, update
+    from ducklake_spark.lake import DuckLake
+
+    rng = random.Random(seed)
+    lake = DuckLake.attach(
+        spark,
+        str(tmp_path / f"meta_{seed}.db"),
+        str(tmp_path / f"data_{seed}"),
+        data_inlining_row_limit=inline_rows,
+    )
+    lake.create_table("t", [("k", "int64"), ("v", "int64")])
+    if inline_dels:
+        lake.set_option("deletion_inlining_row_limit", str(inline_dels), table_name="t")
+
+    model: dict[int, int] = {}
+    next_k = 0
+    history: list[tuple[int, dict[int, int]]] = []
+
+    def check():
+        got = {r.k: r.v for r in lake.table("t").collect()}
+        assert got == model, f"seed {seed}: mismatch after op"
+
+    for step in range(14):
+        op = rng.choice(["insert", "insert", "delete", "update", "compact", "flush"])
+        if op == "insert":
+            n = rng.randint(1, 40)
+            rows = [(next_k + j, rng.randint(0, 99)) for j in range(n)]
+            next_k += n
+            lake.insert(
+                "t", spark.createDataFrame(rows, "k long, v long")
+            )
+            model.update(dict(rows))
+        elif op == "delete" and model:
+            cut = rng.choice(sorted(model))
+            mode = rng.choice(["<", "=", ">="])
+            delete(lake, "t", f"k {mode} {cut}")
+            model = {
+                k: v
+                for k, v in model.items()
+                if not ((mode == "<" and k < cut) or (mode == "=" and k == cut)
+                        or (mode == ">=" and k >= cut))
+            }
+        elif op == "update" and model:
+            cut = rng.choice(sorted(model))
+            update(lake, "t", {"v": "v + 1000"}, f"k <= {cut}")
+            model = {k: (v + 1000 if k <= cut else v) for k, v in model.items()}
+        elif op == "compact":
+            maint.merge_adjacent_files(lake)
+        elif op == "flush":
+            maint.flush_inlined_data(lake)
+        check()
+        history.append((lake.current_snapshot(), dict(model)))
+
+    # time travel: every remembered snapshot replays exactly
+    for snap_id, snapshot_model in rng.sample(history, min(4, len(history))):
+        got = {r.k: r.v for r in lake.table("t", at_version=snap_id).collect()}
+        assert got == snapshot_model, f"seed {seed}: time travel @{snap_id}"
+    # maintenance invariants
+    assert lake.row_count("t") == len(model)
+
+
+@pytest.mark.parametrize("seed", [7, 23])
+def test_random_dml_parquet_only(spark, tmp_path, seed):
+    _run_scenario(spark, tmp_path, seed, inline_rows=0, inline_dels=0)
+
+
+def test_random_dml_with_inlining(spark, tmp_path):
+    _run_scenario(spark, tmp_path, 99, inline_rows=8, inline_dels=6)
