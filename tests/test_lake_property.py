@@ -41,7 +41,10 @@ def _run_scenario(spark, tmp_path, seed: int, *, inline_rows: int, inline_dels: 
         assert got == model, f"seed {seed}: mismatch after op"
 
     for step in range(14):
-        op = rng.choice(["insert", "insert", "delete", "update", "compact", "flush"])
+        op = rng.choice(
+            ["insert", "insert", "delete", "update", "merge", "compact",
+             "flush", "rewrite"]
+        )
         if op == "insert":
             n = rng.randint(1, 40)
             rows = [(next_k + j, rng.randint(0, 99)) for j in range(n)]
@@ -50,6 +53,21 @@ def _run_scenario(spark, tmp_path, seed: int, *, inline_rows: int, inline_dels: 
                 "t", spark.createDataFrame(rows, "k long, v long")
             )
             model.update(dict(rows))
+        elif op == "merge":
+            from ducklake_spark.dml import merge_into
+
+            src = list(dict(
+                (rng.randrange(max(next_k, 1) + 5), rng.randint(0, 99))
+                for _ in range(rng.randint(1, 6))
+            ).items())
+            merge_into(
+                lake, "t", spark.createDataFrame(src, "k long, v long"),
+                ["k"], when_matched_update={"v": None},
+            )
+            model.update(dict(src))
+            next_k = max([next_k] + [k + 1 for k, _ in src])
+        elif op == "rewrite":
+            maint.rewrite_data_files(lake, delete_threshold=0.3)
         elif op == "delete" and model:
             cut = rng.choice(sorted(model))
             mode = rng.choice(["<", "=", ">="])
