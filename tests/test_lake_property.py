@@ -104,3 +104,46 @@ def test_random_dml_parquet_only(spark, tmp_path, seed):
 
 def test_random_dml_with_inlining(spark, tmp_path):
     _run_scenario(spark, tmp_path, 99, inline_rows=8, inline_dels=6)
+
+
+@pytest.mark.parametrize("transform", ["identity", "bucket(3)"])
+def test_random_dml_partitioned(spark, tmp_path, transform):
+    """Randomized DML over a partitioned table: model equality plus
+    pruned-read (where=) parity with the model on every step."""
+    import random
+
+    from ducklake_spark import maintenance as maint
+    from ducklake_spark.dml import delete, update
+    from ducklake_spark.lake import DuckLake
+
+    rng = random.Random(17)
+    lake = DuckLake.attach(
+        spark, str(tmp_path / f"m_{transform[:2]}.db"), str(tmp_path / f"d_{transform[:2]}")
+    )
+    lake.create_table("t", [("k", "int64"), ("p", "int64"), ("v", "int64")])
+    lake.set_partitioned_by("t", [("p", transform)])
+    model, next_k = {}, 0
+    for _ in range(8):
+        op = rng.choice(["insert", "insert", "delete", "update", "compact"])
+        if op == "insert":
+            n = rng.randint(1, 30)
+            rows = [(next_k + j, (next_k + j) % 5, rng.randint(0, 99)) for j in range(n)]
+            next_k += n
+            lake.insert("t", spark.createDataFrame(rows, "k long, p long, v long"))
+            model.update({r[0]: r for r in rows})
+        elif op == "delete" and model:
+            pv = rng.randrange(5)
+            delete(lake, "t", f"p = {pv}")
+            model = {k: r for k, r in model.items() if r[1] != pv}
+        elif op == "update" and model:
+            cut = rng.choice(sorted(model))
+            update(lake, "t", {"v": "v + 7"}, f"k <= {cut}")
+            model = {k: (r[0], r[1], r[2] + 7 if k <= cut else r[2])
+                     for k, r in model.items()}
+        elif op == "compact":
+            maint.merge_adjacent_files(lake)
+        got = {r.k: (r.k, r.p, r.v) for r in lake.table("t").collect()}
+        assert got == model
+        pv = rng.randrange(5)
+        pruned = {r.k for r in lake.table("t", where=f"p = {pv}").collect()}
+        assert pruned == {k for k, r in model.items() if r[1] == pv}
