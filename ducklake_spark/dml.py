@@ -341,7 +341,17 @@ def update(lake: DuckLake, name: str, assignments: dict[str, str], where: str) -
             f.allocate = False
         txn = lake.begin()
         txn.new_data_files.setdefault(str(h.table_id), []).extend(files)
-        delete(lake, name, where)
+        # victims re-use the matched relation — no second predicate scan
+        snap = lake._resolve_snapshot(None, None)
+        vfiles = lake._visible_files(h, snap, where)
+        victims = matched.select(
+            F.col("filename"), F.col("file_row_number").alias("pos")
+        )
+        n_del = _apply_file_deletes(lake, h, snap, vfiles, victims)
+        if n_del:
+            txn.stats_delta.setdefault(h.table_id, {}).setdefault("records", 0)
+            txn.stats_delta[h.table_id]["records"] -= n_del
+            txn.change_log.append(f"deleted_from_table:{h.table_id}")
         txn.change_log.append(f"inserted_into_table:{h.table_id}")
     return n + n_inlined
 
