@@ -147,3 +147,74 @@ def test_random_dml_partitioned(spark, tmp_path, transform):
         pv = rng.randrange(5)
         pruned = {r.k for r in lake.table("t", where=f"p = {pv}").collect()}
         assert pruned == {k for k, r in model.items() if r[1] == pv}
+
+
+def test_random_schema_evolution_with_dml(spark, tmp_path):
+    """Column add/rename interleaved with insert/delete/compaction:
+    model equality per step, then time travel replayed with each
+    snapshot's historical schema."""
+    import random
+
+    from ducklake_spark import maintenance as maint
+    from ducklake_spark.dml import delete
+    from ducklake_spark.lake import DuckLake
+
+    rng = random.Random(13)
+    lake = DuckLake.attach(spark, str(tmp_path / "m.db"), str(tmp_path / "d"))
+    lake.create_table("t", [("k", "int64"), ("v", "int64")])
+    cols, model, next_k, extra_i, hist = ["k", "v"], {}, 0, 0, []
+    for _ in range(10):
+        op = rng.choice(["insert", "insert", "delete", "add_col", "rename_col",
+                         "compact"])
+        if op == "insert":
+            n = rng.randint(1, 20)
+            rows = [
+                {"k": next_k + j, **{c: rng.randint(0, 99) for c in cols[1:]}}
+                for j in range(n)
+            ]
+            next_k += n
+            lake.insert(
+                "t",
+                spark.createDataFrame(
+                    [tuple(r[c] for c in cols) for r in rows],
+                    ", ".join(f"{c} long" for c in cols),
+                ),
+            )
+            for r in rows:
+                model[r["k"]] = {c: r.get(c) for c in cols}
+        elif op == "delete" and model:
+            cut = rng.choice(sorted(model))
+            delete(lake, "t", f"k <= {cut}")
+            model = {k: r for k, r in model.items() if k > cut}
+        elif op == "add_col":
+            cname = f"c{extra_i}"
+            extra_i += 1
+            lake.add_column("t", cname, "int64")
+            cols.append(cname)
+            for r in model.values():
+                r[cname] = None
+        elif op == "rename_col" and len(cols) > 2:
+            old = rng.choice(cols[1:])
+            lake.rename_column("t", old, old + "r")
+            cols[cols.index(old)] = old + "r"
+            for r in model.values():
+                r[old + "r"] = r.pop(old)
+        elif op == "compact":
+            maint.merge_adjacent_files(lake)
+        got = {
+            r["k"]: {c: r[c] for c in cols}
+            for r in (row.asDict() for row in lake.table("t").collect())
+        }
+        assert got == {k: {c: r.get(c) for c in cols} for k, r in model.items()}
+        hist.append(
+            (lake.current_snapshot(), {k: dict(r) for k, r in model.items()},
+             list(cols))
+        )
+    for sid, m, cs in rng.sample(hist, 3):
+        got = {
+            r["k"]: r
+            for r in (row.asDict()
+                      for row in lake.table("t", at_version=sid).collect())
+        }
+        assert {k: {c: got[k].get(c) for c in cs} for k in got} == \
+            {k: {c: r.get(c) for c in cs} for k, r in m.items()}
