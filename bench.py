@@ -41,7 +41,9 @@ BENCH_QUERIES = [
 
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
-    repeat = int(os.environ.get("BENCH_REPEAT", "1"))
+    # median of 3 is the BASELINE.md protocol (first run carries plan
+    # compilation/codegen; the median reports steady state)
+    repeat = int(os.environ.get("BENCH_REPEAT", "3"))
     sf = float(sf_dir.rstrip("/").rsplit("sf", 1)[-1])
     spark = get_spark("bench")
     registry = all_queries()
