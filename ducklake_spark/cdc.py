@@ -25,6 +25,17 @@ from pyspark.sql import functions as F
 from ducklake_spark.lake import ROWID_COL, DuckLake
 
 
+def _with_rowid(schema):
+    """Files written by UPDATE/MERGE have no row_id_start: their rowids
+    ride the embedded column, which must be in the requested read
+    schema or the reference is unresolvable."""
+    from pyspark.sql import types as T
+
+    return T.StructType(
+        list(schema.fields) + [T.StructField(ROWID_COL, T.LongType())]
+    )
+
+
 def _snapshot_bound(lake: DuckLake, v, side: str) -> int:
     """BIGINT-version or TIMESTAMPTZ overload resolution (reference:
     ducklake_table_insertions.cpp:89-107): a timestamp start maps to
@@ -208,7 +219,8 @@ def table_deletions(lake: DuckLake, name: str, start, end) -> DataFrame:
     for fid, path, rid_start, esnap in dropped:
         if esnap not in delete_snaps:
             continue  # compaction/rewrite, not a logical delete
-        df = spark.read.schema(schema).parquet(os.path.join(lake.data_path, path))
+        read_schema = schema if rid_start is not None else _with_rowid(schema)
+        df = spark.read.schema(read_schema).parquet(os.path.join(lake.data_path, path))
         df = (
             df.withColumn("__pos", F.col("_metadata.row_index"))
             .withColumn(
@@ -306,8 +318,9 @@ def _rows_at_positions(lake, h, schema, data_fid, positions: DataFrame, snap_id:
     if not row:
         return None
     path, rid_start = row[0]
+    read_schema = schema if rid_start is not None else _with_rowid(schema)
     df = (
-        lake.spark.read.schema(schema)
+        lake.spark.read.schema(read_schema)
         .parquet(os.path.join(lake.data_path, path))
         .withColumn("__pos", F.col("_metadata.row_index"))
     )

@@ -218,3 +218,51 @@ def test_random_schema_evolution_with_dml(spark, tmp_path):
         }
         assert {k: {c: got[k].get(c) for c in cs} for k in got} == \
             {k: {c: r.get(c) for c in cs} for k, r in m.items()}
+
+
+def test_random_cdc_feed_matches_model_diffs(spark, tmp_path):
+    """table_changes per commit must equal the model's diff — including
+    deletes/updates of rows living in files that UPDATE wrote earlier
+    (row_id_start NULL, rowid in the embedded column)."""
+    import random
+
+    from ducklake_spark.cdc import table_changes
+    from ducklake_spark.dml import delete, update
+    from ducklake_spark.lake import DuckLake
+
+    rng = random.Random(501)  # this seed hit the embedded-rowid path
+    lake = DuckLake.attach(spark, str(tmp_path / "m.db"), str(tmp_path / "d"))
+    lake.create_table("t", [("k", "int64"), ("v", "int64")])
+    model, next_k = {}, 0
+    for _ in range(8):
+        op = rng.choice(["insert", "insert", "delete", "update"])
+        s0 = lake.current_snapshot()
+        expected = None
+        if op == "insert":
+            n = rng.randint(1, 15)
+            rows = [(next_k + j, rng.randint(0, 99)) for j in range(n)]
+            next_k += n
+            lake.insert("t", spark.createDataFrame(rows, "k long, v long"))
+            model.update(dict(rows))
+            expected = {(k, "insert") for k, _ in rows}
+        elif op == "delete" and model:
+            cut = rng.choice(sorted(model))
+            delete(lake, "t", f"k <= {cut}")
+            gone = {k for k in model if k <= cut}
+            model = {k: v for k, v in model.items() if k > cut}
+            expected = {(k, "delete") for k in gone}
+        elif op == "update" and model:
+            cut = rng.choice(sorted(model))
+            update(lake, "t", {"v": "v + 1000"}, f"k <= {cut}")
+            touched = {k for k in model if k <= cut}
+            model = {k: (v + 1000 if k <= cut else v) for k, v in model.items()}
+            expected = {(k, "update_preimage") for k in touched} | {
+                (k, "update_postimage") for k in touched
+            }
+        if expected is None:
+            continue
+        got = {
+            (r.k, r.change_type)
+            for r in table_changes(lake, "t", s0 + 1, lake.current_snapshot()).collect()
+        }
+        assert got == expected
