@@ -158,11 +158,13 @@ def sample_frames(
 def media_stats(df: DataFrame, *, media_col: str = "media", meta_col: str = "media_meta") -> DataFrame:
     """Metadata-only profile — never touches the bytes (no decode, the
     binary column is pruned from the scan entirely)."""
+    # avg = exact integer SUM, then ONE double division — bit-identical
+    # across engines, unlike incremental double accumulation (F.avg).
     return df.groupBy(F.col(f"{meta_col}.format").alias("format")).agg(
         F.count("*").alias("n"),
         F.sum(F.length(media_col)).alias("total_bytes"),
-        F.avg(f"{meta_col}.width").alias("avg_width"),
-        F.avg(f"{meta_col}.height").alias("avg_height"),
+        (F.sum(f"{meta_col}.width") / F.count("*")).alias("avg_width"),
+        (F.sum(f"{meta_col}.height") / F.count("*")).alias("avg_height"),
         F.max(f"{meta_col}.duration_ms").alias("max_duration_ms"),
     )
 

@@ -56,9 +56,9 @@ WITH m AS (
 )
 SELECT format,
        COUNT(*) AS n,
-       SUM(bl) AS total_bytes,
-       AVG(CAST(bl % 512 + 16 AS BIGINT)) AS avg_width,
-       AVG(CAST(bl % 256 + 16 AS BIGINT)) AS avg_height,
+       CAST(SUM(bl) AS BIGINT) AS total_bytes,
+       CAST(SUM(bl % 512 + 16) AS BIGINT) * 1.0 / COUNT(*) AS avg_width,
+       CAST(SUM(bl % 256 + 16) AS BIGINT) * 1.0 / COUNT(*) AS avg_height,
        MAX(bl * 33) AS max_duration_ms
 FROM m GROUP BY format ORDER BY format
 """

@@ -270,8 +270,8 @@ sql_query(
     """
     SELECT
         o_orderpriority,
-        SUM(CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END) AS finished_count,
-        SUM(CASE WHEN o_orderstatus <> 'F' THEN 1 ELSE 0 END) AS open_count,
+        CAST(SUM(CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END) AS BIGINT) AS finished_count,
+        CAST(SUM(CASE WHEN o_orderstatus <> 'F' THEN 1 ELSE 0 END) AS BIGINT) AS open_count,
         COUNT(*) AS line_count
     FROM orders, lineitem
     WHERE o_orderkey = l_orderkey

@@ -24,28 +24,45 @@ TABLES = (
 
 
 def _norm_cell(v):
+    """Type-strict canonical form.
+
+    The driver hashes concrete values, so representation differences the
+    eye ignores (int vs float vs Decimal, decimal scale, float last-ulp)
+    MUST be visible here: each cell becomes a (type-tag, exact-string)
+    pair.  A DuckDB HUGEINT that arrow-converts to float, or a Spark
+    double that differs in the last bit, fails this gate like it fails
+    the driver's hash.
+    """
     import datetime
     import decimal
 
+    if v is None:
+        return ("n", "")
+    if isinstance(v, bool):
+        return ("b", str(v))
+    if isinstance(v, int):
+        return ("i", str(v))
     if isinstance(v, decimal.Decimal):
-        return float(v)
-    if isinstance(v, datetime.datetime):
-        return v.replace(tzinfo=None).isoformat()
-    if isinstance(v, datetime.date):
-        return v.isoformat()
+        return ("d", str(v))
     if isinstance(v, float):
         if math.isnan(v):
-            return "NaN"
-        return v
-    if isinstance(v, list):
-        return tuple(_norm_cell(x) for x in v)
-    return v
+            return ("f", "NaN")
+        return ("f", repr(v))
+    if isinstance(v, datetime.datetime):
+        return ("t", v.replace(tzinfo=None).isoformat())
+    if isinstance(v, datetime.date):
+        return ("D", v.isoformat())
+    if isinstance(v, (list, tuple)):
+        return ("l", tuple(_norm_cell(x) for x in v))
+    if isinstance(v, (bytes, bytearray)):
+        return ("y", bytes(v).hex())
+    return (type(v).__name__, str(v))
 
 
 def normalize(cols, rows):
     order = sorted(range(len(cols)), key=lambda i: cols[i])
     out = [tuple(_norm_cell(r[i]) for i in order) for r in rows]
-    out.sort(key=lambda t: tuple((x is None, str(type(x)), x) for x in t))
+    out.sort()
     return [cols[i] for i in order], out
 
 
@@ -81,9 +98,12 @@ def main() -> int:
                       f"{time.time()-t0:.1f}s")
                 n_pass += 1
                 continue
-            o = con.execute(q.oracle)
-            o_cols = [d[0] for d in o.description]
-            o_rows = o.fetchall()
+            # fetch via Arrow, not fetchall(): fetchall() coerces DuckDB
+            # HUGEINT -> python int (invisible), Arrow surfaces it as
+            # Decimal — which is what a driver hashing Arrow values sees.
+            tbl = con.execute(q.oracle).arrow()
+            o_cols = tbl.column_names
+            o_rows = [tuple(d[c] for c in o_cols) for d in tbl.to_pylist()]
             sc, sr = normalize(s_cols, s_rows)
             oc, orows = normalize(o_cols, o_rows)
             problems = []
