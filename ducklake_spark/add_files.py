@@ -49,10 +49,15 @@ def add_data_files(lake: DuckLake, table: str, pattern: str, *,
         file_cols = {c.split(".")[0] for c in pf.schema_arrow.names}
         hive_vals: dict[str, str] = {}
         if hive_partitioning:
+            from urllib.parse import unquote
+
             for seg in os.path.dirname(path).split(os.sep):
                 m = re.fullmatch(r"([\w.]+)=([^/]*)", seg)
                 if m:
-                    hive_vals[m.group(1)] = m.group(2)
+                    # store RAW values: hive escapes specials in dir names
+                    # ('%20' etc.), the insert path records row values —
+                    # the catalog must hold one encoding for pruning
+                    hive_vals[m.group(1)] = unquote(m.group(2))
         missing = [
             c for c in table_cols
             if c not in file_cols and c not in hive_vals

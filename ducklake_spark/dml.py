@@ -20,9 +20,7 @@ files); only per-file *counts* ever reach the driver.
 
 from __future__ import annotations
 
-import glob as globmod
 import os
-import shutil
 import uuid
 
 from pyspark.sql import DataFrame
@@ -172,24 +170,28 @@ def _apply_file_deletes(lake: DuckLake, h: TableHandle, snap, files: list[dict],
             )
             new_dels = new_dels.unionByName(prev).distinct()
         delete_dir = os.path.join(lake.data_path, h.path)
-        tmp = os.path.join(delete_dir, f".del_{uuid.uuid4().hex}")
-        (
-            new_dels.repartition(max(1, min(len(partial), 64)), "file_path")
-            .sortWithinPartitions("file_path", "pos")
-            .select(
-                F.col("file_path").alias(
-                    "file_path", metadata={"parquet.field.id": 2147483546}
-                ),
-                F.col("pos").alias("pos", metadata={"parquet.field.id": 2147483545}),
+        # one delete parquet per touched data file, written EXECUTOR-side
+        # (applyInPandas group per file): the driver only collects per-file
+        # metadata rows, so a delete spanning 100k files neither serializes
+        # on the driver nor assumes a POSIX listing (pyarrow handles
+        # local + object-store URIs alike)
+        written = _write_delete_files_distributed(lake, delete_dir, new_dels)
+        by_rel = {p["rel"]: p for p in partial}
+        for w in written:
+            p = by_rel.get(w["file_path"])
+            if p is None:
+                continue
+            if p["prev"] is not None and p["fid"] in existing_ids:
+                txn.replaced_delete_files.append(existing_ids[p["fid"]])
+            txn.new_delete_files.setdefault(h.table_id, []).append(
+                DeleteFileInfo(
+                    data_file_id=p["fid"],
+                    path=os.path.relpath(w["out_path"], lake.data_path),
+                    delete_count=w["n"],
+                    file_size_bytes=w["size"],
+                )
             )
-            .write.mode("overwrite")
-            .partitionBy("file_path")  # hive dir per data file
-            .parquet(tmp)
-        )
-        # a partitioned write puts file_path in the dir name, not the file;
-        # re-read each partition dir and emit the reference layout instead
-        _finalize_delete_files(lake, h, txn, tmp, partial, existing_ids)
-        shutil.rmtree(tmp, ignore_errors=True)
+            txn.touched_delete_data_files.add(p["fid"])
 
     for fid in full_drop:
         txn.removed_data_files.setdefault(h.table_id, []).append(fid)
@@ -197,54 +199,48 @@ def _apply_file_deletes(lake: DuckLake, h: TableHandle, snap, files: list[dict],
     return n_deleted
 
 
-def _finalize_delete_files(lake, h, txn, tmp: str, partial: list[dict],
-                           existing_ids: dict) -> None:
-    import pyarrow as pa
-    import pyarrow.parquet as pq
+def _write_delete_files_distributed(lake, delete_dir: str, dels: DataFrame) -> list[dict]:
+    """Write one reference-layout delete parquet per data file, each
+    group on the executor that owns it; returns per-file metadata rows
+    (file_path, out_path, n, size). Reference layout:
+    ducklake_delete.cpp:598-631 (sorted positions, Iceberg field ids)."""
+    import pandas as pd
 
-    delete_dir = os.path.join(lake.data_path, h.path)
-    for p in partial:
-        # hive dir name: file_path=<urlencoded rel path>
-        import urllib.parse
+    def write_group(pdf: pd.DataFrame) -> pd.DataFrame:
+        import os as _os
+        import uuid as _uuid
 
-        cand = None
-        for d in os.listdir(tmp):
-            if not d.startswith("file_path="):
-                continue
-            if urllib.parse.unquote(d[len("file_path="):]) == p["rel"]:
-                cand = os.path.join(tmp, d)
-                break
-        if cand is None:
-            continue
-        parts = sorted(globmod.glob(os.path.join(cand, "*.parquet")))
-        tables = [pq.read_table(f, columns=["pos"]) for f in parts]
-        pos = pa.concat_tables(tables)["pos"]
-        n = len(pos)
-        schema = pa.schema(
+        import pyarrow as _pa
+        import pyarrow.parquet as _pq
+
+        rel = pdf["file_path"].iloc[0]
+        pos = sorted(int(x) for x in pdf["pos"])
+        schema = _pa.schema(
             [
-                pa.field("file_path", pa.string(),
-                         metadata={b"PARQUET:field_id": b"2147483546"}),
-                pa.field("pos", pa.int64(),
-                         metadata={b"PARQUET:field_id": b"2147483545"}),
+                _pa.field("file_path", _pa.string(),
+                          metadata={b"PARQUET:field_id": b"2147483546"}),
+                _pa.field("pos", _pa.int64(),
+                          metadata={b"PARQUET:field_id": b"2147483545"}),
             ]
         )
-        out = pa.table(
-            {"file_path": pa.array([p["rel"]] * n), "pos": pos.combine_chunks()},
-            schema=schema,
+        out = _pa.table({"file_path": [rel] * len(pos), "pos": pos}, schema=schema)
+        final = _os.path.join(
+            delete_dir, f"ducklake-delete-{_uuid.uuid4().hex}.parquet"
         )
-        final = os.path.join(delete_dir, f"ducklake-delete-{uuid.uuid4().hex}.parquet")
-        pq.write_table(out, final)
-        if p["prev"] is not None and p["fid"] in existing_ids:
-            txn.replaced_delete_files.append(existing_ids[p["fid"]])
-        txn.new_delete_files.setdefault(h.table_id, []).append(
-            DeleteFileInfo(
-                data_file_id=p["fid"],
-                path=os.path.relpath(final, lake.data_path),
-                delete_count=n,
-                file_size_bytes=os.path.getsize(final),
-            )
+        _pq.write_table(out, final)
+        return pd.DataFrame(
+            [{"file_path": rel, "out_path": final, "n": len(pos),
+              "size": _os.path.getsize(final)}]
         )
-        txn.touched_delete_data_files.add(p["fid"])
+
+    rows = (
+        dels.groupBy("file_path")
+        .applyInPandas(
+            write_group, "file_path string, out_path string, n long, size long"
+        )
+        .collect()
+    )
+    return [r.asDict() for r in rows]
 
 
 def _inlined_delete_count(lake, h, fid: int) -> int:
@@ -280,7 +276,6 @@ def _delete_inlined(lake: DuckLake, h: TableHandle, where: str) -> int:
     snap = lake.meta.latest_snapshot()
     schema = lake._spark_schema(h)
     total = 0
-    pending = snap.snapshot_id + 1
     for (tname,) in tabs:
         rows = lake.meta.query(
             f"SELECT * FROM {tname} WHERE begin_snapshot <= ? "
@@ -302,10 +297,11 @@ def _delete_inlined(lake: DuckLake, h: TableHandle, where: str) -> int:
         victims = lake.spark.createDataFrame(data, sch).filter(where)
         rids = [r["__rid"] for r in victims.select("__rid").collect()]
         if rids:
-            qs = ",".join("?" * len(rids))
-            lake.meta.con.execute(
-                f"UPDATE {tname} SET end_snapshot=? WHERE row_id IN ({qs})",
-                (pending, *rids),
+            # buffered: end_snapshot is stamped with the REAL snapshot id
+            # inside the commit's catalog transaction (an aborted commit
+            # must leave these rows visible)
+            lake.begin().inlined_end_updates.append(
+                (tname, ("row_id",), [(r,) for r in rids])
             )
             total += len(rids)
     return total
@@ -367,10 +363,10 @@ def _update_inlined(lake: DuckLake, h: TableHandle, assignments: dict[str, str],
     if not tabs:
         return 0
     snap = lake.meta.latest_snapshot()
-    pending = snap.snapshot_id + 1
     schema = lake._spark_schema(h)
     total = 0
     from ducklake_spark.lake import _from_sql_value, _to_sql_value
+    from ducklake_spark.transaction import PENDING_SNAPSHOT
     from pyspark.sql import types as T
 
     txn = lake.begin()
@@ -395,14 +391,9 @@ def _update_inlined(lake: DuckLake, h: TableHandle, assignments: dict[str, str],
         if not updated:
             continue
         rids = [r["__rid"] for r in updated]
-        qs = ",".join("?" * len(rids))
-        lake.meta.con.execute(
-            f"UPDATE {tname} SET end_snapshot=? WHERE row_id IN ({qs}) "
-            "AND end_snapshot IS NULL",
-            (pending, *rids),
-        )
+        txn.inlined_end_updates.append((tname, ("row_id",), [(r,) for r in rids]))
         packed = [
-            (r["__rid"], pending, None)
+            (r["__rid"], PENDING_SNAPSHOT, None)
             + tuple(_to_sql_value(r[f.name]) for f in schema.fields)
             for r in updated
         ]
@@ -455,7 +446,9 @@ def merge_into(lake: DuckLake, target: str, source: DataFrame, on: list[str],
 
     with lake.transaction():
         if when_matched_update or when_matched_delete:
-            joined = t.join(sdf, cond, "inner")
+            # the joined relation feeds BOTH the replacement-row write and
+            # the victim delete-apply: persist so the join runs once
+            joined = t.join(sdf, cond, "inner").persist()
             if when_matched_update:
                 new_rows = joined.select(
                     *[
@@ -482,6 +475,7 @@ def merge_into(lake: DuckLake, target: str, source: DataFrame, on: list[str],
                 F.col("t.file_row_number").alias("pos"),
             )
             n = _apply_file_deletes(lake, h, snap, files, victims)
+            joined.unpersist()
             if n:
                 txn = lake.begin()
                 txn.stats_delta.setdefault(h.table_id, {}).setdefault("records", 0)
@@ -490,10 +484,9 @@ def merge_into(lake: DuckLake, target: str, source: DataFrame, on: list[str],
             counts["deleted" if when_matched_delete else "updated"] = n
         if when_not_matched_insert:
             new_rows = source.join(tgt, on, "left_anti")
-            n_new = new_rows.count()
-            if n_new:
-                lake.insert(target, new_rows)
-                counts["inserted"] = n_new
+            # count comes back from the insert's file footers — no
+            # separate counting job over the join
+            counts["inserted"] = lake.insert(target, new_rows)
     return counts
 
 

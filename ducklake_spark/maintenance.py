@@ -50,18 +50,21 @@ def merge_adjacent_files(lake: DuckLake, *, target_file_size: int | None = None,
                 (h.table_id,),
             )
         } | _fids_with_inlined_deletes(lake, h)
+        # one batched query for every file's partition values (not one
+        # round-trip per file: 1M files must not mean 1M driver queries)
+        pv_rows = lake.meta.query(
+            "SELECT data_file_id, partition_key_index, partition_value "
+            "FROM ducklake_file_partition_value WHERE table_id=?",
+            (h.table_id,),
+        )
+        pv_acc: dict[int, list[tuple[int, str]]] = {}
+        for fid_, idx_, v_ in pv_rows:
+            pv_acc.setdefault(fid_, []).append((idx_, v_))
         part_vals = {
-            fid: tuple(
-                v
-                for _, v in sorted(
-                    lake.meta.query(
-                        "SELECT partition_key_index, partition_value "
-                        "FROM ducklake_file_partition_value WHERE data_file_id=?",
-                        (fid,),
-                    )
-                )
+            f["data_file_id"]: tuple(
+                v for _, v in sorted(pv_acc.get(f["data_file_id"], []))
             )
-            for fid in [f["data_file_id"] for f in files]
+            for f in files
         }
         # group by partition values; keep file order (adjacency)
         groups: dict[tuple, list[dict]] = {}
@@ -136,6 +139,10 @@ def _rewrite_pack(lake: DuckLake, h, pack: list[dict], part_vals: tuple) -> None
     txn.new_data_files.setdefault(str(h.table_id), []).extend(files)
     for f in pack:
         txn.purged_data_files.setdefault(h.table_id, []).append(f["data_file_id"])
+        # source files join the touched set so a concurrent DELETE on a
+        # file being rewritten conflicts instead of silently resurrecting
+        # its rows (ducklake_transaction_state.cpp:223-224,267-276)
+        txn.touched_delete_data_files.add(f["data_file_id"])
     txn.change_log.append(f"compacted_table:{h.table_id}")
     lake._autocommit()
 
@@ -197,6 +204,7 @@ def rewrite_data_files(lake: DuckLake, *, delete_threshold: float | None = None,
             txn.stats_delta[h.table_id]["records"] -= sum(f.record_count for f in files)
             txn.new_data_files.setdefault(str(h.table_id), []).extend(files)
             txn.removed_data_files.setdefault(h.table_id, []).append(fid)
+            txn.touched_delete_data_files.add(fid)
             txn.change_log.append(f"compacted_table:{h.table_id}")
             lake._autocommit()
             n += 1
@@ -233,19 +241,23 @@ def expire_snapshots(lake: DuckLake, *, older_than: str | None = None,
             f"DELETE FROM ducklake_snapshot_changes WHERE snapshot_id IN ({qs})", victims
         )
         # files whose lifetime no longer intersects any live snapshot
+        # (keys are the PK id columns — ANSI-portable, no sqlite rowid)
+        from ducklake_spark.catalog.metadata import _now_ts
+
         live = [s for (s,) in con.execute("SELECT snapshot_id FROM ducklake_snapshot")]
-        for table in ("ducklake_data_file", "ducklake_delete_file"):
+        for table, pk in (("ducklake_data_file", "data_file_id"),
+                          ("ducklake_delete_file", "delete_file_id")):
             rows = con.execute(
-                f"SELECT rowid, begin_snapshot, end_snapshot, path FROM {table} "
+                f"SELECT {pk}, begin_snapshot, end_snapshot, path FROM {table} "
                 "WHERE end_snapshot IS NOT NULL"
             ).fetchall()
             for rid, b, e, path in rows:
                 if not any(b <= s < e for s in live):
-                    con.execute(f"DELETE FROM {table} WHERE rowid=?", (rid,))
+                    con.execute(f"DELETE FROM {table} WHERE {pk}=?", (rid,))
                     con.execute(
                         "INSERT INTO ducklake_files_scheduled_for_deletion "
-                        "VALUES (NULL, ?, 1, datetime('now'))",
-                        (path,),
+                        "VALUES (NULL, ?, 1, ?)",
+                        (path, _now_ts()),
                     )
         con.execute("COMMIT")
     except BaseException:
@@ -263,17 +275,18 @@ def cleanup_old_files(lake: DuckLake, *, older_than: str | None = None,
     if older_than is not None and not cleanup_all:
         where, params = " WHERE schedule_start < ?", (older_than,)
     rows = lake.meta.query(
-        "SELECT rowid, path FROM ducklake_files_scheduled_for_deletion" + where, params
+        "SELECT path FROM ducklake_files_scheduled_for_deletion" + where, params
     )
     out = []
-    for rid, path in rows:
+    for (path,) in rows:
         abs_path = os.path.join(lake.data_path, path)
         out.append(path)
         if not dry_run:
             if os.path.exists(abs_path):
                 os.remove(abs_path)
             lake.meta.con.execute(
-                "DELETE FROM ducklake_files_scheduled_for_deletion WHERE rowid=?", (rid,)
+                "DELETE FROM ducklake_files_scheduled_for_deletion WHERE path=?",
+                (path,),
             )
     return out
 
@@ -340,11 +353,12 @@ def flush_inlined_data(lake: DuckLake, *, table: str | None = None) -> int:
             txn.new_data_files.setdefault(str(h.table_id), []).extend(files)
             txn.change_log.append(f"flushed_inlined_data:{h.table_id}")
             # end-snapshot (not delete) the flushed rows: historical scans
-            # still read them, while the parquet file serves from here on
-            pending = lake.meta.latest_snapshot().snapshot_id + 1
-            lake.meta.con.execute(
-                f"UPDATE {itname} SET end_snapshot=? WHERE end_snapshot IS NULL",
-                (pending,),
+            # still read them, while the parquet file serves from here on.
+            # Exactly the rows we flushed (by row_id), stamped with the real
+            # snapshot id inside the commit transaction — a concurrent
+            # inlined insert between here and commit must not be eaten.
+            txn.inlined_end_updates.append(
+                (itname, ("row_id",), [(r[0],) for r in rows])
             )
             lake._autocommit()
             n_flushed += len(rows)
@@ -435,9 +449,10 @@ def _flush_inlined_deletes(lake: DuckLake, h) -> int:
         )
         txn.touched_delete_data_files.add(fid)
     txn.change_log.append(f"flushed_inlined_data:{h.table_id}")
-    pending = lake.meta.latest_snapshot().snapshot_id + 1
-    lake.meta.con.execute(
-        f"UPDATE {tname} SET end_snapshot=? WHERE end_snapshot IS NULL", (pending,)
+    # exactly the positions we folded into the delete parquet, stamped
+    # inside the commit transaction, keyed by (data_file_id, pos)
+    txn.inlined_end_updates.append(
+        (tname, ("data_file_id", "pos"), [tuple(r) for r in rows])
     )
     lake._autocommit()
     return len(rows)

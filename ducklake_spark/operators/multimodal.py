@@ -100,24 +100,39 @@ def image_features(
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
-            rows = []
-            for _, r in pdf.iterrows():
-                img = decode(r[media_col]).astype(np.float64)
-                rows.append(
-                    tuple(r[c] for c in id_cols)
-                    + (
-                        float(img.mean()),
-                        float(img.std()),
-                        float(np.percentile(img, 5)),
-                        float(np.percentile(img, 95)),
-                        len(r[media_col] or b""),
-                    )
+            blobs = pdf[media_col].tolist()
+            if not blobs:
+                continue
+            # decode is necessarily per-image; the statistics are one
+            # vectorized pass over the stacked batch (no iterrows, no
+            # per-row numpy dispatch)
+            decoded = [decode(b) for b in blobs]
+            if len({d.shape for d in decoded}) == 1:
+                flat = np.stack(decoded).astype(np.float64).reshape(len(blobs), -1)
+            else:  # mixed sizes (real codec): pad-free per-image flatten
+                flat = np.array(
+                    [d.astype(np.float64).ravel() for d in decoded], dtype=object
                 )
-            yield pd.DataFrame(
-                rows,
-                columns=list(id_cols)
-                + ["mean_intensity", "std_intensity", "p05", "p95", "byte_len"],
-            )
+                flat = np.stack([
+                    np.array([a.mean(), a.std(),
+                              np.percentile(a, 5), np.percentile(a, 95)])
+                    for a in flat
+                ])
+                out = pd.DataFrame({c: pdf[c].values for c in id_cols})
+                out["mean_intensity"] = flat[:, 0]
+                out["std_intensity"] = flat[:, 1]
+                out["p05"] = flat[:, 2]
+                out["p95"] = flat[:, 3]
+                out["byte_len"] = [len(b or b"") for b in blobs]
+                yield out
+                continue
+            out = pd.DataFrame({c: pdf[c].values for c in id_cols})
+            out["mean_intensity"] = flat.mean(axis=1)
+            out["std_intensity"] = flat.std(axis=1)
+            out["p05"] = np.percentile(flat, 5, axis=1)
+            out["p95"] = np.percentile(flat, 95, axis=1)
+            out["byte_len"] = [len(b or b"") for b in blobs]
+            yield out
 
     return df.select(*id_cols, media_col).mapInPandas(run, out_schema)
 

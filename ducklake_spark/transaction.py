@@ -36,6 +36,22 @@ RETRY_BACKOFF = 1.5
 STAGED_BASE = 1 << 40
 
 
+class _PendingSnapshot:
+    """Placeholder for 'the snapshot id this transaction commits as'.
+
+    Buffered inlined-row tuples can't know the final id up front (a
+    concurrent commit or a retry changes it); _try_commit substitutes
+    the real id inside the catalog transaction."""
+
+    __slots__ = ()
+
+    def __repr__(self) -> str:  # pragma: no cover
+        return "<PENDING_SNAPSHOT>"
+
+
+PENDING_SNAPSHOT = _PendingSnapshot()
+
+
 @dataclass
 class ColumnDef:
     name: str
@@ -122,6 +138,20 @@ class Transaction:
         self.stats_delta: dict[int, dict] = {}  # table_id -> {records, bytes, rows_needed}
         self.column_changes: dict[int, list] = {}  # table_id -> alter ops
         self.inlined_inserts: list[tuple[int, str, list[tuple]]] = []
+        # like inlined_inserts, but row_id holds a 0-based OFFSET that is
+        # rebased onto table_stats.next_row_id inside the commit txn (new
+        # inlined rows; preserved-rowid update rows go in inlined_inserts)
+        self.inlined_inserts_rebase: list[tuple[int, str, list[tuple]]] = []
+        # buffered `end_snapshot = <committing snapshot>` marks on inlined
+        # tables: (table_name, key_cols, key_tuples). Applied inside the
+        # commit's catalog transaction with the REAL snapshot id — never on
+        # the autocommit connection with a guessed id (an aborted commit
+        # must leave inlined rows untouched; reference keeps all
+        # inlined-data catalog writes transactional). Keys are explicit
+        # columns, not sqlite rowid, so any ANSI backend works.
+        self.inlined_end_updates: list[
+            tuple[str, tuple[str, ...], list[tuple] | None]
+        ] = []
         self.inlined_clears: list[int] = []  # table_ids whose inlined rows flush
         # small deletes absorbed into the catalog instead of a delete
         # parquet (reference: inlined file deletions,
@@ -186,25 +216,54 @@ class Transaction:
                             f"table {tid}: {kind} in snapshot {snap_id} conflicts "
                             "with this transaction"
                         )
-                if kind in ("deleted_from_table", "compacted_table"):
-                    if tid in ours_delete | ours_compact:
-                        # file-level refinement: conflicting only if the same
-                        # data files were touched
-                        rows = self.meta.query(
-                            "SELECT data_file_id FROM ducklake_delete_file "
-                            "WHERE begin_snapshot = ? AND table_id = ?",
-                            (snap_id, tid),
-                        ) + self.meta.query(
-                            "SELECT data_file_id FROM ducklake_data_file "
-                            "WHERE end_snapshot = ? AND table_id = ?",
-                            (snap_id, tid),
-                        )
-                        touched = {r[0] for r in rows}
-                        if touched & self.touched_delete_data_files:
-                            raise ConflictError(
-                                f"table {tid}: concurrent delete/compact of the "
-                                f"same data files in snapshot {snap_id}"
+                if kind == "compacted_table" and tid in ours_delete | ours_compact:
+                    # a committed compaction PURGES its source rows from the
+                    # catalog — no end_snapshot marker survives to probe, so
+                    # a file-level check cannot see it. Conflict at table
+                    # level, as the reference does
+                    # (ducklake_transaction_state.cpp:223-224,267-276).
+                    raise ConflictError(
+                        f"table {tid}: concurrent compaction in snapshot "
+                        f"{snap_id} conflicts with this transaction's "
+                        "delete/compact"
+                    )
+                if kind == "deleted_from_table" and tid in ours_delete | ours_compact:
+                    # file-level refinement: conflicting only if the same
+                    # data files were touched. Our compactions put their
+                    # source files into touched_delete_data_files, so a
+                    # concurrent DELETE on a file we are rewriting is caught
+                    # here (deleted rows must not resurrect in the rewrite).
+                    rows = self.meta.query(
+                        "SELECT data_file_id FROM ducklake_delete_file "
+                        "WHERE begin_snapshot = ? AND table_id = ?",
+                        (snap_id, tid),
+                    ) + self.meta.query(
+                        "SELECT data_file_id FROM ducklake_data_file "
+                        "WHERE end_snapshot = ? AND table_id = ?",
+                        (snap_id, tid),
+                    )
+                    touched = {r[0] for r in rows}
+                    # inlined (catalog-absorbed) delete positions leave no
+                    # delete-file row; probe their side table too
+                    if self.meta.query(
+                        "SELECT 1 FROM sqlite_master WHERE type='table' AND name=?",
+                        (f"ducklake_inlined_deletes_{tid}",),
+                    ):
+                        touched |= {
+                            r[0]
+                            for r in self.meta.query(
+                                "SELECT DISTINCT data_file_id FROM "
+                                f"ducklake_inlined_deletes_{tid} "
+                                "WHERE begin_snapshot = ?",
+                                (snap_id,),
                             )
+                        }
+                    if touched & self.touched_delete_data_files:
+                        raise ConflictError(
+                            f"table {tid}: concurrent delete/compact of the "
+                            f"same data files in snapshot {snap_id}"
+                        )
+                if kind in ("deleted_from_table", "compacted_table"):
                     if tid in ours_alter:
                         raise ConflictError(
                             f"table {tid}: {kind} in snapshot {snap_id} conflicts "
@@ -666,13 +725,55 @@ class Transaction:
                     (delta.get("records", 0), tid),
                 )
 
-            # --- inlined data
+            # --- inlined data: end-marks BEFORE inserts (an UPDATE of the
+            # same row_id must not catch the replacement row an update-DML
+            # inserts at this same snapshot)
+            for table_name, key_cols, keys in self.inlined_end_updates:
+                if keys is None:
+                    con.execute(
+                        f"UPDATE {table_name} SET end_snapshot=? "
+                        "WHERE end_snapshot IS NULL",
+                        (snap_id,),
+                    )
+                else:
+                    cond = " AND ".join(f"{c}=?" for c in key_cols)
+                    con.executemany(
+                        f"UPDATE {table_name} SET end_snapshot=? "
+                        f"WHERE {cond} AND end_snapshot IS NULL",
+                        [(snap_id, *k) for k in keys],
+                    )
             for tid, table_name, rows in self.inlined_inserts:
                 if rows:
+                    rows = [
+                        tuple(snap_id if x is PENDING_SNAPSHOT else x for x in r)
+                        for r in rows
+                    ]
                     placeholders = ",".join("?" * len(rows[0]))
                     con.executemany(
                         f"INSERT INTO {table_name} VALUES ({placeholders})", rows
                     )
+            for tid, table_name, rows in self.inlined_inserts_rebase:
+                if not rows:
+                    continue
+                srow = con.execute(
+                    "SELECT next_row_id FROM ducklake_table_stats WHERE table_id=?",
+                    (tid,),
+                ).fetchone()
+                base = srow[0] if srow else 0
+                rows = [
+                    (base + r[0],)
+                    + tuple(snap_id if x is PENDING_SNAPSHOT else x for x in r[1:])
+                    for r in rows
+                ]
+                placeholders = ",".join("?" * len(rows[0]))
+                con.executemany(
+                    f"INSERT INTO {table_name} VALUES ({placeholders})", rows
+                )
+                con.execute(
+                    "UPDATE ducklake_table_stats SET next_row_id = next_row_id + ?, "
+                    "record_count = record_count + ? WHERE table_id = ?",
+                    (len(rows), len(rows), tid),
+                )
 
             # --- snapshot row (staged commits reserve the id with a NULL
             # time; finalize_staged stamps it later)

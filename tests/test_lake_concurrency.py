@@ -221,3 +221,117 @@ def test_create_create_same_name_conflicts(spark, lake_path):
         with lake.transaction():
             lake.create_table("dup", [("i", "int64")])
             lake2.create_table("dup", [("i", "int64")])
+
+
+def test_delete_vs_compact_conflicts(spark, lake_path):
+    """Compaction whose source file was concurrently DELETEd from must
+    conflict instead of resurrecting the deleted rows — the compaction
+    txn carries its source files in touched_delete_data_files
+    (reference: ducklake_transaction_state.cpp:223-224,267-276)."""
+    from ducklake_spark.dml import delete
+    from ducklake_spark.maintenance import merge_adjacent_files
+    from ducklake_spark.transaction import ConflictError
+
+    lake = _attach(spark, lake_path)
+    lake.create_table("t", [("i", "int64")])
+    for lo in (0, 100):
+        lake.insert("t", spark.range(lo, lo + 100).select(F.col("id").alias("i")))
+
+    lake2 = _attach(spark, lake_path)
+    with pytest.raises(ConflictError):
+        with lake.transaction():
+            merge_adjacent_files(lake)   # buffers a rewrite of both files
+            delete(lake2, "t", "i < 5")  # commits mid-compaction
+    # the delete survived and the compaction never landed
+    assert lake2.table("t").count() == 195
+
+
+def test_compact_vs_delete_conflicts(spark, lake_path):
+    """A DELETE buffered while the table is concurrently compacted must
+    conflict at TABLE level: the compaction purges its source rows from
+    the catalog, so no end_snapshot marker survives for a file probe."""
+    from ducklake_spark.dml import delete
+    from ducklake_spark.maintenance import merge_adjacent_files
+    from ducklake_spark.transaction import ConflictError
+
+    lake = _attach(spark, lake_path)
+    lake.create_table("t", [("i", "int64")])
+    for lo in (0, 100):
+        lake.insert("t", spark.range(lo, lo + 100).select(F.col("id").alias("i")))
+
+    lake2 = _attach(spark, lake_path)
+    with pytest.raises(ConflictError):
+        with lake.transaction():
+            delete(lake, "t", "i < 5")    # buffers a delete file
+            merge_adjacent_files(lake2)   # commits, purging both sources
+    assert lake2.table("t").count() == 200
+
+
+def test_aborted_txn_keeps_inlined_rows(spark, tmp_path):
+    """An aborted commit leaves inlined rows untouched: end-snapshot
+    marks happen inside the commit's catalog transaction, never eagerly
+    on the autocommit connection with a guessed snapshot id."""
+    from ducklake_spark.dml import delete
+    from ducklake_spark.lake import DuckLake
+
+    lk = DuckLake.attach(
+        spark, str(tmp_path / "m.db"), str(tmp_path / "d"),
+        data_inlining_row_limit=10,
+    )
+    lk.create_table("t", [("i", "int64")])
+    lk.insert("t", spark.createDataFrame([(i,) for i in range(5)], "i long"))
+    assert lk.table("t").count() == 5
+
+    class Boom(RuntimeError):
+        pass
+
+    with pytest.raises(Boom):
+        with lk.transaction():
+            delete(lk, "t", "i < 3")
+            raise Boom()
+
+    assert lk.table("t").count() == 5
+    (tname,) = lk.meta.query(
+        "SELECT table_name FROM ducklake_inlined_data_tables"
+    )[0]
+    n_marked = lk.meta.query(
+        f"SELECT COUNT(*) FROM {tname} WHERE end_snapshot IS NOT NULL"
+    )[0][0]
+    assert n_marked == 0
+    # stats too: the fast count(*) path must not drift on abort
+    rc = lk.meta.query("SELECT record_count FROM ducklake_table_stats")[0][0]
+    assert rc == 5
+
+
+def test_inlined_begin_snapshot_matches_commit(spark, tmp_path):
+    """Inlined rows are stamped with the REAL committing snapshot id,
+    even when a concurrent writer claims the id that was current when
+    the rows were buffered (time travel / CDC correctness)."""
+    from ducklake_spark.lake import DuckLake
+
+    args = (str(tmp_path / "m.db"), str(tmp_path / "d"))
+    lk = DuckLake.attach(spark, *args, data_inlining_row_limit=10)
+    lk.create_table("t", [("i", "int64")])
+    lk2 = DuckLake.attach(spark, *args)
+
+    with lk.transaction():
+        lk.insert("t", spark.createDataFrame([(1,), (2,)], "i long"))
+        # concurrent writer commits first, taking the next snapshot id
+        lk2.insert("t", spark.createDataFrame([(100,), (101,)], "i long"))
+
+    assert lk.table("t").count() == 4
+    final = lk.meta.latest_snapshot().snapshot_id
+    (tname,) = lk.meta.query(
+        "SELECT table_name FROM ducklake_inlined_data_tables"
+    )[0]
+    ours = {
+        b for (b,) in lk.meta.query(
+            f'SELECT begin_snapshot FROM {tname} WHERE "i" < 100'
+        )
+    }
+    assert ours == {final}
+    # row ids allocated inside the commit txn: all four distinct
+    rids = [r for (r,) in lk.meta.query(f"SELECT row_id FROM {tname}")]
+    assert len(rids) == len(set(rids)) == 4
+    # time travel to the concurrent writer's snapshot excludes our rows
+    assert lk.table("t", at_version=final - 1).count() == 2

@@ -320,3 +320,23 @@ def test_merge_expressions_and_delete_action(lake, spark):
     )
     assert counts == {"updated": 0, "deleted": 1, "inserted": 0}
     assert sorted(r.k for r in lake.table("m").collect()) == [2, 3, 4]
+
+
+def test_delete_apply_shuffle_path(lake, spark):
+    """With delete_broadcast_row_limit=0 every scan takes the shuffle
+    anti-join path for delete application — results identical to the
+    broadcast path (SURVEY §4: strategy chosen by delete_count)."""
+    from ducklake_spark.dml import delete
+
+    lake.create_table("sb", [("i", "int64")])
+    lake.insert("sb", spark.range(1000).selectExpr("id AS i"))
+    assert delete(lake, "sb", "i % 10 = 0") == 100
+    lake.meta.set_option("delete_broadcast_row_limit", "0")
+    df = lake.table("sb")
+    assert df.count() == 900
+    assert df.filter("i % 10 = 0").count() == 0
+    # (AQE may still choose broadcast at runtime for a small set — the
+    # point is the PLANNED side has no forced broadcast hint and results
+    # stay identical)
+    lake.meta.set_option("delete_broadcast_row_limit", "1000000")
+    assert lake.table("sb").count() == 900

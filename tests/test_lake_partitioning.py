@@ -170,3 +170,69 @@ def test_sorted_write(lake, spark):
         r.i for r in lake.table("srt").limit(5).collect()
     ]
     assert first_rows == sorted(first_rows, reverse=True)
+
+
+def test_identity_prune_hostile_values(lake, spark):
+    """Identity =-pruning must compare RAW typed values: spaces, literal
+    '%', escape-looking strings, and 5-vs-'5.0' numeric forms all round
+    trip through Spark's Hadoop-escaped partition dir names."""
+    from pyspark.sql import functions as F
+
+    lake.create_table("hv", [("i", "int64"), ("p", "varchar")])
+    lake.set_partitioned_by("hv", [("p", "identity")])
+    tags = ["a b", "5.0", "x%20y", "100%"]
+    for tag in tags:
+        lake.insert(
+            "hv", spark.range(10).select(F.col("id").alias("i"), F.lit(tag).alias("p"))
+        )
+    for tag in tags:
+        assert lake.table("hv", where=f"p = '{tag}'").count() == 10, tag
+    # catalog stores raw values (no Hadoop %XX escapes)
+    vals = {
+        v
+        for (v,) in lake.meta.query(
+            "SELECT DISTINCT partition_value FROM ducklake_file_partition_value "
+            "WHERE table_id=(SELECT table_id FROM ducklake_table "
+            "WHERE table_name='hv')"
+        )
+    }
+    assert vals == set(tags)
+
+    lake.create_table("hn", [("i", "int64"), ("k", "int64")])
+    lake.set_partitioned_by("hn", [("k", "identity")])
+    for k in (5, 7):
+        lake.insert(
+            "hn", spark.range(10).select(F.col("id").alias("i"), F.lit(k).alias("k"))
+        )
+    assert lake.table("hn", where="k = 5").count() == 10
+    assert lake.table("hn", where="k > 5").count() == 10
+    assert lake.table("hn", where="k <= 5").count() == 10
+
+
+def test_scan_issues_constant_catalog_queries(lake, spark):
+    """Scan assembly must not issue per-file catalog round-trips: the
+    query count for a 12-file table stays bounded (the round-2 verdict
+    flagged an N+1 via _file_begin_snapshot)."""
+    from pyspark.sql import functions as F
+
+    lake.create_table("nq", [("i", "int64")])
+    for lo in range(12):
+        lake.insert(
+            "nq", spark.range(lo * 10, lo * 10 + 10).select(F.col("id").alias("i"))
+        )
+    calls: list[str] = []
+    orig = lake.meta.query
+
+    def counting(sql, *a, **kw):
+        calls.append(sql)
+        return orig(sql, *a, **kw)
+
+    lake.meta.query = counting
+    try:
+        df = lake.table("nq")
+        assert df.count() == 120
+    finally:
+        lake.meta.query = orig
+    per_file = [c for c in calls if "WHERE data_file_id=?" in c]
+    assert not per_file, f"{len(per_file)} per-file catalog queries in a scan"
+    assert len(calls) < 20, f"{len(calls)} catalog queries for a 12-file scan"
