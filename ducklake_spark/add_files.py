@@ -37,6 +37,7 @@ def add_data_files(lake: DuckLake, table: str, pattern: str, *,
     part_index = {cname: i for i, (cname, _t) in enumerate(part_spec)}
 
     txn = lake.begin()
+    from ducklake_spark.lake import parquet_footer_size as _footer_size
     from ducklake_spark.transaction import DataFileInfo
 
     colmap = {c[1]: c[0] for c in h.columns}
@@ -93,6 +94,7 @@ def add_data_files(lake: DuckLake, table: str, pattern: str, *,
                 else path,
                 record_count=pf.metadata.num_rows,
                 file_size_bytes=os.path.getsize(path),
+                footer_size=_footer_size(path),
                 partition_values=part_values,
                 column_stats=stats,
                 mapping_id=mapping_id,

@@ -1,0 +1,180 @@
+"""Catalog database backends.
+
+The reference runs its metadata schema on DuckDB, SQLite, or Postgres
+(test/configs/postgres.json; the SQL is deliberately ANSI-portable —
+ducklake_metadata_manager.cpp:1241-1244). This module gives the Spark
+port the same choice behind one seam:
+
+- ``SqliteBackend``   — default; a plain file path.
+- ``DuckDBBackend``   — ``duckdb://<path>``; the reference's own default
+  catalog engine, fully exercised by the test suite in this repo.
+- ``PostgresBackend`` — ``postgresql://...``; the cross-machine
+  multi-writer deployment. Requires psycopg2 at runtime (not shipped in
+  this container, so it is import-gated; the translation layer below is
+  exercised against its unit tests only).
+
+Every backend must provide qmark-style ``execute(sql, params)`` whose
+result supports ``fetchone/fetchall``, plus ``executemany``. The repo's
+catalog SQL avoids engine-specific constructs (no rowid keys, no
+``datetime('now')``); the two introspection idioms that remain —
+``sqlite_master`` and ``PRAGMA table_info`` — work natively on SQLite
+AND DuckDB, and are rewritten to information_schema for Postgres.
+"""
+
+from __future__ import annotations
+
+import re
+
+
+class CatalogBackend:
+    """One per MetadataManager; connections are created per thread."""
+
+    #: statement that opens a write transaction with writer exclusion /
+    #: snapshot isolation appropriate to the engine
+    begin_write_sql = "BEGIN"
+
+    def connect(self):  # pragma: no cover - interface
+        raise NotImplementedError
+
+    def is_retryable(self, exc: Exception) -> bool:
+        """Transient concurrency error → the optimistic commit loop
+        retries instead of surfacing the failure."""
+        msg = str(exc).lower()
+        return "lock" in msg or "conflict" in msg or "busy" in msg
+
+
+class SqliteBackend(CatalogBackend):
+    begin_write_sql = "BEGIN IMMEDIATE"
+
+    def __init__(self, path: str):
+        self.path = path
+
+    def connect(self):
+        import sqlite3
+
+        con = sqlite3.connect(self.path, timeout=30.0, isolation_level=None)
+        con.execute("PRAGMA journal_mode=WAL")
+        con.execute("PRAGMA busy_timeout=30000")
+        return con
+
+
+class DuckDBBackend(CatalogBackend):
+    # DuckDB rejects nested BEGIN and detects write-write conflicts at
+    # COMMIT (MVCC) — the commit loop's retry handles those
+    begin_write_sql = "BEGIN TRANSACTION"
+
+    def __init__(self, path: str):
+        self.path = path
+
+    def connect(self):
+        import duckdb
+
+        return duckdb.connect(self.path)
+
+    def is_retryable(self, exc: Exception) -> bool:
+        msg = str(exc).lower()
+        return (
+            "conflict" in msg
+            or "lock" in msg
+            or "transactioncontext" in msg
+            or "could not set lock" in msg
+        )
+
+
+_SQLITE_MASTER_LIST = re.compile(
+    r"SELECT\s+name\s+FROM\s+sqlite_master\s+WHERE\s+type='table'", re.I
+)
+_SQLITE_MASTER_ONE = re.compile(
+    r"SELECT\s+1\s+FROM\s+sqlite_master\s+WHERE\s+type='table'\s+AND\s+name=\?",
+    re.I,
+)
+_PRAGMA_INFO = re.compile(r"PRAGMA\s+table_info\(\s*'?(\w+)'?\s*\)", re.I)
+
+
+class _PgConnection:
+    """Adapter giving a psycopg2 connection the sqlite3 call shape the
+    catalog layer uses: qmark params, autocommit statements, and the two
+    introspection idioms rewritten to information_schema."""
+
+    def __init__(self, raw):
+        self.raw = raw
+        raw.autocommit = True
+        self._in_txn = False
+
+    @staticmethod
+    def _translate(sql: str) -> str:
+        m = _PRAGMA_INFO.search(sql)
+        if m:
+            # emit sqlite's (cid, name, type, notnull, dflt_value, pk) shape
+            return (
+                "SELECT ordinal_position - 1, column_name, data_type, "
+                "CASE WHEN is_nullable='NO' THEN 1 ELSE 0 END, "
+                "column_default, 0 FROM information_schema.columns "
+                f"WHERE table_name = '{m.group(1).lower()}' "
+                "ORDER BY ordinal_position"
+            )
+        sql = _SQLITE_MASTER_LIST.sub(
+            "SELECT table_name FROM information_schema.tables "
+            "WHERE table_schema = current_schema()",
+            sql,
+        )
+        sql = _SQLITE_MASTER_ONE.sub(
+            "SELECT 1 FROM information_schema.tables "
+            "WHERE table_schema = current_schema() AND table_name = %s",
+            sql,
+        )
+        return sql.replace("?", "%s")
+
+    def execute(self, sql: str, params=()):
+        stripped = sql.strip().upper()
+        if stripped.startswith("BEGIN"):
+            self.raw.autocommit = False
+            self._in_txn = True
+            return self
+        if stripped in ("COMMIT", "ROLLBACK"):
+            (self.raw.commit if stripped == "COMMIT" else self.raw.rollback)()
+            self.raw.autocommit = True
+            self._in_txn = False
+            return self
+        cur = self.raw.cursor()
+        cur.execute(self._translate(sql), tuple(params))
+        return cur
+
+    def executemany(self, sql: str, seq):
+        cur = self.raw.cursor()
+        cur.executemany(self._translate(sql), [tuple(p) for p in seq])
+        return cur
+
+    def close(self):
+        self.raw.close()
+
+
+class PostgresBackend(CatalogBackend):
+    begin_write_sql = "BEGIN"
+
+    def __init__(self, dsn: str):
+        self.dsn = dsn
+
+    def connect(self):
+        try:
+            import psycopg2  # noqa: F401
+        except ImportError as e:  # pragma: no cover
+            raise RuntimeError(
+                "postgresql:// catalog requires psycopg2 "
+                "(pip install psycopg2-binary)"
+            ) from e
+        import psycopg2
+
+        return _PgConnection(psycopg2.connect(self.dsn))
+
+    def is_retryable(self, exc: Exception) -> bool:
+        msg = str(exc).lower()
+        return "deadlock" in msg or "could not serialize" in msg or "lock" in msg
+
+
+def backend_for(db_path: str) -> CatalogBackend:
+    if db_path.startswith("duckdb://"):
+        return DuckDBBackend(db_path[len("duckdb://"):])
+    if db_path.startswith(("postgresql://", "postgres://")):
+        return PostgresBackend(db_path)
+    return SqliteBackend(db_path)

@@ -16,7 +16,6 @@ swapping the connection factory.
 
 from __future__ import annotations
 
-import sqlite3
 import threading
 import time
 import uuid
@@ -149,7 +148,7 @@ SCHEMA_STATEMENTS = [
         sort_direction VARCHAR, null_order VARCHAR)""",
 ]
 
-FORMAT_VERSION = "0.3"
+FORMAT_VERSION = "1.0"
 
 
 @dataclass
@@ -168,21 +167,73 @@ class ConflictError(Exception):
 
 
 class MetadataManager:
-    """Driver-side connection to the catalog database."""
+    """Driver-side connection to the catalog database.
+
+    ``db_path`` selects the backend: a plain path → SQLite,
+    ``duckdb://path`` → DuckDB, ``postgresql://…`` → Postgres
+    (reference supports the same trio, test/configs/postgres.json)."""
 
     def __init__(self, db_path: str):
+        from ducklake_spark.catalog.backends import backend_for
+
         self.db_path = db_path
+        self.backend = backend_for(db_path)
         self._local = threading.local()
 
     @property
-    def con(self) -> sqlite3.Connection:
+    def con(self):
         con = getattr(self._local, "con", None)
         if con is None:
-            con = sqlite3.connect(self.db_path, timeout=30.0, isolation_level=None)
-            con.execute("PRAGMA journal_mode=WAL")
-            con.execute("PRAGMA busy_timeout=30000")
+            con = self.backend.connect()
             self._local.con = con
         return con
+
+    def begin_write(self) -> None:
+        """Open a write transaction with the engine-appropriate mode."""
+        self.con.execute(self.backend.begin_write_sql)
+
+    def reserve_catalog_ids(self, n: int) -> int:
+        """Atomically reserve ``n`` catalog ids (CTAS pre-assigns column
+        field ids to the parquet it writes BEFORE its commit assigns
+        ids). The reservation ceiling persists in ducklake_metadata and
+        every commit starts its allocator at max(next_catalog_id,
+        ceiling), so reserved ids can never be re-issued — even if the
+        reserving transaction aborts (the band is simply wasted)."""
+        con = self.con
+        for attempt in range(10):
+            self.begin_write()
+            try:
+                row = con.execute(
+                    "SELECT value FROM ducklake_metadata "
+                    "WHERE key='id_reservation' AND scope IS NULL"
+                ).fetchone()
+                head = con.execute(
+                    "SELECT MAX(next_catalog_id) FROM ducklake_snapshot"
+                ).fetchone()[0]
+                base = max(int(row[0]) if row else 0, head or 0)
+                if row:
+                    con.execute(
+                        "UPDATE ducklake_metadata SET value=? "
+                        "WHERE key='id_reservation' AND scope IS NULL",
+                        (str(base + n),),
+                    )
+                else:
+                    con.execute(
+                        "INSERT INTO ducklake_metadata VALUES "
+                        "('id_reservation', ?, NULL, NULL)",
+                        (str(base + n),),
+                    )
+                con.execute("COMMIT")
+                return base
+            except Exception as exc:
+                safe_rollback(con)
+                if not self.is_retryable(exc) or attempt == 9:
+                    raise
+                time.sleep(0.02 * (attempt + 1))
+        raise RuntimeError("unreachable")
+
+    def is_retryable(self, exc: Exception) -> bool:
+        return self.backend.is_retryable(exc)
 
     # -- bootstrap ---------------------------------------------------------
 
@@ -192,7 +243,42 @@ class MetadataManager:
         reference: ducklake_metadata_manager.cpp:186-212
         """
         con = self.con
-        con.execute("BEGIN IMMEDIATE")
+        # already-initialized catalogs skip the DDL entirely: concurrent
+        # attaches must not race on CREATE TABLE (DuckDB raises a catalog
+        # write-write conflict even for IF NOT EXISTS no-ops)
+        bootstrapped = bool(
+            con.execute(
+                "SELECT 1 FROM sqlite_master WHERE type='table' "
+                "AND name='ducklake_snapshot'"
+            ).fetchone()
+        )
+        if bootstrapped and con.execute(
+            "SELECT COUNT(*) FROM ducklake_snapshot"
+        ).fetchone()[0] > 0:
+            return
+        last_exc: Exception | None = None
+        for _attempt in range(5):
+            try:
+                self._bootstrap(data_path, encrypted=encrypted)
+                return
+            except Exception as exc:
+                if not self.is_retryable(exc):
+                    raise
+                last_exc = exc
+                time.sleep(0.05)
+                # another attach may have won the race
+                if con.execute(
+                    "SELECT 1 FROM sqlite_master WHERE type='table' "
+                    "AND name='ducklake_snapshot'"
+                ).fetchone() and con.execute(
+                    "SELECT COUNT(*) FROM ducklake_snapshot"
+                ).fetchone()[0] > 0:
+                    return
+        raise last_exc
+
+    def _bootstrap(self, data_path: str, *, encrypted: bool) -> None:
+        con = self.con
+        self.begin_write()
         try:
             for stmt in SCHEMA_STATEMENTS:
                 con.execute(stmt)
@@ -221,7 +307,7 @@ class MetadataManager:
                 )
             con.execute("COMMIT")
         except BaseException:
-            con.execute("ROLLBACK")
+            safe_rollback(con)
             raise
 
     # -- snapshot access ---------------------------------------------------
@@ -325,6 +411,16 @@ class MetadataManager:
         if con is not None:
             con.close()
             self._local.con = None
+
+
+def safe_rollback(con) -> None:
+    """ROLLBACK tolerant of already-aborted transactions (DuckDB aborts
+    the txn itself when COMMIT fails; a bare ROLLBACK then raises and
+    would mask the original error)."""
+    try:
+        con.execute("ROLLBACK")
+    except Exception:
+        pass
 
 
 def _now_ts() -> str:

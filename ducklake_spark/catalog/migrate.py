@@ -1,0 +1,199 @@
+"""Format-version detection + in-place catalog migration.
+
+Reference: ``MIGRATE_IF_REQUIRED`` / MigrateV01-V03
+(ducklake_metadata_manager.cpp:308-380) upgrade old catalogs to the
+current layout on attach. This port does the same schema-diff way:
+
+1. create any table the current layout has and the catalog lacks
+   (SCHEMA_STATEMENTS are all CREATE TABLE IF NOT EXISTS),
+2. rename ``ducklake_file_column_statistics`` (v0.1 name) to
+   ``ducklake_file_column_stats``,
+3. ALTER-add every column the current layout defines that the stored
+   table lacks,
+4. version-specific data fixups:
+   - v0.1 stored ``ducklake_partition_column.column_id`` as a column
+     ORDINAL — remap to real column ids (MigrateV01's UPDATE),
+   - backfill ``ducklake_schema_versions`` from the snapshot history
+     when empty (MigrateV02),
+   - extract ``partial_max`` from a legacy ``partial_file_info``
+     string column when present (MigrateV03),
+5. stamp ``version`` to the current FORMAT_VERSION.
+
+Tested against the reference's own ``data/old_ducklake/v0*.db.gz``
+fixtures (DuckDB catalogs) and synthetic downgraded sqlite catalogs.
+"""
+
+from __future__ import annotations
+
+import re
+
+from ducklake_spark.catalog.metadata import (
+    FORMAT_VERSION,
+    MetadataManager,
+    SCHEMA_STATEMENTS,
+    safe_rollback,
+)
+
+_CREATE_RE = re.compile(
+    r"CREATE TABLE IF NOT EXISTS\s+(\w+)\s*\((.*)\)\s*$", re.S
+)
+
+
+def _expected_schema() -> dict[str, list[tuple[str, str]]]:
+    """table -> [(column, type)] parsed from the canonical DDL."""
+    out: dict[str, list[tuple[str, str]]] = {}
+    for stmt in SCHEMA_STATEMENTS:
+        m = _CREATE_RE.search(stmt)
+        name, body = m.group(1), m.group(2)
+        cols = []
+        depth = 0
+        col = ""
+        parts = []
+        for ch in body:
+            if ch == "(":
+                depth += 1
+            elif ch == ")":
+                depth -= 1
+            if ch == "," and depth == 0:
+                parts.append(col)
+                col = ""
+            else:
+                col += ch
+        parts.append(col)
+        for p in parts:
+            toks = p.split()
+            if not toks:
+                continue
+            cols.append((toks[0], toks[1] if len(toks) > 1 else "VARCHAR"))
+        out[name] = cols
+    return out
+
+
+def detect_version(meta: MetadataManager) -> str | None:
+    try:
+        row = meta.con.execute(
+            "SELECT value FROM ducklake_metadata WHERE key='version'"
+        ).fetchone()
+    except Exception:
+        return None
+    return row[0] if row else None
+
+
+def migrate_if_required(meta: MetadataManager) -> list[str]:
+    """Upgrade the attached catalog to the current layout; returns the
+    list of applied actions (empty when already current)."""
+    version = detect_version(meta)
+    if version is None or version == FORMAT_VERSION:
+        return []
+    con = meta.con
+    actions: list[str] = []
+    meta.begin_write()
+    try:
+        existing = {
+            t
+            for (t,) in con.execute(
+                "SELECT name FROM sqlite_master WHERE type='table'"
+            ).fetchall()
+        }
+        # v0.1 table name
+        if (
+            "ducklake_file_column_statistics" in existing
+            and "ducklake_file_column_stats" not in existing
+        ):
+            con.execute(
+                "ALTER TABLE ducklake_file_column_statistics "
+                "RENAME TO ducklake_file_column_stats"
+            )
+            existing.discard("ducklake_file_column_statistics")
+            existing.add("ducklake_file_column_stats")
+            actions.append("rename:ducklake_file_column_stats")
+
+        expected = _expected_schema()
+        for table, cols in expected.items():
+            if table not in existing:
+                stmt = next(s for s in SCHEMA_STATEMENTS if f" {table}(" in s)
+                con.execute(stmt)
+                actions.append(f"create:{table}")
+                continue
+            have = {
+                r[1]
+                for r in con.execute(f"PRAGMA table_info({table})").fetchall()
+            }
+            for cname, ctype in cols:
+                if cname not in have:
+                    con.execute(
+                        f"ALTER TABLE {table} ADD COLUMN {cname} {ctype}"
+                    )
+                    actions.append(f"addcol:{table}.{cname}")
+
+        # --- v0.1 fixup: partition_column.column_id held an ORDINAL
+        if version.startswith("0.1"):
+            rows = con.execute(
+                "SELECT partition_id, partition_key_index, table_id, column_id "
+                "FROM ducklake_partition_column"
+            ).fetchall()
+            for pid, kidx, tid, ordinal in rows:
+                row = con.execute(
+                    "SELECT column_id FROM ducklake_column WHERE table_id=? "
+                    "AND parent_column IS NULL AND end_snapshot IS NULL "
+                    "ORDER BY column_order LIMIT 1 OFFSET ?",
+                    (tid, ordinal),
+                ).fetchone()
+                if row:
+                    con.execute(
+                        "UPDATE ducklake_partition_column SET column_id=? "
+                        "WHERE partition_id=? AND partition_key_index=? "
+                        "AND table_id=?",
+                        (row[0], pid, kidx, tid),
+                    )
+            if rows:
+                actions.append("fixup:partition_column_ordinals")
+
+        # --- backfill schema_versions from snapshot history (MigrateV02)
+        n_sv = con.execute(
+            "SELECT COUNT(*) FROM ducklake_schema_versions"
+        ).fetchone()[0]
+        if n_sv == 0:
+            con.execute(
+                "INSERT INTO ducklake_schema_versions "
+                "(begin_snapshot, schema_version, table_id) "
+                "SELECT MIN(snapshot_id), schema_version, NULL "
+                "FROM ducklake_snapshot GROUP BY schema_version"
+            )
+            actions.append("fixup:schema_versions_backfill")
+
+        # --- legacy partial_file_info -> partial_max (MigrateV03)
+        df_cols = {
+            r[1]
+            for r in con.execute(
+                "PRAGMA table_info(ducklake_data_file)"
+            ).fetchall()
+        }
+        if "partial_file_info" in df_cols:
+            for fid, info in con.execute(
+                "SELECT data_file_id, partial_file_info FROM ducklake_data_file "
+                "WHERE partial_file_info IS NOT NULL"
+            ).fetchall():
+                m = re.search(r"partial_max:(\d+)", info or "")
+                if m:
+                    con.execute(
+                        "UPDATE ducklake_data_file SET partial_max=? "
+                        "WHERE data_file_id=?",
+                        (int(m.group(1)), fid),
+                    )
+            # dropping legacy columns isn't portable everywhere; NULL it
+            con.execute(
+                "UPDATE ducklake_data_file SET partial_file_info=NULL"
+            )
+            actions.append("fixup:partial_file_info")
+
+        con.execute(
+            "UPDATE ducklake_metadata SET value=? WHERE key='version'",
+            (FORMAT_VERSION,),
+        )
+        actions.append(f"version:{version}->{FORMAT_VERSION}")
+        con.execute("COMMIT")
+    except BaseException:
+        safe_rollback(con)
+        raise
+    return actions

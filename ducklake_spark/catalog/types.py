@@ -114,6 +114,25 @@ def check_supported(dt: T.DataType) -> None:
     spark_to_ducklake(dt)
 
 
+def ducklake_to_catalog_sql(name: str) -> str:
+    """SQL column type for INLINED data stored in the catalog DB.
+
+    Must parse on every backend (SQLite ignores declared types, DuckDB
+    and Postgres enforce them). Temporal/decimal/nested values are
+    serialized as ISO / repr strings by ``_to_sql_value`` → VARCHAR."""
+    base = name.split("(")[0].lower()
+    if base in ("int8", "int16", "int32", "int64",
+                "uint8", "uint16", "uint32", "uint64"):
+        return "BIGINT"
+    if base in ("float32", "float", "float64", "double"):
+        return "DOUBLE"
+    if base == "boolean":
+        return "BOOLEAN"
+    if base == "blob":
+        return "BLOB"
+    return "VARCHAR"
+
+
 # Widening promotion rule: ALTER ... CHANGE TYPE is allowed iff the
 # promotion is lossless (reference: ducklake_table_entry.cpp:912-921,
 # "MaxLogicalType(source, target) == target").

@@ -177,25 +177,21 @@ def table_deletions(lake: DuckLake, name: str, start, end) -> DataFrame:
 
     # 1) delete files committed in range: content minus predecessor content
     dels = lake.meta.query(
-        "SELECT delete_file_id, data_file_id, path, begin_snapshot "
+        "SELECT delete_file_id, data_file_id, path, begin_snapshot, format "
         "FROM ducklake_delete_file WHERE table_id=? "
         "AND begin_snapshot >= ? AND begin_snapshot <= ?",
         (h.table_id, start, end),
     )
-    for dfid, data_fid, path, bsnap in dels:
-        cur = spark.read.schema("file_path string, pos long").parquet(
-            os.path.join(lake.data_path, path)
-        )
+    for dfid, data_fid, path, bsnap, fmt in dels:
+        cur = lake._delete_file_df(path, fmt)
         prev = lake.meta.query(
-            "SELECT path FROM ducklake_delete_file WHERE data_file_id=? "
+            "SELECT path, format FROM ducklake_delete_file WHERE data_file_id=? "
             "AND begin_snapshot < ? ORDER BY begin_snapshot DESC LIMIT 1",
             (data_fid, bsnap),
         )
         if prev:
-            prev_df = spark.read.schema("file_path string, pos long").parquet(
-                os.path.join(lake.data_path, prev[0][0])
-            )
-            cur = cur.join(prev_df, ["file_path", "pos"], "left_anti")
+            prev_df = lake._delete_file_df(prev[0][0], prev[0][1])
+            cur = cur.join(prev_df, ["pos"], "left_anti")
         rows = _rows_at_positions(lake, h, schema, data_fid, cur, bsnap)
         if rows is not None:
             frames.append(rows)
@@ -233,15 +229,13 @@ def table_deletions(lake: DuckLake, name: str, start, end) -> DataFrame:
         )
         # subtract positions already deleted before the drop
         prev = lake.meta.query(
-            "SELECT path FROM ducklake_delete_file WHERE data_file_id=? "
+            "SELECT path, format FROM ducklake_delete_file WHERE data_file_id=? "
             "AND begin_snapshot < ? ORDER BY begin_snapshot DESC LIMIT 1",
             (fid, esnap),
         )
         if prev:
-            prev_df = (
-                spark.read.schema("file_path string, pos long")
-                .parquet(os.path.join(lake.data_path, prev[0][0]))
-                .select(F.col("pos").alias("__pos"))
+            prev_df = lake._delete_file_df(prev[0][0], prev[0][1]).select(
+                F.col("pos").alias("__pos")
             )
             df = df.join(prev_df, "__pos", "left_anti")
         frames.append(df.select("snapshot_id", "rowid", *[f.name for f in schema.fields]))

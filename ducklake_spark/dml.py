@@ -94,9 +94,10 @@ def _apply_file_deletes(lake: DuckLake, h: TableHandle, snap, files: list[dict],
 
     txn = lake.begin()
     existing = {
-        fid: path
-        for fid, path in lake.meta.query(
-            "SELECT data_file_id, path FROM ducklake_delete_file "
+        fid: (path, fmt, dc)
+        for fid, path, fmt, dc in lake.meta.query(
+            "SELECT data_file_id, path, format, delete_count "
+            "FROM ducklake_delete_file "
             "WHERE table_id=? AND begin_snapshot <= ? "
             "AND (end_snapshot IS NULL OR end_snapshot > ?)",
             (h.table_id, snap.snapshot_id, snap.snapshot_id),
@@ -117,14 +118,17 @@ def _apply_file_deletes(lake: DuckLake, h: TableHandle, snap, files: list[dict],
     for fname, cnt in per_file:
         finfo = file_by_path[fname]
         fid = finfo["data_file_id"]
-        prev_deleted = _existing_delete_count(lake, existing.get(fid))
+        prev = existing.get(fid)
+        prev_deleted = (prev[2] or 0) if prev else 0
         prev_deleted += _inlined_delete_count(lake, h, fid)
         if prev_deleted + cnt >= finfo["record_count"]:
             full_drop.append(fid)
         else:
             partial.append(
                 {"fid": fid, "fname": fname, "rel": finfo["path"],
-                 "prev": existing.get(fid), "new": cnt, "prev_cnt": prev_deleted}
+                 "prev": prev[0] if prev else None,
+                 "prev_fmt": (prev[1] or "parquet") if prev else "parquet",
+                 "new": cnt, "prev_cnt": prev_deleted}
             )
 
     # small partial deletes absorb into the catalog instead of writing a
@@ -152,15 +156,22 @@ def _apply_file_deletes(lake: DuckLake, h: TableHandle, snap, files: list[dict],
         rel_map = {p["fname"]: p["rel"] for p in partial}
         new_dels = victims.filter(F.col("filename").isin(list(keep_paths)))
         # merge pre-existing delete content for the touched files
-        prev_paths = [
-            os.path.join(lake.data_path, p["prev"]) for p in partial if p["prev"]
+        prev_pq = [
+            os.path.join(lake.data_path, p["prev"])
+            for p in partial
+            if p["prev"] and p["prev_fmt"].lower() != "puffin"
+        ]
+        prev_dv = [
+            (os.path.join(lake.data_path, p["prev"]), p["rel"])
+            for p in partial
+            if p["prev"] and p["prev_fmt"].lower() == "puffin"
         ]
         prefix = "file:" + lake.data_path
         new_dels = new_dels.withColumn(
             "file_path", F.expr(f"substring(filename, {len(prefix) + 1})")
         ).select("file_path", "pos")
-        if prev_paths:
-            prev = lake.spark.read.schema("file_path string, pos long").parquet(*prev_paths)
+        if prev_pq:
+            prev = lake.spark.read.schema("file_path string, pos long").parquet(*prev_pq)
             prev = prev.join(
                 lake.spark.createDataFrame(
                     [(p["rel"],) for p in partial], "file_path string"
@@ -169,13 +180,27 @@ def _apply_file_deletes(lake: DuckLake, h: TableHandle, snap, files: list[dict],
                 "left_semi",
             )
             new_dels = new_dels.unionByName(prev).distinct()
+        if prev_dv:
+            # second element is the REL path, so decoded rows line up
+            # with new_dels' file_path column
+            prev = lake._decode_dv_files(prev_dv).withColumnRenamed(
+                "__dfile", "file_path"
+            ).withColumnRenamed("__dpos", "pos")
+            new_dels = new_dels.unionByName(prev).distinct()
         delete_dir = os.path.join(lake.data_path, h.path)
         # one delete parquet per touched data file, written EXECUTOR-side
         # (applyInPandas group per file): the driver only collects per-file
         # metadata rows, so a delete spanning 100k files neither serializes
         # on the driver nor assumes a POSIX listing (pyarrow handles
         # local + object-store URIs alike)
-        written = _write_delete_files_distributed(lake, delete_dir, new_dels)
+        use_dv = (
+            lake.meta.option("write_deletion_vectors", "false",
+                             scope="table", scope_id=h.table_id) or "false"
+        ).lower() == "true"
+        if use_dv:
+            written = _write_dv_files_distributed(lake, delete_dir, new_dels)
+        else:
+            written = _write_delete_files_distributed(lake, delete_dir, new_dels)
         by_rel = {p["rel"]: p for p in partial}
         for w in written:
             p = by_rel.get(w["file_path"])
@@ -189,6 +214,8 @@ def _apply_file_deletes(lake: DuckLake, h: TableHandle, snap, files: list[dict],
                     path=os.path.relpath(w["out_path"], lake.data_path),
                     delete_count=w["n"],
                     file_size_bytes=w["size"],
+                    footer_size=w["footer"],
+                    format="puffin" if use_dv else "parquet",
                 )
             )
             txn.touched_delete_data_files.add(p["fid"])
@@ -228,15 +255,19 @@ def _write_delete_files_distributed(lake, delete_dir: str, dels: DataFrame) -> l
             delete_dir, f"ducklake-delete-{_uuid.uuid4().hex}.parquet"
         )
         _pq.write_table(out, final)
+        from ducklake_spark.lake import parquet_footer_size
+
         return pd.DataFrame(
             [{"file_path": rel, "out_path": final, "n": len(pos),
-              "size": _os.path.getsize(final)}]
+              "size": _os.path.getsize(final),
+              "footer": parquet_footer_size(final)}]
         )
 
     rows = (
         dels.groupBy("file_path")
         .applyInPandas(
-            write_group, "file_path string, out_path string, n long, size long"
+            write_group,
+            "file_path string, out_path string, n long, size long, footer long",
         )
         .collect()
     )
@@ -256,12 +287,38 @@ def _inlined_delete_count(lake, h, fid: int) -> int:
     return rows[0][0] if rows else 0
 
 
-def _existing_delete_count(lake, rel_path: str | None) -> int:
-    if rel_path is None:
-        return 0
-    import pyarrow.parquet as pq
+def _write_dv_files_distributed(lake, delete_dir: str, dels: DataFrame) -> list[dict]:
+    """Iceberg-v3 deletion vectors: one bare deletion-vector-v1 blob per
+    data file (reference single-blob case, ducklake_puffin.cpp:131-141),
+    written executor-side like the parquet variant."""
+    import pandas as pd
 
-    return pq.ParquetFile(os.path.join(lake.data_path, rel_path)).metadata.num_rows
+    def write_group(pdf: pd.DataFrame) -> pd.DataFrame:
+        import os as _os
+        import uuid as _uuid
+
+        from ducklake_spark.functions.roaring import puffin_write
+
+        rel = pdf["file_path"].iloc[0]
+        pos = sorted(int(x) for x in pdf["pos"])
+        final = _os.path.join(
+            delete_dir, f"ducklake-dv-{_uuid.uuid4().hex}.puffin"
+        )
+        r = puffin_write(final, [(None, pos)], rel)
+        return pd.DataFrame(
+            [{"file_path": rel, "out_path": final, "n": r["delete_count"],
+              "size": r["file_size_bytes"], "footer": r["footer_size"]}]
+        )
+
+    rows = (
+        dels.groupBy("file_path")
+        .applyInPandas(
+            write_group,
+            "file_path string, out_path string, n long, size long, footer long",
+        )
+        .collect()
+    )
+    return [r.asDict() for r in rows]
 
 
 def _delete_inlined(lake: DuckLake, h: TableHandle, where: str) -> int:

@@ -33,7 +33,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
-from ducklake_spark.catalog.metadata import MetadataManager, Snapshot
+from ducklake_spark.catalog.metadata import FORMAT_VERSION, MetadataManager, Snapshot
 from ducklake_spark.catalog.types import (
     check_supported,
     ducklake_to_spark,
@@ -82,6 +82,12 @@ class DuckLake:
         self.metadata_path = metadata_path
         self.data_path = data_path.rstrip("/") + "/"
         self.meta = MetadataManager(metadata_path)
+        # MIGRATE_IF_REQUIRED: upgrade an old-format catalog in place
+        # before anything reads it (ducklake_metadata_manager.cpp:308-380)
+        from ducklake_spark.catalog.migrate import detect_version, migrate_if_required
+
+        if detect_version(self.meta) not in (None, FORMAT_VERSION):
+            migrate_if_required(self.meta)
         self.meta.initialize(self.data_path)
         self._pinned: Snapshot | None = None
         if snapshot_version is not None:
@@ -714,8 +720,11 @@ class DuckLake:
             self._txn.change_log.append(f'inserted_into_table:-1')
 
     def _preassign_column_ids(self, td: TableDef) -> None:
-        snap = self.meta.latest_snapshot()
-        base = snap.next_catalog_id + 1000  # reserved band; commit honors preset ids
+        # atomically reserved band: two concurrent CTAS get disjoint ids,
+        # and the commit allocator starts past the ceiling so a later
+        # commit can never re-issue them (was: next_catalog_id+1000 with
+        # no allocator advance -> collisions after ~1000 allocations)
+        base = self.meta.reserve_catalog_ids(len(td.columns))
         for i, c in enumerate(td.columns):
             if c.column_id is None:
                 c.column_id = base + i
@@ -827,7 +836,7 @@ class DuckLake:
                     path=os.path.relpath(final, self.data_path),
                     record_count=pf.metadata.num_rows,
                     file_size_bytes=os.path.getsize(final),
-                    footer_size=0,
+                    footer_size=parquet_footer_size(final),
                     partition_values=part_values,
                     column_stats=stats,
                 )
@@ -847,7 +856,11 @@ class DuckLake:
             (h.table_id, tname),
         ).fetchone()
         if not exists:
-            col_ddl = ", ".join(f'"{c[1]}"' for c in h.columns)
+            from ducklake_spark.catalog.types import ducklake_to_catalog_sql
+
+            col_ddl = ", ".join(
+                f'"{c[1]}" {ducklake_to_catalog_sql(c[2])}' for c in h.columns
+            )
             con.execute(
                 f"CREATE TABLE IF NOT EXISTS {tname} "
                 f"(row_id BIGINT, begin_snapshot BIGINT, end_snapshot BIGINT, {col_ddl})"
@@ -1198,13 +1211,14 @@ class DuckLake:
         if not file_ids:
             return []
         rows = self.meta.query(
-            "SELECT data_file_id, path, delete_count FROM ducklake_delete_file "
+            "SELECT data_file_id, path, delete_count, format "
+            "FROM ducklake_delete_file "
             "WHERE table_id = ? AND begin_snapshot <= ? "
             "AND (end_snapshot IS NULL OR end_snapshot > ?)",
             (h.table_id, snap.snapshot_id, snap.snapshot_id),
         )
         keep = set(file_ids)
-        return [(fid, p, dc) for fid, p, dc in rows if fid in keep]
+        return [(fid, p, dc, fmt) for fid, p, dc, fmt in rows if fid in keep]
 
     def _read_files(self, h: TableHandle, snap: Snapshot, files: list[dict],
                     schema: T.StructType, deletes: list[tuple[int, str]],
@@ -1291,8 +1305,15 @@ class DuckLake:
         )
         if deletes or inline_dels:
             ddf = None
-            if deletes:
-                del_paths = [os.path.join(self.data_path, p) for _, p, _ in deletes]
+            pq_dels = [
+                e for e in deletes if (e[3] or "parquet").lower() != "puffin"
+            ]
+            dv_dels = [
+                e for e in deletes if (e[3] or "parquet").lower() == "puffin"
+            ]
+            if pq_dels:
+                del_paths = [os.path.join(self.data_path, p)
+                             for _, p, _, _ in pq_dels]
                 ddf = (
                     self.spark.read.schema("file_path string, pos long")
                     .parquet(*del_paths)
@@ -1303,6 +1324,23 @@ class DuckLake:
                         F.concat(F.lit("file:" + self.data_path), F.col("__dfile")),
                     )
                 )
+            if dv_dels:
+                # puffin deletion vectors decode EXECUTOR-side (bounded
+                # per-file roaring bitmaps; the driver only lists paths)
+                path_by_fid = {f["data_file_id"]: f["path"] for f in files}
+                dvdf = self._decode_dv_files(
+                    [
+                        (
+                            os.path.join(self.data_path, p),
+                            "file:" + os.path.join(
+                                self.data_path, path_by_fid[fid]
+                            ),
+                        )
+                        for fid, p, _, _ in dv_dels
+                        if fid in path_by_fid
+                    ]
+                )
+                ddf = dvdf if ddf is None else ddf.unionByName(dvdf)
             if inline_dels:
                 path_by_fid = {
                     f["data_file_id"]: "file:" + os.path.join(self.data_path, f["path"])
@@ -1319,7 +1357,7 @@ class DuckLake:
             # 10% deletes of a billion-row table is ~1e8 (path,pos) pairs
             # — broadcasting that OOMs every executor; fall back to a
             # shuffle anti-join and let AQE pick the strategy (SURVEY §4)
-            n_del = sum(int(dc or 0) for _, _, dc in deletes) + len(inline_dels)
+            n_del = sum(int(dc or 0) for _, _, dc, _ in deletes) + len(inline_dels)
             limit = int(self.meta.option("delete_broadcast_row_limit",
                                          "1000000") or 0)
             if n_del <= limit:
@@ -1362,6 +1400,52 @@ class DuckLake:
         else:
             keep = [f.name for f in schema.fields]
         return df.select(*keep)
+
+    def _decode_dv_files(self, pairs: list[tuple[str, str]]) -> DataFrame:
+        """(dv_path, target_file_uri) pairs -> DataFrame(__dfile, __dpos).
+
+        Iceberg-v3 deletion vectors (bare blob or puffin container,
+        reference ducklake_puffin.cpp:32-120) decoded in an Arrow batch
+        on the executors — DV files are per-data-file roaring bitmaps,
+        so each task's memory is bounded by one file's positions."""
+        import pandas as pd  # noqa: F811
+
+        src = self.spark.createDataFrame(pairs, "dv_path string, __dfile string")
+
+        def decode(batches):
+            from ducklake_spark.functions.roaring import puffin_read
+
+            for pdf in batches:
+                out_f: list[str] = []
+                out_p: list[int] = []
+                for dvp, target in zip(pdf["dv_path"], pdf["__dfile"]):
+                    with open(dvp, "rb") as fh:
+                        buf = fh.read()
+                    seen: set[int] = set()
+                    for blob in puffin_read(buf, dvp):
+                        seen.update(blob["positions"])  # blobs are cumulative
+                    out_f.extend([target] * len(seen))
+                    out_p.extend(sorted(seen))
+                yield pd.DataFrame({"__dfile": out_f, "__dpos": out_p})
+
+        return src.mapInPandas(decode, "__dfile string, __dpos long")
+
+    def _delete_file_df(self, rel_path: str, fmt: str | None,
+                        target_rel: str = "") -> DataFrame:
+        """One delete file -> DataFrame(file_path, pos) with file_path
+        relative to data_path; handles parquet positional files AND
+        iceberg-v3 deletion vectors ('puffin' format)."""
+        if (fmt or "parquet").lower() == "puffin":
+            return (
+                self._decode_dv_files(
+                    [(os.path.join(self.data_path, rel_path), target_rel)]
+                )
+                .withColumnRenamed("__dfile", "file_path")
+                .withColumnRenamed("__dpos", "pos")
+            )
+        return self.spark.read.schema("file_path string, pos long").parquet(
+            os.path.join(self.data_path, rel_path)
+        )
 
     def _foreign_partition_values(self, h: TableHandle,
                                   files: list[dict]) -> dict[int, dict[str, str]]:
@@ -1652,6 +1736,17 @@ def _max2(cur: str, new: str, raw) -> str:
     if isinstance(raw, (int, float)):
         return cur if float(cur) >= float(new) else new
     return max(cur, new)
+
+
+def parquet_footer_size(path: str) -> int:
+    """Footer length hint recorded per file (reference stores it for the
+    reader's footer cache, ducklake_multi_file_list.cpp:181-202): the
+    little-endian u32 before the trailing PAR1 magic, plus those 8 bytes."""
+    import struct
+
+    with open(path, "rb") as f:
+        f.seek(-8, os.SEEK_END)
+        return struct.unpack("<I", f.read(4))[0] + 8
 
 
 def _to_sql_value(v):

@@ -158,7 +158,7 @@ def rewrite_data_files(lake: DuckLake, *, delete_threshold: float | None = None,
         h = lake._handle(tname)
         rows = lake.meta.query(
             "SELECT d.data_file_id, d.path, d.record_count, d.row_id_start, "
-            "del.delete_count, del.path "
+            "del.delete_count, del.path, del.format "
             "FROM ducklake_data_file d JOIN ducklake_delete_file del "
             "ON del.data_file_id = d.data_file_id AND del.end_snapshot IS NULL "
             "WHERE d.table_id=? AND d.end_snapshot IS NULL",
@@ -166,7 +166,7 @@ def rewrite_data_files(lake: DuckLake, *, delete_threshold: float | None = None,
         )
         schema = lake._spark_schema(h)
         inlined_del_fids = _fids_with_inlined_deletes(lake, h)
-        for fid, path, rc, rid_start, del_cnt, del_path in rows:
+        for fid, path, rc, rid_start, del_cnt, del_path, del_fmt in rows:
             if rc == 0 or del_cnt / rc < delete_threshold:
                 continue
             if fid in inlined_del_fids:
@@ -178,10 +178,8 @@ def rewrite_data_files(lake: DuckLake, *, delete_threshold: float | None = None,
                 .parquet(os.path.join(lake.data_path, path))
                 .withColumn("__pos", F.col("_metadata.row_index"))
             )
-            dels = (
-                lake.spark.read.schema("file_path string, pos long")
-                .parquet(os.path.join(lake.data_path, del_path))
-                .select(F.col("pos").alias("__pos"))
+            dels = lake._delete_file_df(del_path, del_fmt).select(
+                F.col("pos").alias("__pos")
             )
             live = df.join(F.broadcast(dels), "__pos", "left_anti")
             rowid = (
@@ -233,7 +231,7 @@ def expire_snapshots(lake: DuckLake, *, older_than: str | None = None,
     if dry_run or not victims:
         return victims
     con = lake.meta.con
-    con.execute("BEGIN IMMEDIATE")
+    lake.meta.begin_write()
     try:
         qs = ",".join("?" * len(victims))
         con.execute(f"DELETE FROM ducklake_snapshot WHERE snapshot_id IN ({qs})", victims)
@@ -244,7 +242,7 @@ def expire_snapshots(lake: DuckLake, *, older_than: str | None = None,
         # (keys are the PK id columns — ANSI-portable, no sqlite rowid)
         from ducklake_spark.catalog.metadata import _now_ts
 
-        live = [s for (s,) in con.execute("SELECT snapshot_id FROM ducklake_snapshot")]
+        live = [s for (s,) in con.execute("SELECT snapshot_id FROM ducklake_snapshot").fetchall()]
         for table, pk in (("ducklake_data_file", "data_file_id"),
                           ("ducklake_delete_file", "delete_file_id")):
             rows = con.execute(
@@ -261,7 +259,8 @@ def expire_snapshots(lake: DuckLake, *, older_than: str | None = None,
                     )
         con.execute("COMMIT")
     except BaseException:
-        con.execute("ROLLBACK")
+        from ducklake_spark.catalog.metadata import safe_rollback
+        safe_rollback(con)
         raise
     return victims
 
@@ -390,6 +389,8 @@ def _flush_inlined_deletes(lake: DuckLake, h) -> int:
     import pyarrow as pa
     import pyarrow.parquet as pq
 
+    from ducklake_spark.lake import parquet_footer_size as _pfs
+
     tname = f"ducklake_inlined_deletes_{h.table_id}"
     if not lake.meta.query(
         "SELECT 1 FROM sqlite_master WHERE type='table' AND name=?", (tname,)
@@ -417,13 +418,22 @@ def _flush_inlined_deletes(lake: DuckLake, h) -> int:
             continue
         rel = frow[0][0]
         prev = lake.meta.query(
-            "SELECT delete_file_id, path FROM ducklake_delete_file "
+            "SELECT delete_file_id, path, format FROM ducklake_delete_file "
             "WHERE data_file_id=? AND end_snapshot IS NULL", (fid,)
         )
         if prev:
-            positions |= set(
-                pq.read_table(os.path.join(lake.data_path, prev[0][1]))["pos"].to_pylist()
-            )
+            if (prev[0][2] or "parquet").lower() == "puffin":
+                from ducklake_spark.functions.roaring import puffin_read
+
+                with open(os.path.join(lake.data_path, prev[0][1]), "rb") as fh:
+                    for blob in puffin_read(fh.read()):
+                        positions |= set(blob["positions"])
+            else:
+                positions |= set(
+                    pq.read_table(
+                        os.path.join(lake.data_path, prev[0][1])
+                    )["pos"].to_pylist()
+                )
             txn.replaced_delete_files.append(prev[0][0])
         schema = pa.schema(
             [
@@ -445,6 +455,7 @@ def _flush_inlined_deletes(lake: DuckLake, h) -> int:
                 path=os.path.relpath(final, lake.data_path),
                 delete_count=len(ordered),
                 file_size_bytes=os.path.getsize(final),
+                footer_size=_pfs(final),
             )
         )
         txn.touched_delete_data_files.add(fid)

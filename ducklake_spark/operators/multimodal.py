@@ -105,32 +105,44 @@ def image_features(
                 continue
             # decode is necessarily per-image; the statistics are one
             # vectorized pass over the stacked batch (no iterrows, no
-            # per-row numpy dispatch)
+            # per-row numpy dispatch). Formulas are INTEGER-EXACT so a
+            # SQL oracle reproduces them bit-for-bit: mean/std from
+            # integer sums with one double op each, percentiles by
+            # nearest-rank (no float interpolation).
             decoded = [decode(b) for b in blobs]
-            if len({d.shape for d in decoded}) == 1:
-                flat = np.stack(decoded).astype(np.float64).reshape(len(blobs), -1)
-            else:  # mixed sizes (real codec): pad-free per-image flatten
-                flat = np.array(
-                    [d.astype(np.float64).ravel() for d in decoded], dtype=object
-                )
-                flat = np.stack([
-                    np.array([a.mean(), a.std(),
-                              np.percentile(a, 5), np.percentile(a, 95)])
-                    for a in flat
-                ])
-                out = pd.DataFrame({c: pdf[c].values for c in id_cols})
-                out["mean_intensity"] = flat[:, 0]
-                out["std_intensity"] = flat[:, 1]
-                out["p05"] = flat[:, 2]
-                out["p95"] = flat[:, 3]
-                out["byte_len"] = [len(b or b"") for b in blobs]
-                yield out
-                continue
             out = pd.DataFrame({c: pdf[c].values for c in id_cols})
-            out["mean_intensity"] = flat.mean(axis=1)
-            out["std_intensity"] = flat.std(axis=1)
-            out["p05"] = np.percentile(flat, 5, axis=1)
-            out["p95"] = np.percentile(flat, 95, axis=1)
+            if len({d.shape for d in decoded}) == 1:
+                flat = np.stack(decoded).reshape(len(blobs), -1).astype(np.int64)
+                n_pix = flat.shape[1]
+                sm = flat.sum(axis=1)
+                sq = (flat * flat).sum(axis=1)
+                srt = np.sort(flat, axis=1)
+                p05_i = -(-5 * n_pix // 100) - 1   # ceil(0.05*n)-1
+                p95_i = -(-95 * n_pix // 100) - 1
+                out["mean_intensity"] = sm / float(n_pix)
+                out["std_intensity"] = (
+                    np.sqrt((n_pix * sq - sm * sm).astype(np.float64)) / n_pix
+                )
+                out["p05"] = srt[:, p05_i].astype(np.float64)
+                out["p95"] = srt[:, p95_i].astype(np.float64)
+            else:  # mixed sizes (real codec): per-image, same formulas
+                rows = []
+                for d in decoded:
+                    a = d.astype(np.int64).ravel()
+                    n_pix = a.size
+                    sm, sq = int(a.sum()), int((a * a).sum())
+                    srt = np.sort(a)
+                    rows.append((
+                        sm / float(n_pix),
+                        float(np.sqrt(float(n_pix * sq - sm * sm)) / n_pix),
+                        float(srt[-(-5 * n_pix // 100) - 1]),
+                        float(srt[-(-95 * n_pix // 100) - 1]),
+                    ))
+                arr = np.array(rows)
+                out["mean_intensity"] = arr[:, 0]
+                out["std_intensity"] = arr[:, 1]
+                out["p05"] = arr[:, 2]
+                out["p95"] = arr[:, 3]
             out["byte_len"] = [len(b or b"") for b in blobs]
             yield out
 

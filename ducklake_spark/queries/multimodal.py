@@ -112,10 +112,39 @@ def _run_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     return image_features(_media_df(spark, sf_dir)).orderBy("doc_id")
 
 
+# The fake decode is sha256(media) repeated to an 8x8 gray image (each
+# digest byte appears twice), and image_features uses integer-exact
+# formulas (nearest-rank percentiles; std from integer sums with one
+# sqrt + one division by the pixel count), so DuckDB reproduces every
+# double bit-for-bit from the digest bytes. Dup-sorted indices: p05 =
+# ceil(.05*64)-1 = 3 -> digest-sorted[1] (arr 1-indexed [2]); p95 ->
+# sorted[30] (arr[31]).
+_FEATURES_ORACLE = """
+WITH b AS (
+    SELECT doc_id,
+           octet_length(encode(text)) AS bl,
+           CAST('0x' || substr(sha256(text), 2*i+1, 2) AS BIGINT) AS v
+    FROM documents, generate_series(0, 31) AS g(i)
+),
+s AS (
+    SELECT doc_id, MAX(bl) AS bl, 2*SUM(v) AS sm, 2*SUM(v*v) AS sq,
+           list_sort(list(v)) AS arr
+    FROM b GROUP BY doc_id
+)
+SELECT doc_id,
+       CAST(sm AS DOUBLE)/64 AS mean_intensity,
+       sqrt(CAST(64*sq - sm*sm AS DOUBLE))/64 AS std_intensity,
+       CAST(arr[2] AS DOUBLE) AS p05,
+       CAST(arr[31] AS DOUBLE) AS p95,
+       CAST(bl AS BIGINT) AS byte_len
+FROM s ORDER BY doc_id
+"""
+
 df_query(
     "mm_image_features",
     _run_features,
-    oracle=None,  # np.percentile interpolation: no exact SQL twin
+    oracle=_FEATURES_ORACLE,
     tables=["documents"],
-    doc="fake-decode image intensity features via mapInPandas (rows-only check)",
+    doc="fake-decode image intensity features via mapInPandas; "
+        "integer-exact stats give the driver a full value-hash oracle",
 )

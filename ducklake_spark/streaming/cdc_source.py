@@ -65,11 +65,11 @@ class DuckLakeChangesStreamReader(DataSourceStreamReader):
         )
 
     def _meta(self):
-        import sqlite3
+        # backend-pluggable: metadata_path may be a plain sqlite path,
+        # duckdb://path, or postgresql://dsn (same resolution as the lake)
+        from ducklake_spark.catalog.backends import backend_for
 
-        con = sqlite3.connect(self.metadata_path)
-        con.execute("PRAGMA busy_timeout=10000")
-        return con
+        return backend_for(self.metadata_path).connect()
 
     def initialOffset(self) -> dict:
         return {"snapshot_id": self.start_snapshot}
@@ -106,7 +106,7 @@ class DuckLakeChangesStreamReader(DataSourceStreamReader):
                 "WHERE table_id=? AND begin_snapshot > ? AND begin_snapshot <= ? "
                 "AND row_id_start IS NOT NULL",
                 (tid, lo, hi),
-            ):
+            ).fetchall():
                 parts.append(
                     _FilePartition(
                         path=os.path.join(self.data_path, path),
@@ -121,7 +121,7 @@ class DuckLakeChangesStreamReader(DataSourceStreamReader):
                 "SELECT path, data_file_id, begin_snapshot FROM ducklake_delete_file "
                 "WHERE table_id=? AND begin_snapshot > ? AND begin_snapshot <= ?",
                 (tid, lo, hi),
-            ):
+            ).fetchall():
                 base = con.execute(
                     "SELECT path, row_id_start FROM ducklake_data_file "
                     "WHERE data_file_id=?",
@@ -154,7 +154,7 @@ class DuckLakeChangesStreamReader(DataSourceStreamReader):
                     "SELECT snapshot_id, changes_made FROM ducklake_snapshot_changes "
                     "WHERE snapshot_id > ? AND snapshot_id <= ?",
                     (lo, hi),
-                )
+                ).fetchall()
                 if f"deleted_from_table:{tid}" in (changes or "")
             }
             for path, rid, esnap, fid in con.execute(
@@ -162,7 +162,7 @@ class DuckLakeChangesStreamReader(DataSourceStreamReader):
                 "FROM ducklake_data_file WHERE table_id=? "
                 "AND end_snapshot > ? AND end_snapshot <= ?",
                 (tid, lo, hi),
-            ):
+            ).fetchall():
                 if esnap not in delete_snaps:
                     continue  # compaction/rewrite, not a logical delete
                 prev = con.execute(
@@ -188,12 +188,12 @@ class DuckLakeChangesStreamReader(DataSourceStreamReader):
             for (itname,) in con.execute(
                 "SELECT table_name FROM ducklake_inlined_data_tables WHERE table_id=?",
                 (tid,),
-            ):
+            ).fetchall():
                 for r in con.execute(
                     f"SELECT * FROM {itname} WHERE begin_snapshot > ? "
                     "AND begin_snapshot <= ?",
                     (lo, hi),
-                ):
+                ).fetchall():
                     inl_rows.append(tuple(r))
             if inl_rows:
                 parts.append(_InlinedPartition(rows=tuple(inl_rows), change_type="insert"))

@@ -26,6 +26,7 @@ from ducklake_spark.catalog.metadata import (
     MetadataManager,
     Snapshot,
     _now_ts,
+    safe_rollback,
 )
 
 MAX_RETRY_COUNT = 10
@@ -306,7 +307,7 @@ class Transaction:
             except ConflictError:
                 raise
             except Exception as exc:  # sqlite busy/locked -> retry
-                if "lock" not in str(exc).lower() or attempt == MAX_RETRY_COUNT:
+                if not self.meta.is_retryable(exc) or attempt == MAX_RETRY_COUNT:
                     raise
                 time.sleep(wait_ms / 1000.0)
                 wait_ms *= RETRY_BACKOFF
@@ -320,7 +321,7 @@ class Transaction:
         was staged. Delete/delete conflicts are re-derived at file
         level from the staged snapshot's own delete rows."""
         con = meta.con
-        con.execute("BEGIN IMMEDIATE")
+        meta.begin_write()
         try:
             row = con.execute(
                 "SELECT snapshot_time FROM ducklake_snapshot WHERE snapshot_id=?",
@@ -350,7 +351,7 @@ class Transaction:
                     "SELECT data_file_id FROM ducklake_data_file "
                     "WHERE end_snapshot=?",
                     (snapshot_id, snapshot_id),
-                )
+                ).fetchall()
             }
             files_row = con.execute(
                 "SELECT value FROM ducklake_metadata WHERE key=?",
@@ -369,7 +370,7 @@ class Transaction:
             for (tbl,) in con.execute(
                 "SELECT name FROM sqlite_master WHERE type='table'"
             ).fetchall():
-                cols = {r[1] for r in con.execute(f"PRAGMA table_info({tbl})")}
+                cols = {r[1] for r in con.execute(f"PRAGMA table_info({tbl})").fetchall()}
                 for c in ("begin_snapshot", "end_snapshot"):
                     if c in cols:
                         con.execute(
@@ -392,7 +393,7 @@ class Transaction:
             con.execute("COMMIT")
             return new_id
         except BaseException:
-            con.execute("ROLLBACK")
+            safe_rollback(con)
             raise
 
     @classmethod
@@ -403,12 +404,12 @@ class Transaction:
         con = meta.con
         if snapshot_id < STAGED_BASE:
             raise ValueError(f"snapshot {snapshot_id} is not staged")
-        con.execute("BEGIN IMMEDIATE")
+        meta.begin_write()
         try:
             for (tbl,) in con.execute(
                 "SELECT name FROM sqlite_master WHERE type='table'"
             ).fetchall():
-                cols = {r[1] for r in con.execute(f"PRAGMA table_info({tbl})")}
+                cols = {r[1] for r in con.execute(f"PRAGMA table_info({tbl})").fetchall()}
                 if "begin_snapshot" in cols:
                     con.execute(
                         f"DELETE FROM {tbl} WHERE begin_snapshot=?", (snapshot_id,)
@@ -431,16 +432,54 @@ class Transaction:
             )
             con.execute("COMMIT")
         except BaseException:
-            con.execute("ROLLBACK")
+            safe_rollback(con)
             raise
+
+    def _insert_only(self) -> bool:
+        kinds = {e.partition(":")[0] for e in self.change_log}
+        return bool(kinds) and kinds <= {"inserted_into_table"}
+
+    def _check_append_fast_path(self, con) -> None:
+        """Append fast-path (reference CanSkipSnapshotFetch,
+        ducklake_metadata_manager.cpp:3939 + quack IsDataOnlyCommit): a
+        pure append conflicts only with a concurrent drop/rename/alter
+        of its target tables. Verify those directly — O(#tables) probes
+        instead of walking every snapshot committed since our base, so
+        N concurrent appenders commit without mutual re-checks."""
+        base = self.base.snapshot_id
+        for tid in self._our_table_targets("inserted_into_table"):
+            live = con.execute(
+                "SELECT 1 FROM ducklake_table WHERE table_id=? "
+                "AND end_snapshot IS NULL",
+                (tid,),
+            ).fetchone()
+            ended = con.execute(
+                "SELECT 1 FROM ducklake_table WHERE table_id=? "
+                "AND end_snapshot > ? AND end_snapshot < ?",
+                (tid, base, STAGED_BASE),
+            ).fetchone()
+            if live is None or ended is not None:
+                raise ConflictError(
+                    f"table {tid} was dropped/renamed concurrently"
+                )
+            altered = con.execute(
+                "SELECT 1 FROM ducklake_column WHERE table_id=? "
+                "AND end_snapshot > ? AND end_snapshot < ?",
+                (tid, base, STAGED_BASE),
+            ).fetchone()
+            if altered is not None:
+                raise ConflictError(f"table {tid} was altered concurrently")
 
     def _try_commit(self, *, staged: bool = False) -> int:
         con = self.meta.con
-        con.execute("BEGIN IMMEDIATE")
+        self.meta.begin_write()
         try:
-            since = self.meta.snapshots_since(self.base.snapshot_id)
-            if since:
-                self._check_conflicts(since)
+            if self._insert_only() and not staged:
+                self._check_append_fast_path(con)
+            else:
+                since = self.meta.snapshots_since(self.base.snapshot_id)
+                if since:
+                    self._check_conflicts(since)
             head = self.meta.allocation_head()  # staged rows hold id reservations
             if staged:
                 # staged snapshots live in a high id-space: every interval
@@ -456,6 +495,13 @@ class Transaction:
             else:
                 snap_id = head.snapshot_id + 1
             next_cat = head.next_catalog_id
+            # start past any CTAS id reservation (see reserve_catalog_ids)
+            resrow = con.execute(
+                "SELECT value FROM ducklake_metadata "
+                "WHERE key='id_reservation' AND scope IS NULL"
+            ).fetchone()
+            if resrow:
+                next_cat = max(next_cat, int(resrow[0]))
             next_file = head.next_file_id
             schema_version = self.meta.latest_snapshot().schema_version
             bump_schema = bool(
@@ -806,7 +852,7 @@ class Transaction:
             self.committed_snapshot = snap_id
             return snap_id
         except BaseException:
-            con.execute("ROLLBACK")
+            safe_rollback(con)
             raise
 
     # -- helpers -----------------------------------------------------------
@@ -830,6 +876,27 @@ class Transaction:
                 return td.table_id
         raise ValueError(f"unknown table key {key!r}")
 
+    _NUMERIC_TYPES = {
+        "int8", "int16", "int32", "int64", "uint8", "uint16", "uint32",
+        "uint64", "float32", "float", "float64", "double",
+    }
+
+    def _column_is_numeric(self, con, column_id: int) -> bool:
+        cache = getattr(self, "_col_numeric_cache", None)
+        if cache is None:
+            cache = self._col_numeric_cache = {}
+        if column_id not in cache:
+            row = con.execute(
+                "SELECT column_type FROM ducklake_column "
+                "WHERE column_id=? AND end_snapshot IS NULL",
+                (column_id,),
+            ).fetchone()
+            base = (row[0] if row else "").split("(")[0].lower()
+            cache[column_id] = base in self._NUMERIC_TYPES or base.startswith(
+                "decimal"
+            )
+        return cache[column_id]
+
     def _merge_global_column_stats(self, con, tid: int, cs: ColumnStatsRow) -> None:
         """Merge-only global stats: widen, never tighten
         (reference: DuckLakeColumnStats::MergeStats, ducklake_stats.cpp:102)."""
@@ -846,8 +913,9 @@ class Transaction:
             )
             return
         cn, cnan, mn, mx = row
-        new_min = _merge_min(mn, cs.min_value)
-        new_max = _merge_max(mx, cs.max_value)
+        numeric = self._column_is_numeric(con, cs.column_id)
+        new_min = _merge_min(mn, cs.min_value, numeric)
+        new_max = _merge_max(mx, cs.max_value, numeric)
         con.execute(
             "UPDATE ducklake_table_column_stats SET contains_null=?, contains_nan=?, "
             "min_value=?, max_value=? WHERE table_id=? AND column_id=?",
@@ -862,23 +930,30 @@ class Transaction:
         )
 
 
-def _merge_min(a: str | None, b: str | None) -> str | None:
+def _merge_min(a: str | None, b: str | None, numeric: bool) -> str | None:
+    """Typed min: a VARCHAR column's numeric-looking values ('10' < '9'
+    lexicographically) must merge by STRING order, matching how the
+    pruning SQL compares them — float-compare only numeric columns."""
     if a is None:
         return b
     if b is None:
         return a
-    try:
-        return a if float(a) <= float(b) else b
-    except ValueError:
-        return min(a, b)
+    if numeric:
+        try:
+            return a if float(a) <= float(b) else b
+        except ValueError:
+            pass
+    return min(a, b)
 
 
-def _merge_max(a: str | None, b: str | None) -> str | None:
+def _merge_max(a: str | None, b: str | None, numeric: bool) -> str | None:
     if a is None:
         return b
     if b is None:
         return a
-    try:
-        return a if float(a) >= float(b) else b
-    except ValueError:
-        return max(a, b)
+    if numeric:
+        try:
+            return a if float(a) >= float(b) else b
+        except ValueError:
+            pass
+    return max(a, b)

@@ -33,3 +33,23 @@ def duck():
         )
     yield con
     con.close()
+
+
+# Catalog backend under test: DUCKLAKE_TEST_BACKEND=duckdb runs every
+# lake fixture on a DuckDB catalog (the reference's own default engine);
+# default is sqlite. Postgres needs a server + psycopg2 (not in this
+# container) — its SQL translation layer has dedicated unit tests.
+import os as _os
+
+CATALOG_BACKEND = _os.environ.get("DUCKLAKE_TEST_BACKEND", "sqlite")
+
+
+def catalog_url(tmp_path) -> str:
+    from pathlib import Path
+
+    Path(tmp_path).mkdir(parents=True, exist_ok=True)
+    if CATALOG_BACKEND == "duckdb":
+        return "duckdb://" + str(tmp_path / "meta.duckdb")
+    if CATALOG_BACKEND.startswith(("postgresql://", "postgres://")):
+        return CATALOG_BACKEND  # external server DSN
+    return str(tmp_path / "meta.db")

@@ -1,0 +1,128 @@
+"""Iceberg-v3 deletion vectors (puffin) — write + read + merge paths.
+
+Reference: ducklake_puffin.cpp:32-120 (container + bare blob),
+ducklake_deletion_vector.cpp (roaring blob codec),
+write_deletion_vectors option (ducklake_set_option.cpp:165)."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+import conftest
+
+
+@pytest.fixture()
+def lake(spark, tmp_path):
+    from ducklake_spark.lake import DuckLake
+
+    lk = DuckLake.attach(
+        spark, conftest.catalog_url(tmp_path), str(tmp_path / "data")
+    )
+    lk.meta.set_option("write_deletion_vectors", "true")
+    return lk
+
+
+def test_dv_delete_roundtrip(lake, spark):
+    from ducklake_spark.dml import delete
+
+    lake.create_table("t", [("i", "int64")])
+    lake.insert("t", spark.range(1000).selectExpr("id AS i"))
+    snap0 = lake.meta.latest_snapshot().snapshot_id
+    assert delete(lake, "t", "i % 10 = 0") == 100
+    # catalog row says puffin, delete_count 100, non-trivial footer meta
+    rows = lake.meta.query(
+        "SELECT format, delete_count, path FROM ducklake_delete_file "
+        "WHERE end_snapshot IS NULL"
+    )
+    assert rows and all(fmt == "puffin" for fmt, _, _ in rows)
+    assert sum(dc for _, dc, _ in rows) == 100
+    # the file on disk really is a deletion vector
+    import os
+
+    from ducklake_spark.functions.roaring import puffin_read
+
+    total = 0
+    for _, _, p in rows:
+        with open(os.path.join(lake.data_path, p), "rb") as fh:
+            blobs = puffin_read(fh.read())
+        total += len(blobs[0]["positions"])
+    assert total == 100
+    # scan applies the DV; time travel ignores it
+    df = lake.table("t")
+    assert df.count() == 900
+    assert df.filter("i % 10 = 0").count() == 0
+    assert lake.table("t", at_version=snap0).count() == 1000
+
+
+def test_dv_second_delete_merges(lake, spark):
+    from ducklake_spark.dml import delete
+
+    lake.create_table("t", [("i", "int64")])
+    lake.insert("t", spark.range(100).selectExpr("id AS i").coalesce(1))
+    assert delete(lake, "t", "i < 10") == 10
+    assert delete(lake, "t", "i >= 90") == 10
+    assert lake.table("t").count() == 80
+    assert lake.table("t").filter("i < 10 OR i >= 90").count() == 0
+    # merged DV holds both batches
+    (dc,) = lake.meta.query(
+        "SELECT delete_count FROM ducklake_delete_file WHERE end_snapshot IS NULL"
+    )[0]
+    assert dc == 20
+
+
+def test_dv_update_and_rewrite(lake, spark):
+    from ducklake_spark.dml import delete, update
+    from ducklake_spark.maintenance import rewrite_data_files
+
+    lake.create_table("t", [("i", "int64"), ("v", "varchar")])
+    lake.insert(
+        "t", spark.range(100).selectExpr("id AS i", "'a' AS v").coalesce(1)
+    )
+    update(lake, "t", {"v": "'b'"}, "i < 5")
+    assert lake.table("t").filter("v = 'b'").count() == 5
+    assert lake.table("t").count() == 100
+    delete(lake, "t", "i >= 50 AND v = 'a'")
+    assert lake.table("t").count() == 50
+    # rewrite path decodes the DV (55/100 dead >= threshold)
+    n = rewrite_data_files(lake, delete_threshold=0.5)
+    assert n >= 1
+    assert lake.table("t").count() == 50
+    assert lake.table("t").filter("v = 'b'").count() == 5
+
+
+def test_dv_cdc_deletions(lake, spark):
+    from ducklake_spark.cdc import table_deletions
+    from ducklake_spark.dml import delete
+
+    lake.create_table("t", [("i", "int64")])
+    lake.insert("t", spark.range(50).selectExpr("id AS i"))
+    s0 = lake.meta.latest_snapshot().snapshot_id
+    delete(lake, "t", "i < 7")
+    s1 = lake.meta.latest_snapshot().snapshot_id
+    dels = table_deletions(lake, "t", s0 + 1, s1)
+    assert sorted(r.i for r in dels.collect()) == list(range(7))
+
+
+def test_dv_mixed_formats(lake, spark):
+    """A lake can hold parquet delete files AND DVs (reference:
+    test/sql/delete/delete_mixed_formats.test): flip the option
+    between deletes."""
+    from ducklake_spark.dml import delete
+
+    lake.create_table("t", [("i", "int64")])
+    lake.insert("t", spark.range(100).selectExpr("id AS i").coalesce(1))
+    lake.meta.set_option("write_deletion_vectors", "false")
+    delete(lake, "t", "i < 10")
+    lake.meta.set_option("write_deletion_vectors", "true")
+    delete(lake, "t", "i >= 90")
+    fmts = {
+        fmt
+        for (fmt,) in lake.meta.query(
+            "SELECT format FROM ducklake_delete_file WHERE end_snapshot IS NULL"
+        )
+    }
+    assert lake.table("t").count() == 80
+    # the second delete merged the parquet predecessor into the DV
+    assert fmts == {"puffin"}
+    assert lake.table("t").filter("i < 10 OR i >= 90").count() == 0

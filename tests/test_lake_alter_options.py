@@ -3,6 +3,8 @@
 from __future__ import annotations
 
 import pytest
+
+import conftest
 from pyspark.sql import functions as F
 
 
@@ -10,7 +12,7 @@ from pyspark.sql import functions as F
 def lake(spark, tmp_path):
     from ducklake_spark.lake import DuckLake
 
-    return DuckLake.attach(spark, str(tmp_path / "meta.db"), str(tmp_path / "data"))
+    return DuckLake.attach(spark, conftest.catalog_url(tmp_path), str(tmp_path / "data"))
 
 
 def test_set_sorted_by_orders_rows_in_files(lake, spark):

@@ -8,6 +8,8 @@ from __future__ import annotations
 
 import pytest
 
+import conftest
+
 from pyspark.sql import Row
 from pyspark.sql import functions as F
 
@@ -17,7 +19,7 @@ def lake(spark, tmp_path):
     from ducklake_spark.lake import DuckLake
 
     return DuckLake.attach(
-        spark, str(tmp_path / "meta.db"), str(tmp_path / "data")
+        spark, conftest.catalog_url(tmp_path), str(tmp_path / "data")
     )
 
 
@@ -34,7 +36,7 @@ def test_reattach_persistence(lake, spark, tmp_path):
 
     lake.create_table("t1", [("i", "int64")])
     lake.insert("t1", spark.range(10).withColumnRenamed("id", "i"))
-    lake2 = DuckLake.attach(spark, str(tmp_path / "meta.db"), str(tmp_path / "data"))
+    lake2 = DuckLake.attach(spark, conftest.catalog_url(tmp_path), str(tmp_path / "data"))
     assert lake2.table("t1").count() == 10
 
 

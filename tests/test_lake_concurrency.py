@@ -5,12 +5,14 @@ from __future__ import annotations
 import threading
 
 import pytest
+
+import conftest
 from pyspark.sql import functions as F
 
 
 @pytest.fixture()
 def lake_path(tmp_path):
-    return str(tmp_path / "meta.db"), str(tmp_path / "data")
+    return conftest.catalog_url(tmp_path), str(tmp_path / "data")
 
 
 def _attach(spark, lake_path):
@@ -275,7 +277,7 @@ def test_aborted_txn_keeps_inlined_rows(spark, tmp_path):
     from ducklake_spark.lake import DuckLake
 
     lk = DuckLake.attach(
-        spark, str(tmp_path / "m.db"), str(tmp_path / "d"),
+        spark, conftest.catalog_url(tmp_path), str(tmp_path / "d"),
         data_inlining_row_limit=10,
     )
     lk.create_table("t", [("i", "int64")])
@@ -309,7 +311,7 @@ def test_inlined_begin_snapshot_matches_commit(spark, tmp_path):
     the rows were buffered (time travel / CDC correctness)."""
     from ducklake_spark.lake import DuckLake
 
-    args = (str(tmp_path / "m.db"), str(tmp_path / "d"))
+    args = (conftest.catalog_url(tmp_path), str(tmp_path / "d"))
     lk = DuckLake.attach(spark, *args, data_inlining_row_limit=10)
     lk.create_table("t", [("i", "int64")])
     lk2 = DuckLake.attach(spark, *args)
@@ -335,3 +337,35 @@ def test_inlined_begin_snapshot_matches_commit(spark, tmp_path):
     assert len(rids) == len(set(rids)) == 4
     # time travel to the concurrent writer's snapshot excludes our rows
     assert lk.table("t", at_version=final - 1).count() == 2
+
+
+def test_append_fast_path_skips_snapshot_walk(spark, lake_path, monkeypatch):
+    """Insert-only commits take the append fast-path (reference
+    CanSkipSnapshotFetch): no per-snapshot conflict walk, yet a
+    concurrent drop of the target table still conflicts."""
+    from ducklake_spark.transaction import ConflictError, Transaction
+
+    lake = _attach(spark, lake_path)
+    lake.create_table("t", [("i", "int64")])
+    lake2 = _attach(spark, lake_path)
+
+    walks: list[int] = []
+    orig = Transaction._check_conflicts
+    monkeypatch.setattr(
+        Transaction, "_check_conflicts",
+        lambda self, since: (walks.append(len(since)), orig(self, since))[1],
+    )
+
+    with lake.transaction():
+        lake.insert("t", spark.createDataFrame([(1,)], "i long"))
+        # three concurrent commits land while ours is open
+        for k in range(3):
+            lake2.insert("t", spark.createDataFrame([(10 + k,)], "i long"))
+    assert lake2.table("t").count() == 4
+    assert walks == [], "append commit walked concurrent snapshots"
+
+    # the fast path still catches a concurrent drop
+    with pytest.raises(ConflictError):
+        with lake.transaction():
+            lake.insert("t", spark.createDataFrame([(2,)], "i long"))
+            lake2.drop_table("t")

@@ -8,12 +8,14 @@ from __future__ import annotations
 
 import pytest
 
+import conftest
+
 
 @pytest.fixture()
 def lake(spark, tmp_path):
     from ducklake_spark.lake import DuckLake
 
-    return DuckLake.attach(spark, str(tmp_path / "meta.db"), str(tmp_path / "data"))
+    return DuckLake.attach(spark, conftest.catalog_url(tmp_path), str(tmp_path / "data"))
 
 
 def _mk(lake, spark, name="d", n=100, files=1):
@@ -214,7 +216,7 @@ def test_inlining_roundtrip(lake, spark, tmp_path):
     from ducklake_spark.lake import DuckLake
 
     lk = DuckLake.attach(
-        spark, str(tmp_path / "m2.db"), str(tmp_path / "data2"),
+        spark, conftest.catalog_url(tmp_path / "x2"), str(tmp_path / "data2"),
         data_inlining_row_limit=10,
     )
     lk.create_table("inl", [("i", "int32"), ("v", "varchar")])

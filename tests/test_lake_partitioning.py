@@ -10,12 +10,14 @@ import datetime
 
 import pytest
 
+import conftest
+
 
 @pytest.fixture()
 def lake(spark, tmp_path):
     from ducklake_spark.lake import DuckLake
 
-    return DuckLake.attach(spark, str(tmp_path / "meta.db"), str(tmp_path / "data"))
+    return DuckLake.attach(spark, conftest.catalog_url(tmp_path), str(tmp_path / "data"))
 
 
 def test_identity_partition_write_and_prune(lake, spark):

@@ -13,6 +13,8 @@ from __future__ import annotations
 import random
 
 import pytest
+
+import conftest
 from pyspark.sql import functions as F
 
 
@@ -160,7 +162,7 @@ def test_random_schema_evolution_with_dml(spark, tmp_path):
     from ducklake_spark.lake import DuckLake
 
     rng = random.Random(13)
-    lake = DuckLake.attach(spark, str(tmp_path / "m.db"), str(tmp_path / "d"))
+    lake = DuckLake.attach(spark, conftest.catalog_url(tmp_path), str(tmp_path / "d"))
     lake.create_table("t", [("k", "int64"), ("v", "int64")])
     cols, model, next_k, extra_i, hist = ["k", "v"], {}, 0, 0, []
     for _ in range(10):
@@ -231,7 +233,7 @@ def test_random_cdc_feed_matches_model_diffs(spark, tmp_path):
     from ducklake_spark.lake import DuckLake
 
     rng = random.Random(501)  # this seed hit the embedded-rowid path
-    lake = DuckLake.attach(spark, str(tmp_path / "m.db"), str(tmp_path / "d"))
+    lake = DuckLake.attach(spark, conftest.catalog_url(tmp_path), str(tmp_path / "d"))
     lake.create_table("t", [("k", "int64"), ("v", "int64")])
     model, next_k = {}, 0
     for _ in range(8):

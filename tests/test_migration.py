@@ -1,0 +1,103 @@
+"""Format-version migration against the reference's own old-catalog
+fixtures (data/old_ducklake/v0*.db.gz — DuckDB catalog databases) and
+a synthetic downgraded sqlite catalog.
+
+Reference: MIGRATE_IF_REQUIRED + MigrateV01/V02/V03,
+ducklake_metadata_manager.cpp:308-380."""
+
+from __future__ import annotations
+
+import gzip
+import os
+import shutil
+
+import pytest
+
+FIXDIR = "/root/reference/data/old_ducklake"
+
+
+def _gunzip(src: str, dst: str) -> None:
+    with gzip.open(src, "rb") as f, open(dst, "wb") as o:
+        shutil.copyfileobj(f, o)
+
+
+@pytest.mark.parametrize("fixture", ["v01", "v02", "v03", "v01_partitioned"])
+def test_migrate_reference_fixture(spark, tmp_path, fixture):
+    src = os.path.join(FIXDIR, f"{fixture}.db.gz")
+    if not os.path.exists(src):
+        pytest.skip(f"no fixture {src}")
+    db = str(tmp_path / f"{fixture}.db")
+    _gunzip(src, db)
+
+    from ducklake_spark.catalog.metadata import FORMAT_VERSION, MetadataManager
+    from ducklake_spark.catalog.migrate import detect_version, migrate_if_required
+
+    meta = MetadataManager("duckdb://" + db)
+    old = detect_version(meta)
+    assert old is not None and old != FORMAT_VERSION
+    actions = migrate_if_required(meta)
+    assert actions and actions[-1].startswith("version:")
+    assert detect_version(meta) == FORMAT_VERSION
+    # migration is idempotent
+    assert migrate_if_required(meta) == []
+    # the upgraded catalog answers current-layout planning queries
+    con = meta.con
+    for table in (
+        "ducklake_schema_versions",
+        "ducklake_column_mapping",
+        "ducklake_file_column_stats",
+        "ducklake_sort_info",
+        "ducklake_macro",
+    ):
+        con.execute(f"SELECT COUNT(*) FROM {table}").fetchone()
+    cols = {
+        r[1]
+        for r in con.execute("PRAGMA table_info(ducklake_data_file)").fetchall()
+    }
+    assert {"mapping_id", "partial_max", "footer_size"} <= cols
+    n_snap = con.execute("SELECT COUNT(*) FROM ducklake_snapshot").fetchone()[0]
+    assert n_snap >= 1
+    meta.close()
+
+    # full attach path runs the migration + planning layer end to end
+    from ducklake_spark.lake import DuckLake
+
+    db2 = str(tmp_path / f"{fixture}_2.db")
+    _gunzip(src, db2)
+    lk = DuckLake.attach(spark, "duckdb://" + db2, str(tmp_path / "data"))
+    assert lk.meta.latest_snapshot().snapshot_id >= 0
+    names = lk._table_names()
+    assert isinstance(names, list)
+
+
+def test_migrate_downgraded_sqlite(spark, tmp_path):
+    """Synthetic v0.2-ish sqlite catalog: drop new-format tables and
+    columns from a fresh catalog, then re-attach -> auto-migrated."""
+    import sqlite3
+
+    from ducklake_spark.lake import DuckLake
+    from pyspark.sql import functions as F
+
+    db = str(tmp_path / "m.db")
+    lk = DuckLake.attach(spark, db, str(tmp_path / "data"))
+    lk.create_table("t", [("i", "int64")])
+    lk.insert("t", spark.range(20).select(F.col("id").alias("i")))
+    assert lk.table("t").count() == 20
+    lk.meta.close()
+
+    con = sqlite3.connect(db)
+    con.execute("DROP TABLE ducklake_sort_info")
+    con.execute("DROP TABLE ducklake_macro")
+    con.execute("ALTER TABLE ducklake_data_file DROP COLUMN partial_max")
+    con.execute("ALTER TABLE ducklake_snapshot_changes DROP COLUMN author")
+    con.execute("UPDATE ducklake_metadata SET value='0.2' WHERE key='version'")
+    con.commit()
+    con.close()
+
+    lk2 = DuckLake.attach(spark, db, str(tmp_path / "data"))
+    from ducklake_spark.catalog.metadata import FORMAT_VERSION
+    from ducklake_spark.catalog.migrate import detect_version
+
+    assert detect_version(lk2.meta) == FORMAT_VERSION
+    # data still scans after migration
+    assert lk2.table("t").count() == 20

@@ -4,12 +4,24 @@ from __future__ import annotations
 
 import pytest
 
+import conftest
+
+# DuckDB catalogs hold a process-exclusive file lock, and Spark's python
+# streaming source runs in a separate worker process — it cannot open
+# the catalog the driver already holds. The reference's DuckDB catalogs
+# carry the same single-process restriction; use sqlite or postgres
+# catalogs for cross-process streaming.
+pytestmark = pytest.mark.skipif(
+    conftest.CATALOG_BACKEND == "duckdb",
+    reason="duckdb catalog is single-process; streaming worker cannot attach",
+)
+
 
 @pytest.fixture()
 def lake(spark, tmp_path):
     from ducklake_spark.lake import DuckLake
 
-    return DuckLake.attach(spark, str(tmp_path / "meta.db"), str(tmp_path / "data"))
+    return DuckLake.attach(spark, conftest.catalog_url(tmp_path), str(tmp_path / "data"))
 
 
 def test_changes_stream_microbatch(lake, spark):
