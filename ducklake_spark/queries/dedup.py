@@ -92,28 +92,43 @@ _DUCK_SHINGLES = """
 _SPARK_BANDS = "bands AS (SELECT explode(sequence(0, {n})) AS band)"
 _DUCK_BANDS = "bands AS (SELECT unnest(range(0, {n1})) AS band)"
 
-# The per-band min-hash is a 32-bit slice of md5, as a BIGINT: two md5
-# calls per shingle (seeded '', '#') cover all 8 bands — hashing is the
-# dominant per-shingle cost, so 2 beats 8 — and numeric agg buffers
+# The per-band min-hash derives all bands from ONE md5 per shingle
+# via Kirsch-Mitzenmacher double hashing: h1, h2 are the digest's two
+# leading 32-bit words and band b's hash is (h1 + b*h2) mod P (largest
+# 32-bit prime) — a standard universal family, so 1 md5 replaces the
+# previous 2 (hashing dominates per-shingle cost). Numeric agg buffers
 # keep Spark on HashAggregate (min(string) falls back to the slower
 # SortAggregate). Spark converts hex with conv(), DuckDB with the '0x'
-# cast; both yield the same integer.
+# cast; both yield the same integers, so the oracle matches bit-exact.
+
+_MINHASH_P = 4294967291  # largest prime < 2^32
 
 
-def _band_hash(dialect: str, band: str) -> str:
-    h = f"CASE WHEN {band} < 4 THEN md5(shingle) ELSE md5(concat('#', shingle)) END"
-    off = f"1 + 8 * CAST({band} % 4 AS INT)"
+def _hashed_cte(dialect: str) -> str:
     if dialect == "spark":
-        return f"CAST(conv(substring({h}, {off}, 8), 16, 10) AS BIGINT)"
-    return f"CAST('0x' || substring({h}, {off}, 8) AS BIGINT)"
+        h1 = "CAST(conv(substring(md5(shingle), 1, 8), 16, 10) AS BIGINT)"
+        h2 = "CAST(conv(substring(md5(shingle), 9, 8), 16, 10) AS BIGINT)"
+    else:
+        h1 = "CAST('0x' || substring(md5(shingle), 1, 8) AS BIGINT)"
+        h2 = "CAST('0x' || substring(md5(shingle), 9, 8) AS BIGINT)"
+    return f"""
+    hashed AS (
+        SELECT doc_id, {h1} AS h1, {h2} AS h2 FROM shingles
+    )
+"""
+
+
+def _band_hash(band: str) -> str:
+    return f"(h1 + CAST({band} AS BIGINT) * h2) % {_MINHASH_P}"
 
 
 def _sig(dialect: str) -> str:
     return f"""
+    {_hashed_cte(dialect)},
     sig AS (
         SELECT doc_id, band,
-               MIN({_band_hash(dialect, "band")}) AS minhash
-        FROM shingles CROSS JOIN bands
+               MIN({_band_hash("band")}) AS minhash
+        FROM hashed CROSS JOIN bands
         GROUP BY doc_id, band
     )
 """
@@ -148,14 +163,15 @@ _SPARK_SHINGLES_DUP = """
 
 def _spark_sig_wide() -> str:
     mins = ",\n               ".join(
-        f"MIN({_band_hash('spark', str(b))}) AS m{b}" for b in range(N_BANDS)
+        f"MIN({_band_hash(str(b))}) AS m{b}" for b in range(N_BANDS)
     )
     stack = ", ".join(f"{b}, m{b}" for b in range(N_BANDS))
     return f"""
+    {_hashed_cte("spark")},
     sigw AS (
         SELECT doc_id,
                {mins}
-        FROM shingles
+        FROM hashed
         GROUP BY doc_id
     ),
     sig AS (
