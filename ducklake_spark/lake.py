@@ -77,7 +77,8 @@ class DuckLake:
     def __init__(self, spark: SparkSession, metadata_path: str, data_path: str,
                  *, snapshot_version: int | None = None,
                  snapshot_time: str | None = None,
-                 data_inlining_row_limit: int | None = None):
+                 data_inlining_row_limit: int | None = None,
+                 encrypted: bool = False):
         self.spark = spark
         self.metadata_path = metadata_path
         self.data_path = data_path.rstrip("/") + "/"
@@ -88,7 +89,12 @@ class DuckLake:
 
         if detect_version(self.meta) not in (None, FORMAT_VERSION):
             migrate_if_required(self.meta)
-        self.meta.initialize(self.data_path)
+        self.meta.initialize(self.data_path, encrypted=encrypted)
+        # per-file parquet encryption (reference: ENCRYPTED lakes,
+        # ducklake_insert.cpp:743-756): data files carry random keys
+        # recorded in the catalog; column data is AES-GCM encrypted with
+        # a plaintext (readable) footer so stats harvesting still works
+        self.encrypted = (self.meta.option("encrypted") or "false") == "true"
         self._pinned: Snapshot | None = None
         if snapshot_version is not None:
             self._pinned = self.meta.snapshot_at_version(snapshot_version)
@@ -106,9 +112,30 @@ class DuckLake:
     # -- attach ------------------------------------------------------------
 
     @classmethod
-    def attach(cls, spark: SparkSession, metadata_path: str, data_path: str, **kw) -> DuckLake:
+    def attach(cls, spark: SparkSession, metadata_path: str,
+               data_path: str | None = None, **kw) -> DuckLake:
         """ATTACH 'ducklake:<metadata_path>' (DATA_PATH ...) equivalent
-        (reference: ducklake_storage.cpp:13-126)."""
+        (reference: ducklake_storage.cpp:13-126). When ``metadata_path``
+        is a bare name (alphanumeric/underscore), it resolves as a
+        DuckLake SECRET holding the attach parameters
+        (ducklake_secret.cpp:17-29 PathIsSecret)."""
+        from ducklake_spark.secrets import get_secret, path_is_secret
+
+        if data_path is None or path_is_secret(metadata_path):
+            sec = get_secret(metadata_path)
+            if sec is None:
+                raise DuckLakeError(
+                    f"no DuckLake secret named {metadata_path!r} "
+                    "(and no data_path given)"
+                )
+            metadata_path = sec["metadata_path"]
+            data_path = data_path or sec.get("data_path")
+            if data_path is None:
+                raise DuckLakeError(
+                    f"secret {metadata_path!r} has no data_path and none given"
+                )
+            if "encrypted" in sec and "encrypted" not in kw:
+                kw["encrypted"] = str(sec["encrypted"]).lower() == "true" or sec["encrypted"] is True
         return cls(spark, metadata_path, data_path, **kw)
 
     # -- transactions ------------------------------------------------------
@@ -799,6 +826,16 @@ class DuckLake:
             )
         opt = lambda k, d=None: self.meta.option(k, d, scope="table", scope_id=h.table_id)
         target_file_size = int(opt("target_file_size", "0") or 0)
+        enc_key = None
+        if self.encrypted:
+            import base64 as _b64
+
+            enc_key = _b64.b64encode(os.urandom(16)).decode()
+        # per_thread_output=false -> one output file (reference COPY
+        # semantics, ducklake_insert.cpp:531-534); unset keeps Spark's
+        # parallel one-file-per-task default (== per_thread_output=true)
+        if (opt("per_thread_output") or "").lower() == "false":
+            writer = writer.coalesce(1)
         w = writer.write.mode("overwrite")
         if target_file_size:
             w = w.option("maxRecordsPerFile", max(10_000, target_file_size // 200))
@@ -811,12 +848,33 @@ class DuckLake:
         rg_bytes = opt("parquet_row_group_size_bytes")
         if rg_bytes:
             w = w.option("parquet.block.size", rg_bytes)
+        pv_opt = opt("parquet_version")
+        if pv_opt:  # reference normalizes to 'V1'/'V2' (ducklake_set_option.cpp:108)
+            w = w.option(
+                "parquet.writer.version",
+                "PARQUET_2_0" if str(pv_opt).upper().lstrip("V") == "2"
+                else "PARQUET_1_0",
+            )
+        comp_level = opt("parquet_compression_level")
+        if comp_level and (compression or "").lower() == "zstd":
+            w = w.option("parquet.compression.codec.zstd.level", comp_level)
+        if enc_key:
+            w = (
+                w.option("parquet.crypto.factory.class", "ducklake.DuckLakeCrypto")
+                .option("ducklake.encryption.write.key", enc_key)
+                .option("ducklake.encryption.write.key.id", _crypto_key_id(enc_key))
+            )
         if part_cols:
             w = w.partitionBy(*part_cols)
         w.parquet(tmp)
 
         infos: list[DataFileInfo] = []
         colmap = {c[1]: c[0] for c in h.columns}
+        # hive_file_pattern (default true, reference
+        # disable_hive_partitioning.test): partitioned files land in
+        # <col>=<value>/ subdirs; false keeps a flat layout — either way
+        # the catalog's partition values are the planning source of truth
+        hive_dirs = (opt("hive_file_pattern", "true") or "true").lower() != "false"
         for path in sorted(globmod.glob(os.path.join(tmp, "**", "*.parquet"), recursive=True)):
             rel_parts = os.path.relpath(path, tmp).split(os.sep)
             part_values: list[tuple[int, str]] = []
@@ -827,7 +885,15 @@ class DuckLake:
                 # ('%'->'%25', ':'->'%3A', ...): store the RAW value, the
                 # catalog holds one encoding (pruning compares raw)
                 part_values.append((idx, urllib.parse.unquote(v)))
-            final = os.path.join(table_dir, f"ducklake-{uuid.uuid4().hex}.parquet")
+            dest_dir = table_dir
+            if hive_dirs and part_values and part_keys:
+                for idx, v in part_values:
+                    cname = part_keys[idx][0] if idx < len(part_keys) else f"p{idx}"
+                    dest_dir = os.path.join(
+                        dest_dir, f"{cname}={urllib.parse.quote(v, safe='')}"
+                    )
+                os.makedirs(dest_dir, exist_ok=True)
+            final = os.path.join(dest_dir, f"ducklake-{uuid.uuid4().hex}.parquet")
             shutil.move(path, final)
             pf = pq.ParquetFile(final)
             stats = _harvest_stats(pf, colmap)
@@ -839,6 +905,7 @@ class DuckLake:
                     footer_size=parquet_footer_size(final),
                     partition_values=part_values,
                     column_stats=stats,
+                    encryption_key=enc_key,
                 )
             )
         shutil.rmtree(tmp, ignore_errors=True)
@@ -923,7 +990,8 @@ class DuckLake:
                        where: str | None) -> list[dict]:
         sql = (
             "SELECT data_file_id, path, record_count, row_id_start, partial_max, "
-            "file_size_bytes, mapping_id, begin_snapshot FROM ducklake_data_file "
+            "file_size_bytes, mapping_id, begin_snapshot, encryption_key "
+            "FROM ducklake_data_file "
             "WHERE table_id = ? AND begin_snapshot <= ? "
             "AND (end_snapshot IS NULL OR end_snapshot > ?)"
         )
@@ -935,7 +1003,7 @@ class DuckLake:
             dict(zip(
                 ["data_file_id", "path", "record_count", "row_id_start",
                  "partial_max", "file_size_bytes", "mapping_id",
-                 "begin_snapshot"], r))
+                 "begin_snapshot", "encryption_key"], r))
             for r in rows
         ]
 
@@ -1244,9 +1312,10 @@ class DuckLake:
                     r for r in renames if r[0] > self._file_begin_snapshot(f)
                 )
                 groups.setdefault(later, []).append(f)
+            copts = self._crypto_read_options(native)
             for later, members in groups.items():
                 gschema, fixups = self._epoch_schema(h, reader_schema, later)
-                part = self.spark.read.schema(gschema).parquet(
+                part = self.spark.read.options(**copts).schema(gschema).parquet(
                     *[os.path.join(self.data_path, f["path"]) for f in members]
                 )
                 for cname, dtype in fixups:
@@ -1256,7 +1325,9 @@ class DuckLake:
             plain = T.StructType(
                 [T.StructField(f_.name, f_.dataType, True) for f_ in schema.fields]
             )
-            fdf = self.spark.read.schema(plain).parquet(
+            fdf = self.spark.read.options(
+                **self._crypto_read_options(foreign)
+            ).schema(plain).parquet(
                 *[os.path.join(self.data_path, f["path"]) for f in foreign]
             )
             if native and len(parts[0].schema.fields) > len(plain.fields):
@@ -1400,6 +1471,24 @@ class DuckLake:
         else:
             keep = [f.name for f in schema.fields]
         return df.select(*keep)
+
+    def _crypto_read_options(self, files: list[dict]) -> dict[str, str]:
+        """Parquet decryption options for a set of catalog files: the
+        key list is built from ducklake_data_file.encryption_key rows
+        (reference reads the same column, ducklake_insert.cpp:743-756)."""
+        if not self.encrypted:
+            return {}
+        keys = sorted({
+            f.get("encryption_key") for f in files if f.get("encryption_key")
+        })
+        if not keys:
+            return {}
+        return {
+            "parquet.crypto.factory.class": "ducklake.DuckLakeCrypto",
+            "ducklake.encryption.file.keys": ",".join(
+                f"{_crypto_key_id(k)}:{k}" for k in keys
+            ),
+        }
 
     def _decode_dv_files(self, pairs: list[tuple[str, str]]) -> DataFrame:
         """(dv_path, target_file_uri) pairs -> DataFrame(__dfile, __dpos).
@@ -1736,6 +1825,14 @@ def _max2(cur: str, new: str, raw) -> str:
     if isinstance(raw, (int, float)):
         return cur if float(cur) >= float(new) else new
     return max(cur, new)
+
+
+def _crypto_key_id(b64key: str) -> str:
+    """Footer key-metadata id for a catalog key: sha256 prefix — derivable
+    from the catalog at read time, reveals nothing about the key."""
+    import hashlib
+
+    return hashlib.sha256(b64key.encode()).hexdigest()[:16]
 
 
 def parquet_footer_size(path: str) -> int:

@@ -98,9 +98,12 @@ def _rewrite_pack(lake: DuckLake, h, pack: list[dict], part_vals: tuple) -> None
         f["data_file_id"]: lake._file_begin_snapshot(f) for f in pack
     }
     frames = []
+    copts = lake._crypto_read_options(pack)
     for f in pack:
         path = os.path.join(lake.data_path, f["path"])
-        df = lake.spark.read.schema(lake._reader_schema(h, schema)).parquet(path)
+        df = lake.spark.read.options(**copts).schema(
+            lake._reader_schema(h, schema)
+        ).parquet(path)
         rowid = (
             F.lit(f["row_id_start"]) + F.col("_metadata.row_index")
             if f["row_id_start"] is not None
@@ -158,7 +161,7 @@ def rewrite_data_files(lake: DuckLake, *, delete_threshold: float | None = None,
         h = lake._handle(tname)
         rows = lake.meta.query(
             "SELECT d.data_file_id, d.path, d.record_count, d.row_id_start, "
-            "del.delete_count, del.path, del.format "
+            "del.delete_count, del.path, del.format, d.encryption_key "
             "FROM ducklake_data_file d JOIN ducklake_delete_file del "
             "ON del.data_file_id = d.data_file_id AND del.end_snapshot IS NULL "
             "WHERE d.table_id=? AND d.end_snapshot IS NULL",
@@ -166,7 +169,7 @@ def rewrite_data_files(lake: DuckLake, *, delete_threshold: float | None = None,
         )
         schema = lake._spark_schema(h)
         inlined_del_fids = _fids_with_inlined_deletes(lake, h)
-        for fid, path, rc, rid_start, del_cnt, del_path, del_fmt in rows:
+        for fid, path, rc, rid_start, del_cnt, del_path, del_fmt, enc_key in rows:
             if rc == 0 or del_cnt / rc < delete_threshold:
                 continue
             if fid in inlined_del_fids:
@@ -174,7 +177,10 @@ def rewrite_data_files(lake: DuckLake, *, delete_threshold: float | None = None,
                 # flush_inlined_data converts them first
                 continue
             df = (
-                lake.spark.read.schema(lake._reader_schema(h, schema))
+                lake.spark.read.options(
+                    **lake._crypto_read_options([{"encryption_key": enc_key}])
+                )
+                .schema(lake._reader_schema(h, schema))
                 .parquet(os.path.join(lake.data_path, path))
                 .withColumn("__pos", F.col("_metadata.row_index"))
             )

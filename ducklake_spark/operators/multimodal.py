@@ -169,12 +169,17 @@ def sample_frames(
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             rows = []
-            for _, r in pdf.iterrows():
-                nf = r[meta_col]["n_frames"] if r[meta_col] is not None else 0
+            cols = [pdf[c].to_numpy() for c in id_cols]
+            metas = pdf[meta_col].to_numpy()
+            blobs = pdf[media_col].to_numpy()
+            for i in range(len(pdf)):
+                meta = metas[i]
+                nf = meta["n_frames"] if meta is not None else 0
+                ids = tuple(c[i] for c in cols)
                 for j, frame in enumerate(
-                    _sample_frames_fake(r[media_col], int(nf or 0), every)
+                    _sample_frames_fake(blobs[i], int(nf or 0), every)
                 ):
-                    rows.append(tuple(r[c] for c in id_cols) + (j * every, frame))
+                    rows.append(ids + (j * every, frame))
             yield pd.DataFrame(
                 rows, columns=list(id_cols) + ["frame_idx", "frame"]
             )

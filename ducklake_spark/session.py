@@ -16,6 +16,12 @@ from pyspark.sql import SparkSession
 
 DEFAULT_CPUS = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
 
+# parquet modular-encryption factory (java/ducklake/DuckLakeCrypto.java,
+# prebuilt): must be on the JVM classpath at startup for ENCRYPTED lakes
+_CRYPTO_JAR = os.path.join(
+    os.path.dirname(os.path.abspath(__file__)), "jars", "ducklake-crypto.jar"
+)
+
 
 def get_spark(app_name: str = "ducklake_spark", cpus: int | None = None) -> SparkSession:
     """Build (or reuse) a SparkSession with scale-appropriate defaults."""
@@ -36,6 +42,10 @@ def get_spark(app_name: str = "ducklake_spark", cpus: int | None = None) -> Spar
         .config("spark.ui.enabled", "false")
         .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
     )
+    if os.path.exists(_CRYPTO_JAR):
+        builder = builder.config(
+            "spark.driver.extraClassPath", _CRYPTO_JAR
+        ).config("spark.executor.extraClassPath", _CRYPTO_JAR)
     spark = builder.getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     return spark

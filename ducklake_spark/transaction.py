@@ -89,6 +89,9 @@ class DataFileInfo:
     partial_max: int | None = None
     file_order: int | None = None
     begin_snapshot_override: int | None = None  # compaction keeps original
+    # base64 per-file key for ENCRYPTED lakes (reference stores it in
+    # ducklake_data_file.encryption_key, ducklake_insert.cpp:743-756)
+    encryption_key: str | None = None
     # False for update/compaction files whose rows carry an embedded
     # _ducklake_internal_row_id column (row ids preserved, not allocated)
     allocate: bool = True
@@ -634,7 +637,7 @@ class Transaction:
                         fsize += f.file_size_bytes
                     con.execute(
                         "INSERT INTO ducklake_data_file VALUES "
-                        "(?, ?, ?, NULL, ?, ?, 1, 'parquet', ?, ?, ?, ?, ?, NULL, ?, ?)",
+                        "(?, ?, ?, NULL, ?, ?, 1, 'parquet', ?, ?, ?, ?, ?, ?, ?, ?)",
                         (
                             fid,
                             tid,
@@ -648,6 +651,7 @@ class Transaction:
                             f.footer_size,
                             f.row_id_start,
                             f.partition_id,
+                            f.encryption_key,
                             f.mapping_id,
                             f.partial_max,
                         ),

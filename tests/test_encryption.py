@@ -1,0 +1,106 @@
+"""ENCRYPTED lakes: per-file parquet keys recorded in the catalog
+(reference: ducklake_insert.cpp:743-756, encryption_key column).
+
+Column data is AES-GCM encrypted via parquet modular encryption
+(java/ducklake/DuckLakeCrypto.java, prebuilt into
+ducklake_spark/jars/); footers stay plaintext so stats harvesting and
+footer_size work. Delete files remain plaintext (positions only) — a
+documented gap vs the reference."""
+
+from __future__ import annotations
+
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+import conftest
+
+
+@pytest.fixture()
+def elake(spark, tmp_path):
+    from ducklake_spark.lake import DuckLake
+
+    return DuckLake.attach(
+        spark, conftest.catalog_url(tmp_path), str(tmp_path / "data"),
+        encrypted=True,
+    )
+
+
+def test_encrypted_roundtrip(elake, spark):
+    lk = elake
+    assert lk.encrypted
+    lk.create_table("t", [("i", "int64"), ("v", "varchar")])
+    for lo in (0, 100):
+        lk.insert(
+            "t",
+            spark.range(lo, lo + 100).select(
+                F.col("id").alias("i"),
+                F.concat(F.lit("secret_"), F.col("id")).alias("v"),
+            ),
+        )
+    # catalog holds a key per file; two inserts -> >= 2 distinct keys
+    keys = [
+        k for (k,) in lk.meta.query(
+            "SELECT encryption_key FROM ducklake_data_file "
+            "WHERE end_snapshot IS NULL"
+        )
+    ]
+    assert keys and all(k for k in keys)
+    assert len(set(keys)) >= 2
+    # scan decrypts transparently
+    df = lk.table("t")
+    assert df.count() == 200
+    assert df.filter("v = 'secret_42'").count() == 1
+
+    # raw reads do NOT see the plaintext: column data is encrypted
+    (path,) = lk.meta.query(
+        "SELECT path FROM ducklake_data_file WHERE end_snapshot IS NULL LIMIT 1"
+    )[0]
+    with open(os.path.join(lk.data_path, path), "rb") as fh:
+        raw = fh.read()
+    assert b"secret_" not in raw
+    # a keyless Spark read fails (or returns no plaintext)
+    with pytest.raises(Exception):
+        spark.read.schema("i long, v string").parquet(
+            os.path.join(lk.data_path, path)
+        ).collect()
+
+
+def test_encrypted_delete_update_compact(elake, spark):
+    from ducklake_spark import maintenance
+    from ducklake_spark.dml import delete, update
+
+    lk = elake
+    lk.create_table("t", [("i", "int64"), ("v", "varchar")])
+    for lo in (0, 100):
+        lk.insert(
+            "t",
+            spark.range(lo, lo + 100).select(
+                F.col("id").alias("i"), F.lit("x").alias("v")
+            ),
+        )
+    assert delete(lk, "t", "i < 10") == 10
+    assert lk.table("t").count() == 190
+    update(lk, "t", {"v": "'y'"}, "i >= 190")
+    assert lk.table("t").filter("v = 'y'").count() == 10
+    # compaction re-encrypts the merged file with a fresh key
+    snap = lk.meta.latest_snapshot().snapshot_id
+    maintenance.merge_adjacent_files(lk)
+    assert lk.table("t").count() == 190
+    assert lk.table("t", at_version=snap).count() == 190
+
+
+def test_encrypted_time_travel_and_stats(elake, spark):
+    lk = elake
+    lk.create_table("t", [("i", "int64")])
+    lk.insert("t", spark.range(50).selectExpr("id AS i"))
+    s1 = lk.meta.latest_snapshot().snapshot_id
+    lk.insert("t", spark.range(50, 80).selectExpr("id AS i"))
+    assert lk.table("t").count() == 80
+    assert lk.table("t", at_version=s1).count() == 50
+    # plaintext footer keeps record_count harvesting intact
+    rows = lk.meta.query(
+        "SELECT record_count, footer_size FROM ducklake_data_file"
+    )
+    assert all(rc > 0 and fs > 0 for rc, fs in rows)

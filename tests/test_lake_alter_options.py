@@ -165,3 +165,70 @@ def test_require_commit_message(lake, spark):
     lake.set_commit_message("me", "loaded batch 1")
     lake.insert("t", spark.createDataFrame([(1,)], "i long"))
     assert lake.table("t").count() == 1
+
+
+def test_option_per_thread_output_single_file(lake, spark):
+    """per_thread_output=false -> one data file per insert (reference
+    COPY semantics, ducklake_insert.cpp:531-534)."""
+    lake.meta.set_option("per_thread_output", "false")
+    lake.create_table("pto", [("i", "int64")])
+    lake.insert("pto", spark.range(1000).selectExpr("id AS i").repartition(8))
+    n = lake.meta.query(
+        "SELECT COUNT(*) FROM ducklake_data_file WHERE end_snapshot IS NULL"
+    )[0][0]
+    assert n == 1
+    assert lake.table("pto").count() == 1000
+
+
+def test_option_parquet_version_and_level(lake, spark):
+    import pyarrow.parquet as pq
+    import os
+
+    lake.meta.set_option("parquet_version", "V1")
+    lake.meta.set_option("parquet_compression", "zstd")
+    lake.meta.set_option("parquet_compression_level", "10")
+    lake.create_table("pvv", [("i", "int64")])
+    lake.insert("pvv", spark.range(100).selectExpr("id AS i").coalesce(1))
+    (path,) = lake.meta.query(
+        "SELECT path FROM ducklake_data_file WHERE end_snapshot IS NULL"
+    )[0]
+    pf = pq.ParquetFile(os.path.join(lake.data_path, path))
+    assert pf.metadata.row_group(0).column(0).compression.lower() == "zstd"
+
+
+def test_option_hive_file_pattern(lake, spark):
+    """Default layout places partitioned files in <col>=<value>/ dirs
+    (reference disable_hive_partitioning.test); false keeps flat."""
+    import os
+
+    from pyspark.sql import functions as F
+
+    lake.create_table("hfp", [("i", "int64"), ("k", "varchar")])
+    lake.set_partitioned_by("hfp", [("k", "identity")])
+    lake.insert(
+        "hfp",
+        spark.range(10).select(F.col("id").alias("i"), F.lit("a").alias("k")),
+    )
+    paths = [
+        p for (p,) in lake.meta.query(
+            "SELECT path FROM ducklake_data_file WHERE end_snapshot IS NULL"
+        )
+    ]
+    assert all("k=a" in p for p in paths), paths
+    assert lake.table("hfp", where="k = 'a'").count() == 10
+
+    lake.meta.set_option("hive_file_pattern", "false")
+    lake.create_table("hfp2", [("i", "int64"), ("k", "varchar")])
+    lake.set_partitioned_by("hfp2", [("k", "identity")])
+    lake.insert(
+        "hfp2",
+        spark.range(10).select(F.col("id").alias("i"), F.lit("b").alias("k")),
+    )
+    paths2 = [
+        p for (p,) in lake.meta.query(
+            "SELECT d.path FROM ducklake_data_file d JOIN ducklake_table t "
+            "ON d.table_id = t.table_id WHERE t.table_name = 'hfp2'"
+        )
+    ]
+    assert all("k=b" not in p for p in paths2), paths2
+    assert lake.table("hfp2", where="k = 'b'").count() == 10
