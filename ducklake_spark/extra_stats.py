@@ -1,0 +1,580 @@
+"""Extended per-file column statistics: geometry bboxes and shredded
+VARIANT field stats.
+
+The reference stores two kinds of "extra" stats beside the plain
+min/max zone maps (SURVEY §1.4):
+
+- GEOMETRY columns get a bounding box + the set of geometry types seen,
+  serialized as JSON ``{"bbox": {...}, "types": [...]}`` into
+  ``ducklake_file_column_stats.extra_stats``
+  (src/storage/statistics/ducklake_geo_stats.cpp:16-72, merge :31-44).
+- VARIANT columns get per-shredded-field stats — field name, shredded
+  type, null count, min/max — written both as rows of
+  ``ducklake_file_variant_stats`` and as a JSON array in
+  ``extra_stats`` (src/storage/statistics/ducklake_variant_stats.cpp:59-69,
+  156-192; table-level merge keeps only fields present in every file
+  with an identical shredded type, :25-51).
+
+Spark mapping: the reference harvests these from its writer; we run ONE
+distributed pass over the just-written files — reading only the
+geometry/variant columns plus ``_metadata.file_path`` — and compute
+per-(file, column) partial aggregates inside ``mapInPandas`` (no
+shuffle; the driver merges the tiny partials). Geometry values are WKB
+bytes (the storage encoding Spark/Sedona/GeoParquet share); variant
+values are JSON text.
+"""
+
+from __future__ import annotations
+
+import json
+import math
+import struct
+from dataclasses import dataclass, field
+
+__all__ = [
+    "GeoStats",
+    "VariantStats",
+    "VariantFieldAcc",
+    "wkb_bbox",
+    "harvest_extra_stats",
+    "merge_extra_stats_json",
+    "bbox_disjoint_json",
+    "variant_rows_from_json",
+]
+
+
+# --------------------------------------------------------------------------
+# WKB parsing (bbox + geometry-type extraction)
+# --------------------------------------------------------------------------
+
+_BASE_NAMES = {
+    0: "unknown",
+    1: "point",
+    2: "linestring",
+    3: "polygon",
+    4: "multipoint",
+    5: "multilinestring",
+    6: "multipolygon",
+    7: "geometrycollection",
+}
+
+_EWKB_Z = 0x80000000
+_EWKB_M = 0x40000000
+_EWKB_SRID = 0x20000000
+
+
+@dataclass
+class GeoStats:
+    """Running bbox + type set for one geometry column in one file.
+
+    JSON layout matches the reference serializer
+    (ducklake_geo_stats.cpp:46-72): unset extremes serialize as null.
+    """
+
+    xmin: float = math.inf
+    xmax: float = -math.inf
+    ymin: float = math.inf
+    ymax: float = -math.inf
+    zmin: float = math.inf
+    zmax: float = -math.inf
+    mmin: float = math.inf
+    mmax: float = -math.inf
+    types: set = field(default_factory=set)
+
+    def update_wkb(self, buf: bytes) -> None:
+        name = _scan(buf, 0, self)[1]
+        self.types.add(name)
+
+    def merge(self, other: "GeoStats") -> None:
+        self.xmin = min(self.xmin, other.xmin)
+        self.xmax = max(self.xmax, other.xmax)
+        self.ymin = min(self.ymin, other.ymin)
+        self.ymax = max(self.ymax, other.ymax)
+        self.zmin = min(self.zmin, other.zmin)
+        self.zmax = max(self.zmax, other.zmax)
+        self.mmin = min(self.mmin, other.mmin)
+        self.mmax = max(self.mmax, other.mmax)
+        self.types |= other.types
+
+    def to_json(self) -> str:
+        def lo(v):
+            return None if v == math.inf else v
+
+        def hi(v):
+            return None if v == -math.inf else v
+
+        return json.dumps(
+            {
+                "bbox": {
+                    "xmin": lo(self.xmin), "xmax": hi(self.xmax),
+                    "ymin": lo(self.ymin), "ymax": hi(self.ymax),
+                    "zmin": lo(self.zmin), "zmax": hi(self.zmax),
+                    "mmin": lo(self.mmin), "mmax": hi(self.mmax),
+                },
+                "types": sorted(self.types),
+            },
+            separators=(", ", ": "),
+        )
+
+    @classmethod
+    def from_json(cls, s: str) -> "GeoStats":
+        doc = json.loads(s)
+        g = cls()
+        bbox = doc.get("bbox") or {}
+        for k, default in (
+            ("xmin", math.inf), ("ymin", math.inf),
+            ("zmin", math.inf), ("mmin", math.inf),
+        ):
+            v = bbox.get(k)
+            setattr(g, k, default if v is None else float(v))
+        for k, default in (
+            ("xmax", -math.inf), ("ymax", -math.inf),
+            ("zmax", -math.inf), ("mmax", -math.inf),
+        ):
+            v = bbox.get(k)
+            setattr(g, k, default if v is None else float(v))
+        g.types = set(doc.get("types") or [])
+        return g
+
+
+def wkb_bbox(buf: bytes) -> tuple:
+    """(xmin, xmax, ymin, ymax) of a single WKB geometry — test/debug
+    helper; the harvest path uses GeoStats.update_wkb directly."""
+    g = GeoStats()
+    g.update_wkb(buf)
+    return (g.xmin, g.xmax, g.ymin, g.ymax)
+
+
+def _scan(buf: bytes, off: int, st: GeoStats) -> tuple:
+    """Parse one geometry at ``off``; fold coords into ``st``.
+    Returns (next_offset, type_name). Accepts ISO WKB (type = base +
+    1000·dim) and EWKB (Z/M/SRID flag bits)."""
+    order = buf[off]
+    off += 1
+    fmt = "<" if order == 1 else ">"
+    (code,) = struct.unpack_from(fmt + "I", buf, off)
+    off += 4
+    has_z = bool(code & _EWKB_Z)
+    has_m = bool(code & _EWKB_M)
+    has_srid = bool(code & _EWKB_SRID)
+    code &= 0x0FFFFFFF
+    iso = code // 1000
+    base = code % 1000
+    if iso == 1:
+        has_z = True
+    elif iso == 2:
+        has_m = True
+    elif iso == 3:
+        has_z = has_m = True
+    if has_srid:
+        off += 4
+    ndim = 2 + has_z + has_m
+    name = _BASE_NAMES.get(base, "unknown") + (
+        "_zm" if has_z and has_m else "_z" if has_z else "_m" if has_m else ""
+    )
+
+    def points(n: int, o: int) -> int:
+        nonlocal st
+        vals = struct.unpack_from(f"{fmt}{n * ndim}d", buf, o)
+        for i in range(0, n * ndim, ndim):
+            x, y = vals[i], vals[i + 1]
+            if x == x:  # empty points encode as NaN coords
+                st.xmin = min(st.xmin, x)
+                st.xmax = max(st.xmax, x)
+            if y == y:
+                st.ymin = min(st.ymin, y)
+                st.ymax = max(st.ymax, y)
+            j = i + 2
+            if has_z:
+                z = vals[j]
+                j += 1
+                if z == z:
+                    st.zmin = min(st.zmin, z)
+                    st.zmax = max(st.zmax, z)
+            if has_m:
+                m = vals[j]
+                if m == m:
+                    st.mmin = min(st.mmin, m)
+                    st.mmax = max(st.mmax, m)
+        return o + 8 * n * ndim
+
+    if base == 1:  # point
+        off = points(1, off)
+    elif base == 2:  # linestring
+        (n,) = struct.unpack_from(fmt + "I", buf, off)
+        off = points(n, off + 4)
+    elif base == 3:  # polygon
+        (nrings,) = struct.unpack_from(fmt + "I", buf, off)
+        off += 4
+        for _ in range(nrings):
+            (n,) = struct.unpack_from(fmt + "I", buf, off)
+            off = points(n, off + 4)
+    elif base in (4, 5, 6, 7):  # multi* / collection: nested full headers
+        (n,) = struct.unpack_from(fmt + "I", buf, off)
+        off += 4
+        for _ in range(n):
+            off = _scan(buf, off, st)[0]
+    else:
+        raise ValueError(f"unsupported WKB geometry type code {base}")
+    return off, name
+
+
+# --------------------------------------------------------------------------
+# Shredded VARIANT stats
+# --------------------------------------------------------------------------
+
+# scalar JSON value -> DuckLake shredded type; int widens to double when a
+# field mixes the two, any other mix un-shreds the field (the reference
+# drops fields whose shredded types differ, ducklake_variant_stats.cpp:39-43)
+_NUM_TYPES = {"bigint", "double"}
+
+
+def _classify(v) -> str | None:
+    if isinstance(v, bool):
+        return "boolean"
+    if isinstance(v, int):
+        return "bigint"
+    if isinstance(v, float):
+        return "double"
+    if isinstance(v, str):
+        return "varchar"
+    return None  # null / nested object / array: not a shredded scalar
+
+
+@dataclass
+class VariantFieldAcc:
+    shredded_type: str | None = None
+    value_count: int = 0
+    min_value: object = None
+    max_value: object = None
+    dropped: bool = False
+
+    def add(self, v) -> None:
+        if self.dropped:
+            return
+        t = _classify(v)
+        if t is None:
+            if v is None:
+                return  # explicit null: counted via object_rows - value_count
+            self.dropped = True  # nested object/array: not shreddable
+            return
+        self._absorb_type(t)
+        if self.dropped:
+            return
+        self.value_count += 1
+        key = _order_key(v)
+        if self.min_value is None or key < _order_key(self.min_value):
+            self.min_value = v
+        if self.max_value is None or key > _order_key(self.max_value):
+            self.max_value = v
+
+    def _absorb_type(self, t: str) -> None:
+        if self.shredded_type is None or self.shredded_type == t:
+            self.shredded_type = t
+        elif t in _NUM_TYPES and self.shredded_type in _NUM_TYPES:
+            self.shredded_type = "double"
+        else:
+            self.dropped = True
+
+    def merge(self, other: "VariantFieldAcc") -> None:
+        if self.dropped or other.dropped:
+            self.dropped = True
+            return
+        if other.shredded_type is not None:
+            self._absorb_type(other.shredded_type)
+        if self.dropped:
+            return
+        self.value_count += other.value_count
+        for v in (other.min_value,):
+            if v is not None and (
+                self.min_value is None or _order_key(v) < _order_key(self.min_value)
+            ):
+                self.min_value = v
+        for v in (other.max_value,):
+            if v is not None and (
+                self.max_value is None or _order_key(v) > _order_key(self.max_value)
+            ):
+                self.max_value = v
+
+
+def _order_key(v):
+    if isinstance(v, bool):
+        return (0, int(v))
+    if isinstance(v, (int, float)):
+        return (1, v)
+    return (2, v)
+
+
+def _stat_text(v) -> str | None:
+    if v is None:
+        return None
+    if isinstance(v, bool):
+        return "true" if v else "false"
+    return str(v)
+
+
+@dataclass
+class VariantStats:
+    """Per-file shredded-field stats for one VARIANT/JSON column.
+
+    ``object_rows`` counts rows whose value is a JSON object — a
+    field's null_count is ``object_rows - value_count`` (missing and
+    explicit-null both count), computed at serialization so partials
+    from different Arrow batches of the same file merge exactly.
+    """
+
+    object_rows: int = 0
+    fields: dict = field(default_factory=dict)
+
+    def add_json(self, text) -> None:
+        if text is None:
+            return
+        try:
+            doc = json.loads(text)
+        except (ValueError, TypeError):
+            return
+        if not isinstance(doc, dict):
+            return
+        self.object_rows += 1
+        for k, v in doc.items():
+            self.fields.setdefault(k, VariantFieldAcc()).add(v)
+
+    def merge(self, other: "VariantStats") -> None:
+        """Same-file partial merge: union of fields."""
+        self.object_rows += other.object_rows
+        for k, acc in other.fields.items():
+            mine = self.fields.get(k)
+            if mine is None:
+                self.fields[k] = acc
+            else:
+                mine.merge(acc)
+
+    def rows(self):
+        """[(variant_path, shredded_type, value_count, null_count,
+        min_value, max_value)] for ducklake_file_variant_stats."""
+        out = []
+        for name in sorted(self.fields):
+            acc = self.fields[name]
+            if acc.dropped or acc.shredded_type is None:
+                continue
+            out.append(
+                (
+                    name,
+                    acc.shredded_type,
+                    acc.value_count,
+                    self.object_rows - acc.value_count,
+                    _stat_text(acc.min_value),
+                    _stat_text(acc.max_value),
+                )
+            )
+        return out
+
+    def to_json(self) -> str | None:
+        """Reference-shaped array (ducklake_variant_stats.cpp:156-192);
+        None when nothing shredded (TrySerialize returns false, :194-198)."""
+        rows = self.rows()
+        if not rows:
+            return None
+        return json.dumps(
+            [
+                {
+                    "field_name": n,
+                    "shredded_type": t,
+                    "num_values": vc,
+                    "null_count": nc,
+                    "min": mn,
+                    "max": mx,
+                }
+                for n, t, vc, nc, mn, mx in rows
+            ],
+            separators=(", ", ": "),
+        )
+
+    def to_partial_json(self) -> str:
+        return json.dumps(
+            {
+                "object_rows": self.object_rows,
+                "fields": {
+                    k: {
+                        "shredded_type": a.shredded_type,
+                        "value_count": a.value_count,
+                        "min": a.min_value,
+                        "max": a.max_value,
+                        "dropped": a.dropped,
+                    }
+                    for k, a in self.fields.items()
+                },
+            }
+        )
+
+    @classmethod
+    def from_partial_json(cls, s: str) -> "VariantStats":
+        doc = json.loads(s)
+        vs = cls(object_rows=doc["object_rows"])
+        for k, a in doc["fields"].items():
+            vs.fields[k] = VariantFieldAcc(
+                shredded_type=a["shredded_type"],
+                value_count=a["value_count"],
+                min_value=a["min"],
+                max_value=a["max"],
+                dropped=a["dropped"],
+            )
+        return vs
+
+
+def variant_rows_from_json(s: str) -> list:
+    """Parse a serialized extra_stats array back into catalog-row tuples."""
+    return [
+        (
+            d["field_name"],
+            d["shredded_type"],
+            d.get("num_values", 0),
+            d.get("null_count", 0),
+            d.get("min"),
+            d.get("max"),
+        )
+        for d in json.loads(s)
+    ]
+
+
+# --------------------------------------------------------------------------
+# Table-level (cross-file) merge of serialized extra stats
+# --------------------------------------------------------------------------
+
+
+def merge_extra_stats_json(old: str | None, new: str | None) -> str | None:
+    """Merge two serialized extra_stats payloads for the global
+    ducklake_table_column_stats row.
+
+    Geometry merges widen-only (bbox union, type-set union —
+    ducklake_geo_stats.cpp:31-44). Variant merges keep the intersection
+    of fields with identical shredded types (ducklake_variant_stats.cpp:
+    25-51) — so a missing side empties the result.
+    """
+    if old is None:
+        return new
+    if new is None:
+        # geo stats survive a stats-less file (bbox still bounds all
+        # data); variant intersection with nothing is nothing
+        return old if old.lstrip().startswith("{") else None
+    if old.lstrip().startswith("{"):  # geometry
+        g = GeoStats.from_json(old)
+        g.merge(GeoStats.from_json(new))
+        return g.to_json()
+    # variant: intersect on (field, type)
+    a = {d[0]: d for d in variant_rows_from_json(old)}
+    b = {d[0]: d for d in variant_rows_from_json(new)}
+    merged = []
+    for name in sorted(a.keys() & b.keys()):
+        an, bn = a[name], b[name]
+        if an[1] != bn[1]:
+            continue
+        typ = an[1]
+        numeric = typ in ("bigint", "double")
+
+        def _key(x):
+            return float(x) if numeric else x
+
+        mins = [v for v in (an[4], bn[4]) if v is not None]
+        maxs = [v for v in (an[5], bn[5]) if v is not None]
+        merged.append(
+            {
+                "field_name": name,
+                "shredded_type": typ,
+                "num_values": an[2] + bn[2],
+                "null_count": an[3] + bn[3],
+                "min": min(mins, key=_key) if mins else None,
+                "max": max(maxs, key=_key) if maxs else None,
+            }
+        )
+    if not merged:
+        return None
+    return json.dumps(merged, separators=(", ", ": "))
+
+
+def bbox_disjoint_json(extra: str, box: tuple) -> bool:
+    """True when the file's stored bbox provably cannot intersect
+    ``box`` = (xmin, ymin, xmax, ymax) — the pruning contradiction."""
+    try:
+        g = GeoStats.from_json(extra)
+    except (ValueError, TypeError):
+        return False
+    if g.xmin == math.inf or g.ymin == math.inf:
+        return False  # no coordinate evidence: keep the file
+    qxmin, qymin, qxmax, qymax = box
+    return g.xmax < qxmin or g.xmin > qxmax or g.ymax < qymin or g.ymin > qymax
+
+
+# --------------------------------------------------------------------------
+# Distributed harvest
+# --------------------------------------------------------------------------
+
+
+def harvest_extra_stats(spark, paths, geo_cols, var_cols):
+    """One pass over ``paths`` (absolute parquet file paths) computing
+    per-file GeoStats / VariantStats for the named columns.
+
+    Reads only the needed columns plus ``_metadata.file_path``;
+    ``mapInPandas`` emits one partial row per (input-batch, file,
+    column) and the driver merges partials — no shuffle, and the
+    full column data never lands on the driver.
+
+    Returns {absolute_path: {column_name: GeoStats | VariantStats}}.
+    """
+    from urllib.parse import unquote, urlparse
+
+    from pyspark.sql import functions as F
+
+    geo_cols = list(geo_cols)
+    var_cols = list(var_cols)
+    cols = geo_cols + var_cols
+    if not cols or not paths:
+        return {}
+    df = spark.read.parquet(*paths).select(
+        F.col("_metadata.file_path").alias("__fp"), *[F.col(c) for c in cols]
+    )
+
+    def gen(batches):
+        import pandas as pd
+
+        for pdf in batches:
+            out = []
+            for fp, grp in pdf.groupby("__fp", sort=False):
+                for c in geo_cols:
+                    # always emitted for geometry columns (a file of
+                    # NULLs still records an empty bbox + type set)
+                    gs = GeoStats()
+                    for v in grp[c]:
+                        if v is not None:
+                            gs.update_wkb(bytes(v))
+                    out.append((fp, c, "geo", gs.to_json()))
+                for c in var_cols:
+                    vs = VariantStats()
+                    for v in grp[c]:
+                        vs.add_json(v)
+                    out.append((fp, c, "variant", vs.to_partial_json()))
+            yield pd.DataFrame(
+                out, columns=["file", "column", "kind", "payload"]
+            )
+
+    partials = df.mapInPandas(
+        gen, "file string, column string, kind string, payload string"
+    ).collect()
+
+    result: dict = {}
+    for row in partials:
+        path = unquote(urlparse(row["file"]).path) or row["file"]
+        per_col = result.setdefault(path, {})
+        if row["kind"] == "geo":
+            gs = GeoStats.from_json(row["payload"])
+            if row["column"] in per_col:
+                per_col[row["column"]].merge(gs)
+            else:
+                per_col[row["column"]] = gs
+        else:
+            vs = VariantStats.from_partial_json(row["payload"])
+            if row["column"] in per_col:
+                per_col[row["column"]].merge(vs)
+            else:
+                per_col[row["column"]] = vs
+    return result

@@ -25,6 +25,7 @@ import glob as globmod
 import os
 import re
 import shutil
+import struct
 import urllib.parse
 import uuid
 from dataclasses import dataclass
@@ -775,6 +776,14 @@ class DuckLake:
             df = df.withColumn(
                 n, F.expr(defaults[n]) if n in defaults else F.lit(None)
             )
+        # Spark 4 native VariantType inserts into VARIANT/JSON columns
+        # (stored as JSON text; read back natively via variant_as_native)
+        by_name = {f_.name: f_.dataType for f_ in df.schema.fields}
+        for n, f_ in zip(names, schema.fields):
+            if isinstance(by_name.get(n), T.VariantType) and isinstance(
+                f_.dataType, T.StringType
+            ):
+                df = df.withColumn(n, F.to_json(F.col(n)))
         df = df.select([F.col(n).cast(f.dataType).alias(n) for n, f in zip(names, schema.fields)])
         # NOT NULL enforcement at write time (reference supports NOT NULL —
         # ducklake_table_entry.cpp:661-730; PRIMARY KEY/CHECK are rejected)
@@ -909,7 +918,53 @@ class DuckLake:
                 )
             )
         shutil.rmtree(tmp, ignore_errors=True)
+        self._attach_extra_stats(h, infos, enc_key)
         return infos
+
+    def _attach_extra_stats(self, h: TableHandle, infos: list[DataFileInfo],
+                            enc_key: str | None) -> None:
+        """Geometry-bbox and shredded-VARIANT stats for the written files
+        (SURVEY §1.4 extended stats; reference gathers them in its writer —
+        ducklake_geo_stats.cpp:16-76, ducklake_variant_stats.cpp:59-69).
+
+        One distributed pass over ONLY the geometry/variant columns of the
+        new files (extra_stats.harvest_extra_stats): no-op for tables
+        without such columns. Encrypted writes skip the harvest — the
+        re-read would need the per-file keys wired into a second scan, and
+        extended stats are an optional pruning aid."""
+        geo: dict[str, int] = {}
+        var: dict[str, int] = {}
+        for cid, cname, ctype, _na in h.columns:
+            base = ctype.split("(")[0].strip().lower()
+            if base == "geometry":
+                geo[cname] = cid
+            elif base in ("variant", "json"):
+                var[cname] = cid
+        if (not geo and not var) or enc_key or not infos:
+            return
+        from ducklake_spark.extra_stats import harvest_extra_stats
+        from ducklake_spark.transaction import VariantStatsRow
+
+        by_abs = {
+            os.path.abspath(os.path.join(self.data_path, f.path)): f for f in infos
+        }
+        stats = harvest_extra_stats(self.spark, list(by_abs), geo, var)
+        for path, per_col in stats.items():
+            f = by_abs.get(os.path.abspath(path))
+            if f is None:
+                continue
+            rows_by_id = {cs.column_id: cs for cs in f.column_stats}
+            for cname, payload in per_col.items():
+                cid = geo.get(cname, var.get(cname))
+                cs = rows_by_id.get(cid)
+                if cs is None:
+                    cs = ColumnStatsRow(column_id=cid)
+                    f.column_stats.append(cs)
+                cs.extra_stats = payload.to_json()
+                if cname in var:
+                    f.variant_stats.extend(
+                        VariantStatsRow(cid, *vals) for vals in payload.rows()
+                    )
 
     def _insert_inlined(self, h: TableHandle, schema: T.StructType, rows) -> None:
         """Data inlining: small inserts live in the catalog DB
@@ -955,7 +1010,10 @@ class DuckLake:
 
     def table(self, name: str, *, at_version: int | None = None,
               at_timestamp: str | None = None, where: str | None = None,
-              with_virtual: bool = False) -> DataFrame:
+              with_virtual: bool = False,
+              bbox: dict[str, tuple] | None = None,
+              variant_where: list[tuple] | None = None,
+              variant_as_native: bool = False) -> DataFrame:
         """Read a lake table as a DataFrame.
 
         ``where`` additionally drives file-level zone-map pruning (the
@@ -963,10 +1021,31 @@ class DuckLake:
         adds the reference's virtual columns (filename,
         file_row_number, rowid, snapshot_id —
         ducklake_table_entry.cpp:398-410).
+
+        ``bbox`` maps a GEOMETRY column to a query window
+        ``(xmin, ymin, xmax, ymax)``: files whose stored bbox
+        (extra_stats, ducklake_geo_stats.cpp:46-72) provably misses the
+        window are pruned, and an exact WKB-intersection filter is
+        applied to the surviving rows.
+
+        ``variant_where`` is a list of ``(column, path, op, literal)``
+        conjuncts over shredded VARIANT fields (e.g. ``("props",
+        "width", ">=", 100)``): files are pruned through
+        ducklake_file_variant_stats (files lacking shredded stats for
+        the path are kept) and the predicate re-applied row-level via
+        JSON extraction.
+
+        ``variant_as_native=True`` parses VARIANT/JSON columns into
+        Spark 4's native VariantType on the way out.
         """
         h = self._handle(name, at_version=at_version, at_timestamp=at_timestamp)
         snap = self._resolve_snapshot(at_version, at_timestamp)
         files = self._visible_files(h, snap, where)
+        colmap = {c[1]: c[0] for c in h.columns}
+        if bbox:
+            files = self._bbox_prune(h, files, bbox, colmap)
+        if variant_where:
+            files = self._variant_prune(h, files, variant_where, colmap)
         schema = self._spark_schema(h)
         deletes = self._delete_entries(h, snap, [f["data_file_id"] for f in files])
         df = self._read_files(h, snap, files, schema, deletes, with_virtual)
@@ -978,7 +1057,80 @@ class DuckLake:
             df = self.spark.createDataFrame([], empty)
         if where is not None:
             df = df.filter(where)
+        if bbox:
+            for cname, box in bbox.items():
+                df = df.filter(_bbox_intersects_udf(box)(F.col(cname)))
+        if variant_where:
+            for cname, path, op, val in variant_where:
+                df = df.filter(_variant_row_predicate(cname, path, op, val))
+        if variant_as_native:
+            for _cid, cname, ctype, _na in h.columns:
+                if ctype.split("(")[0].strip().lower() in ("variant", "json"):
+                    df = df.withColumn(cname, F.try_parse_json(F.col(cname)))
         return df
+
+    def _bbox_prune(self, h: TableHandle, files: list[dict],
+                    bbox: dict[str, tuple], colmap: dict) -> list[dict]:
+        """Spatial file pruning from the stored per-file bboxes: drop
+        files whose bbox is disjoint from the query window; files
+        without extra stats are kept (same keep-on-no-evidence rule as
+        the zone maps)."""
+        from ducklake_spark.extra_stats import bbox_disjoint_json
+
+        pruned_ids: set[int] = set()
+        for cname, box in bbox.items():
+            if cname not in colmap:
+                continue
+            for fid, extra in self.meta.query(
+                "SELECT data_file_id, extra_stats FROM ducklake_file_column_stats "
+                "WHERE table_id = ? AND column_id = ? AND extra_stats IS NOT NULL",
+                (h.table_id, colmap[cname]),
+            ):
+                if bbox_disjoint_json(extra, box):
+                    pruned_ids.add(fid)
+        if not pruned_ids:
+            return files
+        return [f for f in files if f["data_file_id"] not in pruned_ids]
+
+    def _variant_prune(self, h: TableHandle, files: list[dict],
+                       variant_where: list[tuple], colmap: dict) -> list[dict]:
+        """Prune through shredded VARIANT field stats
+        (ducklake_file_variant_stats): the same min/max contradiction
+        test as the zone maps, applied per variant_path. Files with no
+        shredded row for the path are kept."""
+        pruned_ids: set[int] = set()
+        for cname, path, op, val in variant_where:
+            if cname not in colmap:
+                continue
+            numeric = isinstance(val, (int, float)) and not isinstance(val, bool)
+            for fid, styp, mn, mx in self.meta.query(
+                "SELECT data_file_id, shredded_type, min_value, max_value "
+                "FROM ducklake_file_variant_stats "
+                "WHERE table_id = ? AND column_id = ? AND variant_path = ?",
+                (h.table_id, colmap[cname], str(path).lstrip("$.")),
+            ):
+                if mn is None or mx is None:
+                    continue
+                try:
+                    lo, hi, v = (
+                        (float(mn), float(mx), float(val))
+                        if numeric
+                        else (mn, mx, str(val))
+                    )
+                except (TypeError, ValueError):
+                    continue
+                contradiction = {
+                    "=": lambda: lo > v or hi < v,
+                    ">": lambda: hi <= v,
+                    ">=": lambda: hi < v,
+                    "<": lambda: lo >= v,
+                    "<=": lambda: lo > v,
+                }.get(op)
+                if contradiction is not None and contradiction():
+                    pruned_ids.add(fid)
+        if not pruned_ids:
+            return files
+        return [f for f in files if f["data_file_id"] not in pruned_ids]
 
     def sql(self, query: str, *, at_version: int | None = None) -> DataFrame:
         """Run Spark SQL with every lake table registered as a temp view."""
@@ -1231,9 +1383,9 @@ class DuckLake:
         h = self._handle(name)
         cols = {c[0]: (c[1], c[2]) for c in h.columns}
         rows = [
-            (cols[cid][0], cols[cid][1], bool(cn), mn, mx)
-            for cid, cn, mn, mx in self.meta.query(
-                "SELECT column_id, contains_null, min_value, max_value "
+            (cols[cid][0], cols[cid][1], bool(cn), mn, mx, extra)
+            for cid, cn, mn, mx, extra in self.meta.query(
+                "SELECT column_id, contains_null, min_value, max_value, extra_stats "
                 "FROM ducklake_table_column_stats WHERE table_id = ?",
                 (h.table_id,),
             )
@@ -1242,6 +1394,33 @@ class DuckLake:
         return self.spark.createDataFrame(
             rows,
             "column_name string, column_type string, contains_null boolean, "
+            "min_value string, max_value string, extra_stats string",
+        )
+
+    def variant_stats(self, name: str) -> DataFrame:
+        """Per-file shredded VARIANT field stats
+        (ducklake_file_variant_stats rows for the table's live files —
+        reference serializes the same rows per data file,
+        ducklake_variant_stats.cpp:59-69)."""
+        h = self._handle(name)
+        cols = {c[0]: c[1] for c in h.columns}
+        rows = [
+            (fid, cols.get(cid), path, styp, vc, nc, mn, mx)
+            for fid, cid, path, styp, vc, nc, mn, mx in self.meta.query(
+                "SELECT v.data_file_id, v.column_id, v.variant_path, "
+                "v.shredded_type, v.value_count, v.null_count, "
+                "v.min_value, v.max_value "
+                "FROM ducklake_file_variant_stats v "
+                "JOIN ducklake_data_file d ON v.data_file_id = d.data_file_id "
+                "WHERE v.table_id = ? AND d.end_snapshot IS NULL "
+                "ORDER BY v.data_file_id, v.column_id, v.variant_path",
+                (h.table_id,),
+            )
+        ]
+        return self.spark.createDataFrame(
+            rows,
+            "data_file_id long, column_name string, variant_path string, "
+            "shredded_type string, value_count long, null_count long, "
             "min_value string, max_value string",
         )
 
@@ -1727,6 +1906,63 @@ def _transform_col(cname: str, transform: str):
 
         return murmur3_bucket_col(F.col(cname), int(m.group(1)))
     raise DuckLakeError(f"unknown partition transform {transform!r}")
+
+
+def _bbox_intersects_udf(box: tuple):
+    """Exact row-level bbox intersection over WKB geometries — an
+    Arrow-batched pandas UDF (the WKB decode has no JVM builtin).
+    Pairs with file-level pruning in DuckLake._bbox_prune."""
+    import pandas as pd
+    from pyspark.sql.functions import pandas_udf
+
+    qxmin, qymin, qxmax, qymax = (float(v) for v in box)
+
+    def intersects(col):
+        from ducklake_spark.extra_stats import GeoStats
+
+        out = []
+        for v in col:
+            if v is None:
+                out.append(False)
+                continue
+            g = GeoStats()
+            try:
+                g.update_wkb(bytes(v))
+            except (ValueError, IndexError, struct.error):
+                out.append(False)
+                continue
+            out.append(
+                not (
+                    g.xmax < qxmin or g.xmin > qxmax
+                    or g.ymax < qymin or g.ymin > qymax
+                )
+            )
+        return pd.Series(out)
+
+    # real annotation objects: `from __future__ import annotations` would
+    # stringify inline hints, which pandas_udf cannot resolve here
+    intersects.__annotations__ = {"col": pd.Series, "return": pd.Series}
+    return pandas_udf(intersects, "boolean")
+
+
+def _variant_row_predicate(cname: str, path: str, op: str, val):
+    """Row-level twin of the variant-stats file pruning: extract the
+    JSON path and compare with the literal's type semantics."""
+    extracted = F.get_json_object(F.col(cname), "$." + str(path).lstrip("$."))
+    if isinstance(val, bool):
+        lhs, rhs = extracted, F.lit("true" if val else "false")
+    elif isinstance(val, (int, float)):
+        lhs, rhs = extracted.cast("double"), F.lit(float(val))
+    else:
+        lhs, rhs = extracted, F.lit(str(val))
+    return {
+        "=": lhs == rhs,
+        "==": lhs == rhs,
+        ">": lhs > rhs,
+        ">=": lhs >= rhs,
+        "<": lhs < rhs,
+        "<=": lhs <= rhs,
+    }[op]
 
 
 def _parse_conjuncts(where: str) -> list[tuple[str, str, object]]:

@@ -73,6 +73,22 @@ class ColumnStatsRow:
     min_value: str | None = None
     max_value: str | None = None
     contains_nan: bool = False
+    # serialized geometry-bbox / shredded-variant JSON (SURVEY §1.4;
+    # ducklake_geo_stats.cpp:46-76, ducklake_variant_stats.cpp:59-69)
+    extra_stats: str | None = None
+
+
+@dataclass
+class VariantStatsRow:
+    """One ducklake_file_variant_stats row (shredded VARIANT field)."""
+
+    column_id: int
+    variant_path: str
+    shredded_type: str
+    value_count: int = 0
+    null_count: int = 0
+    min_value: str | None = None
+    max_value: str | None = None
 
 
 @dataclass
@@ -85,6 +101,7 @@ class DataFileInfo:
     partition_id: int | None = None
     partition_values: list[tuple[int, str]] = field(default_factory=list)
     column_stats: list[ColumnStatsRow] = field(default_factory=list)
+    variant_stats: list[VariantStatsRow] = field(default_factory=list)
     mapping_id: int | None = None
     partial_max: int | None = None
     file_order: int | None = None
@@ -664,7 +681,7 @@ class Transaction:
                     for cs in f.column_stats:
                         con.execute(
                             "INSERT INTO ducklake_file_column_stats VALUES "
-                            "(?, ?, ?, ?, ?, ?, ?, ?, ?, NULL)",
+                            "(?, ?, ?, ?, ?, ?, ?, ?, ?, ?)",
                             (
                                 fid,
                                 tid,
@@ -675,9 +692,26 @@ class Transaction:
                                 cs.min_value,
                                 cs.max_value,
                                 cs.contains_nan,
+                                cs.extra_stats,
                             ),
                         )
                         self._merge_global_column_stats(con, tid, cs)
+                    for vr in f.variant_stats:
+                        con.execute(
+                            "INSERT INTO ducklake_file_variant_stats VALUES "
+                            "(?, ?, ?, ?, ?, ?, ?, ?, ?)",
+                            (
+                                fid,
+                                tid,
+                                vr.column_id,
+                                vr.variant_path,
+                                vr.shredded_type,
+                                vr.value_count,
+                                vr.null_count,
+                                vr.min_value,
+                                vr.max_value,
+                            ),
+                        )
                 con.execute(
                     "UPDATE ducklake_table_stats SET record_count=?, next_row_id=?, "
                     "file_size_bytes=? WHERE table_id=?",
@@ -754,6 +788,10 @@ class Transaction:
                     )
                     con.execute(
                         "DELETE FROM ducklake_file_column_stats WHERE data_file_id=?",
+                        (fid,),
+                    )
+                    con.execute(
+                        "DELETE FROM ducklake_file_variant_stats WHERE data_file_id=?",
                         (fid,),
                     )
                     con.execute(
@@ -905,29 +943,36 @@ class Transaction:
         """Merge-only global stats: widen, never tighten
         (reference: DuckLakeColumnStats::MergeStats, ducklake_stats.cpp:102)."""
         row = con.execute(
-            "SELECT contains_null, contains_nan, min_value, max_value "
+            "SELECT contains_null, contains_nan, min_value, max_value, extra_stats "
             "FROM ducklake_table_column_stats WHERE table_id=? AND column_id=?",
             (tid, cs.column_id),
         ).fetchone()
         has_null = cs.null_count > 0
         if row is None:
             con.execute(
-                "INSERT INTO ducklake_table_column_stats VALUES (?, ?, ?, ?, ?, ?, NULL)",
-                (tid, cs.column_id, has_null, cs.contains_nan, cs.min_value, cs.max_value),
+                "INSERT INTO ducklake_table_column_stats VALUES (?, ?, ?, ?, ?, ?, ?)",
+                (tid, cs.column_id, has_null, cs.contains_nan, cs.min_value,
+                 cs.max_value, cs.extra_stats),
             )
             return
-        cn, cnan, mn, mx = row
+        cn, cnan, mn, mx, extra = row
         numeric = self._column_is_numeric(con, cs.column_id)
         new_min = _merge_min(mn, cs.min_value, numeric)
         new_max = _merge_max(mx, cs.max_value, numeric)
+        new_extra = extra
+        if extra is not None or cs.extra_stats is not None:
+            from ducklake_spark.extra_stats import merge_extra_stats_json
+
+            new_extra = merge_extra_stats_json(extra, cs.extra_stats)
         con.execute(
             "UPDATE ducklake_table_column_stats SET contains_null=?, contains_nan=?, "
-            "min_value=?, max_value=? WHERE table_id=? AND column_id=?",
+            "min_value=?, max_value=?, extra_stats=? WHERE table_id=? AND column_id=?",
             (
                 bool(cn) or has_null,
                 bool(cnan) or cs.contains_nan,
                 new_min,
                 new_max,
+                new_extra,
                 tid,
                 cs.column_id,
             ),
