@@ -45,6 +45,7 @@ def add_data_files(lake: DuckLake, table: str, pattern: str, *,
         "SELECT COALESCE(MAX(mapping_id), -1) + 1 FROM ducklake_column_mapping"
     ))[0][0]
     added = 0
+    infos: list[DataFileInfo] = []
     for path in paths:
         pf = pq.ParquetFile(path)
         file_cols = {c.split(".")[0] for c in pf.schema_arrow.names}
@@ -87,20 +88,23 @@ def add_data_files(lake: DuckLake, table: str, pattern: str, *,
             if cname in part_index:
                 part_values.append((part_index[cname], v))
         stats = _harvest_stats(pf, colmap)
-        txn.new_data_files.setdefault(str(h.table_id), []).append(
-            DataFileInfo(
-                path=os.path.relpath(path, lake.data_path)
-                if path.startswith(lake.data_path)
-                else path,
-                record_count=pf.metadata.num_rows,
-                file_size_bytes=os.path.getsize(path),
-                footer_size=_footer_size(path),
-                partition_values=part_values,
-                column_stats=stats,
-                mapping_id=mapping_id,
-            )
+        info = DataFileInfo(
+            path=os.path.relpath(path, lake.data_path)
+            if path.startswith(lake.data_path)
+            else path,
+            record_count=pf.metadata.num_rows,
+            file_size_bytes=os.path.getsize(path),
+            footer_size=_footer_size(path),
+            partition_values=part_values,
+            column_stats=stats,
+            mapping_id=mapping_id,
         )
+        txn.new_data_files.setdefault(str(h.table_id), []).append(info)
+        infos.append(info)
         added += 1
+    # adopted files get the same extended stats (geometry bbox /
+    # shredded variant) as written ones — one distributed pass
+    lake._attach_extra_stats(h, infos, None)
     txn.change_log.append(f"inserted_into_table:{h.table_id}")
     lake._autocommit()
     return added

@@ -525,12 +525,16 @@ def harvest_extra_stats(spark, paths, geo_cols, var_cols):
 
     from pyspark.sql import functions as F
 
-    geo_cols = list(geo_cols)
-    var_cols = list(var_cols)
-    cols = geo_cols + var_cols
-    if not cols or not paths:
+    if not paths:
         return {}
-    df = spark.read.parquet(*paths).select(
+    reader = spark.read.parquet(*paths)
+    avail = set(reader.columns)  # adopted foreign files may lack columns
+    geo_cols = [c for c in geo_cols if c in avail]
+    var_cols = [c for c in var_cols if c in avail]
+    cols = geo_cols + var_cols
+    if not cols:
+        return {}
+    df = reader.select(
         F.col("_metadata.file_path").alias("__fp"), *[F.col(c) for c in cols]
     )
 

@@ -339,6 +339,19 @@ def test_variant_native_roundtrip(lake, spark):
     assert got[0]["c"] == "deep"
 
 
+def test_add_data_files_harvests_extra_stats(lake, spark, tmp_path):
+    ext = tmp_path / "external"
+    spark.createDataFrame(
+        [(1, '{"n": 5}'), (2, '{"n": 50}')], "id long, props string"
+    ).coalesce(1).write.parquet(str(ext))
+    lake.create_table("adopted_v", [("id", "int64"), ("props", "variant")])
+    assert lake.add_data_files("adopted_v", str(ext / "*.parquet")) == 1
+    vs = lake.variant_stats("adopted_v").collect()
+    assert [(r.variant_path, r.shredded_type, r.min_value, r.max_value) for r in vs] == [
+        ("n", "bigint", "5", "50")
+    ]
+
+
 def test_compaction_preserves_extra_stats(lake, spark):
     from ducklake_spark import maintenance
 

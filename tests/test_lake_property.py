@@ -108,6 +108,95 @@ def test_random_dml_with_inlining(spark, tmp_path):
     _run_scenario(spark, tmp_path, 99, inline_rows=8, inline_dels=6)
 
 
+def test_random_dml_extra_stats_pruning_never_loses_rows(spark, tmp_path):
+    """Geometry + variant columns under random DML/compaction: the
+    bbox- and variant-stats-pruned scans must always return exactly the
+    model's matching rows (pruning may only skip files that cannot
+    match)."""
+    import json
+    import struct as _struct
+
+    from ducklake_spark import maintenance as maint
+    from ducklake_spark.dml import delete
+    from ducklake_spark.lake import DuckLake
+
+    def point(x, y):
+        return _struct.pack("<BI2d", 1, 1, float(x), float(y))
+
+    seed = 41
+    rng = random.Random(seed)
+    lake = DuckLake.attach(
+        spark, str(tmp_path / "meta.db"), str(tmp_path / "data")
+    )
+    lake.create_table(
+        "g", [("k", "int64"), ("geom", "geometry"), ("props", "variant")]
+    )
+
+    model: dict[int, tuple[int, int, int]] = {}  # k -> (x, y, n)
+    next_k = 0
+
+    def check():
+        got = {
+            r.k: (bytes(r.geom), r.props) for r in lake.table("g").collect()
+        }
+        want = {
+            k: (point(x, y), json.dumps({"n": n}))
+            for k, (x, y, n) in model.items()
+        }
+        assert got == want, f"seed {seed}: table mismatch"
+        # random bbox window
+        x0, y0 = rng.randint(-50, 50), rng.randint(-50, 50)
+        box = (float(x0), float(y0), float(x0 + 30), float(y0 + 30))
+        got_b = {
+            r.k for r in lake.table("g", bbox={"geom": box}).collect()
+        }
+        want_b = {
+            k for k, (x, y, _n) in model.items()
+            if box[0] <= x <= box[2] and box[1] <= y <= box[3]
+        }
+        assert got_b == want_b, f"seed {seed}: bbox scan mismatch"
+        # random variant predicate
+        cut = rng.randint(0, 99)
+        got_v = {
+            r.k
+            for r in lake.table(
+                "g", variant_where=[("props", "n", ">=", cut)]
+            ).collect()
+        }
+        want_v = {k for k, (_x, _y, n) in model.items() if n >= cut}
+        assert got_v == want_v, f"seed {seed}: variant scan mismatch"
+
+    for _step in range(10):
+        op = rng.choice(["insert", "insert", "insert", "delete", "compact"])
+        if op == "insert":
+            n_rows = rng.randint(1, 20)
+            rows = [
+                (
+                    next_k + j,
+                    rng.randint(-60, 60),
+                    rng.randint(-60, 60),
+                    rng.randint(0, 99),
+                )
+                for j in range(n_rows)
+            ]
+            next_k += n_rows
+            lake.insert(
+                "g",
+                spark.createDataFrame(
+                    [(k, point(x, y), json.dumps({"n": n})) for k, x, y, n in rows],
+                    "k long, geom binary, props string",
+                ),
+            )
+            model.update({k: (x, y, n) for k, x, y, n in rows})
+        elif op == "delete" and model:
+            cut = rng.choice(sorted(model))
+            delete(lake, "g", f"k >= {cut}")
+            model = {k: v for k, v in model.items() if k < cut}
+        elif op == "compact":
+            maint.merge_adjacent_files(lake)
+        check()
+
+
 @pytest.mark.parametrize("transform", ["identity", "bucket(3)"])
 def test_random_dml_partitioned(spark, tmp_path, transform):
     """Randomized DML over a partitioned table: model equality plus
