@@ -79,18 +79,51 @@ class DuckLake:
                  *, snapshot_version: int | None = None,
                  snapshot_time: str | None = None,
                  data_inlining_row_limit: int | None = None,
-                 encrypted: bool = False):
+                 encrypted: bool = False, read_only: bool = False):
         self.spark = spark
         self.metadata_path = metadata_path
         self.data_path = data_path.rstrip("/") + "/"
+        self.read_only = read_only
+        if read_only:
+            # READ_ONLY attach requires an existing catalog (reference:
+            # test/sql/general/ducklake_read_only.test — attaching a
+            # non-existent lake read-only is an error, not a bootstrap)
+            p = metadata_path
+            if p.startswith("duckdb://"):
+                p = p[len("duckdb://"):]
+            if "://" not in p and not os.path.exists(p):
+                raise DuckLakeError(
+                    f"cannot ATTACH {metadata_path!r} READ_ONLY: "
+                    "catalog database does not exist"
+                )
         self.meta = MetadataManager(metadata_path)
         # MIGRATE_IF_REQUIRED: upgrade an old-format catalog in place
         # before anything reads it (ducklake_metadata_manager.cpp:308-380)
         from ducklake_spark.catalog.migrate import detect_version, migrate_if_required
 
         if detect_version(self.meta) not in (None, FORMAT_VERSION):
+            if read_only:
+                raise DuckLakeError(
+                    "catalog requires a format migration; re-attach without "
+                    "READ_ONLY to migrate"
+                )
             migrate_if_required(self.meta)
-        self.meta.initialize(self.data_path, encrypted=encrypted)
+        if read_only:
+            try:
+                bootstrapped = self.meta.query(
+                    "SELECT COUNT(*) FROM ducklake_snapshot"
+                )[0][0] > 0
+            except Exception:
+                bootstrapped = False
+            if not bootstrapped:
+                raise DuckLakeError(
+                    f"cannot ATTACH {metadata_path!r} READ_ONLY: "
+                    "catalog is not initialized"
+                )
+            if data_inlining_row_limit is not None:
+                raise DuckLakeError("cannot set options on a READ_ONLY lake")
+        else:
+            self.meta.initialize(self.data_path, encrypted=encrypted)
         # per-file parquet encryption (reference: ENCRYPTED lakes,
         # ducklake_insert.cpp:743-756): data files carry random keys
         # recorded in the catalog; column data is AES-GCM encrypted with
@@ -141,7 +174,14 @@ class DuckLake:
 
     # -- transactions ------------------------------------------------------
 
+    def _check_writable(self) -> None:
+        if self.read_only:
+            raise DuckLakeError(
+                f"lake {self.metadata_path!r} is attached in read-only mode"
+            )
+
     def begin(self) -> Transaction:
+        self._check_writable()
         if self._txn is None:
             self._txn = Transaction(self.meta)
             self._txn.commit_message = self._commit_note
@@ -662,6 +702,7 @@ class DuckLake:
     def set_option(self, option: str, value: str, *, table_name: str | None = None) -> None:
         """Scoped config (reference: ducklake_set_option.cpp:92-171).
         Table scope when ``table_name`` given, else global."""
+        self._check_writable()
         if table_name is not None:
             h = self._handle(table_name)
             self.meta.set_option(option, value, scope="table", scope_id=h.table_id)
@@ -705,6 +746,7 @@ class DuckLake:
         :802-853 with Spark's job success as the data barrier.
         Returns the inserted row count, read from the written files'
         footers (no extra counting job)."""
+        self._check_writable()  # before any parquet lands on disk
         h = self._handle(name)
         schema = self._spark_schema(h)
         df = self._conform(df, schema, h)
@@ -1423,6 +1465,31 @@ class DuckLake:
             "shredded_type string, value_count long, null_count long, "
             "min_value string, max_value string",
         )
+
+    def database_size(self) -> dict:
+        """PRAGMA database_size equivalent
+        (test/sql/general/database_size.test): live data+delete file
+        bytes from the catalog plus the metadata DB's own footprint."""
+        (data_bytes,) = self.meta.query(
+            "SELECT COALESCE(SUM(file_size_bytes), 0) FROM ducklake_data_file "
+            "WHERE end_snapshot IS NULL"
+        )[0]
+        (delete_bytes,) = self.meta.query(
+            "SELECT COALESCE(SUM(file_size_bytes), 0) FROM ducklake_delete_file "
+            "WHERE end_snapshot IS NULL"
+        )[0]
+        p = self.metadata_path
+        if p.startswith("duckdb://"):
+            p = p[len("duckdb://"):]
+        meta_bytes = (
+            os.path.getsize(p) if "://" not in p and os.path.exists(p) else None
+        )
+        return {
+            "data_file_bytes": int(data_bytes or 0),
+            "delete_file_bytes": int(delete_bytes or 0),
+            "total_bytes": int(data_bytes or 0) + int(delete_bytes or 0),
+            "metadata_bytes": meta_bytes,
+        }
 
     def row_count(self, name: str) -> int:
         """count(*) fast path answered from ducklake_table_stats

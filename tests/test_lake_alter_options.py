@@ -232,3 +232,51 @@ def test_option_hive_file_pattern(lake, spark):
     ]
     assert all("k=b" not in p for p in paths2), paths2
     assert lake.table("hfp2", where="k = 'b'").count() == 10
+
+
+def test_read_only_attach(lake, spark, tmp_path):
+    """READ_ONLY attach: scans work, every write path is rejected, and
+    attaching a non-existent catalog read-only errors
+    (test/sql/general/ducklake_read_only.test)."""
+    from ducklake_spark.lake import DuckLake, DuckLakeError
+
+    lake.create_table("ro", [("i", "int64")])
+    lake.insert("ro", spark.range(5).select(F.col("id").alias("i")))
+
+    ro = DuckLake.attach(
+        spark, lake.metadata_path, str(tmp_path / "data"), read_only=True
+    )
+    assert ro.table("ro").count() == 5
+    assert ro.row_count("ro") == 5
+    assert [r.snapshot_id for r in ro.snapshots().collect()]
+    with pytest.raises(DuckLakeError, match="read-only"):
+        ro.insert("ro", spark.range(1).select(F.col("id").alias("i")))
+    with pytest.raises(DuckLakeError, match="read-only"):
+        ro.create_table("ro2", [("i", "int64")])
+    with pytest.raises(DuckLakeError, match="read-only"):
+        ro.set_option("parquet_compression", "zstd")
+    with pytest.raises(DuckLakeError, match="read-only"):
+        from ducklake_spark.dml import delete
+
+        delete(ro, "ro", "i = 1")
+    # writes through the original handle still work
+    lake.insert("ro", spark.range(2).select(F.col("id").alias("i")))
+    assert ro.table("ro").count() == 7
+
+    with pytest.raises(DuckLakeError, match="READ_ONLY"):
+        DuckLake.attach(
+            spark, str(tmp_path / "nope.db"), str(tmp_path / "d2"),
+            read_only=True,
+        )
+
+
+def test_database_size(lake, spark):
+    """PRAGMA database_size equivalent (test/sql/general/database_size.test)."""
+    sizes0 = lake.database_size()
+    assert sizes0["data_file_bytes"] == 0
+    lake.create_table("dbs", [("i", "int64")])
+    lake.insert("dbs", spark.range(1000).select(F.col("id").alias("i")))
+    sizes = lake.database_size()
+    assert sizes["data_file_bytes"] > 0
+    assert sizes["total_bytes"] >= sizes["data_file_bytes"]
+    assert sizes["metadata_bytes"] is None or sizes["metadata_bytes"] > 0
