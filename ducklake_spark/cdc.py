@@ -139,32 +139,31 @@ def table_insertions(lake: DuckLake, name: str, start, end) -> DataFrame:
 
 
 def _inlined_rows(lake, h, schema, start, end):
+    from pyspark.sql import types as T
+
     tabs = lake.meta.query(
         "SELECT table_name FROM ducklake_inlined_data_tables WHERE table_id=?",
         (h.table_id,),
     )
-    rows_out = []
+    tail = [
+        (T.StructField("rowid", T.LongType()), lambda r, idx: r[idx["row_id"]]),
+        (T.StructField("snapshot_id", T.LongType()),
+         lambda r, idx: r[idx["begin_snapshot"]]),
+    ]
+    frames = []
     for (tname,) in tabs:
         rows = lake.meta.query(
             f"SELECT * FROM {tname} WHERE begin_snapshot >= ? AND begin_snapshot <= ?",
             (start, end),
         )
-        rows_out.extend(rows)
-    if not rows_out:
+        if rows:
+            frames.append(lake.inlined_frame(h, tname, rows, schema, tail=tail))
+    if not frames:
         return None
-    from ducklake_spark.lake import _from_sql_value
-    from pyspark.sql import types as T
-
-    sch = T.StructType(
-        list(schema.fields)
-        + [T.StructField("rowid", T.LongType()), T.StructField("snapshot_id", T.LongType())]
-    )
-    data = [
-        tuple(_from_sql_value(v, f.dataType) for v, f in zip(r[3:], schema.fields))
-        + (r[0], r[1])
-        for r in rows_out
-    ]
-    return lake.spark.createDataFrame(data, sch)
+    out = frames[0]
+    for f in frames[1:]:
+        out = out.unionByName(f)
+    return out
 
 
 def table_deletions(lake: DuckLake, name: str, start, end) -> DataFrame:
@@ -265,30 +264,26 @@ def table_deletions(lake: DuckLake, name: str, start, end) -> DataFrame:
         "SELECT table_name FROM ducklake_inlined_data_tables WHERE table_id=?",
         (h.table_id,),
     )
-    inl_rows = []
+    from pyspark.sql import types as T
+
+    head = [
+        (T.StructField("snapshot_id", T.LongType()),
+         lambda r, idx: r[idx["end_snapshot"]]),
+        (T.StructField("rowid", T.LongType()), lambda r, idx: r[idx["row_id"]]),
+    ]
     for (tname,) in tabs:
-        inl_rows.extend(
+        inl_rows = [
             r
             for r in lake.meta.query(
                 f"SELECT * FROM {tname} WHERE end_snapshot >= ? AND end_snapshot <= ?",
                 (start, end),
             )
             if r[2] in delete_snaps
-        )
-    if inl_rows:
-        from ducklake_spark.lake import _from_sql_value
-        from pyspark.sql import types as T
-
-        sch = T.StructType(
-            [T.StructField("snapshot_id", T.LongType()), T.StructField("rowid", T.LongType())]
-            + list(schema.fields)
-        )
-        data = [
-            (r[2], r[0])
-            + tuple(_from_sql_value(v, f.dataType) for v, f in zip(r[3:], schema.fields))
-            for r in inl_rows
         ]
-        frames.append(lake.spark.createDataFrame(data, sch))
+        if inl_rows:
+            frames.append(
+                lake.inlined_frame(h, tname, inl_rows, schema, head=head)
+            )
 
     if not frames:
         from pyspark.sql import types as T

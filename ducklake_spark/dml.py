@@ -341,17 +341,13 @@ def _delete_inlined(lake: DuckLake, h: TableHandle, where: str) -> int:
         )
         if not rows:
             continue
-        from ducklake_spark.lake import _from_sql_value
-
-        data = [
-            tuple(_from_sql_value(v, f.dataType) for v, f in zip(r[3:], schema.fields))
-            + (r[0],)
-            for r in rows
-        ]
         from pyspark.sql import types as T
 
-        sch = T.StructType(list(schema.fields) + [T.StructField("__rid", T.LongType())])
-        victims = lake.spark.createDataFrame(data, sch).filter(where)
+        victims = lake.inlined_frame(
+            h, tname, rows, schema,
+            tail=[(T.StructField("__rid", T.LongType()),
+                   lambda r, idx: r[idx["row_id"]])],
+        ).filter(where)
         rids = [r["__rid"] for r in victims.select("__rid").collect()]
         if rids:
             # buffered: end_snapshot is stamped with the REAL snapshot id
@@ -422,7 +418,7 @@ def _update_inlined(lake: DuckLake, h: TableHandle, assignments: dict[str, str],
     snap = lake.meta.latest_snapshot()
     schema = lake._spark_schema(h)
     total = 0
-    from ducklake_spark.lake import _from_sql_value, _to_sql_value
+    from ducklake_spark.lake import _to_sql_value
     from ducklake_spark.transaction import PENDING_SNAPSHOT
     from pyspark.sql import types as T
 
@@ -435,13 +431,11 @@ def _update_inlined(lake: DuckLake, h: TableHandle, assignments: dict[str, str],
         )
         if not rows:
             continue
-        sch = T.StructType(list(schema.fields) + [T.StructField("__rid", T.LongType())])
-        data = [
-            tuple(_from_sql_value(v, f.dataType) for v, f in zip(r[3:], schema.fields))
-            + (r[0],)
-            for r in rows
-        ]
-        matched = lake.spark.createDataFrame(data, sch).filter(where)
+        matched = lake.inlined_frame(
+            h, tname, rows, schema,
+            tail=[(T.StructField("__rid", T.LongType()),
+                   lambda r, idx: r[idx["row_id"]])],
+        ).filter(where)
         for col, expr in assignments.items():
             matched = matched.withColumn(col, F.expr(expr))
         updated = matched.collect()
@@ -449,12 +443,16 @@ def _update_inlined(lake: DuckLake, h: TableHandle, assignments: dict[str, str],
             continue
         rids = [r["__rid"] for r in updated]
         txn.inlined_end_updates.append((tname, ("row_id",), [(r,) for r in rids]))
+        # updated rows land in the CURRENT epoch's inlined table: an
+        # older-epoch source table lacks columns added since, and the
+        # updated row is a current-schema row (preserved row_id)
+        cur_tname = lake._ensure_inlined_table(h)
         packed = [
             (r["__rid"], PENDING_SNAPSHOT, None)
             + tuple(_to_sql_value(r[f.name]) for f in schema.fields)
             for r in updated
         ]
-        txn.inlined_inserts.append((h.table_id, tname, packed))
+        txn.inlined_inserts.append((h.table_id, cur_tname, packed))
         total += len(updated)
     if total:
         txn.change_log.append(f"deleted_from_table:{h.table_id}")

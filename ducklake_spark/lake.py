@@ -72,6 +72,15 @@ class DuckLakeError(Exception):
     pass
 
 
+def _check_reserved_column(name: str) -> None:
+    """Reference rejects user columns in the internal namespace
+    (test/sql/reserved_names/reserved_names.test)."""
+    if name.startswith("_ducklake_internal_"):
+        raise DuckLakeError(
+            f'Column name "{name}" is reserved by DuckLake for internal use'
+        )
+
+
 class DuckLake:
     """One attached lake = one catalog DB + one data path."""
 
@@ -319,6 +328,7 @@ class DuckLake:
         if isinstance(schema, T.StructType):
             for f_ in schema.fields:
                 check_supported(f_.dataType)
+                _check_reserved_column(f_.name)
                 cols.append(
                     ColumnDef(
                         f_.name,
@@ -329,6 +339,7 @@ class DuckLake:
         else:
             for cname, ctype in schema:
                 ducklake_to_spark(ctype)  # validates
+                _check_reserved_column(cname)
                 cols.append(ColumnDef(cname, ctype, nulls_allowed=cname not in not_null))
         td = TableDef(schema_name, table_name, cols, path=f"{schema_name}/{table_name}/")
         txn = self.begin()
@@ -354,6 +365,7 @@ class DuckLake:
                    default: str | None = None) -> None:
         h = self._handle(name)
         ducklake_to_spark(col_type)
+        _check_reserved_column(col_name)
         txn = self.begin()
 
         def op(con, snap_id, h=h, col_name=col_name, col_type=col_type, default=default):
@@ -396,6 +408,7 @@ class DuckLake:
 
     def rename_column(self, name: str, col_name: str, new_name: str) -> None:
         h = self._handle(name)
+        _check_reserved_column(new_name)
         txn = self.begin()
 
         def op(con, snap_id, h=h, col_name=col_name, new_name=new_name):
@@ -1008,10 +1021,9 @@ class DuckLake:
                         VariantStatsRow(cid, *vals) for vals in payload.rows()
                     )
 
-    def _insert_inlined(self, h: TableHandle, schema: T.StructType, rows) -> None:
-        """Data inlining: small inserts live in the catalog DB
-        (reference: ducklake_inline_data.cpp:15-120, SURVEY §1.5)."""
-        txn = self.begin()
+    def _ensure_inlined_table(self, h: TableHandle) -> str:
+        """Create-if-missing the CURRENT schema-version's inlined table
+        and return its name (one table per (table, schema_version))."""
         sv = self.meta.latest_snapshot().schema_version
         tname = f"ducklake_inlined_data_{h.table_id}_{sv}"
         con = self.meta.con
@@ -1033,6 +1045,13 @@ class DuckLake:
                 "INSERT INTO ducklake_inlined_data_tables VALUES (?, ?, ?)",
                 (h.table_id, tname, sv),
             )
+        return tname
+
+    def _insert_inlined(self, h: TableHandle, schema: T.StructType, rows) -> None:
+        """Data inlining: small inserts live in the catalog DB
+        (reference: ducklake_inline_data.cpp:15-120, SURVEY §1.5)."""
+        txn = self.begin()
+        tname = self._ensure_inlined_table(h)
         from ducklake_spark.transaction import PENDING_SNAPSHOT
 
         # row_id here is an OFFSET: the real ids are allocated from
@@ -1534,6 +1553,48 @@ class DuckLake:
         keep = set(file_ids)
         return [(fid, p, dc, fmt) for fid, p, dc, fmt in rows if fid in keep]
 
+    def _initial_defaults(self, h: TableHandle, schema: T.StructType) -> dict:
+        """{column_name: initial_default SQL} for the handle's columns
+        (the value existing rows take after ADD COLUMN ... DEFAULT)."""
+        names = set(schema.fieldNames())
+        return {
+            cname: d
+            for cname, d in self.meta.query(
+                "SELECT column_name, initial_default FROM ducklake_column "
+                "WHERE table_id = ? AND end_snapshot IS NULL "
+                "AND initial_default IS NOT NULL AND parent_column IS NULL",
+                (h.table_id,),
+            )
+            if cname in names
+        }
+
+    def _columns_absent_in_files(self, h: TableHandle, files: list[dict],
+                                 cnames: dict) -> dict:
+        """fid -> frozenset(column names physically absent in that file),
+        restricted to ``cnames``. One batched stats query, O(#files)."""
+        colmap = {c[1]: c[0] for c in h.columns}
+        cids = {colmap[c]: c for c in cnames if c in colmap}
+        if not cids:
+            return {}
+        qs = ",".join("?" * len(cids))
+        present = {
+            (fid, cid)
+            for fid, cid in self.meta.query(
+                "SELECT data_file_id, column_id FROM ducklake_file_column_stats "
+                f"WHERE table_id = ? AND column_id IN ({qs})",
+                (h.table_id, *cids),
+            )
+        }
+        out: dict[int, frozenset] = {}
+        for f in files:
+            fid = f["data_file_id"]
+            absent = frozenset(
+                c for cid, c in cids.items() if (fid, cid) not in present
+            )
+            if absent:
+                out[fid] = absent
+        return out
+
     def _read_files(self, h: TableHandle, snap: Snapshot, files: list[dict],
                     schema: T.StructType, deletes: list[tuple[int, str]],
                     with_virtual: bool) -> DataFrame | None:
@@ -1548,24 +1609,49 @@ class DuckLake:
         if native:
             reader_schema = self._reader_schema(h, schema)
             renames = self._rename_log(h)
+            # ADD COLUMN ... DEFAULT: files written before the column
+            # existed must surface initial_default, not NULL (reference
+            # issue #1135; initial_default in ducklake_column). Physical
+            # presence is derived from stats-row existence in ONE batched
+            # query — the write path records a stats row for every column
+            # a file actually contains.
+            init_defaults = self._initial_defaults(h, schema)
+            absent_by_fid = (
+                self._columns_absent_in_files(h, native, init_defaults)
+                if init_defaults
+                else {}
+            )
             # group files by the nested renames that postdate them: those
             # files still carry the old field names, so each epoch group
             # reads with its own reverted schema and is rebuilt to the
-            # current names by positional struct cast (no rewrite).
+            # current names by positional struct cast (no rewrite); the
+            # absent-default-column set splits groups further so the
+            # coalesce fill only touches files that lack the column.
             groups: dict[tuple, list[dict]] = {}
             for f in native:
                 later = tuple(
                     r for r in renames if r[0] > self._file_begin_snapshot(f)
                 )
-                groups.setdefault(later, []).append(f)
+                absent = absent_by_fid.get(f["data_file_id"], frozenset())
+                groups.setdefault((later, absent), []).append(f)
             copts = self._crypto_read_options(native)
-            for later, members in groups.items():
+            for (later, absent), members in groups.items():
                 gschema, fixups = self._epoch_schema(h, reader_schema, later)
                 part = self.spark.read.options(**copts).schema(gschema).parquet(
                     *[os.path.join(self.data_path, f["path"]) for f in members]
                 )
                 for cname, dtype in fixups:
                     part = part.withColumn(cname, F.col(cname).cast(dtype))
+                for cname in absent:
+                    part = part.withColumn(
+                        cname,
+                        F.coalesce(
+                            F.col(cname),
+                            F.expr(init_defaults[cname]).cast(
+                                schema[cname].dataType
+                            ),
+                        ),
+                    )
                 parts.append(part)
         if foreign:
             plain = T.StructType(
@@ -1837,29 +1923,87 @@ class DuckLake:
         )
         return bool(rows)
 
+    def inlined_frame(self, h: TableHandle, tname: str, rows: list,
+                      schema: T.StructType, head: list = (),
+                      tail: list = ()) -> DataFrame:
+        """DataFrame from raw ``SELECT *`` rows of one inlined catalog
+        table, mapping columns to the CURRENT schema by NAME — an
+        older-epoch inlined table may lack columns added later; those
+        fill with initial_default, the same semantics as
+        pre-ADD-COLUMN parquet files (reference issue #1135).
+
+        ``head``/``tail``: (StructField, fn(row, idx) -> value) pairs
+        prepended/appended to each output row (rowid/snapshot columns
+        at the call sites)."""
+        idx = {
+            r[1]: i for i, r in enumerate(
+                self.meta.query(f"PRAGMA table_info({tname})")
+            )
+        }
+        out_schema = T.StructType(
+            [f_ for f_, _fn in head] + list(schema.fields)
+            + [f_ for f_, _fn in tail]
+        )
+        data = [
+            tuple(fn(r, idx) for _f, fn in head)
+            + tuple(
+                _from_sql_value(r[idx[f_.name]], f_.dataType)
+                if f_.name in idx
+                else None
+                for f_ in schema.fields
+            )
+            + tuple(fn(r, idx) for _f, fn in tail)
+            for r in rows
+        ]
+        df = self.spark.createDataFrame(data, out_schema)
+        init_defaults = self._initial_defaults(h, schema)
+        for cname in (n for n in schema.fieldNames() if n not in idx):
+            if cname in init_defaults:
+                df = df.withColumn(
+                    cname,
+                    F.coalesce(
+                        F.col(cname),
+                        F.expr(init_defaults[cname]).cast(
+                            schema[cname].dataType
+                        ),
+                    ),
+                )
+        return df
+
     def _read_inlined(self, h: TableHandle, snap: Snapshot, schema: T.StructType,
                       with_virtual: bool) -> DataFrame | None:
         tabs = self.meta.query(
             "SELECT table_name FROM ducklake_inlined_data_tables WHERE table_id=?",
             (h.table_id,),
         )
-        all_rows = []
+        virtual_tail = [
+            (T.StructField("rowid", T.LongType()),
+             lambda r, idx: r[idx["row_id"]]),
+            (T.StructField("snapshot_id", T.LongType()),
+             lambda r, idx: r[idx["begin_snapshot"]]),
+            (T.StructField("filename", T.StringType()),
+             lambda r, idx: "<inlined>"),
+            (T.StructField("file_row_number", T.LongType()),
+             lambda r, idx: r[idx["row_id"]]),
+        ] if with_virtual else []
+        parts: list[DataFrame] = []
         for (tname,) in tabs:
             rows = self.meta.query(
                 f"SELECT * FROM {tname} WHERE begin_snapshot <= ? "
                 "AND (end_snapshot IS NULL OR end_snapshot > ?)",
                 (snap.snapshot_id, snap.snapshot_id),
             )
-            all_rows.extend(rows)
-        if not all_rows:
+            if not rows:
+                continue
+            parts.append(
+                self.inlined_frame(h, tname, rows, schema, tail=virtual_tail)
+            )
+        if not parts:
             return None
-        data = [
-            tuple(_from_sql_value(v, f.dataType) for v, f in zip(r[3:], schema.fields))
-            + ((r[0], r[1], "<inlined>", r[0]) if with_virtual else ())
-            for r in all_rows
-        ]
-        out_schema = schema if not with_virtual else _with_virtual_schema(schema)
-        return self.spark.createDataFrame(data, out_schema)
+        df = parts[0]
+        for p in parts[1:]:
+            df = df.unionByName(p)
+        return df
 
     # -- catalog lookups ---------------------------------------------------
 

@@ -338,16 +338,16 @@ def flush_inlined_data(lake: DuckLake, *, table: str | None = None) -> int:
             )
             if not rows:
                 continue
-            from ducklake_spark.lake import _from_sql_value
             from pyspark.sql import types as T
 
-            sch = T.StructType(list(schema.fields) + [T.StructField(ROWID_COL, T.LongType())])
-            data = [
-                tuple(_from_sql_value(v, f.dataType) for v, f in zip(r[3:], schema.fields))
-                + (r[0],)
-                for r in rows
-            ]
-            df = lake.spark.createDataFrame(data, sch).coalesce(1)
+            # by-name mapping + initial_default fill: flushing an
+            # older-epoch inlined table after ADD COLUMN ... DEFAULT must
+            # materialize the default into the parquet, not NULL
+            df = lake.inlined_frame(
+                h, itname, rows, schema,
+                tail=[(T.StructField(ROWID_COL, T.LongType()),
+                       lambda r, idx: r[idx["row_id"]])],
+            ).coalesce(1)
             files = lake._write_parquet(h, df, schema, [], lake._sort_spec(h))
             txn = lake.begin()
             for fi in files:

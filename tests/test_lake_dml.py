@@ -342,3 +342,150 @@ def test_delete_apply_shuffle_path(lake, spark):
     # stay identical)
     lake.meta.set_option("delete_broadcast_row_limit", "1000000")
     assert lake.table("sb").count() == 900
+
+
+def test_update_with_delete_file_and_inlined_deletes(spark, tmp_path):
+    """Regression mirror of reference issue 865
+    (test/sql/issues/issue_865_update_wrong_result.test): a data file
+    carrying BOTH a committed positional delete file and committed
+    inlined deletions must not yield duplicate rows through UPDATE."""
+    from ducklake_spark.dml import delete, update
+    from ducklake_spark.lake import DuckLake
+
+    lake = DuckLake.attach(
+        spark, str(tmp_path / "meta865.db"), str(tmp_path / "data865"),
+        data_inlining_row_limit=10,
+    )
+    lake.create_table("t865", [("id", "int64"), ("val", "varchar")])
+    lake.set_option("deletion_inlining_row_limit", "10", table_name="t865")
+    lake.insert(
+        "t865",
+        spark.range(100).selectExpr("id", "'original' AS val").coalesce(1),
+    )
+    assert delete(lake, "t865", "id >= 80") == 20  # -> delete file
+    assert lake.table("t865").count() == 80
+    assert delete(lake, "t865", "id >= 75") == 5   # -> inlined deletions
+    assert lake.table("t865").count() == 75
+    assert update(lake, "t865", {"val": "'updated'"}, "id < 20") == 20
+    assert lake.table("t865").count() == 75
+    got = lake.table("t865").where("val = 'updated'").groupBy("id").count()
+    assert got.where("count <> 1").count() == 0
+    assert got.count() == 20
+    # untouched middle range intact, exactly once each
+    assert lake.table("t865").where("val = 'original'").count() == 55
+
+
+def test_reserved_internal_column_names_rejected(spark, tmp_path):
+    """test/sql/reserved_names/reserved_names.test"""
+    import pytest as _pytest
+
+    from ducklake_spark.lake import DuckLake, DuckLakeError
+
+    lake = DuckLake.attach(
+        spark, str(tmp_path / "metar.db"), str(tmp_path / "datar")
+    )
+    with _pytest.raises(DuckLakeError, match="reserved by DuckLake"):
+        lake.create_table(
+            "c1", [("id", "int32"), ("_ducklake_internal_snapshot_id", "int32")]
+        )
+    lake.create_table("c2", [("id", "int32")])
+    with _pytest.raises(DuckLakeError, match="reserved by DuckLake"):
+        lake.add_column("c2", "_ducklake_internal_row_id", "int64")
+    with _pytest.raises(DuckLakeError, match="reserved by DuckLake"):
+        lake.rename_column("c2", "id", "_ducklake_internal_x")
+
+
+def test_data_path_with_hive_segment_not_autodetected(spark, tmp_path):
+    """Reference issue #1027: a DATA_PATH containing key=value segments
+    must not make scans hive-infer phantom partition columns."""
+    from ducklake_spark.dml import delete
+    from ducklake_spark.lake import DuckLake
+
+    lake = DuckLake.attach(
+        spark,
+        str(tmp_path / "m1027.db"),
+        str(tmp_path / "run=5" / "data"),
+    )
+    lake.create_table("t", [("id", "int64")])
+    lake.insert("t", spark.range(1000).selectExpr("id"))
+    delete(lake, "t", "id % 7 = 0")
+    delete(lake, "t", "id % 5 = 0")  # second delete merges delete files
+    df = lake.table("t")
+    assert df.columns == ["id"]
+    assert df.count() == 686
+    assert df.where("id % 7 = 0 OR id % 5 = 0").count() == 0
+
+
+def test_filter_on_added_default_column_pushdown(spark, tmp_path):
+    """Reference issue #1135: filtering on a column added with DEFAULT
+    must not let zone-map pruning drop files written before the column
+    existed (they have no stats for it), and the default must satisfy
+    the filter."""
+    from ducklake_spark.lake import DuckLake
+
+    lake = DuckLake.attach(
+        spark, str(tmp_path / "m1135.db"), str(tmp_path / "d1135")
+    )
+    lake.create_table("t", [("a", "int32")])
+    lake.insert("t", spark.range(10).selectExpr("CAST(id AS int) AS a"))
+    lake.add_column("t", "b", "int32", default="42")
+    assert lake.table("t", where="b = 42").count() == 10
+    assert lake.table("t", where="b = 43").count() == 0
+    lake.insert(
+        "t", spark.range(5).selectExpr("CAST(id AS int) a", "CAST(7 AS int) b")
+    )
+    assert lake.table("t", where="b = 42").count() == 10
+    assert lake.table("t", where="b = 7").count() == 5
+    assert lake.table("t").count() == 15
+
+
+def test_added_default_column_over_inlined_rows(spark, tmp_path):
+    """ADD COLUMN ... DEFAULT over INLINED rows: scans, updates,
+    deletes, and flush must all surface/materialize the default for
+    rows stored under the older schema epoch."""
+    from ducklake_spark import maintenance as maint
+    from ducklake_spark.dml import delete, update
+    from ducklake_spark.lake import DuckLake
+
+    lake = DuckLake.attach(
+        spark, str(tmp_path / "mi.db"), str(tmp_path / "di"),
+        data_inlining_row_limit=50,
+    )
+    lake.create_table("t", [("a", "int32")])
+    lake.insert("t", spark.range(10).selectExpr("CAST(id AS int) AS a"))
+    lake.add_column("t", "b", "int32", default="42")
+    assert lake.table("t", where="b = 42").count() == 10
+    # update referencing the defaulted column, on old-epoch inlined rows
+    assert update(lake, "t", {"b": "b + 1"}, "b = 42 AND a < 3") == 3
+    assert lake.table("t", where="b = 43").count() == 3
+    assert lake.table("t", where="b = 42").count() == 7
+    # delete predicate over the defaulted column
+    assert delete(lake, "t", "b = 43") == 3
+    assert lake.table("t").count() == 7
+    # flush materializes the default into parquet
+    maint.flush_inlined_data(lake, table="t")
+    assert lake.table("t", where="b = 42").count() == 7
+    vals = {r.b for r in lake.table("t").collect()}
+    assert vals == {42}
+
+
+def test_inlining_limit_flip_deletes_and_time_travel(spark, tmp_path):
+    """Reference issue #1074: deletes issued while data_inlining_row_limit
+    flips on and off must replay correctly under time travel."""
+    from ducklake_spark.dml import delete
+    from ducklake_spark.lake import DuckLake
+
+    lake = DuckLake.attach(
+        spark, str(tmp_path / "m1074.db"), str(tmp_path / "d1074"),
+        data_inlining_row_limit=0,
+    )
+    lake.create_table("t", [("id", "int64")])
+    lake.insert("t", spark.range(100).selectExpr("id"))
+    v_full = lake.current_snapshot()
+    lake.set_option("data_inlining_row_limit", "100")
+    delete(lake, "t", "id = 0")
+    lake.set_option("data_inlining_row_limit", "0")
+    delete(lake, "t", "id = 1")
+    delete(lake, "t", "id = 2")
+    assert lake.table("t").count() == 97
+    assert lake.table("t", at_version=v_full).count() == 100
