@@ -72,6 +72,21 @@ class DuckLakeError(Exception):
     pass
 
 
+def _literal_text(default: str | None) -> str | None:
+    """Stats text of a LITERAL default expression (non-literal defaults
+    contribute no stats). '42' -> '42', "'x'" -> 'x', else None."""
+    if default is None:
+        return None
+    s = default.strip()
+    if re.fullmatch(r"-?\d+(\.\d+)?", s):
+        return s
+    if len(s) >= 2 and s[0] == "'" and s[-1] == "'" and "'" not in s[1:-1]:
+        return s[1:-1]
+    if s.lower() in ("true", "false"):
+        return s.lower()
+    return None
+
+
 def _check_reserved_column(name: str) -> None:
     """Reference rejects user columns in the internal namespace
     (test/sql/reserved_names/reserved_names.test)."""
@@ -386,6 +401,22 @@ class DuckLake:
                 "(?, ?, NULL, ?, ?, ?, ?, ?, ?, 1, NULL, NULL, NULL)",
                 (new_id, snap_id, h.table_id, order, col_name, col_type, default, default),
             )
+            # a literal DEFAULT becomes the new column's value for every
+            # existing row, so the global stats start at that literal
+            # (reference: test/sql/alter/add_column_default_stats.test)
+            lit = _literal_text(default)
+            if lit is not None:
+                rc = con.execute(
+                    "SELECT record_count FROM ducklake_table_stats "
+                    "WHERE table_id=?",
+                    (h.table_id,),
+                ).fetchone()
+                if rc and rc[0] > 0:
+                    con.execute(
+                        "INSERT INTO ducklake_table_column_stats VALUES "
+                        "(?, ?, 0, 0, ?, ?, NULL)",
+                        (h.table_id, new_id, lit, lit),
+                    )
 
         txn.column_changes.setdefault(h.table_id, []).append(op)
         txn.change_log.append(f"altered_table:{h.table_id}")

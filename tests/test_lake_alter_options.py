@@ -280,3 +280,24 @@ def test_database_size(lake, spark):
     assert sizes["data_file_bytes"] > 0
     assert sizes["total_bytes"] >= sizes["data_file_bytes"]
     assert sizes["metadata_bytes"] is None or sizes["metadata_bytes"] > 0
+
+
+def test_add_column_default_seeds_global_stats(lake, spark):
+    """ADD COLUMN with a literal DEFAULT seeds table-level column stats
+    at that literal, and later inserts widen them
+    (test/sql/alter/add_column_default_stats.test)."""
+    lake.create_table("acds", [("a", "int32")])
+    lake.insert("acds", spark.range(3).selectExpr("CAST(id AS int) AS a"))
+    lake.add_column("acds", "b", "int32", default="42")
+    stats = {r.column_name: r for r in lake.column_stats("acds").collect()}
+    assert (stats["b"].min_value, stats["b"].max_value) == ("42", "42")
+    lake.insert(
+        "acds", spark.range(1).selectExpr("CAST(40 AS int) a", "CAST(200 AS int) b")
+    )
+    stats = {r.column_name: r for r in lake.column_stats("acds").collect()}
+    assert (stats["b"].min_value, stats["b"].max_value) == ("42", "200")
+    # empty table: no phantom stats for the new column
+    lake.create_table("acds2", [("a", "int32")])
+    lake.add_column("acds2", "b", "int32", default="7")
+    stats2 = {r.column_name: r for r in lake.column_stats("acds2").collect()}
+    assert "b" not in stats2
