@@ -1586,17 +1586,23 @@ class DuckLake:
 
     def _initial_defaults(self, h: TableHandle, schema: T.StructType) -> dict:
         """{column_name: initial_default SQL} for the handle's columns
-        (the value existing rows take after ADD COLUMN ... DEFAULT)."""
+        (the value existing rows take after ADD COLUMN ... DEFAULT).
+        Keyed by the handle's snapshot-correct column ids, so time
+        travel over later-dropped or renamed columns still fills."""
         names = set(schema.fieldNames())
+        id2name = {c[0]: c[1] for c in h.columns if c[1] in names}
+        if not id2name:
+            return {}
+        qs = ",".join("?" * len(id2name))
         return {
-            cname: d
-            for cname, d in self.meta.query(
-                "SELECT column_name, initial_default FROM ducklake_column "
-                "WHERE table_id = ? AND end_snapshot IS NULL "
+            id2name[cid]: d
+            for cid, d in self.meta.query(
+                "SELECT column_id, initial_default FROM ducklake_column "
+                f"WHERE table_id = ? AND column_id IN ({qs}) "
                 "AND initial_default IS NOT NULL AND parent_column IS NULL",
-                (h.table_id,),
+                (h.table_id, *id2name),
             )
-            if cname in names
+            if cid in id2name
         }
 
     def _columns_absent_in_files(self, h: TableHandle, files: list[dict],
