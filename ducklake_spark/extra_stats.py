@@ -454,9 +454,13 @@ def merge_extra_stats_json(old: str | None, new: str | None) -> str | None:
     if old is None:
         return new
     if new is None:
-        # geo stats survive a stats-less file (bbox still bounds all
-        # data); variant intersection with nothing is nothing
-        return old if old.lstrip().startswith("{") else None
+        # a file contributing NO extra stats (e.g. an encrypted write,
+        # where the harvest is skipped) invalidates the global payload:
+        # keeping the old bbox would report bounds that exclude the new
+        # file's data — stats must widen, never lie. (A file of NULL
+        # geometries is NOT this case: it contributes an empty-bbox
+        # payload and merges harmlessly.)
+        return None
     if old.lstrip().startswith("{"):  # geometry
         g = GeoStats.from_json(old)
         g.merge(GeoStats.from_json(new))
@@ -546,11 +550,17 @@ def harvest_extra_stats(spark, paths, geo_cols, var_cols):
             for fp, grp in pdf.groupby("__fp", sort=False):
                 for c in geo_cols:
                     # always emitted for geometry columns (a file of
-                    # NULLs still records an empty bbox + type set)
+                    # NULLs still records an empty bbox + type set);
+                    # malformed WKB values are skipped — extended stats
+                    # are a pruning aid and must never fail the write
                     gs = GeoStats()
                     for v in grp[c]:
-                        if v is not None:
+                        if v is None:
+                            continue
+                        try:
                             gs.update_wkb(bytes(v))
+                        except (ValueError, IndexError, struct.error):
+                            pass
                     out.append((fp, c, "geo", gs.to_json()))
                 for c in var_cols:
                     vs = VariantStats()

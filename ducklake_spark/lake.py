@@ -1137,6 +1137,15 @@ class DuckLake:
         if bbox:
             files = self._bbox_prune(h, files, bbox, colmap)
         if variant_where:
+            variant_where = [
+                (cname, path, "=" if op == "==" else op, val)
+                for cname, path, op, val in variant_where
+            ]
+            for _c, _p, op, _v in variant_where:
+                if op not in ("=", ">", ">=", "<", "<="):
+                    raise DuckLakeError(
+                        f"unsupported variant_where operator {op!r}"
+                    )
             files = self._variant_prune(h, files, variant_where, colmap)
         schema = self._spark_schema(h)
         deletes = self._delete_entries(h, snap, [f["data_file_id"] for f in files])
@@ -1189,28 +1198,40 @@ class DuckLake:
         """Prune through shredded VARIANT field stats
         (ducklake_file_variant_stats): the same min/max contradiction
         test as the zone maps, applied per variant_path. Files with no
-        shredded row for the path are kept."""
+        shredded row for the path — or whose shredded type does not
+        match the literal's type class — are kept (pruning may only
+        drop files that provably cannot match)."""
         pruned_ids: set[int] = set()
         for cname, path, op, val in variant_where:
             if cname not in colmap:
                 continue
-            numeric = isinstance(val, (int, float)) and not isinstance(val, bool)
+            if isinstance(val, bool):
+                vclass, v = "boolean", ("true" if val else "false")
+            elif isinstance(val, (int, float)):
+                vclass, v = "numeric", float(val)
+            else:
+                vclass, v = "varchar", str(val)
             for fid, styp, mn, mx in self.meta.query(
                 "SELECT data_file_id, shredded_type, min_value, max_value "
                 "FROM ducklake_file_variant_stats "
                 "WHERE table_id = ? AND column_id = ? AND variant_path = ?",
-                (h.table_id, colmap[cname], str(path).lstrip("$.")),
+                (h.table_id, colmap[cname], _variant_path_key(path)),
             ):
                 if mn is None or mx is None:
                     continue
-                try:
-                    lo, hi, v = (
-                        (float(mn), float(mx), float(val))
-                        if numeric
-                        else (mn, mx, str(val))
-                    )
-                except (TypeError, ValueError):
+                # stats compare only within the literal's type class —
+                # stored text ordering differs per shredded type
+                if vclass == "numeric":
+                    if styp not in ("bigint", "double"):
+                        continue
+                    try:
+                        lo, hi = float(mn), float(mx)
+                    except (TypeError, ValueError):
+                        continue
+                elif styp != vclass:
                     continue
+                else:
+                    lo, hi = mn, mx
                 contradiction = {
                     "=": lambda: lo > v or hi < v,
                     ">": lambda: hi <= v,
@@ -1614,14 +1635,23 @@ class DuckLake:
         if not cids:
             return {}
         qs = ",".join("?" * len(cids))
-        present = {
-            (fid, cid)
-            for fid, cid in self.meta.query(
-                "SELECT data_file_id, column_id FROM ducklake_file_column_stats "
-                f"WHERE table_id = ? AND column_id IN ({qs})",
-                (h.table_id, *cids),
+        present: set = set()
+        fids = [f["data_file_id"] for f in files]
+        # scope to the scan's files (chunked: a table's historical stats
+        # rows can far outnumber the visible snapshot's)
+        for i in range(0, len(fids), 500):
+            chunk = fids[i:i + 500]
+            fqs = ",".join("?" * len(chunk))
+            present.update(
+                (fid, cid)
+                for fid, cid in self.meta.query(
+                    "SELECT data_file_id, column_id "
+                    "FROM ducklake_file_column_stats "
+                    f"WHERE table_id = ? AND column_id IN ({qs}) "
+                    f"AND data_file_id IN ({fqs})",
+                    (h.table_id, *cids, *chunk),
+                )
             )
-        }
         out: dict[int, frozenset] = {}
         for f in files:
             fid = f["data_file_id"]
@@ -1694,16 +1724,38 @@ class DuckLake:
             plain = T.StructType(
                 [T.StructField(f_.name, f_.dataType, True) for f_ in schema.fields]
             )
-            fdf = self.spark.read.options(
-                **self._crypto_read_options(foreign)
-            ).schema(plain).parquet(
-                *[os.path.join(self.data_path, f["path"]) for f in foreign]
+            init_defaults_f = self._initial_defaults(h, schema)
+            absent_f = (
+                self._columns_absent_in_files(h, foreign, init_defaults_f)
+                if init_defaults_f
+                else {}
             )
-            if native and len(parts[0].schema.fields) > len(plain.fields):
-                fdf = fdf.withColumn(ROWID_COL, F.lit(None).cast("long")).withColumn(
-                    SNAPID_COL, F.lit(None).cast("long")
+            fgroups: dict[frozenset, list[dict]] = {}
+            for f in foreign:
+                fgroups.setdefault(
+                    absent_f.get(f["data_file_id"], frozenset()), []
+                ).append(f)
+            for absent, members in fgroups.items():
+                fdf = self.spark.read.options(
+                    **self._crypto_read_options(members)
+                ).schema(plain).parquet(
+                    *[os.path.join(self.data_path, f["path"]) for f in members]
                 )
-            parts.append(fdf)
+                for cname in absent:
+                    fdf = fdf.withColumn(
+                        cname,
+                        F.coalesce(
+                            F.col(cname),
+                            F.expr(init_defaults_f[cname]).cast(
+                                schema[cname].dataType
+                            ),
+                        ),
+                    )
+                if native and len(parts[0].schema.fields) > len(plain.fields):
+                    fdf = fdf.withColumn(
+                        ROWID_COL, F.lit(None).cast("long")
+                    ).withColumn(SNAPID_COL, F.lit(None).cast("long"))
+                parts.append(fdf)
         df = None
         for p in parts:
             p = (
@@ -1960,14 +2012,59 @@ class DuckLake:
         )
         return bool(rows)
 
+    def _inlined_epoch_positions(self, h: TableHandle, tname: str,
+                                 idx: dict, schema: T.StructType) -> dict:
+        """{current field name -> position in the inlined table} resolved
+        through COLUMN IDS of the table's schema-version epoch: a
+        renamed column still reads its old-named storage, and a
+        dropped-then-readded name does NOT resurrect the old column's
+        values. Falls back to name identity when the epoch's snapshot
+        is unresolvable (e.g. expired)."""
+        colmap = {c[1]: c[0] for c in h.columns}
+        row = self.meta.query(
+            "SELECT schema_version FROM ducklake_inlined_data_tables "
+            "WHERE table_id = ? AND table_name = ?",
+            (h.table_id, tname),
+        )
+        epoch_map: dict[int, str] | None = None
+        if row:
+            snap_row = self.meta.query(
+                "SELECT MIN(snapshot_id) FROM ducklake_snapshot "
+                "WHERE schema_version = ?",
+                (row[0][0],),
+            )
+            if snap_row and snap_row[0][0] is not None:
+                epoch_snap = snap_row[0][0]
+                epoch_map = {
+                    cid: cname
+                    for cid, cname in self.meta.query(
+                        "SELECT column_id, column_name FROM ducklake_column "
+                        "WHERE table_id = ? AND begin_snapshot <= ? "
+                        "AND (end_snapshot IS NULL OR end_snapshot > ?) "
+                        "AND parent_column IS NULL",
+                        (h.table_id, epoch_snap, epoch_snap),
+                    )
+                }
+        out = {}
+        for f_ in schema.fields:
+            stored_name = (
+                epoch_map.get(colmap.get(f_.name))
+                if epoch_map is not None
+                else f_.name
+            )
+            if stored_name is not None and stored_name in idx:
+                out[f_.name] = idx[stored_name]
+        return out
+
     def inlined_frame(self, h: TableHandle, tname: str, rows: list,
                       schema: T.StructType, head: list = (),
                       tail: list = ()) -> DataFrame:
         """DataFrame from raw ``SELECT *`` rows of one inlined catalog
-        table, mapping columns to the CURRENT schema by NAME — an
-        older-epoch inlined table may lack columns added later; those
-        fill with initial_default, the same semantics as
-        pre-ADD-COLUMN parquet files (reference issue #1135).
+        table, mapping its columns to the CURRENT schema through the
+        epoch's column ids — an older-epoch inlined table may lack
+        columns added later (those fill with initial_default, the same
+        semantics as pre-ADD-COLUMN parquet files, reference issue
+        #1135) and may store renamed columns under their old names.
 
         ``head``/``tail``: (StructField, fn(row, idx) -> value) pairs
         prepended/appended to each output row (rowid/snapshot columns
@@ -1977,6 +2074,7 @@ class DuckLake:
                 self.meta.query(f"PRAGMA table_info({tname})")
             )
         }
+        pos = self._inlined_epoch_positions(h, tname, idx, schema)
         out_schema = T.StructType(
             [f_ for f_, _fn in head] + list(schema.fields)
             + [f_ for f_, _fn in tail]
@@ -1984,8 +2082,8 @@ class DuckLake:
         data = [
             tuple(fn(r, idx) for _f, fn in head)
             + tuple(
-                _from_sql_value(r[idx[f_.name]], f_.dataType)
-                if f_.name in idx
+                _from_sql_value(r[pos[f_.name]], f_.dataType)
+                if f_.name in pos
                 else None
                 for f_ in schema.fields
             )
@@ -1994,7 +2092,7 @@ class DuckLake:
         ]
         df = self.spark.createDataFrame(data, out_schema)
         init_defaults = self._initial_defaults(h, schema)
-        for cname in (n for n in schema.fieldNames() if n not in idx):
+        for cname in (n for n in schema.fieldNames() if n not in pos):
             if cname in init_defaults:
                 df = df.withColumn(
                     cname,
@@ -2193,10 +2291,18 @@ def _bbox_intersects_udf(box: tuple):
     return pandas_udf(intersects, "boolean")
 
 
+def _variant_path_key(path: str) -> str:
+    """Catalog key for a variant path: strip only an exact '$.' prefix
+    (a field literally named '$ref' must stay intact)."""
+    return re.sub(r"^\$\.", "", str(path))
+
+
 def _variant_row_predicate(cname: str, path: str, op: str, val):
     """Row-level twin of the variant-stats file pruning: extract the
     JSON path and compare with the literal's type semantics."""
-    extracted = F.get_json_object(F.col(cname), "$." + str(path).lstrip("$."))
+    key = _variant_path_key(path)
+    jpath = "$." + key if re.fullmatch(r"\w+", key) else f"$['{key}']"
+    extracted = F.get_json_object(F.col(cname), jpath)
     if isinstance(val, bool):
         lhs, rhs = extracted, F.lit("true" if val else "false")
     elif isinstance(val, (int, float)):

@@ -201,8 +201,9 @@ def test_table_level_merge_semantics():
     merged = json.loads(merge_extra_stats_json(geo_a, geo_b))
     assert merged["bbox"]["xmin"] == -5 and merged["bbox"]["ymax"] == 3
     assert merged["types"] == ["point", "polygon"]
-    # geometry survives a stats-less side (widen-only)
-    assert merge_extra_stats_json(geo_a, None) == geo_a
+    # a side with NO stats payload invalidates the global bbox — keeping
+    # it would report bounds that exclude the stats-less file's data
+    assert merge_extra_stats_json(geo_a, None) is None
 
     var_a = '[{"field_name": "a", "shredded_type": "bigint", "num_values": 2, "null_count": 0, "min": "1", "max": "9"}, {"field_name": "b", "shredded_type": "varchar", "num_values": 1, "null_count": 1, "min": "x", "max": "x"}]'
     var_b = '[{"field_name": "a", "shredded_type": "bigint", "num_values": 1, "null_count": 2, "min": "-4", "max": "0"}, {"field_name": "b", "shredded_type": "bigint", "num_values": 1, "null_count": 0, "min": "1", "max": "1"}]'
@@ -373,3 +374,76 @@ def test_compaction_preserves_extra_stats(lake, spark):
     bbox = json.loads(extra)["bbox"]
     assert bbox["xmin"] == 0 and bbox["xmax"] == 7
     assert bbox["ymin"] == -2 and bbox["ymax"] == 0
+
+
+def test_variant_boolean_and_type_mismatch_pruning(lake, spark):
+    """Boolean literals prune via their own type class; a numeric
+    literal never prunes through varchar-shredded stats (string order
+    '10' < '9' would misprune)."""
+    lake.create_table("vb", [("id", "int64"), ("props", "variant")])
+    lake.insert(
+        "vb",
+        spark.createDataFrame(
+            [(0, '{"flag": true, "n": "10"}'), (1, '{"flag": true, "n": "9"}')],
+            "id long, props string",
+        ).coalesce(1),
+    )
+    lake.insert(
+        "vb",
+        spark.createDataFrame(
+            [(2, '{"flag": false, "n": "300"}')], "id long, props string"
+        ).coalesce(1),
+    )
+    out = lake.table("vb", variant_where=[("props", "flag", "=", True)])
+    assert sorted(r.id for r in out.collect()) == [0, 1]
+    out2 = lake.table("vb", variant_where=[("props", "flag", "=", False)])
+    assert [r.id for r in out2.collect()] == [2]
+    # numeric literal vs varchar-shredded field: no pruning, row filter
+    # (double cast) decides
+    out3 = lake.table("vb", variant_where=[("props", "n", ">=", 100)])
+    assert [r.id for r in out3.collect()] == [2]
+    # unsupported operator is an explicit error
+    import pytest as _pytest
+
+    from ducklake_spark.lake import DuckLakeError
+
+    with _pytest.raises(DuckLakeError, match="operator"):
+        lake.table("vb", variant_where=[("props", "n", "!=", 5)]).count()
+
+
+def test_malformed_wkb_does_not_fail_write(lake, spark):
+    from pyspark.sql import types as T
+
+    lake.create_table("gbad", [("id", "int64"), ("geom", "geometry")])
+    rows = [(0, wkb_point(1, 2)), (1, b""), (2, b"\x01\xff"), (3, None)]
+    lake.insert(
+        "gbad",
+        spark.createDataFrame(
+            rows,
+            T.StructType(
+                [
+                    T.StructField("id", T.LongType()),
+                    T.StructField("geom", T.BinaryType()),
+                ]
+            ),
+        ).coalesce(1),
+    )
+    assert lake.table("gbad").count() == 4
+    stats = {r["column_name"]: r for r in lake.column_stats("gbad").collect()}
+    bbox = json.loads(stats["geom"]["extra_stats"])["bbox"]
+    assert bbox["xmin"] == 1 and bbox["ymax"] == 2  # good row still counted
+
+
+def test_adopted_files_fill_added_default(lake, spark, tmp_path):
+    """Foreign (adopted) files written before ADD COLUMN ... DEFAULT
+    surface the default like native files do."""
+    ext = tmp_path / "ext_default"
+    spark.createDataFrame([(1,), (2,)], "i long").coalesce(1).write.parquet(
+        str(ext)
+    )
+    lake.create_table("adf", [("i", "int64")])
+    lake.add_data_files("adf", str(ext / "*.parquet"))
+    lake.add_column("adf", "d", "int64", default="5")
+    got = lake.table("adf").orderBy("i").collect()
+    assert [(r.i, r.d) for r in got] == [(1, 5), (2, 5)]
+    assert lake.table("adf", where="d = 5").count() == 2

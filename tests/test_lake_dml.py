@@ -489,3 +489,26 @@ def test_inlining_limit_flip_deletes_and_time_travel(spark, tmp_path):
     delete(lake, "t", "id = 2")
     assert lake.table("t").count() == 97
     assert lake.table("t", at_version=v_full).count() == 100
+
+
+def test_rename_column_preserves_inlined_values(spark, tmp_path):
+    """Inlined rows stored under an older schema epoch keep their
+    values through RENAME COLUMN (epoch column-id mapping, not name),
+    and a dropped-then-readded name does not resurrect old values."""
+    from ducklake_spark.lake import DuckLake
+
+    lake = DuckLake.attach(
+        spark, str(tmp_path / "mr.db"), str(tmp_path / "dr"),
+        data_inlining_row_limit=50,
+    )
+    lake.create_table("t", [("k", "int64"), ("v", "int64")])
+    lake.insert("t", spark.createDataFrame([(1, 10), (2, 20)], "k long, v long"))
+    lake.rename_column("t", "v", "w")
+    got = sorted((r.k, r.w) for r in lake.table("t").collect())
+    assert got == [(1, 10), (2, 20)]
+    assert lake.table("t", where="w = 20").count() == 1
+    # drop + re-add under the same name: old values must NOT come back
+    lake.drop_column("t", "w")
+    lake.add_column("t", "w", "int64")
+    got2 = sorted((r.k, r.w) for r in lake.table("t").collect())
+    assert got2 == [(1, None), (2, None)]
