@@ -115,12 +115,13 @@ def _apply_file_deletes(lake: DuckLake, h: TableHandle, snap, files: list[dict],
 
     full_drop: list[int] = []
     partial: list[dict] = []
+    inl_counts = _inlined_delete_counts(lake, h)  # ONE query, not per-file
     for fname, cnt in per_file:
         finfo = file_by_path[fname]
         fid = finfo["data_file_id"]
         prev = existing.get(fid)
         prev_deleted = (prev[2] or 0) if prev else 0
-        prev_deleted += _inlined_delete_count(lake, h, fid)
+        prev_deleted += inl_counts.get(fid, 0)
         if prev_deleted + cnt >= finfo["record_count"]:
             full_drop.append(fid)
         else:
@@ -274,17 +275,20 @@ def _write_delete_files_distributed(lake, delete_dir: str, dels: DataFrame) -> l
     return [r.asDict() for r in rows]
 
 
-def _inlined_delete_count(lake, h, fid: int) -> int:
+def _inlined_delete_counts(lake, h) -> dict[int, int]:
+    """Live inlined-delete counts per data file — one grouped query (a
+    delete touching 100k files must not mean 100k catalog round-trips)."""
     tname = f"ducklake_inlined_deletes_{h.table_id}"
     if not lake.meta.query(
         "SELECT 1 FROM sqlite_master WHERE type='table' AND name=?", (tname,)
     ):
-        return 0
-    rows = lake.meta.query(
-        f"SELECT COUNT(*) FROM {tname} WHERE data_file_id=? AND end_snapshot IS NULL",
-        (fid,),
+        return {}
+    return dict(
+        lake.meta.query(
+            f"SELECT data_file_id, COUNT(*) FROM {tname} "
+            "WHERE end_snapshot IS NULL GROUP BY data_file_id"
+        )
     )
-    return rows[0][0] if rows else 0
 
 
 def _write_dv_files_distributed(lake, delete_dir: str, dels: DataFrame) -> list[dict]:

@@ -180,3 +180,37 @@ def test_scan_pushes_filters_and_prunes_columns(lake, spark):
     assert "PushedFilters: [" in plan and "GreaterThan(a,500)" in plan
     scan_line = next(l for l in plan.splitlines() if "ReadSchema" in l)
     assert "c:" not in scan_line  # unused column pruned from the scan
+
+
+def test_distributed_footer_harvest(spark, tmp_path, monkeypatch):
+    """Large writes harvest footers executor-side; catalog rows must be
+    identical in shape to the driver-loop path."""
+    from ducklake_spark.lake import DuckLake
+
+    monkeypatch.setattr(DuckLake, "DISTRIBUTED_HARVEST_MIN_FILES", 1)
+    lake = DuckLake.attach(
+        spark, conftest.catalog_url(tmp_path / "dh"), str(tmp_path / "dhd")
+    )
+    lake.create_table("t", [("i", "int64"), ("v", "varchar")])
+    lake.insert(
+        "t",
+        spark.createDataFrame(
+            [(i, f"v{i}") for i in range(100)], "i long, v string"
+        ).repartition(4),
+    )
+    files = lake.meta.query(
+        "SELECT record_count, file_size_bytes, footer_size "
+        "FROM ducklake_data_file WHERE end_snapshot IS NULL"
+    )
+    assert len(files) == 4
+    assert sum(r[0] for r in files) == 100
+    assert all(r[1] > 0 and r[2] > 0 for r in files)
+    stats = lake.meta.query(
+        "SELECT min_value, max_value FROM ducklake_file_column_stats "
+        "WHERE column_id = (SELECT column_id FROM ducklake_column "
+        "WHERE column_name = 'i' AND end_snapshot IS NULL)"
+    )
+    assert len(stats) == 4 and all(s[0] is not None for s in stats)
+    assert lake.table("t").count() == 100
+    assert lake.table("t", where="i = 5").count() == 1
+    assert lake.row_count("t") == 100
