@@ -467,23 +467,30 @@ def _update_inlined(lake: DuckLake, h: TableHandle, assignments: dict[str, str],
 def merge_into(lake: DuckLake, target: str, source: DataFrame, on: list[str],
                *, when_matched_update: dict[str, str | None] | None = None,
                when_matched_delete: bool = False,
-               when_not_matched_insert: bool = True) -> dict[str, int]:
+               when_not_matched_insert: bool = True,
+               when_not_matched_by_source_update: dict[str, str] | None = None,
+               when_not_matched_by_source_delete: bool = False) -> dict[str, int]:
     """MERGE INTO target USING source ON equality keys.
 
-    Supports WHEN MATCHED THEN UPDATE (or DELETE) and WHEN NOT MATCHED
-    THEN INSERT — the same action set as the reference's common path
-    (ducklake_merge_into.cpp:474-641). ``when_matched_update`` maps
-    target column -> SQL expression over ``t.``/``s.`` aliases; a None
-    value means "take the source's same-named column".
+    Supports WHEN MATCHED THEN UPDATE (or DELETE), WHEN NOT MATCHED
+    [BY TARGET] THEN INSERT, and WHEN NOT MATCHED BY SOURCE THEN
+    UPDATE/DELETE — the reference's action set
+    (ducklake_merge_into.cpp:474-641; BY SOURCE exercised in
+    test/sql/merge/merge_into_tpch.test_slow). ``when_matched_update``
+    maps target column -> SQL expression over ``t.``/``s.`` aliases; a
+    None value means "take the source's same-named column".
+    ``when_not_matched_by_source_update`` expressions see only ``t.``.
 
-    Scale shape: one equi-join computes matched rows; victims flow
-    into the shared positional-delete applier and replacement rows are
-    written as one distributed job with preserved rowids — no per-row
-    driver loops (the reference plans it the same way: join + action
-    disposition routed to the update/delete/insert operators).
+    Scale shape: one equi-join computes matched rows, one anti-join the
+    by-source rows; ALL victims union into a single pass of the shared
+    positional-delete applier (one delete file per touched data file),
+    and replacement rows are written as distributed jobs with preserved
+    rowids — no per-row driver loops.
     """
     if when_matched_update and when_matched_delete:
         raise DuckLakeError("at most one WHEN MATCHED action (like the reference)")
+    if when_not_matched_by_source_update and when_not_matched_by_source_delete:
+        raise DuckLakeError("at most one WHEN NOT MATCHED BY SOURCE action")
     h = lake._handle(target)
     # matched victims address rows as (file, pos): flush catalog-inlined
     # rows first so every target row is parquet-backed
@@ -503,44 +510,84 @@ def merge_into(lake: DuckLake, target: str, source: DataFrame, on: list[str],
     cond = [F.col(f"t.{k}") == F.col(f"s.{k}") for k in on]
     counts = {"updated": 0, "deleted": 0, "inserted": 0}
 
+    def _write_replacements(rows: DataFrame) -> int:
+        wfiles = lake._write_parquet(h, rows, schema, [], [])
+        for fw in wfiles:
+            fw.row_id_start = None  # rowid rides the embedded column
+            fw.allocate = False
+        txn = lake.begin()
+        txn.new_data_files.setdefault(str(h.table_id), []).extend(wfiles)
+        txn.change_log.append(f"inserted_into_table:{h.table_id}")
+        return sum(fw.record_count for fw in wfiles)
+
     with lake.transaction():
+        victim_rels: list[DataFrame] = []
+        persisted: list[DataFrame] = []
+        replaced = 0
         if when_matched_update or when_matched_delete:
             # the joined relation feeds BOTH the replacement-row write and
             # the victim delete-apply: persist so the join runs once
             joined = t.join(sdf, cond, "inner").persist()
+            persisted.append(joined)
             if when_matched_update:
-                new_rows = joined.select(
-                    *[
-                        (
-                            F.expr(when_matched_update[f.name])
-                            if when_matched_update.get(f.name) is not None
-                            else F.col(f"s.{f.name}")
-                            if f.name in when_matched_update
-                            else F.col(f"t.{f.name}")
-                        ).alias(f.name)
-                        for f in schema.fields
-                    ],
-                    F.col("t.rowid").alias(ROWID_COL),
+                replaced += _write_replacements(
+                    joined.select(
+                        *[
+                            (
+                                F.expr(when_matched_update[f.name])
+                                if when_matched_update.get(f.name) is not None
+                                else F.col(f"s.{f.name}")
+                                if f.name in when_matched_update
+                                else F.col(f"t.{f.name}")
+                            ).alias(f.name)
+                            for f in schema.fields
+                        ],
+                        F.col("t.rowid").alias(ROWID_COL),
+                    )
                 )
-                wfiles = lake._write_parquet(h, new_rows, schema, [], [])
-                for fw in wfiles:
-                    fw.row_id_start = None  # rowid rides the embedded column
-                    fw.allocate = False
-                txn = lake.begin()
-                txn.new_data_files.setdefault(str(h.table_id), []).extend(wfiles)
-                txn.change_log.append(f"inserted_into_table:{h.table_id}")
-            victims = joined.select(
-                F.col("t.filename").alias("filename"),
-                F.col("t.file_row_number").alias("pos"),
+            victim_rels.append(
+                joined.select(
+                    F.col("t.filename").alias("filename"),
+                    F.col("t.file_row_number").alias("pos"),
+                )
             )
+        if when_not_matched_by_source_update or when_not_matched_by_source_delete:
+            unmatched = t.join(sdf, cond, "left_anti").persist()
+            persisted.append(unmatched)
+            if when_not_matched_by_source_update:
+                replaced += _write_replacements(
+                    unmatched.select(
+                        *[
+                            (
+                                F.expr(when_not_matched_by_source_update[f.name])
+                                if f.name in when_not_matched_by_source_update
+                                else F.col(f"t.{f.name}")
+                            ).alias(f.name)
+                            for f in schema.fields
+                        ],
+                        F.col("t.rowid").alias(ROWID_COL),
+                    )
+                )
+            victim_rels.append(
+                unmatched.select(
+                    F.col("t.filename").alias("filename"),
+                    F.col("t.file_row_number").alias("pos"),
+                )
+            )
+        if victim_rels:
+            victims = victim_rels[0]
+            for vr in victim_rels[1:]:
+                victims = victims.unionByName(vr)
             n = _apply_file_deletes(lake, h, snap, files, victims)
-            joined.unpersist()
+            for p in persisted:
+                p.unpersist()
             if n:
                 txn = lake.begin()
                 txn.stats_delta.setdefault(h.table_id, {}).setdefault("records", 0)
                 txn.stats_delta[h.table_id]["records"] -= n
                 txn.change_log.append(f"deleted_from_table:{h.table_id}")
-            counts["deleted" if when_matched_delete else "updated"] = n
+            counts["updated"] = replaced
+            counts["deleted"] = n - replaced
         if when_not_matched_insert:
             new_rows = source.join(tgt, on, "left_anti")
             # count comes back from the insert's file footers — no

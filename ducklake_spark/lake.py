@@ -760,26 +760,51 @@ class DuckLake:
         txn.change_log.append(f'created_view:"{schema_name}"."{vname}"')
         self._autocommit()
 
-    def view_sql(self, name: str) -> str:
+    def view_sql(self, name: str, *, at_version: int | None = None,
+                 at_timestamp: str | None = None) -> str:
         schema_name, vname = self._split_name(name)
+        if at_version is None and at_timestamp is None:
+            rows = self.meta.query(
+                "SELECT v.sql FROM ducklake_view v JOIN ducklake_schema s "
+                "ON v.schema_id = s.schema_id "
+                "WHERE s.schema_name=? AND v.view_name=? AND v.end_snapshot IS NULL",
+                (schema_name, vname),
+            )
+            if not rows:
+                raise DuckLakeError(f"no view {name!r}")
+            return rows[0][0]
+        snap = self._resolve_snapshot(at_version, at_timestamp)
         rows = self.meta.query(
             "SELECT v.sql FROM ducklake_view v JOIN ducklake_schema s "
             "ON v.schema_id = s.schema_id "
-            "WHERE s.schema_name=? AND v.view_name=? AND v.end_snapshot IS NULL",
-            (schema_name, vname),
+            "WHERE s.schema_name=? AND v.view_name=? "
+            "AND v.begin_snapshot <= ? "
+            "AND (v.end_snapshot IS NULL OR v.end_snapshot > ?)",
+            (schema_name, vname, snap.snapshot_id, snap.snapshot_id),
         )
         if not rows:
-            raise DuckLakeError(f"no view {name!r}")
+            raise DuckLakeError(
+                f"view {name!r} does not exist at version {snap.snapshot_id}"
+            )
         return rows[0][0]
 
-    def view(self, name: str) -> DataFrame:
-        """Bind a stored view: register current lake tables and run its
-        SQL. ``{DUCKLAKE_CATALOG}`` placeholders (reference:
+    def view(self, name: str, *, at_version: int | None = None,
+             at_timestamp: str | None = None) -> DataFrame:
+        """Bind a stored view: register lake tables and run its SQL.
+        ``{DUCKLAKE_CATALOG}`` placeholders (reference:
         ducklake_view_entry.cpp:125,141 — kept so views survive catalog
-        renames) resolve to the session's unqualified temp views."""
-        sql = self.view_sql(name).replace("{DUCKLAKE_CATALOG}.", "")
-        for t in self._table_names():
-            self.table(t).createOrReplaceTempView(t.split(".")[-1])
+        renames) resolve to the session's unqualified temp views.
+        Time travel binds BOTH the view definition and every table at
+        the pinned snapshot (test/sql/time_travel/time_travel_views.test)."""
+        sql = self.view_sql(
+            name, at_version=at_version, at_timestamp=at_timestamp
+        ).replace("{DUCKLAKE_CATALOG}.", "")
+        snap = self._resolve_snapshot(at_version, at_timestamp)
+        for t in self._table_names(snap if (at_version is not None or
+                                            at_timestamp is not None) else None):
+            self.table(
+                t, at_version=at_version, at_timestamp=at_timestamp
+            ).createOrReplaceTempView(t.split(".")[-1])
         return self.spark.sql(sql)
 
     # -- insert ------------------------------------------------------------
@@ -2253,12 +2278,21 @@ class DuckLake:
         return TableHandle(table_id, table_uuid, schema_id, schema_name,
                            table_name, path, [tuple(c) for c in cols])
 
-    def _table_names(self) -> list[str]:
-        rows = self.meta.query(
-            "SELECT s.schema_name, t.table_name FROM ducklake_table t "
-            "JOIN ducklake_schema s ON t.schema_id = s.schema_id "
-            "WHERE t.end_snapshot IS NULL"
-        )
+    def _table_names(self, snap: Snapshot | None = None) -> list[str]:
+        if snap is None:
+            rows = self.meta.query(
+                "SELECT s.schema_name, t.table_name FROM ducklake_table t "
+                "JOIN ducklake_schema s ON t.schema_id = s.schema_id "
+                "WHERE t.end_snapshot IS NULL"
+            )
+        else:
+            rows = self.meta.query(
+                "SELECT s.schema_name, t.table_name FROM ducklake_table t "
+                "JOIN ducklake_schema s ON t.schema_id = s.schema_id "
+                "WHERE t.begin_snapshot <= ? "
+                "AND (t.end_snapshot IS NULL OR t.end_snapshot > ?)",
+                (snap.snapshot_id, snap.snapshot_id),
+            )
         return [f"{s}.{t}" for s, t in rows]
 
     def _spark_schema(self, h: TableHandle) -> T.StructType:

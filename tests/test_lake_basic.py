@@ -214,3 +214,29 @@ def test_distributed_footer_harvest(spark, tmp_path, monkeypatch):
     assert lake.table("t").count() == 100
     assert lake.table("t", where="i = 5").count() == 1
     assert lake.row_count("t") == 100
+
+
+def test_time_travel_views(lake, spark):
+    """Views resolve their definition AND their tables at the pinned
+    snapshot (test/sql/time_travel/time_travel_views.test)."""
+    from ducklake_spark.lake import DuckLakeError
+
+    lake.create_table("ttv", [("i", "int32"), ("j", "int32")])
+    v_before_view = lake.current_snapshot()
+    lake.create_view(
+        "v1", "SELECT i * 100 AS i, j * 100 AS j FROM ttv ORDER BY i"
+    )
+    v_empty = lake.current_snapshot()
+    lake.insert("ttv", spark.createDataFrame([(1, 2), (2, 3)], "i int, j int"))
+    v_two = lake.current_snapshot()
+    lake.insert("ttv", spark.createDataFrame([(3, 4), (5, 6)], "i int, j int"))
+
+    assert [(r.i, r.j) for r in lake.view("v1").collect()] == [
+        (100, 200), (200, 300), (300, 400), (500, 600)
+    ]
+    with pytest.raises(DuckLakeError, match="does not exist at version"):
+        lake.view("v1", at_version=v_before_view)
+    assert lake.view("v1", at_version=v_empty).count() == 0
+    assert [(r.i, r.j) for r in lake.view("v1", at_version=v_two).collect()] == [
+        (100, 200), (200, 300)
+    ]

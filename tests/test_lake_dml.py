@@ -512,3 +512,55 @@ def test_rename_column_preserves_inlined_values(spark, tmp_path):
     lake.add_column("t", "w", "int64")
     got2 = sorted((r.k, r.w) for r in lake.table("t").collect())
     assert got2 == [(1, None), (2, None)]
+
+
+def test_merge_not_matched_by_source(lake, spark):
+    """WHEN NOT MATCHED BY SOURCE THEN DELETE/UPDATE (reference:
+    test/sql/merge/merge_into_tpch.test_slow sync pattern)."""
+    _mk(lake, spark, n=10)
+    src = spark.createDataFrame(
+        [(i, f"val{i}") for i in range(5)] + [(11, "new11")], "i long, v string"
+    )
+    # full sync: insert missing, delete rows absent from source
+    counts = lake.merge(
+        "d", src, ["i"],
+        when_not_matched_insert=True,
+        when_not_matched_by_source_delete=True,
+    )
+    assert counts["inserted"] == 1
+    assert counts["deleted"] == 5  # i in 5..9 removed
+    rows = sorted(r.i for r in lake.table("d").collect())
+    assert rows == [0, 1, 2, 3, 4, 11]
+
+    # by-source UPDATE: stamp rows missing from a new source
+    src2 = spark.createDataFrame([(0, "z")], "i long, v string")
+    counts2 = lake.merge(
+        "d", src2, ["i"],
+        when_not_matched_insert=False,
+        when_not_matched_by_source_update={"v": "'stale'"},
+    )
+    assert counts2["updated"] == 5 and counts2["deleted"] == 0
+    got = {r.i: r.v for r in lake.table("d").collect()}
+    assert got[0] == "val0"  # matched row untouched (no matched action)
+    assert all(got[i] == "stale" for i in [1, 2, 3, 4, 11])
+    # rowids preserved through the by-source update
+    rids = [r.rowid for r in lake.table("d", with_virtual=True).collect()]
+    assert len(set(rids)) == 6
+
+
+def test_merge_matched_and_by_source_combined(lake, spark):
+    _mk(lake, spark, n=6)
+    src = spark.createDataFrame(
+        [(0, "u0"), (1, "u1"), (10, "n10")], "i long, v string"
+    )
+    counts = lake.merge(
+        "d", src, ["i"],
+        when_matched_update={"v": None},
+        when_not_matched_insert=True,
+        when_not_matched_by_source_delete=True,
+    )
+    assert counts["updated"] == 2
+    assert counts["deleted"] == 4
+    assert counts["inserted"] == 1
+    got = {r.i: r.v for r in lake.table("d").collect()}
+    assert got == {0: "u0", 1: "u1", 10: "n10"}
