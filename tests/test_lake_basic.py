@@ -240,3 +240,34 @@ def test_time_travel_views(lake, spark):
     assert [(r.i, r.j) for r in lake.view("v1", at_version=v_two).collect()] == [
         (100, 200), (200, 300)
     ]
+
+
+def test_mixed_alter_compaction_epochs(lake, spark):
+    """Add/drop/re-add (different type) + compaction across schema
+    epochs: old column values must not resurrect into the re-added
+    name, and compaction preserves the evolved shape
+    (test/sql/compaction/compaction_alter_table.test)."""
+    lake.create_table("mx", [("id", "int32"), ("i", "int32")])
+    lake.insert("mx", spark.createDataFrame([(1, 10)], "id int, i int"))
+    lake.insert("mx", spark.createDataFrame([(2, 20)], "id int, i int"))
+    lake.add_column("mx", "j", "int32")
+    lake.insert("mx", spark.createDataFrame([(3, 30, 300)], "id int, i int, j int"))
+    lake.drop_column("mx", "i")
+    lake.insert("mx", spark.createDataFrame([(5, 500)], "id int, j int"))
+    lake.add_column("mx", "i", "varchar")
+    lake.insert(
+        "mx", spark.createDataFrame([(7, 700, "hello")], "id int, j int, i string")
+    )
+    expected = [
+        (1, None, None), (2, None, None), (3, 300, None),
+        (5, 500, None), (7, 700, "hello"),
+    ]
+    got = [tuple(r) for r in lake.table("mx").orderBy("id").collect()]
+    assert got == expected
+    s_before = lake.current_snapshot()
+    lake.merge_adjacent_files()
+    got2 = [tuple(r) for r in lake.table("mx").orderBy("id").collect()]
+    assert got2 == expected
+    assert [
+        tuple(r) for r in lake.table("mx", at_version=s_before).orderBy("id").collect()
+    ] == expected
