@@ -348,7 +348,12 @@ def flush_inlined_data(lake: DuckLake, *, table: str | None = None) -> int:
                 tail=[(T.StructField(ROWID_COL, T.LongType()),
                        lambda r, idx: r[idx["row_id"]])],
             ).coalesce(1)
-            files = lake._write_parquet(h, df, schema, [], lake._sort_spec(h))
+            # flushed files honor the table's partition spec (reference:
+            # data_inlining_partitions.test — flush writes partitioned
+            # files so pruning applies to them like any insert)
+            files = lake._write_parquet(
+                h, df, schema, lake._partition_spec(h), lake._sort_spec(h)
+            )
             txn = lake.begin()
             for fi in files:
                 fi.allocate = False

@@ -238,3 +238,41 @@ def test_scan_issues_constant_catalog_queries(lake, spark):
     per_file = [c for c in calls if "WHERE data_file_id=?" in c]
     assert not per_file, f"{len(per_file)} per-file catalog queries in a scan"
     assert len(calls) < 20, f"{len(calls)} catalog queries for a 12-file scan"
+
+
+def test_flush_inlined_honors_partition_spec(spark, tmp_path):
+    """Flushing inlined rows writes PARTITIONED files with recorded
+    partition values, so pruning applies to them like any insert
+    (reference: data_inlining_partitions.test)."""
+    import conftest as _c
+
+    from ducklake_spark import maintenance as maint
+    from ducklake_spark.lake import DuckLake
+
+    lake = DuckLake.attach(
+        spark, _c.catalog_url(tmp_path / "fp"), str(tmp_path / "fpd"),
+        data_inlining_row_limit=100,
+    )
+    lake.create_table("pt", [("id", "int64"), ("k", "varchar")])
+    lake.set_partitioned_by("pt", [("k", "identity")])
+    lake.insert(
+        "pt",
+        spark.createDataFrame(
+            [(i, "a" if i < 5 else "b") for i in range(10)], "id long, k string"
+        ),
+    )
+    # inlined: no files yet
+    assert lake.meta.query(
+        "SELECT COUNT(*) FROM ducklake_data_file WHERE end_snapshot IS NULL"
+    )[0][0] == 0
+    maint.flush_inlined_data(lake, table="pt")
+    pv = lake.meta.query(
+        "SELECT DISTINCT partition_value FROM ducklake_file_partition_value"
+    )
+    assert sorted(v for (v,) in pv) == ["a", "b"]
+    assert lake.table("pt").count() == 10
+    assert lake.table("pt", where="k = 'a'").count() == 5
+    # pruning: the k='b' file is excluded from a k='a' scan
+    h = lake._handle("pt")
+    snap = lake._resolve_snapshot(None, None)
+    assert len(lake._visible_files(h, snap, "k = 'a'")) == 1
