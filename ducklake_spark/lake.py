@@ -1227,7 +1227,15 @@ class DuckLake:
         """
         h = self._handle(name, at_version=at_version, at_timestamp=at_timestamp)
         snap = self._resolve_snapshot(at_version, at_timestamp)
-        files = self._visible_files(h, snap, where)
+        # read-your-own-writes: a scan inside an open transaction sees
+        # its buffered inserts/deletes (reference txn visibility, e.g.
+        # test/sql/data_inlining/data_inlining_txn_delete_visibility);
+        # time-travel reads stay pinned to their snapshot
+        overlay = (
+            at_version is None and at_timestamp is None
+            and self._pinned is None and self._txn is not None
+        )
+        files = self._visible_files(h, snap, where, txn_overlay=overlay)
         colmap = {c[1]: c[0] for c in h.columns}
         if bbox:
             files = self._bbox_prune(h, files, bbox, colmap)
@@ -1243,9 +1251,15 @@ class DuckLake:
                     )
             files = self._variant_prune(h, files, variant_where, colmap)
         schema = self._spark_schema(h)
-        deletes = self._delete_entries(h, snap, [f["data_file_id"] for f in files])
-        df = self._read_files(h, snap, files, schema, deletes, with_virtual)
-        inlined = self._read_inlined(h, snap, schema, with_virtual)
+        deletes = self._delete_entries(
+            h, snap, [f["data_file_id"] for f in files], txn_overlay=overlay
+        )
+        df = self._read_files(
+            h, snap, files, schema, deletes, with_virtual, txn_overlay=overlay
+        )
+        inlined = self._read_inlined(
+            h, snap, schema, with_virtual, txn_overlay=overlay
+        )
         if inlined is not None:
             df = df.unionByName(inlined) if df is not None else inlined
         if df is None:
@@ -1347,7 +1361,8 @@ class DuckLake:
         return self.spark.sql(query)
 
     def _visible_files(self, h: TableHandle, snap: Snapshot,
-                       where: str | None) -> list[dict]:
+                       where: str | None, *,
+                       txn_overlay: bool = False) -> list[dict]:
         sql = (
             "SELECT data_file_id, path, record_count, row_id_start, partial_max, "
             "file_size_bytes, mapping_id, begin_snapshot, encryption_key "
@@ -1359,13 +1374,33 @@ class DuckLake:
         pruned_sql, pruned_params = self._pruning_clauses(h, where)
         rows = self.meta.query(sql + pruned_sql + " ORDER BY data_file_id",
                                tuple(params + pruned_params))
-        return [
+        out = [
             dict(zip(
                 ["data_file_id", "path", "record_count", "row_id_start",
                  "partial_max", "file_size_bytes", "mapping_id",
                  "begin_snapshot", "encryption_key"], r))
             for r in rows
         ]
+        if txn_overlay and self._txn is not None:
+            txn = self._txn
+            removed = set(txn.removed_data_files.get(h.table_id, []))
+            if removed:
+                out = [f for f in out if f["data_file_id"] not in removed]
+            # buffered inserts: synthetic negative ids (assigned at commit)
+            neg = -1
+            for fi in txn.new_data_files.get(str(h.table_id), []):
+                out.append({
+                    "data_file_id": neg, "path": fi.path,
+                    "record_count": fi.record_count,
+                    "row_id_start": fi.row_id_start,
+                    "partial_max": fi.partial_max,
+                    "file_size_bytes": fi.file_size_bytes,
+                    "mapping_id": fi.mapping_id,
+                    "begin_snapshot": snap.snapshot_id,
+                    "encryption_key": fi.encryption_key,
+                })
+                neg -= 1
+        return out
 
     def _pruning_clauses(self, h: TableHandle, where: str | None) -> tuple[str, list]:
         """File pruning from zone maps: compile simple conjuncts of the
@@ -1687,18 +1722,33 @@ class DuckLake:
         return [(fid, pos) for fid, pos in rows if fid in keep]
 
     def _delete_entries(self, h: TableHandle, snap: Snapshot,
-                        file_ids: list[int]) -> list[tuple[int, str]]:
+                        file_ids: list[int], *,
+                        txn_overlay: bool = False) -> list[tuple[int, str]]:
         if not file_ids:
             return []
         rows = self.meta.query(
-            "SELECT data_file_id, path, delete_count, format "
+            "SELECT data_file_id, path, delete_count, format, delete_file_id "
             "FROM ducklake_delete_file "
             "WHERE table_id = ? AND begin_snapshot <= ? "
             "AND (end_snapshot IS NULL OR end_snapshot > ?)",
             (h.table_id, snap.snapshot_id, snap.snapshot_id),
         )
         keep = set(file_ids)
-        return [(fid, p, dc, fmt) for fid, p, dc, fmt in rows if fid in keep]
+        replaced: set[int] = set()
+        if txn_overlay and self._txn is not None:
+            replaced = set(self._txn.replaced_delete_files)
+        out = [
+            (fid, p, dc, fmt)
+            for fid, p, dc, fmt, dfid in rows
+            if fid in keep and dfid not in replaced
+        ]
+        if txn_overlay and self._txn is not None:
+            out.extend(
+                (d.data_file_id, d.path, d.delete_count, d.format)
+                for d in self._txn.new_delete_files.get(h.table_id, [])
+                if d.data_file_id in keep
+            )
+        return out
 
     def _initial_defaults(self, h: TableHandle, schema: T.StructType) -> dict:
         """{column_name: initial_default SQL} for the handle's columns
@@ -1759,7 +1809,7 @@ class DuckLake:
 
     def _read_files(self, h: TableHandle, snap: Snapshot, files: list[dict],
                     schema: T.StructType, deletes: list[tuple[int, str]],
-                    with_virtual: bool) -> DataFrame | None:
+                    with_virtual: bool, txn_overlay: bool = False) -> DataFrame | None:
         if not files:
             return None
         # two read groups: native files resolve columns by parquet field id
@@ -1890,6 +1940,13 @@ class DuckLake:
         inline_dels = self._inlined_delete_positions(
             h, snap, [f["data_file_id"] for f in files]
         )
+        if txn_overlay and self._txn is not None:
+            keep = {f["data_file_id"] for f in files}
+            inline_dels = list(inline_dels) + [
+                (fid, pos)
+                for fid, pos in self._txn.inlined_deletes.get(h.table_id, [])
+                if fid in keep
+            ]
         if deletes or inline_dels:
             ddf = None
             pq_dels = [
@@ -2201,11 +2258,35 @@ class DuckLake:
         return df
 
     def _read_inlined(self, h: TableHandle, snap: Snapshot, schema: T.StructType,
-                      with_virtual: bool) -> DataFrame | None:
+                      with_virtual: bool, txn_overlay: bool = False) -> DataFrame | None:
         tabs = self.meta.query(
             "SELECT table_name FROM ducklake_inlined_data_tables WHERE table_id=?",
             (h.table_id,),
         )
+        txn = self._txn if txn_overlay else None
+        ended: set[tuple[str, int]] = set()
+        buffered: dict[str, list[tuple]] = {}
+        if txn is not None:
+            for tname, keys, tuples in txn.inlined_end_updates:
+                if keys == ("row_id",) and tuples:
+                    ended.update((tname, rid) for (rid,) in tuples)
+            from ducklake_spark.transaction import PENDING_SNAPSHOT
+
+            for tid, tname, packed in (
+                txn.inlined_inserts + txn.inlined_inserts_rebase
+            ):
+                if tid == h.table_id:
+                    buffered.setdefault(tname, []).extend(
+                        tuple(
+                            snap.snapshot_id if x is PENDING_SNAPSHOT else x
+                            for x in r
+                        )
+                        for r in packed
+                    )
+            # a buffered insert may target an epoch table that has no
+            # committed registry row yet — include it
+            known = {t for (t,) in tabs}
+            tabs = list(tabs) + [(t,) for t in buffered if t not in known]
         virtual_tail = [
             (T.StructField("rowid", T.LongType()),
              lambda r, idx: r[idx["row_id"]]),
@@ -2223,6 +2304,12 @@ class DuckLake:
                 "AND (end_snapshot IS NULL OR end_snapshot > ?)",
                 (snap.snapshot_id, snap.snapshot_id),
             )
+            if txn is not None:
+                # read-your-own-writes: hide rows this txn deleted,
+                # surface rows it buffered for insert
+                if ended:
+                    rows = [r for r in rows if (tname, r[0]) not in ended]
+                rows = list(rows) + buffered.get(tname, [])
             if not rows:
                 continue
             parts.append(

@@ -564,3 +564,48 @@ def test_merge_matched_and_by_source_combined(lake, spark):
     assert counts["inserted"] == 1
     got = {r.i: r.v for r in lake.table("d").collect()}
     assert got == {0: "u0", 1: "u1", 10: "n10"}
+
+
+def test_txn_read_your_own_writes(spark, tmp_path):
+    """Scans inside an open transaction see the txn's buffered inserts
+    and deletes (reference txn visibility, e.g.
+    data_inlining_txn_delete_visibility.test); time travel stays pinned."""
+    from ducklake_spark.dml import delete
+    from ducklake_spark.lake import DuckLake
+
+    lake = DuckLake.attach(
+        spark, str(tmp_path / "mrw.db"), str(tmp_path / "drw")
+    )
+    lake.create_table("t", [("id", "int64"), ("val", "int64")])
+    lake.insert(
+        "t", spark.createDataFrame([(1, 10), (2, 20), (3, 30)], "id long, val long")
+    )
+    delete(lake, "t", "id = 1")
+    s_committed = lake.current_snapshot()
+    with lake.transaction():
+        delete(lake, "t", "id = 2")
+        assert sorted(r.id for r in lake.table("t").collect()) == [3]
+        lake.insert("t", spark.createDataFrame([(9, 90)], "id long, val long"))
+        assert sorted(r.id for r in lake.table("t").collect()) == [3, 9]
+        # a pinned read inside the txn ignores the buffered changes
+        assert sorted(
+            r.id for r in lake.table("t", at_version=s_committed).collect()
+        ) == [2, 3]
+    assert sorted(r.id for r in lake.table("t").collect()) == [3, 9]
+
+
+def test_txn_read_your_own_writes_inlined(spark, tmp_path):
+    from ducklake_spark.dml import delete
+    from ducklake_spark.lake import DuckLake
+
+    lake = DuckLake.attach(
+        spark, str(tmp_path / "mrwi.db"), str(tmp_path / "drwi"),
+        data_inlining_row_limit=50,
+    )
+    lake.create_table("t", [("id", "int64")])
+    lake.insert("t", spark.createDataFrame([(1,), (2,)], "id long"))
+    with lake.transaction():
+        lake.insert("t", spark.createDataFrame([(5,)], "id long"))
+        delete(lake, "t", "id = 1")
+        assert sorted(r.id for r in lake.table("t").collect()) == [2, 5]
+    assert sorted(r.id for r in lake.table("t").collect()) == [2, 5]
