@@ -36,6 +36,13 @@ from ducklake_spark.lake import (
 from ducklake_spark.transaction import DataFileInfo, DeleteFileInfo
 
 
+def _log_change(txn, entry: str) -> None:
+    """Append a changes_made entry once (a DML may route victims through
+    several forms — absorbed + delete-file — for the same table)."""
+    if entry not in txn.change_log:
+        txn.change_log.append(entry)
+
+
 def _victims(lake: DuckLake, name: str, where: str) -> tuple[TableHandle, DataFrame]:
     h = lake._handle(name)
     snap = lake._resolve_snapshot(None, None)
@@ -69,7 +76,9 @@ def delete(lake: DuckLake, name: str, where: str) -> int:
     txn = lake.begin()
     txn.stats_delta.setdefault(h.table_id, {}).setdefault("records", 0)
     txn.stats_delta[h.table_id]["records"] -= n_deleted
-    txn.change_log.append(f"deleted_from_table:{h.table_id}")
+    # change kinds are logged at the site that knows the delete's form:
+    # _apply_file_deletes (deleted_from_table / inlined_delete for
+    # absorbed positions) and _delete_inlined (inlined_delete)
     lake._autocommit()
     return n_deleted
 
@@ -150,6 +159,10 @@ def _apply_file_deletes(lake: DuckLake, h: TableHandle, snap, files: list[dict],
         )
         for p in partial:
             txn.touched_delete_data_files.add(p["fid"])
+        # catalog-absorbed positional deletes are "inlined deletes" in the
+        # changes grammar (reference new_inlined_file_deletes ->
+        # tables_deleted_inlined, ducklake_transaction.cpp:1051-1053)
+        _log_change(txn, f"inlined_delete:{h.table_id}")
         partial = []
 
     if partial:
@@ -221,6 +234,8 @@ def _apply_file_deletes(lake: DuckLake, h: TableHandle, snap, files: list[dict],
             )
             txn.touched_delete_data_files.add(p["fid"])
 
+    if partial or full_drop:
+        _log_change(txn, f"deleted_from_table:{h.table_id}")
     for fid in full_drop:
         txn.removed_data_files.setdefault(h.table_id, []).append(fid)
         txn.touched_delete_data_files.add(fid)
@@ -357,9 +372,13 @@ def _delete_inlined(lake: DuckLake, h: TableHandle, where: str) -> int:
             # buffered: end_snapshot is stamped with the REAL snapshot id
             # inside the commit's catalog transaction (an aborted commit
             # must leave these rows visible)
-            lake.begin().inlined_end_updates.append(
+            txn = lake.begin()
+            txn.inlined_end_updates.append(
                 (tname, ("row_id",), [(r,) for r in rids])
             )
+            # deleting rows that LIVE inlined -> tables_deleted_inlined
+            # (reference ducklake_transaction.cpp:1051-1053)
+            _log_change(txn, f"inlined_delete:{h.table_id}")
             total += len(rids)
     return total
 
@@ -404,7 +423,6 @@ def update(lake: DuckLake, name: str, assignments: dict[str, str], where: str) -
         if n_del:
             txn.stats_delta.setdefault(h.table_id, {}).setdefault("records", 0)
             txn.stats_delta[h.table_id]["records"] -= n_del
-            txn.change_log.append(f"deleted_from_table:{h.table_id}")
         txn.change_log.append(f"inserted_into_table:{h.table_id}")
     return n + n_inlined
 
@@ -459,8 +477,9 @@ def _update_inlined(lake: DuckLake, h: TableHandle, assignments: dict[str, str],
         txn.inlined_inserts.append((h.table_id, cur_tname, packed))
         total += len(updated)
     if total:
-        txn.change_log.append(f"deleted_from_table:{h.table_id}")
-        txn.change_log.append(f"inserted_into_table:{h.table_id}")
+        # an UPDATE of inlined rows = inlined delete + inlined insert
+        _log_change(txn, f"inlined_delete:{h.table_id}")
+        _log_change(txn, f"inlined_insert:{h.table_id}")
     return total
 
 
@@ -585,7 +604,6 @@ def merge_into(lake: DuckLake, target: str, source: DataFrame, on: list[str],
                 txn = lake.begin()
                 txn.stats_delta.setdefault(h.table_id, {}).setdefault("records", 0)
                 txn.stats_delta[h.table_id]["records"] -= n
-                txn.change_log.append(f"deleted_from_table:{h.table_id}")
             counts["updated"] = replaced
             counts["deleted"] = n - replaced
         if when_not_matched_insert:

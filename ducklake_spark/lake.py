@@ -1190,7 +1190,10 @@ class DuckLake:
                 (i, PENDING_SNAPSHOT, None) + tuple(_to_sql_value(v) for v in r)
             )
         txn.inlined_inserts_rebase.append((h.table_id, tname, packed))
-        txn.change_log.append(f"inserted_into_table:{h.table_id}")
+        # inlined inserts get their own changes_made kind (reference
+        # tables_inserted_inlined -> "inlined_insert",
+        # ducklake_transaction_changes.cpp:78-79,205-206)
+        txn.change_log.append(f"inlined_insert:{h.table_id}")
         self._autocommit()
 
     # -- scan --------------------------------------------------------------

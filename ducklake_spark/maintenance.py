@@ -361,7 +361,7 @@ def flush_inlined_data(lake: DuckLake, *, table: str | None = None) -> int:
             txn.stats_delta.setdefault(h.table_id, {}).setdefault("records", 0)
             txn.stats_delta[h.table_id]["records"] -= sum(f.record_count for f in files)
             txn.new_data_files.setdefault(str(h.table_id), []).extend(files)
-            txn.change_log.append(f"flushed_inlined_data:{h.table_id}")
+            txn.change_log.append(f"flushed_inlined:{h.table_id}")
             # end-snapshot (not delete) the flushed rows: historical scans
             # still read them, while the parquet file serves from here on.
             # Exactly the rows we flushed (by row_id), stamped with the real
@@ -470,7 +470,7 @@ def _flush_inlined_deletes(lake: DuckLake, h) -> int:
             )
         )
         txn.touched_delete_data_files.add(fid)
-    txn.change_log.append(f"flushed_inlined_data:{h.table_id}")
+    txn.change_log.append(f"flushed_inlined:{h.table_id}")
     # exactly the positions we folded into the delete parquet, stamped
     # inside the commit transaction, keyed by (data_file_id, pos)
     txn.inlined_end_updates.append(

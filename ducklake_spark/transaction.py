@@ -205,17 +205,27 @@ class Transaction:
     def _check_conflicts(self, since: list[tuple[int, str]]) -> None:
         """Cross-check our buffered changes against later snapshots.
 
-        Matrix follows ducklake_transaction_state.cpp:77-214:
+        Matrix follows ducklake_transaction_state.cpp:77-285:
         - create object vs create of the same name -> conflict
-        - insert conflicts with drop/alter of the same table
-        - delete conflicts with delete/drop/alter/compact of same table
-          (file-level: only if the same data file was touched)
+        - insert (file or inlined) conflicts with drop/alter/delete/
+          inlined-delete of the same table
+        - delete conflicts with insert/drop/alter/compact of same table;
+          delete/delete is file-level (only if the same data file was
+          touched), but inlined-delete/inlined-delete is table-level
+        - inlined deletes conflict with flush_inlined_data (and
+          flush/flush), matching tables_deleted_inlined /
+          tables_flushed_inlined pairs at :253-263
         - alter conflicts with any concurrent change to the table
         """
         ours_insert = self._our_table_targets("inserted_into_table")
+        ours_inl_insert = self._our_table_targets("inlined_insert")
         ours_delete = self._our_table_targets("deleted_from_table")
+        ours_inl_delete = self._our_table_targets("inlined_delete")
+        ours_flush = self._our_table_targets("flushed_inlined")
         ours_alter = self._our_table_targets("altered_table")
         ours_compact = self._our_table_targets("compacted_table")
+        ours_any_insert = ours_insert | ours_inl_insert
+        ours_any_delete = ours_delete | ours_inl_delete
         our_creates = {
             e.partition(":")[2] for e in self.change_log if e.startswith("created_")
         }
@@ -231,12 +241,59 @@ class Transaction:
                     )
                 if tid is None:
                     continue
-                if kind in ("dropped_table", "altered_table"):
-                    if tid in ours_insert | ours_delete | ours_alter | ours_compact:
+                if kind == "dropped_table":
+                    if tid in (ours_any_insert | ours_any_delete | ours_alter
+                               | ours_compact | ours_flush):
                         raise ConflictError(
                             f"table {tid}: {kind} in snapshot {snap_id} conflicts "
                             "with this transaction"
                         )
+                if kind == "altered_table":
+                    # reference: flush_inline_data does NOT conflict with a
+                    # concurrent alter (ducklake_transaction_state.cpp:264-267)
+                    if tid in (ours_any_insert | ours_any_delete | ours_alter
+                               | ours_compact):
+                        raise ConflictError(
+                            f"table {tid}: {kind} in snapshot {snap_id} conflicts "
+                            "with this transaction"
+                        )
+                if kind in ("inserted_into_table", "inlined_insert"):
+                    # "delete from table" / "inserted into it"
+                    # (ducklake_transaction_state.cpp:224-225,261-262)
+                    if tid in ours_any_delete:
+                        raise ConflictError(
+                            f"table {tid}: concurrent insert in snapshot "
+                            f"{snap_id} conflicts with this transaction's delete"
+                        )
+                if kind in ("deleted_from_table", "inlined_delete"):
+                    # "insert into table" / "deleted from it"
+                    # (ducklake_transaction_state.cpp:209-217)
+                    if tid in ours_any_insert:
+                        raise ConflictError(
+                            f"table {tid}: concurrent delete in snapshot "
+                            f"{snap_id} conflicts with this transaction's insert"
+                        )
+                if kind == "inlined_delete" and tid in ours_inl_delete:
+                    # inlined-delete/inlined-delete is TABLE-level — inlined
+                    # rows have no data-file granularity to refine on
+                    # (ducklake_transaction_state.cpp:255-256)
+                    raise ConflictError(
+                        f"table {tid}: concurrent inlined delete in snapshot "
+                        f"{snap_id} conflicts with this transaction's delete"
+                    )
+                if kind == "inlined_delete" and tid in ours_flush:
+                    # "flush inline data" / "deleted from it" (:271)
+                    raise ConflictError(
+                        f"table {tid}: concurrent inlined delete in snapshot "
+                        f"{snap_id} conflicts with flush_inlined_data"
+                    )
+                if kind == "flushed_inlined" and tid in (ours_inl_delete | ours_flush):
+                    # deleted_inlined / flushed ("flushed the inlined data",
+                    # :258) and flush/flush (:272)
+                    raise ConflictError(
+                        f"table {tid}: concurrent flush_inlined_data in "
+                        f"snapshot {snap_id} conflicts with this transaction"
+                    )
                 if kind == "compacted_table" and tid in ours_delete | ours_compact:
                     # a committed compaction PURGES its source rows from the
                     # catalog — no end_snapshot marker survives to probe, so
@@ -248,12 +305,17 @@ class Transaction:
                         f"{snap_id} conflicts with this transaction's "
                         "delete/compact"
                     )
-                if kind == "deleted_from_table" and tid in ours_delete | ours_compact:
+                if kind in ("deleted_from_table", "inlined_delete") and (
+                    tid in ours_delete | ours_inl_delete | ours_compact
+                ):
                     # file-level refinement: conflicting only if the same
                     # data files were touched. Our compactions put their
                     # source files into touched_delete_data_files, so a
                     # concurrent DELETE on a file we are rewriting is caught
                     # here (deleted rows must not resurrect in the rewrite).
+                    # Covers catalog-absorbed (inlined) positional deletes
+                    # too: their positions land in the per-table side table
+                    # probed below.
                     rows = self.meta.query(
                         "SELECT data_file_id FROM ducklake_delete_file "
                         "WHERE begin_snapshot = ? AND table_id = ?",
@@ -284,13 +346,13 @@ class Transaction:
                             f"table {tid}: concurrent delete/compact of the "
                             f"same data files in snapshot {snap_id}"
                         )
-                if kind in ("deleted_from_table", "compacted_table"):
+                if kind in ("deleted_from_table", "inlined_delete", "compacted_table"):
                     if tid in ours_alter:
                         raise ConflictError(
                             f"table {tid}: {kind} in snapshot {snap_id} conflicts "
                             "with alter in this transaction"
                         )
-                if kind == "inserted_into_table" and tid in ours_alter:
+                if kind in ("inserted_into_table", "inlined_insert") and tid in ours_alter:
                     raise ConflictError(
                         f"table {tid}: concurrent insert conflicts with alter"
                     )
@@ -456,8 +518,10 @@ class Transaction:
             raise
 
     def _insert_only(self) -> bool:
+        # inlined inserts share the insert conflict set (drop/alter/
+        # delete/inlined-delete), all of which the fast path probes
         kinds = {e.partition(":")[0] for e in self.change_log}
-        return bool(kinds) and kinds <= {"inserted_into_table"}
+        return bool(kinds) and kinds <= {"inserted_into_table", "inlined_insert"}
 
     def _check_append_fast_path(self, con) -> None:
         """Append fast-path (reference CanSkipSnapshotFetch,
@@ -467,7 +531,10 @@ class Transaction:
         instead of walking every snapshot committed since our base, so
         N concurrent appenders commit without mutual re-checks."""
         base = self.base.snapshot_id
-        for tid in self._our_table_targets("inserted_into_table"):
+        for tid in (
+            self._our_table_targets("inserted_into_table")
+            | self._our_table_targets("inlined_insert")
+        ):
             live = con.execute(
                 "SELECT 1 FROM ducklake_table WHERE table_id=? "
                 "AND end_snapshot IS NULL",
@@ -489,6 +556,24 @@ class Transaction:
             ).fetchone()
             if altered is not None:
                 raise ConflictError(f"table {tid} was altered concurrently")
+            # insert conflicts with a concurrent DELETE of the same table
+            # ("insert into table"/"deleted from it",
+            # ducklake_transaction_state.cpp:209,216-217) — one bounded
+            # probe of the changes log per target table, keeping the fast
+            # path O(#tables)
+            deleted = con.execute(
+                "SELECT 1 FROM ducklake_snapshot_changes "
+                "WHERE snapshot_id > ? AND snapshot_id < ? AND ("
+                "',' || changes_made || ',' LIKE ? OR "
+                "',' || changes_made || ',' LIKE ?) LIMIT 1",
+                (base, STAGED_BASE,
+                 f"%,deleted_from_table:{tid},%",
+                 f"%,inlined_delete:{tid},%"),
+            ).fetchone()
+            if deleted is not None:
+                raise ConflictError(
+                    f"table {tid} was deleted from concurrently"
+                )
 
     def _try_commit(self, *, staged: bool = False) -> int:
         con = self.meta.con

@@ -339,6 +339,126 @@ def test_inlined_begin_snapshot_matches_commit(spark, tmp_path):
     assert lk.table("t", at_version=final - 1).count() == 2
 
 
+def test_insert_conflicts_with_concurrent_delete(spark, lake_path):
+    """Ported from reference test/sql/concurrent/
+    concurrent_insert_delete_conflict.test: a buffered INSERT must
+    conflict with a DELETE committed on the same table
+    ("insert into table"/"deleted from it",
+    ducklake_transaction_state.cpp:209,216-217)."""
+    from ducklake_spark.dml import delete
+    from ducklake_spark.transaction import ConflictError
+
+    lake, lake2 = _attach(spark, lake_path), _attach(spark, lake_path)
+    lake.create_table("t", [("i", "int64")])
+    lake.insert("t", spark.range(10).select(F.col("id").alias("i")))
+    with pytest.raises(ConflictError):
+        with lake.transaction():
+            lake.insert("t", spark.createDataFrame([(100,)], "i long"))
+            delete(lake2, "t", "i < 3")  # commits while insert is buffered
+    assert lake2.table("t").count() == 7
+
+
+def test_delete_conflicts_with_concurrent_insert(spark, lake_path):
+    """Reverse direction: a buffered DELETE conflicts with an INSERT
+    committed on the same table ("delete from table"/"inserted into
+    it", ducklake_transaction_state.cpp:224-225)."""
+    from ducklake_spark.dml import delete
+    from ducklake_spark.transaction import ConflictError
+
+    lake, lake2 = _attach(spark, lake_path), _attach(spark, lake_path)
+    lake.create_table("t", [("i", "int64")])
+    lake.insert("t", spark.range(10).select(F.col("id").alias("i")))
+    with pytest.raises(ConflictError):
+        with lake.transaction():
+            delete(lake, "t", "i < 3")
+            lake2.insert("t", spark.createDataFrame([(100,)], "i long"))
+    assert lake2.table("t").count() == 11
+
+
+def test_inlined_insert_conflicts_with_concurrent_delete(spark, tmp_path):
+    """The inlined-insert variant of the same pair
+    (tables_inserted_inlined vs tables_deleted_from,
+    ducklake_transaction_state.cpp:213-217)."""
+    from ducklake_spark.dml import delete
+    from ducklake_spark.lake import DuckLake
+    from ducklake_spark.transaction import ConflictError
+
+    args = (conftest.catalog_url(tmp_path), str(tmp_path / "d"))
+    lake = DuckLake.attach(spark, *args, data_inlining_row_limit=10)
+    lake.create_table("t", [("i", "int64")])
+    lake.insert("t", spark.range(10).select(F.col("id").alias("i")))
+    lake2 = DuckLake.attach(spark, *args)
+    with pytest.raises(ConflictError):
+        with lake.transaction():
+            # small insert -> inlined (changes_made kind inlined_insert)
+            lake.insert("t", spark.createDataFrame([(100,)], "i long"))
+            delete(lake2, "t", "i < 3")
+    assert lake2.table("t").count() == 7
+
+
+def test_inlined_delete_conflicts_with_flush(spark, tmp_path):
+    """deleted_inlined vs flushed_inlined: deleting inlined rows while a
+    concurrent flush_inlined_data lands must conflict — the flush
+    end-snapshots the very rows the delete targets
+    (ducklake_transaction_state.cpp:258,271)."""
+    from ducklake_spark.dml import delete
+    from ducklake_spark.lake import DuckLake
+    from ducklake_spark.maintenance import flush_inlined_data
+    from ducklake_spark.transaction import ConflictError
+
+    args = (conftest.catalog_url(tmp_path), str(tmp_path / "d"))
+    lake = DuckLake.attach(spark, *args, data_inlining_row_limit=10)
+    lake.create_table("t", [("i", "int64")])
+    lake.insert("t", spark.createDataFrame([(i,) for i in range(5)], "i long"))
+    lake2 = DuckLake.attach(spark, *args)
+    with pytest.raises(ConflictError):
+        with lake.transaction():
+            delete(lake, "t", "i < 3")       # buffers an inlined delete
+            flush_inlined_data(lake2)        # commits a flush
+    assert lake2.table("t").count() == 5
+
+
+def test_concurrent_insert_delete_threads(spark, lake_path):
+    """Reference concurrentloop scenario: parallel writers inserting and
+    deleting on the same table; each statement either commits or raises
+    ConflictError, and the surviving table has no duplicate keys."""
+    from ducklake_spark.dml import delete
+    from ducklake_spark.transaction import ConflictError
+
+    lake = _attach(spark, lake_path)
+    lake.create_table("t", [("key", "int64")])
+    lake.insert("t", spark.range(10).select(F.col("id").alias("key")))
+
+    errs: list[Exception] = []
+
+    def worker(i: int):
+        mine = _attach(spark, lake_path)
+        for op in ("delete", "insert"):
+            try:
+                if op == "delete":
+                    delete(mine, "t", f"key = {i}")
+                else:
+                    mine.insert(
+                        "t",
+                        spark.createDataFrame([(100 + i,)], "key long"),
+                    )
+            except ConflictError:
+                pass  # statement maybe: conflict is an accepted outcome
+            except Exception as e:  # pragma: no cover
+                errs.append(e)
+
+    threads = [threading.Thread(target=worker, args=(i,)) for i in range(2)]
+    for t in threads:
+        t.start()
+    for t in threads:
+        t.join()
+    assert not errs
+    dupes = (
+        lake.table("t").groupBy("key").count().filter(F.col("count") > 1).count()
+    )
+    assert dupes == 0
+
+
 def test_append_fast_path_skips_snapshot_walk(spark, lake_path, monkeypatch):
     """Insert-only commits take the append fast-path (reference
     CanSkipSnapshotFetch): no per-snapshot conflict walk, yet a
