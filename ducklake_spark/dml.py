@@ -524,7 +524,11 @@ def merge_into(lake: DuckLake, target: str, source: DataFrame, on: list[str],
     snap = lake._resolve_snapshot(None, None)
     files = lake._visible_files(h, snap, None)
     schema = lake._spark_schema(h)
-    tgt = lake.table(target, with_virtual=True)
+    # committed view (overlay=False): the victim scan and the `files`
+    # list above must agree — a merge running inside a user transaction
+    # must not emit positional deletes against files the transaction has
+    # only buffered (their ids aren't assigned until commit)
+    tgt = lake.table(target, with_virtual=True, overlay=False)
     t, sdf = tgt.alias("t"), source.alias("s")
     cond = [F.col(f"t.{k}") == F.col(f"s.{k}") for k in on]
     counts = {"updated": 0, "deleted": 0, "inserted": 0}
@@ -548,6 +552,19 @@ def merge_into(lake: DuckLake, target: str, source: DataFrame, on: list[str],
             # the victim delete-apply: persist so the join runs once
             joined = t.join(sdf, cond, "inner").persist()
             persisted.append(joined)
+            if when_matched_update:
+                # a target row matched by multiple source rows would be
+                # updated multiple times — reference raises instead of
+                # picking a winner (ducklake_delete.cpp:504-507)
+                ndup = (
+                    joined.groupBy("t.filename", "t.file_row_number")
+                    .count().filter(F.col("count") > 1).limit(1).count()
+                )
+                if ndup:
+                    raise DuckLakeError(
+                        "MERGE: the same target row matches multiple source "
+                        "rows — eliminate duplicate matches before updating"
+                    )
             if when_matched_update:
                 replaced += _write_replacements(
                     joined.select(
@@ -597,6 +614,10 @@ def merge_into(lake: DuckLake, target: str, source: DataFrame, on: list[str],
             victims = victim_rels[0]
             for vr in victim_rels[1:]:
                 victims = victims.unionByName(vr)
+            # a delete-only multi-match collapses to one delete per
+            # position (reference dedupes via its sorted position set);
+            # distinct also keeps the deleted count honest
+            victims = victims.distinct()
             n = _apply_file_deletes(lake, h, snap, files, victims)
             for p in persisted:
                 p.unpersist()

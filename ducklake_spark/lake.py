@@ -1139,8 +1139,12 @@ class DuckLake:
                 cid = geo.get(cname, var.get(cname))
                 cs = rows_by_id.get(cid)
                 if cs is None:
-                    cs = ColumnStatsRow(column_id=cid)
-                    f.column_stats.append(cs)
+                    # the file does not physically contain this column
+                    # (adopted mixed-schema files read as all-NULL for the
+                    # missing column): fabricating a stats row here would
+                    # fake "column present" for the stats-row-existence
+                    # inference that drives initial_default fill
+                    continue
                 cs.extra_stats = payload.to_json()
                 if cname in var:
                     f.variant_stats.extend(
@@ -1203,7 +1207,8 @@ class DuckLake:
               with_virtual: bool = False,
               bbox: dict[str, tuple] | None = None,
               variant_where: list[tuple] | None = None,
-              variant_as_native: bool = False) -> DataFrame:
+              variant_as_native: bool = False,
+              overlay: bool | None = None) -> DataFrame:
         """Read a lake table as a DataFrame.
 
         ``where`` additionally drives file-level zone-map pruning (the
@@ -1234,10 +1239,14 @@ class DuckLake:
         # its buffered inserts/deletes (reference txn visibility, e.g.
         # test/sql/data_inlining/data_inlining_txn_delete_visibility);
         # time-travel reads stay pinned to their snapshot
-        overlay = (
-            at_version is None and at_timestamp is None
-            and self._pinned is None and self._txn is not None
-        )
+        # ``overlay=False`` forces the committed view — DML victim scans
+        # (merge) read it so positional deletes never target a buffered
+        # uncommitted file (which has no stable file identity yet)
+        if overlay is None:
+            overlay = (
+                at_version is None and at_timestamp is None
+                and self._pinned is None and self._txn is not None
+            )
         files = self._visible_files(h, snap, where, txn_overlay=overlay)
         colmap = {c[1]: c[0] for c in h.columns}
         if bbox:
@@ -1803,6 +1812,12 @@ class DuckLake:
         out: dict[int, frozenset] = {}
         for f in files:
             fid = f["data_file_id"]
+            if fid < 0:
+                # txn-overlay buffered file (synthetic id, no committed
+                # stats rows yet): it was written by THIS transaction under
+                # the current schema, so every current column is physically
+                # present — never coalesce-fill explicit NULLs in it
+                continue
             absent = frozenset(
                 c for cid, c in cids.items() if (fid, cid) not in present
             )

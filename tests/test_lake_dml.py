@@ -609,3 +609,102 @@ def test_txn_read_your_own_writes_inlined(spark, tmp_path):
         delete(lake, "t", "id = 1")
         assert sorted(r.id for r in lake.table("t").collect()) == [2, 5]
     assert sorted(r.id for r in lake.table("t").collect()) == [2, 5]
+
+
+def test_txn_scan_keeps_explicit_nulls_in_buffered_files(spark, tmp_path):
+    """Read-your-own-writes must not rewrite explicitly-inserted NULLs
+    to the column default: buffered overlay files have no committed
+    stats rows, so 'column absent' inference must skip them."""
+    from ducklake_spark.lake import DuckLake
+
+    lake = DuckLake.attach(
+        spark, str(tmp_path / "mnull.db"), str(tmp_path / "dnull")
+    )
+    lake.create_table("t", [("a", "int32")])
+    lake.insert("t", spark.range(3).selectExpr("CAST(id AS int) AS a"))
+    lake.add_column("t", "b", "int32", default="42")
+    with lake.transaction():
+        lake.insert(
+            "t",
+            spark.createDataFrame([(10, None), (11, 7)], "a int, b int"),
+        )
+        got = {r.a: r.b for r in lake.table("t").collect()}
+        # old files surface the default; the buffered file keeps its NULL
+        assert got == {0: 42, 1: 42, 2: 42, 10: None, 11: 7}
+    got = {r.a: r.b for r in lake.table("t").collect()}
+    assert got == {0: 42, 1: 42, 2: 42, 10: None, 11: 7}
+
+
+def test_merge_inside_open_txn_with_buffered_insert(spark, tmp_path):
+    """MERGE running inside a user transaction that has buffered an
+    insert must read the COMMITTED view for its victim scan — buffered
+    files have no stable identity yet, so positional deletes against
+    them would be meaningless (and used to crash on a missing file-map
+    key)."""
+    from ducklake_spark.lake import DuckLake
+
+    lake = DuckLake.attach(
+        spark, str(tmp_path / "mmtx.db"), str(tmp_path / "dmtx")
+    )
+    lake.create_table("t", [("k", "int64"), ("v", "int64")])
+    lake.insert("t", spark.createDataFrame([(1, 10), (2, 20)], "k long, v long"))
+    with lake.transaction():
+        lake.insert("t", spark.createDataFrame([(3, 30)], "k long, v long"))
+        src = spark.createDataFrame([(2, 99), (3, 77)], "k long, v long")
+        counts = lake.merge(
+            "t", src, ["k"],
+            when_matched_update={"v": None},
+            when_not_matched_insert=True,
+        )
+        # k=3 is only buffered, not committed: merge sees the committed
+        # view, so it updates k=2 and inserts k=3 again
+        assert counts["updated"] == 1
+    rows = sorted((r.k, r.v) for r in lake.table("t").collect())
+    assert (2, 99) in rows and (1, 10) in rows
+    # both the buffered (3,30) and the merge-inserted (3,77) landed
+    assert [k for k, _ in rows].count(3) == 2
+
+
+def test_merge_multi_match_raises(lake, spark):
+    """A target row matched by multiple source rows must raise for
+    update actions instead of updating twice (reference
+    ducklake_delete.cpp:504-507); a delete-only multi-match collapses
+    to one delete."""
+    from ducklake_spark.lake import DuckLakeError
+
+    _mk(lake, spark, name="mm", n=10)
+    dup_src = spark.createDataFrame(
+        [(5, "x"), (5, "y")], "i long, v string"
+    )
+    with pytest.raises(DuckLakeError, match="multiple source rows"):
+        lake.merge("mm", dup_src, ["i"], when_matched_update={"v": None})
+    # delete-only multi-match: one row deleted, honest count
+    counts = lake.merge("mm", dup_src, ["i"], when_matched_delete=True)
+    assert counts["deleted"] == 1
+    assert lake.table("mm").count() == 9
+
+
+def test_adopted_file_missing_variant_column_no_fake_stats(lake, spark, tmp_path):
+    """add_data_files over a file that physically lacks a JSON/variant
+    column must not fabricate a stats row for it — stats-row existence
+    drives the initial_default 'column absent' inference."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from ducklake_spark.add_files import add_data_files
+
+    lake.create_table("adv", [("i", "int64"), ("props", "json")])
+    p = str(tmp_path / "plain.parquet")
+    pq.write_table(pa.table({"i": [1, 2, 3]}), p)
+    add_data_files(lake, "adv", p, allow_missing=True)
+    h = lake._handle("adv")
+    cid = {c[1]: c[0] for c in h.columns}["props"]
+    rows = lake.meta.query(
+        "SELECT 1 FROM ducklake_file_column_stats "
+        "WHERE table_id=? AND column_id=?",
+        (h.table_id, cid),
+    )
+    assert rows == []
+    # and the scan surfaces NULL (not a fabricated presence) for props
+    got = {r.i: r.props for r in lake.table("adv").collect()}
+    assert got == {1: None, 2: None, 3: None}
