@@ -483,10 +483,14 @@ sql_query(
           WHERE c_acctbal > 0.00
             AND c_mktsegment IN ('BUILDING', 'AUTOMOBILE', 'MACHINERY')
       )
-      AND NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+      AND NOT EXISTS (SELECT 1 FROM orders
+                      WHERE o_custkey = c_custkey AND o_totalprice > 300000)
     GROUP BY c_mktsegment
     ORDER BY c_mktsegment
     """,
     tables=["customer", "orders"],
-    doc="global sales opportunity (anti-join + scalar subquery)",
+    doc="global sales opportunity (anti-join + scalar subquery); the "
+        "anti-join keeps customers with no LARGE order — in the synthetic "
+        "data every customer has at least one order, so the literal TPC-H "
+        "no-orders predicate would be vacuously empty at every SF",
 )
