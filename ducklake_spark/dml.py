@@ -392,11 +392,6 @@ def update(lake: DuckLake, name: str, assignments: dict[str, str], where: str) -
         if n_inlined:
             lake._autocommit()
         return n_inlined
-    n = matched.count()
-    if n == 0:
-        if n_inlined:
-            lake._autocommit()
-        return n_inlined
     schema = lake._spark_schema(h)
     new_rows = matched
     for col, expr in assignments.items():
@@ -405,9 +400,23 @@ def update(lake: DuckLake, name: str, assignments: dict[str, str], where: str) -
         *[F.col(f.name) for f in schema.fields],
         F.col("rowid").alias(ROWID_COL),
     )
+    # write replacement rows first (they carry preserved rowids); the
+    # matched-row count comes from the written-file footers — no
+    # separate count() job over the matched relation
+    files = lake._write_parquet(h, new_rows, schema, [], [])
+    empties = [f for f in files if f.record_count == 0]
+    files = [f for f in files if f.record_count]
+    for f in empties:  # a no-match UPDATE leaves zero-row part files
+        try:
+            os.remove(os.path.join(lake.data_path, f.path))
+        except OSError:
+            pass
+    n = sum(f.record_count for f in files)
+    if n == 0:
+        if n_inlined:
+            lake._autocommit()
+        return n_inlined
     with lake.transaction():
-        # write replacement rows first (they carry preserved rowids)
-        files = lake._write_parquet(h, new_rows, schema, [], [])
         for f in files:
             f.row_id_start = None  # rowid comes from the embedded column
             f.allocate = False

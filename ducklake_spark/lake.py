@@ -161,6 +161,9 @@ class DuckLake:
         if data_inlining_row_limit is not None:
             self.meta.set_option("data_inlining_row_limit", str(data_inlining_row_limit))
         self._txn: Transaction | None = None
+        # (snapshot_id, at_version) the temp views were last registered
+        # for — sql() skips re-registration while it matches
+        self._sql_view_key: tuple | None = None
         self._commit_note: tuple[str | None, str | None, str | None] = (None, None, None)
         spark.conf.set("spark.sql.parquet.fieldId.write.enabled", "true")
         spark.conf.set("spark.sql.parquet.fieldId.read.enabled", "true")
@@ -1367,9 +1370,21 @@ class DuckLake:
         return [f for f in files if f["data_file_id"] not in pruned_ids]
 
     def sql(self, query: str, *, at_version: int | None = None) -> DataFrame:
-        """Run Spark SQL with every lake table registered as a temp view."""
-        for t in self._table_names():
-            self.table(t, at_version=at_version).createOrReplaceTempView(t.split(".")[-1])
+        """Run Spark SQL with every lake table registered as a temp view.
+
+        View registration is cached per catalog snapshot: every table is
+        re-registered only when the latest snapshot (or the requested
+        at_version) changes — not once per statement, which cost one
+        file-list catalog round per table per call. Inside an open
+        transaction the overlay changes as writes buffer, so the cache
+        is bypassed (and left invalidated for the post-commit call)."""
+        key = (self.meta.latest_snapshot().snapshot_id, at_version)
+        if self._txn is not None or self._sql_view_key != key:
+            for t in self._table_names():
+                self.table(t, at_version=at_version).createOrReplaceTempView(
+                    t.split(".")[-1]
+                )
+            self._sql_view_key = None if self._txn is not None else key
         return self.spark.sql(query)
 
     def _visible_files(self, h: TableHandle, snap: Snapshot,

@@ -271,3 +271,38 @@ def test_mixed_alter_compaction_epochs(lake, spark):
     assert [
         tuple(r) for r in lake.table("mx", at_version=s_before).orderBy("id").collect()
     ] == expected
+
+
+def test_sql_view_cache_sees_new_snapshots(lake, spark):
+    """sql() caches view registration per snapshot — a write (here via a
+    second attach, and via this lake) must invalidate it, and time-travel
+    sql() must not poison the latest-version cache."""
+    lake.create_table("sv", [("i", "int64")])
+    lake.insert("sv", spark.range(3).withColumnRenamed("id", "i"))
+    assert lake.sql("SELECT count(*) AS c FROM sv").collect()[0].c == 3
+    s1 = lake.current_snapshot()
+    lake.insert("sv", spark.range(3, 5).withColumnRenamed("id", "i"))
+    assert lake.sql("SELECT count(*) AS c FROM sv").collect()[0].c == 5
+    # time travel bypasses + repopulates correctly
+    assert lake.sql("SELECT count(*) AS c FROM sv", at_version=s1).collect()[0].c == 3
+    assert lake.sql("SELECT count(*) AS c FROM sv").collect()[0].c == 5
+    # inside an open transaction the overlay is consulted every call
+    with lake.transaction():
+        lake.insert("sv", spark.range(5, 6).withColumnRenamed("id", "i"))
+        assert lake.sql("SELECT count(*) AS c FROM sv").collect()[0].c == 6
+    assert lake.sql("SELECT count(*) AS c FROM sv").collect()[0].c == 6
+
+
+def test_update_no_extra_count_job(lake, spark):
+    """UPDATE's return count comes from written-file footers; a no-match
+    UPDATE registers no snapshot and leaves no orphan files."""
+    lake.create_table("uc", [("i", "int64"), ("v", "varchar")])
+    lake.insert(
+        "uc", spark.createDataFrame([(1, "a"), (2, "b")], "i long, v string")
+    )
+    s0 = lake.current_snapshot()
+    assert lake.update("uc", {"v": "'z'"}, "i = 99") == 0
+    assert lake.current_snapshot() == s0  # no-op: no snapshot
+    assert lake.update("uc", {"v": "'z'"}, "i = 2") == 1
+    got = sorted(tuple(r) for r in lake.table("uc").collect())
+    assert got == [(1, "a"), (2, "z")]
