@@ -14,7 +14,6 @@ name exactly like the reference's name maps.
 
 from __future__ import annotations
 
-import glob as globmod
 import os
 import re
 
@@ -29,7 +28,9 @@ def add_data_files(lake: DuckLake, table: str, pattern: str, *,
     import pyarrow.parquet as pq
 
     h = lake._handle(table)
-    paths = sorted(globmod.glob(pattern, recursive=True))
+    # adoption never assumes POSIX: the pattern resolves through the
+    # lake's pyarrow.fs seam (one recursive LIST, client-side match)
+    paths = lake.lfs.glob(lake.lfs.strip_scheme(pattern))
     if not paths:
         raise DuckLakeError(f"no files match {pattern!r}")
     table_cols = {c[1]: c for c in h.columns}
@@ -47,7 +48,7 @@ def add_data_files(lake: DuckLake, table: str, pattern: str, *,
     added = 0
     infos: list[DataFileInfo] = []
     for path in paths:
-        pf = pq.ParquetFile(path)
+        pf = pq.ParquetFile(lake.lfs.open_input(path))
         file_cols = {c.split(".")[0] for c in pf.schema_arrow.names}
         hive_vals: dict[str, str] = {}
         if hive_partitioning:
@@ -88,13 +89,12 @@ def add_data_files(lake: DuckLake, table: str, pattern: str, *,
             if cname in part_index:
                 part_values.append((part_index[cname], v))
         stats = _harvest_stats(pf, colmap)
+        data_fs = lake.lfs.strip_scheme(lake.data_path).rstrip("/") + "/"
         info = DataFileInfo(
-            path=os.path.relpath(path, lake.data_path)
-            if path.startswith(lake.data_path)
-            else path,
+            path=path[len(data_fs):] if path.startswith(data_fs) else path,
             record_count=pf.metadata.num_rows,
-            file_size_bytes=os.path.getsize(path),
-            footer_size=_footer_size(path),
+            file_size_bytes=lake.lfs.size(path),
+            footer_size=_footer_size(path, fs=lake.lfs),
             partition_values=part_values,
             column_stats=stats,
             mapping_id=mapping_id,

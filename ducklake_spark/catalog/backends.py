@@ -85,7 +85,8 @@ _SQLITE_MASTER_LIST = re.compile(
     r"SELECT\s+name\s+FROM\s+sqlite_master\s+WHERE\s+type='table'", re.I
 )
 _SQLITE_MASTER_ONE = re.compile(
-    r"SELECT\s+1\s+FROM\s+sqlite_master\s+WHERE\s+type='table'\s+AND\s+name=\?",
+    r"SELECT\s+1\s+FROM\s+sqlite_master\s+WHERE\s+type='table'\s+AND\s+"
+    r"name=(\?|'\w+')",
     re.I,
 )
 _PRAGMA_INFO = re.compile(r"PRAGMA\s+table_info\(\s*'?(\w+)'?\s*\)", re.I)
@@ -118,11 +119,14 @@ class _PgConnection:
             "WHERE table_schema = current_schema()",
             sql,
         )
-        sql = _SQLITE_MASTER_ONE.sub(
-            "SELECT 1 FROM information_schema.tables "
-            "WHERE table_schema = current_schema() AND table_name = %s",
-            sql,
-        )
+        def _one(m: "re.Match[str]") -> str:
+            return (
+                "SELECT 1 FROM information_schema.tables "
+                "WHERE table_schema = current_schema() AND table_name = "
+                + ("%s" if m.group(1) == "?" else m.group(1))
+            )
+
+        sql = _SQLITE_MASTER_ONE.sub(_one, sql)
         return sql.replace("?", "%s")
 
     def execute(self, sql: str, params=()):
@@ -172,7 +176,21 @@ class PostgresBackend(CatalogBackend):
         return "deadlock" in msg or "could not serialize" in msg or "lock" in msg
 
 
+_EXTRA_BACKENDS: list[tuple[str, object]] = []
+
+
+def register_backend(prefix: str, factory) -> None:
+    """Extension point: map a DSN prefix to a custom backend factory.
+    Lets a deployment plug an alternative Postgres driver (pg8000,
+    psycopg3) — and lets the test suite run the translation layer
+    against a wire-faithful fake server."""
+    _EXTRA_BACKENDS.append((prefix, factory))
+
+
 def backend_for(db_path: str) -> CatalogBackend:
+    for prefix, factory in _EXTRA_BACKENDS:
+        if db_path.startswith(prefix):
+            return factory(db_path)
     if db_path.startswith("duckdb://"):
         return DuckDBBackend(db_path[len("duckdb://"):])
     if db_path.startswith(("postgresql://", "postgres://")):

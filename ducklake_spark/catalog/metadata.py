@@ -249,7 +249,7 @@ class MetadataManager:
         bootstrapped = bool(
             con.execute(
                 "SELECT 1 FROM sqlite_master WHERE type='table' "
-                "AND name='ducklake_snapshot'"
+                "AND name=?", ("ducklake_snapshot",)
             ).fetchone()
         )
         if bootstrapped and con.execute(
@@ -269,7 +269,7 @@ class MetadataManager:
                 # another attach may have won the race
                 if con.execute(
                     "SELECT 1 FROM sqlite_master WHERE type='table' "
-                    "AND name='ducklake_snapshot'"
+                    "AND name=?", ("ducklake_snapshot",)
                 ).fetchone() and con.execute(
                     "SELECT COUNT(*) FROM ducklake_snapshot"
                 ).fetchone()[0] > 0:

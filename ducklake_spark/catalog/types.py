@@ -29,6 +29,8 @@ _SIMPLE_TO_SPARK: dict[str, T.DataType] = {
     "float64": T.DoubleType(),
     "date": T.DateType(),
     "time": T.LongType(),  # micros since midnight; Spark has no TIME type
+    "time_ns": T.LongType(),  # nanos since midnight (ducklake_types.cpp:32)
+    "timetz": T.LongType(),  # packed micros+offset (ducklake_types.cpp:44)
     "timestamp": T.TimestampNTZType(),
     "timestamp_us": T.TimestampNTZType(),
     "timestamp_ms": T.TimestampNTZType(),

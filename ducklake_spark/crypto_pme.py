@@ -1,0 +1,86 @@
+"""Parquet Modular Encryption for delete files (pyarrow-side).
+
+The reference encrypts delete files with per-file random keys exactly
+like data files (ducklake_delete.cpp:63-70; key recorded in
+ducklake_delete_file.encryption_key). Data files here are written by
+Spark, so they use the Java CryptoFactory (java/ducklake); delete
+files are written executor-side with pyarrow, so they use pyarrow's
+PME with the SAME catalog-key model:
+
+- one random 128-bit key per delete file, base64 in the catalog;
+- standard PME bytes on disk (encrypted footer, AES-GCM) — the file
+  is unreadable without its catalog key;
+- key wrapping is a one-time pad: PME generates a random DEK and asks
+  the "KMS" to wrap it under the catalog (master) key — XOR is an
+  information-theoretically secure wrap when each master key wraps
+  exactly one DEK, which holds because both are random and per-file.
+
+All functions are executor-safe (no driver state; resolved per call).
+"""
+
+from __future__ import annotations
+
+import base64
+
+_MASTER_PREFIX = "dlk"
+
+
+def _kms_factory(keymap: dict[str, bytes]):
+    import pyarrow.parquet.encryption as pe
+
+    class _OtpKms(pe.KmsClient):
+        def __init__(self):
+            pe.KmsClient.__init__(self)
+
+        def wrap_key(self, key_bytes: bytes, master_key_identifier: str):
+            m = keymap[master_key_identifier]
+            if len(key_bytes) != len(m):
+                raise ValueError("DEK/master length mismatch")
+            return base64.b64encode(
+                bytes(a ^ b for a, b in zip(key_bytes, m))
+            ).decode()
+
+        def unwrap_key(self, wrapped_key, master_key_identifier: str):
+            m = keymap[master_key_identifier]
+            w = base64.b64decode(wrapped_key)
+            return bytes(a ^ b for a, b in zip(w, m))
+
+    return pe.CryptoFactory(lambda _conf: _OtpKms())
+
+
+def encrypt_properties(key_id: str, b64key: str,
+                       columns: tuple[str, ...] = ("file_path", "pos")):
+    """FileEncryptionProperties for one delete file keyed ``key_id``."""
+    import pyarrow.parquet.encryption as pe
+
+    factory = _kms_factory({key_id: base64.b64decode(b64key)})
+    return factory.file_encryption_properties(
+        pe.KmsConnectionConfig(),
+        pe.EncryptionConfiguration(
+            footer_key=key_id,
+            # every column under the same catalog key (uniform, like
+            # the reference's one-key-per-file model)
+            column_keys={key_id: list(columns)},
+            double_wrapping=False,
+            internal_key_material=True,
+            data_key_length_bits=128,
+        ),
+    )
+
+
+def decrypt_properties(keymap_b64: dict[str, str]):
+    """FileDecryptionProperties resolving any key id in ``keymap_b64``
+    (id -> base64 key, straight from the catalog rows)."""
+    factory = _kms_factory(
+        {kid: base64.b64decode(v) for kid, v in keymap_b64.items()}
+    )
+    import pyarrow.parquet.encryption as pe
+
+    return factory.file_decryption_properties(pe.KmsConnectionConfig())
+
+
+def key_id_for(b64key: str) -> str:
+    """Stable id for a catalog key (sha256 prefix, like the Java side)."""
+    import hashlib
+
+    return _MASTER_PREFIX + hashlib.sha256(b64key.encode()).hexdigest()[:16]

@@ -55,9 +55,52 @@ def _victims(lake: DuckLake, name: str, where: str) -> tuple[TableHandle, DataFr
     return h, df.filter(where)
 
 
+def _rewrite_txn_local(lake: DuckLake, h: TableHandle, where: str,
+                       assignments: dict[str, str] | None) -> int:
+    """DELETE/UPDATE against a table created in the CURRENT transaction:
+    its buffered files have no committed identity yet, so instead of
+    positional deletes the buffered files are rewritten (filter out /
+    transform the matching rows) and swapped in the transaction buffer —
+    reference behavior for txn-local DML, test/sql/cleanup/
+    drop_table_cleans_delete_files.test."""
+    txn = lake.begin()
+    key = f"{h.schema_name}.{h.table_name}"
+    files = txn.new_data_files.get(key, [])
+    if not files:
+        return 0
+    schema = lake._spark_schema(h)
+    paths = [os.path.join(lake.data_path, f.path) for f in files]
+    df = lake.spark.read.schema(schema).parquet(*paths)
+    total = sum(f.record_count for f in files)
+    if assignments is not None:
+        total = df.filter(where).count()  # matched rows, not all rows
+    if assignments is None:
+        out = df.filter(f"NOT ({where}) OR ({where}) IS NULL")
+    else:
+        from pyspark.sql import functions as _F
+
+        cond = _F.expr(where)
+        out = df.select(*[
+            _F.when(cond, _F.expr(assignments[f.name])).otherwise(
+                _F.col(f.name)).alias(f.name)
+            if f.name in assignments else _F.col(f.name)
+            for f in schema.fields
+        ])
+    new_files = lake._write_parquet(h, out, schema,
+                                    lake._partition_spec(h), lake._sort_spec(h))
+    for fi in files:
+        lake.lfs.remove(
+            lake.lfs.strip_scheme(os.path.join(lake.data_path, fi.path)))
+    txn.new_data_files[key] = new_files
+    written = sum(f.record_count for f in new_files)
+    return (total - written) if assignments is None else total
+
+
 def delete(lake: DuckLake, name: str, where: str) -> int:
     """DELETE FROM name WHERE ...; returns deleted row count."""
     h = lake._handle(name)
+    if h.table_id < 0:
+        return _rewrite_txn_local(lake, h, where, None)
     snap = lake._resolve_snapshot(None, None)
     files = lake._visible_files(h, snap, where)
     schema = lake._spark_schema(h)
@@ -103,9 +146,9 @@ def _apply_file_deletes(lake: DuckLake, h: TableHandle, snap, files: list[dict],
 
     txn = lake.begin()
     existing = {
-        fid: (path, fmt, dc)
-        for fid, path, fmt, dc in lake.meta.query(
-            "SELECT data_file_id, path, format, delete_count "
+        fid: (path, fmt, dc, ekey)
+        for fid, path, fmt, dc, ekey in lake.meta.query(
+            "SELECT data_file_id, path, format, delete_count, encryption_key "
             "FROM ducklake_delete_file "
             "WHERE table_id=? AND begin_snapshot <= ? "
             "AND (end_snapshot IS NULL OR end_snapshot > ?)",
@@ -138,6 +181,7 @@ def _apply_file_deletes(lake: DuckLake, h: TableHandle, snap, files: list[dict],
                 {"fid": fid, "fname": fname, "rel": finfo["path"],
                  "prev": prev[0] if prev else None,
                  "prev_fmt": (prev[1] or "parquet") if prev else "parquet",
+                 "prev_key": prev[3] if prev else None,
                  "new": cnt, "prev_cnt": prev_deleted}
             )
 
@@ -174,6 +218,13 @@ def _apply_file_deletes(lake: DuckLake, h: TableHandle, snap, files: list[dict],
             os.path.join(lake.data_path, p["prev"])
             for p in partial
             if p["prev"] and p["prev_fmt"].lower() != "puffin"
+            and not p["prev_key"]
+        ]
+        prev_enc = [
+            (os.path.join(lake.data_path, p["prev"]), p["prev_key"])
+            for p in partial
+            if p["prev"] and p["prev_fmt"].lower() != "puffin"
+            and p["prev_key"]
         ]
         prev_dv = [
             (os.path.join(lake.data_path, p["prev"]), p["rel"])
@@ -184,8 +235,14 @@ def _apply_file_deletes(lake: DuckLake, h: TableHandle, snap, files: list[dict],
         new_dels = new_dels.withColumn(
             "file_path", F.expr(f"substring(filename, {len(prefix) + 1})")
         ).select("file_path", "pos")
-        if prev_pq:
-            prev = lake.spark.read.schema("file_path string, pos long").parquet(*prev_pq)
+        if prev_pq or prev_enc:
+            prev = None
+            if prev_pq:
+                prev = lake.spark.read.schema(
+                    "file_path string, pos long").parquet(*prev_pq)
+            if prev_enc:
+                pe_df = lake._read_encrypted_delete_files(prev_enc)
+                prev = pe_df if prev is None else prev.unionByName(pe_df)
             prev = prev.join(
                 lake.spark.createDataFrame(
                     [(p["rel"],) for p in partial], "file_path string"
@@ -230,6 +287,7 @@ def _apply_file_deletes(lake: DuckLake, h: TableHandle, snap, files: list[dict],
                     file_size_bytes=w["size"],
                     footer_size=w["footer"],
                     format="puffin" if use_dv else "parquet",
+                    encryption_key=w.get("enc_key") or None,
                 )
             )
             txn.touched_delete_data_files.add(p["fid"])
@@ -246,10 +304,15 @@ def _write_delete_files_distributed(lake, delete_dir: str, dels: DataFrame) -> l
     """Write one reference-layout delete parquet per data file, each
     group on the executor that owns it; returns per-file metadata rows
     (file_path, out_path, n, size). Reference layout:
-    ducklake_delete.cpp:598-631 (sorted positions, Iceberg field ids)."""
+    ducklake_delete.cpp:598-631 (sorted positions, Iceberg field ids).
+    ENCRYPTED lakes give each delete file its own random PME key like
+    the reference (ducklake_delete.cpp:63-70; crypto_pme module)."""
     import pandas as pd
 
+    encrypt = lake.encrypted
+
     def write_group(pdf: pd.DataFrame) -> pd.DataFrame:
+        import base64 as _b64
         import os as _os
         import uuid as _uuid
 
@@ -270,20 +333,38 @@ def _write_delete_files_distributed(lake, delete_dir: str, dels: DataFrame) -> l
         final = _os.path.join(
             delete_dir, f"ducklake-delete-{_uuid.uuid4().hex}.parquet"
         )
-        _pq.write_table(out, final)
+        enc_key = ""
+        if encrypt:
+            from ducklake_spark.crypto_pme import (
+                encrypt_properties,
+                key_id_for,
+            )
+
+            enc_key = _b64.b64encode(_os.urandom(16)).decode()
+            _pq.write_table(
+                out, final,
+                encryption_properties=encrypt_properties(
+                    key_id_for(enc_key), enc_key),
+            )
+        else:
+            _pq.write_table(out, final)
         from ducklake_spark.lake import parquet_footer_size
+
+        from ducklake_spark.fsio import size_any
 
         return pd.DataFrame(
             [{"file_path": rel, "out_path": final, "n": len(pos),
-              "size": _os.path.getsize(final),
-              "footer": parquet_footer_size(final)}]
+              "size": size_any(final),
+              "footer": parquet_footer_size(final),
+              "enc_key": enc_key}]
         )
 
     rows = (
         dels.groupBy("file_path")
         .applyInPandas(
             write_group,
-            "file_path string, out_path string, n long, size long, footer long",
+            "file_path string, out_path string, n long, size long, "
+            "footer long, enc_key string",
         )
         .collect()
     )
@@ -386,6 +467,8 @@ def _delete_inlined(lake: DuckLake, h: TableHandle, where: str) -> int:
 def update(lake: DuckLake, name: str, assignments: dict[str, str], where: str) -> int:
     """UPDATE name SET col=expr WHERE ...; delete+insert preserving rowid."""
     h = lake._handle(name)
+    if h.table_id < 0:
+        return _rewrite_txn_local(lake, h, where, assignments)
     n_inlined = _update_inlined(lake, h, assignments, where)
     _h, matched = _victims(lake, name, where)
     if matched is None:
@@ -402,15 +485,9 @@ def update(lake: DuckLake, name: str, assignments: dict[str, str], where: str) -
     )
     # write replacement rows first (they carry preserved rowids); the
     # matched-row count comes from the written-file footers — no
-    # separate count() job over the matched relation
+    # separate count() job over the matched relation (_write_parquet
+    # already drops zero-row part files)
     files = lake._write_parquet(h, new_rows, schema, [], [])
-    empties = [f for f in files if f.record_count == 0]
-    files = [f for f in files if f.record_count]
-    for f in empties:  # a no-match UPDATE leaves zero-row part files
-        try:
-            os.remove(os.path.join(lake.data_path, f.path))
-        except OSError:
-            pass
     n = sum(f.record_count for f in files)
     if n == 0:
         if n_inlined:
@@ -520,6 +597,11 @@ def merge_into(lake: DuckLake, target: str, source: DataFrame, on: list[str],
     if when_not_matched_by_source_update and when_not_matched_by_source_delete:
         raise DuckLakeError("at most one WHEN NOT MATCHED BY SOURCE action")
     h = lake._handle(target)
+    if h.table_id < 0:
+        raise DuckLakeError(
+            "MERGE INTO a table created in the current transaction is "
+            "not supported; commit the CREATE first"
+        )
     # matched victims address rows as (file, pos): flush catalog-inlined
     # rows first so every target row is parquet-backed
     if lake.meta.query(

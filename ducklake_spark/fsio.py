@@ -1,0 +1,190 @@
+"""Filesystem seam for every lake write/maintenance path.
+
+The reference runs its whole suite against object storage (minio/S3 —
+``test/sql/cloud/``, ``examples/minio-demo-server/``); a 100-TB
+deployment lives on an object store where POSIX ``glob``/``rename``/
+``os.walk`` do not exist. Every driver-side file operation in the lake
+therefore routes through :class:`LakeFS`, which is backed by
+``pyarrow.fs`` — the same code drives local disk (LocalFileSystem),
+S3, GCS and HDFS via ``FileSystem.from_uri``.
+
+Data-plane reads/writes still go through Spark (Hadoop FS handles the
+scheme there); this seam covers the control plane: finalizing written
+files, adopting foreign files, cleanup/expire walks, delete-file
+bookkeeping, and footer reads.
+
+Tests inject a wrapper filesystem (see tests/test_fsio.py) to prove no
+POSIX call leaks around the seam.
+"""
+
+from __future__ import annotations
+
+import os
+import posixpath
+import re
+
+import pyarrow.fs as pafs
+
+
+def _has_scheme(path: str) -> bool:
+    return "://" in path
+
+
+class LakeFS:
+    """Thin driver-side wrapper over a ``pyarrow.fs.FileSystem``.
+
+    All paths crossing this API are plain strings in the wrapped
+    filesystem's namespace (scheme already stripped by ``for_path``).
+    The wrapped fs is picklable, so executor-side helpers may receive
+    it when they need non-local access.
+    """
+
+    def __init__(self, fs: pafs.FileSystem):
+        self.fs = fs
+
+    # -- construction -------------------------------------------------
+    @classmethod
+    def for_path(cls, path: str) -> "LakeFS":
+        """Resolve the filesystem owning ``path`` (URI or local)."""
+        if _has_scheme(path):
+            fs, _ = pafs.FileSystem.from_uri(path)
+            return cls(fs)
+        return cls(pafs.LocalFileSystem())
+
+    @staticmethod
+    def strip_scheme(path: str) -> str:
+        """Path as the wrapped fs sees it (``s3://b/k`` -> ``b/k``)."""
+        if _has_scheme(path):
+            return pafs.FileSystem.from_uri(path)[1]
+        return path
+
+    # -- mutations ----------------------------------------------------
+    def makedirs(self, path: str) -> None:
+        self.fs.create_dir(path, recursive=True)
+
+    def move(self, src: str, dst: str) -> None:
+        """Rename where the fs supports it; copy+delete elsewhere
+        (pyarrow maps this per-backend — S3 has no rename)."""
+        self.fs.move(src, dst)
+
+    def remove(self, path: str, *, missing_ok: bool = True) -> None:
+        try:
+            self.fs.delete_file(path)
+        except FileNotFoundError:
+            if not missing_ok:
+                raise
+
+    def rmtree(self, path: str) -> None:
+        try:
+            self.fs.delete_dir(path)
+        except FileNotFoundError:
+            pass
+
+    # -- queries ------------------------------------------------------
+    def exists(self, path: str) -> bool:
+        return self.fs.get_file_info(path).type != pafs.FileType.NotFound
+
+    def size(self, path: str) -> int | None:
+        info = self.fs.get_file_info(path)
+        if info.type != pafs.FileType.File:
+            return None
+        return info.size
+
+    def list_files(self, root: str, *, suffix: str | None = None,
+                   recursive: bool = True) -> list[str]:
+        """All file paths under ``root`` (one LIST per call — never a
+        per-directory walk, which is O(dirs) round-trips on S3)."""
+        sel = pafs.FileSelector(root, recursive=recursive,
+                                allow_not_found=True)
+        return sorted(
+            i.path for i in self.fs.get_file_info(sel)
+            if i.type == pafs.FileType.File
+            and (suffix is None or i.path.endswith(suffix))
+        )
+
+    def glob(self, pattern: str) -> list[str]:
+        """Glob via one recursive listing + client-side match.
+
+        ``**`` crosses directory separators, ``*``/``?`` do not —
+        the semantics of ``glob.glob(..., recursive=True)`` that the
+        adoption path documented, now object-store-safe.
+        """
+        pattern = pattern.replace(os.sep, "/")
+        # longest literal prefix directory
+        parts = pattern.split("/")
+        base_parts = []
+        for p in parts[:-1]:
+            if re.search(r"[*?\[]", p):
+                break
+            base_parts.append(p)
+        base = "/".join(base_parts) or "."
+        rx = _glob_regex(pattern)
+        return [p for p in self.list_files(base) if rx.fullmatch(p)]
+
+    # -- byte access --------------------------------------------------
+    def open_input(self, path: str):
+        return self.fs.open_input_file(path)
+
+    def read_bytes(self, path: str) -> bytes:
+        with self.fs.open_input_file(path) as f:
+            return f.read()
+
+    def open_output(self, path: str):
+        return self.fs.open_output_stream(path)
+
+
+def _glob_regex(pattern: str) -> "re.Pattern[str]":
+    out = []
+    i = 0
+    while i < len(pattern):
+        c = pattern[i]
+        if c == "*":
+            if pattern[i:i + 2] == "**":
+                out.append(".*")
+                i += 2
+                if pattern[i:i + 1] == "/":  # '**/' also matches zero dirs
+                    out.append("/?")
+                    i += 1
+                continue
+            out.append("[^/]*")
+        elif c == "?":
+            out.append("[^/]")
+        else:
+            out.append(re.escape(c))
+        i += 1
+    return re.compile("".join(out))
+
+
+def open_input_any(path: str):
+    """Open ``path`` for reading through the filesystem its scheme
+    names (LocalFileSystem for bare paths). Executor-safe: resolves
+    per call, holds no driver state."""
+    if _has_scheme(path):
+        fs, p = pafs.FileSystem.from_uri(path)
+    else:
+        fs, p = pafs.LocalFileSystem(), path
+    return fs.open_input_file(p)
+
+
+def open_output_any(path: str):
+    """Open ``path`` for writing through the filesystem its scheme
+    names. Executor-safe counterpart of ``open_input_any``."""
+    if _has_scheme(path):
+        fs, p = pafs.FileSystem.from_uri(path)
+    else:
+        fs, p = pafs.LocalFileSystem(), path
+    return fs.open_output_stream(p)
+
+
+def size_any(path: str) -> int:
+    """File size through the scheme-resolved filesystem."""
+    if _has_scheme(path):
+        fs, p = pafs.FileSystem.from_uri(path)
+    else:
+        fs, p = pafs.LocalFileSystem(), path
+    return fs.get_file_info(p).size
+
+
+def join(base: str, *parts: str) -> str:
+    """posix join — object-store keys always use '/'."""
+    return posixpath.join(base.replace(os.sep, "/"), *parts)

@@ -233,7 +233,9 @@ def puffin_write(path: str, blobs: list[tuple[int | None, list[int]]],
         data = bytes(out)
         footer_size = len(payload) + 12 + len(PUFFIN_MAGIC)
         delete_count = max(len(p) for _s, p in blobs)
-    with open(path, "wb") as f:
+    from ducklake_spark.fsio import open_output_any
+
+    with open_output_any(path) as f:
         f.write(data)
     return {
         "file_size_bytes": len(data),

@@ -21,10 +21,8 @@ Scale notes (how this behaves at 100 TB / 1000 executors):
 
 from __future__ import annotations
 
-import glob as globmod
 import os
 import re
-import shutil
 import struct
 import urllib.parse
 import uuid
@@ -103,10 +101,17 @@ class DuckLake:
                  *, snapshot_version: int | None = None,
                  snapshot_time: str | None = None,
                  data_inlining_row_limit: int | None = None,
-                 encrypted: bool = False, read_only: bool = False):
+                 encrypted: bool = False, read_only: bool = False,
+                 filesystem=None):
+        from ducklake_spark.fsio import LakeFS
+
         self.spark = spark
         self.metadata_path = metadata_path
         self.data_path = data_path.rstrip("/") + "/"
+        # every driver-side file op (finalize/adopt/cleanup) routes
+        # through this pyarrow.fs-backed seam — see fsio.LakeFS;
+        # injectable for tests and for pre-configured object stores
+        self.lfs: LakeFS = filesystem or LakeFS.for_path(self.data_path)
         self.read_only = read_only
         if read_only:
             # READ_ONLY attach requires an existing catalog (reference:
@@ -331,6 +336,41 @@ class DuckLake:
         txn.change_log.append(f'created_schema:"{name}"')
         self._autocommit()
 
+    def drop_schema(self, name: str, *, cascade: bool = False) -> None:
+        """DROP SCHEMA [CASCADE]: end-snapshots the schema row; CASCADE
+        drops its tables and views in the same snapshot (reference
+        basic_time_travel.test — the dropped objects stay readable via
+        time travel)."""
+        rows = self.meta.query(
+            "SELECT schema_id FROM ducklake_schema "
+            "WHERE schema_name=? AND end_snapshot IS NULL", (name,),
+        )
+        if not rows:
+            raise DuckLakeError(f"schema {name!r} does not exist")
+        sid = rows[0][0]
+        members = self.meta.query(
+            "SELECT table_id FROM ducklake_table "
+            "WHERE schema_id=? AND end_snapshot IS NULL", (sid,),
+        )
+        views = self.meta.query(
+            "SELECT view_id FROM ducklake_view "
+            "WHERE schema_id=? AND end_snapshot IS NULL", (sid,),
+        )
+        if (members or views) and not cascade:
+            raise DuckLakeError(
+                f"schema {name!r} is not empty (use cascade=True)"
+            )
+        txn = self.begin()
+        txn.dropped_schemas.append(sid)
+        for (tid,) in members:
+            txn.dropped_tables.append(tid)
+            txn.change_log.append(f"dropped_table:{tid}")
+        for (vid,) in views:
+            txn.dropped_views.append(vid)
+            txn.change_log.append(f"dropped_view:{vid}")
+        txn.change_log.append(f'dropped_schema:"{name}"')
+        self._autocommit()
+
     def create_table(self, name: str, schema, *, not_null: tuple[str, ...] = (),
                      if_not_exists: bool = False) -> None:
         """``schema`` is a Spark StructType or DuckLake DDL-ish list of
@@ -338,7 +378,13 @@ class DuckLake:
         unsupported, like the reference (test/sql/constraints/unsupported.test);
         NOT NULL is supported via ``not_null``."""
         schema_name, table_name = self._split_name(name)
-        if self._find_table(schema_name, table_name) is not None:
+        exists = self._find_table(schema_name, table_name) is not None or (
+            self._txn is not None
+            and any(td.schema_name == schema_name
+                    and td.table_name == table_name
+                    for td in self._txn.created_tables)
+        )
+        if exists:
             if if_not_exists:
                 return
             raise DuckLakeError(f"table {name!r} already exists")
@@ -367,6 +413,26 @@ class DuckLake:
 
     def drop_table(self, name: str) -> None:
         h = self._handle(name)
+        if h.table_id < 0:
+            # dropping a table created in THIS transaction: unwind it and
+            # physically remove its buffered files — nothing may leak to
+            # disk or the catalog (reference test/sql/cleanup/
+            # create_drop_cleanup.test + drop_table_cleans_delete_files)
+            txn = self.begin()
+            key = f"{h.schema_name}.{h.table_name}"
+            for fi in txn.new_data_files.pop(key, []):
+                self.lfs.remove(
+                    self.lfs.strip_scheme(
+                        os.path.join(self.data_path, fi.path)))
+            txn.created_tables = [
+                td for td in txn.created_tables
+                if not (td.schema_name == h.schema_name
+                        and td.table_name == h.table_name)
+            ]
+            entry = f'created_table:"{h.schema_name}"."{h.table_name}"'
+            if entry in txn.change_log:
+                txn.change_log.remove(entry)
+            return
         txn = self.begin()
         txn.dropped_tables.append(h.table_id)
         txn.change_log.append(f"dropped_table:{h.table_id}")
@@ -379,9 +445,20 @@ class DuckLake:
         txn.change_log.append(f"altered_table:{h.table_id}")
         self._autocommit()
 
+
+    def _require_committed(self, h: TableHandle, op: str) -> None:
+        """ALTER on a table created in the current transaction would
+        write catalog rows for an id that does not exist yet."""
+        if h.table_id < 0:
+            raise DuckLakeError(
+                f"{op} on a table created in the current transaction is "
+                "not supported; commit the CREATE first"
+            )
+
     def add_column(self, name: str, col_name: str, col_type: str,
                    default: str | None = None) -> None:
         h = self._handle(name)
+        self._require_committed(h, "ALTER ADD COLUMN")
         ducklake_to_spark(col_type)
         _check_reserved_column(col_name)
         txn = self.begin()
@@ -427,6 +504,7 @@ class DuckLake:
 
     def drop_column(self, name: str, col_name: str) -> None:
         h = self._handle(name)
+        self._require_committed(h, "ALTER DROP COLUMN")
         txn = self.begin()
 
         def op(con, snap_id, h=h, col_name=col_name):
@@ -442,6 +520,7 @@ class DuckLake:
 
     def rename_column(self, name: str, col_name: str, new_name: str) -> None:
         h = self._handle(name)
+        self._require_committed(h, "ALTER RENAME COLUMN")
         _check_reserved_column(new_name)
         txn = self.begin()
 
@@ -473,6 +552,7 @@ class DuckLake:
     def change_column_type(self, name: str, col_name: str, new_type: str) -> None:
         """Widening promotions only (reference: ducklake_table_entry.cpp:912-921)."""
         h = self._handle(name)
+        self._require_committed(h, "ALTER CHANGE TYPE")
         cur = next((c for c in h.columns if c[1] == col_name), None)
         if cur is None:
             raise DuckLakeError(f"no column {col_name!r}")
@@ -510,6 +590,7 @@ class DuckLake:
         identity|year|month|day|hour|bucket(N)
         (reference: ducklake_partition_data.cpp:14-66)."""
         h = self._handle(name)
+        self._require_committed(h, "SET PARTITIONED BY")
         txn = self.begin()
 
         def op(con, snap_id, h=h, keys=keys):
@@ -542,6 +623,7 @@ class DuckLake:
         ducklake_table_entry.cpp:1262; schema ducklake_sort_info/
         ducklake_sort_expression)."""
         h = self._handle(name)
+        self._require_committed(h, "SET SORTED BY")
         txn = self.begin()
 
         def op(con, snap_id, h=h, keys=keys):
@@ -636,6 +718,7 @@ class DuckLake:
 
     def _mutate_struct(self, name: str, col_name: str, edit) -> None:
         h = self._handle(name)
+        self._require_committed(h, "SET DEFAULT")
         cur = next((c for c in h.columns if c[1] == col_name), None)
         if cur is None:
             raise DuckLakeError(f"no column {col_name!r}")
@@ -672,6 +755,9 @@ class DuckLake:
         log per file epoch (``field_rename`` column tags) and rebuilds
         the struct positionally — no data rewrite."""
         h = self._handle(name)
+        self._require_committed(h, "RENAME FIELD")
+        self._require_committed(h, "DROP FIELD")
+        self._require_committed(h, "ADD FIELD")
         cur = next((c for c in h.columns if c[1] == col_name), None)
         if cur is None:
             raise DuckLakeError(f"no column {col_name!r}")
@@ -763,6 +849,21 @@ class DuckLake:
         txn.change_log.append(f'created_view:"{schema_name}"."{vname}"')
         self._autocommit()
 
+    def drop_view(self, name: str) -> None:
+        schema_name, vname = self._split_name(name)
+        rows = self.meta.query(
+            "SELECT v.view_id FROM ducklake_view v JOIN ducklake_schema s "
+            "ON v.schema_id = s.schema_id "
+            "WHERE s.schema_name=? AND v.view_name=? AND v.end_snapshot IS NULL",
+            (schema_name, vname),
+        )
+        if not rows:
+            raise DuckLakeError(f"no view {name!r}")
+        txn = self.begin()
+        txn.dropped_views.append(rows[0][0])
+        txn.change_log.append(f"dropped_view:{rows[0][0]}")
+        self._autocommit()
+
     def view_sql(self, name: str, *, at_version: int | None = None,
                  at_timestamp: str | None = None) -> str:
         schema_name, vname = self._split_name(name)
@@ -824,7 +925,9 @@ class DuckLake:
         df = self._conform(df, schema, h)
 
         inline_limit = int(self.meta.option("data_inlining_row_limit", "0") or 0)
-        if inline_limit > 0:
+        if inline_limit > 0 and h.table_id >= 0:
+            # txn-local tables (id assigned at commit) always write
+            # parquet — the inlined-data tables need a real table id
             head = df.limit(inline_limit + 1).collect()
             if len(head) <= inline_limit:
                 self._insert_inlined(h, schema, head)
@@ -834,7 +937,10 @@ class DuckLake:
         sort_spec = self._sort_spec(h)
         files = self._write_parquet(h, df, schema, part_keys, sort_spec)
         txn = self.begin()
-        txn.new_data_files.setdefault(str(h.table_id), []).extend(files)
+        # txn-local tables buffer by name: ids exist only after commit
+        key = (str(h.table_id) if h.table_id >= 0
+               else f"{h.schema_name}.{h.table_name}")
+        txn.new_data_files.setdefault(key, []).extend(files)
         txn.change_log.append(f"inserted_into_table:{h.table_id}")
         self._autocommit()
         return sum(f.record_count for f in files)
@@ -918,7 +1024,9 @@ class DuckLake:
 
         table_dir = os.path.join(self.data_path, h.path)
         tmp = os.path.join(table_dir, f".tmp_{uuid.uuid4().hex}")
-        os.makedirs(table_dir, exist_ok=True)
+        # control-plane file ops go through the pyarrow.fs seam (lfs):
+        # object stores have no POSIX mkdir/glob/rename (fsio.LakeFS)
+        self.lfs.makedirs(self.lfs.strip_scheme(table_dir))
 
         # attach parquet field ids (column metadata survives into the file
         # footer with spark.sql.parquet.fieldId.write.enabled) so files are
@@ -998,8 +1106,10 @@ class DuckLake:
         # <col>=<value>/ subdirs; false keeps a flat layout — either way
         # the catalog's partition values are the planning source of truth
         hive_dirs = (opt("hive_file_pattern", "true") or "true").lower() != "false"
-        for path in sorted(globmod.glob(os.path.join(tmp, "**", "*.parquet"), recursive=True)):
-            rel_parts = os.path.relpath(path, tmp).split(os.sep)
+        tmp_fs = self.lfs.strip_scheme(tmp)
+        data_fs = self.lfs.strip_scheme(self.data_path).rstrip("/") + "/"
+        for path in self.lfs.list_files(tmp_fs, suffix=".parquet"):
+            rel_parts = path[len(tmp_fs):].lstrip("/").split("/")
             part_values: list[tuple[int, str]] = []
             for seg in rel_parts[:-1]:
                 k, _, v = seg.partition("=")
@@ -1008,19 +1118,23 @@ class DuckLake:
                 # ('%'->'%25', ':'->'%3A', ...): store the RAW value, the
                 # catalog holds one encoding (pruning compares raw)
                 part_values.append((idx, urllib.parse.unquote(v)))
-            dest_dir = table_dir
+            # h.path may carry a trailing '/' — normalize so the
+            # registered relative path never contains '//'
+            dest_dir = self.lfs.strip_scheme(table_dir).rstrip("/")
             if hive_dirs and part_values and part_keys:
                 for idx, v in part_values:
                     cname = part_keys[idx][0] if idx < len(part_keys) else f"p{idx}"
-                    dest_dir = os.path.join(
-                        dest_dir, f"{cname}={urllib.parse.quote(v, safe='')}"
+                    dest_dir = "/".join(
+                        (dest_dir, f"{cname}={urllib.parse.quote(v, safe='')}")
                     )
-                os.makedirs(dest_dir, exist_ok=True)
-            final = os.path.join(dest_dir, f"ducklake-{uuid.uuid4().hex}.parquet")
-            shutil.move(path, final)  # rename within the table dir: cheap
+                self.lfs.makedirs(dest_dir)
+            final = f"{dest_dir}/ducklake-{uuid.uuid4().hex}.parquet"
+            # a move within the table prefix: rename on local/HDFS,
+            # server-side copy+delete on S3 (pyarrow handles either)
+            self.lfs.move(path, final)
             infos.append(
                 DataFileInfo(
-                    path=os.path.relpath(final, self.data_path),
+                    path=final[len(data_fs):],
                     record_count=0,  # filled by the footer harvest below
                     file_size_bytes=0,
                     footer_size=0,
@@ -1028,8 +1142,15 @@ class DuckLake:
                     encryption_key=enc_key,
                 )
             )
-        shutil.rmtree(tmp, ignore_errors=True)
+        self.lfs.rmtree(tmp_fs)
         self._harvest_file_meta(infos, colmap)
+        # empty part files (Spark can emit one per empty partition) are
+        # never registered — the reference writes no file for 0 rows
+        empties = [f for f in infos if f.record_count == 0]
+        infos = [f for f in infos if f.record_count]
+        for f in empties:
+            self.lfs.remove(self.lfs.strip_scheme(
+                os.path.join(self.data_path, f.path)))
         self._attach_extra_stats(h, infos, enc_key)
         return infos
 
@@ -1049,11 +1170,13 @@ class DuckLake:
         paths = [os.path.join(self.data_path, f.path) for f in infos]
         if len(infos) < self.DISTRIBUTED_HARVEST_MIN_FILES:
             for f, path in zip(infos, paths):
-                pf = pq.ParquetFile(path)
-                f.record_count = pf.metadata.num_rows
-                f.file_size_bytes = os.path.getsize(path)
-                f.footer_size = parquet_footer_size(path)
-                f.column_stats = _harvest_stats(pf, colmap)
+                p_fs = self.lfs.strip_scheme(path)
+                with self.lfs.open_input(p_fs) as fh:
+                    pf = pq.ParquetFile(fh)
+                    f.record_count = pf.metadata.num_rows
+                    f.column_stats = _harvest_stats(pf, colmap)
+                f.file_size_bytes = self.lfs.size(p_fs)
+                f.footer_size = parquet_footer_size(p_fs, fs=self.lfs)
             return
 
         def gen(batches):
@@ -1067,16 +1190,21 @@ class DuckLake:
                 parquet_footer_size as _pfs,
             )
 
+            from ducklake_spark.fsio import open_input_any as _open
+
             for b in batches:
                 out = []
                 for p in b["path"]:
-                    pf = _pq.ParquetFile(p)
-                    stats = _hs(pf, colmap)
+                    with _open(p) as fh:
+                        size = fh.size()
+                        pf = _pq.ParquetFile(fh)
+                        stats = _hs(pf, colmap)
+                        nrows = pf.metadata.num_rows
                     out.append(
                         (
                             p,
-                            pf.metadata.num_rows,
-                            os.path.getsize(p),
+                            nrows,
+                            size,
                             _pfs(p),
                             _json.dumps([s.__dict__ for s in stats]),
                         )
@@ -1413,9 +1541,12 @@ class DuckLake:
             removed = set(txn.removed_data_files.get(h.table_id, []))
             if removed:
                 out = [f for f in out if f["data_file_id"] not in removed]
-            # buffered inserts: synthetic negative ids (assigned at commit)
+            # buffered inserts: synthetic negative ids (assigned at commit);
+            # txn-local tables buffer under their name key
+            buf_key = (str(h.table_id) if h.table_id >= 0
+                       else f"{h.schema_name}.{h.table_name}")
             neg = -1
-            for fi in txn.new_data_files.get(str(h.table_id), []):
+            for fi in txn.new_data_files.get(buf_key, []):
                 out.append({
                     "data_file_id": neg, "path": fi.path,
                     "record_count": fi.record_count,
@@ -1709,8 +1840,8 @@ class DuckLake:
         p = self.metadata_path
         if p.startswith("duckdb://"):
             p = p[len("duckdb://"):]
-        meta_bytes = (
-            os.path.getsize(p) if "://" not in p and os.path.exists(p) else None
+        meta_bytes = (  # the catalog DB file is driver-local by nature
+            os.path.getsize(p) if "://" not in p and os.path.exists(p) else None  # noqa: posix-ok
         )
         return {
             "data_file_bytes": int(data_bytes or 0),
@@ -1754,7 +1885,8 @@ class DuckLake:
         if not file_ids:
             return []
         rows = self.meta.query(
-            "SELECT data_file_id, path, delete_count, format, delete_file_id "
+            "SELECT data_file_id, path, delete_count, format, "
+            "encryption_key, delete_file_id "
             "FROM ducklake_delete_file "
             "WHERE table_id = ? AND begin_snapshot <= ? "
             "AND (end_snapshot IS NULL OR end_snapshot > ?)",
@@ -1765,13 +1897,14 @@ class DuckLake:
         if txn_overlay and self._txn is not None:
             replaced = set(self._txn.replaced_delete_files)
         out = [
-            (fid, p, dc, fmt)
-            for fid, p, dc, fmt, dfid in rows
+            (fid, p, dc, fmt, ekey)
+            for fid, p, dc, fmt, ekey, dfid in rows
             if fid in keep and dfid not in replaced
         ]
         if txn_overlay and self._txn is not None:
             out.extend(
-                (d.data_file_id, d.path, d.delete_count, d.format)
+                (d.data_file_id, d.path, d.delete_count, d.format,
+                 d.encryption_key)
                 for d in self._txn.new_delete_files.get(h.table_id, [])
                 if d.data_file_id in keep
             )
@@ -1988,9 +2121,11 @@ class DuckLake:
             dv_dels = [
                 e for e in deletes if (e[3] or "parquet").lower() == "puffin"
             ]
-            if pq_dels:
+            plain_dels = [e for e in pq_dels if not e[4]]
+            enc_dels = [e for e in pq_dels if e[4]]
+            if plain_dels:
                 del_paths = [os.path.join(self.data_path, p)
-                             for _, p, _, _ in pq_dels]
+                             for _, p, _, _, _ in plain_dels]
                 ddf = (
                     self.spark.read.schema("file_path string, pos long")
                     .parquet(*del_paths)
@@ -2001,6 +2136,20 @@ class DuckLake:
                         F.concat(F.lit("file:" + self.data_path), F.col("__dfile")),
                     )
                 )
+            if enc_dels:
+                edf = (
+                    self._read_encrypted_delete_files(
+                        [(os.path.join(self.data_path, p), k)
+                         for _, p, _, _, k in enc_dels]
+                    )
+                    .withColumnRenamed("file_path", "__dfile")
+                    .withColumnRenamed("pos", "__dpos")
+                    .withColumn(
+                        "__dfile",
+                        F.concat(F.lit("file:" + self.data_path), F.col("__dfile")),
+                    )
+                )
+                ddf = edf if ddf is None else ddf.unionByName(edf)
             if dv_dels:
                 # puffin deletion vectors decode EXECUTOR-side (bounded
                 # per-file roaring bitmaps; the driver only lists paths)
@@ -2013,7 +2162,7 @@ class DuckLake:
                                 self.data_path, path_by_fid[fid]
                             ),
                         )
-                        for fid, p, _, _ in dv_dels
+                        for fid, p, _, _, _ in dv_dels
                         if fid in path_by_fid
                     ]
                 )
@@ -2034,7 +2183,7 @@ class DuckLake:
             # 10% deletes of a billion-row table is ~1e8 (path,pos) pairs
             # — broadcasting that OOMs every executor; fall back to a
             # shuffle anti-join and let AQE pick the strategy (SURVEY §4)
-            n_del = sum(int(dc or 0) for _, _, dc, _ in deletes) + len(inline_dels)
+            n_del = sum(int(dc or 0) for _, _, dc, *_ in deletes) + len(inline_dels)
             limit = int(self.meta.option("delete_broadcast_row_limit",
                                          "1000000") or 0)
             if n_del <= limit:
@@ -2096,6 +2245,47 @@ class DuckLake:
             ),
         }
 
+    def _read_encrypted_delete_files(
+            self, pairs: list[tuple[str, str | None]]) -> DataFrame:
+        """Encrypted delete parquet -> DataFrame(file_path, pos).
+
+        Delete files carry per-file PME keys (reference encrypts them
+        like data files, ducklake_delete.cpp:63-70); Spark's reader
+        only speaks the Java factory's data-file key format, so these
+        decode executor-side with pyarrow (crypto_pme) — Arrow-batched,
+        one small positions file per task."""
+        import pandas as pd  # noqa: F811
+
+        src = self.spark.createDataFrame(pairs, "path string, key string")
+
+        def decode(batches):
+            import pyarrow.parquet as _pq
+
+            from ducklake_spark.crypto_pme import (
+                decrypt_properties,
+                key_id_for,
+            )
+            from ducklake_spark.fsio import open_input_any
+
+            for pdf in batches:
+                frames = []
+                for p, k in zip(pdf["path"], pdf["key"]):
+                    props = decrypt_properties({key_id_for(k): k})
+                    with open_input_any(p) as fh:
+                        t = _pq.ParquetFile(
+                            fh, decryption_properties=props
+                        ).read()
+                    frames.append(t.to_pandas())
+                yield (
+                    pd.concat(frames)
+                    if frames
+                    else pd.DataFrame({"file_path": [], "pos": []})
+                )
+
+        return src.repartition(
+            min(max(1, len(pairs)), 256)
+        ).mapInPandas(decode, "file_path string, pos long")
+
     def _decode_dv_files(self, pairs: list[tuple[str, str]]) -> DataFrame:
         """(dv_path, target_file_uri) pairs -> DataFrame(__dfile, __dpos).
 
@@ -2113,8 +2303,10 @@ class DuckLake:
             for pdf in batches:
                 out_f: list[str] = []
                 out_p: list[int] = []
+                from ducklake_spark.fsio import open_input_any as _open
+
                 for dvp, target in zip(pdf["dv_path"], pdf["__dfile"]):
-                    with open(dvp, "rb") as fh:
+                    with _open(dvp) as fh:
                         buf = fh.read()
                     seen: set[int] = set()
                     for blob in puffin_read(buf, dvp):
@@ -2138,6 +2330,16 @@ class DuckLake:
                 .withColumnRenamed("__dfile", "file_path")
                 .withColumnRenamed("__dpos", "pos")
             )
+        if self.encrypted:
+            krow = self.meta.query(
+                "SELECT encryption_key FROM ducklake_delete_file "
+                "WHERE path=? AND encryption_key IS NOT NULL LIMIT 1",
+                (rel_path,),
+            )
+            if krow:
+                return self._read_encrypted_delete_files(
+                    [(os.path.join(self.data_path, rel_path), krow[0][0])]
+                )
         return self.spark.read.schema("file_path string, pos long").parquet(
             os.path.join(self.data_path, rel_path)
         )
@@ -2386,6 +2588,25 @@ class DuckLake:
         snap = self._resolve_snapshot(at_version, at_timestamp)
         row = self._find_table(schema_name, table_name, snap)
         if row is None:
+            # a table created earlier in THIS transaction is visible to
+            # later statements in it (reference: BEGIN; CREATE TABLE;
+            # INSERT; COMMIT — test/sql/checkpoint/
+            # many_inserts_transaction.test). Synthetic handle: ids are
+            # assigned at commit, so table_id=-1 and buffered files are
+            # keyed by name (the CTAS mechanism, _resolve_table_id).
+            if (self._txn is not None and at_version is None
+                    and at_timestamp is None):
+                for td in self._txn.created_tables:
+                    if (td.schema_name == schema_name
+                            and td.table_name == table_name):
+                        if any(c.column_id is None for c in td.columns):
+                            self._preassign_column_ids(td)
+                        return TableHandle(
+                            -1, td.table_uuid, -1, schema_name, table_name,
+                            td.path,
+                            [(c.column_id, c.name, c.type, c.nulls_allowed)
+                             for c in td.columns],
+                        )
             raise DuckLakeError(f"table {name!r} does not exist")
         table_id, table_uuid, schema_id, path = row
         cols = self.meta.query(
@@ -2618,6 +2839,7 @@ def _harvest_stats(pf, colmap: dict[str, int]) -> list[ColumnStatsRow]:
 
 def _stat_str(v) -> str:
     import datetime
+    import math
 
     if isinstance(v, bytes):
         try:
@@ -2626,6 +2848,11 @@ def _stat_str(v) -> str:
             return v.hex()
     if isinstance(v, (datetime.datetime, datetime.date)):
         return v.isoformat(sep=" ") if isinstance(v, datetime.datetime) else v.isoformat()
+    if isinstance(v, float) and math.isinf(v):
+        # the pruning SQL does CAST(value AS REAL): SQLite parses
+        # 'inf' as 0.0 (!) but '1e999' overflows to ±Infinity on both
+        # SQLite and DuckDB — store the portable spelling
+        return "1e999" if v > 0 else "-1e999"
     return str(v)
 
 
@@ -2649,14 +2876,20 @@ def _crypto_key_id(b64key: str) -> str:
     return hashlib.sha256(b64key.encode()).hexdigest()[:16]
 
 
-def parquet_footer_size(path: str) -> int:
+def parquet_footer_size(path: str, fs=None) -> int:
     """Footer length hint recorded per file (reference stores it for the
     reader's footer cache, ducklake_multi_file_list.cpp:181-202): the
-    little-endian u32 before the trailing PAR1 magic, plus those 8 bytes."""
+    little-endian u32 before the trailing PAR1 magic, plus those 8 bytes.
+
+    ``fs`` is a fsio.LakeFS; without one the path is opened through
+    whatever filesystem its scheme names (executor-safe)."""
     import struct
 
-    with open(path, "rb") as f:
-        f.seek(-8, os.SEEK_END)
+    from ducklake_spark.fsio import open_input_any
+
+    f = fs.open_input(path) if fs is not None else open_input_any(path)
+    with f:
+        f.seek(-8, 2)
         return struct.unpack("<I", f.read(4))[0] + 8
 
 

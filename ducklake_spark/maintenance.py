@@ -284,11 +284,10 @@ def cleanup_old_files(lake: DuckLake, *, older_than: str | None = None,
     )
     out = []
     for (path,) in rows:
-        abs_path = os.path.join(lake.data_path, path)
+        abs_path = lake.lfs.strip_scheme(os.path.join(lake.data_path, path))
         out.append(path)
         if not dry_run:
-            if os.path.exists(abs_path):
-                os.remove(abs_path)
+            lake.lfs.remove(abs_path)
             lake.meta.con.execute(
                 "DELETE FROM ducklake_files_scheduled_for_deletion WHERE path=?",
                 (path,),
@@ -308,15 +307,14 @@ def delete_orphaned_files(lake: DuckLake, *, dry_run: bool = False) -> list[str]
             "SELECT path FROM ducklake_files_scheduled_for_deletion")
     }
     orphans = []
-    for root, _dirs, fnames in os.walk(lake.data_path):
-        for fn in fnames:
-            if not fn.endswith(".parquet"):
-                continue
-            rel = os.path.relpath(os.path.join(root, fn), lake.data_path)
-            if rel not in known:
-                orphans.append(rel)
-                if not dry_run:
-                    os.remove(os.path.join(root, fn))
+    # one recursive LIST, never a per-directory walk (object-store-safe)
+    data_fs = lake.lfs.strip_scheme(lake.data_path).rstrip("/") + "/"
+    for p in lake.lfs.list_files(data_fs.rstrip("/"), suffix=".parquet"):
+        rel = p[len(data_fs):] if p.startswith(data_fs) else p
+        if rel not in known:
+            orphans.append(rel)
+            if not dry_run:
+                lake.lfs.remove(p)
     return orphans
 
 
@@ -429,22 +427,34 @@ def _flush_inlined_deletes(lake: DuckLake, h) -> int:
             continue
         rel = frow[0][0]
         prev = lake.meta.query(
-            "SELECT delete_file_id, path, format FROM ducklake_delete_file "
+            "SELECT delete_file_id, path, format, encryption_key "
+            "FROM ducklake_delete_file "
             "WHERE data_file_id=? AND end_snapshot IS NULL", (fid,)
         )
         if prev:
             if (prev[0][2] or "parquet").lower() == "puffin":
                 from ducklake_spark.functions.roaring import puffin_read
 
-                with open(os.path.join(lake.data_path, prev[0][1]), "rb") as fh:
-                    for blob in puffin_read(fh.read()):
-                        positions |= set(blob["positions"])
+                buf = lake.lfs.read_bytes(
+                    lake.lfs.strip_scheme(
+                        os.path.join(lake.data_path, prev[0][1])))
+                for blob in puffin_read(buf):
+                    positions |= set(blob["positions"])
             else:
-                positions |= set(
-                    pq.read_table(
-                        os.path.join(lake.data_path, prev[0][1])
-                    )["pos"].to_pylist()
-                )
+                dec = {}
+                if prev[0][3]:
+                    from ducklake_spark.crypto_pme import (
+                        decrypt_properties,
+                        key_id_for,
+                    )
+
+                    dec = {"decryption_properties": decrypt_properties(
+                        {key_id_for(prev[0][3]): prev[0][3]})}
+                with lake.lfs.open_input(lake.lfs.strip_scheme(
+                        os.path.join(lake.data_path, prev[0][1]))) as fh:
+                    positions |= set(
+                        pq.ParquetFile(fh, **dec).read()["pos"].to_pylist()
+                    )
             txn.replaced_delete_files.append(prev[0][0])
         schema = pa.schema(
             [
@@ -459,14 +469,30 @@ def _flush_inlined_deletes(lake: DuckLake, h) -> int:
             {"file_path": [rel] * len(ordered), "pos": ordered}, schema=schema
         )
         final = os.path.join(delete_dir, f"ducklake-delete-{uuid.uuid4().hex}.parquet")
-        pq.write_table(out, final)
+        final_fs = lake.lfs.strip_scheme(final)
+        enc_key = None
+        wopts = {}
+        if lake.encrypted:
+            import base64 as _b64
+
+            from ducklake_spark.crypto_pme import (
+                encrypt_properties,
+                key_id_for,
+            )
+
+            enc_key = _b64.b64encode(os.urandom(16)).decode()
+            wopts = {"encryption_properties": encrypt_properties(
+                key_id_for(enc_key), enc_key)}
+        with lake.lfs.open_output(final_fs) as fh:
+            pq.write_table(out, fh, **wopts)
         txn.new_delete_files.setdefault(h.table_id, []).append(
             DeleteFileInfo(
                 data_file_id=fid,
                 path=os.path.relpath(final, lake.data_path),
                 delete_count=len(ordered),
-                file_size_bytes=os.path.getsize(final),
-                footer_size=_pfs(final),
+                file_size_bytes=lake.lfs.size(final_fs),
+                footer_size=_pfs(final_fs, fs=lake.lfs),
+                encryption_key=enc_key,
             )
         )
         txn.touched_delete_data_files.add(fid)

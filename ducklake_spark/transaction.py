@@ -122,6 +122,7 @@ class DeleteFileInfo:
     file_size_bytes: int
     footer_size: int = 0
     format: str = "parquet"
+    encryption_key: str | None = None
 
 
 @dataclass
@@ -142,6 +143,7 @@ class Transaction:
         self.base: Snapshot = meta.latest_snapshot()
         # buffered DDL/DML
         self.created_schemas: list[str] = []
+        self.dropped_schemas: list[int] = []
         self.created_tables: list[TableDef] = []
         self.dropped_tables: list[int] = []
         self.renamed_tables: list[tuple[int, str]] = []
@@ -611,6 +613,7 @@ class Transaction:
             schema_version = self.meta.latest_snapshot().schema_version
             bump_schema = bool(
                 self.created_schemas
+                or self.dropped_schemas
                 or self.created_tables
                 or self.dropped_tables
                 or self.renamed_tables
@@ -675,6 +678,12 @@ class Transaction:
                     "UPDATE ducklake_table SET end_snapshot = ? "
                     "WHERE table_id = ? AND end_snapshot IS NULL",
                     (snap_id, tid),
+                )
+            for sid_ in self.dropped_schemas:
+                con.execute(
+                    "UPDATE ducklake_schema SET end_snapshot = ? "
+                    "WHERE schema_id = ? AND end_snapshot IS NULL",
+                    (snap_id, sid_),
                 )
             for tid, new_name in self.renamed_tables:
                 row = con.execute(
@@ -825,7 +834,7 @@ class Transaction:
                 for df in dfiles:
                     con.execute(
                         "INSERT INTO ducklake_delete_file VALUES "
-                        "(?, ?, ?, NULL, ?, ?, 1, ?, ?, ?, ?, NULL, NULL)",
+                        "(?, ?, ?, NULL, ?, ?, 1, ?, ?, ?, ?, ?, NULL)",
                         (
                             next_file,
                             tid,
@@ -836,6 +845,7 @@ class Transaction:
                             df.delete_count,
                             df.file_size_bytes,
                             df.footer_size,
+                            df.encryption_key,
                         ),
                     )
                     next_file += 1

@@ -4,8 +4,8 @@
 Column data is AES-GCM encrypted via parquet modular encryption
 (java/ducklake/DuckLakeCrypto.java, prebuilt into
 ducklake_spark/jars/); footers stay plaintext so stats harvesting and
-footer_size work. Delete files remain plaintext (positions only) — a
-documented gap vs the reference."""
+footer_size work. Delete files carry their own per-file PME keys
+(ducklake_spark/crypto_pme.py; reference ducklake_delete.cpp:63-70)."""
 
 from __future__ import annotations
 
@@ -104,3 +104,56 @@ def test_encrypted_time_travel_and_stats(elake, spark):
         "SELECT record_count, footer_size FROM ducklake_data_file"
     )
     assert all(rc > 0 and fs > 0 for rc, fs in rows)
+
+
+def test_encrypted_delete_files(elake, spark, tmp_path):
+    """Delete parquet written under an ENCRYPTED lake is unreadable
+    without its catalog key (reference encrypts delete files with
+    per-file keys, ducklake_delete.cpp:63-70)."""
+    import pyarrow.parquet as pq
+
+    lk = elake
+    lk.create_table("t", [("i", "int64")])
+    lk.insert("t", spark.range(100).withColumnRenamed("id", "i"))
+    assert lk.delete("t", "i % 10 = 3") == 10
+    rows = lk.meta.query(
+        "SELECT path, encryption_key, delete_count FROM ducklake_delete_file "
+        "WHERE end_snapshot IS NULL")
+    assert rows and all(k for _p, k, _c in rows)
+    total = 0
+    for rel, key, dc in rows:
+        full = os.path.join(str(tmp_path / "data"), rel)
+        with pytest.raises(Exception):
+            pq.read_table(full)  # no key -> unreadable
+        from ducklake_spark.crypto_pme import decrypt_properties, key_id_for
+
+        t = pq.ParquetFile(
+            full, decryption_properties=decrypt_properties({key_id_for(key): key})
+        ).read()
+        assert t.num_rows == dc
+        total += t.num_rows
+    assert total == 10  # one delete parquet per touched data file
+    # scans still merge the deletes correctly
+    assert lk.table("t").count() == 90
+    # a second delete merges the encrypted prev delete file
+    assert lk.delete("t", "i % 10 = 7") == 10
+    assert lk.table("t").count() == 80
+    got = sorted(r.i for r in lk.table("t").collect())
+    assert all(i % 10 not in (3, 7) for i in got)
+
+
+def test_encrypted_flush_inlined_deletes(elake, spark):
+    """deletion_inlining + flush folds positions into an ENCRYPTED
+    delete parquet."""
+    lk = elake
+    lk.create_table("t", [("i", "int64")])
+    lk.insert("t", spark.range(50).withColumnRenamed("id", "i"))
+    lk.meta.set_option("deletion_inlining_row_limit", "100",
+                       scope="table", scope_id=lk._handle("t").table_id)
+    assert lk.delete("t", "i < 5") == 5
+    assert lk.table("t").count() == 45
+    lk.flush_inlined_data()
+    rows = lk.meta.query(
+        "SELECT encryption_key FROM ducklake_delete_file WHERE end_snapshot IS NULL")
+    assert rows and all(k for (k,) in rows)
+    assert lk.table("t").count() == 45
