@@ -1554,7 +1554,9 @@ class DuckLake:
                     "partial_max": fi.partial_max,
                     "file_size_bytes": fi.file_size_bytes,
                     "mapping_id": fi.mapping_id,
-                    "begin_snapshot": snap.snapshot_id,
+                    # uncommitted: snapshot_id reads NULL (reference
+                    # ducklake_snapshot_id.test in-txn rows)
+                    "begin_snapshot": None,
                     "encryption_key": fi.encryption_key,
                 })
                 neg -= 1
@@ -2371,6 +2373,11 @@ class DuckLake:
         driver round-trips (it was: the round-2 verdict's N+1)."""
         if f.get("begin_snapshot") is not None:
             return f["begin_snapshot"]
+        if f["data_file_id"] < 0:
+            # buffered (uncommitted) overlay file: its snapshot does not
+            # exist yet — snapshot_id reads NULL, like the reference
+            # (test/sql/virtualcolumns/ducklake_snapshot_id.test)
+            return None
         row = self.meta.query(
             "SELECT begin_snapshot FROM ducklake_data_file WHERE data_file_id=?",
             (f["data_file_id"],),

@@ -258,3 +258,44 @@ def test_concurrent_table_creation_no_false_conflict(spark, tmp_path):
         lake2.create_table("tmp_b", [("x", "int32")])
         lake2.insert("tmp_b", spark.createDataFrame([(2,)], "x int"))
     assert lake2.table("tmp_b").count() == 1
+
+
+# -- virtualcolumns/ducklake_snapshot_id.test ---------------------------
+
+def test_snapshot_id_virtual_column_lifecycle(lake, spark):
+    lake.create_table("t", [("i", "int32")])
+    for v in (1, 2, 3, None):
+        lake.insert("t", spark.createDataFrame([(v,)], "i int"))
+    committed = {
+        r.i: r.snapshot_id
+        for r in lake.table("t", with_virtual=True).collect()
+    }
+    assert sorted(committed.values()) == [2, 3, 4, 5]
+    with lake.transaction():
+        lake.insert("t", spark.createDataFrame([(10,), (11,)], "i int"))
+        rows = lake.table("t", with_virtual=True).collect()
+        assert len(rows) == 6
+        # uncommitted rows read snapshot_id NULL, committed keep theirs
+        by_i = {r.i: r.snapshot_id for r in rows}
+        assert by_i[10] is None and by_i[11] is None
+        assert by_i[1] == 2
+    after = {r.i: r.snapshot_id
+             for r in lake.table("t", with_virtual=True).collect()}
+    assert after[10] == after[11] == 6
+    assert [r.i for r in lake.table("t", with_virtual=True)
+            .filter("snapshot_id = 4").collect()] == [3]
+
+
+# -- rowid/ducklake_row_id_update.test ----------------------------------
+
+def test_rowid_preserved_through_partitioned_merge(lake, spark):
+    lake.create_table("t", [("i", "int32"), ("j", "int32")])
+    lake.set_partitioned_by("t", [("i", "identity")])
+    lake.insert("t", spark.createDataFrame([(1, 5), (2, 5)], "i int, j int"))
+    src = spark.createDataFrame([(1, 5)], "i int, j int")
+    lake.merge("t", src, on=["j"],
+               when_matched_update={"i": None, "j": None},
+               when_not_matched_insert=False)
+    got = [(r.rowid, r.i, r.j) for r in
+           lake.table("t", with_virtual=True).orderBy("rowid").collect()]
+    assert got == [(0, 1, 5), (1, 1, 5)]
