@@ -384,17 +384,30 @@ class Transaction:
                 "require_commit_message is set: call set_commit_message() first "
                 "(reference: ducklake_set_option.cpp require_commit_message)"
             )
-        wait_ms = RETRY_WAIT_MS
-        for attempt in range(MAX_RETRY_COUNT + 1):
+        # knobs match the reference settings ducklake_max_retry_count /
+        # retry_wait_ms / retry_backoff (src/ducklake_extension.cpp:29-35)
+        max_retry = int(
+            self.meta.option("max_retry_count", str(MAX_RETRY_COUNT))
+            or MAX_RETRY_COUNT
+        )
+        wait_ms = float(
+            self.meta.option("retry_wait_ms", str(RETRY_WAIT_MS))
+            or RETRY_WAIT_MS
+        )
+        backoff = float(
+            self.meta.option("retry_backoff", str(RETRY_BACKOFF))
+            or RETRY_BACKOFF
+        )
+        for attempt in range(max_retry + 1):
             try:
                 return self._try_commit(staged=staged)
             except ConflictError:
                 raise
             except Exception as exc:  # sqlite busy/locked -> retry
-                if not self.meta.is_retryable(exc) or attempt == MAX_RETRY_COUNT:
+                if not self.meta.is_retryable(exc) or attempt == max_retry:
                     raise
                 time.sleep(wait_ms / 1000.0)
-                wait_ms *= RETRY_BACKOFF
+                wait_ms *= backoff
         raise RuntimeError("unreachable")
 
     @classmethod
