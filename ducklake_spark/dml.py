@@ -136,7 +136,7 @@ def _apply_file_deletes(lake: DuckLake, h: TableHandle, snap, files: list[dict],
     if victims is None:
         return 0
     file_by_path = {
-        "file:" + os.path.join(lake.data_path, f["path"]): f for f in files
+        lake._uri_prefix() + f["path"]: f for f in files
     }
     counts = victims.groupBy("filename").count().collect()
     per_file = [(r["filename"], r["count"]) for r in counts]
@@ -231,7 +231,7 @@ def _apply_file_deletes(lake: DuckLake, h: TableHandle, snap, files: list[dict],
             for p in partial
             if p["prev"] and p["prev_fmt"].lower() == "puffin"
         ]
-        prefix = "file:" + lake.data_path
+        prefix = lake._uri_prefix()
         new_dels = new_dels.withColumn(
             "file_path", F.expr(f"substring(filename, {len(prefix) + 1})")
         ).select("file_path", "pos")

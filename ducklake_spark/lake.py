@@ -2079,8 +2079,9 @@ class DuckLake:
         # per-file row_id_start / begin-snapshot / hive-value map (small;
         # broadcast join — at 100 TB this is #files rows, not data rows)
         pv_fill = self._foreign_partition_values(h, files)
+        uri = self._uri_prefix()
         file_rows = [
-            (os.path.join(self.data_path, f["path"]), f["row_id_start"],
+            (uri + f["path"], f["row_id_start"],
              self._file_begin_snapshot(f), f["partial_max"],
              pv_fill.get(f["data_file_id"]) or {})
             for f in files
@@ -2089,7 +2090,7 @@ class DuckLake:
             file_rows,
             "____path string, __row_id_start long, __file_snap long, "
             "__partial_max long, __pv map<string,string>",
-        ).withColumn("____path", F.concat(F.lit("file:"), F.col("____path")))
+        )
         df = df.join(F.broadcast(fmap), df["__file"] == fmap["____path"], "left").drop("____path")
         # foreign hive-partitioned files: the partition column exists only in
         # the directory name -> backfill from recorded partition values
@@ -2135,7 +2136,7 @@ class DuckLake:
                     .withColumnRenamed("pos", "__dpos")
                     .withColumn(
                         "__dfile",
-                        F.concat(F.lit("file:" + self.data_path), F.col("__dfile")),
+                        F.concat(F.lit(self._uri_prefix()), F.col("__dfile")),
                     )
                 )
             if enc_dels:
@@ -2148,7 +2149,7 @@ class DuckLake:
                     .withColumnRenamed("pos", "__dpos")
                     .withColumn(
                         "__dfile",
-                        F.concat(F.lit("file:" + self.data_path), F.col("__dfile")),
+                        F.concat(F.lit(self._uri_prefix()), F.col("__dfile")),
                     )
                 )
                 ddf = edf if ddf is None else ddf.unionByName(edf)
@@ -2160,9 +2161,7 @@ class DuckLake:
                     [
                         (
                             os.path.join(self.data_path, p),
-                            "file:" + os.path.join(
-                                self.data_path, path_by_fid[fid]
-                            ),
+                            self._uri_prefix() + path_by_fid[fid],
                         )
                         for fid, p, _, _, _ in dv_dels
                         if fid in path_by_fid
@@ -2171,7 +2170,7 @@ class DuckLake:
                 ddf = dvdf if ddf is None else ddf.unionByName(dvdf)
             if inline_dels:
                 path_by_fid = {
-                    f["data_file_id"]: "file:" + os.path.join(self.data_path, f["path"])
+                    f["data_file_id"]: self._uri_prefix() + f["path"]
                     for f in files
                 }
                 idf = self.spark.createDataFrame(
@@ -2383,6 +2382,19 @@ class DuckLake:
             (f["data_file_id"],),
         )
         return row[0][0]
+
+    def _uri_prefix(self) -> str:
+        """Prefix P such that P + <relative file path> equals the value
+        Spark reports in ``_metadata.file_path`` for files under
+        data_path — 'file:/abs/path/' locally (both for bare paths and
+        file:// URIs), the untouched URI for object-store schemes."""
+        dp = self.data_path  # normalized to end with '/'
+        if "://" in dp:
+            scheme, rest = dp.split("://", 1)
+            if scheme == "file":
+                return "file:/" + rest.lstrip("/")
+            return dp
+        return "file:" + dp
 
     def _reader_schema(self, h: TableHandle, schema: T.StructType) -> T.StructType:
         """Schema used against parquet: table columns (+ embedded rowid /

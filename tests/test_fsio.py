@@ -161,3 +161,27 @@ def test_list_files_allows_missing_root(tmp_path):
     fs = LakeFS.for_path(str(tmp_path))
     assert fs.list_files(str(tmp_path / "absent")) == []
     assert not fs.exists(str(tmp_path / "absent"))
+
+
+def test_uri_data_path_lifecycle(spark, tmp_path):
+    """The whole write/maintain lifecycle on a scheme-qualified
+    (file://) data path: proves every path round-trips through URI
+    normalization — the same code path an s3a:// deployment takes
+    (reference runs on minio, test/sql/cloud/)."""
+    from ducklake_spark.lake import DuckLake
+
+    lake = DuckLake.attach(
+        spark, conftest.catalog_url(tmp_path), "file://" + str(tmp_path / "data")
+    )
+    lake.create_table("t", [("i", "int64")])
+    lake.insert("t", spark.range(20).withColumnRenamed("id", "i"))
+    assert lake.table("t").count() == 20
+    assert lake.delete("t", "i < 5") == 5
+    assert lake.update("t", {"i": "i + 100"}, "i = 19") == 1
+    lake.merge_adjacent_files()
+    assert lake.table("t").count() == 15
+    lake.expire_snapshots(versions=list(range(1, lake.current_snapshot())))
+    removed = lake.cleanup_old_files(cleanup_all=True)
+    assert removed
+    got = sorted(r.i for r in lake.table("t").collect())
+    assert got[:3] == [5, 6, 7] and got[-1] == 119
