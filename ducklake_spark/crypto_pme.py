@@ -10,10 +10,12 @@ PME with the SAME catalog-key model:
 - one random 128-bit key per delete file, base64 in the catalog;
 - standard PME bytes on disk (encrypted footer, AES-GCM) — the file
   is unreadable without its catalog key;
-- key wrapping is a one-time pad: PME generates a random DEK and asks
-  the "KMS" to wrap it under the catalog (master) key — XOR is an
-  information-theoretically secure wrap when each master key wraps
-  exactly one DEK, which holds because both are random and per-file.
+- key wrapping: PME generates random DEKs (footer + column groups) and
+  asks the "KMS" to wrap each under the catalog (master) key. The wrap
+  is ``salt || (DEK XOR HMAC-SHA256(master, salt))`` with a fresh
+  random salt per wrap — a standard KDF-in-counter-mode construction,
+  safe for any number of DEKs under one master (each wrap uses an
+  independent pseudorandom keystream; stdlib-only, no AES dependency).
 
 All functions are executor-safe (no driver state; resolved per call).
 """
@@ -28,24 +30,32 @@ _MASTER_PREFIX = "dlk"
 def _kms_factory(keymap: dict[str, bytes]):
     import pyarrow.parquet.encryption as pe
 
-    class _OtpKms(pe.KmsClient):
+    import hmac as _hmac
+    import os as _os
+
+    def _stream(master: bytes, salt: bytes, n: int) -> bytes:
+        return _hmac.new(master, salt, "sha256").digest()[:n]
+
+    class _HmacWrapKms(pe.KmsClient):
         def __init__(self):
             pe.KmsClient.__init__(self)
 
         def wrap_key(self, key_bytes: bytes, master_key_identifier: str):
             m = keymap[master_key_identifier]
-            if len(key_bytes) != len(m):
-                raise ValueError("DEK/master length mismatch")
+            salt = _os.urandom(16)
+            ks = _stream(m, salt, len(key_bytes))
             return base64.b64encode(
-                bytes(a ^ b for a, b in zip(key_bytes, m))
+                salt + bytes(a ^ b for a, b in zip(key_bytes, ks))
             ).decode()
 
         def unwrap_key(self, wrapped_key, master_key_identifier: str):
             m = keymap[master_key_identifier]
             w = base64.b64decode(wrapped_key)
-            return bytes(a ^ b for a, b in zip(w, m))
+            salt, body = w[:16], w[16:]
+            ks = _stream(m, salt, len(body))
+            return bytes(a ^ b for a, b in zip(body, ks))
 
-    return pe.CryptoFactory(lambda _conf: _OtpKms())
+    return pe.CryptoFactory(lambda _conf: _HmacWrapKms())
 
 
 def encrypt_properties(key_id: str, b64key: str,

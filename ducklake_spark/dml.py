@@ -136,7 +136,7 @@ def _apply_file_deletes(lake: DuckLake, h: TableHandle, snap, files: list[dict],
     if victims is None:
         return 0
     file_by_path = {
-        lake._uri_prefix() + f["path"]: f for f in files
+        lake._file_uri(f["path"]): f for f in files
     }
     counts = victims.groupBy("filename").count().collect()
     per_file = [(r["filename"], r["count"]) for r in counts]
@@ -231,9 +231,15 @@ def _apply_file_deletes(lake: DuckLake, h: TableHandle, snap, files: list[dict],
             for p in partial
             if p["prev"] and p["prev_fmt"].lower() == "puffin"
         ]
-        prefix = lake._uri_prefix()
-        new_dels = new_dels.withColumn(
-            "file_path", F.expr(f"substring(filename, {len(prefix) + 1})")
+        # map scan filenames back to CATALOG paths via an explicit
+        # broadcast map (a prefix-substring breaks for adopted files
+        # stored with absolute paths)
+        fname_map = lake.spark.createDataFrame(
+            [(p["fname"], p["rel"]) for p in partial],
+            "filename string, file_path string",
+        )
+        new_dels = new_dels.join(
+            F.broadcast(fname_map), "filename"
         ).select("file_path", "pos")
         if prev_pq or prev_enc:
             prev = None
@@ -259,6 +265,9 @@ def _apply_file_deletes(lake: DuckLake, h: TableHandle, snap, files: list[dict],
             ).withColumnRenamed("__dpos", "pos")
             new_dels = new_dels.unionByName(prev).distinct()
         delete_dir = os.path.join(lake.data_path, h.path)
+        # adopted-only tables may have no table dir yet (their data
+        # lives elsewhere) — the delete files land under data_path
+        lake.lfs.makedirs(lake.lfs.strip_scheme(delete_dir))
         # one delete parquet per touched data file, written EXECUTOR-side
         # (applyInPandas group per file): the driver only collects per-file
         # metadata rows, so a delete spanning 100k files neither serializes
@@ -602,6 +611,32 @@ def merge_into(lake: DuckLake, target: str, source: DataFrame, on: list[str],
             "MERGE INTO a table created in the current transaction is "
             "not supported; commit the CREATE first"
         )
+    # MERGE victims target COMMITTED (file, pos) identities: inside an
+    # open transaction whose buffer already touches the target (or when
+    # inlined rows can't be flushed because flush would only buffer),
+    # the committed view is stale — matched rows would be re-inserted
+    # as duplicates. Refuse loudly instead of corrupting.
+    txn0 = lake._txn
+    if txn0 is not None:
+        touched = (
+            txn0.new_data_files.get(str(h.table_id))
+            or txn0.new_delete_files.get(h.table_id)
+            or txn0.removed_data_files.get(h.table_id)
+            or txn0.inlined_deletes.get(h.table_id)
+            or any(t[0] == h.table_id for t in txn0.inlined_inserts)
+            or any(t[0] == h.table_id
+                   for t in txn0.inlined_inserts_rebase)
+        )
+        has_inlined = bool(lake.meta.query(
+            "SELECT 1 FROM ducklake_inlined_data_tables WHERE table_id=?",
+            (h.table_id,),
+        ))
+        if touched or has_inlined:
+            raise DuckLakeError(
+                "MERGE INTO inside an open transaction that already "
+                "modified the target (or over unflushed inlined rows) "
+                "is not supported; commit the pending changes first"
+            )
     # matched victims address rows as (file, pos): flush catalog-inlined
     # rows first so every target row is parquet-backed
     if lake.meta.query(
@@ -656,7 +691,6 @@ def merge_into(lake: DuckLake, target: str, source: DataFrame, on: list[str],
                         "MERGE: the same target row matches multiple source "
                         "rows — eliminate duplicate matches before updating"
                     )
-            if when_matched_update:
                 replaced += _write_replacements(
                     joined.select(
                         *[

@@ -149,6 +149,22 @@ def _glob_regex(pattern: str) -> "re.Pattern[str]":
             out.append("[^/]*")
         elif c == "?":
             out.append("[^/]")
+        elif c == "[":
+            j = i + 1
+            if j < len(pattern) and pattern[j] in "!^":
+                j += 1
+            if j < len(pattern) and pattern[j] == "]":
+                j += 1
+            while j < len(pattern) and pattern[j] != "]":
+                j += 1
+            if j >= len(pattern):  # unterminated '[' is a literal
+                out.append(re.escape(c))
+            else:
+                inner = pattern[i + 1:j].replace("\\", "\\\\")
+                if inner.startswith("!"):
+                    inner = "^" + inner[1:]
+                out.append(f"[{inner}]")
+                i = j
         else:
             out.append(re.escape(c))
         i += 1

@@ -48,6 +48,11 @@ from ducklake_spark.transaction import (
     Transaction,
 )
 
+# sql() temp-view registration cache: SparkSession id -> (lake id, key)
+# of the lake whose views are currently registered (views are global to
+# the session, so ownership must be session-scoped)
+_SQL_VIEW_OWNER: dict[int, tuple | None] = {}
+
 ROWID_COL = "_ducklake_internal_row_id"
 SNAPID_COL = "_ducklake_internal_snapshot_id"
 # Iceberg positional-delete field ids (reference: ducklake_delete.cpp:36-158)
@@ -166,9 +171,6 @@ class DuckLake:
         if data_inlining_row_limit is not None:
             self.meta.set_option("data_inlining_row_limit", str(data_inlining_row_limit))
         self._txn: Transaction | None = None
-        # (snapshot_id, at_version) the temp views were last registered
-        # for — sql() skips re-registration while it matches
-        self._sql_view_key: tuple | None = None
         self._commit_note: tuple[str | None, str | None, str | None] = (None, None, None)
         spark.conf.set("spark.sql.parquet.fieldId.write.enabled", "true")
         spark.conf.set("spark.sql.parquet.fieldId.read.enabled", "true")
@@ -429,9 +431,12 @@ class DuckLake:
                 if not (td.schema_name == h.schema_name
                         and td.table_name == h.table_name)
             ]
-            entry = f'created_table:"{h.schema_name}"."{h.table_name}"'
-            if entry in txn.change_log:
-                txn.change_log.remove(entry)
+            for entry in (
+                f'created_table:"{h.schema_name}"."{h.table_name}"',
+                f"inserted_into_table:{h.schema_name}.{h.table_name}",
+            ):
+                while entry in txn.change_log:
+                    txn.change_log.remove(entry)
             return
         txn = self.begin()
         txn.dropped_tables.append(h.table_id)
@@ -941,7 +946,7 @@ class DuckLake:
         key = (str(h.table_id) if h.table_id >= 0
                else f"{h.schema_name}.{h.table_name}")
         txn.new_data_files.setdefault(key, []).extend(files)
-        txn.change_log.append(f"inserted_into_table:{h.table_id}")
+        txn.change_log.append(f"inserted_into_table:{key}")
         self._autocommit()
         return sum(f.record_count for f in files)
 
@@ -965,7 +970,9 @@ class DuckLake:
             schema = self._spark_schema(h)
             files = self._write_parquet(h, self._conform(df, schema, h), schema, [], [])
             self._txn.new_data_files.setdefault(f"{schema_name}.{table_name}", []).extend(files)
-            self._txn.change_log.append(f'inserted_into_table:-1')
+            self._txn.change_log.append(
+                f"inserted_into_table:{schema_name}.{table_name}"
+            )
 
     def _preassign_column_ids(self, td: TableDef) -> None:
         # atomically reserved band: two concurrent CTAS get disjoint ids,
@@ -1171,12 +1178,13 @@ class DuckLake:
         if len(infos) < self.DISTRIBUTED_HARVEST_MIN_FILES:
             for f, path in zip(infos, paths):
                 p_fs = self.lfs.strip_scheme(path)
+                # one open per file: size + footer + stats off one handle
                 with self.lfs.open_input(p_fs) as fh:
                     pf = pq.ParquetFile(fh)
                     f.record_count = pf.metadata.num_rows
                     f.column_stats = _harvest_stats(pf, colmap)
-                f.file_size_bytes = self.lfs.size(p_fs)
-                f.footer_size = parquet_footer_size(p_fs, fs=self.lfs)
+                    f.file_size_bytes = fh.size()
+                    f.footer_size = _footer_size_from_handle(fh)
             return
 
         def gen(batches):
@@ -1191,6 +1199,9 @@ class DuckLake:
             )
 
             from ducklake_spark.fsio import open_input_any as _open
+            from ducklake_spark.lake import (
+                _footer_size_from_handle as _fsz,
+            )
 
             for b in batches:
                 out = []
@@ -1200,12 +1211,13 @@ class DuckLake:
                         pf = _pq.ParquetFile(fh)
                         stats = _hs(pf, colmap)
                         nrows = pf.metadata.num_rows
+                        footer = _fsz(fh)
                     out.append(
                         (
                             p,
                             nrows,
                             size,
-                            _pfs(p),
+                            footer,
                             _json.dumps([s.__dict__ for s in stats]),
                         )
                     )
@@ -1507,12 +1519,18 @@ class DuckLake:
         transaction the overlay changes as writes buffer, so the cache
         is bypassed (and left invalidated for the post-commit call)."""
         key = (self.meta.latest_snapshot().snapshot_id, at_version)
-        if self._txn is not None or self._sql_view_key != key:
+        # temp views are global to the SparkSession: another lake on the
+        # same session may have re-registered them, so ownership is
+        # tracked per session, not only per lake
+        owner = _SQL_VIEW_OWNER.get(id(self.spark))
+        if self._txn is not None or owner != (id(self), key):
             for t in self._table_names():
                 self.table(t, at_version=at_version).createOrReplaceTempView(
                     t.split(".")[-1]
                 )
-            self._sql_view_key = None if self._txn is not None else key
+            _SQL_VIEW_OWNER[id(self.spark)] = (
+                None if self._txn is not None else (id(self), key)
+            )
         return self.spark.sql(query)
 
     def _visible_files(self, h: TableHandle, snap: Snapshot,
@@ -2009,8 +2027,11 @@ class DuckLake:
             # coalesce fill only touches files that lack the column.
             groups: dict[tuple, list[dict]] = {}
             for f in native:
+                # buffered overlay files (begin_snapshot None) are newer
+                # than every committed rename: no rename postdates them
+                fsnap = self._file_begin_snapshot(f)
                 later = tuple(
-                    r for r in renames if r[0] > self._file_begin_snapshot(f)
+                    r for r in renames if fsnap is not None and r[0] > fsnap
                 )
                 absent = absent_by_fid.get(f["data_file_id"], frozenset())
                 groups.setdefault((later, absent), []).append(f)
@@ -2079,9 +2100,8 @@ class DuckLake:
         # per-file row_id_start / begin-snapshot / hive-value map (small;
         # broadcast join — at 100 TB this is #files rows, not data rows)
         pv_fill = self._foreign_partition_values(h, files)
-        uri = self._uri_prefix()
         file_rows = [
-            (uri + f["path"], f["row_id_start"],
+            (self._file_uri(f["path"]), f["row_id_start"],
              self._file_begin_snapshot(f), f["partial_max"],
              pv_fill.get(f["data_file_id"]) or {})
             for f in files
@@ -2136,7 +2156,7 @@ class DuckLake:
                     .withColumnRenamed("pos", "__dpos")
                     .withColumn(
                         "__dfile",
-                        F.concat(F.lit(self._uri_prefix()), F.col("__dfile")),
+                        self._file_uri_col(F.col("__dfile")),
                     )
                 )
             if enc_dels:
@@ -2149,7 +2169,7 @@ class DuckLake:
                     .withColumnRenamed("pos", "__dpos")
                     .withColumn(
                         "__dfile",
-                        F.concat(F.lit(self._uri_prefix()), F.col("__dfile")),
+                        self._file_uri_col(F.col("__dfile")),
                     )
                 )
                 ddf = edf if ddf is None else ddf.unionByName(edf)
@@ -2161,7 +2181,7 @@ class DuckLake:
                     [
                         (
                             os.path.join(self.data_path, p),
-                            self._uri_prefix() + path_by_fid[fid],
+                            self._file_uri(path_by_fid[fid]),
                         )
                         for fid, p, _, _, _ in dv_dels
                         if fid in path_by_fid
@@ -2170,7 +2190,7 @@ class DuckLake:
                 ddf = dvdf if ddf is None else ddf.unionByName(dvdf)
             if inline_dels:
                 path_by_fid = {
-                    f["data_file_id"]: self._uri_prefix() + f["path"]
+                    f["data_file_id"]: self._file_uri(f["path"])
                     for f in files
                 }
                 idf = self.spark.createDataFrame(
@@ -2395,6 +2415,29 @@ class DuckLake:
                 return "file:/" + rest.lstrip("/")
             return dp
         return "file:" + dp
+
+    def _file_uri(self, path: str) -> str:
+        """Catalog file path -> the URI Spark reports in
+        ``_metadata.file_path``. Handles all three stored forms:
+        relative to data_path (normal writes), absolute local
+        (adopted foreign files), and scheme-qualified URIs."""
+        if "://" in path:
+            scheme, rest = path.split("://", 1)
+            if scheme == "file":
+                return "file:/" + rest.lstrip("/")
+            return path
+        if path.startswith("/"):
+            return "file:" + path
+        return self._uri_prefix() + path
+
+    def _file_uri_col(self, c):
+        """Column-expression form of :meth:`_file_uri` (delete-file
+        contents store the same three path forms)."""
+        return (
+            F.when(c.startswith("/"), F.concat(F.lit("file:"), c))
+            .when(c.contains("://"), c)
+            .otherwise(F.concat(F.lit(self._uri_prefix()), c))
+        )
 
     def _reader_schema(self, h: TableHandle, schema: T.StructType) -> T.StructType:
         """Schema used against parquet: table columns (+ embedded rowid /
@@ -2893,6 +2936,14 @@ def _crypto_key_id(b64key: str) -> str:
     import hashlib
 
     return hashlib.sha256(b64key.encode()).hexdigest()[:16]
+
+
+def _footer_size_from_handle(fh) -> int:
+    """Footer length from an already-open file handle (no reopen)."""
+    import struct
+
+    fh.seek(-8, 2)
+    return struct.unpack("<I", fh.read(4))[0] + 8
 
 
 def parquet_footer_size(path: str, fs=None) -> int:

@@ -979,9 +979,22 @@ class Transaction:
                  next_cat, next_file),
             )
             author, message, extra = self.commit_message
+            # txn-local/CTAS inserts were logged under the table NAME
+            # (ids exist only now): rewrite to the assigned id so the
+            # changes feed other readers parse carries real ids
+            resolved_log = []
+            for entry in self.change_log:
+                kind, _, payload = entry.partition(":")
+                if (kind == "inserted_into_table"
+                        and payload and not payload.lstrip("-").isdigit()):
+                    try:
+                        entry = f"{kind}:{self._resolve_table_id(payload)}"
+                    except ValueError:
+                        pass
+                resolved_log.append(entry)
             con.execute(
                 "INSERT INTO ducklake_snapshot_changes VALUES (?, ?, ?, ?, ?)",
-                (snap_id, ",".join(self.change_log), author, message, extra),
+                (snap_id, ",".join(resolved_log), author, message, extra),
             )
             if staged:
                 # remember the stage-point and touched-file set for

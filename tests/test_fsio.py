@@ -63,8 +63,8 @@ def test_write_lifecycle_routes_through_seam(rec_lake, spark):
         spark.createDataFrame([(i, f"v{i}") for i in range(10)],
                               "i long, v string"),
     )
-    assert {"makedirs", "list_files", "move", "rmtree", "open_input",
-            "size"} <= fs.ops()
+    assert {"makedirs", "list_files", "move", "rmtree",
+            "open_input"} <= fs.ops()
     fs.calls.clear()
     assert lake.update("t", {"v": "'x'"}, "i >= 8") == 2
     assert {"move", "list_files"} <= fs.ops()
@@ -107,7 +107,7 @@ def test_add_data_files_globs_through_seam(rec_lake, spark, tmp_path):
     fs.calls.clear()
     n = lake.add_data_files("adopt", str(foreign / "batch" / "*.parquet"))
     assert n == 1
-    assert {"glob", "open_input", "size"} <= fs.ops()
+    assert {"glob", "open_input"} <= fs.ops()
     assert lake.table("adopt").count() == 5
 
 
@@ -143,12 +143,17 @@ def test_glob_matches_stdlib_semantics(tmp_path):
         p.parent.mkdir(parents=True, exist_ok=True)
         p.write_bytes(b"")
     fs = LakeFS.for_path(str(base))
+    (base / "file1.parquet").write_bytes(b"")
+    (base / "file2.parquet").write_bytes(b"")
     for pattern in (
         str(base / "**" / "*.parquet"),
         str(base / "a" / "*.parquet"),
         str(base / "a" / "**" / "*.parquet"),
         str(base / "*" / "x.*"),
         str(base / "nomatch" / "*.parquet"),
+        str(base / "file[12].parquet"),
+        str(base / "file[!3].parquet"),
+        str(base / "file?.parquet"),
     ):
         expect = sorted(glob.glob(pattern, recursive=True))
         got = sorted(fs.glob(pattern))

@@ -636,12 +636,12 @@ def test_txn_scan_keeps_explicit_nulls_in_buffered_files(spark, tmp_path):
 
 
 def test_merge_inside_open_txn_with_buffered_insert(spark, tmp_path):
-    """MERGE running inside a user transaction that has buffered an
-    insert must read the COMMITTED view for its victim scan — buffered
-    files have no stable identity yet, so positional deletes against
-    them would be meaningless (and used to crash on a missing file-map
-    key)."""
-    from ducklake_spark.lake import DuckLake
+    """MERGE inside a user transaction whose buffer already touched the
+    target REFUSES instead of silently duplicating: the committed view
+    would classify buffered keys as not-matched and re-insert them.
+    (Round 3 pinned the duplicate as 'documented'; the duplicate was
+    wrong results — the explicit rejection is the honest contract.)"""
+    from ducklake_spark.lake import DuckLake, DuckLakeError
 
     lake = DuckLake.attach(
         spark, str(tmp_path / "mmtx.db"), str(tmp_path / "dmtx")
@@ -651,18 +651,15 @@ def test_merge_inside_open_txn_with_buffered_insert(spark, tmp_path):
     with lake.transaction():
         lake.insert("t", spark.createDataFrame([(3, 30)], "k long, v long"))
         src = spark.createDataFrame([(2, 99), (3, 77)], "k long, v long")
-        counts = lake.merge(
-            "t", src, ["k"],
-            when_matched_update={"v": None},
-            when_not_matched_insert=True,
-        )
-        # k=3 is only buffered, not committed: merge sees the committed
-        # view, so it updates k=2 and inserts k=3 again
-        assert counts["updated"] == 1
+        with pytest.raises(DuckLakeError, match="open transaction"):
+            lake.merge(
+                "t", src, ["k"],
+                when_matched_update={"v": None},
+                when_not_matched_insert=True,
+            )
+    # the rejected merge left no trace; the buffered insert committed
     rows = sorted((r.k, r.v) for r in lake.table("t").collect())
-    assert (2, 99) in rows and (1, 10) in rows
-    # both the buffered (3,30) and the merge-inserted (3,77) landed
-    assert [k for k, _ in rows].count(3) == 2
+    assert rows == [(1, 10), (2, 20), (3, 30)]
 
 
 def test_merge_multi_match_raises(lake, spark):

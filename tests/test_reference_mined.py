@@ -299,3 +299,76 @@ def test_rowid_preserved_through_partitioned_merge(lake, spark):
     got = [(r.rowid, r.i, r.j) for r in
            lake.table("t", with_virtual=True).orderBy("rowid").collect()]
     assert got == [(0, 1, 5), (1, 1, 5)]
+
+
+# -- round-4 self-review regressions ------------------------------------
+
+def test_adopted_absolute_path_scan_and_delete(lake, spark, tmp_path):
+    """Adopted files outside data_path keep working through the scan
+    metadata join and DML (absolute catalog paths vs URI prefix)."""
+    foreign = tmp_path / "elsewhere"
+    foreign.mkdir()
+    spark.range(10).withColumnRenamed("id", "i").coalesce(1).write.mode(
+        "overwrite").parquet(str(foreign / "batch"))
+    lake.create_table("adopt", [("i", "int64")])
+    assert lake.add_data_files("adopt", str(foreign / "batch" / "*.parquet")) == 1
+    rows = lake.table("adopt", with_virtual=True).collect()
+    assert len(rows) == 10
+    assert all(r.rowid is not None and r.snapshot_id is not None for r in rows)
+    assert lake.delete("adopt", "i < 3") == 3
+    assert lake.table("adopt").count() == 7
+
+
+def test_merge_in_open_txn_guarded(lake, spark):
+    from ducklake_spark.lake import DuckLakeError
+
+    lake.create_table("t", [("k", "int64"), ("v", "int64")])
+    lake.insert("t", spark.createDataFrame([(1, 10), (2, 20)], "k long, v long"))
+    src = spark.createDataFrame([(1, 99)], "k long, v long")
+    with lake.transaction():
+        lake.insert("t", spark.createDataFrame([(3, 30)], "k long, v long"))
+        with pytest.raises(DuckLakeError, match="open transaction"):
+            lake.merge("t", src, on=["k"],
+                       when_matched_update={"v": None},
+                       when_not_matched_insert=False)
+    # untouched txn: merge inside an open txn is fine
+    with lake.transaction():
+        out = lake.merge("t", src, on=["k"],
+                         when_matched_update={"v": None},
+                         when_not_matched_insert=False)
+    assert out["updated"] == 1
+    got = {r.k: r.v for r in lake.table("t").collect()}
+    assert got == {1: 99, 2: 20, 3: 30}
+
+
+def test_txn_local_create_drop_commits_nothing(lake, spark):
+    s0 = lake.current_snapshot()
+    with lake.transaction():
+        lake.create_table("ghost", [("i", "int32")])
+        lake.insert("ghost", spark.createDataFrame([(1,)], "i int"))
+        lake.drop_table("ghost")
+    assert lake.current_snapshot() == s0  # no phantom snapshot
+
+
+def test_ctas_changes_feed_carries_real_table_id(lake, spark):
+    lake.create_table_as("c1", spark.range(3).withColumnRenamed("id", "i"))
+    h = lake._handle("c1")
+    (changes,) = lake.meta.query(
+        "SELECT changes_made FROM ducklake_snapshot_changes "
+        "ORDER BY snapshot_id DESC LIMIT 1")[0]
+    assert f"inserted_into_table:{h.table_id}" in changes
+    assert ":-1" not in changes and "main.c1" not in changes
+
+
+def test_sql_views_not_stale_across_lakes(spark, tmp_path):
+    from ducklake_spark.lake import DuckLake
+
+    a = DuckLake.attach(spark, str(tmp_path / "a.db"), str(tmp_path / "da"))
+    b = DuckLake.attach(spark, str(tmp_path / "b.db"), str(tmp_path / "db"))
+    a.create_table("t", [("i", "int32")])
+    a.insert("t", spark.createDataFrame([(1,)], "i int"))
+    b.create_table("t", [("i", "int32")])
+    b.insert("t", spark.createDataFrame([(2,), (3,)], "i int"))
+    assert a.sql("SELECT count(*) AS c FROM t").collect()[0].c == 1
+    assert b.sql("SELECT count(*) AS c FROM t").collect()[0].c == 2
+    assert a.sql("SELECT count(*) AS c FROM t").collect()[0].c == 1
