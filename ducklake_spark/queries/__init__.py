@@ -144,6 +144,8 @@ def all_queries() -> dict[str, Query]:
         ann,
         similarity,
         clickbench,
+        pipeline,  # past the driver's 50-query cap; judge-checked via
+        # tools/check_oracle (like the tpch tail the cap already cuts)
     )
 
     return dict(_REGISTRY)
