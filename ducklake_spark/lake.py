@@ -1771,29 +1771,69 @@ class DuckLake:
             with_stats = [f for f in files if bound(f) is not None]
             no_stats = [f for f in files if bound(f) is None]
             with_stats.sort(key=bound, reverse=descending)
-            kept, acc, thresh = [], 0, None
+            core, extras, acc, thresh = [], [], 0, None
             for f in with_stats:
                 if thresh is not None:
                     b = bound(f)
                     if (descending and b < thresh) or (not descending and b > thresh):
                         continue  # provably cannot reach the top N
-                kept.append(f)
+                    extras.append(f)
+                    continue
+                core.append(f)
                 acc += f["record_count"] - int(deletes.get(f["data_file_id"], 0) or 0)
-                if acc >= limit and thresh is None:
-                    w = [worst(f2) for f2 in kept]
+                if acc >= limit:
+                    w = [worst(f2) for f2 in core]
                     thresh = min(w) if descending else max(w)
-            files = kept + no_stats
+        else:
+            core, extras, no_stats, thresh = list(files), [], [], None
+            numeric, conv = False, str
+
         schema = self._spark_schema(h)
-        deletes_e = self._delete_entries(h, snap, [f["data_file_id"] for f in files])
-        df = self._read_files(h, snap, files, schema, deletes_e, False)
+        order = F.col(order_col).desc() if descending else F.col(order_col).asc()
+
+        def scan(fs):
+            de = self._delete_entries(h, snap, [f["data_file_id"] for f in fs])
+            d = self._read_files(h, snap, fs, schema, de, False)
+            return d.filter(where) if (d is not None and where) else d
+
+        phase1 = scan(core)
         inlined = self._read_inlined(h, snap, schema, False)
         if inlined is not None:
-            df = df.unionByName(inlined) if df is not None else inlined
-        if df is None:
-            df = self.spark.createDataFrame([], schema)
-        if where is not None:
-            df = df.filter(where)
-        order = F.col(order_col).desc() if descending else F.col(order_col).asc()
+            if where is not None:
+                inlined = inlined.filter(where)
+            phase1 = (phase1.unionByName(inlined)
+                      if phase1 is not None else inlined)
+        maybe = extras + no_stats
+        if phase1 is None:
+            phase1 = self.spark.createDataFrame([], schema)
+        if not maybe:
+            return phase1.orderBy(order).limit(limit)
+        # dynamic re-prune (the reference tightens the file list from the
+        # Top-N operator's evolving threshold mid-scan,
+        # ducklake_multi_file_list.cpp:58-84 + stats-ordered listing).
+        # Spark's analogue: materialize the stats-ordered CORE prefix,
+        # take the ACTUAL N-th value, and re-prune the remaining
+        # candidates with it — usually far tighter than the zone-map
+        # bound the static walk used. Guarded to small N (the threshold
+        # probe collects the N-th column value only).
+        if thresh is not None and limit <= 100_000:
+            phase1 = phase1.persist()  # probe + final result share the scan
+            vals = [
+                r[0]
+                for r in phase1.select(order_col)
+                .orderBy(order).limit(limit).collect()
+            ]
+            if len(vals) == limit and vals[-1] is not None:
+                t = float(vals[-1]) if numeric else _stat_str(vals[-1])
+                maybe = [
+                    f for f in extras
+                    if (descending and bound(f) >= t)
+                    or (not descending and bound(f) <= t)
+                ] + no_stats
+                if not maybe:
+                    return phase1.orderBy(order).limit(limit)
+        rest = scan(maybe)
+        df = phase1.unionByName(rest) if rest is not None else phase1
         return df.orderBy(order).limit(limit)
 
     def column_stats(self, name: str) -> DataFrame:

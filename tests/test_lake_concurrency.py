@@ -489,3 +489,47 @@ def test_append_fast_path_skips_snapshot_walk(spark, lake_path, monkeypatch):
         with lake.transaction():
             lake.insert("t", spark.createDataFrame([(2,)], "i long"))
             lake2.drop_table("t")
+
+
+def test_topn_dynamic_reprune_exact(spark, lake_path):
+    """Dynamic Top-N: the actual N-th value from the core prefix prunes
+    'maybe' files the static bound kept — result must equal the full
+    sort regardless of which files get pruned (overlapping ranges,
+    deletes, and a where filter all in play)."""
+    from ducklake_spark.lake import DuckLake
+
+    lake = DuckLake.attach(spark, *lake_path)
+    lake.create_table("t", [("ts", "int64"), ("v", "int64")])
+    # 4 interleaved files spanning the whole range (static walk keeps
+    # them all) + 3 mid-range files only the DYNAMIC threshold prunes
+    for k in range(4):  # residues 0-3 mod 8, full 0..799 span
+        lake.insert(
+            "t",
+            spark.range(100).selectExpr(
+                f"id * 8 + {k} AS ts", f"(id * 8 + {k}) * 2 AS v"
+            ).coalesce(1),
+        )
+    for lo in (100, 300, 400):  # residue 4 mod 8, bounded ranges
+        lake.insert(
+            "t",
+            spark.range(12).selectExpr(
+                f"{lo} + id * 8 + 4 AS ts", f"({lo} + id * 8 + 4) * 2 AS v"
+            ).coalesce(1),
+        )
+    lake.delete("t", "ts >= 790")  # the top rows live in a deleted range
+    expect = [
+        (r.ts, r.v)
+        for r in lake.table("t").filter("ts % 3 != 0")
+        .orderBy("ts", ascending=False).limit(7).collect()
+    ]
+    got = [(r.ts, r.v) for r in lake.topn(
+        "t", "ts", 7, descending=True, where="ts % 3 != 0").collect()]
+    assert got == expect
+    # ascending too
+    expect_a = [
+        (r.ts, r.v)
+        for r in lake.table("t").orderBy("ts").limit(5).collect()
+    ]
+    got_a = [(r.ts, r.v) for r in lake.topn(
+        "t", "ts", 5, descending=False).collect()]
+    assert got_a == expect_a
