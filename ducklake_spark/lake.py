@@ -107,7 +107,7 @@ class DuckLake:
                  snapshot_time: str | None = None,
                  data_inlining_row_limit: int | None = None,
                  encrypted: bool = False, read_only: bool = False,
-                 filesystem=None):
+                 filesystem=None, override_data_path: bool = False):
         from ducklake_spark.fsio import LakeFS
 
         self.spark = spark
@@ -158,6 +158,21 @@ class DuckLake:
                 raise DuckLakeError("cannot set options on a READ_ONLY lake")
         else:
             self.meta.initialize(self.data_path, encrypted=encrypted)
+        # a re-attach must use the catalog's recorded data path — files
+        # are referenced relative to it, so a silent mismatch breaks
+        # every read (reference: attach/different_paths.test,
+        # OVERRIDE_DATA_PATH opt-out)
+        stored = self.meta.option("data_path")
+        if stored and stored.rstrip("/") != self.data_path.rstrip("/"):
+            if override_data_path:
+                if not read_only:
+                    self.meta.set_option("data_path", self.data_path)
+            else:
+                raise DuckLakeError(
+                    f"DATA_PATH {data_path!r} does not match existing "
+                    f"data path in the catalog ({stored!r}); pass "
+                    "override_data_path=True to override"
+                )
         # per-file parquet encryption (reference: ENCRYPTED lakes,
         # ducklake_insert.cpp:743-756): data files carry random keys
         # recorded in the catalog; column data is AES-GCM encrypted with
@@ -224,15 +239,36 @@ class DuckLake:
     def commit(self) -> int:
         if self._txn is None:
             return self.current_snapshot()
+        txn = self._txn
         try:
-            snap = self._txn.commit()
+            snap = txn.commit()
+        except BaseException:
+            # a failed/conflicted commit leaves no trace on storage:
+            # buffered data/delete files were never published, remove
+            # them now instead of leaving orphans (reference:
+            # test/sql/transaction/transaction_conflict_cleanup.test)
+            self._discard_buffered_files(txn)
+            raise
         finally:
             self._txn = None
             self._commit_note = (None, None, None)
         return snap
 
     def rollback(self) -> None:
-        self._txn = None
+        txn, self._txn = self._txn, None
+        if txn is not None:
+            self._discard_buffered_files(txn)
+
+    def _discard_buffered_files(self, txn: Transaction) -> None:
+        """Physically remove files a dead transaction had buffered."""
+        for files in txn.new_data_files.values():
+            for fi in files:
+                self.lfs.remove(self.lfs.strip_scheme(
+                    os.path.join(self.data_path, fi.path)))
+        for dfiles in txn.new_delete_files.values():
+            for di in dfiles:
+                self.lfs.remove(self.lfs.strip_scheme(
+                    os.path.join(self.data_path, di.path)))
 
     class _TxnCtx:
         def __init__(self, lake: DuckLake, staged: bool = False):

@@ -307,9 +307,14 @@ def delete_orphaned_files(lake: DuckLake, *, dry_run: bool = False) -> list[str]
             "SELECT path FROM ducklake_files_scheduled_for_deletion")
     }
     orphans = []
-    # one recursive LIST, never a per-directory walk (object-store-safe)
+    # one recursive LIST, never a per-directory walk (object-store-safe);
+    # covers puffin deletion vectors too (reference
+    # remove_orphans/puffin_orphan.test), and never touches a catalog DB
+    # that happens to live inside the data path (suffix allowlist)
     data_fs = lake.lfs.strip_scheme(lake.data_path).rstrip("/") + "/"
-    for p in lake.lfs.list_files(data_fs.rstrip("/"), suffix=".parquet"):
+    for p in lake.lfs.list_files(data_fs.rstrip("/")):
+        if not p.endswith((".parquet", ".puffin")):
+            continue
         rel = p[len(data_fs):] if p.startswith(data_fs) else p
         if rel not in known:
             orphans.append(rel)

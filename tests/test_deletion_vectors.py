@@ -126,3 +126,36 @@ def test_dv_mixed_formats(lake, spark):
     # the second delete merged the parquet predecessor into the DV
     assert fmts == {"puffin"}
     assert lake.table("t").filter("i < 10 OR i >= 90").count() == 0
+
+
+def test_orphaned_puffin_collected(spark, tmp_path):
+    """delete_orphaned_files collects stray .puffin files too
+    (reference remove_orphans/puffin_orphan.test), and live DV files
+    are never treated as orphans."""
+    import conftest
+    import glob as g
+    import os
+
+    from ducklake_spark.lake import DuckLake
+
+    lake = DuckLake.attach(
+        spark, conftest.catalog_url(tmp_path), str(tmp_path / "data")
+    )
+    lake.create_table("t", [("i", "int64")])
+    lake.meta.set_option("write_deletion_vectors", "true",
+                         scope="table", scope_id=lake._handle("t").table_id)
+    lake.insert("t", spark.range(100).withColumnRenamed("id", "i"))
+    assert lake.delete("t", "i < 10") == 10
+    fmts = {f for (f,) in lake.meta.query(
+        "SELECT DISTINCT format FROM ducklake_delete_file "
+        "WHERE end_snapshot IS NULL")}
+    assert fmts == {"puffin"}
+    # live DV is not an orphan
+    assert lake.delete_orphaned_files(dry_run=True) == []
+    # a stray puffin with no catalog row IS collected
+    stray = tmp_path / "data" / "main" / "t" / "ducklake-dv-stray.puffin"
+    stray.write_bytes(b"PUF1junk")
+    got = lake.delete_orphaned_files()
+    assert [os.path.basename(p) for p in got] == ["ducklake-dv-stray.puffin"]
+    assert not stray.exists()
+    assert lake.table("t").count() == 90

@@ -64,7 +64,8 @@ def test_migrate_reference_fixture(spark, tmp_path, fixture):
 
     db2 = str(tmp_path / f"{fixture}_2.db")
     _gunzip(src, db2)
-    lk = DuckLake.attach(spark, "duckdb://" + db2, str(tmp_path / "data"))
+    lk = DuckLake.attach(spark, "duckdb://" + db2, str(tmp_path / "data"),
+                         override_data_path=True)  # fixture recorded its own path
     assert lk.meta.latest_snapshot().snapshot_id >= 0
     names = lk._table_names()
     assert isinstance(names, list)

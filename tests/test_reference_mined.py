@@ -372,3 +372,64 @@ def test_sql_views_not_stale_across_lakes(spark, tmp_path):
     assert a.sql("SELECT count(*) AS c FROM t").collect()[0].c == 1
     assert b.sql("SELECT count(*) AS c FROM t").collect()[0].c == 2
     assert a.sql("SELECT count(*) AS c FROM t").collect()[0].c == 1
+
+
+# -- attach/different_paths.test ----------------------------------------
+
+def test_reattach_different_data_path_rejected(spark, tmp_path):
+    from ducklake_spark.lake import DuckLake, DuckLakeError
+
+    url = conftest.catalog_url(tmp_path)
+    a = DuckLake.attach(spark, url, str(tmp_path / "some"))
+    a.create_table("t", [("a", "int64")])
+    a.insert("t", spark.range(10).withColumnRenamed("id", "a"))
+    with pytest.raises(DuckLakeError, match="does not match existing"):
+        DuckLake.attach(spark, url, str(tmp_path / "other_path"))
+    b = DuckLake.attach(spark, url, str(tmp_path / "other_path"),
+                        override_data_path=True)
+    assert b.data_path.rstrip("/").endswith("other_path")
+    # reads against the overridden (empty) path fail, like the reference
+    with pytest.raises(Exception):
+        b.table("t").collect()
+    # same-path reattach still fine (after restoring)
+    c = DuckLake.attach(spark, url, str(tmp_path / "some"),
+                        override_data_path=True)
+    assert c.table("t").count() == 10
+
+
+# -- transaction/transaction_conflict_cleanup.test ----------------------
+
+def test_conflicted_commit_cleans_buffered_files(spark, tmp_path):
+    """A conflicted COMMIT leaves no orphan parquet behind: the loser's
+    buffered files are physically removed."""
+    from ducklake_spark.lake import DuckLake
+    from ducklake_spark.catalog.metadata import ConflictError
+
+    url = conftest.catalog_url(tmp_path)
+    l1 = DuckLake.attach(spark, url, str(tmp_path / "data"))
+    l2 = DuckLake.attach(spark, url, str(tmp_path / "data"))
+    ctx1 = l1.transaction().__enter__()
+    l1.create_table("test", [("i", "int32")])
+    ctx2 = l2.transaction().__enter__()
+    l2.create_table("test", [("s", "varchar")])
+    l2.insert("test", spark.createDataFrame([("hello",), ("world",)],
+                                            "s string"))
+    # loser's txn-local file(s) are on disk pre-commit
+    assert len(g.glob(str(tmp_path / "data" / "**" / "*.parquet"),
+                      recursive=True)) >= 1
+    ctx1.__exit__(None, None, None)  # con1 commits first
+    with pytest.raises(ConflictError):
+        ctx2.__exit__(None, None, None)
+    # cleaned up after the conflict
+    assert g.glob(str(tmp_path / "data" / "**" / "*.parquet"),
+                  recursive=True) == []
+    # and explicit rollback cleans too
+    with pytest.raises(RuntimeError):
+        with l2.transaction():
+            l2.insert("test", spark.createDataFrame([(1,)], "i int"))
+            assert len(g.glob(str(tmp_path / "data" / "**" / "*.parquet"),
+                              recursive=True)) >= 1
+            raise RuntimeError("abort")
+    assert g.glob(str(tmp_path / "data" / "**" / "*.parquet"),
+                  recursive=True) == []
+    assert l1.table("test").count() == 0
