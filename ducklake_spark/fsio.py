@@ -102,6 +102,16 @@ class LakeFS:
             and (suffix is None or i.path.endswith(suffix))
         )
 
+    def list_infos(self, root: str) -> list[tuple[str, object]]:
+        """(path, mtime datetime|None) for every file under ``root`` —
+        same single LIST as :meth:`list_files`, with the modification
+        time the listing already carries (age-guarded cleanups)."""
+        sel = pafs.FileSelector(root, recursive=True, allow_not_found=True)
+        return sorted(
+            (i.path, i.mtime) for i in self.fs.get_file_info(sel)
+            if i.type == pafs.FileType.File
+        )
+
     def glob(self, pattern: str) -> list[str]:
         """Glob via one recursive listing + client-side match.
 

@@ -295,8 +295,41 @@ def cleanup_old_files(lake: DuckLake, *, older_than: str | None = None,
     return out
 
 
-def delete_orphaned_files(lake: DuckLake, *, dry_run: bool = False) -> list[str]:
-    """Remove data files on disk that no metadata row references."""
+def _parse_interval(text: str):
+    """'2 days' / '3 hours' / '1 week' -> timedelta."""
+    import datetime
+    import re
+
+    m = re.fullmatch(
+        r"\s*(\d+)\s*(second|minute|hour|day|week)s?\s*", text.lower()
+    )
+    if not m:
+        raise ValueError(f"cannot parse interval {text!r}")
+    n, unit = int(m.group(1)), m.group(2)
+    return datetime.timedelta(**{unit + "s": n})
+
+
+def delete_orphaned_files(lake: DuckLake, *, older_than: str | None = None,
+                          cleanup_all: bool = False,
+                          dry_run: bool = False) -> list[str]:
+    """Remove data files on disk that no metadata row references.
+
+    Age guard (reference ducklake_cleanup_files.cpp:61-91): by default
+    only files older than the ``delete_older_than`` option ('2 days')
+    are eligible — a concurrent writer's pre-commit files look like
+    orphans but must survive (remove_orphans/
+    concurrent_insert_orphan_cleanup.test). ``cleanup_all=True``
+    bypasses the guard; ``older_than`` is an ISO timestamp cutoff.
+    """
+    import datetime
+
+    cutoff = None
+    if not cleanup_all:
+        if older_than is not None:
+            cutoff = datetime.datetime.fromisoformat(older_than)
+        else:
+            iv = lake.meta.option("delete_older_than", "2 days") or "2 days"
+            cutoff = datetime.datetime.now(datetime.timezone.utc) - _parse_interval(iv)
     known = {
         p
         for (p,) in lake.meta.query("SELECT path FROM ducklake_data_file")
@@ -312,9 +345,17 @@ def delete_orphaned_files(lake: DuckLake, *, dry_run: bool = False) -> list[str]
     # remove_orphans/puffin_orphan.test), and never touches a catalog DB
     # that happens to live inside the data path (suffix allowlist)
     data_fs = lake.lfs.strip_scheme(lake.data_path).rstrip("/") + "/"
-    for p in lake.lfs.list_files(data_fs.rstrip("/")):
+    for p, mtime in lake.lfs.list_infos(data_fs.rstrip("/")):
         if not p.endswith((".parquet", ".puffin")):
             continue
+        if cutoff is not None and mtime is not None:
+            mt = mtime
+            if mt.tzinfo is None:
+                mt = mt.replace(tzinfo=datetime.timezone.utc)
+            cut = cutoff if cutoff.tzinfo else cutoff.replace(
+                tzinfo=datetime.timezone.utc)
+            if mt > cut:
+                continue  # too fresh: may belong to an in-flight commit
         rel = p[len(data_fs):] if p.startswith(data_fs) else p
         if rel not in known:
             orphans.append(rel)

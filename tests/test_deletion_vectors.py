@@ -151,11 +151,13 @@ def test_orphaned_puffin_collected(spark, tmp_path):
         "WHERE end_snapshot IS NULL")}
     assert fmts == {"puffin"}
     # live DV is not an orphan
-    assert lake.delete_orphaned_files(dry_run=True) == []
-    # a stray puffin with no catalog row IS collected
+    assert lake.delete_orphaned_files(cleanup_all=True, dry_run=True) == []
+    # a stray puffin with no catalog row IS collected — but only past
+    # the age guard (fresh files may belong to an in-flight commit)
     stray = tmp_path / "data" / "main" / "t" / "ducklake-dv-stray.puffin"
     stray.write_bytes(b"PUF1junk")
-    got = lake.delete_orphaned_files()
+    assert lake.delete_orphaned_files(dry_run=True) == []  # guarded
+    got = lake.delete_orphaned_files(cleanup_all=True)
     assert [os.path.basename(p) for p in got] == ["ducklake-dv-stray.puffin"]
     assert not stray.exists()
     assert lake.table("t").count() == 90

@@ -75,7 +75,7 @@ def test_write_lifecycle_routes_through_seam(rec_lake, spark):
     lake.merge_adjacent_files()
     fs.calls.clear()
     assert lake.delete_orphaned_files(dry_run=True) == []
-    assert "list_files" in fs.ops()
+    assert "list_infos" in fs.ops()
     lake.expire_snapshots(versions=list(range(1, lake.current_snapshot())))
     fs.calls.clear()
     removed = lake.cleanup_old_files(cleanup_all=True)

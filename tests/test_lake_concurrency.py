@@ -189,7 +189,7 @@ def test_staged_commit_rollback(spark, lake_path):
     )
     from ducklake_spark.maintenance import delete_orphaned_files
 
-    orphans = delete_orphaned_files(lake, dry_run=True)
+    orphans = delete_orphaned_files(lake, cleanup_all=True, dry_run=True)
     assert orphans  # the staged parquet is stranded on disk
 
 
