@@ -273,9 +273,18 @@ def expire_snapshots(lake: DuckLake, *, older_than: str | None = None,
 
 def cleanup_old_files(lake: DuckLake, *, older_than: str | None = None,
                       cleanup_all: bool = False, dry_run: bool = False) -> list[str]:
-    """Physically remove tombstoned files (ducklake_cleanup_files.cpp:66-177)."""
+    """Physically remove tombstoned files (ducklake_cleanup_files.cpp:66-177).
+
+    Without arguments the cutoff comes from the ``delete_older_than``
+    option ('2 days' default), like the reference."""
     if not cleanup_all and older_than is None:
-        raise ValueError("need older_than= or cleanup_all=True")
+        import datetime
+
+        iv = lake.meta.option("delete_older_than", "2 days") or "2 days"
+        older_than = (
+            datetime.datetime.now(datetime.timezone.utc)
+            - _parse_interval(iv)
+        ).strftime("%Y-%m-%d %H:%M:%S.%f")  # match _now_ts precision
     where, params = "", ()
     if older_than is not None and not cleanup_all:
         where, params = " WHERE schedule_start < ?", (older_than,)

@@ -433,3 +433,23 @@ def test_conflicted_commit_cleans_buffered_files(spark, tmp_path):
     assert g.glob(str(tmp_path / "data" / "**" / "*.parquet"),
                   recursive=True) == []
     assert l1.table("test").count() == 0
+
+
+def test_cleanup_defaults_use_delete_older_than(lake, spark):
+    """cleanup_old_files()/delete_orphaned_files() with no args use the
+    delete_older_than option ('2 days' default) — freshly tombstoned
+    files survive, aged ones are collected once the option shrinks."""
+    lake.create_table("t", [("i", "int32")])
+    lake.insert("t", spark.createDataFrame([(1,), (2,)], "i int"))
+    lake.insert("t", spark.createDataFrame([(3,)], "i int"))
+    lake.merge_adjacent_files()
+    lake.expire_snapshots(versions=list(range(1, lake.current_snapshot())))
+    # tombstones exist but are too fresh under the 2-day default
+    assert lake.cleanup_old_files(
+        cleanup_all=True, dry_run=True) != []
+    assert lake.cleanup_old_files(dry_run=True) == []
+    lake.meta.set_option("delete_older_than", "0 seconds")
+    assert lake.cleanup_old_files(dry_run=True) != []
+    lake.cleanup_old_files()
+    assert lake.cleanup_old_files(cleanup_all=True, dry_run=True) == []
+    assert sorted(r.i for r in lake.table("t").collect()) == [1, 2, 3]
