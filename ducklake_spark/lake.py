@@ -1950,13 +1950,225 @@ class DuckLake:
         """count(*) fast path answered from ducklake_table_stats
         (reference: DuckLakeGetPartitionStats exactness rule,
         ducklake_scan.cpp:138-229 — our record_count is net of deletes,
-        so it is exact at the latest snapshot)."""
+        so it is exact at the latest snapshot). Transaction-local
+        changes and snapshot-pinned attaches route through
+        ``stats_agg`` instead, which applies the reference's fallback
+        rules (test/sql/stats/count_star_optimization_time_travel)."""
         h = self._handle(name)
+        if self._pinned is not None or self._txn_touches_table(h):
+            return self.stats_agg(name, columns=[])["row_count"]
         rows = self.meta.query(
             "SELECT record_count FROM ducklake_table_stats WHERE table_id=?",
             (h.table_id,),
         )
         return rows[0][0] if rows else 0
+
+    def _txn_touches_table(self, h: TableHandle) -> bool:
+        """Whether the open transaction (if any) buffers changes for
+        this table — the reference's HasTransactionLocalData() guard
+        that disables every metadata fold
+        (test/sql/stats/min_max_optimization_time_travel.test)."""
+        txn = self._txn
+        if txn is None:
+            return False
+        key = (str(h.table_id) if h.table_id >= 0
+               else f"{h.schema_name}.{h.table_name}")
+
+        def _owns(tname: str) -> bool:
+            # ducklake_inlined_data_{tid}_{sv} / ducklake_inlined_deletes_{tid}
+            parts = tname.split("_")
+            return (str(h.table_id) in parts[-2:])
+
+        return bool(
+            txn.new_data_files.get(key)
+            or txn.new_delete_files.get(h.table_id)
+            or txn.removed_data_files.get(h.table_id)
+            or txn.inlined_deletes.get(h.table_id)
+            or h.table_id in txn.inlined_clears
+            or any(tid == h.table_id for tid, _t, _r in txn.inlined_inserts)
+            or any(tid == h.table_id
+                   for tid, _t, _r in txn.inlined_inserts_rebase)
+            or any(_owns(t) for t, _k, _u in txn.inlined_end_updates)
+        )
+
+    _FOLDABLE_STAT_TYPES = (
+        T.ByteType, T.ShortType, T.IntegerType, T.LongType,
+        T.FloatType, T.DoubleType, T.DecimalType, T.StringType,
+        T.BooleanType, T.DateType, T.TimestampType, T.TimestampNTZType,
+    )
+
+    def stats_agg(self, name: str, columns: list[str] | None = None, *,
+                  at_version: int | None = None,
+                  at_timestamp: str | None = None) -> dict:
+        """COUNT(*)/MIN/MAX answered from catalog metadata when that is
+        provably exact, falling back to a real scan otherwise — the
+        reference's stats-folding rules (ducklake_scan.cpp stats
+        binding; pinned by test/sql/stats/min_max_optimization_basic /
+        _deletes / _time_travel and count_star_optimization_*):
+
+        - transaction-local changes disable every fold (scan);
+        - COUNT(*) folds from per-file record counts net of live
+          delete-file/inlined-delete counts plus visible inlined rows,
+          including under time travel — unless a compacted partial_max
+          file straddles the target snapshot (row-level visibility ⇒
+          scan);
+        - MIN/MAX fold from per-file column stats of the visible files
+          plus driver-side aggregation of catalog-inlined rows; any
+          delete (positional or inlined), a file missing the column's
+          stats row, a float file containing NaN, or a non-foldable
+          type makes that column fall back to the scan.
+
+        Returns ``{"row_count", "min", "max", "folded_count",
+        "folded_columns"}`` — always correct; the folded flags report
+        whether metadata alone answered."""
+        h = self._handle(name, at_version=at_version,
+                         at_timestamp=at_timestamp)
+        snap = self._resolve_snapshot(at_version, at_timestamp)
+        time_travel = (at_version is not None or at_timestamp is not None
+                       or self._pinned is not None)
+        schema = self._spark_schema(h)
+        known = set(schema.fieldNames())
+        colnames = (list(columns) if columns is not None
+                    else list(schema.fieldNames()))
+        for c in colnames:
+            if c not in known:
+                raise DuckLakeError(f"unknown column {c!r} in {name}")
+        cid_of = {c[1]: c[0] for c in h.columns}
+
+        def _scan(cols: list[str], need_count: bool) -> dict:
+            df = self.table(name, at_version=at_version,
+                            at_timestamp=at_timestamp)
+            aggs = [F.count(F.lit(1)).alias("__c")] if need_count else []
+            for c in cols:
+                aggs.append(F.min(F.col(c)).alias(f"__mn_{c}"))
+                aggs.append(F.max(F.col(c)).alias(f"__mx_{c}"))
+            if not aggs:
+                return {}
+            row = df.agg(*aggs).collect()[0].asDict()
+            out: dict = {}
+            if need_count:
+                out["row_count"] = row["__c"]
+            out["min"] = {c: row[f"__mn_{c}"] for c in cols}
+            out["max"] = {c: row[f"__mx_{c}"] for c in cols}
+            return out
+
+        if self._txn_touches_table(h):
+            r = _scan(colnames, True)
+            return {"row_count": r["row_count"], "min": r["min"],
+                    "max": r["max"], "folded_count": False,
+                    "folded_columns": {c: False for c in colnames}}
+
+        files = self._visible_files(h, snap, None)
+        if time_travel and any(f["partial_max"] is not None for f in files):
+            # a compaction output embeds rows from several snapshots;
+            # row-level visibility at this snapshot needs the scan's
+            # embedded-snapshot filter (count_star_optimization_time_travel)
+            r = _scan(colnames, True)
+            return {"row_count": r["row_count"], "min": r["min"],
+                    "max": r["max"], "folded_count": False,
+                    "folded_columns": {c: False for c in colnames}}
+
+        fids = [f["data_file_id"] for f in files]
+        deletes = self._delete_entries(h, snap, fids)
+        inl_dels = self._inlined_delete_positions(h, snap, fids)
+        inlined = self._inlined_visible_rows(h, snap, schema)
+
+        n = (sum(f["record_count"] for f in files)
+             - sum(d[2] for d in deletes) - len(inl_dels)
+             + sum(len(rows) for _pos, rows in inlined))
+
+        file_stats: dict[tuple[int, int], tuple] = {}
+        if fids and colnames:
+            qs = ",".join("?" * len(fids))
+            for fid, cid, mn, mx, vc, nc, nan in self.meta.query(
+                "SELECT data_file_id, column_id, min_value, max_value, "
+                "value_count, null_count, contains_nan "
+                f"FROM ducklake_file_column_stats WHERE table_id = ? "
+                f"AND data_file_id IN ({qs})",
+                (h.table_id, *fids),
+            ):
+                file_stats[(fid, cid)] = (mn, mx, vc, nc, nan)
+
+        has_deletes = bool(deletes or inl_dels)
+        mins: dict = {}
+        maxs: dict = {}
+        folded: dict = {}
+        scan_cols: list[str] = []
+        for c in colnames:
+            dt = schema[c].dataType
+            ok = (not has_deletes
+                  and isinstance(dt, self._FOLDABLE_STAT_TYPES))
+            lo = hi = None
+            has_nan = False
+            if ok:
+                for fid in fids:
+                    s = file_stats.get((fid, cid_of[c]))
+                    if s is None:
+                        ok = False  # column physically absent / no stats
+                        break
+                    mn, mx, vc, nc, nan = s
+                    if nan:
+                        ok = False  # true max may be NaN; stats exclude it
+                        break
+                    if vc is not None and nc is not None and vc == nc:
+                        continue  # all-NULL file contributes nothing
+                    if mn is None or mx is None:
+                        ok = False
+                        break
+                    lo = _fold_min(lo, _stats_value(mn, dt))
+                    hi = _fold_max(hi, _stats_value(mx, dt))
+            if ok:
+                for pos, rows in inlined:
+                    if c not in pos:
+                        ok = False  # older-epoch inlined rows lack it
+                        break
+                    for r in rows:
+                        v = _from_sql_value(r[pos[c]], dt)
+                        if v is None:
+                            continue
+                        if isinstance(v, float) and v != v:
+                            has_nan = True
+                            continue
+                        lo = _fold_min(lo, v)
+                        hi = _fold_max(hi, v)
+            if ok:
+                if has_nan:  # NaN orders greatest (DuckDB & Spark)
+                    hi = float("nan")
+                    if lo is None:
+                        lo = float("nan")
+                mins[c], maxs[c], folded[c] = lo, hi, True
+            else:
+                scan_cols.append(c)
+                folded[c] = False
+        if scan_cols:
+            r = _scan(scan_cols, False)
+            mins.update(r["min"])
+            maxs.update(r["max"])
+        return {"row_count": n, "min": mins, "max": maxs,
+                "folded_count": True, "folded_columns": folded}
+
+    def _inlined_visible_rows(self, h: TableHandle, snap: Snapshot,
+                              schema: T.StructType) -> list[tuple[dict, list]]:
+        """[(current-name → storage position, raw rows)] of the
+        committed inlined rows visible at ``snap`` — catalog-side data,
+        so folding over it is still a metadata-only answer."""
+        out: list[tuple[dict, list]] = []
+        for (tname,) in self.meta.query(
+            "SELECT table_name FROM ducklake_inlined_data_tables "
+            "WHERE table_id=?", (h.table_id,),
+        ):
+            rows = self.meta.query(
+                f"SELECT * FROM {tname} WHERE begin_snapshot <= ? "
+                "AND (end_snapshot IS NULL OR end_snapshot > ?)",
+                (snap.snapshot_id, snap.snapshot_id),
+            )
+            if not rows:
+                continue
+            idx = {r[1]: i for i, r in enumerate(
+                self.meta.query(f"PRAGMA table_info({tname})"))}
+            pos = self._inlined_epoch_positions(h, tname, idx, schema)
+            out.append((pos, rows))
+        return out
 
     def _inlined_delete_positions(self, h: TableHandle, snap: Snapshot,
                                   file_ids: list[int]) -> list[tuple[int, int]]:
@@ -3047,6 +3259,29 @@ def _to_sql_value(v):
     if isinstance(v, bytes):
         return v
     return v
+
+
+def _stats_value(s: str, dt: T.DataType):
+    """Parse a ducklake_file_column_stats min/max VARCHAR into the
+    column's Python value (stats are serialized as strings, reference
+    ducklake_metadata_manager stats rows)."""
+    if s is None:
+        return None
+    if isinstance(dt, (T.ByteType, T.ShortType, T.IntegerType, T.LongType)):
+        return int(s)
+    if isinstance(dt, (T.FloatType, T.DoubleType)):
+        return float(s)
+    if isinstance(dt, T.BooleanType):
+        return s in ("true", "True", "1", True)
+    return _from_sql_value(s, dt)
+
+
+def _fold_min(cur, v):
+    return v if cur is None or v < cur else cur
+
+
+def _fold_max(cur, v):
+    return v if cur is None or v > cur else cur
 
 
 def _from_sql_value(v, dt: T.DataType):
