@@ -546,6 +546,13 @@ class DuckLake:
     def drop_column(self, name: str, col_name: str) -> None:
         h = self._handle(name)
         self._require_committed(h, "ALTER DROP COLUMN")
+        if any(_expr_references(e, col_name)
+               for e, _d, _n in self._sort_spec(h)):
+            # reference: test/sql/sorted_table/drop_sorted_column.test
+            raise DuckLakeError(
+                f"cannot drop column {col_name!r}: "
+                "the table is sorted by this column (RESET SORTED BY first)"
+            )
         txn = self.begin()
 
         def op(con, snap_id, h=h, col_name=col_name):
@@ -585,6 +592,24 @@ class DuckLake:
                 (row[0], snap_id, h.table_id, row[1], new_name, row[2], row[3],
                  row[4], row[5], row[6]),
             )
+            # sort expressions track the rename (reference:
+            # merge_adjacent_sorted_renamed.test — "sort expressions
+            # are updated during rename")
+            for sid, idx, expr in con.execute(
+                "SELECT se.sort_id, se.sort_key_index, se.expression "
+                "FROM ducklake_sort_expression se "
+                "JOIN ducklake_sort_info si ON si.sort_id = se.sort_id "
+                "AND si.table_id = se.table_id "
+                "WHERE si.table_id=? AND si.end_snapshot IS NULL",
+                (h.table_id,),
+            ).fetchall():
+                if _expr_references(expr, col_name):
+                    con.execute(
+                        "UPDATE ducklake_sort_expression SET expression=? "
+                        "WHERE sort_id=? AND table_id=? AND sort_key_index=?",
+                        (_rename_identifier(expr, col_name, new_name),
+                         sid, h.table_id, idx),
+                    )
 
         txn.column_changes.setdefault(h.table_id, []).append(op)
         txn.change_log.append(f"altered_table:{h.table_id}")
@@ -658,16 +683,36 @@ class DuckLake:
         txn.change_log.append(f"altered_table:{h.table_id}")
         self._autocommit()
 
-    def set_sorted_by(self, name: str, keys: list[tuple[str, str]]) -> None:
-        """keys = [(column_expr, 'asc'|'desc')]; applied on insert when
-        ``sort_on_insert`` (reference: SET SORTED BY,
-        ducklake_table_entry.cpp:1262; schema ducklake_sort_info/
-        ducklake_sort_expression)."""
+    def set_sorted_by(self, name: str, keys: list[tuple]) -> None:
+        """keys = [(sort_expr, 'asc'|'desc'[, 'nulls_first'|'nulls_last'])];
+        sort_expr is any SQL expression over the table's columns
+        (reference: SET SORTED BY with expression keys,
+        test/sql/sorted_table/insert_sorted_expression.test; schema
+        ducklake_sort_info/ducklake_sort_expression). Applied on insert
+        (unless ``sort_on_insert`` is false), on inlined-data flush,
+        and on compaction. Does NOT bump schema_version
+        (merge_adjacent_sorted_basic.test)."""
         h = self._handle(name)
         self._require_committed(h, "SET SORTED BY")
+        norm: list[tuple[str, str, str]] = []
+        for item in keys:
+            expr, direction = item[0], item[1].lower()
+            null_order = (item[2].lower() if len(item) > 2 else "nulls_last")
+            if direction not in ("asc", "desc"):
+                raise DuckLakeError(f"bad sort direction {direction!r}")
+            if null_order not in ("nulls_first", "nulls_last"):
+                raise DuckLakeError(f"bad null order {null_order!r}")
+            norm.append((expr, direction, null_order))
+        # analyze (driver-side, no job) so an unknown column or a syntax
+        # error is rejected at ALTER time like the reference
+        probe = self.spark.createDataFrame([], self._spark_schema(h))
+        try:
+            probe.select(*[F.expr(e) for e, _d, _n in norm]).schema
+        except Exception as ex:
+            raise DuckLakeError(f"SET SORTED BY: invalid sort key: {ex}")
         txn = self.begin()
 
-        def op(con, snap_id, h=h, keys=keys):
+        def op(con, snap_id, h=h, norm=norm):
             con.execute(
                 "UPDATE ducklake_sort_info SET end_snapshot=? "
                 "WHERE table_id=? AND end_snapshot IS NULL",
@@ -680,14 +725,33 @@ class DuckLake:
                 "INSERT INTO ducklake_sort_info VALUES (?, ?, ?, NULL)",
                 (sid, h.table_id, snap_id),
             )
-            for i, (expr, direction) in enumerate(keys):
+            for i, (expr, direction, null_order) in enumerate(norm):
                 con.execute(
                     "INSERT INTO ducklake_sort_expression VALUES "
-                    "(?, ?, ?, ?, 'spark', ?, 'nulls_last')",
-                    (sid, h.table_id, i, expr, direction.lower()),
+                    "(?, ?, ?, ?, 'spark', ?, ?)",
+                    (sid, h.table_id, i, expr, direction, null_order),
                 )
 
-        txn.column_changes.setdefault(h.table_id, []).append(op)
+        txn.sort_ops.setdefault(h.table_id, []).append(op)
+        txn.change_log.append(f"altered_table:{h.table_id}")
+        self._autocommit()
+
+    def reset_sorted_by(self, name: str) -> None:
+        """ALTER TABLE ... RESET SORTED BY: close the live sort spec
+        (reference: test/sql/sorted_table/drop_sorted_column.test,
+        merge_adjacent_sorted_reset.test). No schema_version bump."""
+        h = self._handle(name)
+        self._require_committed(h, "RESET SORTED BY")
+        txn = self.begin()
+
+        def op(con, snap_id, h=h):
+            con.execute(
+                "UPDATE ducklake_sort_info SET end_snapshot=? "
+                "WHERE table_id=? AND end_snapshot IS NULL",
+                (snap_id, h.table_id),
+            )
+
+        txn.sort_ops.setdefault(h.table_id, []).append(op)
         txn.change_log.append(f"altered_table:{h.table_id}")
         self._autocommit()
 
@@ -976,6 +1040,14 @@ class DuckLake:
 
         part_keys = self._partition_spec(h)
         sort_spec = self._sort_spec(h)
+        # sort_on_insert (default true) controls whether INSERT applies
+        # the table's sort spec; flush/compaction always honor it
+        # (test/sql/sorted_table/insert_sorted_sort_on_insert_option)
+        if sort_spec and (
+            self.meta.option("sort_on_insert", "true",
+                             scope="table", scope_id=h.table_id) or "true"
+        ).lower() == "false":
+            sort_spec = []
         files = self._write_parquet(h, df, schema, part_keys, sort_spec)
         txn = self.begin()
         # txn-local tables buffer by name: ids exist only after commit
@@ -1095,9 +1167,7 @@ class DuckLake:
                 writer = writer.withColumn(f"__part_{i}", _transform_col(cname, transform))
                 part_cols.append(f"__part_{i}")
         if sort_spec:
-            writer = writer.sortWithinPartitions(
-                *[F.col(c).asc() if d == "asc" else F.col(c).desc() for c, d in sort_spec]
-            )
+            writer = writer.sortWithinPartitions(*_sort_columns(sort_spec))
         opt = lambda k, d=None: self.meta.option(k, d, scope="table", scope_id=h.table_id)
         target_file_size = int(opt("target_file_size", "0") or 0)
         enc_key = None
@@ -3006,16 +3076,59 @@ class DuckLake:
         colmap = {c[0]: c[1] for c in h.columns}
         return [(colmap[cid], transform) for cid, transform in rows]
 
-    def _sort_spec(self, h: TableHandle) -> list[tuple[str, str]]:
+    def _sort_spec(self, h: TableHandle) -> list[tuple[str, str, str]]:
         rows = self.meta.query(
-            "SELECT se.expression, se.sort_direction FROM ducklake_sort_info si "
+            "SELECT se.expression, se.sort_direction, se.null_order "
+            "FROM ducklake_sort_info si "
             "JOIN ducklake_sort_expression se ON si.sort_id = se.sort_id "
             "AND si.table_id = se.table_id "
             "WHERE si.table_id = ? AND si.end_snapshot IS NULL "
             "ORDER BY se.sort_key_index",
             (h.table_id,),
         )
-        return [(e, (d or "asc").lower()) for e, d in rows]
+        return [(e, (d or "asc").lower(), (n or "nulls_last").lower())
+                for e, d, n in rows]
+
+
+def _expr_references(expr: str, col_name: str) -> bool:
+    """Whether a stored sort expression references ``col_name`` as an
+    identifier (string literals are masked out first)."""
+    import re
+
+    masked = re.sub(r"'(?:[^']|'')*'", "''", expr)
+    return re.search(
+        rf"(?<![\w\"]){re.escape(col_name)}(?![\w\"])", masked, re.IGNORECASE
+    ) is not None
+
+
+def _rename_identifier(expr: str, old: str, new: str) -> str:
+    """Rewrite identifier occurrences of ``old`` to ``new`` in a stored
+    sort expression, leaving string literals untouched."""
+    import re
+
+    parts = re.split(r"('(?:[^']|'')*')", expr)
+    pat = re.compile(rf"(?<![\w\"]){re.escape(old)}(?![\w\"])", re.IGNORECASE)
+    return "".join(
+        p if p.startswith("'") else pat.sub(new, p) for p in parts
+    )
+
+
+def _sort_columns(sort_spec: list[tuple[str, str, str]]) -> list:
+    """Spark sort columns for a stored sort spec — arbitrary SQL
+    expressions with explicit null order (the reference's DuckDB
+    default is NULLS LAST; Spark's ASC default is NULLS FIRST, so the
+    order must always be explicit)."""
+    out = []
+    for expr, direction, null_order in sort_spec:
+        c = F.expr(expr)
+        if direction == "desc":
+            c = (c.desc_nulls_first() if null_order == "nulls_first"
+                 else c.desc_nulls_last())
+        else:
+            c = (c.asc_nulls_first() if null_order == "nulls_first"
+                 else c.asc_nulls_last())
+        out.append(c)
+    return out
 
 
 ROWID_FIELD_ID = 2147483530

@@ -122,7 +122,15 @@ def _rewrite_pack(lake: DuckLake, h, pack: list[dict], part_vals: tuple) -> None
     merged = frames[0]
     for fr in frames[1:]:
         merged = merged.unionByName(fr)
-    merged = merged.orderBy(ROWID_COL).coalesce(1)
+    sort_spec = lake._sort_spec(h)
+    if sort_spec:
+        # a sorted table's compaction output is re-sorted by the sort
+        # spec, not rowid (test/sql/sorted_table/merge_adjacent_sorted_basic)
+        from ducklake_spark.lake import _sort_columns
+
+        merged = merged.orderBy(*_sort_columns(sort_spec)).coalesce(1)
+    else:
+        merged = merged.orderBy(ROWID_COL).coalesce(1)
 
     files = lake._write_parquet(h, merged, schema, [], [])
     begin = min(snapmap.values())

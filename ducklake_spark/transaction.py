@@ -160,6 +160,10 @@ class Transaction:
         self.compacted_files: dict[int, list[tuple[DataFileInfo, list[int]]]] = {}
         self.stats_delta: dict[int, dict] = {}  # table_id -> {records, bytes, rows_needed}
         self.column_changes: dict[int, list] = {}  # table_id -> alter ops
+        # SET/RESET SORTED BY ops: an alter for conflict purposes but
+        # NOT a schema change — the reference keeps schema_version
+        # unchanged (test/sql/sorted_table/merge_adjacent_sorted_basic)
+        self.sort_ops: dict[int, list] = {}
         self.inlined_inserts: list[tuple[int, str, list[tuple]]] = []
         # like inlined_inserts, but row_id holds a 0-based OFFSET that is
         # rebased onto table_stats.next_row_id inside the commit txn (new
@@ -738,6 +742,11 @@ class Transaction:
                         "INSERT INTO ducklake_schema_versions VALUES (?, ?, ?)",
                         (snap_id, schema_version, tid),
                     )
+
+            # --- sort-spec alters (no schema_version bump, see above)
+            for _tid, ops in self.sort_ops.items():
+                for op in ops:
+                    op(con, snap_id)
 
             # --- data files
             for key, files in self.new_data_files.items():
