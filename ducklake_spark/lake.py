@@ -99,6 +99,20 @@ def _check_reserved_column(name: str) -> None:
         )
 
 
+# bookkeeping columns of the catalog-inlined data tables — user columns
+# with these names collide there, so they are only rejected while data
+# inlining is enabled (test/sql/data_inlining/inlining_reserved_column_names)
+RESERVED_INLINE_COLS = frozenset({"row_id", "begin_snapshot", "end_snapshot"})
+
+
+def _check_inline_reserved(name: str) -> None:
+    if name.lower() in RESERVED_INLINE_COLS:
+        raise DuckLakeError(
+            f'Column name "{name}" is reserved while data inlining is '
+            "enabled (set data_inlining_row_limit to 0 to use it)"
+        )
+
+
 class DuckLake:
     """One attached lake = one catalog DB + one data path."""
 
@@ -443,6 +457,9 @@ class DuckLake:
                 ducklake_to_spark(ctype)  # validates
                 _check_reserved_column(cname)
                 cols.append(ColumnDef(cname, ctype, nulls_allowed=cname not in not_null))
+        if self._inline_limit() > 0:
+            for c in cols:
+                _check_inline_reserved(c.name)
         td = TableDef(schema_name, table_name, cols, path=f"{schema_name}/{table_name}/")
         txn = self.begin()
         txn.created_tables.append(td)
@@ -502,6 +519,8 @@ class DuckLake:
         self._require_committed(h, "ALTER ADD COLUMN")
         ducklake_to_spark(col_type)
         _check_reserved_column(col_name)
+        if self._inline_limit(h.table_id) > 0:
+            _check_inline_reserved(col_name)
         txn = self.begin()
 
         def op(con, snap_id, h=h, col_name=col_name, col_type=col_type, default=default):
@@ -570,6 +589,8 @@ class DuckLake:
         h = self._handle(name)
         self._require_committed(h, "ALTER RENAME COLUMN")
         _check_reserved_column(new_name)
+        if self._inline_limit(h.table_id) > 0:
+            _check_inline_reserved(new_name)
         txn = self.begin()
 
         def op(con, snap_id, h=h, col_name=col_name, new_name=new_name):
@@ -941,11 +962,51 @@ class DuckLake:
         """Scoped config (reference: ducklake_set_option.cpp:92-171).
         Table scope when ``table_name`` given, else global."""
         self._check_writable()
+        if option == "data_inlining_row_limit" and int(value or 0) > 0:
+            self._check_inlining_enableable(table_name)
         if table_name is not None:
             h = self._handle(table_name)
             self.meta.set_option(option, value, scope="table", scope_id=h.table_id)
         else:
             self.meta.set_option(option, value)
+
+    def _inline_limit(self, table_id: int | None = None) -> int:
+        """Effective data_inlining_row_limit (table override over
+        global — the reference resolves per scope,
+        ducklake_set_option.cpp)."""
+        if table_id is not None and table_id >= 0:
+            return int(self.meta.option(
+                "data_inlining_row_limit", "0",
+                scope="table", scope_id=table_id) or 0)
+        return int(self.meta.option("data_inlining_row_limit", "0") or 0)
+
+    def _check_inlining_enableable(self, table_name: str | None) -> None:
+        """Enabling inlining fails while any affected live table has a
+        reserved bookkeeping column name
+        (test/sql/data_inlining/inlining_reserved_column_names.test);
+        tables with an explicit table-level limit of 0 are exempt from
+        the global check."""
+        if table_name is not None:
+            handles = [self._handle(table_name)]
+        else:
+            handles = []
+            for t in self._table_names():
+                h = self._handle(t)
+                row = self.meta.query(
+                    "SELECT value FROM ducklake_metadata WHERE "
+                    "key='data_inlining_row_limit' AND scope='table' "
+                    "AND scope_id=?", (h.table_id,),
+                )
+                if row and int(row[0][0] or 0) == 0:
+                    continue  # explicitly disabled at table level
+                handles.append(h)
+        for h in handles:
+            for c in h.columns:
+                if c[1].lower() in RESERVED_INLINE_COLS:
+                    raise DuckLakeError(
+                        "Cannot enable data inlining: table "
+                        f"{h.table_name!r} has reserved column name {c[1]!r}"
+                    )
 
     def create_view(self, name: str, sql: str, dialect: str = "spark") -> None:
         schema_name, vname = self._split_name(name)
@@ -1029,7 +1090,7 @@ class DuckLake:
         schema = self._spark_schema(h)
         df = self._conform(df, schema, h)
 
-        inline_limit = int(self.meta.option("data_inlining_row_limit", "0") or 0)
+        inline_limit = self._inline_limit(h.table_id)
         if inline_limit > 0 and h.table_id >= 0:
             # txn-local tables (id assigned at commit) always write
             # parquet — the inlined-data tables need a real table id
