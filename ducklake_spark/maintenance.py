@@ -570,18 +570,30 @@ def _flush_inlined_deletes(lake: DuckLake, h) -> int:
 
 
 def checkpoint(lake: DuckLake) -> None:
-    """Fixed maintenance order per reference ducklake_checkpoint.cpp:14-35."""
-    flush_inlined_data(lake)
-    # expire/cleanup need an age cutoff; checkpoint uses configured defaults
-    older = lake.meta.option("expire_older_than", None)
-    if older:
-        expire_snapshots(lake, older_than=older)
-    merge_adjacent_files(lake)
-    rewrite_data_files(lake)
-    delete_older = lake.meta.option("delete_older_than", None)
-    if delete_older:
-        cleanup_old_files(lake, older_than=delete_older)
-    delete_orphaned_files(lake)
+    """Fixed maintenance order per reference ducklake_checkpoint.cpp:14-35.
+
+    Runs in its OWN transactions even when called inside an open user
+    transaction — the reference's CHECKPOINT is an independent commit,
+    and the user transaction then conflict-checks against it at COMMIT
+    (test/sql/checkpoint/checkpoint_updates_interleaved.test: a
+    buffered DELETE whose files the checkpoint compacted aborts)."""
+    saved_txn, lake._txn = lake._txn, None
+    saved_flag, lake._explicit_txn = lake._explicit_txn, False
+    try:
+        flush_inlined_data(lake)
+        # expire/cleanup need an age cutoff; checkpoint uses configured
+        # defaults
+        older = lake.meta.option("expire_older_than", None)
+        if older:
+            expire_snapshots(lake, older_than=older)
+        merge_adjacent_files(lake)
+        rewrite_data_files(lake)
+        delete_older = lake.meta.option("delete_older_than", None)
+        if delete_older:
+            cleanup_old_files(lake, older_than=delete_older)
+        delete_orphaned_files(lake)
+    finally:
+        lake._txn, lake._explicit_txn = saved_txn, saved_flag
 
 
 DuckLake.merge_adjacent_files = (

@@ -453,3 +453,44 @@ def test_cleanup_defaults_use_delete_older_than(lake, spark):
     lake.cleanup_old_files()
     assert lake.cleanup_old_files(cleanup_all=True, dry_run=True) == []
     assert sorted(r.i for r in lake.table("t").collect()) == [1, 2, 3]
+
+
+# -- checkpoint/checkpoint_updates_interleaved.test ----------------------
+
+def test_checkpoint_inside_txn_is_independent(lake, spark):
+    """CHECKPOINT inside an open transaction commits on its own; the
+    surrounding transaction keeps its buffered writes and commits
+    cleanly when nothing conflicts."""
+    lake.set_option("data_inlining_row_limit", "5")
+    lake.create_table("test", [("i", "int32")])
+    lake.insert("test", spark.createDataFrame([(i,) for i in range(10)], "i int"))
+    with lake.transaction():
+        lake.insert("test", spark.createDataFrame(
+            [(i,) for i in range(10, 13)], "i int"))
+        lake.checkpoint()  # runs as its own txns, buffered insert survives
+        assert lake.table("test").count() == 13
+    assert sorted(r.i for r in lake.table("test").collect()) == list(range(13))
+    with lake.transaction():
+        lake.checkpoint()
+        lake.insert("test", spark.createDataFrame(
+            [(i,) for i in range(13, 16)], "i int"))
+    assert lake.table("test").count() == 16
+
+
+def test_checkpoint_conflicts_with_buffered_delete(lake, spark):
+    """A transaction that buffered a DELETE aborts at COMMIT when a
+    mid-transaction CHECKPOINT compacted the deleted-from files
+    (reference: final block of checkpoint_updates_interleaved.test)."""
+    from ducklake_spark.transaction import ConflictError
+
+    lake.create_table("test", [("i", "int32")])
+    lake.insert("test", spark.createDataFrame([(i,) for i in range(10)], "i int"))
+    lake.insert("test", spark.createDataFrame(
+        [(i,) for i in range(10, 20)], "i int"))
+    with pytest.raises(ConflictError):
+        with lake.transaction():
+            lake.delete("test", "i < 15")
+            lake.checkpoint()  # compacts the two files the delete targets
+            lake.insert("test", spark.createDataFrame([(1,), (2,)], "i int"))
+    # the aborted txn left nothing behind; checkpoint's compaction stands
+    assert lake.table("test").count() == 20
