@@ -374,13 +374,23 @@ class MetadataManager:
         return self.con.execute(sql, params).fetchall()
 
     def option(self, key: str, default: str | None = None,
-               scope: str | None = None, scope_id: int | None = None) -> str | None:
+               scope: str | None = None, scope_id: int | None = None,
+               schema_id: int | None = None) -> str | None:
         """Scoped config lookup: table scope wins over schema over global
-        (reference: ducklake_set_option.cpp:92-171)."""
+        (reference: ducklake_set_option.cpp:92-171,
+        ducklake_metadata_manager.cpp:466-482)."""
         if scope_id is not None:
             row = self.con.execute(
                 "SELECT value FROM ducklake_metadata WHERE key=? AND scope=? AND scope_id=?",
                 (key, scope, scope_id),
+            ).fetchone()
+            if row:
+                return row[0]
+        if schema_id is not None:
+            row = self.con.execute(
+                "SELECT value FROM ducklake_metadata "
+                "WHERE key=? AND scope='schema' AND scope_id=?",
+                (key, schema_id),
             ).fetchone()
             if row:
                 return row[0]

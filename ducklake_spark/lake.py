@@ -457,7 +457,11 @@ class DuckLake:
                 ducklake_to_spark(ctype)  # validates
                 _check_reserved_column(cname)
                 cols.append(ColumnDef(cname, ctype, nulls_allowed=cname not in not_null))
-        if self._inline_limit() > 0:
+        try:
+            sid = self._schema_id(schema_name)
+        except DuckLakeError:
+            sid = None  # schema created in this txn: no scoped row yet
+        if self._inline_limit(schema_id=sid) > 0:
             for c in cols:
                 _check_inline_reserved(c.name)
         td = TableDef(schema_name, table_name, cols, path=f"{schema_name}/{table_name}/")
@@ -519,7 +523,7 @@ class DuckLake:
         self._require_committed(h, "ALTER ADD COLUMN")
         ducklake_to_spark(col_type)
         _check_reserved_column(col_name)
-        if self._inline_limit(h.table_id) > 0:
+        if self._inline_limit(h.table_id, h.schema_id) > 0:
             _check_inline_reserved(col_name)
         txn = self.begin()
 
@@ -589,7 +593,7 @@ class DuckLake:
         h = self._handle(name)
         self._require_committed(h, "ALTER RENAME COLUMN")
         _check_reserved_column(new_name)
-        if self._inline_limit(h.table_id) > 0:
+        if self._inline_limit(h.table_id, h.schema_id) > 0:
             _check_inline_reserved(new_name)
         txn = self.begin()
 
@@ -958,40 +962,70 @@ class DuckLake:
             out.append((snap, cid, old, new))
         return sorted(out)
 
-    def set_option(self, option: str, value: str, *, table_name: str | None = None) -> None:
-        """Scoped config (reference: ducklake_set_option.cpp:92-171).
-        Table scope when ``table_name`` given, else global."""
+    def set_option(self, option: str, value: str, *,
+                   table_name: str | None = None,
+                   schema_name: str | None = None) -> None:
+        """Scoped config (reference: ducklake_set_option.cpp:92-171,
+        schema scope ducklake_metadata_manager.cpp:466-482). Table
+        scope when ``table_name`` given, schema scope when
+        ``schema_name`` given, else global; resolution is
+        table > schema > global."""
         self._check_writable()
+        if table_name is not None and schema_name is not None:
+            raise DuckLakeError("give either table_name or schema_name")
         if option == "data_inlining_row_limit" and int(value or 0) > 0:
-            self._check_inlining_enableable(table_name)
+            self._check_inlining_enableable(table_name,
+                                            schema_name=schema_name)
         if table_name is not None:
             h = self._handle(table_name)
             self.meta.set_option(option, value, scope="table", scope_id=h.table_id)
+        elif schema_name is not None:
+            self.meta.set_option(option, value, scope="schema",
+                                 scope_id=self._schema_id(schema_name))
         else:
             self.meta.set_option(option, value)
 
-    def _inline_limit(self, table_id: int | None = None) -> int:
-        """Effective data_inlining_row_limit (table override over
+    def _schema_id(self, schema_name: str) -> int:
+        rows = self.meta.query(
+            "SELECT schema_id FROM ducklake_schema "
+            "WHERE schema_name=? AND end_snapshot IS NULL", (schema_name,))
+        if not rows:
+            raise DuckLakeError(f"no schema {schema_name!r}")
+        return rows[0][0]
+
+    def _inline_limit(self, table_id: int | None = None,
+                      schema_id: int | None = None) -> int:
+        """Effective data_inlining_row_limit (table over schema over
         global — the reference resolves per scope,
         ducklake_set_option.cpp)."""
         if table_id is not None and table_id >= 0:
             return int(self.meta.option(
                 "data_inlining_row_limit", "0",
-                scope="table", scope_id=table_id) or 0)
+                scope="table", scope_id=table_id,
+                schema_id=schema_id) or 0)
+        if schema_id is not None:
+            return int(self.meta.option(
+                "data_inlining_row_limit", "0",
+                schema_id=schema_id) or 0)
         return int(self.meta.option("data_inlining_row_limit", "0") or 0)
 
-    def _check_inlining_enableable(self, table_name: str | None) -> None:
+    def _check_inlining_enableable(self, table_name: str | None,
+                                   schema_name: str | None = None) -> None:
         """Enabling inlining fails while any affected live table has a
         reserved bookkeeping column name
         (test/sql/data_inlining/inlining_reserved_column_names.test);
         tables with an explicit table-level limit of 0 are exempt from
-        the global check."""
+        the global/schema check."""
         if table_name is not None:
             handles = [self._handle(table_name)]
         else:
+            sid = (self._schema_id(schema_name)
+                   if schema_name is not None else None)
             handles = []
             for t in self._table_names():
                 h = self._handle(t)
+                if sid is not None and h.schema_id != sid:
+                    continue
                 row = self.meta.query(
                     "SELECT value FROM ducklake_metadata WHERE "
                     "key='data_inlining_row_limit' AND scope='table' "
@@ -1090,7 +1124,7 @@ class DuckLake:
         schema = self._spark_schema(h)
         df = self._conform(df, schema, h)
 
-        inline_limit = self._inline_limit(h.table_id)
+        inline_limit = self._inline_limit(h.table_id, h.schema_id)
         if inline_limit > 0 and h.table_id >= 0:
             # txn-local tables (id assigned at commit) always write
             # parquet — the inlined-data tables need a real table id
@@ -1106,7 +1140,8 @@ class DuckLake:
         # (test/sql/sorted_table/insert_sorted_sort_on_insert_option)
         if sort_spec and (
             self.meta.option("sort_on_insert", "true",
-                             scope="table", scope_id=h.table_id) or "true"
+                             scope="table", scope_id=h.table_id,
+                             schema_id=h.schema_id) or "true"
         ).lower() == "false":
             sort_spec = []
         files = self._write_parquet(h, df, schema, part_keys, sort_spec)
@@ -1229,7 +1264,8 @@ class DuckLake:
                 part_cols.append(f"__part_{i}")
         if sort_spec:
             writer = writer.sortWithinPartitions(*_sort_columns(sort_spec))
-        opt = lambda k, d=None: self.meta.option(k, d, scope="table", scope_id=h.table_id)
+        opt = lambda k, d=None: self.meta.option(
+            k, d, scope="table", scope_id=h.table_id, schema_id=h.schema_id)
         target_file_size = int(opt("target_file_size", "0") or 0)
         enc_key = None
         if self.encrypted:

@@ -126,3 +126,37 @@ def test_table_scope_inline_limit_overrides_global(lake, spark):
     files = g.glob(f"{lake.data_path}/**/*.parquet", recursive=True)
     # a inlined (no file), b wrote parquet despite the global limit
     assert len(files) == 1 and "/b/" in files[0].replace("\\", "/")
+
+
+# -- data_inlining_per_schema_alter.test --------------------------------
+
+def test_schema_scope_inline_limit(lake, spark):
+    import glob as g
+
+    lake.set_option("data_inlining_row_limit", "10")
+    lake.create_schema("s1")
+    lake.set_option("data_inlining_row_limit", "0", schema_name="s1")
+    lake.create_table("s1.t1", [("i", "int32"), ("j", "varchar")])
+    lake.insert("s1.t1", spark.createDataFrame(
+        [(1, "hello"), (2, "world")], "i int, j string"))
+    # schema-scope 0 overrides the global 10 → parquet, not inlined
+    nfiles = len(g.glob(f"{lake.data_path}/**/*.parquet", recursive=True))
+    assert nfiles >= 1
+    assert lake.meta.query(
+        "SELECT COUNT(*) FROM ducklake_inlined_data_tables")[0][0] == 0
+    # ADD COLUMN ... DEFAULT still reads through (column_schema_change path)
+    lake.add_column("s1.t1", "k", "int32", default="42")
+    rows = sorted(tuple(r) for r in lake.table("s1.t1").collect())
+    assert rows == [(1, "hello", 42), (2, "world", 42)]
+    # a table in another schema still inlines under the global limit
+    lake.create_table("t2", [("i", "int32")])
+    lake.insert("t2", spark.createDataFrame([(5,)], "i int"))
+    assert len(
+        g.glob(f"{lake.data_path}/**/*.parquet", recursive=True)) == nfiles
+    # table scope beats schema scope
+    lake.set_option("data_inlining_row_limit", "10", table_name="s1.t1")
+    lake.insert("s1.t1", spark.createDataFrame(
+        [(3, "x")], "i int, j string"))
+    assert len(
+        g.glob(f"{lake.data_path}/**/*.parquet", recursive=True)) == nfiles
+    assert lake.table("s1.t1").count() == 3
