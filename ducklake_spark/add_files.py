@@ -93,6 +93,7 @@ def add_data_files(lake: DuckLake, table: str, pattern: str, *,
         info = DataFileInfo(
             path=path[len(data_fs):] if path.startswith(data_fs) else path,
             record_count=pf.metadata.num_rows,
+            row_group_count=pf.metadata.num_row_groups,
             file_size_bytes=lake.lfs.size(path),
             footer_size=_footer_size(path, fs=lake.lfs),
             partition_values=part_values,

@@ -66,14 +66,16 @@ SCHEMA_STATEMENTS = [
         file_order BIGINT, path VARCHAR, path_is_relative BOOLEAN,
         file_format VARCHAR, record_count BIGINT, file_size_bytes BIGINT,
         footer_size BIGINT, row_id_start BIGINT, partition_id BIGINT,
-        encryption_key VARCHAR, mapping_id BIGINT, partial_max BIGINT)""",
+        encryption_key VARCHAR, mapping_id BIGINT, partial_max BIGINT,
+        row_group_count BIGINT)""",
     # :221-226
     """CREATE TABLE IF NOT EXISTS ducklake_delete_file(
         delete_file_id BIGINT PRIMARY KEY, table_id BIGINT,
         begin_snapshot BIGINT, end_snapshot BIGINT,
         data_file_id BIGINT, path VARCHAR, path_is_relative BOOLEAN,
         format VARCHAR, delete_count BIGINT, file_size_bytes BIGINT,
-        footer_size BIGINT, encryption_key VARCHAR, partial_max BIGINT)""",
+        footer_size BIGINT, encryption_key VARCHAR, partial_max BIGINT,
+        row_group_count BIGINT)""",
     # :251-253
     """CREATE TABLE IF NOT EXISTS ducklake_file_column_stats(
         data_file_id BIGINT, table_id BIGINT, column_id BIGINT,
@@ -305,6 +307,20 @@ class MetadataManager:
                     "INSERT INTO ducklake_schema VALUES (0, ?, 0, NULL, 'main', 'main/', 1)",
                     (str(uuid.uuid4()),),
                 )
+            # idempotent column migrations for catalogs created before a
+            # column existed (reference adds row_group_count the same
+            # way — ducklake_metadata_manager.cpp:428 ALTER ... IF NOT
+            # EXISTS); run inside the bootstrap txn, guarded by a
+            # PRAGMA probe so no backend sees a failing statement
+            for mtable, mcol, mdecl in (
+                ("ducklake_data_file", "row_group_count", "BIGINT"),
+                ("ducklake_delete_file", "row_group_count", "BIGINT"),
+            ):
+                cols = [r[1] for r in con.execute(
+                    f"PRAGMA table_info({mtable})").fetchall()]
+                if mcol not in cols:
+                    con.execute(
+                        f"ALTER TABLE {mtable} ADD COLUMN {mcol} {mdecl}")
             con.execute("COMMIT")
         except BaseException:
             safe_rollback(con)

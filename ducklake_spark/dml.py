@@ -297,6 +297,7 @@ def _apply_file_deletes(lake: DuckLake, h: TableHandle, snap, files: list[dict],
                     footer_size=w["footer"],
                     format="puffin" if use_dv else "parquet",
                     encryption_key=w.get("enc_key") or None,
+                    row_group_count=w.get("rgs"),
                 )
             )
             txn.touched_delete_data_files.add(p["fid"])
@@ -365,6 +366,9 @@ def _write_delete_files_distributed(lake, delete_dir: str, dels: DataFrame) -> l
             [{"file_path": rel, "out_path": final, "n": len(pos),
               "size": size_any(final),
               "footer": parquet_footer_size(final),
+              # write_table default row_group_size; footer unreadable
+              # here for encrypted files, layout is deterministic
+              "rgs": max(1, -(-len(pos) // (1 << 20))),
               "enc_key": enc_key}]
         )
 
@@ -373,7 +377,7 @@ def _write_delete_files_distributed(lake, delete_dir: str, dels: DataFrame) -> l
         .applyInPandas(
             write_group,
             "file_path string, out_path string, n long, size long, "
-            "footer long, enc_key string",
+            "footer long, rgs long, enc_key string",
         )
         .collect()
     )

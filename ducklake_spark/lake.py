@@ -1385,6 +1385,7 @@ class DuckLake:
                 with self.lfs.open_input(p_fs) as fh:
                     pf = pq.ParquetFile(fh)
                     f.record_count = pf.metadata.num_rows
+                    f.row_group_count = pf.metadata.num_row_groups
                     f.column_stats = _harvest_stats(pf, colmap)
                     f.file_size_bytes = fh.size()
                     f.footer_size = _footer_size_from_handle(fh)
@@ -1414,18 +1415,21 @@ class DuckLake:
                         pf = _pq.ParquetFile(fh)
                         stats = _hs(pf, colmap)
                         nrows = pf.metadata.num_rows
+                        nrgs = pf.metadata.num_row_groups
                         footer = _fsz(fh)
                     out.append(
                         (
                             p,
                             nrows,
+                            nrgs,
                             size,
                             footer,
                             _json.dumps([s.__dict__ for s in stats]),
                         )
                     )
                 yield pd.DataFrame(
-                    out, columns=["path", "rows", "size", "footer", "stats"]
+                    out,
+                    columns=["path", "rows", "rgs", "size", "footer", "stats"],
                 )
 
         pdf = self.spark.createDataFrame(
@@ -1436,12 +1440,15 @@ class DuckLake:
         by_path = {
             r["path"]: r
             for r in pdf.mapInPandas(
-                gen, "path string, rows long, size long, footer long, stats string"
+                gen,
+                "path string, rows long, rgs long, size long, "
+                "footer long, stats string",
             ).collect()
         }
         for f, path in zip(infos, paths):
             r = by_path[path]
             f.record_count = r["rows"]
+            f.row_group_count = r["rgs"]
             f.file_size_bytes = r["size"]
             f.footer_size = r["footer"]
             f.column_stats = [

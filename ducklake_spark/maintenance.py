@@ -548,6 +548,11 @@ def _flush_inlined_deletes(lake: DuckLake, h) -> int:
                 key_id_for(enc_key), enc_key)}
         with lake.lfs.open_output(final_fs) as fh:
             pq.write_table(out, fh, **wopts)
+        if enc_key is None:
+            with lake.lfs.open_input(final_fs) as fh:
+                nrgs = pq.ParquetFile(fh).metadata.num_row_groups
+        else:  # footer readable only with the key; derive from writer default
+            nrgs = max(1, -(-len(ordered) // (1 << 20)))
         txn.new_delete_files.setdefault(h.table_id, []).append(
             DeleteFileInfo(
                 data_file_id=fid,
@@ -556,6 +561,7 @@ def _flush_inlined_deletes(lake: DuckLake, h) -> int:
                 file_size_bytes=lake.lfs.size(final_fs),
                 footer_size=_pfs(final_fs, fs=lake.lfs),
                 encryption_key=enc_key,
+                row_group_count=nrgs,
             )
         )
         txn.touched_delete_data_files.add(fid)

@@ -112,6 +112,8 @@ class DataFileInfo:
     # False for update/compaction files whose rows carry an embedded
     # _ducklake_internal_row_id column (row ids preserved, not allocated)
     allocate: bool = True
+    # parquet footer row-group count (reference ducklake_insert.cpp:132)
+    row_group_count: int | None = None
 
 
 @dataclass
@@ -123,6 +125,7 @@ class DeleteFileInfo:
     footer_size: int = 0
     format: str = "parquet"
     encryption_key: str | None = None
+    row_group_count: int | None = None  # ducklake_delete.cpp:146-148
 
 
 @dataclass
@@ -770,7 +773,7 @@ class Transaction:
                         fsize += f.file_size_bytes
                     con.execute(
                         "INSERT INTO ducklake_data_file VALUES "
-                        "(?, ?, ?, NULL, ?, ?, 1, 'parquet', ?, ?, ?, ?, ?, ?, ?, ?)",
+                        "(?, ?, ?, NULL, ?, ?, 1, 'parquet', ?, ?, ?, ?, ?, ?, ?, ?, ?)",
                         (
                             fid,
                             tid,
@@ -787,6 +790,7 @@ class Transaction:
                             f.encryption_key,
                             f.mapping_id,
                             f.partial_max,
+                            f.row_group_count,
                         ),
                     )
                     for idx, val in f.partition_values:
@@ -856,7 +860,7 @@ class Transaction:
                 for df in dfiles:
                     con.execute(
                         "INSERT INTO ducklake_delete_file VALUES "
-                        "(?, ?, ?, NULL, ?, ?, 1, ?, ?, ?, ?, ?, NULL)",
+                        "(?, ?, ?, NULL, ?, ?, 1, ?, ?, ?, ?, ?, NULL, ?)",
                         (
                             next_file,
                             tid,
@@ -868,6 +872,7 @@ class Transaction:
                             df.file_size_bytes,
                             df.footer_size,
                             df.encryption_key,
+                            df.row_group_count,
                         ),
                     )
                     next_file += 1

@@ -494,3 +494,30 @@ def test_checkpoint_conflicts_with_buffered_delete(lake, spark):
             lake.insert("test", spark.createDataFrame([(1,), (2,)], "i int"))
     # the aborted txn left nothing behind; checkpoint's compaction stands
     assert lake.table("test").count() == 20
+
+
+# -- metadata/row_group_count.test ---------------------------------------
+
+def test_row_group_count_recorded(lake, spark):
+    lake.create_table("t", [("i", "int32")])
+    lake.insert("t", spark.createDataFrame(
+        [(i,) for i in range(1000)], "i int").coalesce(1))
+    rows = lake.meta.query(
+        "SELECT record_count, row_group_count FROM ducklake_data_file "
+        "WHERE end_snapshot IS NULL")
+    assert rows == [(1000, 1)]
+    lake.delete("t", "i < 100")
+    drows = lake.meta.query(
+        "SELECT delete_count, row_group_count FROM ducklake_delete_file "
+        "WHERE end_snapshot IS NULL")
+    assert drows == [(100, 1)]
+    # small byte-budget row groups → several per file
+    lake.set_option("parquet_row_group_size_bytes", "4096")
+    lake.create_table("m", [("i", "int32"), ("s", "varchar")])
+    lake.insert("m", spark.createDataFrame(
+        [(i, "x" * 100) for i in range(20000)], "i int, s string").coalesce(1))
+    (rg,) = lake.meta.query(
+        "SELECT row_group_count FROM ducklake_data_file d "
+        "JOIN ducklake_table t ON d.table_id = t.table_id "
+        "WHERE t.table_name='m' AND d.end_snapshot IS NULL")[0]
+    assert rg >= 2
