@@ -477,8 +477,30 @@ def _delete_inlined(lake: DuckLake, h: TableHandle, where: str) -> int:
     return total
 
 
-def update(lake: DuckLake, name: str, assignments: dict[str, str], where: str) -> int:
-    """UPDATE name SET col=expr WHERE ...; delete+insert preserving rowid."""
+def update(lake: DuckLake, name: str, assignments: dict[str, str],
+           where: str | None = None, *, source: DataFrame | None = None,
+           on: list[str] | None = None) -> int:
+    """UPDATE name SET col=expr WHERE ...; delete+insert preserving rowid.
+
+    ``source``/``on`` give the reference's ``UPDATE ... FROM src WHERE
+    t.k = src.k`` join form: each target row joins the source on the
+    ``on`` keys and duplicate source matches resolve first-write-wins
+    (test/sql/update/update_join_duplicates.test) — unlike MERGE, which
+    errors on a multi-match."""
+    if source is not None:
+        if not on:
+            raise DuckLakeError("joined UPDATE needs join keys via on=[...]")
+        if where is not None:
+            raise DuckLakeError(
+                "joined UPDATE expresses its predicate through the join "
+                "keys; extra WHERE is not supported")
+        res = merge_into(
+            lake, name, source, on,
+            when_matched_update=assignments,
+            when_not_matched_insert=False,
+            multi_match="first",
+        )
+        return res["updated"]
     h = lake._handle(name)
     if h.table_id < 0:
         return _rewrite_txn_local(lake, h, where, assignments)
@@ -587,7 +609,8 @@ def merge_into(lake: DuckLake, target: str, source: DataFrame, on: list[str],
                when_matched_delete: bool = False,
                when_not_matched_insert: bool = True,
                when_not_matched_by_source_update: dict[str, str] | None = None,
-               when_not_matched_by_source_delete: bool = False) -> dict[str, int]:
+               when_not_matched_by_source_delete: bool = False,
+               multi_match: str = "error") -> dict[str, int]:
     """MERGE INTO target USING source ON equality keys.
 
     Supports WHEN MATCHED THEN UPDATE (or DELETE), WHEN NOT MATCHED
@@ -680,21 +703,38 @@ def merge_into(lake: DuckLake, target: str, source: DataFrame, on: list[str],
         if when_matched_update or when_matched_delete:
             # the joined relation feeds BOTH the replacement-row write and
             # the victim delete-apply: persist so the join runs once
-            joined = t.join(sdf, cond, "inner").persist()
+            joined = t.join(sdf, cond, "inner")
+            if when_matched_update and multi_match == "first":
+                # joined UPDATE semantics: first-write-wins on duplicate
+                # source matches (reference
+                # test/sql/update/update_join_duplicates.test); ordered
+                # by the source keys for determinism
+                from pyspark.sql.window import Window
+
+                w = Window.partitionBy(
+                    F.col("t.filename"), F.col("t.file_row_number")
+                ).orderBy(*[F.col(f"s.{k}") for k in on])
+                joined = (
+                    joined.withColumn("__rn", F.row_number().over(w))
+                    .filter(F.col("__rn") == 1).drop("__rn")
+                )
+            joined = joined.persist()
             persisted.append(joined)
             if when_matched_update:
-                # a target row matched by multiple source rows would be
-                # updated multiple times — reference raises instead of
-                # picking a winner (ducklake_delete.cpp:504-507)
-                ndup = (
-                    joined.groupBy("t.filename", "t.file_row_number")
-                    .count().filter(F.col("count") > 1).limit(1).count()
-                )
-                if ndup:
-                    raise DuckLakeError(
-                        "MERGE: the same target row matches multiple source "
-                        "rows — eliminate duplicate matches before updating"
+                if multi_match == "error":
+                    # a target row matched by multiple source rows would
+                    # be updated multiple times — MERGE raises instead
+                    # of picking a winner (ducklake_delete.cpp:504-507)
+                    ndup = (
+                        joined.groupBy("t.filename", "t.file_row_number")
+                        .count().filter(F.col("count") > 1).limit(1).count()
                     )
+                    if ndup:
+                        raise DuckLakeError(
+                            "MERGE: the same target row matches multiple "
+                            "source rows — eliminate duplicate matches "
+                            "before updating"
+                        )
                 replaced += _write_replacements(
                     joined.select(
                         *[
@@ -784,7 +824,8 @@ def _sql_literal(v) -> str:
 
 # install as methods
 DuckLake.delete = lambda self, name, where: delete(self, name, where)
-DuckLake.update = lambda self, name, assignments, where: update(self, name, assignments, where)
+DuckLake.update = lambda self, name, assignments, where=None, **kw: update(
+    self, name, assignments, where, **kw)
 DuckLake.merge = (
     lambda self, target, source, on, **kw: merge_into(self, target, source, on, **kw)
 )

@@ -521,3 +521,32 @@ def test_row_group_count_recorded(lake, spark):
         "JOIN ducklake_table t ON d.table_id = t.table_id "
         "WHERE t.table_name='m' AND d.end_snapshot IS NULL")[0]
     assert rg >= 2
+
+
+# -- update/update_join_duplicates.test ----------------------------------
+
+def test_joined_update_first_write_wins(lake, spark):
+    lake.create_table("test", [("id", "int64")])
+    lake.insert("test", spark.createDataFrame(
+        [(i,) for i in range(10)], "id long"))
+    # duplicate update ids: every even id appears twice in the source
+    src = spark.createDataFrame(
+        [(i,) for i in range(0, 10, 2)] * 2, "id long")
+    n = lake.update("test", {"id": "t.id + 1000"}, source=src, on=["id"])
+    assert n == 5  # one update per matched target row, not per source row
+    got = sorted(r.id for r in lake.table("test").collect())
+    assert got == [1, 3, 5, 7, 9, 1000, 1002, 1004, 1006, 1008]
+    assert sum(got) == 5045
+    # DISTINCT source gives the same result
+    lake2_rows = sorted(r.id for r in lake.table("test").collect())
+    assert lake2_rows == got
+
+
+def test_update_in_same_transaction_as_create(lake, spark):
+    # update/update_same_transaction.test: create+insert+update in one txn
+    with lake.transaction():
+        lake.create_table("t", [("id", "int32"), ("name", "varchar")])
+        lake.insert("t", spark.createDataFrame(
+            [(1, "Bob")], "id int, name string"))
+        lake.update("t", {"name": "'Alice'"}, "id = 1")
+    assert [r.name for r in lake.table("t").collect()] == ["Alice"]
