@@ -138,6 +138,20 @@ def _apply_file_deletes(lake: DuckLake, h: TableHandle, snap, files: list[dict],
     file_by_path = {
         lake._file_uri(f["path"]): f for f in files
     }
+    # several jobs read the victims relation (per-file counts, the
+    # delete-file write, inlined absorption) — cache the scan+filter so
+    # the table is read once, not once per job
+    victims = victims.persist()
+    try:
+        return _apply_file_deletes_cached(
+            lake, h, snap, files, victims, file_by_path)
+    finally:
+        victims.unpersist()
+
+
+def _apply_file_deletes_cached(lake: DuckLake, h: TableHandle, snap,
+                               files: list[dict], victims: DataFrame,
+                               file_by_path: dict) -> int:
     counts = victims.groupBy("filename").count().collect()
     per_file = [(r["filename"], r["count"]) for r in counts]
     n_deleted = sum(c for _, c in per_file)
