@@ -606,7 +606,7 @@ def _update_inlined(lake: DuckLake, h: TableHandle, assignments: dict[str, str],
         cur_tname = lake._ensure_inlined_table(h)
         packed = [
             (r["__rid"], PENDING_SNAPSHOT, None)
-            + tuple(_to_sql_value(r[f.name]) for f in schema.fields)
+            + tuple(_to_sql_value(r[f.name], f.dataType) for f in schema.fields)
             for r in updated
         ]
         txn.inlined_inserts.append((h.table_id, cur_tname, packed))

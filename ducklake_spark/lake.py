@@ -1544,7 +1544,11 @@ class DuckLake:
         packed = []
         for i, r in enumerate(rows):
             packed.append(
-                (i, PENDING_SNAPSHOT, None) + tuple(_to_sql_value(v) for v in r)
+                (i, PENDING_SNAPSHOT, None)
+                + tuple(
+                    _to_sql_value(v, f_.dataType)
+                    for v, f_ in zip(r, schema.fields)
+                )
             )
         txn.inlined_inserts_rebase.append((h.table_id, tname, packed))
         # inlined inserts get their own changes_made kind (reference
@@ -3395,12 +3399,18 @@ def _harvest_stats(pf, colmap: dict[str, int]) -> list[ColumnStatsRow]:
             row.value_count += s.num_values or 0
             row.null_count += s.null_count or 0
             if s.has_min_max:
-                mn, mx = _stat_str(s.min), _stat_str(s.max)
-                if isinstance(s.min, float) and (s.min != s.min or s.max != s.max):
+                try:
+                    smin, smax = s.min, s.max
+                except NotImplementedError:
+                    # pyarrow can't decode min/max for some physical
+                    # types (e.g. FLBA decimals); keep counts, no range
+                    continue
+                mn, mx = _stat_str(smin), _stat_str(smax)
+                if isinstance(smin, float) and (smin != smin or smax != smax):
                     row.contains_nan = True
                 else:
-                    row.min_value = mn if row.min_value is None else _min2(row.min_value, mn, s.min)
-                    row.max_value = mx if row.max_value is None else _max2(row.max_value, mx, s.max)
+                    row.min_value = mn if row.min_value is None else _min2(row.min_value, mn, smin)
+                    row.max_value = mx if row.max_value is None else _max2(row.max_value, mx, smax)
     return list(agg.values())
 
 
@@ -3468,13 +3478,63 @@ def parquet_footer_size(path: str, fs=None) -> int:
         return struct.unpack("<I", f.read(4))[0] + 8
 
 
-def _to_sql_value(v):
+def _to_sql_value(v, dt: T.DataType | None = None):
     import datetime
+    import decimal
 
+    if v is None:
+        return None
+    if isinstance(dt, (T.ArrayType, T.MapType, T.StructType)):
+        import json
+
+        return json.dumps(_to_json_value(v, dt))
     if isinstance(v, (datetime.datetime, datetime.date)):
         return v.isoformat(sep=" ") if isinstance(v, datetime.datetime) else v.isoformat()
+    if isinstance(v, decimal.Decimal):
+        return str(v)
+    if isinstance(v, datetime.timedelta):
+        return v.days * 86_400_000_000 + v.seconds * 1_000_000 + v.microseconds
     if isinstance(v, bytes):
         return v
+    return v
+
+
+def _to_json_value(v, dt: T.DataType):
+    """JSON-encodable form of a nested inlined value; decoding is
+    type-driven by the matching branch of ``_from_sql_value``. Maps
+    become [key, value] pair lists (JSON object keys must be strings;
+    DuckLake map keys need not be)."""
+    import base64
+    import datetime
+    import decimal
+
+    if v is None:
+        return None
+    if isinstance(dt, T.ArrayType):
+        return [_to_json_value(x, dt.elementType) for x in v]
+    if isinstance(dt, T.MapType):
+        return [
+            [_to_json_value(k, dt.keyType), _to_json_value(x, dt.valueType)]
+            for k, x in v.items()
+        ]
+    if isinstance(dt, T.StructType):
+        d = v.asDict() if hasattr(v, "asDict") else (
+            v if isinstance(v, dict) else dict(zip(dt.fieldNames(), v))
+        )
+        return {
+            f_.name: _to_json_value(d.get(f_.name), f_.dataType)
+            for f_ in dt.fields
+        }
+    if isinstance(v, bytes):
+        return base64.b64encode(v).decode("ascii")
+    if isinstance(v, datetime.datetime):
+        return v.isoformat(sep=" ")
+    if isinstance(v, datetime.date):
+        return v.isoformat()
+    if isinstance(v, decimal.Decimal):
+        return str(v)
+    if isinstance(v, datetime.timedelta):
+        return v.days * 86_400_000_000 + v.seconds * 1_000_000 + v.microseconds
     return v
 
 
@@ -3507,6 +3567,10 @@ def _from_sql_value(v, dt: T.DataType):
 
     if v is None:
         return None
+    if isinstance(dt, (T.ArrayType, T.MapType, T.StructType)):
+        import json
+
+        return _from_json_value(json.loads(v) if isinstance(v, str) else v, dt)
     if isinstance(dt, (T.TimestampType, T.TimestampNTZType)) and isinstance(v, str):
         return datetime.datetime.fromisoformat(v)
     if isinstance(dt, T.DateType) and isinstance(v, str):
@@ -3514,6 +3578,41 @@ def _from_sql_value(v, dt: T.DataType):
     if isinstance(dt, T.DecimalType) and not isinstance(v, decimal.Decimal):
         return decimal.Decimal(str(v))
     if isinstance(dt, (T.DoubleType, T.FloatType)):
+        return float(v)
+    if isinstance(dt, T.DayTimeIntervalType) and isinstance(v, int):
+        return datetime.timedelta(microseconds=v)
+    return v
+
+
+def _from_json_value(v, dt: T.DataType):
+    import base64
+    import datetime
+    import decimal
+
+    if v is None:
+        return None
+    if isinstance(dt, T.ArrayType):
+        return [_from_json_value(x, dt.elementType) for x in v]
+    if isinstance(dt, T.MapType):
+        return {
+            _from_json_value(k, dt.keyType): _from_json_value(x, dt.valueType)
+            for k, x in v
+        }
+    if isinstance(dt, T.StructType):
+        return tuple(
+            _from_json_value(v.get(f_.name), f_.dataType) for f_ in dt.fields
+        )
+    if isinstance(dt, T.BinaryType):
+        return base64.b64decode(v)
+    if isinstance(dt, (T.TimestampType, T.TimestampNTZType)):
+        return datetime.datetime.fromisoformat(v)
+    if isinstance(dt, T.DateType):
+        return datetime.date.fromisoformat(v)
+    if isinstance(dt, T.DecimalType):
+        return decimal.Decimal(v)
+    if isinstance(dt, T.DayTimeIntervalType):
+        return datetime.timedelta(microseconds=v)
+    if isinstance(dt, T.FloatType) or isinstance(dt, T.DoubleType):
         return float(v)
     return v
 

@@ -550,3 +550,85 @@ def test_update_in_same_transaction_as_create(lake, spark):
             [(1, "Bob")], "id int, name string"))
         lake.update("t", {"name": "'Alice'"}, "id = 1")
     assert [r.name for r in lake.table("t").collect()] == ["Alice"]
+
+
+# -- types/list.test -----------------------------------------------------
+
+def test_list_column_round_trip(lake, spark):
+    """Lists with NULL elements and NULL lists survive write/scan and a
+    re-attach; element predicates work (types/list.test)."""
+    import conftest
+    from ducklake_spark.lake import DuckLake
+
+    lake.create_table("test", [("l", "list<int32>")])
+    lake.insert("test", spark.sql(
+        "SELECT * FROM VALUES (array(1)), (array(CAST(NULL AS INT))), "
+        "(CAST(NULL AS ARRAY<INT>)), (array(3)) AS t(l)"))
+    got = [r.l for r in lake.table("test").collect()]
+    assert len(got) == 4
+    assert [1] in got and [3] in got and [None] in got and None in got
+    assert [r.l for r in lake.table("test").filter("l[0] = 1").collect()] \
+        == [[1]]
+    assert lake.table("test").filter("l[0] = 100").count() == 0
+    lake.insert("test", spark.sql(
+        "SELECT * FROM VALUES (array(4, 5)), (array(6, 7)) AS t(l)"))
+    assert lake.table("test").count() == 6
+    lake2 = DuckLake.attach(spark, lake.metadata_path, lake.data_path)
+    assert lake2.table("test").count() == 6
+
+
+# -- types/map.test ------------------------------------------------------
+
+def test_map_column_round_trip_inlined_and_flushed(lake, spark):
+    """Maps (incl. NULL) survive the inlined path and flush to parquet;
+    key access predicates work (types/map.test)."""
+    lake.create_table("test", [("s", "map<varchar, int32>")])
+    lake.set_option("data_inlining_row_limit", "10", table_name="test")
+    lake.insert("test", spark.sql(
+        "SELECT * FROM VALUES (map('i', 1, 'j', 2)), (map('j', 3)), "
+        "(CAST(NULL AS MAP<STRING,INT>)) AS t(s)"))
+    # the inlined scan path decodes the JSON-encoded map before flush
+    pre = {tuple(sorted(r.s.items())) if r.s is not None else None
+           for r in lake.table("test").collect()}
+    assert pre == {(("i", 1), ("j", 2)), (("j", 3),), None}
+    lake.flush_inlined_data()
+    assert lake.table("test").count() == 3
+    assert [r.s for r in lake.table("test").filter("s['i'] = 1").collect()] \
+        == [{"i": 1, "j": 2}]
+    assert lake.table("test").filter("s['i'] = 100").count() == 0
+    lake.insert("test", spark.sql(
+        "SELECT * FROM VALUES (map('i', 4, 'j', 5)), (map('i', 6)) AS t(s)"))
+    lake.flush_inlined_data()
+    assert lake.table("test").count() == 5
+
+
+# -- types/json.test + json_alter_table.test -----------------------------
+
+def test_json_column_and_alter_add_json(lake, spark):
+    """JSON columns store/scan and can be added via ALTER
+    (types/json.test, types/json_alter_table.test)."""
+    from ducklake_spark.lake import DuckLake
+
+    lake.create_table("jt", [("l", "json")])
+    lake.insert("jt", spark.createDataFrame(
+        [('{"key": "value"}',)], "l string"))
+    assert lake.table("jt").collect()[0].l == '{"key": "value"}'
+    lake2 = DuckLake.attach(spark, lake.metadata_path, lake.data_path)
+    h = lake2._handle("jt")
+    assert [c[2] for c in h.columns] == ["json"]
+    # json_alter_table.test: ADD COLUMN ... JSON onto an existing table
+    lake.create_table("batch_transaction_finished",
+                      [("id", "int64"), ("status", "varchar"),
+                       ("batch_id", "varchar")])
+    lake.insert("batch_transaction_finished", spark.createDataFrame(
+        [(1, "ok", "b1")], "id long, status string, batch_id string"))
+    lake.add_column("batch_transaction_finished",
+                    "validation_errors", "json")
+    rows = lake.table("batch_transaction_finished").collect()
+    assert rows[0].validation_errors is None
+    lake.insert("batch_transaction_finished", spark.createDataFrame(
+        [(2, "bad", "b2", '["boom"]')],
+        "id long, status string, batch_id string, validation_errors string"))
+    got = {r.id: r.validation_errors
+           for r in lake.table("batch_transaction_finished").collect()}
+    assert got == {1: None, 2: '["boom"]'}
