@@ -189,8 +189,9 @@ class DuckLake:
                 )
         # per-file parquet encryption (reference: ENCRYPTED lakes,
         # ducklake_insert.cpp:743-756): data files carry random keys
-        # recorded in the catalog; column data is AES-GCM encrypted with
-        # a plaintext (readable) footer so stats harvesting still works
+        # recorded in the catalog; footer + columns AES-GCM encrypted
+        # (uniform encrypted-footer mode like the reference) — stats
+        # harvesting decrypts footers via pyarrow with the catalog key
         self.encrypted = (self.meta.option("encrypted") or "false") == "true"
         self._pinned: Snapshot | None = None
         if snapshot_version is not None:
@@ -1374,16 +1375,16 @@ class DuckLake:
         """Fill record_count / file_size / footer_size / zone-map stats
         for freshly written files. Driver loop for small writes;
         executor-parallel (mapInPandas over the path list) beyond
-        DISTRIBUTED_HARVEST_MIN_FILES."""
-        import pyarrow.parquet as pq
-
+        DISTRIBUTED_HARVEST_MIN_FILES. Encrypted writes have encrypted
+        footers (reference parity): the harvest opens those through
+        pyarrow's PME decryption with the file's catalog key."""
         paths = [os.path.join(self.data_path, f.path) for f in infos]
         if len(infos) < self.DISTRIBUTED_HARVEST_MIN_FILES:
             for f, path in zip(infos, paths):
                 p_fs = self.lfs.strip_scheme(path)
                 # one open per file: size + footer + stats off one handle
                 with self.lfs.open_input(p_fs) as fh:
-                    pf = pq.ParquetFile(fh)
+                    pf = _open_parquet_meta(fh, f.encryption_key)
                     f.record_count = pf.metadata.num_rows
                     f.row_group_count = pf.metadata.num_row_groups
                     f.column_stats = _harvest_stats(pf, colmap)
@@ -1395,11 +1396,10 @@ class DuckLake:
             import json as _json
 
             import pandas as pd
-            import pyarrow.parquet as _pq
 
             from ducklake_spark.lake import (
                 _harvest_stats as _hs,
-                parquet_footer_size as _pfs,
+                _open_parquet_meta as _opm,
             )
 
             from ducklake_spark.fsio import open_input_any as _open
@@ -1409,10 +1409,10 @@ class DuckLake:
 
             for b in batches:
                 out = []
-                for p in b["path"]:
+                for p, k in zip(b["path"], b["key"]):
                     with _open(p) as fh:
                         size = fh.size()
-                        pf = _pq.ParquetFile(fh)
+                        pf = _opm(fh, k if k else None)
                         stats = _hs(pf, colmap)
                         nrows = pf.metadata.num_rows
                         nrgs = pf.metadata.num_row_groups
@@ -1433,7 +1433,8 @@ class DuckLake:
                 )
 
         pdf = self.spark.createDataFrame(
-            [(p,) for p in paths], "path string"
+            [(p, f.encryption_key or "") for p, f in zip(paths, infos)],
+            "path string, key string",
         ).repartition(min(max(1, len(paths) // 4), 256))
         import json as _json
 
@@ -3370,6 +3371,38 @@ def _date_part_of_literal(part: str, iso: str) -> int | None:
     except ValueError:
         return None
     return {"year": dt.year, "month": dt.month, "day": dt.day, "hour": dt.hour}[part]
+
+
+def _open_parquet_meta(fh, b64key: str | None):
+    """ParquetFile for footer harvesting. Encrypted lakes write
+    encrypted footers (magic PARE) keyed by the file's catalog key; the
+    Java writer's wrapped-DEK key material is the same PKMT1 format
+    pyarrow's CryptoFactory parses, so one decrypt path serves files
+    written by either stack. Legacy plaintext-footer encrypted files
+    (and plain files) open without keys."""
+    import pyarrow.parquet as pq
+
+    if b64key:
+        fh.seek(-4, 2)
+        magic = fh.read(4)
+        fh.seek(0)
+        if magic == b"PARE":
+            from ducklake_spark.crypto_pme import (
+                decrypt_properties,
+                key_id_for,
+            )
+
+            # register the key under BOTH id derivations: Spark-written
+            # data files stamp _crypto_key_id, pyarrow-written delete
+            # files stamp crypto_pme.key_id_for
+            return pq.ParquetFile(
+                fh,
+                decryption_properties=decrypt_properties({
+                    key_id_for(b64key): b64key,
+                    _crypto_key_id(b64key): b64key,
+                }),
+            )
+    return pq.ParquetFile(fh)
 
 
 def _harvest_stats(pf, colmap: dict[str, int]) -> list[ColumnStatsRow]:

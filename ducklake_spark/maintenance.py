@@ -548,11 +548,10 @@ def _flush_inlined_deletes(lake: DuckLake, h) -> int:
                 key_id_for(enc_key), enc_key)}
         with lake.lfs.open_output(final_fs) as fh:
             pq.write_table(out, fh, **wopts)
-        if enc_key is None:
-            with lake.lfs.open_input(final_fs) as fh:
-                nrgs = pq.ParquetFile(fh).metadata.num_row_groups
-        else:  # footer readable only with the key; derive from writer default
-            nrgs = max(1, -(-len(ordered) // (1 << 20)))
+        from ducklake_spark.lake import _open_parquet_meta
+
+        with lake.lfs.open_input(final_fs) as fh:
+            nrgs = _open_parquet_meta(fh, enc_key).metadata.num_row_groups
         txn.new_delete_files.setdefault(h.table_id, []).append(
             DeleteFileInfo(
                 data_file_id=fid,

@@ -1,10 +1,12 @@
 """ENCRYPTED lakes: per-file parquet keys recorded in the catalog
 (reference: ducklake_insert.cpp:743-756, encryption_key column).
 
-Column data is AES-GCM encrypted via parquet modular encryption
-(java/ducklake/DuckLakeCrypto.java, prebuilt into
-ducklake_spark/jars/); footers stay plaintext so stats harvesting and
-footer_size work. Delete files carry their own per-file PME keys
+Footer + column data are AES-GCM encrypted via parquet modular
+encryption (java/ducklake/DuckLakeCrypto.java, prebuilt into
+ducklake_spark/jars/), matching the reference's encrypted-footer
+uniform mode; the Java writer stamps pyarrow-compatible PKMT1 key
+material so stats harvesting decrypts footers with the catalog key.
+Delete files carry their own per-file PME keys
 (ducklake_spark/crypto_pme.py; reference ducklake_delete.cpp:63-70)."""
 
 from __future__ import annotations
@@ -99,11 +101,46 @@ def test_encrypted_time_travel_and_stats(elake, spark):
     lk.insert("t", spark.range(50, 80).selectExpr("id AS i"))
     assert lk.table("t").count() == 80
     assert lk.table("t", at_version=s1).count() == 50
-    # plaintext footer keeps record_count harvesting intact
+    # footers are encrypted, yet harvesting (via the catalog key)
+    # still fills record_count / footer_size
     rows = lk.meta.query(
         "SELECT record_count, footer_size FROM ducklake_data_file"
     )
     assert all(rc > 0 and fs > 0 for rc, fs in rows)
+
+
+def test_encrypted_footer_unreadable_without_key(elake, spark):
+    """Data-file footers are encrypted like the reference (uniform
+    encrypted-footer mode): pyarrow cannot even read the schema without
+    the catalog key, and CAN read footer+data with it (the Java
+    writer's PKMT1 key material is pyarrow-compatible)."""
+    import os as _os
+
+    import pyarrow.parquet as pq
+
+    lk = elake
+    lk.create_table("t", [("i", "int64"), ("v", "varchar")])
+    lk.insert("t", spark.range(100).selectExpr(
+        "id AS i", "concat('secret_', id) AS v"))
+    (path, key, rc) = lk.meta.query(
+        "SELECT path, encryption_key, record_count FROM ducklake_data_file "
+        "WHERE end_snapshot IS NULL LIMIT 1")[0]
+    full = _os.path.join(lk.data_path, path)
+    with open(full, "rb") as fh:
+        raw = fh.read()
+    assert raw[-4:] == b"PARE"  # encrypted-footer magic
+    with pytest.raises(Exception):
+        pq.ParquetFile(full)  # keyless: no schema, no stats
+    from ducklake_spark.lake import _crypto_key_id
+    from ducklake_spark.crypto_pme import decrypt_properties
+
+    pf = pq.ParquetFile(full, decryption_properties=decrypt_properties(
+        {_crypto_key_id(key): key}))
+    assert pf.metadata.num_rows == rc  # matches the harvested count
+    t = pf.read()
+    assert all(v.startswith("secret_") for v in t["v"].to_pylist())
+    # Spark scan path still decrypts transparently
+    assert lk.table("t").filter("v = 'secret_42'").count() == 1
 
 
 def test_encrypted_delete_files(elake, spark, tmp_path):
