@@ -204,7 +204,8 @@ def _apply_file_deletes_cached(lake: DuckLake, h: TableHandle, snap,
     # ducklake_delete.cpp:530-546; flushed by ducklake_flush_inlined_data)
     inline_limit = int(
         lake.meta.option("deletion_inlining_row_limit", "0",
-                         scope="table", scope_id=h.table_id) or 0
+                         scope="table", scope_id=h.table_id,
+                         schema_id=h.schema_id) or 0
     )
     if partial and 0 < sum(p["new"] for p in partial) <= inline_limit:
         keep_paths = {p["fname"] for p in partial}
@@ -289,7 +290,8 @@ def _apply_file_deletes_cached(lake: DuckLake, h: TableHandle, snap,
         # local + object-store URIs alike)
         use_dv = (
             lake.meta.option("write_deletion_vectors", "false",
-                             scope="table", scope_id=h.table_id) or "false"
+                             scope="table", scope_id=h.table_id,
+                             schema_id=h.schema_id) or "false"
         ).lower() == "true"
         if use_dv:
             written = _write_dv_files_distributed(lake, delete_dir, new_dels)
@@ -372,17 +374,17 @@ def _write_delete_files_distributed(lake, delete_dir: str, dels: DataFrame) -> l
             )
         else:
             _pq.write_table(out, final)
-        from ducklake_spark.lake import parquet_footer_size
+        from ducklake_spark.lake import _open_parquet_meta, parquet_footer_size
 
-        from ducklake_spark.fsio import size_any
+        from ducklake_spark.fsio import open_input_any, size_any
 
+        with open_input_any(final) as fh:
+            nrgs = _open_parquet_meta(fh, enc_key).metadata.num_row_groups
         return pd.DataFrame(
             [{"file_path": rel, "out_path": final, "n": len(pos),
               "size": size_any(final),
               "footer": parquet_footer_size(final),
-              # write_table default row_group_size; footer unreadable
-              # here for encrypted files, layout is deterministic
-              "rgs": max(1, -(-len(pos) // (1 << 20))),
+              "rgs": nrgs,
               "enc_key": enc_key}]
         )
 
@@ -515,6 +517,8 @@ def update(lake: DuckLake, name: str, assignments: dict[str, str],
             multi_match="first",
         )
         return res["updated"]
+    if where is None:
+        where = "true"  # UPDATE without WHERE touches every row
     h = lake._handle(name)
     if h.table_id < 0:
         return _rewrite_txn_local(lake, h, where, assignments)
@@ -646,6 +650,9 @@ def merge_into(lake: DuckLake, target: str, source: DataFrame, on: list[str],
         raise DuckLakeError("at most one WHEN MATCHED action (like the reference)")
     if when_not_matched_by_source_update and when_not_matched_by_source_delete:
         raise DuckLakeError("at most one WHEN NOT MATCHED BY SOURCE action")
+    if multi_match not in ("error", "first"):
+        raise DuckLakeError(
+            f"multi_match must be 'error' or 'first', got {multi_match!r}")
     h = lake._handle(target)
     if h.table_id < 0:
         raise DuckLakeError(
@@ -719,15 +726,24 @@ def merge_into(lake: DuckLake, target: str, source: DataFrame, on: list[str],
             # the victim delete-apply: persist so the join runs once
             joined = t.join(sdf, cond, "inner")
             if when_matched_update and multi_match == "first":
-                # joined UPDATE semantics: first-write-wins on duplicate
-                # source matches (reference
-                # test/sql/update/update_join_duplicates.test); ordered
-                # by the source keys for determinism
+                # joined UPDATE semantics: one winner per target row on
+                # duplicate source matches (reference
+                # test/sql/update/update_join_duplicates.test). The join
+                # keys are constant inside each partition, so order by
+                # the source's remaining (orderable) columns — the
+                # winner is then a deterministic function of the source
+                # DATA, not of Spark's partitioning
+                from pyspark.sql import types as T
                 from pyspark.sql.window import Window
 
+                order_cols = [
+                    F.col(f"s.{f_.name}")
+                    for f_ in sdf.schema.fields
+                    if not isinstance(f_.dataType, T.MapType)
+                ] or [F.lit(1)]
                 w = Window.partitionBy(
                     F.col("t.filename"), F.col("t.file_row_number")
-                ).orderBy(*[F.col(f"s.{k}") for k in on])
+                ).orderBy(*order_cols)
                 joined = (
                     joined.withColumn("__rn", F.row_number().over(w))
                     .filter(F.col("__rn") == 1).drop("__rn")

@@ -1027,13 +1027,29 @@ class DuckLake:
                 h = self._handle(t)
                 if sid is not None and h.schema_id != sid:
                     continue
-                row = self.meta.query(
-                    "SELECT value FROM ducklake_metadata WHERE "
-                    "key='data_inlining_row_limit' AND scope='table' "
-                    "AND scope_id=?", (h.table_id,),
-                )
+                # the most specific EXPLICIT setting that the new value
+                # does NOT overwrite wins (table over schema); 0 there
+                # means this table can never inline, so the broader
+                # enable does not affect it. A schema-level 0 only
+                # exempts for a GLOBAL enable — a schema-scope enable
+                # replaces it.
+                if sid is None:
+                    row = self.meta.query(
+                        "SELECT value FROM ducklake_metadata WHERE "
+                        "key='data_inlining_row_limit' AND "
+                        "((scope='table' AND scope_id=?) OR "
+                        " (scope='schema' AND scope_id=?)) "
+                        "ORDER BY CASE scope WHEN 'table' THEN 0 ELSE 1 "
+                        "END LIMIT 1", (h.table_id, h.schema_id),
+                    )
+                else:
+                    row = self.meta.query(
+                        "SELECT value FROM ducklake_metadata WHERE "
+                        "key='data_inlining_row_limit' AND scope='table' "
+                        "AND scope_id=?", (h.table_id,),
+                    )
                 if row and int(row[0][0] or 0) == 0:
-                    continue  # explicitly disabled at table level
+                    continue  # explicitly disabled at a narrower scope
                 handles.append(h)
         for h in handles:
             for c in h.columns:
@@ -3201,25 +3217,47 @@ class DuckLake:
 
 def _expr_references(expr: str, col_name: str) -> bool:
     """Whether a stored sort expression references ``col_name`` as an
-    identifier (string literals are masked out first)."""
+    identifier (string literals and CAST-target type names are masked
+    out first — a column named 'date' must not match the DATE in
+    'CAST(x AS DATE)')."""
     import re
 
-    masked = re.sub(r"'(?:[^']|'')*'", "''", expr)
+    masked = _mask_non_identifiers(expr)
     return re.search(
         rf"(?<![\w\"]){re.escape(col_name)}(?![\w\"])", masked, re.IGNORECASE
     ) is not None
 
 
-def _rename_identifier(expr: str, old: str, new: str) -> str:
-    """Rewrite identifier occurrences of ``old`` to ``new`` in a stored
-    sort expression, leaving string literals untouched."""
+def _mask_non_identifiers(expr: str) -> str:
+    """Blank string literals and `AS <typename>` cast targets so the
+    identifier-match helpers only see column-reference positions."""
     import re
 
-    parts = re.split(r"('(?:[^']|'')*')", expr)
-    pat = re.compile(rf"(?<![\w\"]){re.escape(old)}(?![\w\"])", re.IGNORECASE)
-    return "".join(
-        p if p.startswith("'") else pat.sub(new, p) for p in parts
+    masked = re.sub(r"'(?:[^']|'')*'", lambda m: "'" + " " * (len(m.group(0)) - 2) + "'", expr)
+    return re.sub(
+        r"(\bAS\s+)(\w+)",
+        lambda m: m.group(1) + " " * len(m.group(2)),
+        masked,
+        flags=re.IGNORECASE,
     )
+
+
+def _rename_identifier(expr: str, old: str, new: str) -> str:
+    """Rewrite identifier occurrences of ``old`` to ``new`` in a stored
+    sort expression, leaving string literals and `AS <type>` cast
+    targets untouched."""
+    import re
+
+    pat = re.compile(rf"(?<![\w\"]){re.escape(old)}(?![\w\"])", re.IGNORECASE)
+    masked = _mask_non_identifiers(expr)
+    out = []
+    last = 0
+    for m in pat.finditer(masked):
+        out.append(expr[last:m.start()])
+        out.append(new)
+        last = m.end()
+    out.append(expr[last:])
+    return "".join(out)
 
 
 def _sort_columns(sort_spec: list[tuple[str, str, str]]) -> list:

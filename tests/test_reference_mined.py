@@ -632,3 +632,80 @@ def test_json_column_and_alter_add_json(lake, spark):
     got = {r.id: r.validation_errors
            for r in lake.table("batch_transaction_finished").collect()}
     assert got == {1: None, 2: '["boom"]'}
+
+
+# -- round-4 code-review regressions (second pass) -----------------------
+
+def test_update_without_where_touches_all_rows(lake, spark):
+    lake.create_table("t", [("i", "int64"), ("v", "varchar")])
+    lake.insert("t", spark.createDataFrame(
+        [(1, "a"), (2, "b")], "i long, v string"))
+    n = lake.update("t", {"v": "'z'"})
+    assert n == 2
+    assert [r.v for r in lake.table("t").collect()] == ["z", "z"]
+
+
+def test_merge_rejects_unknown_multi_match(lake, spark):
+    from ducklake_spark.dml import merge_into
+    from ducklake_spark.lake import DuckLakeError
+
+    lake.create_table("t", [("i", "int64")])
+    lake.insert("t", spark.createDataFrame([(1,)], "i long"))
+    with pytest.raises(DuckLakeError, match="multi_match"):
+        merge_into(lake, "t", spark.createDataFrame([(1,)], "i long"),
+                   ["i"], when_matched_update={"i": "s.i"},
+                   multi_match="First")
+
+
+def test_joined_update_winner_is_data_deterministic(lake, spark):
+    """Duplicate-key source rows with DIFFERENT payloads resolve to the
+    same winner on every run (ordered by source data, not partitioning)."""
+    lake.create_table("t", [("k", "int64"), ("v", "varchar")])
+    lake.insert("t", spark.createDataFrame([(1, "old")], "k long, v string"))
+    src = spark.createDataFrame(
+        [(1, "bbb"), (1, "aaa"), (1, "ccc")], "k long, v string"
+    ).repartition(3)
+    n = lake.update("t", {"v": "s.v"}, source=src, on=["k"])
+    assert n == 1
+    assert lake.table("t").collect()[0].v == "aaa"  # smallest payload wins
+
+
+def test_rename_column_keeps_cast_type_in_sort_expr(lake, spark):
+    """A column literally named 'date' renames without corrupting a
+    CAST(... AS DATE) in the stored sort expression."""
+    lake.create_table("t", [("ts", "varchar"), ("date", "int64")])
+    lake.set_sorted_by("t", [("CAST(ts AS DATE)", "asc")])
+    lake.rename_column("t", "date", "dt")
+    spec = lake._sort_spec(lake._handle("t"))
+    assert spec[0][0].lower() == "cast(ts as date)"
+    # sorted insert still analyzes
+    lake.insert("t", spark.createDataFrame(
+        [("2024-01-02", 1), ("2024-01-01", 2)], "ts string, dt long"))
+    assert lake.table("t").count() == 2
+
+
+def test_schema_scoped_deletion_inlining(lake, spark):
+    """deletion_inlining_row_limit set at SCHEMA scope inlines deletes
+    for the schema's tables (table > schema > global resolution)."""
+    lake.create_table("t", [("i", "int64")])
+    lake.insert("t", spark.range(20).withColumnRenamed("id", "i"))
+    lake.set_option("deletion_inlining_row_limit", "100",
+                    schema_name="main")
+    assert lake.delete("t", "i < 3") == 3
+    assert lake.table("t").count() == 17
+    # inlined, not a delete parquet
+    assert not lake.meta.query(
+        "SELECT 1 FROM ducklake_delete_file WHERE end_snapshot IS NULL")
+
+
+def test_schema_level_zero_exempts_global_inlining_enable(lake, spark):
+    from ducklake_spark.lake import DuckLakeError
+
+    lake.create_schema("s1")
+    lake.create_table("s1.t", [("row_id", "int64")])  # reserved name
+    lake.set_option("data_inlining_row_limit", "0", schema_name="s1")
+    # global enable must not trip over s1.t: its schema pins 0
+    lake.set_option("data_inlining_row_limit", "5")
+    # but enabling FOR s1 itself still fails
+    with pytest.raises(DuckLakeError, match="reserved column"):
+        lake.set_option("data_inlining_row_limit", "5", schema_name="s1")
