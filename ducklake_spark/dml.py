@@ -528,6 +528,20 @@ def update(lake: DuckLake, name: str, assignments: dict[str, str],
         if n_inlined:
             lake._autocommit()
         return n_inlined
+    # both the replacement-row write and the victim delete-apply read
+    # the matched relation: cache it so the scan+filter runs once
+    matched = matched.persist()
+    try:
+        n = _update_files(lake, h, matched, assignments, where)
+    finally:
+        matched.unpersist()
+    if n == 0 and n_inlined:
+        lake._autocommit()
+    return n + n_inlined
+
+
+def _update_files(lake: DuckLake, h: TableHandle, matched: DataFrame,
+                  assignments: dict[str, str], where: str) -> int:
     schema = lake._spark_schema(h)
     new_rows = matched
     for col, expr in assignments.items():
@@ -543,9 +557,7 @@ def update(lake: DuckLake, name: str, assignments: dict[str, str],
     files = lake._write_parquet(h, new_rows, schema, [], [])
     n = sum(f.record_count for f in files)
     if n == 0:
-        if n_inlined:
-            lake._autocommit()
-        return n_inlined
+        return 0
     with lake.transaction():
         for f in files:
             f.row_id_start = None  # rowid comes from the embedded column
@@ -563,7 +575,7 @@ def update(lake: DuckLake, name: str, assignments: dict[str, str],
             txn.stats_delta.setdefault(h.table_id, {}).setdefault("records", 0)
             txn.stats_delta[h.table_id]["records"] -= n_del
         txn.change_log.append(f"inserted_into_table:{h.table_id}")
-    return n + n_inlined
+    return n
 
 
 def _update_inlined(lake: DuckLake, h: TableHandle, assignments: dict[str, str],
