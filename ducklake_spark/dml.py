@@ -96,8 +96,13 @@ def _rewrite_txn_local(lake: DuckLake, h: TableHandle, where: str,
     return (total - written) if assignments is None else total
 
 
-def delete(lake: DuckLake, name: str, where: str) -> int:
-    """DELETE FROM name WHERE ...; returns deleted row count."""
+def delete(lake: DuckLake, name: str, where: str | None = None) -> int:
+    """DELETE FROM name [WHERE ...]; returns deleted row count. No
+    predicate truncates: every file fully matches, so the whole-file
+    drop path retires them without writing delete parquet
+    (test/sql/delete/truncate_table.test)."""
+    if where is None:
+        where = "true"
     h = lake._handle(name)
     if h.table_id < 0:
         return _rewrite_txn_local(lake, h, where, None)
@@ -865,7 +870,7 @@ def _sql_literal(v) -> str:
 
 
 # install as methods
-DuckLake.delete = lambda self, name, where: delete(self, name, where)
+DuckLake.delete = lambda self, name, where=None: delete(self, name, where)
 DuckLake.update = lambda self, name, assignments, where=None, **kw: update(
     self, name, assignments, where, **kw)
 DuckLake.merge = (

@@ -198,6 +198,10 @@ class DuckLake:
             self._pinned = self.meta.snapshot_at_version(snapshot_version)
         elif snapshot_time is not None:
             self._pinned = self.meta.snapshot_at_timestamp(snapshot_time)
+        if self._pinned is not None:
+            # attaching at a snapshot means read-only (reference:
+            # test/sql/general/attach_at_snapshot.test)
+            self.read_only = True
         if data_inlining_row_limit is not None:
             self.meta.set_option("data_inlining_row_limit", str(data_inlining_row_limit))
         self._txn: Transaction | None = None
@@ -216,9 +220,17 @@ class DuckLake:
         (reference: ducklake_storage.cpp:13-126). When ``metadata_path``
         is a bare name (alphanumeric/underscore), it resolves as a
         DuckLake SECRET holding the attach parameters
-        (ducklake_secret.cpp:17-29 PathIsSecret)."""
+        (ducklake_secret.cpp:17-29 PathIsSecret). Re-attaching an
+        EXISTING lake needs no DATA_PATH: the catalog records it
+        (reference: test/sql/general/data_path_tag.test — "Existing
+        DuckLake with no DATA_PATH, returns the one from the metadata
+        catalog")."""
         from ducklake_spark.secrets import get_secret, path_is_secret
 
+        if data_path is None and not path_is_secret(metadata_path):
+            stored = cls._stored_data_path(metadata_path)
+            if stored:
+                data_path = stored
         if data_path is None or path_is_secret(metadata_path):
             sec = get_secret(metadata_path)
             if sec is None:
@@ -235,6 +247,21 @@ class DuckLake:
             if "encrypted" in sec and "encrypted" not in kw:
                 kw["encrypted"] = str(sec["encrypted"]).lower() == "true" or sec["encrypted"] is True
         return cls(spark, metadata_path, data_path, **kw)
+
+    @staticmethod
+    def _stored_data_path(metadata_path: str) -> str | None:
+        """The data_path recorded in an EXISTING catalog, or None if the
+        catalog does not exist / is not initialized yet."""
+        from ducklake_spark.catalog.metadata import MetadataManager
+
+        local = metadata_path.split("://", 1)[-1]
+        if "://" not in metadata_path or metadata_path.startswith("duckdb://"):
+            if not os.path.exists(local):
+                return None  # fresh lake: don't create the file probing it
+        try:
+            return MetadataManager(metadata_path).option("data_path")
+        except Exception:
+            return None
 
     # -- transactions ------------------------------------------------------
 
@@ -292,11 +319,22 @@ class DuckLake:
             self.staged_snapshot: int | None = None
 
         def __enter__(self):
+            # nested contexts JOIN the outer transaction (reference
+            # semantics: one connection, one transaction) — the outer
+            # context owns commit/rollback. CTAS and the DML helpers
+            # open a context internally, so they compose with a
+            # user-opened lake.transaction() instead of committing it.
+            self.nested = self.lake._explicit_txn
+            if self.nested and self.staged:
+                raise DuckLakeError(
+                    "staged transaction cannot nest inside an open one")
             self.lake._explicit_txn = True
             self.lake.begin()
             return self
 
         def __exit__(self, exc_type, *a):
+            if self.nested:
+                return  # outer context commits / rolls back
             self.lake._explicit_txn = False
             if exc_type is None:
                 if self.staged:
@@ -1079,6 +1117,31 @@ class DuckLake:
         txn = self.begin()
         txn.dropped_views.append(rows[0][0])
         txn.change_log.append(f"dropped_view:{rows[0][0]}")
+        self._autocommit()
+
+    def rename_view(self, name: str, new_name: str) -> None:
+        """ALTER VIEW ... RENAME TO (reference:
+        test/sql/view/ducklake_rename_view.test, rename_view_case.test;
+        conflicts per ducklake_transaction_state.cpp:282-285). A view
+        created in the current transaction renames in the buffer."""
+        schema_name, vname = self._split_name(name)
+        new_vname = new_name.split(".")[-1]
+        txn = self.begin()
+        for i, (sn, vn, dialect, sql) in enumerate(txn.created_views):
+            if sn == schema_name and vn == vname:
+                txn.created_views[i] = (sn, new_vname, dialect, sql)
+                self._autocommit()
+                return
+        rows = self.meta.query(
+            "SELECT v.view_id FROM ducklake_view v JOIN ducklake_schema s "
+            "ON v.schema_id = s.schema_id "
+            "WHERE s.schema_name=? AND v.view_name=? AND v.end_snapshot IS NULL",
+            (schema_name, vname),
+        )
+        if not rows:
+            raise DuckLakeError(f"no view {name!r}")
+        txn.renamed_views.append((rows[0][0], new_vname))
+        txn.change_log.append(f"altered_view:{rows[0][0]}")
         self._autocommit()
 
     def view_sql(self, name: str, *, at_version: int | None = None,

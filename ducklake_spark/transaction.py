@@ -152,6 +152,7 @@ class Transaction:
         self.renamed_tables: list[tuple[int, str]] = []
         self.created_views: list[tuple[str, str, str, str]] = []  # schema, name, dialect, sql
         self.dropped_views: list[int] = []
+        self.renamed_views: list[tuple[int, str]] = []
         self.new_data_files: dict[str, list[DataFileInfo]] = {}  # key: table key
         self.new_delete_files: dict[int, list[DeleteFileInfo]] = {}  # table_id ->
         self.replaced_delete_files: list[int] = []  # delete_file_ids superseded
@@ -232,6 +233,7 @@ class Transaction:
         ours_inl_delete = self._our_table_targets("inlined_delete")
         ours_flush = self._our_table_targets("flushed_inlined")
         ours_alter = self._our_table_targets("altered_table")
+        ours_alter_view = self._our_table_targets("altered_view")
         ours_compact = self._our_table_targets("compacted_table")
         ours_any_insert = ours_insert | ours_inl_insert
         ours_any_delete = ours_delete | ours_inl_delete
@@ -302,6 +304,13 @@ class Transaction:
                     raise ConflictError(
                         f"table {tid}: concurrent flush_inlined_data in "
                         f"snapshot {snap_id} conflicts with this transaction"
+                    )
+                if kind in ("altered_view", "dropped_view") and tid in ours_alter_view:
+                    # "alter view" vs concurrent alter/drop of the same view
+                    # (ducklake_transaction_state.cpp:282-285)
+                    raise ConflictError(
+                        f"view {tid}: {kind} in snapshot {snap_id} conflicts "
+                        "with this transaction's view alter"
                     )
                 if kind == "compacted_table" and tid in ours_delete | ours_compact:
                     # a committed compaction PURGES its source rows from the
@@ -639,6 +648,7 @@ class Transaction:
                 or self.renamed_tables
                 or self.created_views
                 or self.dropped_views
+                or self.renamed_views
                 or self.column_changes
                 or self.schema_bump_tables
             )
@@ -734,6 +744,21 @@ class Transaction:
                     "UPDATE ducklake_view SET end_snapshot=? "
                     "WHERE view_id=? AND end_snapshot IS NULL",
                     (snap_id, vid),
+                )
+            for vid, new_vname in self.renamed_views:
+                row = con.execute(
+                    "SELECT view_uuid, schema_id, dialect, sql "
+                    "FROM ducklake_view WHERE view_id=? AND end_snapshot IS NULL",
+                    (vid,),
+                ).fetchone()
+                con.execute(
+                    "UPDATE ducklake_view SET end_snapshot=? "
+                    "WHERE view_id=? AND end_snapshot IS NULL",
+                    (snap_id, vid),
+                )
+                con.execute(
+                    "INSERT INTO ducklake_view VALUES (?, ?, ?, NULL, ?, ?, ?, ?, NULL)",
+                    (vid, row[0], snap_id, row[1], new_vname, row[2], row[3]),
                 )
 
             # --- column-level alters (list of SQL thunks prepared by lake)

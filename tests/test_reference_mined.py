@@ -709,3 +709,166 @@ def test_schema_level_zero_exempts_global_inlining_enable(lake, spark):
     # but enabling FOR s1 itself still fails
     with pytest.raises(DuckLakeError, match="reserved column"):
         lake.set_option("data_inlining_row_limit", "5", schema_name="s1")
+
+
+# -- view/ducklake_rename_view.test + rename_view_case.test --------------
+
+def test_rename_view(lake, spark):
+    from ducklake_spark.lake import DuckLakeError
+
+    lake.create_table("base", [("i", "int32")])
+    lake.insert("base", spark.createDataFrame([(42,)], "i int"))
+    lake.create_view("v1", "SELECT i FROM base")
+    lake.rename_view("v1", "v2")
+    assert lake.view("v2").collect()[0].i == 42
+    with pytest.raises(DuckLakeError):
+        lake.view_sql("v1")
+    # case-only rename succeeds (rename_view_case.test)
+    lake.rename_view("v2", "V2")
+    assert lake.view("V2").collect()[0].i == 42
+    # txn-local view renames in the buffer; rollback leaves nothing
+    with lake.transaction():
+        lake.create_view("local_view", "SELECT 100 AS i")
+        lake.rename_view("local_view", "local_view2")
+    assert lake.view("local_view2").collect()[0].i == 100
+    # time travel still finds the old name at the old snapshot
+    snaps = [s for (s,) in lake.meta.query(
+        "SELECT begin_snapshot FROM ducklake_view WHERE view_name='v1'")]
+    assert lake.view("v1", at_version=snaps[0]).collect()[0].i == 42
+
+
+def test_concurrent_view_rename_conflicts(spark, tmp_path):
+    from ducklake_spark.lake import DuckLake
+    from ducklake_spark.transaction import ConflictError
+
+    url = conftest.catalog_url(tmp_path)
+    a = DuckLake.attach(spark, url, str(tmp_path / "data"))
+    b = DuckLake.attach(spark, url, str(tmp_path / "data"))
+    a.create_view("v", "SELECT 1 AS i")
+    with pytest.raises(ConflictError):
+        with a.transaction():
+            a.rename_view("v", "va")
+            b.rename_view("v", "vb")  # commits first
+    assert b.view_sql("vb")
+
+
+# -- delete/truncate_table.test ------------------------------------------
+
+def test_truncate_writes_no_delete_files(lake, spark, tmp_path):
+    # txn-local truncate: the buffered files just disappear
+    with lake.transaction():
+        lake.create_table_as("test_local", spark.range(10_000).selectExpr("id"))
+        assert lake.table("test_local").count() == 10_000
+        assert lake.delete("test_local") == 10_000
+        assert lake.table("test_local").count() == 0
+    assert g.glob(
+        str(tmp_path / "data" / "main" / "test_local" / "*.parquet")) == []
+    # committed truncate: whole-file drop, no delete parquet
+    lake.create_table_as("test", spark.range(10_000).selectExpr("id"))
+    assert lake.delete("test") == 10_000
+    assert lake.table("test").count() == 0
+    assert lake.meta.query(
+        "SELECT COUNT(*) FROM ducklake_delete_file")[0][0] == 0
+
+
+# -- insert/insert_into_self.test ----------------------------------------
+
+def test_insert_into_self_in_transaction(lake, spark):
+    lake.create_table("test", [("i", "int32"), ("j", "varchar")])
+    with lake.transaction():
+        lake.insert("test", spark.createDataFrame(
+            [(1, "2"), (None, "3")], "i int, j string"))
+        for expect in (2, 4, 8):
+            n = lake.insert("test", lake.table("test"))
+            assert n == expect, (n, expect)
+        # self cross join: 16 * 16 = 256
+        a, b = lake.table("test").alias("a"), lake.table("test").alias("b")
+        n = lake.insert("test", a.crossJoin(b).select("a.i", "a.j"))
+        assert n == 256
+    row = lake.table("test").agg(
+        F.sum("i").alias("si"),
+        F.sum(F.length("j")).alias("sj"),
+        F.count("*").alias("c")).collect()[0]
+    assert (row.si, row.sj, row.c) == (136, 272, 272)
+
+
+# -- transaction/update_null_column.test ---------------------------------
+
+def test_stats_pruning_after_update_of_null_column(lake, spark):
+    lake.create_table("test", [("active", "boolean")])
+    lake.insert("test", spark.createDataFrame([(False,)], "active boolean"))
+    assert lake.table("test", where="active = false").filter(
+        "active = false").count() == 1
+    lake.create_table("t", [("id", "int64"), ("tag", "varchar")])
+    lake.insert("t", spark.createDataFrame([(1, None)], "id long, tag string"))
+    lake.update("t", {"tag": "'new'"})
+    got = lake.table("t", where="tag = 'new'").filter("tag = 'new'").collect()
+    assert [(r.id, r.tag) for r in got] == [(1, "new")]
+
+
+# -- general/data_path_tag.test ------------------------------------------
+
+def test_reattach_without_data_path(lake, spark, tmp_path):
+    """An existing lake re-attaches with no DATA_PATH: the catalog
+    records it (general/data_path_tag.test)."""
+    from ducklake_spark.lake import DuckLake, DuckLakeError
+
+    lake.create_table("t", [("i", "int32")])
+    lake.insert("t", spark.createDataFrame([(7,)], "i int"))
+    lake2 = DuckLake.attach(spark, lake.meta.db_path)
+    assert lake2.data_path.rstrip("/") == lake.data_path.rstrip("/")
+    assert lake2.table("t").collect()[0].i == 7
+    # a FRESH lake without data_path still errors clearly
+    with pytest.raises(DuckLakeError, match="secret|data_path"):
+        DuckLake.attach(spark, str(tmp_path / "fresh.db"))
+
+
+# -- general/attach_at_snapshot.test -------------------------------------
+
+def test_attach_at_snapshot_is_read_only(lake, spark, tmp_path):
+    from ducklake_spark.lake import DuckLake, DuckLakeError
+
+    lake.create_table("test", [("i", "int32"), ("j", "int32")])
+    s1 = lake.current_snapshot()
+    lake.insert("test", spark.createDataFrame([(1, 2), (None, 3)], "i int, j int"))
+    pinned = DuckLake.attach(spark, lake.meta.db_path,
+                             str(tmp_path / "data"), snapshot_version=s1)
+    assert pinned.table("test").count() == 0  # before the insert
+    with pytest.raises(DuckLakeError, match="read-only"):
+        pinned.insert("test", spark.createDataFrame([(10, 100)], "i int, j int"))
+    with pytest.raises(Exception):
+        DuckLake.attach(spark, lake.meta.db_path, str(tmp_path / "data"),
+                        snapshot_version=999)
+
+
+# -- concurrent/concurrent_insert_data_inlining.test ---------------------
+
+def test_concurrent_inlined_inserts_both_commit(spark, tmp_path):
+    """Two writers inline one row each concurrently: both commit (no
+    conflict), no files land on disk, stats fold both rows."""
+    import threading
+
+    from ducklake_spark.lake import DuckLake
+
+    url = conftest.catalog_url(tmp_path)
+    a = DuckLake.attach(spark, url, str(tmp_path / "data"),
+                        data_inlining_row_limit=10)
+    b = DuckLake.attach(spark, url, str(tmp_path / "data"))
+    a.create_table("tbl", [("key", "int32")])
+
+    errs = []
+
+    def ins(lk, v):
+        try:
+            lk.insert("tbl", spark.createDataFrame([(v,)], "key int"))
+        except Exception as e:  # pragma: no cover
+            errs.append(e)
+
+    t1 = threading.Thread(target=ins, args=(a, 0))
+    t2 = threading.Thread(target=ins, args=(b, 1))
+    t1.start(); t2.start(); t1.join(); t2.join()
+    assert not errs
+    rows = [r.key for r in a.table("tbl").collect()]
+    assert sorted(rows) == [0, 1]
+    assert g.glob(str(tmp_path / "data" / "**" / "*.parquet"),
+                  recursive=True) == []
