@@ -423,7 +423,7 @@ class DuckLake:
 
     def create_schema(self, name: str) -> None:
         txn = self.begin()
-        txn.created_schemas.append(name)
+        txn.created_schemas.append((name, str(uuid.uuid4())))
         txn.change_log.append(f'created_schema:"{name}"')
         self._autocommit()
 
@@ -503,11 +503,34 @@ class DuckLake:
         if self._inline_limit(schema_id=sid) > 0:
             for c in cols:
                 _check_inline_reserved(c.name)
-        td = TableDef(schema_name, table_name, cols, path=f"{schema_name}/{table_name}/")
         txn = self.begin()
+        from ducklake_spark.transaction import path_component
+
+        tuid = str(uuid.uuid4())
+        td = TableDef(
+            schema_name, table_name, cols,
+            path=self._schema_path(schema_name, txn)
+            + path_component(table_name, tuid),
+            table_uuid=tuid,
+        )
         txn.created_tables.append(td)
         txn.change_log.append(f'created_table:"{schema_name}"."{table_name}"')
         self._autocommit()
+
+    def _schema_path(self, schema_name: str, txn) -> str:
+        """The schema's storage path — from the catalog, or from the
+        txn buffer for a schema created in this transaction."""
+        from ducklake_spark.transaction import path_component
+
+        for sname, suuid in txn.created_schemas:
+            if sname == schema_name:
+                return path_component(sname, suuid)
+        rows = self.meta.query(
+            "SELECT path FROM ducklake_schema "
+            "WHERE schema_name=? AND end_snapshot IS NULL", (schema_name,))
+        if rows:
+            return rows[0][0]
+        return schema_name + "/"  # unreachable for valid schemas
 
     def drop_table(self, name: str) -> None:
         h = self._handle(name)

@@ -128,6 +128,17 @@ class DeleteFileInfo:
     row_group_count: int | None = None  # ducklake_delete.cpp:146-148
 
 
+def path_component(name: str, entry_uuid: str) -> str:
+    """Directory component for a catalog entry: the name when it is
+    path-safe, else the entry's uuid (reference
+    DuckLakeCatalog::GeneratePathFromName, ducklake_catalog.cpp:243-262
+    — special characters fall back to uuid so '/', '..', unicode, etc.
+    never shape the storage layout)."""
+    if name and all(c.isalnum() and c.isascii() or c in "_-" for c in name):
+        return name + "/"
+    return entry_uuid + "/"
+
+
 @dataclass
 class TableDef:
     schema_name: str
@@ -145,7 +156,7 @@ class Transaction:
         self.meta = meta
         self.base: Snapshot = meta.latest_snapshot()
         # buffered DDL/DML
-        self.created_schemas: list[str] = []
+        self.created_schemas: list[tuple[str, str]] = []  # (name, uuid)
         self.dropped_schemas: list[int] = []
         self.created_tables: list[TableDef] = []
         self.dropped_tables: list[int] = []
@@ -656,10 +667,11 @@ class Transaction:
                 schema_version += 1
 
             # --- DDL: schemas
-            for name in self.created_schemas:
+            for name, suuid in self.created_schemas:
                 con.execute(
                     "INSERT INTO ducklake_schema VALUES (?, ?, ?, NULL, ?, ?, 1)",
-                    (next_cat, str(uuid.uuid4()), snap_id, name, name + "/"),
+                    (next_cat, suuid, snap_id, name,
+                     path_component(name, suuid)),
                 )
                 next_cat += 1
 

@@ -872,3 +872,27 @@ def test_concurrent_inlined_inserts_both_commit(spark, tmp_path):
     assert sorted(rows) == [0, 1]
     assert g.glob(str(tmp_path / "data" / "**" / "*.parquet"),
                   recursive=True) == []
+
+
+# -- general/paths.test --------------------------------------------------
+
+def test_special_name_paths_use_uuid(lake, spark, tmp_path):
+    """Schema/table names with path-hostile characters store under the
+    entry's uuid, never under the raw name (reference
+    DuckLakeCatalog::GeneratePathFromName, general/paths.test)."""
+    lake.create_schema("asd/fgh")
+    lake.create_table("asd/fgh.du ck", [("col", "int32")])
+    lake.insert("asd/fgh.du ck", spark.createDataFrame([(42,)], "col int"))
+    assert [r.col for r in lake.table("asd/fgh.du ck").collect()] == [42]
+    (spath,) = lake.meta.query(
+        "SELECT path FROM ducklake_schema WHERE schema_name='asd/fgh'")[0]
+    (tpath,) = lake.meta.query(
+        "SELECT path FROM ducklake_table WHERE table_name='du ck'")[0]
+    assert "/" not in spath.rstrip("/") and " " not in tpath
+    # no raw-name directory appeared on disk
+    assert not (tmp_path / "data" / "asd").exists()
+    # safe names still use the readable layout
+    lake.create_table("plain", [("i", "int32")])
+    (p,) = lake.meta.query(
+        "SELECT path FROM ducklake_table WHERE table_name='plain'")[0]
+    assert p == "main/plain/"
