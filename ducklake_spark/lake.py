@@ -1920,6 +1920,19 @@ class DuckLake:
                 clauses.append(part_clause[0])
                 params.extend(part_clause[1])
             cid = colmap[col]
+            if op in ("isnull", "notnull"):
+                # null-count zone maps (value_count counts NON-null
+                # values): IS NULL prunes null-free files, IS NOT NULL
+                # prunes all-null files; files without stats are kept
+                cond = ("null_count = 0" if op == "isnull"
+                        else "value_count = 0 AND null_count > 0")
+                clauses.append(
+                    " AND data_file_id NOT IN ("
+                    "SELECT data_file_id FROM ducklake_file_column_stats "
+                    f"WHERE table_id = ? AND column_id = ? AND {cond})"
+                )
+                params.extend([h.table_id, cid])
+                continue
             numeric = isinstance(val, (int, float))
             cast = "CAST(%s AS REAL)" if numeric else "%s"
             mn, mx = cast % "min_value", cast % "max_value"
@@ -1960,12 +1973,15 @@ class DuckLake:
             # typed compare in Python over the (few) DISTINCT stored values:
             # a raw string compare wrongly prunes `5` vs `5.0` and values
             # whose hive form was escaped. Stored values are always raw
-            # (add_data_files unquotes at write time).
+            # (add_data_files unquotes at write time). NULL rows store
+            # the hive sentinel (reference ducklake_partition_data.cpp:127);
+            # a comparison predicate can never match them, IS NULL
+            # matches only them.
             import operator
 
             f_op = {"=": operator.eq, ">": operator.gt, ">=": operator.ge,
                     "<": operator.lt, "<=": operator.le}.get(op)
-            if f_op is None:
+            if f_op is None and op not in ("isnull", "notnull"):
                 return None
             vals = self.meta.query(
                 "SELECT DISTINCT partition_value FROM ducklake_file_partition_value "
@@ -1976,7 +1992,14 @@ class DuckLake:
             for (pv,) in vals:
                 if pv is None:
                     continue
-                if isinstance(val, (int, float)):
+                is_null_part = pv == "__HIVE_DEFAULT_PARTITION__"
+                if op == "isnull":
+                    match = is_null_part
+                elif op == "notnull":
+                    match = not is_null_part
+                elif is_null_part:
+                    match = False  # NULL never satisfies a comparison
+                elif isinstance(val, (int, float)):
                     try:
                         match = f_op(float(pv), float(val))
                     except ValueError:
@@ -3466,6 +3489,12 @@ def _parse_conjuncts(where: str) -> list[tuple[str, str, object]]:
     latter compare correctly against ISO-serialized zone-map strings)."""
     out = []
     for part in re.split(r"(?i)\s+AND\s+", where):
+        mn = re.fullmatch(r"\s*(\w+)\s+IS\s+(NOT\s+)?NULL\s*", part,
+                          re.IGNORECASE)
+        if mn:
+            out.append((mn.group(1), "notnull" if mn.group(2) else "isnull",
+                        None))
+            continue
         m = re.fullmatch(
             r"\s*(\w+)\s*(=|==|>=|<=|>|<)\s*"
             r"((?:(?i:DATE|TIMESTAMP)\s*)?'(?:[^']*)'|-?\d+(?:\.\d+)?)\s*",

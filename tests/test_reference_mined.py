@@ -896,3 +896,30 @@ def test_special_name_paths_use_uuid(lake, spark, tmp_path):
     (p,) = lake.meta.query(
         "SELECT path FROM ducklake_table WHERE table_name='plain'")[0]
     assert p == "main/plain/"
+
+
+# -- partitioning/partition_null.test ------------------------------------
+
+def test_null_partition_pruning(lake, spark):
+    """NULL partition values land in __HIVE_DEFAULT_PARTITION__ files;
+    comparison predicates prune them, IS NULL keeps only them, and
+    null-count zone maps prune non-partitioned columns too."""
+    lake.create_table("pt", [("part_key", "int32"), ("v", "varchar")])
+    lake.set_partitioned_by("pt", [("part_key", "identity")])
+    lake.insert("pt", spark.sql(
+        "SELECT CASE WHEN i%3=0 THEN NULL ELSE CAST(i%2 AS INT) END AS "
+        "part_key, concat('s_', i) AS v FROM range(9999) t(i)"))
+    h = lake._handle("pt")
+    s = lake._resolve_snapshot(None, None)
+    total = len(lake._visible_files(h, s, None))
+    per_part = total // 3
+    assert len(lake._visible_files(h, s, "part_key = 1")) == per_part
+    assert len(lake._visible_files(h, s, "part_key IS NULL")) == per_part
+    assert len(lake._visible_files(h, s, "part_key IS NOT NULL")) == 2 * per_part
+    assert len(lake._visible_files(h, s, "part_key > 0")) == per_part
+    assert lake.table("pt", where="part_key IS NULL").filter(
+        "part_key IS NULL").count() == 3333
+    assert lake.table("pt", where="part_key = 0").filter(
+        "part_key = 0").count() == 3333
+    assert lake.table("pt", where="part_key IS NOT NULL").filter(
+        "part_key IS NOT NULL").count() == 6666
