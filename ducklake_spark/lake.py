@@ -3046,8 +3046,12 @@ class DuckLake:
         return T.StructType(fields)
 
     def _any_file_has_embedded(self, h: TableHandle) -> bool:
+        # row_id_start NULL -> embedded rowid column; partial_max set ->
+        # embedded snapshot column (a positional rotation-mode compaction
+        # output keeps row_id_start but still embeds snapshot ids)
         rows = self.meta.query(
-            "SELECT 1 FROM ducklake_data_file WHERE table_id=? AND row_id_start IS NULL "
+            "SELECT 1 FROM ducklake_data_file WHERE table_id=? "
+            "AND (row_id_start IS NULL OR partial_max IS NOT NULL) "
             "AND end_snapshot IS NULL LIMIT 1",
             (h.table_id,),
         )

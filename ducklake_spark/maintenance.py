@@ -23,7 +23,7 @@ import uuid
 
 from pyspark.sql import functions as F
 
-from ducklake_spark.lake import ROWID_COL, SNAPID_COL, DuckLake
+from ducklake_spark.lake import ROWID_COL, SNAPID_COL, DuckLake, DuckLakeError
 from ducklake_spark.transaction import DataFileInfo
 
 DEFAULT_TARGET_FILE_SIZE = 512 * 1024 * 1024
@@ -122,7 +122,28 @@ def _rewrite_pack(lake: DuckLake, h, pack: list[dict], part_vals: tuple) -> None
     merged = frames[0]
     for fr in frames[1:]:
         merged = merged.unionByName(fr)
+    # rotation mode (reference merge_adjacent_rotation_mode.test): when
+    # the pack's row-id ranges are contiguous and the output keeps rowid
+    # order, the merged file needs NO embedded rowid column — a
+    # positional row_id_start serves it, saving a BIGINT per row
     sort_spec = lake._sort_spec(h)
+    ordered = sorted(pack, key=lambda f: f["row_id_start"] or 0)
+    # (target_file_size splitting would shard the single ordered task
+    # into several files whose rowid offsets we could no longer assign
+    # — keep the embedded form in that case)
+    tfs = int(lake.meta.option(
+        "target_file_size", "0", scope="table", scope_id=h.table_id,
+        schema_id=h.schema_id) or 0)
+    positional = (
+        not sort_spec
+        and not tfs
+        and all(f["row_id_start"] is not None for f in pack)
+        and all(
+            ordered[i]["row_id_start"] + ordered[i]["record_count"]
+            == ordered[i + 1]["row_id_start"]
+            for i in range(len(ordered) - 1)
+        )
+    )
     if sort_spec:
         # a sorted table's compaction output is re-sorted by the sort
         # spec, not rowid (test/sql/sorted_table/merge_adjacent_sorted_basic)
@@ -131,14 +152,22 @@ def _rewrite_pack(lake: DuckLake, h, pack: list[dict], part_vals: tuple) -> None
         merged = merged.orderBy(*_sort_columns(sort_spec)).coalesce(1)
     else:
         merged = merged.orderBy(ROWID_COL).coalesce(1)
+    if positional:
+        merged = merged.drop(ROWID_COL)
+        if len(set(snapmap.values())) == 1:
+            merged = merged.drop(SNAPID_COL)
 
     files = lake._write_parquet(h, merged, schema, [], [])
+    if positional and len(files) != 1:  # defensive: offsets unknowable
+        raise DuckLakeError(
+            "compaction: positional merge unexpectedly split into "
+            f"{len(files)} files")
     begin = min(snapmap.values())
     pmax = max(snapmap.values())
     txn = lake.begin()
     for fi in files:
         fi.allocate = False
-        fi.row_id_start = None
+        fi.row_id_start = ordered[0]["row_id_start"] if positional else None
         fi.partial_max = pmax if len(set(snapmap.values())) > 1 else None
         fi.begin_snapshot_override = begin
         fi.partition_values = [(i, v) for i, v in enumerate(part_vals)]

@@ -923,3 +923,49 @@ def test_null_partition_pruning(lake, spark):
         "part_key = 0").count() == 3333
     assert lake.table("pt", where="part_key IS NOT NULL").filter(
         "part_key IS NOT NULL").count() == 6666
+
+
+# -- compaction/merge_adjacent_rotation_mode.test ------------------------
+
+def test_compaction_rotation_mode(lake, spark):
+    """Adjacent (contiguous-rowid) packs merge to a POSITIONAL file (no
+    embedded rowid column); non-adjacent packs keep embedded rowids."""
+    import pyarrow.parquet as pq
+    from ducklake_spark import maintenance
+    from ducklake_spark.lake import ROWID_COL
+
+    lake.create_table("adj", [("id", "int32")])
+    for lo in (0, 1000, 2000):
+        lake.insert("adj", spark.sql(
+            f"SELECT CAST(i AS INT) id FROM range({lo},{lo+1000}) t(i)"))
+    assert maintenance.merge_adjacent_files(lake) == 1
+    rows = lake.meta.query(
+        "SELECT path, row_id_start FROM ducklake_data_file "
+        "WHERE end_snapshot IS NULL")
+    assert len(rows) == 1 and rows[0][1] == 0  # positional
+    cols = pq.ParquetFile(
+        os.path.join(lake.data_path, rows[0][0])).schema_arrow.names
+    assert ROWID_COL not in cols
+    # rowids preserved positionally
+    got = sorted((r.rowid, r.id) for r in
+                 lake.table("adj", with_virtual=True).collect())
+    assert got[0] == (0, 0) and got[-1] == (2999, 2999)
+    # non-adjacent: delete a middle file's worth to break contiguity
+    lake.create_table("gap", [("id", "int32")])
+    for lo in (0, 100, 200):
+        lake.insert("gap", spark.sql(
+            f"SELECT CAST(i AS INT) id FROM range({lo},{lo+100}) t(i)"))
+    # whole-file delete of the middle file leaves a rowid gap
+    lake.delete("gap", "id >= 100 AND id < 200")
+    assert maintenance.merge_adjacent_files(lake, table="gap") == 1
+    rows = lake.meta.query(
+        "SELECT d.path, d.row_id_start FROM ducklake_data_file d "
+        "JOIN ducklake_table t USING (table_id) "
+        "WHERE t.table_name='gap' AND d.end_snapshot IS NULL")
+    assert len(rows) == 1 and rows[0][1] is None  # embedded
+    cols = pq.ParquetFile(
+        os.path.join(lake.data_path, rows[0][0])).schema_arrow.names
+    assert ROWID_COL in cols
+    got = sorted(r.rowid for r in
+                 lake.table("gap", with_virtual=True).collect())
+    assert got == list(range(100)) + list(range(200, 300))
