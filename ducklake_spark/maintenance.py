@@ -30,8 +30,20 @@ DEFAULT_TARGET_FILE_SIZE = 512 * 1024 * 1024
 
 
 def merge_adjacent_files(lake: DuckLake, *, target_file_size: int | None = None,
-                         table: str | None = None) -> int:
-    """Compact small adjacent files; returns number of groups rewritten."""
+                         table: str | None = None,
+                         max_compacted_files: int | None = None,
+                         min_file_size: int | None = None,
+                         max_file_size: int | None = None) -> int:
+    """Compact small adjacent files; returns number of groups rewritten.
+
+    ``max_compacted_files`` caps how many merged files one call creates;
+    ``min_file_size``/``max_file_size`` restrict candidates to a size
+    band (reference merge_adjacent_max_files.test,
+    merge_adjacent_file_size_filter.test;
+    ducklake_compaction_functions.cpp:292-293,797-811)."""
+    if max_compacted_files is not None and max_compacted_files <= 0:
+        raise DuckLakeError(
+            "The max_compacted_files option must be greater than zero.")
     if target_file_size is None:
         target_file_size = int(
             lake.meta.option("target_file_size", str(DEFAULT_TARGET_FILE_SIZE))
@@ -71,6 +83,10 @@ def merge_adjacent_files(lake: DuckLake, *, target_file_size: int | None = None,
         for f in files:
             if f["data_file_id"] in with_deletes:
                 continue
+            if min_file_size is not None and f["file_size_bytes"] < min_file_size:
+                continue
+            if max_file_size is not None and f["file_size_bytes"] > max_file_size:
+                continue
             groups.setdefault(part_vals[f["data_file_id"]], []).append(f)
         for pv, members in groups.items():
             # greedy adjacent packing toward target size
@@ -87,6 +103,9 @@ def merge_adjacent_files(lake: DuckLake, *, target_file_size: int | None = None,
             if len(batch) > 1:
                 packs.append(batch)
             for pack in packs:
+                if (max_compacted_files is not None
+                        and n_groups >= max_compacted_files):
+                    return n_groups
                 _rewrite_pack(lake, h, pack, pv)
                 n_groups += 1
     return n_groups

@@ -969,3 +969,44 @@ def test_compaction_rotation_mode(lake, spark):
     got = sorted(r.rowid for r in
                  lake.table("gap", with_virtual=True).collect())
     assert got == list(range(100)) + list(range(200, 300))
+
+
+# -- compaction/merge_adjacent_max_files.test + file_size_filter ---------
+
+def test_merge_adjacent_options(lake, spark):
+    from ducklake_spark import maintenance
+    from ducklake_spark.lake import DuckLakeError
+
+    lake.create_table("ex", [("key", "int32")])
+    for i in range(8):
+        lake.insert("ex", spark.createDataFrame([(i,)], "key int"))
+    with pytest.raises(DuckLakeError, match="greater than zero"):
+        maintenance.merge_adjacent_files(lake, max_compacted_files=0)
+    # cap at one created file per call
+    assert maintenance.merge_adjacent_files(
+        lake, max_compacted_files=1) == 1
+    assert lake.table("ex").count() == 8
+    # min_file_size above every file: nothing merges
+    assert maintenance.merge_adjacent_files(
+        lake, min_file_size=10**9) == 0
+    # size-band filter merges only small files
+    lake.create_table("ex2", [("k", "int32"), ("v", "varchar")])
+    lake.insert("ex2", spark.createDataFrame([(1, "small")], "k int, v string"))
+    lake.insert("ex2", spark.createDataFrame([(2, "small")], "k int, v string"))
+    lake.insert("ex2", spark.sql(
+        "SELECT CAST(i AS INT) k, repeat('medium', 200) v "
+        "FROM range(2000) t(i)").coalesce(1))
+    sizes = sorted(s for (s,) in lake.meta.query(
+        "SELECT d.file_size_bytes FROM ducklake_data_file d "
+        "JOIN ducklake_table t USING (table_id) "
+        "WHERE t.table_name='ex2' AND d.end_snapshot IS NULL"))
+    assert len(sizes) == 3
+    cutoff = (sizes[1] + sizes[-1]) // 2
+    assert maintenance.merge_adjacent_files(
+        lake, table="ex2", max_file_size=cutoff) == 1
+    left = lake.meta.query(
+        "SELECT COUNT(*) FROM ducklake_data_file d "
+        "JOIN ducklake_table t USING (table_id) "
+        "WHERE t.table_name='ex2' AND d.end_snapshot IS NULL")[0][0]
+    assert left == 2  # merged-small + untouched-large
+    assert lake.table("ex2").count() == 2002
