@@ -921,15 +921,50 @@ class DuckLake:
         new_type = "struct<" + ",".join(f"{n}:{t}" for n, t in new_parts) + ">"
         self._alter_column(name, col_name, lambda v: {**v, "column_type": new_type})
 
-    def add_field(self, name: str, col_name: str, field_name: str, field_type: str) -> None:
+    def add_field(self, name: str, col_name: str, field_name: str,
+                  field_type: str, default: str | None = None) -> None:
         """ADD nested FIELD: appended at the end of the struct; old files
-        read the new field as NULL (name-resolved nested schema merge)."""
+        read the new field as NULL (name-resolved nested schema merge) —
+        or as ``default`` when given: rows that predate the field
+        surface it like ADD COLUMN ... DEFAULT does for top-level
+        columns (reference test/sql/default/struct_field_default.test;
+        recorded as a ``field_default`` column tag, applied per file
+        epoch on the scan — file-backed rows only, inlined older-epoch
+        rows keep NULL)."""
         def edit(parts):
             if any(n == field_name for n, _ in parts):
                 raise DuckLakeError(f"field {field_name!r} already exists")
             return parts + [(field_name, field_type)]
 
+        if default is not None:
+            h = self._handle(name)
+            cur = next((c for c in h.columns if c[1] == col_name), None)
+            if cur is None:
+                raise DuckLakeError(f"no column {col_name!r}")
+            txn = self.begin()
+
+            def tag_op(con, snap_id, h=h, cid=cur[0]):
+                con.execute(
+                    "INSERT INTO ducklake_column_tag VALUES (?, ?, ?, NULL, "
+                    "'field_default', ?)",
+                    (h.table_id, cid, snap_id, f"{field_name}:{default}"),
+                )
+
+            txn.column_changes.setdefault(h.table_id, []).append(tag_op)
         self._mutate_struct(name, col_name, edit)
+
+    def _field_default_log(self, h: TableHandle) -> list[tuple[int, int, str, str]]:
+        """[(begin_snapshot, column_id, field, default_sql)] of nested
+        ADD FIELD ... DEFAULT tags."""
+        out = []
+        for cid, snap, val in self.meta.query(
+            "SELECT column_id, begin_snapshot, value FROM ducklake_column_tag "
+            "WHERE table_id=? AND key='field_default'",
+            (h.table_id,),
+        ):
+            fname, _, dsql = val.partition(":")
+            out.append((snap, cid, fname, dsql))
+        return sorted(out)
 
     def drop_field(self, name: str, col_name: str, field_name: str) -> None:
         """REMOVE nested FIELD: dropped from the requested read schema;
@@ -2617,6 +2652,8 @@ class DuckLake:
             # current names by positional struct cast (no rewrite); the
             # absent-default-column set splits groups further so the
             # coalesce fill only touches files that lack the column.
+            field_defaults = self._field_default_log(h)
+            cid_to_name = {c[0]: c[1] for c in h.columns}
             groups: dict[tuple, list[dict]] = {}
             for f in native:
                 # buffered overlay files (begin_snapshot None) are newer
@@ -2625,16 +2662,41 @@ class DuckLake:
                 later = tuple(
                     r for r in renames if fsnap is not None and r[0] > fsnap
                 )
+                # nested fields ADDed (with a DEFAULT) after this file
+                # was written: the scan fills the default per epoch
+                ffill = tuple(
+                    d for d in field_defaults
+                    if fsnap is not None and d[0] > fsnap
+                )
                 absent = absent_by_fid.get(f["data_file_id"], frozenset())
-                groups.setdefault((later, absent), []).append(f)
+                groups.setdefault((later, ffill, absent), []).append(f)
             copts = self._crypto_read_options(native)
-            for (later, absent), members in groups.items():
+            for (later, ffill, absent), members in groups.items():
                 gschema, fixups = self._epoch_schema(h, reader_schema, later)
                 part = self.spark.read.options(**copts).schema(gschema).parquet(
                     *[os.path.join(self.data_path, f["path"]) for f in members]
                 )
                 for cname, dtype in fixups:
                     part = part.withColumn(cname, F.col(cname).cast(dtype))
+                for _snap, cid, fname, dsql in ffill:
+                    cname = cid_to_name.get(cid)
+                    if cname is None or cname not in part.columns:
+                        continue
+                    ftype = dict(self._struct_parts(
+                        next(c[2] for c in h.columns if c[0] == cid)
+                    )).get(fname)
+                    if ftype is None:
+                        continue  # field since dropped
+                    part = part.withColumn(
+                        cname,
+                        F.when(
+                            F.col(cname).isNotNull(),
+                            F.col(cname).withField(
+                                fname,
+                                F.expr(dsql).cast(ducklake_to_spark(ftype)),
+                            ),
+                        ).otherwise(F.col(cname)),
+                    )
                 for cname in absent:
                     part = part.withColumn(
                         cname,

@@ -1010,3 +1010,26 @@ def test_merge_adjacent_options(lake, spark):
         "WHERE t.table_name='ex2' AND d.end_snapshot IS NULL")[0][0]
     assert left == 2  # merged-small + untouched-large
     assert lake.table("ex2").count() == 2002
+
+
+# -- default/struct_field_default.test -----------------------------------
+
+def test_add_struct_field_with_default(lake, spark):
+    """ADD nested FIELD ... DEFAULT surfaces the default for rows that
+    predate the field; rows written after keep their own values."""
+    lake.create_table("test", [("col1", "struct<i:int32,j:int32>")])
+    lake.insert("test", spark.sql(
+        "SELECT named_struct('i', 1, 'j', 2) AS col1"))
+    lake.add_field("test", "col1", "k", "int32", default="42")
+    lake.insert("test", spark.sql(
+        "SELECT named_struct('i', 100, 'j', 200, 'k', 300) AS col1"))
+    got = sorted((r.col1.i, r.col1.j, r.col1.k)
+                 for r in lake.table("test").collect())
+    assert got == [(1, 2, 42), (100, 200, 300)]
+    # re-attach reads the same (tag is catalog-persistent)
+    from ducklake_spark.lake import DuckLake
+
+    lk2 = DuckLake.attach(spark, lake.meta.db_path, lake.data_path)
+    got = sorted((r.col1.i, r.col1.j, r.col1.k)
+                 for r in lk2.table("test").collect())
+    assert got == [(1, 2, 42), (100, 200, 300)]
