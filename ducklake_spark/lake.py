@@ -447,7 +447,13 @@ class DuckLake:
             "SELECT view_id FROM ducklake_view "
             "WHERE schema_id=? AND end_snapshot IS NULL", (sid,),
         )
-        if (members or views) and not cascade:
+        macros = self.meta.query(
+            "SELECT macro_id FROM ducklake_macro "
+            "WHERE schema_id=? AND end_snapshot IS NULL", (sid,),
+        )
+        if (members or views or macros) and not cascade:
+            # macros depend on the schema too (reference
+            # catalog/drop_schema_with_table_macro.test)
             raise DuckLakeError(
                 f"schema {name!r} is not empty (use cascade=True)"
             )
@@ -459,6 +465,15 @@ class DuckLake:
         for (vid,) in views:
             txn.dropped_views.append(vid)
             txn.change_log.append(f"dropped_view:{vid}")
+        for (mid,) in macros:
+            def mop(con, snap_id, mid=mid):
+                con.execute(
+                    "UPDATE ducklake_macro SET end_snapshot=? "
+                    "WHERE macro_id=? AND end_snapshot IS NULL",
+                    (snap_id, mid),
+                )
+
+            txn.column_changes.setdefault(-1, []).append(mop)
         txn.change_log.append(f'dropped_schema:"{name}"')
         self._autocommit()
 
@@ -499,7 +514,12 @@ class DuckLake:
         try:
             sid = self._schema_id(schema_name)
         except DuckLakeError:
-            sid = None  # schema created in this txn: no scoped row yet
+            sid = None  # no committed row yet — OK only if txn-local
+            txn0 = self._txn
+            if txn0 is None or not any(
+                sn == schema_name for sn, _u in txn0.created_schemas
+            ):
+                raise DuckLakeError(f"schema {schema_name!r} not found")
         if self._inline_limit(schema_id=sid) > 0:
             for c in cols:
                 _check_inline_reserved(c.name)

@@ -1033,3 +1033,21 @@ def test_add_struct_field_with_default(lake, spark):
     got = sorted((r.col1.i, r.col1.j, r.col1.k)
                  for r in lk2.table("test").collect())
     assert got == [(1, 2, 42), (100, 200, 300)]
+
+
+# -- catalog/drop_schema_with_table_macro.test ---------------------------
+
+def test_drop_schema_with_macro(lake, spark):
+    from ducklake_spark.lake import DuckLakeError
+
+    lake.create_schema("myschema")
+    lake.create_macro("myschema.mymacro", ["x"], "SELECT {x} AS col",
+                      is_table_macro=True)
+    with pytest.raises(DuckLakeError, match="not empty"):
+        lake.drop_schema("myschema")
+    lake.drop_schema("myschema", cascade=True)
+    assert lake.meta.query(
+        "SELECT COUNT(*) FROM ducklake_macro WHERE end_snapshot IS NULL"
+    )[0][0] == 0
+    with pytest.raises(DuckLakeError):
+        lake.create_table("myschema.tbl", [("i", "int32")])
