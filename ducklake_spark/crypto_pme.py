@@ -64,6 +64,9 @@ def encrypt_properties(key_id: str, b64key: str,
     import pyarrow.parquet.encryption as pe
 
     factory = _kms_factory({key_id: base64.b64decode(b64key)})
+    _FACTORY_LRU[frozenset(((key_id, b64key),))] = factory  # outlive the write
+    while len(_FACTORY_LRU) > _FACTORY_LRU_MAX:
+        _FACTORY_LRU.pop(next(iter(_FACTORY_LRU)))
     return factory.file_encryption_properties(
         pe.KmsConnectionConfig(),
         pe.EncryptionConfiguration(
@@ -78,14 +81,28 @@ def encrypt_properties(key_id: str, b64key: str,
     )
 
 
+# The CryptoFactory must outlive every read that uses properties it
+# produced (its Python KmsClient resolves keys during decryption;
+# letting it be garbage-collected mid-read fails GCM finalization).
+# Pin recent factories in a bounded LRU.
+_FACTORY_LRU: "dict[frozenset, object]" = {}
+_FACTORY_LRU_MAX = 256
+
+
 def decrypt_properties(keymap_b64: dict[str, str]):
     """FileDecryptionProperties resolving any key id in ``keymap_b64``
     (id -> base64 key, straight from the catalog rows)."""
-    factory = _kms_factory(
-        {kid: base64.b64decode(v) for kid, v in keymap_b64.items()}
-    )
     import pyarrow.parquet.encryption as pe
 
+    cache_key = frozenset(keymap_b64.items())
+    factory = _FACTORY_LRU.pop(cache_key, None)
+    if factory is None:
+        factory = _kms_factory(
+            {kid: base64.b64decode(v) for kid, v in keymap_b64.items()}
+        )
+    _FACTORY_LRU[cache_key] = factory  # re-insert = move to MRU end
+    while len(_FACTORY_LRU) > _FACTORY_LRU_MAX:
+        _FACTORY_LRU.pop(next(iter(_FACTORY_LRU)))
     return factory.file_decryption_properties(pe.KmsConnectionConfig())
 
 

@@ -421,7 +421,16 @@ class DuckLake:
 
     # -- DDL ---------------------------------------------------------------
 
-    def create_schema(self, name: str) -> None:
+    def create_schema(self, name: str, *, if_not_exists: bool = False) -> None:
+        exists = bool(self.meta.query(
+            "SELECT 1 FROM ducklake_schema "
+            "WHERE schema_name=? AND end_snapshot IS NULL", (name,),
+        )) or (self._txn is not None and any(
+            sn == name for sn, _u in self._txn.created_schemas))
+        if exists:
+            if if_not_exists:
+                return
+            raise DuckLakeError(f"schema {name!r} already exists")
         txn = self.begin()
         txn.created_schemas.append((name, str(uuid.uuid4())))
         txn.change_log.append(f'created_schema:"{name}"')
@@ -1267,6 +1276,35 @@ class DuckLake:
             self.table(
                 t, at_version=at_version, at_timestamp=at_timestamp
             ).createOrReplaceTempView(t.split(".")[-1])
+        # views may reference OTHER views (view/dangling_view_columns
+        # v2-on-v1): bind the remaining live views to a fixpoint —
+        # each pass binds every view whose dependencies already resolve
+        _, target = self._split_name(name)
+        others = [
+            (vn, vsql.replace("{DUCKLAKE_CATALOG}.", ""))
+            for vn, vsql in self.meta.query(
+                "SELECT view_name, sql FROM ducklake_view "
+                "WHERE end_snapshot IS NULL",
+            )
+            if vn != target
+        ]
+        # drop temp views left over from earlier binds of since-dropped
+        # lake views (they would mask the drop)
+        live = {target} | {vn for vn, _ in others}
+        for stale in getattr(self, "_bound_views", set()) - live:
+            self.spark.catalog.dropTempView(stale)
+        self._bound_views = set(live)
+        pending = list(others)
+        for _round in range(len(others)):
+            still = []
+            for vn, vsql in pending:
+                try:
+                    self.spark.sql(vsql).createOrReplaceTempView(vn)
+                except Exception:
+                    still.append((vn, vsql))  # deps not bound yet
+            if not still or len(still) == len(pending):
+                break
+            pending = still
         return self.spark.sql(sql)
 
     # -- insert ------------------------------------------------------------

@@ -1051,3 +1051,24 @@ def test_drop_schema_with_macro(lake, spark):
     )[0][0] == 0
     with pytest.raises(DuckLakeError):
         lake.create_table("myschema.tbl", [("i", "int32")])
+
+
+# -- view/dangling_view_columns.test (view-on-view binding) --------------
+
+def test_view_referencing_view(lake, spark):
+    from ducklake_spark.lake import DuckLakeError
+
+    lake.create_schema("main", if_not_exists=True)  # no-op, like reference
+    with pytest.raises(DuckLakeError, match="exists"):
+        lake.create_schema("main")
+    lake.create_table("t1", [("id", "int32"), ("label", "varchar")])
+    lake.create_view("v1", "SELECT 1 AS id, 'x' AS label")
+    lake.create_view("v2", "SELECT id, label FROM v1")
+    lake.create_view("v3", "SELECT 100 AS score")
+    got = lake.view("v2").collect()
+    assert [(r.id, r.label) for r in got] == [(1, "x")]
+    lake.drop_view("v1")
+    # v2 now dangles; v3 still binds
+    assert lake.view("v3").collect()[0].score == 100
+    with pytest.raises(Exception):
+        lake.view("v2").collect()
