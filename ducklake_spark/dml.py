@@ -753,10 +753,22 @@ def merge_into(lake: DuckLake, target: str, source: DataFrame, on: list[str],
                 from pyspark.sql import types as T
                 from pyspark.sql.window import Window
 
+                def _orderable(dt) -> bool:
+                    # a type TRANSITIVELY containing a map is unorderable
+                    # (Window.orderBy raises) — array<map<..>>, structs
+                    # with map fields, etc., not just top-level MapType
+                    if isinstance(dt, T.MapType):
+                        return False
+                    if isinstance(dt, T.ArrayType):
+                        return _orderable(dt.elementType)
+                    if isinstance(dt, T.StructType):
+                        return all(_orderable(f.dataType) for f in dt.fields)
+                    return True
+
                 order_cols = [
                     F.col(f"s.{f_.name}")
                     for f_ in sdf.schema.fields
-                    if not isinstance(f_.dataType, T.MapType)
+                    if _orderable(f_.dataType)
                 ] or [F.lit(1)]
                 w = Window.partitionBy(
                     F.col("t.filename"), F.col("t.file_row_number")

@@ -259,7 +259,17 @@ class DuckLake:
             if not os.path.exists(local):
                 return None  # fresh lake: don't create the file probing it
         try:
-            return MetadataManager(metadata_path).option("data_path")
+            meta = MetadataManager(metadata_path)
+            # read-only existence probe FIRST: treat missing tables as
+            # "not initialized" instead of issuing a failing SELECT (a
+            # remote backend may abort its session transaction on
+            # error), and never run any DDL/bootstrap from a probe
+            if not meta.query(
+                "SELECT 1 FROM sqlite_master WHERE type='table' AND name=?",
+                ("ducklake_metadata",),
+            ):
+                return None
+            return meta.option("data_path")
         except Exception:
             return None
 
@@ -2678,6 +2688,84 @@ class DuckLake:
                 out[fid] = absent
         return out
 
+    def _file_epoch_keys(
+        self, h: TableHandle, files: list[dict], schema: T.StructType
+    ) -> tuple[dict, dict]:
+        """fid -> (later-renames, pending-field-defaults, absent-columns)
+        evolution-epoch triple for each native file, all batched. Shared
+        by the scan (:meth:`_read_files`) and by maintenance rewrites —
+        compaction must group files by EXACTLY the key the scan groups
+        by, or a merged file silently loses its epoch's treatment
+        (reference groups compaction per schema_version,
+        ducklake_compaction_functions.cpp:299-348)."""
+        renames = self._rename_log(h)
+        field_defaults = self._field_default_log(h)
+        init_defaults = self._initial_defaults(h, schema)
+        absent_by_fid = (
+            self._columns_absent_in_files(h, files, init_defaults)
+            if init_defaults
+            else {}
+        )
+        out = {}
+        for f in files:
+            # buffered overlay files (begin_snapshot None) are newer
+            # than every committed rename: no rename postdates them
+            fsnap = self._file_begin_snapshot(f)
+            later = tuple(
+                r for r in renames if fsnap is not None and r[0] > fsnap
+            )
+            ffill = tuple(
+                d for d in field_defaults
+                if fsnap is not None and d[0] > fsnap
+            )
+            out[f["data_file_id"]] = (
+                later, ffill,
+                absent_by_fid.get(f["data_file_id"], frozenset()),
+            )
+        return out, init_defaults
+
+    def _apply_epoch_evolution(self, h: TableHandle, part: DataFrame,
+                               schema: T.StructType,
+                               fixups: list, ffill: tuple, absent,
+                               init_defaults: dict) -> DataFrame:
+        """Materialize one epoch group's schema-evolution treatment:
+        positional struct cast back to current nested names, ADD FIELD
+        ... DEFAULT fill, and ADD COLUMN ... DEFAULT fill for columns
+        physically absent from the group's files."""
+        cid_to_name = {c[0]: c[1] for c in h.columns}
+        for cname, dtype in fixups:
+            part = part.withColumn(cname, F.col(cname).cast(dtype))
+        for _snap, cid, fname, dsql in ffill:
+            cname = cid_to_name.get(cid)
+            if cname is None or cname not in part.columns:
+                continue
+            ftype = dict(self._struct_parts(
+                next(c[2] for c in h.columns if c[0] == cid)
+            )).get(fname)
+            if ftype is None:
+                continue  # field since dropped
+            part = part.withColumn(
+                cname,
+                F.when(
+                    F.col(cname).isNotNull(),
+                    F.col(cname).withField(
+                        fname,
+                        F.expr(dsql).cast(ducklake_to_spark(ftype)),
+                    ),
+                ).otherwise(F.col(cname)),
+            )
+        for cname in absent:
+            part = part.withColumn(
+                cname,
+                F.coalesce(
+                    F.col(cname),
+                    F.expr(init_defaults[cname]).cast(
+                        schema[cname].dataType
+                    ),
+                ),
+            )
+        return part
+
     def _read_files(self, h: TableHandle, snap: Snapshot, files: list[dict],
                     schema: T.StructType, deletes: list[tuple[int, str]],
                     with_virtual: bool, txn_overlay: bool = False) -> DataFrame | None:
@@ -2691,81 +2779,31 @@ class DuckLake:
         parts = []
         if native:
             reader_schema = self._reader_schema(h, schema)
-            renames = self._rename_log(h)
             # ADD COLUMN ... DEFAULT: files written before the column
             # existed must surface initial_default, not NULL (reference
             # issue #1135; initial_default in ducklake_column). Physical
             # presence is derived from stats-row existence in ONE batched
             # query — the write path records a stats row for every column
             # a file actually contains.
-            init_defaults = self._initial_defaults(h, schema)
-            absent_by_fid = (
-                self._columns_absent_in_files(h, native, init_defaults)
-                if init_defaults
-                else {}
-            )
             # group files by the nested renames that postdate them: those
             # files still carry the old field names, so each epoch group
             # reads with its own reverted schema and is rebuilt to the
             # current names by positional struct cast (no rewrite); the
             # absent-default-column set splits groups further so the
             # coalesce fill only touches files that lack the column.
-            field_defaults = self._field_default_log(h)
-            cid_to_name = {c[0]: c[1] for c in h.columns}
+            epoch_keys, init_defaults = self._file_epoch_keys(
+                h, native, schema)
             groups: dict[tuple, list[dict]] = {}
             for f in native:
-                # buffered overlay files (begin_snapshot None) are newer
-                # than every committed rename: no rename postdates them
-                fsnap = self._file_begin_snapshot(f)
-                later = tuple(
-                    r for r in renames if fsnap is not None and r[0] > fsnap
-                )
-                # nested fields ADDed (with a DEFAULT) after this file
-                # was written: the scan fills the default per epoch
-                ffill = tuple(
-                    d for d in field_defaults
-                    if fsnap is not None and d[0] > fsnap
-                )
-                absent = absent_by_fid.get(f["data_file_id"], frozenset())
-                groups.setdefault((later, ffill, absent), []).append(f)
+                groups.setdefault(epoch_keys[f["data_file_id"]], []).append(f)
             copts = self._crypto_read_options(native)
             for (later, ffill, absent), members in groups.items():
                 gschema, fixups = self._epoch_schema(h, reader_schema, later)
                 part = self.spark.read.options(**copts).schema(gschema).parquet(
                     *[os.path.join(self.data_path, f["path"]) for f in members]
                 )
-                for cname, dtype in fixups:
-                    part = part.withColumn(cname, F.col(cname).cast(dtype))
-                for _snap, cid, fname, dsql in ffill:
-                    cname = cid_to_name.get(cid)
-                    if cname is None or cname not in part.columns:
-                        continue
-                    ftype = dict(self._struct_parts(
-                        next(c[2] for c in h.columns if c[0] == cid)
-                    )).get(fname)
-                    if ftype is None:
-                        continue  # field since dropped
-                    part = part.withColumn(
-                        cname,
-                        F.when(
-                            F.col(cname).isNotNull(),
-                            F.col(cname).withField(
-                                fname,
-                                F.expr(dsql).cast(ducklake_to_spark(ftype)),
-                            ),
-                        ).otherwise(F.col(cname)),
-                    )
-                for cname in absent:
-                    part = part.withColumn(
-                        cname,
-                        F.coalesce(
-                            F.col(cname),
-                            F.expr(init_defaults[cname]).cast(
-                                schema[cname].dataType
-                            ),
-                        ),
-                    )
-                parts.append(part)
+                parts.append(self._apply_epoch_evolution(
+                    h, part, schema, fixups, ffill, absent, init_defaults))
         if foreign:
             plain = T.StructType(
                 [T.StructField(f_.name, f_.dataType, True) for f_ in schema.fields]
@@ -3457,8 +3495,16 @@ def _expr_references(expr: str, col_name: str) -> bool:
 
     masked = _mask_non_identifiers(expr)
     return re.search(
-        rf"(?<![\w\"]){re.escape(col_name)}(?![\w\"])", masked, re.IGNORECASE
+        _identifier_pattern(col_name), masked, re.IGNORECASE
     ) is not None
+
+
+def _identifier_pattern(name: str) -> str:
+    """Regex matching ``name`` as a bare OR quoted identifier —
+    '"date"' / '`date`' in a stored sort expression must behave
+    exactly like the bare spelling for RENAME/DROP COLUMN guards."""
+    e = re.escape(name)
+    return rf'(?<![\w"`]){e}(?![\w"`])|(["`]){e}\1'
 
 
 def _mask_non_identifiers(expr: str) -> str:
@@ -3481,13 +3527,14 @@ def _rename_identifier(expr: str, old: str, new: str) -> str:
     targets untouched."""
     import re
 
-    pat = re.compile(rf"(?<![\w\"]){re.escape(old)}(?![\w\"])", re.IGNORECASE)
+    pat = re.compile(_identifier_pattern(old), re.IGNORECASE)
     masked = _mask_non_identifiers(expr)
     out = []
     last = 0
     for m in pat.finditer(masked):
         out.append(expr[last:m.start()])
-        out.append(new)
+        q = m.group(1)  # quoted occurrence keeps its quoting style
+        out.append(f"{q}{new}{q}" if q else new)
         last = m.end()
     out.append(expr[last:])
     return "".join(out)
@@ -3705,9 +3752,23 @@ def _harvest_stats(pf, colmap: dict[str, int]) -> list[ColumnStatsRow]:
                 continue
             s = col.statistics
             if s is None:
+                # chunk carries no statistics at all: the file's counts
+                # are unknowable — store NULL, never 0, or the IS NULL
+                # prune ("null_count = 0" drops the file) silently
+                # eats rows of foreign files whose writer omitted stats
+                row.value_count = None
+                row.null_count = None
                 continue
-            row.value_count += s.num_values or 0
-            row.null_count += s.null_count or 0
+            if row.value_count is not None:
+                row.value_count = (
+                    None if s.num_values is None
+                    else row.value_count + s.num_values
+                )
+            if row.null_count is not None:
+                row.null_count = (
+                    None if not s.has_null_count
+                    else row.null_count + s.null_count
+                )
             if s.has_min_max:
                 try:
                     smin, smax = s.min, s.max

@@ -23,7 +23,13 @@ import uuid
 
 from pyspark.sql import functions as F
 
-from ducklake_spark.lake import ROWID_COL, SNAPID_COL, DuckLake, DuckLakeError
+from ducklake_spark.lake import (
+    ROWID_COL,
+    SNAPID_COL,
+    DuckLake,
+    DuckLakeError,
+    _expr_references,
+)
 from ducklake_spark.transaction import DataFileInfo
 
 DEFAULT_TARGET_FILE_SIZE = 512 * 1024 * 1024
@@ -78,17 +84,45 @@ def merge_adjacent_files(lake: DuckLake, *, target_file_size: int | None = None,
             )
             for f in files
         }
-        # group by partition values; keep file order (adjacency)
+        # group by (partition values, evolution-epoch key). The epoch key
+        # is EXACTLY what the scan groups by (nested renames / ADD FIELD
+        # defaults that postdate the file, physically-absent ADD COLUMN
+        # DEFAULT columns) — a pack must never straddle a schema change,
+        # or the merged file silently loses its epoch's scan treatment
+        # (reference: compaction groups per schema_version and only
+        # merges FieldsPreservedInLatest files,
+        # ducklake_compaction_functions.cpp:299-348; pinned by
+        # compaction_alter_table.test, compaction_multiple_rename_column
+        # .test, compaction_schema_version_per_table.test).
+        schema = lake._spark_schema(h)
+        epoch_keys, _init_defaults = lake._file_epoch_keys(h, files, schema)
+        sort_spec = lake._sort_spec(h)
         groups: dict[tuple, list[dict]] = {}
         for f in files:
             if f["data_file_id"] in with_deletes:
+                continue
+            if f.get("mapping_id") is not None:
+                # adopted foreign files resolve columns by name map, not
+                # field id; rewriting them under the native id-mapped
+                # layout is a schema migration, not a compaction — skip
                 continue
             if min_file_size is not None and f["file_size_bytes"] < min_file_size:
                 continue
             if max_file_size is not None and f["file_size_bytes"] > max_file_size:
                 continue
-            groups.setdefault(part_vals[f["data_file_id"]], []).append(f)
-        for pv, members in groups.items():
+            epoch = epoch_keys[f["data_file_id"]]
+            if sort_spec and any(
+                _expr_references(expr, c)
+                for expr, _a, _n in sort_spec for c in epoch[2]
+            ):
+                # a sorted table whose sort key is a not-yet-materialized
+                # ADD COLUMN ... DEFAULT column: re-sorting the pack by
+                # the physical bytes (NULL) would disagree with the scan
+                # (default-filled) — keep these files isolated
+                continue
+            groups.setdefault(
+                (part_vals[f["data_file_id"]], epoch), []).append(f)
+        for (pv, epoch), members in groups.items():
             # greedy adjacent packing toward target size
             # (ducklake_compaction_functions.cpp:367-414)
             batch: list[dict] = []
@@ -106,13 +140,34 @@ def merge_adjacent_files(lake: DuckLake, *, target_file_size: int | None = None,
                 if (max_compacted_files is not None
                         and n_groups >= max_compacted_files):
                     return n_groups
-                _rewrite_pack(lake, h, pack, pv)
+                _rewrite_pack(lake, h, pack, pv, epoch)
                 n_groups += 1
     return n_groups
 
 
-def _rewrite_pack(lake: DuckLake, h, pack: list[dict], part_vals: tuple) -> None:
+def _rewrite_pack(lake: DuckLake, h, pack: list[dict], part_vals: tuple,
+                  epoch: tuple) -> None:
+    """Merge one same-epoch pack into one file, preserving the epoch's
+    PHYSICAL shape: read with the epoch's reverted nested names, write
+    those names back, and keep ADD COLUMN ... DEFAULT columns physically
+    absent. The merged file's begin_snapshot rewinds to the pack minimum
+    (time travel), which re-classifies it into the SAME epoch at scan —
+    so the scan's rename revert / field-default fill / initial-default
+    fill treat it exactly like the files it replaced. Materializing any
+    of those fills here would double-apply or disable them
+    (round-4 verdict repros a-c; ADVICE ffill-straddle)."""
     schema = lake._spark_schema(h)
+    later, _ffill, absent = epoch
+    gschema, _fixups = lake._epoch_schema(
+        h, lake._reader_schema(h, schema), later)
+    # physically-absent ADD COLUMN ... DEFAULT columns stay absent:
+    # writing them (as NULL) would create stats rows and silently turn
+    # off the scan's initial_default fill
+    from pyspark.sql import types as T
+
+    gschema = T.StructType(
+        [f_ for f_ in gschema.fields if f_.name not in absent])
+    out_cols = [x.name for x in schema.fields if x.name not in absent]
     snapmap = {
         f["data_file_id"]: lake._file_begin_snapshot(f) for f in pack
     }
@@ -120,9 +175,7 @@ def _rewrite_pack(lake: DuckLake, h, pack: list[dict], part_vals: tuple) -> None
     copts = lake._crypto_read_options(pack)
     for f in pack:
         path = os.path.join(lake.data_path, f["path"])
-        df = lake.spark.read.options(**copts).schema(
-            lake._reader_schema(h, schema)
-        ).parquet(path)
+        df = lake.spark.read.options(**copts).schema(gschema).parquet(path)
         rowid = (
             F.lit(f["row_id_start"]) + F.col("_metadata.row_index")
             if f["row_id_start"] is not None
@@ -135,7 +188,7 @@ def _rewrite_pack(lake: DuckLake, h, pack: list[dict], part_vals: tuple) -> None
         )
         frames.append(
             df.withColumn(ROWID_COL, rowid).withColumn(SNAPID_COL, snapid).select(
-                *[x.name for x in schema.fields], ROWID_COL, SNAPID_COL
+                *out_cols, ROWID_COL, SNAPID_COL
             )
         )
     merged = frames[0]
@@ -217,7 +270,8 @@ def rewrite_data_files(lake: DuckLake, *, delete_threshold: float | None = None,
         h = lake._handle(tname)
         rows = lake.meta.query(
             "SELECT d.data_file_id, d.path, d.record_count, d.row_id_start, "
-            "del.delete_count, del.path, del.format, d.encryption_key "
+            "del.delete_count, del.path, del.format, d.encryption_key, "
+            "d.begin_snapshot, d.mapping_id "
             "FROM ducklake_data_file d JOIN ducklake_delete_file del "
             "ON del.data_file_id = d.data_file_id AND del.end_snapshot IS NULL "
             "WHERE d.table_id=? AND d.end_snapshot IS NULL",
@@ -225,21 +279,42 @@ def rewrite_data_files(lake: DuckLake, *, delete_threshold: float | None = None,
         )
         schema = lake._spark_schema(h)
         inlined_del_fids = _fids_with_inlined_deletes(lake, h)
-        for fid, path, rc, rid_start, del_cnt, del_path, del_fmt, enc_key in rows:
+        for (fid, path, rc, rid_start, del_cnt, del_path, del_fmt, enc_key,
+             begin_snap, mapping_id) in rows:
             if rc == 0 or del_cnt / rc < delete_threshold:
                 continue
             if fid in inlined_del_fids:
                 # catalog-inlined positions would be lost by a rewrite;
                 # flush_inlined_data converts them first
                 continue
+            if mapping_id is not None:
+                # adopted foreign files resolve by name map — rewriting
+                # them is a schema migration, not a rewrite; skip
+                continue
+            # the rewritten file gets a NEW begin_snapshot, so the
+            # scan gives it no evolution treatment — materialize the
+            # source file's full epoch here (nested-rename cast, ADD
+            # FIELD default, absent ADD COLUMN default); reading with
+            # the current schema raw instead silently NULLs those
+            # (round-4 verdict repro b). Reference never merges across
+            # schemas in rewrite-deletes mode
+            # (ducklake_compaction_functions.cpp:305-308).
+            fdict = {"data_file_id": fid, "begin_snapshot": begin_snap}
+            epoch_keys, init_defaults = lake._file_epoch_keys(
+                h, [fdict], schema)
+            later, ffill, absent = epoch_keys[fid]
+            gschema, fixups = lake._epoch_schema(
+                h, lake._reader_schema(h, schema), later)
             df = (
                 lake.spark.read.options(
                     **lake._crypto_read_options([{"encryption_key": enc_key}])
                 )
-                .schema(lake._reader_schema(h, schema))
+                .schema(gschema)
                 .parquet(os.path.join(lake.data_path, path))
                 .withColumn("__pos", F.col("_metadata.row_index"))
             )
+            df = lake._apply_epoch_evolution(
+                h, df, schema, fixups, ffill, absent, init_defaults)
             dels = lake._delete_file_df(del_path, del_fmt).select(
                 F.col("pos").alias("__pos")
             )

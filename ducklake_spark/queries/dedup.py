@@ -182,12 +182,21 @@ def _spark_sig_wide() -> str:
 """
 
 
+# A degenerate hot bucket (millions of identical docs sharing one
+# (band, minhash)) would materialize O(|bucket|²) pairs — in ONE task
+# for the Spark emitter below. Buckets above this size are dropped on
+# BOTH engines (identical semantics, so the oracle still matches):
+# docs that collide with thousands of others are already known
+# near-duplicates; enumerating every pair adds no information, and at
+# 100 TB it is the difference between finishing and an executor OOM.
+MAX_LSH_BUCKET = 10_000
+
 # Spark pair generation: a sig self-join recomputes the whole shingle
 # pipeline for the broadcast build side (no exchange reuse under a
 # broadcast), doubling the query. Grouping each (band, minhash) bucket
 # once and emitting in-bucket combinations from the sorted doc list
 # computes sig exactly once — same pairs, one pass.
-_SPARK_BUCKET_PAIRS = """
+_SPARK_BUCKET_PAIRS = f"""
     buckets AS (
         SELECT array_sort(collect_list(doc_id)) AS ds
         FROM sig
@@ -198,10 +207,23 @@ _SPARK_BUCKET_PAIRS = """
                    transform(slice(ds, i + 2, size(ds)),
                              y -> named_struct('doc_a', x, 'doc_b', y))))) AS p
         FROM buckets
-        WHERE size(ds) >= 2
+        WHERE size(ds) >= 2 AND size(ds) <= {MAX_LSH_BUCKET}
     )
     SELECT DISTINCT p.doc_a AS doc_a, p.doc_b AS doc_b
     FROM pairs
+"""
+
+# oracle twin of the cap: oversized buckets contribute no pairs
+_DUCK_CAPPED_PAIRS = f"""
+    bsize AS (
+        SELECT band, minhash, COUNT(*) AS n
+        FROM sig GROUP BY band, minhash
+    )
+    SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+    FROM sig a
+    JOIN bsize z ON z.band = a.band AND z.minhash = a.minhash
+                AND z.n BETWEEN 2 AND {MAX_LSH_BUCKET}
+    JOIN sig b ON a.band = b.band AND a.minhash = b.minhash AND a.doc_id < b.doc_id
 """
 
 
@@ -209,7 +231,7 @@ def _minhash_sql(dialect: str) -> str:
     if dialect == "spark":
         return f"WITH {_SPARK_SHINGLES_DUP}, {_spark_sig_wide()}, {_SPARK_BUCKET_PAIRS}"
     bands = _DUCK_BANDS.format(n1=N_BANDS)
-    return f"WITH {_DUCK_SHINGLES}, {bands}, {_sig('duckdb')} {_PAIRS}"
+    return f"WITH {_DUCK_SHINGLES}, {bands}, {_sig('duckdb')}, {_DUCK_CAPPED_PAIRS}"
 
 
 sql_query(

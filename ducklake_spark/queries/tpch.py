@@ -486,11 +486,29 @@ sql_query(
     ORDER BY o_totalprice DESC, o_orderkey
     LIMIT 100
     """,
+    oracle=f"""
+    SELECT
+        c_name, c_custkey, o_orderkey,
+        CAST(o_orderdate AS DATE) AS o_orderdate,
+        o_totalprice,
+        CAST(SUM({dec('l_quantity')}) AS DOUBLE) AS sum_qty
+    FROM customer, orders, lineitem
+    WHERE o_orderkey IN (
+        SELECT l_orderkey FROM lineitem
+        GROUP BY l_orderkey
+        HAVING SUM({dec('l_quantity')}) > 150
+    )
+      AND c_custkey = o_custkey
+      AND o_orderkey = l_orderkey
+    GROUP BY c_name, c_custkey, o_orderkey, o_orderdate, o_totalprice
+    ORDER BY o_totalprice DESC, o_orderkey
+    LIMIT 100
+    """,
     tables=["customer", "orders", "lineitem"],
     doc="large volume customer — the final per-order GROUP BY equals the "
         "HAVING aggregate, so lineitem is scanned/aggregated ONCE and the "
-        "big-order keys join straight to orders/customer (verified "
-        "row-identical to the textbook IN-subquery form)",
+        "big-order keys join straight to orders/customer; the oracle keeps "
+        "the textbook IN-subquery form so the gate proves the rewrite",
 )
 
 sql_query(
@@ -557,11 +575,36 @@ sql_query(
     ORDER BY numwait DESC, s_name
     LIMIT 100
     """,
+    oracle="""
+    SELECT s_name, COUNT(*) AS numwait
+    FROM supplier, lineitem l1, orders, nation
+    WHERE s_suppkey = l1.l_suppkey
+      AND o_orderkey = l1.l_orderkey
+      AND o_orderstatus = 'F'
+      AND l1.l_shipdate > o_orderdate + INTERVAL 60 DAY
+      AND EXISTS (
+          SELECT * FROM lineitem l2
+          WHERE l2.l_orderkey = l1.l_orderkey
+            AND l2.l_suppkey <> l1.l_suppkey
+      )
+      AND NOT EXISTS (
+          SELECT * FROM lineitem l3
+          WHERE l3.l_orderkey = l1.l_orderkey
+            AND l3.l_suppkey <> l1.l_suppkey
+            AND l3.l_shipdate > o_orderdate + INTERVAL 60 DAY
+      )
+      AND s_nationkey = n_nationkey
+      AND n_name = 'NATION_1'
+    GROUP BY s_name
+    ORDER BY numwait DESC, s_name
+    LIMIT 100
+    """,
     doc="suppliers who kept orders waiting — EXISTS becomes min<>max and "
         "NOT-EXISTS-other-late becomes min=max over per-order supplier "
         "bounds (plain hash aggs, no COUNT DISTINCT expand), lineitem "
-        "joined to orders once instead of three semi/anti passes "
-        "(verified row-identical to the EXISTS/NOT EXISTS form)",
+        "joined to orders once instead of three semi/anti passes; the "
+        "oracle keeps the textbook EXISTS/NOT EXISTS form so the gate "
+        "proves the rewrite",
 )
 
 sql_query(

@@ -68,8 +68,10 @@ class ColumnDef:
 class ColumnStatsRow:
     column_id: int
     column_size_bytes: int = 0
-    value_count: int = 0
-    null_count: int = 0
+    # None = unknown (a chunk without stats): the prune SQL's
+    # "null_count = 0" / "value_count = 0" predicates must not fire
+    value_count: int | None = 0
+    null_count: int | None = 0
     min_value: str | None = None
     max_value: str | None = None
     contains_nan: bool = False
@@ -1119,7 +1121,8 @@ class Transaction:
             "FROM ducklake_table_column_stats WHERE table_id=? AND column_id=?",
             (tid, cs.column_id),
         ).fetchone()
-        has_null = cs.null_count > 0
+        # unknown null_count (no stats) -> conservatively "may have nulls"
+        has_null = cs.null_count is None or cs.null_count > 0
         if row is None:
             con.execute(
                 "INSERT INTO ducklake_table_column_stats VALUES (?, ?, ?, ?, ?, ?, ?)",

@@ -92,3 +92,30 @@ def test_comments(lake, spark):
     assert lake.get_comment("cm", column="v") == "col comment"
     lake.set_comment("cm", "replaced")
     assert lake.get_comment("cm") == "replaced"
+
+
+def test_add_files_without_stats_keeps_is_null_scan(lake, spark, tmp_path):
+    # ADVICE r4: a foreign file whose writer omitted statistics must
+    # store NULL (not 0) null_count, or the IS NULL prune
+    # ("null_count = 0" drops the file) silently eats its rows
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    lake.create_table("nostats", [("i", "int64"), ("v", "varchar")])
+    ext = tmp_path / "ext_nostats"
+    ext.mkdir()
+    pq.write_table(
+        pa.table({"i": [1, 2, 3], "v": ["a", None, "c"]}),
+        str(ext / "f.parquet"),
+        write_statistics=False,
+    )
+    assert lake.add_data_files("nostats", str(ext / "*.parquet")) == 1
+    nc_rows = lake.meta.query(
+        "SELECT null_count, value_count FROM ducklake_file_column_stats "
+        "WHERE table_id=(SELECT table_id FROM ducklake_table "
+        "WHERE table_name='nostats' AND end_snapshot IS NULL)")
+    assert all(nc is None for nc, _vc in nc_rows)
+    got = lake.table("nostats", where="v IS NULL").filter("v IS NULL")
+    assert [r[0] for r in got.collect()] == [2]
+    got2 = lake.table("nostats", where="v IS NOT NULL").filter("v IS NOT NULL")
+    assert sorted(r[0] for r in got2.collect()) == [1, 3]
