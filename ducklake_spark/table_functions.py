@@ -101,12 +101,26 @@ def options(lake: DuckLake) -> DataFrame:
 
 
 def settings(lake: DuckLake) -> DataFrame:
-    """reference: ducklake_settings.cpp:12-19"""
-    rows = lake.meta.query(
-        "SELECT key, value FROM ducklake_metadata WHERE scope IS NULL"
+    """One-row deployment descriptor: (catalog_type, extension_version,
+    data_path) — reference ducklake_settings.cpp:12-45 normalizes the
+    metadata backend to a user-friendly name the same way."""
+    from ducklake_spark.catalog.backends import (
+        DuckDBBackend,
+        PostgresBackend,
+        SqliteBackend,
     )
+
+    b = lake.meta.backend
+    catalog_type = (
+        "sqlite" if isinstance(b, SqliteBackend)
+        else "duckdb" if isinstance(b, DuckDBBackend)
+        else "postgres" if isinstance(b, PostgresBackend)
+        else type(b).__name__
+    )
+    version = lake.meta.option("created_by") or ""
     return lake.spark.createDataFrame(
-        [tuple(r) for r in rows], "setting string, value string"
+        [(catalog_type, version, lake.data_path)],
+        "catalog_type string, extension_version string, data_path string",
     )
 
 

@@ -306,3 +306,12 @@ def test_update_no_extra_count_job(lake, spark):
     assert lake.update("uc", {"v": "'z'"}, "i = 2") == 1
     got = sorted(tuple(r) for r in lake.table("uc").collect())
     assert got == [(1, "a"), (2, "z")]
+
+
+def test_settings_descriptor(lake, spark):
+    # reference test/sql/metadata/ducklake_settings.test: one row of
+    # (catalog_type, extension_version, data_path)
+    row = lake.settings().collect()[0]
+    assert row.catalog_type in ("sqlite", "duckdb", "postgres")
+    assert row.extension_version
+    assert row.data_path == lake.data_path
