@@ -121,12 +121,31 @@ class DuckLake:
                  snapshot_time: str | None = None,
                  data_inlining_row_limit: int | None = None,
                  encrypted: bool = False, read_only: bool = False,
-                 filesystem=None, override_data_path: bool = False):
+                 filesystem=None, override_data_path: bool = False,
+                 disabled_filesystems: str | None = None):
         from ducklake_spark.fsio import LakeFS
 
         self.spark = spark
         self.metadata_path = metadata_path
         self.data_path = data_path.rstrip("/") + "/"
+        if disabled_filesystems:
+            # reference: SET disabled_filesystems='LocalFileSystem' must
+            # not break an object-store lake, and must refuse a lake
+            # whose data path lives on a disabled filesystem
+            # (test/sql/settings/disabled_filesystems.test)
+            disabled = {d.strip().lower()
+                        for d in disabled_filesystems.split(",") if d.strip()}
+            scheme = (self.data_path.split("://", 1)[0]
+                      if "://" in self.data_path else "file")
+            fs_name = ("LocalFileSystem" if scheme == "file" else
+                       {"s3": "S3FileSystem", "s3a": "S3FileSystem",
+                        "gs": "GcsFileSystem", "hdfs": "HadoopFileSystem",
+                        }.get(scheme, scheme))
+            if fs_name.lower() in disabled or scheme in disabled:
+                raise DuckLakeError(
+                    f"data path {self.data_path!r} uses filesystem "
+                    f"{fs_name}, which is disabled "
+                    "(disabled_filesystems)")
         # every driver-side file op (finalize/adopt/cleanup) routes
         # through this pyarrow.fs-backed seam — see fsio.LakeFS;
         # injectable for tests and for pre-configured object stores

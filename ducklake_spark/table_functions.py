@@ -88,15 +88,88 @@ def list_files(lake: DuckLake, table: str, *, at_version: int | None = None,
     )
 
 
+# reference ducklake_options.cpp:15-42 DUCKLAKE_OPTIONS
+_OPTION_DESCRIPTIONS = {
+    "data_inlining_row_limit":
+        "Maximum amount of rows to inline in a single insert",
+    "parquet_compression":
+        "Compression algorithm for Parquet files (uncompressed, snappy, "
+        "gzip, zstd, brotli, lz4, lz4_raw)",
+    "parquet_version": "Parquet format version (1 or 2)",
+    "parquet_compression_level": "Compression level for Parquet files",
+    "parquet_row_group_size":
+        "Number of rows per row group in Parquet files",
+    "parquet_row_group_size_bytes":
+        "Number of bytes per row group in Parquet files",
+    "hive_file_pattern":
+        "If partitioned data should be written in a hive-like folder "
+        "structure",
+    "target_file_size":
+        "The target data file size for insertion and compaction operations",
+    "version": "DuckLake format version",
+    "created_by": "Tool used to write the DuckLake",
+    "data_path": "Path to data files",
+    "require_commit_message":
+        "If an explicit commit message is required for a snapshot commit.",
+    "rewrite_delete_threshold":
+        "A threshold that determines the minimum amount of data that must "
+        "be removed from a file before a rewrite is warranted. From 0 - 1.",
+    "delete_older_than":
+        "How old unused files must be to be removed by the "
+        "'ducklake_delete_orphaned_files' and 'ducklake_cleanup_old_files' "
+        "cleanup functions.",
+    "expire_older_than":
+        "How old snapshots must be, by default, to be expired by: "
+        "'ducklake_expire_snapshots'",
+    "auto_compact":
+        "Pre-defined schema used as a default value for the following "
+        "compaction functions 'ducklake_flush_inlined_data',"
+        "'ducklake_merge_adjacent_files', 'ducklake_rewrite_data_files', "
+        "'ducklake_delete_orphaned_files'",
+    "encrypted":
+        "Whether or not to encrypt Parquet files written to the data path",
+    "per_thread_output":
+        "Whether to create separate output files per thread during "
+        "parallel insertion",
+    "sort_on_insert":
+        "Whether to sort data on INSERT according to SET SORTED BY "
+        "(default: true)",
+}
+
+
 def options(lake: DuckLake) -> DataFrame:
-    """reference: ducklake_options.cpp:71-84"""
+    """Reference shape (ducklake_options.cpp:70-150): one row per stored
+    option with description, GLOBAL/SCHEMA/TABLE scope and the scope's
+    entry NAME — unknown keys appear with a NULL description
+    (test/sql/issues/options_unknown_metadata_key.test)."""
     rows = lake.meta.query(
         "SELECT key, value, scope, scope_id FROM ducklake_metadata "
-        "WHERE key NOT IN ('version', 'created_by', 'data_path', 'encrypted')"
+        "WHERE key NOT IN ('version', 'created_by', 'data_path', "
+        "'encrypted', 'id_reservation')"
     )
+    schema_names = dict(lake.meta.query(
+        "SELECT schema_id, schema_name FROM ducklake_schema "
+        "WHERE end_snapshot IS NULL"))
+    table_names = dict(lake.meta.query(
+        "SELECT t.table_id, s.schema_name || '.' || t.table_name "
+        "FROM ducklake_table t JOIN ducklake_schema s "
+        "ON s.schema_id = t.schema_id AND s.end_snapshot IS NULL "
+        "WHERE t.end_snapshot IS NULL"))
+    data = []
+    for key, value, scope, scope_id in rows:
+        if scope == "table":
+            sc, entry = "TABLE", table_names.get(scope_id)
+        elif scope == "schema":
+            sc, entry = "SCHEMA", schema_names.get(scope_id)
+        else:
+            sc, entry = "GLOBAL", None
+        data.append(
+            (key, _OPTION_DESCRIPTIONS.get(key), value, sc, entry))
+    data.sort(key=lambda r: r[0])
     return lake.spark.createDataFrame(
-        [tuple(r) for r in rows],
-        "option_name string, value string, scope string, scope_entry long",
+        data,
+        "option_name string, description string, value string, "
+        "scope string, scope_entry string",
     )
 
 

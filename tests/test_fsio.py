@@ -190,3 +190,24 @@ def test_uri_data_path_lifecycle(spark, tmp_path):
     assert removed
     got = sorted(r.i for r in lake.table("t").collect())
     assert got[:3] == [5, 6, 7] and got[-1] == 119
+
+
+def test_disabled_filesystems_guard(spark, tmp_path):
+    # reference test/sql/settings/disabled_filesystems.test: a lake whose
+    # data path lives on a disabled filesystem refuses to attach
+    import pytest as _pytest
+
+    import conftest
+    from ducklake_spark.lake import DuckLake, DuckLakeError
+
+    with _pytest.raises(DuckLakeError, match="disabled"):
+        DuckLake.attach(
+            spark, conftest.catalog_url(tmp_path), str(tmp_path / "data"),
+            disabled_filesystems="LocalFileSystem")
+    # disabling a filesystem the lake does not use is fine
+    lake = DuckLake.attach(
+        spark, conftest.catalog_url(tmp_path), str(tmp_path / "data"),
+        disabled_filesystems="S3FileSystem")
+    lake.create_table("t", [("i", "int64")])
+    lake.insert("t", spark.createDataFrame([(1,)], "i long"))
+    assert lake.table("t").count() == 1

@@ -1072,3 +1072,100 @@ def test_view_referencing_view(lake, spark):
     assert lake.view("v3").collect()[0].score == 100
     with pytest.raises(Exception):
         lake.view("v2").collect()
+
+
+# -- issues/issue_1027_hive_path_scan.test ------------------------------
+
+def test_data_path_with_hive_like_segment(spark, tmp_path):
+    # a DATA_PATH containing an incidental key=value segment must not
+    # trigger hive partition auto-detection on scans
+    from ducklake_spark.lake import DuckLake
+
+    lake = DuckLake.attach(
+        spark, conftest.catalog_url(tmp_path),
+        str(tmp_path / "issue_1027" / "site_id=42"))
+    lake.create_table("t", [("id", "int64")])
+    lake.insert("t", spark.range(1000).select(F.col("id")))
+    lake.delete("t", "id % 7 = 0")
+    lake.delete("t", "id % 5 = 0")  # second delete merges the first
+    df = lake.table("t")
+    assert df.columns == ["id"]  # no phantom 'site_id' partition column
+    assert df.count() == 686
+    assert df.filter("id % 7 = 0 OR id % 5 = 0").count() == 0
+
+
+# -- issues/issue_1074.test ---------------------------------------------
+
+def test_inlining_toggle_delete_time_travel(lake, spark):
+    lake.create_table("t", [("id", "int64")])
+    lake.insert("t", spark.range(100).select(F.col("id")))
+    v1 = lake.current_snapshot()
+    lake.set_option("data_inlining_row_limit", "100")
+    lake.delete("t", "id = 0")
+    v2 = lake.current_snapshot()
+    lake.set_option("data_inlining_row_limit", "0")
+    lake.delete("t", "id = 1")
+    v3 = lake.current_snapshot()
+    lake.delete("t", "id = 2")
+    v4 = lake.current_snapshot()
+    for v, n in ((v1, 100), (v2, 99), (v3, 98), (v4, 97)):
+        assert lake.table("t", at_version=v).count() == n
+
+
+# -- issues/options_unknown_metadata_key.test ---------------------------
+
+def test_options_unknown_metadata_key(lake, spark):
+    lake.meta.con.execute(
+        "INSERT INTO ducklake_metadata VALUES ('mykey', 'myvalue', NULL, NULL)")
+    lake.meta.con.execute(
+        "INSERT INTO ducklake_metadata VALUES ('another_unknown', 'v2', NULL, NULL)")
+    lake.set_option("parquet_compression", "zstd")
+    rows = {r.option_name: r for r in lake.options().collect()}
+    assert rows["mykey"].value == "myvalue"
+    assert rows["mykey"].description is None
+    assert rows["mykey"].scope == "GLOBAL"
+    assert rows["another_unknown"].value == "v2"
+    assert rows["parquet_compression"].description is not None
+    # scope_entry carries NAMES for scoped options
+    lake.create_table("scoped", [("i", "int64")])
+    lake.set_option("target_file_size", "1048576", table_name="scoped")
+    rows = {r.option_name: r for r in lake.options().collect()}
+    assert rows["target_file_size"].scope == "TABLE"
+    assert rows["target_file_size"].scope_entry == "main.scoped"
+
+
+# -- issues/late_materialization.test -----------------------------------
+
+def test_late_materialization_topn(lake, spark):
+    lake.create_table("m", [("id", "int32"), ("value", "varchar")])
+    for i, v in enumerate(["hello", "world", "this", "is", "a", "test"], 1):
+        lake.insert("m", spark.createDataFrame([(i, v)], "id int, value string"))
+    got = (lake.table("m").filter("id > 3")
+           .orderBy(F.col("value").desc()).limit(1).collect())
+    assert [tuple(r) for r in got] == [(6, "test")]
+
+
+# -- issues/corrupted_catalog_fault_isolation.test ----------------------
+
+def test_corrupted_catalog_fault_isolation(spark, tmp_path):
+    from ducklake_spark.lake import DuckLake, DuckLakeError
+
+    bad = DuckLake.attach(
+        spark, str(tmp_path / "corrupted.db"), str(tmp_path / "corrupted"))
+    bad.create_table("t1", [("id", "int32"), ("name", "varchar")])
+    bad.insert("t1", spark.createDataFrame([(1, "hello")], "id int, name string"))
+    bad.meta.con.execute(
+        "UPDATE ducklake_column SET column_type='int32varcharvarchar' "
+        "WHERE column_name='id'")
+    # a corrupted catalog must not poison an independent attach
+    good = DuckLake.attach(
+        spark, str(tmp_path / "good.db"), str(tmp_path / "good"))
+    good.create_table("t2", [("val", "int32")])
+    good.insert("t2", spark.createDataFrame([(42,)], "val int"))
+    assert [r.val for r in good.table("t2").collect()] == [42]
+    # re-attach of the corrupted one succeeds (lazy); reading the broken
+    # table errors with the bad type name
+    bad2 = DuckLake.attach(
+        spark, str(tmp_path / "corrupted.db"), str(tmp_path / "corrupted"))
+    with pytest.raises(Exception, match="int32varcharvarchar"):
+        bad2.table("t1").collect()
