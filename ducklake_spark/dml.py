@@ -157,6 +157,18 @@ def _apply_file_deletes(lake: DuckLake, h: TableHandle, snap, files: list[dict],
 def _apply_file_deletes_cached(lake: DuckLake, h: TableHandle, snap,
                                files: list[dict], victims: DataFrame,
                                file_by_path: dict) -> int:
+    inline_limit = int(
+        lake.meta.option("deletion_inlining_row_limit", "0",
+                         scope="table", scope_id=h.table_id,
+                         schema_id=h.schema_id) or 0
+    )
+    if inline_limit <= 0:
+        # common case (deletion inlining off): ONE pass — the per-file
+        # counting job and the delete-file write job fuse into a single
+        # action, halving the scans over the victims relation (the scan
+        # dominates a DELETE at scale)
+        return _apply_file_deletes_fused(
+            lake, h, snap, files, victims, file_by_path)
     counts = victims.groupBy("filename").count().collect()
     per_file = [(r["filename"], r["count"]) for r in counts]
     n_deleted = sum(c for _, c in per_file)
@@ -331,6 +343,127 @@ def _apply_file_deletes_cached(lake: DuckLake, h: TableHandle, snap,
     return n_deleted
 
 
+def _apply_file_deletes_fused(lake: DuckLake, h: TableHandle, snap,
+                              files: list[dict], victims: DataFrame,
+                              file_by_path: dict) -> int:
+    """Single-action DELETE apply: victims shuffle straight into the
+    per-file delete-parquet writers; pre-existing delete content for the
+    touched files merges INSIDE the same job (semi-join against the
+    victim file set), and the full-drop / partial decision is made from
+    the writers' returned counts — fully-deleted files' fresh delete
+    parquet is discarded and the file dropped whole. One scan of the
+    table instead of two (count pass + write pass)."""
+    existing = {
+        fid: (path, fmt, dc, ekey)
+        for fid, path, fmt, dc, ekey in lake.meta.query(
+            "SELECT data_file_id, path, format, delete_count, encryption_key "
+            "FROM ducklake_delete_file "
+            "WHERE table_id=? AND begin_snapshot <= ? "
+            "AND (end_snapshot IS NULL OR end_snapshot > ?)",
+            (h.table_id, snap.snapshot_id, snap.snapshot_id),
+        )
+    }
+    existing_ids = {
+        fid: dfid
+        for dfid, fid in lake.meta.query(
+            "SELECT delete_file_id, data_file_id FROM ducklake_delete_file "
+            "WHERE table_id=? AND begin_snapshot <= ? "
+            "AND (end_snapshot IS NULL OR end_snapshot > ?)",
+            (h.table_id, snap.snapshot_id, snap.snapshot_id),
+        )
+    }
+    # scan filenames -> catalog paths for EVERY candidate file (the
+    # victim set is unknown until the job runs); #files rows, broadcast
+    fname_map = lake.spark.createDataFrame(
+        [(lake._file_uri(f["path"]), f["path"]) for f in files],
+        "filename string, file_path string",
+    )
+    new_dels = victims.join(F.broadcast(fname_map), "filename").select(
+        "file_path", "pos"
+    ).withColumn("is_new", F.lit(True))
+
+    # pre-existing delete content of candidate files, narrowed to files
+    # that actually receive new deletes by an in-job semi-join (no
+    # separate action; files without new victims must NOT be rewritten)
+    fid_by_path = {f["path"]: f["data_file_id"] for f in files}
+    prev_pq, prev_enc, prev_dv = [], [], []
+    for rel, fid in fid_by_path.items():
+        prev = existing.get(fid)
+        if not prev:
+            continue
+        if (prev[1] or "parquet").lower() == "puffin":
+            prev_dv.append((os.path.join(lake.data_path, prev[0]), rel))
+        elif prev[3]:
+            prev_enc.append((os.path.join(lake.data_path, prev[0]), prev[3]))
+        else:
+            prev_pq.append(os.path.join(lake.data_path, prev[0]))
+    prev_df = None
+    if prev_pq:
+        prev_df = lake.spark.read.schema(
+            "file_path string, pos long").parquet(*prev_pq)
+    if prev_enc:
+        pe = lake._read_encrypted_delete_files(prev_enc)
+        prev_df = pe if prev_df is None else prev_df.unionByName(pe)
+    if prev_dv:
+        pd_df = lake._decode_dv_files(prev_dv).withColumnRenamed(
+            "__dfile", "file_path").withColumnRenamed("__dpos", "pos")
+        prev_df = pd_df if prev_df is None else prev_df.unionByName(pd_df)
+    all_dels = new_dels
+    if prev_df is not None:
+        prev_df = prev_df.join(
+            new_dels.select("file_path").distinct(), "file_path", "left_semi"
+        ).withColumn("is_new", F.lit(False))
+        all_dels = new_dels.unionByName(prev_df)
+
+    delete_dir = os.path.join(lake.data_path, h.path)
+    lake.lfs.makedirs(lake.lfs.strip_scheme(delete_dir))
+    use_dv = (
+        lake.meta.option("write_deletion_vectors", "false",
+                         scope="table", scope_id=h.table_id,
+                         schema_id=h.schema_id) or "false"
+    ).lower() == "true"
+    if use_dv:
+        written = _write_dv_files_distributed(lake, delete_dir, all_dels)
+    else:
+        written = _write_delete_files_distributed(lake, delete_dir, all_dels)
+    n_deleted = sum(w["n_new"] for w in written)
+    if n_deleted == 0:
+        for w in written:  # defensive: semi-join should prevent these
+            lake.lfs.remove(lake.lfs.strip_scheme(w["out_path"]))
+        return 0
+
+    txn = lake.begin()
+    inl_counts = _inlined_delete_counts(lake, h)
+    by_rel = {f["path"]: f for f in files}
+    for w in written:
+        finfo = by_rel[w["file_path"]]
+        fid = finfo["data_file_id"]
+        if w["n"] + inl_counts.get(fid, 0) >= finfo["record_count"]:
+            # every live row gone: drop the file whole; the merged
+            # delete parquet just written is unneeded
+            lake.lfs.remove(lake.lfs.strip_scheme(w["out_path"]))
+            txn.removed_data_files.setdefault(h.table_id, []).append(fid)
+            txn.touched_delete_data_files.add(fid)
+            continue
+        if fid in existing_ids:
+            txn.replaced_delete_files.append(existing_ids[fid])
+        txn.new_delete_files.setdefault(h.table_id, []).append(
+            DeleteFileInfo(
+                data_file_id=fid,
+                path=os.path.relpath(w["out_path"], lake.data_path),
+                delete_count=w["n"],
+                file_size_bytes=w["size"],
+                footer_size=w["footer"],
+                format="puffin" if use_dv else "parquet",
+                encryption_key=w.get("enc_key") or None,
+                row_group_count=w.get("rgs"),
+            )
+        )
+        txn.touched_delete_data_files.add(fid)
+    _log_change(txn, f"deleted_from_table:{h.table_id}")
+    return n_deleted
+
+
 def _write_delete_files_distributed(lake, delete_dir: str, dels: DataFrame) -> list[dict]:
     """Write one reference-layout delete parquet per data file, each
     group on the executor that owns it; returns per-file metadata rows
@@ -351,7 +484,8 @@ def _write_delete_files_distributed(lake, delete_dir: str, dels: DataFrame) -> l
         import pyarrow.parquet as _pq
 
         rel = pdf["file_path"].iloc[0]
-        pos = sorted(int(x) for x in pdf["pos"])
+        pos = sorted({int(x) for x in pdf["pos"]})
+        n_new = int(pdf["is_new"].sum()) if "is_new" in pdf else len(pos)
         schema = _pa.schema(
             [
                 _pa.field("file_path", _pa.string(),
@@ -387,6 +521,7 @@ def _write_delete_files_distributed(lake, delete_dir: str, dels: DataFrame) -> l
             nrgs = _open_parquet_meta(fh, enc_key).metadata.num_row_groups
         return pd.DataFrame(
             [{"file_path": rel, "out_path": final, "n": len(pos),
+              "n_new": n_new,
               "size": size_any(final),
               "footer": parquet_footer_size(final),
               "rgs": nrgs,
@@ -397,8 +532,8 @@ def _write_delete_files_distributed(lake, delete_dir: str, dels: DataFrame) -> l
         dels.groupBy("file_path")
         .applyInPandas(
             write_group,
-            "file_path string, out_path string, n long, size long, "
-            "footer long, rgs long, enc_key string",
+            "file_path string, out_path string, n long, n_new long, "
+            "size long, footer long, rgs long, enc_key string",
         )
         .collect()
     )
@@ -434,13 +569,15 @@ def _write_dv_files_distributed(lake, delete_dir: str, dels: DataFrame) -> list[
         from ducklake_spark.functions.roaring import puffin_write
 
         rel = pdf["file_path"].iloc[0]
-        pos = sorted(int(x) for x in pdf["pos"])
+        pos = sorted({int(x) for x in pdf["pos"]})
+        n_new = int(pdf["is_new"].sum()) if "is_new" in pdf else len(pos)
         final = _os.path.join(
             delete_dir, f"ducklake-dv-{_uuid.uuid4().hex}.puffin"
         )
         r = puffin_write(final, [(None, pos)], rel)
         return pd.DataFrame(
             [{"file_path": rel, "out_path": final, "n": r["delete_count"],
+              "n_new": n_new,
               "size": r["file_size_bytes"], "footer": r["footer_size"]}]
         )
 
@@ -448,7 +585,8 @@ def _write_dv_files_distributed(lake, delete_dir: str, dels: DataFrame) -> list[
         dels.groupBy("file_path")
         .applyInPandas(
             write_group,
-            "file_path string, out_path string, n long, size long, footer long",
+            "file_path string, out_path string, n long, n_new long, "
+            "size long, footer long",
         )
         .collect()
     )

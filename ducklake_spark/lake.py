@@ -3062,9 +3062,12 @@ class DuckLake:
                 for p, k in zip(pdf["path"], pdf["key"]):
                     props = decrypt_properties({key_id_for(k): k})
                     with open_input_any(p) as fh:
+                        # single-threaded read: pyarrow's PME decryptor
+                        # is not safe under the threaded column reader
+                        # (intermittent 'Failed decryption finalization')
                         t = _pq.ParquetFile(
                             fh, decryption_properties=props
-                        ).read()
+                        ).read(use_threads=False)
                     frames.append(t.to_pandas())
                 yield (
                     pd.concat(frames)

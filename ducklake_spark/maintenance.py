@@ -639,7 +639,10 @@ def _flush_inlined_deletes(lake: DuckLake, h) -> int:
                 with lake.lfs.open_input(lake.lfs.strip_scheme(
                         os.path.join(lake.data_path, prev[0][1]))) as fh:
                     positions |= set(
-                        pq.ParquetFile(fh, **dec).read()["pos"].to_pylist()
+                        # use_threads=False: pyarrow PME decryption races
+                        # under the threaded column reader
+                        pq.ParquetFile(fh, **dec).read(
+                            use_threads=False)["pos"].to_pylist()
                     )
             txn.replaced_delete_files.append(prev[0][0])
         schema = pa.schema(

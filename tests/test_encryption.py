@@ -137,7 +137,7 @@ def test_encrypted_footer_unreadable_without_key(elake, spark):
     pf = pq.ParquetFile(full, decryption_properties=decrypt_properties(
         {_crypto_key_id(key): key}))
     assert pf.metadata.num_rows == rc  # matches the harvested count
-    t = pf.read()
+    t = pf.read(use_threads=False)  # pyarrow PME races under threaded reads
     assert all(v.startswith("secret_") for v in t["v"].to_pylist())
     # Spark scan path still decrypts transparently
     assert lk.table("t").filter("v = 'secret_42'").count() == 1
