@@ -55,6 +55,18 @@ def merge_adjacent_files(lake: DuckLake, *, target_file_size: int | None = None,
             lake.meta.option("target_file_size", str(DEFAULT_TARGET_FILE_SIZE))
         )
     tables = [table] if table else lake._table_names()
+    # ONE snapshot for the whole call (the reference's compaction plan
+    # executes under a single transaction) — a 1000-pack compaction must
+    # not write 1000 snapshots; joins an already-open user transaction
+    with lake.transaction():
+        return _merge_adjacent_in_txn(
+            lake, tables, target_file_size, max_compacted_files,
+            min_file_size, max_file_size)
+
+
+def _merge_adjacent_in_txn(lake, tables, target_file_size,
+                           max_compacted_files, min_file_size,
+                           max_file_size) -> int:
     n_groups = 0
     for tname in tables:
         h = lake._handle(tname)
@@ -221,9 +233,13 @@ def _rewrite_pack(lake: DuckLake, h, pack: list[dict], part_vals: tuple,
         # spec, not rowid (test/sql/sorted_table/merge_adjacent_sorted_basic)
         from ducklake_spark.lake import _sort_columns
 
-        merged = merged.orderBy(*_sort_columns(sort_spec)).coalesce(1)
+        merged = merged.coalesce(1).sortWithinPartitions(
+            *_sort_columns(sort_spec))
     else:
-        merged = merged.orderBy(ROWID_COL).coalesce(1)
+        # coalesce-then-sortWithinPartitions: the output is one file, so
+        # a global orderBy's range-partitioning sampling pass (an extra
+        # scan of every pack member) buys nothing
+        merged = merged.coalesce(1).sortWithinPartitions(ROWID_COL)
     if positional:
         merged = merged.drop(ROWID_COL)
         if len(set(snapmap.values())) == 1:
@@ -261,10 +277,16 @@ def _rewrite_pack(lake: DuckLake, h, pack: list[dict], part_vals: tuple,
 
 def rewrite_data_files(lake: DuckLake, *, delete_threshold: float | None = None,
                        table: str | None = None) -> int:
-    """Rewrite files whose deleted fraction >= threshold; returns count."""
+    """Rewrite files whose deleted fraction >= threshold; returns count.
+    One snapshot per call (like merge_adjacent_files)."""
     if delete_threshold is None:
         delete_threshold = float(lake.meta.option("rewrite_delete_threshold", "0.95"))
     tables = [table] if table else lake._table_names()
+    with lake.transaction():
+        return _rewrite_data_files_in_txn(lake, tables, delete_threshold)
+
+
+def _rewrite_data_files_in_txn(lake, tables, delete_threshold) -> int:
     n = 0
     for tname in tables:
         h = lake._handle(tname)
@@ -326,7 +348,7 @@ def rewrite_data_files(lake: DuckLake, *, delete_threshold: float | None = None,
             )
             live = live.withColumn(ROWID_COL, rowid).select(
                 *[x.name for x in schema.fields], ROWID_COL
-            ).orderBy(ROWID_COL).coalesce(1)
+            ).coalesce(1).sortWithinPartitions(ROWID_COL)
             files = lake._write_parquet(h, live, schema, [], [])
             txn = lake.begin()
             for fi in files:
@@ -506,8 +528,14 @@ def delete_orphaned_files(lake: DuckLake, *, older_than: str | None = None,
 
 def flush_inlined_data(lake: DuckLake, *, table: str | None = None) -> int:
     """Move inlined rows to parquet, preserving row ids
-    (ducklake_flush_inlined_data.cpp; honors sort spec :355-356)."""
+    (ducklake_flush_inlined_data.cpp; honors sort spec :355-356).
+    One snapshot per call (like merge_adjacent_files)."""
     tables = [table] if table else lake._table_names()
+    with lake.transaction():
+        return _flush_inlined_data_in_txn(lake, tables)
+
+
+def _flush_inlined_data_in_txn(lake, tables) -> int:
     n_flushed = 0
     for tname in tables:
         h = lake._handle(tname)
