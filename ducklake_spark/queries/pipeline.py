@@ -167,3 +167,135 @@ sql_query(
         "with the benchmark partition (equi-join on the gram, no "
         "all-pairs work)",
 )
+
+
+# --- round 5: corpus-statistics operators --------------------------------
+
+_SPARK_TOKS = """
+    toks AS (
+        SELECT doc_id, source, tok
+        FROM (SELECT doc_id, source, explode(split(text, ' ')) AS tok
+              FROM documents) t
+        WHERE tok <> ''
+    )
+"""
+
+_DUCK_TOKS = """
+    toks AS (
+        SELECT doc_id, source, unnest(string_split(text, ' ')) AS tok
+        FROM documents
+    ),
+    toks_f AS (SELECT * FROM toks WHERE tok <> '')
+"""
+
+
+def _ttr_sql(dialect: str) -> str:
+    toks = _SPARK_TOKS if dialect == "spark" else _DUCK_TOKS
+    src = "toks" if dialect == "spark" else "toks_f"
+    return f"""
+    WITH {toks},
+    per_doc AS (
+        SELECT doc_id,
+               COUNT(*) AS n_tokens,
+               COUNT(DISTINCT tok) AS n_types
+        FROM {src} GROUP BY doc_id
+    ),
+    d AS (SELECT doc_id, source FROM documents)
+    SELECT d.source,
+           COUNT(*) AS n_docs,
+           CAST(SUM(p.n_types) AS DOUBLE) / SUM(p.n_tokens) AS type_token_ratio,
+           MIN(p.n_types) AS min_types, MAX(p.n_types) AS max_types
+    FROM per_doc p JOIN d ON d.doc_id = p.doc_id
+    GROUP BY d.source
+    ORDER BY d.source
+    """
+
+
+sql_query(
+    "pp_type_token_ratio",
+    _ttr_sql("spark"),
+    oracle=_ttr_sql("duckdb"),
+    tables=["documents"],
+    doc="vocabulary richness (type/token ratio) per source — repetitive "
+        "generator slop scores low; exact int sums so the double division "
+        "is bit-deterministic",
+)
+
+
+def _tfidf_sql(dialect: str) -> str:
+    toks = _SPARK_TOKS if dialect == "spark" else _DUCK_TOKS
+    src = "toks" if dialect == "spark" else "toks_f"
+    return f"""
+    WITH {toks},
+    tf AS (
+        SELECT source, tok, COUNT(*) AS tf
+        FROM {src} GROUP BY source, tok
+    ),
+    df AS (
+        SELECT tok, COUNT(*) AS df FROM tf GROUP BY tok
+    ),
+    n AS (SELECT COUNT(DISTINCT source) AS n_src FROM documents),
+    scored AS (
+        SELECT tf.source, tf.tok,
+               ROUND(tf.tf * LN(CAST(n.n_src AS DOUBLE) / df.df + 1.0), 6)
+                   AS tfidf
+        FROM tf JOIN df ON df.tok = tf.tok CROSS JOIN n
+    ),
+    ranked AS (
+        SELECT source, tok, tfidf,
+               ROW_NUMBER() OVER (PARTITION BY source
+                                  ORDER BY tfidf DESC, tok) AS rn
+        FROM scored
+    )
+    SELECT source, tok, tfidf FROM ranked WHERE rn <= 5
+    ORDER BY source, tfidf DESC, tok
+    """
+
+
+sql_query(
+    "pp_tfidf_top_terms",
+    _tfidf_sql("spark"),
+    oracle=_tfidf_sql("duckdb"),
+    tables=["documents"],
+    doc="top-5 tf-idf terms per source (two hash aggs + small window; "
+        "the ln is rounded to 6 dp so both engines' libm agree)",
+)
+
+
+def _src_cosine_sql(dialect: str) -> str:
+    toks = _SPARK_TOKS if dialect == "spark" else _DUCK_TOKS
+    src = "toks" if dialect == "spark" else "toks_f"
+    return f"""
+    WITH {toks},
+    tf AS (
+        SELECT source, tok, COUNT(*) AS c
+        FROM {src} GROUP BY source, tok
+    ),
+    norms AS (
+        SELECT source, SUM(c * c) AS n2 FROM tf GROUP BY source
+    ),
+    dots AS (
+        SELECT a.source AS src_a, b.source AS src_b, SUM(a.c * b.c) AS dot
+        FROM tf a JOIN tf b ON a.tok = b.tok AND a.source < b.source
+        GROUP BY a.source, b.source
+    )
+    SELECT d.src_a, d.src_b,
+           CAST(d.dot AS DOUBLE) / (SQRT(CAST(na.n2 AS DOUBLE))
+                                    * SQRT(CAST(nb.n2 AS DOUBLE))) AS cosine
+    FROM dots d
+    JOIN norms na ON na.source = d.src_a
+    JOIN norms nb ON nb.source = d.src_b
+    ORDER BY src_a, src_b
+    """
+
+
+sql_query(
+    "pp_source_cosine",
+    _src_cosine_sql("spark"),
+    oracle=_src_cosine_sql("duckdb"),
+    tables=["documents"],
+    doc="pairwise source similarity: cosine over token-count vectors — "
+        "the heavy work is one hash agg; the pair join runs on the tiny "
+        "per-source vectors (exact int dot products, IEEE sqrt/div, so "
+        "doubles match bit-for-bit)",
+)
