@@ -20,17 +20,142 @@ import re
 from ducklake_spark.lake import DuckLake, DuckLakeError, _harvest_stats
 
 
-def add_data_files(lake: DuckLake, table: str, pattern: str, *,
+# reference DuckLakeParquetTypeChecker acceptance sets
+# (ducklake_add_data_files.cpp:692-860): a file type is adoptable when
+# every value it can hold fits the table type losslessly.
+_INT_ACCEPT = {
+    "int8": ("int8",),
+    "int16": ("int16", "int8", "uint8"),
+    "int32": ("int32", "int16", "int8", "uint16", "uint8"),
+    "int64": ("int64", "int32", "int16", "int8",
+              "uint32", "uint16", "uint8"),
+    "uint8": ("uint8",),
+    "uint16": ("uint16", "uint8"),
+    "uint32": ("uint32", "uint16", "uint8"),
+    "uint64": ("uint64", "uint32", "uint16", "uint8"),
+}
+
+
+def _file_type_ok(dl_type: str, at) -> str | None:
+    """None when the parquet arrow type ``at`` may serve a column of
+    DuckLake type ``dl_type``; else an error description."""
+    import pyarrow as pa
+
+    t = dl_type.strip().lower()
+    name = str(at)
+    if t in _INT_ACCEPT:
+        return (None if name in _INT_ACCEPT[t]
+                else f"Expected {t}, found type {name}")
+    if t in ("float32", "float"):
+        return None if name == "float" else f"Expected float32, found {name}"
+    if t in ("float64", "double"):
+        return (None if name in ("double", "float")
+                else f"Expected float64, found {name}")
+    if t in ("boolean", "bool"):
+        return None if name == "bool" else f"Expected boolean, found {name}"
+    if t in ("varchar", "json"):
+        return (None if pa.types.is_string(at) or pa.types.is_large_string(at)
+                else f"Expected varchar, found {name}")
+    if t == "blob":
+        return (None if pa.types.is_binary(at) or pa.types.is_large_binary(at)
+                or pa.types.is_fixed_size_binary(at)
+                else f"Expected blob, found {name}")
+    if t == "uuid":
+        return (None if pa.types.is_string(at)
+                or (pa.types.is_fixed_size_binary(at) and at.byte_width == 16)
+                or str(at) == "uuid"
+                else f"Expected uuid, found {name}")
+    if t == "date":
+        return (None if pa.types.is_date(at)
+                else f"Expected date, found {name}")
+    if t.startswith("time") and not t.startswith("timestamp"):
+        return (None if pa.types.is_time(at)
+                else f"Expected {t}, found {name}")
+    if t.startswith("timestamp"):
+        # any unit adopts (reference CheckTimestamp accepts s/ms/us/ns)
+        return (None if pa.types.is_timestamp(at)
+                else f"Expected {t}, found {name}")
+    m = re.fullmatch(r"decimal\((\d+),\s*(\d+)\)", t)
+    if m:
+        if not pa.types.is_decimal(at):
+            return f'Expected type "DECIMAL", found {name}'
+        p, s = int(m.group(1)), int(m.group(2))
+        if at.precision > p or at.scale > s:
+            return (f"Incompatible decimal precision/scale - found "
+                    f"precision {at.precision}, scale {at.scale} - but "
+                    f"table is defined with precision {p}, scale {s}")
+        return None
+    if t.startswith("struct"):
+        if not pa.types.is_struct(at):
+            return f"Expected struct, found {name}"
+        from ducklake_spark.lake import DuckLake as _DL
+
+        parts = dict(_DL._struct_parts(dl_type))
+        for i in range(at.num_fields):
+            f = at.field(i)
+            if f.name in parts:
+                err = _file_type_ok(parts[f.name], f.type)
+                if err:
+                    return f"field {f.name!r}: {err}"
+        return None
+    if t.startswith(("list", "array")):
+        if not (pa.types.is_list(at) or pa.types.is_large_list(at)):
+            return f"Expected list, found {name}"
+        m = re.fullmatch(r"(?:list|array)\((.+)\)", t)
+        return _file_type_ok(m.group(1), at.value_type) if m else None
+    if t.startswith("map"):
+        return None if pa.types.is_map(at) else f"Expected map, found {name}"
+    return None  # unknown table type: defer to scan-time behavior
+
+
+def _hive_value_castable(dl_type: str, v: str) -> bool:
+    t = dl_type.strip().lower()
+    try:
+        if t.startswith(("int", "uint")):
+            int(v)
+        elif t in ("float32", "float64", "float", "double") or \
+                t.startswith("decimal"):
+            float(v)
+        elif t in ("boolean", "bool"):
+            if v.lower() not in ("true", "false", "0", "1"):
+                return False
+        elif t == "date":
+            import datetime
+
+            datetime.date.fromisoformat(v)
+        elif t.startswith("timestamp"):
+            import datetime
+
+            datetime.datetime.fromisoformat(v)
+    except (ValueError, TypeError):
+        return False
+    return True
+
+
+def add_data_files(lake: DuckLake, table: str, pattern, *,
                    allow_missing: bool = False,
                    ignore_extra_columns: bool = False,
                    hive_partitioning: bool = False) -> int:
-    """Register parquet files matching ``pattern``; returns #files added."""
+    """Register parquet files matching ``pattern`` (one glob or a list
+    of globs/paths); returns #files added. Duplicate and equivalent
+    paths within one call collapse to one registration (reference
+    add_files_equivalent_path_duplicate / add_files_overlapping_globs);
+    file column types are checked against the table schema up front
+    (type_check_* family) so a bad file fails at ADD, not at scan."""
     import pyarrow.parquet as pq
 
     h = lake._handle(table)
     # adoption never assumes POSIX: the pattern resolves through the
     # lake's pyarrow.fs seam (one recursive LIST, client-side match)
-    paths = lake.lfs.glob(lake.lfs.strip_scheme(pattern))
+    patterns = [pattern] if isinstance(pattern, str) else list(pattern)
+    paths: list[str] = []
+    seen: set[str] = set()
+    for pat in patterns:
+        for p in lake.lfs.glob(lake.lfs.strip_scheme(pat)):
+            norm = os.path.normpath(p)
+            if norm not in seen:
+                seen.add(norm)
+                paths.append(norm)
     if not paths:
         raise DuckLakeError(f"no files match {pattern!r}")
     table_cols = {c[1]: c for c in h.columns}
@@ -42,14 +167,22 @@ def add_data_files(lake: DuckLake, table: str, pattern: str, *,
     from ducklake_spark.transaction import DataFileInfo
 
     colmap = {c[1]: c[0] for c in h.columns}
-    mapping_id = (lake.meta.query(
-        "SELECT COALESCE(MAX(mapping_id), -1) + 1 FROM ducklake_column_mapping"
-    ))[0][0]
     added = 0
     infos: list[DataFileInfo] = []
+    name_map_rows: list[tuple[int, str]] = []
     for path in paths:
         pf = pq.ParquetFile(lake.lfs.open_input(path))
         file_cols = {c.split(".")[0] for c in pf.schema_arrow.names}
+        arrow_types = {f.name: f.type for f in pf.schema_arrow}
+        for cname, (cid, _n, ctype, _na) in table_cols.items():
+            at = arrow_types.get(cname)
+            if at is None:
+                continue
+            err = _file_type_ok(ctype, at)
+            if err:
+                raise DuckLakeError(
+                    f'Failed to map column "{cname}" from file "{path}" '
+                    f'to the column in table "{h.table_name}"\n* {err}')
         hive_vals: dict[str, str] = {}
         if hive_partitioning:
             from urllib.parse import unquote
@@ -75,19 +208,30 @@ def add_data_files(lake: DuckLake, table: str, pattern: str, *,
                 f"{path}: extra columns {extra} (use ignore_extra_columns=True)"
             )
         # name map rows: source file column name -> table field id
-        lake.meta.con.execute(
-            "INSERT INTO ducklake_column_mapping VALUES (?, ?, 'map_by_name')",
-            (mapping_id, h.table_id),
-        )
-        for cname in file_cols & set(table_cols):
-            lake.meta.con.execute(
-                "INSERT INTO ducklake_name_mapping VALUES (?, ?, ?, ?, NULL, 0)",
-                (mapping_id, colmap[cname], cname, colmap[cname]),
-            )
+        # (recorded at COMMIT, inside the catalog transaction — an
+        # eager insert would survive a rollback and race a concurrent
+        # adopter's mapping_id allocation)
+        name_map_rows.extend(file_cols & set(table_cols))
+        # hive values must cast to their table column's type up front
+        # (reference add_files_hive_mismatch.test: "Unable to cast")
+        for cname, v in hive_vals.items():
+            col = table_cols.get(cname)
+            if col is None or v == "__HIVE_DEFAULT_PARTITION__":
+                continue
+            if not _hive_value_castable(col[2], v):
+                raise DuckLakeError(
+                    f"Unable to cast {v!r} (from hive partition column "
+                    f"{cname!r}) to: {col[2]!r}")
         part_values = []
         for cname, v in hive_vals.items():
             if cname in part_index:
                 part_values.append((part_index[cname], v))
+            elif cname in table_cols:
+                # hive column outside the partition spec: keyed by
+                # -(column_id)-1 so the scan can still backfill it
+                # (reference adopts hive files into unpartitioned
+                # tables too, add_files_hive_mismatch.test)
+                part_values.append((-colmap[cname] - 1, v))
         stats = _harvest_stats(pf, colmap)
         data_fs = lake.lfs.strip_scheme(lake.data_path).rstrip("/") + "/"
         info = DataFileInfo(
@@ -98,11 +242,31 @@ def add_data_files(lake: DuckLake, table: str, pattern: str, *,
             footer_size=_footer_size(path, fs=lake.lfs),
             partition_values=part_values,
             column_stats=stats,
-            mapping_id=mapping_id,
+            mapping_id=-1,  # allocated inside the commit transaction
         )
         txn.new_data_files.setdefault(str(h.table_id), []).append(info)
         infos.append(info)
         added += 1
+
+    def map_op(con, snap_id, h=h, colmap=colmap, infos=infos,
+               cols=sorted(set(name_map_rows))):
+        mid = con.execute(
+            "SELECT COALESCE(MAX(mapping_id), -1) + 1 "
+            "FROM ducklake_column_mapping"
+        ).fetchone()[0]
+        con.execute(
+            "INSERT INTO ducklake_column_mapping VALUES (?, ?, 'map_by_name')",
+            (mid, h.table_id),
+        )
+        for cname in cols:
+            con.execute(
+                "INSERT INTO ducklake_name_mapping VALUES (?, ?, ?, ?, NULL, 0)",
+                (mid, colmap[cname], cname, colmap[cname]),
+            )
+        for info in infos:  # ops run before the data-file inserts
+            info.mapping_id = mid
+
+    txn.mapping_ops.append(map_op)
     # adopted files get the same extended stats (geometry bbox /
     # shredded variant) as written ones — one distributed pass
     lake._attach_extra_stats(h, infos, None)

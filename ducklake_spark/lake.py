@@ -331,9 +331,14 @@ class DuckLake:
             self._discard_buffered_files(txn)
 
     def _discard_buffered_files(self, txn: Transaction) -> None:
-        """Physically remove files a dead transaction had buffered."""
+        """Physically remove files a dead transaction had buffered —
+        except ADOPTED files (mapping_id set): add_data_files registers
+        the user's existing data, it never writes it, so a rollback must
+        not delete it (reference add_files/add_rollback.test)."""
         for files in txn.new_data_files.values():
             for fi in files:
+                if fi.mapping_id is not None:
+                    continue
                 self.lfs.remove(self.lfs.strip_scheme(
                     os.path.join(self.data_path, fi.path)))
         for dfiles in txn.new_delete_files.values():
@@ -3152,8 +3157,19 @@ class DuckLake:
             "FROM ducklake_file_partition_value WHERE table_id=?",
             (h.table_id,),
         )
+        name_by_cid = {c[0]: c[1] for c in h.columns}
         for fid, idx, v in vals:
-            if fid in foreign_ids and idx < len(spec) and spec[idx][1] == "identity":
+            if fid not in foreign_ids:
+                continue
+            if idx < 0:
+                # hive value for a column OUTSIDE the partition spec:
+                # adoption records it as -(column_id)-1 (the value only
+                # exists in the directory name, so the scan must
+                # backfill it regardless of the table's partition spec)
+                cname = name_by_cid.get(-idx - 1)
+                if cname is not None:
+                    out.setdefault(fid, {})[cname] = v
+            elif idx < len(spec) and spec[idx][1] == "identity":
                 out.setdefault(fid, {})[spec[idx][0]] = v
         return out
 

@@ -177,6 +177,10 @@ class Transaction:
         self.compacted_files: dict[int, list[tuple[DataFileInfo, list[int]]]] = {}
         self.stats_delta: dict[int, dict] = {}  # table_id -> {records, bytes, rows_needed}
         self.column_changes: dict[int, list] = {}  # table_id -> alter ops
+        # adoption name-map ops: run like column_changes but are NOT a
+        # schema change (no schema_version bump — ducklake_add_data_files
+        # only registers files)
+        self.mapping_ops: list = []
         # SET/RESET SORTED BY ops: an alter for conflict purposes but
         # NOT a schema change — the reference keeps schema_version
         # unchanged (test/sql/sorted_table/merge_adjacent_sorted_basic)
@@ -784,6 +788,10 @@ class Transaction:
                         "INSERT INTO ducklake_schema_versions VALUES (?, ?, ?)",
                         (snap_id, schema_version, tid),
                     )
+
+            # --- adoption name maps (no schema_version bump)
+            for op in self.mapping_ops:
+                op(con, snap_id)
 
             # --- sort-spec alters (no schema_version bump, see above)
             for _tid, ops in self.sort_ops.items():

@@ -119,3 +119,116 @@ def test_add_files_without_stats_keeps_is_null_scan(lake, spark, tmp_path):
     assert [r[0] for r in got.collect()] == [2]
     got2 = lake.table("nostats", where="v IS NOT NULL").filter("v IS NOT NULL")
     assert sorted(r[0] for r in got2.collect()) == [1, 3]
+
+
+def test_add_files_type_checks(lake, spark, tmp_path):
+    # reference add_files_type_check_{integer,float,string_blob,decimal}:
+    # a file whose physical type cannot serve the table type fails at
+    # ADD time, narrower integers adopt into wider columns
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from ducklake_spark.lake import DuckLakeError
+
+    ext = tmp_path / "ext_types"
+    ext.mkdir()
+    pq.write_table(pa.table({"col1": pa.array([1], pa.int32())}),
+                   str(ext / "int.parquet"))
+    pq.write_table(pa.table({"col1": pa.array([-1], pa.int8())}),
+                   str(ext / "tinyint.parquet"))
+    pq.write_table(pa.table({"col1": pa.array([True])}),
+                   str(ext / "bool.parquet"))
+    pq.write_table(pa.table({"col1": pa.array([1.5], pa.float64())}),
+                   str(ext / "double.parquet"))
+
+    lake.create_table("t_bool", [("col1", "boolean")])
+    with pytest.raises(DuckLakeError, match="boolean"):
+        lake.add_data_files("t_bool", str(ext / "int.parquet"))
+    assert lake.add_data_files("t_bool", str(ext / "bool.parquet")) == 1
+
+    lake.create_table("t_small", [("col1", "int16")])
+    with pytest.raises(DuckLakeError, match="int16"):
+        lake.add_data_files("t_small", str(ext / "int.parquet"))
+    assert lake.add_data_files("t_small", str(ext / "tinyint.parquet")) == 1
+    assert [r.col1 for r in lake.table("t_small").collect()] == [-1]
+
+    lake.create_table("t_big", [("col1", "int64")])
+    assert lake.add_data_files("t_big", str(ext / "int.parquet")) == 1
+    with pytest.raises(DuckLakeError, match="float64|int64"):
+        lake.add_data_files("t_big", str(ext / "double.parquet"))
+
+    lake.create_table("t_float", [("col1", "float32")])
+    with pytest.raises(DuckLakeError, match="float32"):
+        lake.add_data_files("t_float", str(ext / "double.parquet"))
+
+
+def test_add_files_duplicate_and_equivalent_paths(lake, spark, tmp_path):
+    # reference add_files_equivalent_path_duplicate + overlapping_globs
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    ext = tmp_path / "ext_dup"
+    ext.mkdir()
+    pq.write_table(pa.table({"i": pa.array([42], pa.int64())}),
+                   str(ext / "one.parquet"))
+    lake.create_table("dup", [("i", "int64")])
+    n = lake.add_data_files(
+        "dup", [str(ext / "one.parquet"), str(ext / "." / "one.parquet"),
+                str(ext / "*.parquet")])
+    assert n == 1
+    assert lake.table("dup").count() == 1
+
+
+def test_add_files_rollback_leaves_no_trace(lake, spark, tmp_path):
+    # reference add_rollback: adoption inside a rolled-back transaction
+    # must leave neither data-file rows nor name-map rows behind
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    ext = tmp_path / "ext_rb"
+    ext.mkdir()
+    pq.write_table(pa.table({"i": pa.array([1], pa.int64())}),
+                   str(ext / "f.parquet"))
+    lake.create_table("rb", [("i", "int64")])
+    try:
+        with lake.transaction():
+            lake.add_data_files("rb", str(ext / "f.parquet"))
+            raise RuntimeError("abort")
+    except RuntimeError:
+        pass
+    assert lake.table("rb").count() == 0
+    assert lake.meta.query("SELECT COUNT(*) FROM ducklake_column_mapping")[0][0] == 0
+    assert lake.meta.query("SELECT COUNT(*) FROM ducklake_name_mapping")[0][0] == 0
+    # and a successful retry still works
+    assert lake.add_data_files("rb", str(ext / "f.parquet")) == 1
+    assert lake.table("rb").count() == 1
+
+
+def test_add_files_hive_mismatch_and_empty(lake, spark, tmp_path):
+    # reference add_files_hive_mismatch.test + add_empty_file.test
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from ducklake_spark.lake import DuckLakeError
+
+    ext = tmp_path / "ext_hive" / "part_key=p1"
+    ext.mkdir(parents=True)
+    pq.write_table(pa.table({"val": pa.array(["hello"])}),
+                   str(ext / "f.parquet"))
+    lake.create_table("hv_int", [("part_key", "int32"), ("val", "varchar")])
+    with pytest.raises(DuckLakeError, match="Unable to cast 'p1'"):
+        lake.add_data_files("hv_int", str(tmp_path / "ext_hive" / "**"),
+                            hive_partitioning=True)
+    lake.create_table("hv_str", [("part_key", "varchar"), ("val", "varchar")])
+    assert lake.add_data_files("hv_str", str(tmp_path / "ext_hive" / "**"),
+                               hive_partitioning=True) == 1
+    rows = lake.table("hv_str").collect()
+    assert [tuple(r) for r in rows] == [("p1", "hello")]
+    # empty foreign parquet registers and scans as zero rows
+    empty = tmp_path / "ext_empty"
+    empty.mkdir()
+    pq.write_table(pa.table({"part_key": pa.array([], pa.string()),
+                             "val": pa.array([], pa.string())}),
+                   str(empty / "e.parquet"))
+    assert lake.add_data_files("hv_str", str(empty / "e.parquet")) == 1
+    assert lake.table("hv_str").count() == 1
