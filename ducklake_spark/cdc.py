@@ -174,6 +174,25 @@ def table_deletions(lake: DuckLake, name: str, start, end) -> DataFrame:
     spark = lake.spark
     frames = []
 
+    # predecessor delete-file lookup, batched ONCE for the table — a CDC
+    # range over 100k delete files must not mean 100k catalog queries
+    all_dels = sorted(lake.meta.query(
+        "SELECT data_file_id, begin_snapshot, path, format "
+        "FROM ducklake_delete_file WHERE table_id=?",
+        (h.table_id,),
+    ))
+
+    def _prev_delete(data_fid: int, before_snap: int):
+        """(path, format) of the latest delete file for data_fid with
+        begin_snapshot < before_snap, or None."""
+        best = None
+        for fid_, b_, p_, f_ in all_dels:
+            if fid_ == data_fid and b_ < before_snap:
+                best = (p_, f_)
+            elif fid_ > data_fid:
+                break
+        return best
+
     # 1) delete files committed in range: content minus predecessor content
     dels = lake.meta.query(
         "SELECT delete_file_id, data_file_id, path, begin_snapshot, format "
@@ -183,13 +202,9 @@ def table_deletions(lake: DuckLake, name: str, start, end) -> DataFrame:
     )
     for dfid, data_fid, path, bsnap, fmt in dels:
         cur = lake._delete_file_df(path, fmt)
-        prev = lake.meta.query(
-            "SELECT path, format FROM ducklake_delete_file WHERE data_file_id=? "
-            "AND begin_snapshot < ? ORDER BY begin_snapshot DESC LIMIT 1",
-            (data_fid, bsnap),
-        )
+        prev = _prev_delete(data_fid, bsnap)
         if prev:
-            prev_df = lake._delete_file_df(prev[0][0], prev[0][1])
+            prev_df = lake._delete_file_df(prev[0], prev[1])
             cur = cur.join(prev_df, ["pos"], "left_anti")
         rows = _rows_at_positions(lake, h, schema, data_fid, cur, bsnap)
         if rows is not None:
@@ -227,13 +242,9 @@ def table_deletions(lake: DuckLake, name: str, start, end) -> DataFrame:
             .withColumn("snapshot_id", F.lit(esnap))
         )
         # subtract positions already deleted before the drop
-        prev = lake.meta.query(
-            "SELECT path, format FROM ducklake_delete_file WHERE data_file_id=? "
-            "AND begin_snapshot < ? ORDER BY begin_snapshot DESC LIMIT 1",
-            (fid, esnap),
-        )
+        prev = _prev_delete(fid, esnap)
         if prev:
-            prev_df = lake._delete_file_df(prev[0][0], prev[0][1]).select(
+            prev_df = lake._delete_file_df(prev[0], prev[1]).select(
                 F.col("pos").alias("__pos")
             )
             df = df.join(prev_df, "__pos", "left_anti")
