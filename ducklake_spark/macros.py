@@ -17,13 +17,42 @@ from pyspark.sql import DataFrame
 from ducklake_spark.lake import DuckLake, DuckLakeError
 
 
-def create_macro(lake: DuckLake, name: str, parameters: list[str], body: str,
-                 *, is_table_macro: bool = False, dialect: str = "spark") -> None:
+def _parse_param(p) -> tuple[str, str | None]:
+    """'a' -> ('a', None); 'b := 5' -> ('b', '5'); ('b', '5') passes."""
+    if isinstance(p, (tuple, list)):
+        return p[0], (None if len(p) < 2 else p[1])
+    m = re.fullmatch(r"\s*(\w+)\s*:=\s*(.+?)\s*", p)
+    return (m.group(1), m.group(2)) if m else (p.strip(), None)
+
+
+def create_macro(lake: DuckLake, name: str, parameters: list | None = None,
+                 body: str | None = None, *, overloads=None,
+                 is_table_macro: bool = False, dialect: str = "spark") -> None:
+    """CREATE MACRO. ``parameters`` entries are names, 'name := default'
+    strings, or (name, default) pairs (reference
+    test_default_parameter.test); ``overloads=[(params, body), ...]``
+    stores several implementations resolved by arity
+    (test_multiple_implementations.test)."""
     schema_name, mname = lake._split_name(name)
     sid = lake.meta.query(
         "SELECT schema_id FROM ducklake_schema WHERE schema_name=? AND end_snapshot IS NULL",
         (schema_name,),
     )[0][0]
+    impls = (list(overloads) if overloads is not None
+             else [(parameters or [], body)])
+    parsed = [( [_parse_param(p) for p in ps], b) for ps, b in impls]
+    arities = [len(ps) for ps, _ in parsed]
+    if len(set(arities)) != len(arities):
+        raise DuckLakeError(
+            "macro overloads must have distinct parameter counts")
+    for ps, _b in parsed:
+        seen_default = False
+        for _n, d in ps:
+            if d is not None:
+                seen_default = True
+            elif seen_default:
+                raise DuckLakeError(
+                    "macro default parameters must come last")
     txn = lake.begin()
 
     def op(con, snap_id):
@@ -34,15 +63,17 @@ def create_macro(lake: DuckLake, name: str, parameters: list[str], body: str,
             "INSERT INTO ducklake_macro VALUES (?, ?, NULL, ?, ?, ?)",
             (mid, snap_id, sid, mname, is_table_macro),
         )
-        con.execute(
-            "INSERT INTO ducklake_macro_impl VALUES (?, 0, ?, ?)",
-            (mid, dialect, body),
-        )
-        for i, p in enumerate(parameters):
+        for ii, (ps, b) in enumerate(parsed):
             con.execute(
-                "INSERT INTO ducklake_macro_parameters VALUES (?, 0, ?, ?, NULL)",
-                (mid, i, p),
+                "INSERT INTO ducklake_macro_impl VALUES (?, ?, ?, ?)",
+                (mid, ii, dialect, b),
             )
+            for i, (pname, pdefault) in enumerate(ps):
+                con.execute(
+                    "INSERT INTO ducklake_macro_parameters VALUES "
+                    "(?, ?, ?, ?, ?)",
+                    (mid, ii, i, pname, pdefault),
+                )
 
     txn.column_changes.setdefault(-1, []).append(lambda con, snap_id: op(con, snap_id))
     txn.change_log.append(f'created_macro:"{schema_name}"."{mname}"')
@@ -60,19 +91,35 @@ def call_macro(lake: DuckLake, name: str, *args) -> DataFrame | str:
     )
     if not rows:
         raise DuckLakeError(f"no macro {name!r}")
-    mid, is_table, body = rows[0]
-    params = [
-        p
-        for (p,) in lake.meta.query(
-            "SELECT parameter_name FROM ducklake_macro_parameters "
-            "WHERE macro_id=? ORDER BY parameter_index",
-            (mid,),
-        )
-    ]
-    if len(args) != len(params):
-        raise DuckLakeError(f"macro {name!r} expects {len(params)} args")
-    expanded = body
-    for p, a in zip(params, args):
+    mid, is_table = rows[0][0], rows[0][1]
+    bodies = dict(
+        (ii, b) for ii, b in lake.meta.query(
+            "SELECT impl_index, body FROM ducklake_macro_impl "
+            "WHERE macro_id=?", (mid,))
+    )
+    params_by_impl: dict[int, list[tuple[str, str | None]]] = {}
+    for ii, pname, pdefault in lake.meta.query(
+        "SELECT impl_index, parameter_name, default_value "
+        "FROM ducklake_macro_parameters WHERE macro_id=? "
+        "ORDER BY impl_index, parameter_index",
+        (mid,),
+    ):
+        params_by_impl.setdefault(ii, []).append((pname, pdefault))
+    # overload resolution by arity: required <= len(args) <= declared
+    chosen = None
+    for ii in sorted(bodies):
+        ps = params_by_impl.get(ii, [])
+        required = sum(1 for _n, d in ps if d is None)
+        if required <= len(args) <= len(ps):
+            chosen = ii
+            break
+    if chosen is None:
+        raise DuckLakeError(
+            f"macro {name!r} has no implementation taking {len(args)} args")
+    ps = params_by_impl.get(chosen, [])
+    values = list(args) + [d for _n, d in ps[len(args):]]
+    expanded = bodies[chosen]
+    for (p, _d), a in zip(ps, values):
         expanded = re.sub(rf"\b{re.escape(p)}\b", str(a), expanded)
     if is_table:
         return lake.sql(expanded)
@@ -132,7 +179,8 @@ def get_comment(lake: DuckLake, object_name: str, column: str | None = None) -> 
 
 
 DuckLake.create_macro = (
-    lambda self, name, parameters, body, **kw: create_macro(self, name, parameters, body, **kw)
+    lambda self, name, parameters=None, body=None, **kw: create_macro(
+        self, name, parameters, body, **kw)
 )
 DuckLake.call_macro = lambda self, name, *args: call_macro(self, name, *args)
 DuckLake.set_comment = (

@@ -232,3 +232,37 @@ def test_add_files_hive_mismatch_and_empty(lake, spark, tmp_path):
                    str(empty / "e.parquet"))
     assert lake.add_data_files("hv_str", str(empty / "e.parquet")) == 1
     assert lake.table("hv_str").count() == 1
+
+
+def test_macro_default_parameters(lake, spark):
+    # reference macros/test_default_parameter.test
+    lake.create_macro("add_default", ["a", "b := 5"], "a + b")
+    assert lake.call_macro("add_default", 1) == "1 + 5"
+    assert lake.call_macro("add_default", 1, 3) == "1 + 3"
+    rows = lake.meta.query(
+        "SELECT parameter_name, default_value FROM ducklake_macro_parameters "
+        "WHERE macro_id=(SELECT macro_id FROM ducklake_macro "
+        "WHERE macro_name='add_default') ORDER BY parameter_index")
+    assert rows == [("a", None), ("b", "5")]
+    from ducklake_spark.lake import DuckLakeError
+
+    with pytest.raises(DuckLakeError, match="last"):
+        lake.create_macro("bad", ["a := 1", "b"], "a + b")
+
+
+def test_macro_multiple_implementations(lake, spark):
+    # reference macros/test_multiple_implementations.test
+    lake.create_macro(
+        "multi_add",
+        overloads=[([], "0"), (["a"], "a"), (["a", "b"], "a + b"),
+                   (["a", "b", "c"], "a + b + c")])
+    assert lake.call_macro("multi_add") == "0"
+    assert lake.call_macro("multi_add", 7) == "7"
+    assert lake.call_macro("multi_add", 1, 2) == "1 + 2"
+    assert lake.call_macro("multi_add", 1, 2, 3) == "1 + 2 + 3"
+    from ducklake_spark.lake import DuckLakeError
+
+    with pytest.raises(DuckLakeError, match="no implementation"):
+        lake.call_macro("multi_add", 1, 2, 3, 4)
+    with pytest.raises(DuckLakeError, match="distinct"):
+        lake.create_macro("dup", overloads=[(["a"], "a"), (["x"], "x")])
