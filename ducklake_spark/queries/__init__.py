@@ -137,6 +137,8 @@ def all_queries() -> dict[str, Query]:
     # table the ev_* family already certifies).
     from ducklake_spark.queries import (  # noqa: F401
         tpch,
+        lakeq,  # lake-backed: certifies the scan/DML/pruning engine
+        # itself (the rest of the registry reads raw parquet views)
         analytics,
         dedup,
         text,
