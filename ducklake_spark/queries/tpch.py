@@ -285,11 +285,15 @@ sql_query(
 sql_query(
     "tpch_q11",
     # the HAVING threshold (global sum * 1.5 / distinct partkeys) is
-    # derivable from the per-partkey aggregate itself, so an empty-frame
-    # window over the ~|parts| aggregate replaces the second full
-    # lineitem join pass (−41% interleaved at sf0.1; one fact-table
-    # pass instead of two at any scale). DECIMAL group sums re-add
-    # exactly, so the threshold is bit-identical to the oracle's.
+    # derivable from the per-partkey aggregate itself: a one-row scalar
+    # re-aggregate of `per`, broadcast-cross-joined back, replaces the
+    # second full lineitem join pass. An empty-frame `OVER ()` window
+    # would compute the same threshold but Spark plans it as "move ALL
+    # rows to one partition" — a single-task sort at 100× scale —
+    # whereas the cross join keeps every stage fully parallel and
+    # ReuseExchange dedupes `per`'s shuffle so lineitem is still
+    # scanned once. DECIMAL group sums re-add exactly, so the
+    # threshold is bit-identical to the oracle's.
     f"""
     WITH per AS (
         SELECT l_partkey, SUM({dec('l_quantity')} * {dec('l_extendedprice')}) AS v
@@ -300,8 +304,7 @@ sql_query(
         GROUP BY l_partkey
     )
     SELECT l_partkey, CAST(v AS DOUBLE) AS value
-    FROM (SELECT l_partkey, v, SUM(v) OVER () AS tot, COUNT(*) OVER () AS n
-          FROM per)
+    FROM per, (SELECT SUM(v) AS tot, COUNT(*) AS n FROM per) t
     WHERE CAST(v AS DOUBLE) > CAST(tot AS DOUBLE) * 1.5 / n
     ORDER BY value DESC, l_partkey
     """,
@@ -382,18 +385,23 @@ sql_query(
     "tpch_q15",
     f"""
     WITH revenue AS (
+        -- the explicit IS NOT NULL mirrors the join branch's pushed
+        -- null filter so BOTH consumers (supplier join, scalar MAX)
+        -- plan byte-identical scan+partial-agg subtrees and AQE's
+        -- exchange reuse scans lineitem once; without it only the join
+        -- branch gets isnotnull(l_suppkey) and reuse misses
         SELECT l_suppkey AS supplier_no, SUM({DISC_PRICE}) AS total_revenue
         FROM lineitem
         WHERE l_shipdate >= TIMESTAMP '1997-01-01 00:00:00'
           AND l_shipdate < TIMESTAMP '1997-04-01 00:00:00'
+          AND l_suppkey IS NOT NULL
         GROUP BY l_suppkey
     )
     SELECT s_suppkey, s_name, CAST(total_revenue AS DOUBLE) AS total_revenue
-    FROM supplier JOIN (
-        SELECT supplier_no, total_revenue, MAX(total_revenue) OVER () AS mx
-        FROM revenue
-    ) r ON s_suppkey = supplier_no
-    WHERE total_revenue = mx
+    FROM supplier
+    JOIN revenue r ON s_suppkey = supplier_no
+    JOIN (SELECT MAX(total_revenue) AS mx FROM revenue) m
+      ON total_revenue = mx
     ORDER BY s_suppkey
     """,
     oracle=f"""
@@ -609,24 +617,31 @@ sql_query(
 
 sql_query(
     "tpch_q22",
-    # the global-average threshold folds into an empty-frame window
-    # over the segment-filtered customers, so customer is scanned once
-    # instead of twice (−47% interleaved at sf0.1); DECIMAL sums keep
-    # the threshold bit-identical to the oracle's two-pass form
+    # the global-average threshold is a one-row scalar aggregate over
+    # the segment-filtered customers, broadcast-cross-joined back. The
+    # round-5 empty-frame `OVER ()` form scanned customer once but
+    # Spark plans that window as "move ALL (billions of) base rows to
+    # ONE partition" — the worst single-task serialization in the
+    # suite at scale. Two parallel scans of a dimension-sized table
+    # beat one single-partition shuffle of it at any SF; DECIMAL sums
+    # keep the threshold bit-identical to the oracle's two-pass form.
     """
     SELECT
         c_mktsegment,
         COUNT(*) AS numcust,
         CAST(SUM(CAST(c_acctbal AS DECIMAL(12,2))) AS DOUBLE) AS totacctbal
     FROM (
-        SELECT c_mktsegment, c_custkey, c_acctbal,
-               SUM(CASE WHEN c_acctbal > 0.00
-                        THEN CAST(c_acctbal AS DECIMAL(12,2)) END) OVER () AS s,
-               SUM(CASE WHEN c_acctbal > 0.00 THEN 1 ELSE 0 END) OVER () AS n
+        SELECT c_mktsegment, c_custkey, c_acctbal
         FROM customer
         WHERE c_mktsegment IN ('BUILDING', 'AUTOMOBILE', 'MACHINERY')
-    ) c
-    WHERE c_acctbal > CAST(s AS DOUBLE) / n
+    ) c, (
+        SELECT CAST(SUM(CASE WHEN c_acctbal > 0.00
+                             THEN CAST(c_acctbal AS DECIMAL(12,2)) END) AS DOUBLE)
+               / SUM(CASE WHEN c_acctbal > 0.00 THEN 1 ELSE 0 END) AS avg_bal
+        FROM customer
+        WHERE c_mktsegment IN ('BUILDING', 'AUTOMOBILE', 'MACHINERY')
+    ) t
+    WHERE c_acctbal > avg_bal
       AND NOT EXISTS (SELECT 1 FROM orders
                       WHERE o_custkey = c_custkey AND o_totalprice > 300000)
     GROUP BY c_mktsegment
