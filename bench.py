@@ -103,6 +103,22 @@ def _bench_maintenance(spark, sf_dir: str) -> dict[str, float]:
     scratch = tempfile.mkdtemp(prefix="bench_lake_")
     out: dict[str, float] = {}
     try:
+        # Untimed warmup, mirroring the query suite's: a 1k-row scratch
+        # lake runs one insert/delete/update round so the Python UDF
+        # daemon (~1.8 s first applyInPandas) and the victims-scan /
+        # writer codegen compile before anything is timed. Steady-state
+        # operator cost is what BASELINE.md's maintenance suite
+        # measures — not JVM/daemon startup.
+        warm = DuckLake.attach(
+            spark, f"{scratch}/warm_meta.db", f"{scratch}/warm_data"
+        )
+        warm.create_table_as(
+            "w", spark.range(1000).select(
+                F.col("id"), (F.col("id") % 7).alias("v"))
+        )
+        dml.delete(warm, "w", "v = 0")
+        dml.update(warm, "w", {"v": "v + 1"}, "v = 1")
+
         lake = DuckLake.attach(
             spark, f"{scratch}/meta.db", f"{scratch}/data"
         )
@@ -122,8 +138,10 @@ def _bench_maintenance(spark, sf_dir: str) -> dict[str, float]:
         out["delete_10pct"] = round(time.time() - t0, 4)
 
         t0 = time.time()
+        # a REAL column: l_comment doesn't exist in the driver testdata,
+        # and dml.update now rejects unknown assignment targets
         dml.update(
-            lake, "lineitem", {"l_comment": "'updated'"}, "l_quantity >= 49"
+            lake, "lineitem", {"l_returnflag": "'U'"}, "l_quantity >= 49"
         )
         out["update_2pct"] = round(time.time() - t0, 4)
 

@@ -143,9 +143,19 @@ def _apply_file_deletes(lake: DuckLake, h: TableHandle, snap, files: list[dict],
     file_by_path = {
         lake._file_uri(f["path"]): f for f in files
     }
-    # several jobs read the victims relation (per-file counts, the
-    # delete-file write, inlined absorption) — cache the scan+filter so
-    # the table is read once, not once per job
+    inline_limit = int(
+        lake.meta.option("deletion_inlining_row_limit", "0",
+                         scope="table", scope_id=h.table_id,
+                         schema_id=h.schema_id) or 0
+    )
+    if inline_limit <= 0:
+        # fused path consumes victims in exactly ONE action — a persist
+        # would only add a memory-store write for rows read once
+        return _apply_file_deletes_fused(
+            lake, h, snap, files, victims, file_by_path)
+    # deletion inlining on: several jobs read the victims relation
+    # (per-file counts, the delete-file write, inlined absorption) —
+    # cache the scan+filter so the table is read once, not once per job
     victims = victims.persist()
     try:
         return _apply_file_deletes_cached(
@@ -162,13 +172,6 @@ def _apply_file_deletes_cached(lake: DuckLake, h: TableHandle, snap,
                          scope="table", scope_id=h.table_id,
                          schema_id=h.schema_id) or 0
     )
-    if inline_limit <= 0:
-        # common case (deletion inlining off): ONE pass — the per-file
-        # counting job and the delete-file write job fuse into a single
-        # action, halving the scans over the victims relation (the scan
-        # dominates a DELETE at scale)
-        return _apply_file_deletes_fused(
-            lake, h, snap, files, victims, file_by_path)
     counts = victims.groupBy("filename").count().collect()
     per_file = [(r["filename"], r["count"]) for r in counts]
     n_deleted = sum(c for _, c in per_file)
@@ -663,6 +666,16 @@ def update(lake: DuckLake, name: str, assignments: dict[str, str],
     if where is None:
         where = "true"  # UPDATE without WHERE touches every row
     h = lake._handle(name)
+    # assignments to unknown columns previously vanished silently (the
+    # replacement-row select projects the table schema): a typo'd SET
+    # rewrote every matched row unchanged. The reference binder errors
+    # (DuckDB: Binder Error: Referenced update column not found)
+    known = {c[1] for c in h.columns}
+    for col in assignments:
+        if col not in known:
+            raise DuckLakeError(
+                f"UPDATE {name}: column {col!r} does not exist"
+            )
     if h.table_id < 0:
         return _rewrite_txn_local(lake, h, where, assignments)
     n_inlined = _update_inlined(lake, h, assignments, where)
