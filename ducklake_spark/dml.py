@@ -376,12 +376,21 @@ def _apply_file_deletes_fused(lake: DuckLake, h: TableHandle, snap,
         )
     }
     # scan filenames -> catalog paths for EVERY candidate file (the
-    # victim set is unknown until the job runs); #files rows, broadcast
+    # victim set is unknown until the job runs). The map has #files
+    # rows: broadcast-joined below the same row limit that gates the
+    # delete-position broadcast — at millions of candidate files a
+    # forced broadcast ships hundreds of MB to every executor, so past
+    # the limit the hint is dropped and AQE picks the join strategy
+    # (shuffle, or its own runtime broadcast if the map turns out small)
     fname_map = lake.spark.createDataFrame(
         [(lake._file_uri(f["path"]), f["path"]) for f in files],
         "filename string, file_path string",
     )
-    new_dels = victims.join(F.broadcast(fname_map), "filename").select(
+    bcast_limit = int(lake.meta.option("delete_broadcast_row_limit",
+                                       "1000000") or 0)
+    if len(files) <= bcast_limit:
+        fname_map = F.broadcast(fname_map)
+    new_dels = victims.join(fname_map, "filename").select(
         "file_path", "pos"
     ).withColumn("is_new", F.lit(True))
 

@@ -705,3 +705,37 @@ def test_adopted_file_missing_variant_column_no_fake_stats(lake, spark, tmp_path
     # and the scan surfaces NULL (not a fabricated presence) for props
     got = {r.i: r.props for r in lake.table("adv").collect()}
     assert got == {1: None, 2: None, 3: None}
+
+
+def test_fused_delete_fname_map_shuffle_fallback(lake, spark):
+    """With delete_broadcast_row_limit=0 the fused DELETE's
+    filename->catalog-path map is NOT hint-broadcast (at millions of
+    candidate files that broadcast is hundreds of MB per executor);
+    the join still resolves and results are identical."""
+    from ducklake_spark.dml import delete
+
+    lake.create_table("fb", [("i", "int64")])
+    lake.insert("fb", spark.range(500).selectExpr("id AS i"))
+    lake.insert("fb", spark.range(500, 1000).selectExpr("id AS i"))
+    lake.meta.set_option("delete_broadcast_row_limit", "0")
+    try:
+        assert delete(lake, "fb", "i % 10 = 0") == 100
+    finally:
+        lake.meta.set_option("delete_broadcast_row_limit", "1000000")
+    df = lake.table("fb")
+    assert df.count() == 900
+    assert df.filter("i % 10 = 0").count() == 0
+
+
+def test_update_unknown_column_errors(lake, spark):
+    """SET on a column the table doesn't have must error (reference
+    binder: 'Referenced update column not found'), not silently rewrite
+    matched rows unchanged."""
+    import pytest as _pytest
+
+    from ducklake_spark.dml import DuckLakeError, update
+
+    lake.create_table("uu", [("i", "int64"), ("v", "varchar")])
+    lake.insert("uu", spark.createDataFrame([(1, "a")], "i long, v string"))
+    with _pytest.raises(DuckLakeError, match="does not exist"):
+        update(lake, "uu", {"nope": "'x'"}, "i = 1")
