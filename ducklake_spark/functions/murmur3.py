@@ -92,7 +92,40 @@ def bucket_py(v: Any, n: int) -> int | None:
     return (murmur3_32_py(v) & 0x7FFFFFFF) % n
 
 
+# sessions (by id) where the Java UDF registered / failed to register
+_JVM_UDF_STATE: dict[int, bool] = {}
+_JVM_UDF_NAME = "ducklake_murmur3_bucket"
+
+
+def _jvm_bucket_available() -> bool:
+    """Register the JVM Iceberg-murmur3 UDF (java/ducklake/
+    IcebergMurmur3.java, shipped in the same jar as the crypto shim)
+    on the active session, once. Row-at-a-time JVM beats the Arrow +
+    per-row-Python pandas_udf by an order of magnitude on the write
+    path and needs no Python workers at all."""
+    from pyspark.sql import SparkSession
+
+    spark = SparkSession.getActiveSession()
+    if spark is None:
+        return False
+    key = id(spark)
+    if key not in _JVM_UDF_STATE:
+        try:
+            spark.udf.registerJavaFunction(
+                _JVM_UDF_NAME, "ducklake.IcebergMurmur3", T.IntegerType()
+            )
+            _JVM_UDF_STATE[key] = True
+        except Exception:
+            # jar not on this session's classpath (e.g. a vanilla
+            # driver session) -> pandas fallback
+            _JVM_UDF_STATE[key] = False
+    return _JVM_UDF_STATE[key]
+
+
 def murmur3_bucket_col(col: Column, n: int) -> Column:
+    if _jvm_bucket_available():
+        return F.call_function(_JVM_UDF_NAME, col, F.lit(n))
+
     @F.pandas_udf(T.IntegerType())
     def _bucket(s: pd.Series) -> pd.Series:
         return s.map(lambda v: None if v is None else bucket_py(v, n))

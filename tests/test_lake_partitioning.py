@@ -276,3 +276,41 @@ def test_flush_inlined_honors_partition_spec(spark, tmp_path):
     h = lake._handle("pt")
     snap = lake._resolve_snapshot(None, None)
     assert len(lake._visible_files(h, snap, "k = 'a'")) == 1
+
+
+def test_jvm_murmur3_matches_python(spark):
+    """The JVM Iceberg-murmur3 UDF (write path) must agree with the
+    pure-Python form (planner pruning path) on every supported type —
+    including the Iceberg spec vectors murmur3_32(34)=2017239379 and
+    murmur3_32('iceberg')=1210000089 reduced mod n."""
+    import datetime
+
+    from pyspark.sql import functions as F
+
+    from ducklake_spark.functions.murmur3 import (
+        _jvm_bucket_available,
+        bucket_py,
+        murmur3_bucket_col,
+    )
+
+    assert _jvm_bucket_available(), "jar missing from session classpath"
+    n = 16
+    vals = [
+        ("bigint", 34),
+        ("bigint", -9223372036854775808),
+        ("int", -1),
+        ("boolean", True),
+        ("string", "iceberg"),
+        ("string", ""),
+        ("string", "héllo wörld 🦆"),
+        ("binary", b"\x00\x01\x02"),
+        ("date", datetime.date(2017, 11, 16)),
+        ("timestamp", datetime.datetime(2017, 11, 16, 22, 31, 8)),
+    ]
+    for typ, v in vals:
+        df = spark.createDataFrame([(v,)], f"v {typ}")
+        got = df.select(murmur3_bucket_col(F.col("v"), n).alias("b")).first().b
+        assert got == bucket_py(v, n), (typ, v, got, bucket_py(v, n))
+    # null stays null
+    df = spark.createDataFrame([(None,)], "v string")
+    assert df.select(murmur3_bucket_col(F.col("v"), n).alias("b")).first().b is None
