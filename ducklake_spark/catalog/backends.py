@@ -9,9 +9,11 @@ port the same choice behind one seam:
 - ``DuckDBBackend``   — ``duckdb://<path>``; the reference's own default
   catalog engine, fully exercised by the test suite in this repo.
 - ``PostgresBackend`` — ``postgresql://...``; the cross-machine
-  multi-writer deployment. Requires psycopg2 at runtime (not shipped in
-  this container, so it is import-gated; the translation layer below is
-  exercised against its unit tests only).
+  multi-writer deployment. Uses psycopg2 when importable, else the
+  vendored pure-Python wire client (``catalog/pg_client.py``, protocol
+  v3 over a real socket). Exercised end-to-end against the TCP wire
+  server in tests/pg_tcp_server.py (and the whole pytest matrix via
+  ``DUCKLAKE_TEST_BACKEND=pgtcp``).
 
 Every backend must provide qmark-style ``execute(sql, params)`` whose
 result supports ``fetchone/fetchall``, plus ``executemany``. The repo's
@@ -73,11 +75,15 @@ class DuckDBBackend(CatalogBackend):
 
     def is_retryable(self, exc: Exception) -> bool:
         msg = str(exc).lower()
+        # "duplicate key" on a catalog id is the PK form of the same
+        # optimistic race: two writers allocated the same next id from
+        # the snapshot they both read — retry re-reads and advances
         return (
             "conflict" in msg
             or "lock" in msg
             or "transactioncontext" in msg
             or "could not set lock" in msg
+            or "duplicate key" in msg
         )
 
 
@@ -161,19 +167,29 @@ class PostgresBackend(CatalogBackend):
 
     def connect(self):
         try:
-            import psycopg2  # noqa: F401
-        except ImportError as e:  # pragma: no cover
-            raise RuntimeError(
-                "postgresql:// catalog requires psycopg2 "
-                "(pip install psycopg2-binary)"
-            ) from e
-        import psycopg2
+            import psycopg2
 
-        return _PgConnection(psycopg2.connect(self.dsn))
+            return _PgConnection(psycopg2.connect(self.dsn))
+        except ImportError:
+            # vendored pure-Python wire client (catalog/pg_client.py):
+            # same psycopg2 connection surface over a real socket
+            from ducklake_spark.catalog import pg_client
+
+            return _PgConnection(pg_client.connect(self.dsn))
 
     def is_retryable(self, exc: Exception) -> bool:
         msg = str(exc).lower()
-        return "deadlock" in msg or "could not serialize" in msg or "lock" in msg
+        # real Postgres: deadlock / serialization failures. The DuckDB-
+        # backed wire server used in tests surfaces MVCC write-write
+        # conflicts with DuckDB's own wording — retry those identically.
+        return (
+            "deadlock" in msg
+            or "could not serialize" in msg
+            or "lock" in msg
+            or "conflict" in msg
+            or "busy" in msg
+            or "duplicate key" in msg
+        )
 
 
 _EXTRA_BACKENDS: list[tuple[str, object]] = []

@@ -37,11 +37,29 @@ def duck():
 
 # Catalog backend under test: DUCKLAKE_TEST_BACKEND=duckdb runs every
 # lake fixture on a DuckDB catalog (the reference's own default engine);
-# default is sqlite. Postgres needs a server + psycopg2 (not in this
-# container) — its SQL translation layer has dedicated unit tests.
+# DUCKLAKE_TEST_BACKEND=pgtcp runs it over a REAL TCP socket speaking
+# the Postgres v3 wire protocol (tests/pg_tcp_server.py + the vendored
+# pure-Python client in catalog/pg_client.py — psycopg2 is not
+# installable here); a postgresql:// DSN targets an external server.
+# Default is sqlite.
 import os as _os
 
 CATALOG_BACKEND = _os.environ.get("DUCKLAKE_TEST_BACKEND", "sqlite")
+
+
+_PG_SERVER = None
+
+
+def _pgtcp_server():
+    """Lazy session-wide DuckDB-backed Postgres wire server (pgtcp)."""
+    global _PG_SERVER
+    if _PG_SERVER is None:
+        import tempfile
+
+        from pg_tcp_server import DuckPgServer
+
+        _PG_SERVER = DuckPgServer(tempfile.mkdtemp(prefix="pgtcp_"))
+    return _PG_SERVER
 
 
 def catalog_url(tmp_path) -> str:
@@ -50,6 +68,13 @@ def catalog_url(tmp_path) -> str:
     Path(tmp_path).mkdir(parents=True, exist_ok=True)
     if CATALOG_BACKEND == "duckdb":
         return "duckdb://" + str(tmp_path / "meta.duckdb")
+    if CATALOG_BACKEND == "pgtcp":
+        # per-test database on the shared wire server: the db name is
+        # derived from tmp_path, which pytest makes unique per test
+        import hashlib
+
+        db = "t" + hashlib.md5(str(tmp_path).encode()).hexdigest()[:16]
+        return _pgtcp_server().dsn(db)
     if CATALOG_BACKEND.startswith(("postgresql://", "postgres://")):
         return CATALOG_BACKEND  # external server DSN
     return str(tmp_path / "meta.db")
