@@ -351,3 +351,295 @@ sql_query(
     doc="inner frequency sort + outer key sort with stacked OFFSETs "
         "(ClickBench q38-q41 interleaved-sort family)",
 )
+
+
+# --- round 6: full 43-shape coverage --------------------------------------
+# The classes the round-5 pass left out (clickbench.test_slow:35-248):
+# plain/filtered COUNT(*), AVG over the big int key, region-style
+# segmentation with distinct counts, the search-phrase families, raw
+# ORDER-BY-string paging, URL/referrer string surgery (LENGTH averages,
+# domain REGEXP_REPLACE with HAVING), IP-arithmetic group keys, literal
+# group keys, GROUP BY ALL + deep OFFSET, and the CASE src/dst rollup.
+
+sql_query(
+    "cb_count_star",
+    "SELECT COUNT(*) AS n FROM events",
+    tables=["events"],
+    doc="bare COUNT(*) (ClickBench q0; metadata-foldable scan)",
+)
+
+sql_query(
+    "cb_filtered_count",
+    "SELECT COUNT(*) AS n FROM events WHERE event_type <> 'view'",
+    tables=["events"],
+    doc="filtered COUNT(*) (ClickBench q1: AdvEngineID <> 0)",
+)
+
+sql_query(
+    "cb_avg_bigkey",
+    """
+    SELECT CAST(SUM(CAST(user_id AS DECIMAL(38,0))) AS DOUBLE) / COUNT(*)
+               AS avg_uid
+    FROM events
+    """,
+    tables=["events"],
+    doc="AVG over the wide integer key (ClickBench q3: AVG(UserID)); "
+        "decimal sum keeps the division bit-identical across engines",
+)
+
+sql_query(
+    "cb_region_distinct",
+    """
+    SELECT user_id % 20 AS region, COUNT(DISTINCT user_id) AS u
+    FROM events
+    GROUP BY user_id % 20
+    ORDER BY u DESC, region
+    LIMIT 10
+    """,
+    tables=["events"],
+    doc="region segmentation by distinct users (ClickBench q8)",
+)
+
+sql_query(
+    "cb_region_multi_agg",
+    f"""
+    SELECT user_id % 20 AS region,
+           CAST(SUM(CAST(value AS DECIMAL(12,2))) AS DOUBLE) AS sum_value,
+           COUNT(*) AS c,
+           {_AVG_VALUE} AS avg_value,
+           COUNT(DISTINCT user_id) AS u
+    FROM events
+    GROUP BY user_id % 20
+    ORDER BY c DESC, region
+    LIMIT 10
+    """,
+    tables=["events"],
+    doc="region rollup: sum + count + avg + distinct in one pass "
+        "(ClickBench q9)",
+)
+
+sql_query(
+    "cb_phrase_topk",
+    """
+    SELECT props, COUNT(DISTINCT user_id) AS u
+    FROM events
+    WHERE props <> '' AND event_type = 'click'
+    GROUP BY props
+    ORDER BY u DESC, props
+    LIMIT 10
+    """,
+    tables=["events"],
+    doc="search-phrase distinct-user top-K (ClickBench q10-q14 family: "
+        "non-empty filter + group + distinct + frequency order)",
+)
+
+sql_query(
+    "cb_user_phrase_group",
+    """
+    SELECT user_id, props, COUNT(*) AS c
+    FROM events
+    GROUP BY user_id, props
+    ORDER BY c DESC, user_id, props
+    LIMIT 10
+    """,
+    tables=["events"],
+    doc="UserID x phrase frequency (ClickBench q16-q17)",
+)
+
+sql_query(
+    "cb_user_minute_phrase",
+    """
+    SELECT user_id, EXTRACT(MINUTE FROM ts) AS m, props, COUNT(*) AS c
+    FROM events
+    GROUP BY user_id, EXTRACT(MINUTE FROM ts), props
+    ORDER BY c DESC, user_id, m, props
+    LIMIT 10
+    """,
+    tables=["events"],
+    doc="UserID x minute x phrase with an extracted time part in the "
+        "group key (ClickBench q18)",
+)
+
+sql_query(
+    "cb_order_by_string",
+    """
+    SELECT props
+    FROM events
+    WHERE props <> ''
+    ORDER BY props
+    LIMIT 10
+    """,
+    tables=["events"],
+    doc="raw string sort paging, no aggregation (ClickBench q24)",
+)
+
+sql_query(
+    "cb_order_by_time_string",
+    """
+    SELECT props
+    FROM events
+    WHERE props <> ''
+    ORDER BY ts, props, event_id
+    LIMIT 10
+    """,
+    tables=["events"],
+    doc="time-then-string sort paging (ClickBench q25; event_id breaks "
+        "equal-timestamp ties deterministically)",
+)
+
+sql_query(
+    "cb_strlen_having",
+    """
+    SELECT user_id,
+           CAST(SUM(CAST(LENGTH(props) AS DECIMAL(18,0))) AS DOUBLE)
+               / COUNT(*) AS l,
+           COUNT(*) AS c
+    FROM events
+    WHERE props <> ''
+    GROUP BY user_id
+    HAVING COUNT(*) > 20
+    ORDER BY l DESC, user_id
+    LIMIT 25
+    """,
+    tables=["events"],
+    doc="average string length per key with a HAVING floor "
+        "(ClickBench q26: AVG(STRLEN(URL)) HAVING c > 100000)",
+)
+
+# domain extraction: Spark backrefs are $1, DuckDB's are \1 — same
+# pattern text otherwise (strip everything but the digits of "k")
+_DOMAIN_BODY = """
+    SELECT k, CAST(SUM(CAST(LENGTH(props) AS DECIMAL(18,0))) AS DOUBLE)
+               / COUNT(*) AS l,
+           COUNT(*) AS c, MIN(props) AS min_prop
+    FROM (
+        SELECT props,
+               REGEXP_REPLACE(props, '^.*"k": ([0-9]+).*$', '{br}1') AS k
+        FROM events
+        WHERE props <> ''
+    ) t
+    GROUP BY k
+    HAVING COUNT(*) > 50
+    ORDER BY l DESC, k
+    LIMIT 25
+"""
+
+sql_query(
+    "cb_domain_extract",
+    _DOMAIN_BODY.format(br="$"),
+    oracle=_DOMAIN_BODY.format(br="\\"),
+    tables=["events"],
+    doc="referrer-domain surgery: REGEXP_REPLACE key + length average + "
+        "HAVING + MIN(string) (ClickBench q27)",
+)
+
+sql_query(
+    "cb_engine_ip_group",
+    f"""
+    SELECT event_type, user_id, COUNT(*) AS c,
+           CAST(SUM(CASE WHEN value < 1 THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_refresh,
+           {_AVG_VALUE} AS avg_value
+    FROM events
+    WHERE props <> ''
+    GROUP BY event_type, user_id
+    ORDER BY c DESC, event_type, user_id
+    LIMIT 10
+    """,
+    tables=["events"],
+    doc="engine x IP rollup with a conditional SUM (ClickBench q30: "
+        "SUM(IsRefresh))",
+)
+
+sql_query(
+    "cb_ip_arithmetic_group",
+    """
+    SELECT user_id, user_id - 1 AS u1, user_id - 2 AS u2, user_id - 3 AS u3,
+           COUNT(*) AS c
+    FROM events
+    GROUP BY user_id, user_id - 1, user_id - 2, user_id - 3
+    ORDER BY c DESC, user_id
+    LIMIT 10
+    """,
+    tables=["events"],
+    doc="four shifted copies of the key as group columns "
+        "(ClickBench q36: ClientIP - 1/2/3)",
+)
+
+sql_query(
+    "cb_literal_group",
+    """
+    SELECT 1 AS one, props, COUNT(*) AS c
+    FROM events
+    GROUP BY 1, props
+    ORDER BY c DESC, props
+    LIMIT 10
+    """,
+    tables=["events"],
+    doc="constant in the group key (ClickBench q35: GROUP BY 1, URL)",
+)
+
+sql_query(
+    "cb_groupby_all_offset",
+    """
+    SELECT MIN(page_views) AS min_pv, MAX(page_views) AS max_pv,
+           COUNT(*) AS n
+    FROM (
+        SELECT props, COUNT(*) AS page_views
+        FROM events
+        WHERE event_type <> 'error' AND props <> ''
+        GROUP BY ALL
+        ORDER BY page_views DESC, props
+        LIMIT 10 OFFSET 50
+    ) t
+    """,
+    tables=["events"],
+    doc="GROUP BY ALL + deep OFFSET page folded to min/max/count "
+        "(ClickBench q39)",
+)
+
+sql_query(
+    "cb_case_src_dst",
+    """
+    SELECT MIN(page_views) AS min_pv, MAX(page_views) AS max_pv,
+           COUNT(*) AS n
+    FROM (
+        SELECT event_type,
+               CASE WHEN event_type IN ('view', 'click')
+                    THEN props ELSE '' END AS src,
+               props AS dst,
+               COUNT(*) AS page_views
+        FROM events
+        WHERE value >= 1
+        GROUP BY event_type,
+                 CASE WHEN event_type IN ('view', 'click')
+                      THEN props ELSE '' END,
+                 props
+        ORDER BY page_views DESC, event_type, src, dst
+        LIMIT 10 OFFSET 100
+    ) t
+    """,
+    tables=["events"],
+    doc="CASE-derived src/dst traffic rollup behind a deep OFFSET "
+        "(ClickBench q40)",
+)
+
+sql_query(
+    "cb_two_dim_window",
+    """
+    SELECT MIN(page_views) AS min_pv, MAX(page_views) AS max_pv,
+           COUNT(*) AS n
+    FROM (
+        SELECT CAST(value AS INT) AS w, EXTRACT(HOUR FROM ts) AS h,
+               COUNT(*) AS page_views
+        FROM events
+        WHERE event_type = 'view'
+        GROUP BY CAST(value AS INT), EXTRACT(HOUR FROM ts)
+        ORDER BY page_views DESC, w, h
+        LIMIT 10 OFFSET 30
+    ) t
+    """,
+    tables=["events"],
+    doc="two derived dimensions paged then folded (ClickBench q41: "
+        "WindowClientWidth x WindowClientHeight)",
+)
