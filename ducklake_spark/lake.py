@@ -327,6 +327,10 @@ class DuckLake:
 
     def rollback(self) -> None:
         txn, self._txn = self._txn, None
+        # a rolled-back transaction's pending commit note must not leak
+        # onto the NEXT commit (reference: test/sql/audit/
+        # test_base_audit.test "ROLLBACK doesn't mess things up")
+        self._commit_note = (None, None, None)
         if txn is not None:
             self._discard_buffered_files(txn)
 
