@@ -299,3 +299,112 @@ sql_query(
         "per-source vectors (exact int dot products, IEEE sqrt/div, so "
         "doubles match bit-for-bit)",
 )
+
+
+# -- round 6: curation operators ---------------------------------------
+# Three more shapes a 100 TB training-data pipeline needs: reproducible
+# subsampling, per-domain best-k selection, and a lexical-diversity
+# (token-entropy) signal. All scale-safe: the sample is a stateless
+# hash predicate (pushes to the scan, no shuffle), best-k is a window
+# partitioned BY SOURCE (never a global single partition), and entropy
+# is two hash aggregates over exploded tokens.
+
+# deterministic Bernoulli sampling: a doc is in the 10% sample iff the
+# leading 32 bits of md5(doc_id || text) fall in the band — the same
+# doc always samples the same way on any engine, any cluster, any run
+# (rand()-based sampling is irreproducible across retries/partitions)
+_SAMPLE_SPARK = ("CAST(conv(substring(md5(concat(CAST(doc_id AS STRING), "
+                 "text)), 1, 8), 16, 10) AS BIGINT)")
+_SAMPLE_DUCK = ("CAST('0x' || substring(md5(concat(CAST(doc_id AS VARCHAR), "
+                "text)), 1, 8) AS BIGINT)")
+
+
+def _sample_sql(h: str) -> str:
+    return f"""
+    SELECT source,
+           COUNT(*) AS n_sampled,
+           CAST(SUM(CAST(n_chars AS DECIMAL(18,0))) AS BIGINT) AS chars_sampled,
+           MIN(doc_id) AS first_doc
+    FROM documents
+    WHERE {h} % 10 = 0
+    GROUP BY source
+    ORDER BY source
+    """
+
+
+sql_query(
+    "pp_hash_sample",
+    _sample_sql(_SAMPLE_SPARK),
+    oracle=_sample_sql(_SAMPLE_DUCK),
+    tables=["documents"],
+    doc="reproducible 10% corpus subsample via md5-band Bernoulli "
+        "predicate (no shuffle; same membership on every engine/run)",
+)
+
+sql_query(
+    "pp_best_per_source",
+    """
+    SELECT source, doc_id, n_chars
+    FROM (
+        SELECT source, doc_id, n_chars,
+               ROW_NUMBER() OVER (PARTITION BY source
+                                  ORDER BY n_chars DESC, doc_id) AS rn
+        FROM documents
+    ) t
+    WHERE rn <= 3
+    ORDER BY source, n_chars DESC, doc_id
+    """,
+    tables=["documents"],
+    doc="per-domain best-k curation: keep the 3 largest docs per source "
+        "(window partitioned by source — parallel at any corpus size)",
+)
+
+
+def _entropy_sql(dialect: str) -> str:
+    split = "split" if dialect == "spark" else "string_split"
+    if dialect == "spark":
+        toks = f"""
+    toks AS (
+        SELECT doc_id, source, explode({split}(text, ' ')) AS tok
+        FROM documents
+    )"""
+    else:
+        toks = f"""
+    toks AS (
+        SELECT doc_id, source, unnest({split}(text, ' ')) AS tok
+        FROM documents
+    )"""
+    # H = ln(n) - SUM(c·ln c)/n; both engines sum the same finite set
+    # of c·ln(c) doubles, and the per-doc ROUND(…, 4) swallows the
+    # ~1e-13 association-order difference before the source average
+    return f"""
+    WITH {toks},
+    tf AS (
+        SELECT doc_id, source, tok, COUNT(*) AS c
+        FROM toks GROUP BY doc_id, source, tok
+    ),
+    ent AS (
+        SELECT doc_id, source,
+               ROUND(LN(CAST(SUM(c) AS DOUBLE))
+                     - SUM(CAST(c AS DOUBLE) * LN(CAST(c AS DOUBLE)))
+                       / CAST(SUM(c) AS DOUBLE), 4) AS h
+        FROM tf GROUP BY doc_id, source
+    )
+    SELECT source,
+           COUNT(*) AS n_docs,
+           ROUND(CAST(SUM(CAST(ROUND(h * 10000) AS BIGINT)) AS DOUBLE)
+                 / COUNT(*) / 10000, 4) AS avg_entropy
+    FROM ent
+    GROUP BY source
+    ORDER BY source
+    """
+
+
+sql_query(
+    "pp_token_entropy",
+    _entropy_sql("spark"),
+    oracle=_entropy_sql("duckdb"),
+    tables=["documents"],
+    doc="lexical diversity: per-doc token-distribution entropy averaged "
+        "per source (integer-cent sum makes the average order-exact)",
+)
