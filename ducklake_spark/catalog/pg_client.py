@@ -253,8 +253,21 @@ class PgWireCursor:
         return self
 
     def executemany(self, sql: str, seq):
-        for p in seq:
-            self.execute(sql, tuple(p))
+        """All rows in ONE wire round trip: the v3 simple-query message
+        carries multiple semicolon-separated statements, so a K-row
+        insert costs one network round trip, not K (the motivation for
+        the reference's server-side commit path,
+        ducklake_server_side_commit.cpp)."""
+        seq = [tuple(p) for p in seq]
+        if not seq:
+            return self
+        if not self.conn.autocommit and not self.conn._txn_open:
+            self.conn._simple_query("BEGIN")
+            self.conn._txn_open = True
+        batch = "; ".join(_interpolate(sql, p) for p in seq)
+        desc, rows = self.conn._simple_query(batch)
+        self.description = desc
+        self._rows, self._idx = rows, 0
         return self
 
     def fetchone(self):

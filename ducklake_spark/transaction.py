@@ -807,6 +807,17 @@ class Transaction:
                     (tid,),
                 ).fetchone() or (0, 0, 0)
                 rec_cnt, next_row_id, fsize = stats
+                # batched like the reference's server-side commit /
+                # appender paths (ducklake_server_side_commit.cpp,
+                # metadata appender tests): a K-file commit issues one
+                # statement per ROW FAMILY, not K*(columns+2) statements
+                # — over a networked catalog (Postgres) that is the
+                # difference between 3 round trips and thousands.
+                # Global column stats fold client-side across this
+                # commit's files first, so each touched column merges
+                # into ducklake_table_column_stats exactly once.
+                file_rows, pv_rows, cs_rows = [], [], []
+                folded: dict[int, ColumnStatsRow] = {}
                 for f in files:
                     fid = next_file
                     next_file += 1
@@ -818,9 +829,7 @@ class Transaction:
                     elif not f.allocate:
                         rec_cnt += f.record_count
                         fsize += f.file_size_bytes
-                    con.execute(
-                        "INSERT INTO ducklake_data_file VALUES "
-                        "(?, ?, ?, NULL, ?, ?, 1, 'parquet', ?, ?, ?, ?, ?, ?, ?, ?, ?)",
+                    file_rows.append(
                         (
                             fid,
                             tid,
@@ -838,17 +847,13 @@ class Transaction:
                             f.mapping_id,
                             f.partial_max,
                             f.row_group_count,
-                        ),
-                    )
-                    for idx, val in f.partition_values:
-                        con.execute(
-                            "INSERT INTO ducklake_file_partition_value VALUES (?, ?, ?, ?)",
-                            (fid, tid, idx, val),
                         )
+                    )
+                    pv_rows.extend(
+                        (fid, tid, idx, val) for idx, val in f.partition_values
+                    )
                     for cs in f.column_stats:
-                        con.execute(
-                            "INSERT INTO ducklake_file_column_stats VALUES "
-                            "(?, ?, ?, ?, ?, ?, ?, ?, ?, ?)",
+                        cs_rows.append(
                             (
                                 fid,
                                 tid,
@@ -860,25 +865,31 @@ class Transaction:
                                 cs.max_value,
                                 cs.contains_nan,
                                 cs.extra_stats,
-                            ),
+                            )
                         )
-                        self._merge_global_column_stats(con, tid, cs)
-                    for vr in f.variant_stats:
-                        con.execute(
-                            "INSERT INTO ducklake_file_variant_stats VALUES "
-                            "(?, ?, ?, ?, ?, ?, ?, ?, ?)",
-                            (
-                                fid,
-                                tid,
-                                vr.column_id,
-                                vr.variant_path,
-                                vr.shredded_type,
-                                vr.value_count,
-                                vr.null_count,
-                                vr.min_value,
-                                vr.max_value,
-                            ),
+                        folded[cs.column_id] = self._fold_column_stats(
+                            con, folded.get(cs.column_id), cs
                         )
+                    self._insert_variant_stats(con, fid, tid, f.variant_stats)
+                con.executemany(
+                    "INSERT INTO ducklake_data_file VALUES "
+                    "(?, ?, ?, NULL, ?, ?, 1, 'parquet', ?, ?, ?, ?, ?, ?, ?, ?, ?)",
+                    file_rows,
+                )
+                if pv_rows:
+                    con.executemany(
+                        "INSERT INTO ducklake_file_partition_value "
+                        "VALUES (?, ?, ?, ?)",
+                        pv_rows,
+                    )
+                if cs_rows:
+                    con.executemany(
+                        "INSERT INTO ducklake_file_column_stats VALUES "
+                        "(?, ?, ?, ?, ?, ?, ?, ?, ?, ?)",
+                        cs_rows,
+                    )
+                for cs in folded.values():
+                    self._merge_global_column_stats(con, tid, cs)
                 con.execute(
                     "UPDATE ducklake_table_stats SET record_count=?, next_row_id=?, "
                     "file_size_bytes=? WHERE table_id=?",
@@ -1120,6 +1131,51 @@ class Transaction:
                 "decimal"
             )
         return cache[column_id]
+
+    def _insert_variant_stats(self, con, fid: int, tid: int, rows) -> None:
+        if not rows:
+            return
+        con.executemany(
+            "INSERT INTO ducklake_file_variant_stats VALUES "
+            "(?, ?, ?, ?, ?, ?, ?, ?, ?)",
+            [
+                (fid, tid, vr.column_id, vr.variant_path, vr.shredded_type,
+                 vr.value_count, vr.null_count, vr.min_value, vr.max_value)
+                for vr in rows
+            ],
+        )
+
+    def _fold_column_stats(self, con, acc: ColumnStatsRow | None,
+                           cs: ColumnStatsRow) -> ColumnStatsRow:
+        """Combine two per-file stats rows for the same column into one
+        widened row, so a K-file commit touches the global
+        ducklake_table_column_stats row once instead of K times. The
+        fold mirrors _merge_global_column_stats' widening exactly:
+        null_count None (unknown) stays None so has-null is assumed."""
+        if acc is None:
+            return cs
+        numeric = self._column_is_numeric(con, cs.column_id)
+        if acc.null_count is None or cs.null_count is None:
+            nulls = None
+        else:
+            nulls = acc.null_count + cs.null_count
+        extra = acc.extra_stats
+        if acc.extra_stats is not None or cs.extra_stats is not None:
+            from ducklake_spark.extra_stats import merge_extra_stats_json
+
+            extra = merge_extra_stats_json(acc.extra_stats, cs.extra_stats)
+        return ColumnStatsRow(
+            column_id=cs.column_id,
+            column_size_bytes=acc.column_size_bytes + cs.column_size_bytes,
+            value_count=None
+            if acc.value_count is None or cs.value_count is None
+            else acc.value_count + cs.value_count,
+            null_count=nulls,
+            min_value=_merge_min(acc.min_value, cs.min_value, numeric),
+            max_value=_merge_max(acc.max_value, cs.max_value, numeric),
+            contains_nan=acc.contains_nan or cs.contains_nan,
+            extra_stats=extra,
+        )
 
     def _merge_global_column_stats(self, con, tid: int, cs: ColumnStatsRow) -> None:
         """Merge-only global stats: widen, never tighten
