@@ -237,6 +237,56 @@ class MetadataManager:
     def is_retryable(self, exc: Exception) -> bool:
         return self.backend.is_retryable(exc)
 
+    # -- server-side ("quack") commit --------------------------------------
+
+    def server_commit_supported(self) -> bool:
+        """Probe once whether the catalog server can run data-only
+        commits server-side (reference:
+        QuackMetadataManager::ProbeServerCapabilities) — only networked
+        catalogs are probed; a server that errors on the probe keeps
+        the client-side optimistic loop."""
+        ok = getattr(self, "_server_commit_ok", None)
+        if ok is None:
+            ok = False
+            if self.db_path.startswith(("postgresql://", "postgres://")):
+                from ducklake_spark.catalog.server_commit import CAPABILITY
+
+                try:
+                    row = self.con.execute(
+                        "SELECT ducklake_server_capabilities()"
+                    ).fetchone()
+                    ok = row is not None and CAPABILITY in str(row[0])
+                except Exception:
+                    safe_rollback(self.con)
+                    ok = False
+            self._server_commit_ok = ok
+        return ok
+
+    def server_commit(self, payload: dict) -> dict:
+        """Ship a data-only commit to the server in ONE statement and
+        return its result. A logical conflict detected server-side
+        arrives tagged and is re-raised as :class:`ConflictError`; the
+        server has already run the retry loop, so other failures
+        propagate as-is."""
+        from ducklake_spark.catalog.server_commit import (
+            CONFLICT_TAG,
+            encode_payload,
+        )
+
+        con = self.con
+        try:
+            row = con.execute(
+                f"SELECT ducklake_server_commit('{encode_payload(payload)}')"
+            ).fetchone()
+        except Exception as exc:
+            safe_rollback(con)
+            if CONFLICT_TAG in str(exc):
+                raise ConflictError(str(exc)) from exc
+            raise
+        import json
+
+        return json.loads(row[0])
+
     # -- bootstrap ---------------------------------------------------------
 
     def initialize(self, data_path: str, *, encrypted: bool = False) -> None:

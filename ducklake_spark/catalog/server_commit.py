@@ -1,0 +1,304 @@
+"""Server-side ("quack") commit for data-only transactions.
+
+The reference ships a second commit path where the client stages its
+change set next to the metadata server and the server replays the
+whole commit — conflict check, snapshot allocation, metadata inserts —
+atomically, with its own retry loop (reference:
+src/storage/ducklake_server_side_commit.cpp,
+src/include/metadata_manager/quack_metadata_manager.hpp). The point is
+commit latency against a networked catalog: the optimistic loop stops
+paying one round trip per statement and per retry.
+
+The Spark-shaped analogue here covers the reference's
+``IsDataOnlyCommit`` fast path — physical-file appends, the dominant
+commit shape of a large ingest — end-to-end over the Postgres wire
+catalog:
+
+* the client serializes the whole change set into ONE call,
+  ``SELECT ducklake_server_commit('<base64 json>')`` (base64 so the
+  payload survives the qmark→%s translation and literal escaping on
+  any driver);
+* the server (tests/pg_tcp_server.py wires this module in, the way
+  the reference extension runs inside the catalog server) executes
+  :func:`apply_data_commit`: append-fast-path conflict probes, id
+  allocation, batched row-family inserts, widened global stats merge,
+  snapshot + changes rows — one transaction, retried server-side on
+  MVCC conflicts, rolled back whole on failure (mirror of
+  test/sql/quack/server_side_commit_atomicity.test: a failed commit
+  leaves no orphan snapshot);
+* capability discovery is a probe call, like
+  ``QuackMetadataManager::ProbeServerCapabilities`` — servers that
+  error on ``SELECT ducklake_server_capabilities()`` simply keep the
+  client-side loop.
+
+The row layout written here is byte-identical to the client-side path
+in :meth:`ducklake_spark.transaction.Transaction._try_commit`; the
+payload carries the client's pre-folded per-column stats (and their
+numeric-ness) so the server merges each global stats row exactly once
+without re-deriving column types.
+"""
+
+from __future__ import annotations
+
+import base64
+import json
+import time
+from contextlib import nullcontext
+
+CAPABILITY = "server_commit_v1"
+CONFLICT_TAG = "DUCKLAKE_CONFLICT"
+
+
+class ServerCommitConflict(Exception):
+    """Logical (non-retryable) commit conflict detected server-side."""
+
+
+def encode_payload(payload: dict) -> str:
+    return base64.b64encode(
+        json.dumps(payload, separators=(",", ":")).encode()
+    ).decode()
+
+
+def decode_payload(encoded: str) -> dict:
+    return json.loads(base64.b64decode(encoded.encode()).decode())
+
+
+def _is_retryable(exc: Exception) -> bool:
+    msg = str(exc).lower()
+    return (
+        "write-write" in msg
+        or "could not serialize" in msg
+        or "deadlock" in msg
+        or "lock" in msg
+        or "busy" in msg
+    )
+
+
+def apply_data_commit(con, payload: dict, lock=None) -> dict:
+    """Run a data-only commit on the metadata database itself.
+
+    ``con`` is the server's own DBAPI connection (DuckDB in the test
+    server; any ANSI engine works — only qmark placeholders and
+    standard SQL are used). ``lock`` optionally serializes each
+    attempt against other sessions; retries sleep OUTSIDE the lock so
+    a conflicting writer can finish.
+    """
+    retry = payload.get("retry", {})
+    max_retry = int(retry.get("max", 10))
+    wait_ms = float(retry.get("wait_ms", 100))
+    backoff = float(retry.get("backoff", 1.5))
+    for attempt in range(max_retry + 1):
+        try:
+            with lock or nullcontext():
+                return _attempt(con, payload)
+        except ServerCommitConflict:
+            raise
+        except Exception as exc:
+            if not _is_retryable(exc) or attempt == max_retry:
+                raise
+            time.sleep(wait_ms / 1000.0)
+            wait_ms *= backoff
+    raise RuntimeError("unreachable")
+
+
+def _attempt(con, payload: dict) -> dict:
+    from ducklake_spark.catalog.metadata import _now_ts, safe_rollback
+    from ducklake_spark.transaction import STAGED_BASE
+
+    con.execute("BEGIN")
+    try:
+        base = int(payload["base_snapshot_id"])
+        # --- append fast-path conflict probes (reference
+        # CanSkipSnapshotFetch + quack IsDataOnlyCommit; mirrors
+        # Transaction._check_append_fast_path statement for statement)
+        for t in payload["tables"]:
+            tid = int(t["table_id"])
+            live = con.execute(
+                "SELECT 1 FROM ducklake_table WHERE table_id=? "
+                "AND end_snapshot IS NULL",
+                (tid,),
+            ).fetchone()
+            ended = con.execute(
+                "SELECT 1 FROM ducklake_table WHERE table_id=? "
+                "AND end_snapshot > ? AND end_snapshot < ?",
+                (tid, base, STAGED_BASE),
+            ).fetchone()
+            if live is None or ended is not None:
+                raise ServerCommitConflict(
+                    f"table {tid} was dropped/renamed concurrently"
+                )
+            altered = con.execute(
+                "SELECT 1 FROM ducklake_column WHERE table_id=? "
+                "AND end_snapshot > ? AND end_snapshot < ?",
+                (tid, base, STAGED_BASE),
+            ).fetchone()
+            if altered is not None:
+                raise ServerCommitConflict(
+                    f"table {tid} was altered concurrently"
+                )
+            deleted = con.execute(
+                "SELECT 1 FROM ducklake_snapshot_changes "
+                "WHERE snapshot_id > ? AND snapshot_id < ? AND ("
+                "',' || changes_made || ',' LIKE ? OR "
+                "',' || changes_made || ',' LIKE ?) LIMIT 1",
+                (base, STAGED_BASE,
+                 f"%,deleted_from_table:{tid},%",
+                 f"%,inlined_delete:{tid},%"),
+            ).fetchone()
+            if deleted is not None:
+                raise ServerCommitConflict(
+                    f"table {tid} was deleted from concurrently"
+                )
+
+        # --- allocation head (mirrors MetadataManager.allocation_head)
+        snap_id, schema_version = con.execute(
+            "SELECT snapshot_id, schema_version FROM ducklake_snapshot "
+            "WHERE snapshot_time IS NOT NULL ORDER BY snapshot_id DESC LIMIT 1"
+        ).fetchone()
+        next_cat, next_file = con.execute(
+            "SELECT MAX(next_catalog_id), MAX(next_file_id) FROM ducklake_snapshot"
+        ).fetchone()
+        resrow = con.execute(
+            "SELECT value FROM ducklake_metadata "
+            "WHERE key='id_reservation' AND scope IS NULL"
+        ).fetchone()
+        if resrow:
+            next_cat = max(next_cat, int(resrow[0]))
+        snap_id += 1
+
+        first_row_ids: dict[str, int] = {}
+        for t in payload["tables"]:
+            tid = int(t["table_id"])
+            stats = con.execute(
+                "SELECT record_count, next_row_id, file_size_bytes "
+                "FROM ducklake_table_stats WHERE table_id = ?",
+                (tid,),
+            ).fetchone() or (0, 0, 0)
+            rec_cnt, next_row_id, fsize = stats
+            first_row_ids[str(tid)] = next_row_id
+            file_rows, pv_rows, cs_rows, vr_rows = [], [], [], []
+            for f in t["files"]:
+                fid = next_file
+                next_file += 1
+                row_id_start = f["row_id_start"]
+                if f["allocate"] and row_id_start is None:
+                    row_id_start = next_row_id
+                    next_row_id += f["record_count"]
+                    rec_cnt += f["record_count"]
+                    fsize += f["file_size_bytes"]
+                elif not f["allocate"]:
+                    rec_cnt += f["record_count"]
+                    fsize += f["file_size_bytes"]
+                file_rows.append(
+                    (
+                        fid,
+                        tid,
+                        f["begin_snapshot_override"]
+                        if f["begin_snapshot_override"] is not None
+                        else snap_id,
+                        f["file_order"],
+                        f["path"],
+                        f["record_count"],
+                        f["file_size_bytes"],
+                        f["footer_size"],
+                        row_id_start,
+                        f["partition_id"],
+                        f["encryption_key"],
+                        f["mapping_id"],
+                        f["partial_max"],
+                        f["row_group_count"],
+                    )
+                )
+                pv_rows.extend((fid, tid, idx, val)
+                               for idx, val in f["partition_values"])
+                cs_rows.extend((fid, tid, *cs) for cs in f["column_stats"])
+                vr_rows.extend((fid, tid, *vr) for vr in f["variant_stats"])
+            con.executemany(
+                "INSERT INTO ducklake_data_file VALUES "
+                "(?, ?, ?, NULL, ?, ?, 1, 'parquet', ?, ?, ?, ?, ?, ?, ?, ?, ?)",
+                file_rows,
+            )
+            if pv_rows:
+                con.executemany(
+                    "INSERT INTO ducklake_file_partition_value "
+                    "VALUES (?, ?, ?, ?)",
+                    pv_rows,
+                )
+            if cs_rows:
+                con.executemany(
+                    "INSERT INTO ducklake_file_column_stats VALUES "
+                    "(?, ?, ?, ?, ?, ?, ?, ?, ?, ?)",
+                    cs_rows,
+                )
+            if vr_rows:
+                con.executemany(
+                    "INSERT INTO ducklake_file_variant_stats VALUES "
+                    "(?, ?, ?, ?, ?, ?, ?, ?, ?)",
+                    vr_rows,
+                )
+            for fold in t["folded"]:
+                _merge_global_stats(con, tid, fold)
+            con.execute(
+                "UPDATE ducklake_table_stats SET record_count=?, next_row_id=?, "
+                "file_size_bytes=? WHERE table_id=?",
+                (rec_cnt, next_row_id, fsize, tid),
+            )
+
+        con.execute(
+            "INSERT INTO ducklake_snapshot VALUES (?, ?, ?, ?, ?)",
+            (snap_id, _now_ts(), schema_version, next_cat, next_file),
+        )
+        con.execute(
+            "INSERT INTO ducklake_snapshot_changes VALUES (?, ?, ?, ?, ?)",
+            (snap_id, ",".join(payload["change_log"]),
+             payload["author"], payload["message"], payload["extra"]),
+        )
+        con.execute("COMMIT")
+        return {"snapshot_id": snap_id, "first_row_ids": first_row_ids}
+    except BaseException:
+        safe_rollback(con)
+        raise
+
+
+def _merge_global_stats(con, tid: int, fold: dict) -> None:
+    """Widen-only merge of one pre-folded column into the global stats
+    row (reference DuckLakeColumnStats::MergeStats, ducklake_stats.cpp:102;
+    identical logic to Transaction._merge_global_column_stats, with the
+    numeric-ness shipped in the payload instead of probed)."""
+    from ducklake_spark.transaction import _merge_max, _merge_min
+
+    cid = int(fold["column_id"])
+    numeric = bool(fold["numeric"])
+    null_count = fold["null_count"]
+    has_null = null_count is None or null_count > 0
+    row = con.execute(
+        "SELECT contains_null, contains_nan, min_value, max_value, extra_stats "
+        "FROM ducklake_table_column_stats WHERE table_id=? AND column_id=?",
+        (tid, cid),
+    ).fetchone()
+    if row is None:
+        con.execute(
+            "INSERT INTO ducklake_table_column_stats VALUES (?, ?, ?, ?, ?, ?, ?)",
+            (tid, cid, has_null, fold["contains_nan"], fold["min_value"],
+             fold["max_value"], fold["extra_stats"]),
+        )
+        return
+    cn, cnan, mn, mx, extra = row
+    new_extra = extra
+    if extra is not None or fold["extra_stats"] is not None:
+        from ducklake_spark.extra_stats import merge_extra_stats_json
+
+        new_extra = merge_extra_stats_json(extra, fold["extra_stats"])
+    con.execute(
+        "UPDATE ducklake_table_column_stats SET contains_null=?, contains_nan=?, "
+        "min_value=?, max_value=?, extra_stats=? WHERE table_id=? AND column_id=?",
+        (
+            bool(cn) or has_null,
+            bool(cnan) or fold["contains_nan"],
+            _merge_min(mn, fold["min_value"], numeric),
+            _merge_max(mx, fold["max_value"], numeric),
+            new_extra,
+            tid,
+            cid,
+        ),
+    )

@@ -431,6 +431,13 @@ class Transaction:
             self.meta.option("retry_backoff", str(RETRY_BACKOFF))
             or RETRY_BACKOFF
         )
+        if not staged and self.meta.server_commit_supported():
+            payload = self._server_commit_payload()
+            if payload is not None:
+                payload["retry"] = {
+                    "max": max_retry, "wait_ms": wait_ms, "backoff": backoff,
+                }
+                return self._server_commit(payload)
         for attempt in range(max_retry + 1):
             try:
                 return self._try_commit(staged=staged)
@@ -442,6 +449,126 @@ class Transaction:
                 time.sleep(wait_ms / 1000.0)
                 wait_ms *= backoff
         raise RuntimeError("unreachable")
+
+    def _server_commit_payload(self) -> dict | None:
+        """Serialize this transaction for the server-side ("quack")
+        commit path, or None when it is not a data-only commit.
+
+        The eligible shape mirrors the reference's IsDataOnlyCommit:
+        physical file appends to existing tables and nothing else — no
+        DDL, no deletes, no inlined rows, no compaction, no adoption
+        maps (quack_metadata_manager.hpp; the server replays exactly
+        the append fast path)."""
+        if (
+            self.created_schemas or self.dropped_schemas
+            or self.created_tables or self.dropped_tables
+            or self.renamed_tables or self.created_views
+            or self.dropped_views or self.renamed_views
+            or self.new_delete_files or self.replaced_delete_files
+            or self.removed_data_files or self.purged_data_files
+            or self.compacted_files or self.stats_delta
+            or self.column_changes or self.mapping_ops or self.sort_ops
+            or self.inlined_inserts or self.inlined_inserts_rebase
+            or self.inlined_end_updates or self.inlined_clears
+            or self.inlined_deletes or self.schema_bump_tables
+            or self.touched_delete_data_files
+        ):
+            return None
+        if not self.new_data_files:
+            return None
+        kinds = {e.partition(":")[0] for e in self.change_log}
+        if kinds != {"inserted_into_table"}:
+            return None
+        con = self.meta.con
+        tables = []
+        for key, files in self.new_data_files.items():
+            if not key.isdigit():  # txn-local names imply DDL in-flight
+                return None
+            tid = int(key)
+            folded: dict[int, ColumnStatsRow] = {}
+            file_dicts = []
+            for f in files:
+                for cs in f.column_stats:
+                    folded[cs.column_id] = self._fold_column_stats(
+                        con, folded.get(cs.column_id), cs
+                    )
+                file_dicts.append(
+                    {
+                        "path": f.path,
+                        "record_count": f.record_count,
+                        "file_size_bytes": f.file_size_bytes,
+                        "footer_size": f.footer_size,
+                        "row_id_start": f.row_id_start,
+                        "allocate": f.allocate,
+                        "partition_id": f.partition_id,
+                        "encryption_key": f.encryption_key,
+                        "mapping_id": f.mapping_id,
+                        "partial_max": f.partial_max,
+                        "file_order": f.file_order,
+                        "begin_snapshot_override": f.begin_snapshot_override,
+                        "row_group_count": f.row_group_count,
+                        "partition_values": list(f.partition_values),
+                        "column_stats": [
+                            (cs.column_id, cs.column_size_bytes,
+                             cs.value_count, cs.null_count, cs.min_value,
+                             cs.max_value, cs.contains_nan, cs.extra_stats)
+                            for cs in f.column_stats
+                        ],
+                        "variant_stats": [
+                            (vr.column_id, vr.variant_path, vr.shredded_type,
+                             vr.value_count, vr.null_count, vr.min_value,
+                             vr.max_value)
+                            for vr in f.variant_stats
+                        ],
+                    }
+                )
+            tables.append(
+                {
+                    "table_id": tid,
+                    "files": file_dicts,
+                    "folded": [
+                        {
+                            "column_id": cs.column_id,
+                            "numeric": self._column_is_numeric(
+                                con, cs.column_id
+                            ),
+                            "null_count": cs.null_count,
+                            "min_value": cs.min_value,
+                            "max_value": cs.max_value,
+                            "contains_nan": cs.contains_nan,
+                            "extra_stats": cs.extra_stats,
+                        }
+                        for cs in folded.values()
+                    ],
+                }
+            )
+        author, message, extra = self.commit_message
+        return {
+            "protocol": 1,
+            "base_snapshot_id": self.base.snapshot_id,
+            "change_log": list(self.change_log),
+            "author": author,
+            "message": message,
+            "extra": extra,
+            "tables": tables,
+        }
+
+    def _server_commit(self, payload: dict) -> int:
+        """One round trip: the server runs the whole commit (conflict
+        probes, allocation, inserts, retry loop) atomically."""
+        result = self.meta.server_commit(payload)
+        # mirror the server's row-id assignment so post-commit callers
+        # see the same DataFileInfo state the client path leaves behind
+        for t in payload["tables"]:
+            next_row_id = result["first_row_ids"].get(str(t["table_id"]))
+            if next_row_id is None:
+                continue
+            for f in self.new_data_files.get(str(t["table_id"]), []):
+                if f.allocate and f.row_id_start is None:
+                    f.row_id_start = next_row_id
+                    next_row_id += f.record_count
+        self.committed_snapshot = result["snapshot_id"]
+        return self.committed_snapshot
 
     @classmethod
     def finalize_staged(cls, meta: MetadataManager, snapshot_id: int) -> int:

@@ -25,6 +25,7 @@ from __future__ import annotations
 
 import datetime
 import decimal
+import json
 import os
 import re
 import socket
@@ -33,9 +34,24 @@ import threading
 
 import duckdb
 
+from ducklake_spark.catalog.server_commit import (
+    CONFLICT_TAG,
+    CAPABILITY,
+    ServerCommitConflict,
+    apply_data_commit,
+    decode_payload,
+)
+
 _BAD_WIRE = re.compile(r"%s|\?")
 _SQLITEISM = re.compile(r"\b(pragma|sqlite_master)\b", re.I)
 _STRINGS = re.compile(r"'(?:[^']|'')*'")
+# server-side ("quack") commit entry points — the analogue of the
+# reference extension's hooks running inside the catalog server
+_SERVER_CALL = re.compile(
+    r"^\s*SELECT\s+ducklake_server_(commit|capabilities)\s*"
+    r"\(\s*(?:'([A-Za-z0-9+/=]*)')?\s*\)\s*;?\s*$",
+    re.I,
+)
 
 _SSL_REQUEST = 80877103
 _PROTO_V3 = 196608
@@ -133,6 +149,37 @@ class DuckPgServer:
                 bare = _STRINGS.sub("''", sql)
                 if _BAD_WIRE.search(bare) or _SQLITEISM.search(bare):
                     _send_error(sock, f"wire protocol violation: {sql!r}")
+                    _send_ready(sock, in_txn)
+                    continue
+                sc = _SERVER_CALL.match(sql)
+                if sc is not None:
+                    if sc.group(1).lower() == "capabilities":
+                        _send_result(
+                            sock, [("capabilities",)], [(CAPABILITY,)], "SELECT"
+                        )
+                    elif in_txn:
+                        _send_error(
+                            sock,
+                            "ducklake_server_commit must run outside a "
+                            "transaction",
+                        )
+                    else:
+                        try:
+                            result = apply_data_commit(
+                                duck,
+                                decode_payload(sc.group(2) or ""),
+                                lock=self.lock,
+                            )
+                            _send_result(
+                                sock,
+                                [("ducklake_server_commit",)],
+                                [(json.dumps(result),)],
+                                "SELECT",
+                            )
+                        except ServerCommitConflict as e:
+                            _send_error(sock, f"{CONFLICT_TAG}: {e}")
+                        except Exception as e:
+                            _send_error(sock, str(e))
                     _send_ready(sock, in_txn)
                     continue
                 up = sql.strip().upper()

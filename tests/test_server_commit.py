@@ -1,0 +1,195 @@
+"""Server-side ("quack") commit over the TCP catalog.
+
+reference: src/storage/ducklake_server_side_commit.cpp,
+src/include/metadata_manager/quack_metadata_manager.hpp,
+test/sql/quack/server_side_commit_atomicity.test.
+
+A data-only commit ships the whole change set in ONE wire statement;
+the server replays conflict probes, id allocation, row inserts, and
+the global stats merge atomically. These tests prove the path is
+actually taken (the client-side writer is stubbed out to fail), that
+its catalog rows are byte-identical to the client path's, that
+conflicts surface as ConflictError, and — the reference's atomicity
+repro — that a failed server commit leaves no orphan snapshot.
+"""
+
+from __future__ import annotations
+
+import pytest
+
+from pg_tcp_server import DuckPgServer
+
+
+@pytest.fixture(scope="module")
+def server(tmp_path_factory):
+    srv = DuckPgServer(str(tmp_path_factory.mktemp("qroot")))
+    yield srv
+    srv.close()
+
+
+@pytest.fixture()
+def pg_lake(spark, tmp_path, server):
+    from ducklake_spark.lake import DuckLake
+
+    db = "db_" + tmp_path.name.replace("-", "_")
+    return DuckLake.attach(spark, server.dsn(db), str(tmp_path / "data"))
+
+
+def _df(spark, n=10, base=0):
+    return spark.createDataFrame(
+        [(base + i, f"v{base + i}") for i in range(n)], "i long, v string"
+    )
+
+
+def test_payload_roundtrip_hostile_content():
+    from ducklake_spark.catalog.server_commit import (
+        decode_payload,
+        encode_payload,
+    )
+
+    p = {
+        "message": "what? 'quoted' %s \\ é",
+        "tables": [{"files": [{"path": "a?b'c.parquet"}]}],
+    }
+    assert decode_payload(encode_payload(p)) == p
+
+
+def test_data_only_insert_uses_server_path(pg_lake, spark, monkeypatch):
+    from ducklake_spark.transaction import Transaction
+
+    lake = pg_lake
+    lake.create_table("t", [("i", "int64"), ("v", "varchar")])
+    assert lake.meta.server_commit_supported()
+
+    def _boom(self, *, staged=False):
+        raise AssertionError("client-side commit ran for a data-only insert")
+
+    monkeypatch.setattr(Transaction, "_try_commit", _boom)
+    lake.set_commit_message("ci", "batch 1 ('quack?')")
+    lake.insert("t", _df(spark, 20))
+    monkeypatch.undo()
+
+    assert sorted(
+        r.i for r in lake.table("t").select("i").collect()
+    ) == list(range(20))
+    snaps = {r["snapshot_id"]: r for r in lake.snapshots().collect()}
+    last = snaps[max(snaps)]
+    assert last["author"] == "ci"
+    assert last["commit_message"] == "batch 1 ('quack?')"
+    # global stats written by the server merge drive the metadata fold
+    assert lake.row_count("t") == 20
+
+
+def test_server_rows_match_client_path(spark, tmp_path, server):
+    from ducklake_spark.lake import DuckLake
+
+    def catalog_rows(lake):
+        con = lake.meta.con
+        stats = con.execute(
+            "SELECT record_count, file_size_bytes FROM ducklake_table_stats"
+        ).fetchall()
+        gcs = con.execute(
+            "SELECT column_id, contains_null, contains_nan, min_value, "
+            "max_value FROM ducklake_table_column_stats ORDER BY column_id"
+        ).fetchall()
+        files = con.execute(
+            "SELECT record_count, row_id_start FROM ducklake_data_file "
+            "ORDER BY data_file_id"
+        ).fetchall()
+        head = con.execute(
+            "SELECT snapshot_id, schema_version FROM ducklake_snapshot "
+            "ORDER BY snapshot_id DESC LIMIT 1"
+        ).fetchone()
+        return stats, gcs, files, head
+
+    results = []
+    for dsn in (
+        server.dsn("parity_srv"),
+        str(tmp_path / "client.sqlite"),
+    ):
+        lake = DuckLake.attach(spark, dsn, str(tmp_path / f"d{len(results)}"))
+        lake.create_table("t", [("i", "int64"), ("v", "varchar")])
+        lake.insert("t", _df(spark, 10))
+        lake.insert("t", _df(spark, 5, base=100))
+        results.append(catalog_rows(lake))
+    srv_rows, cli_rows = results
+    # column ids differ only if allocation diverged — they must not
+    assert srv_rows == cli_rows
+
+
+def test_concurrent_drop_is_a_conflict(pg_lake, spark, server, tmp_path):
+    from ducklake_spark.catalog.metadata import ConflictError
+    from ducklake_spark.lake import DuckLake
+
+    lake = pg_lake
+    lake.create_table("t", [("i", "int64"), ("v", "varchar")])
+    lake.insert("t", _df(spark, 3))
+    with pytest.raises(ConflictError):
+        with lake.transaction():
+            lake.insert("t", _df(spark, 3, base=10))
+            # second attachment drops the table mid-transaction
+            other = DuckLake.attach(
+                spark, lake.meta.db_path, str(tmp_path / "data")
+            )
+            other.drop_table("t")
+
+
+def test_failed_server_commit_leaves_no_orphan_snapshot(pg_lake, spark):
+    """Mirror of test/sql/quack/server_side_commit_atomicity.test: seed
+    an orphan ducklake_snapshot_changes row at the next snapshot id so
+    the commit's final insert collides on the primary key; the whole
+    server-side transaction must roll back — no orphan snapshot, no
+    leaked file rows, table unchanged."""
+    lake = pg_lake
+    lake.create_table("t", [("i", "int64"), ("v", "varchar")])
+    lake.insert("t", _df(spark, 4))
+    con = lake.meta.con
+    (head,) = con.execute(
+        "SELECT MAX(snapshot_id) FROM ducklake_snapshot"
+    ).fetchone()
+    con.execute(
+        "INSERT INTO ducklake_snapshot_changes VALUES "
+        f"({head + 1}, 'orphan', NULL, NULL, NULL)"
+    )
+    (files_before,) = con.execute(
+        "SELECT COUNT(*) FROM ducklake_data_file"
+    ).fetchone()
+    with pytest.raises(Exception, match="(?i)duplicate|constraint"):
+        lake.insert("t", _df(spark, 4, base=50))
+    (orphans,) = con.execute(
+        "SELECT COUNT(*) FROM ducklake_snapshot WHERE snapshot_id > ?",
+        (head,),
+    ).fetchone()
+    assert orphans == 0
+    (files_after,) = con.execute(
+        "SELECT COUNT(*) FROM ducklake_data_file"
+    ).fetchone()
+    assert files_after == files_before
+    assert sorted(r.i for r in lake.table("t").select("i").collect()) == [
+        0, 1, 2, 3,
+    ]
+
+
+def test_non_data_commits_build_no_payload(pg_lake, spark):
+    """DDL and delete transactions are not data-only: the payload
+    builder must decline them (they run the client-side loop)."""
+    lake = pg_lake
+    lake.create_table("t", [("i", "int64"), ("v", "varchar")])
+    lake.insert("t", _df(spark, 8))
+    seen = []
+    from ducklake_spark import transaction as txn_mod
+
+    orig = txn_mod.Transaction._server_commit_payload
+
+    def spy(self):
+        p = orig(self)
+        seen.append(p is not None)
+        return p
+
+    txn_mod.Transaction._server_commit_payload = spy
+    try:
+        lake.delete("t", "i >= 6")
+    finally:
+        txn_mod.Transaction._server_commit_payload = orig
+    assert seen and not any(seen)
+    assert lake.table("t").count() == 6
