@@ -161,6 +161,7 @@ def add_data_files(lake: DuckLake, table: str, pattern, *,
     table_cols = {c[1]: c for c in h.columns}
     part_spec = lake._partition_spec(h)
     part_index = {cname: i for i, (cname, _t) in enumerate(part_spec)}
+    part_pid = lake._partition_spec_id(h) if part_spec else None
 
     txn = lake.begin()
     from ducklake_spark.lake import parquet_footer_size as _footer_size
@@ -241,6 +242,10 @@ def add_data_files(lake: DuckLake, table: str, pattern, *,
             file_size_bytes=lake.lfs.size(path),
             footer_size=_footer_size(path, fs=lake.lfs),
             partition_values=part_values,
+            # spec-index values only bind under the spec they were
+            # adopted into (negative backfill keys are spec-independent)
+            partition_id=part_pid if any(
+                i >= 0 for i, _v in part_values) else None,
             column_stats=stats,
             mapping_id=-1,  # allocated inside the commit transaction
         )

@@ -812,6 +812,34 @@ class DuckLake:
         h = self._handle(name)
         self._require_committed(h, "SET PARTITIONED BY")
         txn = self.begin()
+        # a REDUNDANT alter (same columns, same transforms, same order)
+        # is a complete no-op: no new partition spec, no schema_version
+        # bump — otherwise files written later in the same transaction
+        # split across two partition_ids and every redundant alter
+        # rewrites the table's spec row (reference:
+        # test/sql/quack/noop_partition_alter_data_files.test). Only the
+        # committed spec is compared — a pending alter buffered in this
+        # transaction always applies.
+        pending = getattr(txn, "_pending_partition_tables", None)
+        if pending is None:
+            pending = txn._pending_partition_tables = set()
+        if h.table_id not in pending:
+            colmap_probe = {c[1]: c[0] for c in h.columns}
+            want = [(colmap_probe.get(cname), transform)
+                    for cname, transform in keys]
+            live = self.meta.con.execute(
+                "SELECT pc.column_id, pc.transform "
+                "FROM ducklake_partition_info pi "
+                "JOIN ducklake_partition_column pc "
+                "ON pi.partition_id = pc.partition_id "
+                "WHERE pi.table_id=? AND pi.end_snapshot IS NULL "
+                "ORDER BY pc.partition_key_index",
+                (h.table_id,),
+            ).fetchall()
+            if [tuple(r) for r in live] == want:
+                self._autocommit()
+                return
+        pending.add(h.table_id)
 
         def op(con, snap_id, h=h, keys=keys):
             con.execute(
@@ -1492,6 +1520,10 @@ class DuckLake:
 
         writer = out
         part_cols = []
+        # files written under a live spec are stamped with its id so
+        # partition pruning never interprets their values under a LATER
+        # spec (reference: ducklake_data_file.partition_id)
+        part_pid = self._partition_spec_id(h) if part_keys else None
         if part_keys:
             for i, (cname, transform) in enumerate(part_keys):
                 writer = writer.withColumn(f"__part_{i}", _transform_col(cname, transform))
@@ -1583,6 +1615,7 @@ class DuckLake:
                     file_size_bytes=0,
                     footer_size=0,
                     partition_values=part_values,
+                    partition_id=part_pid,
                     encryption_key=enc_key,
                 )
             )
@@ -2040,13 +2073,21 @@ class DuckLake:
         part_keys = {}  # cname -> (key_index, transform)
         for i, (cname, transform) in enumerate(self._partition_spec(h)):
             part_keys[cname] = (i, transform)
+        # partition pruning applies ONLY to files written under the
+        # CURRENT spec (data_file.partition_id): after SET PARTITIONED
+        # BY changes the key columns, an old file's values at the same
+        # key index mean a different column — interpreting them under
+        # the new spec wrongly prunes live rows (reference ties every
+        # file to its spec via ducklake_data_file.partition_id)
+        live_pid = self._partition_spec_id(h)
         clauses, params = [], []
         for col, op, val in _parse_conjuncts(where):
             if col not in colmap:
                 continue
             if isinstance(val, float) and val != val:  # NaN: never prune (:1294-1343)
                 continue
-            part_clause = self._partition_prune_clause(h, part_keys, col, op, val)
+            part_clause = self._partition_prune_clause(
+                h, part_keys, live_pid, col, op, val)
             if part_clause is not None:
                 clauses.append(part_clause[0])
                 params.extend(part_clause[1])
@@ -2086,19 +2127,34 @@ class DuckLake:
             params.extend([h.table_id, cid] + [val] * contradiction.count("?"))
         return "".join(clauses), params
 
+    def _partition_spec_id(self, h: TableHandle) -> int | None:
+        """Live partition spec id for the table, or None when the table
+        was never partitioned."""
+        row = self.meta.con.execute(
+            "SELECT partition_id FROM ducklake_partition_info "
+            "WHERE table_id=? AND end_snapshot IS NULL",
+            (h.table_id,),
+        ).fetchone()
+        return row[0] if row else None
+
     def _partition_prune_clause(self, h: TableHandle, part_keys: dict,
+                                live_pid: int | None,
                                 col: str, op: str, val) -> tuple[str, list] | None:
         """Partition pruning over ducklake_file_partition_value
         (reference: ducklake_metadata_manager.cpp:1843-1853; bucket
-        clause :2201). Files lacking partition values are kept."""
-        if col not in part_keys:
+        clause :2201). Files lacking partition values are kept, and
+        only files stamped with the CURRENT spec id prune — a value
+        recorded under an earlier spec describes a different column."""
+        if col not in part_keys or live_pid is None:
             return None
         idx, transform = part_keys[col]
         t = transform.lower()
         base = (
             " AND data_file_id NOT IN ("
-            "SELECT data_file_id FROM ducklake_file_partition_value "
-            "WHERE table_id = ? AND partition_key_index = ? AND {cond})"
+            "SELECT pv.data_file_id FROM ducklake_file_partition_value pv "
+            "JOIN ducklake_data_file df ON pv.data_file_id = df.data_file_id "
+            "WHERE pv.table_id = ? AND df.partition_id = ? "
+            "AND pv.partition_key_index = ? AND {cond})"
         )
         if t == "identity":
             # typed compare in Python over the (few) DISTINCT stored values:
@@ -2115,9 +2171,13 @@ class DuckLake:
             if f_op is None and op not in ("isnull", "notnull"):
                 return None
             vals = self.meta.query(
-                "SELECT DISTINCT partition_value FROM ducklake_file_partition_value "
-                "WHERE table_id = ? AND partition_key_index = ?",
-                (h.table_id, idx),
+                "SELECT DISTINCT pv.partition_value "
+                "FROM ducklake_file_partition_value pv "
+                "JOIN ducklake_data_file df "
+                "ON pv.data_file_id = df.data_file_id "
+                "WHERE pv.table_id = ? AND df.partition_id = ? "
+                "AND pv.partition_key_index = ?",
+                (h.table_id, live_pid, idx),
             )
             contradictors = []
             for (pv,) in vals:
@@ -2144,7 +2204,7 @@ class DuckLake:
             qs = ",".join("?" * len(contradictors))
             return (
                 base.format(cond=f"partition_value IN ({qs})"),
-                [h.table_id, idx, *contradictors],
+                [h.table_id, live_pid, idx, *contradictors],
             )
         if t in ("year", "month", "day", "hour") and isinstance(val, str):
             bucket_val = _date_part_of_literal(t, val)
@@ -2153,7 +2213,7 @@ class DuckLake:
             if op == "=":
                 return (
                     base.format(cond="CAST(partition_value AS REAL) <> ?"),
-                    [h.table_id, idx, bucket_val],
+                    [h.table_id, live_pid, idx, bucket_val],
                 )
             # range on the source column -> range on the (monotonic for
             # year/truncation) transform value
@@ -2161,7 +2221,7 @@ class DuckLake:
                 inv = {">": "<", ">=": "<", "<": ">", "<=": ">"}[op]
                 return (
                     base.format(cond=f"CAST(partition_value AS REAL) {inv} ?"),
-                    [h.table_id, idx, bucket_val],
+                    [h.table_id, live_pid, idx, bucket_val],
                 )
             return None
         m = re.fullmatch(r"bucket\((\d+)\)", t)
@@ -2171,7 +2231,7 @@ class DuckLake:
             b = bucket_py(val, int(m.group(1)))
             return (
                 base.format(cond="CAST(partition_value AS REAL) <> ?"),
-                [h.table_id, idx, b],
+                [h.table_id, live_pid, idx, b],
             )
         return None
 
@@ -3155,14 +3215,29 @@ class DuckLake:
             return out
         spec = self._partition_spec(h)
         foreign_ids = {f["data_file_id"] for f in foreign}
-        # single batched query (not per-file round-trips)
+        # single batched query (not per-file round-trips); each file's
+        # values bind to the spec it was ADOPTED under (its stamped
+        # partition_id) — resolving them through a later spec would
+        # backfill the wrong column after SET PARTITIONED BY changes
         vals = self.meta.query(
-            "SELECT data_file_id, partition_key_index, partition_value "
-            "FROM ducklake_file_partition_value WHERE table_id=?",
+            "SELECT pv.data_file_id, pv.partition_key_index, "
+            "pv.partition_value, df.partition_id "
+            "FROM ducklake_file_partition_value pv "
+            "JOIN ducklake_data_file df "
+            "ON pv.data_file_id = df.data_file_id "
+            "WHERE pv.table_id=?",
             (h.table_id,),
         )
         name_by_cid = {c[0]: c[1] for c in h.columns}
-        for fid, idx, v in vals:
+        spec_cols: dict[int, dict[int, tuple[str | None, str]]] = {}
+        for pid, kidx, cid, transform in self.meta.query(
+            "SELECT partition_id, partition_key_index, column_id, transform "
+            "FROM ducklake_partition_column WHERE table_id=?",
+            (h.table_id,),
+        ):
+            spec_cols.setdefault(pid, {})[kidx] = (
+                name_by_cid.get(cid), transform)
+        for fid, idx, v, fpid in vals:
             if fid not in foreign_ids:
                 continue
             if idx < 0:
@@ -3173,7 +3248,13 @@ class DuckLake:
                 cname = name_by_cid.get(-idx - 1)
                 if cname is not None:
                     out.setdefault(fid, {})[cname] = v
-            elif idx < len(spec) and spec[idx][1] == "identity":
+            elif fpid is not None and fpid in spec_cols:
+                cname, transform = spec_cols[fpid].get(idx, (None, ""))
+                if cname is not None and transform == "identity":
+                    out.setdefault(fid, {})[cname] = v
+            elif fpid is None and idx < len(spec) and spec[idx][1] == "identity":
+                # legacy files adopted before partition_id stamping:
+                # keep the old current-spec interpretation
                 out.setdefault(fid, {})[spec[idx][0]] = v
         return out
 

@@ -90,6 +90,15 @@ def _merge_adjacent_in_txn(lake, tables, target_file_size,
         pv_acc: dict[int, list[tuple[int, str]]] = {}
         for fid_, idx_, v_ in pv_rows:
             pv_acc.setdefault(fid_, []).append((idx_, v_))
+        # a pack never mixes files from different partition SPECS: equal
+        # value tuples under different specs describe different columns,
+        # and the merged file inherits its pack's spec id so pruning
+        # still applies to it (ducklake_data_file.partition_id)
+        pid_by_fid = dict(lake.meta.query(
+            "SELECT data_file_id, partition_id FROM ducklake_data_file "
+            "WHERE table_id=?",
+            (h.table_id,),
+        ))
         part_vals = {
             f["data_file_id"]: tuple(
                 v for _, v in sorted(pv_acc.get(f["data_file_id"], []))
@@ -133,8 +142,9 @@ def _merge_adjacent_in_txn(lake, tables, target_file_size,
                 # (default-filled) — keep these files isolated
                 continue
             groups.setdefault(
-                (part_vals[f["data_file_id"]], epoch), []).append(f)
-        for (pv, epoch), members in groups.items():
+                (part_vals[f["data_file_id"]],
+                 pid_by_fid.get(f["data_file_id"]), epoch), []).append(f)
+        for (pv, pid, epoch), members in groups.items():
             # greedy adjacent packing toward target size
             # (ducklake_compaction_functions.cpp:367-414)
             batch: list[dict] = []
@@ -152,13 +162,13 @@ def _merge_adjacent_in_txn(lake, tables, target_file_size,
                 if (max_compacted_files is not None
                         and n_groups >= max_compacted_files):
                     return n_groups
-                _rewrite_pack(lake, h, pack, pv, epoch)
+                _rewrite_pack(lake, h, pack, pv, pid, epoch)
                 n_groups += 1
     return n_groups
 
 
 def _rewrite_pack(lake: DuckLake, h, pack: list[dict], part_vals: tuple,
-                  epoch: tuple) -> None:
+                  part_pid: int | None, epoch: tuple) -> None:
     """Merge one same-epoch pack into one file, preserving the epoch's
     PHYSICAL shape: read with the epoch's reverted nested names, write
     those names back, and keep ADD COLUMN ... DEFAULT columns physically
@@ -259,6 +269,7 @@ def _rewrite_pack(lake: DuckLake, h, pack: list[dict], part_vals: tuple,
         fi.partial_max = pmax if len(set(snapmap.values())) > 1 else None
         fi.begin_snapshot_override = begin
         fi.partition_values = [(i, v) for i, v in enumerate(part_vals)]
+        fi.partition_id = part_pid
         # compacted rows are not *new* rows: don't bump table stats
         fi.record_count_for_stats = 0
     # compensate stats: _try_commit adds record_count for allocate=False files

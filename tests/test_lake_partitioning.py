@@ -314,3 +314,34 @@ def test_jvm_murmur3_matches_python(spark):
     # null stays null
     df = spark.createDataFrame([(None,)], "v string")
     assert df.select(murmur3_bucket_col(F.col("v"), n).alias("b")).first().b is None
+
+
+def test_partition_pruning_after_spec_change(lake, spark):
+    """Files keep the spec id they were written under: a predicate on
+    the NEW key must never prune old files by misreading their values
+    (old idx-0 values are a DIFFERENT column), and pruning still works
+    for files written under the current spec (reference:
+    ducklake_data_file.partition_id ties each file to its spec)."""
+    lake.create_table("sc", [("x", "int32"), ("y", "int32")])
+    lake.set_partitioned_by("sc", [("x", "identity")])
+    lake.insert("sc", spark.createDataFrame(
+        [(1, 100), (2, 200)], "x int, y int"))
+    lake.set_partitioned_by("sc", [("y", "identity")])
+    lake.insert("sc", spark.createDataFrame(
+        [(3, 300), (4, 400)], "x int, y int"))
+    # y = 200 lives only in an OLD-spec file whose idx-0 value is x=2;
+    # under the pre-fix code that file was pruned (2 != 200) -> []
+    assert [r.y for r in lake.table("sc", where="y = 200")
+            .filter("y = 200").collect()] == [200]
+    assert sorted(r.y for r in lake.table("sc", where="y >= 100")
+                  .filter("y >= 100").collect()) == [100, 200, 300, 400]
+    con = lake.meta.con
+    # both specs' files carry their own spec id
+    pids = {r[0] for r in con.execute(
+        "SELECT DISTINCT partition_id FROM ducklake_data_file "
+        "WHERE end_snapshot IS NULL").fetchall()}
+    assert len(pids) == 2 and None not in pids
+    # current-spec pruning is still effective: a y-predicate prunes the
+    # new files by partition value (old files survive via the pid scope)
+    clause, params = lake._pruning_clauses(lake._handle("sc"), "y = 300")
+    assert "partition_id" in clause and params

@@ -1169,3 +1169,45 @@ def test_corrupted_catalog_fault_isolation(spark, tmp_path):
         spark, str(tmp_path / "corrupted.db"), str(tmp_path / "corrupted"))
     with pytest.raises(Exception, match="int32varcharvarchar"):
         bad2.table("t1").collect()
+
+
+# -- quack/noop_partition_alter_data_files.test -------------------------
+
+def test_redundant_partition_alter_is_noop(lake, spark):
+    """A SET PARTITIONED BY identical to the live spec must not create
+    a new partition spec, must not bump schema_version, and files
+    written in the same transaction must all land under the ONE
+    existing partition_id."""
+    lake.create_table("p", [("part_key", "int32"), ("vals", "varchar")])
+    lake.set_partitioned_by("p", [("part_key", "identity")])
+    lake.insert("p", spark.createDataFrame(
+        [(i % 2, f"value_{i}") for i in range(5)],
+        "part_key int, vals string"))
+    con = lake.meta.con
+    (sv_before,) = con.execute(
+        "SELECT MAX(schema_version) FROM ducklake_snapshot").fetchone()
+    with lake.transaction():
+        lake.set_partitioned_by("p", [("part_key", "identity")])  # redundant
+        lake.delete("p", "part_key = 0")
+        lake.insert("p", spark.createDataFrame(
+            [(0, "replacement_a"), (0, "replacement_b")],
+            "part_key int, vals string"))
+    (live_specs,) = con.execute(
+        "SELECT COUNT(*) FROM ducklake_partition_info "
+        "WHERE end_snapshot IS NULL").fetchone()
+    assert live_specs == 1
+    (live_pids,) = con.execute(
+        "SELECT COUNT(DISTINCT partition_id) FROM ducklake_data_file "
+        "WHERE end_snapshot IS NULL").fetchone()
+    assert live_pids == 1
+    (sv_after,) = con.execute(
+        "SELECT MAX(schema_version) FROM ducklake_snapshot").fetchone()
+    assert sv_after == sv_before
+    # a NON-redundant alter still takes effect
+    lake.set_partitioned_by("p", [("part_key", "bucket(4)")])
+    (sv_bumped,) = con.execute(
+        "SELECT MAX(schema_version) FROM ducklake_snapshot").fetchone()
+    assert sv_bumped == sv_before + 1
+    got = sorted(r.vals for r in lake.table("p").collect())
+    assert got == ["replacement_a", "replacement_b",
+                   "value_1", "value_3"]
