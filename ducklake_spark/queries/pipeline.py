@@ -408,3 +408,204 @@ sql_query(
     doc="lexical diversity: per-doc token-distribution entropy averaged "
         "per source (integer-cent sum makes the average order-exact)",
 )
+
+
+# -- duplicate-cluster identification (connected components) ------------
+# The dedup ACTION needs clusters, not pairs: every near-dup component
+# collapses to one canonical doc (min doc_id). Edges are the verified
+# 3-gram-Jaccard >= 0.4 pairs (dedup_ngram_jaccard); Spark runs
+# Pregel-style min-label propagation to the fixpoint (O(diameter)
+# rounds, each a shuffle on doc_id — the standard distributed CC; at
+# 100 TB the edge set is LSH-candidate-sized, orders of magnitude
+# smaller than the corpus, and the per-round driver touch is ONE
+# scalar convergence count). The DuckDB oracle computes the same
+# fixpoint as a recursive transitive closure.
+
+def _dup_clusters_spark(spark, sf_dir):
+    from pyspark.sql import functions as F
+
+    from ducklake_spark.queries import load_tables
+    from ducklake_spark.queries.dedup import _jaccard_sql
+
+    load_tables(spark, sf_dir, ("documents",))
+    pairs = spark.sql(_jaccard_sql("spark")).select("doc_a", "doc_b")
+    edges = (
+        pairs.union(pairs.select("doc_b", "doc_a")).toDF("src", "dst").cache()
+    )
+    labels = (
+        edges.select(F.col("src").alias("id"))
+        .distinct()
+        .withColumn("label", F.col("id"))
+        .cache()
+    )
+    for _ in range(50):
+        neigh = (
+            edges.join(labels, edges["src"] == labels["id"])
+            .groupBy(edges["dst"])
+            .agg(F.min("label").alias("neigh_min"))
+        )
+        stepped = (
+            labels.join(neigh, labels["id"] == neigh["dst"], "left")
+            .select(
+                labels["id"].alias("id"),
+                F.least(
+                    labels["label"],
+                    F.coalesce(neigh["neigh_min"], labels["label"]),
+                ).alias("label"),
+            )
+        )
+        # pointer jump (label <- label's label): halves the remaining
+        # chain length each round, so convergence takes O(log diameter)
+        # rounds instead of O(diameter) — every label is itself a node
+        # id, so the self-join always resolves
+        jumped = (
+            stepped.alias("a")
+            .join(
+                stepped.alias("b"),
+                F.col("a.label") == F.col("b.id"),
+                "left",
+            )
+            .select(
+                F.col("a.id").alias("id"),
+                F.least(
+                    F.col("a.label"),
+                    F.coalesce(F.col("b.label"), F.col("a.label")),
+                ).alias("new_label"),
+            )
+        )
+        # localCheckpoint truncates the per-round lineage (a cache-only
+        # loop re-plans the whole join chain every iteration)
+        new_labels = jumped.localCheckpoint(eager=True)
+        changed = (  # labels only decrease: changed == strictly-lower
+            new_labels.join(labels, "id")
+            .filter(F.col("new_label") < F.col("label"))
+            .count()
+        )
+        old = labels
+        labels = new_labels.select(
+            "id", F.col("new_label").alias("label")
+        )
+        old.unpersist()
+        if changed == 0:
+            break
+    return (
+        labels.groupBy("label")
+        .agg(F.count("*").alias("cluster_size"))
+        .select(F.col("label").alias("canonical_id"), "cluster_size")
+        .orderBy(F.desc("cluster_size"), "canonical_id")
+    )
+
+
+def _dup_clusters_oracle() -> str:
+    from ducklake_spark.queries.dedup import _jaccard_sql
+
+    return f"""
+    WITH RECURSIVE pairs AS (
+        {_jaccard_sql("duckdb")}
+    ),
+    edges AS (
+        SELECT doc_a AS src, doc_b AS dst FROM pairs
+        UNION ALL
+        SELECT doc_b, doc_a FROM pairs
+    ),
+    reach(id, root) AS (
+        SELECT DISTINCT src, src FROM edges
+        UNION
+        SELECT e.dst, r.root FROM reach r JOIN edges e ON e.src = r.id
+    ),
+    comp AS (SELECT id, MIN(root) AS canonical_id FROM reach GROUP BY id)
+    SELECT canonical_id, CAST(COUNT(*) AS BIGINT) AS cluster_size
+    FROM comp GROUP BY canonical_id
+    ORDER BY cluster_size DESC, canonical_id
+    """
+
+
+from ducklake_spark.queries import df_query  # noqa: E402
+
+df_query(
+    "pp_dup_clusters",
+    _dup_clusters_spark,
+    oracle=_dup_clusters_oracle(),
+    tables=["documents"],
+    doc="near-dup clusters: connected components over verified Jaccard "
+        "pairs via min-label propagation (Spark) vs recursive closure "
+        "(oracle); canonical doc = min doc_id per component",
+)
+
+
+# -- Gopher repetition signal: top-bigram fraction ----------------------
+
+def _top_bigram_sql(dialect: str) -> str:
+    grams = (_spark_grams(2, distinct=False) if dialect == "spark"
+             else _duck_grams(2, distinct=False))
+    return f"""
+    WITH {grams},
+    cnt AS (
+        SELECT doc_id, g, COUNT(*) AS c FROM grams GROUP BY doc_id, g
+    ),
+    per_doc AS (
+        SELECT doc_id, MAX(c) AS top_c, SUM(c) AS n_bigrams
+        FROM cnt GROUP BY doc_id
+    )
+    SELECT d.doc_id AS doc_id, d.source AS source,
+           CAST(p.top_c AS BIGINT) AS top_c,
+           CAST(p.n_bigrams AS BIGINT) AS n_bigrams,
+           CAST(p.top_c AS DOUBLE) / p.n_bigrams AS top_bigram_frac
+    FROM per_doc p JOIN documents d ON d.doc_id = p.doc_id
+    ORDER BY top_bigram_frac DESC, doc_id
+    LIMIT 50
+    """
+
+
+sql_query(
+    "pp_top_bigram_frac",
+    _top_bigram_sql("spark"),
+    oracle=_top_bigram_sql("duckdb"),
+    tables=["documents"],
+    doc="Gopher repetition signal: fraction of a doc's bigrams taken by "
+        "its most frequent bigram (hash aggs; one exact double division)",
+)
+
+
+# -- duplicated-window coverage per source ------------------------------
+# Complements dedup_substring_spans (which LISTS repeated spans): the
+# per-doc fraction of 8-token windows that appear in 2+ docs is the
+# filterable signal, averaged per source with the integer-cent trick
+# so the mean is association-order-exact across engines.
+
+def _dup_coverage_sql(dialect: str) -> str:
+    grams = (_spark_grams(8, distinct=False) if dialect == "spark"
+             else _duck_grams(8, distinct=False))
+    return f"""
+    WITH {grams},
+    dupg AS (
+        SELECT g FROM grams GROUP BY g HAVING COUNT(DISTINCT doc_id) >= 2
+    ),
+    flag AS (
+        SELECT gr.doc_id,
+               CASE WHEN d.g IS NULL THEN 0 ELSE 1 END AS isdup
+        FROM grams gr LEFT JOIN dupg d ON d.g = gr.g
+    ),
+    per_doc AS (
+        SELECT doc_id, COUNT(*) AS n_w, SUM(isdup) AS n_dup
+        FROM flag GROUP BY doc_id
+    )
+    SELECT d.source AS source,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           ROUND(CAST(SUM(CAST(ROUND(CAST(p.n_dup AS DOUBLE) / p.n_w
+                                     * 10000) AS BIGINT)) AS DOUBLE)
+                 / COUNT(*) / 10000, 4) AS avg_dup_window_frac
+    FROM per_doc p JOIN documents d ON d.doc_id = p.doc_id
+    GROUP BY d.source
+    ORDER BY d.source
+    """
+
+
+sql_query(
+    "pp_dup_window_coverage",
+    _dup_coverage_sql("spark"),
+    oracle=_dup_coverage_sql("duckdb"),
+    tables=["documents"],
+    doc="per-source mean fraction of 8-token windows duplicated across "
+        "the corpus (explode + hash agg + equi-join, no all-pairs)",
+)
