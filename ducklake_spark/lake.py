@@ -1528,10 +1528,23 @@ class DuckLake:
             for i, (cname, transform) in enumerate(part_keys):
                 writer = writer.withColumn(f"__part_{i}", _transform_col(cname, transform))
                 part_cols.append(f"__part_{i}")
-        if sort_spec:
-            writer = writer.sortWithinPartitions(*_sort_columns(sort_spec))
         opt = lambda k, d=None: self.meta.option(
             k, d, scope="table", scope_id=h.table_id, schema_id=h.schema_id)
+        if part_cols and (
+            opt("partition_write_shuffle", "true") or "true"
+        ).lower() != "false":
+            # co-locate each partition value into one task before the
+            # partitioned write: without this every task emits one file
+            # per value it happens to hold, so a 1000-executor ingest
+            # into a 1000-value partitioning writes up to 10^6 tiny
+            # files (tasks × values). One hash shuffle on the transform
+            # columns caps output at ~one file per value while keeping
+            # value-level parallelism. partition_write_shuffle=false
+            # restores the shuffle-free path for already-clustered
+            # inputs.
+            writer = writer.repartition(*[F.col(c) for c in part_cols])
+        if sort_spec:
+            writer = writer.sortWithinPartitions(*_sort_columns(sort_spec))
         target_file_size = int(opt("target_file_size", "0") or 0)
         enc_key = None
         if self.encrypted:

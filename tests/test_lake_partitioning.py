@@ -345,3 +345,22 @@ def test_partition_pruning_after_spec_change(lake, spark):
     # new files by partition value (old files survive via the pid scope)
     clause, params = lake._pruning_clauses(lake._handle("sc"), "y = 300")
     assert "partition_id" in clause and params
+
+
+def test_partition_write_shuffle_one_file_per_value(lake, spark):
+    """The pre-write hash shuffle co-locates each partition value into
+    one task: a many-task insert into a K-value partitioning writes K
+    files, not tasks x K (the 1000-executor small-file explosion)."""
+    lake.create_table("pw", [("k", "int32"), ("v", "int64")])
+    lake.set_partitioned_by("pw", [("k", "identity")])
+    df = spark.createDataFrame(
+        [(i % 4, i) for i in range(4000)], "k int, v long").repartition(8)
+    lake.insert("pw", df)
+    (n,) = lake.meta.con.execute(
+        "SELECT COUNT(*) FROM ducklake_data_file").fetchone()
+    assert n == 4
+    assert lake.table("pw").count() == 4000
+    # opting out restores the shuffle-free write (possibly more files)
+    lake.meta.set_option("partition_write_shuffle", "false")
+    lake.insert("pw", df)
+    assert lake.table("pw").count() == 8000
