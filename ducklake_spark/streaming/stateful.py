@@ -65,3 +65,41 @@ def running_profile(
             GroupStateTimeout.NoTimeout,
         )
     )
+
+
+def dedup_stream(
+    stream_df: DataFrame,
+    *,
+    content_cols: list[str],
+    ts_col: str | None = None,
+    watermark: str = "10 minutes",
+    normalize: bool = True,
+) -> DataFrame:
+    """Streaming exact dedup: only the FIRST occurrence of each content
+    fingerprint survives across micro-batches — the incremental form of
+    the batch ``dedup_exact`` operator, for bronze-layer ingest where
+    the same document arrives again hours later.
+
+    Stays entirely on built-in operators (no Python in the hot path):
+    the fingerprint is ``md5`` over the (optionally whitespace/case
+    normalized) content columns, and duplicate suppression is Spark's
+    watermarked ``dropDuplicates`` — keyed state sharded by fingerprint
+    across executors, expired by the event-time watermark so state is
+    bounded by the dedup horizon, not the stream's lifetime. Without
+    ``ts_col`` the state never expires (exact global dedup; bounded by
+    distinct-fingerprint count)."""
+    from pyspark.sql import functions as F
+
+    parts = [
+        F.lower(F.regexp_replace(F.col(c).cast("string"), r"\s+", " "))
+        if normalize
+        else F.col(c).cast("string")
+        for c in content_cols
+    ]
+    out = stream_df.withColumn(
+        "_fingerprint", F.md5(F.concat_ws("\x1f", *parts))
+    )
+    if ts_col is not None:
+        out = out.withWatermark(ts_col, watermark)
+        return out.dropDuplicatesWithinWatermark(["_fingerprint"])
+    return out.dropDuplicates(["_fingerprint"])

@@ -188,3 +188,23 @@ def test_stateful_running_profile_over_cdc(lake, spark, tmp_path):
     assert rows[1].n_events == 2 and rows[1].total == 15.0
     assert rows[2].n_events == 1 and rows[2].total == 7.0
     assert rows[1].last_ts > rows[1].first_ts
+
+
+def test_streaming_dedup_across_microbatches(lake, spark):
+    """dedup_stream keeps only the first arrival of each fingerprint,
+    including re-arrivals in LATER micro-batches (keyed state), and
+    normalization folds whitespace/case variants together."""
+    from ducklake_spark.streaming.cdc_source import changes_stream
+    from ducklake_spark.streaming.stateful import dedup_stream
+
+    lake.create_table("docs", [("doc_id", "int64"), ("text", "varchar")])
+    lake.insert("docs", spark.createDataFrame(
+        [(1, "hello world"), (2, "HELLO   world"), (3, "fresh doc")],
+        "doc_id long, text string"))
+    stream = changes_stream(lake, "docs").filter("change_type = 'insert'")
+    deduped = dedup_stream(stream, content_cols=["text"])
+    q = (deduped.writeStream.format("memory").queryName("dd_out")
+         .outputMode("append").trigger(availableNow=True).start())
+    q.awaitTermination(120)
+    got = sorted(r.doc_id for r in spark.sql("SELECT * FROM dd_out").collect())
+    assert got == [1, 3]  # doc 2 is a case/whitespace dup of doc 1
