@@ -19,6 +19,7 @@ Reference: §2.2/§3.3 of SURVEY —
 from __future__ import annotations
 
 import os
+import threading
 import uuid
 
 from pyspark.sql import functions as F
@@ -33,6 +34,13 @@ from ducklake_spark.lake import (
 from ducklake_spark.transaction import DataFileInfo
 
 DEFAULT_TARGET_FILE_SIZE = 512 * 1024 * 1024
+
+# serializes transaction-buffer mutations when pack rewrites run from
+# the driver thread pool (the Spark jobs themselves run unlocked)
+_TXN_BUF_LOCK = threading.Lock()
+# concurrent pack-rewrite jobs per compaction call: enough to hide the
+# per-job launch latency, small enough not to starve the executors
+PACK_POOL_WORKERS = 8
 
 
 def merge_adjacent_files(lake: DuckLake, *, target_file_size: int | None = None,
@@ -144,26 +152,49 @@ def _merge_adjacent_in_txn(lake, tables, target_file_size,
             groups.setdefault(
                 (part_vals[f["data_file_id"]],
                  pid_by_fid.get(f["data_file_id"]), epoch), []).append(f)
+        all_packs: list[tuple[list[dict], tuple, int | None, tuple]] = []
         for (pv, pid, epoch), members in groups.items():
             # greedy adjacent packing toward target size
             # (ducklake_compaction_functions.cpp:367-414)
             batch: list[dict] = []
             size = 0
-            packs = []
             for f in members:
                 if size + f["file_size_bytes"] > target_file_size and len(batch) > 1:
-                    packs.append(batch)
+                    all_packs.append((batch, pv, pid, epoch))
                     batch, size = [], 0
                 batch.append(f)
                 size += f["file_size_bytes"]
             if len(batch) > 1:
-                packs.append(batch)
-            for pack in packs:
-                if (max_compacted_files is not None
-                        and n_groups >= max_compacted_files):
-                    return n_groups
-                _rewrite_pack(lake, h, pack, pv, pid, epoch)
-                n_groups += 1
+                all_packs.append((batch, pv, pid, epoch))
+        hit_cap = False
+        if max_compacted_files is not None:
+            budget = max_compacted_files - n_groups
+            hit_cap = len(all_packs) > budget
+            all_packs = all_packs[:max(0, budget)]
+        # pack rewrites are independent single-output jobs; running them
+        # serially makes compaction wall-clock O(#packs) in per-job
+        # launch latency. Submit them from a small driver thread pool —
+        # Spark's scheduler accepts concurrent jobs, catalog reads use
+        # per-thread connections, and the shared transaction's buffers
+        # mutate only under _TXN_BUF_LOCK.
+        if len(all_packs) > 1:
+            import concurrent.futures as cf
+
+            with cf.ThreadPoolExecutor(
+                max_workers=min(PACK_POOL_WORKERS, len(all_packs))
+            ) as pool:
+                futs = [
+                    pool.submit(_rewrite_pack, lake, h, pack, pv, pid, epoch)
+                    for pack, pv, pid, epoch in all_packs
+                ]
+                for fut in futs:
+                    fut.result()
+        elif all_packs:
+            pack, pv, pid, epoch = all_packs[0]
+            _rewrite_pack(lake, h, pack, pv, pid, epoch)
+        n_groups += len(all_packs)
+        if hit_cap:
+            return n_groups
     return n_groups
 
 
@@ -262,7 +293,6 @@ def _rewrite_pack(lake: DuckLake, h, pack: list[dict], part_vals: tuple,
             f"{len(files)} files")
     begin = min(snapmap.values())
     pmax = max(snapmap.values())
-    txn = lake.begin()
     for fi in files:
         fi.allocate = False
         fi.row_id_start = ordered[0]["row_id_start"] if positional else None
@@ -272,17 +302,26 @@ def _rewrite_pack(lake: DuckLake, h, pack: list[dict], part_vals: tuple,
         fi.partition_id = part_pid
         # compacted rows are not *new* rows: don't bump table stats
         fi.record_count_for_stats = 0
-    # compensate stats: _try_commit adds record_count for allocate=False files
-    txn.stats_delta.setdefault(h.table_id, {}).setdefault("records", 0)
-    txn.stats_delta[h.table_id]["records"] -= sum(f.record_count for f in files)
-    txn.new_data_files.setdefault(str(h.table_id), []).extend(files)
-    for f in pack:
-        txn.purged_data_files.setdefault(h.table_id, []).append(f["data_file_id"])
-        # source files join the touched set so a concurrent DELETE on a
-        # file being rewritten conflicts instead of silently resurrecting
-        # its rows (ducklake_transaction_state.cpp:223-224,267-276)
-        txn.touched_delete_data_files.add(f["data_file_id"])
-    txn.change_log.append(f"compacted_table:{h.table_id}")
+    # buffer mutations run under the pool lock: packs from the driver
+    # thread pool share ONE transaction, and the stats_delta
+    # read-modify-write below is not atomic on its own
+    with _TXN_BUF_LOCK:
+        txn = lake.begin()
+        # compensate stats: _try_commit adds record_count for
+        # allocate=False files
+        txn.stats_delta.setdefault(h.table_id, {}).setdefault("records", 0)
+        txn.stats_delta[h.table_id]["records"] -= sum(
+            f.record_count for f in files)
+        txn.new_data_files.setdefault(str(h.table_id), []).extend(files)
+        for f in pack:
+            txn.purged_data_files.setdefault(h.table_id, []).append(
+                f["data_file_id"])
+            # source files join the touched set so a concurrent DELETE
+            # on a file being rewritten conflicts instead of silently
+            # resurrecting its rows
+            # (ducklake_transaction_state.cpp:223-224,267-276)
+            txn.touched_delete_data_files.add(f["data_file_id"])
+        txn.change_log.append(f"compacted_table:{h.table_id}")
     lake._autocommit()
 
 

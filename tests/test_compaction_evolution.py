@@ -210,3 +210,31 @@ def test_rewrite_time_travel_sees_old_rows(lake, spark):
     old = lake.table("t", at_version=snap)
     assert sorted(r[0] for r in old.select("i").collect()) == list(range(10))
     assert all(r[0] == 7 for r in old.select("b").collect())
+
+
+def test_many_packs_compact_in_one_call_parallel(lake, spark):
+    """Many independent packs (forced by a small target_file_size) run
+    through the driver thread pool: one snapshot, every pack merged,
+    rowids preserved, readback identical."""
+    from ducklake_spark import maintenance as maint
+
+    lake.create_table("mp", [("k", "int32"), ("v", "int64")])
+    for b in range(12):
+        lake.insert("mp", spark.createDataFrame(
+            [(b, b * 1000 + i) for i in range(50)], "k int, v long"))
+    before = sorted((r.k, r.v) for r in lake.table("mp").collect())
+    (snaps_before,) = lake.meta.con.execute(
+        "SELECT COUNT(*) FROM ducklake_snapshot").fetchone()
+    # pair adjacent small files: forces ~6 packs in one call
+    sizes = [r[0] for r in lake.meta.con.execute(
+        "SELECT file_size_bytes FROM ducklake_data_file").fetchall()]
+    target = max(sizes) * 2 + 1
+    n = maint.merge_adjacent_files(lake, target_file_size=target)
+    assert n >= 4
+    (snaps_after,) = lake.meta.con.execute(
+        "SELECT COUNT(*) FROM ducklake_snapshot").fetchone()
+    assert snaps_after == snaps_before + 1  # ONE snapshot for all packs
+    assert sorted((r.k, r.v) for r in lake.table("mp").collect()) == before
+    rowids = sorted(r.rowid for r in lake.table("mp", with_virtual=True)
+                    .select("rowid").collect())
+    assert rowids == list(range(600))
