@@ -351,8 +351,10 @@ def _rewrite_data_files_in_txn(lake, tables, delete_threshold) -> int:
         )
         schema = lake._spark_schema(h)
         inlined_del_fids = _fids_with_inlined_deletes(lake, h)
-        for (fid, path, rc, rid_start, del_cnt, del_path, del_fmt, enc_key,
-             begin_snap, mapping_id) in rows:
+        victims = []
+        for row in rows:
+            (fid, _path, rc, _rid, del_cnt, _dp, _dfm, _ek,
+             _bs, mapping_id) = row
             if rc == 0 or del_cnt / rc < delete_threshold:
                 continue
             if fid in inlined_del_fids:
@@ -363,59 +365,82 @@ def _rewrite_data_files_in_txn(lake, tables, delete_threshold) -> int:
                 # adopted foreign files resolve by name map — rewriting
                 # them is a schema migration, not a rewrite; skip
                 continue
-            # the rewritten file gets a NEW begin_snapshot, so the
-            # scan gives it no evolution treatment — materialize the
-            # source file's full epoch here (nested-rename cast, ADD
-            # FIELD default, absent ADD COLUMN default); reading with
-            # the current schema raw instead silently NULLs those
-            # (round-4 verdict repro b). Reference never merges across
-            # schemas in rewrite-deletes mode
-            # (ducklake_compaction_functions.cpp:305-308).
-            fdict = {"data_file_id": fid, "begin_snapshot": begin_snap}
-            epoch_keys, init_defaults = lake._file_epoch_keys(
-                h, [fdict], schema)
-            later, ffill, absent = epoch_keys[fid]
-            gschema, fixups = lake._epoch_schema(
-                h, lake._reader_schema(h, schema), later)
-            df = (
-                lake.spark.read.options(
-                    **lake._crypto_read_options([{"encryption_key": enc_key}])
-                )
-                .schema(gschema)
-                .parquet(os.path.join(lake.data_path, path))
-                .withColumn("__pos", F.col("_metadata.row_index"))
-            )
-            df = lake._apply_epoch_evolution(
-                h, df, schema, fixups, ffill, absent, init_defaults)
-            dels = lake._delete_file_df(del_path, del_fmt).select(
-                F.col("pos").alias("__pos")
-            )
-            live = df.join(F.broadcast(dels), "__pos", "left_anti")
-            rowid = (
-                F.lit(rid_start) + F.col("__pos")
-                if rid_start is not None
-                else F.col(ROWID_COL)
-            )
-            live = live.withColumn(ROWID_COL, rowid).select(
-                *[x.name for x in schema.fields], ROWID_COL
-            ).coalesce(1).sortWithinPartitions(ROWID_COL)
-            files = lake._write_parquet(h, live, schema, [], [])
-            txn = lake.begin()
-            for fi in files:
-                # copy-on-write: new file begins at the rewrite snapshot; the
-                # old file keeps serving earlier snapshots (incl. rows that
-                # were live before the deletes being collected here)
-                fi.allocate = False
-                fi.row_id_start = None
-            txn.stats_delta.setdefault(h.table_id, {}).setdefault("records", 0)
-            txn.stats_delta[h.table_id]["records"] -= sum(f.record_count for f in files)
-            txn.new_data_files.setdefault(str(h.table_id), []).extend(files)
-            txn.removed_data_files.setdefault(h.table_id, []).append(fid)
-            txn.touched_delete_data_files.add(fid)
-            txn.change_log.append(f"compacted_table:{h.table_id}")
-            lake._autocommit()
-            n += 1
+            victims.append(row)
+        # independent per-file copy-on-write jobs: same thread-pool
+        # treatment as compaction packs (serial = O(#files) job-launch
+        # latency); buffer mutations serialize under _TXN_BUF_LOCK
+        if len(victims) > 1:
+            import concurrent.futures as cf
+
+            with cf.ThreadPoolExecutor(
+                max_workers=min(PACK_POOL_WORKERS, len(victims))
+            ) as pool:
+                futs = [
+                    pool.submit(_rewrite_one_deleted, lake, h, schema, row)
+                    for row in victims
+                ]
+                for fut in futs:
+                    fut.result()
+        elif victims:
+            _rewrite_one_deleted(lake, h, schema, victims[0])
+        n += len(victims)
     return n
+
+
+def _rewrite_one_deleted(lake, h, schema, row) -> None:
+    (fid, path, rc, rid_start, del_cnt, del_path, del_fmt, enc_key,
+     begin_snap, mapping_id) = row
+    # the rewritten file gets a NEW begin_snapshot, so the scan gives
+    # it no evolution treatment — materialize the source file's full
+    # epoch here (nested-rename cast, ADD FIELD default, absent ADD
+    # COLUMN default); reading with the current schema raw instead
+    # silently NULLs those (round-4 verdict repro b). Reference never
+    # merges across schemas in rewrite-deletes mode
+    # (ducklake_compaction_functions.cpp:305-308).
+    fdict = {"data_file_id": fid, "begin_snapshot": begin_snap}
+    epoch_keys, init_defaults = lake._file_epoch_keys(h, [fdict], schema)
+    later, ffill, absent = epoch_keys[fid]
+    gschema, fixups = lake._epoch_schema(
+        h, lake._reader_schema(h, schema), later)
+    df = (
+        lake.spark.read.options(
+            **lake._crypto_read_options([{"encryption_key": enc_key}])
+        )
+        .schema(gschema)
+        .parquet(os.path.join(lake.data_path, path))
+        .withColumn("__pos", F.col("_metadata.row_index"))
+    )
+    df = lake._apply_epoch_evolution(
+        h, df, schema, fixups, ffill, absent, init_defaults)
+    dels = lake._delete_file_df(del_path, del_fmt).select(
+        F.col("pos").alias("__pos")
+    )
+    live = df.join(F.broadcast(dels), "__pos", "left_anti")
+    rowid = (
+        F.lit(rid_start) + F.col("__pos")
+        if rid_start is not None
+        else F.col(ROWID_COL)
+    )
+    live = live.withColumn(ROWID_COL, rowid).select(
+        *[x.name for x in schema.fields], ROWID_COL
+    ).coalesce(1).sortWithinPartitions(ROWID_COL)
+    files = lake._write_parquet(h, live, schema, [], [])
+    with _TXN_BUF_LOCK:
+        txn = lake.begin()
+        for fi in files:
+            # copy-on-write: new file begins at the rewrite snapshot;
+            # the old file keeps serving earlier snapshots (incl. rows
+            # that were live before the deletes being collected here)
+            fi.allocate = False
+            fi.row_id_start = None
+        txn.stats_delta.setdefault(h.table_id, {}).setdefault("records", 0)
+        txn.stats_delta[h.table_id]["records"] -= sum(
+            f.record_count for f in files)
+        txn.new_data_files.setdefault(str(h.table_id), []).extend(files)
+        txn.removed_data_files.setdefault(h.table_id, []).append(fid)
+        txn.touched_delete_data_files.add(fid)
+        txn.change_log.append(f"compacted_table:{h.table_id}")
+    lake._autocommit()
 
 
 def expire_snapshots(lake: DuckLake, *, older_than: str | None = None,
