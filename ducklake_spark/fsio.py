@@ -74,6 +74,26 @@ class LakeFS:
             if not missing_ok:
                 raise
 
+    def remove_batch(self, paths: list[str], *, missing_ok: bool = True,
+                     workers: int = 16) -> None:
+        """Delete many files with bounded concurrency. Object stores
+        serve deletes at per-request latency — a serial loop over 100k
+        expired/orphaned files is hours of driver wall-clock; 16
+        in-flight requests make it minutes."""
+        if not paths:
+            return
+        if len(paths) == 1:
+            self.remove(paths[0], missing_ok=missing_ok)
+            return
+        import concurrent.futures as cf
+
+        with cf.ThreadPoolExecutor(
+            max_workers=min(workers, len(paths))
+        ) as pool:
+            # list() propagates the first failure
+            list(pool.map(
+                lambda p: self.remove(p, missing_ok=missing_ok), paths))
+
     def rmtree(self, path: str) -> None:
         try:
             self.fs.delete_dir(path)

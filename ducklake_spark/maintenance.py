@@ -519,16 +519,18 @@ def cleanup_old_files(lake: DuckLake, *, older_than: str | None = None,
     rows = lake.meta.query(
         "SELECT path FROM ducklake_files_scheduled_for_deletion" + where, params
     )
-    out = []
-    for (path,) in rows:
-        abs_path = lake.lfs.strip_scheme(os.path.join(lake.data_path, path))
-        out.append(path)
-        if not dry_run:
-            lake.lfs.remove(abs_path)
-            lake.meta.con.execute(
-                "DELETE FROM ducklake_files_scheduled_for_deletion WHERE path=?",
-                (path,),
-            )
+    out = [path for (path,) in rows]
+    if not dry_run and out:
+        # physical deletes first (concurrent batch), catalog rows after:
+        # a failed delete leaves its row behind for the next cleanup
+        lake.lfs.remove_batch([
+            lake.lfs.strip_scheme(os.path.join(lake.data_path, p))
+            for p in out
+        ])
+        lake.meta.con.executemany(
+            "DELETE FROM ducklake_files_scheduled_for_deletion WHERE path=?",
+            [(p,) for p in out],
+        )
     return out
 
 
@@ -577,6 +579,7 @@ def delete_orphaned_files(lake: DuckLake, *, older_than: str | None = None,
             "SELECT path FROM ducklake_files_scheduled_for_deletion")
     }
     orphans = []
+    doomed = []
     # one recursive LIST, never a per-directory walk (object-store-safe);
     # covers puffin deletion vectors too (reference
     # remove_orphans/puffin_orphan.test), and never touches a catalog DB
@@ -596,8 +599,9 @@ def delete_orphaned_files(lake: DuckLake, *, older_than: str | None = None,
         rel = p[len(data_fs):] if p.startswith(data_fs) else p
         if rel not in known:
             orphans.append(rel)
-            if not dry_run:
-                lake.lfs.remove(p)
+            doomed.append(p)
+    if not dry_run:
+        lake.lfs.remove_batch(doomed)
     return orphans
 
 

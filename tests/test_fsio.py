@@ -79,7 +79,7 @@ def test_write_lifecycle_routes_through_seam(rec_lake, spark):
     lake.expire_snapshots(versions=list(range(1, lake.current_snapshot())))
     fs.calls.clear()
     removed = lake.cleanup_old_files(cleanup_all=True)
-    assert removed and "remove" in fs.ops()
+    assert removed and ({"remove", "remove_batch"} & fs.ops())
 
 
 def test_partitioned_insert_through_seam(rec_lake, spark):
