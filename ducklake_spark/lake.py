@@ -21,6 +21,7 @@ Scale notes (how this behaves at 100 TB / 1000 executors):
 
 from __future__ import annotations
 
+import json
 import os
 import re
 import struct
@@ -1250,10 +1251,16 @@ class DuckLake:
                         f"{h.table_name!r} has reserved column name {c[1]!r}"
                     )
 
-    def create_view(self, name: str, sql: str, dialect: str = "spark") -> None:
+    def create_view(self, name: str, sql: str, dialect: str = "spark",
+                    column_aliases: list[str] | None = None) -> None:
+        """``column_aliases`` is the reference's ``CREATE VIEW v(x, y)
+        AS …`` form (ducklake_view.column_aliases; duckdb_views() shows
+        the aliased signature — test/sql/issues/view_tosql_performance
+        .test): the view's output columns are renamed positionally."""
         schema_name, vname = self._split_name(name)
+        aliases = json.dumps(column_aliases) if column_aliases else None
         txn = self.begin()
-        txn.created_views.append((schema_name, vname, dialect, sql))
+        txn.created_views.append((schema_name, vname, dialect, sql, aliases))
         txn.change_log.append(f'created_view:"{schema_name}"."{vname}"')
         self._autocommit()
 
@@ -1280,9 +1287,9 @@ class DuckLake:
         schema_name, vname = self._split_name(name)
         new_vname = new_name.split(".")[-1]
         txn = self.begin()
-        for i, (sn, vn, dialect, sql) in enumerate(txn.created_views):
+        for i, (sn, vn, dialect, sql, aliases) in enumerate(txn.created_views):
             if sn == schema_name and vn == vname:
-                txn.created_views[i] = (sn, new_vname, dialect, sql)
+                txn.created_views[i] = (sn, new_vname, dialect, sql, aliases)
                 self._autocommit()
                 return
         rows = self.meta.query(
@@ -1345,33 +1352,54 @@ class DuckLake:
         # views may reference OTHER views (view/dangling_view_columns
         # v2-on-v1): bind the remaining live views to a fixpoint —
         # each pass binds every view whose dependencies already resolve
-        _, target = self._split_name(name)
-        others = [
-            (vn, vsql.replace("{DUCKLAKE_CATALOG}.", ""))
-            for vn, vsql in self.meta.query(
-                "SELECT view_name, sql FROM ducklake_view "
-                "WHERE end_snapshot IS NULL",
-            )
-            if vn != target
-        ]
+        schema_name, target = self._split_name(name)
+        arow = self.meta.query(
+            "SELECT v.column_aliases FROM ducklake_view v "
+            "JOIN ducklake_schema s ON v.schema_id = s.schema_id "
+            "WHERE s.schema_name=? AND v.view_name=? "
+            "AND v.begin_snapshot <= ? "
+            "AND (v.end_snapshot IS NULL OR v.end_snapshot > ?)",
+            (schema_name, target, snap.snapshot_id, snap.snapshot_id),
+        )
+        target_aliases = (
+            json.loads(arow[0][0]) if arow and arow[0][0] else None
+        )
+        others = []
+        for vn, vsql, valias in self.meta.query(
+            "SELECT view_name, sql, column_aliases FROM ducklake_view "
+            "WHERE end_snapshot IS NULL",
+        ):
+            if vn == target:
+                continue
+            others.append(
+                (vn, vsql.replace("{DUCKLAKE_CATALOG}.", ""),
+                 json.loads(valias) if valias else None))
         # drop temp views left over from earlier binds of since-dropped
         # lake views (they would mask the drop)
-        live = {target} | {vn for vn, _ in others}
+        live = {target} | {vn for vn, _, _ in others}
         for stale in getattr(self, "_bound_views", set()) - live:
             self.spark.catalog.dropTempView(stale)
         self._bound_views = set(live)
         pending = list(others)
         for _round in range(len(others)):
             still = []
-            for vn, vsql in pending:
+            for vn, vsql, valias in pending:
                 try:
-                    self.spark.sql(vsql).createOrReplaceTempView(vn)
+                    vdf = self.spark.sql(vsql)
+                    if valias:
+                        vdf = vdf.toDF(*valias)
+                    vdf.createOrReplaceTempView(vn)
                 except Exception:
-                    still.append((vn, vsql))  # deps not bound yet
+                    still.append((vn, vsql, valias))  # deps not bound yet
             if not still or len(still) == len(pending):
                 break
             pending = still
-        return self.spark.sql(sql)
+        out = self.spark.sql(sql)
+        if target_aliases:
+            # CREATE VIEW v(x, y) AS …: positional output renames
+            # (reference ducklake_view.column_aliases)
+            out = out.toDF(*target_aliases)
+        return out
 
     # -- insert ------------------------------------------------------------
 

@@ -163,7 +163,7 @@ class Transaction:
         self.created_tables: list[TableDef] = []
         self.dropped_tables: list[int] = []
         self.renamed_tables: list[tuple[int, str]] = []
-        self.created_views: list[tuple[str, str, str, str]] = []  # schema, name, dialect, sql
+        self.created_views: list[tuple[str, str, str, str, str | None]] = []  # schema, name, dialect, sql, aliases-json
         self.dropped_views: list[int] = []
         self.renamed_views: list[tuple[int, str]] = []
         self.new_data_files: dict[str, list[DataFileInfo]] = {}  # key: table key
@@ -877,11 +877,12 @@ class Transaction:
                 )
 
             # --- DDL: views
-            for schema_name, vname, dialect, sql in self.created_views:
+            for schema_name, vname, dialect, sql, aliases in self.created_views:
                 sid = self._schema_id(schema_name, snap_id)
                 con.execute(
-                    "INSERT INTO ducklake_view VALUES (?, ?, ?, NULL, ?, ?, ?, ?, NULL)",
-                    (next_cat, str(uuid.uuid4()), snap_id, sid, vname, dialect, sql),
+                    "INSERT INTO ducklake_view VALUES (?, ?, ?, NULL, ?, ?, ?, ?, ?)",
+                    (next_cat, str(uuid.uuid4()), snap_id, sid, vname, dialect,
+                     sql, aliases),
                 )
                 next_cat += 1
             for vid in self.dropped_views:
@@ -892,7 +893,7 @@ class Transaction:
                 )
             for vid, new_vname in self.renamed_views:
                 row = con.execute(
-                    "SELECT view_uuid, schema_id, dialect, sql "
+                    "SELECT view_uuid, schema_id, dialect, sql, column_aliases "
                     "FROM ducklake_view WHERE view_id=? AND end_snapshot IS NULL",
                     (vid,),
                 ).fetchone()
@@ -902,8 +903,9 @@ class Transaction:
                     (snap_id, vid),
                 )
                 con.execute(
-                    "INSERT INTO ducklake_view VALUES (?, ?, ?, NULL, ?, ?, ?, ?, NULL)",
-                    (vid, row[0], snap_id, row[1], new_vname, row[2], row[3]),
+                    "INSERT INTO ducklake_view VALUES (?, ?, ?, NULL, ?, ?, ?, ?, ?)",
+                    (vid, row[0], snap_id, row[1], new_vname, row[2], row[3],
+                     row[4]),
                 )
 
             # --- column-level alters (list of SQL thunks prepared by lake)

@@ -315,3 +315,20 @@ def test_settings_descriptor(lake, spark):
     assert row.catalog_type in ("sqlite", "duckdb", "postgres")
     assert row.extension_version
     assert row.data_path == lake.data_path
+
+
+def test_view_column_aliases(lake, spark):
+    """CREATE VIEW v(x, y) AS ... renames output columns positionally
+    (reference ducklake_view.column_aliases;
+    test/sql/issues/view_tosql_performance.test)."""
+    lake.create_view("aliased_view", "SELECT 1, 2",
+                     column_aliases=["x", "y"])
+    df = lake.view("aliased_view")
+    assert df.columns == ["x", "y"]
+    assert [tuple(r) for r in df.collect()] == [(1, 2)]
+    # a view ON the aliased view binds through the aliased names
+    lake.create_view("v2", "SELECT x + y AS s FROM aliased_view")
+    assert [r.s for r in lake.view("v2").collect()] == [3]
+    # rename preserves the aliases
+    lake.rename_view("aliased_view", "renamed_aliased")
+    assert lake.view("renamed_aliased").columns == ["x", "y"]

@@ -1211,3 +1211,32 @@ def test_redundant_partition_alter_is_noop(lake, spark):
     got = sorted(r.vals for r in lake.table("p").collect())
     assert got == ["replacement_a", "replacement_b",
                    "value_1", "value_3"]
+
+
+# -- issues/issue_sqlite_snapshot_time.test -----------------------------
+
+def test_attach_pinned_at_snapshot_time(spark, tmp_path):
+    """Capture max(snapshot_time), write more data, re-attach pinned at
+    the captured timestamp: reads see only the first two rows (and the
+    pinned attach is read-only)."""
+    from ducklake_spark.lake import DuckLake
+
+    db = str(tmp_path / "st.db")
+    data = str(tmp_path / "stdata")
+    lake = DuckLake.attach(spark, db, data)
+    lake.create_table("t", [("col1", "int64"), ("col2", "varchar")])
+    lake.insert("t", spark.createDataFrame(
+        [(1, "a"), (2, "b")], "col1 long, col2 string"))
+    (t1,) = lake.meta.con.execute(
+        "SELECT MAX(snapshot_time) FROM ducklake_snapshot").fetchone()
+    lake2 = DuckLake.attach(spark, db, data)
+    lake2.insert("t", spark.createDataFrame(
+        [(3, "c"), (4, "d")], "col1 long, col2 string"))
+    pinned = DuckLake.attach(spark, db, data, snapshot_time=str(t1))
+    got = sorted(tuple(r) for r in pinned.table("t").collect())
+    assert got == [(1, "a"), (2, "b")]
+    with pytest.raises(Exception):
+        pinned.insert("t", spark.createDataFrame(
+            [(9, "z")], "col1 long, col2 string"))
+    # unpinned attach still sees all four
+    assert DuckLake.attach(spark, db, data).table("t").count() == 4
