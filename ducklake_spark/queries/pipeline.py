@@ -609,3 +609,77 @@ sql_query(
     doc="per-source mean fraction of 8-token windows duplicated across "
         "the corpus (explode + hash agg + equi-join, no all-pairs)",
 )
+
+
+# -- full curation funnel: one declarative pass -------------------------
+# The end-to-end "what survives curation" query: Gopher rules + exact
+# near-normalized dedup (keep min doc_id per normalized text) +
+# majority-language gate, composed as ONE SQL statement — every stage
+# is a hash aggregate or equi-join, so the whole funnel is a single
+# Catalyst plan with map-side partials (no operator boundary
+# materialization, no Python).
+
+def _funnel_sql(dialect: str) -> str:
+    if dialect == "spark":
+        toks = "explode(split(text, ' ')) AS tok"
+    else:
+        toks = "unnest(string_split(text, ' ')) AS tok"
+    return f"""
+    WITH per_tok AS (
+        SELECT doc_id, tok, COUNT(*) AS c
+        FROM (SELECT doc_id, {toks} FROM documents) x
+        GROUP BY doc_id, tok
+    ),
+    rep AS (
+        SELECT doc_id,
+               CAST(SUM(c) AS BIGINT) AS n_tokens,
+               CAST(MAX(c) AS DOUBLE) / SUM(c) AS top_token_frac
+        FROM per_tok GROUP BY doc_id
+    ),
+    canon AS (
+        SELECT MIN(doc_id) AS doc_id
+        FROM documents
+        GROUP BY lower(regexp_replace(text, '\\\\s+', ' '))
+    ),
+    major AS (
+        SELECT lang FROM (
+            SELECT lang, COUNT(*) AS n FROM documents GROUP BY lang
+        ) l ORDER BY n DESC, lang LIMIT 1
+    ),
+    flags AS (
+        SELECT d.doc_id, d.source,
+               CASE WHEN r.n_tokens BETWEEN 50 AND 100000
+                     AND CAST(length(replace(d.text, ' ', '')) AS DOUBLE)
+                         / r.n_tokens BETWEEN 3 AND 10
+                     AND (d.text LIKE '% the %' OR d.text LIKE 'the %'
+                          OR d.text LIKE '% a %' OR d.text LIKE 'a %')
+                     AND r.top_token_frac <= 0.20
+                    THEN 1 ELSE 0 END AS q_pass,
+               CASE WHEN c.doc_id IS NOT NULL THEN 1 ELSE 0 END AS canon_pass,
+               CASE WHEN d.lang = (SELECT lang FROM major)
+                    THEN 1 ELSE 0 END AS lang_pass
+        FROM documents d
+        JOIN rep r ON r.doc_id = d.doc_id
+        LEFT JOIN canon c ON c.doc_id = d.doc_id
+    )
+    SELECT source,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(q_pass) AS BIGINT) AS n_quality,
+           CAST(SUM(canon_pass) AS BIGINT) AS n_canonical,
+           CAST(SUM(lang_pass) AS BIGINT) AS n_major_lang,
+           CAST(SUM(q_pass * canon_pass * lang_pass) AS BIGINT) AS n_kept
+    FROM flags
+    GROUP BY source
+    ORDER BY source
+    """
+
+
+sql_query(
+    "pp_curation_funnel",
+    _funnel_sql("spark"),
+    oracle=_funnel_sql("duckdb"),
+    tables=["documents"],
+    doc="end-to-end curation funnel per source: Gopher rules x exact "
+        "dedup canonicals x majority-language gate in ONE declarative "
+        "plan (hash aggs + equi-joins only)",
+)
