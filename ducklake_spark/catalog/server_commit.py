@@ -101,6 +101,45 @@ def apply_data_commit(con, payload: dict, lock=None) -> dict:
     raise RuntimeError("unreachable")
 
 
+class _ServerMeta:
+    """The minimal MetadataManager surface Transaction._check_conflicts
+    needs, bound to the server's own connection — so the SERVER-side
+    conflict check runs the client's matrix method verbatim (one
+    source of truth, like the reference sharing
+    DuckLakeTransactionState between both commit paths)."""
+
+    def __init__(self, con):
+        self.con = con
+
+    def query(self, sql: str, params: tuple = ()):  # noqa: D401
+        return self.con.execute(sql, tuple(params)).fetchall()
+
+
+def _check_conflicts_server(con, payload: dict) -> None:
+    from ducklake_spark.catalog.metadata import ConflictError
+    from ducklake_spark.transaction import Transaction
+
+    since = con.execute(
+        "SELECT s.snapshot_id, COALESCE(c.changes_made, '') "
+        "FROM ducklake_snapshot s "
+        "LEFT JOIN ducklake_snapshot_changes c "
+        "ON s.snapshot_id = c.snapshot_id "
+        "WHERE s.snapshot_id > ? AND s.snapshot_time IS NOT NULL "
+        "ORDER BY s.snapshot_id",
+        (int(payload["base_snapshot_id"]),),
+    ).fetchall()
+    if not since:
+        return
+    probe = Transaction.__new__(Transaction)  # state-only: no __init__
+    probe.meta = _ServerMeta(con)
+    probe.change_log = list(payload["change_log"])
+    probe.touched_delete_data_files = set(payload.get("touched_files", ()))
+    try:
+        probe._check_conflicts(since)
+    except ConflictError as e:
+        raise ServerCommitConflict(str(e)) from e
+
+
 def _attempt(con, payload: dict) -> dict:
     from ducklake_spark.catalog.metadata import _now_ts, safe_rollback
     from ducklake_spark.transaction import STAGED_BASE
@@ -108,10 +147,17 @@ def _attempt(con, payload: dict) -> dict:
     con.execute("BEGIN")
     try:
         base = int(payload["base_snapshot_id"])
+        kinds = {e.partition(":")[0] for e in payload["change_log"]}
+        if kinds != {"inserted_into_table"}:
+            # general DML/compaction commit: full conflict matrix
+            _check_conflicts_server(con, payload)
+            fast_path_tables = []
+        else:
+            fast_path_tables = payload["tables"]
         # --- append fast-path conflict probes (reference
         # CanSkipSnapshotFetch + quack IsDataOnlyCommit; mirrors
         # Transaction._check_append_fast_path statement for statement)
-        for t in payload["tables"]:
+        for t in fast_path_tables:
             tid = int(t["table_id"])
             live = con.execute(
                 "SELECT 1 FROM ducklake_table WHERE table_id=? "
@@ -213,11 +259,13 @@ def _attempt(con, payload: dict) -> dict:
                                for idx, val in f["partition_values"])
                 cs_rows.extend((fid, tid, *cs) for cs in f["column_stats"])
                 vr_rows.extend((fid, tid, *vr) for vr in f["variant_stats"])
-            con.executemany(
-                "INSERT INTO ducklake_data_file VALUES "
-                "(?, ?, ?, NULL, ?, ?, 1, 'parquet', ?, ?, ?, ?, ?, ?, ?, ?, ?)",
-                file_rows,
-            )
+            if file_rows:
+                con.executemany(
+                    "INSERT INTO ducklake_data_file VALUES "
+                    "(?, ?, ?, NULL, ?, ?, 1, 'parquet', "
+                    "?, ?, ?, ?, ?, ?, ?, ?, ?)",
+                    file_rows,
+                )
             if pv_rows:
                 con.executemany(
                     "INSERT INTO ducklake_file_partition_value "
@@ -242,6 +290,77 @@ def _attempt(con, payload: dict) -> dict:
                 "UPDATE ducklake_table_stats SET record_count=?, next_row_id=?, "
                 "file_size_bytes=? WHERE table_id=?",
                 (rec_cnt, next_row_id, fsize, tid),
+            )
+
+        # --- delete family (mirrors _try_commit order and statements)
+        for dfid in payload.get("replaced_delete_files", ()):
+            con.execute(
+                "UPDATE ducklake_delete_file SET end_snapshot=? "
+                "WHERE delete_file_id=? AND end_snapshot IS NULL",
+                (snap_id, dfid),
+            )
+        for tid_s, pairs in payload.get("inlined_deletes", {}).items():
+            tid = int(tid_s)
+            con.execute(
+                f"CREATE TABLE IF NOT EXISTS ducklake_inlined_deletes_{tid}("
+                "data_file_id BIGINT, pos BIGINT, "
+                "begin_snapshot BIGINT, end_snapshot BIGINT)"
+            )
+            if pairs:
+                con.executemany(
+                    f"INSERT INTO ducklake_inlined_deletes_{tid} "
+                    "VALUES (?, ?, ?, NULL)",
+                    [(fid, pos, snap_id) for fid, pos in pairs],
+                )
+        for tid_s, dfiles in payload.get("delete_files", {}).items():
+            tid = int(tid_s)
+            for (dfid, dpath, dfmt, dcount, dsize, dfooter, denc,
+                 drgc) in dfiles:
+                con.execute(
+                    "INSERT INTO ducklake_delete_file VALUES "
+                    "(?, ?, ?, NULL, ?, ?, 1, ?, ?, ?, ?, ?, NULL, ?)",
+                    (next_file, tid, snap_id, dfid, dpath, dfmt,
+                     dcount, dsize, dfooter, denc, drgc),
+                )
+                next_file += 1
+        for tid_s, fids in payload.get("removed_data_files", {}).items():
+            for fid in fids:
+                con.execute(
+                    "UPDATE ducklake_data_file SET end_snapshot=? "
+                    "WHERE data_file_id=? AND (end_snapshot IS NULL "
+                    "OR end_snapshot >= ?)",
+                    (snap_id, fid, STAGED_BASE),
+                )
+                con.execute(
+                    "UPDATE ducklake_delete_file SET end_snapshot=? "
+                    "WHERE data_file_id=? AND (end_snapshot IS NULL "
+                    "OR end_snapshot >= ?)",
+                    (snap_id, fid, STAGED_BASE),
+                )
+        for tid_s, fids in payload.get("purged_data_files", {}).items():
+            for fid in fids:
+                row = con.execute(
+                    "SELECT path FROM ducklake_data_file WHERE data_file_id=?",
+                    (fid,),
+                ).fetchone()
+                for tbl in ("ducklake_data_file",
+                            "ducklake_file_column_stats",
+                            "ducklake_file_variant_stats",
+                            "ducklake_file_partition_value"):
+                    con.execute(
+                        f"DELETE FROM {tbl} WHERE data_file_id=?", (fid,)
+                    )
+                if row:
+                    con.execute(
+                        "INSERT INTO ducklake_files_scheduled_for_deletion "
+                        "VALUES (?, ?, 1, ?)",
+                        (fid, row[0], _now_ts()),
+                    )
+        for tid_s, delta in payload.get("stats_delta", {}).items():
+            con.execute(
+                "UPDATE ducklake_table_stats SET record_count = "
+                "record_count + ? WHERE table_id = ?",
+                (delta, int(tid_s)),
             )
 
         con.execute(

@@ -450,34 +450,41 @@ class Transaction:
                 wait_ms *= backoff
         raise RuntimeError("unreachable")
 
+    # change kinds the server-side path can replay: physical inserts,
+    # deletes (file or catalog-inlined), and compaction — i.e. every
+    # DML/maintenance commit. DDL, adoption maps, sort alters, and
+    # inlined-ROW writes (arbitrary per-table schemas + pending-id
+    # sentinels) keep the client loop.
+    _SERVER_KINDS = {
+        "inserted_into_table", "deleted_from_table", "inlined_delete",
+        "compacted_table",
+    }
+
     def _server_commit_payload(self) -> dict | None:
         """Serialize this transaction for the server-side ("quack")
-        commit path, or None when it is not a data-only commit.
+        commit path, or None when its shape is not eligible.
 
-        The eligible shape mirrors the reference's IsDataOnlyCommit:
-        physical file appends to existing tables and nothing else — no
-        DDL, no deletes, no inlined rows, no compaction, no adoption
-        maps (quack_metadata_manager.hpp; the server replays exactly
-        the append fast path)."""
+        Extends the reference's IsDataOnlyCommit fast path to the full
+        DML family — INSERT, DELETE (positional files and inlined
+        positions), UPDATE/MERGE (delete+insert), and compaction — all
+        of which are plain catalog rows the server can replay. The
+        conflict matrix runs SERVER-side via the same _check_conflicts
+        method the client uses (quack_metadata_manager.hpp;
+        ducklake_server_side_commit.cpp stages the same families)."""
         if (
             self.created_schemas or self.dropped_schemas
             or self.created_tables or self.dropped_tables
             or self.renamed_tables or self.created_views
             or self.dropped_views or self.renamed_views
-            or self.new_delete_files or self.replaced_delete_files
-            or self.removed_data_files or self.purged_data_files
-            or self.compacted_files or self.stats_delta
+            or self.compacted_files
             or self.column_changes or self.mapping_ops or self.sort_ops
             or self.inlined_inserts or self.inlined_inserts_rebase
             or self.inlined_end_updates or self.inlined_clears
-            or self.inlined_deletes or self.schema_bump_tables
-            or self.touched_delete_data_files
+            or self.schema_bump_tables
         ):
             return None
-        if not self.new_data_files:
-            return None
         kinds = {e.partition(":")[0] for e in self.change_log}
-        if kinds != {"inserted_into_table"}:
+        if not kinds or not kinds <= self._SERVER_KINDS:
             return None
         con = self.meta.con
         tables = []
@@ -544,13 +551,40 @@ class Transaction:
             )
         author, message, extra = self.commit_message
         return {
-            "protocol": 1,
+            "protocol": 2,
             "base_snapshot_id": self.base.snapshot_id,
             "change_log": list(self.change_log),
             "author": author,
             "message": message,
             "extra": extra,
             "tables": tables,
+            "replaced_delete_files": list(self.replaced_delete_files),
+            "delete_files": {
+                str(tid): [
+                    (df.data_file_id, df.path, df.format, df.delete_count,
+                     df.file_size_bytes, df.footer_size, df.encryption_key,
+                     df.row_group_count)
+                    for df in dfiles
+                ]
+                for tid, dfiles in self.new_delete_files.items()
+            },
+            "inlined_deletes": {
+                str(tid): [list(p) for p in pairs]
+                for tid, pairs in self.inlined_deletes.items()
+            },
+            "removed_data_files": {
+                str(tid): list(fids)
+                for tid, fids in self.removed_data_files.items()
+            },
+            "purged_data_files": {
+                str(tid): list(fids)
+                for tid, fids in self.purged_data_files.items()
+            },
+            "stats_delta": {
+                str(tid): d.get("records", 0)
+                for tid, d in self.stats_delta.items()
+            },
+            "touched_files": sorted(self.touched_delete_data_files),
         }
 
     def _server_commit(self, payload: dict) -> int:

@@ -170,12 +170,10 @@ def test_failed_server_commit_leaves_no_orphan_snapshot(pg_lake, spark):
     ]
 
 
-def test_non_data_commits_build_no_payload(pg_lake, spark):
-    """DDL and delete transactions are not data-only: the payload
-    builder must decline them (they run the client-side loop)."""
+def test_ddl_commits_build_no_payload_but_dml_does(pg_lake, spark):
+    """DDL keeps the client-side loop; DELETE/UPDATE ship server-side
+    (the protocol-2 extension past the reference's IsDataOnlyCommit)."""
     lake = pg_lake
-    lake.create_table("t", [("i", "int64"), ("v", "varchar")])
-    lake.insert("t", _df(spark, 8))
     seen = []
     from ducklake_spark import transaction as txn_mod
 
@@ -188,11 +186,43 @@ def test_non_data_commits_build_no_payload(pg_lake, spark):
 
     txn_mod.Transaction._server_commit_payload = spy
     try:
+        lake.create_table("t", [("i", "int64"), ("v", "varchar")])
+        assert seen == [False]  # DDL declined
+        lake.insert("t", _df(spark, 8))
         lake.delete("t", "i >= 6")
+        from ducklake_spark import dml
+
+        dml.update(lake, "t", {"v": "'upd'"}, "i = 1")
     finally:
         txn_mod.Transaction._server_commit_payload = orig
-    assert seen and not any(seen)
+    assert seen == [False, True, True, True]  # insert+delete+update ship
     assert lake.table("t").count() == 6
+    assert [r.v for r in lake.table("t").filter("i = 1").collect()] == ["upd"]
+
+
+def test_server_delete_compact_round_trip(pg_lake, spark):
+    """The full DML/maintenance family over the wire: inserts, a
+    positional delete, compaction (purged sources ride the payload),
+    and time travel across all of it."""
+    from ducklake_spark import maintenance as maint
+
+    lake = pg_lake
+    lake.create_table("t", [("i", "int64"), ("v", "varchar")])
+    for b in range(3):
+        lake.insert("t", _df(spark, 20, base=b * 100))
+    snap_full = lake.current_snapshot()
+    n = maint.merge_adjacent_files(lake)
+    assert n >= 1  # compaction (with purged sources) rode the payload
+    con = lake.meta.con
+    (sched,) = con.execute(
+        "SELECT COUNT(*) FROM ducklake_files_scheduled_for_deletion"
+    ).fetchone()
+    assert sched > 0
+    lake.delete("t", "i % 100 >= 15")
+    assert sorted(r.i for r in lake.table("t").collect()) == sorted(
+        b * 100 + i for b in range(3) for i in range(15))
+    # time travel back across the server-side compaction + delete
+    assert lake.table("t", at_version=snap_full).count() == 60
 
 
 def test_server_commit_encrypted_lake(spark, tmp_path, server):
