@@ -208,3 +208,42 @@ def test_streaming_dedup_across_microbatches(lake, spark):
     q.awaitTermination(120)
     got = sorted(r.doc_id for r in spark.sql("SELECT * FROM dd_out").collect())
     assert got == [1, 3]  # doc 2 is a case/whitespace dup of doc 1
+
+
+def test_bronze_to_silver_incremental_curation(lake, spark, tmp_path):
+    """End-to-end incremental curation: bronze inserts stream through
+    CDC -> streaming dedup -> lake sink into a silver table; a second
+    run picks up only new changes, re-arrived duplicates stay dropped
+    across runs (dropDuplicates state lives in the checkpoint), and
+    every micro-batch is one silver snapshot."""
+    from ducklake_spark.streaming.cdc_source import changes_stream
+    from ducklake_spark.streaming.lake_sink import write_stream
+    from ducklake_spark.streaming.stateful import dedup_stream
+
+    lake.create_table("bronze", [("doc_id", "int64"), ("text", "varchar")])
+    lake.create_table("silver", [("doc_id", "int64"), ("text", "varchar")])
+    ckpt = str(tmp_path / "ckpt")
+
+    def run_once(start=None):
+        kw = {} if start is None else {"start_snapshot": start}
+        stream = changes_stream(lake, "bronze", **kw).filter(
+            "change_type = 'insert'")
+        deduped = dedup_stream(stream, content_cols=["text"]).select(
+            "doc_id", "text")
+        q = write_stream(deduped, lake, "silver", checkpoint=ckpt,
+                         trigger={"availableNow": True})
+        q.awaitTermination(120)
+        return lake.current_snapshot()
+
+    lake.insert("bronze", spark.createDataFrame(
+        [(1, "alpha doc"), (2, "ALPHA   doc"), (3, "beta doc")],
+        "doc_id long, text string"))
+    last = run_once()
+    assert sorted(r.doc_id for r in lake.table("silver").collect()) == [1, 3]
+
+    # second wave: one re-arrival of a known text, one genuinely new
+    lake.insert("bronze", spark.createDataFrame(
+        [(4, "alpha doc"), (5, "gamma doc")], "doc_id long, text string"))
+    run_once(start=last)
+    assert sorted(r.doc_id for r in lake.table("silver").collect()) == [
+        1, 3, 5]
