@@ -136,3 +136,43 @@ def test_range_join_buckets(spark):
         bucket="1 hour",
     ).collect()
     assert {(r.id, r.rid) for r in out} == {(1, 10)}
+
+
+def test_incremental_neardup_index_matches_batch(spark, tmp_path):
+    import conftest
+    from ducklake_spark.lake import DuckLake
+
+    lake = DuckLake.attach(
+        spark, conftest.catalog_url(tmp_path), str(tmp_path / "data"))
+    """The persisted-index incremental path emits EXACTLY the pairs a
+    batch LSH over the combined corpus emits for pairs involving a new
+    document — same signatures, same bucket cap — without recomputing
+    any old document's shingles."""
+    from ducklake_spark.operators.dedup_index import (
+        add_documents,
+        create_index,
+        neardup_candidates,
+    )
+    from ducklake_spark.queries.dedup import _minhash_sql
+
+    docs = spark.read.parquet("/root/testdata/sf0.01/documents.parquet")
+    old = docs.filter("doc_id < 250")
+    new = docs.filter("doc_id >= 250")
+    create_index(lake)
+    assert add_documents(lake, old) > 0
+
+    inc = {(r.doc_a, r.doc_b)
+           for r in neardup_candidates(lake, new).collect()}
+    docs.createOrReplaceTempView("documents")
+    batch = {(r.doc_a, r.doc_b)
+             for r in spark.sql(_minhash_sql("spark")).collect()}
+    new_ids = {r.doc_id for r in new.select("doc_id").collect()}
+    want = {p for p in batch if p[0] in new_ids or p[1] in new_ids}
+    assert inc == want
+    assert inc  # the synthetic corpus has cross-half near-dups
+
+    # the index is a normal lake table: band-partitioned, time-travels
+    add_documents(lake, new)
+    idx = lake.table("minhash_index")
+    assert idx.count() == docs.count() * 8
+    assert idx.filter("band = 3").count() == docs.count()
