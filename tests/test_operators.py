@@ -176,3 +176,42 @@ def test_incremental_neardup_index_matches_batch(spark, tmp_path):
     idx = lake.table("minhash_index")
     assert idx.count() == docs.count() * 8
     assert idx.filter("band = 3").count() == docs.count()
+
+
+def test_persisted_ivf_index_prunes_and_matches(spark, tmp_path):
+    """The lake-persisted IVF index returns the same top-k as the
+    in-memory IVF operator over the same vectors + centroid choice,
+    incremental adds assign against the frozen centroids, and the
+    probed scan reads only the probed cells' files (metadata-level
+    partition pruning, checked via the pruned file list)."""
+    import conftest
+    from ducklake_spark.lake import DuckLake
+    from ducklake_spark.operators import ann_index
+    from ducklake_spark.operators.similarity import ivf_topk
+
+    lake = DuckLake.attach(
+        spark, conftest.catalog_url(tmp_path), str(tmp_path / "data"))
+    emb = spark.read.parquet(f"{SF_DIR}/embeddings.parquet").select(
+        "vec_id", "embedding")
+    first = emb.filter("vec_id < 40")
+    second = emb.filter("vec_id >= 40")
+    n1 = ann_index.build_ivf_index(lake, first, n_cells=4)
+    assert n1 == first.count()
+    ann_index.add_vectors(lake, second)
+
+    queries = emb.filter("vec_id IN (1, 17, 33)")
+    got = {(r.query_id, r.neighbor_id, r.rank)
+           for r in ann_index.topk(lake, queries, k=3, nprobe=2).collect()}
+    centroids = lake.table("ivf_centroids")
+    want = {(r.query_id, r.neighbor_id, r.rank)
+            for r in ivf_topk(emb, queries, centroids, k=3, nprobe=2)
+            .collect()}
+    assert got == want and got
+
+    # pruning: a single-cell predicate keeps only that cell's files
+    h = lake._handle("ivf_cells")
+    snap = lake.meta.latest_snapshot()
+    all_files = lake._visible_files(h, snap, None)
+    one_cell = lake._visible_files(h, snap, "cell_id = %d" % (
+        centroids.collect()[0].centroid_id))
+    assert len(one_cell) < len(all_files)
