@@ -46,7 +46,9 @@ def signatures(spark: SparkSession, docs: DataFrame) -> DataFrame:
         f"WITH {_SPARK_SHINGLES_DUP}, {_spark_sig_wide()} "
         "SELECT doc_id, CAST(band AS INT) AS band, minhash FROM sig"
     ).replace("FROM documents", f"FROM {view}")
-    return spark.sql(sql)
+    out = spark.sql(sql)  # analysis resolves the view eagerly ...
+    spark.catalog.dropTempView(view)  # ... so it can drop right away
+    return out
 
 
 def create_index(lake, *, table: str = "minhash_index") -> None:
@@ -89,7 +91,7 @@ def neardup_candidates(
         if include_new_vs_new
         else f"SELECT doc_id, band, minhash FROM {iview}"
     )
-    return spark.sql(f"""
+    out = spark.sql(f"""
         WITH others AS ({both}),
         bsize AS (
             SELECT band, minhash, COUNT(*) AS n
@@ -106,3 +108,8 @@ def neardup_candidates(
         )
         SELECT DISTINCT doc_a, doc_b FROM pairs
     """)
+    # analysis has resolved both views into the plan: drop them so a
+    # long-lived session doesn't accumulate one pair per call
+    spark.catalog.dropTempView(nview)
+    spark.catalog.dropTempView(iview)
+    return out
