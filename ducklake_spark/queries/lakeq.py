@@ -38,7 +38,7 @@ from ducklake_spark.queries import df_query
 
 # bump when the DML script below changes: the on-disk gate lake is only
 # valid for the script that built it
-GATE_VERSION = 1
+GATE_VERSION = 2
 
 _SOURCE_TABLES = ("lineitem", "orders", "customer", "part")
 
@@ -109,6 +109,17 @@ def _build(spark: SparkSession, sf_dir: str, d: Path) -> None:
         ),
     )
     snaps["ins"] = lake.current_snapshot()
+    # identity-partitioned table: partition pruning + the per-spec
+    # value binding (round-6 partition_id fix) under the driver gate
+    from ducklake_spark.catalog.types import spark_to_ducklake
+
+    odf = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    lake.create_table(
+        "orders_part",
+        [(f.name, spark_to_ducklake(f.dataType)) for f in odf.schema.fields],
+    )
+    lake.set_partitioned_by("orders_part", [("o_orderpriority", "identity")])
+    lake.insert("orders_part", odf)
     # compact across the delete files AND the evolution epoch boundary —
     # the round-5 epoch-grouping fix is on this exact path
     merge_adjacent_files(lake)
@@ -371,4 +382,33 @@ ORDER BY p_partkey
 """,
     tables=(),
     doc="ducklake_table_insertions over the post-evolution insert snapshot",
+)
+
+
+def _partition_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
+    lake, _ = _gate_lake(spark, sf_dir)
+    return (
+        lake.table("orders_part", where="o_orderpriority = '1-URGENT'")
+        .filter("o_orderpriority = '1-URGENT'")
+        .groupBy("o_orderstatus")
+        .agg(F.count(F.lit(1)).alias("cnt"),
+             _dec_sum("o_totalprice", "sum_price"))
+        .orderBy("o_orderstatus")
+    )
+
+
+df_query(
+    "lake_partition_prune",
+    _partition_prune,
+    oracle="""
+SELECT o_orderstatus, COUNT(*) AS cnt,
+       CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price
+FROM orders
+WHERE o_orderpriority = '1-URGENT'
+GROUP BY o_orderstatus ORDER BY o_orderstatus
+""",
+    tables=("orders",),
+    doc="identity-partition pruning through the lake: the scan's file "
+        "list keeps only the predicate's partition (one file per value "
+        "via partition_write_shuffle)",
 )
