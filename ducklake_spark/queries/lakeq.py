@@ -38,9 +38,9 @@ from ducklake_spark.queries import df_query
 
 # bump when the DML script below changes: the on-disk gate lake is only
 # valid for the script that built it
-GATE_VERSION = 2
+GATE_VERSION = 3
 
-_SOURCE_TABLES = ("lineitem", "orders", "customer", "part")
+_SOURCE_TABLES = ("lineitem", "orders", "customer", "part", "documents")
 
 # applicationId, sf_dir -> (DuckLake, snapshots dict)
 _ATTACHED: dict[tuple[str, str], tuple] = {}
@@ -120,6 +120,14 @@ def _build(spark: SparkSession, sf_dir: str, d: Path) -> None:
     )
     lake.set_partitioned_by("orders_part", [("o_orderpriority", "identity")])
     lake.insert("orders_part", odf)
+    # persisted MinHash signature index over the FIRST half of the
+    # documents corpus (operators/dedup_index.py): the gate query
+    # dedups the second half against it incrementally
+    from ducklake_spark.operators import dedup_index
+
+    ddf = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    dedup_index.create_index(lake)
+    dedup_index.add_documents(lake, ddf.filter("doc_id < 250"))
     # compact across the delete files AND the evolution epoch boundary —
     # the round-5 epoch-grouping fix is on this exact path
     merge_adjacent_files(lake)
@@ -411,4 +419,41 @@ GROUP BY o_orderstatus ORDER BY o_orderstatus
     doc="identity-partition pruning through the lake: the scan's file "
         "list keeps only the predicate's partition (one file per value "
         "via partition_write_shuffle)",
+)
+
+
+def _incremental_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """New-batch near-dup candidates against the PERSISTED signature
+    index (no recomputation of indexed docs) — must equal the batch
+    LSH pairs involving a new doc, which is exactly what the DuckDB
+    oracle computes from scratch."""
+    from ducklake_spark.operators import dedup_index
+
+    lake, _ = _gate_lake(spark, sf_dir)
+    new_docs = spark.read.parquet(f"{sf_dir}/documents.parquet").filter(
+        "doc_id >= 250")
+    return (
+        dedup_index.neardup_candidates(lake, new_docs)
+        .orderBy("doc_a", "doc_b")
+    )
+
+
+def _incremental_neardup_oracle() -> str:
+    from ducklake_spark.queries.dedup import _minhash_sql
+
+    return f"""
+    SELECT doc_a, doc_b FROM ({_minhash_sql("duckdb")}) p
+    WHERE doc_a >= 250 OR doc_b >= 250
+    ORDER BY doc_a, doc_b
+    """
+
+
+df_query(
+    "lake_dedup_index_incremental",
+    _incremental_neardup,
+    oracle=_incremental_neardup_oracle(),
+    tables=("documents",),
+    doc="incremental near-dup against the lake-persisted MinHash index "
+        "(band-bucket equi-join, zero recomputation of indexed docs) vs "
+        "a from-scratch batch LSH oracle",
 )
