@@ -1240,3 +1240,24 @@ def test_attach_pinned_at_snapshot_time(spark, tmp_path):
             [(9, "z")], "col1 long, col2 string"))
     # unpinned attach still sees all four
     assert DuckLake.attach(spark, db, data).table("t").count() == 4
+
+
+# -- constraints/not_null_drop_column.test ------------------------------
+
+def test_not_null_survives_drop_column(lake, spark):
+    lake.create_table("nn", [("i", "int32"), ("j", "int32"),
+                             ("k", "int32")], not_null=("i", "k"))
+    lake.insert("nn", spark.createDataFrame(
+        [(42, None, 3)], "i int, j int, k int"))
+    with pytest.raises(Exception, match="(?i)not null|null"):
+        lake.insert("nn", spark.createDataFrame(
+            [(None, 84, 3)], "i int, j int, k int"))
+    lake.drop_column("nn", "j")
+    with pytest.raises(Exception, match="(?i)not null|null"):
+        lake.insert("nn", spark.createDataFrame(
+            [(42, None)], "i int, k int"))
+    lake.drop_column("nn", "k")
+    with pytest.raises(Exception, match="(?i)not null|null"):
+        lake.insert("nn", spark.createDataFrame([(None,)], "i int"))
+    lake.insert("nn", spark.createDataFrame([(7,)], "i int"))
+    assert sorted(r.i for r in lake.table("nn").collect()) == [7, 42]

@@ -273,3 +273,38 @@ def test_concurrent_server_commits(spark, tmp_path, server):
     assert got == sorted(k * 100 + i for k in range(4) for i in range(10))
     snaps = [r["snapshot_id"] for r in boot.snapshots().collect()]
     assert len(snaps) == len(set(snaps)) and len(snaps) >= 6
+
+
+def test_full_script_parity_server_vs_client(spark, tmp_path, server):
+    """An identical DML+maintenance script over the server-commit wire
+    backend and the client-side sqlite backend must converge to the
+    same logical state: same rows, same live file/stat shapes, same
+    snapshot count."""
+    from ducklake_spark import dml
+    from ducklake_spark import maintenance as maint
+    from ducklake_spark.lake import DuckLake
+
+    def run(dsn: str, data: str):
+        lake = DuckLake.attach(spark, dsn, data)
+        lake.create_table("t", [("i", "int64"), ("v", "varchar")])
+        for b in range(3):
+            lake.insert("t", _df(spark, 20, base=b * 100))
+        maint.merge_adjacent_files(lake)
+        dml.delete(lake, "t", "i % 100 >= 15")
+        dml.update(lake, "t", {"v": "concat(v, '!')"}, "i % 100 < 3")
+        lake.insert("t", _df(spark, 5, base=900))
+        rows = sorted(tuple(r) for r in lake.table("t").collect())
+        con = lake.meta.con
+        (snaps,) = con.execute(
+            "SELECT COUNT(*) FROM ducklake_snapshot").fetchone()
+        stats = con.execute(
+            "SELECT record_count FROM ducklake_table_stats").fetchall()
+        (live_files,) = con.execute(
+            "SELECT COUNT(*) FROM ducklake_data_file "
+            "WHERE end_snapshot IS NULL").fetchone()
+        return rows, snaps, stats, live_files, lake.row_count("t")
+
+    srv = run(server.dsn("scriptdb"), str(tmp_path / "sdata"))
+    cli = run(str(tmp_path / "cli.sqlite"), str(tmp_path / "cdata"))
+    assert srv == cli
+    assert len(srv[0]) == 50  # 45 survivors + 5 late inserts
