@@ -1261,3 +1261,27 @@ def test_not_null_survives_drop_column(lake, spark):
         lake.insert("nn", spark.createDataFrame([(None,)], "i int"))
     lake.insert("nn", spark.createDataFrame([(7,)], "i int"))
     assert sorted(r.i for r in lake.table("nn").collect()) == [7, 42]
+
+
+# -- default/default_expressions.test -----------------------------------
+
+def test_default_expressions(lake, spark):
+    """Expression defaults evaluate at insert time; a quoted literal
+    that LOOKS like a function call stays a literal."""
+    lake.create_table("de", [("id", "int32"), ("created_at", "timestamp")])
+    lake.set_default("de", "created_at", "now()")
+    lake.insert("de", spark.createDataFrame([(1,)], "id int"))
+    row = lake.table("de").collect()[0]
+    assert row.created_at is not None
+    lake.create_table("de1", [("id", "int32"), ("id_plus", "int32")])
+    lake.set_default("de1", "id_plus", "1")
+    lake.insert("de1", spark.createDataFrame([(0,)], "id int"))
+    lake.set_default("de1", "id_plus", "CAST(round(pi()) AS INT)")
+    lake.insert("de1", spark.createDataFrame([(1,)], "id int"))
+    assert sorted((r.id, r.id_plus) for r in lake.table("de1").collect()) \
+        == [(0, 1), (1, 3)]
+    lake.create_table("de2", [("a", "int32"), ("b", "varchar")])
+    lake.set_default("de2", "b", "'random()'")
+    lake.insert("de2", spark.createDataFrame([(1,)], "a int"))
+    assert [(r.a, r.b) for r in lake.table("de2").collect()] == \
+        [(1, "random()")]
