@@ -59,6 +59,13 @@ SCHEMA_STATEMENTS = [
         table_id BIGINT, column_id BIGINT,
         begin_snapshot BIGINT, end_snapshot BIGINT,
         key VARCHAR, value VARCHAR)""",
+    # view OUTPUT columns have no column ids — tags key by name
+    # (reference 1.1-dev1 addition, MigrateV10 DDL;
+    # test/sql/comments/comment_on_view_column*.test)
+    """CREATE TABLE IF NOT EXISTS ducklake_view_column_tag(
+        view_id BIGINT, column_name VARCHAR,
+        begin_snapshot BIGINT, end_snapshot BIGINT,
+        key VARCHAR, value VARCHAR)""",
     # :214-219
     """CREATE TABLE IF NOT EXISTS ducklake_data_file(
         data_file_id BIGINT PRIMARY KEY, table_id BIGINT,

@@ -160,6 +160,76 @@ def set_comment(lake: DuckLake, object_name: str, comment: str,
     lake._autocommit()
 
 
+def _live_view_id(lake: DuckLake, name: str) -> int | None:
+    schema_name, vname = lake._split_name(name)
+    rows = lake.meta.query(
+        "SELECT v.view_id FROM ducklake_view v JOIN ducklake_schema s "
+        "ON v.schema_id = s.schema_id "
+        "WHERE s.schema_name=? AND v.view_name=? AND v.end_snapshot IS NULL",
+        (schema_name, vname),
+    )
+    return rows[0][0] if rows else None
+
+
+def set_view_column_comment(lake: DuckLake, view_name: str, column: str,
+                            comment: str) -> None:
+    """COMMENT ON COLUMN of a VIEW: view output columns have no column
+    ids, so tags key by (view_id, column_name) in
+    ``ducklake_view_column_tag`` (reference 1.1-dev1;
+    test/sql/comments/comment_on_view_column*.test). The column is
+    matched case-insensitively against the view's output and stored
+    under its canonical name — re-commenting COL_A after col_a updates
+    the ONE live row. Logged as an ``altered_view`` change, so it
+    conflicts with a concurrent alter/drop of the same view
+    (comment_on_view_column_conflict.test)."""
+    from ducklake_spark.lake import DuckLakeError
+
+    vid = _live_view_id(lake, view_name)
+    if vid is None:
+        raise DuckLakeError(f"no view {view_name!r}")
+    cols = lake.view(view_name).columns
+    canon = {c.lower(): c for c in cols}.get(column.lower())
+    if canon is None:
+        raise DuckLakeError(
+            f"view {view_name!r} has no column {column!r} "
+            f"(columns: {', '.join(cols)})"
+        )
+    txn = lake.begin()
+
+    def op(con, snap_id, vid=vid, canon=canon, comment=comment):
+        con.execute(
+            "UPDATE ducklake_view_column_tag SET end_snapshot=? "
+            "WHERE view_id=? AND lower(column_name)=lower(?) "
+            "AND key='comment' AND end_snapshot IS NULL",
+            (snap_id, vid, canon),
+        )
+        con.execute(
+            "INSERT INTO ducklake_view_column_tag "
+            "VALUES (?, ?, ?, NULL, 'comment', ?)",
+            (vid, canon, snap_id, comment),
+        )
+
+    txn.column_changes.setdefault(-2, []).append(op)
+    txn.change_log.append(f"altered_view:{vid}")
+    lake._autocommit()
+
+
+def get_view_column_comment(lake: DuckLake, view_name: str,
+                            column: str) -> str | None:
+    vid = _live_view_id(lake, view_name)
+    if vid is None:
+        from ducklake_spark.lake import DuckLakeError
+
+        raise DuckLakeError(f"no view {view_name!r}")
+    rows = lake.meta.query(
+        "SELECT value FROM ducklake_view_column_tag "
+        "WHERE view_id=? AND lower(column_name)=lower(?) "
+        "AND key='comment' AND end_snapshot IS NULL",
+        (vid, column),
+    )
+    return rows[0][0] if rows else None
+
+
 def get_comment(lake: DuckLake, object_name: str, column: str | None = None) -> str | None:
     h = lake._handle(object_name)
     if column is None:
@@ -188,4 +258,12 @@ DuckLake.set_comment = (
 )
 DuckLake.get_comment = (
     lambda self, object_name, column=None: get_comment(self, object_name, column)
+)
+DuckLake.set_view_column_comment = (
+    lambda self, view_name, column, comment: set_view_column_comment(
+        self, view_name, column, comment)
+)
+DuckLake.get_view_column_comment = (
+    lambda self, view_name, column: get_view_column_comment(
+        self, view_name, column)
 )

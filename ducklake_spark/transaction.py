@@ -925,6 +925,20 @@ class Transaction:
                     "WHERE view_id=? AND end_snapshot IS NULL",
                     (snap_id, vid),
                 )
+                # dropping a view expires its comments/tags (reference:
+                # comments/drop_view_expires_tags.test,
+                # drop_view_expires_view_column_tags.test); a RENAME
+                # keeps the view_id, so tags survive renames untouched
+                con.execute(
+                    "UPDATE ducklake_tag SET end_snapshot=? "
+                    "WHERE object_id=? AND end_snapshot IS NULL",
+                    (snap_id, vid),
+                )
+                con.execute(
+                    "UPDATE ducklake_view_column_tag SET end_snapshot=? "
+                    "WHERE view_id=? AND end_snapshot IS NULL",
+                    (snap_id, vid),
+                )
             for vid, new_vname in self.renamed_views:
                 row = con.execute(
                     "SELECT view_uuid, schema_id, dialect, sql, column_aliases "

@@ -1285,3 +1285,35 @@ def test_default_expressions(lake, spark):
     lake.insert("de2", spark.createDataFrame([(1,)], "a int"))
     assert [(r.a, r.b) for r in lake.table("de2").collect()] == \
         [(1, "random()")]
+
+
+# -- comments/comment_on_view_column*.test ------------------------------
+
+def test_view_column_comments(lake, spark):
+    """Tags on view OUTPUT columns key by (view_id, column_name):
+    case-insensitive updates keep one live row, invalid columns error,
+    rename preserves, drop expires."""
+    from ducklake_spark.lake import DuckLakeError
+
+    lake.create_view("v", "SELECT 1 AS col_a, 2 AS col_b")
+    assert lake.get_view_column_comment("v", "col_a") is None
+    lake.set_view_column_comment("v", "col_a", "view column note")
+    assert lake.get_view_column_comment("v", "col_a") == "view column note"
+    # upper-case update targets the same tag row
+    lake.set_view_column_comment("v", "COL_A", "upper-case update")
+    (live,) = lake.meta.con.execute(
+        "SELECT COUNT(*) FROM ducklake_view_column_tag "
+        "WHERE end_snapshot IS NULL").fetchone()
+    assert live == 1
+    assert lake.get_view_column_comment("v", "col_a") == "upper-case update"
+    with pytest.raises(DuckLakeError, match="no column"):
+        lake.set_view_column_comment("v", "nope", "x")
+    # rename preserves (same view_id)
+    lake.rename_view("v", "v2")
+    assert lake.get_view_column_comment("v2", "col_a") == "upper-case update"
+    # drop expires every tag row
+    lake.drop_view("v2")
+    (live,) = lake.meta.con.execute(
+        "SELECT COUNT(*) FROM ducklake_view_column_tag "
+        "WHERE end_snapshot IS NULL").fetchone()
+    assert live == 0
