@@ -827,7 +827,13 @@ class Transaction:
                 or self.created_views
                 or self.dropped_views
                 or self.renamed_views
-                or self.column_changes
+                # key -2 = comments/tags: an alter for conflict purposes
+                # but NOT a schema change (reference SET_COMMENT /
+                # SET_COLUMN_COMMENT keep ducklake_schema_versions,
+                # ducklake_transaction.cpp:881-887; pinned by
+                # comments/comment_schema_version.test). Macros (-1)
+                # still bump: catalog caches key on schema_version.
+                or any(tid != -2 for tid in self.column_changes)
                 or self.schema_bump_tables
             )
             if bump_schema:

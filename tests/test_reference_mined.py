@@ -1317,3 +1317,32 @@ def test_view_column_comments(lake, spark):
         "SELECT COUNT(*) FROM ducklake_view_column_tag "
         "WHERE end_snapshot IS NULL").fetchone()
     assert live == 0
+
+
+# -- comments/comment_schema_version.test -------------------------------
+
+def test_comments_do_not_bump_schema_version(lake, spark):
+    """COMMENT ON TABLE/COLUMN is an alter for conflict purposes but
+    NOT a schema change: neither the per-table schema_versions row nor
+    the snapshot's schema_version moves (reference SET_COMMENT /
+    SET_COLUMN_COMMENT classification)."""
+    lake.create_table("ct", [("a", "int32"), ("b", "varchar")])
+    con = lake.meta.con
+
+    def sv():
+        return (
+            con.execute("SELECT MAX(schema_version) FROM "
+                        "ducklake_schema_versions").fetchone()[0],
+            con.execute("SELECT MAX(schema_version) FROM "
+                        "ducklake_snapshot").fetchone()[0],
+        )
+
+    base = sv()
+    lake.set_comment("ct", "table comment")
+    lake.set_comment("ct", "col comment", column="a")
+    assert sv() == base
+    assert lake.get_comment("ct") == "table comment"
+    assert lake.get_comment("ct", column="a") == "col comment"
+    # a REAL schema change still bumps
+    lake.add_column("ct", "c", "int32")
+    assert sv()[1] == base[1] + 1
