@@ -144,7 +144,24 @@ def set_comment(lake: DuckLake, object_name: str, comment: str,
                 (h.table_id, snap_id, comment),
             )
         else:
-            cid = {c[1]: c[0] for c in h.columns}[column]
+            # resolve the column id INSIDE the commit transaction: a
+            # column ADDED earlier in this same transaction only gets
+            # its id here (reference comment_same_transaction.test —
+            # COMMENT ON a just-added column inside one BEGIN works);
+            # the committed-schema map handles the common case
+            committed = {c[1]: c[0] for c in h.columns}
+            cid = committed.get(column)
+            if cid is None:
+                row = con.execute(
+                    "SELECT column_id FROM ducklake_column "
+                    "WHERE table_id=? AND column_name=? "
+                    "AND end_snapshot IS NULL",
+                    (h.table_id, column),
+                ).fetchone()
+                if row is None:
+                    raise DuckLakeError(
+                        f"no column {column!r} on {object_name!r}")
+                cid = row[0]
             con.execute(
                 "UPDATE ducklake_column_tag SET end_snapshot=? WHERE table_id=? "
                 "AND column_id=? AND key='comment' AND end_snapshot IS NULL",

@@ -962,8 +962,17 @@ class Transaction:
                      row[4]),
                 )
 
-            # --- column-level alters (list of SQL thunks prepared by lake)
-            for tid, ops in self.column_changes.items():
+            # --- column-level alters (list of SQL thunks prepared by lake).
+            # Table-scoped ops run before the macro/comment buckets
+            # (negative keys): a comment can target a column ADDED
+            # earlier in this transaction, whose ducklake_column row
+            # only exists once the add op has run
+            # (comments/comment_same_transaction.test)
+            ordered_changes = (
+                [kv for kv in self.column_changes.items() if kv[0] >= 0]
+                + [kv for kv in self.column_changes.items() if kv[0] < 0]
+            )
+            for tid, ops in ordered_changes:
                 for op in ops:
                     op(con, snap_id)
                 if tid >= 0:  # negative keys = non-table ops (macros, comments)

@@ -1346,3 +1346,19 @@ def test_comments_do_not_bump_schema_version(lake, spark):
     # a REAL schema change still bumps
     lake.add_column("ct", "c", "int32")
     assert sv()[1] == base[1] + 1
+
+
+# -- comments/comment_same_transaction.test -----------------------------
+
+def test_comment_on_column_added_in_same_transaction(lake, spark):
+    lake.create_table("cs", [("a", "int32"), ("b", "varchar")])
+    with lake.transaction():
+        lake.set_comment("cs", "my table comment")
+        lake.add_column("cs", "c", "int64")
+        lake.set_comment("cs", "new column comment", column="c")
+    assert lake.get_comment("cs") == "my table comment"
+    assert lake.get_comment("cs", column="c") == "new column comment"
+    # one schema bump total (the ADD COLUMN), none from the comments
+    (sv,) = lake.meta.con.execute(
+        "SELECT MAX(schema_version) FROM ducklake_snapshot").fetchone()
+    assert sv == 2
