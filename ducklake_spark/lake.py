@@ -485,6 +485,40 @@ class DuckLake:
             "WHERE schema_name=? AND end_snapshot IS NULL", (name,),
         )
         if not rows:
+            # a schema created in THIS transaction unwinds from the
+            # buffer; its txn-local tables/views block a non-cascade
+            # drop exactly like committed dependents (reference
+            # catalog/drop_schema_transaction_local_entries.test)
+            if self._txn is not None and any(
+                n == name for n, _u in self._txn.created_schemas
+            ):
+                txn = self._txn
+                local_tables = [td.table_name for td in txn.created_tables
+                                if td.schema_name == name]
+                local_views = [vn for sn, vn, _d, _s, _a in txn.created_views
+                               if sn == name]
+                if (local_tables or local_views) and not cascade:
+                    raise DuckLakeError(
+                        f"schema {name!r} is not empty (use cascade=True)"
+                    )
+                for tname in local_tables:
+                    self.drop_table(f"{name}.{tname}")
+                dropped_v = {(name, vn) for vn in local_views}
+                txn.created_views = [
+                    v for v in txn.created_views
+                    if (v[0], v[1]) not in dropped_v
+                ]
+                for _sn, vn in dropped_v:
+                    entry = f'created_view:"{name}"."{vn}"'
+                    while entry in txn.change_log:
+                        txn.change_log.remove(entry)
+                txn.created_schemas = [
+                    (n, u) for n, u in txn.created_schemas if n != name
+                ]
+                entry = f'created_schema:"{name}"'
+                while entry in txn.change_log:
+                    txn.change_log.remove(entry)
+                return
             raise DuckLakeError(f"schema {name!r} does not exist")
         sid = rows[0][0]
         members = self.meta.query(
@@ -499,6 +533,15 @@ class DuckLake:
             "SELECT macro_id FROM ducklake_macro "
             "WHERE schema_id=? AND end_snapshot IS NULL", (sid,),
         )
+        # dependents dropped EARLIER IN THIS TRANSACTION no longer
+        # block a non-cascade drop (reference
+        # catalog/drop_schema_after_drop_dependents.test: DROP VIEW;
+        # DROP SCHEMA inside one BEGIN commits)
+        if self._txn is not None:
+            gone_t = set(self._txn.dropped_tables)
+            gone_v = set(self._txn.dropped_views)
+            members = [m for m in members if m[0] not in gone_t]
+            views = [v for v in views if v[0] not in gone_v]
         if (members or views or macros) and not cascade:
             # macros depend on the schema too (reference
             # catalog/drop_schema_with_table_macro.test)

@@ -1362,3 +1362,39 @@ def test_comment_on_column_added_in_same_transaction(lake, spark):
     (sv,) = lake.meta.con.execute(
         "SELECT MAX(schema_version) FROM ducklake_snapshot").fetchone()
     assert sv == 2
+
+
+# -- catalog/drop_schema_after_drop_dependents.test,
+#    drop_schema_transaction_local_entries.test ---------------------------
+
+def test_drop_schema_after_dropping_dependents_in_txn(lake, spark):
+    lake.create_schema("s")
+    lake.create_view("s.v", "SELECT 1 AS x")
+    with lake.transaction():
+        lake.drop_view("s.v")
+        lake.drop_schema("s")  # non-cascade: dependents gone in-txn
+    lake.create_schema("s_tbl")
+    lake.create_table("s_tbl.t", [("i", "int32")])
+    with lake.transaction():
+        lake.drop_table("s_tbl.t")
+        lake.drop_schema("s_tbl")
+    live = {r[0] for r in lake.meta.query(
+        "SELECT schema_name FROM ducklake_schema WHERE end_snapshot IS NULL")}
+    assert "s" not in live and "s_tbl" not in live
+
+
+def test_drop_txn_local_schema(lake, spark):
+    from ducklake_spark.lake import DuckLakeError
+
+    with lake.transaction():
+        lake.create_schema("my_schema")
+        lake.create_table("my_schema.t1", [("i", "int32")])
+        with pytest.raises(DuckLakeError, match="not empty"):
+            lake.drop_schema("my_schema")
+        lake.drop_schema("my_schema", cascade=True)
+        with pytest.raises(Exception):
+            lake.table("my_schema.t1").collect()
+    # the whole transaction collapsed to a no-op: nothing committed
+    assert lake.meta.query(
+        "SELECT COUNT(*) FROM ducklake_schema "
+        "WHERE schema_name='my_schema'") == [(0,)]
