@@ -75,14 +75,84 @@ def create_macro(lake: DuckLake, name: str, parameters: list | None = None,
                     (mid, ii, i, pname, pdefault),
                 )
 
-    txn.column_changes.setdefault(-1, []).append(lambda con, snap_id: op(con, snap_id))
+    wrapped = lambda con, snap_id: op(con, snap_id)  # noqa: E731
+    txn.column_changes.setdefault(-1, []).append(wrapped)
+    # txn-local registry: a macro created in this transaction is
+    # callable and droppable before commit (reference
+    # catalog/create_then_drop_macro.test)
+    pending = getattr(txn, "_pending_macros", None)
+    if pending is None:
+        pending = txn._pending_macros = {}
+    pending[(schema_name, mname)] = (wrapped, parsed, is_table_macro)
     txn.change_log.append(f'created_macro:"{schema_name}"."{mname}"')
+    lake._autocommit()
+
+
+def drop_macro(lake: DuckLake, name: str) -> None:
+    """DROP MACRO: end-marks the live row (time travel keeps the old
+    definition readable); a macro created in THIS transaction unwinds
+    from the buffer instead (reference
+    catalog/create_then_drop_macro.test — create + drop in one BEGIN
+    commits nothing)."""
+    schema_name, mname = lake._split_name(name)
+    txn = lake.begin()
+    pending = getattr(txn, "_pending_macros", {})
+    entry_p = pending.pop((schema_name, mname), None)
+    if entry_p is not None:
+        wrapped = entry_p[0]
+        txn.column_changes[-1].remove(wrapped)
+        if not txn.column_changes[-1]:
+            del txn.column_changes[-1]
+        entry = f'created_macro:"{schema_name}"."{mname}"'
+        while entry in txn.change_log:
+            txn.change_log.remove(entry)
+        lake._autocommit()
+        return
+    rows = lake.meta.query(
+        "SELECT m.macro_id FROM ducklake_macro m "
+        "JOIN ducklake_schema s ON m.schema_id = s.schema_id "
+        "WHERE s.schema_name=? AND m.macro_name=? AND m.end_snapshot IS NULL",
+        (schema_name, mname),
+    )
+    if not rows:
+        raise DuckLakeError(f"no macro {name!r}")
+    mid = rows[0][0]
+
+    def op(con, snap_id, mid=mid):
+        con.execute(
+            "UPDATE ducklake_macro SET end_snapshot=? "
+            "WHERE macro_id=? AND end_snapshot IS NULL",
+            (snap_id, mid),
+        )
+
+    txn.column_changes.setdefault(-1, []).append(op)
+    txn.change_log.append(f'dropped_macro:"{schema_name}"."{mname}"')
     lake._autocommit()
 
 
 def call_macro(lake: DuckLake, name: str, *args) -> DataFrame | str:
     """Expand a stored macro; table macros return a DataFrame."""
     schema_name, mname = lake._split_name(name)
+    if lake._txn is not None:
+        entry_p = getattr(lake._txn, "_pending_macros", {}).get(
+            (schema_name, mname))
+        if entry_p is not None:
+            _w, parsed, is_table = entry_p
+            chosen = None
+            for ps, b in parsed:
+                required = sum(1 for _n, d in ps if d is None)
+                if required <= len(args) <= len(ps):
+                    chosen = (ps, b)
+                    break
+            if chosen is None:
+                raise DuckLakeError(
+                    f"macro {name!r} has no implementation "
+                    f"taking {len(args)} args")
+            ps, expanded = chosen
+            values = list(args) + [d for _n, d in ps[len(args):]]
+            for (p, _d), a in zip(ps, values):
+                expanded = re.sub(rf"\b{re.escape(p)}\b", str(a), expanded)
+            return lake.sql(expanded) if is_table else expanded
     rows = lake.meta.query(
         "SELECT m.macro_id, m.is_table_macro, i.body FROM ducklake_macro m "
         "JOIN ducklake_macro_impl i ON m.macro_id = i.macro_id "
@@ -284,3 +354,4 @@ DuckLake.get_view_column_comment = (
     lambda self, view_name, column: get_view_column_comment(
         self, view_name, column)
 )
+DuckLake.drop_macro = lambda self, name: drop_macro(self, name)

@@ -1398,3 +1398,37 @@ def test_drop_txn_local_schema(lake, spark):
     assert lake.meta.query(
         "SELECT COUNT(*) FROM ducklake_schema "
         "WHERE schema_name='my_schema'") == [(0,)]
+
+
+# -- catalog/create_then_drop_macro.test, quoted_identifiers.test -------
+
+def test_create_then_drop_macro_in_txn(lake, spark):
+    from ducklake_spark.lake import DuckLakeError
+
+    with lake.transaction():
+        lake.create_macro("zipm", ["i", "j"], "concat(i, '-', j)")
+        assert lake.call_macro("zipm", "'A'", "'B'") == "concat('A', '-', 'B')" \
+            or "'A'" in lake.call_macro("zipm", "'A'", "'B'")
+        lake.drop_macro("zipm")
+    with pytest.raises(DuckLakeError, match="no macro"):
+        lake.call_macro("zipm", "1", "2")
+    assert lake.meta.query(
+        "SELECT COUNT(*) FROM ducklake_macro") == [(0,)]
+    # committed create, then drop: end-marked, call fails
+    lake.create_macro("m2", ["x"], "x + 1")
+    assert lake.call_macro("m2", "41") == "41 + 1"
+    lake.drop_macro("m2")
+    with pytest.raises(DuckLakeError, match="no macro"):
+        lake.call_macro("m2", "1")
+
+
+def test_quoted_identifier_names(lake, spark):
+    from pyspark.sql import functions as F
+
+    tname = 'quoted \'table\' "name"'
+    cname = 'quoted \'column\' "name"'
+    lake.create_table(tname, [(cname, "int32")])
+    lake.insert(tname, spark.range(3).select(
+        F.col("id").cast("int").alias(cname)))
+    assert sorted(r[0] for r in lake.table(tname).collect()) == [0, 1, 2]
+    lake.drop_table(tname)
