@@ -1432,3 +1432,20 @@ def test_quoted_identifier_names(lake, spark):
         F.col("id").cast("int").alias(cname)))
     assert sorted(r[0] for r in lake.table(tname).collect()) == [0, 1, 2]
     lake.drop_table(tname)
+
+
+# -- comments/comment_duplicate_same_transaction.test -------------------
+
+def test_duplicate_comments_same_transaction(lake, spark):
+    lake.create_table("cd", [("a", "int32")])
+    with lake.transaction():
+        lake.set_comment("cd", "first")
+        lake.set_comment("cd", "second")
+        lake.set_comment("cd", "col first", column="a")
+        lake.set_comment("cd", "col second", column="a")
+    assert lake.get_comment("cd") == "second"
+    assert lake.get_comment("cd", column="a") == "col second"
+    (live,) = lake.meta.con.execute(
+        "SELECT COUNT(*) FROM ducklake_tag WHERE end_snapshot IS NULL"
+    ).fetchone()
+    assert live == 1
