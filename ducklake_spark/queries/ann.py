@@ -192,3 +192,89 @@ df_query(
     tables=["embeddings"],
     doc="LSH-bucketed near-duplicate pairs (cosine > 0.45 within buckets)",
 )
+
+
+# --- SemDeDup: semantic dedup inside coarse clusters ----------------------
+# The SemDeDup recipe (Abbas et al.): cluster embeddings coarsely, then
+# drop within-cluster vectors whose cosine to an earlier-kept member
+# exceeds a threshold — all-pairs work is bounded to |cell|², never
+# corpus². Threshold 0.45 is calibrated to the synthetic corpus (max
+# pairwise cosine ≈ 0.51); real corpora use ~0.95+. The oracle
+# re-derives cells and pair decisions in DuckDB SQL, so the driver
+# hash-checks assignment + dedup logic end-to-end.
+
+SEM_THRESH = 0.45
+
+
+def _run_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import functions as F
+
+    from ducklake_spark.operators.similarity import cosine, ivf_assign
+    from ducklake_spark.queries import load_tables
+
+    load_tables(spark, sf_dir, ["embeddings"])
+    emb = spark.table("embeddings")
+    centroids = emb.filter(
+        (F.col("vec_id") >= CENT_LO) & (F.col("vec_id") < CENT_HI)
+    ).select(F.col("vec_id").alias("centroid_id"),
+             F.col("embedding").alias("centroid"))
+    cells = ivf_assign(emb.select("vec_id", "embedding"), centroids)
+    a, b = cells.alias("a"), cells.alias("b")
+    dup_of = (
+        a.join(b, (F.col("a.cell_id") == F.col("b.cell_id"))
+               & (F.col("a.vec_id") < F.col("b.vec_id")))
+        .filter(cosine(F.col("a.embedding"), F.col("b.embedding"))
+                >= SEM_THRESH)
+        .groupBy(F.col("b.vec_id").alias("vec_id"))
+        .agg(F.min("a.vec_id").alias("dup_of"))
+    )
+    return (
+        cells.join(dup_of, "vec_id", "left")
+        .groupBy("cell_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_vecs"),
+            F.sum(F.when(F.col("dup_of").isNull(), 1).otherwise(0))
+            .alias("n_kept"),
+        )
+        .orderBy("cell_id")
+    )
+
+
+_SEM_ORACLE = f"""
+WITH cents AS (
+    SELECT vec_id AS cid, embedding AS cvec FROM embeddings
+    WHERE vec_id >= {CENT_LO} AND vec_id < {CENT_HI}
+),
+scored AS (
+    SELECT e.vec_id, e.embedding, c.cid,
+           ROW_NUMBER() OVER (
+               PARTITION BY e.vec_id
+               ORDER BY ({_duck_cos('e.embedding', 'c.cvec')}) DESC, c.cid
+           ) AS rk
+    FROM embeddings e CROSS JOIN cents c
+),
+cells AS (SELECT vec_id, embedding, cid FROM scored WHERE rk = 1),
+dup AS (
+    SELECT b.vec_id, MIN(a.vec_id) AS dup_of
+    FROM cells a JOIN cells b
+      ON a.cid = b.cid AND a.vec_id < b.vec_id
+    WHERE ({_duck_cos('a.embedding', 'b.embedding')}) >= {SEM_THRESH}
+    GROUP BY b.vec_id
+)
+SELECT c.cid AS cell_id,
+       CAST(COUNT(*) AS BIGINT) AS n_vecs,
+       CAST(SUM(CASE WHEN d.dup_of IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+           AS n_kept
+FROM cells c LEFT JOIN dup d ON d.vec_id = c.vec_id
+GROUP BY c.cid
+ORDER BY c.cid
+"""
+
+df_query(
+    "sim_semantic_dedup",
+    _run_semantic_dedup,
+    oracle=_SEM_ORACLE,
+    tables=["embeddings"],
+    doc="SemDeDup: coarse IVF clustering then within-cell cosine dedup "
+        "(keep min vec_id) — all-pairs bounded to cell size, never corpus",
+)

@@ -215,3 +215,35 @@ def test_persisted_ivf_index_prunes_and_matches(spark, tmp_path):
     one_cell = lake._visible_files(h, snap, "cell_id = %d" % (
         centroids.collect()[0].centroid_id))
     assert len(one_cell) < len(all_files)
+
+
+def test_semantic_dedup_drops_synthetic_duplicates(spark):
+    """With genuinely near-duplicate vectors injected, the SemDeDup
+    query keeps the min-id member per duplicate group within a cell."""
+    from pyspark.sql import functions as F
+
+    from ducklake_spark.operators.similarity import cosine, ivf_assign
+
+    base = [float(i % 7) + 1.0 for i in range(8)]
+    near = [v * 1.001 for v in base]  # cosine ~1.0 with base
+    other = [1.0 if i == 0 else 0.0 for i in range(8)]
+    emb = spark.createDataFrame(
+        [(1, base), (2, near), (3, other), (10, base), (11, other)],
+        "vec_id long, embedding array<float>")
+    cents = spark.createDataFrame(
+        [(10, base), (11, other)],
+        "centroid_id long, centroid array<float>")
+    cells = ivf_assign(emb, cents)
+    a, b = cells.alias("a"), cells.alias("b")
+    dups = (a.join(b, (F.col("a.cell_id") == F.col("b.cell_id"))
+                   & (F.col("a.vec_id") < F.col("b.vec_id")))
+            .filter(cosine(F.col("a.embedding"), F.col("b.embedding"))
+                    >= 0.99)
+            .select(F.col("a.vec_id").alias("keep"),
+                    F.col("b.vec_id").alias("drop")).collect())
+    got = {(r.keep, r.drop) for r in dups}
+    # 1,2,10 are mutual near-dups in the `base` cell; 3,11 are identical
+    assert (1, 2) in got and (1, 10) in got and (2, 10) in got
+    assert (3, 11) in got
+    groups = ({1, 2, 10}, {3, 11})
+    assert all(any(k in g and d in g for g in groups) for k, d in got)
