@@ -270,7 +270,21 @@ def table_deletions(lake: DuckLake, name: str, start, end) -> DataFrame:
                 frames.append(rows)
 
     # 3) inlined rows whose end_snapshot landed in range — but only when
-    # that snapshot was a logical DELETE (a flush also sets end_snapshot)
+    # that snapshot was a logical DELETE or an inlined delete/update
+    # ("inlined_delete": deleting or updating rows that LIVE inlined —
+    # the preimage of an inlined update must surface here, reference
+    # data_inlining_interleaved_update.test). A flush also sets
+    # end_snapshot but logs "flushed_inlined" and stays excluded.
+    inlined_delete_snaps = {
+        sid
+        for sid, changes in lake.meta.query(
+            "SELECT snapshot_id, changes_made FROM ducklake_snapshot_changes "
+            "WHERE snapshot_id >= ? AND snapshot_id <= ?",
+            (start, end),
+        )
+        if f"inlined_delete:{h.table_id}" in (changes or "")
+    }
+    logical_delete_snaps = delete_snaps | inlined_delete_snaps
     tabs = lake.meta.query(
         "SELECT table_name FROM ducklake_inlined_data_tables WHERE table_id=?",
         (h.table_id,),
@@ -289,7 +303,7 @@ def table_deletions(lake: DuckLake, name: str, start, end) -> DataFrame:
                 f"SELECT * FROM {tname} WHERE end_snapshot >= ? AND end_snapshot <= ?",
                 (start, end),
             )
-            if r[2] in delete_snaps
+            if r[2] in logical_delete_snaps
         ]
         if inl_rows:
             frames.append(

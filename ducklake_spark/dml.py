@@ -20,6 +20,7 @@ files); only per-file *counts* ever reach the driver.
 
 from __future__ import annotations
 
+import json
 import os
 import uuid
 
@@ -143,207 +144,24 @@ def _apply_file_deletes(lake: DuckLake, h: TableHandle, snap, files: list[dict],
     file_by_path = {
         lake._file_uri(f["path"]): f for f in files
     }
-    inline_limit = int(
-        lake.meta.option("deletion_inlining_row_limit", "0",
+    return _apply_file_deletes_fused(
+        lake, h, snap, files, victims, file_by_path)
+
+
+def _delete_inline_limit(lake: DuckLake, h: TableHandle) -> int:
+    """Per-file threshold for absorbing positional deletes into the
+    catalog instead of writing a delete file. The reference drives this
+    from data_inlining_row_limit itself (ducklake_delete.cpp:530-546:
+    DataInliningRowLimit gates inlined file deletions, decided per data
+    file); deletion_inlining_row_limit stays as a beyond-reference
+    explicit override so delete absorption can be tuned independently
+    of insert inlining."""
+    v = lake.meta.option("deletion_inlining_row_limit", None,
                          scope="table", scope_id=h.table_id,
-                         schema_id=h.schema_id) or 0
-    )
-    if inline_limit <= 0:
-        # fused path consumes victims in exactly ONE action — a persist
-        # would only add a memory-store write for rows read once
-        return _apply_file_deletes_fused(
-            lake, h, snap, files, victims, file_by_path)
-    # deletion inlining on: several jobs read the victims relation
-    # (per-file counts, the delete-file write, inlined absorption) —
-    # cache the scan+filter so the table is read once, not once per job
-    victims = victims.persist()
-    try:
-        return _apply_file_deletes_cached(
-            lake, h, snap, files, victims, file_by_path)
-    finally:
-        victims.unpersist()
-
-
-def _apply_file_deletes_cached(lake: DuckLake, h: TableHandle, snap,
-                               files: list[dict], victims: DataFrame,
-                               file_by_path: dict) -> int:
-    inline_limit = int(
-        lake.meta.option("deletion_inlining_row_limit", "0",
-                         scope="table", scope_id=h.table_id,
-                         schema_id=h.schema_id) or 0
-    )
-    counts = victims.groupBy("filename").count().collect()
-    per_file = [(r["filename"], r["count"]) for r in counts]
-    n_deleted = sum(c for _, c in per_file)
-    if n_deleted == 0:
-        return 0
-
-    txn = lake.begin()
-    existing = {
-        fid: (path, fmt, dc, ekey)
-        for fid, path, fmt, dc, ekey in lake.meta.query(
-            "SELECT data_file_id, path, format, delete_count, encryption_key "
-            "FROM ducklake_delete_file "
-            "WHERE table_id=? AND begin_snapshot <= ? "
-            "AND (end_snapshot IS NULL OR end_snapshot > ?)",
-            (h.table_id, snap.snapshot_id, snap.snapshot_id),
-        )
-    }
-    existing_ids = {
-        fid: dfid
-        for dfid, fid in lake.meta.query(
-            "SELECT delete_file_id, data_file_id FROM ducklake_delete_file "
-            "WHERE table_id=? AND begin_snapshot <= ? "
-            "AND (end_snapshot IS NULL OR end_snapshot > ?)",
-            (h.table_id, snap.snapshot_id, snap.snapshot_id),
-        )
-    }
-
-    full_drop: list[int] = []
-    partial: list[dict] = []
-    inl_counts = _inlined_delete_counts(lake, h)  # ONE query, not per-file
-    for fname, cnt in per_file:
-        finfo = file_by_path[fname]
-        fid = finfo["data_file_id"]
-        prev = existing.get(fid)
-        prev_deleted = (prev[2] or 0) if prev else 0
-        prev_deleted += inl_counts.get(fid, 0)
-        if prev_deleted + cnt >= finfo["record_count"]:
-            full_drop.append(fid)
-        else:
-            partial.append(
-                {"fid": fid, "fname": fname, "rel": finfo["path"],
-                 "prev": prev[0] if prev else None,
-                 "prev_fmt": (prev[1] or "parquet") if prev else "parquet",
-                 "prev_key": prev[3] if prev else None,
-                 "new": cnt, "prev_cnt": prev_deleted}
-            )
-
-    # small partial deletes absorb into the catalog instead of writing a
-    # delete parquet per file (reference: inlined file deletions,
-    # ducklake_delete.cpp:530-546; flushed by ducklake_flush_inlined_data)
-    inline_limit = int(
-        lake.meta.option("deletion_inlining_row_limit", "0",
-                         scope="table", scope_id=h.table_id,
-                         schema_id=h.schema_id) or 0
-    )
-    if partial and 0 < sum(p["new"] for p in partial) <= inline_limit:
-        keep_paths = {p["fname"] for p in partial}
-        fid_by_path = {p["fname"]: p["fid"] for p in partial}
-        pos_rows = (
-            victims.filter(F.col("filename").isin(list(keep_paths))).collect()
-        )
-        txn.inlined_deletes.setdefault(h.table_id, []).extend(
-            (fid_by_path[r["filename"]], r["pos"]) for r in pos_rows
-        )
-        for p in partial:
-            txn.touched_delete_data_files.add(p["fid"])
-        # catalog-absorbed positional deletes are "inlined deletes" in the
-        # changes grammar (reference new_inlined_file_deletes ->
-        # tables_deleted_inlined, ducklake_transaction.cpp:1051-1053)
-        _log_change(txn, f"inlined_delete:{h.table_id}")
-        partial = []
-
-    if partial:
-        keep_paths = {p["fname"] for p in partial}
-        rel_map = {p["fname"]: p["rel"] for p in partial}
-        new_dels = victims.filter(F.col("filename").isin(list(keep_paths)))
-        # merge pre-existing delete content for the touched files
-        prev_pq = [
-            os.path.join(lake.data_path, p["prev"])
-            for p in partial
-            if p["prev"] and p["prev_fmt"].lower() != "puffin"
-            and not p["prev_key"]
-        ]
-        prev_enc = [
-            (os.path.join(lake.data_path, p["prev"]), p["prev_key"])
-            for p in partial
-            if p["prev"] and p["prev_fmt"].lower() != "puffin"
-            and p["prev_key"]
-        ]
-        prev_dv = [
-            (os.path.join(lake.data_path, p["prev"]), p["rel"])
-            for p in partial
-            if p["prev"] and p["prev_fmt"].lower() == "puffin"
-        ]
-        # map scan filenames back to CATALOG paths via an explicit
-        # broadcast map (a prefix-substring breaks for adopted files
-        # stored with absolute paths)
-        fname_map = lake.spark.createDataFrame(
-            [(p["fname"], p["rel"]) for p in partial],
-            "filename string, file_path string",
-        )
-        new_dels = new_dels.join(
-            F.broadcast(fname_map), "filename"
-        ).select("file_path", "pos")
-        if prev_pq or prev_enc:
-            prev = None
-            if prev_pq:
-                prev = lake.spark.read.schema(
-                    "file_path string, pos long").parquet(*prev_pq)
-            if prev_enc:
-                pe_df = lake._read_encrypted_delete_files(prev_enc)
-                prev = pe_df if prev is None else prev.unionByName(pe_df)
-            prev = prev.join(
-                lake.spark.createDataFrame(
-                    [(p["rel"],) for p in partial], "file_path string"
-                ),
-                "file_path",
-                "left_semi",
-            )
-            new_dels = new_dels.unionByName(prev).distinct()
-        if prev_dv:
-            # second element is the REL path, so decoded rows line up
-            # with new_dels' file_path column
-            prev = lake._decode_dv_files(prev_dv).withColumnRenamed(
-                "__dfile", "file_path"
-            ).withColumnRenamed("__dpos", "pos")
-            new_dels = new_dels.unionByName(prev).distinct()
-        delete_dir = os.path.join(lake.data_path, h.path)
-        # adopted-only tables may have no table dir yet (their data
-        # lives elsewhere) — the delete files land under data_path
-        lake.lfs.makedirs(lake.lfs.strip_scheme(delete_dir))
-        # one delete parquet per touched data file, written EXECUTOR-side
-        # (applyInPandas group per file): the driver only collects per-file
-        # metadata rows, so a delete spanning 100k files neither serializes
-        # on the driver nor assumes a POSIX listing (pyarrow handles
-        # local + object-store URIs alike)
-        use_dv = (
-            lake.meta.option("write_deletion_vectors", "false",
-                             scope="table", scope_id=h.table_id,
-                             schema_id=h.schema_id) or "false"
-        ).lower() == "true"
-        if use_dv:
-            written = _write_dv_files_distributed(lake, delete_dir, new_dels)
-        else:
-            written = _write_delete_files_distributed(lake, delete_dir, new_dels)
-        by_rel = {p["rel"]: p for p in partial}
-        for w in written:
-            p = by_rel.get(w["file_path"])
-            if p is None:
-                continue
-            if p["prev"] is not None and p["fid"] in existing_ids:
-                txn.replaced_delete_files.append(existing_ids[p["fid"]])
-            txn.new_delete_files.setdefault(h.table_id, []).append(
-                DeleteFileInfo(
-                    data_file_id=p["fid"],
-                    path=os.path.relpath(w["out_path"], lake.data_path),
-                    delete_count=w["n"],
-                    file_size_bytes=w["size"],
-                    footer_size=w["footer"],
-                    format="puffin" if use_dv else "parquet",
-                    encryption_key=w.get("enc_key") or None,
-                    row_group_count=w.get("rgs"),
-                )
-            )
-            txn.touched_delete_data_files.add(p["fid"])
-
-    if partial or full_drop:
-        _log_change(txn, f"deleted_from_table:{h.table_id}")
-    for fid in full_drop:
-        txn.removed_data_files.setdefault(h.table_id, []).append(fid)
-        txn.touched_delete_data_files.add(fid)
-    return n_deleted
+                         schema_id=h.schema_id)
+    if v not in (None, ""):
+        return int(v)
+    return lake._inline_limit(h.table_id, h.schema_id)
 
 
 def _apply_file_deletes_fused(lake: DuckLake, h: TableHandle, snap,
@@ -434,29 +252,51 @@ def _apply_file_deletes_fused(lake: DuckLake, h: TableHandle, snap,
                          scope="table", scope_id=h.table_id,
                          schema_id=h.schema_id) or "false"
     ).lower() == "true"
+    # per-file deletion inlining (reference ducklake_delete.cpp:530-546):
+    # the writers skip the parquet/puffin write for files whose NEW
+    # delete count fits the threshold and hand the positions back for
+    # catalog absorption — still one action, no extra pass
+    inline_limit = _delete_inline_limit(lake, h)
     if use_dv:
-        written = _write_dv_files_distributed(lake, delete_dir, all_dels)
+        written = _write_dv_files_distributed(
+            lake, delete_dir, all_dels, inline_limit)
     else:
-        written = _write_delete_files_distributed(lake, delete_dir, all_dels)
+        written = _write_delete_files_distributed(
+            lake, delete_dir, all_dels, inline_limit)
     n_deleted = sum(w["n_new"] for w in written)
     if n_deleted == 0:
         for w in written:  # defensive: semi-join should prevent these
-            lake.lfs.remove(lake.lfs.strip_scheme(w["out_path"]))
+            if w["out_path"]:
+                lake.lfs.remove(lake.lfs.strip_scheme(w["out_path"]))
         return 0
 
     txn = lake.begin()
     inl_counts = _inlined_delete_counts(lake, h)
     by_rel = {f["path"]: f for f in files}
+    had_file = had_inline = False
     for w in written:
         finfo = by_rel[w["file_path"]]
         fid = finfo["data_file_id"]
         if w["n"] + inl_counts.get(fid, 0) >= finfo["record_count"]:
             # every live row gone: drop the file whole; the merged
-            # delete parquet just written is unneeded
-            lake.lfs.remove(lake.lfs.strip_scheme(w["out_path"]))
+            # delete parquet just written (if any) is unneeded
+            if w["out_path"]:
+                lake.lfs.remove(lake.lfs.strip_scheme(w["out_path"]))
             txn.removed_data_files.setdefault(h.table_id, []).append(fid)
             txn.touched_delete_data_files.add(fid)
+            had_file = True
             continue
+        if not w["out_path"]:
+            # inlined file deletions: new positions absorb into the
+            # catalog; a pre-existing delete file stays live (the scan
+            # merges both), so nothing is replaced
+            txn.inlined_deletes.setdefault(h.table_id, []).extend(
+                (fid, int(p)) for p in json.loads(w["new_pos"])
+            )
+            txn.touched_delete_data_files.add(fid)
+            had_inline = True
+            continue
+        had_file = True
         if fid in existing_ids:
             txn.replaced_delete_files.append(existing_ids[fid])
         txn.new_delete_files.setdefault(h.table_id, []).append(
@@ -472,23 +312,35 @@ def _apply_file_deletes_fused(lake: DuckLake, h: TableHandle, snap,
             )
         )
         txn.touched_delete_data_files.add(fid)
-    _log_change(txn, f"deleted_from_table:{h.table_id}")
+    if had_file:
+        _log_change(txn, f"deleted_from_table:{h.table_id}")
+    if had_inline:
+        # catalog-absorbed positional deletes are "inlined deletes" in
+        # the changes grammar (reference new_inlined_file_deletes ->
+        # tables_deleted_inlined, ducklake_transaction.cpp:1051-1053)
+        _log_change(txn, f"inlined_delete:{h.table_id}")
     return n_deleted
 
 
-def _write_delete_files_distributed(lake, delete_dir: str, dels: DataFrame) -> list[dict]:
+def _write_delete_files_distributed(lake, delete_dir: str, dels: DataFrame,
+                                    inline_limit: int = 0) -> list[dict]:
     """Write one reference-layout delete parquet per data file, each
     group on the executor that owns it; returns per-file metadata rows
     (file_path, out_path, n, size). Reference layout:
     ducklake_delete.cpp:598-631 (sorted positions, Iceberg field ids).
     ENCRYPTED lakes give each delete file its own random PME key like
-    the reference (ducklake_delete.cpp:63-70; crypto_pme module)."""
+    the reference (ducklake_delete.cpp:63-70; crypto_pme module).
+    Files whose NEW delete count fits ``inline_limit`` skip the write
+    and return the positions (``new_pos`` JSON) for catalog absorption
+    (reference inlined file deletions, ducklake_delete.cpp:530-546 —
+    the threshold is applied PER FILE)."""
     import pandas as pd
 
     encrypt = lake.encrypted
 
     def write_group(pdf: pd.DataFrame) -> pd.DataFrame:
         import base64 as _b64
+        import json as _json
         import os as _os
         import uuid as _uuid
 
@@ -498,6 +350,16 @@ def _write_delete_files_distributed(lake, delete_dir: str, dels: DataFrame) -> l
         rel = pdf["file_path"].iloc[0]
         pos = sorted({int(x) for x in pdf["pos"]})
         n_new = int(pdf["is_new"].sum()) if "is_new" in pdf else len(pos)
+        if 0 < n_new <= inline_limit:
+            new_pos = sorted(
+                int(x) for x in (pdf.loc[pdf["is_new"], "pos"]
+                                 if "is_new" in pdf else pdf["pos"])
+            )
+            return pd.DataFrame(
+                [{"file_path": rel, "out_path": "", "n": len(pos),
+                  "n_new": n_new, "new_pos": _json.dumps(new_pos),
+                  "size": 0, "footer": 0, "rgs": 0, "enc_key": ""}]
+            )
         schema = _pa.schema(
             [
                 _pa.field("file_path", _pa.string(),
@@ -533,7 +395,7 @@ def _write_delete_files_distributed(lake, delete_dir: str, dels: DataFrame) -> l
             nrgs = _open_parquet_meta(fh, enc_key).metadata.num_row_groups
         return pd.DataFrame(
             [{"file_path": rel, "out_path": final, "n": len(pos),
-              "n_new": n_new,
+              "n_new": n_new, "new_pos": "",
               "size": size_any(final),
               "footer": parquet_footer_size(final),
               "rgs": nrgs,
@@ -545,7 +407,8 @@ def _write_delete_files_distributed(lake, delete_dir: str, dels: DataFrame) -> l
         .applyInPandas(
             write_group,
             "file_path string, out_path string, n long, n_new long, "
-            "size long, footer long, rgs long, enc_key string",
+            "new_pos string, size long, footer long, rgs long, "
+            "enc_key string",
         )
         .collect()
     )
@@ -568,13 +431,18 @@ def _inlined_delete_counts(lake, h) -> dict[int, int]:
     )
 
 
-def _write_dv_files_distributed(lake, delete_dir: str, dels: DataFrame) -> list[dict]:
+def _write_dv_files_distributed(lake, delete_dir: str, dels: DataFrame,
+                                inline_limit: int = 0) -> list[dict]:
     """Iceberg-v3 deletion vectors: one bare deletion-vector-v1 blob per
     data file (reference single-blob case, ducklake_puffin.cpp:131-141),
-    written executor-side like the parquet variant."""
+    written executor-side like the parquet variant. Inlined file
+    deletions (per-file ``inline_limit``) win over the DV format like
+    the reference, where the inline check precedes the file write
+    (ducklake_delete.cpp:530-546)."""
     import pandas as pd
 
     def write_group(pdf: pd.DataFrame) -> pd.DataFrame:
+        import json as _json
         import os as _os
         import uuid as _uuid
 
@@ -583,13 +451,23 @@ def _write_dv_files_distributed(lake, delete_dir: str, dels: DataFrame) -> list[
         rel = pdf["file_path"].iloc[0]
         pos = sorted({int(x) for x in pdf["pos"]})
         n_new = int(pdf["is_new"].sum()) if "is_new" in pdf else len(pos)
+        if 0 < n_new <= inline_limit:
+            new_pos = sorted(
+                int(x) for x in (pdf.loc[pdf["is_new"], "pos"]
+                                 if "is_new" in pdf else pdf["pos"])
+            )
+            return pd.DataFrame(
+                [{"file_path": rel, "out_path": "", "n": len(pos),
+                  "n_new": n_new, "new_pos": _json.dumps(new_pos),
+                  "size": 0, "footer": 0}]
+            )
         final = _os.path.join(
             delete_dir, f"ducklake-dv-{_uuid.uuid4().hex}.puffin"
         )
         r = puffin_write(final, [(None, pos)], rel)
         return pd.DataFrame(
             [{"file_path": rel, "out_path": final, "n": r["delete_count"],
-              "n_new": n_new,
+              "n_new": n_new, "new_pos": "",
               "size": r["file_size_bytes"], "footer": r["footer_size"]}]
         )
 
@@ -598,7 +476,7 @@ def _write_dv_files_distributed(lake, delete_dir: str, dels: DataFrame) -> list[
         .applyInPandas(
             write_group,
             "file_path string, out_path string, n long, n_new long, "
-            "size long, footer long",
+            "new_pos string, size long, footer long",
         )
         .collect()
     )
@@ -715,6 +593,19 @@ def _update_files(lake: DuckLake, h: TableHandle, matched: DataFrame,
         *[F.col(f.name) for f in schema.fields],
         F.col("rowid").alias(ROWID_COL),
     )
+    # a small UPDATE on file-backed rows inlines BOTH halves like the
+    # reference (data_inlining_update_inline_verification.test: new row
+    # -> inlined-data table with the preserved rowid, removed position
+    # -> inlined deletions; NO new file is written). The probe is cheap:
+    # `matched` is persisted by the caller, and limit+1 bounds the fetch
+    inline_limit = lake._inline_limit(h.table_id, h.schema_id)
+    if (inline_limit > 0 and h.table_id >= 0 and not (
+            lake._txn is not None
+            and lake._txn.pending_columns.get(h.table_id))):
+        head = new_rows.limit(inline_limit + 1).collect()
+        if len(head) <= inline_limit:
+            return _update_files_via_inlining(lake, h, head, matched,
+                                              where, schema)
     # write replacement rows first (they carry preserved rowids); the
     # matched-row count comes from the written-file footers — no
     # separate count() job over the matched relation (_write_parquet
@@ -741,6 +632,44 @@ def _update_files(lake: DuckLake, h: TableHandle, matched: DataFrame,
             txn.stats_delta[h.table_id]["records"] -= n_del
         txn.change_log.append(f"inserted_into_table:{h.table_id}")
     return n
+
+
+def _update_files_via_inlining(lake: DuckLake, h: TableHandle, head,
+                               matched: DataFrame, where: str,
+                               schema) -> int:
+    """UPDATE's inline fast path: replacement rows land in the
+    inlined-data table with their PRESERVED row ids, and the removed
+    file positions absorb as inlined deletions — no new file is
+    written (reference data_inlining_update_inline_verification.test;
+    the update plan routes its insert half through DuckLakeInlineData
+    with the same data_inlining_row_limit, ducklake_insert.cpp:865)."""
+    if not head:
+        return 0
+    from ducklake_spark.lake import _to_sql_value
+    from ducklake_spark.transaction import PENDING_SNAPSHOT
+
+    with lake.transaction():
+        txn = lake.begin()
+        cur_tname = lake._ensure_inlined_table(h)
+        packed = [
+            (r[ROWID_COL], PENDING_SNAPSHOT, None)
+            + tuple(_to_sql_value(r[f.name], f.dataType)
+                    for f in schema.fields)
+            for r in head
+        ]
+        txn.inlined_inserts.append((h.table_id, cur_tname, packed))
+        snap = lake._resolve_snapshot(None, None)
+        vfiles = lake._visible_files(h, snap, where)
+        victims = matched.select(
+            F.col("filename"), F.col("file_row_number").alias("pos")
+        )
+        n_del = _apply_file_deletes(lake, h, snap, vfiles, victims)
+        delta = txn.stats_delta.setdefault(h.table_id, {})
+        # preserved-rowid inlined_inserts don't advance record_count at
+        # commit, so the insert half restores what the delete half took
+        delta["records"] = delta.get("records", 0) - n_del + len(head)
+        _log_change(txn, f"inlined_insert:{h.table_id}")
+    return len(head)
 
 
 def _update_inlined(lake: DuckLake, h: TableHandle, assignments: dict[str, str],

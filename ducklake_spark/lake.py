@@ -699,20 +699,31 @@ class DuckLake:
         if self._inline_limit(h.table_id, h.schema_id) > 0:
             _check_inline_reserved(col_name)
         txn = self.begin()
+        pending_id = None
+        if self._explicit_txn:
+            # inside an open transaction the new column is visible to
+            # the transaction's own later statements (reference
+            # txn-local schema, data_inlining_transaction_local_alter
+            # .test): reserve the id NOW so in-txn parquet writes stamp
+            # the right field id, and overlay it on _handle
+            pending_id = self.meta.reserve_catalog_ids(1)
+            txn.pending_columns.setdefault(h.table_id, []).append(
+                (pending_id, col_name, col_type, default)
+            )
 
-        def op(con, snap_id, h=h, col_name=col_name, col_type=col_type, default=default):
+        def op(con, snap_id, h=h, col_name=col_name, col_type=col_type,
+               default=default, txn=txn, pending_id=pending_id):
             order = con.execute(
                 "SELECT COALESCE(MAX(column_order), -1) + 1 FROM ducklake_column "
                 "WHERE table_id=? AND end_snapshot IS NULL",
                 (h.table_id,),
             ).fetchone()[0]
-            snap = self.meta.latest_snapshot()
-            new_id = snap.next_catalog_id
-            con.execute(
-                "UPDATE ducklake_snapshot SET next_catalog_id = next_catalog_id + 1 "
-                "WHERE snapshot_id = ?",
-                (snap.snapshot_id,),
-            )
+            # minted from THIS commit's allocator — the old
+            # latest_snapshot() scheme re-issued the same id on
+            # consecutive ADD COLUMNs (see transaction._try_commit) —
+            # unless the id was already reserved for txn-local use
+            new_id = (pending_id if pending_id is not None
+                      else txn.alloc_catalog_id())
             con.execute(
                 "INSERT INTO ducklake_column VALUES "
                 "(?, ?, NULL, ?, ?, ?, ?, ?, ?, 1, NULL, NULL, NULL)",
@@ -1458,9 +1469,16 @@ class DuckLake:
         df = self._conform(df, schema, h)
 
         inline_limit = self._inline_limit(h.table_id, h.schema_id)
-        if inline_limit > 0 and h.table_id >= 0:
+        if (inline_limit > 0 and h.table_id >= 0 and not (
+                self._txn is not None
+                and self._txn.pending_columns.get(h.table_id))):
             # txn-local tables (id assigned at commit) always write
-            # parquet — the inlined-data tables need a real table id
+            # parquet — the inlined-data tables need a real table id.
+            # Same for tables with a txn-local ADD COLUMN: the epoch
+            # inlined table for the post-alter schema does not exist
+            # until the commit bumps the schema version, so those rows
+            # take the parquet path (semantics match; storage differs
+            # from the reference's in-memory txn-local inlined data)
             head = df.limit(inline_limit + 1).collect()
             if len(head) <= inline_limit:
                 self._insert_inlined(h, schema, head)
@@ -1535,6 +1553,11 @@ class DuckLake:
                     (h.table_id,),
                 )
             }
+            if self._txn is not None:  # txn-local ADD COLUMN ... DEFAULT
+                for _cid, cname, _ctype, dflt in (
+                        self._txn.pending_columns.get(h.table_id, [])):
+                    if dflt is not None:
+                        defaults.setdefault(cname, dflt)
         for n in missing:
             # stored DEFAULT (SQL text, dialect 'spark') applies to new rows
             df = df.withColumn(
@@ -2807,7 +2830,7 @@ class DuckLake:
         if not id2name:
             return {}
         qs = ",".join("?" * len(id2name))
-        return {
+        out = {
             id2name[cid]: d
             for cid, d in self.meta.query(
                 "SELECT column_id, initial_default FROM ducklake_column "
@@ -2817,6 +2840,14 @@ class DuckLake:
             )
             if cid in id2name
         }
+        # columns added by THIS open transaction have no committed row
+        # yet; their DEFAULT backfills existing rows for in-txn reads
+        if self._txn is not None:
+            for _cid, cname, _ctype, dflt in self._txn.pending_columns.get(
+                    h.table_id, []):
+                if dflt is not None and cname in names:
+                    out.setdefault(cname, dflt)
+        return out
 
     def _columns_absent_in_files(self, h: TableHandle, files: list[dict],
                                  cnames: dict) -> dict:
@@ -3632,15 +3663,28 @@ class DuckLake:
                         )
             raise DuckLakeError(f"table {name!r} does not exist")
         table_id, table_uuid, schema_id, path = row
-        cols = self.meta.query(
-            "SELECT column_id, column_name, column_type, nulls_allowed "
-            "FROM ducklake_column WHERE table_id=? AND begin_snapshot <= ? "
-            "AND (end_snapshot IS NULL OR end_snapshot > ?) AND parent_column IS NULL "
-            "ORDER BY column_order",
-            (table_id, snap.snapshot_id, snap.snapshot_id),
-        )
+        cols = [
+            tuple(c)
+            for c in self.meta.query(
+                "SELECT column_id, column_name, column_type, nulls_allowed "
+                "FROM ducklake_column WHERE table_id=? AND begin_snapshot <= ? "
+                "AND (end_snapshot IS NULL OR end_snapshot > ?) AND parent_column IS NULL "
+                "ORDER BY column_order",
+                (table_id, snap.snapshot_id, snap.snapshot_id),
+            )
+        ]
+        # columns ADDED by this open transaction overlay the committed
+        # schema for the transaction's own statements (reference
+        # txn-local schema; at_version/at_timestamp reads stay pinned)
+        if (self._txn is not None and at_version is None
+                and at_timestamp is None):
+            cols += [
+                (cid, cname, ctype, 1)
+                for cid, cname, ctype, _dflt
+                in self._txn.pending_columns.get(table_id, [])
+            ]
         return TableHandle(table_id, table_uuid, schema_id, schema_name,
-                           table_name, path, [tuple(c) for c in cols])
+                           table_name, path, cols)
 
     def _table_names(self, snap: Snapshot | None = None) -> list[str]:
         if snap is None:

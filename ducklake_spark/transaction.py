@@ -210,6 +210,24 @@ class Transaction:
         self.touched_delete_data_files: set[int] = set()  # for delete/delete conflicts
         self.commit_message: tuple[str | None, str | None, str | None] = (None, None, None)
         self.committed_snapshot: int | None = None
+        # live only during _try_commit: [next catalog id] for DDL ops
+        self._commit_alloc: list[int] | None = None
+        # columns added by THIS open transaction, visible to its own
+        # later statements (reference: transaction-local schema —
+        # data_inlining_transaction_local_alter.test):
+        # table_id -> [(reserved column_id, name, type, default)]
+        self.pending_columns: dict[int, list[tuple]] = {}
+
+    def alloc_catalog_id(self) -> int:
+        """Mint a catalog id from the committing snapshot's allocator.
+        Only valid inside a column_changes op (during _try_commit); the
+        snapshot row records the advanced counter, so ids are unique
+        across commits."""
+        if self._commit_alloc is None:
+            raise RuntimeError("alloc_catalog_id outside a commit")
+        nid = self._commit_alloc[0]
+        self._commit_alloc[0] += 1
+        return nid
 
     # -- conflict detection ------------------------------------------------
 
@@ -972,6 +990,16 @@ class Transaction:
                 [kv for kv in self.column_changes.items() if kv[0] >= 0]
                 + [kv for kv in self.column_changes.items() if kv[0] < 0]
             )
+            # ops that mint catalog ids (ADD COLUMN) draw from THIS
+            # commit's allocator via alloc_catalog_id(), so the snapshot
+            # row below records the post-allocation counter. (The old
+            # scheme read latest_snapshot().next_catalog_id inside the
+            # op and bumped the PREVIOUS snapshot row — the new
+            # snapshot's counter never advanced, so the next ADD COLUMN
+            # re-issued the same column id: two adds in a row collided,
+            # and the duplicate id made epoch column mapping read the
+            # wrong stored column for inlined rows.)
+            self._commit_alloc = [next_cat]
             for tid, ops in ordered_changes:
                 for op in ops:
                     op(con, snap_id)
@@ -980,6 +1008,7 @@ class Transaction:
                         "INSERT INTO ducklake_schema_versions VALUES (?, ?, ?)",
                         (snap_id, schema_version, tid),
                     )
+            next_cat = self._commit_alloc[0]
 
             # --- adoption name maps (no schema_version bump)
             for op in self.mapping_ops:

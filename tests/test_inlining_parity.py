@@ -1,0 +1,282 @@
+"""Data-inlining parity with the reference's update/delete interplay.
+
+Mirrors:
+- test/sql/data_inlining/data_inlining_update_inline_verification.test
+  (small UPDATE on file-backed rows writes NO new file: insert half ->
+  inlined data with preserved rowid, delete half -> inlined deletions)
+- test/sql/data_inlining/data_inlining_interleaved_update.test
+  (INSERT -> UPDATE -> INSERT on inlined data inside one transaction)
+- ducklake_delete.cpp:530-546: the inlined-file-deletions threshold is
+  data_inlining_row_limit itself, applied PER data file.
+"""
+from __future__ import annotations
+
+import glob
+import os
+
+import pytest
+
+
+def _files(data_path: str, pat: str = "*") -> list[str]:
+    return [
+        f for f in glob.glob(f"{data_path}/**/{pat}", recursive=True)
+        if os.path.isfile(f)
+    ]
+
+
+def _delete_files(data_path: str) -> list[str]:
+    return [f for f in _files(data_path)
+            if "delete" in os.path.basename(f)]
+
+
+@pytest.fixture()
+def mklake(spark, tmp_path):
+    from ducklake_spark.lake import DuckLake
+
+    def make(name: str, **kw):
+        return DuckLake.attach(
+            spark, str(tmp_path / f"{name}.db"), str(tmp_path / name), **kw
+        )
+
+    return make
+
+
+def test_update_inline_verification(mklake, spark):
+    """data_inlining_update_inline_verification.test: a small update on
+    file-backed data creates no new file and preserves the rowid."""
+    from ducklake_spark.dml import update
+
+    lk = mklake("u1", data_inlining_row_limit=10)
+    lk.create_table("t", [("i", "int64"), ("j", "varchar")])
+    lk.insert("t", spark.range(20).selectExpr(
+        "id AS i", "concat('val_', id) AS j").coalesce(1))
+    assert len(_files(lk.data_path)) == 1
+
+    assert update(lk, "t", {"j": "'updated'"}, "i=5") == 1
+    assert len(_files(lk.data_path)) == 1  # no new data or delete file
+    assert [(r.i, r.j) for r in lk.table("t", where="i=5").collect()] == \
+        [(5, "updated")]
+    got = lk.table("t", with_virtual=True).where("i=5").select(
+        "rowid", "i", "j").collect()
+    assert [(r.rowid, r.i, r.j) for r in got] == [(5, 5, "updated")]
+
+    assert update(lk, "t", {"j": "'changed'"}, "i=10") == 1
+    assert len(_files(lk.data_path)) == 1
+    rows = sorted((r.i, r.j) for r in lk.table("t").collect())
+    assert len(rows) == 20
+    assert rows[5] == (5, "updated") and rows[10] == (10, "changed")
+    assert rows[11] == (11, "val_11")
+
+
+def test_delete_inlining_per_file_threshold(mklake, spark):
+    """The inline decision is per data file and driven by
+    data_inlining_row_limit (no separate deletion option set): 6+6
+    deletes across two files both absorb into the catalog even though
+    the total exceeds the limit."""
+    from ducklake_spark.cdc import table_changes
+    from ducklake_spark.dml import delete
+
+    lk = mklake("d1", data_inlining_row_limit=10)
+    lk.create_table("t", [("i", "int64")])
+    lk.insert("t", spark.range(11, 111).selectExpr("id AS i").coalesce(1))
+    lk.insert("t", spark.range(111, 211).selectExpr("id AS i").coalesce(1))
+    assert len(_files(lk.data_path)) == 2
+    s0 = lk.current_snapshot()
+
+    assert delete(lk, "t", "i % 100 < 6") == 12
+    assert len(_files(lk.data_path)) == 2  # no delete parquet appeared
+    assert lk.table("t").count() == 188
+    ch = table_changes(lk, "t", s0 + 1, lk.current_snapshot())
+    assert ch.where("change_type='delete'").count() == 12
+
+    # a per-file overflow still writes a delete file for THAT file only
+    assert delete(lk, "t", "i BETWEEN 20 AND 40") == 21
+    assert len(_delete_files(lk.data_path)) == 1
+    assert lk.table("t").count() == 167
+
+
+def test_interleaved_insert_update_insert_inlined(mklake, spark):
+    """data_inlining_interleaved_update.test: INSERT -> UPDATE -> INSERT
+    inside one transaction on committed inlined data; the update keeps
+    its rowid, inserts extend sequentially, CDC reports an update."""
+    from ducklake_spark.cdc import table_changes
+    from ducklake_spark.dml import update
+
+    lk = mklake("i1", data_inlining_row_limit=10)
+    lk.create_table("t", [("id", "int32"), ("val", "varchar")])
+    lk.insert("t", spark.createDataFrame([(1, "a"), (2, "b")],
+                                         "id int, val string"))
+    with lk.transaction():
+        lk.insert("t", spark.createDataFrame([(3, "c")], "id int, val string"))
+        assert update(lk, "t", {"val": "'aa'"}, "id=1") == 1
+        lk.insert("t", spark.createDataFrame([(4, "d")], "id int, val string"))
+    got = sorted((r.rowid, r.id, r.val) for r in lk.table(
+        "t", with_virtual=True).select("rowid", "id", "val").collect())
+    assert got == [(0, 1, "aa"), (1, 2, "b"), (2, 3, "c"), (3, 4, "d")]
+
+    snap = lk.current_snapshot()
+    ch = sorted((r.rowid, r.change_type, r.id, r.val)
+                for r in table_changes(lk, "t", snap, snap).collect())
+    assert ch == [
+        (0, "update_postimage", 1, "aa"),
+        (0, "update_preimage", 1, "a"),
+        (2, "insert", 3, "c"),
+        (3, "insert", 4, "d"),
+    ]
+
+    # UPDATE -> INSERT in one transaction (only preserved ids in the
+    # existing data, then a fresh sequential id)
+    with lk.transaction():
+        assert update(lk, "t", {"val": "'bb'"}, "id=2") == 1
+        lk.insert("t", spark.createDataFrame([(5, "e")], "id int, val string"))
+    got = sorted((r.rowid, r.id, r.val) for r in lk.table(
+        "t", with_virtual=True).select("rowid", "id", "val").collect())
+    assert got == [(0, 1, "aa"), (1, 2, "bb"), (2, 3, "c"),
+                   (3, 4, "d"), (4, 5, "e")]
+
+
+def test_update_inline_merges_with_existing_delete_file(mklake, spark):
+    """A file carrying a committed delete PARQUET takes further small
+    deletes as catalog absorption; the delete file stays live and the
+    scan merges both sources."""
+    from ducklake_spark.dml import delete
+
+    lk = mklake("m1")  # inlining OFF at attach
+    lk.create_table("t", [("i", "int64")])
+    lk.insert("t", spark.range(100).selectExpr("id AS i").coalesce(1))
+    assert delete(lk, "t", "i < 30") == 30  # big: delete parquet
+    dels = _delete_files(lk.data_path)
+    assert len(dels) == 1
+
+    lk.set_option("data_inlining_row_limit", "10", table_name="t")
+    assert delete(lk, "t", "i BETWEEN 30 AND 34") == 5  # small: inlined
+    assert _delete_files(lk.data_path) == dels
+    assert lk.table("t").count() == 65
+    assert lk.table("t").agg({"i": "min"}).collect()[0][0] == 35
+
+
+def test_add_column_ids_unique_across_commits(mklake, spark):
+    """Consecutive ADD COLUMNs must mint distinct column ids and keep
+    snapshot allocators monotone. The old allocator read the counter
+    from latest_snapshot() inside the op and bumped a PREVIOUS
+    snapshot's row, so two adds in a row collided — and the duplicate
+    id made the inlined epoch mapping read the WRONG stored column
+    (an in-txn insert before ADD COLUMN l DEFAULT 42 surfaced l as a
+    copy of k instead of 42)."""
+    from ducklake_spark.dml import update  # noqa: F401 (import parity)
+
+    lk = mklake("ids")
+    lk.create_table("t", [("i", "int32")])
+    lk.add_column("t", "a", "int32")
+    lk.add_column("t", "b", "int32")
+    lk.add_column("t", "c", "int32")
+    ids = [cid for cid, _ in lk.meta.query(
+        "SELECT column_id, column_name FROM ducklake_column "
+        "WHERE table_id=1")]
+    assert len(ids) == len(set(ids)), f"duplicate column ids: {ids}"
+    counters = [c for _, c in lk.meta.query(
+        "SELECT snapshot_id, next_catalog_id FROM ducklake_snapshot "
+        "ORDER BY snapshot_id")]
+    assert counters == sorted(counters), f"non-monotone allocator: {counters}"
+
+
+def test_insert_then_add_default_same_txn_inlined(mklake, spark):
+    """data_inlining_transaction_local_alter.test (commit-visible half):
+    a row inserted (inlined) BEFORE an in-txn ADD COLUMN ... DEFAULT
+    surfaces the default after commit, not a neighboring column's
+    value."""
+    lk = mklake("txnalter", data_inlining_row_limit=10)
+    lk.create_table("test", [("i", "int32"), ("j", "int32")])
+    with lk.transaction():
+        lk.insert("test", spark.createDataFrame([(42, 84)],
+                                                "i int, j int"))
+        lk.add_column("test", "k", "int32")
+        # the added column is visible to the txn's own reads
+        assert [tuple(r) for r in lk.table("test").collect()] == \
+            [(42, 84, None)]
+    assert [tuple(r) for r in lk.table("test").collect()] == [(42, 84, None)]
+    with lk.transaction():
+        lk.insert("test", spark.createDataFrame([(100, 200, 300)],
+                                                "i int, j int, k int"))
+        lk.add_column("test", "l", "int32", default="42")
+        assert sorted(tuple(r) for r in lk.table("test").collect()) == [
+            (42, 84, None, 42), (100, 200, 300, 42)]
+    assert sorted(tuple(r) for r in lk.table("test").collect()) == [
+        (42, 84, None, 42), (100, 200, 300, 42)]
+    # ALTER -> INSERT: the insert carries the txn-locally-added column
+    with lk.transaction():
+        lk.add_column("test", "m", "varchar")
+        lk.insert("test", spark.createDataFrame(
+            [(500, 600, 700, 800, "hello")],
+            "i int, j int, k int, l int, m string"))
+    assert sorted(tuple(r) for r in lk.table("test").collect()) == [
+        (42, 84, None, 42, None), (100, 200, 300, 42, None),
+        (500, 600, 700, 800, "hello")]
+
+
+def test_txn_local_add_column_file_backed_and_rollback(mklake, spark):
+    """In-txn ADD COLUMN DEFAULT over committed parquet rows backfills
+    for the txn's own reads; a rollback removes the column again."""
+    lk = mklake("txnfile")
+    lk.create_table("t", [("a", "int64")])
+    lk.insert("t", spark.range(5).selectExpr("id AS a").coalesce(1))
+    with lk.transaction():
+        lk.add_column("t", "b", "int32", default="7")
+        assert sorted(tuple(r) for r in lk.table("t").collect()) == [
+            (i, 7) for i in range(5)]
+        lk.insert("t", spark.createDataFrame([(10, 11)], "a long, b int"))
+    assert sorted(tuple(r) for r in lk.table("t").collect()) == [
+        (0, 7), (1, 7), (2, 7), (3, 7), (4, 7), (10, 11)]
+
+    try:
+        with lk.transaction():
+            lk.add_column("t", "c", "int32")
+            assert len(lk.table("t").columns) == 3
+            raise RuntimeError("abort")
+    except RuntimeError:
+        pass
+    assert lk.table("t").columns == ["a", "b"]
+
+
+def test_multi_alter_same_column_transaction(mklake, spark):
+    """test/sql/alter/multi_alter_same_column_transaction.test: chained
+    ALTERs on one column in one transaction (SET/DROP NOT NULL, SET
+    DEFAULT, RENAME; ADD+RENAME+DROP; two ADDs then two RENAMEs)."""
+    lk = mklake("malter", data_inlining_row_limit=10)
+    lk.create_table("t", [("id", "int32"), ("col1", "int32")])
+    lk.insert("t", spark.createDataFrame([(1, 10), (2, 20)],
+                                         "id int, col1 int"))
+    with lk.transaction():
+        lk.set_not_null("t", "col1")
+        lk.drop_not_null("t", "col1")
+        lk.set_default("t", "col1", "42")
+        lk.rename_column("t", "col1", "col1_final")
+    lk.insert("t", spark.createDataFrame([(3, None)],
+                                         "id int, col1_final int"))
+    lk.insert("t", spark.createDataFrame([(4,)], "id int"))
+    assert sorted((r.id, r.col1_final) for r in lk.table("t").collect()) == [
+        (1, 10), (2, 20), (3, None), (4, 42)]
+
+    lk.create_table("ard", [("id", "int32"), ("val", "varchar")])
+    lk.insert("ard", spark.createDataFrame([(1, "a"), (2, "b")],
+                                           "id int, val string"))
+    with lk.transaction():
+        lk.add_column("ard", "tmp_col", "int32")
+        lk.rename_column("ard", "tmp_col", "renamed_col")
+        lk.drop_column("ard", "renamed_col")
+    assert lk.table("ard").columns == ["id", "val"]
+    assert sorted(tuple(r) for r in lk.table("ard").collect()) == [
+        (1, "a"), (2, "b")]
+
+    lk.create_table("two", [("id", "int32")])
+    lk.insert("two", spark.createDataFrame([(1,), (2,), (3,)], "id int"))
+    with lk.transaction():
+        lk.add_column("two", "col_a", "varchar")
+        lk.add_column("two", "col_b", "int32")
+        lk.rename_column("two", "col_a", "col_a_renamed")
+        lk.rename_column("two", "col_b", "col_b_renamed")
+    lk.insert("two", spark.createDataFrame(
+        [(4, "hello", 42)], "id int, col_a_renamed string, col_b_renamed int"))
+    assert sorted(tuple(r) for r in lk.table("two").collect()) == [
+        (1, None, None), (2, None, None), (3, None, None),
+        (4, "hello", 42)]
