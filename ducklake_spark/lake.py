@@ -1898,9 +1898,16 @@ class DuckLake:
                 f"CREATE TABLE IF NOT EXISTS {tname} "
                 f"(row_id BIGINT, begin_snapshot BIGINT, end_snapshot BIGINT, {col_ddl})"
             )
+            # idempotent registry insert: two concurrent writers raced
+            # the exists-probe above and BOTH inserted the registry row,
+            # making every scan read the table twice (single-statement
+            # INSERT..WHERE NOT EXISTS serializes on the catalog lock)
             con.execute(
-                "INSERT INTO ducklake_inlined_data_tables VALUES (?, ?, ?)",
-                (h.table_id, tname, sv),
+                "INSERT INTO ducklake_inlined_data_tables "
+                "SELECT ?, ?, ? WHERE NOT EXISTS "
+                "(SELECT 1 FROM ducklake_inlined_data_tables "
+                "WHERE table_id=? AND table_name=?)",
+                (h.table_id, tname, sv, h.table_id, tname),
             )
         return tname
 
@@ -3548,8 +3555,11 @@ class DuckLake:
 
     def _read_inlined(self, h: TableHandle, snap: Snapshot, schema: T.StructType,
                       with_virtual: bool, txn_overlay: bool = False) -> DataFrame | None:
+        # DISTINCT guards catalogs where a historical registry race
+        # double-inserted a row (each duplicate would double every scan)
         tabs = self.meta.query(
-            "SELECT table_name FROM ducklake_inlined_data_tables WHERE table_id=?",
+            "SELECT DISTINCT table_name FROM ducklake_inlined_data_tables "
+            "WHERE table_id=?",
             (h.table_id,),
         )
         txn = self._txn if txn_overlay else None

@@ -491,6 +491,48 @@ def expire_snapshots(lake: DuckLake, *, older_than: str | None = None,
                         "VALUES (NULL, ?, 1, ?)",
                         (path, _now_ts()),
                     )
+        # inlined history whose lifetime no longer intersects any live
+        # snapshot, then epoch tables left unreachable — the reference
+        # reclaims superseded inlined tables in maintenance
+        # (test/sql/data_inlining/empty_inlined_tables_alter_cleanup,
+        # inlined_data_table_leak)
+        reg = con.execute(
+            "SELECT table_id, table_name, schema_version "
+            "FROM ducklake_inlined_data_tables"
+        ).fetchall()
+        cur_sv = {}
+        for tid, _tname, sv in reg:
+            cur_sv[tid] = max(cur_sv.get(tid, -1), sv)
+        for tid, tname, sv in reg:
+            con.execute(
+                f"DELETE FROM {tname} WHERE end_snapshot IS NOT NULL "
+                "AND NOT EXISTS (SELECT 1 FROM ducklake_snapshot s "
+                f"WHERE s.snapshot_id >= {tname}.begin_snapshot "
+                f"AND s.snapshot_id < {tname}.end_snapshot)"
+            )
+            table_live = con.execute(
+                "SELECT 1 FROM ducklake_table t JOIN ducklake_snapshot s "
+                "ON s.snapshot_id >= t.begin_snapshot "
+                "AND (t.end_snapshot IS NULL OR s.snapshot_id < t.end_snapshot) "
+                "WHERE t.table_id = ?",
+                (tid,),
+            ).fetchone()
+            n_rows = con.execute(
+                f"SELECT COUNT(*) FROM {tname}"
+            ).fetchone()[0]
+            if table_live is None or (sv < cur_sv[tid] and n_rows == 0):
+                # the whole lake table is unreachable, or this is an
+                # empty superseded epoch: drop registry row + storage
+                con.execute(
+                    "DELETE FROM ducklake_inlined_data_tables "
+                    "WHERE table_id=? AND table_name=?",
+                    (tid, tname),
+                )
+                con.execute(f"DROP TABLE IF EXISTS {tname}")
+            if table_live is None:
+                con.execute(
+                    f"DROP TABLE IF EXISTS ducklake_inlined_deletes_{tid}"
+                )
         con.execute("COMMIT")
     except BaseException:
         from ducklake_spark.catalog.metadata import safe_rollback

@@ -280,3 +280,57 @@ def test_multi_alter_same_column_transaction(mklake, spark):
     assert sorted(tuple(r) for r in lk.table("two").collect()) == [
         (1, None, None), (2, None, None), (3, None, None),
         (4, "hello", 42)]
+
+
+def test_inlined_table_reclamation(mklake, spark):
+    """empty_inlined_tables_alter_cleanup.test + inlined_data_table_leak
+    .test: expire_snapshots reclaims unreachable inlined history —
+    empty superseded epoch tables are dropped, and dropping the lake
+    table frees every epoch once no live snapshot can see it."""
+    from ducklake_spark.maintenance import (
+        cleanup_old_files,
+        expire_snapshots,
+        flush_inlined_data,
+    )
+
+    lk = mklake("reclaim", data_inlining_row_limit=10)
+    lk.create_table("t1", [("i", "int32")])
+    lk.insert("t1", spark.createDataFrame([(1,), (2,), (3,)], "i int"))
+    lk.add_column("t1", "j", "int32")
+    lk.insert("t1", spark.createDataFrame([(4, 40)], "i int, j int"))
+    lk.add_column("t1", "k", "int32")
+    lk.insert("t1", spark.createDataFrame([(5, 50, 500)],
+                                          "i int, j int, k int"))
+    assert len(lk.meta.query(
+        "SELECT 1 FROM ducklake_inlined_data_tables")) == 3
+
+    # flush empties the older epochs; expiring all history lets the
+    # empty superseded tables go (the current epoch's stays)
+    flush_inlined_data(lk)
+    expire_snapshots(lk, older_than="9999-01-01")
+    cleanup_old_files(lk, cleanup_all=True)
+    regs = lk.meta.query(
+        "SELECT table_name, schema_version FROM ducklake_inlined_data_tables "
+        "ORDER BY schema_version")
+    assert len(regs) <= 1
+    assert sorted(tuple(r) for r in lk.table("t1").collect()) == [
+        (1, None, None), (2, None, None), (3, None, None),
+        (4, 40, None), (5, 50, 500)]
+    # inserts keep working (table recreated lazily if dropped)
+    lk.insert("t1", spark.createDataFrame([(6, 60, 600)],
+                                          "i int, j int, k int"))
+    assert lk.table("t1").count() == 6
+
+    # DROP TABLE then expire: every epoch table and the registry go
+    lk2 = mklake("leak", data_inlining_row_limit=10)
+    lk2.create_table("t1", [("i", "int32")])
+    lk2.insert("t1", spark.createDataFrame([(1,), (2,)], "i int"))
+    lk2.add_column("t1", "j", "int32")
+    lk2.insert("t1", spark.createDataFrame([(4, 40)], "i int, j int"))
+    lk2.drop_table("t1")
+    expire_snapshots(lk2, older_than="9999-01-01")
+    cleanup_old_files(lk2, cleanup_all=True)
+    assert lk2.meta.query("SELECT 1 FROM ducklake_inlined_data_tables") == []
+    assert lk2.meta.query(
+        "SELECT name FROM sqlite_master WHERE name LIKE "
+        "'ducklake_inlined_data_1_%'") == []
