@@ -1244,17 +1244,32 @@ class DuckLake:
                       schema_id: int | None = None) -> int:
         """Effective data_inlining_row_limit (table over schema over
         global — the reference resolves per scope,
-        ducklake_set_option.cpp)."""
+        ducklake_set_option.cpp). When no catalog scope sets it, the
+        session default ``spark.ducklake.defaultDataInliningRowLimit``
+        applies — the analogue of the reference's GLOBAL setting
+        ``ducklake_default_data_inlining_row_limit``
+        (ducklake_extension.cpp:36-38, reference default 10). We ship
+        0: a cluster engine's inserts are rarely 10-row interactive
+        statements, and catalog-inlined rows bypass file statistics /
+        pruning — opt in per lake, table, or session to match the
+        reference's interactive default."""
         if table_id is not None and table_id >= 0:
-            return int(self.meta.option(
-                "data_inlining_row_limit", "0",
+            v = self.meta.option(
+                "data_inlining_row_limit", None,
                 scope="table", scope_id=table_id,
-                schema_id=schema_id) or 0)
-        if schema_id is not None:
-            return int(self.meta.option(
-                "data_inlining_row_limit", "0",
-                schema_id=schema_id) or 0)
-        return int(self.meta.option("data_inlining_row_limit", "0") or 0)
+                schema_id=schema_id)
+        elif schema_id is not None:
+            v = self.meta.option(
+                "data_inlining_row_limit", None, schema_id=schema_id)
+        else:
+            v = self.meta.option("data_inlining_row_limit", None)
+        if v is not None:
+            return int(v or 0)
+        try:
+            return int(self.spark.conf.get(
+                "spark.ducklake.defaultDataInliningRowLimit", "0") or 0)
+        except Exception:
+            return 0
 
     def _check_inlining_enableable(self, table_name: str | None,
                                    schema_name: str | None = None) -> None:

@@ -334,3 +334,24 @@ def test_inlined_table_reclamation(mklake, spark):
     assert lk2.meta.query(
         "SELECT name FROM sqlite_master WHERE name LIKE "
         "'ducklake_inlined_data_1_%'") == []
+
+
+def test_session_default_inlining_knob(mklake, spark):
+    """spark.ducklake.defaultDataInliningRowLimit is the session
+    analogue of the reference's GLOBAL
+    ducklake_default_data_inlining_row_limit (ducklake_extension.cpp:36):
+    it applies when no catalog scope sets the option, and any catalog
+    scope (including an explicit 0) overrides it."""
+    lk = mklake("knob")
+    lk.create_table("t", [("i", "int64")])
+    try:
+        spark.conf.set("spark.ducklake.defaultDataInliningRowLimit", "10")
+        lk.insert("t", spark.createDataFrame([(1,), (2,)], "i long"))
+        assert _files(lk.data_path) == []  # inlined via the session knob
+        assert lk.table("t").count() == 2
+        lk.set_option("data_inlining_row_limit", "0", table_name="t")
+        lk.insert("t", spark.createDataFrame([(3,)], "i long"))
+        assert len(_files(lk.data_path)) == 1  # catalog scope wins
+        assert lk.table("t").count() == 3
+    finally:
+        spark.conf.unset("spark.ducklake.defaultDataInliningRowLimit")
