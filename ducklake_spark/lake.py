@@ -676,7 +676,30 @@ class DuckLake:
     def rename_table(self, name: str, new_name: str) -> None:
         h = self._handle(name)
         txn = self.begin()
-        txn.renamed_tables.append((h.table_id, new_name.split(".")[-1]))
+        new_tname = new_name.split(".")[-1]
+        if h.table_id < 0:
+            # renaming a table CREATED in this transaction: update the
+            # buffered definition and re-key its buffered files/changes
+            # (dbt's tmp-swap: CREATE tmp; RENAME old->backup;
+            # RENAME tmp->old — rename_table_dbt_workload.test)
+            td = next(
+                t for t in txn.created_tables
+                if t.schema_name == h.schema_name
+                and t.table_name == h.table_name
+            )
+            old_key = f"{td.schema_name}.{td.table_name}"
+            new_key = f"{td.schema_name}.{new_tname}"
+            td.table_name = new_tname
+            if old_key in txn.new_data_files:
+                txn.new_data_files[new_key] = txn.new_data_files.pop(old_key)
+            txn.change_log = [
+                e[: -len(old_key)] + new_key if e.endswith(f":{old_key}")
+                else e
+                for e in txn.change_log
+            ]
+            self._autocommit()
+            return
+        txn.renamed_tables.append((h.table_id, new_tname))
         txn.change_log.append(f"altered_table:{h.table_id}")
         self._autocommit()
 
@@ -3666,6 +3689,33 @@ class DuckLake:
         schema_name, table_name = self._split_name(name)
         snap = self._resolve_snapshot(at_version, at_timestamp)
         row = self._find_table(schema_name, table_name, snap)
+        # txn-local RENAMEs overlay name resolution for the
+        # transaction's own statements (reference dbt workload:
+        # test/sql/alter/rename_table_dbt_workload.test — rename old ->
+        # backup, tmp -> old, read both before COMMIT)
+        if (self._txn is not None and at_version is None
+                and at_timestamp is None and self._txn.renamed_tables):
+            rmap: dict[int, str] = {}
+            for tid, nname in self._txn.renamed_tables:
+                rmap[tid] = nname  # last rename wins
+            if row is not None and rmap.get(row[0], table_name) != table_name:
+                row = None  # renamed AWAY: old name no longer answers
+            if row is None:
+                for tid, nname in rmap.items():
+                    if nname == table_name and tid >= 0:
+                        hit = self.meta.query(
+                            "SELECT t.table_id, t.table_uuid, t.schema_id, "
+                            "t.path FROM ducklake_table t "
+                            "JOIN ducklake_schema s ON t.schema_id=s.schema_id "
+                            "WHERE t.table_id=? AND s.schema_name=? "
+                            "AND t.begin_snapshot <= ? "
+                            "AND (t.end_snapshot IS NULL OR t.end_snapshot > ?)",
+                            (tid, schema_name, snap.snapshot_id,
+                             snap.snapshot_id),
+                        )
+                        if hit:
+                            row = hit[0]
+                        break
         if row is None:
             # a table created earlier in THIS transaction is visible to
             # later statements in it (reference: BEGIN; CREATE TABLE;

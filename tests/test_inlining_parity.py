@@ -355,3 +355,25 @@ def test_session_default_inlining_knob(mklake, spark):
         assert lk.table("t").count() == 3
     finally:
         spark.conf.unset("spark.ducklake.defaultDataInliningRowLimit")
+
+
+def test_rename_table_dbt_workload(mklake, spark):
+    """test/sql/alter/rename_table_dbt_workload.test: one transaction
+    does CREATE tmp AS ...; RENAME old -> backup; RENAME tmp -> old —
+    the txn's own reads see the swapped names, and COMMIT makes them
+    durable."""
+    lk = mklake("dbt")
+    lk.create_table_as("my_table", spark.range(42).selectExpr("id AS i"))
+    with lk.transaction():
+        lk.create_table_as("my_table_tmp",
+                           spark.range(84).selectExpr("id AS i"))
+        lk.rename_table("my_table", "my_table_backup")
+        lk.rename_table("my_table_tmp", "my_table")
+        assert lk.table("my_table").count() == 84
+        assert lk.table("my_table_backup").count() == 42
+        with pytest.raises(Exception):
+            lk.table("my_table_tmp")
+    assert lk.table("my_table").count() == 84
+    assert lk.table("my_table_backup").count() == 42
+    with pytest.raises(Exception):
+        lk.table("my_table_tmp")
