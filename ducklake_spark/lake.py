@@ -624,6 +624,15 @@ class DuckLake:
             + path_component(table_name, tuid),
             table_uuid=tuid,
         )
+        # per-leaf child rows for struct columns: nested zone maps key
+        # off these ids (reference assigns every nested leaf a column id)
+        from ducklake_spark.catalog.types import struct_leaf_paths
+
+        for c in cols:
+            for lpath, ltype in struct_leaf_paths(c.type):
+                td.child_columns.append(
+                    ColumnDef(lpath, ltype, parent_column=c.name)
+                )
         txn.created_tables.append(td)
         txn.change_log.append(f'created_table:"{schema_name}"."{table_name}"')
         self._autocommit()
@@ -722,20 +731,25 @@ class DuckLake:
         if self._inline_limit(h.table_id, h.schema_id) > 0:
             _check_inline_reserved(col_name)
         txn = self.begin()
+        from ducklake_spark.catalog.types import struct_leaf_paths
+
+        leaves = struct_leaf_paths(col_type)
         pending_id = None
         if self._explicit_txn:
             # inside an open transaction the new column is visible to
             # the transaction's own later statements (reference
             # txn-local schema, data_inlining_transaction_local_alter
-            # .test): reserve the id NOW so in-txn parquet writes stamp
-            # the right field id, and overlay it on _handle
-            pending_id = self.meta.reserve_catalog_ids(1)
+            # .test): reserve the ids NOW (parent + nested leaves) so
+            # in-txn parquet writes stamp the right field ids, and
+            # overlay the column on _handle
+            pending_id = self.meta.reserve_catalog_ids(1 + len(leaves))
             txn.pending_columns.setdefault(h.table_id, []).append(
                 (pending_id, col_name, col_type, default)
             )
 
         def op(con, snap_id, h=h, col_name=col_name, col_type=col_type,
-               default=default, txn=txn, pending_id=pending_id):
+               default=default, txn=txn, pending_id=pending_id,
+               leaves=leaves):
             order = con.execute(
                 "SELECT COALESCE(MAX(column_order), -1) + 1 FROM ducklake_column "
                 "WHERE table_id=? AND end_snapshot IS NULL",
@@ -744,7 +758,7 @@ class DuckLake:
             # minted from THIS commit's allocator — the old
             # latest_snapshot() scheme re-issued the same id on
             # consecutive ADD COLUMNs (see transaction._try_commit) —
-            # unless the id was already reserved for txn-local use
+            # unless the ids were already reserved for txn-local use
             new_id = (pending_id if pending_id is not None
                       else txn.alloc_catalog_id())
             con.execute(
@@ -752,6 +766,15 @@ class DuckLake:
                 "(?, ?, NULL, ?, ?, ?, ?, ?, ?, 1, NULL, NULL, NULL)",
                 (new_id, snap_id, h.table_id, order, col_name, col_type, default, default),
             )
+            for k, (lpath, ltype) in enumerate(leaves):
+                leaf_id = (pending_id + 1 + k if pending_id is not None
+                           else txn.alloc_catalog_id())
+                con.execute(
+                    "INSERT INTO ducklake_column VALUES "
+                    "(?, ?, NULL, ?, ?, ?, ?, NULL, NULL, 1, ?, NULL, NULL)",
+                    (leaf_id, snap_id, h.table_id, order + 1 + k,
+                     lpath, ltype, new_id),
+                )
             # a literal DEFAULT becomes the new column's value for every
             # existing row, so the global stats start at that literal
             # (reference: test/sql/alter/add_column_default_stats.test)
@@ -786,11 +809,25 @@ class DuckLake:
         txn = self.begin()
 
         def op(con, snap_id, h=h, col_name=col_name):
+            row = con.execute(
+                "SELECT column_id FROM ducklake_column "
+                "WHERE table_id=? AND column_name=? AND end_snapshot IS NULL "
+                "AND parent_column IS NULL",
+                (h.table_id, col_name),
+            ).fetchone()
             con.execute(
                 "UPDATE ducklake_column SET end_snapshot=? "
-                "WHERE table_id=? AND column_name=? AND end_snapshot IS NULL",
+                "WHERE table_id=? AND column_name=? AND end_snapshot IS NULL "
+                "AND parent_column IS NULL",
                 (snap_id, h.table_id, col_name),
             )
+            if row:  # retire the column's nested-leaf child rows too
+                con.execute(
+                    "UPDATE ducklake_column SET end_snapshot=? "
+                    "WHERE table_id=? AND parent_column=? "
+                    "AND end_snapshot IS NULL",
+                    (snap_id, h.table_id, row[0]),
+                )
 
         txn.column_changes.setdefault(h.table_id, []).append(op)
         txn.change_log.append(f"altered_table:{h.table_id}")
@@ -1092,6 +1129,35 @@ class DuckLake:
         if not new_parts:
             raise DuckLakeError("cannot drop the last struct field")
         new_type = "struct<" + ",".join(f"{n}:{t}" for n, t in new_parts) + ">"
+        # regenerate the per-leaf child rows for the new shape (fresh
+        # ids: old files' leaf stats stay keyed to the retired ids, so
+        # pruning on a renamed/added field keeps them — no-stats ⇒ keep)
+        from ducklake_spark.catalog.types import struct_leaf_paths
+
+        leaves = struct_leaf_paths(new_type)
+        txn = self.begin()
+
+        def regen(con, snap_id, h=h, cid=cur[0], leaves=leaves, txn=txn):
+            con.execute(
+                "UPDATE ducklake_column SET end_snapshot=? "
+                "WHERE table_id=? AND parent_column=? AND end_snapshot IS NULL",
+                (snap_id, h.table_id, cid),
+            )
+            base_order = con.execute(
+                "SELECT COALESCE(MAX(column_order), -1) + 1 "
+                "FROM ducklake_column WHERE table_id=? "
+                "AND end_snapshot IS NULL",
+                (h.table_id,),
+            ).fetchone()[0]
+            for k, (lpath, ltype) in enumerate(leaves):
+                con.execute(
+                    "INSERT INTO ducklake_column VALUES "
+                    "(?, ?, NULL, ?, ?, ?, ?, NULL, NULL, 1, ?, NULL, NULL)",
+                    (txn.alloc_catalog_id(), snap_id, h.table_id,
+                     base_order + k, lpath, ltype, cid),
+                )
+
+        txn.column_changes.setdefault(h.table_id, []).append(regen)
         self._alter_column(name, col_name, lambda v: {**v, "column_type": new_type})
 
     def add_field(self, name: str, col_name: str, field_name: str,
@@ -1572,8 +1638,9 @@ class DuckLake:
         # and the commit allocator starts past the ceiling so a later
         # commit can never re-issue them (was: next_catalog_id+1000 with
         # no allocator advance -> collisions after ~1000 allocations)
-        base = self.meta.reserve_catalog_ids(len(td.columns))
-        for i, c in enumerate(td.columns):
+        all_cols = list(td.columns) + list(td.child_columns)
+        base = self.meta.reserve_catalog_ids(len(all_cols))
+        for i, c in enumerate(all_cols):
             if c.column_id is None:
                 c.column_id = base + i
 
@@ -1721,7 +1788,7 @@ class DuckLake:
         w.parquet(tmp)
 
         infos: list[DataFileInfo] = []
-        colmap = {c[1]: c[0] for c in h.columns}
+        colmap = self._leaf_colmap(h)  # incl. nested-leaf ids ("s.a")
         # hive_file_pattern (default true, reference
         # disable_hive_partitioning.test): partitioned files land in
         # <col>=<value>/ subdirs; false keeps a flat layout — either way
@@ -1775,6 +1842,33 @@ class DuckLake:
                 os.path.join(self.data_path, f.path)))
         self._attach_extra_stats(h, infos, enc_key)
         return infos
+
+    def _leaf_colmap(self, h: TableHandle) -> dict[str, int]:
+        """name -> column_id, including nested STRUCT leaves under their
+        dotted parquet path ("s.a" -> the child row's id). Child rows
+        store the leaf path relative to the top-level column, so one
+        parent hop resolves arbitrary struct depth."""
+        out = {c[1]: c[0] for c in h.columns}
+        if h.table_id < 0:
+            # txn-local (CTAS): children live on the buffered TableDef
+            if self._txn is not None:
+                for td in self._txn.created_tables:
+                    if (td.schema_name == h.schema_name
+                            and td.table_name == h.table_name):
+                        for c in td.child_columns:
+                            if c.column_id is not None:
+                                out[f"{c.parent_column}.{c.name}"] = c.column_id
+            return out
+        pname = {c[0]: c[1] for c in h.columns}
+        for cid, cname, parent in self.meta.query(
+            "SELECT column_id, column_name, parent_column FROM ducklake_column "
+            "WHERE table_id=? AND end_snapshot IS NULL "
+            "AND parent_column IS NOT NULL",
+            (h.table_id,),
+        ):
+            if parent in pname:
+                out[f"{pname[parent]}.{cname}"] = cid
+        return out
 
     # above this many files, footer harvesting runs as a Spark job
     # instead of a driver loop (one pyarrow footer read per file —
@@ -2221,7 +2315,7 @@ class DuckLake:
         without stats are always kept (:1522-1533)."""
         if not where:
             return "", []
-        colmap = {c[1]: c[0] for c in h.columns}
+        colmap = self._leaf_colmap(h)  # dotted struct-leaf refs prune too
         part_keys = {}  # cname -> (key_index, transform)
         for i, (cname, transform) in enumerate(self._partition_spec(h)):
             part_keys[cname] = (i, transform)
@@ -3986,14 +4080,14 @@ def _parse_conjuncts(where: str) -> list[tuple[str, str, object]]:
     latter compare correctly against ISO-serialized zone-map strings)."""
     out = []
     for part in re.split(r"(?i)\s+AND\s+", where):
-        mn = re.fullmatch(r"\s*(\w+)\s+IS\s+(NOT\s+)?NULL\s*", part,
-                          re.IGNORECASE)
+        mn = re.fullmatch(r"\s*(\w+(?:\.\w+)*)\s+IS\s+(NOT\s+)?NULL\s*",
+                          part, re.IGNORECASE)
         if mn:
             out.append((mn.group(1), "notnull" if mn.group(2) else "isnull",
                         None))
             continue
         m = re.fullmatch(
-            r"\s*(\w+)\s*(=|==|>=|<=|>|<)\s*"
+            r"\s*(\w+(?:\.\w+)*)\s*(=|==|>=|<=|>|<)\s*"
             r"((?:(?i:DATE|TIMESTAMP)\s*)?'(?:[^']*)'|-?\d+(?:\.\d+)?)\s*",
             part,
         )
@@ -4072,10 +4166,16 @@ def _harvest_stats(pf, colmap: dict[str, int]) -> list[ColumnStatsRow]:
             row = agg.setdefault(name, ColumnStatsRow(column_id=colmap[name]))
             row.column_size_bytes += col.total_compressed_size
             if len(path) > 1:
-                # nested leaf: the catalog keys stats by top-level column
-                # only (no per-leaf ids), so min/max of different leaves
-                # must not be merged — track size, skip value stats
-                continue
+                # nested leaf: stats key off the leaf's own child-column
+                # id when one exists ("s.a" in colmap — struct leaves);
+                # list/map leaves (synthetic path segments) have no id
+                # and must never merge into the parent's min/max
+                leaf = col.path_in_schema
+                if leaf not in colmap:
+                    continue
+                row = agg.setdefault(
+                    leaf, ColumnStatsRow(column_id=colmap[leaf])
+                )
             s = col.statistics
             if s is None:
                 # chunk carries no statistics at all: the file's counts

@@ -149,6 +149,10 @@ class TableDef:
     path: str  # relative to data_path
     table_uuid: str = field(default_factory=lambda: str(uuid.uuid4()))
     table_id: int | None = None
+    # nested-leaf rows (parent_column = the TOP-LEVEL column's NAME,
+    # resolved to its id at commit; column name = dotted leaf path):
+    # the reference keys nested zone maps by per-leaf column ids
+    child_columns: list[ColumnDef] = field(default_factory=list)
 
 
 class Transaction:
@@ -876,10 +880,16 @@ class Transaction:
                     (td.table_id, td.table_uuid, snap_id, sid, td.table_name, td.path),
                 )
                 order = 0
-                for c in td.columns:
+                name_to_id: dict[str, int] = {}
+                for c in list(td.columns) + list(td.child_columns):
                     if c.column_id is None:
                         c.column_id = next_cat
                         next_cat += 1
+                    parent = c.parent_column
+                    if isinstance(parent, str):  # child row: parent by name
+                        parent = name_to_id[parent]
+                    else:
+                        name_to_id[c.name] = c.column_id
                     con.execute(
                         "INSERT INTO ducklake_column VALUES "
                         "(?, ?, NULL, ?, ?, ?, ?, ?, ?, ?, ?, NULL, NULL)",
@@ -893,7 +903,7 @@ class Transaction:
                             c.initial_default,
                             c.default_value,
                             c.nulls_allowed,
-                            c.parent_column,
+                            parent,
                         ),
                     )
                     order += 1

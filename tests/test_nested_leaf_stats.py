@@ -1,0 +1,121 @@
+"""Nested-leaf zone maps: per-leaf child column rows + file stats +
+pruning on dotted struct predicates.
+
+Mirrors test/sql/stats/min_max_nested_leaf_rewrite_corruption.test —
+the reference keys every nested leaf's stats by its own column id; a
+rewrite must not collapse an un-rewritten file's leaf range. Our global
+stats are merge-only (widen, never tighten), so the reference's exact-
+recompute corruption cannot occur; this pins the whole surface: child
+rows created with the table, harvested per file, merged globally, and
+used to prune dotted predicates at the file-list level.
+"""
+from __future__ import annotations
+
+import pytest
+
+
+@pytest.fixture()
+def lk(spark, tmp_path):
+    from ducklake_spark.lake import DuckLake
+
+    return DuckLake.attach(
+        spark, str(tmp_path / "m.db"), str(tmp_path / "d")
+    )
+
+
+def _mk(spark, lo, hi):
+    return spark.range(lo, hi).selectExpr(
+        "cast(id as int) i",
+        "named_struct('a', cast(id as int)) s",
+        "array(cast(id as int)) l",
+    ).coalesce(1)
+
+
+def test_nested_leaf_stats_and_pruning(lk, spark):
+    from ducklake_spark.dml import delete
+    from ducklake_spark.maintenance import rewrite_data_files
+
+    lk.create_table("t", [("i", "int32"), ("s", "struct<a:int32>"),
+                          ("l", "list<int32>")])
+    # child row exists for the struct leaf, none for the list element
+    kids = lk.meta.query(
+        "SELECT column_name, column_type, parent_column FROM ducklake_column "
+        "WHERE parent_column IS NOT NULL AND end_snapshot IS NULL")
+    assert [tuple(k) for k in kids] == [("a", "int32", 3)]
+    # the handle's schema is unaffected by child rows
+    assert [c[1] for c in lk._handle("t").columns] == ["i", "s", "l"]
+
+    lk.insert("t", _mk(spark, 1, 51))    # file A: s.a in [1,50]
+    lk.insert("t", _mk(spark, 51, 101))  # file B: s.a in [51,100]
+    delete(lk, "t", "i = 75")            # only file B gets a delete
+    rewrite_data_files(lk, delete_threshold=0)
+
+    # results: file A must never be pruned by file B's range
+    assert lk.table("t", where="s.a < 51").count() == 50
+    assert lk.table("t", where="s.a = 10").count() == 1
+    assert lk.table("t", where="i < 51").count() == 50
+
+    # global leaf stats keep the full range after the rewrite
+    stats = {
+        cid: (mn, mx)
+        for cid, mn, mx in lk.meta.query(
+            "SELECT c.column_id, s.min_value, s.max_value "
+            "FROM ducklake_table_column_stats s "
+            "JOIN ducklake_column c ON c.column_id = s.column_id "
+            "WHERE c.parent_column IS NOT NULL")
+    }
+    assert list(stats.values()) == [("1", "100")]
+
+    # file-level pruning on the dotted leaf predicate
+    snap = lk._resolve_snapshot(None, None)
+    h = lk._handle("t")
+    assert len(lk._visible_files(h, snap, None)) == 2
+    assert len(lk._visible_files(h, snap, "s.a < 51")) == 1
+    assert len(lk._visible_files(h, snap, "s.a > 60")) == 1
+    # no-stats columns never prune
+    assert len(lk._visible_files(h, snap, "l = 3")) == 2
+
+
+def test_nested_leaf_rows_follow_ddl(lk, spark):
+    """ADD COLUMN of a struct creates leaf rows; field ops regenerate
+    them; DROP COLUMN retires them."""
+    lk.create_table("t", [("i", "int32")])
+    lk.add_column("t", "s", "struct<a:int32,b:varchar>")
+
+    def kids():
+        return sorted(
+            (n, t) for n, t, _p in lk.meta.query(
+                "SELECT column_name, column_type, parent_column "
+                "FROM ducklake_column WHERE parent_column IS NOT NULL "
+                "AND end_snapshot IS NULL")
+        )
+
+    assert kids() == [("a", "int32"), ("b", "varchar")]
+    lk.add_field("t", "s", "c", "int64")
+    assert kids() == [("a", "int32"), ("b", "varchar"), ("c", "int64")]
+    lk.rename_field("t", "s", "a", "a2")
+    assert kids() == [("a2", "int32"), ("b", "varchar"), ("c", "int64")]
+    lk.drop_field("t", "s", "b")
+    assert kids() == [("a2", "int32"), ("c", "int64")]
+    lk.drop_column("t", "s")
+    assert kids() == []
+
+    # pruning after evolution stays correct: new files' stats key off
+    # the regenerated ids, pre-evolution files keep (no stats => keep)
+    lk.add_column("t", "s", "struct<x:int32>")
+    lk.insert("t", spark.range(5).selectExpr(
+        "cast(id as int) i", "named_struct('x', cast(id as int)) s"
+    ).coalesce(1))
+    assert lk.table("t", where="s.x >= 3").count() == 2
+
+
+def test_nested_leaf_stats_ctas(lk, spark):
+    """CTAS preassigns leaf ids so its files harvest leaf stats too."""
+    lk.create_table_as("t", spark.range(10).selectExpr(
+        "cast(id as int) i", "named_struct('a', cast(id as int)) s"
+    ).coalesce(1))
+    rows = lk.meta.query(
+        "SELECT s.min_value, s.max_value FROM ducklake_file_column_stats s "
+        "JOIN ducklake_column c ON c.column_id = s.column_id "
+        "WHERE c.parent_column IS NOT NULL")
+    assert [tuple(r) for r in rows] == [("0", "9")]
