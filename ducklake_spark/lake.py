@@ -806,6 +806,13 @@ class DuckLake:
                 f"cannot drop column {col_name!r}: "
                 "the table is sorted by this column (RESET SORTED BY first)"
             )
+        if any(cname == col_name for cname, _t in self._partition_spec(h)):
+            # reference: test/sql/partitioning/drop_partition_column.test
+            raise DuckLakeError(
+                f"cannot drop column {col_name!r}: "
+                "the table is partitioned by this column "
+                "(RESET PARTITIONED BY first)"
+            )
         txn = self.begin()
 
         def op(con, snap_id, h=h, col_name=col_name):
@@ -925,7 +932,25 @@ class DuckLake:
         identity|year|month|day|hour|bucket(N)
         (reference: ducklake_partition_data.cpp:14-66)."""
         h = self._handle(name)
-        self._require_committed(h, "SET PARTITIONED BY")
+        if h.table_id < 0:
+            # SET PARTITIONED BY on a table created in this transaction:
+            # buffer the spec on the TableDef; the commit writes the
+            # partition rows right after the column ids exist and stamps
+            # the table's buffered files with the new partition_id
+            # (reference partition_rename_in_transaction.test)
+            txn = self.begin()
+            td = next(
+                t for t in txn.created_tables
+                if t.schema_name == h.schema_name
+                and t.table_name == h.table_name
+            )
+            known = {c.name for c in td.columns}
+            for cname, _transform in keys:
+                if cname not in known:
+                    raise DuckLakeError(f"no column {cname!r}")
+            td.partition_spec = list(keys)
+            self._autocommit()
+            return
         txn = self.begin()
         # a REDUNDANT alter (same columns, same transforms, same order)
         # is a complete no-op: no new partition spec, no schema_version
@@ -3881,6 +3906,13 @@ class DuckLake:
         )
 
     def _partition_spec(self, h: TableHandle) -> list[tuple[str, str]]:
+        if h.table_id < 0:
+            if self._txn is not None:
+                for td in self._txn.created_tables:
+                    if (td.schema_name == h.schema_name
+                            and td.table_name == h.table_name):
+                        return list(td.partition_spec)
+            return []
         rows = self.meta.query(
             "SELECT pc.column_id, pc.transform FROM ducklake_partition_info pi "
             "JOIN ducklake_partition_column pc ON pi.partition_id = pc.partition_id "

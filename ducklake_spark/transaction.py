@@ -153,6 +153,10 @@ class TableDef:
     # resolved to its id at commit; column name = dotted leaf path):
     # the reference keys nested zone maps by per-leaf column ids
     child_columns: list[ColumnDef] = field(default_factory=list)
+    # SET PARTITIONED BY issued while the table is still txn-local
+    # (reference partition_rename_in_transaction.test): the spec rows
+    # are written at commit, right after the column ids exist
+    partition_spec: list[tuple] = field(default_factory=list)
 
 
 class Transaction:
@@ -871,6 +875,7 @@ class Transaction:
                 next_cat += 1
 
             # --- DDL: tables
+            txn_local_pids: dict[int, int] = {}  # table_id -> partition_id
             for td in self.created_tables:
                 sid = self._schema_id(td.schema_name, snap_id)
                 td.table_id = next_cat
@@ -915,6 +920,24 @@ class Transaction:
                     "INSERT INTO ducklake_schema_versions VALUES (?, ?, ?)",
                     (snap_id, schema_version, td.table_id),
                 )
+                if td.partition_spec:
+                    pid = con.execute(
+                        "SELECT COALESCE(MAX(partition_id), -1) + 1 "
+                        "FROM ducklake_partition_info"
+                    ).fetchone()[0]
+                    con.execute(
+                        "INSERT INTO ducklake_partition_info VALUES "
+                        "(?, ?, ?, NULL)",
+                        (pid, td.table_id, snap_id),
+                    )
+                    for i, (cname, transform) in enumerate(td.partition_spec):
+                        con.execute(
+                            "INSERT INTO ducklake_partition_column VALUES "
+                            "(?, ?, ?, ?, ?)",
+                            (pid, td.table_id, i, name_to_id[cname],
+                             transform),
+                        )
+                    txn_local_pids[td.table_id] = pid
 
             for tid in self.dropped_tables:
                 con.execute(
@@ -1073,7 +1096,8 @@ class Transaction:
                             f.file_size_bytes,
                             f.footer_size,
                             f.row_id_start,
-                            f.partition_id,
+                            f.partition_id if f.partition_id is not None
+                            else txn_local_pids.get(tid),
                             f.encryption_key,
                             f.mapping_id,
                             f.partial_max,

@@ -377,3 +377,79 @@ def test_rename_table_dbt_workload(mklake, spark):
     assert lk.table("my_table_backup").count() == 42
     with pytest.raises(Exception):
         lk.table("my_table_tmp")
+
+
+def test_drop_partition_column_guard(mklake, spark):
+    """test/sql/partitioning/drop_partition_column.test: DROP of the
+    partition key is rejected; RESET PARTITIONED BY unblocks it."""
+    lk = mklake("droppart")
+    lk.create_table("p", [("part_key", "int32"), ("vals", "varchar")])
+    lk.set_partitioned_by("p", [("part_key", "identity")])
+    lk.insert("p", spark.range(100).selectExpr(
+        "cast(id % 2 as int) part_key", "concat('s_', id) vals"))
+    with pytest.raises(Exception, match="partitioned by"):
+        lk.drop_column("p", "part_key")
+    lk.set_partitioned_by("p", [])
+    lk.drop_column("p", "part_key")
+    assert lk.table("p").columns == ["vals"]
+    assert lk.table("p").count() == 100
+
+
+def test_partition_rename_in_transaction(mklake, spark):
+    """test/sql/partitioning/partition_rename_in_transaction.test:
+    CREATE + SET PARTITIONED BY + INSERT + RENAME in one transaction
+    leaves a fully populated partition spec on the renamed table."""
+    lk = mklake("partrename")
+    lk.create_schema("s")
+    with lk.transaction():
+        lk.create_table("s.t1", [("dt", "date")])
+        lk.set_partitioned_by("s.t1", [("dt", "identity")])
+        lk.insert("s.t1", spark.sql(
+            "SELECT DATE'2026-04-30' dt UNION ALL SELECT DATE'2026-04-29'"))
+        lk.rename_table("s.t1", "auto_probe_after")
+    assert lk.table("s.auto_probe_after").count() == 2
+    rows = lk.meta.query(
+        "SELECT t.table_name, c.column_name, pc.partition_key_index, "
+        "pc.transform FROM ducklake_table t "
+        "JOIN ducklake_column c ON c.table_id = t.table_id "
+        "JOIN ducklake_partition_column pc "
+        "ON pc.column_id = c.column_id AND pc.table_id = t.table_id "
+        "WHERE t.end_snapshot IS NULL")
+    assert [tuple(r) for r in rows] == [
+        ("auto_probe_after", "dt", 0, "identity")]
+    # files carry the new spec's partition_id + values
+    pids = lk.meta.query(
+        "SELECT DISTINCT partition_id FROM ducklake_data_file "
+        "WHERE end_snapshot IS NULL")
+    assert len(pids) == 1 and pids[0][0] is not None
+
+
+def test_add_files_edges(mklake, spark, tmp_path):
+    """add_empty_file.test + add_rollback.test: a 0-row foreign parquet
+    registers cleanly, and a rolled-back add leaves the source file."""
+    import os
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from ducklake_spark.add_files import add_data_files
+
+    lk = mklake("addedge")
+    lk.create_table("test", [("col1", "int32"), ("col2", "varchar")])
+    lk.insert("test", spark.createDataFrame([(100, "hello")],
+                                            "col1 int, col2 string"))
+    empty = str(tmp_path / "empty_file.parquet")
+    pq.write_table(pa.table({"col1": pa.array([], pa.int32()),
+                             "col2": pa.array([], pa.string())}), empty)
+    add_data_files(lk, "test", empty)
+    assert [tuple(r) for r in lk.table("test").collect()] == [(100, "hello")]
+
+    src = str(tmp_path / "file.parquet")
+    pq.write_table(pa.table({"col1": pa.array([200], pa.int32()),
+                             "col2": pa.array(["world"], pa.string())}), src)
+    with pytest.raises(RuntimeError):
+        with lk.transaction():
+            add_data_files(lk, "test", src)
+            raise RuntimeError("force rollback")
+    assert os.path.exists(src)
+    assert lk.table("test").count() == 1
