@@ -1449,6 +1449,19 @@ class DuckLake:
 
     def drop_view(self, name: str) -> None:
         schema_name, vname = self._split_name(name)
+        # a view created earlier in THIS transaction drops from the
+        # buffer; sibling txn-local views are untouched (reference
+        # test/sql/catalog/drop_entry_same_schema.test)
+        if self._txn is not None:
+            for i, (sn, vn, _d, _s, _a) in enumerate(self._txn.created_views):
+                if sn == schema_name and vn == vname:
+                    del self._txn.created_views[i]
+                    self._txn.change_log = [
+                        e for e in self._txn.change_log
+                        if e != f'created_view:"{sn}"."{vn}"'
+                    ]
+                    self._autocommit()
+                    return
         rows = self.meta.query(
             "SELECT v.view_id FROM ducklake_view v JOIN ducklake_schema s "
             "ON v.schema_id = s.schema_id "
@@ -1491,6 +1504,12 @@ class DuckLake:
                  at_timestamp: str | None = None) -> str:
         schema_name, vname = self._split_name(name)
         if at_version is None and at_timestamp is None:
+            # a view created earlier in THIS transaction is visible to
+            # its own later statements
+            if self._txn is not None:
+                for sn, vn, _d, sql, _a in self._txn.created_views:
+                    if sn == schema_name and vn == vname:
+                        return sql
             rows = self.meta.query(
                 "SELECT v.sql FROM ducklake_view v JOIN ducklake_schema s "
                 "ON v.schema_id = s.schema_id "

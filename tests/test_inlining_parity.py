@@ -453,3 +453,31 @@ def test_add_files_edges(mklake, spark, tmp_path):
             raise RuntimeError("force rollback")
     assert os.path.exists(src)
     assert lk.table("test").count() == 1
+
+
+def test_drop_entry_same_schema_txn_local(mklake, spark):
+    """test/sql/catalog/drop_entry_same_schema.test: dropping one
+    txn-local table (or view) must not remove its sibling, and the
+    txn's own statements see the drop."""
+    lk = mklake("dropsame")
+    with lk.transaction():
+        lk.create_table("t1", [("x", "int32")])
+        lk.create_table("t2", [("y", "int32")])
+        lk.insert("t1", spark.createDataFrame([(1,)], "x int"))
+        lk.insert("t2", spark.createDataFrame([(2,)], "y int"))
+        lk.drop_table("t1")
+        with pytest.raises(Exception):
+            lk.table("t1")
+        assert [tuple(r) for r in lk.table("t2").collect()] == [(2,)]
+    assert [tuple(r) for r in lk.table("t2").collect()] == [(2,)]
+
+    with lk.transaction():
+        lk.create_view("va", "SELECT 10 AS a")
+        lk.create_view("vb", "SELECT 20 AS b")
+        lk.drop_view("va")
+        assert [tuple(r) for r in lk.view("vb").collect()] == [(20,)]
+        with pytest.raises(Exception):
+            lk.view_sql("va")
+    assert [tuple(r) for r in lk.view("vb").collect()] == [(20,)]
+    with pytest.raises(Exception):
+        lk.view_sql("va")
