@@ -610,7 +610,11 @@ def _update_files(lake: DuckLake, h: TableHandle, matched: DataFrame,
     # matched-row count comes from the written-file footers — no
     # separate count() job over the matched relation (_write_parquet
     # already drops zero-row part files)
-    files = lake._write_parquet(h, new_rows, schema, [], [])
+    # replacement rows honor the table's partition spec like the
+    # reference (update_partitioning.test: updated rows land under
+    # their new partition dirs with partition values recorded)
+    files = lake._write_parquet(h, new_rows, schema,
+                                lake._partition_spec(h), [])
     n = sum(f.record_count for f in files)
     if n == 0:
         return 0
@@ -814,7 +818,8 @@ def merge_into(lake: DuckLake, target: str, source: DataFrame, on: list[str],
     counts = {"updated": 0, "deleted": 0, "inserted": 0}
 
     def _write_replacements(rows: DataFrame) -> int:
-        wfiles = lake._write_parquet(h, rows, schema, [], [])
+        wfiles = lake._write_parquet(h, rows, schema,
+                                     lake._partition_spec(h), [])
         for fw in wfiles:
             fw.row_id_start = None  # rowid rides the embedded column
             fw.allocate = False

@@ -481,3 +481,33 @@ def test_drop_entry_same_schema_txn_local(mklake, spark):
     assert [tuple(r) for r in lk.view("vb").collect()] == [(20,)]
     with pytest.raises(Exception):
         lk.view_sql("va")
+
+
+def test_update_replacement_rows_partitioned(mklake, spark):
+    """update_partitioning.test: replacement rows of an UPDATE land
+    under their (possibly new) partition directories with partition
+    values recorded, so file-level partition pruning covers them."""
+    import re
+
+    from ducklake_spark.dml import update
+
+    lk = mklake("updpart")
+    lk.create_table("p", [("part_key", "int32"), ("vals", "varchar")])
+    lk.set_partitioned_by("p", [("part_key", "identity")])
+    lk.insert("p", spark.range(1000).selectExpr(
+        "cast(id % 2 as int) part_key", "concat('s_', id) vals"))
+    v0 = lk.current_snapshot()
+    assert update(lk, "p", {"part_key": "2"}, "part_key = 0") == 500
+    parts = sorted({
+        m.group(1)
+        for (p,) in lk.meta.query(
+            "SELECT path FROM ducklake_data_file WHERE end_snapshot IS NULL")
+        if (m := re.search(r"(part_key=\d+)", p))
+    })
+    assert parts == ["part_key=1", "part_key=2"]
+    assert lk.table("p", where="part_key = 2").count() == 500
+    # partition values recorded for the replacement file
+    h = lk._handle("p")
+    snap = lk._resolve_snapshot(None, None)
+    assert len(lk._visible_files(h, snap, "part_key = 2")) == 1
+    assert lk.table("p", at_version=v0, where="part_key = 0").count() == 500
