@@ -38,7 +38,7 @@ from ducklake_spark.queries import df_query
 
 # bump when the DML script below changes: the on-disk gate lake is only
 # valid for the script that built it
-GATE_VERSION = 3
+GATE_VERSION = 5
 
 _SOURCE_TABLES = ("lineitem", "orders", "customer", "part", "documents")
 
@@ -131,6 +131,20 @@ def _build(spark: SparkSession, sf_dir: str, d: Path) -> None:
     # compact across the delete files AND the evolution epoch boundary —
     # the round-5 epoch-grouping fix is on this exact path
     merge_adjacent_files(lake)
+    # nested-struct table: per-leaf zone maps (child column rows) +
+    # dotted-predicate pruning through the engine; range-partitioned on
+    # the leaf so files keep disjoint meta.total ranges (created after
+    # the compact call so the 4-file layout survives)
+    nested = (
+        spark.read.parquet(f"{sf_dir}/orders.parquet")
+        .selectExpr(
+            "o_orderkey",
+            "named_struct('priority', o_orderpriority, "
+            "'total', o_totalprice) AS meta",
+        )
+        .repartitionByRange(4, F.col("meta.total"))
+    )
+    lake.create_table_as("orders_nested", nested)
     (d / "snaps.json").write_text(json.dumps(snaps))
     (d / "DONE").write_text("ok")
 
@@ -456,4 +470,35 @@ df_query(
     doc="incremental near-dup against the lake-persisted MinHash index "
         "(band-bucket equi-join, zero recomputation of indexed docs) vs "
         "a from-scratch batch LSH oracle",
+)
+
+
+def _nested_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scan with a dotted struct predicate: the engine prunes files by
+    the leaf's zone map (child ducklake_column rows keyed per leaf —
+    reference min_max_nested_leaf_rewrite_corruption.test family)."""
+    lake, _ = _gate_lake(spark, sf_dir)
+    return (
+        lake.table("orders_nested", where="meta.total < 50000.0")
+        .groupBy(F.col("meta.priority").alias("priority"))
+        .agg(F.count(F.lit(1)).alias("cnt"),
+             F.sum(F.col("meta.total").cast("decimal(18,2)"))
+             .cast("double").alias("sum_total"))
+        .orderBy("priority")
+    )
+
+
+df_query(
+    "lake_nested_prune",
+    _nested_prune,
+    oracle="""
+SELECT o_orderpriority AS priority, COUNT(*) AS cnt,
+       CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
+           AS sum_total
+FROM orders WHERE o_totalprice < 50000.0
+GROUP BY o_orderpriority ORDER BY priority
+""",
+    tables=("orders",),
+    doc="dotted struct-leaf predicate pruned by per-leaf zone maps "
+        "through the lake scan (nested child column rows)",
 )

@@ -26,6 +26,8 @@ LAKE_QUERIES = [
     "lake_topn",
     "lake_sql_join",
     "lake_cdc_insertions",
+    "lake_partition_prune",
+    "lake_nested_prune",
 ]
 
 
@@ -89,3 +91,17 @@ def test_gate_build_is_memoized(spark):
     lake, snaps = lakeq._gate_lake(spark, SF)
     assert (d / "DONE").stat().st_mtime == mtime
     assert snaps["load"] < snaps["ins"] <= lake.current_snapshot()
+
+
+def test_gate_nested_prune_skips_files(spark):
+    """The orders_nested gate table keeps a 4-file range layout and the
+    dotted leaf predicate prunes to a strict subset."""
+    from ducklake_spark.queries.lakeq import _gate_lake
+
+    lake, _ = _gate_lake(spark, SF)
+    h = lake._handle("orders_nested")
+    snap = lake._resolve_snapshot(None, None)
+    n_all = len(lake._visible_files(h, snap, None))
+    n_pruned = len(lake._visible_files(h, snap, "meta.total < 50000.0"))
+    assert n_all == 4
+    assert 1 <= n_pruned < n_all
