@@ -87,6 +87,8 @@ def _rewrite_txn_local(lake: DuckLake, h: TableHandle, where: str,
             if f.name in assignments else _F.col(f.name)
             for f in schema.fields
         ])
+    if assignments is not None:
+        out = lake._enforce_not_null(out, h)
     new_files = lake._write_parquet(h, out, schema,
                                     lake._partition_spec(h), lake._sort_spec(h))
     for fi in files:
@@ -593,6 +595,7 @@ def _update_files(lake: DuckLake, h: TableHandle, matched: DataFrame,
         *[F.col(f.name) for f in schema.fields],
         F.col("rowid").alias(ROWID_COL),
     )
+    new_rows = lake._enforce_not_null(new_rows, h)
     # a small UPDATE on file-backed rows inlines BOTH halves like the
     # reference (data_inlining_update_inline_verification.test: new row
     # -> inlined-data table with the preserved rowid, removed position
@@ -712,6 +715,10 @@ def _update_inlined(lake: DuckLake, h: TableHandle, assignments: dict[str, str],
         updated = matched.collect()
         if not updated:
             continue
+        for cname in (c[1] for c in h.columns if not c[3]):
+            if any(r[cname] is None for r in updated):
+                raise DuckLakeError(
+                    f"NOT NULL constraint failed: column {cname}")
         rids = [r["__rid"] for r in updated]
         txn.inlined_end_updates.append((tname, ("row_id",), [(r,) for r in rids]))
         # updated rows land in the CURRENT epoch's inlined table: an
@@ -818,6 +825,7 @@ def merge_into(lake: DuckLake, target: str, source: DataFrame, on: list[str],
     counts = {"updated": 0, "deleted": 0, "inserted": 0}
 
     def _write_replacements(rows: DataFrame) -> int:
+        rows = lake._enforce_not_null(rows, h)
         wfiles = lake._write_parquet(h, rows, schema,
                                      lake._partition_spec(h), [])
         for fw in wfiles:

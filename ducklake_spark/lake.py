@@ -1721,8 +1721,15 @@ class DuckLake:
             ):
                 df = df.withColumn(n, F.to_json(F.col(n)))
         df = df.select([F.col(n).cast(f.dataType).alias(n) for n, f in zip(names, schema.fields)])
-        # NOT NULL enforcement at write time (reference supports NOT NULL —
-        # ducklake_table_entry.cpp:661-730; PRIMARY KEY/CHECK are rejected)
+        return self._enforce_not_null(df, h)
+
+    def _enforce_not_null(self, df: DataFrame, h: TableHandle) -> DataFrame:
+        """NOT NULL enforcement at write time (reference supports NOT
+        NULL — ducklake_table_entry.cpp:661-730; PRIMARY KEY/CHECK are
+        rejected). Shared by INSERT (_conform) and the UPDATE/MERGE
+        replacement writers — an UPDATE ... SET col=NULL previously
+        bypassed the check and committed an unreadable file
+        (test/sql/update/update_not_null.test)."""
         for _cid, cname, _ctype, nulls_allowed in h.columns:
             if not nulls_allowed:
                 df = df.withColumn(

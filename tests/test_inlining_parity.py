@@ -511,3 +511,26 @@ def test_update_replacement_rows_partitioned(mklake, spark):
     snap = lk._resolve_snapshot(None, None)
     assert len(lk._visible_files(h, snap, "part_key = 2")) == 1
     assert lk.table("p", at_version=v0, where="part_key = 0").count() == 500
+
+
+def test_update_not_null_rejected(mklake, spark):
+    """test/sql/update/update_not_null.test: UPDATE SET col=NULL on a
+    NOT NULL column fails and leaves the table intact and readable
+    (previously it committed the NULL and broke every later scan)."""
+    from ducklake_spark.dml import update
+
+    lk = mklake("updnn")
+    lk.create_table("test", [("i", "int32"), ("j", "int32")],
+                    not_null=("i",))
+    lk.insert("test", spark.createDataFrame([(42, None)], "i int, j int"))
+    with pytest.raises(Exception, match="NOT NULL"):
+        update(lk, "test", {"i": "NULL"})
+    assert [tuple(r) for r in lk.table("test").collect()] == [(42, None)]
+
+    # inlined rows take a driver-side path — same rejection
+    lk2 = mklake("updnn2", data_inlining_row_limit=10)
+    lk2.create_table("t", [("i", "int32")], not_null=("i",))
+    lk2.insert("t", spark.createDataFrame([(1,)], "i int"))
+    with pytest.raises(Exception, match="NOT NULL"):
+        update(lk2, "t", {"i": "NULL"})
+    assert [tuple(r) for r in lk2.table("t").collect()] == [(1,)]
