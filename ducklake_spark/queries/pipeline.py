@@ -683,3 +683,65 @@ sql_query(
         "dedup canonicals x majority-language gate in ONE declarative "
         "plan (hash aggs + equi-joins only)",
 )
+
+
+# --- sliding-window chunking ----------------------------------------------
+# The standard "split documents into overlapping token windows" step of
+# a pre-training pipeline (window 64, stride 48 => 16-token overlap;
+# tail windows under 8 tokens are dropped). Pure explode + slice: the
+# chunk relation shuffles on nothing — it is embarrassingly parallel
+# per document, so at 100 TB it scales with the scan.
+
+def _chunk_sql(dialect: str) -> str:
+    if dialect == "spark":
+        return """
+WITH toks AS (SELECT doc_id, split(text, ' ') AS t FROM documents),
+starts AS (
+    SELECT doc_id, t,
+           explode(sequence(0,
+               CASE WHEN size(t) <= 64 THEN 0
+                    ELSE CAST(ceil((size(t) - 64) / 48.0) AS INT) END)
+           ) AS chunk_idx
+    FROM toks
+),
+chunks AS (
+    SELECT doc_id, chunk_idx, slice(t, chunk_idx * 48 + 1, 64) AS w
+    FROM starts
+)
+SELECT doc_id, CAST(chunk_idx AS BIGINT) AS chunk_idx,
+       CAST(size(w) AS BIGINT) AS n_tok,
+       element_at(w, 1) AS head_tok
+FROM chunks WHERE size(w) >= 8
+ORDER BY doc_id, chunk_idx
+"""
+    return """
+WITH toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+starts AS (
+    SELECT doc_id, t,
+           unnest(range(0,
+               CASE WHEN len(t) <= 64 THEN 1
+                    ELSE CAST(ceil((len(t) - 64) / 48.0) AS INT) + 1 END)
+           ) AS chunk_idx
+    FROM toks
+),
+chunks AS (
+    SELECT doc_id, chunk_idx,
+           t[chunk_idx * 48 + 1 : chunk_idx * 48 + 64] AS w
+    FROM starts
+)
+SELECT doc_id, CAST(chunk_idx AS BIGINT) AS chunk_idx,
+       CAST(len(w) AS BIGINT) AS n_tok,
+       w[1] AS head_tok
+FROM chunks WHERE len(w) >= 8
+ORDER BY doc_id, chunk_idx
+"""
+
+
+sql_query(
+    "pp_chunk_windows",
+    _chunk_sql("spark"),
+    oracle=_chunk_sql("duckdb"),
+    tables=["documents"],
+    doc="sliding-window chunking (64-token windows, stride 48, short "
+        "tails dropped) — per-document explode, no shuffle",
+)
