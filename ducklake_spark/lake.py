@@ -1845,6 +1845,13 @@ class DuckLake:
         # <col>=<value>/ subdirs; false keeps a flat layout — either way
         # the catalog's partition values are the planning source of truth
         hive_dirs = (opt("hive_file_pattern", "true") or "true").lower() != "false"
+        if self.encrypted:
+            # an ENCRYPTED lake must not leak partition values through
+            # the directory layout (reference
+            # test/sql/encryption/partitioning_encryption.test: paths
+            # carry no part_key=... segment); the catalog's partition
+            # values stay the planning source of truth
+            hive_dirs = False
         tmp_fs = self.lfs.strip_scheme(tmp)
         data_fs = self.lfs.strip_scheme(self.data_path).rstrip("/") + "/"
         for path in self.lfs.list_files(tmp_fs, suffix=".parquet"):

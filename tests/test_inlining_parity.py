@@ -534,3 +534,23 @@ def test_update_not_null_rejected(mklake, spark):
     with pytest.raises(Exception, match="NOT NULL"):
         update(lk2, "t", {"i": "NULL"})
     assert [tuple(r) for r in lk2.table("t").collect()] == [(1,)]
+
+
+def test_encrypted_partitioned_paths_leak_nothing(mklake, spark):
+    """test/sql/encryption/partitioning_encryption.test: an ENCRYPTED
+    lake's partitioned files carry no part_key=... path segment; the
+    catalog's partition values still drive pruning."""
+    lk = mklake("encpart", encrypted=True)
+    lk.create_table("p", [("part_key", "int32"), ("vals", "varchar")])
+    lk.set_partitioned_by("p", [("part_key", "identity")])
+    lk.insert("p", spark.range(1000).selectExpr(
+        "cast(id % 2 as int) part_key", "concat('s_', id) vals"))
+    paths = [p for (p,) in lk.meta.query(
+        "SELECT path FROM ducklake_data_file")]
+    assert paths and all("part_key=" not in p for p in paths)
+    assert lk.meta.query(
+        "SELECT COUNT(*) FROM ducklake_file_partition_value")[0][0] == 2
+    h = lk._handle("p")
+    snap = lk._resolve_snapshot(None, None)
+    assert len(lk._visible_files(h, snap, "part_key = 0")) == 1
+    assert lk.table("p", where="part_key = 0").count() == 500
