@@ -742,7 +742,7 @@ def _update_inlined(lake: DuckLake, h: TableHandle, assignments: dict[str, str],
 def merge_into(lake: DuckLake, target: str, source: DataFrame, on: list[str],
                *, when_matched_update: dict[str, str | None] | None = None,
                when_matched_delete: bool = False,
-               when_not_matched_insert: bool = True,
+               when_not_matched_insert: bool | dict | list = True,
                when_not_matched_by_source_update: dict[str, str] | None = None,
                when_not_matched_by_source_delete: bool = False,
                multi_match: str = "error") -> dict[str, int]:
@@ -756,6 +756,12 @@ def merge_into(lake: DuckLake, target: str, source: DataFrame, on: list[str],
     maps target column -> SQL expression over ``t.``/``s.`` aliases; a
     None value means "take the source's same-named column".
     ``when_not_matched_by_source_update`` expressions see only ``t.``.
+    ``when_not_matched_insert`` accepts True (INSERT * by name — extra
+    source columns dropped, missing target columns take their
+    defaults), a dict {target column -> SQL expr over the SOURCE's
+    columns}, or a list of positional exprs like the reference's
+    ``INSERT VALUES (...)`` (merge_update_insert.test:
+    ``INSERT VALUES (b.item_id, b.volume)``).
 
     Scale shape: one equi-join computes matched rows, one anti-join the
     by-source rows; ALL victims union into a single pass of the shared
@@ -959,6 +965,25 @@ def merge_into(lake: DuckLake, target: str, source: DataFrame, on: list[str],
             counts["deleted"] = n - replaced
         if when_not_matched_insert:
             new_rows = source.join(tgt, on, "left_anti")
+            spec = when_not_matched_insert
+            if isinstance(spec, list):
+                if len(spec) != len(h.columns):
+                    raise DuckLakeError(
+                        f"INSERT VALUES needs {len(h.columns)} expressions, "
+                        f"got {len(spec)}")
+                new_rows = new_rows.select([
+                    F.expr(e).alias(c[1]) for e, c in zip(spec, h.columns)
+                ])
+            elif isinstance(spec, dict):
+                known = {c[1] for c in h.columns}
+                for col in spec:
+                    if col not in known:
+                        raise DuckLakeError(
+                            f"MERGE INSERT: column {col!r} does not exist")
+                new_rows = new_rows.select([
+                    F.expr(spec[c[1]]).alias(c[1])
+                    for c in h.columns if c[1] in spec
+                ])
             # count comes back from the insert's file footers — no
             # separate counting job over the join
             counts["inserted"] = lake.insert(target, new_rows)

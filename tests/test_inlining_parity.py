@@ -554,3 +554,36 @@ def test_encrypted_partitioned_paths_leak_nothing(mklake, spark):
     snap = lk._resolve_snapshot(None, None)
     assert len(lk._visible_files(h, snap, "part_key = 0")) == 1
     assert lk.table("p", where="part_key = 0").count() == 500
+
+
+def test_merge_insert_values_forms(mklake, spark):
+    """merge_update_insert.test: MERGE's NOT MATCHED INSERT supports the
+    reference's positional VALUES form and an explicit column mapping
+    (a source column named differently previously landed as NULL)."""
+    from ducklake_spark.dml import merge_into
+
+    lk = mklake("mergeins")
+    lk.create_table("stock", [("item_id", "int32"), ("balance", "int32")])
+    lk.insert("stock", spark.createDataFrame(
+        [(10, 2200), (20, 1900)], "item_id int, balance int"))
+    buy = spark.createDataFrame([(10, 1000), (30, 300)],
+                                "item_id int, volume int")
+    res = merge_into(lk, "stock", buy, ["item_id"],
+                     when_matched_update={"balance": "t.balance + s.volume"},
+                     when_not_matched_insert=["item_id", "volume"])
+    assert res == {"updated": 1, "deleted": 0, "inserted": 1}
+    assert sorted(tuple(r) for r in lk.table("stock").collect()) == [
+        (10, 3200), (20, 1900), (30, 300)]
+
+    res = merge_into(
+        lk, "stock",
+        spark.createDataFrame([(40, 77)], "item_id int, volume int"),
+        ["item_id"],
+        when_not_matched_insert={"item_id": "item_id", "balance": "volume"})
+    assert res["inserted"] == 1
+    assert (40, 77) in {tuple(r) for r in lk.table("stock").collect()}
+
+    with pytest.raises(Exception, match="expressions"):
+        merge_into(lk, "stock",
+                   spark.createDataFrame([(50, 1)], "item_id int, volume int"),
+                   ["item_id"], when_not_matched_insert=["item_id"])
