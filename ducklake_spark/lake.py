@@ -1869,9 +1869,19 @@ class DuckLake:
             dest_dir = self.lfs.strip_scheme(table_dir).rstrip("/")
             if hive_dirs and part_values and part_keys:
                 for idx, v in part_values:
-                    cname = part_keys[idx][0] if idx < len(part_keys) else f"p{idx}"
+                    if idx < len(part_keys):
+                        cname, tf = part_keys[idx]
+                        # transform partitions name the dir after the
+                        # TRANSFORM like the reference (year=2025/
+                        # month=9) — repeating the column name would
+                        # also collide when one column carries several
+                        # transforms (merge_timestamp.test)
+                        key = (cname if tf == "identity"
+                               else tf.split("(")[0])
+                    else:
+                        key = f"p{idx}"
                     dest_dir = "/".join(
-                        (dest_dir, f"{cname}={urllib.parse.quote(v, safe='')}")
+                        (dest_dir, f"{key}={urllib.parse.quote(v, safe='')}")
                     )
                 self.lfs.makedirs(dest_dir)
             final = f"{dest_dir}/ducklake-{uuid.uuid4().hex}.parquet"
@@ -2374,9 +2384,12 @@ class DuckLake:
         if not where:
             return "", []
         colmap = self._leaf_colmap(h)  # dotted struct-leaf refs prune too
-        part_keys = {}  # cname -> (key_index, transform)
+        part_keys = {}  # cname -> [(key_index, transform), ...]
         for i, (cname, transform) in enumerate(self._partition_spec(h)):
-            part_keys[cname] = (i, transform)
+            # one column may carry several transforms (year + month on
+            # the same timestamp, merge_timestamp.test) — emit a prune
+            # clause per transform, not just the last
+            part_keys.setdefault(cname, []).append((i, transform))
         # partition pruning applies ONLY to files written under the
         # CURRENT spec (data_file.partition_id): after SET PARTITIONED
         # BY changes the key columns, an old file's values at the same
@@ -2385,16 +2398,30 @@ class DuckLake:
         # file to its spec via ducklake_data_file.partition_id)
         live_pid = self._partition_spec_id(h)
         clauses, params = [], []
+        coltypes = {c[1]: (c[2] or "").lower() for c in h.columns}
         for col, op, val in _parse_conjuncts(where):
             if col not in colmap:
                 continue
             if isinstance(val, float) and val != val:  # NaN: never prune (:1294-1343)
                 continue
-            part_clause = self._partition_prune_clause(
-                h, part_keys, live_pid, col, op, val)
-            if part_clause is not None:
-                clauses.append(part_clause[0])
-                params.extend(part_clause[1])
+            # normalize temporal literals to the zone map's
+            # serialization: TIMESTAMP'2025-09-17' must compare equal
+            # to the stored "2025-09-17 00:00:00" — the raw string
+            # compare pruned EVERY file for a date-only timestamp
+            # literal (min "…00:00:00" > "2025-09-17")
+            ctype = coltypes.get(col, "")
+            if isinstance(val, str):
+                if (ctype.startswith("timestamp")
+                        and re.fullmatch(r"\d{4}-\d{2}-\d{2}", val)):
+                    val = val + " 00:00:00"
+                elif ctype == "date" and val.endswith(" 00:00:00"):
+                    val = val[: -len(" 00:00:00")]
+            for entry in part_keys.get(col, []):
+                part_clause = self._partition_prune_clause(
+                    h, entry, live_pid, col, op, val)
+                if part_clause is not None:
+                    clauses.append(part_clause[0])
+                    params.extend(part_clause[1])
             cid = colmap[col]
             if op in ("isnull", "notnull"):
                 # null-count zone maps (value_count counts NON-null
@@ -2441,7 +2468,7 @@ class DuckLake:
         ).fetchone()
         return row[0] if row else None
 
-    def _partition_prune_clause(self, h: TableHandle, part_keys: dict,
+    def _partition_prune_clause(self, h: TableHandle, entry: tuple,
                                 live_pid: int | None,
                                 col: str, op: str, val) -> tuple[str, list] | None:
         """Partition pruning over ducklake_file_partition_value
@@ -2449,9 +2476,9 @@ class DuckLake:
         clause :2201). Files lacking partition values are kept, and
         only files stamped with the CURRENT spec id prune — a value
         recorded under an earlier spec describes a different column."""
-        if col not in part_keys or live_pid is None:
+        if entry is None or live_pid is None:
             return None
-        idx, transform = part_keys[col]
+        idx, transform = entry
         t = transform.lower()
         base = (
             " AND data_file_id NOT IN ("

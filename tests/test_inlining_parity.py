@@ -587,3 +587,36 @@ def test_merge_insert_values_forms(mklake, spark):
         merge_into(lk, "stock",
                    spark.createDataFrame([(50, 1)], "item_id int, volume int"),
                    ["item_id"], when_not_matched_insert=["item_id"])
+
+
+def test_timestamp_literal_pruning_and_multi_transform(mklake, spark):
+    """merge_timestamp.test family: a date-only TIMESTAMP literal must
+    not prune the file holding that midnight (the stat serializes with
+    a time part), year+month transforms on ONE column emit per-
+    transform dirs (year=2025/month=9) and both prune clauses."""
+    from ducklake_spark.dml import merge_into, update
+
+    lk = mklake("tslit")
+    lk.create_table("ts", [("ts", "timestamp"), ("x", "float64")])
+    lk.set_partitioned_by("ts", [("ts", "year"), ("ts", "month")])
+    lk.insert("ts", spark.sql(
+        "SELECT TIMESTAMP'2025-09-17' ts, CAST(42 AS DOUBLE) x"))
+    assert update(lk, "ts", {"x": "44"}, "ts = TIMESTAMP'2025-09-17'") == 1
+    assert [r.x for r in lk.table("ts").collect()] == [44.0]
+    paths = [p for (p,) in lk.meta.query(
+        "SELECT path FROM ducklake_data_file WHERE end_snapshot IS NULL")]
+    assert all("year=2025/month=9" in p for p in paths)
+    res = merge_into(
+        lk, "ts",
+        spark.sql("SELECT TIMESTAMP'2025-09-17' ts, CAST(43 AS DOUBLE) x"),
+        ["ts"], when_matched_update={"x": None})
+    assert res == {"updated": 1, "deleted": 0, "inserted": 0}
+
+    # pruning keeps the matching month and drops others
+    lk.insert("ts", spark.sql(
+        "SELECT TIMESTAMP'2024-03-02' ts, CAST(1 AS DOUBLE) x"))
+    h = lk._handle("ts")
+    snap = lk._resolve_snapshot(None, None)
+    assert len(lk._visible_files(h, snap, None)) == 2
+    assert len(lk._visible_files(
+        h, snap, "ts = TIMESTAMP'2025-09-17'")) == 1
