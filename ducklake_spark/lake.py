@@ -1795,7 +1795,7 @@ class DuckLake:
             writer = writer.repartition(*[F.col(c) for c in part_cols])
         if sort_spec:
             writer = writer.sortWithinPartitions(*_sort_columns(sort_spec))
-        target_file_size = int(opt("target_file_size", "0") or 0)
+        target_file_size = parse_memory_limit(opt("target_file_size", "0"))
         enc_key = None
         if self.encrypted:
             import base64 as _b64
@@ -4164,6 +4164,29 @@ def _variant_row_predicate(cname: str, path: str, op: str, val):
         "<": lhs < rhs,
         "<=": lhs <= rhs,
     }[op]
+
+
+def parse_memory_limit(v) -> int:
+    """'512MB' / '64KiB' / bare bytes -> int bytes (the reference routes
+    target_file_size through DBConfig::ParseMemoryLimit,
+    ducklake_catalog.cpp GetTargetFileSize)."""
+    if v is None:
+        return 0
+    s = str(v).strip()
+    if not s:
+        return 0
+    m = re.fullmatch(
+        r"(\d+(?:\.\d+)?)\s*([kKmMgGtT]i?[bB]?|[bB])?", s)
+    if not m:
+        raise DuckLakeError(f"cannot parse size {v!r}")
+    num = float(m.group(1))
+    unit = (m.group(2) or "b").lower()
+    mult = {"b": 1,
+            "kb": 1000, "kib": 1024, "k": 1000,
+            "mb": 1000**2, "mib": 1024**2, "m": 1000**2,
+            "gb": 1000**3, "gib": 1024**3, "g": 1000**3,
+            "tb": 1000**4, "tib": 1024**4, "t": 1000**4}[unit]
+    return int(num * mult)
 
 
 def _parse_conjuncts(where: str) -> list[tuple[str, str, object]]:

@@ -59,7 +59,9 @@ def merge_adjacent_files(lake: DuckLake, *, target_file_size: int | None = None,
         raise DuckLakeError(
             "The max_compacted_files option must be greater than zero.")
     if target_file_size is None:
-        target_file_size = int(
+        from ducklake_spark.lake import parse_memory_limit
+
+        target_file_size = parse_memory_limit(
             lake.meta.option("target_file_size", str(DEFAULT_TARGET_FILE_SIZE))
         )
     tables = [table] if table else lake._table_names()
@@ -256,7 +258,9 @@ def _rewrite_pack(lake: DuckLake, h, pack: list[dict], part_vals: tuple,
     # (target_file_size splitting would shard the single ordered task
     # into several files whose rowid offsets we could no longer assign
     # — keep the embedded form in that case)
-    tfs = int(lake.meta.option(
+    from ducklake_spark.lake import parse_memory_limit
+
+    tfs = parse_memory_limit(lake.meta.option(
         "target_file_size", "0", scope="table", scope_id=h.table_id,
         schema_id=h.schema_id) or 0)
     positional = (

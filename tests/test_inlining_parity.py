@@ -620,3 +620,50 @@ def test_timestamp_literal_pruning_and_multi_transform(mklake, spark):
     assert len(lk._visible_files(h, snap, None)) == 2
     assert len(lk._visible_files(
         h, snap, "ts = TIMESTAMP'2025-09-17'")) == 1
+
+
+def test_target_file_size_human_readable(mklake, spark):
+    """insert_file_size.test / test_rewrite_target_file_size_rotation
+    .test: target_file_size accepts the reference's memory-limit syntax
+    ('100KB', '512MB'), splits big inserts, and the rewrite rotates an
+    oversized source into several files with rowids preserved."""
+    import glob as g
+
+    from ducklake_spark.dml import delete
+    from ducklake_spark.maintenance import rewrite_data_files
+
+    lk = mklake("fsize")
+    lk.create_table("t", [("id", "int64"), ("s", "varchar")])
+    lk.set_option("target_file_size", "100KB")
+    lk.insert("t", spark.range(200000).selectExpr(
+        "id", "concat('thisisalongstring', id) s").coalesce(1))
+    assert len(g.glob(f"{lk.data_path}/main/t/*.parquet")) > 1
+
+    lk2 = mklake("fsize2")
+    lk2.create_table("t", [("id", "int64"), ("payload", "varchar")])
+    lk2.set_option("parquet_compression", "uncompressed")
+    lk2.insert("t", spark.range(20000).selectExpr(
+        "id", "repeat(md5(cast(id as string)), 4) payload").coalesce(1))
+    delete(lk2, "t", "id % 10 = 0")
+    lk2.set_option("target_file_size", "64KB")
+    assert rewrite_data_files(lk2, delete_threshold=0) == 1
+    live = lk2.meta.query(
+        "SELECT COUNT(*) FROM ducklake_data_file WHERE end_snapshot IS NULL"
+    )[0][0]
+    assert live > 1  # rotated
+    assert lk2.table("t").selectExpr("sum(id)").collect()[0][0] == 180000000
+    assert lk2.table("t", with_virtual=True).selectExpr(
+        "sum(rowid)").collect()[0][0] == 180000000
+
+
+def test_parse_memory_limit_units(spark):
+    from ducklake_spark.lake import parse_memory_limit
+
+    assert parse_memory_limit("512MB") == 512 * 1000**2
+    assert parse_memory_limit("64KiB") == 64 * 1024
+    assert parse_memory_limit("1.5GB") == int(1.5 * 1000**3)
+    assert parse_memory_limit("123456") == 123456
+    assert parse_memory_limit(None) == 0
+    import pytest as _p
+    with _p.raises(Exception):
+        parse_memory_limit("twelve")
