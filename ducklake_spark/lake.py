@@ -2783,11 +2783,35 @@ class DuckLake:
         h = self._handle(name)
         if self._pinned is not None or self._txn_touches_table(h):
             return self.stats_agg(name, columns=[])["row_count"]
+        # the O(1) table_stats shortcut is only convention-independent
+        # when no delete artifact exists: OUR writes keep record_count
+        # net of deletes, the REFERENCE keeps it gross (ducklake_scan
+        # .cpp:217 subtracts delete counts independently) — on a
+        # migrated reference catalog the raw record_count over-counts,
+        # so any live delete file / inlined delete routes through the
+        # per-file netting fold instead
+        has_deletes = self.meta.query(
+            "SELECT 1 FROM ducklake_delete_file "
+            "WHERE table_id=? AND end_snapshot IS NULL",
+            (h.table_id,),
+        ) or self._inlined_delete_rows_exist(h)
+        if has_deletes:
+            return self.stats_agg(name, columns=[])["row_count"]
         rows = self.meta.query(
             "SELECT record_count FROM ducklake_table_stats WHERE table_id=?",
             (h.table_id,),
         )
         return rows[0][0] if rows else 0
+
+    def _inlined_delete_rows_exist(self, h: TableHandle) -> bool:
+        tname = f"ducklake_inlined_deletes_{h.table_id}"
+        if not self.meta.query(
+            "SELECT 1 FROM sqlite_master WHERE type='table' AND name=?",
+            (tname,),
+        ):
+            return False
+        return bool(self.meta.query(
+            f"SELECT 1 FROM {tname} WHERE end_snapshot IS NULL LIMIT 1"))
 
     def _txn_touches_table(self, h: TableHandle) -> bool:
         """Whether the open transaction (if any) buffers changes for

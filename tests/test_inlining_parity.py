@@ -667,3 +667,21 @@ def test_parse_memory_limit_units(spark):
     import pytest as _p
     with _p.raises(Exception):
         parse_memory_limit("twelve")
+
+
+def test_row_count_fold_on_gross_record_count(mklake, spark):
+    """Interop: a reference-written catalog keeps record_count GROSS
+    (ducklake_scan.cpp:217 nets delete counts independently); our fold
+    must not trust the raw number once delete artifacts exist."""
+    from ducklake_spark.dml import delete
+
+    lk = mklake("grossrc")
+    lk.create_table_as("t", spark.range(100).selectExpr(
+        "cast(id as int) id").coalesce(1))
+    delete(lk, "t", "id < 30")
+    # simulate the reference's convention: bump record_count back to
+    # the gross value a reference writer would have left
+    lk.meta.con.execute(
+        "UPDATE ducklake_table_stats SET record_count = 100")
+    assert lk.row_count("t") == 70  # nets per-file, ignores the gross
+    assert lk.table("t").count() == 70
