@@ -1,0 +1,276 @@
+"""Round-6 reference-test mining: deletion_inlining/ and table_changes/
+sequences replayed against the lake (visible semantics — counts, values,
+per-row CDC attribution, delete-file consolidation).
+
+Mirrors:
+- test/sql/deletion_inlining/test_deletion_inlining.test
+- test/sql/deletion_inlining/test_deletion_inlining_alter.test
+- test/sql/deletion_inlining/test_deletion_inlining_stats.test
+- test/sql/deletion_inlining/test_deletion_from_inlined_insertion.test
+- test/sql/deletion_inlining/test_deletion_inlining_partitions.test
+- test/sql/table_changes/window_partition_row_loss.test
+- test/sql/table_changes/ducklake_table_deletions_projection_order.test
+- test/sql/table_changes/ducklake_table_deletions_filter_unprojected.test
+- test/sql/table_changes/ducklake_lower_timestamp.test
+- test/sql/table_changes/ducklake_table_deletions_compacted.test
+"""
+
+from __future__ import annotations
+
+import datetime
+
+import pytest
+
+import conftest
+
+
+@pytest.fixture()
+def mklake(spark, tmp_path):
+    from ducklake_spark.lake import DuckLake
+
+    n = [0]
+
+    def make(**kw):
+        n[0] += 1
+        return DuckLake.attach(
+            spark, conftest.catalog_url(tmp_path / str(n[0])),
+            str(tmp_path / str(n[0]) / "data"), **kw)
+
+    return make
+
+
+def test_deletion_inlining_sequence(mklake, spark):
+    """test_deletion_inlining.test: inline → flush → reinline → flush →
+    mixed-storage delete, end-to-end value check."""
+    from ducklake_spark import maintenance as maint
+
+    lake = mklake(data_inlining_row_limit=10)
+    lake.create_table("t", [("a", "int64")])
+    lake.insert("t", spark.range(0, 50).coalesce(1).selectExpr("id as a"))
+    lake.delete("t", "a < 5")
+    assert lake.table("t").count() == 45
+    lake.delete("t", "a < 9")
+    assert lake.table("t").count() == 41
+    lake.delete("t", "a = 15")
+    assert lake.table("t").count() == 40
+    maint.flush_inlined_data(lake)
+    assert lake.table("t").count() == 40
+    lake.delete("t", "a < 15")
+    lake.delete("t", "a > 45")
+    assert lake.table("t").count() == 30
+    maint.flush_inlined_data(lake)
+    assert lake.table("t").count() == 30
+    lake.insert("t", spark.createDataFrame(
+        [(x,) for x in range(51, 56)], "a long"))       # inlined
+    lake.insert("t", spark.createDataFrame(
+        [(x,) for x in range(56, 71)], "a long").coalesce(1))  # file
+    assert lake.table("t").count() == 50
+    # one statement deleting from flushed file, inlined rows, and new file
+    lake.delete("t", "a = 40 or a = 53 or a > 65")
+    assert lake.table("t").count() == 43
+    maint.flush_inlined_data(lake)
+    want = sorted(set(range(16, 40)) | set(range(41, 46))
+                  | {51, 52, 54, 55} | set(range(56, 66)))
+    assert sorted(r.a for r in lake.table("t").collect()) == want
+
+
+def test_deletion_inlining_alter_interplay(mklake, spark):
+    """test_deletion_inlining_alter.test: inlined deletions survive
+    ADD/DROP COLUMN and type widening, before and after flush."""
+    from ducklake_spark import maintenance as maint
+
+    lake = mklake(data_inlining_row_limit=10)
+    lake.create_table("t", [("i", "int64"), ("j", "int32")])
+    lake.insert("t", spark.range(0, 50).coalesce(1)
+                .selectExpr("id as i", "CAST(id*2 AS INT) as j"))
+    lake.delete("t", "i < 5")
+    row = lake.table("t").selectExpr("COUNT(*) c", "SUM(j) s").collect()[0]
+    assert (row.c, row.s) == (45, 2430)
+    lake.add_column("t", "k", "int32")
+    lake.insert("t", spark.createDataFrame(
+        [(100, 200, 300)], "i long, j int, k int"))
+    row = lake.table("t").selectExpr("COUNT(*) c", "SUM(k) s").collect()[0]
+    assert (row.c, row.s) == (46, 300)
+    lake.delete("t", "i = 100")  # deletes an inlined row post-ALTER
+    row = lake.table("t").selectExpr("COUNT(*) c", "SUM(k) s").collect()[0]
+    assert (row.c, row.s) == (45, None)
+    maint.flush_inlined_data(lake)
+    row = lake.table("t").selectExpr("COUNT(*) c", "SUM(j) s").collect()[0]
+    assert (row.c, row.s) == (45, 2430)
+    lake.drop_column("t", "k")
+    lake.delete("t", "i >= 45")
+    assert lake.table("t").count() == 40
+    lake.change_column_type("t", "j", "int64")
+    lake.insert("t", spark.createDataFrame(
+        [(1000, 2000000000000)], "i long, j long"))
+    assert lake.table("t").count() == 41
+    lake.delete("t", "i = 1000")
+    assert lake.table("t").count() == 40
+    maint.flush_inlined_data(lake)
+    assert lake.table("t").count() == 40
+
+
+def test_flush_merges_delete_file_per_data_file(mklake, spark):
+    """test_deletion_inlining_stats.test: a second flush against the same
+    data file replaces the live delete file with one consolidated file
+    (delete_count 5 → 10), never accumulating per-flush delete files."""
+    from ducklake_spark import maintenance as maint
+
+    lake = mklake(data_inlining_row_limit=10)
+    lake.create_table("t", [("a", "int64")])
+    lake.insert("t", spark.range(0, 50).coalesce(1).selectExpr("id as a"))
+    lake.delete("t", "a < 5")
+    maint.flush_inlined_data(lake)
+    live = lake.meta.query(
+        "SELECT delete_count FROM ducklake_delete_file WHERE end_snapshot IS NULL")
+    assert [r[0] for r in live] == [5]
+    lake.delete("t", "a >= 45")
+    maint.flush_inlined_data(lake)
+    live = lake.meta.query(
+        "SELECT delete_count FROM ducklake_delete_file WHERE end_snapshot IS NULL")
+    assert [r[0] for r in live] == [10]
+    assert lake.table("t").count() == 40
+
+
+def test_delete_from_inlined_insertion_cdc(mklake, spark):
+    """test_deletion_from_inlined_insertion.test: deleting rows that only
+    ever existed inlined, CDC shows them, flush preserves the result."""
+    from ducklake_spark import maintenance as maint
+
+    lake = mklake(data_inlining_row_limit=10)
+    lake.create_table("t", [("a", "int64")])
+    lake.insert("t", spark.createDataFrame([(1,), (2,), (3,)], "a long"))
+    lake.insert("t", spark.createDataFrame([(4,), (5,)], "a long"))
+    lake.delete("t", "a = 2 or a = 5")
+    assert sorted(r.a for r in lake.table("t").collect()) == [1, 3, 4]
+    maint.flush_inlined_data(lake)
+    assert sorted(r.a for r in lake.table("t").collect()) == [1, 3, 4]
+    end = lake.current_snapshot()
+    dels = sorted(r.a for r in lake.table_deletions("t", 0, end).collect())
+    assert dels == [2, 5]
+
+
+def test_inlined_deletes_partitioned_table(mklake, spark):
+    """test_deletion_inlining_partitions.test: inlined deletions across
+    identity partitions, then flushed."""
+    from ducklake_spark import maintenance as maint
+
+    lake = mklake(data_inlining_row_limit=10)
+    lake.create_table("p", [("k", "int64"), ("v", "int64")])
+    lake.set_partitioned_by("p", [("k", "identity")])
+    lake.insert("p", spark.range(0, 40).selectExpr("id % 4 as k", "id as v"))
+    lake.delete("p", "v < 4")  # one inlined deletion in each of 4 partitions
+    assert lake.table("p").count() == 36
+    lake.delete("p", "k = 2 and v < 20")
+    assert lake.table("p").count() == 32
+    maint.flush_inlined_data(lake)
+    assert lake.table("p").count() == 32
+    assert sorted(r.v for r in lake.table("p").where("k = 2").collect()) == \
+        [22, 26, 30, 34, 38]
+
+
+def test_changes_counts_stable_after_flush(mklake, spark):
+    """window_partition_row_loss.test: insertions(0,end)=3 and
+    changes(0,end)=4 after an UPDATE, identical before and after flush."""
+    from ducklake_spark import maintenance as maint
+
+    lake = mklake()
+    lake.create_table("t", [("id", "int64"), ("val", "int64")])
+    lake.insert("t", spark.createDataFrame(
+        [(1, 100), (2, 200)], "id long, val long"))
+    lake.update("t", {"val": "150"}, "id = 1")
+    end = lake.current_snapshot()
+    assert lake.table_insertions("t", 0, end).count() == 3
+    assert lake.table_changes("t", 0, end).count() == 4
+    maint.flush_inlined_data(lake, table="t")
+    assert lake.table_insertions("t", 0, end).count() == 3
+    assert lake.table_changes("t", 0, end).count() == 4
+
+
+def test_deletions_per_row_snapshot_on_accumulated_file(mklake, spark):
+    """ducklake_table_deletions_projection_order.test: when a second
+    DELETE replaces the first delete file, each deleted row still reports
+    the snapshot that deleted IT, not the merged file's begin snapshot."""
+    lake = mklake(data_inlining_row_limit=0)
+    lake.create_table("d", [("k", "int64"), ("v", "int64")])
+    lake.insert("d", spark.createDataFrame(
+        [(1, 100), (2, 200), (3, 300)], "k long, v long").coalesce(1))
+    lake.delete("d", "k = 1")
+    s_a = lake.current_snapshot()
+    lake.delete("d", "k = 2")
+    s_b = lake.current_snapshot()
+    df = lake.table_deletions("d", s_a, s_b)
+    rid = ("_ducklake_internal_row_id"
+           if "_ducklake_internal_row_id" in df.columns else "rowid")
+    rows = sorted((r[rid], r["snapshot_id"], r["k"]) for r in df.collect())
+    assert rows == [(0, s_a, 1), (1, s_b, 2)]
+    # single-snapshot windows see exactly their own rows
+    assert [r["k"] for r in lake.table_deletions("d", s_a, s_a).collect()] == [1]
+    assert [r["k"] for r in lake.table_deletions("d", s_b, s_b).collect()] == [2]
+
+
+def test_deletions_multi_file_row_id_start(mklake, spark):
+    """ducklake_table_deletions_filter_unprojected.test (multi-file part):
+    per-file row_id_start applied; filtering on a column later projected
+    away leaves rowid/snapshot attribution intact."""
+    lake = mklake(data_inlining_row_limit=0)
+    lake.create_table("m", [("k", "int64"), ("v", "int64")])
+    lake.insert("m", spark.createDataFrame(
+        [(1, 10), (2, 20), (3, 30)], "k long, v long").coalesce(1))
+    lake.insert("m", spark.createDataFrame(
+        [(4, 40), (5, 50), (6, 60)], "k long, v long").coalesce(1))
+    lake.delete("m", "k = 2")
+    s_c = lake.current_snapshot()
+    lake.delete("m", "k = 5")
+    s_d = lake.current_snapshot()
+    df = lake.table_deletions("m", 1, s_d)
+    rid = ("_ducklake_internal_row_id"
+           if "_ducklake_internal_row_id" in df.columns else "rowid")
+    rows = sorted((r[rid], r["snapshot_id"], r["k"])
+                  for r in df.where("v > 0").select(rid, "snapshot_id", "k")
+                  .collect())
+    assert rows == [(1, s_c, 2), (4, s_d, 5)]
+    assert df.where("v > 1000").count() == 0
+
+
+def test_table_changes_timestamp_bounds(mklake, spark):
+    """ducklake_lower_timestamp.test (issue #330): timestamp bounds from
+    before the first snapshot through now() see every change."""
+    lake = mklake()
+    lake.create_table("repro", [("foo", "int64"), ("bar", "varchar")])
+    for i in (1, 2, 3):
+        lake.insert("repro", spark.createDataFrame(
+            [(i, str(i))], "foo long, bar string"))
+    end = lake.current_snapshot()
+    assert lake.table_changes("repro", 0, end).count() == 3
+    assert lake.table_changes(
+        "repro", datetime.datetime(1970, 1, 1),
+        datetime.datetime.now() + datetime.timedelta(days=1)).count() == 3
+
+
+def test_deletions_over_compacted_file(mklake, spark):
+    """ducklake_table_deletions_compacted.test: multiple DELETEs against a
+    merged (compacted) file report correct counts and per-snapshot
+    attribution."""
+    from ducklake_spark import maintenance as maint
+
+    lake = mklake()
+    lake.create_table("test", [("i", "int64")])
+    for base in (0, 100, 200):
+        lake.insert("test", spark.range(base, base + 100).coalesce(1)
+                    .selectExpr("id as i"))
+    maint.merge_adjacent_files(lake, table="test")
+    assert lake.table("test").count() == 300
+    lake.delete("test", "i < 120")
+    s1 = lake.current_snapshot()
+    assert lake.table("test").count() == 180
+    lake.delete("test", "i < 250")
+    s2 = lake.current_snapshot()
+    assert lake.table("test").count() == 50
+    assert lake.table_deletions("test", s1, s1).count() == 120
+    assert lake.table_deletions("test", s2, s2).count() == 130
+    per = {r["snapshot_id"]: r["n"]
+           for r in lake.table_deletions("test", s1, s2)
+           .groupBy("snapshot_id").count().withColumnRenamed("count", "n")
+           .collect()}
+    assert per == {s1: 120, s2: 130}
