@@ -643,3 +643,90 @@ sql_query(
     doc="two derived dimensions paged then folded (ClickBench q41: "
         "WindowClientWidth x WindowClientHeight)",
 )
+
+sql_query(
+    "cb_mobile_two_key_distinct",
+    """
+    SELECT event_type,
+           REGEXP_EXTRACT(props, '([0-9])', 1) AS model,
+           COUNT(DISTINCT user_id) AS u
+    FROM events
+    WHERE props <> ''
+    GROUP BY event_type, REGEXP_EXTRACT(props, '([0-9])', 1)
+    ORDER BY u DESC, event_type, model
+    LIMIT 10
+    """,
+    tables=["events"],
+    doc="two-key segmentation x distinct users (ClickBench q11: "
+        "MobilePhone x MobilePhoneModel COUNT(DISTINCT UserID))",
+)
+
+sql_query(
+    "cb_phrase_count_topk",
+    """
+    SELECT props, COUNT(*) AS c
+    FROM events
+    WHERE props <> ''
+    GROUP BY props
+    ORDER BY c DESC, props
+    LIMIT 10
+    """,
+    tables=["events"],
+    doc="plain frequency top-K over non-empty phrases (ClickBench q12: "
+        "SearchPhrase COUNT(*); q13's distinct variant is "
+        "cb_phrase_topk)",
+)
+
+sql_query(
+    "cb_point_select_rows",
+    """
+    SELECT user_id
+    FROM events
+    WHERE user_id = 42
+    """,
+    tables=["events"],
+    doc="bare point-predicate row select, no aggregation (ClickBench "
+        "q19: SELECT UserID WHERE UserID = const; exercises zone-map "
+        "file pruning with a projection of only the filter column)",
+)
+
+sql_query(
+    "cb_filtered_url_topk",
+    """
+    SELECT props, COUNT(*) AS page_views
+    FROM events
+    WHERE event_type = 'view'
+      AND CAST(ts AS DATE) >= DATE '2024-01-07'
+      AND CAST(ts AS DATE) <= DATE '2024-01-14'
+      AND value >= 0.5
+      AND props <> ''
+    GROUP BY props
+    ORDER BY page_views DESC, props
+    LIMIT 10
+    """,
+    tables=["events"],
+    doc="multi-predicate (type + date range + measure floor + non-empty) "
+        "filtered frequency top-K (ClickBench q34/q35: CounterID + "
+        "EventDate range + flag filters over URL/Title)",
+)
+
+sql_query(
+    "cb_hash_date_paging",
+    """
+    SELECT page_views, props, d
+    FROM (
+        SELECT props, CAST(ts AS DATE) AS d, COUNT(*) AS page_views
+        FROM events
+        WHERE event_type IN ('view', 'click') AND user_id % 10 = 7
+        GROUP BY props, CAST(ts AS DATE)
+        ORDER BY page_views DESC, props, d
+        LIMIT 10 OFFSET 5
+    ) t
+    ORDER BY page_views DESC, props, d
+    LIMIT 5 OFFSET 2
+    """,
+    tables=["events"],
+    doc="IN-list + modulus equality filter, grouped by key x day, paged "
+        "twice with nested ORDER/OFFSET/LIMIT (ClickBench q37: URLHash "
+        "x EventDate, TraficSourceID IN (-1,6), RefererHash = const)",
+)
