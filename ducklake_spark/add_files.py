@@ -163,7 +163,7 @@ def add_data_files(lake: DuckLake, table: str, pattern, *,
     part_index = {cname: i for i, (cname, _t) in enumerate(part_spec)}
     part_pid = lake._partition_spec_id(h) if part_spec else None
 
-    txn = lake.begin()
+    txn = lake._begin()
     from ducklake_spark.lake import parquet_footer_size as _footer_size
     from ducklake_spark.transaction import DataFileInfo
 

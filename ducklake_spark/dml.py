@@ -64,7 +64,7 @@ def _rewrite_txn_local(lake: DuckLake, h: TableHandle, where: str,
     transform the matching rows) and swapped in the transaction buffer —
     reference behavior for txn-local DML, test/sql/cleanup/
     drop_table_cleans_delete_files.test."""
-    txn = lake.begin()
+    txn = lake._begin()
     key = f"{h.schema_name}.{h.table_name}"
     files = txn.new_data_files.get(key, [])
     if not files:
@@ -124,7 +124,7 @@ def delete(lake: DuckLake, name: str, where: str | None = None) -> int:
     n_deleted += _delete_inlined(lake, h, where)
     if n_deleted == 0:
         return 0
-    txn = lake.begin()
+    txn = lake._begin()
     txn.stats_delta.setdefault(h.table_id, {}).setdefault("records", 0)
     txn.stats_delta[h.table_id]["records"] -= n_deleted
     # change kinds are logged at the site that knows the delete's form:
@@ -272,7 +272,7 @@ def _apply_file_deletes_fused(lake: DuckLake, h: TableHandle, snap,
                 lake.lfs.remove(lake.lfs.strip_scheme(w["out_path"]))
         return 0
 
-    txn = lake.begin()
+    txn = lake._begin()
     inl_counts = _inlined_delete_counts(lake, h)
     by_rel = {f["path"]: f for f in files}
     had_file = had_inline = False
@@ -517,7 +517,7 @@ def _delete_inlined(lake: DuckLake, h: TableHandle, where: str) -> int:
             # buffered: end_snapshot is stamped with the REAL snapshot id
             # inside the commit's catalog transaction (an aborted commit
             # must leave these rows visible)
-            txn = lake.begin()
+            txn = lake._begin()
             txn.inlined_end_updates.append(
                 (tname, ("row_id",), [(r,) for r in rids])
             )
@@ -625,7 +625,7 @@ def _update_files(lake: DuckLake, h: TableHandle, matched: DataFrame,
         for f in files:
             f.row_id_start = None  # rowid comes from the embedded column
             f.allocate = False
-        txn = lake.begin()
+        txn = lake._begin()
         txn.new_data_files.setdefault(str(h.table_id), []).extend(files)
         # victims re-use the matched relation — no second predicate scan
         snap = lake._resolve_snapshot(None, None)
@@ -656,7 +656,7 @@ def _update_files_via_inlining(lake: DuckLake, h: TableHandle, head,
     from ducklake_spark.transaction import PENDING_SNAPSHOT
 
     with lake.transaction():
-        txn = lake.begin()
+        txn = lake._begin()
         cur_tname = lake._ensure_inlined_table(h)
         packed = [
             (r[ROWID_COL], PENDING_SNAPSHOT, None)
@@ -696,7 +696,7 @@ def _update_inlined(lake: DuckLake, h: TableHandle, assignments: dict[str, str],
     from ducklake_spark.transaction import PENDING_SNAPSHOT
     from pyspark.sql import types as T
 
-    txn = lake.begin()
+    txn = lake._begin()
     for (tname,) in tabs:
         rows = lake.meta.query(
             f"SELECT * FROM {tname} WHERE begin_snapshot <= ? "
@@ -837,7 +837,7 @@ def merge_into(lake: DuckLake, target: str, source: DataFrame, on: list[str],
         for fw in wfiles:
             fw.row_id_start = None  # rowid rides the embedded column
             fw.allocate = False
-        txn = lake.begin()
+        txn = lake._begin()
         txn.new_data_files.setdefault(str(h.table_id), []).extend(wfiles)
         txn.change_log.append(f"inserted_into_table:{h.table_id}")
         return sum(fw.record_count for fw in wfiles)
@@ -958,7 +958,7 @@ def merge_into(lake: DuckLake, target: str, source: DataFrame, on: list[str],
             for p in persisted:
                 p.unpersist()
             if n:
-                txn = lake.begin()
+                txn = lake._begin()
                 txn.stats_delta.setdefault(h.table_id, {}).setdefault("records", 0)
                 txn.stats_delta[h.table_id]["records"] -= n
             counts["updated"] = replaced

@@ -302,6 +302,20 @@ class DuckLake:
             )
 
     def begin(self) -> Transaction:
+        """Open an explicit transaction (reference: BEGIN TRANSACTION).
+
+        Subsequent statements — including DML helpers and maintenance
+        calls that internally open ``lake.transaction()`` contexts —
+        JOIN this transaction instead of auto-committing, until
+        :meth:`commit` or :meth:`rollback` (reference:
+        test/sql/insert/insert_into_self.test,
+        test/sql/rewrite_data_files/test_rewrite_rollback_cleanup.test)."""
+        self._explicit_txn = True
+        return self._begin()
+
+    def _begin(self) -> Transaction:
+        """Join the open transaction, or open an auto-commit-scoped one
+        (internal statement scope — does NOT mark the txn explicit)."""
         self._check_writable()
         if self._txn is None:
             self._txn = Transaction(self.meta)
@@ -309,6 +323,7 @@ class DuckLake:
         return self._txn
 
     def commit(self) -> int:
+        self._explicit_txn = False
         if self._txn is None:
             return self.current_snapshot()
         txn = self._txn
@@ -327,6 +342,7 @@ class DuckLake:
         return snap
 
     def rollback(self) -> None:
+        self._explicit_txn = False
         txn, self._txn = self._txn, None
         # a rolled-back transaction's pending commit note must not leak
         # onto the NEXT commit (reference: test/sql/audit/
@@ -470,7 +486,7 @@ class DuckLake:
             if if_not_exists:
                 return
             raise DuckLakeError(f"schema {name!r} already exists")
-        txn = self.begin()
+        txn = self._begin()
         txn.created_schemas.append((name, str(uuid.uuid4())))
         txn.change_log.append(f'created_schema:"{name}"')
         self._autocommit()
@@ -548,7 +564,7 @@ class DuckLake:
             raise DuckLakeError(
                 f"schema {name!r} is not empty (use cascade=True)"
             )
-        txn = self.begin()
+        txn = self._begin()
         txn.dropped_schemas.append(sid)
         for (tid,) in members:
             txn.dropped_tables.append(tid)
@@ -614,7 +630,7 @@ class DuckLake:
         if self._inline_limit(schema_id=sid) > 0:
             for c in cols:
                 _check_inline_reserved(c.name)
-        txn = self.begin()
+        txn = self._begin()
         from ducklake_spark.transaction import path_component
 
         tuid = str(uuid.uuid4())
@@ -659,7 +675,7 @@ class DuckLake:
             # physically remove its buffered files — nothing may leak to
             # disk or the catalog (reference test/sql/cleanup/
             # create_drop_cleanup.test + drop_table_cleans_delete_files)
-            txn = self.begin()
+            txn = self._begin()
             key = f"{h.schema_name}.{h.table_name}"
             for fi in txn.new_data_files.pop(key, []):
                 self.lfs.remove(
@@ -677,14 +693,14 @@ class DuckLake:
                 while entry in txn.change_log:
                     txn.change_log.remove(entry)
             return
-        txn = self.begin()
+        txn = self._begin()
         txn.dropped_tables.append(h.table_id)
         txn.change_log.append(f"dropped_table:{h.table_id}")
         self._autocommit()
 
     def rename_table(self, name: str, new_name: str) -> None:
         h = self._handle(name)
-        txn = self.begin()
+        txn = self._begin()
         new_tname = new_name.split(".")[-1]
         if h.table_id < 0:
             # renaming a table CREATED in this transaction: update the
@@ -730,7 +746,7 @@ class DuckLake:
         _check_reserved_column(col_name)
         if self._inline_limit(h.table_id, h.schema_id) > 0:
             _check_inline_reserved(col_name)
-        txn = self.begin()
+        txn = self._begin()
         from ducklake_spark.catalog.types import struct_leaf_paths
 
         leaves = struct_leaf_paths(col_type)
@@ -813,7 +829,7 @@ class DuckLake:
                 "the table is partitioned by this column "
                 "(RESET PARTITIONED BY first)"
             )
-        txn = self.begin()
+        txn = self._begin()
 
         def op(con, snap_id, h=h, col_name=col_name):
             row = con.execute(
@@ -846,7 +862,7 @@ class DuckLake:
         _check_reserved_column(new_name)
         if self._inline_limit(h.table_id, h.schema_id) > 0:
             _check_inline_reserved(new_name)
-        txn = self.begin()
+        txn = self._begin()
 
         def op(con, snap_id, h=h, col_name=col_name, new_name=new_name):
             row = con.execute(
@@ -902,7 +918,7 @@ class DuckLake:
             raise DuckLakeError(
                 f"type change {cur[2]} -> {new_type} is not a widening promotion"
             )
-        txn = self.begin()
+        txn = self._begin()
 
         def op(con, snap_id, h=h, cid=cur[0], new_type=new_type):
             row = con.execute(
@@ -938,7 +954,7 @@ class DuckLake:
             # partition rows right after the column ids exist and stamps
             # the table's buffered files with the new partition_id
             # (reference partition_rename_in_transaction.test)
-            txn = self.begin()
+            txn = self._begin()
             td = next(
                 t for t in txn.created_tables
                 if t.schema_name == h.schema_name
@@ -951,7 +967,7 @@ class DuckLake:
             td.partition_spec = list(keys)
             self._autocommit()
             return
-        txn = self.begin()
+        txn = self._begin()
         # a REDUNDANT alter (same columns, same transforms, same order)
         # is a complete no-op: no new partition spec, no schema_version
         # bump — otherwise files written later in the same transaction
@@ -1032,7 +1048,7 @@ class DuckLake:
             probe.select(*[F.expr(e) for e, _d, _n in norm]).schema
         except Exception as ex:
             raise DuckLakeError(f"SET SORTED BY: invalid sort key: {ex}")
-        txn = self.begin()
+        txn = self._begin()
 
         def op(con, snap_id, h=h, norm=norm):
             con.execute(
@@ -1064,7 +1080,7 @@ class DuckLake:
         merge_adjacent_sorted_reset.test). No schema_version bump."""
         h = self._handle(name)
         self._require_committed(h, "RESET SORTED BY")
-        txn = self.begin()
+        txn = self._begin()
 
         def op(con, snap_id, h=h):
             con.execute(
@@ -1085,7 +1101,7 @@ class DuckLake:
         cur = next((c for c in h.columns if c[1] == col_name), None)
         if cur is None:
             raise DuckLakeError(f"no column {col_name!r}")
-        txn = self.begin()
+        txn = self._begin()
 
         def op(con, snap_id, h=h, cid=cur[0], mutate=mutate):
             row = con.execute(
@@ -1160,7 +1176,7 @@ class DuckLake:
         from ducklake_spark.catalog.types import struct_leaf_paths
 
         leaves = struct_leaf_paths(new_type)
-        txn = self.begin()
+        txn = self._begin()
 
         def regen(con, snap_id, h=h, cid=cur[0], leaves=leaves, txn=txn):
             con.execute(
@@ -1205,7 +1221,7 @@ class DuckLake:
             cur = next((c for c in h.columns if c[1] == col_name), None)
             if cur is None:
                 raise DuckLakeError(f"no column {col_name!r}")
-            txn = self.begin()
+            txn = self._begin()
 
             def tag_op(con, snap_id, h=h, cid=cur[0]):
                 con.execute(
@@ -1259,7 +1275,7 @@ class DuckLake:
         if any(n == new for n, _ in parts):
             raise DuckLakeError(f"field {new!r} already exists")
 
-        txn = self.begin()
+        txn = self._begin()
 
         def tag_op(con, snap_id, h=h, cid=cur[0], old=old, new=new):
             con.execute(
@@ -1442,7 +1458,7 @@ class DuckLake:
         .test): the view's output columns are renamed positionally."""
         schema_name, vname = self._split_name(name)
         aliases = json.dumps(column_aliases) if column_aliases else None
-        txn = self.begin()
+        txn = self._begin()
         txn.created_views.append((schema_name, vname, dialect, sql, aliases))
         txn.change_log.append(f'created_view:"{schema_name}"."{vname}"')
         self._autocommit()
@@ -1470,7 +1486,7 @@ class DuckLake:
         )
         if not rows:
             raise DuckLakeError(f"no view {name!r}")
-        txn = self.begin()
+        txn = self._begin()
         txn.dropped_views.append(rows[0][0])
         txn.change_log.append(f"dropped_view:{rows[0][0]}")
         self._autocommit()
@@ -1482,7 +1498,7 @@ class DuckLake:
         created in the current transaction renames in the buffer."""
         schema_name, vname = self._split_name(name)
         new_vname = new_name.split(".")[-1]
-        txn = self.begin()
+        txn = self._begin()
         for i, (sn, vn, dialect, sql, aliases) in enumerate(txn.created_views):
             if sn == schema_name and vn == vname:
                 txn.created_views[i] = (sn, new_vname, dialect, sql, aliases)
@@ -1644,7 +1660,7 @@ class DuckLake:
         ).lower() == "false":
             sort_spec = []
         files = self._write_parquet(h, df, schema, part_keys, sort_spec)
-        txn = self.begin()
+        txn = self._begin()
         # txn-local tables buffer by name: ids exist only after commit
         key = (str(h.table_id) if h.table_id >= 0
                else f"{h.schema_name}.{h.table_name}")
@@ -2114,7 +2130,7 @@ class DuckLake:
     def _insert_inlined(self, h: TableHandle, schema: T.StructType, rows) -> None:
         """Data inlining: small inserts live in the catalog DB
         (reference: ducklake_inline_data.cpp:15-120, SURVEY §1.5)."""
-        txn = self.begin()
+        txn = self._begin()
         tname = self._ensure_inlined_table(h)
         from ducklake_spark.transaction import PENDING_SNAPSHOT
 

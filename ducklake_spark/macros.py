@@ -53,7 +53,7 @@ def create_macro(lake: DuckLake, name: str, parameters: list | None = None,
             elif seen_default:
                 raise DuckLakeError(
                     "macro default parameters must come last")
-    txn = lake.begin()
+    txn = lake._begin()
 
     def op(con, snap_id):
         mid = con.execute(
@@ -95,7 +95,7 @@ def drop_macro(lake: DuckLake, name: str) -> None:
     catalog/create_then_drop_macro.test — create + drop in one BEGIN
     commits nothing)."""
     schema_name, mname = lake._split_name(name)
-    txn = lake.begin()
+    txn = lake._begin()
     pending = getattr(txn, "_pending_macros", {})
     entry_p = pending.pop((schema_name, mname), None)
     if entry_p is not None:
@@ -200,7 +200,7 @@ def set_comment(lake: DuckLake, object_name: str, comment: str,
                 column: str | None = None) -> None:
     """COMMENT ON TABLE/COLUMN (versioned tag rows)."""
     h = lake._handle(object_name)
-    txn = lake.begin()
+    txn = lake._begin()
 
     def op(con, snap_id):
         if column is None:
@@ -281,7 +281,7 @@ def set_view_column_comment(lake: DuckLake, view_name: str, column: str,
             f"view {view_name!r} has no column {column!r} "
             f"(columns: {', '.join(cols)})"
         )
-    txn = lake.begin()
+    txn = lake._begin()
 
     def op(con, snap_id, vid=vid, canon=canon, comment=comment):
         con.execute(

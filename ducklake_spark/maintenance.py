@@ -310,7 +310,7 @@ def _rewrite_pack(lake: DuckLake, h, pack: list[dict], part_vals: tuple,
     # thread pool share ONE transaction, and the stats_delta
     # read-modify-write below is not atomic on its own
     with _TXN_BUF_LOCK:
-        txn = lake.begin()
+        txn = lake._begin()
         # compensate stats: _try_commit adds record_count for
         # allocate=False files
         txn.stats_delta.setdefault(h.table_id, {}).setdefault("records", 0)
@@ -344,32 +344,33 @@ def _rewrite_data_files_in_txn(lake, tables, delete_threshold) -> int:
     n = 0
     for tname in tables:
         h = lake._handle(tname)
+        # LEFT JOIN: a file whose only deletes live INLINED in the
+        # catalog is still a rewrite victim (reference:
+        # test/sql/rewrite_data_files/test_rewrite_inlined_file_deletes
+        # .test — files_processed=1 with zero delete files on disk)
         rows = lake.meta.query(
             "SELECT d.data_file_id, d.path, d.record_count, d.row_id_start, "
             "del.delete_count, del.path, del.format, d.encryption_key, "
             "d.begin_snapshot, d.mapping_id "
-            "FROM ducklake_data_file d JOIN ducklake_delete_file del "
+            "FROM ducklake_data_file d LEFT JOIN ducklake_delete_file del "
             "ON del.data_file_id = d.data_file_id AND del.end_snapshot IS NULL "
             "WHERE d.table_id=? AND d.end_snapshot IS NULL",
             (h.table_id,),
         )
         schema = lake._spark_schema(h)
-        inlined_del_fids = _fids_with_inlined_deletes(lake, h)
+        inl_pos = _inlined_delete_positions(lake, h)
         victims = []
         for row in rows:
             (fid, _path, rc, _rid, del_cnt, _dp, _dfm, _ek,
              _bs, mapping_id) = row
-            if rc == 0 or del_cnt / rc < delete_threshold:
-                continue
-            if fid in inlined_del_fids:
-                # catalog-inlined positions would be lost by a rewrite;
-                # flush_inlined_data converts them first
+            total_del = (del_cnt or 0) + len(inl_pos.get(fid, ()))
+            if rc == 0 or total_del == 0 or total_del / rc < delete_threshold:
                 continue
             if mapping_id is not None:
                 # adopted foreign files resolve by name map — rewriting
                 # them is a schema migration, not a rewrite; skip
                 continue
-            victims.append(row)
+            victims.append((row, inl_pos.get(fid, ())))
         # independent per-file copy-on-write jobs: same thread-pool
         # treatment as compaction packs (serial = O(#files) job-launch
         # latency); buffer mutations serialize under _TXN_BUF_LOCK
@@ -380,18 +381,19 @@ def _rewrite_data_files_in_txn(lake, tables, delete_threshold) -> int:
                 max_workers=min(PACK_POOL_WORKERS, len(victims))
             ) as pool:
                 futs = [
-                    pool.submit(_rewrite_one_deleted, lake, h, schema, row)
-                    for row in victims
+                    pool.submit(_rewrite_one_deleted, lake, h, schema,
+                                row, pos)
+                    for row, pos in victims
                 ]
                 for fut in futs:
                     fut.result()
         elif victims:
-            _rewrite_one_deleted(lake, h, schema, victims[0])
+            _rewrite_one_deleted(lake, h, schema, *victims[0])
         n += len(victims)
     return n
 
 
-def _rewrite_one_deleted(lake, h, schema, row) -> None:
+def _rewrite_one_deleted(lake, h, schema, row, inl_positions=()) -> None:
     (fid, path, rc, rid_start, del_cnt, del_path, del_fmt, enc_key,
      begin_snap, mapping_id) = row
     # the rewritten file gets a NEW begin_snapshot, so the scan gives
@@ -416,9 +418,18 @@ def _rewrite_one_deleted(lake, h, schema, row) -> None:
     )
     df = lake._apply_epoch_evolution(
         h, df, schema, fixups, ffill, absent, init_defaults)
-    dels = lake._delete_file_df(del_path, del_fmt).select(
-        F.col("pos").alias("__pos")
-    )
+    dels = None
+    if del_path is not None:
+        dels = lake._delete_file_df(del_path, del_fmt).select(
+            F.col("pos").alias("__pos")
+        )
+    if inl_positions:
+        # catalog-inlined delete positions are consumed by the rewrite
+        # exactly like delete-file positions (the inlined rows are
+        # end-snapshotted in the same commit below)
+        inl_df = lake.spark.createDataFrame(
+            [(int(p),) for p in inl_positions], "__pos long")
+        dels = inl_df if dels is None else dels.union(inl_df)
     live = df.join(F.broadcast(dels), "__pos", "left_anti")
     rowid = (
         F.lit(rid_start) + F.col("__pos")
@@ -430,7 +441,7 @@ def _rewrite_one_deleted(lake, h, schema, row) -> None:
     ).coalesce(1).sortWithinPartitions(ROWID_COL)
     files = lake._write_parquet(h, live, schema, [], [])
     with _TXN_BUF_LOCK:
-        txn = lake.begin()
+        txn = lake._begin()
         for fi in files:
             # copy-on-write: new file begins at the rewrite snapshot;
             # the old file keeps serving earlier snapshots (incl. rows
@@ -443,6 +454,12 @@ def _rewrite_one_deleted(lake, h, schema, row) -> None:
         txn.new_data_files.setdefault(str(h.table_id), []).extend(files)
         txn.removed_data_files.setdefault(h.table_id, []).append(fid)
         txn.touched_delete_data_files.add(fid)
+        if inl_positions:
+            # close the consumed catalog-inlined delete rows so they
+            # don't re-apply to (or orphan against) the dead file
+            txn.inlined_end_updates.append((
+                f"ducklake_inlined_deletes_{h.table_id}",
+                ("data_file_id",), [(fid,)]))
         txn.change_log.append(f"compacted_table:{h.table_id}")
     lake._autocommit()
 
@@ -691,7 +708,7 @@ def _flush_inlined_data_in_txn(lake, tables) -> int:
             files = lake._write_parquet(
                 h, df, schema, lake._partition_spec(h), lake._sort_spec(h)
             )
-            txn = lake.begin()
+            txn = lake._begin()
             for fi in files:
                 fi.allocate = False
                 fi.row_id_start = None
@@ -711,6 +728,23 @@ def _flush_inlined_data_in_txn(lake, tables) -> int:
             n_flushed += len(rows)
         n_flushed += _flush_inlined_deletes(lake, h)
     return n_flushed
+
+
+def _inlined_delete_positions(lake: DuckLake, h) -> dict[int, list[int]]:
+    """Live catalog-inlined delete positions grouped by data file —
+    rewrite victims consume these like delete-file positions
+    (reference: test_rewrite_inlined_file_deletes.test)."""
+    tname = f"ducklake_inlined_deletes_{h.table_id}"
+    if not lake.meta.query(
+        "SELECT 1 FROM sqlite_master WHERE type='table' AND name=?", (tname,)
+    ):
+        return {}
+    out: dict[int, list[int]] = {}
+    for fid, pos in lake.meta.query(
+        f"SELECT data_file_id, pos FROM {tname} WHERE end_snapshot IS NULL"
+    ):
+        out.setdefault(fid, []).append(pos)
+    return out
 
 
 def _fids_with_inlined_deletes(lake: DuckLake, h) -> set[int]:
@@ -756,7 +790,7 @@ def _flush_inlined_deletes(lake: DuckLake, h) -> int:
     by_fid: dict[int, set[int]] = defaultdict(set)
     for fid, pos in rows:
         by_fid[fid].add(pos)
-    txn = lake.begin()
+    txn = lake._begin()
     delete_dir = os.path.join(lake.data_path, h.path)
     for fid, positions in by_fid.items():
         frow = lake.meta.query(

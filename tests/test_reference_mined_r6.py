@@ -274,3 +274,101 @@ def test_deletions_over_compacted_file(mklake, spark):
            .groupBy("snapshot_id").count().withColumnRenamed("count", "n")
            .collect()}
     assert per == {s1: 120, s2: 130}
+
+
+def test_insert_into_self_explicit_txn(mklake, spark):
+    """insert/insert_into_self.test: inside one explicit transaction the
+    table reads back its own txn-local rows, doubling per self-insert;
+    a self-cross-join insert squares the count. One snapshot commits."""
+    from pyspark.sql import functions as F  # noqa: F401
+
+    lake = mklake()
+    lake.create_table("test", [("i", "int32"), ("j", "varchar")])
+    lake.begin()
+    lake.insert("test", spark.createDataFrame(
+        [(1, "2"), (None, "3")], "i int, j string"))
+    for expect in (4, 8, 16):
+        lake.insert("test", lake.table("test"))
+        assert lake.table("test").count() == expect
+    a = lake.table("test").alias("a")
+    b = lake.table("test").selectExpr("i AS bi").alias("b")
+    lake.insert("test", a.crossJoin(b).select("a.i", "a.j"))
+    assert lake.table("test").count() == 272
+    snap_before = lake.meta.latest_snapshot().snapshot_id
+    lake.commit()
+    row = lake.table("test").selectExpr(
+        "SUM(i) s", "SUM(LENGTH(j)) l", "COUNT(*) c").collect()[0]
+    assert (row.s, row.l, row.c) == (136, 272, 272)
+    # the whole explicit transaction published exactly one snapshot
+    assert lake.meta.latest_snapshot().snapshot_id == snap_before + 1
+
+
+def test_insert_column_subset_and_defaults(mklake, spark):
+    """insert/insert_column_list.test: DataFrames carrying a column
+    subset (any order) fill the missing columns with NULL, or with the
+    declared DEFAULT when one exists."""
+    lake = mklake()
+    lake.create_table("t2", [("i", "int32"), ("j", "varchar")])
+    lake.insert("t2", spark.createDataFrame([("hello", 84)], "j string, i int"))
+    assert [tuple(r) for r in lake.table("t2").select("i", "j").collect()] == \
+        [(84, "hello")]
+    lake.insert("t2", spark.createDataFrame([("world",)], "j string"))
+    lake.insert("t2", spark.createDataFrame([(100,)], "i int"))
+    got = sorted([tuple(r) for r in lake.table("t2").select("i", "j").collect()],
+                 key=lambda r: (r[0] is None, r[0] if r[0] is not None else 0))
+    assert got == [(84, "hello"), (100, None), (None, "world")]
+    lake.create_table("t3", [("i", "int32"), ("j", "varchar")])
+    lake.set_default("t3", "j", "'dflt'")
+    lake.insert("t3", spark.createDataFrame([(1,)], "i int"))
+    assert [tuple(r) for r in lake.table("t3").select("i", "j").collect()] == \
+        [(1, "dflt")]
+
+
+def test_rewrite_rollback_cleans_written_files(mklake, spark):
+    """rewrite_data_files/test_rewrite_rollback_cleanup.test: a rewrite
+    inside an explicit transaction joins it; ROLLBACK removes the files
+    the rewrite wrote and leaves the table untouched; a fresh rewrite
+    afterwards commits cleanly."""
+    import glob
+
+    from ducklake_spark import maintenance as maint
+
+    lake = mklake(data_inlining_row_limit=0)
+    lake.create_table("t", [("id", "int64"), ("payload", "varchar")])
+    lake.insert("t", spark.range(0, 2000).coalesce(1)
+                .selectExpr("id", "md5(CAST(id AS STRING)) AS payload"))
+    lake.delete("t", "id % 10 = 0")
+    n0 = len(glob.glob(lake.data_path + "/**/*.parquet", recursive=True))
+    lake.begin()
+    maint.rewrite_data_files(lake, delete_threshold=0.0, table="t")
+    lake.rollback()
+    assert len(glob.glob(lake.data_path + "/**/*.parquet", recursive=True)) == n0
+    assert lake.table("t").count() == 1800
+    assert maint.rewrite_data_files(lake, delete_threshold=0.0, table="t") == 1
+    assert lake.table("t").count() == 1800
+
+
+def test_rewrite_consumes_inlined_deletes(mklake, spark):
+    """rewrite_data_files/test_rewrite_inlined_file_deletes.test: a file
+    whose only deletes are catalog-inlined is still a rewrite victim;
+    the rewrite drops the dead rows and closes the inlined positions."""
+    from ducklake_spark import maintenance as maint
+
+    lake = mklake(data_inlining_row_limit=10)
+    lake.create_table("t", [("a", "int64")])
+    lake.insert("t", spark.range(0, 50).coalesce(1).selectExpr("id AS a"))
+    lake.delete("t", "a = 25")  # inlined: no delete file on disk
+    assert lake.meta.query(
+        "SELECT COUNT(*) FROM ducklake_delete_file WHERE end_snapshot IS NULL"
+    )[0][0] == 0
+    assert maint.rewrite_data_files(lake, delete_threshold=0.0, table="t") == 1
+    assert sorted(r.a for r in lake.table("t").collect()) == \
+        [x for x in range(50) if x != 25]
+    # one live data file, still no delete file, no live inlined deletes
+    assert lake.meta.query(
+        "SELECT COUNT(*) FROM ducklake_data_file WHERE end_snapshot IS NULL"
+    )[0][0] == 1
+    h = lake._handle("t")
+    assert lake.meta.query(
+        f"SELECT COUNT(*) FROM ducklake_inlined_deletes_{h.table_id} "
+        "WHERE end_snapshot IS NULL")[0][0] == 0
