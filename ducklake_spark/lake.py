@@ -56,6 +56,9 @@ _SQL_VIEW_OWNER: dict[int, tuple | None] = {}
 
 ROWID_COL = "_ducklake_internal_row_id"
 SNAPID_COL = "_ducklake_internal_snapshot_id"
+# uncommitted rows expose rowids from this base until commit reassigns
+# real ids (reference: test/sql/rowid/ducklake_row_id.test)
+TXN_LOCAL_ROWID_BASE = 10**18
 # Iceberg positional-delete field ids (reference: ducklake_delete.cpp:36-158)
 DELETE_FILE_PATH_FIELD_ID = 2147483546
 DELETE_POS_FIELD_ID = 2147483545
@@ -2375,11 +2378,27 @@ class DuckLake:
             buf_key = (str(h.table_id) if h.table_id >= 0
                        else f"{h.schema_name}.{h.table_name}")
             neg = -1
+            # uncommitted rows read TRANSACTION-LOCAL rowids starting at
+            # 10^18 in buffer order, reassigned to real ids at commit
+            # (reference: test/sql/rowid/ducklake_row_id.test — rowids
+            # 1000000000000000000.. inside BEGIN, 0.. after COMMIT).
+            # Files that embed a rowid column (compaction/rewrite
+            # buffers) keep it: the scan's COALESCE prefers the
+            # embedded value over row_id_start + position.
+            local_rid = TXN_LOCAL_ROWID_BASE
             for fi in txn.new_data_files.get(buf_key, []):
+                rid_start = fi.row_id_start
+                if rid_start is None and fi.allocate:
+                    # allocate=False files (update/compaction/rewrite
+                    # buffers) EMBED their preserved rowids — keeping
+                    # row_id_start NULL routes them to the embedded-
+                    # column read mode
+                    rid_start = local_rid
+                    local_rid += fi.record_count or 0
                 out.append({
                     "data_file_id": neg, "path": fi.path,
                     "record_count": fi.record_count,
-                    "row_id_start": fi.row_id_start,
+                    "row_id_start": rid_start,
                     "partial_max": fi.partial_max,
                     "file_size_bytes": fi.file_size_bytes,
                     "mapping_id": fi.mapping_id,
@@ -3715,7 +3734,18 @@ class DuckLake:
             "AND end_snapshot IS NULL LIMIT 1",
             (h.table_id,),
         )
-        return bool(rows)
+        if rows:
+            return True
+        # update/compaction/rewrite buffers in the OPEN transaction also
+        # embed rowids — an uncommitted reader must read them through
+        # the embedded column, not recompute from positions
+        if self._txn is not None:
+            buf_key = (str(h.table_id) if h.table_id >= 0
+                       else f"{h.schema_name}.{h.table_name}")
+            for fi in self._txn.new_data_files.get(buf_key, []):
+                if not fi.allocate or fi.partial_max is not None:
+                    return True
+        return False
 
     def _inlined_epoch_positions(self, h: TableHandle, tname: str,
                                  idx: dict, schema: T.StructType) -> dict:

@@ -372,3 +372,119 @@ def test_rewrite_consumes_inlined_deletes(mklake, spark):
     assert lake.meta.query(
         f"SELECT COUNT(*) FROM ducklake_inlined_deletes_{h.table_id} "
         "WHERE end_snapshot IS NULL")[0][0] == 0
+
+
+def test_table_info_counts(mklake, spark):
+    """functions/ducklake_table_info.test: per-table file/delete-file
+    counts and sizes."""
+    from ducklake_spark import table_functions as tf
+
+    lake = mklake(data_inlining_row_limit=0)
+    lake.create_table("test", [("i", "int64")])
+    lake.insert("test", spark.range(0, 1000).coalesce(1).selectExpr("id as i"))
+    lake.delete("test", "i % 2 = 0")
+    r = [x for x in tf.table_info(lake).collect() if x.table_name == "test"][0]
+    assert (r.file_count, r.file_size_bytes > 0,
+            r.delete_file_count, r.delete_file_size_bytes > 0) == \
+        (1, True, 1, True)
+
+
+def test_current_snapshot_stable_inside_txn(mklake, spark):
+    """snapshot_info/ducklake_current_commit.test +
+    ducklake_last_commit.test: the committed snapshot id is unchanged by
+    an open transaction's writes, advances on commit, survives rollback."""
+    lake = mklake()
+    lake.create_table("integer", [("i", "int64")])
+    s1 = lake.current_snapshot()
+    lake.begin()
+    lake.insert("integer", spark.createDataFrame([(0,)], "i long"))
+    assert lake.current_snapshot() == s1
+    lake.commit()
+    assert lake.current_snapshot() == s1 + 1
+    lake.begin()
+    lake.insert("integer", spark.createDataFrame([(1,)], "i long"))
+    lake.rollback()
+    assert lake.current_snapshot() == s1 + 1
+
+
+def test_txn_local_rowids(mklake, spark):
+    """rowid/ducklake_row_id.test: uncommitted rows expose rowids from
+    10^18 in insertion order (filterable); commit reassigns real ids
+    continuing the table's sequence."""
+    lake = mklake(data_inlining_row_limit=0)
+    lake.create_table("test", [("i", "int64")])
+    assert lake.table("test", with_virtual=True).select("rowid").count() == 0
+    lake.begin()
+    lake.insert("test", spark.createDataFrame(
+        [(i,) for i in range(3)], "i long").coalesce(1))
+    lake.insert("test", spark.createDataFrame(
+        [(5,), (6,)], "i long").coalesce(1))
+    local = sorted(r[0] for r in lake.table("test", with_virtual=True)
+                   .select("rowid").collect())
+    assert local == [10**18 + k for k in range(5)]
+    assert lake.table("test", with_virtual=True).where(
+        f"rowid = {10**18 + 1}").count() == 1
+    lake.commit()
+    lake.insert("test", spark.createDataFrame(
+        [(i,) for i in range(10, 15)], "i long").coalesce(1))
+    got = [(r[0], r[1]) for r in lake.table("test", with_virtual=True)
+           .select("rowid", "i").orderBy("rowid").collect()]
+    assert got == [(0, 0), (1, 1), (2, 2), (3, 5), (4, 6),
+                   (5, 10), (6, 11), (7, 12), (8, 13), (9, 14)]
+    assert [(r[0], r[1]) for r in lake.table("test", with_virtual=True)
+            .select("rowid", "i").where("rowid = 3").collect()] == [(3, 5)]
+
+
+def test_txn_local_rewrite_keeps_embedded_rowids(mklake, spark):
+    """A rewrite buffered in an open transaction serves the ORIGINAL
+    embedded rowids (not synthetic 10^18 ones) to txn-local readers."""
+    from ducklake_spark import maintenance as maint
+
+    lake = mklake(data_inlining_row_limit=0)
+    lake.create_table("t", [("a", "int64")])
+    lake.insert("t", spark.range(0, 10).coalesce(1).selectExpr("id as a"))
+    lake.delete("t", "a >= 8")
+    lake.begin()
+    maint.rewrite_data_files(lake, delete_threshold=0.0, table="t")
+    got = sorted((r[0], r[1]) for r in lake.table("t", with_virtual=True)
+                 .select("rowid", "a").collect())
+    assert got == [(k, k) for k in range(8)]
+    lake.rollback()
+    assert lake.table("t").count() == 8
+
+
+def test_merge_update_preserves_rowids_partitioned(mklake, spark):
+    """rowid/ducklake_row_id_update.test: MERGE matched-UPDATE keeps the
+    victims' rowids on a partitioned table."""
+    from ducklake_spark import dml
+
+    lake = mklake(data_inlining_row_limit=0)
+    lake.create_table("test", [("i", "int64"), ("j", "int64")])
+    lake.set_partitioned_by("test", [("i", "identity")])
+    lake.insert("test", spark.createDataFrame(
+        [(1, 5), (2, 5)], "i long, j long").coalesce(1))
+    dml.merge_into(lake, "test", spark.createDataFrame(
+        [(1, 5)], "i long, j long"), ["j"],
+        when_matched_update={"i": None, "j": None},
+        when_not_matched_insert=False)
+    got = sorted((r[0], r[1], r[2]) for r in lake.table("test", with_virtual=True)
+                 .select("rowid", "i", "j").collect())
+    assert got == [(0, 1, 5), (1, 1, 5)]
+
+
+def test_list_files_data_and_delete(mklake, spark):
+    """list_files/ducklake_list_files.test: one row per live data file,
+    delete file attached where one exists."""
+    from ducklake_spark import maintenance as maint
+    from ducklake_spark import table_functions as tf
+
+    lake = mklake(data_inlining_row_limit=1000)
+    lake.create_table("test", [("i", "int64")])
+    for base in (0, 100, 200):
+        lake.insert("test", spark.range(base, base + 100).selectExpr("id as i"))
+        maint.flush_inlined_data(lake)
+    assert tf.list_files(lake, "test").count() == 3
+    lake.set_option("data_inlining_row_limit", "0")
+    lake.delete("test", "i < 50")
+    rows = tf.list_files(lake, "test").collect()
+    assert sum(1 for r in rows if r.delete_file is not None) == 1
