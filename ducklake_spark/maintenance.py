@@ -330,17 +330,35 @@ def _rewrite_pack(lake: DuckLake, h, pack: list[dict], part_vals: tuple,
 
 
 def rewrite_data_files(lake: DuckLake, *, delete_threshold: float | None = None,
-                       table: str | None = None) -> int:
+                       table: str | None = None,
+                       max_compacted_files: int | None = None) -> int:
     """Rewrite files whose deleted fraction >= threshold; returns count.
-    One snapshot per call (like merge_adjacent_files)."""
+    One snapshot per call (like merge_adjacent_files).
+
+    ``max_compacted_files`` caps victims PER TABLE per call (reference
+    test_rewrite_max_files.test). Outputs rotate at the scoped
+    ``target_file_size`` (test_rewrite_target_file_size_rotation.test);
+    unlike the reference, victims are rewritten as independent
+    copy-on-write jobs (one or more outputs per victim) rather than
+    merged into shared outputs — run merge_adjacent_files afterwards to
+    pack small survivors."""
+    if max_compacted_files is not None:
+        if not isinstance(max_compacted_files, int):
+            raise DuckLakeError(
+                "The max_compacted_files option must be a non-null integer")
+        if max_compacted_files <= 0:
+            raise DuckLakeError(
+                "The max_compacted_files option must be greater than zero.")
     if delete_threshold is None:
         delete_threshold = float(lake.meta.option("rewrite_delete_threshold", "0.95"))
     tables = [table] if table else lake._table_names()
     with lake.transaction():
-        return _rewrite_data_files_in_txn(lake, tables, delete_threshold)
+        return _rewrite_data_files_in_txn(lake, tables, delete_threshold,
+                                          max_compacted_files)
 
 
-def _rewrite_data_files_in_txn(lake, tables, delete_threshold) -> int:
+def _rewrite_data_files_in_txn(lake, tables, delete_threshold,
+                               max_compacted_files=None) -> int:
     n = 0
     for tname in tables:
         h = lake._handle(tname)
@@ -351,10 +369,11 @@ def _rewrite_data_files_in_txn(lake, tables, delete_threshold) -> int:
         rows = lake.meta.query(
             "SELECT d.data_file_id, d.path, d.record_count, d.row_id_start, "
             "del.delete_count, del.path, del.format, d.encryption_key, "
-            "d.begin_snapshot, d.mapping_id "
+            "d.begin_snapshot, d.mapping_id, d.file_size_bytes "
             "FROM ducklake_data_file d LEFT JOIN ducklake_delete_file del "
             "ON del.data_file_id = d.data_file_id AND del.end_snapshot IS NULL "
-            "WHERE d.table_id=? AND d.end_snapshot IS NULL",
+            "WHERE d.table_id=? AND d.end_snapshot IS NULL "
+            "ORDER BY d.data_file_id",
             (h.table_id,),
         )
         schema = lake._spark_schema(h)
@@ -362,7 +381,7 @@ def _rewrite_data_files_in_txn(lake, tables, delete_threshold) -> int:
         victims = []
         for row in rows:
             (fid, _path, rc, _rid, del_cnt, _dp, _dfm, _ek,
-             _bs, mapping_id) = row
+             _bs, mapping_id, _fsz) = row
             total_del = (del_cnt or 0) + len(inl_pos.get(fid, ()))
             if rc == 0 or total_del == 0 or total_del / rc < delete_threshold:
                 continue
@@ -371,6 +390,10 @@ def _rewrite_data_files_in_txn(lake, tables, delete_threshold) -> int:
                 # them is a schema migration, not a rewrite; skip
                 continue
             victims.append((row, inl_pos.get(fid, ())))
+        if max_compacted_files is not None:
+            # per-table cap, lowest file ids first (reference:
+            # test_rewrite_max_files.test "should work per table")
+            victims = victims[:max_compacted_files]
         # independent per-file copy-on-write jobs: same thread-pool
         # treatment as compaction packs (serial = O(#files) job-launch
         # latency); buffer mutations serialize under _TXN_BUF_LOCK
@@ -395,7 +418,7 @@ def _rewrite_data_files_in_txn(lake, tables, delete_threshold) -> int:
 
 def _rewrite_one_deleted(lake, h, schema, row, inl_positions=()) -> None:
     (fid, path, rc, rid_start, del_cnt, del_path, del_fmt, enc_key,
-     begin_snap, mapping_id) = row
+     begin_snap, mapping_id, file_size) = row
     # the rewritten file gets a NEW begin_snapshot, so the scan gives
     # it no evolution treatment — materialize the source file's full
     # epoch here (nested-rename cast, ADD FIELD default, absent ADD
@@ -438,7 +461,28 @@ def _rewrite_one_deleted(lake, h, schema, row, inl_positions=()) -> None:
     )
     live = live.withColumn(ROWID_COL, rowid).select(
         *[x.name for x in schema.fields], ROWID_COL
-    ).coalesce(1).sortWithinPartitions(ROWID_COL)
+    )
+    # output rotation (reference test_rewrite_target_file_size_rotation):
+    # estimate the live output size from the source file's on-disk size
+    # times the surviving-row fraction, and split into rowid-range
+    # partitions of ~target_file_size each. No extra Spark sampling
+    # pass: the split count comes from catalog stats.
+    from ducklake_spark.lake import parse_memory_limit
+
+    tfs = parse_memory_limit(lake.meta.option(
+        "target_file_size", str(DEFAULT_TARGET_FILE_SIZE),
+        scope="table", scope_id=h.table_id,
+        schema_id=h.schema_id) or DEFAULT_TARGET_FILE_SIZE)
+    nout = 1
+    if tfs and file_size and rc:
+        live_frac = max(rc - (del_cnt or 0) - len(inl_positions), 0) / rc
+        import math
+        nout = max(1, math.ceil(file_size * live_frac / tfs))
+    if nout > 1:
+        live = live.repartitionByRange(nout, ROWID_COL)\
+            .sortWithinPartitions(ROWID_COL)
+    else:
+        live = live.coalesce(1).sortWithinPartitions(ROWID_COL)
     files = lake._write_parquet(h, live, schema, [], [])
     with _TXN_BUF_LOCK:
         txn = lake._begin()

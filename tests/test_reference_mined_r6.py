@@ -488,3 +488,51 @@ def test_list_files_data_and_delete(mklake, spark):
     lake.delete("test", "i < 50")
     rows = tf.list_files(lake, "test").collect()
     assert sum(1 for r in rows if r.delete_file is not None) == 1
+
+
+def test_rewrite_max_compacted_files(mklake, spark):
+    """rewrite_data_files/test_rewrite_max_files.test: per-table victim
+    cap; 0/negative/non-int rejected."""
+    from ducklake_spark import maintenance as maint
+    from ducklake_spark.lake import DuckLakeError
+
+    lake = mklake(data_inlining_row_limit=0)
+    lake.create_table("e", [("k", "int64")])
+    for base in (0, 10, 20):
+        lake.insert("e", spark.range(base, base + 10).coalesce(1)
+                    .selectExpr("id as k"))
+    lake.delete("e", "k % 10 = 2")
+    assert maint.rewrite_data_files(
+        lake, delete_threshold=0.0, table="e", max_compacted_files=1) == 1
+    assert maint.rewrite_data_files(
+        lake, delete_threshold=0.0, table="e", max_compacted_files=2) == 2
+    assert lake.table("e").count() == 27
+    # (None is the Python default for "no cap" — the SQL-surface NULL
+    # error has no analogue in a keyword-argument API)
+    for bad in (0, -1):
+        with pytest.raises(DuckLakeError):
+            maint.rewrite_data_files(lake, max_compacted_files=bad)
+
+
+def test_rewrite_target_file_size_rotation(mklake, spark):
+    """rewrite_data_files/test_rewrite_target_file_size_rotation.test: a
+    rewrite splits its output at the scoped target_file_size, keeping
+    rowid order across the rotated files."""
+    from ducklake_spark import maintenance as maint
+
+    lake = mklake(data_inlining_row_limit=0)
+    lake.create_table("t", [("id", "int64"), ("payload", "varchar")])
+    lake.insert("t", spark.range(0, 20000).coalesce(1)
+                .selectExpr("id", "repeat(md5(CAST(id AS STRING)), 4) AS payload"))
+    lake.delete("t", "id % 10 = 0")
+    lake.set_option("target_file_size", "64KB")
+    assert maint.rewrite_data_files(lake, delete_threshold=0.0, table="t") == 1
+    live = lake.meta.query(
+        "SELECT COUNT(*) FROM ducklake_data_file WHERE end_snapshot IS NULL"
+    )[0][0]
+    assert live > 1  # rotated into multiple outputs
+    assert lake.table("t").count() == 18000
+    # rowids survive the rotation intact
+    rows = lake.table("t", with_virtual=True).select("rowid", "id").collect()
+    assert sorted(r[0] for r in rows) == sorted(
+        i for i in range(20000) if i % 10 != 0)
