@@ -536,3 +536,51 @@ def test_rewrite_target_file_size_rotation(mklake, spark):
     rows = lake.table("t", with_virtual=True).select("rowid", "id").collect()
     assert sorted(r[0] for r in rows) == sorted(
         i for i in range(20000) if i % 10 != 0)
+
+
+def test_rewrite_over_puffin_deletion_vectors(mklake, spark):
+    """rewrite_data_files/rewrite_deletion_vectors.test: a file deleted
+    through puffin DVs is rewritten (DV consumed, rowids preserved)."""
+    from ducklake_spark import maintenance as maint
+
+    lake = mklake(data_inlining_row_limit=0)
+    lake.meta.set_option("write_deletion_vectors", "true")
+    lake.create_table("test", [("i", "int64")])
+    lake.insert("test", spark.range(0, 100).coalesce(1).selectExpr("id as i"))
+    lake.delete("test", "i < 10")
+    assert [r[0] for r in lake.meta.query(
+        "SELECT DISTINCT format FROM ducklake_delete_file "
+        "WHERE end_snapshot IS NULL")] == ["puffin"]
+    assert maint.rewrite_data_files(
+        lake, delete_threshold=0.05, table="test") == 1
+    assert sorted(r.i for r in lake.table("test").collect()) == \
+        list(range(10, 100))
+    assert lake.meta.query(
+        "SELECT COUNT(*) FROM ducklake_delete_file WHERE end_snapshot IS NULL"
+    )[0][0] == 0
+    rows = sorted((r[0], r[1]) for r in lake.table("test", with_virtual=True)
+                  .select("rowid", "i").collect())
+    assert rows == [(k, k) for k in range(10, 100)]
+
+
+def test_rewrite_insert_delete_loop(mklake, spark):
+    """rewrite_data_files/insert_delete_loop.test: repeated
+    insert → delete → rewrite cycles stay correct; a below-threshold
+    delete fraction leaves the file alone."""
+    from ducklake_spark import maintenance as maint
+
+    lake = mklake(data_inlining_row_limit=0)
+    lake.create_table("t", [("i", "int64")])
+    for k in range(3):
+        lake.insert("t", spark.range(k * 100, (k + 1) * 100).coalesce(1)
+                    .selectExpr("id as i"))
+        lake.delete("t", f"i % 2 = 0 AND i >= {k * 100}")
+        maint.rewrite_data_files(lake, delete_threshold=0.3)
+    assert sorted(r.i for r in lake.table("t").collect()) == \
+        [i for i in range(300) if i % 2 == 1]
+    assert lake.meta.query(
+        "SELECT COUNT(*) FROM ducklake_delete_file WHERE end_snapshot IS NULL"
+    )[0][0] == 0
+    lake.delete("t", "i = 1")
+    assert maint.rewrite_data_files(lake, delete_threshold=0.5) == 0
+    assert lake.table("t").count() == 149
