@@ -584,3 +584,51 @@ def test_rewrite_insert_delete_loop(mklake, spark):
     lake.delete("t", "i = 1")
     assert maint.rewrite_data_files(lake, delete_threshold=0.5) == 0
     assert lake.table("t").count() == 149
+
+
+def test_delete_mixed_formats(mklake, spark):
+    """delete/delete_mixed_formats.test: consecutive deletes under
+    alternating write_deletion_vectors settings consolidate across
+    formats (puffin → parquet → puffin), and CDC still attributes each
+    row to its own delete snapshot."""
+    lake = mklake(data_inlining_row_limit=0)
+    lake.create_table("mix", [("id", "int64")])
+    lake.insert("mix", spark.range(0, 100).coalesce(1).selectExpr("id"))
+    lake.meta.set_option("write_deletion_vectors", "true")
+    lake.delete("mix", "id < 10")
+    q = ("SELECT format, delete_count FROM ducklake_delete_file "
+         "WHERE end_snapshot IS NULL")
+    assert [(r[0], r[1]) for r in lake.meta.query(q)] == [("puffin", 10)]
+    lake.meta.set_option("write_deletion_vectors", "false")
+    lake.delete("mix", "id >= 10 AND id < 20")
+    assert [(r[0], r[1]) for r in lake.meta.query(q)] == [("parquet", 20)]
+    lake.meta.set_option("write_deletion_vectors", "true")
+    lake.delete("mix", "id >= 20 AND id < 30")
+    assert [(r[0], r[1]) for r in lake.meta.query(q)] == [("puffin", 30)]
+    assert sorted(r.id for r in lake.table("mix").collect()) == \
+        list(range(30, 100))
+    per = {}
+    for r in lake.table_deletions("mix", 0, lake.current_snapshot()).collect():
+        per[r["snapshot_id"]] = per.get(r["snapshot_id"], 0) + 1
+    assert sorted(per.values()) == [10, 10, 10]
+
+
+def test_delete_same_transaction_ctas(mklake, spark):
+    """delete/delete_same_transaction.test: CTAS then two DELETEs inside
+    ONE explicit transaction — each statement sees the previous one's
+    txn-local effects; one consolidated delete artifact after commit."""
+    lake = mklake()
+    lake.begin()
+    lake.create_table_as("test", spark.range(0, 1000).coalesce(1)
+                         .selectExpr("id"))
+    assert lake.delete("test", "id % 2 = 0") == 500
+    assert lake.table("test").where("id <= 250").count() == 125
+    assert lake.delete("test", "id <= 250") == 125
+    assert lake.table("test").where("id <= 250").count() == 0
+    row = lake.table("test").selectExpr(
+        "COUNT(*) c", "COUNT(CASE WHEN id % 2 = 0 THEN 1 END) e").collect()[0]
+    assert (row.c, row.e) == (375, 0)
+    lake.commit()
+    row = lake.table("test").selectExpr(
+        "COUNT(*) c", "COUNT(CASE WHEN id % 2 = 0 THEN 1 END) e").collect()[0]
+    assert (row.c, row.e) == (375, 0)
