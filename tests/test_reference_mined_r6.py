@@ -632,3 +632,46 @@ def test_delete_same_transaction_ctas(mklake, spark):
     row = lake.table("test").selectExpr(
         "COUNT(*) c", "COUNT(CASE WHEN id % 2 = 0 THEN 1 END) e").collect()[0]
     assert (row.c, row.e) == (375, 0)
+
+
+def test_concurrent_create_no_false_id_conflict(mklake, spark):
+    """concurrent/concurrent_catalog_id_false_conflict.test: two handles
+    CTAS different tables inside concurrent explicit transactions; both
+    commit (no catalog-id false conflict), and a drop in between lands."""
+    from ducklake_spark.lake import DuckLake
+
+    lake = mklake()
+    lake.create_table_as("seed", spark.createDataFrame([(1,)], "x long"))
+    con2 = DuckLake.attach(lake.spark, lake.metadata_path, lake.data_path)
+    lake.begin()
+    lake.table("seed").count()
+    con2.begin()
+    con2.table("seed").count()
+    lake.create_table_as("tmp_a", spark.createDataFrame([(1,)], "x long"))
+    con2.create_table_as("tmp_b", spark.createDataFrame([(2,)], "x long"))
+    lake.commit()
+    lake.drop_table("tmp_a")
+    con2.commit()  # must not raise
+    assert lake.table("tmp_b").count() == 1
+    names = {n.split(".")[-1] for n in lake._table_names()}
+    assert {"seed", "tmp_b"} <= names and "tmp_a" not in names
+
+
+def test_concurrent_deletes_different_files_commit(mklake, spark):
+    """concurrent/file_level_conflict.test: concurrent deletes touching
+    DIFFERENT data files both commit (file-granular conflicts)."""
+    from ducklake_spark.lake import DuckLake
+
+    lake = mklake(data_inlining_row_limit=0)
+    lake.create_table("tbl", [("key", "int64")])
+    lake.insert("tbl", spark.range(0, 100).coalesce(1).selectExpr("id as key"))
+    lake.insert("tbl", spark.range(100, 200).coalesce(1).selectExpr("id as key"))
+    con2 = DuckLake.attach(lake.spark, lake.metadata_path, lake.data_path,
+                           data_inlining_row_limit=0)
+    lake.begin()
+    con2.begin()
+    lake.delete("tbl", "key = 5")     # file 1
+    con2.delete("tbl", "key = 150")   # file 2
+    lake.commit()
+    con2.commit()  # must not raise
+    assert lake.table("tbl").count() == 198
