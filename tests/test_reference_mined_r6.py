@@ -675,3 +675,59 @@ def test_concurrent_deletes_different_files_commit(mklake, spark):
     lake.commit()
     con2.commit()  # must not raise
     assert lake.table("tbl").count() == 198
+
+
+def test_expire_snapshots_across_renames_keeps_files(mklake, spark):
+    """alter/expire_snapshot_bug.test: expiring snapshots from before a
+    table rename (and then cleaning up) must not delete the renamed
+    table's still-live files."""
+    from ducklake_spark import maintenance as maint
+
+    lake = mklake()
+    lake.create_table("a", [("i", "int64")])
+    lake.insert("a", spark.createDataFrame([(0,)], "i long"))
+    maint.flush_inlined_data(lake)
+    lake.rename_table("a", "b")
+    s_rename_b = lake.current_snapshot()
+    lake.insert("b", spark.createDataFrame([(1,)], "i long"))
+    maint.flush_inlined_data(lake)
+    before = [sid for (sid,) in lake.meta.query(
+        "SELECT snapshot_id FROM ducklake_snapshot WHERE snapshot_id < ?",
+        (s_rename_b,))]
+    maint.expire_snapshots(lake, versions=before)
+    assert sorted(r.i for r in lake.table("b").collect()) == [0, 1]
+    maint.expire_snapshots(lake, versions=[s_rename_b])
+    lake.rename_table("b", "c")
+    s_rename_c = lake.current_snapshot()
+    before_c = [sid for (sid,) in lake.meta.query(
+        "SELECT snapshot_id FROM ducklake_snapshot WHERE snapshot_id < ?",
+        (s_rename_c,))]
+    maint.expire_snapshots(lake, versions=before_c)
+    maint.cleanup_old_files(lake, older_than="2100-01-01")
+    assert sorted(r.i for r in lake.table("c").collect()) == [0, 1]
+
+
+def test_multi_alter_same_column_one_transaction(mklake, spark):
+    """alter/multi_alter_same_column_transaction.test: NOT NULL toggles,
+    SET DEFAULT, and RENAME on the same column inside one transaction;
+    chained renames of a freshly added column in one transaction."""
+    lake = mklake()
+    lake.create_table("t", [("id", "int64"), ("col1", "int64")])
+    lake.insert("t", spark.createDataFrame(
+        [(1, 10), (2, 20), (3, None)], "id long, col1 long"))
+    lake.begin()
+    lake.drop_not_null("t", "col1")
+    lake.set_default("t", "col1", "42")
+    lake.rename_column("t", "col1", "col1_final")
+    lake.commit()
+    lake.insert("t", spark.createDataFrame([(4,)], "id long"))
+    got = sorted((r[0], r[1]) for r in lake.table("t")
+                 .selectExpr("id", "col1_final").collect())
+    assert got == [(1, 10), (2, 20), (3, None), (4, 42)]
+    lake.create_table("e", [("x", "int64")])
+    lake.begin()
+    lake.add_column("e", "rename_column_1", "varchar")
+    lake.rename_column("e", "rename_column_1", "rename_column_2")
+    lake.rename_column("e", "rename_column_2", "rename_column_3")
+    lake.commit()
+    assert "rename_column_3" in lake.table("e").columns
