@@ -731,3 +731,63 @@ def test_multi_alter_same_column_one_transaction(mklake, spark):
     lake.rename_column("e", "rename_column_2", "rename_column_3")
     lake.commit()
     assert "rename_column_3" in lake.table("e").columns
+
+
+def test_inlined_interleaved_insert_update_insert(mklake, spark):
+    """data_inlining/data_inlining_interleaved_update.test: UPDATE then
+    INSERT on inlined rows inside one transaction — updated rows keep
+    their rowids, inserts continue the sequence, CDC shows pre/post
+    images and inserts at the same snapshot."""
+    lake = mklake(data_inlining_row_limit=10)
+    lake.create_table("test", [("id", "int64"), ("val", "varchar")])
+    lake.insert("test", spark.createDataFrame(
+        [(1, "a"), (2, "b")], "id long, val string"))
+    lake.begin()
+    lake.update("test", {"val": "'aa'"}, "id = 1")
+    lake.insert("test", spark.createDataFrame(
+        [(3, "c"), (4, "d")], "id long, val string"))
+    assert sorted((r[0], r[1]) for r in lake.table("test").collect()) == \
+        [(1, "aa"), (2, "b"), (3, "c"), (4, "d")]
+    lake.commit()
+    rows = sorted((r[0], r[1], r[2]) for r in lake.table("test", with_virtual=True)
+                  .selectExpr("rowid", "id", "val").collect())
+    assert rows == [(0, 1, "aa"), (1, 2, "b"), (2, 3, "c"), (3, 4, "d")]
+    snap = lake.current_snapshot()
+    ch = sorted((r["change_type"], r["id"], r["val"])
+                for r in lake.table_changes("test", snap, snap).collect())
+    assert ch == [("insert", 3, "c"), ("insert", 4, "d"),
+                  ("update_postimage", 1, "aa"), ("update_preimage", 1, "a")]
+
+
+def test_inlined_sequential_updates_flush(mklake, spark):
+    """data_inlining/data_inlining_flush_sequential_updates.test: ten
+    sequential UPDATEs on inlined rows survive the flush."""
+    from ducklake_spark import maintenance as maint
+
+    lake = mklake(data_inlining_row_limit=100)
+    lake.create_table("t", [("i", "int64"), ("val", "int64")])
+    lake.insert("t", spark.range(0, 20).selectExpr(
+        "id as i", "CAST(0 AS LONG) as val"))
+    for _ in range(10):
+        lake.update("t", {"val": "val + 1"}, "TRUE")
+    assert set(r.val for r in lake.table("t").collect()) == {10}
+    maint.flush_inlined_data(lake)
+    assert set(r.val for r in lake.table("t").collect()) == {10}
+    assert lake.table("t").count() == 20
+
+
+def test_txn_delete_on_file_with_existing_delete_file(mklake, spark):
+    """data_inlining/data_inlining_txn_delete_visibility.test: a DELETE
+    inside an open transaction on a file that already has a COMMITTED
+    delete file is invisible to subsequent txn reads."""
+    lake = mklake(data_inlining_row_limit=0)
+    lake.create_table("test", [("id", "int64"), ("val", "int64")])
+    lake.insert("test", spark.createDataFrame(
+        [(1, 10), (2, 20), (3, 30)], "id long, val long").coalesce(1))
+    lake.delete("test", "id = 1")
+    assert sorted(r.id for r in lake.table("test").collect()) == [2, 3]
+    lake.begin()
+    lake.delete("test", "id = 2")
+    assert sorted(r.id for r in lake.table("test").collect()) == [3]
+    lake.commit()
+    assert sorted(r.id for r in lake.table("test").collect()) == [3]
