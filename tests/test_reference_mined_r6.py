@@ -791,3 +791,62 @@ def test_txn_delete_on_file_with_existing_delete_file(mklake, spark):
     assert sorted(r.id for r in lake.table("test").collect()) == [3]
     lake.commit()
     assert sorted(r.id for r in lake.table("test").collect()) == [3]
+
+
+def test_json_type_round_trip_reattach(mklake, spark):
+    """types/json.test: JSON column type survives write, read, and a
+    fresh attach (catalog keeps the declared type)."""
+    from ducklake_spark.lake import DuckLake
+
+    lake = mklake()
+    lake.create_table("test", [("l", "json")])
+    assert lake.table("test").count() == 0
+    lake.insert("test", spark.createDataFrame(
+        [('{"key": "value"}',)], "l string"))
+    fresh = DuckLake.attach(lake.spark, lake.metadata_path, lake.data_path)
+    assert [r.l for r in fresh.table("test").collect()] == ['{"key": "value"}']
+    assert [r[0] for r in fresh.meta.query(
+        "SELECT column_type FROM ducklake_column WHERE end_snapshot IS NULL"
+    )] == ["json"]
+
+
+def test_nul_bytes_in_varchar(mklake, spark):
+    """types/null_byte.test: NUL bytes survive write/read and string
+    predicates (including the zone-map stats path)."""
+    lake = mklake(data_inlining_row_limit=0)
+    lake.create_table("tbl", [("s", "varchar")])
+    lake.insert("tbl", spark.createDataFrame(
+        [("goo\x00se",), ("hello",)], "s string"))
+    assert sorted(r.s for r in lake.table("tbl").collect()) == \
+        ["goo\x00se", "hello"]
+    assert [r.s for r in lake.table("tbl", where="s < 'hello'").collect()] == \
+        ["goo\x00se"]
+
+
+def test_nested_types_inline_and_flush(mklake, spark):
+    """types/list.test + map.test + struct.test: list/map/struct round
+    trips through the inlined store and the flushed parquet path, with a
+    dotted struct predicate."""
+    from ducklake_spark import maintenance as maint
+
+    lake = mklake(data_inlining_row_limit=10)
+    lake.create_table("lst", [("l", "list<int64>")])
+    lake.insert("lst", spark.createDataFrame(
+        [([1, 2, 3],), ([],), (None,)], "l array<long>"))
+    want = sorted((x is None, x) for x in [[1, 2, 3], [], None])
+    assert sorted((x is None, x) for x in
+                  (r.l for r in lake.table("lst").collect())) == want
+    maint.flush_inlined_data(lake)
+    assert sorted((x is None, x) for x in
+                  (r.l for r in lake.table("lst").collect())) == want
+    lake.create_table("mp", [("m", "map<varchar,int64>")])
+    lake.insert("mp", spark.createDataFrame(
+        [({"a": 1, "b": 2},)], "m map<string,long>"))
+    maint.flush_inlined_data(lake)
+    assert [dict(r.m) for r in lake.table("mp").collect()] == [{"a": 1, "b": 2}]
+    lake.create_table("st", [("s", "struct<a:int64,b:varchar>")])
+    lake.insert("st", spark.createDataFrame(
+        [((7, "x"),)], "s struct<a:long,b:string>"))
+    maint.flush_inlined_data(lake)
+    assert [(r.s.a, r.s.b) for r in lake.table("st").collect()] == [(7, "x")]
+    assert lake.table("st").where("s.a = 7").count() == 1
