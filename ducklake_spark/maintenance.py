@@ -126,16 +126,34 @@ def _merge_adjacent_in_txn(lake, tables, target_file_size,
         # compaction_alter_table.test, compaction_multiple_rename_column
         # .test, compaction_schema_version_per_table.test).
         schema = lake._spark_schema(h)
-        epoch_keys, _init_defaults = lake._file_epoch_keys(h, files, schema)
+        epoch_keys, init_defaults = lake._file_epoch_keys(h, files, schema)
         sort_spec = lake._sort_spec(h)
         groups: dict[tuple, list[dict]] = {}
         for f in files:
             if f["data_file_id"] in with_deletes:
                 continue
             if f.get("mapping_id") is not None:
-                # adopted foreign files resolve columns by name map, not
-                # field id; rewriting them under the native id-mapped
-                # layout is a schema migration, not a compaction — skip
+                # adopted foreign files resolve columns by NAME, not
+                # field id. They can still be compacted — the merged
+                # output is a native id-mapped file (reference:
+                # add_files/add_files_compaction.test merges adopted
+                # files) — but only when the read needs no treatment
+                # beyond plain name resolution: trivial evolution epoch,
+                # no initial defaults, no stripped partition values,
+                # allocated rowids. Anything else keeps the skip.
+                epoch = epoch_keys[f["data_file_id"]]
+                if (epoch[0] or epoch[1] or epoch[2] or init_defaults
+                        or part_vals[f["data_file_id"]]
+                        or f["row_id_start"] is None):
+                    continue
+                if min_file_size is not None and f["file_size_bytes"] < min_file_size:
+                    continue
+                if max_file_size is not None and f["file_size_bytes"] > max_file_size:
+                    continue
+                groups.setdefault(
+                    (part_vals[f["data_file_id"]],
+                     pid_by_fid.get(f["data_file_id"]), epoch),
+                    []).append(f)
                 continue
             if min_file_size is not None and f["file_size_bytes"] < min_file_size:
                 continue
@@ -215,6 +233,14 @@ def _rewrite_pack(lake: DuckLake, h, pack: list[dict], part_vals: tuple,
     later, _ffill, absent = epoch
     gschema, _fixups = lake._epoch_schema(
         h, lake._reader_schema(h, schema), later)
+    # adopted files in the pack resolve by NAME (no field ids); the
+    # guard in _merge_adjacent_in_txn admits them only with a trivial
+    # epoch, so a plain name-based read IS the scan's semantics and the
+    # merged output is a native id-mapped file
+    from pyspark.sql import types as _T
+
+    plain_schema = _T.StructType(
+        [_T.StructField(f_.name, f_.dataType, True) for f_ in schema.fields])
     # physically-absent ADD COLUMN ... DEFAULT columns stay absent:
     # writing them (as NULL) would create stats rows and silently turn
     # off the scan's initial_default fill
@@ -230,7 +256,8 @@ def _rewrite_pack(lake: DuckLake, h, pack: list[dict], part_vals: tuple,
     copts = lake._crypto_read_options(pack)
     for f in pack:
         path = os.path.join(lake.data_path, f["path"])
-        df = lake.spark.read.options(**copts).schema(gschema).parquet(path)
+        fschema = plain_schema if f.get("mapping_id") is not None else gschema
+        df = lake.spark.read.options(**copts).schema(fschema).parquet(path)
         rowid = (
             F.lit(f["row_id_start"]) + F.col("_metadata.row_index")
             if f["row_id_start"] is not None

@@ -9,6 +9,8 @@ src/ducklake_extension.cpp:53-126).
 
 from __future__ import annotations
 
+import os
+
 from pyspark.sql import DataFrame
 
 from ducklake_spark.lake import DuckLake
@@ -81,8 +83,16 @@ def list_files(lake: DuckLake, table: str, *, at_version: int | None = None,
         """,
         (snap.snapshot_id, snap.snapshot_id, h.table_id, snap.snapshot_id, snap.snapshot_id),
     )
+    def full(p):
+        # catalog stores table-relative paths; the function's contract is
+        # directly-readable paths (reference ducklake_list_files.test
+        # feeds the output straight into read_parquet/add_data_files)
+        if p is None or "://" in p or os.path.isabs(p):
+            return p
+        return lake.data_path + p
+
     return lake.spark.createDataFrame(
-        [tuple(r) for r in rows],
+        [(full(r[0]), r[1], r[2], full(r[3]), r[4], r[5]) for r in rows],
         "data_file string, data_file_size_bytes long, data_file_footer_size long, "
         "delete_file string, delete_file_size_bytes long, delete_file_footer_size long",
     )

@@ -850,3 +850,61 @@ def test_nested_types_inline_and_flush(mklake, spark):
     maint.flush_inlined_data(lake)
     assert [(r.s.a, r.s.b) for r in lake.table("st").collect()] == [(7, "x")]
     assert lake.table("st").where("s.a = 7").count() == 1
+
+
+def test_compaction_merges_adopted_files(mklake, spark):
+    """add_files/add_files_compaction.test: manually added (adopted)
+    files compact together with native files into one output, rowids
+    preserved; a second call is a no-op."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from ducklake_spark import maintenance as maint
+    from ducklake_spark.add_files import add_data_files
+
+    lake = mklake()
+    lake.create_table("test", [("i", "int64")])
+    lake.insert("test", spark.createDataFrame([(1,)], "i long"))
+    maint.flush_inlined_data(lake)
+    import tempfile
+
+    d = tempfile.mkdtemp(prefix="afc_")
+    for i in range(2, 6):
+        pq.write_table(pa.table({"i": pa.array([i], pa.int64())}),
+                       f"{d}/my_file{i}.parquet")
+        add_data_files(lake, "test", f"{d}/my_file{i}.parquet")
+    rows = sorted((r[0], r[1]) for r in lake.table("test", with_virtual=True)
+                  .selectExpr("rowid", "i").collect())
+    assert rows == [(k, k + 1) for k in range(5)]
+    assert maint.merge_adjacent_files(lake, table="test") == 1
+    live = lake.meta.query(
+        "SELECT COUNT(*) FROM ducklake_data_file WHERE end_snapshot IS NULL "
+        "AND table_id = (SELECT table_id FROM ducklake_table "
+        "WHERE table_name='test' AND end_snapshot IS NULL)")[0][0]
+    assert live == 1
+    rows = sorted((r[0], r[1]) for r in lake.table("test", with_virtual=True)
+                  .selectExpr("rowid", "i").collect())
+    assert rows == [(k, k + 1) for k in range(5)]
+    assert maint.merge_adjacent_files(lake, table="test") == 0
+
+
+def test_readopt_removed_file_via_list_files(mklake, spark):
+    """add_files/add_removed_files.test: list_files returns directly
+    readable paths; a dropped table's flushed file (which embeds the
+    internal rowid column) re-adopts with ignore_extra_columns."""
+    from ducklake_spark import maintenance as maint
+    from ducklake_spark import table_functions as tf
+    from ducklake_spark.add_files import add_data_files
+
+    lake = mklake()
+    lake.create_table("test", [("col1", "int64"), ("col2", "varchar")])
+    lake.insert("test", spark.createDataFrame(
+        [(100, "hello")], "col1 long, col2 string"))
+    maint.flush_inlined_data(lake)
+    files = [r.data_file for r in tf.list_files(lake, "test").collect()]
+    assert len(files) == 1 and files[0].startswith("/")
+    lake.drop_table("test")
+    lake.create_table("test", [("col1", "int64"), ("col2", "varchar")])
+    add_data_files(lake, "test", files[0], ignore_extra_columns=True)
+    assert [(r[0], r[1]) for r in lake.table("test").collect()] == \
+        [(100, "hello")]
