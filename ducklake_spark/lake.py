@@ -1074,6 +1074,7 @@ class DuckLake:
                 )
 
         txn.sort_ops.setdefault(h.table_id, []).append(op)
+        txn.pending_sort_specs[h.table_id] = list(norm)
         txn.change_log.append(f"altered_table:{h.table_id}")
         self._autocommit()
 
@@ -1093,6 +1094,7 @@ class DuckLake:
             )
 
         txn.sort_ops.setdefault(h.table_id, []).append(op)
+        txn.pending_sort_specs[h.table_id] = []
         txn.change_log.append(f"altered_table:{h.table_id}")
         self._autocommit()
 
@@ -4055,6 +4057,11 @@ class DuckLake:
         return [(colmap[cid], transform) for cid, transform in rows]
 
     def _sort_spec(self, h: TableHandle) -> list[tuple[str, str, str]]:
+        # a SET/RESET SORTED BY buffered in the open transaction is
+        # visible to the transaction's own inserts/flushes/compactions
+        # (reference: insert_sorted_transaction.test)
+        if self._txn is not None and h.table_id in self._txn.pending_sort_specs:
+            return list(self._txn.pending_sort_specs[h.table_id])
         rows = self.meta.query(
             "SELECT se.expression, se.sort_direction, se.null_order "
             "FROM ducklake_sort_info si "

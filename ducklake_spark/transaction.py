@@ -193,6 +193,10 @@ class Transaction:
         # NOT a schema change — the reference keeps schema_version
         # unchanged (test/sql/sorted_table/merge_adjacent_sorted_basic)
         self.sort_ops: dict[int, list] = {}
+        # txn-local view of SET/RESET SORTED BY, readable before commit
+        # (reference: insert_sorted_transaction.test — inserts in the
+        # SAME transaction already sort by the new spec)
+        self.pending_sort_specs: dict[int, list] = {}
         self.inlined_inserts: list[tuple[int, str, list[tuple]]] = []
         # like inlined_inserts, but row_id holds a 0-based OFFSET that is
         # rebased onto table_stats.next_row_id inside the commit txn (new

@@ -908,3 +908,61 @@ def test_readopt_removed_file_via_list_files(mklake, spark):
     add_data_files(lake, "test", files[0], ignore_extra_columns=True)
     assert [(r[0], r[1]) for r in lake.table("test").collect()] == \
         [(100, "hello")]
+
+
+def test_set_sorted_by_txn_visibility_and_rollback(mklake, spark):
+    """sorted_table/set_sorted_by_rollback_basic.test +
+    insert_sorted_transaction.test: SET SORTED BY inside an open
+    transaction is visible to the transaction's own operations and
+    vanishes on rollback."""
+    lake = mklake()
+    lake.create_table("t", [("a", "int64"), ("b", "int64")])
+    lake.begin()
+    lake.set_sorted_by("t", [("a", "desc")])
+    assert lake._sort_spec(lake._handle("t"))
+    lake.rollback()
+    assert not lake._sort_spec(lake._handle("t"))
+    lake.set_sorted_by("t", [("a", "asc")])
+    assert lake._sort_spec(lake._handle("t"))
+
+
+def test_sort_spec_follows_rename_with_default(mklake, spark):
+    """sorted_table/set_default_preserves_sort_key.test: SET DEFAULT
+    then RENAME of the sort column in one transaction; the spec follows
+    the rename and later inserts still sort."""
+    lake = mklake(data_inlining_row_limit=0)
+    lake.create_table("t", [("k", "int64"), ("v", "int64")])
+    lake.set_sorted_by("t", [("k", "asc")])
+    lake.insert("t", spark.createDataFrame([(3, 30), (1, 10)], "k long, v long"))
+    lake.begin()
+    lake.set_default("t", "k", "7")
+    lake.rename_column("t", "k", "k2")
+    lake.commit()
+    lake.insert("t", spark.createDataFrame([(2, 20)], "k2 long, v long"))
+    assert [r.k2 for r in lake.table("t").orderBy("k2").collect()] == [1, 2, 3]
+    spec = lake._sort_spec(lake._handle("t"))
+    assert any("k2" in str(s[0]) for s in spec)
+
+
+def test_reset_sorted_by_and_case_insensitive_key(mklake, spark):
+    """sorted_table/merge_adjacent_sorted_reset.test +
+    merge_adjacent_sorted_case_insensitivity.test: RESET clears the
+    spec without touching data; a sort key differing only in case from
+    the column still sorts merges."""
+    from ducklake_spark import maintenance as maint
+
+    lake = mklake(data_inlining_row_limit=0)
+    lake.create_table("t", [("a", "int64")])
+    lake.set_sorted_by("t", [("a", "asc")])
+    lake.insert("t", spark.createDataFrame([(5,), (3,), (9,)], "a long").coalesce(1))
+    lake.reset_sorted_by("t")
+    assert not lake._sort_spec(lake._handle("t"))
+    lake.insert("t", spark.createDataFrame([(8,), (2,)], "a long").coalesce(1))
+    maint.merge_adjacent_files(lake, table="t")
+    assert sorted(r.a for r in lake.table("t").collect()) == [2, 3, 5, 8, 9]
+    lake.create_table("c", [("colA", "int64")])
+    lake.set_sorted_by("c", [("COLA", "asc")])
+    lake.insert("c", spark.createDataFrame([(2,), (1,)], "colA long").coalesce(1))
+    lake.insert("c", spark.createDataFrame([(4,), (3,)], "colA long").coalesce(1))
+    maint.merge_adjacent_files(lake, table="c")
+    assert sorted(r.colA for r in lake.table("c").collect()) == [1, 2, 3, 4]
