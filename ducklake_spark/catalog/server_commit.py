@@ -314,13 +314,21 @@ def _attempt(con, payload: dict) -> dict:
                 )
         for tid_s, dfiles in payload.get("delete_files", {}).items():
             tid = int(tid_s)
-            for (dfid, dpath, dfmt, dcount, dsize, dfooter, denc,
-                 drgc) in dfiles:
+            for row in dfiles:
+                # protocol 2 appends (partial_max, begin_snapshot_override)
+                # for snapshot-consolidated delete files; older clients
+                # send 8-tuples
+                (dfid, dpath, dfmt, dcount, dsize, dfooter, denc,
+                 drgc) = row[:8]
+                dpm = row[8] if len(row) > 8 else None
+                dbegin = row[9] if len(row) > 9 else None
                 con.execute(
                     "INSERT INTO ducklake_delete_file VALUES "
-                    "(?, ?, ?, NULL, ?, ?, 1, ?, ?, ?, ?, ?, NULL, ?)",
-                    (next_file, tid, snap_id, dfid, dpath, dfmt,
-                     dcount, dsize, dfooter, denc, drgc),
+                    "(?, ?, ?, NULL, ?, ?, 1, ?, ?, ?, ?, ?, ?, ?)",
+                    (next_file, tid,
+                     dbegin if dbegin is not None else snap_id,
+                     dfid, dpath, dfmt,
+                     dcount, dsize, dfooter, denc, dpm, drgc),
                 )
                 next_file += 1
         for tid_s, fids in payload.get("removed_data_files", {}).items():

@@ -44,12 +44,25 @@ def _log_change(txn, entry: str) -> None:
         txn.change_log.append(entry)
 
 
+def _live_files(lake: DuckLake, h: TableHandle, snap, where: str) -> list[dict]:
+    """Committed files visible at ``snap`` minus files the OPEN
+    transaction already dropped whole — its own later DML must not
+    resurrect them (reference BEGIN semantics)."""
+    files = lake._visible_files(h, snap, where)
+    if lake._txn is not None:
+        removed = set(lake._txn.removed_data_files.get(h.table_id, []))
+        if removed:
+            files = [f for f in files if f["data_file_id"] not in removed]
+    return files
+
+
 def _victims(lake: DuckLake, name: str, where: str) -> tuple[TableHandle, DataFrame]:
     h = lake._handle(name)
     snap = lake._resolve_snapshot(None, None)
-    files = lake._visible_files(h, snap, where)
+    files = _live_files(lake, h, snap, where)
     schema = lake._spark_schema(h)
-    deletes = lake._delete_entries(h, snap, [f["data_file_id"] for f in files])
+    deletes = lake._delete_entries(h, snap, [f["data_file_id"] for f in files],
+                                   txn_overlay=True)
     df = lake._read_files(h, snap, files, schema, deletes, with_virtual=True)
     if df is None:
         return h, None
@@ -64,39 +77,70 @@ def _rewrite_txn_local(lake: DuckLake, h: TableHandle, where: str,
     transform the matching rows) and swapped in the transaction buffer —
     reference behavior for txn-local DML, test/sql/cleanup/
     drop_table_cleans_delete_files.test."""
+    return _rewrite_buffered(lake, h, where, assignments,
+                             f"{h.schema_name}.{h.table_name}")
+
+
+def _rewrite_buffered(lake: DuckLake, h: TableHandle, where: str,
+                      assignments: dict[str, str] | None, key: str) -> int:
+    """Rewrite the transaction's buffered files for ``key`` in place.
+
+    Used for txn-local tables AND for a committed table whose open
+    transaction already buffered inserts — a later DELETE/UPDATE in the
+    same transaction must see those rows (reference:
+    test/sql/delete/delete_same_transaction.test). Files whose rows
+    carry an embedded rowid (update/compaction output, allocate=False)
+    are rewritten WITH that column so preserved rowids survive."""
+    from pyspark.sql import types as _T
+
+    from ducklake_spark.lake import ROWID_COL
+
     txn = lake._begin()
-    key = f"{h.schema_name}.{h.table_name}"
     files = txn.new_data_files.get(key, [])
     if not files:
         return 0
     schema = lake._spark_schema(h)
-    paths = [os.path.join(lake.data_path, f.path) for f in files]
-    df = lake.spark.read.schema(schema).parquet(*paths)
-    total = sum(f.record_count for f in files)
-    if assignments is not None:
-        total = df.filter(where).count()  # matched rows, not all rows
-    if assignments is None:
-        out = df.filter(f"NOT ({where}) OR ({where}) IS NULL")
-    else:
-        from pyspark.sql import functions as _F
-
-        cond = _F.expr(where)
-        out = df.select(*[
-            _F.when(cond, _F.expr(assignments[f.name])).otherwise(
-                _F.col(f.name)).alias(f.name)
-            if f.name in assignments else _F.col(f.name)
-            for f in schema.fields
-        ])
-    if assignments is not None:
-        out = lake._enforce_not_null(out, h)
-    new_files = lake._write_parquet(h, out, schema,
-                                    lake._partition_spec(h), lake._sort_spec(h))
-    for fi in files:
-        lake.lfs.remove(
-            lake.lfs.strip_scheme(os.path.join(lake.data_path, fi.path)))
-    txn.new_data_files[key] = new_files
-    written = sum(f.record_count for f in new_files)
-    return (total - written) if assignments is None else total
+    total = 0
+    out_files = []
+    part_keys, sort_spec = lake._partition_spec(h), lake._sort_spec(h)
+    for allocate in (True, False):
+        grp = [f for f in files if f.allocate == allocate]
+        if not grp:
+            continue
+        rschema = schema if allocate else _T.StructType(
+            list(schema.fields) + [_T.StructField(ROWID_COL, _T.LongType())])
+        paths = [os.path.join(lake.data_path, f.path) for f in grp]
+        df = lake.spark.read.schema(rschema).parquet(*paths)
+        if assignments is not None:
+            total += df.filter(where).count()  # matched rows
+        else:
+            total += sum(f.record_count for f in grp)
+        if assignments is None:
+            out = df.filter(f"NOT ({where}) OR ({where}) IS NULL")
+        else:
+            cond = F.expr(where)
+            out = df.select(*[
+                F.when(cond, F.expr(assignments[f.name])).otherwise(
+                    F.col(f.name)).alias(f.name)
+                if f.name in assignments else F.col(f.name)
+                for f in rschema.fields
+            ])
+            out = lake._enforce_not_null(out, h)
+        # plain table schema drives stats harvest; the embedded rowid
+        # column rides along in the df (same shape update's writer uses)
+        new_files = lake._write_parquet(h, out, schema, part_keys, sort_spec)
+        if not allocate:
+            for nf in new_files:
+                nf.allocate = False
+                nf.row_id_start = None
+        for fi in grp:
+            lake.lfs.remove(
+                lake.lfs.strip_scheme(os.path.join(lake.data_path, fi.path)))
+        out_files.extend(new_files)
+    txn.new_data_files[key] = out_files
+    written = sum(f.record_count for f in out_files)
+    before = sum(f.record_count for f in files)
+    return (before - written) if assignments is None else total
 
 
 def delete(lake: DuckLake, name: str, where: str | None = None) -> int:
@@ -110,9 +154,16 @@ def delete(lake: DuckLake, name: str, where: str | None = None) -> int:
     if h.table_id < 0:
         return _rewrite_txn_local(lake, h, where, None)
     snap = lake._resolve_snapshot(None, None)
-    files = lake._visible_files(h, snap, where)
+    txn0 = lake._txn
+    files = _live_files(lake, h, snap, where)
     schema = lake._spark_schema(h)
-    delete_entries = lake._delete_entries(h, snap, [f["data_file_id"] for f in files])
+    # txn_overlay: positions deleted EARLIER IN THIS TRANSACTION (delete
+    # files buffered in the txn, absorbed inlined positions) must not be
+    # victims again — a second DELETE in one BEGIN previously recounted
+    # them (reference: test/sql/delete/multi_deletes.test returns 1250,
+    # not 2500, for the second overlapping delete)
+    delete_entries = lake._delete_entries(
+        h, snap, [f["data_file_id"] for f in files], txn_overlay=True)
     df = lake._read_files(h, snap, files, schema, delete_entries, with_virtual=True)
     victims = None
     if df is not None:
@@ -121,17 +172,33 @@ def delete(lake: DuckLake, name: str, where: str | None = None) -> int:
             .select(F.col("filename"), F.col("file_row_number").alias("pos"))
         )
     n_deleted = _apply_file_deletes(lake, h, snap, files, victims)
-    n_deleted += _delete_inlined(lake, h, where)
-    if n_deleted == 0:
+    n_inl = _delete_inlined(lake, h, where)
+    n_buf = 0
+    if txn0 is not None:
+        # rows INSERTED earlier in this same transaction live in
+        # buffered files: rewrite them (reference
+        # test/sql/delete/delete_same_transaction.test)
+        n_buf = _rewrite_buffered(lake, h, where, None, str(h.table_id))
+    if n_deleted + n_inl + n_buf == 0:
         return 0
-    txn = lake._begin()
-    txn.stats_delta.setdefault(h.table_id, {}).setdefault("records", 0)
-    txn.stats_delta[h.table_id]["records"] -= n_deleted
+    if n_inl:
+        # inlined DATA rows end-snapshot in the catalog: they stop being
+        # live rows, so the stats row decrements. File-positional
+        # deletes do NOT decrement — the reference keeps
+        # ducklake_table_stats.record_count GROSS (sum of live files;
+        # test/sql/delete/full_file_delete_stats.test keeps 100 after a
+        # partial delete); whole-file drops decrement inside the fused
+        # writer. Buffered rewrites adjust the buffered files' own
+        # record counts, which the commit sums.
+        txn = lake._begin()
+        txn.stats_delta.setdefault(h.table_id, {}).setdefault("records", 0)
+        txn.stats_delta[h.table_id]["records"] -= n_inl
+    lake._begin()
     # change kinds are logged at the site that knows the delete's form:
     # _apply_file_deletes (deleted_from_table / inlined_delete for
     # absorbed positions) and _delete_inlined (inlined_delete)
     lake._autocommit()
-    return n_deleted
+    return n_deleted + n_inl + n_buf
 
 
 def _apply_file_deletes(lake: DuckLake, h: TableHandle, snap, files: list[dict],
@@ -176,25 +243,33 @@ def _apply_file_deletes_fused(lake: DuckLake, h: TableHandle, snap,
     the writers' returned counts — fully-deleted files' fresh delete
     parquet is discarded and the file dropped whole. One scan of the
     table instead of two (count pass + write pass)."""
-    existing = {
-        fid: (path, fmt, dc, ekey)
-        for fid, path, fmt, dc, ekey in lake.meta.query(
-            "SELECT data_file_id, path, format, delete_count, encryption_key "
-            "FROM ducklake_delete_file "
-            "WHERE table_id=? AND begin_snapshot <= ? "
-            "AND (end_snapshot IS NULL OR end_snapshot > ?)",
-            (h.table_id, snap.snapshot_id, snap.snapshot_id),
-        )
-    }
-    existing_ids = {
-        fid: dfid
-        for dfid, fid in lake.meta.query(
-            "SELECT delete_file_id, data_file_id FROM ducklake_delete_file "
-            "WHERE table_id=? AND begin_snapshot <= ? "
-            "AND (end_snapshot IS NULL OR end_snapshot > ?)",
-            (h.table_id, snap.snapshot_id, snap.snapshot_id),
-        )
-    }
+    txn0 = lake._txn
+    already_replaced = (set(txn0.replaced_delete_files)
+                        if txn0 is not None else set())
+    existing: dict = {}
+    existing_ids: dict = {}
+    for fid, path, fmt, dc, ekey, dfid in lake.meta.query(
+        "SELECT data_file_id, path, format, delete_count, encryption_key, "
+        "delete_file_id FROM ducklake_delete_file "
+        "WHERE table_id=? AND begin_snapshot <= ? "
+        "AND (end_snapshot IS NULL OR end_snapshot > ?)",
+        (h.table_id, snap.snapshot_id, snap.snapshot_id),
+    ):
+        if dfid in already_replaced:
+            continue  # superseded earlier in this open transaction
+        existing[fid] = (path, fmt, dc, ekey)
+        existing_ids[fid] = dfid
+    # delete files BUFFERED by this open transaction supersede the
+    # committed row for their data file: their positions merge into the
+    # rewrite, and writing a fresh file replaces the buffered one
+    # in-place (never committed, so its parquet is just removed)
+    txn_local_prev: dict = {}
+    if txn0 is not None:
+        for d in txn0.new_delete_files.get(h.table_id, []):
+            existing[d.data_file_id] = (d.path, d.format, d.delete_count,
+                                        d.encryption_key)
+            existing_ids.pop(d.data_file_id, None)
+            txn_local_prev[d.data_file_id] = d
     # scan filenames -> catalog paths for EVERY candidate file (the
     # victim set is unknown until the job runs). The map has #files
     # rows: broadcast-joined below the same row limit that gates the
@@ -276,16 +351,32 @@ def _apply_file_deletes_fused(lake: DuckLake, h: TableHandle, snap,
     inl_counts = _inlined_delete_counts(lake, h)
     by_rel = {f["path"]: f for f in files}
     had_file = had_inline = False
+
+    def _drop_txn_prev(fid):
+        prev = txn_local_prev.get(fid)
+        if prev is not None:
+            txn.new_delete_files[h.table_id].remove(prev)
+            lake.lfs.remove(lake.lfs.strip_scheme(
+                os.path.join(lake.data_path, prev.path)))
+
     for w in written:
         finfo = by_rel[w["file_path"]]
         fid = finfo["data_file_id"]
         if w["n"] + inl_counts.get(fid, 0) >= finfo["record_count"]:
             # every live row gone: drop the file whole; the merged
-            # delete parquet just written (if any) is unneeded
+            # delete parquet just written (if any) is unneeded, and so
+            # is a delete file this transaction buffered for it
             if w["out_path"]:
                 lake.lfs.remove(lake.lfs.strip_scheme(w["out_path"]))
+            _drop_txn_prev(fid)
             txn.removed_data_files.setdefault(h.table_id, []).append(fid)
             txn.touched_delete_data_files.add(fid)
+            # GROSS stats convention (reference full_file_delete_stats):
+            # partial deletes leave record_count alone; a whole-file
+            # drop subtracts the file's record count
+            txn.stats_delta.setdefault(h.table_id, {}).setdefault(
+                "records", 0)
+            txn.stats_delta[h.table_id]["records"] -= finfo["record_count"]
             had_file = True
             continue
         if not w["out_path"]:
@@ -299,7 +390,9 @@ def _apply_file_deletes_fused(lake: DuckLake, h: TableHandle, snap,
             had_inline = True
             continue
         had_file = True
-        if fid in existing_ids:
+        if fid in txn_local_prev:
+            _drop_txn_prev(fid)
+        elif fid in existing_ids:
             txn.replaced_delete_files.append(existing_ids[fid])
         txn.new_delete_files.setdefault(h.table_id, []).append(
             DeleteFileInfo(
@@ -419,18 +512,24 @@ def _write_delete_files_distributed(lake, delete_dir: str, dels: DataFrame,
 
 def _inlined_delete_counts(lake, h) -> dict[int, int]:
     """Live inlined-delete counts per data file — one grouped query (a
-    delete touching 100k files must not mean 100k catalog round-trips)."""
+    delete touching 100k files must not mean 100k catalog round-trips).
+    Positions absorbed EARLIER IN THIS OPEN TRANSACTION count too: the
+    full-file-drop decision must see them."""
     tname = f"ducklake_inlined_deletes_{h.table_id}"
-    if not lake.meta.query(
+    out: dict[int, int] = {}
+    if lake.meta.query(
         "SELECT 1 FROM sqlite_master WHERE type='table' AND name=?", (tname,)
     ):
-        return {}
-    return dict(
-        lake.meta.query(
-            f"SELECT data_file_id, COUNT(*) FROM {tname} "
-            "WHERE end_snapshot IS NULL GROUP BY data_file_id"
+        out = dict(
+            lake.meta.query(
+                f"SELECT data_file_id, COUNT(*) FROM {tname} "
+                "WHERE end_snapshot IS NULL GROUP BY data_file_id"
+            )
         )
-    )
+    if lake._txn is not None:
+        for fid, _pos in lake._txn.inlined_deletes.get(h.table_id, []):
+            out[fid] = out.get(fid, 0) + 1
+    return out
 
 
 def _write_dv_files_distributed(lake, delete_dir: str, dels: DataFrame,
@@ -568,11 +667,18 @@ def update(lake: DuckLake, name: str, assignments: dict[str, str],
     if h.table_id < 0:
         return _rewrite_txn_local(lake, h, where, assignments)
     n_inlined = _update_inlined(lake, h, assignments, where)
+    # rows INSERTED earlier in this open transaction live in buffered
+    # files: rewrite them BEFORE _update_files buffers its replacement
+    # files under the same key (those must not be re-updated)
+    n_buf = 0
+    if lake._txn is not None:
+        n_buf = _rewrite_buffered(lake, h, where, assignments,
+                                  str(h.table_id))
     _h, matched = _victims(lake, name, where)
     if matched is None:
-        if n_inlined:
+        if n_inlined or n_buf:
             lake._autocommit()
-        return n_inlined
+        return n_inlined + n_buf
     # both the replacement-row write and the victim delete-apply read
     # the matched relation: cache it so the scan+filter runs once
     matched = matched.persist()
@@ -580,9 +686,9 @@ def update(lake: DuckLake, name: str, assignments: dict[str, str],
         n = _update_files(lake, h, matched, assignments, where)
     finally:
         matched.unpersist()
-    if n == 0 and n_inlined:
+    if n == 0 and (n_inlined or n_buf):
         lake._autocommit()
-    return n + n_inlined
+    return n + n_inlined + n_buf
 
 
 def _update_files(lake: DuckLake, h: TableHandle, matched: DataFrame,
@@ -629,14 +735,14 @@ def _update_files(lake: DuckLake, h: TableHandle, matched: DataFrame,
         txn.new_data_files.setdefault(str(h.table_id), []).extend(files)
         # victims re-use the matched relation — no second predicate scan
         snap = lake._resolve_snapshot(None, None)
-        vfiles = lake._visible_files(h, snap, where)
+        vfiles = _live_files(lake, h, snap, where)
         victims = matched.select(
             F.col("filename"), F.col("file_row_number").alias("pos")
         )
-        n_del = _apply_file_deletes(lake, h, snap, vfiles, victims)
-        if n_del:
-            txn.stats_delta.setdefault(h.table_id, {}).setdefault("records", 0)
-            txn.stats_delta[h.table_id]["records"] -= n_del
+        # gross record_count convention: the delete half leaves stats
+        # alone (whole-file drops decrement inside the fused writer);
+        # the replacement files add their counts at commit
+        _apply_file_deletes(lake, h, snap, vfiles, victims)
         txn.change_log.append(f"inserted_into_table:{h.table_id}")
     return n
 
@@ -666,15 +772,18 @@ def _update_files_via_inlining(lake: DuckLake, h: TableHandle, head,
         ]
         txn.inlined_inserts.append((h.table_id, cur_tname, packed))
         snap = lake._resolve_snapshot(None, None)
-        vfiles = lake._visible_files(h, snap, where)
+        vfiles = _live_files(lake, h, snap, where)
         victims = matched.select(
             F.col("filename"), F.col("file_row_number").alias("pos")
         )
-        n_del = _apply_file_deletes(lake, h, snap, vfiles, victims)
+        _apply_file_deletes(lake, h, snap, vfiles, victims)
         delta = txn.stats_delta.setdefault(h.table_id, {})
-        # preserved-rowid inlined_inserts don't advance record_count at
-        # commit, so the insert half restores what the delete half took
-        delta["records"] = delta.get("records", 0) - n_del + len(head)
+        # gross record_count: the absorbed delete positions leave stats
+        # alone (the data file stays live and counted); the preserved-
+        # rowid inlined replacement rows are NEW live rows, and plain
+        # inlined_inserts don't advance record_count at commit — add
+        # them here
+        delta["records"] = delta.get("records", 0) + len(head)
         _log_change(txn, f"inlined_insert:{h.table_id}")
     return len(head)
 
@@ -819,7 +928,7 @@ def merge_into(lake: DuckLake, target: str, source: DataFrame, on: list[str],
         flush_inlined_data(lake, table=target)
 
     snap = lake._resolve_snapshot(None, None)
-    files = lake._visible_files(h, snap, None)
+    files = _live_files(lake, h, snap, None)
     schema = lake._spark_schema(h)
     # committed view (overlay=False): the victim scan and the `files`
     # list above must agree — a merge running inside a user transaction
@@ -957,10 +1066,9 @@ def merge_into(lake: DuckLake, target: str, source: DataFrame, on: list[str],
             n = _apply_file_deletes(lake, h, snap, files, victims)
             for p in persisted:
                 p.unpersist()
-            if n:
-                txn = lake._begin()
-                txn.stats_delta.setdefault(h.table_id, {}).setdefault("records", 0)
-                txn.stats_delta[h.table_id]["records"] -= n
+            # gross record_count: partial positional deletes leave the
+            # stats row alone (whole-file drops decrement inside the
+            # fused writer); replacement files add their counts at commit
             counts["updated"] = replaced
             counts["deleted"] = n - replaced
         if when_not_matched_insert:

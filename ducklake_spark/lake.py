@@ -588,11 +588,15 @@ class DuckLake:
         self._autocommit()
 
     def create_table(self, name: str, schema, *, not_null: tuple[str, ...] = (),
-                     if_not_exists: bool = False) -> None:
+                     if_not_exists: bool = False,
+                     defaults: dict[str, str] | None = None) -> None:
         """``schema`` is a Spark StructType or DuckLake DDL-ish list of
         (name, type-name) pairs. PRIMARY KEY / CHECK / FOREIGN KEY are
         unsupported, like the reference (test/sql/constraints/unsupported.test);
-        NOT NULL is supported via ``not_null``."""
+        NOT NULL is supported via ``not_null``; ``defaults`` maps column
+        name -> DEFAULT expression SQL (``CREATE TABLE t(i INT DEFAULT
+        42)`` — stored on the column row like the reference, in the
+        create snapshot itself)."""
         schema_name, table_name = self._split_name(name)
         exists = self._find_table(schema_name, table_name) is not None or (
             self._txn is not None
@@ -621,6 +625,9 @@ class DuckLake:
                 ducklake_to_spark(ctype)  # validates
                 _check_reserved_column(cname)
                 cols.append(ColumnDef(cname, ctype, nulls_allowed=cname not in not_null))
+        for c in cols:
+            if defaults and c.name in defaults:
+                c.default_value = defaults[c.name]
         try:
             sid = self._schema_id(schema_name)
         except DuckLakeError:
@@ -2820,13 +2827,13 @@ class DuckLake:
         h = self._handle(name)
         if self._pinned is not None or self._txn_touches_table(h):
             return self.stats_agg(name, columns=[])["row_count"]
-        # the O(1) table_stats shortcut is only convention-independent
-        # when no delete artifact exists: OUR writes keep record_count
-        # net of deletes, the REFERENCE keeps it gross (ducklake_scan
-        # .cpp:217 subtracts delete counts independently) — on a
-        # migrated reference catalog the raw record_count over-counts,
-        # so any live delete file / inlined delete routes through the
-        # per-file netting fold instead
+        # the O(1) table_stats shortcut is only valid when no delete
+        # artifact exists: record_count is GROSS (sum of live files,
+        # like the reference — ducklake_scan.cpp:217 subtracts delete
+        # counts independently; test/sql/delete/full_file_delete_stats
+        # .test keeps 100 after a partial delete), so any live delete
+        # file / inlined delete routes through the per-file netting
+        # fold instead
         has_deletes = self.meta.query(
             "SELECT 1 FROM ducklake_delete_file "
             "WHERE table_id=? AND end_snapshot IS NULL",
@@ -3062,17 +3069,27 @@ class DuckLake:
         """Catalog-absorbed small deletes live at snap (reference:
         inlined file deletions, ducklake_delete.cpp:530-546)."""
         tname = f"ducklake_inlined_deletes_{h.table_id}"
-        if not self.meta.query(
+        keep = set(file_ids)
+        out: list[tuple[int, int]] = []
+        if self.meta.query(
             "SELECT 1 FROM sqlite_master WHERE type='table' AND name=?", (tname,)
         ):
-            return []
-        keep = set(file_ids)
-        rows = self.meta.query(
-            f"SELECT data_file_id, pos FROM {tname} "
-            "WHERE begin_snapshot <= ? AND (end_snapshot IS NULL OR end_snapshot > ?)",
-            (snap.snapshot_id, snap.snapshot_id),
-        )
-        return [(fid, pos) for fid, pos in rows if fid in keep]
+            rows = self.meta.query(
+                f"SELECT data_file_id, pos FROM {tname} "
+                "WHERE begin_snapshot <= ? AND (end_snapshot IS NULL OR end_snapshot > ?)",
+                (snap.snapshot_id, snap.snapshot_id),
+            )
+            out = [(fid, pos) for fid, pos in rows if fid in keep]
+        # positions absorbed by the OPEN transaction overlay the
+        # committed set: the txn's own later scans/deletes must not see
+        # (or re-delete) those rows
+        if self._txn is not None:
+            out.extend(
+                (fid, pos)
+                for fid, pos in self._txn.inlined_deletes.get(h.table_id, [])
+                if fid in keep
+            )
+        return out
 
     def _delete_entries(self, h: TableHandle, snap: Snapshot,
                         file_ids: list[int], *,

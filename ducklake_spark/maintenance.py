@@ -520,8 +520,10 @@ def _rewrite_one_deleted(lake, h, schema, row, inl_positions=()) -> None:
             fi.allocate = False
             fi.row_id_start = None
         txn.stats_delta.setdefault(h.table_id, {}).setdefault("records", 0)
-        txn.stats_delta[h.table_id]["records"] -= sum(
-            f.record_count for f in files)
+        # GROSS record_count: the retired source file contributed its
+        # full (pre-delete) count; the commit adds the survivors from
+        # the new files — together the stats land on live rows exactly
+        txn.stats_delta[h.table_id]["records"] -= rc
         txn.new_data_files.setdefault(str(h.table_id), []).extend(files)
         txn.removed_data_files.setdefault(h.table_id, []).append(fid)
         txn.touched_delete_data_files.add(fid)
@@ -739,18 +741,24 @@ def delete_orphaned_files(lake: DuckLake, *, older_than: str | None = None,
     return orphans
 
 
-def flush_inlined_data(lake: DuckLake, *, table: str | None = None) -> int:
+def flush_inlined_data(lake: DuckLake, *, table: str | None = None,
+                       report: bool = False) -> int | list[tuple[str, int]]:
     """Move inlined rows to parquet, preserving row ids
     (ducklake_flush_inlined_data.cpp; honors sort spec :355-356).
-    One snapshot per call (like merge_adjacent_files)."""
+    One snapshot per call (like merge_adjacent_files). ``report=True``
+    returns the reference table function's (table_name, rows_flushed)
+    rows instead of the total."""
     tables = [table] if table else lake._table_names()
+    per_table: list[tuple[str, int]] = []
     with lake.transaction():
-        return _flush_inlined_data_in_txn(lake, tables)
+        total = _flush_inlined_data_in_txn(lake, tables, per_table)
+    return per_table if report else total
 
 
-def _flush_inlined_data_in_txn(lake, tables) -> int:
+def _flush_inlined_data_in_txn(lake, tables, per_table=None) -> int:
     n_flushed = 0
     for tname in tables:
+        before = n_flushed
         h = lake._handle(tname)
         tabs = lake.meta.query(
             "SELECT table_name FROM ducklake_inlined_data_tables WHERE table_id=?",
@@ -798,6 +806,8 @@ def _flush_inlined_data_in_txn(lake, tables) -> int:
             lake._autocommit()
             n_flushed += len(rows)
         n_flushed += _flush_inlined_deletes(lake, h)
+        if per_table is not None and n_flushed > before:
+            per_table.append((tname.split(".")[-1], n_flushed - before))
     return n_flushed
 
 

@@ -128,6 +128,12 @@ class DeleteFileInfo:
     format: str = "parquet"
     encryption_key: str | None = None
     row_group_count: int | None = None  # ducklake_delete.cpp:146-148
+    # consolidated delete files spanning several delete snapshots embed
+    # a per-position snapshot column; the catalog row records the span
+    # (reference WriteDeleteFileWithSnapshotsInput, ducklake_delete.cpp
+    # :37-153; test/sql/delete/test_delete_partial_max_snapshot.test)
+    partial_max: int | None = None
+    begin_snapshot_override: int | None = None
 
 
 def path_component(name: str, entry_uuid: str) -> str:
@@ -593,7 +599,8 @@ class Transaction:
                 str(tid): [
                     (df.data_file_id, df.path, df.format, df.delete_count,
                      df.file_size_bytes, df.footer_size, df.encryption_key,
-                     df.row_group_count)
+                     df.row_group_count, df.partial_max,
+                     df.begin_snapshot_override)
                     for df in dfiles
                 ]
                 for tid, dfiles in self.new_delete_files.items()
@@ -1177,11 +1184,13 @@ class Transaction:
                 for df in dfiles:
                     con.execute(
                         "INSERT INTO ducklake_delete_file VALUES "
-                        "(?, ?, ?, NULL, ?, ?, 1, ?, ?, ?, ?, ?, NULL, ?)",
+                        "(?, ?, ?, NULL, ?, ?, 1, ?, ?, ?, ?, ?, ?, ?)",
                         (
                             next_file,
                             tid,
-                            snap_id,
+                            df.begin_snapshot_override
+                            if df.begin_snapshot_override is not None
+                            else snap_id,
                             df.data_file_id,
                             df.path,
                             df.format,
@@ -1189,6 +1198,7 @@ class Transaction:
                             df.file_size_bytes,
                             df.footer_size,
                             df.encryption_key,
+                            df.partial_max,
                             df.row_group_count,
                         ),
                     )
