@@ -16,6 +16,7 @@ swapping the connection factory.
 
 from __future__ import annotations
 
+import re
 import threading
 import time
 import uuid
@@ -445,6 +446,19 @@ class MetadataManager:
 
     def query(self, sql: str, params: tuple = ()) -> list[tuple]:
         return self.con.execute(sql, params).fetchall()
+
+    def columns(self, table: str) -> list[str] | None:
+        """Column names of a catalog table, via the backend cursor's
+        description (works on sqlite3, duckdb, and the pg clients);
+        None when the backend does not expose one."""
+        if not re.fullmatch(r"[A-Za-z_][A-Za-z0-9_]*", table):
+            raise ValueError(f"bad catalog table name {table!r}")
+        try:
+            cur = self.con.execute(f"SELECT * FROM {table} WHERE 1=0")
+            desc = getattr(cur, "description", None)
+            return [d[0] for d in desc] if desc else None
+        except Exception:
+            return None
 
     def option(self, key: str, default: str | None = None,
                scope: str | None = None, scope_id: int | None = None,

@@ -198,8 +198,38 @@ def call_macro(lake: DuckLake, name: str, *args) -> DataFrame | str:
 
 def set_comment(lake: DuckLake, object_name: str, comment: str,
                 column: str | None = None) -> None:
-    """COMMENT ON TABLE/COLUMN (versioned tag rows)."""
-    h = lake._handle(object_name)
+    """COMMENT ON TABLE/COLUMN/VIEW (versioned tag rows).
+
+    A view name (no table of that name) resolves to the view's object
+    id — COMMENT ON VIEW stores a plain ducklake_tag row like tables
+    (reference: comment_on_view.test)."""
+    from ducklake_spark.lake import DuckLakeError as _DLE
+
+    try:
+        h = lake._handle(object_name)
+    except _DLE:
+        if column is not None:
+            raise
+        vid = _live_view_id(lake, object_name)
+        if vid is None:
+            raise
+        txn = lake._begin()
+
+        def vop(con, snap_id, vid=vid):
+            con.execute(
+                "UPDATE ducklake_tag SET end_snapshot=? "
+                "WHERE object_id=? AND key='comment' AND end_snapshot IS NULL",
+                (snap_id, vid),
+            )
+            con.execute(
+                "INSERT INTO ducklake_tag VALUES (?, ?, NULL, 'comment', ?)",
+                (vid, snap_id, comment),
+            )
+
+        txn.column_changes.setdefault(-2, []).append(vop)
+        txn.change_log.append(f"altered_view:{vid}")
+        lake._autocommit()
+        return
     txn = lake._begin()
 
     def op(con, snap_id):
