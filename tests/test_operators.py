@@ -163,7 +163,15 @@ def test_incremental_neardup_index_matches_batch(spark, tmp_path):
 
     inc = {(r.doc_a, r.doc_b)
            for r in neardup_candidates(lake, new).collect()}
+    # _minhash_sql reads the `documents` view, which the shared-session
+    # query registry also owns (memoized per sf_dir in queries._LOADED).
+    # Register our sf0.01 frame AND purge the memo entry so the next
+    # load_tables() caller re-registers its own sf rather than silently
+    # reading this test's data (broke test_oracle_parity[dedup_*]).
+    import ducklake_spark.queries as Q
+
     docs.createOrReplaceTempView("documents")
+    Q._LOADED.get(spark.sparkContext.applicationId, {}).pop("documents", None)
     batch = {(r.doc_a, r.doc_b)
              for r in spark.sql(_minhash_sql("spark")).collect()}
     new_ids = {r.doc_id for r in new.select("doc_id").collect()}
