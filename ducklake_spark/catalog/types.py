@@ -159,6 +159,53 @@ def is_widening(src: str, dst: str) -> bool:
     return dst in _PROMOTIONS.get(src, set())
 
 
+_DISPLAY = {
+    "int8": "TINYINT", "int16": "SMALLINT", "int32": "INTEGER",
+    "int64": "BIGINT", "int128": "HUGEINT",
+    "uint8": "UTINYINT", "uint16": "USMALLINT", "uint32": "UINTEGER",
+    "uint64": "UBIGINT", "uint128": "UHUGEINT",
+    "float32": "FLOAT", "float64": "DOUBLE", "boolean": "BOOLEAN",
+    "varchar": "VARCHAR", "blob": "BLOB", "date": "DATE",
+    "time": "TIME", "time_ns": "TIME_NS",
+    "timetz": "TIME WITH TIME ZONE",
+    "timestamp": "TIMESTAMP", "timestamp_us": "TIMESTAMP",
+    "timestamp_s": "TIMESTAMP_S", "timestamp_ms": "TIMESTAMP_MS",
+    "timestamp_ns": "TIMESTAMP_NS",
+    "timestamptz": "TIMESTAMP WITH TIME ZONE",
+    "uuid": "UUID", "json": "JSON", "interval": "INTERVAL",
+    "variant": "VARIANT", "geometry": "GEOMETRY",
+}
+
+
+def ducklake_type_display(name: str) -> str:
+    """DuckLake catalog type name -> DuckDB's display name (the text
+    ``duckdb_columns().data_type`` / DESCRIBE show — reference renders
+    LogicalType::ToString)."""
+    low = name.strip().lower()
+    if low in _DISPLAY:
+        return _DISPLAY[low]
+    m = re.fullmatch(r"decimal\((\d+)\s*,\s*(\d+)\)", low)
+    if m:
+        return f"DECIMAL({m.group(1)},{m.group(2)})"
+    m = re.fullmatch(r"list<(.+)>", low, re.S)
+    if m:
+        return ducklake_type_display(m.group(1)) + "[]"
+    m = re.fullmatch(r"map<(.+)>", low, re.S)
+    if m:
+        kv = _split_top(m.group(1))
+        if len(kv) == 2:
+            return (f"MAP({ducklake_type_display(kv[0])}, "
+                    f"{ducklake_type_display(kv[1])})")
+    m = re.fullmatch(r"struct<(.+)>", low, re.S)
+    if m:
+        parts = []
+        for p in _split_top(m.group(1)):
+            fname, ftype = p.split(":", 1)
+            parts.append(f"{fname.strip()} {ducklake_type_display(ftype)}")
+        return "STRUCT(" + ", ".join(parts) + ")"
+    return name.upper()
+
+
 def _split_top(s: str) -> list[str]:
     out, depth, cur = [], 0, []
     for ch in s:

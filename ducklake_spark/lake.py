@@ -154,6 +154,14 @@ class DuckLake:
         # through this pyarrow.fs-backed seam — see fsio.LakeFS;
         # injectable for tests and for pre-configured object stores
         self.lfs: LakeFS = filesystem or LakeFS.for_path(self.data_path)
+        # session-scoped default for data_inlining_row_limit when no
+        # catalog scope sets it: the SQL frontend pins this to the
+        # reference's interactive default (10,
+        # ducklake_extension.cpp:36-38) so reference-shaped sessions
+        # inline small inserts and reserve row_id/begin_snapshot/
+        # end_snapshot exactly like the reference; the library API
+        # leaves it None (→ spark conf → 0, the cluster-scale default).
+        self.session_inline_default: int | None = None
         self.read_only = read_only
         if read_only:
             # READ_ONLY attach requires an existing catalog (reference:
@@ -1407,6 +1415,8 @@ class DuckLake:
             v = self.meta.option("data_inlining_row_limit", None)
         if v is not None:
             return int(v or 0)
+        if self.session_inline_default is not None:
+            return self.session_inline_default
         try:
             return int(self.spark.conf.get(
                 "spark.ducklake.defaultDataInliningRowLimit", "0") or 0)

@@ -251,10 +251,20 @@ def duck_type_to_ducklake(t: str) -> str:
             fields.append(f"{_unquote(mm.group(1))}:"
                           f"{duck_type_to_ducklake(mm.group(2))}")
         return "struct<" + ",".join(fields) + ">"
-    m = re.fullmatch(r"map\s*\((.+),(.+)\)", t.strip(), re.I | re.S)
+    m = re.fullmatch(r"map\s*\((.+)\)", t.strip(), re.I | re.S)
     if m:
-        return (f"map<{duck_type_to_ducklake(m.group(1))}, "
-                f"{duck_type_to_ducklake(m.group(2))}>")
+        # split on the TOP-LEVEL comma only: a greedy regex split breaks
+        # MAP(INT, STRUCT(i INT, j INT)) at the struct's inner comma
+        parts = _split_top(m.group(1))
+        if len(parts) == 2:
+            return (f"map<{duck_type_to_ducklake(parts[0])}, "
+                    f"{duck_type_to_ducklake(parts[1])}>")
+    m = re.fullmatch(r"union\s*\((.*)\)", t.strip(), re.I | re.S)
+    if m:
+        raise SQLFrontUnsupported("UNION types are not supported")
+    low = re.sub(r"\s+", " ", low)
+    if low == "double precision":
+        return "float64"
     if low in _DUCK_SIMPLE:
         return _DUCK_SIMPLE[low]
     # already a ducklake name (int32, float64, list<...>)
@@ -328,11 +338,14 @@ class SQLSession:
 
     def __init__(self, spark: SparkSession, *,
                  default_backend: str = "sqlite",
-                 single_file_writes: bool = False):
+                 single_file_writes: bool = False,
+                 default_inline_limit: int = 10):
         #: coalesce(1) before INSERT/CTAS writes — matches the
         #: reference's single-node file counts, which its tests assert
         #: (tools/slt_runner.py turns this on); leave off for scale
         self.single_file_writes = single_file_writes
+        #: reference ducklake_default_data_inlining_row_limit (10)
+        self.default_inline_limit = default_inline_limit
         self.spark = spark
         self.lakes: dict[str, DuckLake] = {}
         # metadata-catalog alias (ATTACH … METADATA_CATALOG 'x') -> lake
@@ -381,6 +394,14 @@ class SQLSession:
         stmt = strip_comments(sql).strip().rstrip(";").strip()
         if not stmt:
             return None
+        # duckdb's execute() accepts `stmt; stmt; ...` — run all, return
+        # the last result (reference tests batch DDL this way)
+        parts = split_statements(stmt)
+        if len(parts) > 1:
+            out = None
+            for p in parts:
+                out = self.execute(p)
+            return out
         head = re.match(r"[A-Za-z_]+", stmt)
         kw = head.group(0).upper() if head else ""
         two = re.match(r"[A-Za-z_]+\s+[A-Za-z_]+", stmt)
@@ -535,6 +556,11 @@ class SQLSession:
             stored = DuckLake._stored_data_path(meta_url)
             data_path = stored or (local + ".files")
         lake = DuckLake.attach(self.spark, meta_url, str(data_path), **kw)
+        # the SQL surface carries the reference's interactive default:
+        # inserts of <= 10 rows inline into the catalog unless a scope
+        # sets data_inlining_row_limit (ducklake_extension.cpp:36-38);
+        # reserved-name checks key off the same resolution
+        lake.session_inline_default = self.default_inline_limit
         for k, v in opts.items():
             lake.set_option(k, v)
         self.lakes[name] = lake
@@ -877,11 +903,13 @@ class SQLSession:
                     r"(?:\s+NULLS\s+(FIRST|LAST))?\s*$",
                     part.strip(), re.I | re.S)
                 expr = mo.group(1).strip()
-                asc = (mo.group(2) or "ASC").upper() == "ASC"
+                direction = (mo.group(2) or "ASC").lower()
                 nf = mo.group(3)
-                entry = [expr, asc]
+                entry = [expr, direction]
                 if nf:
-                    entry.append(nf.upper() == "FIRST")
+                    entry.append(
+                        "nulls_first" if nf.upper() == "FIRST"
+                        else "nulls_last")
                 keys.append(tuple(entry))
             lake.set_sorted_by(api, keys)
             return None
@@ -1580,6 +1608,44 @@ class SQLSession:
             r"(VERSION|TIMESTAMP)\s*=>\s*([^)]+)\)",
             _tt, sql, flags=re.I)
 
+        # 2b. duckdb_* introspection TVFs over the attached lakes
+        def _duck_intro(m: re.Match) -> str:
+            kind = m.group(1).lower()
+            return f"{self._register(self._introspect_df(kind))} AS {kind}"
+
+        sql = re.sub(
+            r"\b(duckdb_tables|duckdb_views|duckdb_schemas|duckdb_columns"
+            r"|duckdb_databases)\s*\(\s*\)",
+            _duck_intro, sql, flags=re.I)
+
+        # 2c. bare lake-scoped TVFs on the CURRENT database:
+        # snapshots(), table_info(), table_deletions('t', a, b), …
+        def _tf_bare(m: re.Match) -> str:
+            fn = m.group(2).lower()
+            if self.current is None:
+                return m.group(0)
+            lake = self.lakes[self.current]
+            pos, named = _parse_args(m.group(3))
+            if fn in ("table_insertions", "table_deletions",
+                      "table_changes"):
+                # bare 3-arg form: (table, start, end) in the current
+                # schema (reference macro sugar over the 5-arg global)
+                if len(pos) != 3:
+                    return m.group(0)
+                from ducklake_spark import cdc
+
+                api = (str(pos[0]) if self.current_schema == "main"
+                       else f"{self.current_schema}.{pos[0]}")
+                return (f"{self._register(getattr(cdc, fn)(lake, api, pos[1], pos[2]))}"
+                        f" AS {fn}")
+            return f"{self._register(self._tf_df(lake, fn, pos, named))} AS {fn}"
+
+        sql = re.sub(
+            r"(\bFROM|\bJOIN|,)\s+(snapshots|table_info|options|settings"
+            r"|list_files|table_insertions|table_deletions|table_changes)"
+            r"\s*\(([^()]*)\)",
+            lambda m: m.group(1) + " " + _tf_bare(m), sql, flags=re.I)
+
         # 3. global ducklake_* table functions (incl. the CALL-able
         # maintenance family used in FROM position)
         def _tfg(m: re.Match) -> str:
@@ -1733,3 +1799,139 @@ class SQLSession:
         data = [tuple(_coerce(v, f.dataType) for v, f in zip(r, fields))
                 for r in rows]
         return self.spark.createDataFrame(data, schema)
+
+    # -- duckdb_* introspection TVFs -------------------------------------
+
+    def _introspect_df(self, kind: str) -> DataFrame:
+        """duckdb_tables()/views()/schemas()/columns()/databases() over
+        the attached lakes (reference: the host engine's catalog views;
+        test/sql/metadata/ducklake_duckdb_tables.test,
+        hide_metadata_catalog.test, comments/*). Auto-named
+        ``__ducklake_metadata_*`` catalogs are hidden; an explicit
+        METADATA_CATALOG alias is listed with its ducklake_* tables."""
+        from ducklake_spark.catalog.types import ducklake_type_display
+
+        explicit_meta = {a: ln for a, ln in self.meta_catalogs.items()
+                         if not a.startswith("__ducklake_metadata_")}
+        rows: list[tuple] = []
+        if kind == "duckdb_databases":
+            for name, lake in self.lakes.items():
+                rows.append((name, "ducklake",
+                             {"data_path": lake.data_path.rstrip("/")}))
+            for alias, ln in explicit_meta.items():
+                rows.append((alias, self.lakes[ln].meta.backend_type
+                             if hasattr(self.lakes[ln].meta, "backend_type")
+                             else "sqlite", {}))
+            return self.spark.createDataFrame(
+                rows, "database_name string, type string, "
+                      "tags map<string,string>")
+        if kind == "duckdb_schemas":
+            for name, lake in self.lakes.items():
+                for (s,) in lake.meta.query(
+                        "SELECT schema_name FROM ducklake_schema "
+                        "WHERE end_snapshot IS NULL ORDER BY schema_id"):
+                    rows.append((name, s))
+            for alias in explicit_meta:
+                rows.append((alias, "main"))
+            return self.spark.createDataFrame(
+                rows, "database_name string, schema_name string")
+        if kind == "duckdb_tables":
+            for name, lake in self.lakes.items():
+                for s, t, tid, comment, ncols, rc in lake.meta.query(
+                    "SELECT s.schema_name, t.table_name, t.table_id, "
+                    " (SELECT value FROM ducklake_tag g WHERE "
+                    "  g.object_id=t.table_id AND g.key='comment' "
+                    "  AND g.end_snapshot IS NULL), "
+                    " (SELECT COUNT(*) FROM ducklake_column c WHERE "
+                    "  c.table_id=t.table_id AND c.end_snapshot IS NULL "
+                    "  AND c.parent_column IS NULL), "
+                    " (SELECT st.record_count FROM ducklake_table_stats st "
+                    "  WHERE st.table_id=t.table_id) "
+                    "FROM ducklake_table t JOIN ducklake_schema s "
+                    "ON t.schema_id=s.schema_id AND s.end_snapshot IS NULL "
+                    "WHERE t.end_snapshot IS NULL ORDER BY t.table_id"
+                ):
+                    rows.append((name, s, t, int(tid), comment,
+                                 int(rc or 0), int(ncols)))
+            for alias, ln in explicit_meta.items():
+                meta = self.lakes[ln].meta
+                for i, (t,) in enumerate(meta.query(
+                        "SELECT name FROM sqlite_master WHERE type='table' "
+                        "ORDER BY name")):
+                    ncols = len(meta.query(f"PRAGMA table_info({t})"))
+                    nrows = meta.query(f"SELECT COUNT(*) FROM {t}")[0][0]
+                    rows.append((alias, "main", t, i, None,
+                                 int(nrows), ncols))
+            return self.spark.createDataFrame(
+                rows, "database_name string, schema_name string, "
+                      "table_name string, table_oid long, comment string, "
+                      "estimated_size long, column_count long")
+        if kind == "duckdb_views":
+            for name, lake in self.lakes.items():
+                for s, v, vid, sql_, comment in lake.meta.query(
+                    "SELECT s.schema_name, v.view_name, v.view_id, v.sql, "
+                    " (SELECT value FROM ducklake_tag g WHERE "
+                    "  g.object_id=v.view_id AND g.key='comment' "
+                    "  AND g.end_snapshot IS NULL) "
+                    "FROM ducklake_view v JOIN ducklake_schema s "
+                    "ON v.schema_id=s.schema_id AND s.end_snapshot IS NULL "
+                    "WHERE v.end_snapshot IS NULL ORDER BY v.view_id"
+                ):
+                    rows.append((name, s, v, int(vid), comment, sql_))
+            return self.spark.createDataFrame(
+                rows, "database_name string, schema_name string, "
+                      "view_name string, view_oid long, comment string, "
+                      "sql string")
+        if kind == "duckdb_columns":
+            from ducklake_spark.catalog.types import spark_to_ducklake
+
+            for name, lake in self.lakes.items():
+                for s, t, cname, ctype, idx, comment, nn in lake.meta.query(
+                    "SELECT s.schema_name, t.table_name, c.column_name, "
+                    " c.column_type, c.column_order, "
+                    " (SELECT value FROM ducklake_column_tag g WHERE "
+                    "  g.table_id=c.table_id AND g.column_id=c.column_id "
+                    "  AND g.key='comment' AND g.end_snapshot IS NULL), "
+                    " c.nulls_allowed "
+                    "FROM ducklake_column c "
+                    "JOIN ducklake_table t ON c.table_id=t.table_id "
+                    " AND t.end_snapshot IS NULL "
+                    "JOIN ducklake_schema s ON t.schema_id=s.schema_id "
+                    " AND s.end_snapshot IS NULL "
+                    "WHERE c.end_snapshot IS NULL "
+                    " AND c.parent_column IS NULL "
+                    "ORDER BY t.table_id, c.column_order"
+                ):
+                    rows.append((name, s, t, cname, int(idx) + 1,
+                                 ducklake_type_display(ctype), comment,
+                                 bool(nn)))
+                # view OUTPUT columns (comments keyed by name in
+                # ducklake_view_column_tag)
+                for s, v, vid in lake.meta.query(
+                    "SELECT s.schema_name, v.view_name, v.view_id "
+                    "FROM ducklake_view v JOIN ducklake_schema s "
+                    "ON v.schema_id=s.schema_id AND s.end_snapshot IS NULL "
+                    "WHERE v.end_snapshot IS NULL"
+                ):
+                    vtags = dict(lake.meta.query(
+                        "SELECT column_name, value FROM "
+                        "ducklake_view_column_tag WHERE view_id=? "
+                        "AND key='comment' AND end_snapshot IS NULL",
+                        (vid,)))
+                    try:
+                        fields = self._bind(lake, s, v).schema.fields
+                    except Exception:
+                        continue
+                    for i, f in enumerate(fields):
+                        rows.append((
+                            name, s, v, f.name, i + 1,
+                            ducklake_type_display(
+                                spark_to_ducklake(f.dataType)),
+                            vtags.get(f.name.lower(), vtags.get(f.name)),
+                            True))
+            return self.spark.createDataFrame(
+                rows, "database_name string, schema_name string, "
+                      "table_name string, column_name string, "
+                      "column_index long, data_type string, "
+                      "comment string, is_nullable boolean")
+        raise SQLFrontUnsupported(f"introspection {kind!r}")

@@ -293,6 +293,8 @@ class FileRunner:
         text = re.sub(r"\{([A-Z][A-Z0-9_]*)\}", repl, text)
         for k, v in self.loop_vars.items():
             text = text.replace("${" + k + "}", v)
+            # duckdb's sqllogictest also substitutes bare {var}
+            text = text.replace("{" + k + "}", v)
         return text
 
     def _cond_true(self, cond: str | None) -> bool:
