@@ -140,14 +140,19 @@ SCHEMA_STATEMENTS = [
     """CREATE TABLE IF NOT EXISTS ducklake_schema_versions(
         begin_snapshot BIGINT, schema_version BIGINT, table_id BIGINT)""",
     # :284-290
+    # reference layout EXACTLY (ducklake_metadata_manager.cpp:284-290):
+    # is_table_macro lives in macro_impl.type ('scalar_macro' /
+    # 'table_macro'); parameters carry a column_id ordinal + types
     """CREATE TABLE IF NOT EXISTS ducklake_macro(
-        macro_id BIGINT, begin_snapshot BIGINT, end_snapshot BIGINT,
-        schema_id BIGINT, macro_name VARCHAR, is_table_macro BOOLEAN)""",
+        schema_id BIGINT, macro_id BIGINT, macro_name VARCHAR,
+        begin_snapshot BIGINT, end_snapshot BIGINT)""",
     """CREATE TABLE IF NOT EXISTS ducklake_macro_impl(
-        macro_id BIGINT, impl_index BIGINT, dialect VARCHAR, body VARCHAR)""",
+        macro_id BIGINT, impl_id BIGINT, dialect VARCHAR,
+        sql VARCHAR, type VARCHAR)""",
     """CREATE TABLE IF NOT EXISTS ducklake_macro_parameters(
-        macro_id BIGINT, impl_index BIGINT, parameter_index BIGINT,
-        parameter_name VARCHAR, default_value VARCHAR)""",
+        macro_id BIGINT, impl_id BIGINT, column_id BIGINT,
+        parameter_name VARCHAR, parameter_type VARCHAR,
+        default_value VARCHAR, default_value_type VARCHAR)""",
     # :291-295
     """CREATE TABLE IF NOT EXISTS ducklake_sort_info(
         sort_id BIGINT, table_id BIGINT,

@@ -79,9 +79,13 @@ def ducklake_to_spark(name: str) -> T.DataType:
     m = re.fullmatch(r"(\w+)\[\]", name) or re.fullmatch(r"list<(.+)>", name)
     if m:
         return T.ArrayType(ducklake_to_spark(m.group(1)))
-    m = re.fullmatch(r"map<(.+),\s*(.+)>", name)
+    m = re.fullmatch(r"map<(.+)>", name)
     if m:
-        return T.MapType(ducklake_to_spark(m.group(1)), ducklake_to_spark(m.group(2)))
+        kv = _split_top(m.group(1))
+        if len(kv) == 2:  # top-level comma only: the value type may be
+            # a struct/map with its own commas
+            return T.MapType(ducklake_to_spark(kv[0]),
+                             ducklake_to_spark(kv[1]))
     m = re.fullmatch(r"struct<(.+)>", name)
     if m:
         fields = []
@@ -153,9 +157,36 @@ _PROMOTIONS: dict[str, set[str]] = {
 
 
 def is_widening(src: str, dst: str) -> bool:
+    """Widening-only promotion, recursively through nested types:
+    map/list widen when their parts widen; a struct widens when every
+    existing field widens in place and new (nullable) fields are only
+    APPENDED (reference struct-in-map evolution,
+    test/sql/alter/struct_in_map_evolution.test)."""
     src, dst = src.strip().lower(), dst.strip().lower()
     if src == dst:
         return True
+    sm = re.fullmatch(r"map<(.+)>", src, re.S)
+    dm = re.fullmatch(r"map<(.+)>", dst, re.S)
+    if sm and dm:
+        skv, dkv = _split_top(sm.group(1)), _split_top(dm.group(1))
+        return (len(skv) == 2 and len(dkv) == 2
+                and is_widening(skv[0], dkv[0])
+                and is_widening(skv[1], dkv[1]))
+    sl = re.fullmatch(r"list<(.+)>", src, re.S)
+    dl = re.fullmatch(r"list<(.+)>", dst, re.S)
+    if sl and dl:
+        return is_widening(sl.group(1), dl.group(1))
+    ss = re.fullmatch(r"struct<(.+)>", src, re.S)
+    ds = re.fullmatch(r"struct<(.+)>", dst, re.S)
+    if ss and ds:
+        sf = [p.split(":", 1) for p in _split_top(ss.group(1))]
+        df = [p.split(":", 1) for p in _split_top(ds.group(1))]
+        if len(df) < len(sf):
+            return False
+        for (sn, st), (dn, dt) in zip(sf, df):
+            if sn.strip() != dn.strip() or not is_widening(st, dt):
+                return False
+        return True  # extra dst fields are appended, read as NULL
     return dst in _PROMOTIONS.get(src, set())
 
 

@@ -488,10 +488,17 @@ class DuckLake:
     # -- DDL ---------------------------------------------------------------
 
     def create_schema(self, name: str, *, if_not_exists: bool = False) -> None:
-        exists = bool(self.meta.query(
-            "SELECT 1 FROM ducklake_schema "
+        committed = self.meta.query(
+            "SELECT schema_id FROM ducklake_schema "
             "WHERE schema_name=? AND end_snapshot IS NULL", (name,),
-        )) or (self._txn is not None and any(
+        )
+        if committed and self._txn is not None:
+            # dropped earlier in THIS transaction ⇒ re-creatable
+            # (reference catalog/schema.test: DROP SCHEMA s1 CASCADE;
+            # CREATE SCHEMA s1 inside one BEGIN)
+            committed = [r for r in committed
+                         if r[0] not in self._txn.dropped_schemas]
+        exists = bool(committed) or (self._txn is not None and any(
             sn == name for sn, _u in self._txn.created_schemas))
         if exists:
             if if_not_exists:
@@ -606,7 +613,14 @@ class DuckLake:
         42)`` — stored on the column row like the reference, in the
         create snapshot itself)."""
         schema_name, table_name = self._split_name(name)
-        exists = self._find_table(schema_name, table_name) is not None or (
+        found = self._find_table(schema_name, table_name)
+        if (found is not None and self._txn is not None
+                and found[0] in self._txn.dropped_tables):
+            # dropped earlier in THIS transaction (possibly via DROP
+            # SCHEMA CASCADE) ⇒ the name is free again
+            # (catalog/schema.test drop-and-recreate)
+            found = None
+        exists = found is not None or (
             self._txn is not None
             and any(td.schema_name == schema_name
                     and td.table_name == table_name
@@ -636,14 +650,17 @@ class DuckLake:
         for c in cols:
             if defaults and c.name in defaults:
                 c.default_value = defaults[c.name]
-        try:
-            sid = self._schema_id(schema_name)
-        except DuckLakeError:
-            sid = None  # no committed row yet — OK only if txn-local
-            txn0 = self._txn
-            if txn0 is None or not any(
-                sn == schema_name for sn, _u in txn0.created_schemas
-            ):
+        txn0 = self._txn
+        if txn0 is not None and any(
+                sn == schema_name for sn, _u in txn0.created_schemas):
+            # a schema (re-)created in THIS transaction wins over a
+            # committed row of the same name that the transaction also
+            # dropped (catalog/schema.test drop-and-recreate)
+            sid = None
+        else:
+            try:
+                sid = self._schema_id(schema_name)
+            except DuckLakeError:
                 raise DuckLakeError(f"schema {schema_name!r} not found")
         if self._inline_limit(schema_id=sid) > 0:
             for c in cols:
@@ -757,9 +774,18 @@ class DuckLake:
             )
 
     def add_column(self, name: str, col_name: str, col_type: str,
-                   default: str | None = None) -> None:
+                   default: str | None = None, *,
+                   if_not_exists: bool = False) -> None:
         h = self._handle(name)
         self._require_committed(h, "ALTER ADD COLUMN")
+        if any(cn.lower() == col_name.lower() for _i, cn, _t, _n
+               in h.columns):
+            # reference: duplicate ADD COLUMN errors unless IF NOT
+            # EXISTS (test/sql/alter/add_column.test:19-27)
+            if if_not_exists:
+                return
+            raise DuckLakeError(
+                f'column "{col_name}" already exists in {name!r}')
         ducklake_to_spark(col_type)
         _check_reserved_column(col_name)
         if self._inline_limit(h.table_id, h.schema_id) > 0:
@@ -830,9 +856,23 @@ class DuckLake:
         txn.change_log.append(f"altered_table:{h.table_id}")
         self._autocommit()
 
-    def drop_column(self, name: str, col_name: str) -> None:
+    def drop_column(self, name: str, col_name: str, *,
+                    if_exists: bool = False) -> None:
         h = self._handle(name)
         self._require_committed(h, "ALTER DROP COLUMN")
+        if not any(cn.lower() == col_name.lower() for _i, cn, _t, _n
+                   in h.columns):
+            # reference: dropping a missing column errors unless IF
+            # EXISTS (test/sql/alter/drop_column.test:23-31)
+            if if_exists:
+                return
+            raise DuckLakeError(
+                f'column "{col_name}" does not exist in {name!r}')
+        if len(h.columns) == 1:
+            # reference: test/sql/alter/drop_column.test:33-37
+            raise DuckLakeError(
+                f"cannot drop column {col_name!r}: the table "
+                "only has one column remaining")
         if any(_expr_references(e, col_name)
                for e, _d, _n in self._sort_spec(h)):
             # reference: test/sql/sorted_table/drop_sorted_column.test
@@ -1179,17 +1219,56 @@ class DuckLake:
             raise DuckLakeError(f"not a struct column: {type_str!r}")
         return [tuple(p.split(":", 1)) for p in _split_top(m.group(1))]
 
-    def _mutate_struct(self, name: str, col_name: str, edit) -> None:
+    def _edit_type_at(self, type_str: str, nav: tuple, edit) -> str:
+        """Apply ``edit`` to the struct at the end of ``nav``, where nav
+        segments walk struct fields by name, a map's ``key``/``value``,
+        or a list's ``element`` (reference struct-in-map evolution:
+        ALTER TABLE t ADD COLUMN col.value.k INT —
+        test/sql/alter/struct_evolution_map_alter.test)."""
+        from ducklake_spark.catalog.types import _split_top
+
+        t = type_str.strip()
+        if not nav:
+            parts = self._struct_parts(t)
+            new_parts = edit(parts)
+            if not new_parts:
+                raise DuckLakeError("cannot drop the last struct field")
+            return ("struct<"
+                    + ",".join(f"{n}:{ty}" for n, ty in new_parts) + ">")
+        seg, rest = nav[0].lower(), nav[1:]
+        low = t.lower()
+        if low.startswith("map<"):
+            kv = _split_top(t[4:-1])
+            if seg == "key":
+                return f"map<{self._edit_type_at(kv[0], nav[1:], edit)}, {kv[1]}>"
+            if seg == "value":
+                return f"map<{kv[0]}, {self._edit_type_at(kv[1], rest, edit)}>"
+            raise DuckLakeError(f"map has no part {seg!r} (key/value)")
+        if low.startswith("list<") and seg == "element":
+            return f"list<{self._edit_type_at(t[5:-1], rest, edit)}>"
+        if low.startswith("struct<"):
+            parts = self._struct_parts(t)
+            out, hit = [], False
+            for n, ty in parts:
+                if n.lower() == seg:
+                    out.append((n, self._edit_type_at(ty, rest, edit)))
+                    hit = True
+                else:
+                    out.append((n, ty))
+            if not hit:
+                raise DuckLakeError(f"no field {nav[0]!r} in {t!r}")
+            return ("struct<"
+                    + ",".join(f"{n}:{ty}" for n, ty in out) + ">")
+        raise DuckLakeError(f"cannot navigate {seg!r} into {t!r}")
+
+    def _mutate_struct(self, name: str, col_name: str, edit,
+                       nav: tuple = ()) -> None:
         h = self._handle(name)
         self._require_committed(h, "SET DEFAULT")
         cur = next((c for c in h.columns if c[1] == col_name), None)
         if cur is None:
             raise DuckLakeError(f"no column {col_name!r}")
-        parts = self._struct_parts(cur[2])
-        new_parts = edit(parts)
-        if not new_parts:
-            raise DuckLakeError("cannot drop the last struct field")
-        new_type = "struct<" + ",".join(f"{n}:{t}" for n, t in new_parts) + ">"
+        new_type = self._edit_type_at(cur[2], nav, edit)
         # regenerate the per-leaf child rows for the new shape (fresh
         # ids: old files' leaf stats stay keyed to the retired ids, so
         # pruning on a renamed/added field keeps them — no-stats ⇒ keep)
@@ -1231,11 +1310,17 @@ class DuckLake:
         recorded as a ``field_default`` column tag, applied per file
         epoch on the scan — file-backed rows only, inlined older-epoch
         rows keep NULL)."""
-        def edit(parts):
-            if any(n == field_name for n, _ in parts):
-                raise DuckLakeError(f"field {field_name!r} already exists")
-            return parts + [(field_name, field_type)]
+        *nav, leaf = field_name.split(".")
 
+        def edit(parts):
+            if any(n == leaf for n, _ in parts):
+                raise DuckLakeError(f"field {leaf!r} already exists")
+            return parts + [(leaf, field_type)]
+
+        if default is not None and nav:
+            raise DuckLakeError(
+                "ADD FIELD ... DEFAULT is supported on top-level struct "
+                "fields only")
         if default is not None:
             h = self._handle(name)
             cur = next((c for c in h.columns if c[1] == col_name), None)
@@ -1251,7 +1336,7 @@ class DuckLake:
                 )
 
             txn.column_changes.setdefault(h.table_id, []).append(tag_op)
-        self._mutate_struct(name, col_name, edit)
+        self._mutate_struct(name, col_name, edit, nav=tuple(nav))
 
     def _field_default_log(self, h: TableHandle) -> list[tuple[int, int, str, str]]:
         """[(begin_snapshot, column_id, field, default_sql)] of nested
@@ -1269,12 +1354,14 @@ class DuckLake:
     def drop_field(self, name: str, col_name: str, field_name: str) -> None:
         """REMOVE nested FIELD: dropped from the requested read schema;
         bytes in old files are simply never scanned again."""
-        def edit(parts):
-            if not any(n == field_name for n, _ in parts):
-                raise DuckLakeError(f"no field {field_name!r}")
-            return [(n, t) for n, t in parts if n != field_name]
+        *nav, leaf = field_name.split(".")
 
-        self._mutate_struct(name, col_name, edit)
+        def edit(parts):
+            if not any(n == leaf for n, _ in parts):
+                raise DuckLakeError(f"no field {leaf!r}")
+            return [(n, t) for n, t in parts if n != leaf]
+
+        self._mutate_struct(name, col_name, edit, nav=tuple(nav))
 
     def rename_field(self, name: str, col_name: str, old: str, new: str) -> None:
         """RENAME nested FIELD (metadata-only). Files written before the
@@ -1627,7 +1714,8 @@ class DuckLake:
                 try:
                     vdf = self.spark.sql(vsql)
                     if valias:
-                        vdf = vdf.toDF(*valias)
+                        vdf = vdf.toDF(*(list(valias)
+                                         + vdf.columns[len(valias):]))
                     vdf.createOrReplaceTempView(vn)
                 except Exception:
                     still.append((vn, vsql, valias))  # deps not bound yet
@@ -1636,9 +1724,12 @@ class DuckLake:
             pending = still
         out = self.spark.sql(sql)
         if target_aliases:
-            # CREATE VIEW v(x, y) AS …: positional output renames
-            # (reference ducklake_view.column_aliases)
-            out = out.toDF(*target_aliases)
+            # CREATE VIEW v(x, y) AS …: positional output renames; a
+            # PARTIAL alias list renames the leading columns only
+            # (reference view/ducklake_view.test: CREATE VIEW v(a) AS
+            # SELECT 42 AS X, 84 AS Y)
+            out = out.toDF(*(list(target_aliases)
+                             + out.columns[len(target_aliases):]))
         return out
 
     # -- insert ------------------------------------------------------------
@@ -3967,6 +4058,12 @@ class DuckLake:
         schema_name, table_name = self._split_name(name)
         snap = self._resolve_snapshot(at_version, at_timestamp)
         row = self._find_table(schema_name, table_name, snap)
+        if (row is not None and self._txn is not None
+                and at_version is None and at_timestamp is None
+                and row[0] in self._txn.dropped_tables):
+            # dropped in THIS transaction: the committed row no longer
+            # answers; a same-named txn-local re-create takes over below
+            row = None
         # txn-local RENAMEs overlay name resolution for the
         # transaction's own statements (reference dbt workload:
         # test/sql/alter/rename_table_dbt_workload.test — rename old ->
@@ -3980,6 +4077,8 @@ class DuckLake:
                 row = None  # renamed AWAY: old name no longer answers
             if row is None:
                 for tid, nname in rmap.items():
+                    if tid in self._txn.dropped_tables:
+                        continue  # renamed THEN dropped in this txn
                     if nname == table_name and tid >= 0:
                         hit = self.meta.query(
                             "SELECT t.table_id, t.table_uuid, t.schema_id, "
@@ -4054,7 +4153,31 @@ class DuckLake:
                 "AND (t.end_snapshot IS NULL OR t.end_snapshot > ?)",
                 (snap.snapshot_id, snap.snapshot_id),
             )
-        return [f"{s}.{t}" for s, t in rows]
+        names = [f"{s}.{t}" for s, t in rows]
+        if snap is None and self._txn is not None:
+            # transaction-local CREATE/DROP/RENAME visibility (reference:
+            # catalog/schema.test txn-local schema.table binding)
+            txn = self._txn
+            dropped = set(txn.dropped_tables)
+            renamed = dict(txn.renamed_tables)
+            if dropped or renamed:
+                ids = {f"{s}.{t}": tid for tid, s, t in self.meta.query(
+                    "SELECT t.table_id, s.schema_name, t.table_name "
+                    "FROM ducklake_table t JOIN ducklake_schema s "
+                    "ON t.schema_id = s.schema_id "
+                    "WHERE t.end_snapshot IS NULL")}
+                out = []
+                for n in names:
+                    tid = ids.get(n)
+                    if tid in dropped:
+                        continue
+                    if tid in renamed:
+                        n = n.split(".", 1)[0] + "." + renamed[tid]
+                    out.append(n)
+                names = out
+            names += [f"{td.schema_name}.{td.table_name}"
+                      for td in txn.created_tables]
+        return names
 
     def _spark_schema(self, h: TableHandle) -> T.StructType:
         return T.StructType(

@@ -17,6 +17,24 @@ from pyspark.sql import DataFrame
 from ducklake_spark.lake import DuckLake, DuckLakeError
 
 
+def _literal_type(default: str | None) -> str:
+    """DuckLake type name of a macro default literal (reference stores
+    it in ducklake_macro_parameters.default_value_type; 'unknown' when
+    there is no default or the literal isn't obviously typed)."""
+    if default is None:
+        return "unknown"
+    d = str(default).strip()
+    if re.fullmatch(r"-?\d+", d):
+        return "int32"
+    if re.fullmatch(r"-?\d*\.\d+", d):
+        return "float64"
+    if d.startswith("'") and d.endswith("'"):
+        return "varchar"
+    if d.lower() in ("true", "false"):
+        return "boolean"
+    return "unknown"
+
+
 def _parse_param(p) -> tuple[str, str | None]:
     """'a' -> ('a', None); 'b := 5' -> ('b', '5'); ('b', '5') passes."""
     if isinstance(p, (tuple, list)):
@@ -56,23 +74,26 @@ def create_macro(lake: DuckLake, name: str, parameters: list | None = None,
     txn = lake._begin()
 
     def op(con, snap_id):
-        mid = con.execute(
-            "SELECT COALESCE(MAX(macro_id), -1) + 1 FROM ducklake_macro"
-        ).fetchone()[0]
+        # macros share the global catalog-id sequence with schemas/
+        # tables/views (reference: GetLocalCatalogId remap — the test
+        # expectation scalar_macros_dropped=[1] counts main=0, macro=1)
+        mid = txn.alloc_catalog_id()
         con.execute(
-            "INSERT INTO ducklake_macro VALUES (?, ?, NULL, ?, ?, ?)",
-            (mid, snap_id, sid, mname, is_table_macro),
+            "INSERT INTO ducklake_macro VALUES (?, ?, ?, ?, NULL)",
+            (sid, mid, mname, snap_id),
         )
+        mtype = "table" if is_table_macro else "scalar"
         for ii, (ps, b) in enumerate(parsed):
             con.execute(
-                "INSERT INTO ducklake_macro_impl VALUES (?, ?, ?, ?)",
-                (mid, ii, dialect, b),
+                "INSERT INTO ducklake_macro_impl VALUES (?, ?, ?, ?, ?)",
+                (mid, ii, dialect, b, mtype),
             )
             for i, (pname, pdefault) in enumerate(ps):
                 con.execute(
                     "INSERT INTO ducklake_macro_parameters VALUES "
-                    "(?, ?, ?, ?, ?)",
-                    (mid, ii, i, pname, pdefault),
+                    "(?, ?, ?, ?, ?, ?, ?)",
+                    (mid, ii, i, pname, "unknown", pdefault,
+                     _literal_type(pdefault)),
                 )
 
     wrapped = lambda con, snap_id: op(con, snap_id)  # noqa: E731
@@ -84,7 +105,10 @@ def create_macro(lake: DuckLake, name: str, parameters: list | None = None,
     if pending is None:
         pending = txn._pending_macros = {}
     pending[(schema_name, mname)] = (wrapped, parsed, is_table_macro)
-    txn.change_log.append(f'created_macro:"{schema_name}"."{mname}"')
+    # reference change-type vocabulary (ducklake_transaction_changes.cpp:
+    # 47-51): scalar vs table macros log distinct change types
+    _kind = "created_table_macro" if is_table_macro else "created_scalar_macro"
+    txn.change_log.append(f'{_kind}:"{schema_name}"."{mname}"')
     lake._autocommit()
 
 
@@ -103,20 +127,24 @@ def drop_macro(lake: DuckLake, name: str) -> None:
         txn.column_changes[-1].remove(wrapped)
         if not txn.column_changes[-1]:
             del txn.column_changes[-1]
-        entry = f'created_macro:"{schema_name}"."{mname}"'
-        while entry in txn.change_log:
-            txn.change_log.remove(entry)
+        for _kind in ("created_scalar_macro", "created_table_macro"):
+            entry = f'{_kind}:"{schema_name}"."{mname}"'
+            while entry in txn.change_log:
+                txn.change_log.remove(entry)
         lake._autocommit()
         return
     rows = lake.meta.query(
-        "SELECT m.macro_id FROM ducklake_macro m "
+        "SELECT m.macro_id, "
+        " (SELECT i.type FROM ducklake_macro_impl i "
+        "  WHERE i.macro_id = m.macro_id LIMIT 1) "
+        "FROM ducklake_macro m "
         "JOIN ducklake_schema s ON m.schema_id = s.schema_id "
         "WHERE s.schema_name=? AND m.macro_name=? AND m.end_snapshot IS NULL",
         (schema_name, mname),
     )
     if not rows:
         raise DuckLakeError(f"no macro {name!r}")
-    mid = rows[0][0]
+    mid, was_table = rows[0][0], rows[0][1] == "table"
 
     def op(con, snap_id, mid=mid):
         con.execute(
@@ -126,8 +154,39 @@ def drop_macro(lake: DuckLake, name: str) -> None:
         )
 
     txn.column_changes.setdefault(-1, []).append(op)
-    txn.change_log.append(f'dropped_macro:"{schema_name}"."{mname}"')
+    txn.change_log.append(
+        f"dropped_table_macro:{mid}" if was_table
+        else f"dropped_scalar_macro:{mid}")
     lake._autocommit()
+
+
+def _macro_live_clause(lake: DuckLake) -> str:
+    """Visibility clause honoring an ATTACH pinned at a snapshot — a
+    macro dropped later is callable again through time travel
+    (reference test/sql/macros/test_attach_timetravel.test)."""
+    pinned = getattr(lake, "_pinned", None)
+    if pinned is None:
+        return "m.end_snapshot IS NULL"
+    sid = pinned.snapshot_id
+    return (f"m.begin_snapshot <= {int(sid)} AND "
+            f"(m.end_snapshot IS NULL OR m.end_snapshot > {int(sid)})")
+
+
+def live_macro_names(lake: DuckLake) -> list[tuple[str, str, str]]:
+    """[(schema, name, 'scalar'|'table')] of callable macros
+    (pinned-snapshot aware), plus transaction-local pending ones."""
+    out = [tuple(r) for r in lake.meta.query(
+        "SELECT s.schema_name, m.macro_name, "
+        " (SELECT i.type FROM ducklake_macro_impl i "
+        "  WHERE i.macro_id = m.macro_id LIMIT 1) "
+        "FROM ducklake_macro m "
+        "JOIN ducklake_schema s ON m.schema_id = s.schema_id "
+        f"WHERE {_macro_live_clause(lake)}")]
+    if lake._txn is not None:
+        for (s, n), (_w, _p, is_table) in getattr(
+                lake._txn, "_pending_macros", {}).items():
+            out.append((s, n, "table" if is_table else "scalar"))
+    return out
 
 
 def call_macro(lake: DuckLake, name: str, *args) -> DataFrame | str:
@@ -154,24 +213,24 @@ def call_macro(lake: DuckLake, name: str, *args) -> DataFrame | str:
                 expanded = re.sub(rf"\b{re.escape(p)}\b", str(a), expanded)
             return lake.sql(expanded) if is_table else expanded
     rows = lake.meta.query(
-        "SELECT m.macro_id, m.is_table_macro, i.body FROM ducklake_macro m "
+        "SELECT m.macro_id, i.type, i.sql FROM ducklake_macro m "
         "JOIN ducklake_macro_impl i ON m.macro_id = i.macro_id "
-        "WHERE m.macro_name=? AND m.end_snapshot IS NULL",
+        f"WHERE m.macro_name=? AND {_macro_live_clause(lake)}",
         (mname,),
     )
     if not rows:
         raise DuckLakeError(f"no macro {name!r}")
-    mid, is_table = rows[0][0], rows[0][1]
+    mid, is_table = rows[0][0], rows[0][1] == "table"
     bodies = dict(
         (ii, b) for ii, b in lake.meta.query(
-            "SELECT impl_index, body FROM ducklake_macro_impl "
+            "SELECT impl_id, sql FROM ducklake_macro_impl "
             "WHERE macro_id=?", (mid,))
     )
     params_by_impl: dict[int, list[tuple[str, str | None]]] = {}
     for ii, pname, pdefault in lake.meta.query(
-        "SELECT impl_index, parameter_name, default_value "
+        "SELECT impl_id, parameter_name, default_value "
         "FROM ducklake_macro_parameters WHERE macro_id=? "
-        "ORDER BY impl_index, parameter_index",
+        "ORDER BY impl_id, column_id",
         (mid,),
     ):
         params_by_impl.setdefault(ii, []).append((pname, pdefault))
@@ -211,11 +270,28 @@ def set_comment(lake: DuckLake, object_name: str, comment: str,
         if column is not None:
             raise
         vid = _live_view_id(lake, object_name)
-        if vid is None:
+        sn, vn = lake._split_name(object_name)
+        txn_open = lake._txn
+        txn_local_view = vid is None and txn_open is not None and any(
+            s == sn and v == vn
+            for s, v, _d, _s, _a in txn_open.created_views)
+        if vid is None and not txn_local_view:
             raise
         txn = lake._begin()
 
-        def vop(con, snap_id, vid=vid):
+        def vop(con, snap_id, vid=vid, sn=sn, vn=vn):
+            if vid is None:
+                # view created earlier in THIS transaction: its id is
+                # allocated when the DDL applies, before column ops run
+                # (reference comment_same_transaction.test)
+                got = con.execute(
+                    "SELECT v.view_id FROM ducklake_view v "
+                    "JOIN ducklake_schema s ON v.schema_id=s.schema_id "
+                    "WHERE s.schema_name=? AND v.view_name=? "
+                    "AND v.end_snapshot IS NULL", (sn, vn)).fetchone()
+                if got is None:
+                    return
+                vid = got[0]
             con.execute(
                 "UPDATE ducklake_tag SET end_snapshot=? "
                 "WHERE object_id=? AND key='comment' AND end_snapshot IS NULL",
@@ -227,7 +303,9 @@ def set_comment(lake: DuckLake, object_name: str, comment: str,
             )
 
         txn.column_changes.setdefault(-2, []).append(vop)
-        txn.change_log.append(f"altered_view:{vid}")
+        if vid is not None:
+            txn.change_log.append(f"altered_view:{vid}")
+        _note_pending_comment(txn, "view", sn, vn, None, comment)
         lake._autocommit()
         return
     txn = lake._begin()
@@ -274,7 +352,36 @@ def set_comment(lake: DuckLake, object_name: str, comment: str,
 
     txn.column_changes.setdefault(-2, []).append(lambda con, snap_id: op(con, snap_id))
     txn.change_log.append(f"altered_table:{h.table_id}")
+    _note_pending_comment(txn, "table", h.schema_name, h.table_name,
+                          column, comment)
     lake._autocommit()
+
+
+def _note_pending_comment(txn, kind: str, schema: str, name: str,
+                          column: str | None, comment) -> None:
+    """Record an uncommitted COMMENT so same-transaction introspection
+    (duckdb_tables()/columns()/views()) sees it before COMMIT —
+    reference comments run inside BEGIN and read back immediately
+    (test/sql/comments/comment_on_column.test:38-47)."""
+    pend = getattr(txn, "_pending_comments", None)
+    if pend is None:
+        pend = txn._pending_comments = {}
+    pend[(kind, schema.lower(), name.lower(),
+          column.lower() if column else None)] = comment
+
+
+def pending_comment(lake, kind: str, schema: str, name: str,
+                    column: str | None = None):
+    """(found, value) for an uncommitted COMMENT in the open txn."""
+    txn = lake._txn
+    pend = getattr(txn, "_pending_comments", None) if txn else None
+    if not pend:
+        return False, None
+    key = (kind, schema.lower(), name.lower(),
+           column.lower() if column else None)
+    if key in pend:
+        return True, pend[key]
+    return False, None
 
 
 def _live_view_id(lake: DuckLake, name: str) -> int | None:
@@ -328,6 +435,8 @@ def set_view_column_comment(lake: DuckLake, view_name: str, column: str,
 
     txn.column_changes.setdefault(-2, []).append(op)
     txn.change_log.append(f"altered_view:{vid}")
+    _sn, _vn = lake._split_name(view_name)
+    _note_pending_comment(txn, "view", _sn, _vn, canon, comment)
     lake._autocommit()
 
 

@@ -27,6 +27,7 @@ statement inventory mirrors the reference's test corpus under test/sql/.
 from __future__ import annotations
 
 import itertools
+import os
 import re
 
 from pyspark.sql import DataFrame, SparkSession
@@ -152,6 +153,21 @@ def _split_top(s: str, sep: str = ",") -> list[str]:
             cur.append(s[i:j + 1])
             i = j + 1
             continue
+        # consume 2-char operators so their < / > don't corrupt the
+        # generic-type depth tracking (versions => [1,2] split at the
+        # bracketed comma because '>' of '=>' decremented depth)
+        if c == "=" and i + 1 < n and s[i + 1] == ">":
+            cur.append("=>")
+            i += 2
+            continue
+        if c in "<>" and i + 1 < n and s[i + 1] == "=":
+            cur.append(c + "=")
+            i += 2
+            continue
+        if c == "<" and i + 1 < n and s[i + 1] == ">":
+            cur.append("<>")
+            i += 2
+            continue
         if c in "([<":
             depth += 1
         elif c in ")]>":
@@ -272,6 +288,80 @@ def duck_type_to_ducklake(t: str) -> str:
 
 
 # --------------------------------------------------------------------------
+
+
+def _quote_spans(s: str) -> list[tuple[int, int]]:
+    """[start, end] index pairs of single-quoted literals ('' escapes)."""
+    spans, i, n = [], 0, len(s)
+    while i < n:
+        if s[i] == "'":
+            j = i + 1
+            while j < n:
+                if s[j] == "'" and j + 1 < n and s[j + 1] == "'":
+                    j += 2
+                    continue
+                if s[j] == "'":
+                    break
+                j += 1
+            spans.append((i, j))
+            i = j + 1
+        else:
+            i += 1
+    return spans
+
+
+def translate_duck_literals(sql: str) -> str:
+    """DuckDB struct/map literal syntax -> Spark function calls:
+    ``{'i': 1, 'j': 2}`` -> ``named_struct('i', 1, 'j', 2)`` and
+    ``MAP {'k': v}`` -> ``map('k', v)``. Innermost-first so nested
+    literals (MAP {'1': {'i': 1}}) resolve bottom-up; braces inside
+    string literals (JSON text) are left alone."""
+    for _ in range(32):  # depth bound
+        spans = _quote_spans(sql)
+
+        def _in_str(pos: int) -> bool:
+            return any(a <= pos <= b for a, b in spans)
+
+        # innermost unquoted {...}: contains no unquoted braces
+        found = None
+        stack: list[int] = []
+        for i, ch in enumerate(sql):
+            if _in_str(i):
+                continue
+            if ch == "{":
+                stack.append(i)
+            elif ch == "}" and stack:
+                found = (stack.pop(), i)
+                break
+        if not found:
+            return sql
+        a, b = found
+        inner = sql[a + 1:b]
+        parts = _split_top(inner)
+        pairs = []
+        for p in parts:
+            mm = re.match(r"\s*('(?:[^']|'')*'|\"[^\"]*\"|[A-Za-z_]\w*)"
+                          r"\s*:\s*(.+)$", p, re.S)
+            if not mm:
+                pairs = None
+                break
+            key = mm.group(1)
+            if not key.startswith("'"):
+                key = "'" + _unquote(key).replace("'", "''") + "'"
+            pairs.append((key, mm.group(2).strip()))
+        if pairs is None or not pairs:
+            return sql  # not a literal we understand — leave untouched
+        lead = sql[:a].rstrip()
+        if re.search(r"(?i)\bMAP\s*$", lead):
+            mstart = re.search(r"(?i)\bMAP\s*$", lead).start()
+            repl = ("map(" + ", ".join(f"{k}, {v}" for k, v in pairs)
+                    + ")")
+            sql = sql[:mstart] + repl + sql[b + 1:]
+        else:
+            repl = ("named_struct("
+                    + ", ".join(f"{k}, {v}" for k, v in pairs) + ")")
+            sql = sql[:a] + repl + sql[b + 1:]
+    return sql
 
 
 def _parse_value(tok: str):
@@ -623,6 +713,12 @@ class SQLSession:
             raise SQLFrontUnsupported(f"USE grammar: {stmt!r}")
         db = _unquote(m.group(1))
         if db not in self.lakes:
+            if db == "memory":
+                # the host engine's default in-memory database — a USE
+                # target in reference tests before DETACHing the lake
+                self.current = None
+                self.current_schema = "main"
+                return None
             raise DuckLakeError(f"database {db!r} is not attached")
         self.current = db
         self.current_schema = _unquote(m.group(2)) if m.group(2) else "main"
@@ -1006,7 +1102,7 @@ class SQLSession:
             except DuckLakeError:
                 pass
         M.create_macro(lake, api, overloads=overloads,
-                       is_table_macro=is_table)
+                       is_table_macro=is_table, dialect="duckdb")
         return None
 
     def _drop_macro(self, stmt: str) -> None:
@@ -1050,6 +1146,16 @@ class SQLSession:
             M.set_comment(lake, api, val, column=col)
             return None
         lake, api, *_ = self._resolve(m.group(2))
+        # the DDL kind must match the object (reference: COMMENT ON VIEW
+        # of a table errors 'not a view', and vice versa —
+        # test/sql/comments/comments.test:74-83)
+        sn, on = lake._split_name(api)
+        is_view = (sn, on) in self._view_names(lake)
+        is_table = f"{sn}.{on}" in lake._table_names()
+        if kind == "VIEW" and not is_view and is_table:
+            raise DuckLakeError(f"{api!r} is not a view")
+        if kind == "TABLE" and not is_table and is_view:
+            raise DuckLakeError(f"{api!r} is not a table")
         M.set_comment(lake, api, val)
         return None
 
@@ -1416,12 +1522,40 @@ class SQLSession:
             rf"SET\s+(?:GLOBAL\s+|SESSION\s+)?({_IDENT})\s*(?:=|TO)\s*(.+)$",
             stmt, re.I | re.S)
         if not m:
+            mr = re.match(
+                rf"RESET\s+(?:GLOBAL\s+|SESSION\s+)?({_IDENT})\s*$",
+                stmt, re.I)
+            if mr and _unquote(mr.group(1)) \
+                    == "ducklake_default_data_inlining_row_limit":
+                # RESET restores the reference default (10)
+                self.settings.pop(_unquote(mr.group(1)), None)
+                self.default_inline_limit = 10
+                for lake in self.lakes.values():
+                    lake.session_inline_default = 10
+                return None
             if re.match(r"(RESET|PRAGMA)\b", stmt, re.I):
                 return None  # engine pragmas: no analogue, accept
             raise SQLFrontUnsupported(f"SET grammar: {stmt!r}")
         key = _unquote(m.group(1))
         val = m.group(2).strip().strip("'")
         self.settings[key] = val
+        if key == "ducklake_default_data_inlining_row_limit":
+            # SESSION default, not a catalog option: feeds _inline_limit
+            # when no scope sets data_inlining_row_limit explicitly
+            # (reference ducklake_extension.cpp:36-38;
+            # inlining_reserved_column_names.test:189-205)
+            self.default_inline_limit = int(val)
+            for lake in self.lakes.values():
+                lake.session_inline_default = self.default_inline_limit
+            return None
+        if key == "ducklake_target_file_size":
+            # the reference validates the size text at SET time, and
+            # rejects 0 (insert_session_target_file_size.test)
+            from ducklake_spark.lake import parse_memory_limit
+
+            if parse_memory_limit(val) <= 0:
+                raise DuckLakeError(
+                    f"invalid ducklake_target_file_size {val!r}")
         if key.startswith("ducklake_"):
             opt = key[len("ducklake_"):]
             for lake in self.lakes.values():
@@ -1450,9 +1584,11 @@ class SQLSession:
         if m:
             lake, api, *_ = self._resolve(m.group(1))
             h = lake._handle(api)
-            from ducklake_spark.catalog.types import ducklake_to_spark
+            from ducklake_spark.catalog.types import ducklake_type_display
 
-            rows = [(c[1], ducklake_to_spark(c[2]).simpleString().upper(),
+            # duckdb's display names (INTEGER not INT —
+            # test/sql/alter/add_column.test DESCRIBE block)
+            rows = [(c[1], ducklake_type_display(c[2]),
                      "YES" if c[3] else "NO", None, None, None)
                     for c in h.columns]
             return self.spark.createDataFrame(
@@ -1465,10 +1601,25 @@ class SQLSession:
         return self.spark.sql(rewritten)
 
     def _view_names(self, lake: DuckLake) -> list[tuple[str, str]]:
-        return [tuple(r) for r in lake.meta.query(
-            "SELECT s.schema_name, v.view_name FROM ducklake_view v "
+        rows = lake.meta.query(
+            "SELECT s.schema_name, v.view_name, v.view_id "
+            "FROM ducklake_view v "
             "JOIN ducklake_schema s ON v.schema_id = s.schema_id "
-            "WHERE v.end_snapshot IS NULL")]
+            "WHERE v.end_snapshot IS NULL")
+        txn = lake._txn
+        if txn is None:
+            return [(s, v) for s, v, _ in rows]
+        # txn-local lifecycle: views created in this transaction bind,
+        # dropped ones stop binding (reference drop_entry_same_schema)
+        dropped = set(txn.dropped_views)
+        renamed = dict(txn.renamed_views)
+        out = []
+        for s, v, vid in rows:
+            if vid in dropped:
+                continue
+            out.append((s, renamed.get(vid, v)))
+        out += [(s, v) for s, v, _d, _s2, _a in txn.created_views]
+        return out
 
     # query rewriting: resolve DuckLake names/functions to temp views ----------
 
@@ -1515,6 +1666,73 @@ class SQLSession:
         raise SQLFrontUnsupported(f"table function {fn!r}")
 
     def _rewrite_query(self, sql: str) -> str:
+        # 0. duckdb struct/map literal syntax -> Spark calls
+        if "{" in sql:
+            sql = translate_duck_literals(sql)
+        # 0-macro. textual scalar/table macro expansion (the reference
+        # binder resolves stored macros before planning; pinned-snapshot
+        # attaches see the macro set of that snapshot)
+        if self.current is not None:
+            from ducklake_spark import macros as M
+
+            lake0 = self.lakes[self.current]
+            try:
+                known = {n for _s, n, t in M.live_macro_names(lake0)
+                         if t != "table"}
+            except Exception:
+                known = set()
+            for _round in range(8):
+                hit = False
+                for mn in known:
+                    mm = re.search(rf"\b{re.escape(mn)}\s*\(", sql,
+                                   re.I)
+                    if not mm:
+                        continue
+                    # balanced-paren argument span
+                    i = mm.end()
+                    depth, j = 1, i
+                    while j < len(sql) and depth:
+                        if sql[j] == "(":
+                            depth += 1
+                        elif sql[j] == ")":
+                            depth -= 1
+                        j += 1
+                    if depth:
+                        continue
+                    argtext = sql[i:j - 1]
+                    args = [a for a in _split_top(argtext)] \
+                        if argtext.strip() else []
+                    try:
+                        expanded = M.call_macro(lake0, mn, *args)
+                    except DuckLakeError:
+                        continue
+                    if not isinstance(expanded, str):
+                        continue  # table macro: handled in FROM pos
+                    sql = (sql[:mm.start()] + "(" + expanded + ")"
+                           + sql[j:])
+                    hit = True
+                if not hit:
+                    break
+            try:
+                known_t = {n for _s, n, t in M.live_macro_names(lake0)
+                           if t == "table"}
+            except Exception:
+                known_t = set()
+            if known_t:
+                def _tmacro(m: re.Match) -> str:
+                    name = _unquote(m.group(2))
+                    args = ([a for a in _split_top(m.group(3))]
+                            if m.group(3).strip() else [])
+                    df = M.call_macro(lake0, name, *args)
+                    return (f"{m.group(1)} {self._register(df)} "
+                            f"AS {name}")
+
+                sql = re.sub(
+                    r"(\bFROM|\bJOIN|,)\s+("
+                    + "|".join(re.escape(n) for n in known_t)
+                    + r")\s*\(([^()]*)\)",
+                    _tmacro, sql, flags=re.I)
+
         # 0a. getvariable('v') -> literal
         def _getvar(m: re.Match) -> str:
             name = m.group(1)
@@ -1568,7 +1786,9 @@ class SQLSession:
         def _glob(m: re.Match) -> str:
             import glob as _glob_mod
 
-            hits = sorted(_glob_mod.glob(m.group(1), recursive=True))
+            hits = sorted(h for h in _glob_mod.glob(m.group(1),
+                                                    recursive=True)
+                          if os.path.isfile(h))  # duckdb GLOB lists files
             df = self.spark.createDataFrame(
                 [(h,) for h in hits], "file string")
             return f"{self._register(df)} AS glob"
@@ -1827,16 +2047,24 @@ class SQLSession:
                       "tags map<string,string>")
         if kind == "duckdb_schemas":
             for name, lake in self.lakes.items():
-                for (s,) in lake.meta.query(
-                        "SELECT schema_name FROM ducklake_schema "
+                txn = lake._txn
+                dropped = set(txn.dropped_schemas) if txn else set()
+                for sid, s in lake.meta.query(
+                        "SELECT schema_id, schema_name FROM ducklake_schema "
                         "WHERE end_snapshot IS NULL ORDER BY schema_id"):
-                    rows.append((name, s))
+                    if sid not in dropped:
+                        rows.append((name, s))
+                if txn:
+                    rows.extend((name, s) for s, _u in txn.created_schemas)
             for alias in explicit_meta:
                 rows.append((alias, "main"))
             return self.spark.createDataFrame(
                 rows, "database_name string, schema_name string")
         if kind == "duckdb_tables":
             for name, lake in self.lakes.items():
+                txn = lake._txn
+                dropped = set(txn.dropped_tables) if txn else set()
+                renamed = dict(txn.renamed_tables) if txn else {}
                 for s, t, tid, comment, ncols, rc in lake.meta.query(
                     "SELECT s.schema_name, t.table_name, t.table_id, "
                     " (SELECT value FROM ducklake_tag g WHERE "
@@ -1851,8 +2079,19 @@ class SQLSession:
                     "ON t.schema_id=s.schema_id AND s.end_snapshot IS NULL "
                     "WHERE t.end_snapshot IS NULL ORDER BY t.table_id"
                 ):
-                    rows.append((name, s, t, int(tid), comment,
+                    from ducklake_spark.macros import pending_comment
+
+                    if int(tid) in dropped:
+                        continue
+                    t = renamed.get(int(tid), t)
+                    hit, pc = pending_comment(lake, "table", s, t)
+                    rows.append((name, s, t, int(tid),
+                                 pc if hit else comment,
                                  int(rc or 0), int(ncols)))
+                if txn:
+                    for td in txn.created_tables:
+                        rows.append((name, td.schema_name, td.table_name,
+                                     -1, None, 0, len(td.columns)))
             for alias, ln in explicit_meta.items():
                 meta = self.lakes[ln].meta
                 for i, (t,) in enumerate(meta.query(
@@ -1868,8 +2107,12 @@ class SQLSession:
                       "estimated_size long, column_count long")
         if kind == "duckdb_views":
             for name, lake in self.lakes.items():
-                for s, v, vid, sql_, comment in lake.meta.query(
+                txn = lake._txn
+                vdropped = set(txn.dropped_views) if txn else set()
+                vrenamed = dict(txn.renamed_views) if txn else {}
+                for s, v, vid, sql_, aliases, comment in lake.meta.query(
                     "SELECT s.schema_name, v.view_name, v.view_id, v.sql, "
+                    " v.column_aliases, "
                     " (SELECT value FROM ducklake_tag g WHERE "
                     "  g.object_id=v.view_id AND g.key='comment' "
                     "  AND g.end_snapshot IS NULL) "
@@ -1877,7 +2120,38 @@ class SQLSession:
                     "ON v.schema_id=s.schema_id AND s.end_snapshot IS NULL "
                     "WHERE v.end_snapshot IS NULL ORDER BY v.view_id"
                 ):
-                    rows.append((name, s, v, int(vid), comment, sql_))
+                    # duckdb_views().sql shows the reconstructed DDL
+                    # (ToSQL), not the bare SELECT
+                    if aliases:
+                        import json as _json
+
+                        alias_txt = " (" + ", ".join(
+                            _json.loads(aliases)) + ")"
+                    else:
+                        alias_txt = ""
+                    if int(vid) in vdropped:
+                        continue
+                    v = vrenamed.get(int(vid), v)
+                    ddl = f"CREATE VIEW {v}{alias_txt} AS {sql_};"
+                    from ducklake_spark.macros import pending_comment
+
+                    hit, pc = pending_comment(lake, "view", s, v)
+                    rows.append((name, s, v, int(vid),
+                                 pc if hit else comment, ddl))
+                if txn:
+                    from ducklake_spark.macros import pending_comment
+
+                    for vs, vn, _d, vsql, va in txn.created_views:
+                        if va:
+                            import json as _json
+
+                            at = " (" + ", ".join(_json.loads(va)) + ")"
+                        else:
+                            at = ""
+                        hit, pc = pending_comment(lake, "view", vs, vn)
+                        rows.append((name, vs, vn, -1,
+                                     pc if hit else None,
+                                     f"CREATE VIEW {vn}{at} AS {vsql};"))
             return self.spark.createDataFrame(
                 rows, "database_name string, schema_name string, "
                       "view_name string, view_oid long, comment string, "
@@ -1886,8 +2160,19 @@ class SQLSession:
             from ducklake_spark.catalog.types import spark_to_ducklake
 
             for name, lake in self.lakes.items():
-                for s, t, cname, ctype, idx, comment, nn in lake.meta.query(
-                    "SELECT s.schema_name, t.table_name, c.column_name, "
+                txn = lake._txn
+                if txn:
+                    for td in txn.created_tables:
+                        for i, c in enumerate(td.columns):
+                            rows.append((name, td.schema_name,
+                                         td.table_name, c.name, i + 1,
+                                         ducklake_type_display(c.type),
+                                         None, c.nulls_allowed))
+                dropped_t = set(txn.dropped_tables) if txn else set()
+                renamed_t = dict(txn.renamed_tables) if txn else {}
+                for tid, s, t, cname, ctype, idx, comment, nn in lake.meta.query(
+                    "SELECT t.table_id, "
+                    " s.schema_name, t.table_name, c.column_name, "
                     " c.column_type, c.column_order, "
                     " (SELECT value FROM ducklake_column_tag g WHERE "
                     "  g.table_id=c.table_id AND g.column_id=c.column_id "
@@ -1902,9 +2187,15 @@ class SQLSession:
                     " AND c.parent_column IS NULL "
                     "ORDER BY t.table_id, c.column_order"
                 ):
+                    from ducklake_spark.macros import pending_comment
+
+                    if int(tid) in dropped_t:
+                        continue
+                    t = renamed_t.get(int(tid), t)
+                    hit, pc = pending_comment(lake, "table", s, t, cname)
                     rows.append((name, s, t, cname, int(idx) + 1,
-                                 ducklake_type_display(ctype), comment,
-                                 bool(nn)))
+                                 ducklake_type_display(ctype),
+                                 pc if hit else comment, bool(nn)))
                 # view OUTPUT columns (comments keyed by name in
                 # ducklake_view_column_tag)
                 for s, v, vid in lake.meta.query(
@@ -1922,12 +2213,17 @@ class SQLSession:
                         fields = self._bind(lake, s, v).schema.fields
                     except Exception:
                         continue
+                    from ducklake_spark.macros import pending_comment
+
                     for i, f in enumerate(fields):
+                        hit, pc = pending_comment(lake, "view", s, v,
+                                                  f.name)
                         rows.append((
                             name, s, v, f.name, i + 1,
                             ducklake_type_display(
                                 spark_to_ducklake(f.dataType)),
-                            vtags.get(f.name.lower(), vtags.get(f.name)),
+                            pc if hit else vtags.get(
+                                f.name.lower(), vtags.get(f.name)),
                             True))
             return self.spark.createDataFrame(
                 rows, "database_name string, schema_name string, "

@@ -16,6 +16,94 @@ from pyspark.sql import DataFrame
 from ducklake_spark.lake import DuckLake
 
 
+# stored change-type prefix (ducklake_transaction_changes.cpp:43-86)
+# -> display key (ducklake_snapshots.cpp:80-146), in the reference's
+# emission order so rendered maps compare equal
+_CHANGE_DISPLAY = {
+    "created_schema": "schemas_created",
+    "dropped_schema": "schemas_dropped",
+    "created_table": "tables_created",
+    "created_view": "views_created",
+    "created_scalar_macro": "scalar_macros_created",
+    "created_table_macro": "table_macros_created",
+    "dropped_table": "tables_dropped",
+    "altered_table": "tables_altered",
+    "inserted_into_table": "tables_inserted_into",
+    "deleted_from_table": "tables_deleted_from",
+    "dropped_view": "views_dropped",
+    "dropped_scalar_macro": "scalar_macros_dropped",
+    "dropped_table_macro": "table_macros_dropped",
+    "altered_view": "views_altered",
+    "inlined_insert": "inlined_insert",
+    "inlined_delete": "inlined_delete",
+    "flushed_inlined": "flushed_inlined",
+    "inline_flush": "flushed_inlined",
+    "merge_adjacent": "merge_adjacent",
+    "rewrite_delete": "rewrite_delete",
+    "compacted_table": "merge_adjacent",
+}
+_CHANGE_ORDER = {k: i for i, k in enumerate(dict.fromkeys(
+    _CHANGE_DISPLAY.values()))}
+
+
+def _split_change_entries(changes: str) -> list[str]:
+    """Split on unquoted commas (ParseChangeValue semantics)."""
+    out, cur, q = [], [], False
+    for ch in changes:
+        if ch == '"':
+            q = not q
+        if ch == "," and not q:
+            out.append("".join(cur))
+            cur = []
+        else:
+            cur.append(ch)
+    if cur:
+        out.append("".join(cur))
+    return out
+
+
+def _display_changes(changes: str | None) -> dict[str, list[str]]:
+    """changes_made text -> the display map ducklake_snapshots() shows
+    (quoted identifiers unquoted, reference key names and order)."""
+    buckets: dict[str, list[str]] = {}
+    for entry in _split_change_entries(changes or ""):
+        if not entry:
+            continue
+        kind, _, payload = entry.partition(":")
+        kind = kind.strip().lower()
+        key = _CHANGE_DISPLAY.get(kind, kind)
+        if kind in ("created_scalar_macro", "created_table_macro"):
+            # reference shows macros as schema."name" — schema unquoted,
+            # macro name kept quoted (ducklake_snapshots.cpp:30-35 via
+            # SQLIdentifier::ToString on the name only)
+            parts = _split_quoted_dots(payload)
+            sch = (parts[0][1:-1].replace('""', '"')
+                   if parts[0].startswith('"') else parts[0])
+            payload = sch + "." + ".".join(parts[1:])
+        else:
+            # '"main"' -> main; '"s"."t"' -> s.t; ids pass through
+            payload = ".".join(
+                p[1:-1].replace('""', '"') if p.startswith('"') else p
+                for p in _split_quoted_dots(payload))
+        buckets.setdefault(key, []).append(payload)
+    return {k: buckets[k] for k in
+            sorted(buckets, key=lambda k: _CHANGE_ORDER.get(k, 99))}
+
+
+def _split_quoted_dots(s: str) -> list[str]:
+    out, cur, q = [], [], False
+    for ch in s:
+        if ch == '"':
+            q = not q
+        if ch == "." and not q:
+            out.append("".join(cur))
+            cur = []
+        else:
+            cur.append(ch)
+    out.append("".join(cur))
+    return out
+
+
 def snapshots(lake: DuckLake) -> DataFrame:
     """reference: ducklake_snapshots.cpp:39-58"""
     rows = lake.meta.query(
@@ -26,13 +114,8 @@ def snapshots(lake: DuckLake) -> DataFrame:
     )
     data = []
     for sid, ts, sv, changes, author, msg, extra in rows:
-        changes_map = {}
-        for entry in (changes or "").split(","):
-            if not entry:
-                continue
-            kind, _, payload = entry.partition(":")
-            changes_map.setdefault(kind, []).append(payload)
-        data.append((sid, str(ts), sv, changes_map, author, msg, extra))
+        data.append((sid, str(ts), sv, _display_changes(changes),
+                     author, msg, extra))
     return lake.spark.createDataFrame(
         data,
         "snapshot_id long, snapshot_time string, schema_version long, "

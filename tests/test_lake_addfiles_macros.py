@@ -242,7 +242,7 @@ def test_macro_default_parameters(lake, spark):
     rows = lake.meta.query(
         "SELECT parameter_name, default_value FROM ducklake_macro_parameters "
         "WHERE macro_id=(SELECT macro_id FROM ducklake_macro "
-        "WHERE macro_name='add_default') ORDER BY parameter_index")
+        "WHERE macro_name='add_default') ORDER BY column_id")
     assert rows == [("a", None), ("b", "5")]
     from ducklake_spark.lake import DuckLakeError
 

@@ -62,7 +62,7 @@ def test_snapshots_and_time_travel(lake, spark):
     # snapshots() surface
     snaps = lake.snapshots().collect()
     assert snaps[0].snapshot_id == 0
-    assert any("inserted_into_table" in r.changes for r in snaps)
+    assert any("tables_inserted_into" in r.changes for r in snaps)
 
 
 def test_time_travel_before_table(lake, spark):
@@ -156,8 +156,8 @@ def test_transaction_groups_snapshot(lake, spark):
         lake.create_table("g1", [("i", "int32")])
         lake.create_table("g2", [("i", "int32")])
     snaps = lake.snapshots().collect()
-    assert "created_table" in snaps[-1].changes
-    assert len(snaps[-1].changes["created_table"]) == 2
+    assert "tables_created" in snaps[-1].changes
+    assert len(snaps[-1].changes["tables_created"]) == 2
 
 
 def test_scan_pushes_filters_and_prunes_columns(lake, spark):

@@ -155,6 +155,9 @@ def test_call_maintenance(sess):
     sess.execute("CREATE TABLE m(i INTEGER)")
     for k in range(3):
         sess.execute(f"INSERT INTO m VALUES ({k})")
+    # single-row inserts inline under the reference's session default
+    # (10); flush first so compaction has files to merge
+    sess.execute("CALL ducklake_flush_inlined_data('dl')")
     sess.execute("CALL dl.merge_adjacent_files()")
     assert rows(sess.execute("SELECT COUNT(*) FROM m")) == [(3,)]
     files = rows(sess.execute("SELECT COUNT(*) FROM dl.list_files('m')"))

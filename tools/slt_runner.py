@@ -192,7 +192,8 @@ def render(v) -> str:
     if isinstance(v, list):
         return "[" + ", ".join(_inner(x) for x in v) + "]"
     if isinstance(v, dict):
-        return ("{" + ", ".join(f"'{k}': {_inner(x)}"
+        # Spark MapType -> duckdb's MAP rendering: {key=value, ...}
+        return ("{" + ", ".join(f"{k}={_inner(x)}"
                                 for k, x in v.items()) + "}")
     try:  # Row -> dict
         d = v.asDict(recursive=False)
@@ -221,13 +222,14 @@ def _cells_match(actual: str, expected: str, typ: str) -> bool:
         try:
             return int(float(actual)) == int(float(expected))
         except ValueError:
-            return False
+            pass  # duckdb's type chars are advisory — a MAP column
+            # under `query II` still compares as text
     if typ == "R":
         try:
             a, e = float(actual), float(expected)
             return math.isclose(a, e, rel_tol=1e-6, abs_tol=1e-9)
         except ValueError:
-            return False
+            pass
     # T: also tolerate numeric-formatting differences and quote style
     na = actual.replace("'", "").replace('"', "")
     ne = expected.replace("'", "").replace('"', "")
