@@ -920,7 +920,18 @@ class DuckLake:
         _check_reserved_column(new_name)
         if self._inline_limit(h.table_id, h.schema_id) > 0:
             _check_inline_reserved(new_name)
+        if not any(cn.lower() == col_name.lower() for _i, cn, _t, _n
+                   in h.columns):
+            raise DuckLakeError(
+                f'column "{col_name}" does not exist in {name!r}')
         txn = self._begin()
+        if self._explicit_txn:
+            # make the new name visible to the transaction's own later
+            # statements (ADD -> RENAME -> DROP chains, test/sql/alter/
+            # multi_alter_same_column_transaction.test); the commit-time
+            # op below still renames the catalog row
+            txn.pending_column_renames.setdefault(h.table_id, []).append(
+                (col_name, new_name))
 
         def op(con, snap_id, h=h, col_name=col_name, new_name=new_name):
             row = con.execute(
@@ -4135,6 +4146,12 @@ class DuckLake:
                 for cid, cname, ctype, _dflt
                 in self._txn.pending_columns.get(table_id, [])
             ]
+            for old, new in self._txn.pending_column_renames.get(
+                    table_id, []):
+                cols = [
+                    (cid, new if cn.lower() == old.lower() else cn, ct, nn)
+                    for cid, cn, ct, nn in cols
+                ]
         return TableHandle(table_id, table_uuid, schema_id, schema_name,
                            table_name, path, cols)
 

@@ -235,6 +235,12 @@ class Transaction:
         # data_inlining_transaction_local_alter.test):
         # table_id -> [(reserved column_id, name, type, default)]
         self.pending_columns: dict[int, list[tuple]] = {}
+        # columns RENAMED by THIS open transaction, applied in order on
+        # top of the committed schema + pending_columns so later
+        # statements in the txn (e.g. ADD -> RENAME -> DROP chains,
+        # test/sql/alter/multi_alter_same_column_transaction.test)
+        # resolve the new name: table_id -> [(old_name, new_name)]
+        self.pending_column_renames: dict[int, list[tuple[str, str]]] = {}
 
     def alloc_catalog_id(self) -> int:
         """Mint a catalog id from the committing snapshot's allocator.
