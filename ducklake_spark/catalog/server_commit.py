@@ -302,13 +302,13 @@ def _attempt(con, payload: dict) -> dict:
         for tid_s, pairs in payload.get("inlined_deletes", {}).items():
             tid = int(tid_s)
             con.execute(
-                f"CREATE TABLE IF NOT EXISTS ducklake_inlined_deletes_{tid}("
-                "data_file_id BIGINT, pos BIGINT, "
+                f"CREATE TABLE IF NOT EXISTS ducklake_inlined_delete_{tid}("
+                "file_id BIGINT, row_id BIGINT, "
                 "begin_snapshot BIGINT, end_snapshot BIGINT)"
             )
             if pairs:
                 con.executemany(
-                    f"INSERT INTO ducklake_inlined_deletes_{tid} "
+                    f"INSERT INTO ducklake_inlined_delete_{tid} "
                     "VALUES (?, ?, ?, NULL)",
                     [(fid, pos, snap_id) for fid, pos in pairs],
                 )

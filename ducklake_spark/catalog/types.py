@@ -142,17 +142,30 @@ def ducklake_to_catalog_sql(name: str) -> str:
 # Widening promotion rule: ALTER ... CHANGE TYPE is allowed iff the
 # promotion is lossless (reference: ducklake_table_entry.cpp:912-921,
 # "MaxLogicalType(source, target) == target").
+# the reference allows exactly DuckDB's MaxLogicalType lattice
+# (TypePromotionIsAllowed, ducklake_table_entry.cpp:912-921): promotion
+# is legal iff max(source, target) == target. This literal matrix is
+# the lattice evaluated over the DuckLake type set (verified against
+# duckdb's COALESCE typing; test/sql/alter/promote_type_all.test).
 _PROMOTIONS: dict[str, set[str]] = {
-    "int8": {"int16", "int32", "int64"},
-    "int16": {"int32", "int64"},
-    "int32": {"int64"},
-    "uint8": {"uint16", "uint32", "uint64", "int16", "int32", "int64"},
-    "uint16": {"uint32", "uint64", "int32", "int64"},
-    "uint32": {"uint64", "int64"},
+    "int8": {"int16", "int32", "int64", "int128", "float32", "float64"},
+    "int16": {"int32", "int64", "int128", "float32", "float64"},
+    "int32": {"int64", "int128", "float32", "float64"},
+    "int64": {"int128", "float32", "float64"},
+    "int128": {"float32", "float64"},
+    "uint8": {"uint16", "uint32", "uint64", "uint128",
+              "int16", "int32", "int64", "int128", "float32", "float64"},
+    "uint16": {"uint32", "uint64", "uint128",
+               "int32", "int64", "int128", "float32", "float64"},
+    "uint32": {"uint64", "uint128", "int64", "int128",
+               "float32", "float64"},
+    "uint64": {"uint128", "int128", "float32", "float64"},
+    "uint128": {"float32", "float64"},
     "float32": {"float64"},
     "timestamp_s": {"timestamp_ms", "timestamp", "timestamp_ns"},
     "timestamp_ms": {"timestamp", "timestamp_ns"},
-    "timestamp": {"timestamp_ns"},
+    "timestamp": {"timestamp_ns", "timestamptz"},
+    "date": {"timestamp", "timestamptz"},
 }
 
 

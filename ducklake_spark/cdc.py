@@ -251,12 +251,12 @@ def table_deletions(lake: DuckLake, name: str, start, end) -> DataFrame:
         frames.append(df.select("snapshot_id", "rowid", *[f.name for f in schema.fields]))
 
     # 2b) catalog-inlined small deletes committed in range
-    idt = f"ducklake_inlined_deletes_{h.table_id}"
+    idt = f"ducklake_inlined_delete_{h.table_id}"
     if lake.meta.query(
         "SELECT 1 FROM sqlite_master WHERE type='table' AND name=?", (idt,)
     ):
         inl = lake.meta.query(
-            f"SELECT data_file_id, pos, begin_snapshot FROM {idt} "
+            f"SELECT file_id, row_id, begin_snapshot FROM {idt} "
             "WHERE begin_snapshot >= ? AND begin_snapshot <= ?",
             (start, end),
         )

@@ -134,6 +134,12 @@ def _rewrite_buffered(lake: DuckLake, h: TableHandle, where: str,
                 nf.allocate = False
                 nf.row_id_start = None
         for fi in grp:
+            if fi.mapping_id is not None:
+                # adopted via add_data_files: the file is externally
+                # owned — dropping its txn-local registration must not
+                # touch the disk (test/sql/delete/
+                # preserve_external_transaction_local_files.test)
+                continue
             lake.lfs.remove(
                 lake.lfs.strip_scheme(os.path.join(lake.data_path, fi.path)))
         out_files.extend(new_files)
@@ -374,9 +380,16 @@ def _apply_file_deletes_fused(lake: DuckLake, h: TableHandle, snap,
             # GROSS stats convention (reference full_file_delete_stats):
             # partial deletes leave record_count alone; a whole-file
             # drop subtracts the file's record count
-            txn.stats_delta.setdefault(h.table_id, {}).setdefault(
-                "records", 0)
-            txn.stats_delta[h.table_id]["records"] -= finfo["record_count"]
+            delta = txn.stats_delta.setdefault(h.table_id, {})
+            delta["records"] = (delta.get("records", 0)
+                                - finfo["record_count"])
+            delta["bytes"] = (delta.get("bytes", 0)
+                              - (finfo["file_size_bytes"] or 0))
+            # commit applies the reference's dropped-file stats rule
+            # (delete-or-reset of global column stats)
+            dfs = txn.dropped_file_stats.setdefault(h.table_id, [0, 0])
+            dfs[0] += finfo["record_count"]
+            dfs[1] += finfo["file_size_bytes"] or 0
             had_file = True
             continue
         if not w["out_path"]:
@@ -515,15 +528,15 @@ def _inlined_delete_counts(lake, h) -> dict[int, int]:
     delete touching 100k files must not mean 100k catalog round-trips).
     Positions absorbed EARLIER IN THIS OPEN TRANSACTION count too: the
     full-file-drop decision must see them."""
-    tname = f"ducklake_inlined_deletes_{h.table_id}"
+    tname = f"ducklake_inlined_delete_{h.table_id}"
     out: dict[int, int] = {}
     if lake.meta.query(
         "SELECT 1 FROM sqlite_master WHERE type='table' AND name=?", (tname,)
     ):
         out = dict(
             lake.meta.query(
-                f"SELECT data_file_id, COUNT(*) FROM {tname} "
-                "WHERE end_snapshot IS NULL GROUP BY data_file_id"
+                f"SELECT file_id, COUNT(*) FROM {tname} "
+                "WHERE end_snapshot IS NULL GROUP BY file_id"
             )
         )
     if lake._txn is not None:

@@ -350,6 +350,8 @@ class DuckLake:
         finally:
             self._txn = None
             self._commit_note = (None, None, None)
+        if snap is not None:
+            DuckLake._LAST_COMMITTED[self.meta.db_path] = snap
         return snap
 
     def rollback(self) -> None:
@@ -473,8 +475,14 @@ class DuckLake:
             return self._pinned.snapshot_id
         return self.meta.latest_snapshot().snapshot_id
 
+    # catalog-identity -> last snapshot committed by THIS process
+    # (reference ducklake_last_committed_snapshot is scoped to the
+    # database instance: every connection of one process sees it,
+    # test/sql/snapshot_info/ducklake_last_commit.test)
+    _LAST_COMMITTED: dict[str, int] = {}
+
     def last_committed_snapshot(self) -> int | None:
-        return getattr(self, "_last_committed", None)
+        return DuckLake._LAST_COMMITTED.get(self.meta.db_path)
 
     def _resolve_snapshot(self, at_version: int | None, at_timestamp: str | None) -> Snapshot:
         if at_version is not None:
@@ -860,14 +868,16 @@ class DuckLake:
                     if_exists: bool = False) -> None:
         h = self._handle(name)
         self._require_committed(h, "ALTER DROP COLUMN")
-        if not any(cn.lower() == col_name.lower() for _i, cn, _t, _n
-                   in h.columns):
+        stored = next((cn for _i, cn, _t, _n in h.columns
+                       if cn.lower() == col_name.lower()), None)
+        if stored is None:
             # reference: dropping a missing column errors unless IF
             # EXISTS (test/sql/alter/drop_column.test:23-31)
             if if_exists:
                 return
             raise DuckLakeError(
                 f'column "{col_name}" does not exist in {name!r}')
+        col_name = stored
         if len(h.columns) == 1:
             # reference: test/sql/alter/drop_column.test:33-37
             raise DuckLakeError(
@@ -920,10 +930,13 @@ class DuckLake:
         _check_reserved_column(new_name)
         if self._inline_limit(h.table_id, h.schema_id) > 0:
             _check_inline_reserved(new_name)
-        if not any(cn.lower() == col_name.lower() for _i, cn, _t, _n
-                   in h.columns):
+        stored = next((cn for _i, cn, _t, _n in h.columns
+                       if cn.lower() == col_name.lower()), None)
+        if stored is None:
             raise DuckLakeError(
                 f'column "{col_name}" does not exist in {name!r}')
+        col_name = stored  # duckdb identifiers are case-insensitive
+        # (alter/rename_column_with_case_insensitive_name.test)
         txn = self._begin()
         if self._explicit_txn:
             # make the new name visible to the transaction's own later
@@ -1604,6 +1617,14 @@ class DuckLake:
             "WHERE s.schema_name=? AND v.view_name=? AND v.end_snapshot IS NULL",
             (schema_name, vname),
         )
+        if self._txn is not None:
+            # RENAME then DROP in one txn: the NEW name identifies the
+            # view, the old one no longer answers
+            rmap = dict(self._txn.renamed_views)
+            rows = [r for r in rows if rmap.get(r[0], vname) == vname]
+            if not rows:
+                rows = [(vid,) for vid, nn in self._txn.renamed_views
+                        if nn == vname]
         if not rows:
             raise DuckLakeError(f"no view {name!r}")
         txn = self._begin()
@@ -1618,6 +1639,24 @@ class DuckLake:
         created in the current transaction renames in the buffer."""
         schema_name, vname = self._split_name(name)
         new_vname = new_name.split(".")[-1]
+        if new_vname.lower() != vname.lower():
+            # renaming onto an existing entry errors (reference:
+            # view/ducklake_rename_view_incorect.test)
+            taken = self.meta.query(
+                "SELECT 1 FROM ducklake_view v JOIN ducklake_schema s "
+                "ON v.schema_id=s.schema_id WHERE s.schema_name=? "
+                "AND v.view_name=? AND v.end_snapshot IS NULL",
+                (schema_name, new_vname),
+            ) or self.meta.query(
+                "SELECT 1 FROM ducklake_table t JOIN ducklake_schema s "
+                "ON t.schema_id=s.schema_id WHERE s.schema_name=? "
+                "AND t.table_name=? AND t.end_snapshot IS NULL",
+                (schema_name, new_vname),
+            )
+            if taken:
+                raise DuckLakeError(
+                    f"cannot rename view {name!r} to {new_vname!r}: "
+                    "an entry with that name already exists")
         txn = self._begin()
         for i, (sn, vn, dialect, sql, aliases) in enumerate(txn.created_views):
             if sn == schema_name and vn == vname:
@@ -1639,19 +1678,40 @@ class DuckLake:
     def view_sql(self, name: str, *, at_version: int | None = None,
                  at_timestamp: str | None = None) -> str:
         schema_name, vname = self._split_name(name)
-        if at_version is None and at_timestamp is None:
+        if at_version is None and at_timestamp is None \
+                and self._pinned is None:
             # a view created earlier in THIS transaction is visible to
             # its own later statements
             if self._txn is not None:
                 for sn, vn, _d, sql, _a in self._txn.created_views:
                     if sn == schema_name and vn == vname:
                         return sql
+                # txn-local ALTER VIEW RENAME: the new name answers for
+                # this transaction's own statements, the old one stops
+                # (alter/rename_entity.test renames inside BEGIN)
+                rvids = [vid for vid, nn in self._txn.renamed_views
+                         if nn == vname]
+                if rvids:
+                    hit = self.meta.query(
+                        "SELECT v.sql FROM ducklake_view v "
+                        "JOIN ducklake_schema s ON v.schema_id=s.schema_id "
+                        "WHERE s.schema_name=? AND v.view_id IN (%s) "
+                        "AND v.end_snapshot IS NULL"
+                        % ",".join("?" * len(rvids)),
+                        (schema_name, *rvids),
+                    )
+                    if hit:
+                        return hit[0][0]
             rows = self.meta.query(
-                "SELECT v.sql FROM ducklake_view v JOIN ducklake_schema s "
-                "ON v.schema_id = s.schema_id "
+                "SELECT v.sql, v.view_id FROM ducklake_view v "
+                "JOIN ducklake_schema s ON v.schema_id = s.schema_id "
                 "WHERE s.schema_name=? AND v.view_name=? AND v.end_snapshot IS NULL",
                 (schema_name, vname),
             )
+            if rows and self._txn is not None:
+                rmap = dict(self._txn.renamed_views)
+                rows = [r for r in rows
+                        if rmap.get(r[1], vname) == vname]
             if not rows:
                 raise DuckLakeError(f"no view {name!r}")
             return rows[0][0]
@@ -1682,11 +1742,47 @@ class DuckLake:
             name, at_version=at_version, at_timestamp=at_timestamp
         ).replace("{DUCKLAKE_CATALOG}.", "")
         snap = self._resolve_snapshot(at_version, at_timestamp)
-        for t in self._table_names(snap if (at_version is not None or
-                                            at_timestamp is not None) else None):
-            self.table(
+        qual_rewrites: list[tuple[str, str]] = []
+        for t in self._table_names(snap if (at_version is not None
+                                            or at_timestamp is not None
+                                            or self._pinned is not None)
+                                   else None):
+            df = self.table(
                 t, at_version=at_version, at_timestamp=at_timestamp
-            ).createOrReplaceTempView(t.split(".")[-1])
+            )
+            sname, tname_ = t.split(".", 1)
+            df.createOrReplaceTempView(tname_)
+            if sname != "main":
+                # a view body may reference `schema.table`; Spark has no
+                # lake schemas, so alias it to a flat temp view
+                # (time_travel_views.test: s1_view over s1.test)
+                flat = f"{sname}__{tname_}"
+                df.createOrReplaceTempView(flat)
+                qual_rewrites.append(
+                    (rf"\b{re.escape(sname)}\s*\.\s*{re.escape(tname_)}\b",
+                     flat))
+            else:  # `main.t` in a stored body binds the bare temp view
+                qual_rewrites.append(
+                    (rf"\bmain\s*\.\s*{re.escape(tname_)}\b", tname_))
+        for pat, flat in qual_rewrites:
+            sql = re.sub(pat, flat, sql, flags=re.I)
+        # `main.x` where x is a sibling VIEW (no table rewrite matched)
+        sql = re.sub(r"\bmain\s*\.\s*(\w+)\b", r"\1", sql)
+        # an explicit AT (VERSION/TIMESTAMP => x) inside the stored body
+        # takes priority over the view's own pinning
+        # (time_travel_views.test:97-104)
+        def _at(m: re.Match) -> str:
+            raw = m.group(3).strip().strip("'")
+            df_ = (self.table(m.group(1), at_version=int(raw))
+                   if m.group(2).upper() == "VERSION"
+                   else self.table(m.group(1), at_timestamp=raw))
+            nm = f"__at_{m.group(1).replace('.', '_')}_{raw.replace('-', '_').replace(':', '_').replace(' ', '_').replace('.', '_')}"
+            df_.createOrReplaceTempView(nm)
+            return nm
+
+        sql = re.sub(
+            r"\b(\w+(?:\.\w+)*)\s+AT\s*\(\s*(VERSION|TIMESTAMP)\s*=>"
+            r"\s*([^)]+)\)", _at, sql, flags=re.I)
         # views may reference OTHER views (view/dangling_view_columns
         # v2-on-v1): bind the remaining live views to a fixpoint —
         # each pass binds every view whose dependencies already resolve
@@ -1705,13 +1801,19 @@ class DuckLake:
         others = []
         for vn, vsql, valias in self.meta.query(
             "SELECT view_name, sql, column_aliases FROM ducklake_view "
-            "WHERE end_snapshot IS NULL",
+            "WHERE begin_snapshot <= ? "
+            "AND (end_snapshot IS NULL OR end_snapshot > ?)",
+            (snap.snapshot_id, snap.snapshot_id),
         ):
             if vn == target:
                 continue
+            vsql = vsql.replace("{DUCKLAKE_CATALOG}.", "")
+            for pat, flat in qual_rewrites:
+                vsql = re.sub(pat, flat, vsql, flags=re.I)
+            # sibling views referenced as `main.x` bind their bare names
+            vsql = re.sub(r"\bmain\s*\.\s*(\w+)\b", r"\1", vsql)
             others.append(
-                (vn, vsql.replace("{DUCKLAKE_CATALOG}.", ""),
-                 json.loads(valias) if valias else None))
+                (vn, vsql, json.loads(valias) if valias else None))
         # drop temp views left over from earlier binds of since-dropped
         # lake views (they would mask the drop)
         live = {target} | {vn for vn, _, _ in others}
@@ -1847,6 +1949,18 @@ class DuckLake:
                         self._txn.pending_columns.get(h.table_id, [])):
                     if dflt is not None:
                         defaults.setdefault(cname, dflt)
+                if h.table_id < 0:
+                    # table created in THIS transaction: its DEFAULTs
+                    # live on the buffered TableDef, not the catalog
+                    # (test/sql/default/default_values.test inserts
+                    # with a column list before COMMIT)
+                    for td in self._txn.created_tables:
+                        if (td.schema_name == h.schema_name
+                                and td.table_name == h.table_name):
+                            for c in td.columns:
+                                if c.default_value is not None:
+                                    defaults.setdefault(
+                                        c.name, c.default_value)
         for n in missing:
             # stored DEFAULT (SQL text, dialect 'spark') applies to new rows
             df = df.withColumn(
@@ -2491,7 +2605,13 @@ class DuckLake:
         ]
         if txn_overlay and self._txn is not None:
             txn = self._txn
+            # files this txn removed (whole-file deletes / rewrites) OR
+            # replaced by a buffered compaction output must disappear
+            # from the txn's own reads — otherwise COUNT(*) inside
+            # BEGIN; merge_adjacent_files; sees source AND output
+            # (reference: stats/count_star_optimization_file_operations)
             removed = set(txn.removed_data_files.get(h.table_id, []))
+            removed.update(txn.purged_data_files.get(h.table_id, []))
             if removed:
                 out = [f for f in out if f["data_file_id"] not in removed]
             # buffered inserts: synthetic negative ids (assigned at commit);
@@ -2960,7 +3080,7 @@ class DuckLake:
         return rows[0][0] if rows else 0
 
     def _inlined_delete_rows_exist(self, h: TableHandle) -> bool:
-        tname = f"ducklake_inlined_deletes_{h.table_id}"
+        tname = f"ducklake_inlined_delete_{h.table_id}"
         if not self.meta.query(
             "SELECT 1 FROM sqlite_master WHERE type='table' AND name=?",
             (tname,),
@@ -2981,7 +3101,7 @@ class DuckLake:
                else f"{h.schema_name}.{h.table_name}")
 
         def _owns(tname: str) -> bool:
-            # ducklake_inlined_data_{tid}_{sv} / ducklake_inlined_deletes_{tid}
+            # ducklake_inlined_data_{tid}_{sv} / ducklake_inlined_delete_{tid}
             parts = tname.split("_")
             return (str(h.table_id) in parts[-2:])
 
@@ -3180,14 +3300,14 @@ class DuckLake:
                                   file_ids: list[int]) -> list[tuple[int, int]]:
         """Catalog-absorbed small deletes live at snap (reference:
         inlined file deletions, ducklake_delete.cpp:530-546)."""
-        tname = f"ducklake_inlined_deletes_{h.table_id}"
+        tname = f"ducklake_inlined_delete_{h.table_id}"
         keep = set(file_ids)
         out: list[tuple[int, int]] = []
         if self.meta.query(
             "SELECT 1 FROM sqlite_master WHERE type='table' AND name=?", (tname,)
         ):
             rows = self.meta.query(
-                f"SELECT data_file_id, pos FROM {tname} "
+                f"SELECT file_id, row_id FROM {tname} "
                 "WHERE begin_snapshot <= ? AND (end_snapshot IS NULL OR end_snapshot > ?)",
                 (snap.snapshot_id, snap.snapshot_id),
             )
@@ -4021,9 +4141,15 @@ class DuckLake:
                 "AND (end_snapshot IS NULL OR end_snapshot > ?)",
                 (snap.snapshot_id, snap.snapshot_id),
             )
+            # committed rows sort by row_id so small-table scans read
+            # back in insertion order like the reference (test/sql/
+            # default/default_values.test relies on it for unsorted
+            # expected output)
+            rows = sorted(rows, key=lambda r: (r[0] is None, r[0]))
             if txn is not None:
                 # read-your-own-writes: hide rows this txn deleted,
-                # surface rows it buffered for insert
+                # surface rows it buffered for insert (AFTER committed
+                # rows — their buffered row ids are pre-rebase offsets)
                 if ended:
                     rows = [r for r in rows if (tname, r[0]) not in ended]
                 rows = list(rows) + buffered.get(tname, [])

@@ -340,9 +340,14 @@ def _rewrite_pack(lake: DuckLake, h, pack: list[dict], part_vals: tuple,
         txn = lake._begin()
         # compensate stats: _try_commit adds record_count for
         # allocate=False files
-        txn.stats_delta.setdefault(h.table_id, {}).setdefault("records", 0)
-        txn.stats_delta[h.table_id]["records"] -= sum(
-            f.record_count for f in files)
+        delta = txn.stats_delta.setdefault(h.table_id, {})
+        delta["records"] = (delta.get("records", 0)
+                            - sum(f.record_count for f in files))
+        # the commit adds the compacted output's bytes; the purged
+        # sources must leave file_size_bytes (full_file_delete_stats
+        # convention: table_stats track live files exactly)
+        delta["bytes"] = (delta.get("bytes", 0)
+                          - sum(f0.get("file_size_bytes") or 0 for f0 in pack))
         txn.new_data_files.setdefault(str(h.table_id), []).extend(files)
         for f in pack:
             txn.purged_data_files.setdefault(h.table_id, []).append(
@@ -519,11 +524,12 @@ def _rewrite_one_deleted(lake, h, schema, row, inl_positions=()) -> None:
             # that were live before the deletes being collected here)
             fi.allocate = False
             fi.row_id_start = None
-        txn.stats_delta.setdefault(h.table_id, {}).setdefault("records", 0)
+        delta = txn.stats_delta.setdefault(h.table_id, {})
         # GROSS record_count: the retired source file contributed its
         # full (pre-delete) count; the commit adds the survivors from
         # the new files — together the stats land on live rows exactly
-        txn.stats_delta[h.table_id]["records"] -= rc
+        delta["records"] = delta.get("records", 0) - rc
+        delta["bytes"] = delta.get("bytes", 0) - (file_size or 0)
         txn.new_data_files.setdefault(str(h.table_id), []).extend(files)
         txn.removed_data_files.setdefault(h.table_id, []).append(fid)
         txn.touched_delete_data_files.add(fid)
@@ -531,8 +537,8 @@ def _rewrite_one_deleted(lake, h, schema, row, inl_positions=()) -> None:
             # close the consumed catalog-inlined delete rows so they
             # don't re-apply to (or orphan against) the dead file
             txn.inlined_end_updates.append((
-                f"ducklake_inlined_deletes_{h.table_id}",
-                ("data_file_id",), [(fid,)]))
+                f"ducklake_inlined_delete_{h.table_id}",
+                ("file_id",), [(fid,)]))
         txn.change_log.append(f"compacted_table:{h.table_id}")
     lake._autocommit()
 
@@ -625,7 +631,7 @@ def expire_snapshots(lake: DuckLake, *, older_than: str | None = None,
                 con.execute(f"DROP TABLE IF EXISTS {tname}")
             if table_live is None:
                 con.execute(
-                    f"DROP TABLE IF EXISTS ducklake_inlined_deletes_{tid}"
+                    f"DROP TABLE IF EXISTS ducklake_inlined_delete_{tid}"
                 )
         con.execute("COMMIT")
     except BaseException:
@@ -676,11 +682,17 @@ def _parse_interval(text: str):
     import re
 
     m = re.fullmatch(
-        r"\s*(\d+)\s*(second|minute|hour|day|week)s?\s*", text.lower()
+        r"\s*(\d+)\s*(microsecond|millisecond|second|minute|hour|day"
+        r"|week|month|year)s?\s*",
+        text.lower(),
     )
     if not m:
         raise ValueError(f"cannot parse interval {text!r}")
     n, unit = int(m.group(1)), m.group(2)
+    if unit == "month":
+        return datetime.timedelta(days=30 * n)
+    if unit == "year":
+        return datetime.timedelta(days=365 * n)
     return datetime.timedelta(**{unit + "s": n})
 
 
@@ -815,14 +827,14 @@ def _inlined_delete_positions(lake: DuckLake, h) -> dict[int, list[int]]:
     """Live catalog-inlined delete positions grouped by data file —
     rewrite victims consume these like delete-file positions
     (reference: test_rewrite_inlined_file_deletes.test)."""
-    tname = f"ducklake_inlined_deletes_{h.table_id}"
+    tname = f"ducklake_inlined_delete_{h.table_id}"
     if not lake.meta.query(
         "SELECT 1 FROM sqlite_master WHERE type='table' AND name=?", (tname,)
     ):
         return {}
     out: dict[int, list[int]] = {}
     for fid, pos in lake.meta.query(
-        f"SELECT data_file_id, pos FROM {tname} WHERE end_snapshot IS NULL"
+        f"SELECT file_id, row_id FROM {tname} WHERE end_snapshot IS NULL"
     ):
         out.setdefault(fid, []).append(pos)
     return out
@@ -832,7 +844,7 @@ def _fids_with_inlined_deletes(lake: DuckLake, h) -> set[int]:
     """Files whose delete positions live inlined in the catalog — they
     must be treated exactly like files with delete parquet by every
     rewrite path, or deleted rows resurrect."""
-    tname = f"ducklake_inlined_deletes_{h.table_id}"
+    tname = f"ducklake_inlined_delete_{h.table_id}"
     if not lake.meta.query(
         "SELECT 1 FROM sqlite_master WHERE type='table' AND name=?", (tname,)
     ):
@@ -840,7 +852,7 @@ def _fids_with_inlined_deletes(lake: DuckLake, h) -> set[int]:
     return {
         fid
         for (fid,) in lake.meta.query(
-            f"SELECT DISTINCT data_file_id FROM {tname} WHERE end_snapshot IS NULL"
+            f"SELECT DISTINCT file_id FROM {tname} WHERE end_snapshot IS NULL"
         )
     }
 
@@ -854,13 +866,13 @@ def _flush_inlined_deletes(lake: DuckLake, h) -> int:
 
     from ducklake_spark.lake import parquet_footer_size as _pfs
 
-    tname = f"ducklake_inlined_deletes_{h.table_id}"
+    tname = f"ducklake_inlined_delete_{h.table_id}"
     if not lake.meta.query(
         "SELECT 1 FROM sqlite_master WHERE type='table' AND name=?", (tname,)
     ):
         return 0
     rows = lake.meta.query(
-        f"SELECT data_file_id, pos FROM {tname} WHERE end_snapshot IS NULL"
+        f"SELECT file_id, row_id FROM {tname} WHERE end_snapshot IS NULL"
     )
     if not rows:
         return 0
@@ -962,7 +974,7 @@ def _flush_inlined_deletes(lake: DuckLake, h) -> int:
     # exactly the positions we folded into the delete parquet, stamped
     # inside the commit transaction, keyed by (data_file_id, pos)
     txn.inlined_end_updates.append(
-        (tname, ("data_file_id", "pos"), [tuple(r) for r in rows])
+        (tname, ("file_id", "row_id"), [tuple(r) for r in rows])
     )
     lake._autocommit()
     return len(rows)

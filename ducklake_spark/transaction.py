@@ -241,6 +241,14 @@ class Transaction:
         # test/sql/alter/multi_alter_same_column_transaction.test)
         # resolve the new name: table_id -> [(old_name, new_name)]
         self.pending_column_renames: dict[int, list[tuple[str, str]]] = {}
+        # whole-file drops from DELETE/UPDATE dml (NOT row-preserving
+        # rewrites/compaction): table_id -> [dropped_rows, dropped_bytes].
+        # Commit applies the reference's dropped-file stats rule
+        # (ducklake_transaction_state.cpp ApplyDroppedFileStats): live
+        # rows remain -> global column stats are DELETED (unknown);
+        # table emptied -> rows reset to NULL so same-commit inserts
+        # seed fresh values.
+        self.dropped_file_stats: dict[int, list[int]] = {}
 
     def alloc_catalog_id(self) -> int:
         """Mint a catalog id from the committing snapshot's allocator.
@@ -407,13 +415,13 @@ class Transaction:
                     # delete-file row; probe their side table too
                     if self.meta.query(
                         "SELECT 1 FROM sqlite_master WHERE type='table' AND name=?",
-                        (f"ducklake_inlined_deletes_{tid}",),
+                        (f"ducklake_inlined_delete_{tid}",),
                     ):
                         touched |= {
                             r[0]
                             for r in self.meta.query(
-                                "SELECT DISTINCT data_file_id FROM "
-                                f"ducklake_inlined_deletes_{tid} "
+                                "SELECT DISTINCT file_id FROM "
+                                f"ducklake_inlined_delete_{tid} "
                                 "WHERE begin_snapshot = ?",
                                 (snap_id,),
                             )
@@ -969,6 +977,12 @@ class Transaction:
                     (snap_id, sid_),
                 )
             for tid, new_name in self.renamed_tables:
+                if tid in self.dropped_tables:
+                    # RENAME then DROP in one transaction: the drop
+                    # above already ended the row; no renamed row is
+                    # ever visible (alter/
+                    # comment_then_drop_same_transaction.test)
+                    continue
                 row = con.execute(
                     "SELECT table_uuid, schema_id, path, path_is_relative "
                     "FROM ducklake_table WHERE table_id=? AND end_snapshot IS NULL",
@@ -1014,6 +1028,8 @@ class Transaction:
                     (snap_id, vid),
                 )
             for vid, new_vname in self.renamed_views:
+                if vid in self.dropped_views:
+                    continue  # renamed THEN dropped in this transaction
                 row = con.execute(
                     "SELECT view_uuid, schema_id, dialect, sql, column_aliases "
                     "FROM ducklake_view WHERE view_id=? AND end_snapshot IS NULL",
@@ -1069,6 +1085,33 @@ class Transaction:
                 for op in ops:
                     op(con, snap_id)
 
+            # --- dropped-file global stats rule (reference:
+            # ApplyDroppedFileStats, ducklake_transaction_state.cpp:962-998;
+            # test/sql/delete/full_file_delete_stats*.test). Runs BEFORE
+            # the new-file merge so same-commit inserts seed an emptied
+            # table's reset rows, while a partially-emptied table's rows
+            # are deleted outright (widen-only stats would otherwise
+            # keep the dropped file's min/max forever — and tightening
+            # from surviving files could lie when rows live outside
+            # file stats, so "unknown" is the only safe answer).
+            for tid, (drows, _dbytes) in self.dropped_file_stats.items():
+                row = con.execute(
+                    "SELECT record_count FROM ducklake_table_stats "
+                    "WHERE table_id=?", (tid,),
+                ).fetchone()
+                if (row[0] if row else 0) - drows > 0:
+                    con.execute(
+                        "DELETE FROM ducklake_table_column_stats "
+                        "WHERE table_id=?", (tid,),
+                    )
+                else:
+                    con.execute(
+                        "UPDATE ducklake_table_column_stats SET "
+                        "contains_null=?, contains_nan=?, min_value=NULL, "
+                        "max_value=NULL, extra_stats=NULL WHERE table_id=?",
+                        (False, False, tid),
+                    )
+
             # --- data files
             for key, files in self.new_data_files.items():
                 tid = self._resolve_table_id(key)
@@ -1078,6 +1121,10 @@ class Transaction:
                     (tid,),
                 ).fetchone() or (0, 0, 0)
                 rec_cnt, next_row_id, fsize = stats
+                # a column-stats row may only be CREATED when every row
+                # in the table is covered by this commit's file stats —
+                # i.e. the table held no rows before (fresh/emptied)
+                allow_seed = rec_cnt == 0
                 # batched like the reference's server-side commit /
                 # appender paths (ducklake_server_side_commit.cpp,
                 # metadata appender tests): a K-file commit issues one
@@ -1161,7 +1208,8 @@ class Transaction:
                         cs_rows,
                     )
                 for cs in folded.values():
-                    self._merge_global_column_stats(con, tid, cs)
+                    self._merge_global_column_stats(con, tid, cs,
+                                                    allow_seed=allow_seed)
                 con.execute(
                     "UPDATE ducklake_table_stats SET record_count=?, next_row_id=?, "
                     "file_size_bytes=? WHERE table_id=?",
@@ -1177,12 +1225,12 @@ class Transaction:
                 )
             for tid, pairs in self.inlined_deletes.items():
                 con.execute(
-                    f"CREATE TABLE IF NOT EXISTS ducklake_inlined_deletes_{tid}("
-                    "data_file_id BIGINT, pos BIGINT, "
+                    f"CREATE TABLE IF NOT EXISTS ducklake_inlined_delete_{tid}("
+                    "file_id BIGINT, row_id BIGINT, "
                     "begin_snapshot BIGINT, end_snapshot BIGINT)"
                 )
                 con.executemany(
-                    f"INSERT INTO ducklake_inlined_deletes_{tid} "
+                    f"INSERT INTO ducklake_inlined_delete_{tid} "
                     "VALUES (?, ?, ?, NULL)",
                     [(fid, pos, snap_id) for fid, pos in pairs],
                 )
@@ -1260,12 +1308,25 @@ class Transaction:
                             (fid, row[0], _now_ts()),
                         )
 
-            # --- record-count deltas from deletes
+            # --- row-preserving removals (rewrite/compaction) attempt an
+            # EXACT global-stats recompute from the surviving files
+            # (reference: the rewrite stats path in
+            # ducklake_transaction_state.cpp:880-960 under its
+            # delete-free gate); dml whole-file drops took the
+            # delete-or-reset rule above instead
+            for tid in (set(self.removed_data_files)
+                        | set(self.purged_data_files)) - set(
+                            self.dropped_file_stats):
+                self._recompute_global_column_stats(con, tid)
+
+            # --- record-count / byte deltas from deletes and rewrites
             for tid, delta in self.stats_delta.items():
                 con.execute(
-                    "UPDATE ducklake_table_stats SET record_count = record_count + ? "
+                    "UPDATE ducklake_table_stats SET "
+                    "record_count = record_count + ?, "
+                    "file_size_bytes = file_size_bytes + ? "
                     "WHERE table_id = ?",
-                    (delta.get("records", 0), tid),
+                    (delta.get("records", 0), delta.get("bytes", 0), tid),
                 )
 
             # --- inlined data: end-marks BEFORE inserts (an UPDATE of the
@@ -1452,7 +1513,83 @@ class Transaction:
             extra_stats=extra,
         )
 
-    def _merge_global_column_stats(self, con, tid: int, cs: ColumnStatsRow) -> None:
+    def _recompute_global_column_stats(self, con, tid: int) -> None:
+        """Re-derive ducklake_table_column_stats from the LIVE files'
+        per-file stats after a commit removed data files (whole-file
+        delete, rewrite, compaction purge).
+
+        The running global stats are widen-only (never tighten), so a
+        dropped file's min/max would otherwise linger forever —
+        reference behavior is exact: deleting every file NULLs the
+        stats (test/sql/delete/full_file_delete_stats.test) and a
+        same-transaction reinsert replaces them
+        (full_file_delete_stats_reinsert.test).
+
+        Safety rule — stats must never lie: a column is recomputed only
+        when EVERY live file carries a stats row for it. Files that
+        predate an ADD COLUMN (rows surface initial_default) or adopted
+        files with missing columns have no per-file row, so the count
+        check keeps the widened global row for those columns. Tables
+        with live inlined rows are skipped entirely (their values are
+        not in any file's stats). Pure catalog work: one point count +
+        one stats query per column, no data-file reads.
+        """
+        for (tname,) in con.execute(
+            "SELECT table_name FROM ducklake_inlined_data_tables "
+            "WHERE table_id=?", (tid,),
+        ).fetchall():
+            if con.execute(
+                f"SELECT 1 FROM {tname} WHERE end_snapshot IS NULL LIMIT 1"
+            ).fetchone():
+                return
+        nlive = con.execute(
+            "SELECT COUNT(*) FROM ducklake_data_file "
+            "WHERE table_id=? AND end_snapshot IS NULL", (tid,),
+        ).fetchone()[0]
+        for (cid,) in con.execute(
+            "SELECT column_id FROM ducklake_table_column_stats "
+            "WHERE table_id=?", (tid,),
+        ).fetchall():
+            frows = con.execute(
+                "SELECT f.value_count, f.null_count, f.min_value, "
+                "f.max_value, f.contains_nan, f.extra_stats "
+                "FROM ducklake_file_column_stats f "
+                "JOIN ducklake_data_file d ON d.data_file_id=f.data_file_id "
+                "AND d.end_snapshot IS NULL "
+                "WHERE f.table_id=? AND f.column_id=?", (tid, cid),
+            ).fetchall()
+            if len(frows) != nlive:
+                continue  # some live rows are outside file stats: keep
+                # the widened row rather than tighten into a lie
+            numeric = self._column_is_numeric(con, cid)
+            mn = mx = None
+            has_null = has_nan = False
+            extra, extra_missing = None, False
+            for vc, nc, fmn, fmx, fnan, fextra in frows:
+                mn = _merge_min(mn, fmn, numeric)
+                mx = _merge_max(mx, fmx, numeric)
+                has_null = has_null or nc is None or (nc or 0) > 0
+                has_nan = has_nan or bool(fnan)
+                if fextra is None:
+                    extra_missing = True  # one missing payload
+                    # invalidates the merge (widen, never lie)
+                else:
+                    from ducklake_spark.extra_stats import (
+                        merge_extra_stats_json,
+                    )
+
+                    extra = (fextra if extra is None
+                             else merge_extra_stats_json(extra, fextra))
+            con.execute(
+                "UPDATE ducklake_table_column_stats SET contains_null=?, "
+                "contains_nan=?, min_value=?, max_value=?, extra_stats=? "
+                "WHERE table_id=? AND column_id=?",
+                (has_null, has_nan, mn, mx,
+                 None if extra_missing else extra, tid, cid),
+            )
+
+    def _merge_global_column_stats(self, con, tid: int, cs: ColumnStatsRow,
+                                   allow_seed: bool = True) -> None:
         """Merge-only global stats: widen, never tighten
         (reference: DuckLakeColumnStats::MergeStats, ducklake_stats.cpp:102)."""
         row = con.execute(
@@ -1463,6 +1600,13 @@ class Transaction:
         # unknown null_count (no stats) -> conservatively "may have nulls"
         has_null = cs.null_count is None or cs.null_count > 0
         if row is None:
+            if not allow_seed:
+                # the table already holds rows this commit's stats can't
+                # account for (a dropped-file commit DELETEd the global
+                # rows, or the column predates its per-file stats):
+                # seeding from this commit's files alone would lie —
+                # reference UpdateGlobalTableStatsSql UPDATEs only
+                return
             con.execute(
                 "INSERT INTO ducklake_table_column_stats VALUES (?, ?, ?, ?, ?, ?, ?)",
                 (tid, cs.column_id, has_null, cs.contains_nan, cs.min_value,

@@ -370,7 +370,7 @@ def test_rewrite_consumes_inlined_deletes(mklake, spark):
     )[0][0] == 1
     h = lake._handle("t")
     assert lake.meta.query(
-        f"SELECT COUNT(*) FROM ducklake_inlined_deletes_{h.table_id} "
+        f"SELECT COUNT(*) FROM ducklake_inlined_delete_{h.table_id} "
         "WHERE end_snapshot IS NULL")[0][0] == 0
 
 
