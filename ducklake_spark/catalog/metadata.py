@@ -163,7 +163,10 @@ SCHEMA_STATEMENTS = [
         sort_direction VARCHAR, null_order VARCHAR)""",
 ]
 
-FORMAT_VERSION = "1.0"
+# matches the reference's current catalog format tag (its MigrateV10
+# DDL stamps '1.1-dev1'; our schema already carries the 1.1 columns —
+# row_group_count, default_value_type/dialect)
+FORMAT_VERSION = "1.1-dev1"
 
 
 @dataclass
@@ -302,7 +305,8 @@ class MetadataManager:
 
     # -- bootstrap ---------------------------------------------------------
 
-    def initialize(self, data_path: str, *, encrypted: bool = False) -> None:
+    def initialize(self, data_path: str, *, encrypted: bool = False,
+               format_version: str | None = None) -> None:
         """Create the metadata schema + snapshot 0 + schema ``main``.
 
         reference: ducklake_metadata_manager.cpp:186-212
@@ -324,7 +328,8 @@ class MetadataManager:
         last_exc: Exception | None = None
         for _attempt in range(5):
             try:
-                self._bootstrap(data_path, encrypted=encrypted)
+                self._bootstrap(data_path, encrypted=encrypted,
+                format_version=format_version)
                 return
             except Exception as exc:
                 if not self.is_retryable(exc):
@@ -341,7 +346,8 @@ class MetadataManager:
                     return
         raise last_exc
 
-    def _bootstrap(self, data_path: str, *, encrypted: bool) -> None:
+    def _bootstrap(self, data_path: str, *, encrypted: bool,
+               format_version: str | None = None) -> None:
         con = self.con
         self.begin_write()
         try:
@@ -352,7 +358,7 @@ class MetadataManager:
                     "INSERT INTO ducklake_metadata(key, value, scope, scope_id) "
                     "VALUES (?, ?, NULL, NULL)",
                     [
-                        ("version", FORMAT_VERSION),
+                        ("version", format_version or FORMAT_VERSION),
                         ("created_by", "ducklake_spark v0.1.0"),
                         ("data_path", data_path),
                         ("encrypted", "true" if encrypted else "false"),

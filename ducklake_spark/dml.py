@@ -185,6 +185,7 @@ def delete(lake: DuckLake, name: str, where: str | None = None) -> int:
         # buffered files: rewrite them (reference
         # test/sql/delete/delete_same_transaction.test)
         n_buf = _rewrite_buffered(lake, h, where, None, str(h.table_id))
+        n_buf += _dml_buffered_inlined(lake, h, where, None)
     if n_deleted + n_inl + n_buf == 0:
         return 0
     if n_inl:
@@ -640,6 +641,71 @@ def _delete_inlined(lake: DuckLake, h: TableHandle, where: str) -> int:
     return total
 
 
+def _dml_buffered_inlined(lake: DuckLake, h: TableHandle, where: str,
+                          assignments: dict[str, str] | None) -> int:
+    """DELETE/UPDATE rows this OPEN transaction buffered as inlined
+    inserts: they exist only in txn memory, so matching tuples are
+    dropped (delete) or transformed (update) in place — reference
+    read-your-own-writes (transaction_insert_update_delete.test:
+    BEGIN; INSERT; UPDATE; DELETE sees one surviving row)."""
+    from pyspark.sql import types as T
+
+    from ducklake_spark.lake import _from_sql_value, _to_sql_value
+
+    txn = lake._txn
+    if txn is None:
+        return 0
+    schema = lake._spark_schema(h)
+    ncols = len(schema.fields)
+    fs = T.StructType(list(schema.fields)
+                      + [T.StructField("__idx", T.LongType())])
+    total = 0
+    for entries in (txn.inlined_inserts, txn.inlined_inserts_rebase):
+        for ei, (tid, tname, packed) in enumerate(entries):
+            if tid != h.table_id or not packed:
+                continue
+            data = [
+                tuple(_from_sql_value(v, f_.dataType)
+                      for v, f_ in zip(r[3:3 + ncols], schema.fields))
+                + (i,)
+                for i, r in enumerate(packed)
+            ]
+            df = lake.spark.createDataFrame(data, fs)
+            if assignments is None:
+                hit = {r["__idx"] for r in
+                       df.filter(where).select("__idx").collect()}
+                if not hit:
+                    continue
+                entries[ei] = (tid, tname, [
+                    r for i, r in enumerate(packed) if i not in hit])
+                total += len(hit)
+                continue
+            cond = F.expr(where)
+            out = df.select(
+                *[
+                    F.when(cond, F.expr(assignments[f.name])).otherwise(
+                        F.col(f.name)).alias(f.name)
+                    if f.name in assignments else F.col(f.name)
+                    for f in schema.fields
+                ],
+                cond.alias("__hit"), F.col("__idx"),
+            ).collect()
+            new_packed, hits = list(packed), 0
+            for r in out:
+                if not r["__hit"]:
+                    continue
+                i = r["__idx"]
+                old = packed[i]
+                new_packed[i] = old[:3] + tuple(
+                    _to_sql_value(r[f.name], f.dataType)
+                    for f in schema.fields) + old[3 + ncols:]
+                hits += 1
+            if hits:
+                entries[ei] = (tid, tname, new_packed)
+                total += hits
+    return total
+
+
 def update(lake: DuckLake, name: str, assignments: dict[str, str],
            where: str | None = None, *, source: DataFrame | None = None,
            on: list[str] | None = None) -> int:
@@ -679,14 +745,16 @@ def update(lake: DuckLake, name: str, assignments: dict[str, str],
             )
     if h.table_id < 0:
         return _rewrite_txn_local(lake, h, where, assignments)
-    n_inlined = _update_inlined(lake, h, assignments, where)
     # rows INSERTED earlier in this open transaction live in buffered
-    # files: rewrite them BEFORE _update_files buffers its replacement
-    # files under the same key (those must not be re-updated)
+    # files / buffered inlined batches: rewrite them FIRST —
+    # _update_inlined appends replacement rows into the same buffers,
+    # which must not be matched (and counted) a second time
     n_buf = 0
     if lake._txn is not None:
         n_buf = _rewrite_buffered(lake, h, where, assignments,
                                   str(h.table_id))
+        n_buf += _dml_buffered_inlined(lake, h, where, assignments)
+    n_inlined = _update_inlined(lake, h, assignments, where)
     _h, matched = _victims(lake, name, where)
     if matched is None:
         if n_inlined or n_buf:

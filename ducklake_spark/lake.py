@@ -79,6 +79,57 @@ class DuckLakeError(Exception):
     pass
 
 
+def _lit_as_string(expr: str) -> str:
+    """Bare numeric literal -> quoted string so try_cast can widen it
+    (a 39-digit UHUGEINT default parsed as a decimal literal would
+    fail analysis before the cast even runs)."""
+    s = expr.strip()
+    if re.fullmatch(r"-?\d+(\.\d+)?", s):
+        return "'" + s + "'"
+    return expr
+
+
+def _default_kind(default: str | None) -> str:
+    """Reference catalog labels every column's default slot: 'literal'
+    (including absent defaults) or 'expression'
+    (test/sql/default/default_expressions.test)."""
+    if (default is None or default.strip().lower() == "null"
+            or _literal_text(default) is not None):
+        return "literal"
+    return "expression"
+
+
+def _default_storage_text(default: str | None) -> str | None:
+    """Catalog text for a default: literals store their RENDERED value
+    (the reference writes Value::ToString into the metadata INSERT, so
+    DEFAULT 'x' stores x), expressions store their SQL. The rendered
+    text NULL collapses to catalog NULL — the reference's unquoted
+    interpolation quirk that test/sql/default/default_values.test pins
+    (VARCHAR DEFAULT 'NULL' reads back as SQL NULL)."""
+    if default is None or default.strip().lower() == "null":
+        return None
+    lit = _literal_text(default)
+    if lit is None:
+        return default
+    return None if lit == "NULL" else lit
+
+
+def _default_expr_text(value: str | None, kind: str | None) -> str | None:
+    """Stored default -> Spark SQL text: expressions verbatim, literal
+    values re-quoted unless numeric/boolean (reference rebinding,
+    ducklake_catalog.cpp:396-408)."""
+    if value is None:
+        return None
+    if kind != "literal":
+        # 'expression' verbatim; NULL kind = legacy rows written before
+        # the type column existed — those stored expr-ready SQL text
+        return value
+    s = str(value)
+    if re.fullmatch(r"-?\d+(\.\d+)?", s) or s.lower() in ("true", "false"):
+        return s
+    return "'" + s.replace("'", "''") + "'"
+
+
 def _literal_text(default: str | None) -> str | None:
     """Stats text of a LITERAL default expression (non-literal defaults
     contribute no stats). '42' -> '42', "'x'" -> 'x', else None."""
@@ -126,7 +177,9 @@ class DuckLake:
                  data_inlining_row_limit: int | None = None,
                  encrypted: bool = False, read_only: bool = False,
                  filesystem=None, override_data_path: bool = False,
-                 disabled_filesystems: str | None = None):
+                 disabled_filesystems: str | None = None,
+                 automatic_migration: bool = False,
+                 format_version: str | None = None):
         from ducklake_spark.fsio import LakeFS
 
         self.spark = spark
@@ -180,13 +233,26 @@ class DuckLake:
         # before anything reads it (ducklake_metadata_manager.cpp:308-380)
         from ducklake_spark.catalog.migrate import detect_version, migrate_if_required
 
-        if detect_version(self.meta) not in (None, FORMAT_VERSION):
-            if read_only:
+        cur_ver = detect_version(self.meta)
+        if (format_version is not None and cur_ver is not None
+                and format_version < cur_ver):
+            raise DuckLakeError(
+                f"Cannot downgrade DuckLake from version {cur_ver!r} "
+                f"to {format_version!r}")
+        if cur_ver not in (None, FORMAT_VERSION):
+            # '1.x' catalogs are format-compatible and keep their tag —
+            # only AUTOMATIC_MIGRATION bumps them to the current head
+            # (attach/attach_ducklake_version.test); pre-1.0 catalogs
+            # always migrate
+            if cur_ver.startswith("1.") and not automatic_migration:
+                pass
+            elif read_only:
                 raise DuckLakeError(
                     "catalog requires a format migration; re-attach without "
                     "READ_ONLY to migrate"
                 )
-            migrate_if_required(self.meta)
+            else:
+                migrate_if_required(self.meta)
         if read_only:
             try:
                 bootstrapped = self.meta.query(
@@ -202,7 +268,8 @@ class DuckLake:
             if data_inlining_row_limit is not None:
                 raise DuckLakeError("cannot set options on a READ_ONLY lake")
         else:
-            self.meta.initialize(self.data_path, encrypted=encrypted)
+            self.meta.initialize(self.data_path, encrypted=encrypted,
+                                 format_version=format_version)
         # a re-attach must use the catalog's recorded data path — files
         # are referenced relative to it, so a silent mismatch breaks
         # every read (reference: attach/different_paths.test,
@@ -802,6 +869,13 @@ class DuckLake:
         from ducklake_spark.catalog.types import struct_leaf_paths
 
         leaves = struct_leaf_paths(col_type)
+        if default is not None and _default_kind(default) == "expression":
+            # reference: ducklake_table_entry.cpp AddColumn rejects
+            # non-literal defaults (default_expressions.test)
+            raise DuckLakeError(
+                "We cannot add a column with a non-literal default "
+                'value. Add the column and then explicitly set the '
+                'default for new values using "ALTER ... SET DEFAULT"')
         pending_id = None
         if self._explicit_txn:
             # inside an open transaction the new column is visible to
@@ -809,8 +883,18 @@ class DuckLake:
             # txn-local schema, data_inlining_transaction_local_alter
             # .test): reserve the ids NOW (parent + nested leaves) so
             # in-txn parquet writes stamp the right field ids, and
-            # overlay the column on _handle
-            pending_id = self.meta.reserve_catalog_ids(1 + len(leaves))
+            # overlay the column on _handle. Ids are PER TABLE
+            # (reference GetNextColumnId = MAX(column_id)+1 over the
+            # table's full history); a concurrent ALTER on the same
+            # table is an alter-alter conflict and aborts anyway.
+            committed_max = self.meta.query(
+                "SELECT COALESCE(MAX(column_id), 0) FROM ducklake_column "
+                "WHERE table_id=?", (h.table_id,),
+            )[0][0]
+            base = max(committed_max,
+                       txn.column_id_floor.get(h.table_id, 0))
+            pending_id = base + 1
+            txn.column_id_floor[h.table_id] = base + 1 + len(leaves)
             txn.pending_columns.setdefault(h.table_id, []).append(
                 (pending_id, col_name, col_type, default)
             )
@@ -823,23 +907,29 @@ class DuckLake:
                 "WHERE table_id=? AND end_snapshot IS NULL",
                 (h.table_id,),
             ).fetchone()[0]
-            # minted from THIS commit's allocator — the old
-            # latest_snapshot() scheme re-issued the same id on
-            # consecutive ADD COLUMNs (see transaction._try_commit) —
+            # per-table id (reference GetNextColumnId): MAX over the
+            # table's FULL history so a drop-readd never reuses an id —
             # unless the ids were already reserved for txn-local use
-            new_id = (pending_id if pending_id is not None
-                      else txn.alloc_catalog_id())
+            new_id = pending_id
+            if new_id is None:
+                new_id = con.execute(
+                    "SELECT COALESCE(MAX(column_id), 0) + 1 "
+                    "FROM ducklake_column WHERE table_id=?",
+                    (h.table_id,),
+                ).fetchone()[0]
             con.execute(
                 "INSERT INTO ducklake_column VALUES "
-                "(?, ?, NULL, ?, ?, ?, ?, ?, ?, 1, NULL, NULL, NULL)",
-                (new_id, snap_id, h.table_id, order, col_name, col_type, default, default),
+                "(?, ?, NULL, ?, ?, ?, ?, ?, ?, 1, NULL, ?, 'duckdb')",
+                (new_id, snap_id, h.table_id, order, col_name, col_type,
+                 _default_storage_text(default), _default_storage_text(default),
+                 _default_kind(default)),
             )
             for k, (lpath, ltype) in enumerate(leaves):
-                leaf_id = (pending_id + 1 + k if pending_id is not None
-                           else txn.alloc_catalog_id())
+                leaf_id = new_id + 1 + k
                 con.execute(
                     "INSERT INTO ducklake_column VALUES "
-                    "(?, ?, NULL, ?, ?, ?, ?, NULL, NULL, 1, ?, NULL, NULL)",
+                    "(?, ?, NULL, ?, ?, ?, ?, NULL, NULL, 1, ?, "
+                    "'literal', 'duckdb')",
                     (leaf_id, snap_id, h.table_id, order + 1 + k,
                      lpath, ltype, new_id),
                 )
@@ -949,7 +1039,8 @@ class DuckLake:
         def op(con, snap_id, h=h, col_name=col_name, new_name=new_name):
             row = con.execute(
                 "SELECT column_id, column_order, column_type, initial_default, "
-                "default_value, nulls_allowed, parent_column FROM ducklake_column "
+                "default_value, nulls_allowed, parent_column, "
+                "default_value_type FROM ducklake_column "
                 "WHERE table_id=? AND column_name=? AND end_snapshot IS NULL",
                 (h.table_id, col_name),
             ).fetchone()
@@ -962,9 +1053,9 @@ class DuckLake:
             )
             con.execute(
                 "INSERT INTO ducklake_column VALUES "
-                "(?, ?, NULL, ?, ?, ?, ?, ?, ?, ?, ?, NULL, NULL)",
+                "(?, ?, NULL, ?, ?, ?, ?, ?, ?, ?, ?, ?, 'duckdb')",
                 (row[0], snap_id, h.table_id, row[1], new_name, row[2], row[3],
-                 row[4], row[5], row[6]),
+                 row[4], row[5], row[6], row[7] or "literal"),
             )
             # sort expressions track the rename (reference:
             # merge_adjacent_sorted_renamed.test — "sort expressions
@@ -1005,7 +1096,8 @@ class DuckLake:
         def op(con, snap_id, h=h, cid=cur[0], new_type=new_type):
             row = con.execute(
                 "SELECT column_order, column_name, initial_default, default_value, "
-                "nulls_allowed, parent_column FROM ducklake_column "
+                "nulls_allowed, parent_column, default_value_type "
+                "FROM ducklake_column "
                 "WHERE table_id=? AND column_id=? AND end_snapshot IS NULL",
                 (h.table_id, cid),
             ).fetchone()
@@ -1016,9 +1108,9 @@ class DuckLake:
             )
             con.execute(
                 "INSERT INTO ducklake_column VALUES "
-                "(?, ?, NULL, ?, ?, ?, ?, ?, ?, ?, ?, NULL, NULL)",
+                "(?, ?, NULL, ?, ?, ?, ?, ?, ?, ?, ?, ?, 'duckdb')",
                 (cid, snap_id, h.table_id, row[0], row[1], new_type, row[2], row[3],
-                 row[4], row[5]),
+                 row[4], row[5], row[6] or "literal"),
             )
 
         txn.column_changes.setdefault(h.table_id, []).append(op)
@@ -1085,9 +1177,10 @@ class DuckLake:
                 "WHERE table_id=? AND end_snapshot IS NULL",
                 (snap_id, h.table_id),
             )
-            pid = con.execute(
-                "SELECT COALESCE(MAX(partition_id), -1) + 1 FROM ducklake_partition_info"
-            ).fetchone()[0]
+            # partition ids draw from the commit's catalog allocator
+            # (reference numbering: partitioning/basic_partitioning.test
+            # expects the id AFTER schema 0 / table 1)
+            pid = txn.alloc_catalog_id()
             con.execute(
                 "INSERT INTO ducklake_partition_info VALUES (?, ?, ?, NULL)",
                 (pid, h.table_id, snap_id),
@@ -1190,13 +1283,22 @@ class DuckLake:
         def op(con, snap_id, h=h, cid=cur[0], mutate=mutate):
             row = con.execute(
                 "SELECT column_order, column_name, column_type, initial_default, "
-                "default_value, nulls_allowed, parent_column FROM ducklake_column "
+                "default_value, nulls_allowed, parent_column, "
+                "default_value_type FROM ducklake_column "
                 "WHERE table_id=? AND column_id=? AND end_snapshot IS NULL",
                 (h.table_id, cid),
             ).fetchone()
             vals = mutate(dict(zip(
                 ["column_order", "column_name", "column_type", "initial_default",
-                 "default_value", "nulls_allowed", "parent_column"], row)))
+                 "default_value", "nulls_allowed", "parent_column",
+                 "default_value_type"], row)))
+            if vals["default_value"] != row[4]:
+                # SET DEFAULT: classify and store the NEW text like the
+                # reference (literal -> rendered value)
+                vals["default_value_type"] = _default_kind(
+                    vals["default_value"])
+                vals["default_value"] = _default_storage_text(
+                    vals["default_value"])
             con.execute(
                 "UPDATE ducklake_column SET end_snapshot=? "
                 "WHERE table_id=? AND column_id=? AND end_snapshot IS NULL",
@@ -1204,10 +1306,11 @@ class DuckLake:
             )
             con.execute(
                 "INSERT INTO ducklake_column VALUES "
-                "(?, ?, NULL, ?, ?, ?, ?, ?, ?, ?, ?, NULL, NULL)",
+                "(?, ?, NULL, ?, ?, ?, ?, ?, ?, ?, ?, ?, 'duckdb')",
                 (cid, snap_id, h.table_id, vals["column_order"], vals["column_name"],
                  vals["column_type"], vals["initial_default"], vals["default_value"],
-                 vals["nulls_allowed"], vals["parent_column"]),
+                 vals["nulls_allowed"], vals["parent_column"],
+                 vals["default_value_type"] or "literal"),
             )
 
         txn.column_changes.setdefault(h.table_id, []).append(op)
@@ -1217,14 +1320,36 @@ class DuckLake:
     def set_not_null(self, name: str, col_name: str) -> None:
         """reference: ducklake_table_entry.cpp:661-730 — existing rows
         must already satisfy the constraint."""
+        h = self._handle(name)
+        cur = next((c for c in h.columns
+                    if c[1].lower() == col_name.lower()), None)
+        pend = (self._txn.pending_not_null.get(h.table_id, set())
+                if self._txn is not None else set())
+        if (cur is not None and not cur[3]) or col_name in pend:
+            # reference: constraints/not_null.test — re-adding errors
+            raise DuckLakeError(
+                f"column {col_name!r} already has a NOT NULL constraint")
         df = self.table(name)
         if df.filter(F.col(col_name).isNull()).limit(1).count() > 0:
             raise DuckLakeError(
                 f"cannot SET NOT NULL: column {col_name!r} contains NULLs"
             )
+        if self._explicit_txn and self._txn is not None:
+            self._txn.pending_not_null.setdefault(
+                h.table_id, set()).add(col_name)
         self._alter_column(name, col_name, lambda v: {**v, "nulls_allowed": 0})
 
     def drop_not_null(self, name: str, col_name: str) -> None:
+        h = self._handle(name)
+        cur = next((c for c in h.columns
+                    if c[1].lower() == col_name.lower()), None)
+        pend = (self._txn.pending_not_null.get(h.table_id, set())
+                if self._txn is not None else set())
+        if cur is not None and cur[3] and col_name not in pend:
+            # reference: constraints/not_null.test
+            raise DuckLakeError(
+                f"column {col_name!r} has no NOT NULL constraint to drop")
+        pend.discard(col_name)
         self._alter_column(name, col_name, lambda v: {**v, "nulls_allowed": 1})
 
     def set_default(self, name: str, col_name: str, default: str | None) -> None:
@@ -1313,11 +1438,16 @@ class DuckLake:
                 "AND end_snapshot IS NULL",
                 (h.table_id,),
             ).fetchone()[0]
+            lid = con.execute(
+                "SELECT COALESCE(MAX(column_id), 0) FROM ducklake_column "
+                "WHERE table_id=?", (h.table_id,),
+            ).fetchone()[0]
             for k, (lpath, ltype) in enumerate(leaves):
                 con.execute(
                     "INSERT INTO ducklake_column VALUES "
-                    "(?, ?, NULL, ?, ?, ?, ?, NULL, NULL, 1, ?, NULL, NULL)",
-                    (txn.alloc_catalog_id(), snap_id, h.table_id,
+                    "(?, ?, NULL, ?, ?, ?, ?, NULL, NULL, 1, ?, "
+                    "'literal', 'duckdb')",
+                    (lid + 1 + k, snap_id, h.table_id,
                      base_order + k, lpath, ltype, cid),
                 )
 
@@ -1920,15 +2050,27 @@ class DuckLake:
             )
 
     def _preassign_column_ids(self, td: TableDef) -> None:
-        # atomically reserved band: two concurrent CTAS get disjoint ids,
-        # and the commit allocator starts past the ceiling so a later
-        # commit can never re-issue them (was: next_catalog_id+1000 with
-        # no allocator advance -> collisions after ~1000 allocations)
-        all_cols = list(td.columns) + list(td.child_columns)
-        base = self.meta.reserve_catalog_ids(len(all_cols))
-        for i, c in enumerate(all_cols):
+        # reference column ids are PER TABLE (GetNextColumnId:
+        # ducklake_metadata_manager.cpp:4965-4982 allocates
+        # MAX(column_id)+1 within the table) and a fresh table numbers
+        # its fields from 1 in a pre-order walk — root, then its nested
+        # leaves — which is also what the parquet field_ids record
+        # (test/sql/schema_evolution/field_ids.test). Concurrent CTAS
+        # can't collide: the ids only need uniqueness within the table.
+        nxt = 1
+        for c in td.columns:
             if c.column_id is None:
-                c.column_id = base + i
+                c.column_id = nxt
+            nxt = max(nxt, c.column_id) + 1
+            for ch in td.child_columns:
+                if ch.parent_column == c.name:
+                    if ch.column_id is None:
+                        ch.column_id = nxt
+                    nxt = max(nxt, ch.column_id) + 1
+        for ch in td.child_columns:  # defensive: unparented child rows
+            if ch.column_id is None:
+                ch.column_id = nxt
+                nxt += 1
 
     def _conform(self, df: DataFrame, schema: T.StructType, h: TableHandle) -> DataFrame:
         names = [f.name for f in schema.fields]
@@ -1936,9 +2078,10 @@ class DuckLake:
         defaults = {}
         if missing:
             defaults = {
-                cname: dv
-                for cname, dv in self.meta.query(
-                    "SELECT column_name, default_value FROM ducklake_column "
+                cname: _default_expr_text(dv, kind)
+                for cname, dv, kind in self.meta.query(
+                    "SELECT column_name, default_value, default_value_type "
+                    "FROM ducklake_column "
                     "WHERE table_id=? AND end_snapshot IS NULL "
                     "AND default_value IS NOT NULL",
                     (h.table_id,),
@@ -1974,6 +2117,46 @@ class DuckLake:
                 f_.dataType, T.StringType
             ):
                 df = df.withColumn(n, F.to_json(F.col(n)))
+        # TIME columns live as micros-since-midnight (Spark has no TIME
+        # type); 'HH:MM:SS[.ffffff]' strings convert on the way in
+        ctypes = {c[1]: (c[2] or "").lower().split("(")[0] for c in h.columns}
+        for n in names:
+            if ctypes.get(n) in ("time", "timetz") and isinstance(
+                    by_name.get(n), T.StringType):
+                df = df.withColumn(
+                    n,
+                    (F.unix_micros(F.to_timestamp(
+                        F.concat(F.lit("1970-01-01 "),
+                                 F.regexp_replace(F.col(n), r"[+-]\d\d:?\d*$",
+                                                  "")))))
+                )
+        for n in names:
+            if ctypes.get(n) == "interval" and isinstance(
+                    by_name.get(n), T.StringType):
+                # duckdb renders intervals as '1 day'/'01:00:00'; Spark's
+                # day-time interval cast rejects that text — rebuild via
+                # make_dt_interval (month-grain parts don't fit the Spark
+                # type and fold to 30-day approximations like the
+                # catalog's interval ordering does)
+                c = F.col(n)
+                num = lambda pat: F.coalesce(  # noqa: E731
+                    F.expr(
+                        "try_cast(regexp_extract(`%s`, '%s', 1) AS DOUBLE)"
+                        % (n, pat.replace("\\", "\\\\"))),
+                    F.lit(0.0))
+                df = df.withColumn(
+                    n,
+                    F.when(c.isNull(), F.lit(None)).otherwise(
+                        F.expr("make_dt_interval(0, 0, 0, 0)")
+                        + F.make_dt_interval(
+                            (num(r"(-?\d+)\s+day")
+                             + num(r"(-?\d+)\s+mon") * F.lit(30)
+                             + num(r"(-?\d+)\s+year") * F.lit(365)
+                             ).cast("int"),
+                            num(r"(\d+):\d+:").cast("int"),
+                            num(r":(\d+):").cast("int"),
+                            num(r":(\d+(?:\.\d+)?)$"),
+                        )))
         df = df.select([F.col(n).cast(f.dataType).alias(n) for n, f in zip(names, schema.fields)])
         return self._enforce_not_null(df, h)
 
@@ -1984,8 +2167,16 @@ class DuckLake:
         replacement writers — an UPDATE ... SET col=NULL previously
         bypassed the check and committed an unreadable file
         (test/sql/update/update_not_null.test)."""
+        pending_nn: set[str] = set()
+        if self._txn is not None:
+            # SET NOT NULL earlier in this open transaction binds its
+            # own later inserts (constraints/not_null.test:72-83)
+            pending_nn = {
+                c.lower() for c in self._txn.pending_not_null.get(
+                    h.table_id, set())
+            }
         for _cid, cname, _ctype, nulls_allowed in h.columns:
-            if not nulls_allowed:
+            if not nulls_allowed or cname.lower() in pending_nn:
                 df = df.withColumn(
                     cname,
                     F.when(
@@ -2049,7 +2240,13 @@ class DuckLake:
             writer = writer.repartition(*[F.col(c) for c in part_cols])
         if sort_spec:
             writer = writer.sortWithinPartitions(*_sort_columns(sort_spec))
-        target_file_size = parse_memory_limit(opt("target_file_size", "0"))
+        # session setting overrides every metadata scope (reference
+        # SET ducklake_target_file_size, insert_session_target_file_size)
+        session_tfs = getattr(self, "session_target_file_size", None)
+        target_file_size = (parse_memory_limit(str(session_tfs))
+                            if session_tfs
+                            else parse_memory_limit(opt("target_file_size",
+                                                        "0")))
         enc_key = None
         if self.encrypted:
             import base64 as _b64
@@ -2058,8 +2255,15 @@ class DuckLake:
         # per_thread_output=false -> one output file (reference COPY
         # semantics, ducklake_insert.cpp:531-534); unset keeps Spark's
         # parallel one-file-per-task default (== per_thread_output=true)
-        if (opt("per_thread_output") or "").lower() == "false":
+        pto = (opt("per_thread_output") or "").lower()
+        if pto == "false":
             writer = writer.coalesce(1)
+        elif pto == "true" and writer.rdd.getNumPartitions() == 1:
+            # explicit per-thread output fans a single-partition plan
+            # back out (settings/per_thread_output.test expects multiple
+            # files even when the source read collapsed to one split)
+            writer = writer.repartition(
+                self.spark.sparkContext.defaultParallelism)
         w = writer.write.mode("overwrite")
         if target_file_size:
             w = w.option("maxRecordsPerFile", max(10_000, target_file_size // 200))
@@ -3365,9 +3569,10 @@ class DuckLake:
             return {}
         qs = ",".join("?" * len(id2name))
         out = {
-            id2name[cid]: d
-            for cid, d in self.meta.query(
-                "SELECT column_id, initial_default FROM ducklake_column "
+            id2name[cid]: _default_expr_text(d, kind)
+            for cid, d, kind in self.meta.query(
+                "SELECT column_id, initial_default, default_value_type "
+                "FROM ducklake_column "
                 f"WHERE table_id = ? AND column_id IN ({qs}) "
                 "AND initial_default IS NOT NULL AND parent_column IS NULL",
                 (h.table_id, *id2name),
@@ -3496,8 +3701,10 @@ class DuckLake:
                 cname,
                 F.coalesce(
                     F.col(cname),
-                    F.expr(init_defaults[cname]).cast(
-                        schema[cname].dataType
+                    F.expr(
+                        "try_cast(%s AS %s)"
+                        % (_lit_as_string(init_defaults[cname]),
+                           schema[cname].dataType.simpleString())
                     ),
                 ),
             )
@@ -4084,8 +4291,10 @@ class DuckLake:
                     cname,
                     F.coalesce(
                         F.col(cname),
-                        F.expr(init_defaults[cname]).cast(
-                            schema[cname].dataType
+                        F.expr(
+                            "try_cast(%s AS %s)"
+                            % (_lit_as_string(init_defaults[cname]),
+                               schema[cname].dataType.simpleString())
                         ),
                     ),
                 )
@@ -4861,8 +5070,17 @@ def _from_sql_value(v, dt: T.DataType):
         return decimal.Decimal(str(v))
     if isinstance(dt, (T.DoubleType, T.FloatType)):
         return float(v)
-    if isinstance(dt, T.DayTimeIntervalType) and isinstance(v, int):
-        return datetime.timedelta(microseconds=v)
+    if isinstance(dt, T.DayTimeIntervalType):
+        if isinstance(v, str) and v.lstrip("-").isdigit():
+            v = int(v)
+        if isinstance(v, int):
+            return datetime.timedelta(microseconds=v)
+    if isinstance(dt, T.BooleanType) and isinstance(v, int):
+        return bool(v)  # sqlite stores booleans as 0/1
+    if isinstance(dt, (T.LongType, T.IntegerType)) and isinstance(v, str):
+        return int(v)  # digits round-tripped as text (TIME micros)
+    if isinstance(dt, T.BinaryType) and isinstance(v, str):
+        return v.encode("utf8")
     return v
 
 

@@ -38,7 +38,7 @@ from ducklake_spark.queries import df_query
 
 # bump when the DML script below changes: the on-disk gate lake is only
 # valid for the script that built it
-GATE_VERSION = 5
+GATE_VERSION = 6  # v6: per-table column ids + rendered literal defaults
 
 _SOURCE_TABLES = ("lineitem", "orders", "customer", "part", "documents")
 

@@ -249,6 +249,12 @@ class Transaction:
         # table emptied -> rows reset to NULL so same-commit inserts
         # seed fresh values.
         self.dropped_file_stats: dict[int, list[int]] = {}
+        # highest PER-TABLE column id reserved by this transaction's
+        # own ADD COLUMNs (ids are per table, reference GetNextColumnId)
+        self.column_id_floor: dict[int, int] = {}
+        # columns SET NOT NULL by this open transaction (enforced on
+        # its own later inserts before the catalog row flips)
+        self.pending_not_null: dict[int, set[str]] = {}
 
     def alloc_catalog_id(self) -> int:
         """Mint a catalog id from the committing snapshot's allocator.
@@ -547,7 +553,7 @@ class Transaction:
             for f in files:
                 for cs in f.column_stats:
                     folded[cs.column_id] = self._fold_column_stats(
-                        con, folded.get(cs.column_id), cs
+                        con, tid, folded.get(cs.column_id), cs
                     )
                 file_dicts.append(
                     {
@@ -587,7 +593,7 @@ class Transaction:
                         {
                             "column_id": cs.column_id,
                             "numeric": self._column_is_numeric(
-                                con, cs.column_id
+                                con, tid, cs.column_id
                             ),
                             "null_count": cs.null_count,
                             "min_value": cs.min_value,
@@ -909,20 +915,41 @@ class Transaction:
                     "INSERT INTO ducklake_table VALUES (?, ?, ?, NULL, ?, ?, ?, 1)",
                     (td.table_id, td.table_uuid, snap_id, sid, td.table_name, td.path),
                 )
+                # per-table column ids, pre-order from 1 (reference:
+                # GetNextColumnId allocates within the table; field_ids
+                # .test pins the fresh-table numbering)
+                if any(c.column_id is None
+                       for c in list(td.columns) + list(td.child_columns)):
+                    cseq = 1
+                    for c in td.columns:
+                        if c.column_id is None:
+                            c.column_id = cseq
+                        cseq = max(cseq, c.column_id) + 1
+                        for ch in td.child_columns:
+                            if ch.parent_column == c.name:
+                                if ch.column_id is None:
+                                    ch.column_id = cseq
+                                cseq = max(cseq, ch.column_id) + 1
+                    for ch in td.child_columns:
+                        if ch.column_id is None:
+                            ch.column_id = cseq
+                            cseq += 1
                 order = 0
                 name_to_id: dict[str, int] = {}
                 for c in list(td.columns) + list(td.child_columns):
-                    if c.column_id is None:
-                        c.column_id = next_cat
-                        next_cat += 1
                     parent = c.parent_column
                     if isinstance(parent, str):  # child row: parent by name
                         parent = name_to_id[parent]
                     else:
                         name_to_id[c.name] = c.column_id
+                    from ducklake_spark.lake import (
+                        _default_kind,
+                        _default_storage_text,
+                    )
+
                     con.execute(
                         "INSERT INTO ducklake_column VALUES "
-                        "(?, ?, NULL, ?, ?, ?, ?, ?, ?, ?, ?, NULL, NULL)",
+                        "(?, ?, NULL, ?, ?, ?, ?, ?, ?, ?, ?, ?, 'duckdb')",
                         (
                             c.column_id,
                             snap_id,
@@ -930,10 +957,11 @@ class Transaction:
                             order,
                             c.name,
                             c.type,
-                            c.initial_default,
-                            c.default_value,
+                            _default_storage_text(c.initial_default),
+                            _default_storage_text(c.default_value),
                             c.nulls_allowed,
                             parent,
+                            _default_kind(c.default_value),
                         ),
                     )
                     order += 1
@@ -946,10 +974,8 @@ class Transaction:
                     (snap_id, schema_version, td.table_id),
                 )
                 if td.partition_spec:
-                    pid = con.execute(
-                        "SELECT COALESCE(MAX(partition_id), -1) + 1 "
-                        "FROM ducklake_partition_info"
-                    ).fetchone()[0]
+                    pid = next_cat
+                    next_cat += 1
                     con.execute(
                         "INSERT INTO ducklake_partition_info VALUES "
                         "(?, ?, ?, NULL)",
@@ -1187,7 +1213,7 @@ class Transaction:
                             )
                         )
                         folded[cs.column_id] = self._fold_column_stats(
-                            con, folded.get(cs.column_id), cs
+                            con, tid, folded.get(cs.column_id), cs
                         )
                     self._insert_variant_stats(con, fid, tid, f.variant_stats)
                 con.executemany(
@@ -1452,21 +1478,23 @@ class Transaction:
         "uint64", "float32", "float", "float64", "double",
     }
 
-    def _column_is_numeric(self, con, column_id: int) -> bool:
+    def _column_is_numeric(self, con, tid: int, column_id: int) -> bool:
+        # column ids are PER TABLE: the lookup must scope by table
         cache = getattr(self, "_col_numeric_cache", None)
         if cache is None:
             cache = self._col_numeric_cache = {}
-        if column_id not in cache:
+        key = (tid, column_id)
+        if key not in cache:
             row = con.execute(
                 "SELECT column_type FROM ducklake_column "
-                "WHERE column_id=? AND end_snapshot IS NULL",
-                (column_id,),
+                "WHERE table_id=? AND column_id=? AND end_snapshot IS NULL",
+                (tid, column_id),
             ).fetchone()
             base = (row[0] if row else "").split("(")[0].lower()
-            cache[column_id] = base in self._NUMERIC_TYPES or base.startswith(
+            cache[key] = base in self._NUMERIC_TYPES or base.startswith(
                 "decimal"
             )
-        return cache[column_id]
+        return cache[key]
 
     def _insert_variant_stats(self, con, fid: int, tid: int, rows) -> None:
         if not rows:
@@ -1481,7 +1509,8 @@ class Transaction:
             ],
         )
 
-    def _fold_column_stats(self, con, acc: ColumnStatsRow | None,
+    def _fold_column_stats(self, con, tid: int,
+                           acc: ColumnStatsRow | None,
                            cs: ColumnStatsRow) -> ColumnStatsRow:
         """Combine two per-file stats rows for the same column into one
         widened row, so a K-file commit touches the global
@@ -1490,7 +1519,7 @@ class Transaction:
         null_count None (unknown) stays None so has-null is assumed."""
         if acc is None:
             return cs
-        numeric = self._column_is_numeric(con, cs.column_id)
+        numeric = self._column_is_numeric(con, tid, cs.column_id)
         if acc.null_count is None or cs.null_count is None:
             nulls = None
         else:
@@ -1561,7 +1590,7 @@ class Transaction:
             if len(frows) != nlive:
                 continue  # some live rows are outside file stats: keep
                 # the widened row rather than tighten into a lie
-            numeric = self._column_is_numeric(con, cid)
+            numeric = self._column_is_numeric(con, tid, cid)
             mn = mx = None
             has_null = has_nan = False
             extra, extra_missing = None, False
@@ -1614,7 +1643,7 @@ class Transaction:
             )
             return
         cn, cnan, mn, mx, extra = row
-        numeric = self._column_is_numeric(con, cs.column_id)
+        numeric = self._column_is_numeric(con, tid, cs.column_id)
         new_min = _merge_min(mn, cs.min_value, numeric)
         new_max = _merge_max(mx, cs.max_value, numeric)
         new_extra = extra

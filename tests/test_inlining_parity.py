@@ -685,3 +685,17 @@ def test_row_count_fold_on_gross_record_count(mklake, spark):
         "UPDATE ducklake_table_stats SET record_count = 100")
     assert lk.row_count("t") == 70  # nets per-file, ignores the gross
     assert lk.table("t").count() == 70
+
+
+def test_buffered_inlined_dml_in_transaction(mklake, spark):
+    """transaction/transaction_insert_update_delete.test: BEGIN;
+    INSERT (inlined buffer); UPDATE; DELETE — the transaction's own
+    buffered inlined rows must answer to its later DML."""
+    lk = mklake("bufdml", data_inlining_row_limit=10)
+    lk.create_table("t1", [("c1", "int32")])
+    with lk.transaction():
+        lk.insert("t1", spark.createDataFrame([(1,), (2,)], "c1 int"))
+        assert lk.update("t1", {"c1": "3"}, "c1 = 1") == 1
+        assert lk.delete("t1", "c1 = 2") == 1
+        assert [tuple(r) for r in lk.table("t1").collect()] == [(3,)]
+    assert [tuple(r) for r in lk.table("t1").collect()] == [(3,)]

@@ -41,7 +41,8 @@ def test_nested_leaf_stats_and_pruning(lk, spark):
     kids = lk.meta.query(
         "SELECT column_name, column_type, parent_column FROM ducklake_column "
         "WHERE parent_column IS NOT NULL AND end_snapshot IS NULL")
-    assert [tuple(k) for k in kids] == [("a", "int32", 3)]
+    # per-table pre-order ids: i=1, s=2, s.a=3, l=4 -> a's parent is 2
+    assert [tuple(k) for k in kids] == [("a", "int32", 2)]
     # the handle's schema is unaffected by child rows
     assert [c[1] for c in lk._handle("t").columns] == ["i", "s", "l"]
 
