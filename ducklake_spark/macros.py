@@ -35,12 +35,55 @@ def _literal_type(default: str | None) -> str:
     return "unknown"
 
 
-def _parse_param(p) -> tuple[str, str | None]:
-    """'a' -> ('a', None); 'b := 5' -> ('b', '5'); ('b', '5') passes."""
+def _parse_param(p) -> tuple[str, str | None, str]:
+    """'a' -> (a, None, unknown); 'b := 5' -> (b, '5', unknown);
+    'x INTEGER' -> (x, None, int32) (typed macro parameters,
+    test_defined_types.test); ('b', '5') pairs pass through."""
     if isinstance(p, (tuple, list)):
-        return p[0], (None if len(p) < 2 else p[1])
+        return p[0], (None if len(p) < 2 else p[1]), "unknown"
     m = re.fullmatch(r"\s*(\w+)\s*:=\s*(.+?)\s*", p)
-    return (m.group(1), m.group(2)) if m else (p.strip(), None)
+    if m:
+        return m.group(1), m.group(2), "unknown"
+    mtd = re.fullmatch(
+        r"\s*(\w+)\s+([A-Za-z_][\w ()<>,]*?)\s*:=\s*(.+?)\s*", p)
+    if mtd:
+        from ducklake_spark.sqlfront import duck_type_to_ducklake
+
+        try:
+            return (mtd.group(1), mtd.group(3),
+                    duck_type_to_ducklake(mtd.group(2)))
+        except Exception:
+            return mtd.group(1), mtd.group(3), "unknown"
+    mt = re.fullmatch(r"\s*(\w+)\s+([A-Za-z_][\w ()<>,]*?)\s*", p)
+    if mt:
+        from ducklake_spark.sqlfront import duck_type_to_ducklake
+
+        try:
+            return mt.group(1), None, duck_type_to_ducklake(mt.group(2))
+        except Exception:
+            pass
+    return p.strip(), None, "unknown"
+
+
+def _normalize_body(body: str, is_table: bool) -> str:
+    """Store the reference's deparsed text: duckdb's parser round-trip
+    adds canonical parens/quoting ((a + b); WHERE ((id >= a) OR ...)) —
+    ducklake_macro_impl.sql dumps are byte-compared by the macro tests."""
+    import duckdb
+
+    q = body if re.match(r"\s*(SELECT|WITH|FROM|VALUES)\b", body, re.I) \
+        else "SELECT " + body
+    try:
+        out = duckdb.connect().execute(
+            "SELECT json_deserialize_sql(json_serialize_sql('%s'))"
+            % q.replace("'", "''")
+        ).fetchone()[0]
+    except Exception:
+        return body
+    if not re.match(r"\s*(SELECT|WITH|FROM|VALUES)\b", body, re.I) \
+            and out.upper().startswith("SELECT "):
+        return out[len("SELECT "):]
+    return out
 
 
 def create_macro(lake: DuckLake, name: str, parameters: list | None = None,
@@ -58,14 +101,17 @@ def create_macro(lake: DuckLake, name: str, parameters: list | None = None,
     )[0][0]
     impls = (list(overloads) if overloads is not None
              else [(parameters or [], body)])
-    parsed = [( [_parse_param(p) for p in ps], b) for ps, b in impls]
+    parsed = [([_parse_param(p) for p in ps],
+               _normalize_body(b, is_table_macro) if dialect == "duckdb"
+               else b)
+              for ps, b in impls]
     arities = [len(ps) for ps, _ in parsed]
     if len(set(arities)) != len(arities):
         raise DuckLakeError(
             "macro overloads must have distinct parameter counts")
     for ps, _b in parsed:
         seen_default = False
-        for _n, d in ps:
+        for _n, d, _t in ps:
             if d is not None:
                 seen_default = True
             elif seen_default:
@@ -88,11 +134,11 @@ def create_macro(lake: DuckLake, name: str, parameters: list | None = None,
                 "INSERT INTO ducklake_macro_impl VALUES (?, ?, ?, ?, ?)",
                 (mid, ii, dialect, b, mtype),
             )
-            for i, (pname, pdefault) in enumerate(ps):
+            for i, (pname, pdefault, ptype) in enumerate(ps):
                 con.execute(
                     "INSERT INTO ducklake_macro_parameters VALUES "
                     "(?, ?, ?, ?, ?, ?, ?)",
-                    (mid, ii, i, pname, "unknown", pdefault,
+                    (mid, ii, i, pname, ptype, pdefault,
                      _literal_type(pdefault)),
                 )
 
@@ -199,7 +245,7 @@ def call_macro(lake: DuckLake, name: str, *args) -> DataFrame | str:
             _w, parsed, is_table = entry_p
             chosen = None
             for ps, b in parsed:
-                required = sum(1 for _n, d in ps if d is None)
+                required = sum(1 for _n, d, _t in ps if d is None)
                 if required <= len(args) <= len(ps):
                     chosen = (ps, b)
                     break
@@ -208,9 +254,12 @@ def call_macro(lake: DuckLake, name: str, *args) -> DataFrame | str:
                     f"macro {name!r} has no implementation "
                     f"taking {len(args)} args")
             ps, expanded = chosen
-            values = list(args) + [d for _n, d in ps[len(args):]]
-            for (p, _d), a in zip(ps, values):
+            values = list(args) + [d for _n, d, _t in ps[len(args):]]
+            for (p, _d, _t), a in zip(ps, values):
                 expanded = re.sub(rf"\b{re.escape(p)}\b", str(a), expanded)
+            from ducklake_spark.sqlfront import _dq_to_backticks
+
+            expanded = _dq_to_backticks(expanded)
             return lake.sql(expanded) if is_table else expanded
     rows = lake.meta.query(
         "SELECT m.macro_id, i.type, i.sql FROM ducklake_macro m "
@@ -250,6 +299,11 @@ def call_macro(lake: DuckLake, name: str, *args) -> DataFrame | str:
     expanded = bodies[chosen]
     for (p, _d), a in zip(ps, values):
         expanded = re.sub(rf"\b{re.escape(p)}\b", str(a), expanded)
+    # stored duckdb-deparsed bodies quote identifiers ("name"); Spark
+    # wants backticks
+    from ducklake_spark.sqlfront import _dq_to_backticks
+
+    expanded = _dq_to_backticks(expanded)
     if is_table:
         return lake.sql(expanded)
     return expanded

@@ -191,7 +191,8 @@ def test_macros_via_sql(sess):
     sess.execute("CREATE MACRO dl.add2(a, b) AS a + b")
     from ducklake_spark import macros as M
 
-    assert M.call_macro(sess.lakes["dl"], "add2", 1, 2) == "1 + 2"
+    # stored body is the reference's deparsed text: (a + b)
+    assert M.call_macro(sess.lakes["dl"], "add2", 1, 2) == "(1 + 2)"
     sess.execute("DROP MACRO dl.add2")
 
 
