@@ -316,7 +316,8 @@ def _apply_file_deletes_fused(lake: DuckLake, h: TableHandle, snap,
         prev_df = lake.spark.read.schema(
             "file_path string, pos long").parquet(*prev_pq)
     if prev_enc:
-        pe = lake._read_encrypted_delete_files(prev_enc)
+        pe = lake._read_encrypted_delete_files(prev_enc).select(
+            "file_path", "pos")
         prev_df = pe if prev_df is None else prev_df.unionByName(pe)
     if prev_dv:
         pd_df = lake._decode_dv_files(prev_dv).withColumnRenamed(
@@ -536,8 +537,7 @@ def _inlined_delete_counts(lake, h) -> dict[int, int]:
     ):
         out = dict(
             lake.meta.query(
-                f"SELECT file_id, COUNT(*) FROM {tname} "
-                "WHERE end_snapshot IS NULL GROUP BY file_id"
+                f"SELECT file_id, COUNT(*) FROM {tname} GROUP BY file_id"
             )
         )
     if lake._txn is not None:

@@ -270,6 +270,15 @@ class DuckLake:
         else:
             self.meta.initialize(self.data_path, encrypted=encrypted,
                                  format_version=format_version)
+            # unconditional layout repair (not gated on
+            # AUTOMATIC_MIGRATION): catalogs written before the
+            # reference-exact inlined-delete layout landed used
+            # ducklake_inlined_deletes_{tid}(data_file_id, pos, …) or a
+            # 4-column end_snapshot variant — readers probe only the
+            # 3-column ducklake_inlined_delete_{tid}(file_id, row_id,
+            # begin_snapshot), so unmigrated rows would silently
+            # resurrect deleted rows
+            self._migrate_inlined_delete_tables()
         # a re-attach must use the catalog's recorded data path — files
         # are referenced relative to it, so a silent mismatch breaks
         # every read (reference: attach/different_paths.test,
@@ -701,7 +710,9 @@ class DuckLake:
                     and td.table_name == table_name
                     for td in self._txn.created_tables)
         )
-        if exists:
+        # views share the table namespace per schema (reference
+        # test/sql/transaction/create_conflict.test:78-84)
+        if exists or self._view_exists(schema_name, table_name):
             if if_not_exists:
                 return
             raise DuckLakeError(f"table {name!r} already exists")
@@ -1713,13 +1724,58 @@ class DuckLake:
                         f"{h.table_name!r} has reserved column name {c[1]!r}"
                     )
 
+    def _view_exists(self, schema_name: str, vname: str) -> bool:
+        """Is there a live view of this name — committed (minus this
+        transaction's drops/renames) or created in this transaction?"""
+        txn = self._txn
+        if txn is not None:
+            if any(sn == schema_name and vn == vname
+                   for sn, vn, *_ in txn.created_views):
+                return True
+            if any(nn == vname for _vid, nn in txn.renamed_views):
+                return True
+        rows = self.meta.query(
+            "SELECT v.view_id FROM ducklake_view v JOIN ducklake_schema s "
+            "ON v.schema_id = s.schema_id "
+            "WHERE s.schema_name=? AND v.view_name=? AND v.end_snapshot IS NULL",
+            (schema_name, vname),
+        )
+        if not rows:
+            return False
+        vid = rows[0][0]
+        if txn is not None:
+            if vid in txn.dropped_views:
+                return False
+            rmap = dict(txn.renamed_views)
+            if rmap.get(vid, vname) != vname:
+                return False  # renamed away in this transaction
+        return True
+
     def create_view(self, name: str, sql: str, dialect: str = "spark",
                     column_aliases: list[str] | None = None) -> None:
         """``column_aliases`` is the reference's ``CREATE VIEW v(x, y)
         AS …`` form (ducklake_view.column_aliases; duckdb_views() shows
         the aliased signature — test/sql/issues/view_tosql_performance
-        .test): the view's output columns are renamed positionally."""
+        .test): the view's output columns are renamed positionally.
+
+        Tables and views share one namespace per schema (reference
+        test/sql/transaction/create_conflict.test:52-84): creating a
+        view over an existing table name — or vice versa — errors."""
         schema_name, vname = self._split_name(name)
+        found = self._find_table(schema_name, vname)
+        if (found is not None and self._txn is not None
+                and found[0] in self._txn.dropped_tables):
+            found = None
+        table_exists = found is not None or (
+            self._txn is not None
+            and any(td.schema_name == schema_name and td.table_name == vname
+                    for td in self._txn.created_tables)
+        )
+        if table_exists or self._view_exists(schema_name, vname):
+            raise DuckLakeError(
+                f"cannot create view {name!r}: an entry with this name "
+                "already exists"
+            )
         aliases = json.dumps(column_aliases) if column_aliases else None
         txn = self._begin()
         txn.created_views.append((schema_name, vname, dialect, sql, aliases))
@@ -3290,8 +3346,7 @@ class DuckLake:
             (tname,),
         ):
             return False
-        return bool(self.meta.query(
-            f"SELECT 1 FROM {tname} WHERE end_snapshot IS NULL LIMIT 1"))
+        return bool(self.meta.query(f"SELECT 1 FROM {tname} LIMIT 1"))
 
     def _txn_touches_table(self, h: TableHandle) -> bool:
         """Whether the open transaction (if any) buffers changes for
@@ -3319,6 +3374,7 @@ class DuckLake:
             or any(tid == h.table_id
                    for tid, _t, _r in txn.inlined_inserts_rebase)
             or any(_owns(t) for t, _k, _u in txn.inlined_end_updates)
+            or any(_owns(t) for t, _k, _u in txn.inlined_row_removals)
         )
 
     _FOLDABLE_STAT_TYPES = (
@@ -3389,10 +3445,23 @@ class DuckLake:
                     "folded_columns": {c: False for c in colnames}}
 
         files = self._visible_files(h, snap, None)
-        if time_travel and any(f["partial_max"] is not None for f in files):
-            # a compaction output embeds rows from several snapshots;
-            # row-level visibility at this snapshot needs the scan's
-            # embedded-snapshot filter (count_star_optimization_time_travel)
+        if time_travel and (
+            any(f["partial_max"] is not None for f in files)
+            or self.meta.query(
+                "SELECT 1 FROM ducklake_delete_file WHERE table_id=? "
+                "AND partial_max IS NOT NULL AND partial_max > ? "
+                "AND begin_snapshot <= ? "
+                "AND (end_snapshot IS NULL OR end_snapshot > ?) LIMIT 1",
+                (h.table_id, snap.snapshot_id, snap.snapshot_id,
+                 snap.snapshot_id),
+            )
+        ):
+            # a compaction output (or a flushed delete file) embeds rows
+            # from several snapshots; row-level visibility at this
+            # snapshot needs the scan's embedded-snapshot filter
+            # (count_star_optimization_time_travel); a flushed delete
+            # file straddling the target snapshot makes delete_count
+            # inexact the same way
             r = _scan(colnames, True)
             return {"row_count": r["row_count"], "min": r["min"],
                     "max": r["max"], "folded_count": False,
@@ -3510,10 +3579,14 @@ class DuckLake:
         if self.meta.query(
             "SELECT 1 FROM sqlite_master WHERE type='table' AND name=?", (tname,)
         ):
+            # reference-exact visibility: begin_snapshot <= snap only
+            # (GetFileIdsWithInlinedDeletions,
+            # ducklake_metadata_manager.cpp:3145-3147) — rows for dead
+            # files drop out via the ``keep`` file-id intersection
             rows = self.meta.query(
                 f"SELECT file_id, row_id FROM {tname} "
-                "WHERE begin_snapshot <= ? AND (end_snapshot IS NULL OR end_snapshot > ?)",
-                (snap.snapshot_id, snap.snapshot_id),
+                "WHERE begin_snapshot <= ?",
+                (snap.snapshot_id,),
             )
             out = [(fid, pos) for fid, pos in rows if fid in keep]
         # positions absorbed by the OPEN transaction overlay the
@@ -3843,27 +3916,33 @@ class DuckLake:
             if plain_dels:
                 del_paths = [os.path.join(self.data_path, p)
                              for _, p, _, _, _ in plain_dels]
+                # flushed delete files embed a per-position snapshot
+                # column (reference WriteDeleteFileWithSnapshots):
+                # positions deleted after the read snapshot must not
+                # apply; files without the column read it as NULL
                 ddf = (
-                    self.spark.read.schema("file_path string, pos long")
+                    self.spark.read.schema(
+                        f"file_path string, pos long, {SNAPID_COL} long")
                     .parquet(*del_paths)
-                    .withColumnRenamed("file_path", "__dfile")
-                    .withColumnRenamed("pos", "__dpos")
-                    .withColumn(
-                        "__dfile",
-                        self._file_uri_col(F.col("__dfile")),
+                    .filter(F.col(SNAPID_COL).isNull()
+                            | (F.col(SNAPID_COL) <= F.lit(snap.snapshot_id)))
+                    .select(
+                        self._file_uri_col(F.col("file_path")).alias("__dfile"),
+                        F.col("pos").alias("__dpos"),
                     )
                 )
             if enc_dels:
+                edf = self._read_encrypted_delete_files(
+                    [(os.path.join(self.data_path, p), k)
+                     for _, p, _, _, k in enc_dels]
+                )
                 edf = (
-                    self._read_encrypted_delete_files(
-                        [(os.path.join(self.data_path, p), k)
-                         for _, p, _, _, k in enc_dels]
-                    )
-                    .withColumnRenamed("file_path", "__dfile")
-                    .withColumnRenamed("pos", "__dpos")
-                    .withColumn(
-                        "__dfile",
-                        self._file_uri_col(F.col("__dfile")),
+                    edf.filter(F.col(SNAPID_COL).isNull()
+                               | (F.col(SNAPID_COL)
+                                  <= F.lit(snap.snapshot_id)))
+                    .select(
+                        self._file_uri_col(F.col("file_path")).alias("__dfile"),
+                        F.col("pos").alias("__dpos"),
                     )
                 )
                 ddf = edf if ddf is None else ddf.unionByName(edf)
@@ -3993,16 +4072,21 @@ class DuckLake:
                         t = _pq.ParquetFile(
                             fh, decryption_properties=props
                         ).read(use_threads=False)
-                    frames.append(t.to_pandas())
+                    f = t.to_pandas()
+                    if SNAPID_COL not in f.columns:
+                        f[SNAPID_COL] = pd.Series(
+                            [None] * len(f), dtype="float64")
+                    frames.append(f[["file_path", "pos", SNAPID_COL]])
                 yield (
                     pd.concat(frames)
                     if frames
-                    else pd.DataFrame({"file_path": [], "pos": []})
+                    else pd.DataFrame(
+                        {"file_path": [], "pos": [], SNAPID_COL: []})
                 )
 
         return src.repartition(
             min(max(1, len(pairs)), 256)
-        ).mapInPandas(decode, "file_path string, pos long")
+        ).mapInPandas(decode, f"file_path string, pos long, {SNAPID_COL} long")
 
     def _decode_dv_files(self, pairs: list[tuple[str, str]]) -> DataFrame:
         """(dv_path, target_file_uri) pairs -> DataFrame(__dfile, __dpos).
@@ -4057,7 +4141,7 @@ class DuckLake:
             if krow:
                 return self._read_encrypted_delete_files(
                     [(os.path.join(self.data_path, rel_path), krow[0][0])]
-                )
+                ).select("file_path", "pos")
         return self.spark.read.schema("file_path string, pos long").parquet(
             os.path.join(self.data_path, rel_path)
         )
@@ -4380,6 +4464,73 @@ class DuckLake:
         parts = name.split(".")
         return (parts[0], parts[1]) if len(parts) == 2 else ("main", parts[0])
 
+    def _migrate_inlined_delete_tables(self) -> None:
+        """Rewrite legacy inlined-delete side tables to the
+        reference-exact layout ducklake_inlined_delete_{tid}(file_id,
+        row_id, begin_snapshot) (ducklake_metadata_manager.cpp:3055).
+
+        Handles two legacy layouts: the old table name
+        ducklake_inlined_deletes_{tid} with (data_file_id, pos) columns,
+        and the 4-column variant carrying end_snapshot. Consumed rows
+        (non-NULL end_snapshot) are kept: positions flushed to a delete
+        parquet re-apply idempotently through the anti-join, and rows
+        for rewritten files go inert through the dead file's
+        visibility."""
+        try:
+            names = [r[0] for r in self.meta.query(
+                "SELECT name FROM sqlite_master WHERE type='table' AND ("
+                "name LIKE 'ducklake_inlined_deletes_%' OR "
+                "name LIKE 'ducklake_inlined_delete_%')"
+            )]
+        except Exception:
+            return
+        for name in names:
+            tid = name.rsplit("_", 1)[-1]
+            if not tid.isdigit():
+                continue
+            cols = self.meta.columns(name) or []
+            legacy_name = name.startswith("ducklake_inlined_deletes_")
+            if not legacy_name and set(cols) == {"file_id", "row_id",
+                                                 "begin_snapshot"}:
+                continue  # already current
+            fcol = "data_file_id" if "data_file_id" in cols else "file_id"
+            rcol = "pos" if "pos" in cols else "row_id"
+            bexpr = "begin_snapshot" if "begin_snapshot" in cols else "0"
+            new = f"ducklake_inlined_delete_{tid}"
+            con = self.meta.con
+            tmp = f"__mig_inlined_delete_{tid}"
+            con.execute(f"DROP TABLE IF EXISTS {tmp}")
+            con.execute(
+                f"CREATE TABLE {tmp}("
+                "file_id BIGINT, row_id BIGINT, begin_snapshot BIGINT)"
+            )
+            con.execute(
+                f"INSERT INTO {tmp} "
+                f"SELECT {fcol}, {rcol}, {bexpr} FROM {name}"
+            )
+            con.execute(f"DROP TABLE {name}")
+            still_there = name != new and self.meta.query(
+                "SELECT 1 FROM sqlite_master WHERE type='table' AND name=?",
+                (new,))
+            if still_there:
+                # legacy-named table alongside an already-current one:
+                # merge the migrated rows in
+                con.execute(f"INSERT INTO {new} SELECT * FROM {tmp}")
+                con.execute(f"DROP TABLE {tmp}")
+            else:
+                try:
+                    con.execute(f"ALTER TABLE {tmp} RENAME TO {new}")
+                except Exception:
+                    con.execute(
+                        f"CREATE TABLE {new}(file_id BIGINT, row_id BIGINT, "
+                        "begin_snapshot BIGINT)")
+                    con.execute(f"INSERT INTO {new} SELECT * FROM {tmp}")
+                    con.execute(f"DROP TABLE {tmp}")
+            try:
+                con.commit()
+            except Exception:
+                pass
+
     def _find_table(self, schema_name: str, table_name: str,
                     snap: Snapshot | None = None) -> tuple | None:
         if snap is None:
@@ -4649,8 +4800,11 @@ def _sort_columns(sort_spec: list[tuple[str, str, str]]) -> list:
     return out
 
 
-ROWID_FIELD_ID = 2147483530
-SNAPID_FIELD_ID = 2147483531
+# Iceberg-v3 reserved field ids, which the reference mirrors
+# (ducklake_delete.cpp:47-56 "follow icebergs' ids and names";
+# _row_id and _last_updated_sequence_number)
+ROWID_FIELD_ID = 2147483540
+SNAPID_FIELD_ID = 2147483539
 
 
 def _with_virtual_schema(schema: T.StructType) -> T.StructType:

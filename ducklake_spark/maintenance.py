@@ -533,12 +533,12 @@ def _rewrite_one_deleted(lake, h, schema, row, inl_positions=()) -> None:
         txn.new_data_files.setdefault(str(h.table_id), []).extend(files)
         txn.removed_data_files.setdefault(h.table_id, []).append(fid)
         txn.touched_delete_data_files.add(fid)
-        if inl_positions:
-            # close the consumed catalog-inlined delete rows so they
-            # don't re-apply to (or orphan against) the dead file
-            txn.inlined_end_updates.append((
-                f"ducklake_inlined_delete_{h.table_id}",
-                ("file_id",), [(fid,)]))
+        # consumed catalog-inlined delete rows need no end-mark: the
+        # retired source file stops being scanned at snapshots >= this
+        # commit, so its rows go inert through file visibility (and
+        # still apply correctly to time-travel reads of the old file) —
+        # matching the reference, which never closes these rows on
+        # rewrite
         txn.change_log.append(f"compacted_table:{h.table_id}")
     lake._autocommit()
 
@@ -834,7 +834,7 @@ def _inlined_delete_positions(lake: DuckLake, h) -> dict[int, list[int]]:
         return {}
     out: dict[int, list[int]] = {}
     for fid, pos in lake.meta.query(
-        f"SELECT file_id, row_id FROM {tname} WHERE end_snapshot IS NULL"
+        f"SELECT file_id, row_id FROM {tname}"
     ):
         out.setdefault(fid, []).append(pos)
     return out
@@ -852,7 +852,7 @@ def _fids_with_inlined_deletes(lake: DuckLake, h) -> set[int]:
     return {
         fid
         for (fid,) in lake.meta.query(
-            f"SELECT DISTINCT file_id FROM {tname} WHERE end_snapshot IS NULL"
+            f"SELECT DISTINCT file_id FROM {tname}"
         )
     }
 
@@ -872,17 +872,22 @@ def _flush_inlined_deletes(lake: DuckLake, h) -> int:
     ):
         return 0
     rows = lake.meta.query(
-        f"SELECT file_id, row_id FROM {tname} WHERE end_snapshot IS NULL"
+        f"SELECT file_id, row_id, begin_snapshot FROM {tname}"
     )
     if not rows:
         return 0
     from collections import defaultdict
 
+    from ducklake_spark.lake import SNAPID_COL, SNAPID_FIELD_ID
     from ducklake_spark.transaction import DeleteFileInfo
 
-    by_fid: dict[int, set[int]] = defaultdict(set)
-    for fid, pos in rows:
-        by_fid[fid].add(pos)
+    # per-position delete snapshot: the flushed parquet embeds it so
+    # time travel keeps row-level delete visibility after the catalog
+    # rows are removed (reference WriteDeleteFileWithSnapshots,
+    # ducklake_delete.cpp:37-155; ducklake_flush_inlined_data.cpp)
+    by_fid: dict[int, dict[int, int]] = defaultdict(dict)
+    for fid, pos, bsnap in rows:
+        by_fid[fid][pos] = bsnap
     txn = lake._begin()
     delete_dir = os.path.join(lake.data_path, h.path)
     for fid, positions in by_fid.items():
@@ -893,11 +898,14 @@ def _flush_inlined_deletes(lake: DuckLake, h) -> int:
             continue
         rel = frow[0][0]
         prev = lake.meta.query(
-            "SELECT delete_file_id, path, format, encryption_key "
-            "FROM ducklake_delete_file "
+            "SELECT delete_file_id, path, format, encryption_key, "
+            "begin_snapshot FROM ducklake_delete_file "
             "WHERE data_file_id=? AND end_snapshot IS NULL", (fid,)
         )
         if prev:
+            # inherited positions take the previous file's
+            # begin_snapshot (reference MergeDeletesWithSnapshots)
+            prev_begin = prev[0][4]
             if (prev[0][2] or "parquet").lower() == "puffin":
                 from ducklake_spark.functions.roaring import puffin_read
 
@@ -905,7 +913,8 @@ def _flush_inlined_deletes(lake: DuckLake, h) -> int:
                     lake.lfs.strip_scheme(
                         os.path.join(lake.data_path, prev[0][1])))
                 for blob in puffin_read(buf):
-                    positions |= set(blob["positions"])
+                    for p in blob["positions"]:
+                        positions.setdefault(p, prev_begin)
             else:
                 dec = {}
                 if prev[0][3]:
@@ -918,12 +927,15 @@ def _flush_inlined_deletes(lake: DuckLake, h) -> int:
                         {key_id_for(prev[0][3]): prev[0][3]})}
                 with lake.lfs.open_input(lake.lfs.strip_scheme(
                         os.path.join(lake.data_path, prev[0][1]))) as fh:
-                    positions |= set(
-                        # use_threads=False: pyarrow PME decryption races
-                        # under the threaded column reader
-                        pq.ParquetFile(fh, **dec).read(
-                            use_threads=False)["pos"].to_pylist()
-                    )
+                    # use_threads=False: pyarrow PME decryption races
+                    # under the threaded column reader
+                    pt = pq.ParquetFile(fh, **dec).read(use_threads=False)
+                    psnaps = (pt[SNAPID_COL].to_pylist()
+                              if SNAPID_COL in pt.column_names
+                              else [prev_begin] * pt.num_rows)
+                    for p, s in zip(pt["pos"].to_pylist(), psnaps):
+                        positions.setdefault(
+                            p, s if s is not None else prev_begin)
             txn.replaced_delete_files.append(prev[0][0])
         schema = pa.schema(
             [
@@ -931,11 +943,15 @@ def _flush_inlined_deletes(lake: DuckLake, h) -> int:
                          metadata={b"PARQUET:field_id": b"2147483546"}),
                 pa.field("pos", pa.int64(),
                          metadata={b"PARQUET:field_id": b"2147483545"}),
+                pa.field(SNAPID_COL, pa.int64(),
+                         metadata={b"PARQUET:field_id":
+                                   str(SNAPID_FIELD_ID).encode()}),
             ]
         )
         ordered = sorted(positions)
         out = pa.table(
-            {"file_path": [rel] * len(ordered), "pos": ordered}, schema=schema
+            {"file_path": [rel] * len(ordered), "pos": ordered,
+             SNAPID_COL: [positions[p] for p in ordered]}, schema=schema
         )
         final = os.path.join(delete_dir, f"ducklake-delete-{uuid.uuid4().hex}.parquet")
         final_fs = lake.lfs.strip_scheme(final)
@@ -958,6 +974,7 @@ def _flush_inlined_deletes(lake: DuckLake, h) -> int:
 
         with lake.lfs.open_input(final_fs) as fh:
             nrgs = _open_parquet_meta(fh, enc_key).metadata.num_row_groups
+        snaps = [positions[p] for p in ordered]
         txn.new_delete_files.setdefault(h.table_id, []).append(
             DeleteFileInfo(
                 data_file_id=fid,
@@ -967,14 +984,21 @@ def _flush_inlined_deletes(lake: DuckLake, h) -> int:
                 footer_size=_pfs(final_fs, fs=lake.lfs),
                 encryption_key=enc_key,
                 row_group_count=nrgs,
+                # the file spans several delete snapshots: visible from
+                # the earliest, positions filtered row-level by the
+                # embedded snapshot column up to partial_max (reference
+                # flush: "begin_snapshot is the minimum snapshot")
+                partial_max=max(snaps),
+                begin_snapshot_override=min(snaps),
             )
         )
         txn.touched_delete_data_files.add(fid)
     txn.change_log.append(f"flushed_inlined:{h.table_id}")
-    # exactly the positions we folded into the delete parquet, stamped
-    # inside the commit transaction, keyed by (data_file_id, pos)
-    txn.inlined_end_updates.append(
-        (tname, ("file_id", "row_id"), [tuple(r) for r in rows])
+    # exactly the consumed positions are removed from the catalog inside
+    # the commit transaction (reference DELETE FROM after the flush,
+    # ducklake_flush_inlined_data.cpp:588-593)
+    txn.inlined_row_removals.append(
+        (tname, ("file_id", "row_id"), [(r[0], r[1]) for r in rows])
     )
     lake._autocommit()
     return len(rows)

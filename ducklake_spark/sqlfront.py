@@ -168,19 +168,28 @@ def _sub_balanced_calls(sql: str, names: list[str], handler) -> str:
     while pos < len(sql):
         hit = None
         for n in targets:
-            i = lowered.find(n, pos)
-            if i < 0:
-                continue
-            # word boundary + opening paren
-            if i > 0 and (sql[i - 1].isalnum() or sql[i - 1] in "_."):
-                continue
-            j = i + len(n)
-            while j < len(sql) and sql[j].isspace():
-                j += 1
-            if j >= len(sql) or sql[j] != "(":
-                continue
-            if hit is None or i < hit[0]:
-                hit = (i, j, n)
+            # scan PAST non-call occurrences (identifier prefixes like
+            # ducklake_snapshots_v2, bare mentions) — discarding the
+            # name after its first failed occurrence would skip later
+            # genuine calls in the same statement
+            start = pos
+            while True:
+                i = lowered.find(n, start)
+                if i < 0:
+                    break
+                # word boundary + opening paren
+                if i > 0 and (sql[i - 1].isalnum() or sql[i - 1] in "_."):
+                    start = i + 1
+                    continue
+                j = i + len(n)
+                while j < len(sql) and sql[j].isspace():
+                    j += 1
+                if j >= len(sql) or sql[j] != "(":
+                    start = i + 1
+                    continue
+                if hit is None or i < hit[0]:
+                    hit = (i, j, n)
+                break
         if hit is None:
             out.append(sql[pos:])
             break
@@ -599,10 +608,43 @@ class SQLSession:
                 return self._execute_one(stmt, kw)
             except SQLFrontUnsupported:
                 raise  # dialect gap, not a failed statement
-            except Exception:
-                self._txn_aborted = True
+            except Exception as e:
+                # duckdb only invalidates the transaction for
+                # execution-time failures (constraint violations,
+                # commit/IO errors) — parser/binder/catalog errors
+                # leave it usable (verified: BEGIN; SELECT * FROM
+                # nonexist; SELECT 42 succeeds in duckdb, while
+                # update/update_not_null.test shows a NOT NULL
+                # violation does abort)
+                if self._error_invalidates(e):
+                    self._txn_aborted = True
                 raise
         return self._execute_one(stmt, kw)
+
+    @staticmethod
+    def _error_invalidates(e: Exception) -> bool:
+        """Does this failure poison an open transaction, duckdb-style?"""
+        from ducklake_spark.catalog.metadata import ConflictError
+
+        if isinstance(e, ConflictError):
+            return True
+        if isinstance(e, DuckLakeError):
+            # DuckLakeError is almost always a catalog error (no such
+            # table / already exists / bad ALTER) — those do not
+            # invalidate; constraint enforcement does
+            msg = str(e).lower()
+            return ("constraint failed" in msg or "violat" in msg
+                    or "conflict" in msg)
+        try:
+            from pyspark.errors import (AnalysisException, ParseException)
+            if isinstance(e, (AnalysisException, ParseException)):
+                return False  # binder/parser error
+        except Exception:
+            pass
+        if isinstance(e, (KeyError, ValueError, TypeError,
+                          AttributeError)):
+            return False  # frontend resolution error, nothing executed
+        return True  # execution-time Spark/JVM error
 
     def _execute_one(self, stmt: str, kw: str) -> DataFrame | None:
         two = re.match(r"[A-Za-z_]+\s+[A-Za-z_]+", stmt)
@@ -2451,6 +2493,17 @@ class SQLSession:
         # (snapshot_info/ducklake_last_commit.test: FROM ducklake_last_
         # committed_snapshot('x') expects a row, NULL before any commit)
         def _scalar_from(m: re.Match) -> str:
+            if m.group(1) == ",":
+                # a comma only continues a FROM table list when the
+                # nearest preceding clause keyword is FROM — a
+                # select-list comma (SELECT a, current_snapshot()) must
+                # stay scalar for rewrite #1 below
+                head = m.string[:m.start()]
+                kw = [w.upper() for w in re.findall(
+                    r"\b(FROM|SELECT|WHERE|GROUP|ORDER|HAVING|LIMIT)\b",
+                    head, flags=re.I)]
+                if not kw or kw[-1] != "FROM":
+                    return m.group(0)
             fn = m.group(2).lower()
             db = _parse_value(m.group(3)) if m.group(3) else None
             lake = self._lake(str(db) if db else None)
@@ -2519,6 +2572,12 @@ class SQLSession:
         sql = re.sub(
             r"\b(duckdb_tables|duckdb_views|duckdb_schemas|duckdb_columns"
             r"|duckdb_databases)\s*\(\s*\)",
+            _duck_intro, sql, flags=re.I)
+        # duckdb also accepts the bare (paren-less) view form:
+        # FROM duckdb_views WHERE … (transaction_conflicts_view.test)
+        sql = re.sub(
+            r"\b(duckdb_tables|duckdb_views|duckdb_schemas|duckdb_columns"
+            r"|duckdb_databases)\b(?!\s*\()",
             _duck_intro, sql, flags=re.I)
 
         # 2c. bare lake-scoped TVFs on the CURRENT database:
@@ -2629,16 +2688,41 @@ class SQLSession:
             r"(?!\s*\()",
             _qref, sql)
 
-        # 6. bare names: register the current lake's tables and views
+        # 6. bare names: register the current lake's tables and views.
+        # A temp view registered for an earlier statement goes STALE the
+        # moment the table stops existing (DROP TABLE, ROLLBACK of a
+        # txn-local CREATE, RENAME) — it would shadow catalog resolution
+        # and return dropped data. Drop stale ones before binding
+        # (reference basic_transaction.test:40-45).
         if self.current is not None:
             lake = self.lakes[self.current]
+            live: set[str] = set()
+            for t in lake._table_names():
+                s, tname = t.split(".", 1)
+                if s == self.current_schema:
+                    live.add(tname)
+            view_names = self._view_names(lake)
+            for s, v in view_names:
+                if s == self.current_schema:
+                    live.add(v)
+            bare = getattr(self, "_bare_tempviews", None)
+            if bare is None:
+                bare = self._bare_tempviews = set()
+            for name in list(bare):
+                if name not in live:
+                    try:
+                        self.spark.catalog.dropTempView(name)
+                    except Exception:
+                        pass
+                    bare.discard(name)
             for t in lake._table_names():
                 s, tname = t.split(".", 1)
                 if s != self.current_schema:
                     continue
                 if re.search(rf"\b{re.escape(tname)}\b", sql, re.I):
                     self._bind(lake, s, tname).createOrReplaceTempView(tname)
-            for s, v in self._view_names(lake):
+                    bare.add(tname)
+            for s, v in view_names:
                 if s != self.current_schema:
                     continue
                 if re.search(rf"\b{re.escape(v)}\b", sql, re.I):
@@ -2646,6 +2730,7 @@ class SQLSession:
                         lake.view(
                             v if s == "main" else f"{s}.{v}"
                         ).createOrReplaceTempView(v)
+                        bare.add(v)
                     except Exception:
                         pass
         return sql

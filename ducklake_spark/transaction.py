@@ -219,6 +219,13 @@ class Transaction:
             tuple[str, tuple[str, ...], list[tuple] | None]
         ] = []
         self.inlined_clears: list[int] = []  # table_ids whose inlined rows flush
+        # inlined-delete rows consumed by a flush: removed outright at
+        # commit, like the reference's DELETE FROM after writing the
+        # snapshot-embedded delete file
+        # (ducklake_flush_inlined_data.cpp:588-593)
+        self.inlined_row_removals: list[
+            tuple[str, tuple[str, ...], list[tuple]]
+        ] = []
         # small deletes absorbed into the catalog instead of a delete
         # parquet (reference: inlined file deletions,
         # ducklake_delete.cpp:530-546): table_id -> [(data_file_id, pos)]
@@ -313,6 +320,28 @@ class Transaction:
         our_creates = {
             e.partition(":")[2] for e in self.change_log if e.startswith("created_")
         }
+        # drop/drop conflicts (ducklake_transaction_state.cpp:146-166):
+        # two transactions dropping the same table/view/macro must not both
+        # commit — "dropped it already"
+        ours_dropped = {
+            k: self._our_table_targets(k)
+            for k in ("dropped_table", "dropped_view",
+                      "dropped_scalar_macro", "dropped_table_macro")
+        }
+        ours_dropped_schemas = {
+            e.partition(":")[2]
+            for e in self.change_log
+            if e.startswith("dropped_schema:")
+        }
+        # schemas in which this transaction creates an entry — a concurrent
+        # DROP SCHEMA of one of them conflicts ("created an entry in this
+        # schema", ducklake_transaction_state.cpp:162-166,178-191)
+        our_created_entry_schemas: set[str] = set()
+        for e in self.change_log:
+            k, _, p = e.partition(":")
+            if k in ("created_table", "created_view", "created_scalar_macro",
+                     "created_table_macro") and '"."' in p:
+                our_created_entry_schemas.add(p.split('"."', 1)[0].strip('"'))
         for snap_id, changes in since:
             for entry in changes.split(","):
                 if not entry:
@@ -323,8 +352,34 @@ class Transaction:
                     raise ConflictError(
                         f"snapshot {snap_id} created {payload} concurrently"
                     )
+                if kind == "dropped_schema":
+                    if payload in ours_dropped_schemas:
+                        raise ConflictError(
+                            f"schema {payload}: snapshot {snap_id} "
+                            "dropped it already"
+                        )
+                    if payload.strip('"') in our_created_entry_schemas:
+                        raise ConflictError(
+                            f"schema {payload}: dropped in snapshot "
+                            f"{snap_id} but this transaction creates an "
+                            "entry in it"
+                        )
+                if kind.startswith("created_") and '"."' in payload:
+                    cs = payload.split('"."', 1)[0].strip('"')
+                    if f'"{cs}"' in ours_dropped_schemas:
+                        raise ConflictError(
+                            f"snapshot {snap_id} created {payload} in a "
+                            "schema this transaction drops"
+                        )
                 if tid is None:
                     continue
+                if kind in ours_dropped and tid in ours_dropped[kind]:
+                    # drop/drop of the same object
+                    # (ducklake_transaction_state.cpp:146-160)
+                    raise ConflictError(
+                        f"{kind.replace('_', ' ')} {tid}: snapshot "
+                        f"{snap_id} dropped it already"
+                    )
                 if kind == "dropped_table":
                     if tid in (ours_any_insert | ours_any_delete | ours_alter
                                | ours_compact | ours_flush):
@@ -536,6 +591,7 @@ class Transaction:
             or self.column_changes or self.mapping_ops or self.sort_ops
             or self.inlined_inserts or self.inlined_inserts_rebase
             or self.inlined_end_updates or self.inlined_clears
+            or self.inlined_row_removals
             or self.schema_bump_tables
         ):
             return None
@@ -820,6 +876,17 @@ class Transaction:
                 "AND end_snapshot > ? AND end_snapshot < ?",
                 (tid, base, STAGED_BASE),
             ).fetchone()
+            if altered is None:
+                # alters that touch no column rows (SET PARTITIONED BY,
+                # SET SORTED BY, comments) still log altered_table —
+                # probe the changes log (transaction_conflicts.test:
+                # insert vs concurrent partition-key change)
+                altered = con.execute(
+                    "SELECT 1 FROM ducklake_snapshot_changes "
+                    "WHERE snapshot_id > ? AND snapshot_id < ? AND "
+                    "',' || changes_made || ',' LIKE ? LIMIT 1",
+                    (base, STAGED_BASE, f"%,altered_table:{tid},%"),
+                ).fetchone()
             if altered is not None:
                 raise ConflictError(f"table {tid} was altered concurrently")
             # insert conflicts with a concurrent DELETE of the same table
@@ -1250,14 +1317,19 @@ class Transaction:
                     (snap_id, dfid),
                 )
             for tid, pairs in self.inlined_deletes.items():
+                # reference-exact layout: exactly (file_id, row_id,
+                # begin_snapshot) — no end_snapshot column
+                # (ducklake_metadata_manager.cpp:3055-3057); consumed
+                # deletes go inert through the owning data file's
+                # visibility, flushes DELETE their rows outright
+                # (ducklake_flush_inlined_data.cpp:588-593)
                 con.execute(
                     f"CREATE TABLE IF NOT EXISTS ducklake_inlined_delete_{tid}("
-                    "file_id BIGINT, row_id BIGINT, "
-                    "begin_snapshot BIGINT, end_snapshot BIGINT)"
+                    "file_id BIGINT, row_id BIGINT, begin_snapshot BIGINT)"
                 )
                 con.executemany(
                     f"INSERT INTO ducklake_inlined_delete_{tid} "
-                    "VALUES (?, ?, ?, NULL)",
+                    "VALUES (?, ?, ?)",
                     [(fid, pos, snap_id) for fid, pos in pairs],
                 )
             for tid, dfiles in self.new_delete_files.items():
@@ -1372,6 +1444,16 @@ class Transaction:
                         f"WHERE {cond} AND end_snapshot IS NULL",
                         [(snap_id, *k) for k in keys],
                     )
+            # inlined-delete rows consumed by a flush are removed
+            # outright (the flushed delete parquet carries their
+            # per-position snapshot ids for time travel — reference
+            # ducklake_flush_inlined_data.cpp:588-593)
+            for table_name, key_cols, keys in self.inlined_row_removals:
+                cond = " AND ".join(f"{c}=?" for c in key_cols)
+                con.executemany(
+                    f"DELETE FROM {table_name} WHERE {cond}",
+                    [tuple(k) for k in keys],
+                )
             for tid, table_name, rows in self.inlined_inserts:
                 if rows:
                     rows = [

@@ -708,18 +708,24 @@ def test_expire_snapshots_across_renames_keeps_files(mklake, spark):
 
 
 def test_multi_alter_same_column_one_transaction(mklake, spark):
-    """alter/multi_alter_same_column_transaction.test: NOT NULL toggles,
-    SET DEFAULT, and RENAME on the same column inside one transaction;
-    chained renames of a freshly added column in one transaction."""
+    """alter/multi_alter_same_column_transaction.test:17-41: SET NOT
+    NULL -> DROP NOT NULL -> SET DEFAULT -> RENAME on the same column
+    inside one transaction (the reference sets NOT NULL first — DROP
+    NOT NULL on a column without the constraint errors, see
+    constraints/not_null.test:41-45); chained renames of a freshly
+    added column in one transaction."""
     lake = mklake()
     lake.create_table("t", [("id", "int64"), ("col1", "int64")])
     lake.insert("t", spark.createDataFrame(
-        [(1, 10), (2, 20), (3, None)], "id long, col1 long"))
+        [(1, 10), (2, 20)], "id long, col1 long"))
     lake.begin()
+    lake.set_not_null("t", "col1")
     lake.drop_not_null("t", "col1")
     lake.set_default("t", "col1", "42")
     lake.rename_column("t", "col1", "col1_final")
     lake.commit()
+    lake.insert("t", spark.createDataFrame(
+        [(3, None)], "id long, col1_final long"))
     lake.insert("t", spark.createDataFrame([(4,)], "id long"))
     got = sorted((r[0], r[1]) for r in lake.table("t")
                  .selectExpr("id", "col1_final").collect())

@@ -208,3 +208,29 @@ def test_detach_reattach_persistence(spark, tmp_path):
     s.execute(f"ATTACH 'ducklake:{tmp_path}/m.db' AS two")
     assert rows(s.execute("SELECT x FROM two.t")) == [(42,)]
     s.lakes["two"].meta.close()
+
+
+def test_scalar_snapshot_after_select_list_comma(sess):
+    """ADVICE r6: SELECT a, ducklake_current_snapshot() must stay a
+    scalar — the FROM-position relation rewrite's ',' alternative must
+    not capture a select-list comma."""
+    sess.execute("CREATE TABLE dl.sx(a INTEGER)")
+    sess.execute("INSERT INTO dl.sx VALUES (7)")
+    out = rows(sess.execute(
+        "SELECT a, ducklake_current_snapshot('dl') AS s FROM sx"))
+    assert len(out) == 1 and out[0][0] == 7 and out[0][1] >= 1
+    # FROM-position probe still becomes a one-row relation
+    out = rows(sess.execute("FROM ducklake_current_snapshot('dl')"))
+    assert len(out) == 1 and out[0][0] >= 1
+
+
+def test_tvf_call_after_identifier_prefix(sess):
+    """ADVICE r6: an identifier that merely PREFIXES a TVF name earlier
+    in the statement must not stop the later genuine call from
+    rewriting (first-occurrence scan in _sub_balanced_calls)."""
+    sess.execute("CREATE TABLE dl.ducklake_snapshots_v2(i INTEGER)")
+    sess.execute("INSERT INTO dl.ducklake_snapshots_v2 VALUES (1)")
+    out = rows(sess.execute(
+        "SELECT (SELECT COUNT(*) FROM dl.ducklake_snapshots_v2) AS a, "
+        "(SELECT COUNT(*) FROM ducklake_snapshots('dl')) AS b"))
+    assert len(out) == 1 and out[0][0] == 1 and out[0][1] >= 1
