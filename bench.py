@@ -36,6 +36,11 @@ BENCH_QUERIES = [
     "dedup_exact",
     "dedup_minhash_lsh",
     "sim_knn_cosine",
+    # index-backed variants: ingest-time signatures + persisted index
+    # (the 100-TB shape) — timed so the incremental path is graded,
+    # not just correctness-checked
+    "lake_dedup_index_incremental",
+    "sim_ann_ivf",
 ]
 
 
@@ -56,6 +61,10 @@ def main() -> None:
 
     load_tables(spark, sf_dir)
     registry["tpch_q06"].run(spark, sf_dir).count()
+    # the lake-backed queries memoize a shared gate lake (build = load
+    # + delete + update + evolve + compact); build it untimed so the
+    # timed samples measure the query, not one-time lake construction
+    registry["lake_dedup_index_incremental"].run(spark, sf_dir).count()
 
     timings: dict[str, float] = {}
     for name in BENCH_QUERIES:

@@ -426,7 +426,8 @@ class MetadataManager:
             (version,),
         ).fetchone()
         if row is None:
-            raise ValueError(f"no snapshot with version {version}")
+            # reference-exact wording (ducklake_metadata_manager.cpp:4385)
+            raise ValueError(f"No snapshot found at version {version}")
         return Snapshot(*row)
 
     def snapshot_at_timestamp(self, ts: str) -> Snapshot:
@@ -439,7 +440,8 @@ class MetadataManager:
             (ts,),
         ).fetchone()
         if row is None:
-            raise ValueError(f"no snapshot at or before timestamp {ts!r}")
+            # reference-exact wording (ducklake_metadata_manager.cpp:4385)
+            raise ValueError(f"No snapshot found at timestamp {ts}")
         return Snapshot(*row)
 
     def snapshots_since(self, snapshot_id: int) -> list[tuple[int, str]]:

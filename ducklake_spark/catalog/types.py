@@ -267,6 +267,61 @@ def _split_top(s: str) -> list[str]:
     return out
 
 
+def nested_evolution(src: str, dst: str) -> list[str]:
+    """Reference SET DATA TYPE semantics for nested types
+    (GetNestedEvolution, ducklake_table_entry.cpp:972-1025): the
+    container kind must match; struct fields are matched by name
+    case-insensitively — matched fields promote recursively, fields
+    only in the target are ADDED, fields only in the source are
+    DROPPED. Returns the dotted paths of added fields (container hops
+    appear as ``key``/``value``/``element`` segments). Raises
+    ValueError when a matched pair is not a legal promotion."""
+    added: list[str] = []
+
+    def walk(s: str, d: str, prefix: list[str]) -> None:
+        s, d = s.strip(), d.strip()
+        sl, dl = s.lower(), d.lower()
+        if sl == dl:
+            return
+        sm = re.fullmatch(r"map<(.+)>", s, re.I | re.S)
+        dm = re.fullmatch(r"map<(.+)>", d, re.I | re.S)
+        if sm and dm:
+            skv, dkv = _split_top(sm.group(1)), _split_top(dm.group(1))
+            if len(skv) != 2 or len(dkv) != 2:
+                raise ValueError(f"malformed map type {s!r} / {d!r}")
+            walk(skv[0], dkv[0], prefix + ["key"])
+            walk(skv[1], dkv[1], prefix + ["value"])
+            return
+        ss = re.fullmatch(r"list<(.+)>", s, re.I | re.S)
+        ds = re.fullmatch(r"list<(.+)>", d, re.I | re.S)
+        if ss and ds:
+            walk(ss.group(1), ds.group(1), prefix + ["element"])
+            return
+        ss = re.fullmatch(r"struct<(.+)>", s, re.I | re.S)
+        ds = re.fullmatch(r"struct<(.+)>", d, re.I | re.S)
+        if ss and ds:
+            sfields = {n.strip().lower(): t for n, t in
+                       (p.split(":", 1) for p in _split_top(ss.group(1)))}
+            for part in _split_top(ds.group(1)):
+                dn, dt = part.split(":", 1)
+                key = dn.strip().lower()
+                st = sfields.pop(key, None)
+                if st is None:
+                    added.append(".".join(prefix + [dn.strip()]))
+                else:
+                    walk(st, dt, prefix + [dn.strip()])
+            # fields remaining in sfields are dropped — always allowed
+            return
+        # primitive (or kind-mismatched) pair
+        if dl in _PROMOTIONS.get(sl, set()):
+            return
+        raise ValueError(
+            f"type change {s} -> {d} is not a widening promotion")
+
+    walk(src, dst, [])
+    return added
+
+
 def struct_leaf_paths(type_name: str) -> list[tuple[str, str]]:
     """[(dotted_path, leaf_type)] for the scalar leaves nested in a
     STRUCT type — the paths parquet uses in ``path_in_schema`` for pure

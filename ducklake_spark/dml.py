@@ -255,9 +255,10 @@ def _apply_file_deletes_fused(lake: DuckLake, h: TableHandle, snap,
                         if txn0 is not None else set())
     existing: dict = {}
     existing_ids: dict = {}
-    for fid, path, fmt, dc, ekey, dfid in lake.meta.query(
+    prev_begin: dict = {}
+    for fid, path, fmt, dc, ekey, dfid, dbegin in lake.meta.query(
         "SELECT data_file_id, path, format, delete_count, encryption_key, "
-        "delete_file_id FROM ducklake_delete_file "
+        "delete_file_id, begin_snapshot FROM ducklake_delete_file "
         "WHERE table_id=? AND begin_snapshot <= ? "
         "AND (end_snapshot IS NULL OR end_snapshot > ?)",
         (h.table_id, snap.snapshot_id, snap.snapshot_id),
@@ -266,6 +267,7 @@ def _apply_file_deletes_fused(lake: DuckLake, h: TableHandle, snap,
             continue  # superseded earlier in this open transaction
         existing[fid] = (path, fmt, dc, ekey)
         existing_ids[fid] = dfid
+        prev_begin[fid] = dbegin
     # delete files BUFFERED by this open transaction supersede the
     # committed row for their data file: their positions merge into the
     # rewrite, and writing a fresh file replaces the buffered one
@@ -292,9 +294,15 @@ def _apply_file_deletes_fused(lake: DuckLake, h: TableHandle, snap,
                                        "1000000") or 0)
     if len(files) <= bcast_limit:
         fname_map = F.broadcast(fname_map)
+    # positions written by THIS delete are stamped with the anticipated
+    # commit snapshot, like the reference (ducklake_delete.cpp:433:
+    # current_snapshot.snapshot_id + 1) — merged delete files embed a
+    # per-position snapshot column so one file serves every snapshot
+    anticipated = snap.snapshot_id + 1
     new_dels = victims.join(fname_map, "filename").select(
         "file_path", "pos"
-    ).withColumn("is_new", F.lit(True))
+    ).withColumn("is_new", F.lit(True)).withColumn(
+        "snap", F.lit(anticipated).cast("long"))
 
     # pre-existing delete content of candidate files, narrowed to files
     # that actually receive new deletes by an in-job semi-join (no
@@ -311,24 +319,50 @@ def _apply_file_deletes_fused(lake: DuckLake, h: TableHandle, snap,
             prev_enc.append((os.path.join(lake.data_path, prev[0]), prev[3]))
         else:
             prev_pq.append(os.path.join(lake.data_path, prev[0]))
+    from ducklake_spark.lake import SNAPID_COL
+
     prev_df = None
     if prev_pq:
         prev_df = lake.spark.read.schema(
-            "file_path string, pos long").parquet(*prev_pq)
+            f"file_path string, pos long, `{SNAPID_COL}` long"
+        ).parquet(*prev_pq).withColumnRenamed(SNAPID_COL, "snap")
     if prev_enc:
-        pe = lake._read_encrypted_delete_files(prev_enc).select(
-            "file_path", "pos")
+        pe = lake._read_encrypted_delete_files(prev_enc)
+        if SNAPID_COL in pe.columns:
+            pe = pe.select("file_path", "pos",
+                           F.col(SNAPID_COL).alias("snap"))
+        else:
+            pe = pe.select("file_path", "pos",
+                           F.lit(None).cast("long").alias("snap"))
         prev_df = pe if prev_df is None else prev_df.unionByName(pe)
     if prev_dv:
         pd_df = lake._decode_dv_files(prev_dv).withColumnRenamed(
             "__dfile", "file_path").withColumnRenamed("__dpos", "pos")
+        if SNAPID_COL in pd_df.columns:
+            pd_df = pd_df.withColumnRenamed(SNAPID_COL, "snap")
+        else:
+            pd_df = pd_df.withColumn("snap", F.lit(None).cast("long"))
+        pd_df = pd_df.select("file_path", "pos", "snap")
         prev_df = pd_df if prev_df is None else prev_df.unionByName(pd_df)
     all_dels = new_dels
     if prev_df is not None:
+        # inherited positions lacking an embedded snapshot take the
+        # previous delete file's begin_snapshot (reference
+        # MergeDeletesWithSnapshots fallback)
+        begin_map = lake.spark.createDataFrame(
+            [(rel, prev_begin.get(fid))
+             for rel, fid in fid_by_path.items() if fid in existing],
+            "file_path string, __prev_begin long",
+        )
         prev_df = prev_df.join(
             new_dels.select("file_path").distinct(), "file_path", "left_semi"
-        ).withColumn("is_new", F.lit(False))
-        all_dels = new_dels.unionByName(prev_df)
+        ).join(F.broadcast(begin_map), "file_path", "left").select(
+            "file_path", "pos",
+            F.lit(False).alias("is_new"),
+            F.coalesce(F.col("snap"), F.col("__prev_begin")).alias("snap"),
+        )
+        all_dels = new_dels.select(
+            "file_path", "pos", "is_new", "snap").unionByName(prev_df)
 
     delete_dir = os.path.join(lake.data_path, h.path)
     lake.lfs.makedirs(lake.lfs.strip_scheme(delete_dir))
@@ -344,10 +378,10 @@ def _apply_file_deletes_fused(lake: DuckLake, h: TableHandle, snap,
     inline_limit = _delete_inline_limit(lake, h)
     if use_dv:
         written = _write_dv_files_distributed(
-            lake, delete_dir, all_dels, inline_limit)
+            lake, delete_dir, all_dels, inline_limit, anticipated)
     else:
         written = _write_delete_files_distributed(
-            lake, delete_dir, all_dels, inline_limit)
+            lake, delete_dir, all_dels, inline_limit, anticipated)
     n_deleted = sum(w["n_new"] for w in written)
     if n_deleted == 0:
         for w in written:  # defensive: semi-join should prevent these
@@ -419,6 +453,13 @@ def _apply_file_deletes_fused(lake: DuckLake, h: TableHandle, snap,
                 format="puffin" if use_dv else "parquet",
                 encryption_key=w.get("enc_key") or None,
                 row_group_count=w.get("rgs"),
+                # merged files spanning committed delete history keep
+                # the earliest snapshot as begin and record the span
+                # (reference: begin_snapshot is the minimum embedded
+                # snapshot, partial_max the maximum)
+                begin_snapshot_override=(
+                    w["smin"] if w.get("with_snaps") else None),
+                partial_max=w["smax"] if w.get("with_snaps") else None,
             )
         )
         txn.touched_delete_data_files.add(fid)
@@ -433,7 +474,9 @@ def _apply_file_deletes_fused(lake: DuckLake, h: TableHandle, snap,
 
 
 def _write_delete_files_distributed(lake, delete_dir: str, dels: DataFrame,
-                                    inline_limit: int = 0) -> list[dict]:
+                                    inline_limit: int = 0,
+                                    anticipated: int | None = None,
+                                    ) -> list[dict]:
     """Write one reference-layout delete parquet per data file, each
     group on the executor that owns it; returns per-file metadata rows
     (file_path, out_path, n, size). Reference layout:
@@ -457,8 +500,11 @@ def _write_delete_files_distributed(lake, delete_dir: str, dels: DataFrame,
         import pyarrow as _pa
         import pyarrow.parquet as _pq
 
+        import pandas as _pd
+
         rel = pdf["file_path"].iloc[0]
-        pos = sorted({int(x) for x in pdf["pos"]})
+        pos_snap, has_null = _dedupe_pos_snaps(pdf, _pd)
+        pos = sorted(pos_snap)
         n_new = int(pdf["is_new"].sum()) if "is_new" in pdf else len(pos)
         if 0 < n_new <= inline_limit:
             new_pos = sorted(
@@ -468,19 +514,33 @@ def _write_delete_files_distributed(lake, delete_dir: str, dels: DataFrame,
             return pd.DataFrame(
                 [{"file_path": rel, "out_path": "", "n": len(pos),
                   "n_new": n_new, "new_pos": _json.dumps(new_pos),
-                  "size": 0, "footer": 0, "rgs": 0, "enc_key": ""}]
+                  "size": 0, "footer": 0, "rgs": 0, "enc_key": "",
+                  "smin": 0, "smax": 0, "with_snaps": False}]
             )
-        schema = _pa.schema(
-            [
-                _pa.field("file_path", _pa.string(),
-                          metadata={b"PARQUET:field_id": b"2147483546"}),
-                _pa.field("pos", _pa.int64(),
-                          metadata={b"PARQUET:field_id": b"2147483545"}),
-            ]
-        )
-        out = _pa.table({"file_path": [rel] * len(pos), "pos": pos}, schema=schema)
+        snaps = [pos_snap[p] for p in pos]
+        # embedded per-position snapshots ONLY when the file spans
+        # committed delete history (reference FlushDeleteWithSnapshots
+        # vs the plain first-delete write, ducklake_delete.cpp:550-590)
+        with_snaps = (not has_null) and any(s != anticipated for s in snaps)
+        fields = [
+            _pa.field("file_path", _pa.string(),
+                      metadata={b"PARQUET:field_id": b"2147483546"}),
+            _pa.field("pos", _pa.int64(),
+                      metadata={b"PARQUET:field_id": b"2147483545"}),
+        ]
+        cols = {"file_path": [rel] * len(pos), "pos": pos}
+        if with_snaps:
+            from ducklake_spark.lake import SNAPID_COL as _SC
+            from ducklake_spark.lake import SNAPID_FIELD_ID as _SFID
+
+            fields.append(_pa.field(_SC, _pa.int64(),
+                                    metadata={b"PARQUET:field_id":
+                                              str(_SFID).encode()}))
+            cols[_SC] = snaps
+        schema = _pa.schema(fields)
+        out = _pa.table(cols, schema=schema)
         final = _os.path.join(
-            delete_dir, f"ducklake-delete-{_uuid.uuid4().hex}.parquet"
+            delete_dir, f"ducklake-{_uuid.uuid4()}-delete.parquet"
         )
         enc_key = ""
         if encrypt:
@@ -509,7 +569,10 @@ def _write_delete_files_distributed(lake, delete_dir: str, dels: DataFrame,
               "size": size_any(final),
               "footer": parquet_footer_size(final),
               "rgs": nrgs,
-              "enc_key": enc_key}]
+              "enc_key": enc_key,
+              "smin": min(snaps) if with_snaps else 0,
+              "smax": max(snaps) if with_snaps else 0,
+              "with_snaps": with_snaps}]
         )
 
     rows = (
@@ -518,11 +581,29 @@ def _write_delete_files_distributed(lake, delete_dir: str, dels: DataFrame,
             write_group,
             "file_path string, out_path string, n long, n_new long, "
             "new_pos string, size long, footer long, rgs long, "
-            "enc_key string",
+            "enc_key string, smin long, smax long, with_snaps boolean",
         )
         .collect()
     )
     return [r.asDict() for r in rows]
+
+
+def _dedupe_pos_snaps(pdf, _pd) -> tuple[dict, bool]:
+    """{position -> earliest snapshot or None} and whether any position
+    lacks a snapshot (txn-local merge content — forces the plain,
+    snapshot-free layout)."""
+    pos_snap: dict[int, int | None] = {}
+    has_null = False
+    snaps_col = pdf["snap"] if "snap" in pdf else [None] * len(pdf)
+    for p, s in zip(pdf["pos"], snaps_col):
+        p = int(p)
+        s = None if s is None or _pd.isna(s) else int(s)
+        if s is None:
+            has_null = True
+        cur = pos_snap.get(p, -1)
+        if cur == -1 or (s is not None and (cur is None or s < cur)):
+            pos_snap[p] = s
+    return pos_snap, has_null
 
 
 def _inlined_delete_counts(lake, h) -> dict[int, int]:
@@ -547,7 +628,9 @@ def _inlined_delete_counts(lake, h) -> dict[int, int]:
 
 
 def _write_dv_files_distributed(lake, delete_dir: str, dels: DataFrame,
-                                inline_limit: int = 0) -> list[dict]:
+                                inline_limit: int = 0,
+                                anticipated: int | None = None,
+                                ) -> list[dict]:
     """Iceberg-v3 deletion vectors: one bare deletion-vector-v1 blob per
     data file (reference single-blob case, ducklake_puffin.cpp:131-141),
     written executor-side like the parquet variant. Inlined file
@@ -563,8 +646,11 @@ def _write_dv_files_distributed(lake, delete_dir: str, dels: DataFrame,
 
         from ducklake_spark.functions.roaring import puffin_write
 
+        import pandas as _pd
+
         rel = pdf["file_path"].iloc[0]
-        pos = sorted({int(x) for x in pdf["pos"]})
+        pos_snap, has_null = _dedupe_pos_snaps(pdf, _pd)
+        pos = sorted(pos_snap)
         n_new = int(pdf["is_new"].sum()) if "is_new" in pdf else len(pos)
         if 0 < n_new <= inline_limit:
             new_pos = sorted(
@@ -574,16 +660,34 @@ def _write_dv_files_distributed(lake, delete_dir: str, dels: DataFrame,
             return pd.DataFrame(
                 [{"file_path": rel, "out_path": "", "n": len(pos),
                   "n_new": n_new, "new_pos": _json.dumps(new_pos),
-                  "size": 0, "footer": 0}]
+                  "size": 0, "footer": 0,
+                  "smin": 0, "smax": 0, "with_snaps": False}]
             )
         final = _os.path.join(
-            delete_dir, f"ducklake-dv-{_uuid.uuid4().hex}.puffin"
+            delete_dir, f"ducklake-{_uuid.uuid4()}-delete.puffin"
         )
-        r = puffin_write(final, [(None, pos)], rel)
+        snaps = [pos_snap[p] for p in pos]
+        with_snaps = (not has_null) and any(s != anticipated for s in snaps)
+        if with_snaps:
+            # cumulative snapshot-tagged blobs: blob at snapshot S holds
+            # every position deleted at or before S (reference puffin
+            # DVs tag blobs with ducklake-snapshot-id; readers take the
+            # first blob containing a position)
+            blobs = []
+            acc: list[int] = []
+            for s in sorted(set(snaps)):
+                acc = sorted(p for p in pos if pos_snap[p] <= s)
+                blobs.append((s, list(acc)))
+        else:
+            blobs = [(None, pos)]
+        r = puffin_write(final, blobs, rel)
         return pd.DataFrame(
-            [{"file_path": rel, "out_path": final, "n": r["delete_count"],
+            [{"file_path": rel, "out_path": final, "n": len(pos),
               "n_new": n_new, "new_pos": "",
-              "size": r["file_size_bytes"], "footer": r["footer_size"]}]
+              "size": r["file_size_bytes"], "footer": r["footer_size"],
+              "smin": min(snaps) if with_snaps else 0,
+              "smax": max(snaps) if with_snaps else 0,
+              "with_snaps": with_snaps}]
         )
 
     rows = (
@@ -591,7 +695,8 @@ def _write_dv_files_distributed(lake, delete_dir: str, dels: DataFrame,
         .applyInPandas(
             write_group,
             "file_path string, out_path string, n long, n_new long, "
-            "new_pos string, size long, footer long",
+            "new_pos string, size long, footer long, "
+            "smin long, smax long, with_snaps boolean",
         )
         .collect()
     )

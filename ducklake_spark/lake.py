@@ -29,7 +29,7 @@ import urllib.parse
 import uuid
 from dataclasses import dataclass
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
@@ -143,6 +143,142 @@ def _literal_text(default: str | None) -> str | None:
     if s.lower() in ("true", "false"):
         return s.lower()
     return None
+
+
+def _type_at_struct_path(type_name: str, segs: list[str]) -> str | None:
+    """DuckLake type of the field at a pure-struct dotted path, or None
+    when the path no longer resolves (field since dropped/renamed)."""
+    from ducklake_spark.catalog.types import _split_top
+
+    t = type_name
+    for seg in segs:
+        m = re.fullmatch(r"\s*struct<(.+)>\s*", t, re.I | re.S)
+        if not m:
+            return None
+        nxt = None
+        for part in _split_top(m.group(1)):
+            n, ty = part.split(":", 1)
+            if n.strip().lower() == seg.lower():
+                nxt = ty
+                break
+        if nxt is None:
+            return None
+        t = nxt
+    return t
+
+
+def _remap_json_rename(v, hops: list[str], frm: str, to: str):
+    """Apply one nested-field rename to a decoded inlined-JSON value:
+    hop through struct dicts / list elements / map [k, v] pairs along
+    ``hops``, then rename dict key ``frm`` -> ``to`` (case-insensitive,
+    matching the catalog's identifier semantics)."""
+    if v is None:
+        return v
+    if hops:
+        seg, rest = hops[0].lower(), hops[1:]
+        if seg == "element" and isinstance(v, list):
+            return [_remap_json_rename(x, rest, frm, to) for x in v]
+        if seg in ("key", "value") and isinstance(v, list):
+            i = 0 if seg == "key" else 1
+            out = []
+            for pair in v:
+                pair = list(pair)
+                pair[i] = _remap_json_rename(pair[i], rest, frm, to)
+                out.append(pair)
+            return out
+        if isinstance(v, dict):
+            return {k: (_remap_json_rename(x, rest, frm, to)
+                        if k.lower() == seg else x) for k, x in v.items()}
+        return v
+    if isinstance(v, dict):
+        k0 = next((k for k in v if k.lower() == frm.lower()), None)
+        if k0 is not None and to not in v:
+            v = dict(v)
+            v[to] = v.pop(k0)
+        return v
+    return v
+
+
+def _rename_in_dtype(dt: T.DataType, hops: list[str], frm: str,
+                     to: str) -> T.DataType:
+    """Rename struct field ``frm`` -> ``to`` at dotted path ``hops``
+    within a (possibly container-nested) Spark type; hop segments are
+    struct field names, a list's ``element``, or a map's
+    ``key``/``value``. Returns ``dt`` unchanged (identity) when the
+    path doesn't resolve."""
+    if hops:
+        seg, rest = hops[0].lower(), hops[1:]
+        if isinstance(dt, T.ArrayType) and seg == "element":
+            inner = _rename_in_dtype(dt.elementType, rest, frm, to)
+            return dt if inner is dt.elementType else T.ArrayType(
+                inner, dt.containsNull)
+        if isinstance(dt, T.MapType) and seg == "key":
+            inner = _rename_in_dtype(dt.keyType, rest, frm, to)
+            return dt if inner is dt.keyType else T.MapType(
+                inner, dt.valueType, dt.valueContainsNull)
+        if isinstance(dt, T.MapType) and seg == "value":
+            inner = _rename_in_dtype(dt.valueType, rest, frm, to)
+            return dt if inner is dt.valueType else T.MapType(
+                dt.keyType, inner, dt.valueContainsNull)
+        if isinstance(dt, T.StructType):
+            out, hit = [], False
+            for f in dt.fields:
+                if f.name.lower() == seg:
+                    inner = _rename_in_dtype(f.dataType, rest, frm, to)
+                    hit = hit or inner is not f.dataType
+                    out.append(T.StructField(f.name, inner, f.nullable))
+                else:
+                    out.append(f)
+            return T.StructType(out) if hit else dt
+        return dt
+    if isinstance(dt, T.StructType):
+        if not any(f.name.lower() == frm.lower() for f in dt.fields):
+            return dt
+        return T.StructType([
+            T.StructField(to if f.name.lower() == frm.lower() else f.name,
+                          f.dataType, f.nullable)
+            for f in dt.fields
+        ])
+    return dt
+
+
+def _coerce_by_name(col: Column, src: T.DataType | None,
+                    dst: T.DataType) -> Column:
+    """Insert-time cast with the reference's by-name struct coercion:
+    DuckDB (>=1.2, which the reference builds on) casts structs by
+    matching field NAMES — source-only fields are dropped, target-only
+    fields fill NULL, matched fields recurse
+    (test/sql/alter/struct_evolution_reuse.test inserts {'i','j'} into
+    STRUCT(j INT)). Spark's struct cast is positional and
+    arity-strict, so differing struct shapes are rebuilt field-wise;
+    identical shapes keep the plain (whole-stage-codegen) cast."""
+    if src is None or src == dst:
+        return col if src == dst else col.cast(dst)
+    if isinstance(src, T.StructType) and isinstance(dst, T.StructType):
+        sfields = {f.name.lower(): f for f in src.fields}
+        parts = []
+        for f in dst.fields:
+            s = sfields.get(f.name.lower())
+            if s is None:
+                parts.append(F.lit(None).cast(f.dataType).alias(f.name))
+            else:
+                parts.append(_coerce_by_name(
+                    col.getField(s.name), s.dataType, f.dataType
+                ).alias(f.name))
+        return F.when(col.isNull(), F.lit(None).cast(dst)).otherwise(
+            F.struct(*parts))
+    if isinstance(src, T.ArrayType) and isinstance(dst, T.ArrayType):
+        return F.when(col.isNull(), F.lit(None).cast(dst)).otherwise(
+            F.transform(col, lambda x: _coerce_by_name(
+                x, src.elementType, dst.elementType)))
+    if isinstance(src, T.MapType) and isinstance(dst, T.MapType):
+        return F.when(col.isNull(), F.lit(None).cast(dst)).otherwise(
+            F.map_from_arrays(
+                F.transform(F.map_keys(col), lambda k: _coerce_by_name(
+                    k, src.keyType, dst.keyType)),
+                F.transform(F.map_values(col), lambda v: _coerce_by_name(
+                    v, src.valueType, dst.valueType))))
+    return col.cast(dst)
 
 
 def _check_reserved_column(name: str) -> None:
@@ -1092,12 +1228,30 @@ class DuckLake:
         self._autocommit()
 
     def change_column_type(self, name: str, col_name: str, new_type: str) -> None:
-        """Widening promotions only (reference: ducklake_table_entry.cpp:912-921)."""
+        """Widening promotions for primitives; field-level evolution for
+        nested types — matched fields promote, target-only fields are
+        added, source-only fields are dropped (reference:
+        ducklake_table_entry.cpp:912-1025 TypePromotion /
+        GetNestedEvolution)."""
         h = self._handle(name)
         self._require_committed(h, "ALTER CHANGE TYPE")
         cur = next((c for c in h.columns if c[1] == col_name), None)
         if cur is None:
             raise DuckLakeError(f"no column {col_name!r}")
+
+        def _is_nested(t: str) -> bool:
+            return bool(re.match(r"\s*(struct|list|map)<", t, re.I))
+
+        if _is_nested(cur[2]) or _is_nested(new_type):
+            from ducklake_spark.catalog.types import nested_evolution
+
+            try:
+                added = nested_evolution(cur[2], new_type)
+            except ValueError as e:
+                raise DuckLakeError(str(e))
+            ducklake_to_spark(new_type)  # validates
+            self._apply_nested_type(name, h, cur, new_type, tuple(added))
+            return
         if not is_widening(cur[2], new_type):
             raise DuckLakeError(
                 f"type change {cur[2]} -> {new_type} is not a widening promotion"
@@ -1422,13 +1576,25 @@ class DuckLake:
         raise DuckLakeError(f"cannot navigate {seg!r} into {t!r}")
 
     def _mutate_struct(self, name: str, col_name: str, edit,
-                       nav: tuple = ()) -> None:
+                       nav: tuple = (), added_paths: tuple = ()) -> None:
         h = self._handle(name)
         self._require_committed(h, "SET DEFAULT")
         cur = next((c for c in h.columns if c[1] == col_name), None)
         if cur is None:
             raise DuckLakeError(f"no column {col_name!r}")
         new_type = self._edit_type_at(cur[2], nav, edit)
+        self._apply_nested_type(name, h, cur, new_type, added_paths)
+
+    def _apply_nested_type(self, name: str, h: "TableHandle", cur,
+                           new_type: str, added_paths: tuple = ()) -> None:
+        """Install a new nested type for a column: regenerate the
+        per-leaf child rows, tag ADDED field paths (a field added after
+        a file was written must read NULL from that file even when the
+        file carries stale same-named bytes — the reference gives
+        re-added fields a fresh field id so old data never resurrects,
+        struct_evolution_reuse.test), and overlay the type on the open
+        transaction's own later statements."""
+        col_name = cur[1]
         # regenerate the per-leaf child rows for the new shape (fresh
         # ids: old files' leaf stats stay keyed to the retired ids, so
         # pruning on a renamed/added field keeps them — no-stats ⇒ keep)
@@ -1463,10 +1629,23 @@ class DuckLake:
                 )
 
         txn.column_changes.setdefault(h.table_id, []).append(regen)
+        if self._explicit_txn:
+            txn.pending_column_types.setdefault(
+                h.table_id, {})[col_name] = new_type
+        for path in added_paths:
+            def tag_op(con, snap_id, h=h, cid=cur[0], path=path):
+                con.execute(
+                    "INSERT INTO ducklake_column_tag VALUES (?, ?, ?, NULL, "
+                    "'field_added', ?)",
+                    (h.table_id, cid, snap_id, path),
+                )
+
+            txn.column_changes.setdefault(h.table_id, []).append(tag_op)
         self._alter_column(name, col_name, lambda v: {**v, "column_type": new_type})
 
     def add_field(self, name: str, col_name: str, field_name: str,
-                  field_type: str, default: str | None = None) -> None:
+                  field_type: str, default: str | None = None,
+                  if_not_exists: bool = False) -> None:
         """ADD nested FIELD: appended at the end of the struct; old files
         read the new field as NULL (name-resolved nested schema merge) —
         or as ``default`` when given: rows that predate the field
@@ -1478,10 +1657,25 @@ class DuckLake:
         *nav, leaf = field_name.split(".")
 
         def edit(parts):
-            if any(n == leaf for n, _ in parts):
+            # reference matches case-insensitively (struct_evolution_
+            # alter.test: ADD COLUMN col1.K after col1.k -> exists)
+            if any(n.lower() == leaf.lower() for n, _ in parts):
                 raise DuckLakeError(f"field {leaf!r} already exists")
             return parts + [(leaf, field_type)]
 
+        if if_not_exists:
+            # probe with the real navigation (hops list/map containers
+            # exactly like the add itself — struct_evolution_list_alter
+            # .test ADD COLUMN IF NOT EXISTS on a STRUCT[] column)
+            h = self._handle(name)
+            cur = next((c for c in h.columns if c[1] == col_name), None)
+            if cur is not None:
+                try:
+                    self._edit_type_at(cur[2], tuple(nav), edit)
+                except DuckLakeError as e:
+                    if "already exists" in str(e):
+                        return
+                    raise
         if default is not None and nav:
             raise DuckLakeError(
                 "ADD FIELD ... DEFAULT is supported on top-level struct "
@@ -1501,7 +1695,8 @@ class DuckLake:
                 )
 
             txn.column_changes.setdefault(h.table_id, []).append(tag_op)
-        self._mutate_struct(name, col_name, edit, nav=tuple(nav))
+        self._mutate_struct(name, col_name, edit, nav=tuple(nav),
+                            added_paths=(field_name,))
 
     def _field_default_log(self, h: TableHandle) -> list[tuple[int, int, str, str]]:
         """[(begin_snapshot, column_id, field, default_sql)] of nested
@@ -1514,6 +1709,22 @@ class DuckLake:
         ):
             fname, _, dsql = val.partition(":")
             out.append((snap, cid, fname, dsql))
+        return sorted(out)
+
+    def _field_added_log(self, h: TableHandle) -> list[tuple[int, int, str]]:
+        """[(begin_snapshot, column_id, dotted_field_path)] of nested
+        field ADDs (ADD FIELD and SET DATA TYPE evolution). Files
+        written before the add must read the field as NULL even when
+        they carry stale same-named bytes from a dropped generation —
+        the reference's fresh-field-id rule
+        (struct_evolution_reuse.test)."""
+        out = []
+        for cid, snap, val in self.meta.query(
+            "SELECT column_id, begin_snapshot, value FROM ducklake_column_tag "
+            "WHERE table_id=? AND key='field_added'",
+            (h.table_id,),
+        ):
+            out.append((snap, cid, val))
         return sorted(out)
 
     def drop_field(self, name: str, col_name: str, field_name: str) -> None:
@@ -1541,15 +1752,26 @@ class DuckLake:
         if cur is None:
             raise DuckLakeError(f"no column {col_name!r}")
 
-        parts = self._struct_parts(cur[2])
-        if not any(n == old for n, _ in parts):
-            raise DuckLakeError(f"no field {old!r}")
-        if any(n == new for n, _ in parts):
-            raise DuckLakeError(f"field {new!r} already exists")
+        *nav, leaf = old.split(".")
+        hit: dict[str, str] = {}
 
+        def edit(ps):
+            # reference matches case-insensitively (RENAME col1.K)
+            stored = next(
+                (n for n, _ in ps if n.lower() == leaf.lower()), None)
+            if stored is None:
+                raise DuckLakeError(f"field {leaf!r} does not exist")
+            if any(n.lower() == new.lower() for n, _ in ps):
+                raise DuckLakeError(f"field {new!r} already exists")
+            hit["old"] = stored
+            return [(new if n == stored else n, t) for n, t in ps]
+
+        # compute/validate the new type BEFORE recording the rename tag
+        new_type = self._edit_type_at(cur[2], tuple(nav), edit)
         txn = self._begin()
+        path_old = ".".join([*nav, hit["old"]])
 
-        def tag_op(con, snap_id, h=h, cid=cur[0], old=old, new=new):
+        def tag_op(con, snap_id, h=h, cid=cur[0], old=path_old, new=new):
             con.execute(
                 "INSERT INTO ducklake_column_tag VALUES (?, ?, ?, NULL, "
                 "'field_rename', ?)",
@@ -1557,10 +1779,7 @@ class DuckLake:
             )
 
         txn.column_changes.setdefault(h.table_id, []).append(tag_op)
-        self._mutate_struct(
-            name, col_name,
-            lambda ps: [(new if n == old else n, t) for n, t in ps],
-        )
+        self._apply_nested_type(name, h, cur, new_type)
 
     def _epoch_schema(
         self, h: TableHandle, reader_schema: T.StructType, later: tuple
@@ -1577,20 +1796,13 @@ class DuckLake:
             cname = name_by_cid.get(cid)
             if cname is None or cname not in fields:
                 continue
-            st = fields[cname].dataType
-            if not isinstance(st, T.StructType):
+            *hops, old_leaf = old.split(".")
+            reverted = _rename_in_dtype(
+                fields[cname].dataType, hops, new, old_leaf)
+            if reverted is fields[cname].dataType:
                 continue
             fields[cname] = T.StructField(
-                cname,
-                T.StructType(
-                    [
-                        T.StructField(old if sf.name == new else sf.name, sf.dataType,
-                                      sf.nullable)
-                        for sf in st.fields
-                    ]
-                ),
-                fields[cname].nullable,
-            )
+                cname, reverted, fields[cname].nullable)
             affected.add(cname)
         epoch = T.StructType([fields[f.name] for f in reader_schema.fields])
         fixups = [
@@ -2213,7 +2425,11 @@ class DuckLake:
                             num(r":(\d+):").cast("int"),
                             num(r":(\d+(?:\.\d+)?)$"),
                         )))
-        df = df.select([F.col(n).cast(f.dataType).alias(n) for n, f in zip(names, schema.fields)])
+        by_final = {f_.name: f_.dataType for f_ in df.schema.fields}
+        df = df.select([
+            _coerce_by_name(F.col(n), by_final.get(n), f.dataType).alias(n)
+            for n, f in zip(names, schema.fields)
+        ])
         return self._enforce_not_null(df, h)
 
     def _enforce_not_null(self, df: DataFrame, h: TableHandle) -> DataFrame:
@@ -2311,7 +2527,9 @@ class DuckLake:
         # per_thread_output=false -> one output file (reference COPY
         # semantics, ducklake_insert.cpp:531-534); unset keeps Spark's
         # parallel one-file-per-task default (== per_thread_output=true)
-        pto = (opt("per_thread_output") or "").lower()
+        pto = (opt("per_thread_output")
+               or getattr(self, "session_pto_default", "")
+               or "").lower()
         if pto == "false":
             writer = writer.coalesce(1)
         elif pto == "true" and writer.rdd.getNumPartitions() == 1:
@@ -3715,6 +3933,7 @@ class DuckLake:
         ducklake_compaction_functions.cpp:299-348)."""
         renames = self._rename_log(h)
         field_defaults = self._field_default_log(h)
+        field_adds = self._field_added_log(h)
         init_defaults = self._initial_defaults(h, schema)
         absent_by_fid = (
             self._columns_absent_in_files(h, files, init_defaults)
@@ -3733,23 +3952,66 @@ class DuckLake:
                 d for d in field_defaults
                 if fsnap is not None and d[0] > fsnap
             )
+            fadds = tuple(
+                (cid, path) for snap, cid, path in field_adds
+                if fsnap is not None and snap > fsnap
+            )
             out[f["data_file_id"]] = (
                 later, ffill,
                 absent_by_fid.get(f["data_file_id"], frozenset()),
+                fadds,
             )
         return out, init_defaults
+
+    def _null_added_fields(self, h: TableHandle, part: DataFrame,
+                           fadds) -> DataFrame:
+        """NULL out nested fields added AFTER the rows in ``part`` were
+        stored: a re-added field must not resurrect a dropped
+        generation's bytes (the reference gives re-added fields a fresh
+        field id — struct_evolution_reuse.test). Shared by the parquet
+        epoch-group scan and the inlined-data scan."""
+        for cid, path in fadds:
+            cname = next((c[1] for c in h.columns if c[0] == cid), None)
+            if cname is None or cname not in part.columns:
+                continue
+            # container hops (map key/value, list element) are not
+            # addressable by withField; adds under them read NULL
+            # naturally unless bytes were re-added there — out of scope
+            segs = path.split(".")
+            if any(s in ("key", "value", "element") for s in segs):
+                continue
+            ctype = next((c[2] for c in h.columns if c[0] == cid), None)
+            ftype = _type_at_struct_path(ctype, segs) if ctype else None
+            if ftype is None:
+                continue  # field since dropped/renamed
+            part = part.withColumn(
+                cname,
+                F.when(
+                    F.col(cname).isNotNull(),
+                    F.col(cname).withField(
+                        ".".join(f"`{s}`" for s in segs),
+                        F.lit(None).cast(ducklake_to_spark(ftype)),
+                    ),
+                ).otherwise(F.col(cname)),
+            )
+        return part
 
     def _apply_epoch_evolution(self, h: TableHandle, part: DataFrame,
                                schema: T.StructType,
                                fixups: list, ffill: tuple, absent,
-                               init_defaults: dict) -> DataFrame:
+                               init_defaults: dict,
+                               fadds: tuple = ()) -> DataFrame:
         """Materialize one epoch group's schema-evolution treatment:
-        positional struct cast back to current nested names, ADD FIELD
-        ... DEFAULT fill, and ADD COLUMN ... DEFAULT fill for columns
-        physically absent from the group's files."""
+        positional struct cast back to current nested names, NULL-out of
+        fields added after the group's files were written (a re-added
+        field must not resurrect a dropped generation's bytes —
+        struct_evolution_reuse.test), ADD FIELD ... DEFAULT fill, and
+        ADD COLUMN ... DEFAULT fill for columns physically absent from
+        the group's files."""
         cid_to_name = {c[0]: c[1] for c in h.columns}
         for cname, dtype in fixups:
             part = part.withColumn(cname, F.col(cname).cast(dtype))
+        part = self._null_added_fields(h, part, fadds)
         for _snap, cid, fname, dsql in ffill:
             cname = cid_to_name.get(cid)
             if cname is None or cname not in part.columns:
@@ -3814,13 +4076,14 @@ class DuckLake:
             for f in native:
                 groups.setdefault(epoch_keys[f["data_file_id"]], []).append(f)
             copts = self._crypto_read_options(native)
-            for (later, ffill, absent), members in groups.items():
+            for (later, ffill, absent, fadds), members in groups.items():
                 gschema, fixups = self._epoch_schema(h, reader_schema, later)
                 part = self.spark.read.options(**copts).schema(gschema).parquet(
                     *[os.path.join(self.data_path, f["path"]) for f in members]
                 )
                 parts.append(self._apply_epoch_evolution(
-                    h, part, schema, fixups, ffill, absent, init_defaults))
+                    h, part, schema, fixups, ffill, absent, init_defaults,
+                    fadds))
         if foreign:
             plain = T.StructType(
                 [T.StructField(f_.name, f_.dataType, True) for f_ in schema.fields]
@@ -3959,7 +4222,10 @@ class DuckLake:
                         for fid, p, _, _, _ in dv_dels
                         if fid in path_by_fid
                     ]
-                )
+                ).filter(
+                    F.col(SNAPID_COL).isNull()
+                    | (F.col(SNAPID_COL) <= F.lit(snap.snapshot_id))
+                ).select("__dfile", "__dpos")
                 ddf = dvdf if ddf is None else ddf.unionByName(dvdf)
             if inline_dels:
                 path_by_fid = {
@@ -4105,19 +4371,31 @@ class DuckLake:
             for pdf in batches:
                 out_f: list[str] = []
                 out_p: list[int] = []
+                out_s: list[int | None] = []
                 from ducklake_spark.fsio import open_input_any as _open
 
                 for dvp, target in zip(pdf["dv_path"], pdf["__dfile"]):
                     with _open(dvp) as fh:
                         buf = fh.read()
-                    seen: set[int] = set()
+                    # blobs are cumulative; a position's snapshot is the
+                    # FIRST blob carrying it (reference puffin DVs tag
+                    # blobs with ducklake-snapshot-id)
+                    seen: dict[int, int | None] = {}
                     for blob in puffin_read(buf, dvp):
-                        seen.update(blob["positions"])  # blobs are cumulative
-                    out_f.extend([target] * len(seen))
-                    out_p.extend(sorted(seen))
-                yield pd.DataFrame({"__dfile": out_f, "__dpos": out_p})
+                        s = blob.get("snapshot_id")
+                        for p in blob["positions"]:
+                            if p not in seen:
+                                seen[p] = s
+                    for p in sorted(seen):
+                        out_f.append(target)
+                        out_p.append(p)
+                        out_s.append(seen[p])
+                yield pd.DataFrame({"__dfile": out_f, "__dpos": out_p,
+                                    SNAPID_COL: pd.Series(
+                                        out_s, dtype="float64")})
 
-        return src.mapInPandas(decode, "__dfile string, __dpos long")
+        return src.mapInPandas(
+            decode, f"__dfile string, __dpos long, {SNAPID_COL} long")
 
     def _delete_file_df(self, rel_path: str, fmt: str | None,
                         target_rel: str = "") -> DataFrame:
@@ -4131,6 +4409,7 @@ class DuckLake:
                 )
                 .withColumnRenamed("__dfile", "file_path")
                 .withColumnRenamed("__dpos", "pos")
+                .select("file_path", "pos")
             )
         if self.encrypted:
             krow = self.meta.query(
@@ -4356,18 +4635,57 @@ class DuckLake:
             [f_ for f_, _fn in head] + list(schema.fields)
             + [f_ for f_, _fn in tail]
         )
+        # one inlined table == one schema-version epoch: nested-field
+        # renames/adds that POSTDATE the table's epoch replay on read,
+        # exactly like the parquet epoch-group treatment (renames remap
+        # the stored JSON keys; adds NULL out below so a re-added name
+        # never resurrects a dropped generation's values)
+        fadds = self._field_added_log(h)
+        rlog = self._rename_log(h)
+        epoch_snap = None
+        if fadds or rlog:
+            row = self.meta.query(
+                "SELECT MIN(s.snapshot_id) "
+                "FROM ducklake_inlined_data_tables t "
+                "JOIN ducklake_snapshot s "
+                "ON s.schema_version = t.schema_version "
+                "WHERE t.table_id = ? AND t.table_name = ?",
+                (h.table_id, tname),
+            )
+            epoch_snap = row[0][0] if row else None
+        renames: dict[str, list[tuple[str, str]]] = {}
+        if epoch_snap is not None:
+            cid_name = {c[0]: c[1] for c in h.columns}
+            for snap_s, cid, old, new in rlog:  # snapshot-ordered
+                if snap_s > epoch_snap and cid in cid_name:
+                    renames.setdefault(cid_name[cid], []).append((old, new))
+
+        def _conv(r, f_):
+            if f_.name not in pos:
+                return None
+            v = r[pos[f_.name]]
+            rn = renames.get(f_.name)
+            if rn and v is not None and isinstance(
+                    f_.dataType, (T.StructType, T.ArrayType, T.MapType)):
+                d = json.loads(v) if isinstance(v, str) else v
+                for old, new in rn:
+                    *hops, leaf = old.split(".")
+                    d = _remap_json_rename(d, hops, leaf, new)
+                v = d
+            return _from_sql_value(v, f_.dataType)
+
         data = [
             tuple(fn(r, idx) for _f, fn in head)
-            + tuple(
-                _from_sql_value(r[pos[f_.name]], f_.dataType)
-                if f_.name in pos
-                else None
-                for f_ in schema.fields
-            )
+            + tuple(_conv(r, f_) for f_ in schema.fields)
             + tuple(fn(r, idx) for _f, fn in tail)
             for r in rows
         ]
         df = self.spark.createDataFrame(data, out_schema)
+        if fadds and epoch_snap is not None:
+            df = self._null_added_fields(
+                h, df,
+                [(cid, path) for snap_s, cid, path in fadds
+                 if snap_s > epoch_snap])
         init_defaults = self._initial_defaults(h, schema)
         for cname in (n for n in schema.fieldNames() if n not in pos):
             if cname in init_defaults:
@@ -4636,6 +4954,12 @@ class DuckLake:
                     table_id, []):
                 cols = [
                     (cid, new if cn.lower() == old.lower() else cn, ct, nn)
+                    for cid, cn, ct, nn in cols
+                ]
+            overlay_types = self._txn.pending_column_types.get(table_id)
+            if overlay_types:
+                cols = [
+                    (cid, cn, overlay_types.get(cn, ct), nn)
                     for cid, cn, ct, nn in cols
                 ]
         return TableHandle(table_id, table_uuid, schema_id, schema_name,

@@ -142,7 +142,8 @@ def _merge_adjacent_in_txn(lake, tables, target_file_size,
                 # no initial defaults, no stripped partition values,
                 # allocated rowids. Anything else keeps the skip.
                 epoch = epoch_keys[f["data_file_id"]]
-                if (epoch[0] or epoch[1] or epoch[2] or init_defaults
+                if (epoch[0] or epoch[1] or epoch[2] or epoch[3]
+                        or init_defaults
                         or part_vals[f["data_file_id"]]
                         or f["row_id_start"] is None):
                     continue
@@ -230,7 +231,7 @@ def _rewrite_pack(lake: DuckLake, h, pack: list[dict], part_vals: tuple,
     of those fills here would double-apply or disable them
     (round-4 verdict repros a-c; ADVICE ffill-straddle)."""
     schema = lake._spark_schema(h)
-    later, _ffill, absent = epoch
+    later, _ffill, absent, _fadds = epoch
     gschema, _fixups = lake._epoch_schema(
         h, lake._reader_schema(h, schema), later)
     # adopted files in the pack resolve by NAME (no field ids); the
@@ -460,7 +461,7 @@ def _rewrite_one_deleted(lake, h, schema, row, inl_positions=()) -> None:
     # (ducklake_compaction_functions.cpp:305-308).
     fdict = {"data_file_id": fid, "begin_snapshot": begin_snap}
     epoch_keys, init_defaults = lake._file_epoch_keys(h, [fdict], schema)
-    later, ffill, absent = epoch_keys[fid]
+    later, ffill, absent, fadds = epoch_keys[fid]
     gschema, fixups = lake._epoch_schema(
         h, lake._reader_schema(h, schema), later)
     df = (
@@ -472,7 +473,7 @@ def _rewrite_one_deleted(lake, h, schema, row, inl_positions=()) -> None:
         .withColumn("__pos", F.col("_metadata.row_index"))
     )
     df = lake._apply_epoch_evolution(
-        h, df, schema, fixups, ffill, absent, init_defaults)
+        h, df, schema, fixups, ffill, absent, init_defaults, fadds)
     dels = None
     if del_path is not None:
         dels = lake._delete_file_df(del_path, del_fmt).select(
@@ -762,9 +763,47 @@ def flush_inlined_data(lake: DuckLake, *, table: str | None = None,
     rows instead of the total."""
     tables = [table] if table else lake._table_names()
     per_table: list[tuple[str, int]] = []
+    flushed_tids: set[int] = set()
     with lake.transaction():
         total = _flush_inlined_data_in_txn(lake, tables, per_table)
+        if lake._txn is not None:
+            flushed_tids = {t for t, _n in lake._txn.flushed_inlined_tables}
+    _drop_empty_superseded_inlined(lake, flushed_tids)
     return per_table if report else total
+
+
+def _drop_empty_superseded_inlined(lake: DuckLake, table_ids) -> None:
+    """Post-commit client-side cleanup (reference
+    DropEmptySupersededInlinedTablesClientSide,
+    ducklake_transaction.cpp:774): an inlined-data table for an OLD
+    schema version that a flush emptied is dropped together with its
+    registry row; the current-version table stays registered even when
+    empty (test/sql/data_inlining/superseded_inlined_table_flush_drop)."""
+    for tid in table_ids:
+        regs = lake.meta.query(
+            "SELECT table_name, schema_version "
+            "FROM ducklake_inlined_data_tables WHERE table_id=?", (tid,))
+        if len(regs) < 2:
+            continue
+        cur_sv = max(sv for _n, sv in regs)
+        con = lake.meta.con
+        for tname2, sv in regs:
+            if sv == cur_sv:
+                continue
+            if lake.meta.query(f"SELECT COUNT(*) FROM {tname2}")[0][0]:
+                continue
+            lake.meta.begin_write()
+            try:
+                con.execute(f"DROP TABLE IF EXISTS {tname2}")
+                con.execute(
+                    "DELETE FROM ducklake_inlined_data_tables "
+                    "WHERE table_id=? AND table_name=?", (tid, tname2))
+                con.execute("COMMIT")
+            except Exception:
+                from ducklake_spark.catalog.metadata import safe_rollback
+
+                safe_rollback(con)
+                raise
 
 
 def _flush_inlined_data_in_txn(lake, tables, per_table=None) -> int:
@@ -777,50 +816,195 @@ def _flush_inlined_data_in_txn(lake, tables, per_table=None) -> int:
             (h.table_id,),
         )
         schema = lake._spark_schema(h)
+        # snapshots at which an OLD-layout flush end-stamped its rows:
+        # those rows are already served by a flushed parquet — skip
+        # them (migration guard for catalogs written before the
+        # reference-exact flush landed)
+        legacy_flush_snaps = {
+            sid for sid, changes in lake.meta.query(
+                "SELECT snapshot_id, changes_made FROM "
+                "ducklake_snapshot_changes WHERE changes_made LIKE "
+                "'%flushed_inlined:%'")
+            if f"flushed_inlined:{h.table_id}"
+            in (changes or "").split(",")
+        }
         for (itname,) in tabs:
-            rows = lake.meta.query(
-                f"SELECT * FROM {itname} WHERE end_snapshot IS NULL"
-            )
+            idx = {r[1]: i for i, r in enumerate(
+                lake.meta.query(f"PRAGMA table_info({itname})"))}
+            all_rows = lake.meta.query(f"SELECT * FROM {itname}")
+            rows = [
+                r for r in all_rows
+                if r[idx["end_snapshot"]] is None
+                or r[idx["end_snapshot"]] not in legacy_flush_snaps
+            ]
             if not rows:
                 continue
             from pyspark.sql import types as T
 
+            # reference flush (ducklake_flush_inlined_data.cpp): write
+            # EVERY row — deleted ones included — with its row id and
+            # begin snapshot embedded; the file goes in retroactively
+            # (begin_snapshot = min embedded snapshot, partial_max =
+            # max) so history reads it with row-level snapshot
+            # filtering, and pre-flush deletions become a positional
+            # delete file carrying per-position end snapshots.
             # by-name mapping + initial_default fill: flushing an
             # older-epoch inlined table after ADD COLUMN ... DEFAULT must
             # materialize the default into the parquet, not NULL
             df = lake.inlined_frame(
                 h, itname, rows, schema,
                 tail=[(T.StructField(ROWID_COL, T.LongType()),
-                       lambda r, idx: r[idx["row_id"]])],
-            ).coalesce(1)
+                       lambda r, i2: r[i2["row_id"]]),
+                      (T.StructField(SNAPID_COL, T.LongType()),
+                       lambda r, i2: r[i2["begin_snapshot"]])],
+            )
+            sort_spec = lake._sort_spec(h)
+            if not sort_spec:
+                # reference flush order: row_id, begin_snapshot
+                df = df.repartition(1).sortWithinPartitions(
+                    ROWID_COL, SNAPID_COL)
             # flushed files honor the table's partition spec (reference:
             # data_inlining_partitions.test — flush writes partitioned
             # files so pruning applies to them like any insert)
             files = lake._write_parquet(
-                h, df, schema, lake._partition_spec(h), lake._sort_spec(h)
+                h, df, schema, lake._partition_spec(h), sort_spec
             )
+            deleted = {
+                r[idx["row_id"]]: r[idx["end_snapshot"]]
+                for r in rows if r[idx["end_snapshot"]] is not None
+            }
             txn = lake._begin()
             for fi in files:
+                rowids, snapids = _read_flushed_ids(lake, fi)
                 fi.allocate = False
                 fi.row_id_start = None
+                if snapids:
+                    fi.begin_snapshot_override = min(snapids)
+                    fi.partial_max = max(snapids)
+                if deleted:
+                    positions = {
+                        pos: deleted[rid]
+                        for pos, rid in enumerate(rowids) if rid in deleted
+                    }
+                    if positions:
+                        # data file id unknown until commit: reference
+                        # the file by path, resolved in the same commit
+                        dinfo = _write_positional_delete_file(
+                            lake, h, fi.path, positions)
+                        txn.new_delete_files.setdefault(
+                            h.table_id, []).append(dinfo)
             txn.stats_delta.setdefault(h.table_id, {}).setdefault("records", 0)
             txn.stats_delta[h.table_id]["records"] -= sum(f.record_count for f in files)
             txn.new_data_files.setdefault(str(h.table_id), []).extend(files)
             txn.change_log.append(f"flushed_inlined:{h.table_id}")
-            # end-snapshot (not delete) the flushed rows: historical scans
-            # still read them, while the parquet file serves from here on.
-            # Exactly the rows we flushed (by row_id), stamped with the real
-            # snapshot id inside the commit transaction — a concurrent
-            # inlined insert between here and commit must not be eaten.
-            txn.inlined_end_updates.append(
-                (itname, ("row_id",), [(r[0],) for r in rows])
+            # exactly the flushed rows are DELETED from the catalog
+            # inside the commit transaction (reference
+            # DeleteFlushedInlinedData — a concurrent inlined insert
+            # between here and commit must not be eaten)
+            txn.inlined_row_removals.append(
+                (itname, ("row_id", "begin_snapshot"),
+                 [(r[idx["row_id"]], r[idx["begin_snapshot"]])
+                  for r in rows])
             )
+            txn.flushed_inlined_tables.add((h.table_id, itname))
             lake._autocommit()
             n_flushed += len(rows)
         n_flushed += _flush_inlined_deletes(lake, h)
         if per_table is not None and n_flushed > before:
             per_table.append((tname.split(".")[-1], n_flushed - before))
     return n_flushed
+
+
+def _read_flushed_ids(lake, fi) -> tuple[list[int], list[int]]:
+    """(row_ids, begin_snapshots) of a just-written flushed file, in
+    file order — drives per-file delete positions and the retroactive
+    begin_snapshot/partial_max range."""
+    import pyarrow.parquet as pq
+
+    from ducklake_spark.lake import ROWID_COL, SNAPID_COL
+
+    full = lake.lfs.strip_scheme(os.path.join(lake.data_path, fi.path))
+    dec = {}
+    if fi.encryption_key:
+        from ducklake_spark.crypto_pme import decrypt_properties, key_id_for
+
+        dec = {"decryption_properties": decrypt_properties(
+            {key_id_for(fi.encryption_key): fi.encryption_key})}
+    with lake.lfs.open_input(full) as fh:
+        t = pq.ParquetFile(fh, **dec).read(
+            columns=[ROWID_COL, SNAPID_COL], use_threads=False)
+    return t[ROWID_COL].to_pylist(), t[SNAPID_COL].to_pylist()
+
+
+def _write_positional_delete_file(lake, h, data_rel_path: str,
+                                  positions: dict[int, int]):
+    """Write a positional delete parquet with per-position snapshot ids
+    (reference WriteDeleteFileWithSnapshots) against a
+    NOT-YET-COMMITTED data file, referenced by its catalog-relative
+    path; returns the DeleteFileInfo (data_file_id = path string,
+    resolved to the real id inside the same commit)."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from ducklake_spark.lake import (
+        SNAPID_COL,
+        SNAPID_FIELD_ID,
+        parquet_footer_size as _pfs,
+    )
+    from ducklake_spark.transaction import DeleteFileInfo
+
+    delete_dir = os.path.join(lake.data_path, h.path)
+    schema = pa.schema(
+        [
+            pa.field("file_path", pa.string(),
+                     metadata={b"PARQUET:field_id": b"2147483546"}),
+            pa.field("pos", pa.int64(),
+                     metadata={b"PARQUET:field_id": b"2147483545"}),
+            pa.field(SNAPID_COL, pa.int64(),
+                     metadata={b"PARQUET:field_id":
+                               str(SNAPID_FIELD_ID).encode()}),
+        ]
+    )
+    ordered = sorted(positions)
+    out = pa.table(
+        {"file_path": [data_rel_path] * len(ordered), "pos": ordered,
+         SNAPID_COL: [positions[p] for p in ordered]}, schema=schema
+    )
+    final = os.path.join(
+        delete_dir, f"ducklake-{uuid.uuid4()}-delete.parquet")
+    final_fs = lake.lfs.strip_scheme(final)
+    enc_key = None
+    wopts = {}
+    if lake.encrypted:
+        import base64 as _b64
+
+        from ducklake_spark.crypto_pme import encrypt_properties, key_id_for
+
+        enc_key = _b64.b64encode(os.urandom(16)).decode()
+        wopts = {"encryption_properties": encrypt_properties(
+            key_id_for(enc_key), enc_key)}
+    with lake.lfs.open_output(final_fs) as fh:
+        pq.write_table(out, fh, **wopts)
+    from ducklake_spark.lake import _open_parquet_meta
+
+    with lake.lfs.open_input(final_fs) as fh:
+        nrgs = _open_parquet_meta(fh, enc_key).metadata.num_row_groups
+    snaps = [positions[p] for p in ordered]
+    return DeleteFileInfo(
+        data_file_id=data_rel_path,
+        path=os.path.relpath(final, lake.data_path),
+        delete_count=len(ordered),
+        file_size_bytes=lake.lfs.size(final_fs),
+        footer_size=_pfs(final_fs, fs=lake.lfs),
+        encryption_key=enc_key,
+        row_group_count=nrgs,
+        # the reference data-flush path leaves max_snapshot unset on
+        # this file (only the inlined-DELETIONS flush sets it —
+        # ducklake_flush_inlined_data.cpp:573 vs :196); the embedded
+        # per-position snapshot column carries time-travel visibility
+        partial_max=None,
+        begin_snapshot_override=min(snaps),
+    )
 
 
 def _inlined_delete_positions(lake: DuckLake, h) -> dict[int, list[int]]:
@@ -953,7 +1137,7 @@ def _flush_inlined_deletes(lake: DuckLake, h) -> int:
             {"file_path": [rel] * len(ordered), "pos": ordered,
              SNAPID_COL: [positions[p] for p in ordered]}, schema=schema
         )
-        final = os.path.join(delete_dir, f"ducklake-delete-{uuid.uuid4().hex}.parquet")
+        final = os.path.join(delete_dir, f"ducklake-{uuid.uuid4()}-delete.parquet")
         final_fs = lake.lfs.strip_scheme(final)
         enc_key = None
         wopts = {}

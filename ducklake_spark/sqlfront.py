@@ -123,6 +123,140 @@ def split_statements(text: str) -> list[str]:
 
 _IDENT = r'(?:"[^"]+"|[A-Za-z_][A-Za-z0-9_]*)'
 
+_TRAILING_ORDER_ALL = re.compile(
+    r"\bORDER\s+BY\s+ALL\s*(ASC|DESC)?\s*;?\s*$", re.I)
+
+
+def _top_level_at(sql: str, pos: int) -> bool:
+    """True when position ``pos`` sits at paren depth 0 outside any
+    single-quoted string."""
+    depth, in_str = 0, False
+    for c in sql[:pos]:
+        if in_str:
+            in_str = c != "'"
+        elif c == "'":
+            in_str = True
+        elif c == "(":
+            depth += 1
+        elif c == ")":
+            depth -= 1
+    return depth == 0 and not in_str
+
+
+def _null_last_key(col, dtype):
+    """Rewrite a nested value into a sort key whose natural (Spark,
+    nulls-first) comparison reproduces DuckDB's nulls-LAST comparator:
+    every nested position becomes an (is_null, value) pair — False
+    sorts before True, so NULL values land after non-NULL ones at
+    every depth, including inside array elements where per-key NULLS
+    LAST modifiers can't reach."""
+    from pyspark.sql import functions as F
+    from pyspark.sql import types as T
+
+    if isinstance(dtype, T.StructType):
+        return F.struct(*[
+            x for f in dtype.fields
+            for x in (col.getField(f.name).isNull(),
+                      _null_last_key(col.getField(f.name), f.dataType))])
+    if isinstance(dtype, T.ArrayType):
+        return F.transform(col, lambda e: F.struct(
+            e.isNull(), _null_last_key(e, dtype.elementType)))
+    if isinstance(dtype, T.MapType):
+        # maps aren't orderable in Spark; DuckDB compares them as
+        # entry lists — map_entries preserves insertion order
+        entry_t = T.StructType([T.StructField("key", dtype.keyType),
+                                T.StructField("value", dtype.valueType)])
+        return F.transform(F.map_entries(col), lambda e: F.struct(
+            e.isNull(), _null_last_key(e, entry_t)))
+    return col
+
+
+def _duck_sort_keys(schema, direction: str | None) -> list:
+    """Sort keys reproducing DuckDB's ORDER BY ALL over a result
+    schema: every output column left-to-right, NULLS LAST in either
+    direction, nested values compared with NULL fields/elements last
+    (Spark's struct/array comparators are nulls-first and can't be
+    toggled, so nested keys are wrapped by _null_last_key)."""
+    from pyspark.sql import functions as F
+    from pyspark.sql import types as T
+
+    desc = (direction or "").upper() == "DESC"
+    keys: list = []
+
+    def _nested(dt) -> bool:
+        return isinstance(dt, (T.StructType, T.ArrayType, T.MapType))
+
+    for f in schema.fields:
+        col = F.col("`" + f.name.replace("`", "``") + "`")
+        if _nested(f.dataType):
+            keys.append(col.isNull().asc())
+            k = _null_last_key(col, f.dataType)
+            keys.append(k.desc() if desc else k.asc())
+        else:
+            keys.append(
+                col.desc_nulls_last() if desc else col.asc_nulls_last())
+    return keys
+
+
+def _append_nulls_last(sql: str) -> str:
+    """Append NULLS LAST to top-level ORDER BY keys lacking an explicit
+    NULLS modifier (DuckDB's default_null_order). Window/subquery ORDER
+    BYs sit at paren depth > 0 and are left untouched."""
+    start = None
+    for m in re.finditer(r"\bORDER\s+BY\b", sql, re.I):
+        if _top_level_at(sql, m.start()):
+            start = m.end()
+    if start is None:
+        return sql
+    # clause spans to a top-level LIMIT/OFFSET/FETCH or end-of-text
+    end, depth, in_str = len(sql), 0, False
+    i = start
+    while i < len(sql):
+        c = sql[i]
+        if in_str:
+            in_str = c != "'"
+        elif c == "'":
+            in_str = True
+        elif c == "(":
+            depth += 1
+        elif c == ")":
+            depth -= 1
+        elif depth == 0 and c in "LlOoFf;":
+            mm = re.match(r"(?:LIMIT|OFFSET|FETCH)\b|;", sql[i:], re.I)
+            prev = sql[i - 1] if i else " "
+            if mm and not (prev.isalnum() or prev == "_"):
+                end = i
+                break
+        i += 1
+    out = []
+    for item in _split_top_commas(sql[start:end]):
+        s = item.strip()
+        if not s or re.search(r"\bNULLS\s+(FIRST|LAST)\s*$", s, re.I):
+            out.append(item)
+        else:
+            out.append(item.rstrip() + " NULLS LAST")
+    return sql[:start] + ", ".join(out) + sql[end:]
+
+
+def _split_top_commas(s: str) -> list[str]:
+    parts, depth, in_str, cur = [], 0, False, []
+    for c in s:
+        if in_str:
+            in_str = c != "'"
+        elif c == "'":
+            in_str = True
+        elif c == "(":
+            depth += 1
+        elif c == ")":
+            depth -= 1
+        elif c == "," and depth == 0:
+            parts.append("".join(cur))
+            cur = []
+            continue
+        cur.append(c)
+    parts.append("".join(cur))
+    return parts
+
 
 def _unquote(tok: str) -> str:
     tok = tok.strip()
@@ -440,6 +574,99 @@ def translate_duck_literals(sql: str) -> str:
             repl = ("named_struct("
                     + ", ".join(f"{k}, {v}" for k, v in pairs) + ")")
             sql = sql[:a] + repl + sql[b + 1:]
+    return sql
+
+
+def translate_list_literals(sql: str) -> str:
+    """DuckDB bare list literals -> Spark ``array(...)`` calls:
+    ``[1, 2]`` -> ``array(1, 2)``, ``[]`` -> ``array()``. A ``[`` that
+    directly follows an identifier/closing bracket is SUBSCRIPT syntax
+    (``col[1]``, also valid in Spark) and is left alone."""
+    for _ in range(64):
+        spans = _quote_spans(sql)
+
+        def _in_str(pos: int) -> bool:
+            return any(a <= pos <= b for a, b in spans)
+
+        found = None
+        stack: list[int] = []
+        for i, ch in enumerate(sql):
+            if _in_str(i):
+                continue
+            if ch == "[":
+                prev = sql[:i].rstrip()[-1:] or ""
+                # literal only when NOT a subscript position
+                is_literal = prev == "" or prev in "(,=<>+-*/%[" or (
+                    re.search(r"(?:\b(?:IN|VALUES|SELECT|THEN|ELSE|WHEN"
+                              r"|AND|OR|NOT|RETURN)|=>)\s*$",
+                              sql[:i], re.I) is not None)
+                stack.append(i if is_literal else -1)
+            elif ch == "]" and stack:
+                a = stack.pop()
+                if a >= 0 and "[" not in sql[a + 1:i]:
+                    found = (a, i)
+                    break
+        if not found:
+            return sql
+        a, b = found
+        sql = sql[:a] + "array(" + sql[a + 1:b] + ")" + sql[b + 1:]
+    return sql
+
+
+_SUBSCRIPT_BASE = re.compile(
+    r'((?:"[^"]+"|[A-Za-z_]\w*)(?:\s*\.\s*(?:"[^"]+"|[A-Za-z_]\w*))*)\s*$')
+
+
+def translate_subscripts(sql: str) -> str:
+    """DuckDB subscripts -> ``element_at``: list subscripts are 1-BASED
+    in DuckDB while Spark's ``[i]`` is 0-based; ``element_at`` carries
+    DuckDB's semantics for both lists (1-based, negative-from-end) and
+    maps (lookup by key). Only identifier-chain bases are rewritten
+    (``col[1]``, ``t.col['k']``); slices (``x[1:2]``) and empty
+    brackets (type text like ``INT[]``) are left alone."""
+    guard = 0
+    while guard < 64:
+        guard += 1
+        spans = _quote_spans(sql)
+        changed = False
+        i = 0
+        while i < len(sql):
+            if any(a <= i <= b for a, b in spans):
+                i += 1
+                continue
+            if sql[i] != "[":
+                i += 1
+                continue
+            mb = _SUBSCRIPT_BASE.search(sql[:i])
+            if mb is None:
+                i += 1
+                continue
+            # find the matching ] at depth 0; note top-level ':' (slice)
+            j, depth, in_str, has_colon = i + 1, 1, False, False
+            while j < len(sql) and depth:
+                c = sql[j]
+                if in_str:
+                    in_str = c != "'"
+                elif c == "'":
+                    in_str = True
+                elif c in "([":
+                    depth += 1
+                elif c in ")]":
+                    depth -= 1
+                elif c == ":" and depth == 1:
+                    has_colon = True
+                j += 1
+            inner = sql[i + 1:j - 1].strip()
+            if depth or has_colon or not inner:
+                i += 1
+                continue
+            base = mb.group(1)
+            sql = (sql[:mb.start(1)]
+                   + f"element_at({base}, {inner})" + sql[j:])
+            changed = True
+            break
+        if not changed:
+            return sql
     return sql
 
 
@@ -880,6 +1107,13 @@ class SQLSession:
         # sets data_inlining_row_limit (ducklake_extension.cpp:36-38);
         # reserved-name checks key off the same resolution
         lake.session_inline_default = self.default_inline_limit
+        # the SQL surface also carries the reference COPY default of ONE
+        # output file per insert (per_thread_output=false,
+        # ducklake_insert.cpp:531-534) — the reference's own tests pin
+        # file counts/ids to it. The Spark-native DataFrame API keeps
+        # parallel one-file-per-task writes; either surface can
+        # override with the per_thread_output option.
+        lake.session_pto_default = "false"
         for k, v in opts.items():
             lake.set_option(k, v)
         self.lakes[name] = lake
@@ -1165,17 +1399,25 @@ class SQLSession:
                 lake.add_column(api, parts[0], ctype, default=default)
             else:
                 col, path = parts[0], ".".join(parts[1:])
-                lake.add_field(api, col, path, ctype, default=default)
+                lake.add_field(api, col, path, ctype, default=default,
+                               if_not_exists=bool(mm.group(1)))
             return None
         mm = re.match(
             r"DROP\s+(?:COLUMN\s+)?(IF\s+EXISTS\s+)?"
             rf"((?:{_IDENT}\s*\.\s*)*{_IDENT})\s*$", act, re.I)
         if mm:
             parts = _field_parts(mm.group(2))
-            if mm.group(1) and len(parts) == 1:
+            if mm.group(1):
                 h = lake._handle(api)
-                if not any(c[1] == parts[0] for c in h.columns):
+                cur = next(
+                    (c for c in h.columns if c[1] == parts[0]), None)
+                if cur is None:
                     return None
+                if len(parts) > 1:
+                    from ducklake_spark.lake import _type_at_struct_path
+
+                    if _type_at_struct_path(cur[2], parts[1:]) is None:
+                        return None  # nested field absent — no-op
             if len(parts) == 1:
                 lake.drop_column(api, parts[0])
             else:
@@ -2079,7 +2321,24 @@ class SQLSession:
         if re.match(r"FROM\s", sql, re.I):
             sql = "SELECT * " + sql
         rewritten = self._rewrite_query(sql)
-        return self.spark.sql(rewritten)
+        return self._run_with_duck_order(rewritten)
+
+    def _run_with_duck_order(self, sql: str) -> DataFrame:
+        """Execute a rewritten SELECT under the reference's ordering
+        dialect: DuckDB's default_null_order is NULLS LAST for both
+        sort directions, and its struct comparator also places NULL
+        field values last, while Spark defaults to NULLS FIRST (ASC).
+        A trailing top-level ORDER BY ALL is re-applied DataFrame-side
+        with struct keys decomposed into leaf fields (each nulls-last,
+        matching the reference comparator —
+        test/sql/alter/struct_evolution.test orders structs with NULL
+        fields); other top-level ORDER BY keys get NULLS LAST appended
+        textually."""
+        m = _TRAILING_ORDER_ALL.search(sql)
+        if m is not None and _top_level_at(sql, m.start()):
+            df = self.spark.sql(sql[:m.start()].rstrip())
+            return df.orderBy(*_duck_sort_keys(df.schema, m.group(1)))
+        return self.spark.sql(_append_nulls_last(sql))
 
     def _view_names(self, lake: DuckLake) -> list[tuple[str, str]]:
         if lake._pinned is not None:
@@ -2156,9 +2415,12 @@ class SQLSession:
         raise SQLFrontUnsupported(f"table function {fn!r}")
 
     def _rewrite_query(self, sql: str) -> str:
-        # 0. duckdb struct/map literal syntax -> Spark calls
+        # 0. duckdb struct/map/list literal syntax -> Spark calls
         if "{" in sql:
             sql = translate_duck_literals(sql)
+        if "[" in sql:
+            sql = translate_list_literals(sql)
+            sql = translate_subscripts(sql)
         # 0-macro. textual scalar/table macro expansion (the reference
         # binder resolves stored macros before planning; pinned-snapshot
         # attaches see the macro set of that snapshot)
@@ -2535,34 +2797,79 @@ class SQLSession:
             r"\b(ducklake_current_snapshot|ducklake_last_committed_snapshot)"
             r"\s*\(\s*('[^']*')?\s*\)", _scalar, sql, flags=re.I)
 
-        # 2. time-travel suffixes: <name> AT (VERSION|TIMESTAMP => expr)
-        def _tt(m: re.Match) -> str:
-            lake, api, *_ = self._resolve(m.group(1))
-            kind = m.group(2).upper()
-            raw = m.group(3).strip()
-            alias = m.group(1).split(".")[-1].strip('"')
+        # 2. time-travel suffixes: <name> AT (VERSION|TIMESTAMP => expr).
+        # The argument may be an arbitrary constant expression — the
+        # reference binds any expression that casts to the target type
+        # (ducklake_metadata_manager.cpp:4352-4389, e.g. AT (TIMESTAMP
+        # => NOW() - INTERVAL 5 MINUTE)) — so the suffix is scanned with
+        # balanced parens and the expression, when it isn't a plain
+        # literal, is evaluated by Spark as a one-row SELECT.
+        def _tt_value(self_, kind: str, raw: str):
             try:
+                v = _parse_value(raw)
                 if kind == "VERSION":
-                    ver = int(str(_parse_value(raw)))
-                    try:
-                        df = lake.table(api, at_version=ver)
-                    except DuckLakeError:
-                        # views time-travel too (time_travel_views.test)
-                        df = lake.view(api, at_version=ver)
-                else:
-                    ts = str(_parse_value(raw))
-                    try:
-                        df = lake.table(api, at_timestamp=ts)
-                    except DuckLakeError:
-                        df = lake.view(api, at_timestamp=ts)
+                    return int(str(v))
+                if not re.fullmatch(r"[\w\- :.+]*", str(v)):
+                    raise ValueError(str(v))
+                return str(v)
             except (SQLFrontUnsupported, ValueError):
+                pass
+            tgt = "BIGINT" if kind == "VERSION" else "TIMESTAMP"
+            row = self_.spark.sql(
+                f"SELECT CAST(({raw}) AS {tgt}) AS v").collect()[0]
+            if row.v is None:
                 raise SQLFrontUnsupported(f"AT argument {raw!r}")
+            return int(row.v) if kind == "VERSION" else row.v.isoformat(
+                sep=" ")
+
+        def _tt(name: str, kind: str, raw: str) -> str:
+            lake, api, *_ = self._resolve(name)
+            alias = name.split(".")[-1].strip('"')
+            try:
+                val = _tt_value(self, kind, raw)
+            except Exception as e:
+                if isinstance(e, DuckLakeError):
+                    raise
+                raise SQLFrontUnsupported(f"AT argument {raw!r}")
+            if kind == "VERSION":
+                try:
+                    df = lake.table(api, at_version=val)
+                except DuckLakeError:
+                    # views time-travel too (time_travel_views.test)
+                    df = lake.view(api, at_version=val)
+            else:
+                try:
+                    df = lake.table(api, at_timestamp=val)
+                except DuckLakeError:
+                    df = lake.view(api, at_timestamp=val)
             return f"{self._register(df)} AS {alias}"
 
-        sql = re.sub(
+        _at_head = re.compile(
             rf"((?:{_IDENT}\s*\.\s*)*{_IDENT})\s+AT\s*\(\s*"
-            r"(VERSION|TIMESTAMP)\s*=>\s*([^)]+)\)",
-            _tt, sql, flags=re.I)
+            r"(VERSION|TIMESTAMP)\s*=>\s*", re.I)
+        while True:
+            m = _at_head.search(sql)
+            if m is None:
+                break
+            depth, k = 1, m.end()
+            in_str = False
+            while k < len(sql) and depth:
+                c = sql[k]
+                if in_str:
+                    in_str = c != "'"
+                elif c == "'":
+                    in_str = True
+                elif c == "(":
+                    depth += 1
+                elif c == ")":
+                    depth -= 1
+                k += 1
+            if depth:
+                raise SQLFrontUnsupported("unbalanced AT (...)")
+            raw = sql[m.end():k - 1].strip()
+            sql = (sql[:m.start()]
+                   + _tt(m.group(1), m.group(2).upper(), raw)
+                   + sql[k:])
 
         # 2b. duckdb_* introspection TVFs over the attached lakes
         def _duck_intro(m: re.Match) -> str:

@@ -219,6 +219,12 @@ class Transaction:
             tuple[str, tuple[str, ...], list[tuple] | None]
         ] = []
         self.inlined_clears: list[int] = []  # table_ids whose inlined rows flush
+        # (table_id, inlined_table_name) flushed by THIS txn: after a
+        # successful commit, empty SUPERSEDED inlined tables drop
+        # client-side (reference
+        # DropEmptySupersededInlinedTablesClientSide,
+        # ducklake_transaction.cpp:774)
+        self.flushed_inlined_tables: set[tuple[int, str]] = set()
         # inlined-delete rows consumed by a flush: removed outright at
         # commit, like the reference's DELETE FROM after writing the
         # snapshot-embedded delete file
@@ -248,6 +254,13 @@ class Transaction:
         # test/sql/alter/multi_alter_same_column_transaction.test)
         # resolve the new name: table_id -> [(old_name, new_name)]
         self.pending_column_renames: dict[int, list[tuple[str, str]]] = {}
+        # nested-type mutations (ADD/DROP/RENAME FIELD, struct SET DATA
+        # TYPE) by THIS open transaction: the column's new type overlays
+        # the committed one so the txn's own later reads see the new
+        # struct shape (reference txn-local schema,
+        # test/sql/alter/struct_evolution_alter.test reads the added
+        # field inside the BEGIN): table_id -> {column_name: new_type}
+        self.pending_column_types: dict[int, dict[str, str]] = {}
         # whole-file drops from DELETE/UPDATE dml (NOT row-preserving
         # rewrites/compaction): table_id -> [dropped_rows, dropped_bytes].
         # Commit applies the reference's dropped-file stats rule
@@ -1206,6 +1219,10 @@ class Transaction:
                     )
 
             # --- data files
+            # path -> assigned id for THIS commit's files: delete files
+            # written against a not-yet-committed data file (flush)
+            # reference it by path and resolve here
+            committed_path_fid: dict[str, int] = {}
             for key, files in self.new_data_files.items():
                 tid = self._resolve_table_id(key)
                 stats = con.execute(
@@ -1232,6 +1249,7 @@ class Transaction:
                 for f in files:
                     fid = next_file
                     next_file += 1
+                    committed_path_fid[f.path] = fid
                     if f.allocate and f.row_id_start is None:
                         f.row_id_start = next_row_id
                         next_row_id += f.record_count
@@ -1309,13 +1327,46 @@ class Transaction:
                     (rec_cnt, next_row_id, fsize, tid),
                 )
 
+            # inlined-only data commits consume one file id per table:
+            # the reference "force[s] an increment of file_id to signal
+            # a data change if we have only inlined data changes"
+            # (ducklake_transaction_state.cpp:1145-1148) — keeps file
+            # ids bit-identical with reference-written catalogs
+            tables_with_files = set()
+            for key in self.new_data_files:
+                try:
+                    tables_with_files.add(self._resolve_table_id(key))
+                except Exception:
+                    pass
+            inlined_tids = {t for t, _n, r in self.inlined_inserts if r}
+            inlined_tids |= {t for t, _n, r in self.inlined_inserts_rebase
+                             if r}
+            for _tid2 in inlined_tids:
+                if _tid2 not in tables_with_files:
+                    next_file += 1
+
             # --- delete files
+            # an overwritten delete file's catalog row is DELETED
+            # outright and the parquet scheduled for disk cleanup — the
+            # replacing file serves every snapshot via its embedded
+            # per-position snapshots and retroactive begin (reference
+            # DeleteOverwrittenDeleteFiles,
+            # ducklake_metadata_manager.cpp:4077-4112)
             for dfid in self.replaced_delete_files:
+                row = con.execute(
+                    "SELECT path FROM ducklake_delete_file "
+                    "WHERE delete_file_id=?", (dfid,)
+                ).fetchone()
                 con.execute(
-                    "UPDATE ducklake_delete_file SET end_snapshot=? "
-                    "WHERE delete_file_id=? AND end_snapshot IS NULL",
-                    (snap_id, dfid),
+                    "DELETE FROM ducklake_delete_file WHERE delete_file_id=?",
+                    (dfid,),
                 )
+                if row:
+                    con.execute(
+                        "INSERT INTO ducklake_files_scheduled_for_deletion "
+                        "VALUES (?, ?, 1, ?)",
+                        (dfid, row[0], _now_ts()),
+                    )
             for tid, pairs in self.inlined_deletes.items():
                 # reference-exact layout: exactly (file_id, row_id,
                 # begin_snapshot) — no end_snapshot column
@@ -1334,6 +1385,11 @@ class Transaction:
                 )
             for tid, dfiles in self.new_delete_files.items():
                 for df in dfiles:
+                    target_fid = df.data_file_id
+                    if isinstance(target_fid, str):
+                        # flush wrote this delete against a data file
+                        # committed in THIS snapshot — resolve its path
+                        target_fid = committed_path_fid[target_fid]
                     con.execute(
                         "INSERT INTO ducklake_delete_file VALUES "
                         "(?, ?, ?, NULL, ?, ?, 1, ?, ?, ?, ?, ?, ?, ?)",
@@ -1343,7 +1399,7 @@ class Transaction:
                             df.begin_snapshot_override
                             if df.begin_snapshot_override is not None
                             else snap_id,
-                            df.data_file_id,
+                            target_fid,
                             df.path,
                             df.format,
                             df.delete_count,

@@ -303,6 +303,11 @@ class FileRunner:
             text = text.replace("${" + k + "}", v)
             # duckdb's sqllogictest also substitutes bare {var}
             text = text.replace("{" + k + "}", v)
+        # fixture paths are relative to the reference checkout (the
+        # duckdb test runner's cwd): 'data/parquet/x.parquet' etc.
+        if "'data/" in text and "/test/sql/" in self.path:
+            ref_root = self.path.split("/test/sql/")[0]
+            text = text.replace("'data/", f"'{ref_root}/data/")
         return text
 
     def _cond_true(self, cond: str | None) -> bool:
