@@ -213,6 +213,11 @@ def _attempt(con, payload: dict) -> dict:
         snap_id += 1
 
         first_row_ids: dict[str, int] = {}
+        # data files committed in THIS payload, by catalog path — a
+        # flush-written delete file references its not-yet-committed
+        # data file by path and resolves here (mirrors _try_commit's
+        # committed_path_fid)
+        committed_path_fid: dict[str, int] = {}
         for t in payload["tables"]:
             tid = int(t["table_id"])
             stats = con.execute(
@@ -226,6 +231,7 @@ def _attempt(con, payload: dict) -> dict:
             for f in t["files"]:
                 fid = next_file
                 next_file += 1
+                committed_path_fid[f["path"]] = fid
                 row_id_start = f["row_id_start"]
                 if f["allocate"] and row_id_start is None:
                     row_id_start = next_row_id
@@ -293,23 +299,39 @@ def _attempt(con, payload: dict) -> dict:
             )
 
         # --- delete family (mirrors _try_commit order and statements)
+        # an overwritten delete file's catalog row is DELETED outright
+        # and the parquet scheduled for disk cleanup — the replacing
+        # file serves every snapshot via embedded per-position snapshots
+        # and retroactive begin (reference DeleteOverwrittenDeleteFiles,
+        # ducklake_metadata_manager.cpp:4077-4112)
         for dfid in payload.get("replaced_delete_files", ()):
+            row = con.execute(
+                "SELECT path FROM ducklake_delete_file "
+                "WHERE delete_file_id=?", (dfid,)
+            ).fetchone()
             con.execute(
-                "UPDATE ducklake_delete_file SET end_snapshot=? "
-                "WHERE delete_file_id=? AND end_snapshot IS NULL",
-                (snap_id, dfid),
+                "DELETE FROM ducklake_delete_file WHERE delete_file_id=?",
+                (dfid,),
             )
+            if row:
+                con.execute(
+                    "INSERT INTO ducklake_files_scheduled_for_deletion "
+                    "VALUES (?, ?, 1, ?)",
+                    (dfid, row[0], _now_ts()),
+                )
         for tid_s, pairs in payload.get("inlined_deletes", {}).items():
             tid = int(tid_s)
+            # reference-exact layout: exactly (file_id, row_id,
+            # begin_snapshot) — no end_snapshot column
+            # (ducklake_metadata_manager.cpp:3055-3057)
             con.execute(
                 f"CREATE TABLE IF NOT EXISTS ducklake_inlined_delete_{tid}("
-                "file_id BIGINT, row_id BIGINT, "
-                "begin_snapshot BIGINT, end_snapshot BIGINT)"
+                "file_id BIGINT, row_id BIGINT, begin_snapshot BIGINT)"
             )
             if pairs:
                 con.executemany(
                     f"INSERT INTO ducklake_inlined_delete_{tid} "
-                    "VALUES (?, ?, ?, NULL)",
+                    "VALUES (?, ?, ?)",
                     [(fid, pos, snap_id) for fid, pos in pairs],
                 )
         for tid_s, dfiles in payload.get("delete_files", {}).items():
@@ -322,6 +344,10 @@ def _attempt(con, payload: dict) -> dict:
                  drgc) = row[:8]
                 dpm = row[8] if len(row) > 8 else None
                 dbegin = row[9] if len(row) > 9 else None
+                if isinstance(dfid, str):
+                    # flush-written delete file targeting a data file
+                    # committed in this very payload, referenced by path
+                    dfid = committed_path_fid[dfid]
                 con.execute(
                     "INSERT INTO ducklake_delete_file VALUES "
                     "(?, ?, ?, NULL, ?, ?, 1, ?, ?, ?, ?, ?, ?, ?)",

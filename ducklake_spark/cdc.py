@@ -193,20 +193,40 @@ def table_deletions(lake: DuckLake, name: str, start, end) -> DataFrame:
                 break
         return best
 
-    # 1) delete files committed in range: content minus predecessor content
+    # 1) delete files whose snapshot SPAN intersects the range. A
+    # consolidated file replaces its predecessor outright (the old
+    # catalog row is deleted, reference _try_commit) and re-emits every
+    # position with its original delete snapshot embedded
+    # (ducklake_delete.cpp:426-489 "with snapshots"), so each position
+    # is attributed to ITS snapshot — begin_snapshot..partial_max is the
+    # file's span, and positions outside [start, end] are filtered out.
+    # Plain files (no embedded column) read NULL and fall back to the
+    # file's begin_snapshot.
+    from ducklake_spark.lake import SNAPID_COL
+
     dels = lake.meta.query(
-        "SELECT delete_file_id, data_file_id, path, begin_snapshot, format "
-        "FROM ducklake_delete_file WHERE table_id=? "
-        "AND begin_snapshot >= ? AND begin_snapshot <= ?",
-        (h.table_id, start, end),
+        "SELECT delete_file_id, data_file_id, path, begin_snapshot, "
+        "format FROM ducklake_delete_file WHERE table_id=? "
+        "AND begin_snapshot <= ? "
+        "AND COALESCE(partial_max, begin_snapshot) >= ?",
+        (h.table_id, end, start),
     )
     for dfid, data_fid, path, bsnap, fmt in dels:
-        cur = lake._delete_file_df(path, fmt)
+        cur = lake._delete_file_df(path, fmt, with_snap=True)
+        cur = cur.withColumn(
+            "__snap", F.coalesce(F.col(SNAPID_COL), F.lit(bsnap))
+        ).filter(
+            (F.col("__snap") >= F.lit(start))
+            & (F.col("__snap") <= F.lit(end))
+        )
+        # legacy double-count guard: when an end-stamped predecessor row
+        # still exists (old layout), its positions repeat in this file
+        # attributed to the OLD snapshot — subtract them
         prev = _prev_delete(data_fid, bsnap)
         if prev:
             prev_df = lake._delete_file_df(prev[0], prev[1])
-            cur = cur.join(prev_df, ["pos"], "left_anti")
-        rows = _rows_at_positions(lake, h, schema, data_fid, cur, bsnap)
+            cur = cur.join(prev_df.select("pos"), ["pos"], "left_anti")
+        rows = _rows_at_positions(lake, h, schema, data_fid, cur, None)
         if rows is not None:
             frames.append(rows)
 
@@ -324,7 +344,12 @@ def table_deletions(lake: DuckLake, name: str, start, end) -> DataFrame:
     return out.select("snapshot_id", "rowid", *[f.name for f in schema.fields])
 
 
-def _rows_at_positions(lake, h, schema, data_fid, positions: DataFrame, snap_id: int):
+def _rows_at_positions(lake, h, schema, data_fid, positions: DataFrame,
+                       snap_id: int | None):
+    """Data rows of ``data_fid`` at the given file positions.
+    ``snap_id=None`` means the positions DataFrame carries a per-position
+    ``__snap`` column (consolidated delete files embedding the snapshot
+    each position was deleted at, ducklake_delete.cpp:426-489)."""
     row = lake.meta.query(
         "SELECT path, row_id_start FROM ducklake_data_file WHERE data_file_id=?",
         (data_fid,),
@@ -338,14 +363,22 @@ def _rows_at_positions(lake, h, schema, data_fid, positions: DataFrame, snap_id:
         .parquet(os.path.join(lake.data_path, path))
         .withColumn("__pos", F.col("_metadata.row_index"))
     )
-    pos = positions.select(F.col("pos").alias("__pos"))
-    df = df.join(F.broadcast(pos), "__pos", "left_semi")
+    if snap_id is None:
+        pos = positions.select(
+            F.col("pos").alias("__pos"), F.col("__snap")
+        ).dropDuplicates(["__pos"])
+        df = df.join(F.broadcast(pos), "__pos", "inner")
+        snap_col = F.col("__snap")
+    else:
+        pos = positions.select(F.col("pos").alias("__pos"))
+        df = df.join(F.broadcast(pos), "__pos", "left_semi")
+        snap_col = F.lit(snap_id)
     rowid = (
         F.lit(rid_start) + F.col("__pos") if rid_start is not None else F.col(ROWID_COL)
     )
     return (
         df.withColumn("rowid", rowid)
-        .withColumn("snapshot_id", F.lit(snap_id))
+        .withColumn("snapshot_id", snap_col)
         .select("snapshot_id", "rowid", *[f.name for f in schema.fields])
     )
 

@@ -1834,6 +1834,12 @@ class DuckLake:
         self._check_writable()
         if table_name is not None and schema_name is not None:
             raise DuckLakeError("give either table_name or schema_name")
+        if option in ("expire_older_than", "delete_older_than") and (
+                table_name is not None or schema_name is not None):
+            # reference: these drive catalog-wide maintenance cutoffs
+            # (expire_snapshot_table_scoped_option.test)
+            raise DuckLakeError(
+                f"option '{option}' can only be set globally")
         if option == "data_inlining_row_limit" and int(value or 0) > 0:
             self._check_inlining_enableable(table_name,
                                             schema_name=schema_name)
@@ -4166,6 +4172,15 @@ class DuckLake:
                 for fid, pos in self._txn.inlined_deletes.get(h.table_id, [])
                 if fid in keep
             ]
+        # the open transaction's own writes (merged delete files, flushed
+        # rows) are stamped with the ANTICIPATED commit snapshot
+        # (ducklake_delete.cpp:433: current + 1) — an overlay read must
+        # see them, so its snapshot bound is snap+1; committed artifacts
+        # never carry ids beyond the committed head, so nothing foreign
+        # leaks in
+        read_snap = (snap.snapshot_id + 1
+                     if txn_overlay and self._txn is not None
+                     else snap.snapshot_id)
         if deletes or inline_dels:
             ddf = None
             pq_dels = [
@@ -4188,7 +4203,7 @@ class DuckLake:
                         f"file_path string, pos long, {SNAPID_COL} long")
                     .parquet(*del_paths)
                     .filter(F.col(SNAPID_COL).isNull()
-                            | (F.col(SNAPID_COL) <= F.lit(snap.snapshot_id)))
+                            | (F.col(SNAPID_COL) <= F.lit(read_snap)))
                     .select(
                         self._file_uri_col(F.col("file_path")).alias("__dfile"),
                         F.col("pos").alias("__dpos"),
@@ -4202,7 +4217,7 @@ class DuckLake:
                 edf = (
                     edf.filter(F.col(SNAPID_COL).isNull()
                                | (F.col(SNAPID_COL)
-                                  <= F.lit(snap.snapshot_id)))
+                                  <= F.lit(read_snap)))
                     .select(
                         self._file_uri_col(F.col("file_path")).alias("__dfile"),
                         F.col("pos").alias("__dpos"),
@@ -4224,7 +4239,7 @@ class DuckLake:
                     ]
                 ).filter(
                     F.col(SNAPID_COL).isNull()
-                    | (F.col(SNAPID_COL) <= F.lit(snap.snapshot_id))
+                    | (F.col(SNAPID_COL) <= F.lit(read_snap))
                 ).select("__dfile", "__dpos")
                 ddf = dvdf if ddf is None else ddf.unionByName(dvdf)
             if inline_dels:
@@ -4259,7 +4274,7 @@ class DuckLake:
             df = df.filter(
                 (F.col("__partial_max").isNull())
                 | F.col(SNAPID_COL).isNull()
-                | (F.col(SNAPID_COL) <= F.lit(snap.snapshot_id))
+                | (F.col(SNAPID_COL) <= F.lit(read_snap))
             )
 
         rowid = (
@@ -4398,10 +4413,16 @@ class DuckLake:
             decode, f"__dfile string, __dpos long, {SNAPID_COL} long")
 
     def _delete_file_df(self, rel_path: str, fmt: str | None,
-                        target_rel: str = "") -> DataFrame:
+                        target_rel: str = "",
+                        with_snap: bool = False) -> DataFrame:
         """One delete file -> DataFrame(file_path, pos) with file_path
         relative to data_path; handles parquet positional files AND
-        iceberg-v3 deletion vectors ('puffin' format)."""
+        iceberg-v3 deletion vectors ('puffin' format). ``with_snap``
+        adds the embedded per-position snapshot column (NULL for files
+        written without history — reference
+        WriteDeleteFileWithSnapshots)."""
+        cols = (["file_path", "pos", SNAPID_COL] if with_snap
+                else ["file_path", "pos"])
         if (fmt or "parquet").lower() == "puffin":
             return (
                 self._decode_dv_files(
@@ -4409,7 +4430,7 @@ class DuckLake:
                 )
                 .withColumnRenamed("__dfile", "file_path")
                 .withColumnRenamed("__dpos", "pos")
-                .select("file_path", "pos")
+                .select(*cols)
             )
         if self.encrypted:
             krow = self.meta.query(
@@ -4420,8 +4441,10 @@ class DuckLake:
             if krow:
                 return self._read_encrypted_delete_files(
                     [(os.path.join(self.data_path, rel_path), krow[0][0])]
-                ).select("file_path", "pos")
-        return self.spark.read.schema("file_path string, pos long").parquet(
+                ).select(*cols)
+        schema = ("file_path string, pos long" if not with_snap
+                  else f"file_path string, pos long, `{SNAPID_COL}` long")
+        return self.spark.read.schema(schema).parquet(
             os.path.join(self.data_path, rel_path)
         )
 

@@ -549,7 +549,21 @@ def expire_snapshots(lake: DuckLake, *, older_than: str | None = None,
                      dry_run: bool = False) -> list[int]:
     """Expire old snapshots (never the latest —
     ducklake_expire_snapshots.cpp:25-105). Returns expired ids."""
+    if older_than is not None and versions is not None:
+        raise ValueError("cannot specify both 'versions' and 'older_than'")
     latest = lake.meta.latest_snapshot().snapshot_id
+    if older_than is None and versions is None:
+        # bare call: the global expire_older_than option supplies the
+        # cutoff (reference expire_snapshot_global_option.test; the
+        # option is global-only — see DuckLake.set_option's guard)
+        import datetime
+
+        iv = lake.meta.option("expire_older_than", None)
+        if iv:
+            older_than = (
+                datetime.datetime.now(datetime.timezone.utc)
+                - _parse_interval(iv)
+            ).strftime("%Y-%m-%d %H:%M:%S.%f")
     if versions is not None:
         victims = [v for v in versions if v != latest]
     elif older_than is not None:
@@ -869,8 +883,14 @@ def _flush_inlined_data_in_txn(lake, tables, per_table=None) -> int:
             files = lake._write_parquet(
                 h, df, schema, lake._partition_spec(h), sort_spec
             )
+            # key by (row_id, begin_snapshot): an inlined UPDATE
+            # end-stamps the old generation and re-inserts the live row
+            # with the SAME row_id — only the exact end-stamped
+            # generation's file position may be marked deleted
+            # (ducklake_flush_inlined_data.cpp:151-164)
             deleted = {
-                r[idx["row_id"]]: r[idx["end_snapshot"]]
+                (r[idx["row_id"]], r[idx["begin_snapshot"]]):
+                    r[idx["end_snapshot"]]
                 for r in rows if r[idx["end_snapshot"]] is not None
             }
             txn = lake._begin()
@@ -883,8 +903,10 @@ def _flush_inlined_data_in_txn(lake, tables, per_table=None) -> int:
                     fi.partial_max = max(snapids)
                 if deleted:
                     positions = {
-                        pos: deleted[rid]
-                        for pos, rid in enumerate(rowids) if rid in deleted
+                        pos: deleted[(rid, snap)]
+                        for pos, (rid, snap)
+                        in enumerate(zip(rowids, snapids))
+                        if (rid, snap) in deleted
                     }
                     if positions:
                         # data file id unknown until commit: reference

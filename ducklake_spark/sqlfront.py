@@ -124,7 +124,8 @@ def split_statements(text: str) -> list[str]:
 _IDENT = r'(?:"[^"]+"|[A-Za-z_][A-Za-z0-9_]*)'
 
 _TRAILING_ORDER_ALL = re.compile(
-    r"\bORDER\s+BY\s+ALL\s*(ASC|DESC)?\s*;?\s*$", re.I)
+    r"\bORDER\s+BY\s+ALL\s*(ASC|DESC)?"
+    r"(?:\s+LIMIT\s+(\d+))?(?:\s+OFFSET\s+(\d+))?\s*;?\s*$", re.I)
 
 
 def _top_level_at(sql: str, pos: int) -> bool:
@@ -224,7 +225,7 @@ def _append_nulls_last(sql: str) -> str:
         elif depth == 0 and c in "LlOoFf;":
             mm = re.match(r"(?:LIMIT|OFFSET|FETCH)\b|;", sql[i:], re.I)
             prev = sql[i - 1] if i else " "
-            if mm and not (prev.isalnum() or prev == "_"):
+            if mm and (c == ";" or not (prev.isalnum() or prev == "_")):
                 end = i
                 break
         i += 1
@@ -235,7 +236,11 @@ def _append_nulls_last(sql: str) -> str:
             out.append(item)
         else:
             out.append(item.rstrip() + " NULLS LAST")
-    return sql[:start] + ", ".join(out) + sql[end:]
+    body = ", ".join(out)
+    tail = sql[end:]
+    if tail and not body[-1:].isspace() and not tail[:1].isspace():
+        tail = " " + tail
+    return sql[:start] + body + tail
 
 
 def _split_top_commas(s: str) -> list[str]:
@@ -616,14 +621,58 @@ def translate_list_literals(sql: str) -> str:
 _SUBSCRIPT_BASE = re.compile(
     r'((?:"[^"]+"|[A-Za-z_]\w*)(?:\s*\.\s*(?:"[^"]+"|[A-Za-z_]\w*))*)\s*$')
 
+# a bare identifier ending EXACTLY at a position (no gap) — used to pull
+# a function name into a paren base like split(s, ',')[1]
+_FUNC_NAME_TAIL = re.compile(r'((?:"[^"]+"|[A-Za-z_]\w*))$')
+
+_NOT_FUNC_NAMES = frozenset({
+    "select", "where", "from", "and", "or", "not", "in", "when", "then",
+    "else", "end", "case", "on", "as", "by", "having", "join", "union",
+    "all", "distinct", "exists", "between", "like", "is", "values",
+})
+
+
+def _paren_base_span(sql: str, i: int, spans) -> tuple[int, int] | None:
+    """For a subscript at ``i`` whose base is a parenthesized expression
+    or function call, the (start, end) span of that base; None when the
+    text before ``i`` doesn't end with ')'."""
+    k = i - 1
+    while k >= 0 and sql[k].isspace():
+        k -= 1
+    if k < 0 or sql[k] != ")":
+        return None
+    depth, j = 0, k
+    while j >= 0:
+        if any(a <= j <= b for a, b in spans):
+            j -= 1
+            continue
+        c = sql[j]
+        if c == ")":
+            depth += 1
+        elif c == "(":
+            depth -= 1
+            if depth == 0:
+                break
+        j -= 1
+    if j < 0 or depth:
+        return None
+    m = _FUNC_NAME_TAIL.search(sql[:j])
+    if m and m.group(1).lower() not in _NOT_FUNC_NAMES:
+        return m.start(1), k + 1
+    return j, k + 1
+
+
+_TYPE_POSITION = re.compile(r"(?:\bAS\s+|::\s*)$", re.I)
+
 
 def translate_subscripts(sql: str) -> str:
     """DuckDB subscripts -> ``element_at``: list subscripts are 1-BASED
     in DuckDB while Spark's ``[i]`` is 0-based; ``element_at`` carries
     DuckDB's semantics for both lists (1-based, negative-from-end) and
-    maps (lookup by key). Only identifier-chain bases are rewritten
-    (``col[1]``, ``t.col['k']``); slices (``x[1:2]``) and empty
-    brackets (type text like ``INT[]``) are left alone."""
+    maps (lookup by key). Rewrites identifier-chain bases (``col[1]``,
+    ``t.col['k']``) and closing-paren bases (``split(s, ',')[1]``,
+    ``(a||b)[2]``); slices (``x[1:2]``), empty brackets and fixed-size
+    array type text (``INT[]``, ``CAST(x AS INT[3])``) are left alone."""
     guard = 0
     while guard < 64:
         guard += 1
@@ -637,10 +686,21 @@ def translate_subscripts(sql: str) -> str:
             if sql[i] != "[":
                 i += 1
                 continue
-            mb = _SUBSCRIPT_BASE.search(sql[:i])
-            if mb is None:
-                i += 1
-                continue
+            pspan = _paren_base_span(sql, i, spans)
+            if pspan is not None:
+                mb = None
+                base_start, base_end = pspan
+            else:
+                mb = _SUBSCRIPT_BASE.search(sql[:i])
+                if mb is None:
+                    i += 1
+                    continue
+                base_start, base_end = mb.start(1), mb.end(1)
+                # type text, not a value subscript: CAST(x AS INT[3]),
+                # x::INT[3] — 1-based rewrite would mangle the type
+                if _TYPE_POSITION.search(sql[:base_start]):
+                    i += 1
+                    continue
             # find the matching ] at depth 0; note top-level ':' (slice)
             j, depth, in_str, has_colon = i + 1, 1, False, False
             while j < len(sql) and depth:
@@ -660,8 +720,8 @@ def translate_subscripts(sql: str) -> str:
             if depth or has_colon or not inner:
                 i += 1
                 continue
-            base = mb.group(1)
-            sql = (sql[:mb.start(1)]
+            base = sql[base_start:base_end]
+            sql = (sql[:base_start]
                    + f"element_at({base}, {inner})" + sql[j:])
             changed = True
             break
@@ -686,6 +746,11 @@ def _parse_value(tok: str):
         return float(tok)
     if tok.startswith("[") and tok.endswith("]"):
         return [_parse_value(p) for p in _split_top(tok[1:-1])]
+    m = re.fullmatch(r"array\s*\((.*)\)", tok, re.I | re.S)
+    if m:
+        # list literals like versions => [1] arrive here AFTER the
+        # bracket-literal rewrite turned them into array(1)
+        return [_parse_value(p) for p in _split_top(m.group(1))]
     m = re.fullmatch(r"(timestamp|date)\s*('.*')", tok, re.I | re.S)
     if m:
         return _parse_value(m.group(2))
@@ -2007,11 +2072,17 @@ class SQLSession:
 
         kw = {}
         if "older_than" in named:
+            if named["older_than"] is None:
+                raise DuckLakeError(
+                    "older_than option must be a non-null timestamp")
             kw["older_than"] = named["older_than"]
         if "versions" in named:
             v = named["versions"]
             kw["versions"] = v if isinstance(v, list) else [v]
         if "dry_run" in named:
+            if named["dry_run"] is None:
+                raise DuckLakeError(
+                    "dry_run option must be a non-null boolean")
             kw["dry_run"] = bool(named["dry_run"])
         out = maint.expire_snapshots(lake, **kw)
         if isinstance(out, list):
@@ -2072,8 +2143,11 @@ class SQLSession:
         kw = {}
         if "table_name" in named:
             kw["table_name"] = named["table_name"]
+        # the reference accepts both schema => and schema_name =>
         if "schema_name" in named:
             kw["schema_name"] = named["schema_name"]
+        elif "schema" in named:
+            kw["schema_name"] = named["schema"]
         val = pos[1]
         sval = ("true" if val is True else
                 "false" if val is False else str(val))
@@ -2337,7 +2411,14 @@ class SQLSession:
         m = _TRAILING_ORDER_ALL.search(sql)
         if m is not None and _top_level_at(sql, m.start()):
             df = self.spark.sql(sql[:m.start()].rstrip())
-            return df.orderBy(*_duck_sort_keys(df.schema, m.group(1)))
+            df = df.orderBy(*_duck_sort_keys(df.schema, m.group(1)))
+            # a trailing LIMIT/OFFSET rides along DataFrame-side —
+            # textual NULLS LAST after ALL would parse as a column ref
+            if m.group(3):
+                df = df.offset(int(m.group(3)))
+            if m.group(2):
+                df = df.limit(int(m.group(2)))
+            return df
         return self.spark.sql(_append_nulls_last(sql))
 
     def _view_names(self, lake: DuckLake) -> list[tuple[str, str]]:

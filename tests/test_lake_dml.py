@@ -234,9 +234,13 @@ def test_inlining_roundtrip(lake, spark, tmp_path):
     n = lk.delete("inl", "i = 1")
     assert n == 1
     assert lk.table("inl").count() == 38
-    # flush moves remaining inlined rows to parquet
+    # flush moves inlined rows to parquet — the count is the flushed
+    # FILE's row count, which includes end-stamped (deleted) generations
+    # since the reference writes every row with embedded snapshot ids
+    # and masks deleted ones with a positional delete file
+    # (ducklake_flush_inlined_data.cpp:204 "rows_flushed += file.row_count")
     flushed = lk.flush_inlined_data()
-    assert flushed == 1
+    assert flushed == 2
     assert lk.table("inl").count() == 38
     rows = {r.i for r in lk.table("inl").collect()}
     assert 2 in rows and 1 not in rows

@@ -364,14 +364,20 @@ def test_rewrite_consumes_inlined_deletes(mklake, spark):
     assert maint.rewrite_data_files(lake, delete_threshold=0.0, table="t") == 1
     assert sorted(r.a for r in lake.table("t").collect()) == \
         [x for x in range(50) if x != 25]
-    # one live data file, still no delete file, no live inlined deletes
+    # one live data file, still no delete file; the consumed inlined
+    # delete rows carry no end-mark in the reference-exact 3-column
+    # layout (ducklake_metadata_manager.cpp:3055-3057) — they go inert
+    # because their owning data file is end-stamped by the rewrite
+    # (ducklake_transaction.cpp:774 family), so no inlined delete may
+    # reference a LIVE data file
     assert lake.meta.query(
         "SELECT COUNT(*) FROM ducklake_data_file WHERE end_snapshot IS NULL"
     )[0][0] == 1
     h = lake._handle("t")
     assert lake.meta.query(
-        f"SELECT COUNT(*) FROM ducklake_inlined_delete_{h.table_id} "
-        "WHERE end_snapshot IS NULL")[0][0] == 0
+        f"SELECT COUNT(*) FROM ducklake_inlined_delete_{h.table_id} d "
+        "JOIN ducklake_data_file f ON f.data_file_id = d.file_id "
+        "WHERE f.end_snapshot IS NULL")[0][0] == 0
 
 
 def test_table_info_counts(mklake, spark):
