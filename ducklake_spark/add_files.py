@@ -132,6 +132,30 @@ def _hive_value_castable(dl_type: str, v: str) -> bool:
     return True
 
 
+def _missing_struct_fields(ctype: str, at, prefix: str) -> list[str]:
+    """Dotted paths of struct fields declared in the table type but
+    absent from the file's arrow type (recursive)."""
+    import pyarrow as pa
+
+    from ducklake_spark.catalog.types import _split_top
+
+    m = re.fullmatch(r"\s*struct<(.+)>\s*", ctype, re.I | re.S)
+    if not m or not pa.types.is_struct(at):
+        return []
+    anames = {at.field(i).name: at.field(i).type
+              for i in range(at.num_fields)}
+    out: list[str] = []
+    for part in _split_top(m.group(1)):
+        fname, ftype = part.split(":", 1)
+        fname = fname.strip()
+        if fname not in anames:
+            out.append(f"{prefix}.{fname}")
+        else:
+            out += _missing_struct_fields(
+                ftype, anames[fname], f"{prefix}.{fname}")
+    return out
+
+
 def add_data_files(lake: DuckLake, table: str, pattern, *,
                    allow_missing: bool = False,
                    ignore_extra_columns: bool = False,
@@ -164,9 +188,31 @@ def add_data_files(lake: DuckLake, table: str, pattern, *,
     part_pid = lake._partition_spec_id(h) if part_spec else None
 
     txn = lake._begin()
-    from ducklake_spark.lake import parquet_footer_size as _footer_size
+    from ducklake_spark.lake import TableHandle, parquet_footer_size as _footer_size
     from ducklake_spark.transaction import DataFileInfo
 
+    if h.table_id < 0:
+        # adoption into a table created in THIS transaction (reference
+        # add_files_transaction_local.test): pre-assign real column ids
+        # (the CTAS mechanism) so the name map binds to the committed
+        # ids, and buffer by name since the table id exists only after
+        # commit
+        td = next(
+            t for t in txn.created_tables
+            if t.schema_name == h.schema_name
+            and t.table_name == h.table_name
+        )
+        lake._preassign_column_ids(td)
+        h = TableHandle(
+            table_id=-1, table_uuid=td.table_uuid, schema_id=-1,
+            schema_name=h.schema_name, table_name=h.table_name,
+            path=td.path,
+            columns=[(c.column_id, c.name, c.type, c.nulls_allowed)
+                     for c in td.columns],
+        )
+        table_cols = {c[1]: c for c in h.columns}
+    table_key = (str(h.table_id) if h.table_id >= 0
+                 else f"{h.schema_name}.{h.table_name}")
     colmap = {c[1]: c[0] for c in h.columns}
     added = 0
     infos: list[DataFileInfo] = []
@@ -200,6 +246,19 @@ def add_data_files(lake: DuckLake, table: str, pattern, *,
             if c not in file_cols and c not in hive_vals
         ]
         extra = [c for c in file_cols if c not in table_cols]
+        # nested struct fields must be present too (reference
+        # add_files_missing_fields.test: 'Column "s.i" exists in table
+        # ... but was not found in file' without allow_missing)
+        if not allow_missing:
+            for cname, (cid, _n, ctype, _na) in table_cols.items():
+                at = arrow_types.get(cname)
+                if at is None:
+                    continue
+                for miss in _missing_struct_fields(ctype, at, cname):
+                    raise DuckLakeError(
+                        f'Column "{miss}" exists in table '
+                        f'"{h.table_name}" but was not found in file '
+                        f'"{path}" (use allow_missing=True)')
         if missing and not allow_missing:
             raise DuckLakeError(
                 f"{path}: missing columns {missing} (use allow_missing=True)"
@@ -249,25 +308,46 @@ def add_data_files(lake: DuckLake, table: str, pattern, *,
             column_stats=stats,
             mapping_id=-1,  # allocated inside the commit transaction
         )
-        txn.new_data_files.setdefault(str(h.table_id), []).append(info)
+        txn.new_data_files.setdefault(table_key, []).append(info)
         infos.append(info)
         added += 1
 
-    def map_op(con, snap_id, h=h, colmap=colmap, infos=infos,
+    def map_op(con, snap_id, colmap=colmap, infos=infos,
                cols=sorted(set(name_map_rows))):
-        mid = con.execute(
-            "SELECT COALESCE(MAX(mapping_id), -1) + 1 "
-            "FROM ducklake_column_mapping"
-        ).fetchone()[0]
-        con.execute(
-            "INSERT INTO ducklake_column_mapping VALUES (?, ?, 'map_by_name')",
-            (mid, h.table_id),
-        )
-        for cname in cols:
+        # txn-local tables resolve their committed id here
+        tid = txn._resolve_table_id(table_key)
+        # duplicate elimination (reference add_files.test:78-82): an
+        # existing mapping for this table with the identical name->field
+        # rows is reused instead of allocating a new mapping_id
+        want = sorted((colmap[c], c, colmap[c]) for c in cols)
+        mid = None
+        for (mid0,) in con.execute(
+            "SELECT mapping_id FROM ducklake_column_mapping "
+            "WHERE table_id=? AND type='map_by_name'", (tid,)
+        ).fetchall():
+            rows = sorted(con.execute(
+                "SELECT column_id, source_name, target_field_id "
+                "FROM ducklake_name_mapping WHERE mapping_id=?", (mid0,)
+            ).fetchall())
+            if [tuple(r) for r in rows] == want:
+                mid = mid0
+                break
+        if mid is None:
+            mid = con.execute(
+                "SELECT COALESCE(MAX(mapping_id), -1) + 1 "
+                "FROM ducklake_column_mapping"
+            ).fetchone()[0]
             con.execute(
-                "INSERT INTO ducklake_name_mapping VALUES (?, ?, ?, ?, NULL, 0)",
-                (mid, colmap[cname], cname, colmap[cname]),
+                "INSERT INTO ducklake_column_mapping VALUES "
+                "(?, ?, 'map_by_name')",
+                (mid, tid),
             )
+            for cname in cols:
+                con.execute(
+                    "INSERT INTO ducklake_name_mapping VALUES "
+                    "(?, ?, ?, ?, NULL, 0)",
+                    (mid, colmap[cname], cname, colmap[cname]),
+                )
         for info in infos:  # ops run before the data-file inserts
             info.mapping_id = mid
 
@@ -275,7 +355,7 @@ def add_data_files(lake: DuckLake, table: str, pattern, *,
     # adopted files get the same extended stats (geometry bbox /
     # shredded variant) as written ones — one distributed pass
     lake._attach_extra_stats(h, infos, None)
-    txn.change_log.append(f"inserted_into_table:{h.table_id}")
+    txn.change_log.append(f"inserted_into_table:{table_key}")
     lake._autocommit()
     return added
 

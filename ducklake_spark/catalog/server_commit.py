@@ -292,11 +292,9 @@ def _attempt(con, payload: dict) -> dict:
                 )
             for fold in t["folded"]:
                 _merge_global_stats(con, tid, fold)
-            con.execute(
-                "UPDATE ducklake_table_stats SET record_count=?, next_row_id=?, "
-                "file_size_bytes=? WHERE table_id=?",
-                (rec_cnt, next_row_id, fsize, tid),
-            )
+            from ducklake_spark.transaction import _upsert_table_stats
+
+            _upsert_table_stats(con, tid, rec_cnt, next_row_id, fsize)
 
         # --- delete family (mirrors _try_commit order and statements)
         # an overwritten delete file's catalog row is DELETED outright
@@ -391,11 +389,16 @@ def _attempt(con, payload: dict) -> dict:
                         (fid, row[0], _now_ts()),
                     )
         for tid_s, delta in payload.get("stats_delta", {}).items():
-            con.execute(
+            cur = con.execute(
                 "UPDATE ducklake_table_stats SET record_count = "
                 "record_count + ? WHERE table_id = ?",
                 (delta, int(tid_s)),
             )
+            if cur.rowcount == 0:
+                con.execute(
+                    "INSERT INTO ducklake_table_stats VALUES (?, ?, 0, 0)",
+                    (int(tid_s), delta),
+                )
 
         con.execute(
             "INSERT INTO ducklake_snapshot VALUES (?, ?, ?, ?, ?)",

@@ -325,23 +325,63 @@ class VariantStats:
 
     object_rows: int = 0
     fields: dict = field(default_factory=dict)
+    total_rows: int = 0     # every row, NULLs included
+    nonnull_rows: int = 0
+    root: object = None     # scalar accumulator -> variant_path 'root'
+    element: object = None  # list-element accumulator -> 'element'
+    root_kind: str | None = None  # scalar | list | object | mixed
+
+    def _note_kind(self, kind: str) -> None:
+        if self.root_kind is None:
+            self.root_kind = kind
+        elif self.root_kind != kind:
+            # mixed top-level shapes: nothing shreds (reference
+            # variant_shredded_stats.test "completely inconsistent")
+            self.root_kind = "mixed"
 
     def add_json(self, text) -> None:
+        self.total_rows += 1
         if text is None:
             return
         try:
             doc = json.loads(text)
         except (ValueError, TypeError):
             return
-        if not isinstance(doc, dict):
+        self.nonnull_rows += 1
+        if isinstance(doc, dict):
+            self._note_kind("object")
+            self.object_rows += 1
+            for k, v in doc.items():
+                self.fields.setdefault(k, VariantFieldAcc()).add(v)
             return
-        self.object_rows += 1
-        for k, v in doc.items():
-            self.fields.setdefault(k, VariantFieldAcc()).add(v)
+        if isinstance(doc, list):
+            self._note_kind("list")
+            if self.element is None:
+                self.element = VariantFieldAcc()
+            for el in doc:
+                self.element.add(el)
+            return
+        self._note_kind("scalar")
+        if self.root is None:
+            self.root = VariantFieldAcc()
+        self.root.add(doc)
 
     def merge(self, other: "VariantStats") -> None:
         """Same-file partial merge: union of fields."""
         self.object_rows += other.object_rows
+        self.total_rows += other.total_rows
+        self.nonnull_rows += other.nonnull_rows
+        if other.root_kind is not None:
+            self._note_kind(other.root_kind)
+        for mine_attr in ("root", "element"):
+            theirs = getattr(other, mine_attr)
+            if theirs is None:
+                continue
+            mine = getattr(self, mine_attr)
+            if mine is None:
+                setattr(self, mine_attr, theirs)
+            else:
+                mine.merge(theirs)
         for k, acc in other.fields.items():
             mine = self.fields.get(k)
             if mine is None:
@@ -351,8 +391,32 @@ class VariantStats:
 
     def rows(self):
         """[(variant_path, shredded_type, value_count, null_count,
-        min_value, max_value)] for ducklake_file_variant_stats."""
+        min_value, max_value)] for ducklake_file_variant_stats.
+        Top-level scalars shred under 'root', homogeneous lists under
+        'element'; MIXED top-level shapes shred nothing (reference
+        variant_shredded_stats.test)."""
+        if self.root_kind == "mixed":
+            return []
         out = []
+        if self.root_kind == "scalar" and self.root is not None \
+                and not self.root.dropped \
+                and self.root.shredded_type is not None:
+            out.append((
+                "root", self.root.shredded_type, self.root.value_count,
+                self.total_rows - self.nonnull_rows,
+                _stat_text(self.root.min_value),
+                _stat_text(self.root.max_value),
+            ))
+        if self.root_kind == "list" and self.element is not None \
+                and not self.element.dropped \
+                and self.element.shredded_type is not None:
+            out.append((
+                "element", self.element.shredded_type,
+                self.element.value_count,
+                self.total_rows - self.nonnull_rows,
+                _stat_text(self.element.min_value),
+                _stat_text(self.element.max_value),
+            ))
         for name in sorted(self.fields):
             acc = self.fields[name]
             if acc.dropped or acc.shredded_type is None:
@@ -390,19 +454,36 @@ class VariantStats:
             separators=(", ", ": "),
         )
 
+    @staticmethod
+    def _acc_doc(a):
+        if a is None:
+            return None
+        return {"shredded_type": a.shredded_type,
+                "value_count": a.value_count,
+                "min": a.min_value, "max": a.max_value,
+                "dropped": a.dropped}
+
+    @staticmethod
+    def _acc_from(d):
+        if d is None:
+            return None
+        return VariantFieldAcc(
+            shredded_type=d["shredded_type"],
+            value_count=d["value_count"],
+            min_value=d["min"], max_value=d["max"],
+            dropped=d["dropped"])
+
     def to_partial_json(self) -> str:
         return json.dumps(
             {
                 "object_rows": self.object_rows,
+                "total_rows": self.total_rows,
+                "nonnull_rows": self.nonnull_rows,
+                "root_kind": self.root_kind,
+                "root": self._acc_doc(self.root),
+                "element": self._acc_doc(self.element),
                 "fields": {
-                    k: {
-                        "shredded_type": a.shredded_type,
-                        "value_count": a.value_count,
-                        "min": a.min_value,
-                        "max": a.max_value,
-                        "dropped": a.dropped,
-                    }
-                    for k, a in self.fields.items()
+                    k: self._acc_doc(a) for k, a in self.fields.items()
                 },
             }
         )
@@ -410,15 +491,14 @@ class VariantStats:
     @classmethod
     def from_partial_json(cls, s: str) -> "VariantStats":
         doc = json.loads(s)
-        vs = cls(object_rows=doc["object_rows"])
+        vs = cls(object_rows=doc["object_rows"],
+                 total_rows=doc.get("total_rows", 0),
+                 nonnull_rows=doc.get("nonnull_rows", 0),
+                 root_kind=doc.get("root_kind"),
+                 root=cls._acc_from(doc.get("root")),
+                 element=cls._acc_from(doc.get("element")))
         for k, a in doc["fields"].items():
-            vs.fields[k] = VariantFieldAcc(
-                shredded_type=a["shredded_type"],
-                value_count=a["value_count"],
-                min_value=a["min"],
-                max_value=a["max"],
-                dropped=a["dropped"],
-            )
+            vs.fields[k] = cls._acc_from(a)
         return vs
 
 

@@ -792,10 +792,14 @@ class DuckLake:
         # catalog/drop_schema_after_drop_dependents.test: DROP VIEW;
         # DROP SCHEMA inside one BEGIN commits)
         if self._txn is not None:
+            from ducklake_spark.macros import _txn_dropped_macro_ids
+
             gone_t = set(self._txn.dropped_tables)
             gone_v = set(self._txn.dropped_views)
+            gone_m = _txn_dropped_macro_ids(self)
             members = [m for m in members if m[0] not in gone_t]
             views = [v for v in views if v[0] not in gone_v]
+            macros = [m for m in macros if m[0] not in gone_m]
         if (members or views or macros) and not cascade:
             # macros depend on the schema too (reference
             # catalog/drop_schema_with_table_macro.test)
@@ -999,7 +1003,40 @@ class DuckLake:
                    default: str | None = None, *,
                    if_not_exists: bool = False) -> None:
         h = self._handle(name)
-        self._require_committed(h, "ALTER ADD COLUMN")
+        if h.table_id < 0:
+            # ALTER on a table created in THIS transaction: the column
+            # bakes into the pending CREATE (reference
+            # insert_sorted_transaction.test: BEGIN; CREATE; ADD COLUMN;
+            # INSERT; COMMIT)
+            if any(cn.lower() == col_name.lower() for _i, cn, _t, _n
+                   in h.columns):
+                if if_not_exists:
+                    return
+                raise DuckLakeError(
+                    f'column "{col_name}" already exists in {name!r}')
+            ducklake_to_spark(col_type)
+            _check_reserved_column(col_name)
+            if default is not None and _default_kind(default) == "expression":
+                raise DuckLakeError(
+                    "We cannot add a column with a non-literal default "
+                    'value. Add the column and then explicitly set the '
+                    'default for new values using "ALTER ... SET DEFAULT"')
+            txn = self._begin()
+            from ducklake_spark.transaction import ColumnDef
+
+            td = next(
+                t for t in txn.created_tables
+                if t.schema_name == h.schema_name
+                and t.table_name == h.table_name
+            )
+            td.columns.append(ColumnDef(
+                name=col_name, type=col_type,
+                default_value=default, initial_default=default))
+            if any(c.column_id is not None for c in td.columns):
+                # ids were pre-assigned (CTAS / in-txn writes): extend
+                self._preassign_column_ids(td)
+            self._autocommit()
+            return
         if any(cn.lower() == col_name.lower() for _i, cn, _t, _n
                in h.columns):
             # reference: duplicate ADD COLUMN errors unless IF NOT
@@ -1135,6 +1172,13 @@ class DuckLake:
                 "(RESET PARTITIONED BY first)"
             )
         txn = self._begin()
+        if self._explicit_txn:
+            # hide the column from this transaction's later statements
+            # (drop-readd inside one BEGIN)
+            pend = getattr(txn, "pending_column_drops", None)
+            if pend is None:
+                pend = txn.pending_column_drops = {}
+            pend.setdefault(h.table_id, []).append(col_name)
 
         def op(con, snap_id, h=h, col_name=col_name):
             row = con.execute(
@@ -1304,6 +1348,12 @@ class DuckLake:
                 if cname not in known:
                     raise DuckLakeError(f"no column {cname!r}")
             td.partition_spec = list(keys)
+            # the reference logs the alter alongside the create
+            # (ducklake_snapshots.test:200: tables_altered on a
+            # create+alter transaction); resolved to the real id at
+            # commit
+            txn.change_log.append(
+                f"altered_table:{h.schema_name}.{h.table_name}")
             self._autocommit()
             return
         txn = self._begin()
@@ -1371,10 +1421,16 @@ class DuckLake:
         and on compaction. Does NOT bump schema_version
         (merge_adjacent_sorted_basic.test)."""
         h = self._handle(name)
-        self._require_committed(h, "SET SORTED BY")
         norm: list[tuple[str, str, str]] = []
         for item in keys:
             expr, direction = item[0], item[1].lower()
+            # duckdb type names in :: casts -> Spark equivalents (the
+            # stored dialect is 'spark'; insert_sorted_expression.test
+            # uses power(x, x)::varchar keys)
+            expr = re.sub(r"::\s*(varchar|text)\b", "::string", expr,
+                          flags=re.I)
+            expr = re.sub(r"::\s*(hugeint|int128)\b", "::decimal(38,0)",
+                          expr, flags=re.I)
             null_order = (item[2].lower() if len(item) > 2 else "nulls_last")
             if direction not in ("asc", "desc"):
                 raise DuckLakeError(f"bad sort direction {direction!r}")
@@ -1389,30 +1445,39 @@ class DuckLake:
         except Exception as ex:
             raise DuckLakeError(f"SET SORTED BY: invalid sort key: {ex}")
         txn = self._begin()
+        # txn-local tables (SET SORTED BY between CREATE and COMMIT,
+        # reference insert_sorted_default_direction.test:25-40) buffer
+        # by name; the op resolves the committed id
+        key = self._sort_key(h)
 
-        def op(con, snap_id, h=h, norm=norm):
+        def op(con, snap_id, key=key, norm=norm, txn=txn):
+            tid = (int(key) if isinstance(key, int) or str(key).isdigit()
+                   else txn._resolve_table_id(key))
             con.execute(
                 "UPDATE ducklake_sort_info SET end_snapshot=? "
                 "WHERE table_id=? AND end_snapshot IS NULL",
-                (snap_id, h.table_id),
+                (snap_id, tid),
             )
             sid = con.execute(
                 "SELECT COALESCE(MAX(sort_id), -1) + 1 FROM ducklake_sort_info"
             ).fetchone()[0]
             con.execute(
                 "INSERT INTO ducklake_sort_info VALUES (?, ?, ?, NULL)",
-                (sid, h.table_id, snap_id),
+                (sid, tid, snap_id),
             )
             for i, (expr, direction, null_order) in enumerate(norm):
+                # reference stores display case: ASC / NULLS_LAST
                 con.execute(
                     "INSERT INTO ducklake_sort_expression VALUES "
                     "(?, ?, ?, ?, 'spark', ?, ?)",
-                    (sid, h.table_id, i, expr, direction, null_order),
+                    (sid, tid, i, expr, direction.upper(),
+                     null_order.upper()),
                 )
 
-        txn.sort_ops.setdefault(h.table_id, []).append(op)
-        txn.pending_sort_specs[h.table_id] = list(norm)
-        txn.change_log.append(f"altered_table:{h.table_id}")
+        txn.sort_ops.setdefault(key, []).append(op)
+        txn.pending_sort_specs[key] = list(norm)
+        if h.table_id >= 0:
+            txn.change_log.append(f"altered_table:{h.table_id}")
         self._autocommit()
 
     def reset_sorted_by(self, name: str) -> None:
@@ -1420,19 +1485,22 @@ class DuckLake:
         (reference: test/sql/sorted_table/drop_sorted_column.test,
         merge_adjacent_sorted_reset.test). No schema_version bump."""
         h = self._handle(name)
-        self._require_committed(h, "RESET SORTED BY")
         txn = self._begin()
+        key = self._sort_key(h)
 
-        def op(con, snap_id, h=h):
+        def op(con, snap_id, key=key, txn=txn):
+            tid = (int(key) if isinstance(key, int) or str(key).isdigit()
+                   else txn._resolve_table_id(key))
             con.execute(
                 "UPDATE ducklake_sort_info SET end_snapshot=? "
                 "WHERE table_id=? AND end_snapshot IS NULL",
-                (snap_id, h.table_id),
+                (snap_id, tid),
             )
 
-        txn.sort_ops.setdefault(h.table_id, []).append(op)
-        txn.pending_sort_specs[h.table_id] = []
-        txn.change_log.append(f"altered_table:{h.table_id}")
+        txn.sort_ops.setdefault(key, []).append(op)
+        txn.pending_sort_specs[key] = []
+        if h.table_id >= 0:
+            txn.change_log.append(f"altered_table:{h.table_id}")
         self._autocommit()
 
     def _alter_column(self, name: str, col_name: str, mutate) -> None:
@@ -1833,7 +1901,11 @@ class DuckLake:
         table > schema > global."""
         self._check_writable()
         if table_name is not None and schema_name is not None:
-            raise DuckLakeError("give either table_name or schema_name")
+            # both scopes = the table within that schema (reference
+            # per_table_settings.test: schema => 's1', table_name => 't1')
+            if "." not in table_name:
+                table_name = f"{schema_name}.{table_name}"
+            schema_name = None
         if option in ("expire_older_than", "delete_older_than") and (
                 table_name is not None or schema_name is not None):
             # reference: these drive catalog-wide maintenance cutoffs
@@ -4091,26 +4163,55 @@ class DuckLake:
                     h, part, schema, fixups, ffill, absent, init_defaults,
                     fadds))
         if foreign:
-            plain = T.StructType(
-                [T.StructField(f_.name, f_.dataType, True) for f_ in schema.fields]
-            )
             init_defaults_f = self._initial_defaults(h, schema)
             absent_f = (
                 self._columns_absent_in_files(h, foreign, init_defaults_f)
                 if init_defaults_f
                 else {}
             )
-            fgroups: dict[frozenset, list[dict]] = {}
+            # a file's name map binds source column names to the table
+            # FIELD IDS live at adoption time (ducklake_name_mapping).
+            # A column dropped and re-added later has a NEW id, so old
+            # adopted files must read NULL for it even when the file has
+            # a column with that name (reference add_files.test:150-160)
+            colmap_cur = {c[1]: c[0] for c in h.columns}
+            name_map: dict[int, dict[int, str]] = {}
+            mids = {f["mapping_id"] for f in foreign}
+            if mids:
+                qs = ",".join("?" * len(mids))
+                for mid_, tgt, src in self.meta.query(
+                    "SELECT mapping_id, target_field_id, source_name "
+                    f"FROM ducklake_name_mapping WHERE mapping_id IN ({qs})",
+                    tuple(mids),
+                ):
+                    name_map.setdefault(mid_, {})[tgt] = src
+            fgroups: dict[tuple, list[dict]] = {}
             for f in foreign:
                 fgroups.setdefault(
-                    absent_f.get(f["data_file_id"], frozenset()), []
+                    (f["mapping_id"],
+                     absent_f.get(f["data_file_id"], frozenset())), []
                 ).append(f)
-            for absent, members in fgroups.items():
+            for (mid_, absent), members in fgroups.items():
+                tgt_src = name_map.get(mid_, {})
+                # read schema uses the SOURCE names for mapped columns
+                read_fields, out_cols = [], []
+                for f_ in schema.fields:
+                    src = tgt_src.get(colmap_cur.get(f_.name))
+                    if src is None and not tgt_src:
+                        # no recorded rows (legacy catalogs): by name
+                        src = f_.name
+                    if src is None:
+                        out_cols.append(
+                            F.lit(None).cast(f_.dataType).alias(f_.name))
+                    else:
+                        read_fields.append(
+                            T.StructField(src, f_.dataType, True))
+                        out_cols.append(F.col(src).alias(f_.name))
                 fdf = self.spark.read.options(
                     **self._crypto_read_options(members)
-                ).schema(plain).parquet(
+                ).schema(T.StructType(read_fields)).parquet(
                     *[os.path.join(self.data_path, f["path"]) for f in members]
-                )
+                ).select(*out_cols, "_metadata")
                 for cname in absent:
                     fdf = fdf.withColumn(
                         cname,
@@ -4121,7 +4222,7 @@ class DuckLake:
                             ),
                         ),
                     )
-                if native and len(parts[0].schema.fields) > len(plain.fields):
+                if native and len(parts[0].schema.fields) > len(schema.fields):
                     fdf = fdf.withColumn(
                         ROWID_COL, F.lit(None).cast("long")
                     ).withColumn(SNAPID_COL, F.lit(None).cast("long"))
@@ -4132,6 +4233,10 @@ class DuckLake:
                 p.withColumn("__file", F.col("_metadata.file_path"))
                 .withColumn("__pos", F.col("_metadata.row_index"))
             )
+            if "_metadata" in p.columns:
+                # foreign parts select _metadata explicitly to survive
+                # the mapped projection; drop it for the union
+                p = p.drop("_metadata")
             df = p if df is None else df.unionByName(p)
         # per-file row_id_start / begin-snapshot / hive-value map (small;
         # broadcast join — at 100 TB this is #files rows, not data rows)
@@ -4152,12 +4257,14 @@ class DuckLake:
         # the directory name -> backfill from recorded partition values
         if any(pv_fill.values()):
             for f_ in schema.fields:
+                pvv = F.element_at(F.col("__pv"), f_.name)
+                # hive's NULL sentinel directory name reads back as NULL
+                # (reference add_files_hive_partition_cast.test)
+                pvv = F.when(
+                    pvv == "__HIVE_DEFAULT_PARTITION__", F.lit(None)
+                ).otherwise(pvv).cast(f_.dataType)
                 df = df.withColumn(
-                    f_.name,
-                    F.coalesce(
-                        F.col(f_.name),
-                        F.element_at(F.col("__pv"), f_.name).cast(f_.dataType),
-                    ),
+                    f_.name, F.coalesce(F.col(f_.name), pvv)
                 )
 
         # positional deletes -> anti join on (file, pos); positions come
@@ -4736,11 +4843,19 @@ class DuckLake:
         )
         txn = self._txn if txn_overlay else None
         ended: set[tuple[str, int]] = set()
+        removed: set[tuple[str, tuple]] = set()
         buffered: dict[str, list[tuple]] = {}
         if txn is not None:
             for tname, keys, tuples in txn.inlined_end_updates:
                 if keys == ("row_id",) and tuples:
                     ended.update((tname, rid) for (rid,) in tuples)
+            # rows an in-txn FLUSH moved to a (buffered) parquet file:
+            # the overlay scan reads the flushed file, so the catalog
+            # originals must hide or every flushed row doubles
+            # (data_inlining_flush_sorted_basic.test: flush inside BEGIN)
+            for tname, keys, keyvals in txn.inlined_row_removals:
+                if keys == ("row_id", "begin_snapshot"):
+                    removed.update((tname, tuple(kv)) for kv in keyvals)
             from ducklake_spark.transaction import PENDING_SNAPSHOT
 
             for tid, tname, packed in (
@@ -4786,6 +4901,11 @@ class DuckLake:
                 # rows — their buffered row ids are pre-rebase offsets)
                 if ended:
                     rows = [r for r in rows if (tname, r[0]) not in ended]
+                if removed:
+                    # (row_id, begin_snapshot) — layout row_id,
+                    # begin_snapshot, end_snapshot, data…
+                    rows = [r for r in rows
+                            if (tname, (r[0], r[1])) not in removed]
                 rows = list(rows) + buffered.get(tname, [])
             if not rows:
                 continue
@@ -4968,6 +5088,15 @@ class DuckLake:
         # txn-local schema; at_version/at_timestamp reads stay pinned)
         if (self._txn is not None and at_version is None
                 and at_timestamp is None):
+            dropped_cols = {
+                c.lower() for c in getattr(
+                    self._txn, "pending_column_drops", {}).get(table_id, [])
+            }
+            if dropped_cols:
+                # DROP COLUMN earlier in this txn hides the column from
+                # the txn's own statements (drop-readd chains,
+                # insert_sorted_transaction.test:190-225)
+                cols = [c for c in cols if c[1].lower() not in dropped_cols]
             cols += [
                 (cid, cname, ctype, 1)
                 for cid, cname, ctype, _dflt
@@ -5056,12 +5185,22 @@ class DuckLake:
         colmap = {c[0]: c[1] for c in h.columns}
         return [(colmap[cid], transform) for cid, transform in rows]
 
+    def _sort_key(self, h: TableHandle):
+        """pending_sort_specs / sort_ops key: the table id for committed
+        tables, the qualified name for txn-local ones."""
+        return (h.table_id if h.table_id >= 0
+                else f"{h.schema_name}.{h.table_name}")
+
     def _sort_spec(self, h: TableHandle) -> list[tuple[str, str, str]]:
         # a SET/RESET SORTED BY buffered in the open transaction is
         # visible to the transaction's own inserts/flushes/compactions
         # (reference: insert_sorted_transaction.test)
-        if self._txn is not None and h.table_id in self._txn.pending_sort_specs:
-            return list(self._txn.pending_sort_specs[h.table_id])
+        if self._txn is not None:
+            k = self._sort_key(h)
+            if k in self._txn.pending_sort_specs:
+                return list(self._txn.pending_sort_specs[k])
+        if h.table_id < 0:
+            return []
         rows = self.meta.query(
             "SELECT se.expression, se.sort_direction, se.null_order "
             "FROM ducklake_sort_info si "

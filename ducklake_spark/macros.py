@@ -117,6 +117,22 @@ def create_macro(lake: DuckLake, name: str, parameters: list | None = None,
             elif seen_default:
                 raise DuckLakeError(
                     "macro default parameters must come last")
+    # duplicate-name guard (reference test_simple_macro.test:88-91):
+    # a live committed macro — unless dropped earlier in this open
+    # transaction — or one created earlier in this txn blocks
+    # re-creation
+    committed = lake.meta.query(
+        "SELECT macro_id FROM ducklake_macro WHERE schema_id=? "
+        "AND macro_name=? AND end_snapshot IS NULL", (sid, mname))
+    if lake._txn is not None:
+        dropped_mids = _txn_dropped_macro_ids(lake)
+        committed = [r for r in committed if r[0] not in dropped_mids]
+        if (schema_name, mname) in getattr(
+                lake._txn, "_pending_macros", {}):
+            committed = committed or [("txn-local",)]
+    if committed:
+        raise DuckLakeError(
+            f'Macro Function with name "{mname}" already exists')
     txn = lake._begin()
 
     def op(con, snap_id):
@@ -218,16 +234,30 @@ def _macro_live_clause(lake: DuckLake) -> str:
             f"(m.end_snapshot IS NULL OR m.end_snapshot > {int(sid)})")
 
 
+def _txn_dropped_macro_ids(lake: DuckLake) -> set[int]:
+    """Macro ids dropped earlier in the OPEN transaction — the committed
+    rows still show end_snapshot NULL but must stop resolving
+    (reference test_macro_transactions.test: DROP then call errors
+    'does not exist' before commit)."""
+    if lake._txn is None:
+        return set()
+    return {
+        int(e.rpartition(":")[2]) for e in lake._txn.change_log
+        if e.startswith(("dropped_scalar_macro:", "dropped_table_macro:"))
+    }
+
+
 def live_macro_names(lake: DuckLake) -> list[tuple[str, str, str]]:
     """[(schema, name, 'scalar'|'table')] of callable macros
     (pinned-snapshot aware), plus transaction-local pending ones."""
-    out = [tuple(r) for r in lake.meta.query(
-        "SELECT s.schema_name, m.macro_name, "
+    dropped = _txn_dropped_macro_ids(lake)
+    out = [tuple(r[1:]) for r in lake.meta.query(
+        "SELECT m.macro_id, s.schema_name, m.macro_name, "
         " (SELECT i.type FROM ducklake_macro_impl i "
         "  WHERE i.macro_id = m.macro_id LIMIT 1) "
         "FROM ducklake_macro m "
         "JOIN ducklake_schema s ON m.schema_id = s.schema_id "
-        f"WHERE {_macro_live_clause(lake)}")]
+        f"WHERE {_macro_live_clause(lake)}") if r[0] not in dropped]
     if lake._txn is not None:
         for (s, n), (_w, _p, is_table) in getattr(
                 lake._txn, "_pending_macros", {}).items():
@@ -261,12 +291,13 @@ def call_macro(lake: DuckLake, name: str, *args) -> DataFrame | str:
 
             expanded = _dq_to_backticks(expanded)
             return lake.sql(expanded) if is_table else expanded
-    rows = lake.meta.query(
+    dropped = _txn_dropped_macro_ids(lake)
+    rows = [r for r in lake.meta.query(
         "SELECT m.macro_id, i.type, i.sql FROM ducklake_macro m "
         "JOIN ducklake_macro_impl i ON m.macro_id = i.macro_id "
         f"WHERE m.macro_name=? AND {_macro_live_clause(lake)}",
         (mname,),
-    )
+    ) if r[0] not in dropped]
     if not rows:
         raise DuckLakeError(f"no macro {name!r}")
     mid, is_table = rows[0][0], rows[0][1] == "table"
@@ -462,6 +493,13 @@ def set_view_column_comment(lake: DuckLake, view_name: str, column: str,
     (comment_on_view_column_conflict.test)."""
     from ducklake_spark.lake import DuckLakeError
 
+    from ducklake_spark.catalog.migrate import detect_version
+
+    ver = detect_version(lake.meta)
+    if ver is not None and ver.startswith("1.0"):
+        # view-column tags arrived in 1.1 (comment_on_view_column_v10)
+        raise DuckLakeError(
+            "DuckLake 1.0 does not support COMMENT ON COLUMN for views")
     vid = _live_view_id(lake, view_name)
     if vid is None:
         raise DuckLakeError(f"no view {view_name!r}")

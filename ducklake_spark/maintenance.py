@@ -565,7 +565,8 @@ def expire_snapshots(lake: DuckLake, *, older_than: str | None = None,
                 - _parse_interval(iv)
             ).strftime("%Y-%m-%d %H:%M:%S.%f")
     if versions is not None:
-        victims = [v for v in versions if v != latest]
+        # NULL entries are ignored (expire_snapshots_empty_versions)
+        victims = [v for v in versions if v is not None and v != latest]
     elif older_than is not None:
         victims = [
             sid
@@ -606,6 +607,84 @@ def expire_snapshots(lake: DuckLake, *, older_than: str | None = None,
                         "VALUES (NULL, ?, 1, ?)",
                         (path, _now_ts()),
                     )
+        # files purged above leave no orphaned per-file metadata
+        con.execute(
+            "DELETE FROM ducklake_file_column_stats WHERE data_file_id "
+            "NOT IN (SELECT data_file_id FROM ducklake_data_file)")
+        con.execute(
+            "DELETE FROM ducklake_file_variant_stats WHERE data_file_id "
+            "NOT IN (SELECT data_file_id FROM ducklake_data_file)")
+        con.execute(
+            "DELETE FROM ducklake_file_partition_value WHERE data_file_id "
+            "NOT IN (SELECT data_file_id FROM ducklake_data_file)")
+        # catalog ENTITIES whose every version row misses every live
+        # snapshot are unreachable history: purge the rows and, once an
+        # entity is fully gone, its dependent metadata (reference
+        # expire_snapshots_drop_macro / _drop_table / _schema /
+        # _metadata_cleanup tests)
+        def _purge_versions(table: str) -> None:
+            # ANSI-portable (no sqlite rowid): the versioned row itself
+            # names its lifetime
+            con.execute(
+                f"DELETE FROM {table} WHERE end_snapshot IS NOT NULL "
+                "AND NOT EXISTS (SELECT 1 FROM ducklake_snapshot s "
+                f"WHERE s.snapshot_id >= {table}.begin_snapshot "
+                f"AND s.snapshot_id < {table}.end_snapshot)"
+            )
+
+        for t in ("ducklake_schema", "ducklake_table", "ducklake_view",
+                  "ducklake_column", "ducklake_macro", "ducklake_tag",
+                  "ducklake_column_tag", "ducklake_view_column_tag",
+                  "ducklake_partition_info", "ducklake_sort_info"):
+            _purge_versions(t)
+        # dependents of fully-vanished entities
+        con.execute(
+            "DELETE FROM ducklake_macro_impl WHERE macro_id NOT IN "
+            "(SELECT macro_id FROM ducklake_macro)")
+        con.execute(
+            "DELETE FROM ducklake_macro_parameters WHERE macro_id NOT IN "
+            "(SELECT macro_id FROM ducklake_macro)")
+        con.execute(
+            "DELETE FROM ducklake_partition_column WHERE partition_id "
+            "NOT IN (SELECT partition_id FROM ducklake_partition_info)")
+        con.execute(
+            "DELETE FROM ducklake_sort_expression WHERE sort_id NOT IN "
+            "(SELECT sort_id FROM ducklake_sort_info)")
+        for t in ("ducklake_column", "ducklake_table_stats",
+                  "ducklake_table_column_stats",
+                  "ducklake_schema_versions"):
+            con.execute(
+                f"DELETE FROM {t} WHERE table_id IS NOT NULL AND "
+                "table_id NOT IN (SELECT table_id FROM ducklake_table)")
+        # data/delete files of fully-vanished tables (a dropped table's
+        # files keep end_snapshot at the DROP snapshot of the TABLE row,
+        # or may still be NULL): once no table version survives, the
+        # files are unreachable (expire_snapshots_drop_table.test)
+        for table, pk in (("ducklake_data_file", "data_file_id"),
+                          ("ducklake_delete_file", "delete_file_id")):
+            rows = con.execute(
+                f"SELECT {pk}, path FROM {table} WHERE table_id NOT IN "
+                "(SELECT table_id FROM ducklake_table)"
+            ).fetchall()
+            for rid, path in rows:
+                con.execute(f"DELETE FROM {table} WHERE {pk}=?", (rid,))
+                con.execute(
+                    "INSERT INTO ducklake_files_scheduled_for_deletion "
+                    "VALUES (NULL, ?, 1, ?)",
+                    (path, _now_ts()),
+                )
+            con.execute(
+                f"DELETE FROM ducklake_file_column_stats WHERE "
+                "data_file_id NOT IN "
+                "(SELECT data_file_id FROM ducklake_data_file)")
+            con.execute(
+                f"DELETE FROM ducklake_file_variant_stats WHERE "
+                "data_file_id NOT IN "
+                "(SELECT data_file_id FROM ducklake_data_file)")
+            con.execute(
+                f"DELETE FROM ducklake_file_partition_value WHERE "
+                "data_file_id NOT IN "
+                "(SELECT data_file_id FROM ducklake_data_file)")
         # inlined history whose lifetime no longer intersects any live
         # snapshot, then epoch tables left unreachable — the reference
         # reclaims superseded inlined tables in maintenance

@@ -730,6 +730,116 @@ def translate_subscripts(sql: str) -> str:
     return sql
 
 
+def translate_from_first(sql: str) -> str:
+    """DuckDB's FROM-first syntax -> standard SELECT. ``FROM t`` alone
+    becomes ``SELECT * FROM t``; ``FROM t [WHERE c] SELECT list
+    [trailing]`` becomes ``SELECT list FROM t [WHERE c] [trailing]``
+    (reference friendly-SQL, used heavily by the sorted_table tests)."""
+    m = re.match(r"\s*FROM\b", sql, re.I)
+    if not m:
+        return sql
+    # find a top-level SELECT keyword after the FROM clause
+    depth, in_str = 0, False
+    sel = None
+    i = m.end()
+    while i < len(sql):
+        c = sql[i]
+        if in_str:
+            in_str = c != "'"
+        elif c == "'":
+            in_str = True
+        elif c == "(":
+            depth += 1
+        elif c == ")":
+            depth -= 1
+        elif depth == 0 and c in "Ss":
+            mm = re.match(r"SELECT\b", sql[i:], re.I)
+            prev = sql[i - 1]
+            if mm and not (prev.isalnum() or prev == "_"):
+                sel = i
+                break
+        i += 1
+    if sel is None:
+        return "SELECT * " + sql
+    head = sql[m.end():sel].rstrip()          # from-clause (+ WHERE …)
+    tail = sql[sel + 6:].lstrip()             # select list + trailing
+    # split the tail at the first top-level trailing clause
+    depth, in_str = 0, False
+    cut = len(tail)
+    j = 0
+    while j < len(tail):
+        c = tail[j]
+        if in_str:
+            in_str = c != "'"
+        elif c == "'":
+            in_str = True
+        elif c == "(":
+            depth += 1
+        elif c == ")":
+            depth -= 1
+        elif depth == 0:
+            mm = re.match(
+                r"(?:WHERE|GROUP|HAVING|ORDER|LIMIT|OFFSET|UNION"
+                r"|INTERSECT|EXCEPT|QUALIFY|WINDOW)\b", tail[j:], re.I)
+            prev = tail[j - 1] if j else " "
+            if mm and not (prev.isalnum() or prev == "_"):
+                cut = j
+                break
+        j += 1
+    sel_list, trailing = tail[:cut].rstrip().rstrip(";"), tail[cut:]
+    out = f"SELECT {sel_list} FROM {head}"
+    if trailing.strip():
+        out += " " + trailing
+    return out.rstrip().rstrip(";")
+
+
+_TYPEOF_CASES = [
+    ("tinyint", "TINYINT"), ("smallint", "SMALLINT"), ("int", "INTEGER"),
+    ("bigint", "BIGINT"), ("float", "FLOAT"), ("double", "DOUBLE"),
+    ("string", "VARCHAR"), ("boolean", "BOOLEAN"), ("binary", "BLOB"),
+    ("date", "DATE"), ("timestamp", "TIMESTAMP WITH TIME ZONE"),
+    ("timestamp_ntz", "TIMESTAMP"),
+]
+
+
+def _rewrite_typeof(sql: str) -> str:
+    """``typeof(expr)`` -> a CASE mapping Spark's lowercase type names
+    onto DuckDB's display names (reference renders
+    LogicalType::ToString: INTEGER, VARCHAR, ...)."""
+    out = []
+    i = 0
+    while True:
+        m = re.search(r"\btypeof\s*\(", sql[i:], re.I)
+        if not m:
+            out.append(sql[i:])
+            break
+        start = i + m.start()
+        j, depth = i + m.end(), 1
+        in_str = False
+        while j < len(sql) and depth:
+            c = sql[j]
+            if in_str:
+                in_str = c != "'"
+            elif c == "'":
+                in_str = True
+            elif c == "(":
+                depth += 1
+            elif c == ")":
+                depth -= 1
+            j += 1
+        if depth:
+            out.append(sql[i:])
+            break
+        arg = sql[i + m.end():j - 1]
+        whens = " ".join(
+            f"WHEN '{s}' THEN '{d}'" for s, d in _TYPEOF_CASES)
+        out.append(sql[i:start])
+        out.append(f"(CASE typeof({arg}) {whens} "
+                   f"ELSE upper(typeof({arg})) END)")
+        i = j
+    return "".join(out)
+
+
 def _parse_value(tok: str):
     """A literal argument in ATTACH options / CALL argument lists."""
     tok = tok.strip()
@@ -2265,7 +2375,11 @@ class SQLSession:
             try:
                 self.variables[m.group(1)] = _parse_value(body)
             except SQLFrontUnsupported:
-                rows = self.query(_strip_parens(body)).collect()
+                q = _strip_parens(body)
+                if not re.match(r"(?:SELECT|FROM|WITH)\b", q, re.I):
+                    # scalar expression: getvariable('x') + 1
+                    q = "SELECT " + q
+                rows = self.query(q).collect()
                 self.variables[m.group(1)] = (
                     rows[0][0] if rows and len(rows[0]) else None)
             return None
@@ -2393,7 +2507,7 @@ class SQLSession:
                 [("analyzed_plan", df._jdf.queryExecution().toString())],
                 "explain_key string, explain_value string")
         if re.match(r"FROM\s", sql, re.I):
-            sql = "SELECT * " + sql
+            sql = translate_from_first(sql)
         rewritten = self._rewrite_query(sql)
         return self._run_with_duck_order(rewritten)
 
@@ -2454,11 +2568,13 @@ class SQLSession:
     # query rewriting: resolve DuckLake names/functions to temp views ----------
 
     _TF_LAKE = {"snapshots", "table_info", "options", "settings",
-                "list_files"}
+                "list_files", "table_insertions", "table_deletions",
+                "table_changes"}
     _TF_GLOBAL = {
         "ducklake_snapshots": ("snapshots", 1),
         "ducklake_table_info": ("table_info", 1),
         "ducklake_options": ("options", 1),
+        "ducklake_settings": ("settings", 1),
         "ducklake_list_files": ("list_files", 2),
         "ducklake_table_insertions": ("table_insertions", 3),
         "ducklake_table_deletions": ("table_deletions", 3),
@@ -2472,10 +2588,23 @@ class SQLSession:
 
     def _tf_df(self, lake: DuckLake, fn: str, args: list,
                named: dict) -> DataFrame:
+        from pyspark.sql import functions as F
+
         from ducklake_spark import cdc, table_functions as tf
 
         if fn == "snapshots":
-            return tf.snapshots(lake)
+            # the SQL surface renders `changes` the way DuckDB prints a
+            # MAP(VARCHAR, VARCHAR[]) — {key=[v1, v2]} — so display and
+            # changes::VARCHAR LIKE '…=[2]…' predicates match the
+            # reference (ducklake_snapshots.test:51)
+            return tf.snapshots(lake).withColumn(
+                "changes",
+                F.expr(
+                    "concat('{', array_join(transform(map_entries("
+                    "changes), e -> concat(e.key, '=[', "
+                    "array_join(e.value, ', '), ']')), ', '), '}')"
+                ),
+            )
         if fn == "table_info":
             return tf.table_info(lake)
         if fn == "options":
@@ -2488,14 +2617,33 @@ class SQLSession:
                 kw["at_version"] = int(named["at_version"])
             return tf.list_files(lake, str(args[0]), **kw)
         if fn in ("table_insertions", "table_deletions", "table_changes"):
-            # reference signature: (catalog, schema, table, start, end)
-            schema, table = str(args[0]), str(args[1])
-            start, end = args[2], args[3]
+            # global signature: (catalog, schema, table, start, end);
+            # lake-scoped sugar: db.table_changes(table, start, end)
+            if len(args) == 3:
+                schema, table = "main", str(args[0])
+                start, end = args[1], args[2]
+            else:
+                schema, table = str(args[0]), str(args[1])
+                start, end = args[2], args[3]
             api = table if schema == "main" else f"{schema}.{table}"
             return getattr(cdc, fn)(lake, api, start, end)
         raise SQLFrontUnsupported(f"table function {fn!r}")
 
+    _VIRTUAL_COLS = ("rowid", "snapshot_id", "filename", "file_row_number")
+
     def _rewrite_query(self, sql: str) -> str:
+        # queries touching the virtual row metadata columns bind tables
+        # WITH them; * still expands to data columns only (the reference
+        # treats rowid/snapshot_id/… as virtual — sorted_table family)
+        wants_virtual = bool(re.search(
+            r"\browid\b|\bfile_row_number\b", sql, re.I))
+        star_expand: dict[str, list[str]] = {}
+
+        def _note_virtual(vname: str, df: DataFrame) -> None:
+            if wants_virtual and all(
+                    c in df.columns for c in ("rowid", "snapshot_id")):
+                star_expand[vname] = [
+                    c for c in df.columns if c not in self._VIRTUAL_COLS]
         # 0. duckdb struct/map/list literal syntax -> Spark calls
         if "{" in sql:
             sql = translate_duck_literals(sql)
@@ -2629,6 +2777,10 @@ class SQLSession:
                        % _IVL[m.group(2).lower()].format(e=m.group(1))),
             sql, flags=re.I)
         sql = re.sub(r"\bprintf\s*\(", "format_string(", sql, flags=re.I)
+        # typeof() must render DuckDB display names (INTEGER, VARCHAR),
+        # not Spark's lowercase ones (json.test, hive_partition_cast)
+        if re.search(r"\btypeof\s*\(", sql, re.I):
+            sql = _rewrite_typeof(sql)
 
         # 0c. bare range(...) in FROM position: DuckDB's output column is
         # named `range`; Spark's is `id` — wrap unless the test aliases
@@ -2761,10 +2913,15 @@ class SQLSession:
                     g = md.row_group(rg)
                     for ci in range(g.num_columns):
                         c = g.column(ci)
+                        comp = str(c.compression).upper()
+                        if comp == "UNKNOWN":
+                            # Spark 4's 'lz4' codec writes LZ4_RAW
+                            # (enum 7), which this pyarrow can't name
+                            comp = "LZ4_RAW"
                         rows.append((
                             os.path.basename(path), rg, g.num_rows,
                             c.path_in_schema, c.num_values,
-                            str(c.compression).upper(),
+                            comp,
                             ", ".join(str(e) for e in c.encodings),
                             c.total_compressed_size,
                             c.total_uncompressed_size,
@@ -2914,16 +3071,20 @@ class SQLSession:
                 raise SQLFrontUnsupported(f"AT argument {raw!r}")
             if kind == "VERSION":
                 try:
-                    df = lake.table(api, at_version=val)
+                    df = lake.table(api, at_version=val,
+                                    with_virtual=wants_virtual)
                 except DuckLakeError:
                     # views time-travel too (time_travel_views.test)
                     df = lake.view(api, at_version=val)
             else:
                 try:
-                    df = lake.table(api, at_timestamp=val)
+                    df = lake.table(api, at_timestamp=val,
+                                    with_virtual=wants_virtual)
                 except DuckLakeError:
                     df = lake.view(api, at_timestamp=val)
-            return f"{self._register(df)} AS {alias}"
+            vn = self._register(df)
+            _note_virtual(vn, df)
+            return f"{vn} AS {alias}"
 
         _at_head = re.compile(
             rf"((?:{_IDENT}\s*\.\s*)*{_IDENT})\s+AT\s*\(\s*"
@@ -2955,6 +3116,11 @@ class SQLSession:
         # 2b. duckdb_* introspection TVFs over the attached lakes
         def _duck_intro(m: re.Match) -> str:
             kind = m.group(1).lower()
+            # not when it's already an alias from the paren-form pass
+            # ("_dlsql_0 AS duckdb_tables") or inside a string literal
+            head = m.string[:m.start()]
+            if re.search(r"\bAS\s*$", head, re.I) or head.count("'") % 2:
+                return m.group(0)
             return f"{self._register(self._introspect_df(kind))} AS {kind}"
 
         sql = re.sub(
@@ -3005,7 +3171,18 @@ class SQLSession:
             lake = self._lake(db)
             if name in self._TF_GLOBAL:
                 fn, _min_args = self._TF_GLOBAL[name]
-                return self._register(self._tf_df(lake, fn, pos, named))
+                df = self._tf_df(lake, fn, pos, named)
+                vname = self._register(df)
+                if fn in ("table_insertions", "table_deletions"):
+                    # rowid/snapshot_id are VIRTUAL on these TVFs: the
+                    # reference's * expands to data columns only
+                    # (ducklake_table_deletions.test:64 SELECT rowid,
+                    # snapshot_id, * yields 3 columns, not 5)
+                    star_expand[vname] = [
+                        c for c in df.columns
+                        if c not in ("rowid", "snapshot_id")
+                    ]
+                return vname
             df = getattr(self, "_call_" + name[len("ducklake_"):])(
                 lake, pos, named)
             if df is None:
@@ -3029,8 +3206,12 @@ class SQLSession:
             if db not in self.lakes or fn not in self._TF_LAKE:
                 return m.group(0)
             pos, named = _parse_args(m.group(3))
-            return self._register(
-                self._tf_df(self.lakes[db], fn, pos, named))
+            df = self._tf_df(self.lakes[db], fn, pos, named)
+            vn = self._register(df)
+            if fn in ("table_insertions", "table_deletions"):
+                star_expand[vn] = [c for c in df.columns
+                                   if c not in ("rowid", "snapshot_id")]
+            return f"{vn} AS {fn}"
 
         sql = re.sub(
             rf"\b({_IDENT})\s*\.\s*({_IDENT})\s*\(([^()]*)\)",
@@ -3038,6 +3219,10 @@ class SQLSession:
 
         # 5. qualified table/view references db[.schema].table
         def _qref(m: re.Match) -> str:
+            # never rewrite inside a string literal ('%…s1.tbl…%' in a
+            # LIKE pattern is text, not a table reference)
+            if m.string[:m.start()].count("'") % 2 == 1:
+                return m.group(0)
             db = _unquote(m.group(1))
             if db in self.meta_catalogs:
                 return self._meta_ref(m)
@@ -3051,8 +3236,10 @@ class SQLSession:
                             db, _unquote(m.group(3))) in self._view_names(
                                 lake):
                         t = _unquote(m.group(3))
-                        df = self._bind(lake, db, t)
-                        return f"{self._register(df)} AS {t}"
+                        df = self._bind(lake, db, t, virtual=wants_virtual)
+                        vn = self._register(df)
+                        _note_virtual(vn, df)
+                        return f"{vn} AS {t}"
                 return m.group(0)
             lake = self.lakes[db]
             p2 = _unquote(m.group(2)) if m.group(2) else None
@@ -3068,8 +3255,12 @@ class SQLSession:
                 schema, table = "main", p3
             if tail:
                 return table + tail  # column ref: alias is the table name
-            df = self._bind(lake, schema, table)
-            return f"{self._register(df)} AS {table}"
+            df = self._bind(lake, schema, table, virtual=wants_virtual)
+            vn = self._register(df)
+            _note_virtual(vn, df)
+            if self._alias_follows(m):
+                return vn
+            return f"{vn} AS {table}"
 
         sql = re.sub(
             rf"\b({_IDENT})\s*\.\s*(?:({_IDENT})\s*\.\s*)?({_IDENT})\b"
@@ -3108,7 +3299,9 @@ class SQLSession:
                 if s != self.current_schema:
                     continue
                 if re.search(rf"\b{re.escape(tname)}\b", sql, re.I):
-                    self._bind(lake, s, tname).createOrReplaceTempView(tname)
+                    bdf = self._bind(lake, s, tname, virtual=wants_virtual)
+                    bdf.createOrReplaceTempView(tname)
+                    _note_virtual(tname, bdf)
                     bare.add(tname)
             for s, v in view_names:
                 if s != self.current_schema:
@@ -3121,13 +3314,38 @@ class SQLSession:
                         bare.add(v)
                     except Exception:
                         pass
+        for vname, cols in star_expand.items():
+            # expand a bare top-level * over a virtual-column relation
+            # to its data columns (count(*) etc. stay untouched — the
+            # pattern disallows parens between SELECT and *)
+            sql = re.sub(
+                r"(SELECT\b[^()]*?)\*(\s+FROM\s+" + re.escape(vname)
+                + r"\b)",
+                lambda m: m.group(1) + ", ".join(cols) + m.group(2),
+                sql, flags=re.I | re.S)
         return sql
 
-    def _bind(self, lake: DuckLake, schema: str, table: str) -> DataFrame:
+    def _bind(self, lake: DuckLake, schema: str, table: str,
+              virtual: bool = False) -> DataFrame:
         api = table if schema == "main" else f"{schema}.{table}"
         if (schema, table) in self._view_names(lake):
             return lake.view(api)
-        return lake.table(api)
+        return lake.table(api, with_virtual=virtual)
+
+    _POST_ALIAS_KW = frozenset({
+        "where", "group", "order", "limit", "offset", "join", "on",
+        "using", "union", "intersect", "except", "having", "qualify",
+        "inner", "left", "right", "full", "cross", "natural", "semi",
+        "anti", "at", "window", "select", "set", "values", "when",
+        "then", "else", "end", "and", "or", "not", "as", "asof",
+    })
+
+    def _alias_follows(self, m: re.Match) -> bool:
+        """True when the matched relation is followed by an explicit
+        alias token — appending our own ``AS name`` would double-alias
+        (``FROM meta.t se JOIN …``)."""
+        mm = re.match(r"\s+(?:AS\s+)?([A-Za-z_]\w*)", m.string[m.end():])
+        return bool(mm) and mm.group(1).lower() not in self._POST_ALIAS_KW
 
     def _meta_ref(self, m: re.Match) -> str:
         """metadata-catalog reference (__ducklake_metadata_<name>, or an
@@ -3136,7 +3354,8 @@ class SQLSession:
         ducklake_* rows directly."""
         db = _unquote(m.group(1))
         table = _unquote(m.group(3))
-        return f"{self._register(self._meta_df(db, table))} AS {table}"
+        vn = self._register(self._meta_df(db, table))
+        return vn if self._alias_follows(m) else f"{vn} AS {table}"
 
     def _meta_df(self, db: str, table: str) -> DataFrame:
         from pyspark.sql import types as T

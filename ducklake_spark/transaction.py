@@ -330,8 +330,18 @@ class Transaction:
         ours_compact = self._our_table_targets("compacted_table")
         ours_any_insert = ours_insert | ours_inl_insert
         ours_any_delete = ours_delete | ours_inl_delete
+        # create/create collisions match per NAMESPACE, mirroring the
+        # reference's per-kind ConflictCheck sets
+        # (ducklake_transaction_state.cpp:176-200): tables and views
+        # share one namespace; scalar and table macros are DISTINCT
+        # entry types and may carry the same name concurrently
+        # (test_macro_multiple_connections.test)
+        def _create_ns(kind: str) -> str:
+            return "created_view" if kind == "created_table" else kind
+
         our_creates = {
-            e.partition(":")[2] for e in self.change_log if e.startswith("created_")
+            (_create_ns(e.partition(":")[0]), e.partition(":")[2])
+            for e in self.change_log if e.startswith("created_")
         }
         # drop/drop conflicts (ducklake_transaction_state.cpp:146-166):
         # two transactions dropping the same table/view/macro must not both
@@ -361,7 +371,8 @@ class Transaction:
                     continue
                 kind, _, payload = entry.partition(":")
                 tid = int(payload) if payload.lstrip("-").isdigit() else None
-                if kind.startswith("created_") and payload in our_creates:
+                if (kind.startswith("created_")
+                        and (_create_ns(kind), payload) in our_creates):
                     raise ConflictError(
                         f"snapshot {snap_id} created {payload} concurrently"
                     )
@@ -964,13 +975,15 @@ class Transaction:
                 or self.created_views
                 or self.dropped_views
                 or self.renamed_views
-                # key -2 = comments/tags: an alter for conflict purposes
-                # but NOT a schema change (reference SET_COMMENT /
-                # SET_COLUMN_COMMENT keep ducklake_schema_versions,
-                # ducklake_transaction.cpp:881-887; pinned by
-                # comments/comment_schema_version.test). Macros (-1)
-                # still bump: catalog caches key on schema_version.
-                or any(tid != -2 for tid in self.column_changes)
+                # comments/tags (-2) and SET SORTED BY bump the GLOBAL
+                # snapshot schema_version (the altered table entry makes
+                # SchemaChangesMade() true) but write no per-table
+                # ducklake_schema_versions row — that split is what
+                # schema_version_mixed_operations.test and
+                # comment_mixed_operations.test pin (1 → 3 on the next
+                # real alter)
+                or self.column_changes
+                or self.sort_ops
                 or self.schema_bump_tables
             )
             if bump_schema:
@@ -1045,10 +1058,10 @@ class Transaction:
                         ),
                     )
                     order += 1
-                con.execute(
-                    "INSERT INTO ducklake_table_stats VALUES (?, 0, 0, 0)",
-                    (td.table_id,),
-                )
+                # no stats row at CREATE — the reference materializes
+                # ducklake_table_stats lazily on the first data commit
+                # (stats/table_stats_without_column_stats.test seeds the
+                # row externally between CREATE and INSERT)
                 con.execute(
                     "INSERT INTO ducklake_schema_versions VALUES (?, ?, ?)",
                     (snap_id, schema_version, td.table_id),
@@ -1321,11 +1334,7 @@ class Transaction:
                 for cs in folded.values():
                     self._merge_global_column_stats(con, tid, cs,
                                                     allow_seed=allow_seed)
-                con.execute(
-                    "UPDATE ducklake_table_stats SET record_count=?, next_row_id=?, "
-                    "file_size_bytes=? WHERE table_id=?",
-                    (rec_cnt, next_row_id, fsize, tid),
-                )
+                _upsert_table_stats(con, tid, rec_cnt, next_row_id, fsize)
 
             # inlined-only data commits consume one file id per table:
             # the reference "force[s] an increment of file_id to signal
@@ -1475,13 +1484,19 @@ class Transaction:
 
             # --- record-count / byte deltas from deletes and rewrites
             for tid, delta in self.stats_delta.items():
-                con.execute(
+                cur = con.execute(
                     "UPDATE ducklake_table_stats SET "
                     "record_count = record_count + ?, "
                     "file_size_bytes = file_size_bytes + ? "
                     "WHERE table_id = ?",
                     (delta.get("records", 0), delta.get("bytes", 0), tid),
                 )
+                if cur.rowcount == 0:
+                    con.execute(
+                        "INSERT INTO ducklake_table_stats VALUES (?, ?, 0, ?)",
+                        (tid, delta.get("records", 0),
+                         delta.get("bytes", 0)),
+                    )
 
             # --- inlined data: end-marks BEFORE inserts (an UPDATE of the
             # same row_id must not catch the replacement row an update-DML
@@ -1537,11 +1552,16 @@ class Transaction:
                 con.executemany(
                     f"INSERT INTO {table_name} VALUES ({placeholders})", rows
                 )
-                con.execute(
+                cur = con.execute(
                     "UPDATE ducklake_table_stats SET next_row_id = next_row_id + ?, "
                     "record_count = record_count + ? WHERE table_id = ?",
                     (len(rows), len(rows), tid),
                 )
+                if cur.rowcount == 0:
+                    con.execute(
+                        "INSERT INTO ducklake_table_stats VALUES (?, ?, ?, 0)",
+                        (tid, len(rows), len(rows)),
+                    )
 
             # --- snapshot row (staged commits reserve the id with a NULL
             # time; finalize_staged stamps it later)
@@ -1557,7 +1577,7 @@ class Transaction:
             resolved_log = []
             for entry in self.change_log:
                 kind, _, payload = entry.partition(":")
-                if (kind == "inserted_into_table"
+                if (kind in ("inserted_into_table", "altered_table")
                         and payload and not payload.lstrip("-").isdigit()):
                     try:
                         entry = f"{kind}:{self._resolve_table_id(payload)}"
@@ -1801,6 +1821,22 @@ class Transaction:
                 tid,
                 cs.column_id,
             ),
+        )
+
+
+def _upsert_table_stats(con, tid: int, rec_cnt: int, next_row_id: int,
+                        fsize: int) -> None:
+    """Absolute-set of a table's stats row, creating it on first data
+    commit (the row does not exist at CREATE TABLE time)."""
+    cur = con.execute(
+        "UPDATE ducklake_table_stats SET record_count=?, next_row_id=?, "
+        "file_size_bytes=? WHERE table_id=?",
+        (rec_cnt, next_row_id, fsize, tid),
+    )
+    if cur.rowcount == 0:
+        con.execute(
+            "INSERT INTO ducklake_table_stats VALUES (?, ?, ?, ?)",
+            (tid, rec_cnt, next_row_id, fsize),
         )
 
 

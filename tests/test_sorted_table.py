@@ -97,13 +97,25 @@ def test_sort_on_insert_false_preserves_order(lake, spark):
 
 # -- merge_adjacent_sorted_basic.test -----------------------------------
 
-def test_set_sorted_by_does_not_bump_schema_version(lake, spark):
+def test_set_sorted_by_schema_version_split(lake, spark):
+    """SET SORTED BY bumps the GLOBAL snapshot schema_version (the
+    altered entry makes SchemaChangesMade() true) but writes no
+    per-table ducklake_schema_versions row — the split
+    schema_version_mixed_operations.test pins (table stays at 1 while
+    the next real alter jumps to 3)."""
     lake.create_table("t", [("a", "int32"), ("b", "varchar")])
     sv0 = lake.meta.latest_snapshot().schema_version
+    tid = lake._handle("t").table_id
+    tv0 = lake.meta.query(
+        "SELECT MAX(schema_version) FROM ducklake_schema_versions "
+        "WHERE table_id=?", (tid,))[0][0]
     lake.set_sorted_by("t", [("a", "asc")])
     lake.set_sorted_by("t", [("a", "desc"), ("b", "desc")])
-    assert lake.meta.latest_snapshot().schema_version == sv0
-    # but each SET SORTED BY is a real snapshot flagged as an alter
+    assert lake.meta.latest_snapshot().schema_version == sv0 + 2
+    assert lake.meta.query(
+        "SELECT MAX(schema_version) FROM ducklake_schema_versions "
+        "WHERE table_id=?", (tid,))[0][0] == tv0
+    # and each SET SORTED BY is a real snapshot flagged as an alter
     snaps = lake.meta.query(
         "SELECT changes_made FROM ducklake_snapshot_changes "
         "ORDER BY snapshot_id DESC LIMIT 2")
