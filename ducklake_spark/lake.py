@@ -437,6 +437,10 @@ class DuckLake:
         # harvesting decrypts footers via pyarrow with the catalog key
         self.encrypted = (self.meta.option("encrypted") or "false") == "true"
         self._pinned: Snapshot | None = None
+        if snapshot_version is not None and snapshot_time is not None:
+            # reference attach_at_snapshot.test:53
+            raise DuckLakeError(
+                "Cannot specify both VERSION and TIMESTAMP")
         if snapshot_version is not None:
             self._pinned = self.meta.snapshot_at_version(snapshot_version)
         elif snapshot_time is not None:
@@ -751,10 +755,18 @@ class DuckLake:
                                 if td.schema_name == name]
                 local_views = [vn for sn, vn, _d, _s, _a in txn.created_views
                                if sn == name]
-                if (local_tables or local_views) and not cascade:
+                local_macros = [mn for sn, mn in getattr(
+                    txn, "_pending_macros", {}) if sn == name]
+                if (local_tables or local_views or local_macros) \
+                        and not cascade:
                     raise DuckLakeError(
-                        f"schema {name!r} is not empty (use cascade=True)"
+                        f"schema {name!r} is not empty — there are "
+                        "entries that depend on it (use cascade=True)"
                     )
+                from ducklake_spark.macros import drop_macro as _drop_macro
+
+                for mn in local_macros:
+                    _drop_macro(self, f"{name}.{mn}")
                 for tname in local_tables:
                     self.drop_table(f"{name}.{tname}")
                 dropped_v = {(name, vn) for vn in local_views}
@@ -1912,6 +1924,10 @@ class DuckLake:
             # (expire_snapshot_table_scoped_option.test)
             raise DuckLakeError(
                 f"option '{option}' can only be set globally")
+        if option in ("parquet_row_group_size_bytes", "target_file_size"):
+            # normalize human sizes ('10KB') to bytes: options() shows
+            # the canonical value (parquet_row_group_size_bytes.test)
+            value = str(_parse_byte_size(value))
         if option == "data_inlining_row_limit" and int(value or 0) > 0:
             self._check_inlining_enableable(table_name,
                                             schema_name=schema_name)
@@ -2624,10 +2640,16 @@ class DuckLake:
             w = w.option("compression", compression)
         rg_size = opt("parquet_row_group_size")
         if rg_size:
-            w = w.option("parquet.block.size.row.check.min", rg_size)
+            # duckdb's row_group_size is a ROW count; parquet-mr splits
+            # by BYTES, checking at page-row intervals — pin the check
+            # interval to the row count and shrink the byte target so
+            # every check flushes: groups of exactly rg_size rows
+            w = (w.option("parquet.page.size.row.check.min", rg_size)
+                 .option("parquet.page.size.row.check.max", rg_size)
+                 .option("parquet.block.size", 1))
         rg_bytes = opt("parquet_row_group_size_bytes")
         if rg_bytes:
-            w = w.option("parquet.block.size", rg_bytes)
+            w = w.option("parquet.block.size", _parse_byte_size(rg_bytes))
         pv_opt = opt("parquet_version")
         if pv_opt:  # reference normalizes to 'V1'/'V2' (ducklake_set_option.cpp:108)
             w = w.option(
@@ -5212,6 +5234,19 @@ class DuckLake:
         )
         return [(e, (d or "asc").lower(), (n or "nulls_last").lower())
                 for e, d, n in rows]
+
+
+def _parse_byte_size(v) -> int:
+    """'10KB' / '1.5MB' / plain ints -> bytes (duckdb human sizes)."""
+    s = str(v).strip().upper()
+    m = re.fullmatch(
+        r"(\d+(?:\.\d+)?)\s*(B|KB|KIB|MB|MIB|GB|GIB|TB|TIB)?", s)
+    if not m:
+        raise DuckLakeError(f"cannot parse byte size {v!r}")
+    mult = {"B": 1, "KB": 1000, "KIB": 1024, "MB": 1000**2,
+            "MIB": 1024**2, "GB": 1000**3, "GIB": 1024**3,
+            "TB": 1000**4, "TIB": 1024**4}[m.group(2) or "B"]
+    return int(float(m.group(1)) * mult)
 
 
 def _expr_references(expr: str, col_name: str) -> bool:

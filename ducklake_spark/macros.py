@@ -95,10 +95,17 @@ def create_macro(lake: DuckLake, name: str, parameters: list | None = None,
     stores several implementations resolved by arity
     (test_multiple_implementations.test)."""
     schema_name, mname = lake._split_name(name)
-    sid = lake.meta.query(
+    rows = lake.meta.query(
         "SELECT schema_id FROM ducklake_schema WHERE schema_name=? AND end_snapshot IS NULL",
         (schema_name,),
-    )[0][0]
+    )
+    sid = rows[0][0] if rows else None
+    if sid is None:
+        # schema created in THIS open transaction: resolve its id at
+        # commit time (drop_schema_transaction_local_entries.test)
+        if lake._txn is None or not any(
+                n == schema_name for n, _u in lake._txn.created_schemas):
+            raise DuckLakeError(f"no schema {schema_name!r}")
     impls = (list(overloads) if overloads is not None
              else [(parameters or [], body)])
     parsed = [([_parse_param(p) for p in ps],
@@ -121,14 +128,20 @@ def create_macro(lake: DuckLake, name: str, parameters: list | None = None,
     # a live committed macro — unless dropped earlier in this open
     # transaction — or one created earlier in this txn blocks
     # re-creation
-    committed = lake.meta.query(
-        "SELECT macro_id FROM ducklake_macro WHERE schema_id=? "
-        "AND macro_name=? AND end_snapshot IS NULL", (sid, mname))
+    # scalar and table macros are distinct entry types: the same name
+    # may exist once per type (test_scalar_table_macros.test)
+    mtype0 = "table" if is_table_macro else "scalar"
+    committed = [] if sid is None else lake.meta.query(
+        "SELECT m.macro_id FROM ducklake_macro m WHERE m.schema_id=? "
+        "AND m.macro_name=? AND m.end_snapshot IS NULL AND EXISTS ("
+        "SELECT 1 FROM ducklake_macro_impl i WHERE i.macro_id=m.macro_id "
+        "AND i.type=?)", (sid, mname, mtype0))
     if lake._txn is not None:
         dropped_mids = _txn_dropped_macro_ids(lake)
         committed = [r for r in committed if r[0] not in dropped_mids]
-        if (schema_name, mname) in getattr(
-                lake._txn, "_pending_macros", {}):
+        pend = getattr(lake._txn, "_pending_macros", {}).get(
+            (schema_name, mname))
+        if pend is not None and pend[2] == is_table_macro:
             committed = committed or [("txn-local",)]
     if committed:
         raise DuckLakeError(
@@ -140,9 +153,18 @@ def create_macro(lake: DuckLake, name: str, parameters: list | None = None,
         # tables/views (reference: GetLocalCatalogId remap — the test
         # expectation scalar_macros_dropped=[1] counts main=0, macro=1)
         mid = txn.alloc_catalog_id()
+        sid2 = sid
+        if sid2 is None:
+            # txn-local schema: its row was inserted earlier in this
+            # same commit
+            sid2 = con.execute(
+                "SELECT schema_id FROM ducklake_schema WHERE "
+                "schema_name=? AND end_snapshot IS NULL",
+                (schema_name,),
+            ).fetchone()[0]
         con.execute(
             "INSERT INTO ducklake_macro VALUES (?, ?, ?, ?, NULL)",
-            (sid, mid, mname, snap_id),
+            (sid2, mid, mname, snap_id),
         )
         mtype = "table" if is_table_macro else "scalar"
         for ii, (ps, b) in enumerate(parsed):

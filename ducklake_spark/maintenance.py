@@ -848,13 +848,27 @@ def delete_orphaned_files(lake: DuckLake, *, older_than: str | None = None,
 
 
 def flush_inlined_data(lake: DuckLake, *, table: str | None = None,
+                       schema: str | None = None,
                        report: bool = False) -> int | list[tuple[str, int]]:
     """Move inlined rows to parquet, preserving row ids
     (ducklake_flush_inlined_data.cpp; honors sort spec :355-356).
     One snapshot per call (like merge_adjacent_files). ``report=True``
     returns the reference table function's (table_name, rows_flushed)
-    rows instead of the total."""
-    tables = [table] if table else lake._table_names()
+    rows instead of the total; ``schema`` narrows to one schema
+    (data_inlining_flush_schema.test)."""
+    if table:
+        tables = [table]
+        lake._handle(table)  # "does not exist" before any work
+    else:
+        tables = lake._table_names()
+        if schema is not None:
+            if not lake.meta.query(
+                "SELECT 1 FROM ducklake_schema WHERE schema_name=? "
+                "AND end_snapshot IS NULL", (schema,)
+            ):
+                raise DuckLakeError(f"schema {schema!r} not found")
+            tables = [t for t in tables
+                      if t.split(".", 1)[0] == schema]
     per_table: list[tuple[str, int]] = []
     flushed_tids: set[int] = set()
     with lake.transaction():
@@ -1234,6 +1248,39 @@ def _flush_inlined_deletes(lake: DuckLake, h) -> int:
             ]
         )
         ordered = sorted(positions)
+        use_dv = (
+            lake.meta.option("write_deletion_vectors", "false",
+                             scope="table", scope_id=h.table_id,
+                             schema_id=h.schema_id) or "false"
+        ).lower() == "true"
+        if use_dv:
+            # flush emits an iceberg-v3 deletion vector when the lake
+            # writes DVs (deletion_vector_inlined_flush.test):
+            # cumulative snapshot-tagged blobs, like the delete path
+            from ducklake_spark.functions.roaring import puffin_write
+
+            final = os.path.join(
+                delete_dir, f"ducklake-{uuid.uuid4()}-delete.puffin")
+            snaps = [positions[p] for p in ordered]
+            blobs = [
+                (s, sorted(p for p in ordered if positions[p] <= s))
+                for s in sorted(set(snaps))
+            ]
+            r = puffin_write(lake.lfs.strip_scheme(final), blobs, rel)
+            txn.new_delete_files.setdefault(h.table_id, []).append(
+                DeleteFileInfo(
+                    data_file_id=fid,
+                    path=os.path.relpath(final, lake.data_path),
+                    delete_count=len(ordered),
+                    file_size_bytes=r["file_size_bytes"],
+                    footer_size=r["footer_size"],
+                    format="puffin",
+                    partial_max=max(snaps),
+                    begin_snapshot_override=min(snaps),
+                )
+            )
+            txn.touched_delete_data_files.add(fid)
+            continue
         out = pa.table(
             {"file_path": [rel] * len(ordered), "pos": ordered,
              SNAPID_COL: [positions[p] for p in ordered]}, schema=schema

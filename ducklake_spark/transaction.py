@@ -486,10 +486,17 @@ class Transaction:
                     # Covers catalog-absorbed (inlined) positional deletes
                     # too: their positions land in the per-table side table
                     # probed below.
+                    # a CONSOLIDATED delete file keeps the earliest
+                    # snapshot as begin and spans to partial_max — match
+                    # on the span, not begin equality, or a delete
+                    # merged into a pre-existing file slips past
+                    # (test_rewrite_transaction_conflict.test)
                     rows = self.meta.query(
                         "SELECT data_file_id FROM ducklake_delete_file "
-                        "WHERE begin_snapshot = ? AND table_id = ?",
-                        (snap_id, tid),
+                        "WHERE table_id = ? AND (begin_snapshot = ? OR "
+                        "(partial_max IS NOT NULL AND begin_snapshot <= ? "
+                        "AND partial_max >= ?))",
+                        (tid, snap_id, snap_id, snap_id),
                     ) + self.meta.query(
                         "SELECT data_file_id FROM ducklake_data_file "
                         "WHERE end_snapshot = ? AND table_id = ?",
@@ -934,6 +941,13 @@ class Transaction:
 
     def _try_commit(self, *, staged: bool = False) -> int:
         con = self.meta.con
+        # 1.0-format catalogs predate the row_group_count column: keep
+        # it NULL so other readers see a faithful v1.0 layout
+        # (migration/v10_row_group_count.test)
+        from ducklake_spark.catalog.migrate import detect_version
+
+        ver = detect_version(self.meta)
+        records_rg = not (ver or "").startswith("1.0")
         self.meta.begin_write()
         try:
             if self._insert_only() and not staged:
@@ -1289,7 +1303,7 @@ class Transaction:
                             f.encryption_key,
                             f.mapping_id,
                             f.partial_max,
-                            f.row_group_count,
+                            f.row_group_count if records_rg else None,
                         )
                     )
                     pv_rows.extend(
@@ -1416,7 +1430,7 @@ class Transaction:
                             df.footer_size,
                             df.encryption_key,
                             df.partial_max,
-                            df.row_group_count,
+                            df.row_group_count if records_rg else None,
                         ),
                     )
                     next_file += 1

@@ -215,8 +215,12 @@ def _inner(v) -> str:
 def _cells_match(actual: str, expected: str, typ: str) -> bool:
     expected = expected.strip()
     if expected.startswith("<REGEX>:"):
+        # DOTALL: the corpus matches multiline EXPLAIN output with .*
         return re.fullmatch(expected[len("<REGEX>:"):].strip(),
-                            actual) is not None
+                            actual, re.S) is not None
+    if expected.startswith("<!REGEX>:"):
+        return re.fullmatch(expected[len("<!REGEX>:"):].strip(),
+                            actual, re.S) is None
     if actual == expected:
         return True
     # the corpus mixes 'true' and 'True' boolean renderings
@@ -499,8 +503,18 @@ class FileRunner:
                         f"[line {r.lineno}]")
                 raise Fail(f"statement ok failed [line {r.lineno}]: "
                            f"{self._short(err)}\nSQL: {sql}")
-            if re.match(r"\s*ATTACH\b", sql, re.I) and not r.conn:
+            if re.match(r"\s*ATTACH\b", sql, re.I):
+                # DuckDB connections share one database instance: an
+                # ATTACH issued on ANY named connection is visible to
+                # the others (concurrent_catalog_id_false_conflict.test
+                # attaches on con1 and reads on con2)
                 self.attach_replay.append(sql)
+                for cname, sess in self.sessions.items():
+                    if cname != (r.conn or ""):
+                        try:
+                            sess.execute(sql)
+                        except Exception:
+                            pass
         elif r.arg == "error":
             if err is None:
                 raise Fail(f"statement error SUCCEEDED [line {r.lineno}]"
