@@ -159,7 +159,7 @@ def _missing_struct_fields(ctype: str, at, prefix: str) -> list[str]:
 def add_data_files(lake: DuckLake, table: str, pattern, *,
                    allow_missing: bool = False,
                    ignore_extra_columns: bool = False,
-                   hive_partitioning: bool = False) -> int:
+                   hive_partitioning: bool | None = None) -> int:
     """Register parquet files matching ``pattern`` (one glob or a list
     of globs/paths); returns #files added. Duplicate and equivalent
     paths within one call collapse to one registration (reference
@@ -217,6 +217,27 @@ def add_data_files(lake: DuckLake, table: str, pattern, *,
     added = 0
     infos: list[DataFileInfo] = []
     name_map_rows: list[tuple[int, str]] = []
+    # files the lake already manages are skipped when a GLOB swept them
+    # up ('**/*.parquet' over the lake root catches internal files,
+    # add_files_hive.test) — an explicitly named path still validates
+    # (add_file_partitioned.test re-adds one and expects the error)
+    if any(re.search(r"[*?\[]", str(pat)) for pat in patterns):
+        data_fs = lake.lfs.strip_scheme(lake.data_path).rstrip("/") + "/"
+        registered = {
+            p for (p,) in lake.meta.query(
+                "SELECT path FROM ducklake_data_file")
+        } | {
+            p for (p,) in lake.meta.query(
+                "SELECT path FROM ducklake_delete_file")
+        }
+        if lake._txn is not None:
+            for fl in lake._txn.new_data_files.values():
+                registered |= {f.path for f in fl}
+        paths = [
+            p for p in paths
+            if (p[len(data_fs):] if p.startswith(data_fs) else p)
+            not in registered
+        ]
     for path in paths:
         pf = pq.ParquetFile(lake.lfs.open_input(path))
         file_cols = {c.split(".")[0] for c in pf.schema_arrow.names}
@@ -230,8 +251,13 @@ def add_data_files(lake: DuckLake, table: str, pattern, *,
                 raise DuckLakeError(
                     f'Failed to map column "{cname}" from file "{path}" '
                     f'to the column in table "{h.table_name}"\n* {err}')
-        hive_vals: dict[str, str] = {}
-        if hive_partitioning:
+        hive_segs: list[tuple[str, str]] = []
+        # default AUTOMATIC (reference HivePartitioningType::AUTOMATIC):
+        # hive key=value path segments bind when present unless the
+        # caller explicitly disabled hive partitioning; ORDER matters —
+        # transformed partition keys (year(dt), bucket(4, c)) map to the
+        # spec positionally, their dir names are arbitrary
+        if hive_partitioning is not False:
             from urllib.parse import unquote
 
             for seg in os.path.dirname(path).split(os.sep):
@@ -240,7 +266,8 @@ def add_data_files(lake: DuckLake, table: str, pattern, *,
                     # store RAW values: hive escapes specials in dir names
                     # ('%20' etc.), the insert path records row values —
                     # the catalog must hold one encoding for pruning
-                    hive_vals[m.group(1)] = unquote(m.group(2))
+                    hive_segs.append((m.group(1), unquote(m.group(2))))
+        hive_vals = dict(hive_segs)
         missing = [
             c for c in table_cols
             if c not in file_cols and c not in hive_vals
@@ -282,17 +309,67 @@ def add_data_files(lake: DuckLake, table: str, pattern, *,
                 raise DuckLakeError(
                     f"Unable to cast {v!r} (from hive partition column "
                     f"{cname!r}) to: {col[2]!r}")
+        # the TRAILING len(spec) hive segments map to the partition keys
+        # POSITIONALLY (reference ducklake_add_data_files.cpp:117-140):
+        # identity keys must match the column name, transformed keys
+        # (year(dt), bucket(N, c)) accept any dir name but bucket values
+        # must fit the modulus
         part_values = []
-        for cname, v in hive_vals.items():
-            if cname in part_index:
-                part_values.append((part_index[cname], v))
-            elif cname in table_cols:
+        consumed = 0
+        if part_spec:
+            if len(hive_segs) < len(part_spec):
+                raise DuckLakeError(
+                    f'file "{path}" contains an invalid partition '
+                    "value for the table configuration")
+            tail = hive_segs[-len(part_spec):]
+            consumed = len(part_spec)
+            for i, ((k, v), (pk_name, pk_transform)) in enumerate(
+                    zip(tail, part_spec)):
+                tf = (pk_transform or "identity").lower()
+                if tf in ("", "identity"):
+                    if k != pk_name:
+                        raise DuckLakeError(
+                            f'file "{path}" contains an invalid '
+                            "partition value for the table configuration")
+                else:
+                    mb = re.fullmatch(r"bucket\s*\(\s*(\d+)\s*\)", tf)
+                    if mb and not (
+                            v.lstrip("-").isdigit()
+                            and 0 <= int(v) < int(mb.group(1))):
+                        raise DuckLakeError(
+                            f'file "{path}" contains an invalid '
+                            "partition value for the table configuration")
+                # hive's NULL sentinel records as SQL NULL (reference
+                # merge_adjacent_null_partition.test part 2)
+                part_values.append(
+                    (i, None if v == "__HIVE_DEFAULT_PARTITION__" else v))
+        for k, v in hive_segs[:len(hive_segs) - consumed]:
+            if k in table_cols:
                 # hive column outside the partition spec: keyed by
                 # -(column_id)-1 so the scan can still backfill it
                 # (reference adopts hive files into unpartitioned
                 # tables too, add_files_hive_mismatch.test)
-                part_values.append((-colmap[cname] - 1, v))
+                part_values.append(
+                    (-colmap[k] - 1,
+                     None if v == "__HIVE_DEFAULT_PARTITION__" else v))
         stats = _harvest_stats(pf, colmap)
+        # hive-derived columns are constant across the file: synthesize
+        # the stats row min=max=value so zone-map pruning covers adopted
+        # hive files (reference add_file_partitioned.test: the added
+        # file gains a partition-column stats row)
+        have_stats = {cs.column_id for cs in stats}
+        from ducklake_spark.transaction import ColumnStatsRow
+
+        for cname, v in hive_vals.items():
+            cid = colmap.get(cname)
+            if cid is None or cid in have_stats:
+                continue
+            sval = None if v == "__HIVE_DEFAULT_PARTITION__" else v
+            stats.append(ColumnStatsRow(
+                column_id=cid, column_size_bytes=0,
+                value_count=pf.metadata.num_rows,
+                null_count=pf.metadata.num_rows if sval is None else 0,
+                min_value=sval, max_value=sval))
         data_fs = lake.lfs.strip_scheme(lake.data_path).rstrip("/") + "/"
         info = DataFileInfo(
             path=path[len(data_fs):] if path.startswith(data_fs) else path,
@@ -308,9 +385,15 @@ def add_data_files(lake: DuckLake, table: str, pattern, *,
             column_stats=stats,
             mapping_id=-1,  # allocated inside the commit transaction
         )
-        txn.new_data_files.setdefault(table_key, []).append(info)
         infos.append(info)
         added += 1
+    # buffer only after EVERY file validated: a mid-loop error must not
+    # leave earlier files adopted (the next autocommit would publish a
+    # partial ADD)
+    if not infos:
+        lake._autocommit()
+        return 0
+    txn.new_data_files.setdefault(table_key, []).extend(infos)
 
     def map_op(con, snap_id, colmap=colmap, infos=infos,
                cols=sorted(set(name_map_rows))):

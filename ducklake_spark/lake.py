@@ -1397,8 +1397,15 @@ class DuckLake:
                 self._autocommit()
                 return
         pending.add(h.table_id)
+        # the new spec is visible to this transaction's own inserts
+        # (basic_partitioning.test:100-124: SET PARTITIONED BY + INSERT
+        # in one BEGIN writes partitioned files)
+        pspecs = getattr(txn, "pending_partition_specs", None)
+        if pspecs is None:
+            pspecs = txn.pending_partition_specs = {}
+        pspecs[h.table_id] = list(keys)
 
-        def op(con, snap_id, h=h, keys=keys):
+        def op(con, snap_id, h=h, keys=keys, txn=txn):
             con.execute(
                 "UPDATE ducklake_partition_info SET end_snapshot=? "
                 "WHERE table_id=? AND end_snapshot IS NULL",
@@ -1418,6 +1425,11 @@ class DuckLake:
                     "INSERT INTO ducklake_partition_column VALUES (?, ?, ?, ?, ?)",
                     (pid, h.table_id, i, colmap[cname], transform),
                 )
+            # files buffered under the pending spec get the real id
+            # (their insert rows are written after the column ops)
+            for f in txn.new_data_files.get(str(h.table_id), []):
+                if f.partition_values and f.partition_id is None:
+                    f.partition_id = pid
 
         txn.column_changes.setdefault(h.table_id, []).append(op)
         txn.change_log.append(f"altered_table:{h.table_id}")
@@ -2694,8 +2706,13 @@ class DuckLake:
                 idx = int(k.split("_")[-1])
                 # Spark Hadoop-escapes specials in partition dir names
                 # ('%'->'%25', ':'->'%3A', ...): store the RAW value, the
-                # catalog holds one encoding (pruning compares raw)
-                part_values.append((idx, urllib.parse.unquote(v)))
+                # catalog holds one encoding (pruning compares raw);
+                # hive's NULL sentinel is stored as SQL NULL (reference
+                # merge_adjacent_null_partition.test)
+                v2 = urllib.parse.unquote(v)
+                part_values.append(
+                    (idx,
+                     None if v2 == "__HIVE_DEFAULT_PARTITION__" else v2))
             # h.path may carry a trailing '/' — normalize so the
             # registered relative path never contains '//'
             dest_dir = self.lfs.strip_scheme(table_dir).rstrip("/")
@@ -2712,9 +2729,9 @@ class DuckLake:
                                else tf.split("(")[0])
                     else:
                         key = f"p{idx}"
-                    dest_dir = "/".join(
-                        (dest_dir, f"{key}={urllib.parse.quote(v, safe='')}")
-                    )
+                    vtxt = ("__HIVE_DEFAULT_PARTITION__" if v is None
+                            else urllib.parse.quote(v, safe=""))
+                    dest_dir = "/".join((dest_dir, f"{key}={vtxt}"))
                 self.lfs.makedirs(dest_dir)
             final = f"{dest_dir}/ducklake-{uuid.uuid4().hex}.parquet"
             # a move within the table prefix: rename on local/HDFS,
@@ -3366,9 +3383,10 @@ class DuckLake:
             )
             contradictors = []
             for (pv,) in vals:
-                if pv is None:
-                    continue
-                is_null_part = pv == "__HIVE_DEFAULT_PARTITION__"
+                # SQL NULL and the hive sentinel both mean "NULL
+                # partition" (merge_adjacent_null_partition.test layout)
+                is_null_part = (pv is None
+                                or pv == "__HIVE_DEFAULT_PARTITION__")
                 if op == "isnull":
                     match = is_null_part
                 elif op == "notnull":
@@ -5196,6 +5214,10 @@ class DuckLake:
                             and td.table_name == h.table_name):
                         return list(td.partition_spec)
             return []
+        if self._txn is not None:
+            pend = getattr(self._txn, "pending_partition_specs", {})
+            if h.table_id in pend:
+                return list(pend[h.table_id])
         rows = self.meta.query(
             "SELECT pc.column_id, pc.transform FROM ducklake_partition_info pi "
             "JOIN ducklake_partition_column pc ON pi.partition_id = pc.partition_id "

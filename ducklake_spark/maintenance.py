@@ -144,7 +144,11 @@ def _merge_adjacent_in_txn(lake, tables, target_file_size,
                 epoch = epoch_keys[f["data_file_id"]]
                 if (epoch[0] or epoch[1] or epoch[2] or epoch[3]
                         or init_defaults
-                        or part_vals[f["data_file_id"]]
+                        # NULL partition values need no backfill — the
+                        # column really is NULL in the file
+                        # (merge_adjacent_null_partition.test part 2)
+                        or any(v is not None
+                               for v in part_vals[f["data_file_id"]])
                         or f["row_id_start"] is None):
                     continue
                 if min_file_size is not None and f["file_size_bytes"] < min_file_size:
@@ -318,7 +322,11 @@ def _rewrite_pack(lake: DuckLake, h, pack: list[dict], part_vals: tuple,
         if len(set(snapmap.values())) == 1:
             merged = merged.drop(SNAPID_COL)
 
-    files = lake._write_parquet(h, merged, schema, [], [])
+    # a pack is single-partition by construction: writing through the
+    # table's partition spec keeps the merged file under its hive path
+    # (compaction_hive_structure.test counts %sale_date% paths)
+    files = lake._write_parquet(h, merged, schema,
+                                lake._partition_spec(h), [])
     if positional and len(files) != 1:  # defensive: offsets unknowable
         raise DuckLakeError(
             "compaction: positional merge unexpectedly split into "

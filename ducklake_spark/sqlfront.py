@@ -2383,7 +2383,10 @@ class SQLSession:
         if partition_by:
             if fmt != "parquet":
                 raise SQLFrontUnsupported("COPY PARTITION_BY non-parquet")
-            df.write.mode("overwrite").partitionBy(*partition_by) \
+            # append, never overwrite: DuckDB's COPY TO a directory adds
+            # files — reference tests COPY into the lake's own DATA_PATH
+            # (add_files_hive.test) and an overwrite would wipe it
+            df.write.mode("append").partitionBy(*partition_by) \
                 .parquet(path)
             return None
         if fmt == "parquet":
@@ -2565,6 +2568,12 @@ class SQLSession:
                         at_kw.get("at_version"), None)
                     where = (_dq_to_backticks(fm.group(4).strip())
                              if fm.group(4) else None)
+                    if where:
+                        # trailing LIMIT/OFFSET/ORDER BY are not part of
+                        # the filter (add_files_hive.test:53)
+                        where = re.split(
+                            r"\b(?:ORDER\s+BY|LIMIT|OFFSET)\b", where,
+                            flags=re.I)[0].strip() or None
                     files = lake._visible_files(h, snap, where)
                     # aggregate-only selects report whether metadata
                     # alone answers (no TABLE_SCAN) or the engine falls
