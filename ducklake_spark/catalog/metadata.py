@@ -197,6 +197,10 @@ class MetadataManager:
         self.db_path = db_path
         self.backend = backend_for(db_path)
         self._local = threading.local()
+        # attach alias, stamped by the SQL surface; the metadata log
+        # records it as the `catalog` column (reference logs
+        # GetName().GetIdentifierName(), ducklake_transaction.cpp:1589)
+        self.catalog_name: str | None = None
 
     @property
     def con(self):
@@ -204,6 +208,13 @@ class MetadataManager:
         if con is None:
             con = self.backend.connect()
             self._local.con = con
+        from ducklake_spark import metadata_log
+
+        if self.catalog_name is not None and metadata_log.is_enabled():
+            # only attached lakes log (the reference logs through the
+            # ducklake catalog's transaction; probe connections made
+            # before the catalog exists are not metadata queries)
+            return metadata_log.LoggingCon(con, self.catalog_name)
         return con
 
     def begin_write(self) -> None:

@@ -389,12 +389,19 @@ def _attempt(con, payload: dict) -> dict:
                         (fid, row[0], _now_ts()),
                     )
         for tid_s, delta in payload.get("stats_delta", {}).items():
-            cur = con.execute(
-                "UPDATE ducklake_table_stats SET record_count = "
-                "record_count + ? WHERE table_id = ?",
-                (delta, int(tid_s)),
-            )
-            if cur.rowcount == 0:
+            # presence probe, not UPDATE+rowcount (duckdb DB-API
+            # cursors report rowcount=-1, skipping the INSERT branch)
+            row = con.execute(
+                "SELECT 1 FROM ducklake_table_stats WHERE table_id=?",
+                (int(tid_s),),
+            ).fetchone()
+            if row:
+                con.execute(
+                    "UPDATE ducklake_table_stats SET record_count = "
+                    "record_count + ? WHERE table_id = ?",
+                    (delta, int(tid_s)),
+                )
+            else:
                 con.execute(
                     "INSERT INTO ducklake_table_stats VALUES (?, ?, 0, 0)",
                     (int(tid_s), delta),

@@ -315,7 +315,8 @@ class DuckLake:
                  filesystem=None, override_data_path: bool = False,
                  disabled_filesystems: str | None = None,
                  automatic_migration: bool = False,
-                 format_version: str | None = None):
+                 format_version: str | None = None,
+                 alias: str | None = None):
         from ducklake_spark.fsio import LakeFS
 
         self.spark = spark
@@ -365,6 +366,9 @@ class DuckLake:
                     "catalog database does not exist"
                 )
         self.meta = MetadataManager(metadata_path)
+        # attach alias — the metadata log's `catalog` column
+        # (ducklake_transaction.cpp:1589 logs the catalog name)
+        self.meta.catalog_name = alias
         # MIGRATE_IF_REQUIRED: upgrade an old-format catalog in place
         # before anything reads it (ducklake_metadata_manager.cpp:308-380)
         from ducklake_spark.catalog.migrate import detect_version, migrate_if_required
@@ -1940,6 +1944,15 @@ class DuckLake:
             # normalize human sizes ('10KB') to bytes: options() shows
             # the canonical value (parquet_row_group_size_bytes.test)
             value = str(_parse_byte_size(value))
+        if option == "rewrite_delete_threshold":
+            try:
+                frac = float(value)
+            except (TypeError, ValueError):
+                frac = -1.0
+            if not (0.0 <= frac <= 1.0):
+                # reference: test_last_snapshot_rewrite.test:148-151
+                raise DuckLakeError(
+                    "The rewrite_delete_threshold must be between 0 and 1")
         if option == "data_inlining_row_limit" and int(value or 0) > 0:
             self._check_inlining_enableable(table_name,
                                             schema_name=schema_name)

@@ -47,8 +47,15 @@ def merge_adjacent_files(lake: DuckLake, *, target_file_size: int | None = None,
                          table: str | None = None,
                          max_compacted_files: int | None = None,
                          min_file_size: int | None = None,
-                         max_file_size: int | None = None) -> int:
+                         max_file_size: int | None = None,
+                         detail: list | None = None) -> int:
     """Compact small adjacent files; returns number of groups rewritten.
+
+    ``detail``, when a list, collects one row per rewritten group —
+    (schema_name, table_name, files_processed, files_created) — the
+    reference TVF's result shape (ducklake_compaction_functions.cpp:
+    888-893 MergeAdjacentFilesBind, :120-126 one chunk row per
+    compaction operator).
 
     ``max_compacted_files`` caps how many merged files one call creates;
     ``min_file_size``/``max_file_size`` restrict candidates to a size
@@ -71,12 +78,12 @@ def merge_adjacent_files(lake: DuckLake, *, target_file_size: int | None = None,
     with lake.transaction():
         return _merge_adjacent_in_txn(
             lake, tables, target_file_size, max_compacted_files,
-            min_file_size, max_file_size)
+            min_file_size, max_file_size, detail)
 
 
 def _merge_adjacent_in_txn(lake, tables, target_file_size,
                            max_compacted_files, min_file_size,
-                           max_file_size) -> int:
+                           max_file_size, detail=None) -> int:
     n_groups = 0
     for tname in tables:
         h = lake._handle(tname)
@@ -217,6 +224,10 @@ def _merge_adjacent_in_txn(lake, tables, target_file_size,
         elif all_packs:
             pack, pv, pid, epoch = all_packs[0]
             _rewrite_pack(lake, h, pack, pv, pid, epoch)
+        if detail is not None:
+            for pack, _pv, _pid, _epoch in all_packs:
+                detail.append(
+                    (h.schema_name, h.table_name, len(pack), 1))
         n_groups += len(all_packs)
         if hit_cap:
             return n_groups
@@ -372,7 +383,8 @@ def _rewrite_pack(lake: DuckLake, h, pack: list[dict], part_vals: tuple,
 
 def rewrite_data_files(lake: DuckLake, *, delete_threshold: float | None = None,
                        table: str | None = None,
-                       max_compacted_files: int | None = None) -> int:
+                       max_compacted_files: int | None = None,
+                       detail: list | None = None) -> int:
     """Rewrite files whose deleted fraction >= threshold; returns count.
     One snapshot per call (like merge_adjacent_files).
 
@@ -390,16 +402,22 @@ def rewrite_data_files(lake: DuckLake, *, delete_threshold: float | None = None,
         if max_compacted_files <= 0:
             raise DuckLakeError(
                 "The max_compacted_files option must be greater than zero.")
+    if delete_threshold is not None and not (
+            0.0 <= float(delete_threshold) <= 1.0):
+        # reference: test_last_snapshot_rewrite.test:141-145
+        raise DuckLakeError(
+            "The delete_threshold option must be between 0 and 1")
     if delete_threshold is None:
         delete_threshold = float(lake.meta.option("rewrite_delete_threshold", "0.95"))
     tables = [table] if table else lake._table_names()
     with lake.transaction():
         return _rewrite_data_files_in_txn(lake, tables, delete_threshold,
-                                          max_compacted_files)
+                                          max_compacted_files, detail)
 
 
 def _rewrite_data_files_in_txn(lake, tables, delete_threshold,
-                               max_compacted_files=None) -> int:
+                               max_compacted_files=None,
+                               detail=None) -> int:
     n = 0
     for tname in tables:
         h = lake._handle(tname)
@@ -438,6 +456,7 @@ def _rewrite_data_files_in_txn(lake, tables, delete_threshold,
         # independent per-file copy-on-write jobs: same thread-pool
         # treatment as compaction packs (serial = O(#files) job-launch
         # latency); buffer mutations serialize under _TXN_BUF_LOCK
+        created: list[int] = []
         if len(victims) > 1:
             import concurrent.futures as cf
 
@@ -449,10 +468,14 @@ def _rewrite_data_files_in_txn(lake, tables, delete_threshold,
                                 row, pos)
                     for row, pos in victims
                 ]
-                for fut in futs:
-                    fut.result()
+                created = [fut.result() for fut in futs]
         elif victims:
-            _rewrite_one_deleted(lake, h, schema, *victims[0])
+            created = [_rewrite_one_deleted(lake, h, schema, *victims[0])]
+        if detail is not None:
+            # one TVF result row per rewritten file (the reference plans
+            # one compaction operator per rewrite-deletes victim)
+            for nout in created:
+                detail.append((h.schema_name, h.table_name, 1, nout))
         n += len(victims)
     return n
 
@@ -548,8 +571,12 @@ def _rewrite_one_deleted(lake, h, schema, row, inl_positions=()) -> None:
         # still apply correctly to time-travel reads of the old file) —
         # matching the reference, which never closes these rows on
         # rewrite
-        txn.change_log.append(f"compacted_table:{h.table_id}")
+        # the reference logs rewrite-deletes compaction under its OWN
+        # change kind (ducklake_transaction_state.cpp:402 AddChangeInfo
+        # "rewrite_delete"; snapshots() shows rewrite_delete=[id])
+        txn.change_log.append(f"rewrite_delete:{h.table_id}")
     lake._autocommit()
+    return len(files)
 
 
 def expire_snapshots(lake: DuckLake, *, older_than: str | None = None,

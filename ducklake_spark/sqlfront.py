@@ -880,23 +880,28 @@ def _parse_value(tok: str):
     m = re.fullmatch(r"(timestamp|date)\s*('.*')", tok, re.I | re.S)
     if m:
         return _parse_value(m.group(2))
-    m = re.fullmatch(r"interval\s+'?(\d+)'?\s*(\w+)", tok, re.I)
+    m = re.fullmatch(
+        r"interval\s+(?:'(\d+)\s+(\w+)'|'?(\d+)'?\s*(\w+))", tok, re.I)
     if m:
-        return f"{m.group(1)} {m.group(2)}"
-    m = re.fullmatch(r"now\(\)\s*(-|\+)\s*interval\s+'?(\d+)'?\s*(\w+)",
-                     tok, re.I)
+        return f"{m.group(1) or m.group(3)} {m.group(2) or m.group(4)}"
+    m = re.fullmatch(
+        r"now\(\)\s*(-|\+)\s*interval\s+"
+        r"(?:'(\d+)\s+(\w+)'|'?(\d+)'?\s*(\w+))",
+        tok, re.I)
     if m:
-        # NOW() - INTERVAL '1' DAY style older_than arguments: return a
-        # concrete ISO timestamp so the API layer gets a plain bound
+        # NOW() - INTERVAL '1' DAY / INTERVAL 1 DAY / INTERVAL '1 day'
+        # older_than arguments: return a concrete ISO timestamp so the
+        # API layer gets a plain bound
         import datetime
 
-        unit = m.group(3).lower().rstrip("s")
+        count = int(m.group(2) or m.group(4))
+        unit = (m.group(3) or m.group(5)).lower().rstrip("s")
         mult = {"second": 1, "minute": 60, "hour": 3600, "day": 86400,
                 "week": 7 * 86400, "month": 30 * 86400,
                 "year": 365 * 86400}.get(unit)
         if mult is None:
             raise SQLFrontUnsupported(f"interval unit {unit!r}")
-        delta = datetime.timedelta(seconds=int(m.group(2)) * mult)
+        delta = datetime.timedelta(seconds=count * mult)
         base = datetime.datetime.now()
         return (base - delta if m.group(1) == "-" else base + delta
                 ).isoformat(sep=" ")
@@ -948,6 +953,11 @@ class SQLSession:
         self.default_backend = default_backend
         self.attach_log: list[str] = []  # replayed on `restart`
         self._seq = itertools.count()
+        # fresh session ⇒ fresh metadata-log state (the reference's
+        # log manager lives in the duckdb instance each test re-creates)
+        from ducklake_spark import metadata_log as _mlog
+
+        _mlog.reset()
         try:
             # duckdb scalar helpers reference tests call that Spark
             # lacks; opaque row keys, so uuid4 text is an adequate stand-in
@@ -1305,7 +1315,8 @@ class SQLSession:
             local = meta_url.split("://", 1)[-1]
             stored = DuckLake._stored_data_path(meta_url)
             data_path = stored or (local + ".files")
-        lake = DuckLake.attach(self.spark, meta_url, str(data_path), **kw)
+        lake = DuckLake.attach(self.spark, meta_url, str(data_path),
+                               alias=name, **kw)
         # the SQL surface carries the reference's interactive default:
         # inserts of <= 10 rows inline into the catalog unless a scope
         # sets data_inlining_row_limit (ducklake_extension.cpp:36-38);
@@ -2186,6 +2197,18 @@ class SQLSession:
         db = _unquote(m.group(1)) if m.group(1) else None
         fn = _unquote(m.group(2))
         pos, named = _parse_args(m.group(3))
+        if fn.lower() in ("enable_logging", "disable_logging"):
+            # CALL enable_logging('DuckLakeMetadata') — the reference
+            # registers the DuckLakeMetadata log type with duckdb's log
+            # manager (ducklake_extension.cpp:24); here the stream is
+            # ducklake_spark.metadata_log
+            from ducklake_spark import metadata_log
+
+            types = [str(p) for p in pos] or [None]
+            for t in types:
+                (metadata_log.enable if fn.lower() == "enable_logging"
+                 else metadata_log.disable)(t)
+            return None
         if fn.startswith("ducklake_"):
             fn = fn[len("ducklake_"):]
             if db is None and pos:
@@ -2207,8 +2230,9 @@ class SQLSession:
                 kw[k] = named[k]
         if pos:
             kw.setdefault("table", str(pos[0]))
-        maint.merge_adjacent_files(lake, **kw)
-        return None
+        detail: list = []
+        maint.merge_adjacent_files(lake, detail=detail, **kw)
+        return self._compaction_result(detail)
 
     def _call_rewrite_data_files(self, lake, pos, named):
         from ducklake_spark import maintenance as maint
@@ -2219,8 +2243,18 @@ class SQLSession:
         for k in ("delete_threshold", "table", "max_compacted_files"):
             if k in named:
                 kw[k] = named[k]
-        maint.rewrite_data_files(lake, **kw)
-        return None
+        detail: list = []
+        maint.rewrite_data_files(lake, detail=detail, **kw)
+        return self._compaction_result(detail)
+
+    def _compaction_result(self, detail: list):
+        """The reference compaction TVFs emit one row per compaction
+        operator: (schema_name, table_name, files_processed,
+        files_created) — ducklake_compaction_functions.cpp:120-126,
+        888-919; empty result when nothing qualified."""
+        return self.spark.createDataFrame(
+            detail, "schema_name string, table_name string, "
+                    "files_processed bigint, files_created bigint")
 
     def _call_expire_snapshots(self, lake, pos, named):
         from ducklake_spark import maintenance as maint
@@ -3331,6 +3365,20 @@ class SQLSession:
         def _tfg(m: re.Match) -> str:
             name = m.group(1).lower()
             pos, named = _parse_args(m.group(2))
+            if name == "duckdb_logs_parsed":
+                # FROM duckdb_logs_parsed('DuckLakeMetadata') — the
+                # structured {catalog, query, elapsed_ms} stream
+                # (ducklake_log_type.cpp:12-29; general/
+                # ducklake_metadata_logging.test)
+                from ducklake_spark import metadata_log
+
+                rows = [(ts, "ducklake.MetadataQuery", "DEBUG", cat, q, ms)
+                        for ts, cat, q, ms in metadata_log.records()]
+                df = self.spark.createDataFrame(
+                    rows, "timestamp timestamp, type string, "
+                          "log_level string, catalog string, "
+                          "query string, elapsed_ms bigint")
+                return self._register(df) + " AS duckdb_logs_parsed"
             db = str(pos.pop(0)) if pos else None
             lake = self._lake(db)
             if name in self._TF_GLOBAL:
@@ -3357,7 +3405,7 @@ class SQLSession:
             "ducklake_flush_inlined_data", "ducklake_expire_snapshots",
             "ducklake_cleanup_old_files", "ducklake_delete_orphaned_files",
             "ducklake_merge_adjacent_files", "ducklake_rewrite_data_files",
-            "ducklake_add_data_files",
+            "ducklake_add_data_files", "duckdb_logs_parsed",
         ]
         # balanced-paren scan: TVF arguments may nest calls
         # (older_than => NOW() - INTERVAL 1 DAY)

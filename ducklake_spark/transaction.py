@@ -295,6 +295,7 @@ class Transaction:
         "altered_table",
         "dropped_table",
         "compacted_table",
+        "rewrite_delete",
     }
 
     def _our_table_targets(self, kind: str) -> set[int]:
@@ -327,7 +328,8 @@ class Transaction:
         ours_flush = self._our_table_targets("flushed_inlined")
         ours_alter = self._our_table_targets("altered_table")
         ours_alter_view = self._our_table_targets("altered_view")
-        ours_compact = self._our_table_targets("compacted_table")
+        ours_compact = (self._our_table_targets("compacted_table")
+                        | self._our_table_targets("rewrite_delete"))
         ours_any_insert = ours_insert | ours_inl_insert
         ours_any_delete = ours_delete | ours_inl_delete
         # create/create collisions match per NAMESPACE, mirroring the
@@ -464,7 +466,8 @@ class Transaction:
                         f"view {tid}: {kind} in snapshot {snap_id} conflicts "
                         "with this transaction's view alter"
                     )
-                if kind == "compacted_table" and tid in ours_delete | ours_compact:
+                if kind in ("compacted_table", "rewrite_delete") \
+                        and tid in ours_delete | ours_compact:
                     # a committed compaction PURGES its source rows from the
                     # catalog — no end_snapshot marker survives to probe, so
                     # a file-level check cannot see it. Conflict at table
@@ -523,7 +526,8 @@ class Transaction:
                             f"table {tid}: concurrent delete/compact of the "
                             f"same data files in snapshot {snap_id}"
                         )
-                if kind in ("deleted_from_table", "inlined_delete", "compacted_table"):
+                if kind in ("deleted_from_table", "inlined_delete",
+                            "compacted_table", "rewrite_delete"):
                     if tid in ours_alter:
                         raise ConflictError(
                             f"table {tid}: {kind} in snapshot {snap_id} conflicts "
@@ -599,7 +603,7 @@ class Transaction:
     # sentinels) keep the client loop.
     _SERVER_KINDS = {
         "inserted_into_table", "deleted_from_table", "inlined_delete",
-        "compacted_table",
+        "compacted_table", "rewrite_delete",
     }
 
     def _server_commit_payload(self) -> dict | None:
@@ -1498,14 +1502,15 @@ class Transaction:
 
             # --- record-count / byte deltas from deletes and rewrites
             for tid, delta in self.stats_delta.items():
-                cur = con.execute(
-                    "UPDATE ducklake_table_stats SET "
-                    "record_count = record_count + ?, "
-                    "file_size_bytes = file_size_bytes + ? "
-                    "WHERE table_id = ?",
-                    (delta.get("records", 0), delta.get("bytes", 0), tid),
-                )
-                if cur.rowcount == 0:
+                if _stats_row_exists(con, tid):
+                    con.execute(
+                        "UPDATE ducklake_table_stats SET "
+                        "record_count = record_count + ?, "
+                        "file_size_bytes = file_size_bytes + ? "
+                        "WHERE table_id = ?",
+                        (delta.get("records", 0), delta.get("bytes", 0), tid),
+                    )
+                else:
                     con.execute(
                         "INSERT INTO ducklake_table_stats VALUES (?, ?, 0, ?)",
                         (tid, delta.get("records", 0),
@@ -1566,12 +1571,14 @@ class Transaction:
                 con.executemany(
                     f"INSERT INTO {table_name} VALUES ({placeholders})", rows
                 )
-                cur = con.execute(
-                    "UPDATE ducklake_table_stats SET next_row_id = next_row_id + ?, "
-                    "record_count = record_count + ? WHERE table_id = ?",
-                    (len(rows), len(rows), tid),
-                )
-                if cur.rowcount == 0:
+                if _stats_row_exists(con, tid):
+                    con.execute(
+                        "UPDATE ducklake_table_stats SET next_row_id = "
+                        "next_row_id + ?, record_count = record_count + ? "
+                        "WHERE table_id = ?",
+                        (len(rows), len(rows), tid),
+                    )
+                else:
                     con.execute(
                         "INSERT INTO ducklake_table_stats VALUES (?, ?, ?, 0)",
                         (tid, len(rows), len(rows)),
@@ -1838,16 +1845,26 @@ class Transaction:
         )
 
 
+def _stats_row_exists(con, tid: int) -> bool:
+    """Presence probe for a table's ducklake_table_stats row. Used
+    instead of UPDATE+rowcount because DB-API rowcount is -1 on duckdb
+    connections, which would silently skip the INSERT fallback."""
+    return con.execute(
+        "SELECT 1 FROM ducklake_table_stats WHERE table_id=?", (tid,)
+    ).fetchone() is not None
+
+
 def _upsert_table_stats(con, tid: int, rec_cnt: int, next_row_id: int,
                         fsize: int) -> None:
     """Absolute-set of a table's stats row, creating it on first data
     commit (the row does not exist at CREATE TABLE time)."""
-    cur = con.execute(
-        "UPDATE ducklake_table_stats SET record_count=?, next_row_id=?, "
-        "file_size_bytes=? WHERE table_id=?",
-        (rec_cnt, next_row_id, fsize, tid),
-    )
-    if cur.rowcount == 0:
+    if _stats_row_exists(con, tid):
+        con.execute(
+            "UPDATE ducklake_table_stats SET record_count=?, next_row_id=?, "
+            "file_size_bytes=? WHERE table_id=?",
+            (rec_cnt, next_row_id, fsize, tid),
+        )
+    else:
         con.execute(
             "INSERT INTO ducklake_table_stats VALUES (?, ?, ?, ?)",
             (tid, rec_cnt, next_row_id, fsize),

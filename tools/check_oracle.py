@@ -69,6 +69,7 @@ def normalize(cols, rows):
 def main() -> int:
     ap = argparse.ArgumentParser()
     ap.add_argument("--sf", default="/root/testdata/sf0.01")
+    ap.add_argument("--report", help="write per-query JSON results here")
     ap.add_argument("names", nargs="*")
     args = ap.parse_args()
 
@@ -86,6 +87,7 @@ def main() -> int:
         )
 
     n_pass = n_fail = 0
+    report: dict[str, dict] = {}
     for name in names:
         q = queries[name]
         t0 = time.time()
@@ -96,6 +98,8 @@ def main() -> int:
             if q.oracle is None:
                 print(f"  {name}: rows-only ({len(s_rows)} rows) [no oracle] "
                       f"{time.time()-t0:.1f}s")
+                report[name] = {"status": "rows-only", "rows": len(s_rows),
+                                "seconds": round(time.time() - t0, 1)}
                 n_pass += 1
                 continue
             # fetch via Arrow, not fetchall(): fetchall() coerces DuckDB
@@ -123,14 +127,26 @@ def main() -> int:
                 print(f"✗ {name} ({time.time()-t0:.1f}s)")
                 for p in problems:
                     print(f"    {p}")
+                report[name] = {"status": "FAIL", "problems": problems,
+                                "seconds": round(time.time() - t0, 1)}
             else:
                 n_pass += 1
                 print(f"✓ {name} ({len(sr)} rows, {time.time()-t0:.1f}s)")
+                report[name] = {"status": "PASS", "rows": len(sr),
+                                "seconds": round(time.time() - t0, 1)}
         except Exception:
             n_fail += 1
             print(f"✗ {name} EXCEPTION")
             traceback.print_exc()
+            report[name] = {"status": "EXCEPTION",
+                            "error": traceback.format_exc()[-500:],
+                            "seconds": round(time.time() - t0, 1)}
     print(f"\n{n_pass} pass, {n_fail} fail")
+    if args.report:
+        import json
+        with open(args.report, "w") as fh:
+            json.dump({"sf": args.sf, "pass": n_pass, "fail": n_fail,
+                       "queries": report}, fh, indent=1)
     return 1 if n_fail else 0
 
 

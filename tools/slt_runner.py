@@ -661,6 +661,10 @@ def main(argv: list[str]) -> int:
 
     from ducklake_spark.session import get_spark
 
+    # DUCKLAKE_CI gates a handful of reference tests (metadata logging,
+    # orphan_after_expire); we run them — the postgres-backed ones still
+    # skip on their `require postgres_scanner`
+    os.environ.setdefault("DUCKLAKE_CI", "1")
     spark = get_spark("slt", cpus=int(os.environ.get("SLT_CPUS", "8")))
     import tempfile
 
