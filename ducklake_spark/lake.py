@@ -21,6 +21,7 @@ Scale notes (how this behaves at 100 TB / 1000 executors):
 
 from __future__ import annotations
 
+import itertools
 import json
 import os
 import re
@@ -955,6 +956,11 @@ class DuckLake:
             txn = self._begin()
             key = f"{h.schema_name}.{h.table_name}"
             for fi in txn.new_data_files.pop(key, []):
+                if getattr(fi, "mapping_id", None) is not None:
+                    # adopted via add_data_files: externally owned —
+                    # unregistering must not touch the disk
+                    # (preserve_external_transaction_local_files.test)
+                    continue
                 self.lfs.remove(
                     self.lfs.strip_scheme(
                         os.path.join(self.data_path, fi.path)))
@@ -3070,7 +3076,8 @@ class DuckLake:
             h, snap, files, schema, deletes, with_virtual, txn_overlay=overlay
         )
         inlined = self._read_inlined(
-            h, snap, schema, with_virtual, txn_overlay=overlay
+            h, snap, schema, with_virtual, txn_overlay=overlay,
+            findex_base=len(files)
         )
         if inlined is not None:
             df = df.unionByName(inlined) if df is not None else inlined
@@ -3417,10 +3424,21 @@ class DuckLake:
                     contradictors.append(pv)
             if not contradictors:
                 return None
-            qs = ",".join("?" * len(contradictors))
+            # a NULL stored value can't prune through IN (SQL NULL
+            # never matches IN) — it needs its own IS NULL arm
+            # (partition_null.test: the all-NULL partition file must
+            # prune under part_key = 1)
+            nonnull = [pv for pv in contradictors if pv is not None]
+            conds, params = [], []
+            if nonnull:
+                qs = ",".join("?" * len(nonnull))
+                conds.append(f"partition_value IN ({qs})")
+                params = nonnull
+            if len(nonnull) < len(contradictors):
+                conds.append("partition_value IS NULL")
             return (
-                base.format(cond=f"partition_value IN ({qs})"),
-                [h.table_id, live_pid, idx, *contradictors],
+                base.format(cond="(" + " OR ".join(conds) + ")"),
+                [h.table_id, live_pid, idx, *params],
             )
         if t in ("year", "month", "day", "hour") and isinstance(val, str):
             bucket_val = _date_part_of_literal(t, val)
@@ -4297,13 +4315,14 @@ class DuckLake:
         file_rows = [
             (self._file_uri(f["path"]), f["row_id_start"],
              self._file_begin_snapshot(f), f["partial_max"],
-             pv_fill.get(f["data_file_id"]) or {})
-            for f in files
+             pv_fill.get(f["data_file_id"]) or {}, i)
+            for i, f in enumerate(files)
         ]
         fmap = self.spark.createDataFrame(
             file_rows,
             "____path string, __row_id_start long, __file_snap long, "
-            "__partial_max long, __pv map<string,string>",
+            "__partial_max long, __pv map<string,string>, "
+            "__file_index long",
         )
         df = df.join(F.broadcast(fmap), df["__file"] == fmap["____path"], "left").drop("____path")
         # foreign hive-partitioned files: the partition column exists only in
@@ -4455,9 +4474,11 @@ class DuckLake:
                 .withColumn("snapshot_id", snapid)
                 .withColumn("filename", F.col("__file"))
                 .withColumn("file_row_number", F.col("__pos"))
+                .withColumn("file_index", F.col("__file_index"))
             )
             keep = [f.name for f in schema.fields] + [
-                "rowid", "snapshot_id", "filename", "file_row_number"]
+                "rowid", "snapshot_id", "filename", "file_row_number",
+                "file_index"]
         else:
             keep = [f.name for f in schema.fields]
         return df.select(*keep)
@@ -4886,7 +4907,8 @@ class DuckLake:
         return df
 
     def _read_inlined(self, h: TableHandle, snap: Snapshot, schema: T.StructType,
-                      with_virtual: bool, txn_overlay: bool = False) -> DataFrame | None:
+                      with_virtual: bool, txn_overlay: bool = False,
+                      findex_base: int = 0) -> DataFrame | None:
         # DISTINCT guards catalogs where a historical registry race
         # double-inserted a row (each duplicate would double every scan)
         tabs = self.meta.query(
@@ -4911,33 +4933,59 @@ class DuckLake:
                     removed.update((tname, tuple(kv)) for kv in keyvals)
             from ducklake_spark.transaction import PENDING_SNAPSHOT
 
-            for tid, tname, packed in (
-                txn.inlined_inserts + txn.inlined_inserts_rebase
-            ):
+            # uncommitted rows read snapshot_id NULL, and offset-keyed
+            # buffered inserts read TRANSACTION-LOCAL rowids starting at
+            # 10^18 in buffer order (reference ducklake_row_id.test /
+            # basic_data_inlining.test in-txn reads); preserved-rowid
+            # buffers (UPDATE re-inserts) keep their real ids
+            for tid, tname, packed in txn.inlined_inserts:
                 if tid == h.table_id:
                     buffered.setdefault(tname, []).extend(
-                        tuple(
-                            snap.snapshot_id if x is PENDING_SNAPSHOT else x
-                            for x in r
-                        )
+                        tuple(None if x is PENDING_SNAPSHOT else x
+                              for x in r)
                         for r in packed
                     )
+            rebase_seq: dict[str, int] = {}
+            for tid, tname, packed in txn.inlined_inserts_rebase:
+                if tid == h.table_id:
+                    base = rebase_seq.get(tname, 0)
+                    buffered.setdefault(tname, []).extend(
+                        (TXN_LOCAL_ROWID_BASE + base + r[0],)
+                        + tuple(None if x is PENDING_SNAPSHOT else x
+                                for x in r[1:])
+                        for r in packed
+                    )
+                    rebase_seq[tname] = base + len(packed)
             # a buffered insert may target an epoch table that has no
             # committed registry row yet — include it
             known = {t for (t,) in tabs}
             tabs = list(tabs) + [(t,) for t in buffered if t not in known]
-        virtual_tail = [
-            (T.StructField("rowid", T.LongType()),
-             lambda r, idx: r[idx["row_id"]]),
-            (T.StructField("snapshot_id", T.LongType()),
-             lambda r, idx: r[idx["begin_snapshot"]]),
-            (T.StructField("filename", T.StringType()),
-             lambda r, idx: "<inlined>"),
-            (T.StructField("file_row_number", T.LongType()),
-             lambda r, idx: r[idx["row_id"]]),
-        ] if with_virtual else []
+        def _tail(fname: str, fidx: int) -> list:
+            """Virtual-column tail for ONE inlined pseudo-file: the
+            reference's multifile list numbers inlined tables after the
+            data files and names them by their catalog table
+            (basic_data_inlining.test: filename ducklake_inlined_data_…
+            file_index after parquet; the txn-local buffer reads
+            __ducklake_inlined_transaction_local_data)."""
+            if not with_virtual:
+                return []
+            frn = itertools.count()
+            return [
+                (T.StructField("rowid", T.LongType()),
+                 lambda r, idx: r[idx["row_id"]]),
+                (T.StructField("snapshot_id", T.LongType()),
+                 lambda r, idx: r[idx["begin_snapshot"]]),
+                (T.StructField("filename", T.StringType()),
+                 lambda r, idx, v=fname: v),
+                (T.StructField("file_row_number", T.LongType()),
+                 lambda r, idx, c=frn: next(c)),
+                (T.StructField("file_index", T.LongType()),
+                 lambda r, idx, v=fidx: v),
+            ]
+
         parts: list[DataFrame] = []
-        for (tname,) in tabs:
+        buffered_frames: list[tuple[str, list]] = []
+        for ti, (tname,) in enumerate(tabs):
             rows = self.meta.query(
                 f"SELECT * FROM {tname} WHERE begin_snapshot <= ? "
                 "AND (end_snapshot IS NULL OR end_snapshot > ?)",
@@ -4949,9 +4997,7 @@ class DuckLake:
             # expected output)
             rows = sorted(rows, key=lambda r: (r[0] is None, r[0]))
             if txn is not None:
-                # read-your-own-writes: hide rows this txn deleted,
-                # surface rows it buffered for insert (AFTER committed
-                # rows — their buffered row ids are pre-rebase offsets)
+                # read-your-own-writes: hide rows this txn deleted
                 if ended:
                     rows = [r for r in rows if (tname, r[0]) not in ended]
                 if removed:
@@ -4959,12 +5005,21 @@ class DuckLake:
                     # begin_snapshot, end_snapshot, data…
                     rows = [r for r in rows
                             if (tname, (r[0], r[1])) not in removed]
-                rows = list(rows) + buffered.get(tname, [])
+                if buffered.get(tname):
+                    buffered_frames.append((tname, buffered[tname]))
             if not rows:
                 continue
             parts.append(
-                self.inlined_frame(h, tname, rows, schema, tail=virtual_tail)
+                self.inlined_frame(h, tname, rows, schema,
+                                   tail=_tail(tname, findex_base + ti))
             )
+        # this transaction's buffered inserts read as their own
+        # pseudo-file AFTER the committed inlined tables
+        for bi, (tname, rows) in enumerate(buffered_frames):
+            parts.append(self.inlined_frame(
+                h, tname, rows, schema,
+                tail=_tail("__ducklake_inlined_transaction_local_data",
+                           findex_base + len(tabs) + bi)))
         if not parts:
             return None
         df = parts[0]
@@ -5371,6 +5426,7 @@ def _with_virtual_schema(schema: T.StructType) -> T.StructType:
             T.StructField("snapshot_id", T.LongType()),
             T.StructField("filename", T.StringType()),
             T.StructField("file_row_number", T.LongType()),
+            T.StructField("file_index", T.LongType()),
         ]
     )
 

@@ -2793,14 +2793,16 @@ class SQLSession:
             return getattr(cdc, fn)(lake, api, start, end)
         raise SQLFrontUnsupported(f"table function {fn!r}")
 
-    _VIRTUAL_COLS = ("rowid", "snapshot_id", "filename", "file_row_number")
+    _VIRTUAL_COLS = ("rowid", "snapshot_id", "filename",
+                     "file_row_number", "file_index")
 
     def _rewrite_query(self, sql: str) -> str:
         # queries touching the virtual row metadata columns bind tables
         # WITH them; * still expands to data columns only (the reference
         # treats rowid/snapshot_id/… as virtual — sorted_table family)
         wants_virtual = bool(re.search(
-            r"\browid\b|\bfile_row_number\b|\bfilename\b", sql, re.I))
+            r"\browid\b|\bfile_row_number\b|\bfilename\b|\bfile_index\b",
+            sql, re.I))
         star_expand: dict[str, list[str]] = {}
 
         def _note_virtual(vname: str, df: DataFrame) -> None:

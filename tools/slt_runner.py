@@ -223,9 +223,14 @@ def _cells_match(actual: str, expected: str, typ: str) -> bool:
                             actual, re.S) is None
     if actual == expected:
         return True
-    # the corpus mixes 'true' and 'True' boolean renderings
-    if actual in ("true", "false") and expected.lower() == actual:
-        return True
+    # the corpus mixes 'true'/'True' boolean renderings, and under
+    # `query I` some files expect 1/0 for a boolean expression
+    # (metadata/ducklake_settings.test:30)
+    if actual in ("true", "false"):
+        if expected.lower() == actual:
+            return True
+        if typ == "I" and expected == ("1" if actual == "true" else "0"):
+            return True
     if expected == "NULL" or actual == "NULL":
         return actual == expected
     if typ == "I":
@@ -279,7 +284,13 @@ class FileRunner:
         if conn not in self.sessions:
             # single_file_writes: the reference is single-node — its
             # tests assert file counts that parallel writes would break
-            s = SQLSession(self.spark, single_file_writes=True)
+            # default_backend duckdb: the reference's plain-path
+            # ATTACH creates a DuckDB catalog database —
+            # ducklake_settings() reports catalog_type 'duckdb'
+            # (metadata/ducklake_settings.test)
+            s = SQLSession(self.spark, single_file_writes=True,
+                           default_backend=os.environ.get(
+                               "SLT_BACKEND", "duckdb"))
             # replay the default connection's ATTACHes: DuckDB
             # connections share one database instance, so a named
             # connection sees the same attached lakes
