@@ -71,14 +71,134 @@ def _victims(lake: DuckLake, name: str, where: str) -> tuple[TableHandle, DataFr
 
 def _rewrite_txn_local(lake: DuckLake, h: TableHandle, where: str,
                        assignments: dict[str, str] | None) -> int:
-    """DELETE/UPDATE against a table created in the CURRENT transaction:
-    its buffered files have no committed identity yet, so instead of
-    positional deletes the buffered files are rewritten (filter out /
-    transform the matching rows) and swapped in the transaction buffer —
-    reference behavior for txn-local DML, test/sql/cleanup/
-    drop_table_cleans_delete_files.test."""
-    return _rewrite_buffered(lake, h, where, assignments,
-                             f"{h.schema_name}.{h.table_name}")
+    """DELETE/UPDATE against a table created in the CURRENT transaction.
+
+    DELETE writes positional delete parquets against the buffered files
+    — the reference's txn-local layout (drop_table_cleans_delete_files
+    .test shows a ``*-delete.*`` file mid-transaction;
+    delete_same_transaction.test shows the two sequential deletes leave
+    ONE merged delete file after commit). UPDATE rewrites the buffers
+    in place (delete+re-insert preserving buffered rowids)."""
+    key = f"{h.schema_name}.{h.table_name}"
+    if assignments is None:
+        return _delete_buffered_as_files(lake, h, where, key)
+    return _rewrite_buffered(lake, h, where, assignments, key)
+
+
+def _delete_buffered_as_files(lake: DuckLake, h: TableHandle, where: str,
+                              key: str) -> int:
+    """DELETE over this transaction's buffered files via positional
+    delete parquets (reference txn-local delete layout,
+    ducklake_delete.cpp over transaction-local file lists). The delete
+    file references its data file by PATH — the commit resolves the
+    assigned id through committed_path_fid (transaction.py). Sequential
+    deletes merge: the new file absorbs the previous buffered delete
+    file's positions and the old parquet is unlinked."""
+    from pyspark.sql import types as _T
+
+    from ducklake_spark.lake import ROWID_COL, SNAPID_COL
+    from ducklake_spark.transaction import DeleteFileInfo
+
+    txn = lake._begin()
+    files = txn.new_data_files.get(key, [])
+    if not files:
+        return 0
+    schema = lake._spark_schema(h)
+    snap = lake._resolve_snapshot(None, None)
+    anticipated = snap.snapshot_id + 1
+    prev_by_path = {d.data_file_id: d
+                    for d in txn.new_delete_files.get(key, [])
+                    if isinstance(d.data_file_id, str)}
+    uri_to_rel = {lake._file_uri(f.path): f.path for f in files}
+    new_dels = None
+    for allocate in (True, False):
+        grp = [f for f in files if f.allocate == allocate]
+        if not grp:
+            continue
+        rschema = schema if allocate else _T.StructType(
+            list(schema.fields) + [_T.StructField(ROWID_COL, _T.LongType())])
+        paths = [os.path.join(lake.data_path, f.path) for f in grp]
+        df = (lake.spark.read.schema(rschema).parquet(*paths)
+              .withColumn("__file", F.col("_metadata.file_path"))
+              .withColumn("pos", F.col("_metadata.row_index")))
+        part = df.filter(where).select("__file", "pos")
+        new_dels = part if new_dels is None else new_dels.unionByName(part)
+    if new_dels is None:
+        return 0
+    rel_map = lake.spark.createDataFrame(
+        list(uri_to_rel.items()), "__file string, file_path string")
+    new_dels = (new_dels.join(F.broadcast(rel_map), "__file")
+                .select("file_path", "pos")
+                .withColumn("is_new", F.lit(True))
+                .withColumn("snap", F.lit(anticipated).cast("long")))
+    prev_df = None
+    if prev_by_path:
+        prev_paths = [os.path.join(lake.data_path, d.path)
+                      for d in prev_by_path.values()]
+        prev_df = (lake.spark.read.schema(
+            f"file_path string, pos long, `{SNAPID_COL}` long")
+            .parquet(*prev_paths)
+            .select("file_path", "pos",
+                    F.lit(False).alias("is_new"),
+                    F.col(SNAPID_COL).alias("snap")))
+        # a position deleted earlier in this transaction is not a new
+        # victim (multi_deletes.test count semantics)
+        new_dels = new_dels.join(prev_df.select("file_path", "pos"),
+                                 ["file_path", "pos"], "left_anti")
+    all_dels = (new_dels.select("file_path", "pos", "is_new", "snap")
+                if prev_df is None
+                else new_dels.select("file_path", "pos", "is_new", "snap")
+                .unionByName(prev_df.select(
+                    "file_path", "pos", "is_new", "snap")))
+    delete_dir = os.path.join(lake.data_path, h.path)
+    lake.lfs.makedirs(lake.lfs.strip_scheme(delete_dir))
+    written = _write_delete_files_distributed(
+        lake, delete_dir, all_dels, 0, anticipated)
+    n_new = sum(w["n_new"] for w in written)
+    if n_new == 0:
+        for w in written:
+            if w["out_path"]:
+                lake.lfs.remove(lake.lfs.strip_scheme(w["out_path"]))
+        return 0
+    by_rel = {f.path: f for f in files}
+
+    def _drop_prev(rel: str) -> None:
+        prev = prev_by_path.pop(rel, None)
+        if prev is not None:
+            txn.new_delete_files[key].remove(prev)
+            lake.lfs.remove(lake.lfs.strip_scheme(
+                os.path.join(lake.data_path, prev.path)))
+
+    for w in written:
+        fi = by_rel[w["file_path"]]
+        if w["n"] >= (fi.record_count or 0):
+            # every buffered row gone: drop the buffered file whole
+            # (adopted external files stay on disk —
+            # preserve_external_transaction_local_files.test)
+            if w["out_path"]:
+                lake.lfs.remove(lake.lfs.strip_scheme(w["out_path"]))
+            _drop_prev(fi.path)
+            txn.new_data_files[key].remove(fi)
+            if fi.mapping_id is None:
+                lake.lfs.remove(lake.lfs.strip_scheme(
+                    os.path.join(lake.data_path, fi.path)))
+            continue
+        _drop_prev(fi.path)
+        txn.new_delete_files.setdefault(key, []).append(
+            DeleteFileInfo(
+                data_file_id=fi.path,
+                path=os.path.relpath(w["out_path"], lake.data_path),
+                delete_count=w["n"],
+                file_size_bytes=w["size"],
+                footer_size=w["footer"],
+                format="parquet",
+                encryption_key=w.get("enc_key") or None,
+                begin_snapshot_override=(
+                    w["smin"] if w.get("with_snaps") else None),
+                partial_max=w["smax"] if w.get("with_snaps") else None,
+            )
+        )
+    return n_new
 
 
 def _rewrite_buffered(lake: DuckLake, h: TableHandle, where: str,

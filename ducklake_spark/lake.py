@@ -964,6 +964,12 @@ class DuckLake:
                 self.lfs.remove(
                     self.lfs.strip_scheme(
                         os.path.join(self.data_path, fi.path)))
+            # buffered positional delete files go with the data files
+            # (drop_table_cleans_delete_files.test)
+            for dfi in txn.new_delete_files.pop(key, []):
+                self.lfs.remove(
+                    self.lfs.strip_scheme(
+                        os.path.join(self.data_path, dfi.path)))
             txn.created_tables = [
                 td for td in txn.created_tables
                 if not (td.schema_name == h.schema_name
@@ -3995,6 +4001,17 @@ class DuckLake:
                  d.encryption_key)
                 for d in self._txn.new_delete_files.get(h.table_id, [])
                 if d.data_file_id in keep
+            )
+            # txn-local tables buffer delete files under their NAME key
+            # with path-keyed data_file_id; the anti-join matches rows
+            # by the file_path column in the delete parquet, so a
+            # synthetic -1 id is fine here
+            buf_key = (f"{h.schema_name}.{h.table_name}"
+                       if h.table_id < 0 else str(h.table_id))
+            out.extend(
+                (-1, d.path, d.delete_count, d.format, d.encryption_key)
+                for d in self._txn.new_delete_files.get(buf_key, [])
+                if isinstance(d.data_file_id, str)
             )
         return out
 

@@ -1411,6 +1411,10 @@ class Transaction:
                     [(fid, pos, snap_id) for fid, pos in pairs],
                 )
             for tid, dfiles in self.new_delete_files.items():
+                if isinstance(tid, str):
+                    # txn-local tables buffer delete files under their
+                    # name key; the table id exists only now
+                    tid = self._resolve_table_id(tid)
                 for df in dfiles:
                     target_fid = df.data_file_id
                     if isinstance(target_fid, str):
