@@ -242,15 +242,6 @@ def add_data_files(lake: DuckLake, table: str, pattern, *,
         pf = pq.ParquetFile(lake.lfs.open_input(path))
         file_cols = {c.split(".")[0] for c in pf.schema_arrow.names}
         arrow_types = {f.name: f.type for f in pf.schema_arrow}
-        for cname, (cid, _n, ctype, _na) in table_cols.items():
-            at = arrow_types.get(cname)
-            if at is None:
-                continue
-            err = _file_type_ok(ctype, at)
-            if err:
-                raise DuckLakeError(
-                    f'Failed to map column "{cname}" from file "{path}" '
-                    f'to the column in table "{h.table_name}"\n* {err}')
         hive_segs: list[tuple[str, str]] = []
         # default AUTOMATIC (reference HivePartitioningType::AUTOMATIC):
         # hive key=value path segments bind when present unless the
@@ -268,6 +259,21 @@ def add_data_files(lake: DuckLake, table: str, pattern, *,
                     # the catalog must hold one encoding for pruning
                     hive_segs.append((m.group(1), unquote(m.group(2))))
         hive_vals = dict(hive_segs)
+        for cname, (cid, _n, ctype, _na) in table_cols.items():
+            if cname in hive_vals:
+                # hive partition value takes PRECEDENCE over a parquet
+                # column of the same name — the file column is neither
+                # validated nor read (reference
+                # add_files_hive_partition_cast.test precedence section)
+                continue
+            at = arrow_types.get(cname)
+            if at is None:
+                continue
+            err = _file_type_ok(ctype, at)
+            if err:
+                raise DuckLakeError(
+                    f'Failed to map column "{cname}" from file "{path}" '
+                    f'to the column in table "{h.table_name}"\n* {err}')
         missing = [
             c for c in table_cols
             if c not in file_cols and c not in hive_vals
@@ -298,12 +304,16 @@ def add_data_files(lake: DuckLake, table: str, pattern, *,
         # (recorded at COMMIT, inside the catalog transaction — an
         # eager insert would survive a rollback and race a concurrent
         # adopter's mapping_id allocation)
-        name_map_rows.extend(file_cols & set(table_cols))
+        name_map_rows.extend((file_cols & set(table_cols))
+                             - set(hive_vals))
         # hive values must cast to their table column's type up front
         # (reference add_files_hive_mismatch.test: "Unable to cast")
         for cname, v in hive_vals.items():
             col = table_cols.get(cname)
-            if col is None or v == "__HIVE_DEFAULT_PARTITION__":
+            if col is None or v in ("__HIVE_DEFAULT_PARTITION__", "NULL"):
+                # duckdb's COPY PARTITION_BY renders NULL partition
+                # values as the literal dir name x=NULL
+                # (add_files_hive_partition_cast.test null section)
                 continue
             if not _hive_value_castable(col[2], v):
                 raise DuckLakeError(
@@ -342,7 +352,9 @@ def add_data_files(lake: DuckLake, table: str, pattern, *,
                 # hive's NULL sentinel records as SQL NULL (reference
                 # merge_adjacent_null_partition.test part 2)
                 part_values.append(
-                    (i, None if v == "__HIVE_DEFAULT_PARTITION__" else v))
+                    (i, None
+                     if v in ("__HIVE_DEFAULT_PARTITION__", "NULL")
+                     else v))
         for k, v in hive_segs[:len(hive_segs) - consumed]:
             if k in table_cols:
                 # hive column outside the partition spec: keyed by
@@ -351,7 +363,8 @@ def add_data_files(lake: DuckLake, table: str, pattern, *,
                 # tables too, add_files_hive_mismatch.test)
                 part_values.append(
                     (-colmap[k] - 1,
-                     None if v == "__HIVE_DEFAULT_PARTITION__" else v))
+                     None if v in ("__HIVE_DEFAULT_PARTITION__", "NULL")
+                     else v))
         stats = _harvest_stats(pf, colmap)
         # hive-derived columns are constant across the file: synthesize
         # the stats row min=max=value so zone-map pruning covers adopted
@@ -364,7 +377,8 @@ def add_data_files(lake: DuckLake, table: str, pattern, *,
             cid = colmap.get(cname)
             if cid is None or cid in have_stats:
                 continue
-            sval = None if v == "__HIVE_DEFAULT_PARTITION__" else v
+            sval = (None if v in ("__HIVE_DEFAULT_PARTITION__", "NULL")
+                    else v)
             stats.append(ColumnStatsRow(
                 column_id=cid, column_size_bytes=0,
                 value_count=pf.metadata.num_rows,

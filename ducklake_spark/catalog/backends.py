@@ -71,7 +71,7 @@ class DuckDBBackend(CatalogBackend):
     def connect(self):
         import duckdb
 
-        return duckdb.connect(self.path)
+        return _DuckConnection(duckdb.connect(self.path))
 
     def is_retryable(self, exc: Exception) -> bool:
         msg = str(exc).lower()
@@ -85,6 +85,30 @@ class DuckDBBackend(CatalogBackend):
             or "could not set lock" in msg
             or "duplicate key" in msg
         )
+
+
+class _DuckConnection:
+    """Thin shim over a duckdb connection smoothing two DB-API gaps:
+    ``executemany([])`` raises on duckdb (sqlite3 no-ops — call sites
+    batch whatever rows the commit collected, possibly none), and the
+    catalog layer treats cursors as the connection's return value."""
+
+    __slots__ = ("raw",)
+
+    def __init__(self, raw):
+        self.raw = raw
+
+    def execute(self, sql: str, params=()):
+        return self.raw.execute(sql, tuple(params))
+
+    def executemany(self, sql: str, seq):
+        rows = [tuple(p) for p in seq]
+        if not rows:
+            return self.raw
+        return self.raw.executemany(sql, rows)
+
+    def __getattr__(self, name):
+        return getattr(self.raw, name)
 
 
 _SQLITE_MASTER_LIST = re.compile(

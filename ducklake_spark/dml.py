@@ -96,7 +96,8 @@ def _delete_buffered_as_files(lake: DuckLake, h: TableHandle, where: str,
     file's positions and the old parquet is unlinked."""
     from pyspark.sql import types as _T
 
-    from ducklake_spark.lake import ROWID_COL, SNAPID_COL
+    from ducklake_spark.lake import (DECODED_FILE_PATH, ROWID_COL,
+                                     SNAPID_COL)
     from ducklake_spark.transaction import DeleteFileInfo
 
     txn = lake._begin()
@@ -119,7 +120,7 @@ def _delete_buffered_as_files(lake: DuckLake, h: TableHandle, where: str,
             list(schema.fields) + [_T.StructField(ROWID_COL, _T.LongType())])
         paths = [os.path.join(lake.data_path, f.path) for f in grp]
         df = (lake.spark.read.schema(rschema).parquet(*paths)
-              .withColumn("__file", F.col("_metadata.file_path"))
+              .withColumn("__file", F.expr(DECODED_FILE_PATH))
               .withColumn("pos", F.col("_metadata.row_index")))
         part = df.filter(where).select("__file", "pos")
         new_dels = part if new_dels is None else new_dels.unionByName(part)
@@ -308,18 +309,14 @@ def delete(lake: DuckLake, name: str, where: str | None = None) -> int:
         n_buf += _dml_buffered_inlined(lake, h, where, None)
     if n_deleted + n_inl + n_buf == 0:
         return 0
-    if n_inl:
-        # inlined DATA rows end-snapshot in the catalog: they stop being
-        # live rows, so the stats row decrements. File-positional
-        # deletes do NOT decrement — the reference keeps
-        # ducklake_table_stats.record_count GROSS (sum of live files;
-        # test/sql/delete/full_file_delete_stats.test keeps 100 after a
-        # partial delete); whole-file drops decrement inside the fused
-        # writer. Buffered rewrites adjust the buffered files' own
-        # record counts, which the commit sums.
-        txn = lake._begin()
-        txn.stats_delta.setdefault(h.table_id, {}).setdefault("records", 0)
-        txn.stats_delta[h.table_id]["records"] -= n_inl
+    # NO stats decrement for inlined-DATA row deletes: the reference
+    # keeps ducklake_table_stats.record_count GROSS (total ever
+    # inserted) for EVERY delete form — file-positional, absorbed, and
+    # inlined-row alike; only whole-file drops and compaction recompute
+    # it (ducklake_scan.cpp:214-220: min_max_exact compares the gross
+    # count against the net count, so an inlined delete must leave a
+    # gross>net gap to disable the MIN/MAX fold —
+    # min_max_optimization_deletes.test section 3)
     lake._begin()
     # change kinds are logged at the site that knows the delete's form:
     # _apply_file_deletes (deleted_from_table / inlined_delete for

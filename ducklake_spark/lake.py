@@ -60,6 +60,11 @@ SNAPID_COL = "_ducklake_internal_snapshot_id"
 # uncommitted rows expose rowids from this base until commit reassigns
 # real ids (reference: test/sql/rowid/ducklake_row_id.test)
 TXN_LOCAL_ROWID_BASE = 10**18
+
+# Spark URI-encodes _metadata.file_path (space -> %20); catalog paths
+# are stored raw, so every join between the two decodes the Spark side.
+# Literal '+' is protected first (url_decode is form-decoding).
+DECODED_FILE_PATH = "url_decode(replace(_metadata.file_path, '+', '%2B'))"
 # Iceberg positional-delete field ids (reference: ducklake_delete.cpp:36-158)
 DELETE_FILE_PATH_FIELD_ID = 2147483546
 DELETE_POS_FIELD_ID = 2147483545
@@ -3861,7 +3866,19 @@ class DuckLake:
             ):
                 file_stats[(fid, cid)] = (mn, mx, vc, nc, nan)
 
-        has_deletes = bool(deletes or inl_dels)
+        # reference fold-exactness rule (ducklake_scan.cpp:214-220):
+        # global column stats only widen on insert and are never
+        # tightened by deletes, so MIN/MAX is exact iff the GROSS
+        # record_count (ducklake_table_stats, total ever inserted since
+        # the last recompute) equals the net delete-adjusted count —
+        # and never under time travel (global stats are current-only,
+        # min_max_optimization_time_travel.test).
+        gross_row = self.meta.query(
+            "SELECT record_count FROM ducklake_table_stats "
+            "WHERE table_id=?", (h.table_id,))
+        gross = gross_row[0][0] if gross_row else None
+        has_deletes = (bool(deletes or inl_dels) or time_travel
+                       or (gross is not None and gross != n))
         mins: dict = {}
         maxs: dict = {}
         folded: dict = {}
@@ -4318,7 +4335,7 @@ class DuckLake:
         df = None
         for p in parts:
             p = (
-                p.withColumn("__file", F.col("_metadata.file_path"))
+                p.withColumn("__file", F.expr(DECODED_FILE_PATH))
                 .withColumn("__pos", F.col("_metadata.row_index"))
             )
             if "_metadata" in p.columns:

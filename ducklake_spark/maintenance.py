@@ -135,6 +135,62 @@ def _merge_adjacent_in_txn(lake, tables, target_file_size,
         schema = lake._spark_schema(h)
         epoch_keys, init_defaults = lake._file_epoch_keys(h, files, schema)
         sort_spec = lake._sort_spec(h)
+        # packs also split per column-generation epoch — the set of
+        # ducklake_column generations visible at the file's begin
+        # snapshot. The reference groups compaction per schema_version
+        # (ducklake_compaction_functions.cpp:299-348); deriving the
+        # epoch from column history instead of ducklake_snapshot keeps
+        # it correct after the recording snapshots are EXPIRED
+        # (merge_files_expired_snapshots.test: 3 files, not 1, after
+        # two alters whose snapshots are gone)
+        colgens = lake.meta.query(
+            "SELECT column_id, begin_snapshot, end_snapshot "
+            "FROM ducklake_column WHERE table_id=? "
+            "AND parent_column IS NULL",
+            (h.table_id,),
+        )
+
+        latest_gens = frozenset(
+            (c, b) for c, b, e in colgens if e is None)
+
+        def _colgen_epoch(f: dict) -> frozenset:
+            fsnap = lake._file_begin_snapshot(f)
+            if fsnap is None:
+                return frozenset()
+            gens = frozenset(
+                (c, b) for c, b, e in colgens
+                if b <= fsnap and (e is None or e > fsnap))
+            # FieldsPreservedInLatest (ducklake_compaction_functions
+            # .cpp:264-282): a file whose visible generations all
+            # survive in the latest schema merges into the latest group
+            # (ADD COLUMN alone never splits —
+            # compaction_schema_version_per_table.test "all four files
+            # merge"); a file holding since-dropped/renamed/retyped
+            # generations only merges with exact epoch peers
+            return frozenset() if gens <= latest_gens else gens
+
+        def _epoch_handle(cge: frozenset):
+            """Synthetic handle whose columns are the pack's OWN
+            generation rows — an isolated old-epoch pack must be
+            rewritten in its epoch's physical shape (names, types,
+            field ids), or time travel reads NULL for columns dropped
+            since (compaction_alter_table.test s2 read)."""
+            if not cge:
+                return None
+            rows = lake.meta.query(
+                "SELECT column_id, column_name, column_type, "
+                "nulls_allowed, begin_snapshot, column_order "
+                "FROM ducklake_column WHERE table_id=? "
+                "AND parent_column IS NULL ORDER BY column_order",
+                (h.table_id,),
+            )
+            import dataclasses
+
+            return dataclasses.replace(h, columns=[
+                (cid, nm, ty, bool(na))
+                for cid, nm, ty, na, b, _o in rows if (cid, b) in cge
+            ])
+
         groups: dict[tuple, list[dict]] = {}
         for f in files:
             if f["data_file_id"] in with_deletes:
@@ -164,7 +220,8 @@ def _merge_adjacent_in_txn(lake, tables, target_file_size,
                     continue
                 groups.setdefault(
                     (part_vals[f["data_file_id"]],
-                     pid_by_fid.get(f["data_file_id"]), epoch),
+                     pid_by_fid.get(f["data_file_id"]), epoch,
+                     _colgen_epoch(f)),
                     []).append(f)
                 continue
             if min_file_size is not None and f["file_size_bytes"] < min_file_size:
@@ -183,21 +240,22 @@ def _merge_adjacent_in_txn(lake, tables, target_file_size,
                 continue
             groups.setdefault(
                 (part_vals[f["data_file_id"]],
-                 pid_by_fid.get(f["data_file_id"]), epoch), []).append(f)
+                 pid_by_fid.get(f["data_file_id"]), epoch,
+                 _colgen_epoch(f)), []).append(f)
         all_packs: list[tuple[list[dict], tuple, int | None, tuple]] = []
-        for (pv, pid, epoch), members in groups.items():
+        for (pv, pid, epoch, cge), members in groups.items():
             # greedy adjacent packing toward target size
             # (ducklake_compaction_functions.cpp:367-414)
             batch: list[dict] = []
             size = 0
             for f in members:
                 if size + f["file_size_bytes"] > target_file_size and len(batch) > 1:
-                    all_packs.append((batch, pv, pid, epoch))
+                    all_packs.append((batch, pv, pid, epoch, cge))
                     batch, size = [], 0
                 batch.append(f)
                 size += f["file_size_bytes"]
             if len(batch) > 1:
-                all_packs.append((batch, pv, pid, epoch))
+                all_packs.append((batch, pv, pid, epoch, cge))
         hit_cap = False
         if max_compacted_files is not None:
             budget = max_compacted_files - n_groups
@@ -216,16 +274,18 @@ def _merge_adjacent_in_txn(lake, tables, target_file_size,
                 max_workers=min(PACK_POOL_WORKERS, len(all_packs))
             ) as pool:
                 futs = [
-                    pool.submit(_rewrite_pack, lake, h, pack, pv, pid, epoch)
-                    for pack, pv, pid, epoch in all_packs
+                    pool.submit(_rewrite_pack, lake, h, pack, pv, pid,
+                                epoch, _epoch_handle(cge))
+                    for pack, pv, pid, epoch, cge in all_packs
                 ]
                 for fut in futs:
                     fut.result()
         elif all_packs:
-            pack, pv, pid, epoch = all_packs[0]
-            _rewrite_pack(lake, h, pack, pv, pid, epoch)
+            pack, pv, pid, epoch, cge = all_packs[0]
+            _rewrite_pack(lake, h, pack, pv, pid, epoch,
+                          _epoch_handle(cge))
         if detail is not None:
-            for pack, _pv, _pid, _epoch in all_packs:
+            for pack, _pv, _pid, _epoch, _cge in all_packs:
                 detail.append(
                     (h.schema_name, h.table_name, len(pack), 1))
         n_groups += len(all_packs)
@@ -235,7 +295,8 @@ def _merge_adjacent_in_txn(lake, tables, target_file_size,
 
 
 def _rewrite_pack(lake: DuckLake, h, pack: list[dict], part_vals: tuple,
-                  part_pid: int | None, epoch: tuple) -> None:
+                  part_pid: int | None, epoch: tuple,
+                  h_epoch=None) -> None:
     """Merge one same-epoch pack into one file, preserving the epoch's
     PHYSICAL shape: read with the epoch's reverted nested names, write
     those names back, and keep ADD COLUMN ... DEFAULT columns physically
@@ -244,11 +305,18 @@ def _rewrite_pack(lake: DuckLake, h, pack: list[dict], part_vals: tuple,
     so the scan's rename revert / field-default fill / initial-default
     fill treat it exactly like the files it replaced. Materializing any
     of those fills here would double-apply or disable them
-    (round-4 verdict repros a-c; ADVICE ffill-straddle)."""
-    schema = lake._spark_schema(h)
+    (round-4 verdict repros a-c; ADVICE ffill-straddle).
+
+    ``h_epoch``: for a pack isolated in an OLD column-generation epoch
+    (dropped/renamed/retyped columns since), a synthetic handle with
+    that epoch's column rows — the merged file is written in the
+    epoch's physical shape so earlier-snapshot reads keep their
+    columns (compaction_alter_table.test time travel)."""
+    hs = h_epoch or h
+    schema = lake._spark_schema(hs)
     later, _ffill, absent, _fadds = epoch
     gschema, _fixups = lake._epoch_schema(
-        h, lake._reader_schema(h, schema), later)
+        hs, lake._reader_schema(hs, schema), later)
     # adopted files in the pack resolve by NAME (no field ids); the
     # guard in _merge_adjacent_in_txn admits them only with a trivial
     # epoch, so a plain name-based read IS the scan's semantics and the
@@ -336,7 +404,7 @@ def _rewrite_pack(lake: DuckLake, h, pack: list[dict], part_vals: tuple,
     # a pack is single-partition by construction: writing through the
     # table's partition spec keeps the merged file under its hive path
     # (compaction_hive_structure.test counts %sale_date% paths)
-    files = lake._write_parquet(h, merged, schema,
+    files = lake._write_parquet(hs, merged, schema,
                                 lake._partition_spec(h), [])
     if positional and len(files) != 1:  # defensive: offsets unknowable
         raise DuckLakeError(

@@ -456,8 +456,14 @@ _DUCK_SIMPLE = {
 def duck_type_to_ducklake(t: str) -> str:
     """DuckDB DDL type text -> DuckLake catalog type name."""
     t = t.strip()
-    # N-dimensional array suffixes: INT[] / INT[][]; fixed arrays INT[3]
-    m = re.fullmatch(r"(.+?)\s*\[\s*\d*\s*\]", t, re.S)
+    # N-dimensional array suffixes: INT[] / INT[][] are lists; FIXED
+    # arrays INT[3] are a distinct ARRAY type the reference rejects
+    # (types/unsupported.test "unsupported type")
+    if re.fullmatch(r".+?\s*\[\s*\d+\s*\]", t, re.S):
+        raise DuckLakeError(
+            f"unsupported type {t!r}: fixed-size ARRAY types are not "
+            "supported in DuckLake")
+    m = re.fullmatch(r"(.+?)\s*\[\s*\]", t, re.S)
     if m:
         return f"list<{duck_type_to_ducklake(m.group(1))}>"
     low = t.lower()
@@ -497,7 +503,13 @@ def duck_type_to_ducklake(t: str) -> str:
                     f"{duck_type_to_ducklake(parts[1])}>")
     m = re.fullmatch(r"union\s*\((.*)\)", t.strip(), re.I | re.S)
     if m:
-        raise SQLFrontUnsupported("UNION types are not supported")
+        # a real engine error, not a dialect gap: the reference rejects
+        # these in DDL (types/unsupported.test)
+        raise DuckLakeError("unsupported type: UNION types are not "
+                            "supported in DuckLake")
+    if re.match(r"enum\s*\(", t.strip(), re.I):
+        raise DuckLakeError("unsupported type: ENUM types are not "
+                            "supported in DuckLake")
     low = re.sub(r"\s+", " ", low)
     if low == "double precision":
         return "float64"
@@ -818,10 +830,12 @@ _TYPEOF_CASES = [
 ]
 
 
-def _rewrite_typeof(sql: str) -> str:
+def _rewrite_typeof(sql: str, json_cols: frozenset = frozenset()) -> str:
     """``typeof(expr)`` -> a CASE mapping Spark's lowercase type names
     onto DuckDB's display names (reference renders
-    LogicalType::ToString: INTEGER, VARCHAR, ...)."""
+    LogicalType::ToString: INTEGER, VARCHAR, ...). ``json_cols``: lake
+    columns whose CATALOG type is json — Spark stores them as string,
+    so typeof must report 'JSON' from the catalog type (json.test)."""
     out = []
     i = 0
     while True:
@@ -847,9 +861,13 @@ def _rewrite_typeof(sql: str) -> str:
             out.append(sql[i:])
             break
         arg = sql[i + m.end():j - 1]
+        out.append(sql[i:start])
+        if arg.strip().split(".")[-1].strip('"').lower() in json_cols:
+            out.append("'JSON'")
+            i = j
+            continue
         whens = " ".join(
             f"WHEN '{s}' THEN '{d}'" for s, d in _TYPEOF_CASES)
-        out.append(sql[i:start])
         out.append(f"(CASE typeof({arg}) {whens} "
                    f"ELSE upper(typeof({arg})) END)")
         i = j
@@ -987,6 +1005,28 @@ class SQLSession:
             raise DuckLakeError(
                 f'Catalog "{broken[db]}" does not exist!')
         return self.lakes[db]
+
+    def _json_typed_columns(self, sql: str) -> frozenset:
+        """Lake columns whose CATALOG type is json among tables the
+        statement references (Spark stores json as string, so typeof()
+        reports the catalog type — json.test)."""
+        out: set[str] = set()
+        for lake in self.lakes.values():
+            try:
+                names = lake._table_names()
+            except Exception:
+                continue
+            for name in names:
+                tbl = name.split(".")[-1]
+                if not re.search(rf"\b{re.escape(tbl)}\b", sql, re.I):
+                    continue
+                try:
+                    cols = lake._handle(name).columns
+                except Exception:
+                    continue
+                out.update(c[1].lower() for c in cols
+                           if str(c[2]).lower() == "json")
+        return frozenset(out)
 
     def _resolve(self, qname: str) -> tuple[DuckLake, str, str, str, str]:
         """qualified name -> (lake, api_name, db, schema, table)."""
@@ -1506,6 +1546,12 @@ class SQLSession:
                             mas.group(2).strip(), re.I):
             if if_not_exists and self._table_exists(lake, api):
                 return None
+            if re.search(r"(::\s*|\bAS\s+)ENUM\s*\(", mas.group(2), re.I):
+                # reference rejects ENUM results in DuckLake CTAS
+                # (types/unsupported.test)
+                raise DuckLakeError(
+                    "unsupported type: ENUM types are not supported in "
+                    "DuckLake")
             df = self.query(_strip_parens(mas.group(2)))
             if mas.group(1):
                 names = [_unquote(c) for c in _split_top(mas.group(1))]
@@ -1541,6 +1587,15 @@ class SQLSession:
                 raise DuckLakeError(
                     "constraint not supported (reference: "
                     "test/sql/constraints/unsupported.test)")
+            if re.search(r"\bCOLLATE\s+\S+\s*$", body, re.I):
+                # reference: types/unsupported.test
+                raise DuckLakeError("Collations are not supported in "
+                                    "DuckLake")
+            mu = re.search(r"\bUSING\s+COMPRESSION\s+\S+\s*$", body, re.I)
+            if mu:
+                raise DuckLakeError(
+                    "specifying a compression type for a column is not "
+                    "supported in DuckLake")
             cols.append((cname, duck_type_to_ducklake(body.strip())))
         if if_not_exists and self._table_exists(lake, api):
             return None
@@ -2398,6 +2453,7 @@ class SQLSession:
         fmt = "parquet" if path.lower().endswith((".parquet", ".pq")) \
             else "csv" if path.lower().endswith(".csv") else None
         partition_by = None
+        row_group_size = row_groups_per_file = None
         if opttext:
             for part in _split_top(opttext):
                 mm = re.match(rf"({_IDENT})\s*(.*)$", part.strip(), re.S)
@@ -2408,9 +2464,18 @@ class SQLSession:
                     partition_by = [
                         _unquote(c) for c in _split_top(
                             _strip_parens(mm.group(2)))]
+                elif key == "row_group_size":
+                    row_group_size = int(mm.group(2).strip())
+                elif key == "row_groups_per_file":
+                    row_groups_per_file = int(mm.group(2).strip())
                 # compression etc.: defaults are fine for fixtures
         if src.startswith("("):
             df = self.query(_strip_parens(src))
+        elif "." not in src and self.spark.catalog.tableExists(
+                _unquote(src)):
+            # a host-catalog fixture table (CREATE TABLE x AS without
+            # USE — stats/filter_stress.test copies one back out)
+            df = self.spark.table(_unquote(src))
         else:
             lake, api, *_ = self._resolve(src)
             df = lake.table(api)
@@ -2420,6 +2485,13 @@ class SQLSession:
             # append, never overwrite: DuckDB's COPY TO a directory adds
             # files — reference tests COPY into the lake's own DATA_PATH
             # (add_files_hive.test) and an overwrite would wipe it
+            if self.single_file_writes:
+                # the reference writes ONE file per partition; its
+                # tests pin per-partition file/stat counts
+                # (add_files_hive_partition_cast.test:258)
+                from pyspark.sql import functions as F
+
+                df = df.repartition(*[F.col(c) for c in partition_by])
             df.write.mode("append").partitionBy(*partition_by) \
                 .parquet(path)
             return None
@@ -2429,8 +2501,24 @@ class SQLSession:
             tbl = df.toArrow()
             import os as _os
 
+            if row_groups_per_file is not None:
+                # DuckDB's COPY splits into numbered files under PATH
+                # as a directory (filter_stress.test: ROW_GROUP_SIZE
+                # 2048, ROW_GROUPS_PER_FILE 1 → ~54 small files)
+                _os.makedirs(path, exist_ok=True)
+                rg = row_group_size or 122_880
+                per_file = rg * row_groups_per_file
+                n = tbl.num_rows
+                for fi, start in enumerate(range(0, max(n, 1), per_file)):
+                    pq.write_table(
+                        tbl.slice(start, per_file),
+                        _os.path.join(path, f"data_{fi}.parquet"),
+                        row_group_size=rg)
+                return None
             _os.makedirs(_os.path.dirname(path) or ".", exist_ok=True)
-            pq.write_table(tbl, path)
+            pq.write_table(tbl, path,
+                           **({"row_group_size": row_group_size}
+                              if row_group_size else {}))
             return None
         if fmt == "csv":
             import os as _os
@@ -2631,8 +2719,10 @@ class SQLSession:
                                         else "TABLE_SCAN ")
                         else:
                             scan_tag = "TABLE_SCAN "
+                    total = len(lake._visible_files(h, snap, None))
                     txt = (f"DUCKLAKE_SCAN {api} {scan_tag}"
-                           f"Total Files Read: {len(files)}")
+                           f"Total Files Read: {len(files)} "
+                           f"of {total} candidate files")
                     return self.spark.createDataFrame(
                         [("analyzed_plan", txt)],
                         "explain_key string, explain_value string")
@@ -2948,13 +3038,25 @@ class SQLSession:
                        else "make_dt_interval(0, %s)"
                        % _IVL[m.group(2).lower()].format(e=m.group(1))),
             sql, flags=re.I)
+        # duckdb: DATE + INTERVAL yields TIMESTAMP (midnight-anchored);
+        # Spark keeps DATE for day-granularity intervals — cast the
+        # column side (add_files_hive_partition_cast.test:
+        # day + INTERVAL 1 DAY renders '2024-01-03 00:00:00')
+        sql = re.sub(
+            rf"(?<![\w.'\")])({_IDENT}(?:\s*\.\s*{_IDENT})*)\s*([+-])\s*"
+            r"(INTERVAL\s+'?\d+'?\s*\w+)",
+            lambda m: (m.group(0) if m.group(1).upper() in
+                       ("INTERVAL", "DATE", "TIMESTAMP", "TIME")
+                       else f"CAST({m.group(1)} AS TIMESTAMP) "
+                            f"{m.group(2)} {m.group(3)}"),
+            sql, flags=re.I)
         sql = re.sub(r"\bprintf\s*\(", "format_string(", sql, flags=re.I)
         sql = re.sub(r"\bends_with\s*\(", "endswith(", sql, flags=re.I)
         sql = re.sub(r"\bstarts_with\s*\(", "startswith(", sql, flags=re.I)
         # typeof() must render DuckDB display names (INTEGER, VARCHAR),
         # not Spark's lowercase ones (json.test, hive_partition_cast)
         if re.search(r"\btypeof\s*\(", sql, re.I):
-            sql = _rewrite_typeof(sql)
+            sql = _rewrite_typeof(sql, self._json_typed_columns(sql))
 
         # 0c. bare range(...) in FROM position: DuckDB's output column is
         # named `range`; Spark's is `id` — wrap unless the test aliases

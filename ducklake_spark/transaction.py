@@ -1499,13 +1499,19 @@ class Transaction:
             # ducklake_transaction_state.cpp:880-960 under its
             # delete-free gate); dml whole-file drops took the
             # delete-or-reset rule above instead
+            recomputed: set[int] = set()
             for tid in (set(self.removed_data_files)
                         | set(self.purged_data_files)) - set(
                             self.dropped_file_stats):
-                self._recompute_global_column_stats(con, tid)
+                if self._recompute_global_column_stats(con, tid):
+                    recomputed.add(tid)
 
             # --- record-count / byte deltas from deletes and rewrites
+            # (absolute recompute above already landed the final values
+            # for its tables)
             for tid, delta in self.stats_delta.items():
+                if tid in recomputed:
+                    continue
                 if _stats_row_exists(con, tid):
                     con.execute(
                         "UPDATE ducklake_table_stats SET "
@@ -1742,18 +1748,53 @@ class Transaction:
         predate an ADD COLUMN (rows surface initial_default) or adopted
         files with missing columns have no per-file row, so the count
         check keeps the widened global row for those columns. Tables
-        with live inlined rows are skipped entirely (their values are
-        not in any file's stats). Pure catalog work: one point count +
-        one stats query per column, no data-file reads.
+        with live inlined rows keep their widened COLUMN rows (their
+        values are not in any file's stats). Pure catalog work: one
+        point count + one stats query per column, no data-file reads.
+
+        Also resets record_count/file_size_bytes to the NET live count
+        (reference rewrite recompute sets new_stats.record_count = net
+        data rows + net inlined rows) — that re-arms the gross==net
+        MIN/MAX fold exactness check after a rewrite consumes the
+        table's deletes (min_max_optimization_compaction.test §2).
+        Returns True so the commit skips the per-delta arithmetic.
         """
+        nrec = con.execute(
+            "SELECT COALESCE(SUM(record_count),0), "
+            "COALESCE(SUM(file_size_bytes),0) FROM ducklake_data_file "
+            "WHERE table_id=? AND end_snapshot IS NULL", (tid,),
+        ).fetchone()
+        net, nbytes = int(nrec[0]), int(nrec[1])
+        net -= int(con.execute(
+            "SELECT COALESCE(SUM(delete_count),0) FROM ducklake_delete_file "
+            "WHERE table_id=? AND end_snapshot IS NULL", (tid,),
+        ).fetchone()[0])
+        try:
+            net -= int(con.execute(
+                f"SELECT COUNT(*) FROM ducklake_inlined_delete_{tid} d "
+                "JOIN ducklake_data_file f ON f.data_file_id=d.file_id "
+                "AND f.end_snapshot IS NULL",
+            ).fetchone()[0])
+        except Exception:
+            pass  # no inlined-delete side table
+        inlined_live = False
         for (tname,) in con.execute(
             "SELECT table_name FROM ducklake_inlined_data_tables "
             "WHERE table_id=?", (tid,),
         ).fetchall():
-            if con.execute(
-                f"SELECT 1 FROM {tname} WHERE end_snapshot IS NULL LIMIT 1"
-            ).fetchone():
-                return
+            live_rows = int(con.execute(
+                f"SELECT COUNT(*) FROM {tname} WHERE end_snapshot IS NULL"
+            ).fetchone()[0])
+            net += live_rows
+            inlined_live = inlined_live or live_rows > 0
+        if _stats_row_exists(con, tid):
+            con.execute(
+                "UPDATE ducklake_table_stats SET record_count=?, "
+                "file_size_bytes=? WHERE table_id=?",
+                (net, nbytes, tid),
+            )
+        if inlined_live:
+            return True
         nlive = con.execute(
             "SELECT COUNT(*) FROM ducklake_data_file "
             "WHERE table_id=? AND end_snapshot IS NULL", (tid,),
@@ -1799,6 +1840,7 @@ class Transaction:
                 (has_null, has_nan, mn, mx,
                  None if extra_missing else extra, tid, cid),
             )
+        return True
 
     def _merge_global_column_stats(self, con, tid: int, cs: ColumnStatsRow,
                                    allow_seed: bool = True) -> None:
