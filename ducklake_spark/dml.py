@@ -81,8 +81,10 @@ def _rewrite_txn_local(lake: DuckLake, h: TableHandle, where: str,
     in place (delete+re-insert preserving buffered rowids)."""
     key = f"{h.schema_name}.{h.table_name}"
     if assignments is None:
-        return _delete_buffered_as_files(lake, h, where, key)
-    return _rewrite_buffered(lake, h, where, assignments, key)
+        return (_delete_buffered_as_files(lake, h, where, key)
+                + _dml_buffered_inlined(lake, h, where, None))
+    return (_rewrite_buffered(lake, h, where, assignments, key)
+            + _dml_buffered_inlined(lake, h, where, assignments))
 
 
 def _delete_buffered_as_files(lake: DuckLake, h: TableHandle, where: str,
@@ -882,49 +884,60 @@ def _dml_buffered_inlined(lake: DuckLake, h: TableHandle, where: str,
     fs = T.StructType(list(schema.fields)
                       + [T.StructField("__idx", T.LongType())])
     total = 0
+    key = f"{h.schema_name}.{h.table_name}"
+    # normalize the three buffer shapes to
+    # (entries, index, packed, rebuild(new_packed) -> entry)
+    work = []
     for entries in (txn.inlined_inserts, txn.inlined_inserts_rebase):
         for ei, (tid, tname, packed) in enumerate(entries):
-            if tid != h.table_id or not packed:
+            if tid == h.table_id and packed:
+                work.append((entries, ei, packed,
+                             lambda p, t=tid, n=tname: (t, n, p)))
+    for ei, (k, packed, cols) in enumerate(txn.inlined_ctas):
+        # inlined CTAS buffers key by NAME (table id exists at commit)
+        if k == key and packed:
+            work.append((txn.inlined_ctas, ei, packed,
+                         lambda p, k=k, c=cols: (k, p, c)))
+    for entries, ei, packed, rebuild in work:
+        data = [
+            tuple(_from_sql_value(v, f_.dataType)
+                  for v, f_ in zip(r[3:3 + ncols], schema.fields))
+            + (i,)
+            for i, r in enumerate(packed)
+        ]
+        df = lake.spark.createDataFrame(data, fs)
+        if assignments is None:
+            hit = {r["__idx"] for r in
+                   df.filter(where).select("__idx").collect()}
+            if not hit:
                 continue
-            data = [
-                tuple(_from_sql_value(v, f_.dataType)
-                      for v, f_ in zip(r[3:3 + ncols], schema.fields))
-                + (i,)
-                for i, r in enumerate(packed)
-            ]
-            df = lake.spark.createDataFrame(data, fs)
-            if assignments is None:
-                hit = {r["__idx"] for r in
-                       df.filter(where).select("__idx").collect()}
-                if not hit:
-                    continue
-                entries[ei] = (tid, tname, [
-                    r for i, r in enumerate(packed) if i not in hit])
-                total += len(hit)
+            entries[ei] = rebuild(
+                [r for i, r in enumerate(packed) if i not in hit])
+            total += len(hit)
+            continue
+        cond = F.expr(where)
+        out = df.select(
+            *[
+                F.when(cond, F.expr(assignments[f.name])).otherwise(
+                    F.col(f.name)).alias(f.name)
+                if f.name in assignments else F.col(f.name)
+                for f in schema.fields
+            ],
+            cond.alias("__hit"), F.col("__idx"),
+        ).collect()
+        new_packed, hits = list(packed), 0
+        for r in out:
+            if not r["__hit"]:
                 continue
-            cond = F.expr(where)
-            out = df.select(
-                *[
-                    F.when(cond, F.expr(assignments[f.name])).otherwise(
-                        F.col(f.name)).alias(f.name)
-                    if f.name in assignments else F.col(f.name)
-                    for f in schema.fields
-                ],
-                cond.alias("__hit"), F.col("__idx"),
-            ).collect()
-            new_packed, hits = list(packed), 0
-            for r in out:
-                if not r["__hit"]:
-                    continue
-                i = r["__idx"]
-                old = packed[i]
-                new_packed[i] = old[:3] + tuple(
-                    _to_sql_value(r[f.name], f.dataType)
-                    for f in schema.fields) + old[3 + ncols:]
-                hits += 1
-            if hits:
-                entries[ei] = (tid, tname, new_packed)
-                total += hits
+            i = r["__idx"]
+            old = packed[i]
+            new_packed[i] = old[:3] + tuple(
+                _to_sql_value(r[f.name], f.dataType)
+                for f in schema.fields) + old[3 + ncols:]
+            hits += 1
+        if hits:
+            entries[ei] = rebuild(new_packed)
+            total += hits
     return total
 
 

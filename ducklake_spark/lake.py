@@ -557,6 +557,7 @@ class DuckLake:
         if self._txn is None:
             self._txn = Transaction(self.meta)
             self._txn.commit_message = self._commit_note
+            self._txn.session_inline_default = self._inline_limit()
         return self._txn
 
     def commit(self) -> int:
@@ -975,6 +976,8 @@ class DuckLake:
                 self.lfs.remove(
                     self.lfs.strip_scheme(
                         os.path.join(self.data_path, dfi.path)))
+            txn.inlined_ctas = [e for e in txn.inlined_ctas
+                                if e[0] != key]
             txn.created_tables = [
                 td for td in txn.created_tables
                 if not (td.schema_name == h.schema_name
@@ -1116,9 +1119,35 @@ class DuckLake:
                 (pending_id, col_name, col_type, default)
             )
 
+        # decide NOW whether any row will surface the default: rows
+        # committed before this statement (minus ones this transaction
+        # already deleted) plus rows buffered earlier in this
+        # transaction (add_column_default_stats.test cases 1-3 — a
+        # post-ALTER insert carries explicit values and must NOT seed)
+        rc_row = self.meta.query(
+            "SELECT record_count FROM ducklake_table_stats "
+            "WHERE table_id=?", (h.table_id,))
+        surfacing = (rc_row[0][0] or 0) if rc_row else 0
+        inl_prefix = f"ducklake_inlined_data_{h.table_id}_"
+        for tname2, keys2, tuples2 in txn.inlined_end_updates:
+            if tname2.startswith(inl_prefix) and tuples2:
+                surfacing -= len(tuples2)
+        surfacing -= len(txn.inlined_deletes.get(h.table_id, []))
+        for dfl in txn.new_delete_files.get(h.table_id, []):
+            surfacing -= dfl.delete_count or 0
+        surfacing += sum(
+            len(p) for t, _n, p in (txn.inlined_inserts
+                                    + txn.inlined_inserts_rebase)
+            if t == h.table_id
+        ) + sum(
+            f.record_count or 0
+            for f in txn.new_data_files.get(str(h.table_id), [])
+        )
+        seed_default = surfacing > 0
+
         def op(con, snap_id, h=h, col_name=col_name, col_type=col_type,
                default=default, txn=txn, pending_id=pending_id,
-               leaves=leaves):
+               leaves=leaves, seed_default=seed_default):
             order = con.execute(
                 "SELECT COALESCE(MAX(column_order), -1) + 1 FROM ducklake_column "
                 "WHERE table_id=? AND end_snapshot IS NULL",
@@ -1154,18 +1183,12 @@ class DuckLake:
             # existing row, so the global stats start at that literal
             # (reference: test/sql/alter/add_column_default_stats.test)
             lit = _literal_text(default)
-            if lit is not None:
-                rc = con.execute(
-                    "SELECT record_count FROM ducklake_table_stats "
-                    "WHERE table_id=?",
-                    (h.table_id,),
-                ).fetchone()
-                if rc and rc[0] > 0:
-                    con.execute(
-                        "INSERT INTO ducklake_table_column_stats VALUES "
-                        "(?, ?, 0, 0, ?, ?, NULL)",
-                        (h.table_id, new_id, lit, lit),
-                    )
+            if lit is not None and seed_default:
+                con.execute(
+                    "INSERT INTO ducklake_table_column_stats VALUES "
+                    "(?, ?, 0, 0, ?, ?, NULL)",
+                    (h.table_id, new_id, lit, lit),
+                )
 
         txn.column_changes.setdefault(h.table_id, []).append(op)
         txn.change_log.append(f"altered_table:{h.table_id}")
@@ -2447,8 +2470,30 @@ class DuckLake:
                 columns=[(c.column_id, c.name, c.type, c.nulls_allowed) for c in td.columns],
             )
             schema = self._spark_schema(h)
+            key = f"{schema_name}.{table_name}"
+            inline_limit = self._inline_limit()
+            if inline_limit > 0:
+                # small CTAS output inlines into the catalog like a
+                # small INSERT (reference routes the CTAS insert half
+                # through DuckLakeInlineData;
+                # data_inlining_delete.test expects NO files on disk)
+                conf = self._conform(df, schema, h)
+                head = conf.limit(inline_limit + 1).collect()
+                if len(head) <= inline_limit:
+                    from ducklake_spark.transaction import PENDING_SNAPSHOT
+
+                    packed = [
+                        (i, PENDING_SNAPSHOT, None)
+                        + tuple(_to_sql_value(v, f_.dataType)
+                                for v, f_ in zip(r, schema.fields))
+                        for i, r in enumerate(head)
+                    ]
+                    self._txn.inlined_ctas.append((key, packed, [
+                        (c.column_id, c.name, c.type) for c in td.columns]))
+                    self._txn.change_log.append(f"inlined_insert:{key}")
+                    return
             files = self._write_parquet(h, self._conform(df, schema, h), schema, [], [])
-            self._txn.new_data_files.setdefault(f"{schema_name}.{table_name}", []).extend(files)
+            self._txn.new_data_files.setdefault(key, []).extend(files)
             self._txn.change_log.append(
                 f"inserted_into_table:{schema_name}.{table_name}"
             )
@@ -3751,6 +3796,8 @@ class DuckLake:
             or any(tid == h.table_id for tid, _t, _r in txn.inlined_inserts)
             or any(tid == h.table_id
                    for tid, _t, _r in txn.inlined_inserts_rebase)
+            or any(k == f"{h.schema_name}.{h.table_name}"
+                   for k, _p, _c in txn.inlined_ctas)
             or any(_owns(t) for t, _k, _u in txn.inlined_end_updates)
             or any(_owns(t) for t, _k, _u in txn.inlined_row_removals)
         )
@@ -4852,7 +4899,8 @@ class DuckLake:
 
     def inlined_frame(self, h: TableHandle, tname: str, rows: list,
                       schema: T.StructType, head: list = (),
-                      tail: list = ()) -> DataFrame:
+                      tail: list = (), colpos: dict | None = None
+                      ) -> DataFrame:
         """DataFrame from raw ``SELECT *`` rows of one inlined catalog
         table, mapping its columns to the CURRENT schema through the
         epoch's column ids — an older-epoch inlined table may lack
@@ -4863,7 +4911,7 @@ class DuckLake:
         ``head``/``tail``: (StructField, fn(row, idx) -> value) pairs
         prepended/appended to each output row (rowid/snapshot columns
         at the call sites)."""
-        idx = {
+        idx = colpos if colpos is not None else {
             r[1]: i for i, r in enumerate(
                 self.meta.query(f"PRAGMA table_info({tname})")
             )
@@ -5054,6 +5102,26 @@ class DuckLake:
                 h, tname, rows, schema,
                 tail=_tail("__ducklake_inlined_transaction_local_data",
                            findex_base + len(tabs) + bi)))
+        if txn is not None:
+            # inlined CTAS rows of a txn-local table (no table id yet)
+            key = f"{h.schema_name}.{h.table_name}"
+            colpos = {"row_id": 0, "begin_snapshot": 1, "end_snapshot": 2}
+            for i, f_ in enumerate(schema.fields):
+                colpos[f_.name] = 3 + i
+            for ci, (k, packed, _cols) in enumerate(txn.inlined_ctas):
+                if k != key or not packed:
+                    continue
+                rows = [
+                    (TXN_LOCAL_ROWID_BASE + r[0], None) + tuple(r[2:])
+                    for r in packed
+                ]
+                parts.append(self.inlined_frame(
+                    h, "__ducklake_ctas_buffer", rows, schema,
+                    tail=_tail(
+                        "__ducklake_inlined_transaction_local_data",
+                        findex_base + len(tabs) + len(buffered_frames)
+                        + ci),
+                    colpos=colpos))
         if not parts:
             return None
         df = parts[0]

@@ -1428,7 +1428,11 @@ def _flush_inlined_deletes(lake: DuckLake, h) -> int:
             )
         )
         txn.touched_delete_data_files.add(fid)
-    txn.change_log.append(f"flushed_inlined:{h.table_id}")
+    # flushing inlined DELETIONS writes delete files — the reference
+    # logs that as a delete, not an inline flush
+    # (test_deletion_inlining_compaction.test snapshot 6:
+    # tables_deleted_from)
+    txn.change_log.append(f"deleted_from_table:{h.table_id}")
     # exactly the consumed positions are removed from the catalog inside
     # the commit transaction (reference DELETE FROM after the flush,
     # ducklake_flush_inlined_data.cpp:588-593)

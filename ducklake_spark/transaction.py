@@ -208,6 +208,15 @@ class Transaction:
         # rebased onto table_stats.next_row_id inside the commit txn (new
         # inlined rows; preserved-rowid update rows go in inlined_inserts)
         self.inlined_inserts_rebase: list[tuple[int, str, list[tuple]]] = []
+        # inlined CTAS output: the table id (and so the inlined-table
+        # name) exists only at commit — (name key, packed rows,
+        # [(column_id, name, type)]); materialized into
+        # inlined_inserts_rebase inside _try_commit
+        self.inlined_ctas: list[tuple[str, list, list]] = []
+        # session-scoped data_inlining_row_limit default (the SQL
+        # surface's 10); the commit's eager inlined-table registration
+        # resolves scopes against it
+        self.session_inline_default: int = 0
         # buffered `end_snapshot = <committing snapshot>` marks on inlined
         # tables: (table_name, key_cols, key_tuples). Applied inside the
         # commit's catalog transaction with the REAL snapshot id — never on
@@ -1213,6 +1222,48 @@ class Transaction:
                     )
             next_cat = self._commit_alloc[0]
 
+            # --- eager inlined-table registration: with inlining
+            # enabled, every (table, schema_version) pair gets its
+            # catalog table at DDL time like the reference — expire +
+            # cleanup then leaves exactly the current version's row
+            # (empty_inlined_tables_alter_cleanup.test expects 1, not 0)
+            ddl_tids = {td.table_id for td in self.created_tables
+                        if td.table_id is not None}
+            ddl_tids.update(t for t in self.column_changes if t >= 0)
+            for tid in sorted(ddl_tids):
+                if self._effective_inline_limit(con, tid) <= 0:
+                    continue
+                tname = f"ducklake_inlined_data_{tid}_{schema_version}"
+                cols = con.execute(
+                    "SELECT column_name, column_type FROM ducklake_column "
+                    "WHERE table_id=? AND end_snapshot IS NULL "
+                    "AND parent_column IS NULL ORDER BY column_order",
+                    (tid,),
+                ).fetchall()
+                if not cols:
+                    continue
+                from ducklake_spark.catalog.types import (
+                    ducklake_to_catalog_sql,
+                )
+
+                try:
+                    col_ddl = ", ".join(
+                        f'"{n}" {ducklake_to_catalog_sql(t)}'
+                        for n, t in cols)
+                except Exception:
+                    continue  # exotic type: register lazily on insert
+                con.execute(
+                    f"CREATE TABLE IF NOT EXISTS {tname} "
+                    "(row_id BIGINT, begin_snapshot BIGINT, "
+                    f"end_snapshot BIGINT, {col_ddl})")
+                con.execute(
+                    "INSERT INTO ducklake_inlined_data_tables "
+                    "SELECT ?, ?, ? WHERE NOT EXISTS "
+                    "(SELECT 1 FROM ducklake_inlined_data_tables "
+                    "WHERE table_id=? AND table_name=?)",
+                    (tid, tname, schema_version, tid, tname),
+                )
+
             # --- adoption name maps (no schema_version bump)
             for op in self.mapping_ops:
                 op(con, snap_id)
@@ -1554,6 +1605,33 @@ class Transaction:
                     f"DELETE FROM {table_name} WHERE {cond}",
                     [tuple(k) for k in keys],
                 )
+            # inlined CTAS rows: the table id exists NOW — create the
+            # schema-version inlined table + registry row, then feed the
+            # rows through the normal rebase path (reference inlines
+            # small CTAS output, data_inlining_delete.test: no files on
+            # disk after CREATE TABLE ... AS SELECT of 3 rows)
+            for key, packed, cols in self.inlined_ctas:
+                ctid = self._resolve_table_id(key)
+                ctname = f"ducklake_inlined_data_{ctid}_{schema_version}"
+                from ducklake_spark.catalog.types import (
+                    ducklake_to_catalog_sql,
+                )
+
+                col_ddl = ", ".join(
+                    f'"{n}" {ducklake_to_catalog_sql(t)}'
+                    for _i, n, t in cols)
+                con.execute(
+                    f"CREATE TABLE IF NOT EXISTS {ctname} "
+                    "(row_id BIGINT, begin_snapshot BIGINT, "
+                    f"end_snapshot BIGINT, {col_ddl})")
+                con.execute(
+                    "INSERT INTO ducklake_inlined_data_tables "
+                    "SELECT ?, ?, ? WHERE NOT EXISTS "
+                    "(SELECT 1 FROM ducklake_inlined_data_tables "
+                    "WHERE table_id=? AND table_name=?)",
+                    (ctid, ctname, schema_version, ctid, ctname),
+                )
+                self.inlined_inserts_rebase.append((ctid, ctname, packed))
             for tid, table_name, rows in self.inlined_inserts:
                 if rows:
                     rows = [
@@ -1593,6 +1671,7 @@ class Transaction:
                         "INSERT INTO ducklake_table_stats VALUES (?, ?, ?, 0)",
                         (tid, len(rows), len(rows)),
                     )
+            self._merge_inlined_insert_stats(con)
 
             # --- snapshot row (staged commits reserve the id with a NULL
             # time; finalize_staged stamps it later)
@@ -1608,7 +1687,8 @@ class Transaction:
             resolved_log = []
             for entry in self.change_log:
                 kind, _, payload = entry.partition(":")
-                if (kind in ("inserted_into_table", "altered_table")
+                if (kind in ("inserted_into_table", "altered_table",
+                             "inlined_insert", "deleted_from_table")
                         and payload and not payload.lstrip("-").isdigit()):
                     try:
                         entry = f"{kind}:{self._resolve_table_id(payload)}"
@@ -1697,6 +1777,103 @@ class Transaction:
                 for vr in rows
             ],
         )
+
+    def _effective_inline_limit(self, con, tid: int) -> int:
+        """data_inlining_row_limit for a table inside the commit:
+        table > schema > global catalog scope, else the session
+        default captured at transaction start."""
+        row = con.execute(
+            "SELECT value FROM ducklake_metadata WHERE "
+            "key='data_inlining_row_limit' AND scope='table' "
+            "AND scope_id=?", (tid,)).fetchone()
+        if row is None:
+            row = con.execute(
+                "SELECT value FROM ducklake_metadata m JOIN ducklake_table "
+                "t ON m.scope_id = t.schema_id WHERE "
+                "m.key='data_inlining_row_limit' AND m.scope='schema' "
+                "AND t.table_id=? AND t.end_snapshot IS NULL",
+                (tid,)).fetchone()
+        if row is None:
+            row = con.execute(
+                "SELECT value FROM ducklake_metadata WHERE "
+                "key='data_inlining_row_limit' AND scope IS NULL"
+            ).fetchone()
+        if row is not None:
+            try:
+                return int(row[0] or 0)
+            except (TypeError, ValueError):
+                return 0
+        return self.session_inline_default
+
+    def _merge_inlined_insert_stats(self, con) -> None:
+        """Widen global column stats with this commit's inlined rows —
+        the reference merges inlined values into
+        ducklake_table_column_stats exactly like file stats
+        (TryMergeInlinedStats; add_column_default_stats.test case 2:
+        an inlined INSERT of 20 moves MIN from 99 to 20). Scalar roots
+        only; nested/binary columns keep their widened rows."""
+        from collections import defaultdict
+
+        by_t: dict[tuple[int, str], list] = defaultdict(list)
+        for tid, tname, rows in (self.inlined_inserts
+                                 + self.inlined_inserts_rebase):
+            by_t[(tid, tname)].extend(rows)
+        for (tid, tname), rows in by_t.items():
+            if not rows:
+                continue
+            cols = [d[1] for d in con.execute(
+                f"PRAGMA table_info({tname})").fetchall()][3:]
+            n_inserted = len(rows)
+            rc = con.execute(
+                "SELECT record_count FROM ducklake_table_stats "
+                "WHERE table_id=?", (tid,)).fetchone()
+            nfile = con.execute(
+                "SELECT COUNT(*) FROM ducklake_data_file WHERE "
+                "table_id=? AND end_snapshot IS NULL", (tid,)).fetchone()[0]
+            # seed only when the table was EMPTY before this commit —
+            # otherwise older rows may lie outside these values
+            allow_seed = (nfile == 0 and rc is not None
+                          and rc[0] == n_inserted)
+            for j, cname in enumerate(cols):
+                crow = con.execute(
+                    "SELECT column_id, column_type FROM ducklake_column "
+                    "WHERE table_id=? AND column_name=? "
+                    "AND end_snapshot IS NULL AND parent_column IS NULL",
+                    (tid, cname)).fetchone()
+                if crow is None:
+                    continue
+                cid, ctype = crow
+                base = str(ctype).split("(")[0].lower()
+                if base.startswith(("struct", "list", "map", "array")) \
+                        or base in ("blob", "binary", "geometry",
+                                    "variant", "json"):
+                    continue
+                vals = [r[3 + j] for r in rows]
+                nonnull = [v for v in vals if v is not None]
+                nn = [v for v in nonnull
+                      if not (isinstance(v, float) and v != v)]
+                has_nan = len(nn) < len(nonnull)
+                mn = mx = None
+                if nn:
+                    try:
+                        mn, mx = min(nn), max(nn)
+                    except TypeError:
+                        continue  # mixed/opaque values: keep widened row
+
+                def _txt(v):
+                    if v is None:
+                        return None
+                    if isinstance(v, bool):
+                        return "true" if v else "false"
+                    return str(v)
+
+                self._merge_global_column_stats(con, tid, ColumnStatsRow(
+                    column_id=cid, column_size_bytes=0,
+                    value_count=len(nonnull),
+                    null_count=len(vals) - len(nonnull),
+                    min_value=_txt(mn), max_value=_txt(mx),
+                    contains_nan=has_nan,
+                ), allow_seed=allow_seed)
 
     def _fold_column_stats(self, con, tid: int,
                            acc: ColumnStatsRow | None,

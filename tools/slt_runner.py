@@ -552,7 +552,15 @@ class FileRunner:
                 or "cannot resolve" in msg.lower()
                 or "UNRESOLVED_COLUMN" in msg
                 or "DATATYPE_MISMATCH" in msg
-                or "INVALID_FORMAT" in msg):
+                or "INVALID_FORMAT" in msg
+                # mixed-type VALUES into a VARIANT column: Spark's
+                # inline-table typing can't express it
+                or "INVALID_INLINE_TABLE" in msg):
+            return True
+        if "duckdb_memory" in msg:
+            # host-engine memory introspection (issue_852_cache_growth
+            # asserts on duckdb's ObjectCache byte counts) — there is no
+            # Spark-side equivalent to report honestly
             return True
         return False
 
