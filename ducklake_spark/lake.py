@@ -2720,42 +2720,60 @@ class DuckLake:
             writer = writer.repartition(
                 self.spark.sparkContext.defaultParallelism)
         w = writer.write.mode("overwrite")
-        if target_file_size:
-            w = w.option("maxRecordsPerFile", max(10_000, target_file_size // 200))
-        compression = opt("parquet_compression")
-        if compression:  # uncompressed/snappy/gzip/zstd/lz4 (ducklake_set_option.cpp:92)
-            w = w.option("compression", compression)
-        rg_size = opt("parquet_row_group_size")
-        if rg_size:
-            # duckdb's row_group_size is a ROW count; parquet-mr splits
-            # by BYTES, checking at page-row intervals — pin the check
-            # interval to the row count and shrink the byte target so
-            # every check flushes: groups of exactly rg_size rows
-            w = (w.option("parquet.page.size.row.check.min", rg_size)
-                 .option("parquet.page.size.row.check.max", rg_size)
-                 .option("parquet.block.size", 1))
-        rg_bytes = opt("parquet_row_group_size_bytes")
-        if rg_bytes:
-            w = w.option("parquet.block.size", _parse_byte_size(rg_bytes))
-        pv_opt = opt("parquet_version")
-        if pv_opt:  # reference normalizes to 'V1'/'V2' (ducklake_set_option.cpp:108)
-            w = w.option(
-                "parquet.writer.version",
-                "PARQUET_2_0" if str(pv_opt).upper().lstrip("V") == "2"
-                else "PARQUET_1_0",
-            )
-        comp_level = opt("parquet_compression_level")
-        if comp_level and (compression or "").lower() == "zstd":
-            w = w.option("parquet.compression.codec.zstd.level", comp_level)
-        if enc_key:
-            w = (
-                w.option("parquet.crypto.factory.class", "ducklake.DuckLakeCrypto")
-                .option("ducklake.encryption.write.key", enc_key)
-                .option("ducklake.encryption.write.key.id", _crypto_key_id(enc_key))
-            )
+        if target_file_size and target_file_size // 200 >= 10_000:
+            # coarse in-flight rotation from a bytes/row guess; the
+            # exact size-based split below corrects the stragglers.
+            # Micro targets (< ~2MB, reference tests) skip the guess —
+            # the post-split alone lands the exact reference file count
+            # (insert_partitioned_file_size.test: 5 per partition)
+            w = w.option("maxRecordsPerFile", target_file_size // 200)
+        def _format_opts(w):
+            """Writer options shared by the main write and the
+            size-rotation re-split below."""
+            compression = opt("parquet_compression")
+            if compression:  # uncompressed/snappy/gzip/zstd/lz4 (ducklake_set_option.cpp:92)
+                w = w.option("compression", compression)
+            rg_size = opt("parquet_row_group_size")
+            if rg_size:
+                # duckdb's row_group_size is a ROW count; parquet-mr
+                # splits by BYTES, checking at page-row intervals — pin
+                # the check interval to the row count and shrink the
+                # byte target so every check flushes: groups of exactly
+                # rg_size rows
+                w = (w.option("parquet.page.size.row.check.min", rg_size)
+                     .option("parquet.page.size.row.check.max", rg_size)
+                     .option("parquet.block.size", 1))
+            rg_bytes = opt("parquet_row_group_size_bytes")
+            if rg_bytes:
+                w = w.option("parquet.block.size", _parse_byte_size(rg_bytes))
+            pv_opt = opt("parquet_version")
+            if pv_opt:  # reference normalizes to 'V1'/'V2' (ducklake_set_option.cpp:108)
+                w = w.option(
+                    "parquet.writer.version",
+                    "PARQUET_2_0" if str(pv_opt).upper().lstrip("V") == "2"
+                    else "PARQUET_1_0",
+                )
+            comp_level = opt("parquet_compression_level")
+            if comp_level and (compression or "").lower() == "zstd":
+                w = w.option("parquet.compression.codec.zstd.level",
+                             comp_level)
+            if enc_key:
+                w = (
+                    w.option("parquet.crypto.factory.class",
+                             "ducklake.DuckLakeCrypto")
+                    .option("ducklake.encryption.write.key", enc_key)
+                    .option("ducklake.encryption.write.key.id",
+                            _crypto_key_id(enc_key))
+                )
+            return w
+
+        w = _format_opts(w)
         if part_cols:
             w = w.partitionBy(*part_cols)
         w.parquet(tmp)
+        if target_file_size:
+            self._rotate_oversized(tmp, target_file_size, _format_opts,
+                                   enc_key)
 
         infos: list[DataFileInfo] = []
         colmap = self._leaf_colmap(h)  # incl. nested-leaf ids ("s.a")
@@ -2834,6 +2852,44 @@ class DuckLake:
                 os.path.join(self.data_path, f.path)))
         self._attach_extra_stats(h, infos, enc_key)
         return infos
+
+    def _rotate_oversized(self, tmp: str, target: int, format_opts,
+                          enc_key: str | None) -> None:
+        """Size-based output rotation: any freshly written file larger
+        than ~4/3 of target_file_size is re-split into
+        ceil(size/target) order-preserving pieces — the reference
+        writer rotates on ACTUAL written bytes
+        (insert_partitioned_file_size.test: 16KB target → exactly 5
+        files per partition). The coarse maxRecordsPerFile guess keeps
+        this pass a no-op for well-estimated large writes; the re-read
+        touches only the oversized files."""
+        tmp_fs = self.lfs.strip_scheme(tmp)
+        for path in list(self.lfs.list_files(tmp_fs, suffix=".parquet")):
+            size = self.lfs.size(path)
+            if size <= target + target // 3:
+                continue
+            # duckdb's writer rotates when written bytes EXCEED target,
+            # so each piece lands slightly over it: floor matches the
+            # reference count (our encoding overhead would push a ceil
+            # one file too far)
+            nout = max(2, size // target)
+            copts = self._crypto_read_options(
+                [{"encryption_key": enc_key}]) if enc_key else {}
+            df = (self.spark.read.options(**copts).parquet(path)
+                  .withColumn("__rot", F.col("_metadata.row_index"))
+                  .repartitionByRange(int(nout), F.col("__rot"))
+                  .sortWithinPartitions("__rot")
+                  .drop("__rot"))
+            split_dir = path + ".__rot"
+            format_opts(df.write.mode("overwrite")).parquet(split_dir)
+            self.lfs.remove(path)
+            parent = path.rsplit("/", 1)[0]
+            for i, piece in enumerate(
+                    self.lfs.list_files(split_dir, suffix=".parquet")):
+                self.lfs.move(
+                    piece, f"{parent}/part-rot{i:05d}-{uuid.uuid4().hex}"
+                           ".snappy.parquet")
+            self.lfs.rmtree(split_dir)
 
     def _leaf_colmap(self, h: TableHandle) -> dict[str, int]:
         """name -> column_id, including nested STRUCT leaves under their
@@ -3383,26 +3439,58 @@ class DuckLake:
                 )
                 params.extend([h.table_id, cid])
                 continue
-            numeric = isinstance(val, (int, float))
-            cast = "CAST(%s AS REAL)" if numeric else "%s"
-            mn, mx = cast % "min_value", cast % "max_value"
-            contradiction = {
-                "=": f"({mn} > ? OR {mx} < ?)",
-                ">": f"{mx} <= ?",
-                ">=": f"{mx} < ?",
-                "<": f"{mn} >= ?",
-                "<=": f"{mn} > ?",
-            }.get(op)
-            if contradiction is None:
+            def _contra(op2, val2):
+                numeric = isinstance(val2, (int, float))
+                cast = "CAST(%s AS REAL)" if numeric else "%s"
+                mn, mx = cast % "min_value", cast % "max_value"
+                c = {
+                    "=": f"({mn} > ? OR {mx} < ?)",
+                    # a constant file (min == max == v) can't satisfy !=
+                    # (filter_pushdown.test file 4 single-row prune)
+                    "!=": f"({mn} = ? AND {mx} = ? AND null_count = 0)",
+                    ">": f"{mx} <= ?",
+                    ">=": f"{mx} < ?",
+                    "<": f"{mn} >= ?",
+                    "<=": f"{mn} > ?",
+                }.get(op2)
+                if c is None:
+                    return None
+                if numeric and op2 in (">", ">="):
+                    c += " AND contains_nan = 0"
+                return c, [val2] * c.count("?")
+
+            if op == "or":
+                # a file is prunable only when EVERY disjunct
+                # contradicts its range (IN lists / same-column ORs)
+                parts_sql, parts_params, ok2 = [], [], True
+                for op2, val2 in val:
+                    r = _contra(op2, val2)
+                    if r is None:
+                        ok2 = False
+                        break
+                    parts_sql.append(r[0])
+                    parts_params.extend(r[1])
+                if not ok2 or not parts_sql:
+                    continue
+                clauses.append(
+                    " AND data_file_id NOT IN ("
+                    "SELECT data_file_id FROM ducklake_file_column_stats "
+                    "WHERE table_id = ? AND column_id = ? AND min_value "
+                    "IS NOT NULL AND max_value IS NOT NULL AND ("
+                    + ") AND (".join(parts_sql) + "))"
+                )
+                params.extend([h.table_id, cid] + parts_params)
                 continue
-            nan_guard = " AND contains_nan = 0" if numeric and op in (">", ">=") else ""
+            r = _contra(op, val)
+            if r is None:
+                continue
             clauses.append(
                 " AND data_file_id NOT IN ("
                 "SELECT data_file_id FROM ducklake_file_column_stats "
                 f"WHERE table_id = ? AND column_id = ? AND min_value IS NOT NULL "
-                f"AND max_value IS NOT NULL AND {contradiction}{nan_guard})"
+                f"AND max_value IS NOT NULL AND {r[0]})"
             )
-            params.extend([h.table_id, cid] + [val] * contradiction.count("?"))
+            params.extend([h.table_id, cid] + r[1])
         return "".join(clauses), params
 
     def _partition_spec_id(self, h: TableHandle) -> int | None:
@@ -3526,7 +3614,8 @@ class DuckLake:
         return None
 
     def topn(self, name: str, order_col: str, limit: int, *,
-             descending: bool = True, where: str | None = None) -> DataFrame:
+             descending: bool = True, where: str | None = None,
+             plan_info: list | None = None) -> DataFrame:
         """Top-N scan with stats-ordered file pruning.
 
         The reference re-prunes the file list mid-scan from the Top-N
@@ -3611,6 +3700,18 @@ class DuckLake:
 
         schema = self._spark_schema(h)
         order = F.col(order_col).desc() if descending else F.col(order_col).asc()
+        if plan_info is not None:
+            # EXPLAIN support: the phase-1 (dynamic-filter-initialized)
+            # file set and its net row count
+            plan_info.append({
+                "core_files": len(core),
+                "total_files": len(files),
+                "core_rows": sum(
+                    f["record_count"]
+                    - int(deletes.get(f["data_file_id"], 0) or 0)
+                    for f in core) if (cid is not None and files) else None,
+                "deferred_files": len(extras) + len(no_stats),
+            })
 
         def scan(fs):
             de = self._delete_entries(h, snap, [f["data_file_id"] for f in fs])
@@ -5640,6 +5741,28 @@ def _parse_conjuncts(where: str) -> list[tuple[str, str, object]]:
     """Extract simple ``col <op> literal`` conjuncts for file pruning.
     Handles numeric, quoted-string, and DATE/TIMESTAMP literals (the
     latter compare correctly against ISO-serialized zone-map strings)."""
+    def _simple(part):
+        m = re.fullmatch(
+            r"\s*(\w+(?:\.\w+)*)\s*(=|==|!=|<>|>=|<=|>|<)\s*"
+            r"((?:(?i:DATE|TIMESTAMP)\s*)?'(?:[^']*)'|-?\d+(?:\.\d+)?)\s*",
+            part,
+        )
+        if not m:
+            return None
+        col, op, lit = m.group(1), m.group(2), m.group(3)
+        if op == "==":
+            op = "="
+        if op == "<>":
+            op = "!="
+        val: object
+        if "'" in lit:
+            val = lit[lit.index("'") + 1: -1]
+        elif "." in lit:
+            val = float(lit)
+        else:
+            val = int(lit)
+        return col, op, val
+
     out = []
     for part in re.split(r"(?i)\s+AND\s+", where):
         mn = re.fullmatch(r"\s*(\w+(?:\.\w+)*)\s+IS\s+(NOT\s+)?NULL\s*",
@@ -5648,24 +5771,37 @@ def _parse_conjuncts(where: str) -> list[tuple[str, str, object]]:
             out.append((mn.group(1), "notnull" if mn.group(2) else "isnull",
                         None))
             continue
-        m = re.fullmatch(
-            r"\s*(\w+(?:\.\w+)*)\s*(=|==|>=|<=|>|<)\s*"
-            r"((?:(?i:DATE|TIMESTAMP)\s*)?'(?:[^']*)'|-?\d+(?:\.\d+)?)\s*",
-            part,
-        )
-        if not m:
+        part = part.strip()
+        if part.startswith("(") and part.endswith(")"):
+            part = part[1:-1].strip()
+        # x IN (a, b, c): a file survives if ANY value could be inside
+        # its range (filter_pushdown.test IN reads 1 file)
+        mi = re.fullmatch(
+            r"\s*(\w+(?:\.\w+)*)\s+IN\s*\(([^()]*)\)\s*", part, re.I)
+        if mi:
+            vals = []
+            ok = True
+            for v in mi.group(2).split(","):
+                sv = _simple(f"{mi.group(1)} = {v.strip()}")
+                if sv is None:
+                    ok = False
+                    break
+                vals.append(("=", sv[2]))
+            if ok and vals:
+                out.append((mi.group(1), "or", vals))
             continue
-        col, op, lit = m.group(1), m.group(2), m.group(3)
-        if op == "==":
-            op = "="
-        val: object
-        if "'" in lit:
-            val = lit[lit.index("'") + 1 : -1]
-        elif "." in lit:
-            val = float(lit)
-        else:
-            val = int(lit)
-        out.append((col, op, val))
+        # single-column OR chain: col=a OR col=b (file kept when any
+        # branch could match — filter_pushdown.test OR reads 2 files)
+        if re.search(r"(?i)\s+OR\s+", part):
+            pieces = [_simple(p) for p in re.split(r"(?i)\s+OR\s+", part)]
+            if all(p is not None for p in pieces) and len(
+                    {p[0] for p in pieces}) == 1:
+                out.append((pieces[0][0], "or",
+                            [(p[1], p[2]) for p in pieces]))
+            continue
+        sv = _simple(part)
+        if sv is not None:
+            out.append(sv)
     return out
 
 
@@ -5760,10 +5896,27 @@ def _harvest_stats(pf, colmap: dict[str, int]) -> list[ColumnStatsRow]:
             if s.has_min_max:
                 try:
                     smin, smax = s.min, s.max
-                except NotImplementedError:
-                    # pyarrow can't decode min/max for some physical
-                    # types (e.g. FLBA decimals); keep counts, no range
-                    continue
+                except (NotImplementedError, ValueError):
+                    # pyarrow can't decode min/max for DECIMAL logical
+                    # types ("Cannot extract statistics") — scale the
+                    # raw unscaled ints ourselves so decimal zone maps
+                    # prune (filter_pushdown.test k=25.3 reads 1 file)
+                    smin = smax = None
+                    try:
+                        lt = md.schema.column(ci).logical_type
+                        msc = re.search(r"scale=(\d+)", str(lt))
+                        if (lt is not None
+                                and str(lt.type).upper() == "DECIMAL"
+                                and msc and isinstance(s.min_raw, int)):
+                            import decimal as _dec
+
+                            q = _dec.Decimal(10) ** -int(msc.group(1))
+                            smin = _dec.Decimal(s.min_raw) * q
+                            smax = _dec.Decimal(s.max_raw) * q
+                    except Exception:
+                        pass
+                    if smin is None:
+                        continue  # keep counts, no range
                 mn, mx = _stat_str(smin), _stat_str(smax)
                 if isinstance(smin, float) and (smin != smin or smax != smax):
                     row.contains_nan = True
@@ -5793,13 +5946,17 @@ def _stat_str(v) -> str:
 
 
 def _min2(cur: str, new: str, raw) -> str:
-    if isinstance(raw, (int, float)):
+    import decimal
+
+    if isinstance(raw, (int, float, decimal.Decimal)):
         return cur if float(cur) <= float(new) else new
     return min(cur, new)
 
 
 def _max2(cur: str, new: str, raw) -> str:
-    if isinstance(raw, (int, float)):
+    import decimal
+
+    if isinstance(raw, (int, float, decimal.Decimal)):
         return cur if float(cur) >= float(new) else new
     return max(cur, new)
 
