@@ -54,7 +54,12 @@ def _file_type_ok(dl_type: str, at) -> str | None:
     if t in ("boolean", "bool"):
         return None if name == "bool" else f"Expected boolean, found {name}"
     if t in ("varchar", "json"):
+        # un-annotated BINARY also serves a varchar column: writers that
+        # omit the UTF8 annotation (avro enums,
+        # add_file_with_three_level_list.test) still hold string bytes,
+        # and Spark's reader decodes them as string
         return (None if pa.types.is_string(at) or pa.types.is_large_string(at)
+                or pa.types.is_binary(at) or pa.types.is_large_binary(at)
                 else f"Expected varchar, found {name}")
     if t == "blob":
         return (None if pa.types.is_binary(at) or pa.types.is_large_binary(at)

@@ -207,12 +207,11 @@ def _merge_adjacent_in_txn(lake, tables, target_file_size,
                 epoch = epoch_keys[f["data_file_id"]]
                 if (epoch[0] or epoch[1] or epoch[2] or epoch[3]
                         or init_defaults
-                        # NULL partition values need no backfill — the
-                        # column really is NULL in the file
-                        # (merge_adjacent_null_partition.test part 2)
-                        or any(v is not None
-                               for v in part_vals[f["data_file_id"]])
                         or f["row_id_start"] is None):
+                    # non-NULL partition values are fine: the pack read
+                    # backfills them from the catalog before the merged
+                    # output writes through the partition transform
+                    # (merge_adjacent_external_hive_paths.test)
                     continue
                 if min_file_size is not None and f["file_size_bytes"] < min_file_size:
                     continue
@@ -342,6 +341,23 @@ def _rewrite_pack(lake: DuckLake, h, pack: list[dict], part_vals: tuple,
         path = os.path.join(lake.data_path, f["path"])
         fschema = plain_schema if f.get("mapping_id") is not None else gschema
         df = lake.spark.read.options(**copts).schema(fschema).parquet(path)
+        if f.get("mapping_id") is not None and part_vals:
+            # adopted hive files hold the partition value in the DIR
+            # name only — backfill the recorded catalog value so the
+            # merged output writes through the partition transform into
+            # the canonical hive path
+            # (merge_adjacent_external_hive_paths.test)
+            for pi_, (pcname, ptf) in enumerate(lake._partition_spec(h)):
+                if (ptf or "identity") == "identity" \
+                        and pi_ < len(part_vals) \
+                        and part_vals[pi_] is not None \
+                        and pcname in df.columns:
+                    df = df.withColumn(
+                        pcname,
+                        F.coalesce(
+                            F.col(pcname),
+                            F.lit(part_vals[pi_]).cast(
+                                schema[pcname].dataType)))
         rowid = (
             F.lit(f["row_id_start"]) + F.col("_metadata.row_index")
             if f["row_id_start"] is not None
