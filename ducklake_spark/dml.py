@@ -251,7 +251,8 @@ def _rewrite_buffered(lake: DuckLake, h: TableHandle, where: str,
             out = lake._enforce_not_null(out, h)
         # plain table schema drives stats harvest; the embedded rowid
         # column rides along in the df (same shape update's writer uses)
-        new_files = lake._write_parquet(h, out, schema, part_keys, sort_spec)
+        new_files = lake._write_parquet(h, out, schema, part_keys,
+                                          sort_spec, rotate=False)
         if not allocate:
             for nf in new_files:
                 nf.allocate = False
@@ -834,12 +835,23 @@ def _delete_inlined(lake: DuckLake, h: TableHandle, where: str) -> int:
     snap = lake.meta.latest_snapshot()
     schema = lake._spark_schema(h)
     total = 0
+    txn0 = lake._txn
     for (tname,) in tabs:
         rows = lake.meta.query(
             f"SELECT * FROM {tname} WHERE begin_snapshot <= ? "
             "AND end_snapshot IS NULL",
             (snap.snapshot_id,),
         )
+        if txn0 is not None:
+            # read-your-own-writes: skip rows an earlier statement in
+            # this transaction already end-hid (see _update_inlined)
+            ended = {
+                rid for tname2, keys, tuples in txn0.inlined_end_updates
+                if tname2 == tname and keys == ("row_id",) and tuples
+                for (rid,) in tuples
+            }
+            if ended:
+                rows = [r for r in rows if r[0] not in ended]
         if not rows:
             continue
         from pyspark.sql import types as T
@@ -847,6 +859,10 @@ def _delete_inlined(lake: DuckLake, h: TableHandle, where: str) -> int:
         victims = lake.inlined_frame(
             h, tname, rows, schema,
             tail=[(T.StructField("__rid", T.LongType()),
+                   lambda r, idx: r[idx["row_id"]]),
+                  # rowid predicates reach inlined DML too
+                  # (ducklake_row_id.test UPDATE ... WHERE rowid=5)
+                  (T.StructField("rowid", T.LongType()),
                    lambda r, idx: r[idx["row_id"]])],
         ).filter(where)
         rids = [r["__rid"] for r in victims.select("__rid").collect()]
@@ -1039,7 +1055,7 @@ def _update_files(lake: DuckLake, h: TableHandle, matched: DataFrame,
     # reference (update_partitioning.test: updated rows land under
     # their new partition dirs with partition values recorded)
     files = lake._write_parquet(h, new_rows, schema,
-                                lake._partition_spec(h), [])
+                                lake._partition_spec(h), [], rotate=False)
     n = sum(f.record_count for f in files)
     if n == 0:
         return 0
@@ -1128,11 +1144,26 @@ def _update_inlined(lake: DuckLake, h: TableHandle, assignments: dict[str, str],
             "AND end_snapshot IS NULL",
             (snap.snapshot_id,),
         )
+        # read-your-own-writes: rows THIS transaction already
+        # end-hidden (an earlier UPDATE in the same BEGIN) must not
+        # match again through their still-uncommitted catalog state —
+        # matching them re-inserts the OLD generation's value
+        # (ducklake_row_id.test: two updates in one txn read 6 rows,
+        # not 12, after COMMIT)
+        ended = {
+            rid for tname2, keys, tuples in txn.inlined_end_updates
+            if tname2 == tname and keys == ("row_id",) and tuples
+            for (rid,) in tuples
+        }
+        if ended:
+            rows = [r for r in rows if r[0] not in ended]
         if not rows:
             continue
         matched = lake.inlined_frame(
             h, tname, rows, schema,
             tail=[(T.StructField("__rid", T.LongType()),
+                   lambda r, idx: r[idx["row_id"]]),
+                  (T.StructField("rowid", T.LongType()),
                    lambda r, idx: r[idx["row_id"]])],
         ).filter(where)
         for col, expr in assignments.items():
@@ -1258,7 +1289,8 @@ def merge_into(lake: DuckLake, target: str, source: DataFrame, on: list[str],
     def _write_replacements(rows: DataFrame) -> int:
         rows = lake._enforce_not_null(rows, h)
         wfiles = lake._write_parquet(h, rows, schema,
-                                     lake._partition_spec(h), [])
+                                     lake._partition_spec(h), [],
+                                     rotate=False)
         for fw in wfiles:
             fw.row_id_start = None  # rowid rides the embedded column
             fw.allocate = False

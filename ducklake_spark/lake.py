@@ -1984,6 +1984,22 @@ class DuckLake:
             # normalize human sizes ('10KB') to bytes: options() shows
             # the canonical value (parquet_row_group_size_bytes.test)
             value = str(_parse_byte_size(value))
+        if option in ("expire_older_than", "delete_older_than") and value:
+            # empty string RESETS the option (remove_orphaned_files.test
+            # accepts ''), anything else must parse as an interval
+            from ducklake_spark.maintenance import _parse_interval
+
+            try:
+                _parse_interval(value)
+            except Exception:
+                raise DuckLakeError(
+                    f"{option} is not a valid interval value.")
+        if option == "sort_on_insert" and str(value).lower() not in (
+                "true", "false", "0", "1"):
+            # reference: insert_sorted_sort_on_insert_option.test
+            raise DuckLakeError(
+                f"Could not convert string '{value}' to BOOL "
+                "for option 'sort_on_insert'")
         if option == "rewrite_delete_threshold":
             try:
                 frac = float(value)
@@ -2640,7 +2656,8 @@ class DuckLake:
         return df
 
     def _write_parquet(self, h: TableHandle, df: DataFrame, schema: T.StructType,
-                       part_keys, sort_spec) -> list[DataFileInfo]:
+                       part_keys, sort_spec,
+                       rotate: bool = True) -> list[DataFileInfo]:
         import pyarrow.parquet as pq
 
         table_dir = os.path.join(self.data_path, h.path)
@@ -2771,7 +2788,10 @@ class DuckLake:
         if part_cols:
             w = w.partitionBy(*part_cols)
         w.parquet(tmp)
-        if target_file_size:
+        if target_file_size and rotate:
+            # INSERT/CTAS only: compaction and rewrite size their own
+            # outputs (repartitionByRange on rowid) — a second split
+            # here would double-rotate them
             self._rotate_oversized(tmp, target_file_size, _format_opts,
                                    enc_key)
 
@@ -2871,8 +2891,15 @@ class DuckLake:
             # duckdb's writer rotates when written bytes EXCEED target,
             # so each piece lands slightly over it: floor matches the
             # reference count (our encoding overhead would push a ceil
-            # one file too far)
-            nout = max(2, size // target)
+            # one file too far). A parquet file can't split below one
+            # row group, so tiny targets cap at the row-group count
+            # (test_rewrite_max_files: target_file_size '1B' still
+            # writes ONE file per single-row-group victim)
+            with self.lfs.open_input(path) as fh:
+                nrg = _open_parquet_meta(fh, enc_key).metadata.num_row_groups
+            nout = min(max(2, size // target), max(nrg, 1))
+            if nout < 2:
+                continue
             copts = self._crypto_read_options(
                 [{"encryption_key": enc_key}]) if enc_key else {}
             df = (self.spark.read.options(**copts).parquet(path)
@@ -4167,17 +4194,20 @@ class DuckLake:
                 for d in self._txn.new_delete_files.get(h.table_id, [])
                 if d.data_file_id in keep
             )
-            # txn-local tables buffer delete files under their NAME key
-            # with path-keyed data_file_id; the anti-join matches rows
-            # by the file_path column in the delete parquet, so a
+            # buffered delete files that reference a not-yet-committed
+            # data file by PATH (txn-local DML under the table's name
+            # key; in-txn flush under the id key): the anti-join matches
+            # rows by the file_path column in the delete parquet, so a
             # synthetic -1 id is fine here
             buf_key = (f"{h.schema_name}.{h.table_name}"
                        if h.table_id < 0 else str(h.table_id))
-            out.extend(
-                (-1, d.path, d.delete_count, d.format, d.encryption_key)
-                for d in self._txn.new_delete_files.get(buf_key, [])
-                if isinstance(d.data_file_id, str)
-            )
+            for key2 in (buf_key, h.table_id):
+                out.extend(
+                    (-1, d.path, d.delete_count, d.format,
+                     d.encryption_key)
+                    for d in self._txn.new_delete_files.get(key2, [])
+                    if isinstance(d.data_file_id, str)
+                )
         return out
 
     def _initial_defaults(self, h: TableHandle, schema: T.StructType) -> dict:

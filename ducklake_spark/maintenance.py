@@ -45,6 +45,7 @@ PACK_POOL_WORKERS = 8
 
 def merge_adjacent_files(lake: DuckLake, *, target_file_size: int | None = None,
                          table: str | None = None,
+                         schema: str | None = None,
                          max_compacted_files: int | None = None,
                          min_file_size: int | None = None,
                          max_file_size: int | None = None,
@@ -71,7 +72,30 @@ def merge_adjacent_files(lake: DuckLake, *, target_file_size: int | None = None,
         target_file_size = parse_memory_limit(
             lake.meta.option("target_file_size", str(DEFAULT_TARGET_FILE_SIZE))
         )
-    tables = [table] if table else lake._table_names()
+    if table:
+        if schema and schema != "main" and "." not in table:
+            table = f"{schema}.{table}"
+        tables = [table]
+    else:
+        tables = lake._table_names()
+        if schema:
+            tables = [t for t in tables
+                      if (t.split(".")[0] if "." in t else "main")
+                      == schema]
+        else:
+            # bare call: only tables with auto_compact enabled
+            # (table > schema > global scope, default true —
+            # merge_adjacent_global_option.test)
+            kept = []
+            for t in tables:
+                ht = lake._handle(t)
+                v = (lake.meta.option(
+                    "auto_compact", "true", scope="table",
+                    scope_id=ht.table_id, schema_id=ht.schema_id)
+                    or "true").lower()
+                if v in ("true", "1"):
+                    kept.append(t)
+            tables = kept
     # ONE snapshot for the whole call (the reference's compaction plan
     # executes under a single transaction) — a 1000-pack compaction must
     # not write 1000 snapshots; joins an already-open user transaction
@@ -217,6 +241,9 @@ def _merge_adjacent_in_txn(lake, tables, target_file_size,
                     continue
                 if max_file_size is not None and f["file_size_bytes"] > max_file_size:
                     continue
+                if target_file_size and (
+                        f["file_size_bytes"] or 0) >= target_file_size:
+                    continue
                 groups.setdefault(
                     (part_vals[f["data_file_id"]],
                      pid_by_fid.get(f["data_file_id"]), epoch,
@@ -226,6 +253,13 @@ def _merge_adjacent_in_txn(lake, tables, target_file_size,
             if min_file_size is not None and f["file_size_bytes"] < min_file_size:
                 continue
             if max_file_size is not None and f["file_size_bytes"] > max_file_size:
+                continue
+            if target_file_size and (
+                    f["file_size_bytes"] or 0) >= target_file_size:
+                # a file at or above target by itself never merges
+                # (ducklake_compaction_functions.cpp:333-336; repeated
+                # merge_adjacent calls reach a fixpoint —
+                # merge_adjacent_max_files.test count 0)
                 continue
             epoch = epoch_keys[f["data_file_id"]]
             if sort_spec and any(
@@ -242,24 +276,41 @@ def _merge_adjacent_in_txn(lake, tables, target_file_size,
                  pid_by_fid.get(f["data_file_id"]), epoch,
                  _colgen_epoch(f)), []).append(f)
         all_packs: list[tuple[list[dict], tuple, int | None, tuple]] = []
-        for (pv, pid, epoch, cge), members in groups.items():
-            # greedy adjacent packing toward target size
-            # (ducklake_compaction_functions.cpp:367-414)
-            batch: list[dict] = []
-            size = 0
-            for f in members:
-                if size + f["file_size_bytes"] > target_file_size and len(batch) > 1:
-                    all_packs.append((batch, pv, pid, epoch, cge))
-                    batch, size = [], 0
-                batch.append(f)
-                size += f["file_size_bytes"]
-            if len(batch) > 1:
-                all_packs.append((batch, pv, pid, epoch, cge))
         hit_cap = False
-        if max_compacted_files is not None:
-            budget = max_compacted_files - n_groups
-            hit_cap = len(all_packs) > budget
-            all_packs = all_packs[:max(0, budget)]
+        budget = (None if max_compacted_files is None
+                  else max_compacted_files - n_groups)
+        for (pv, pid, epoch, cge), members in groups.items():
+            # reference packing (ducklake_compaction_functions.cpp:
+            # 367-414): accumulate while adding the next file moves the
+            # total CLOSER to target (abs-difference rule — may
+            # overshoot); singleton packs are skipped but still count
+            # toward max_compacted_files
+            start = 0
+            while start < len(members):
+                cur = 0
+                idx = start
+                while idx < len(members):
+                    fsz = members[idx]["file_size_bytes"] or 0
+                    if cur > 0 and abs(cur + fsz - target_file_size)                             >= abs(cur - target_file_size):
+                        break
+                    cur += fsz
+                    idx += 1
+                count = idx - start
+                if count > 1:
+                    all_packs.append(
+                        (members[start:idx], pv, pid, epoch, cge))
+                    start = idx
+                else:
+                    start += 1
+                if budget is not None and len(all_packs) + (
+                        start < len(members)) > budget >= len(all_packs):
+                    pass
+                if budget is not None and len(all_packs) >= budget:
+                    hit_cap = start < len(members)
+                    break
+            if budget is not None and len(all_packs) >= budget:
+                hit_cap = True
+                break
         # pack rewrites are independent single-output jobs; running them
         # serially makes compaction wall-clock O(#packs) in per-job
         # launch latency. Submit them from a small driver thread pool —
@@ -421,7 +472,8 @@ def _rewrite_pack(lake: DuckLake, h, pack: list[dict], part_vals: tuple,
     # table's partition spec keeps the merged file under its hive path
     # (compaction_hive_structure.test counts %sale_date% paths)
     files = lake._write_parquet(hs, merged, schema,
-                                lake._partition_spec(h), [])
+                                lake._partition_spec(h), [],
+                                rotate=False)
     if positional and len(files) != 1:  # defensive: offsets unknowable
         raise DuckLakeError(
             "compaction: positional merge unexpectedly split into "
@@ -521,6 +573,10 @@ def _rewrite_data_files_in_txn(lake, tables, delete_threshold,
         )
         schema = lake._spark_schema(h)
         inl_pos = _inlined_delete_positions(lake, h)
+        all_fdicts = [{"data_file_id": r[0], "begin_snapshot": r[8]}
+                      for r in rows]
+        all_epochs, init_defaults = lake._file_epoch_keys(
+            h, all_fdicts, schema) if rows else ({}, {})
         victims = []
         for row in rows:
             (fid, _path, rc, _rid, del_cnt, _dp, _dfm, _ek,
@@ -529,136 +585,202 @@ def _rewrite_data_files_in_txn(lake, tables, delete_threshold,
             if rc == 0 or total_del == 0 or total_del / rc < delete_threshold:
                 continue
             if mapping_id is not None:
-                # adopted foreign files resolve by name map — rewriting
-                # them is a schema migration, not a rewrite; skip
-                continue
+                # adopted foreign files resolve by NAME — rewritable
+                # only when the read needs nothing beyond plain name
+                # resolution (test_rewrite_inlined_file_deletes_add_
+                # files.test rewrites an adopted file); any evolution
+                # treatment keeps the skip
+                ep = all_epochs[fid]
+                if ep[0] or ep[1] or ep[2] or ep[3] or init_defaults                         or row[3] is None:
+                    continue
             victims.append((row, inl_pos.get(fid, ())))
+        if not victims:
+            continue
+        # ADJACENT victims sharing an evolution epoch and partition
+        # merge into shared outputs up to target_file_size — the
+        # reference's rewrite packs like merge_adjacent
+        # (test_rewrite_max_files.test: 6 victims -> "example 6 1"
+        # under a 512MB target; a 1B target keeps them singletons)
+        from ducklake_spark.lake import parse_memory_limit
+
+        tfs = parse_memory_limit(lake.meta.option(
+            "target_file_size", str(DEFAULT_TARGET_FILE_SIZE),
+            scope="table", scope_id=h.table_id,
+            schema_id=h.schema_id) or DEFAULT_TARGET_FILE_SIZE)
+        epoch_keys = all_epochs
+        pv_rows = lake.meta.query(
+            "SELECT data_file_id, partition_key_index, partition_value "
+            "FROM ducklake_file_partition_value WHERE table_id=?",
+            (h.table_id,),
+        )
+        pv_acc: dict[int, list] = {}
+        for fid_, idx_, v_ in pv_rows:
+            pv_acc.setdefault(fid_, []).append((idx_, v_))
+
+        def _live_est(v):
+            row, pos = v
+            rc2 = row[2] or 0
+            frac = max(rc2 - (row[4] or 0) - len(pos), 0) / max(rc2, 1)
+            return int((row[10] or 0) * frac)
+
+        packs: list[list] = []
+        cur, cur_size, cur_key = [], 0, None
+        for v in victims:
+            fid = v[0][0]
+            key = (epoch_keys[fid],
+                   tuple(sorted(pv_acc.get(fid, []))))
+            est = _live_est(v)
+            if cur and (key != cur_key
+                        or (tfs and cur_size + est > tfs)):
+                packs.append(cur)
+                cur, cur_size = [], 0
+            cur.append(v)
+            cur_size += est
+            cur_key = key
+        if cur:
+            packs.append(cur)
         if max_compacted_files is not None:
-            # per-table cap, lowest file ids first (reference:
-            # test_rewrite_max_files.test "should work per table")
-            victims = victims[:max_compacted_files]
-        # independent per-file copy-on-write jobs: same thread-pool
-        # treatment as compaction packs (serial = O(#files) job-launch
-        # latency); buffer mutations serialize under _TXN_BUF_LOCK
-        created: list[int] = []
-        if len(victims) > 1:
+            # the cap bounds how many COMPACTED OUTPUT files one call
+            # creates, not the victim count: a 512MB pack of 6 victims
+            # under max_compacted_files=2 still merges all 6 into one
+            # output (test_rewrite_max_files.test "example 6 1")
+            packs = packs[:max_compacted_files]
+        victims = [v for p in packs for v in p]
+        created: list[tuple[int, int]] = []
+        if len(packs) > 1:
             import concurrent.futures as cf
 
             with cf.ThreadPoolExecutor(
-                max_workers=min(PACK_POOL_WORKERS, len(victims))
+                max_workers=min(PACK_POOL_WORKERS, len(packs))
             ) as pool:
                 futs = [
-                    pool.submit(_rewrite_one_deleted, lake, h, schema,
-                                row, pos)
-                    for row, pos in victims
+                    pool.submit(_rewrite_victims_pack, lake, h, schema,
+                                pack, epoch_keys, init_defaults)
+                    for pack in packs
                 ]
-                created = [fut.result() for fut in futs]
-        elif victims:
-            created = [_rewrite_one_deleted(lake, h, schema, *victims[0])]
+                created = [(len(p), fut.result())
+                           for p, fut in zip(packs, futs)]
+        else:
+            created = [(len(packs[0]),
+                        _rewrite_victims_pack(lake, h, schema, packs[0],
+                                              epoch_keys, init_defaults))]
         if detail is not None:
-            # one TVF result row per rewritten file (the reference plans
-            # one compaction operator per rewrite-deletes victim)
-            for nout in created:
-                detail.append((h.schema_name, h.table_name, 1, nout))
+            for nproc, nout in created:
+                detail.append((h.schema_name, h.table_name, nproc, nout))
         n += len(victims)
     return n
 
 
-def _rewrite_one_deleted(lake, h, schema, row, inl_positions=()) -> None:
-    (fid, path, rc, rid_start, del_cnt, del_path, del_fmt, enc_key,
-     begin_snap, mapping_id, file_size) = row
-    # the rewritten file gets a NEW begin_snapshot, so the scan gives
-    # it no evolution treatment — materialize the source file's full
-    # epoch here (nested-rename cast, ADD FIELD default, absent ADD
-    # COLUMN default); reading with the current schema raw instead
-    # silently NULLs those (round-4 verdict repro b). Reference never
-    # merges across schemas in rewrite-deletes mode
-    # (ducklake_compaction_functions.cpp:305-308).
-    fdict = {"data_file_id": fid, "begin_snapshot": begin_snap}
-    epoch_keys, init_defaults = lake._file_epoch_keys(h, [fdict], schema)
-    later, ffill, absent, fadds = epoch_keys[fid]
-    gschema, fixups = lake._epoch_schema(
-        h, lake._reader_schema(h, schema), later)
-    df = (
-        lake.spark.read.options(
-            **lake._crypto_read_options([{"encryption_key": enc_key}])
-        )
-        .schema(gschema)
-        .parquet(os.path.join(lake.data_path, path))
-        .withColumn("__pos", F.col("_metadata.row_index"))
-    )
-    df = lake._apply_epoch_evolution(
-        h, df, schema, fixups, ffill, absent, init_defaults, fadds)
-    dels = None
-    if del_path is not None:
-        dels = lake._delete_file_df(del_path, del_fmt).select(
-            F.col("pos").alias("__pos")
-        )
-    if inl_positions:
-        # catalog-inlined delete positions are consumed by the rewrite
-        # exactly like delete-file positions (the inlined rows are
-        # end-snapshotted in the same commit below)
-        inl_df = lake.spark.createDataFrame(
-            [(int(p),) for p in inl_positions], "__pos long")
-        dels = inl_df if dels is None else dels.union(inl_df)
-    live = df.join(F.broadcast(dels), "__pos", "left_anti")
-    rowid = (
-        F.lit(rid_start) + F.col("__pos")
-        if rid_start is not None
-        else F.col(ROWID_COL)
-    )
-    live = live.withColumn(ROWID_COL, rowid).select(
-        *[x.name for x in schema.fields], ROWID_COL
-    )
-    # output rotation (reference test_rewrite_target_file_size_rotation):
-    # estimate the live output size from the source file's on-disk size
-    # times the surviving-row fraction, and split into rowid-range
-    # partitions of ~target_file_size each. No extra Spark sampling
-    # pass: the split count comes from catalog stats.
-    from ducklake_spark.lake import parse_memory_limit
+def _rewrite_victims_pack(lake, h, schema, pack, epoch_keys,
+                          init_defaults) -> int:
+    """Rewrite ONE pack of delete-carrying files into shared live-row
+    outputs. The rewritten file gets a NEW begin_snapshot, so the scan
+    gives it no evolution treatment — materialize each source file's
+    full epoch here (nested-rename cast, ADD FIELD default, absent ADD
+    COLUMN default); reading with the current schema raw instead
+    silently NULLs those (round-4 verdict repro b). The reference never
+    merges across schemas in rewrite mode
+    (ducklake_compaction_functions.cpp:305-308) — the caller's pack key
+    guarantees one epoch per pack. Output rotation happens on ACTUAL
+    written bytes (_rotate_oversized), matching the reference writer
+    (test_rewrite_target_file_size_rotation.test: one oversized source
+    -> exactly 5 target-sized outputs)."""
+    frames = []
+    for row, inl_positions in pack:
+        (fid, path, rc, rid_start, del_cnt, del_path, del_fmt, enc_key,
+         begin_snap, mapping_id, file_size) = row
+        later, ffill, absent, fadds = epoch_keys[fid]
+        gschema, fixups = lake._epoch_schema(
+            h, lake._reader_schema(h, schema), later)
+        if mapping_id is not None:
+            # adopted foreign file: plain NAME resolution (no field
+            # ids in the file); the caller admits these only with a
+            # trivial epoch
+            from pyspark.sql import types as _T
 
-    tfs = parse_memory_limit(lake.meta.option(
-        "target_file_size", str(DEFAULT_TARGET_FILE_SIZE),
-        scope="table", scope_id=h.table_id,
-        schema_id=h.schema_id) or DEFAULT_TARGET_FILE_SIZE)
-    nout = 1
-    if tfs and file_size and rc:
-        live_frac = max(rc - (del_cnt or 0) - len(inl_positions), 0) / rc
-        import math
-        nout = max(1, math.ceil(file_size * live_frac / tfs))
-    if nout > 1:
-        live = live.repartitionByRange(nout, ROWID_COL)\
-            .sortWithinPartitions(ROWID_COL)
-    else:
-        live = live.coalesce(1).sortWithinPartitions(ROWID_COL)
-    files = lake._write_parquet(h, live, schema, [], [])
+            gschema = _T.StructType(
+                [_T.StructField(f_.name, f_.dataType, True)
+                 for f_ in schema.fields])
+        df = (
+            lake.spark.read.options(
+                **lake._crypto_read_options([{"encryption_key": enc_key}])
+            )
+            .schema(gschema)
+            .parquet(os.path.join(lake.data_path, path))
+            .withColumn("__pos", F.col("_metadata.row_index"))
+        )
+        df = lake._apply_epoch_evolution(
+            h, df, schema, fixups, ffill, absent, init_defaults, fadds)
+        dels = None
+        if del_path is not None:
+            dels = lake._delete_file_df(del_path, del_fmt).select(
+                F.col("pos").alias("__pos")
+            )
+        if inl_positions:
+            # catalog-inlined delete positions are consumed by the
+            # rewrite exactly like delete-file positions
+            inl_df = lake.spark.createDataFrame(
+                [(int(p),) for p in inl_positions], "__pos long")
+            dels = inl_df if dels is None else dels.union(inl_df)
+        live = df.join(F.broadcast(dels), "__pos", "left_anti")
+        rowid = (
+            F.lit(rid_start) + F.col("__pos")
+            if rid_start is not None
+            else F.col(ROWID_COL)
+        )
+        frames.append(live.withColumn(ROWID_COL, rowid).select(
+            *[x.name for x in schema.fields], ROWID_COL
+        ))
+    merged = frames[0]
+    for fr in frames[1:]:
+        merged = merged.unionByName(fr)
+    merged = merged.coalesce(1).sortWithinPartitions(ROWID_COL)
+    files = lake._write_parquet(h, merged, schema, [], [], rotate=True)
+    # the output keeps the sources' partition identity (pack members
+    # share one partition — test_rewrite_partitioning.test: the later
+    # merge_adjacent still groups per partition)
+    pvs = lake.meta.query(
+        "SELECT partition_key_index, partition_value "
+        "FROM ducklake_file_partition_value WHERE data_file_id=? "
+        "AND table_id=? ORDER BY partition_key_index",
+        (pack[0][0][0], h.table_id))
+    pid_row = lake.meta.query(
+        "SELECT partition_id FROM ducklake_data_file WHERE data_file_id=?",
+        (pack[0][0][0],))
     with _TXN_BUF_LOCK:
         txn = lake._begin()
         for fi in files:
+            if pvs:
+                fi.partition_values = [(i, v) for i, v in pvs]
+                fi.partition_id = pid_row[0][0] if pid_row else None
             # copy-on-write: new file begins at the rewrite snapshot;
-            # the old file keeps serving earlier snapshots (incl. rows
+            # the old files keep serving earlier snapshots (incl. rows
             # that were live before the deletes being collected here)
             fi.allocate = False
             fi.row_id_start = None
         delta = txn.stats_delta.setdefault(h.table_id, {})
-        # GROSS record_count: the retired source file contributed its
-        # full (pre-delete) count; the commit adds the survivors from
-        # the new files — together the stats land on live rows exactly
-        delta["records"] = delta.get("records", 0) - rc
-        delta["bytes"] = delta.get("bytes", 0) - (file_size or 0)
+        # GROSS record_count: the retired source files contributed
+        # their full (pre-delete) counts; the commit adds the survivors
+        # from the new files — together stats land on live rows exactly
+        delta["records"] = delta.get("records", 0) - sum(
+            r[2] or 0 for r, _p in pack)
+        delta["bytes"] = delta.get("bytes", 0) - sum(
+            r[10] or 0 for r, _p in pack)
         txn.new_data_files.setdefault(str(h.table_id), []).extend(files)
-        txn.removed_data_files.setdefault(h.table_id, []).append(fid)
-        txn.touched_delete_data_files.add(fid)
+        for r, _p in pack:
+            txn.removed_data_files.setdefault(h.table_id, []).append(r[0])
+            txn.touched_delete_data_files.add(r[0])
         # consumed catalog-inlined delete rows need no end-mark: the
         # retired source file stops being scanned at snapshots >= this
         # commit, so its rows go inert through file visibility (and
         # still apply correctly to time-travel reads of the old file) —
         # matching the reference, which never closes these rows on
-        # rewrite
+        # rewrite.
         # the reference logs rewrite-deletes compaction under its OWN
         # change kind (ducklake_transaction_state.cpp:402 AddChangeInfo
         # "rewrite_delete"; snapshots() shows rewrite_delete=[id])
-        txn.change_log.append(f"rewrite_delete:{h.table_id}")
+        if f"rewrite_delete:{h.table_id}" not in txn.change_log:
+            txn.change_log.append(f"rewrite_delete:{h.table_id}")
     lake._autocommit()
     return len(files)
 
@@ -1093,7 +1215,8 @@ def _flush_inlined_data_in_txn(lake, tables, per_table=None) -> int:
             # data_inlining_partitions.test — flush writes partitioned
             # files so pruning applies to them like any insert)
             files = lake._write_parquet(
-                h, df, schema, lake._partition_spec(h), sort_spec
+                h, df, schema, lake._partition_spec(h), sort_spec,
+                rotate=False
             )
             # key by (row_id, begin_snapshot): an inlined UPDATE
             # end-stamps the old generation and re-inserts the live row
@@ -1473,14 +1596,16 @@ def checkpoint(lake: DuckLake) -> None:
         flush_inlined_data(lake)
         # expire/cleanup need an age cutoff; checkpoint uses configured
         # defaults
-        older = lake.meta.option("expire_older_than", None)
-        if older:
-            expire_snapshots(lake, older_than=older)
+        # bare calls: the options hold INTERVAL strings ('1 week') that
+        # the bare paths convert to cutoffs — passing them through as
+        # older_than= would compare an interval against snapshot_time
+        # (checkpoint_ducklake.test '1 millisecond')
+        if lake.meta.option("expire_older_than", None):
+            expire_snapshots(lake)
         merge_adjacent_files(lake)
         rewrite_data_files(lake)
-        delete_older = lake.meta.option("delete_older_than", None)
-        if delete_older:
-            cleanup_old_files(lake, older_than=delete_older)
+        if lake.meta.option("delete_older_than", None):
+            cleanup_old_files(lake)
         delete_orphaned_files(lake)
     finally:
         lake._txn, lake._explicit_txn = saved_txn, saved_flag

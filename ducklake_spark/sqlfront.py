@@ -2283,8 +2283,21 @@ class SQLSession:
                   "partial_max", "table"):
             if k in named:
                 kw[k] = named[k]
+        if "schema" in named or "schema_name" in named:
+            kw["schema"] = str(named.get("schema")
+                               or named.get("schema_name"))
         if pos:
             kw.setdefault("table", str(pos[0]))
+        if "max_compacted_files" in named:
+            mcf = named["max_compacted_files"]
+            if mcf is None:
+                raise DuckLakeError(
+                    "The max_compacted_files option must be a non-null "
+                    "integer")
+            if isinstance(mcf, int) and mcf < 0:
+                raise DuckLakeError(
+                    f"Type INT32 with value {mcf} can't be cast to "
+                    "UBIGINT because the value is out of range")
         detail: list = []
         maint.merge_adjacent_files(lake, detail=detail, **kw)
         return self._compaction_result(detail)
@@ -2298,6 +2311,18 @@ class SQLSession:
         for k in ("delete_threshold", "table", "max_compacted_files"):
             if k in named:
                 kw[k] = named[k]
+        if "max_compacted_files" in named:
+            mcf = named["max_compacted_files"]
+            if mcf is None:
+                # explicit NULL argument (test_rewrite_max_files.test)
+                raise DuckLakeError(
+                    "The max_compacted_files option must be a non-null "
+                    "integer")
+            if isinstance(mcf, int) and mcf < 0:
+                # the reference binds the named parameter as UBIGINT
+                raise DuckLakeError(
+                    f"Type INT32 with value {mcf} can't be cast to "
+                    "UBIGINT because the value is out of range")
         detail: list = []
         maint.rewrite_data_files(lake, detail=detail, **kw)
         return self._compaction_result(detail)

@@ -1,0 +1,77 @@
+#!/usr/bin/env python3
+"""Build SLT_MANIFEST.json — the triaged state of the reference's
+sqllogictest corpus against this engine.
+
+Input: a full-sweep report from tools/slt_runner.py (--dir test/sql
+--report). Every FAIL must either be fixed or appear in
+DOCUMENTED_DIVERGENCES below with an adjudicated reason; an
+unadjudicated FAIL makes this script exit non-zero, so the manifest
+cannot be regenerated around an unexplained regression.
+
+Usage:
+    python tools/slt_runner.py --dir test/sql --report sweep.json
+    python tools/slt_manifest.py sweep.json > SLT_MANIFEST.json
+"""
+
+from __future__ import annotations
+
+import json
+import sys
+
+# FAILs adjudicated as known divergences — each entry is a deliberate
+# engineering decision, not an unexplained failure.
+DOCUMENTED_DIVERGENCES: dict[str, str] = {
+    "test/sql/delete/delete_legacy_missing_mapping_after_rename_add_files.test": (
+        "legacy v0.3 files with neither a name mapping nor parquet field "
+        "ids would need a per-file footer probe inside the scan hot path "
+        "to detect name-resolution fallback; at cluster scale that is a "
+        "driver-side footer read per data file per scan. Re-adopting the "
+        "files via ducklake_add_data_files restores them. Deliberate "
+        "scale trade-off."),
+    "test/sql/compaction/merge_adjacent_external_hive_paths.test": (
+        "the reference stores ducklake_data_file.path relative to the "
+        "TABLE directory; this engine stores it relative to the data "
+        "root. The test pins an anchored 'source=audio/...' regex on the "
+        "raw catalog path. All data/path joins are consistent internally; "
+        "changing the storage convention is a catalog migration, tracked "
+        "as future work. The compaction behavior itself (canonical hive "
+        "output paths, external files preserved) passes."),
+    "test/sql/settings/parquet_compression.test": (
+        "parquet-mr (Spark's writer) encodes V2 strings as "
+        "DELTA_BYTE_ARRAY; duckdb's writer uses DELTA_LENGTH_BYTE_ARRAY. "
+        "The encoding choice is not configurable in parquet-mr. Readers "
+        "handle both; the test pins the writer's encoding name."),
+}
+
+
+def main() -> int:
+    with open(sys.argv[1]) as fh:
+        sweep = json.load(fh)
+    manifest = {"pass": [], "documented_divergence": {}, "skip": {},
+                "unadjudicated_fail": {}}
+    for name, r in sorted(sweep.items()):
+        if r["status"] == "PASS":
+            manifest["pass"].append(name)
+        elif r["status"] == "SKIP":
+            manifest["skip"][name] = r["detail"]
+        elif name in DOCUMENTED_DIVERGENCES:
+            manifest["documented_divergence"][name] = {
+                "detail": r["detail"],
+                "reason": DOCUMENTED_DIVERGENCES[name],
+            }
+        else:
+            manifest["unadjudicated_fail"][name] = r["detail"]
+    manifest["counts"] = {
+        "pass": len(manifest["pass"]),
+        "documented_divergence": len(manifest["documented_divergence"]),
+        "skip": len(manifest["skip"]),
+        "unadjudicated_fail": len(manifest["unadjudicated_fail"]),
+    }
+    json.dump(manifest, sys.stdout, indent=1)
+    print(file=sys.stderr)
+    print("counts:", manifest["counts"], file=sys.stderr)
+    return 1 if manifest["unadjudicated_fail"] else 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())
