@@ -1022,7 +1022,15 @@ class DuckLake:
             self._autocommit()
             return
         txn.renamed_tables.append((h.table_id, new_tname))
-        txn.change_log.append(f"altered_table:{h.table_id}")
+        # the reference records a RENAME as created_table with the NEW
+        # name (GetTransactionTableChanges, ducklake_transaction.cpp:
+        # 893-899: LocalChangeType::RENAMED inserts into
+        # created_tables) — expire_snapshot_bug.test matches
+        # '%tables_created%main.b%' on the rename snapshot. Conflict
+        # protection for the renamed id comes from renamed_tables
+        # (folded into ours_alter in _check_conflicts).
+        txn.change_log.append(
+            f'created_table:"{h.schema_name}"."{new_tname}"')
         self._autocommit()
 
 
@@ -2913,9 +2921,12 @@ class DuckLake:
             parent = path.rsplit("/", 1)[0]
             for i, piece in enumerate(
                     self.lfs.list_files(split_dir, suffix=".parquet")):
+                # keep Spark's own part-file name (it carries the real
+                # codec extension — zstd data must not land in a
+                # *.snappy.parquet name); only prefix the rotation index
                 self.lfs.move(
-                    piece, f"{parent}/part-rot{i:05d}-{uuid.uuid4().hex}"
-                           ".snappy.parquet")
+                    piece,
+                    f"{parent}/part-rot{i:05d}-{piece.rsplit('/', 1)[-1]}")
             self.lfs.rmtree(split_dir)
 
     def _leaf_colmap(self, h: TableHandle) -> dict[str, int]:
@@ -3470,11 +3481,21 @@ class DuckLake:
                 numeric = isinstance(val2, (int, float))
                 cast = "CAST(%s AS REAL)" if numeric else "%s"
                 mn, mx = cast % "min_value", cast % "max_value"
+                if op2 == "!=":
+                    # a constant file (min == max == v) can't satisfy !=
+                    # (filter_pushdown.test file 4 single-row prune) —
+                    # but NaN rows are excluded from parquet float stats
+                    # and DO satisfy !=, so contains_nan files are kept;
+                    # integers compare as exact text (a REAL cast
+                    # collides values beyond 2^53)
+                    if isinstance(val2, int) and not isinstance(val2, bool):
+                        emn, emx, v = "min_value", "max_value", str(val2)
+                    else:
+                        emn, emx, v = mn, mx, val2
+                    return (f"({emn} = ? AND {emx} = ? AND null_count = 0"
+                            " AND contains_nan = 0)"), [v, v]
                 c = {
                     "=": f"({mn} > ? OR {mx} < ?)",
-                    # a constant file (min == max == v) can't satisfy !=
-                    # (filter_pushdown.test file 4 single-row prune)
-                    "!=": f"({mn} = ? AND {mx} = ? AND null_count = 0)",
                     ">": f"{mx} <= ?",
                     ">=": f"{mx} < ?",
                     "<": f"{mn} >= ?",

@@ -276,15 +276,19 @@ def _merge_adjacent_in_txn(lake, tables, target_file_size,
                  pid_by_fid.get(f["data_file_id"]), epoch,
                  _colgen_epoch(f)), []).append(f)
         all_packs: list[tuple[list[dict], tuple, int | None, tuple]] = []
-        hit_cap = False
-        budget = (None if max_compacted_files is None
-                  else max_compacted_files - n_groups)
+        # max_compacted_files caps each TABLE separately — the
+        # reference builds one DuckLakeCompactor per table, each with
+        # its own max_files counter
+        # (ducklake_compaction_functions.cpp:746-760,836-847)
+        budget = max_compacted_files
+        considered = 0
         for (pv, pid, epoch, cge), members in groups.items():
             # reference packing (ducklake_compaction_functions.cpp:
             # 367-414): accumulate while adding the next file moves the
             # total CLOSER to target (abs-difference rule — may
             # overshoot); singleton packs are skipped but still count
-            # toward max_compacted_files
+            # toward max_compacted_files (compacted_files++ on the
+            # single-file continue path, :391-396)
             start = 0
             while start < len(members):
                 cur = 0
@@ -302,14 +306,10 @@ def _merge_adjacent_in_txn(lake, tables, target_file_size,
                     start = idx
                 else:
                     start += 1
-                if budget is not None and len(all_packs) + (
-                        start < len(members)) > budget >= len(all_packs):
-                    pass
-                if budget is not None and len(all_packs) >= budget:
-                    hit_cap = start < len(members)
+                considered += 1
+                if budget is not None and considered >= budget:
                     break
-            if budget is not None and len(all_packs) >= budget:
-                hit_cap = True
+            if budget is not None and considered >= budget:
                 break
         # pack rewrites are independent single-output jobs; running them
         # serially makes compaction wall-clock O(#packs) in per-job
@@ -317,6 +317,7 @@ def _merge_adjacent_in_txn(lake, tables, target_file_size,
         # Spark's scheduler accepts concurrent jobs, catalog reads use
         # per-thread connections, and the shared transaction's buffers
         # mutate only under _TXN_BUF_LOCK.
+        pack_out: list[int] = []
         if len(all_packs) > 1:
             import concurrent.futures as cf
 
@@ -328,25 +329,23 @@ def _merge_adjacent_in_txn(lake, tables, target_file_size,
                                 epoch, _epoch_handle(cge))
                     for pack, pv, pid, epoch, cge in all_packs
                 ]
-                for fut in futs:
-                    fut.result()
+                pack_out = [fut.result() for fut in futs]
         elif all_packs:
             pack, pv, pid, epoch, cge = all_packs[0]
-            _rewrite_pack(lake, h, pack, pv, pid, epoch,
-                          _epoch_handle(cge))
+            pack_out = [_rewrite_pack(lake, h, pack, pv, pid, epoch,
+                                      _epoch_handle(cge))]
         if detail is not None:
-            for pack, _pv, _pid, _epoch, _cge in all_packs:
+            for (pack, _pv, _pid, _epoch, _cge), nf in zip(
+                    all_packs, pack_out):
                 detail.append(
-                    (h.schema_name, h.table_name, len(pack), 1))
+                    (h.schema_name, h.table_name, len(pack), nf))
         n_groups += len(all_packs)
-        if hit_cap:
-            return n_groups
     return n_groups
 
 
 def _rewrite_pack(lake: DuckLake, h, pack: list[dict], part_vals: tuple,
                   part_pid: int | None, epoch: tuple,
-                  h_epoch=None) -> None:
+                  h_epoch=None) -> int:
     """Merge one same-epoch pack into one file, preserving the epoch's
     PHYSICAL shape: read with the epoch's reverted nested names, write
     those names back, and keep ADD COLUMN ... DEFAULT columns physically
@@ -515,6 +514,7 @@ def _rewrite_pack(lake: DuckLake, h, pack: list[dict], part_vals: tuple,
             txn.touched_delete_data_files.add(f["data_file_id"])
         txn.change_log.append(f"compacted_table:{h.table_id}")
     lake._autocommit()
+    return len(files)
 
 
 def rewrite_data_files(lake: DuckLake, *, delete_threshold: float | None = None,

@@ -874,6 +874,35 @@ def _rewrite_typeof(sql: str, json_cols: frozenset = frozenset()) -> str:
     return "".join(out)
 
 
+def _sub_getvariable(sql: str, variables: dict) -> str:
+    """getvariable('v') -> SQL literal, with optional 1-based
+    subscript (getvariable('files')[1]) and list values rendered as
+    array(...) calls."""
+    def _render(v) -> str:
+        if v is None:
+            return "NULL"
+        if isinstance(v, bool):
+            return "true" if v else "false"
+        if isinstance(v, (int, float)):
+            return str(v)
+        if isinstance(v, (list, tuple)):
+            return "array(" + ", ".join(_render(x) for x in v) + ")"
+        return "'" + str(v).replace("'", "''") + "'"
+
+    def _one(m: re.Match) -> str:
+        v = variables.get(m.group(1))
+        if m.group(2):
+            try:
+                v = v[int(m.group(2)) - 1]
+            except (IndexError, TypeError, KeyError):
+                v = None
+        return _render(v)
+
+    return re.sub(
+        r"\bgetvariable\s*\(\s*'(\w+)'\s*\)\s*(?:\[\s*(\d+)\s*\])?",
+        _one, sql, flags=re.I)
+
+
 def _parse_value(tok: str):
     """A literal argument in ATTACH options / CALL argument lists."""
     tok = tok.strip()
@@ -1011,6 +1040,7 @@ class SQLSession:
         statement references (Spark stores json as string, so typeof()
         reports the catalog type — json.test)."""
         out: set[str] = set()
+        other: set[str] = set()
         for lake in self.lakes.values():
             try:
                 names = lake._table_names()
@@ -1024,9 +1054,13 @@ class SQLSession:
                     cols = lake._handle(name).columns
                 except Exception:
                     continue
-                out.update(c[1].lower() for c in cols
-                           if str(c[2]).lower() == "json")
-        return frozenset(out)
+                for c in cols:
+                    (out if str(c[2]).lower() == "json"
+                     else other).add(c[1].lower())
+        # a bare column name only means JSON when no other referenced
+        # table types the same name non-json — the pooled-name rewrite
+        # must not hijack an identically-named string column
+        return frozenset(out - other)
 
     def _resolve(self, qname: str) -> tuple[DuckLake, str, str, str, str]:
         """qualified name -> (lake, api_name, db, schema, table)."""
@@ -2244,6 +2278,10 @@ class SQLSession:
     }
 
     def _call(self, stmt: str) -> DataFrame | None:
+        # CALL args may reference SET VARIABLE state, incl. 1-based
+        # subscripts: add_data_files(..., getvariable('files')[1], ...)
+        if re.search(r"\bgetvariable\s*\(", stmt, re.I):
+            stmt = _sub_getvariable(stmt, self.variables)
         m = re.match(
             rf"CALL\s+(?:({_IDENT})\s*\.\s*)?({_IDENT})\s*\((.*)\)\s*$",
             stmt, re.I | re.S)
@@ -3082,20 +3120,8 @@ class SQLSession:
             sql = re.sub(r"\bcurrent_database\s*\(\s*\)",
                          f"'{self.current}'", sql, flags=re.I)
 
-        # 0a. getvariable('v') -> literal
-        def _getvar(m: re.Match) -> str:
-            name = m.group(1)
-            v = self.variables.get(name)
-            if v is None:
-                return "NULL"
-            if isinstance(v, bool):
-                return "true" if v else "false"
-            if isinstance(v, (int, float)):
-                return str(v)
-            return "'" + str(v).replace("'", "''") + "'"
-
-        sql = re.sub(r"\bgetvariable\s*\(\s*'(\w+)'\s*\)", _getvar, sql,
-                     flags=re.I)
+        # 0a. getvariable('v') -> literal (optional 1-based subscript)
+        sql = _sub_getvariable(sql, self.variables)
 
         # 0b. DuckDB type names Spark lacks, in :: casts and CAST targets
         sql = re.sub(r"::\s*(VARCHAR|TEXT)\b(?!\s*\()", "::STRING", sql,
@@ -3104,7 +3130,74 @@ class SQLSession:
                      sql, flags=re.I)
         sql = re.sub(r"::\s*(HUGEINT|INT128)\b", "::DECIMAL(38,0)", sql,
                      flags=re.I)
-        sql = re.sub(r"::\s*BLOB\b", "::BINARY", sql, flags=re.I)
+        # duckdb BLOB literals use \xHH escapes ('\x80'::BLOB); Spark
+        # has no backslash-escape binary literal — render X'hex'
+        def _blob_lit(m: re.Match) -> str:
+            body = m.group(1)
+            out = bytearray()
+            i = 0
+            while i < len(body):
+                if (body[i] == "\\" and i + 3 < len(body) + 1
+                        and body[i:i + 2] == "\\x"
+                        and re.match(r"[0-9a-fA-F]{2}", body[i + 2:i + 4])):
+                    out.append(int(body[i + 2:i + 4], 16))
+                    i += 4
+                else:
+                    out.extend(body[i].encode("utf-8"))
+                    i += 1
+            return f"X'{out.hex()}'"
+
+        sql = re.sub(r"'([^']*)'\s*::\s*(?:BLOB|BINARY|BYTEA)\b",
+                     _blob_lit, sql, flags=re.I)
+        sql = re.sub(r"::\s*(?:BLOB|BYTEA)\b", "::BINARY", sql, flags=re.I)
+        sql = re.sub(r"(\bAS\s+)(?:BLOB|BYTEA)\b(?=\s*[)\[])", r"\1BINARY",
+                     sql, flags=re.I)
+        # duckdb type spellings Spark lacks (cast targets + literal
+        # prefixes): TIMESTAMPTZ ≡ Spark's session-tz TIMESTAMP; BOOL;
+        # unsigned ints widen to the next signed type; UUID as text
+        sql = re.sub(
+            r"(::\s*|\bAS\s+)(TIMESTAMPTZ|TIMESTAMP\s+WITH\s+TIME\s+ZONE)"
+            r"\b(?!\s*\()", r"\1TIMESTAMP", sql, flags=re.I)
+        sql = re.sub(r"\bTIMESTAMPTZ\s*(?=')", "TIMESTAMP ", sql,
+                     flags=re.I)
+        for duck, spark_t in (("BOOL", "BOOLEAN"), ("UTINYINT", "SMALLINT"),
+                              ("USMALLINT", "INT"), ("UINTEGER", "BIGINT"),
+                              ("UBIGINT", "DECIMAL(20,0)"),
+                              ("UHUGEINT", "DECIMAL(38,0)"),
+                              ("UUID", "STRING")):
+            # :: form anywhere; AS form only where a type can sit —
+            # directly before ')' or '[' (CAST tail) — so a column
+            # ALIAS named e.g. "uuid" is never rewritten
+            sql = re.sub(rf"::\s*{duck}\b(?!\s*\()",
+                         f"::{spark_t}", sql, flags=re.I)
+            sql = re.sub(rf"(\bAS\s+){duck}\b(?=\s*[)\[])",
+                         lambda m, t=spark_t: m.group(1) + t, sql,
+                         flags=re.I)
+        # duckdb array-type suffix: INT[] -> ARRAY<INT> (iterate for
+        # nested INT[][]); [N] fixed-size arrays map to plain arrays
+        _ARRT = (r"(::\s*|\bAS\s+)((?:ARRAY\s*<\s*)*[A-Za-z_]\w*"
+                 r"(?:\s*\(\s*\d+(?:\s*,\s*\d+)?\s*\))?(?:\s*>)*)"
+                 r"\s*\[\s*\d*\s*\]")
+        for _ in range(8):
+            sql2 = re.sub(_ARRT, lambda m: f"{m.group(1)}ARRAY<{m.group(2)}>",
+                          sql, flags=re.I)
+            if sql2 == sql:
+                break
+            sql = sql2
+        # duckdb list(x [ORDER BY x]) aggregate -> collect_list (the
+        # self-ordered form becomes sort_array(collect_list(x)))
+        sql = re.sub(
+            rf"\bLIST\s*\(\s*({_IDENT}(?:\s*\.\s*{_IDENT})*)\s+ORDER\s+BY"
+            rf"\s+\1(?:\s+ASC)?\s*\)",
+            r"sort_array(collect_list(\1))", sql, flags=re.I)
+        sql = re.sub(r"\bLIST\s*\(", "collect_list(", sql, flags=re.I)
+        # uuid_extract_version: version nibble = 15th char of the
+        # canonical 8-4-4-4-12 text form
+        if re.search(r"\buuid_extract_version\s*\(", sql, re.I):
+            sql = _sub_balanced_calls(
+                sql, ["uuid_extract_version"],
+                lambda m: "CAST(conv(substr(CAST(" + m.group(2)
+                + " AS STRING), 15, 1), 16, 10) AS INT)")
         # duckdb's 4-arg regexp_replace(s, re, repl, 'g'): Spark's
         # 3-arg form already replaces globally
         sql = re.sub(

@@ -336,6 +336,9 @@ class Transaction:
         ours_inl_delete = self._our_table_targets("inlined_delete")
         ours_flush = self._our_table_targets("flushed_inlined")
         ours_alter = self._our_table_targets("altered_table")
+        # renames log created_table:"schema"."new" (reference display
+        # parity) but still guard the table id like an alter
+        ours_alter |= {tid for tid, _n in self.renamed_tables}
         ours_alter_view = self._our_table_targets("altered_view")
         ours_compact = (self._our_table_targets("compacted_table")
                         | self._our_table_targets("rewrite_delete"))
@@ -1849,6 +1852,18 @@ class Transaction:
                                     "variant", "json"):
                     continue
                 vals = [r[3 + j] for r in rows]
+                if base in ("decimal", "numeric"):
+                    # packed inlined rows carry decimals SQL-serialized
+                    # as text — min()/max() over the raw strings is
+                    # lexicographic ('10.5' < '9.5'); decode first
+                    import decimal as _dec
+
+                    def _dv(v):
+                        try:
+                            return _dec.Decimal(str(v))
+                        except (ArithmeticError, ValueError, TypeError):
+                            return v
+                    vals = [None if v is None else _dv(v) for v in vals]
                 nonnull = [v for v in vals if v is not None]
                 nn = [v for v in nonnull
                       if not (isinstance(v, float) and v != v)]

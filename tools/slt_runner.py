@@ -158,7 +158,7 @@ def parse_file(path: str) -> list[Record]:
 # rendering Spark values the way duckdb's sqllogictest renders them
 
 
-def render(v) -> str:
+def render(v, tz: bool = False) -> str:
     import datetime
     import decimal
 
@@ -177,10 +177,14 @@ def render(v) -> str:
     if isinstance(v, decimal.Decimal):
         return str(v)
     if isinstance(v, datetime.datetime):
+        if v.tzinfo is not None:
+            v = v.astimezone(datetime.timezone.utc).replace(tzinfo=None)
         s = v.strftime("%Y-%m-%d %H:%M:%S")
         if v.microsecond:
             s += f".{v.microsecond:06d}".rstrip("0")
-        return s
+        # duckdb renders TIMESTAMPTZ (Spark TimestampType) with the
+        # UTC offset suffix; plain TIMESTAMP (TimestampNTZ) without
+        return s + "+00" if tz else s
     if isinstance(v, datetime.date):
         return v.isoformat()
     if isinstance(v, datetime.timedelta):
@@ -588,7 +592,14 @@ class FileRunner:
             raise Fail(f"query [line {r.lineno}]: returned "
                        f"{len(rows[0])} columns, expected {ncols}"
                        f"\nSQL: {sql}")
-        table = [[render(v) for v in row] for row in rows]
+        tzcols = []
+        if df is not None:
+            from pyspark.sql import types as _T
+
+            tzcols = [isinstance(f.dataType, _T.TimestampType)
+                      for f in df.schema.fields]
+        table = [[render(v, tz=(i < len(tzcols) and tzcols[i]))
+                  for i, v in enumerate(row)] for row in rows]
         # duckdb's nosort relies on its insertion-order scans; Spark
         # orders scan splits by size, so without an ORDER BY we compare
         # rows order-insensitively (and sort the expected rows the same
