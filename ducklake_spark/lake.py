@@ -1839,6 +1839,11 @@ class DuckLake:
                 )
 
             txn.column_changes.setdefault(h.table_id, []).append(tag_op)
+            # same-transaction reads must already surface the default
+            # on pre-existing rows (struct_field_default.test reads
+            # k=42 before COMMIT)
+            txn.pending_field_defaults.append(
+                (h.table_id, cur[0], field_name, default))
         self._mutate_struct(name, col_name, edit, nav=tuple(nav),
                             added_paths=(field_name,))
 
@@ -1853,6 +1858,15 @@ class DuckLake:
         ):
             fname, _, dsql = val.partition(":")
             out.append((snap, cid, fname, dsql))
+        if self._txn is not None:
+            # buffered ADD FIELD ... DEFAULTs postdate every committed
+            # snapshot, so every committed epoch's rows fill them
+            future = self.meta.latest_snapshot().snapshot_id + 1
+            out.extend(
+                (future, cid, fname, dsql)
+                for tid, cid, fname, dsql in self._txn.pending_field_defaults
+                if tid == h.table_id
+            )
         return sorted(out)
 
     def _field_added_log(self, h: TableHandle) -> list[tuple[int, int, str]]:
@@ -2665,7 +2679,8 @@ class DuckLake:
 
     def _write_parquet(self, h: TableHandle, df: DataFrame, schema: T.StructType,
                        part_keys, sort_spec,
-                       rotate: bool = True) -> list[DataFileInfo]:
+                       rotate: bool = True,
+                       rotate_chunk_rows: float = 2048.0) -> list[DataFileInfo]:
         import pyarrow.parquet as pq
 
         table_dir = os.path.join(self.data_path, h.path)
@@ -2797,11 +2812,14 @@ class DuckLake:
             w = w.partitionBy(*part_cols)
         w.parquet(tmp)
         if target_file_size and rotate:
-            # INSERT/CTAS only: compaction and rewrite size their own
-            # outputs (repartitionByRange on rowid) — a second split
-            # here would double-rotate them
+            # INSERT/CTAS/rewrite: compaction sizes its own outputs
+            # (repartitionByRange on rowid) — a second split there
+            # would double-rotate
+            rg_opt = opt("parquet_row_group_size")
             self._rotate_oversized(tmp, target_file_size, _format_opts,
-                                   enc_key)
+                                   enc_key,
+                                   rg_rows=int(rg_opt) if rg_opt else None,
+                                   chunk_rows=rotate_chunk_rows)
 
         infos: list[DataFileInfo] = []
         colmap = self._leaf_colmap(h)  # incl. nested-leaf ids ("s.a")
@@ -2882,15 +2900,26 @@ class DuckLake:
         return infos
 
     def _rotate_oversized(self, tmp: str, target: int, format_opts,
-                          enc_key: str | None) -> None:
+                          enc_key: str | None,
+                          rg_rows: int | None = None,
+                          chunk_rows: float = 2048.0) -> None:
         """Size-based output rotation: any freshly written file larger
-        than ~4/3 of target_file_size is re-split into
-        ceil(size/target) order-preserving pieces — the reference
-        writer rotates on ACTUAL written bytes
-        (insert_partitioned_file_size.test: 16KB target → exactly 5
-        files per partition). The coarse maxRecordsPerFile guess keeps
-        this pass a no-op for well-estimated large writes; the re-read
-        touches only the oversized files."""
+        than ~4/3 of target_file_size is re-split into order-preserving
+        pieces, replicating the reference writer's rotation counts.
+
+        duckdb's streaming parquet writer buffers ~2048-row source
+        chunks (scaled down when a filter, e.g. a rewrite's delete
+        anti-join, thins them — ``chunk_rows``), flushes the WHOLE
+        buffer as one row group once it holds >= parquet_row_group_size
+        rows (default 122880), and rotates the file after any flush
+        that pushed written bytes past target_file_size. So the piece
+        count is bounded by ceil(rows / group_rows) with group_rows the
+        smallest chunk multiple >= the row-group size — verified
+        against duckdb COPY ... (FILE_SIZE_BYTES, ROW_GROUP_SIZE)
+        matrices; pins test_rewrite_target_file_size_rotation.test
+        (1 source -> exactly 5 files) and insert_file_size.test."""
+        import math as _math
+
         tmp_fs = self.lfs.strip_scheme(tmp)
         for path in list(self.lfs.list_files(tmp_fs, suffix=".parquet")):
             size = self.lfs.size(path)
@@ -2899,13 +2928,13 @@ class DuckLake:
             # duckdb's writer rotates when written bytes EXCEED target,
             # so each piece lands slightly over it: floor matches the
             # reference count (our encoding overhead would push a ceil
-            # one file too far). A parquet file can't split below one
-            # row group, so tiny targets cap at the row-group count
-            # (test_rewrite_max_files: target_file_size '1B' still
-            # writes ONE file per single-row-group victim)
+            # one file too far)
             with self.lfs.open_input(path) as fh:
-                nrg = _open_parquet_meta(fh, enc_key).metadata.num_row_groups
-            nout = min(max(2, size // target), max(nrg, 1))
+                nrows = _open_parquet_meta(fh, enc_key).metadata.num_rows
+            rg = rg_rows or 122880
+            group_rows = max(1.0, _math.ceil(rg / chunk_rows)) * chunk_rows
+            cap = max(1, _math.ceil(nrows / group_rows))
+            nout = min(max(2, size // target), cap)
             if nout < 2:
                 continue
             copts = self._crypto_read_options(
@@ -3100,6 +3129,23 @@ class DuckLake:
         """Create-if-missing the CURRENT schema-version's inlined table
         and return its name (one table per (table, schema_version))."""
         sv = self.meta.latest_snapshot().schema_version
+        txn = self._txn
+        if txn is not None and bool(
+            txn.created_schemas or txn.dropped_schemas
+            or txn.created_tables or txn.dropped_tables
+            or txn.renamed_tables or txn.created_views
+            or txn.dropped_views or txn.renamed_views
+            or txn.column_changes or txn.sort_ops
+            or txn.schema_bump_tables
+        ):
+            # the open transaction already made a schema change, so the
+            # commit will stamp schema_version+1: rows inserted AFTER an
+            # in-txn ALTER belong to the NEW epoch's inlined table —
+            # routing them into the old epoch would replay that ALTER's
+            # evolution on read and erase their own values
+            # (struct_field_default.test: in-txn ADD FIELD then INSERT,
+            # the inserted k must survive COMMIT)
+            sv += 1
         tname = f"ducklake_inlined_data_{h.table_id}_{sv}"
         con = self.meta.con
         exists = con.execute(
@@ -5080,8 +5126,9 @@ class DuckLake:
         # never resurrects a dropped generation's values)
         fadds = self._field_added_log(h)
         rlog = self._rename_log(h)
+        fdefaults = self._field_default_log(h)  # incl. buffered in-txn
         epoch_snap = None
-        if fadds or rlog:
+        if fadds or rlog or fdefaults:
             row = self.meta.query(
                 "SELECT MIN(s.snapshot_id) "
                 "FROM ducklake_inlined_data_tables t "
@@ -5124,6 +5171,34 @@ class DuckLake:
                 h, df,
                 [(cid, path) for snap_s, cid, path in fadds
                  if snap_s > epoch_snap])
+        if fdefaults and epoch_snap is not None:
+            # ADD FIELD ... DEFAULT postdating this epoch fills the
+            # default into the epoch's rows, exactly like the parquet
+            # epoch-group treatment (struct_field_default.test: inlined
+            # {'i':1,'j':2} reads k=42 after ADD COLUMN col1.k DEFAULT,
+            # including same-transaction reads of a buffered add)
+            cid_to_name = {c[0]: c[1] for c in h.columns}
+            for _snap, cid, fname, dsql in fdefaults:
+                if _snap <= epoch_snap:
+                    continue
+                cname = cid_to_name.get(cid)
+                if cname is None or cname not in df.columns:
+                    continue
+                ftype = dict(self._struct_parts(
+                    next(c[2] for c in h.columns if c[0] == cid)
+                )).get(fname)
+                if ftype is None:
+                    continue  # field since dropped
+                df = df.withColumn(
+                    cname,
+                    F.when(
+                        F.col(cname).isNotNull(),
+                        F.col(cname).withField(
+                            fname,
+                            F.expr(dsql).cast(ducklake_to_spark(ftype)),
+                        ),
+                    ).otherwise(F.col(cname)),
+                )
         init_defaults = self._initial_defaults(h, schema)
         for cname in (n for n in schema.fieldNames() if n not in pos):
             if cname in init_defaults:

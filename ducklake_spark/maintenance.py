@@ -735,7 +735,17 @@ def _rewrite_victims_pack(lake, h, schema, pack, epoch_keys,
     for fr in frames[1:]:
         merged = merged.unionByName(fr)
     merged = merged.coalesce(1).sortWithinPartitions(ROWID_COL)
-    files = lake._write_parquet(h, merged, schema, [], [], rotate=True)
+    # the reference's rewrite streams the scan THROUGH the delete
+    # anti-join, so the writer's source chunks shrink by the live
+    # fraction — which changes its row-group flush (and so rotation)
+    # boundaries; mirror that in the rotation model
+    # (test_rewrite_target_file_size_rotation.test: 20000-row source,
+    # 10% deleted, row groups land on 3686-row boundaries -> 5 files)
+    total_rows = sum((r[2] or 0) for r, _p in pack)
+    del_rows = sum((r[4] or 0) + len(p or ()) for r, p in pack)
+    frac = max(0.01, (total_rows - del_rows) / total_rows) if total_rows else 1.0
+    files = lake._write_parquet(h, merged, schema, [], [], rotate=True,
+                                rotate_chunk_rows=2048.0 * frac)
     # the output keeps the sources' partition identity (pack members
     # share one partition — test_rewrite_partitioning.test: the later
     # merge_adjacent still groups per partition)

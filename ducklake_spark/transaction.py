@@ -246,6 +246,9 @@ class Transaction:
         # ducklake_delete.cpp:530-546): table_id -> [(data_file_id, pos)]
         self.inlined_deletes: dict[int, list[tuple[int, int]]] = {}
         self.schema_bump_tables: set[int] = set()
+        # buffered ADD FIELD ... DEFAULTs, visible to same-txn reads:
+        # [(table_id, column_id, field_name, default_sql)]
+        self.pending_field_defaults: list[tuple[int, int, str, str]] = []
         self.change_log: list[str] = []
         self.touched_delete_data_files: set[int] = set()  # for delete/delete conflicts
         self.commit_message: tuple[str | None, str | None, str | None] = (None, None, None)

@@ -642,6 +642,10 @@ def test_target_file_size_human_readable(mklake, spark):
     lk2 = mklake("fsize2")
     lk2.create_table("t", [("id", "int64"), ("payload", "varchar")])
     lk2.set_option("parquet_compression", "uncompressed")
+    # the reference test also pins parquet_row_group_size 2000 — with
+    # the 122880-row default duckdb's writer never flushes mid-file on
+    # 18000 rows, so NO rotation happens (verified against duckdb COPY)
+    lk2.set_option("parquet_row_group_size", "2000")
     lk2.insert("t", spark.range(20000).selectExpr(
         "id", "repeat(md5(cast(id as string)), 4) payload").coalesce(1))
     delete(lk2, "t", "id % 10 = 0")
@@ -650,7 +654,7 @@ def test_target_file_size_human_readable(mklake, spark):
     live = lk2.meta.query(
         "SELECT COUNT(*) FROM ducklake_data_file WHERE end_snapshot IS NULL"
     )[0][0]
-    assert live > 1  # rotated
+    assert live == 5  # reference-exact rotation count
     assert lk2.table("t").selectExpr("sum(id)").collect()[0][0] == 180000000
     assert lk2.table("t", with_virtual=True).selectExpr(
         "sum(rowid)").collect()[0][0] == 180000000

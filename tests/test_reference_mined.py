@@ -1322,10 +1322,12 @@ def test_view_column_comments(lake, spark):
 # -- comments/comment_schema_version.test -------------------------------
 
 def test_comments_do_not_bump_schema_version(lake, spark):
-    """COMMENT ON TABLE/COLUMN is an alter for conflict purposes but
-    NOT a schema change: neither the per-table schema_versions row nor
-    the snapshot's schema_version moves (reference SET_COMMENT /
-    SET_COLUMN_COMMENT classification)."""
+    """COMMENT ON TABLE/COLUMN bumps the GLOBAL snapshot
+    schema_version (the altered entry makes SchemaChangesMade() true)
+    but writes NO per-table ducklake_schema_versions row — so the
+    per-table version stays put and the next real alter JUMPS it to
+    the then-current global (comment_mixed_operations.test: 1 -> 3
+    after comment + ADD COLUMN)."""
     lake.create_table("ct", [("a", "int32"), ("b", "varchar")])
     con = lake.meta.con
 
@@ -1340,12 +1342,13 @@ def test_comments_do_not_bump_schema_version(lake, spark):
     base = sv()
     lake.set_comment("ct", "table comment")
     lake.set_comment("ct", "col comment", column="a")
-    assert sv() == base
+    # per-table row untouched; global moved once per comment snapshot
+    assert sv() == (base[0], base[1] + 2)
     assert lake.get_comment("ct") == "table comment"
     assert lake.get_comment("ct", column="a") == "col comment"
-    # a REAL schema change still bumps
+    # a REAL schema change writes the per-table row at the new global
     lake.add_column("ct", "c", "int32")
-    assert sv()[1] == base[1] + 1
+    assert sv() == (base[1] + 3, base[1] + 3)
 
 
 # -- comments/comment_same_transaction.test -----------------------------

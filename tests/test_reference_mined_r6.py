@@ -507,6 +507,11 @@ def test_rewrite_max_compacted_files(mklake, spark):
     for base in (0, 10, 20):
         lake.insert("e", spark.range(base, base + 10).coalesce(1)
                     .selectExpr("id as k"))
+    # the reference test pins '1B' so every victim is its own pack
+    # ("each delete file is processed individually"); the cap counts
+    # PACKS, and a 512MB pack of 6 victims under max=2 still merges
+    # into one output ("example 6 1")
+    lake.set_option("target_file_size", "1B")
     lake.delete("e", "k % 10 = 2")
     assert maint.rewrite_data_files(
         lake, delete_threshold=0.0, table="e", max_compacted_files=1) == 1
@@ -523,11 +528,17 @@ def test_rewrite_max_compacted_files(mklake, spark):
 def test_rewrite_target_file_size_rotation(mklake, spark):
     """rewrite_data_files/test_rewrite_target_file_size_rotation.test: a
     rewrite splits its output at the scoped target_file_size, keeping
-    rowid order across the rotated files."""
+    rowid order across the rotated files. The reference test sets
+    parquet_row_group_size 2000 + parquet_compression uncompressed and
+    pins EXACTLY 5 output files (its writer flushes row groups on
+    delete-thinned ~1843-row chunk multiples: 3686-row groups, one
+    rotation per flush past 64KB)."""
     from ducklake_spark import maintenance as maint
 
     lake = mklake(data_inlining_row_limit=0)
     lake.create_table("t", [("id", "int64"), ("payload", "varchar")])
+    lake.set_option("parquet_compression", "uncompressed")
+    lake.set_option("parquet_row_group_size", "2000")
     lake.insert("t", spark.range(0, 20000).coalesce(1)
                 .selectExpr("id", "repeat(md5(CAST(id AS STRING)), 4) AS payload"))
     lake.delete("t", "id % 10 = 0")
@@ -536,7 +547,7 @@ def test_rewrite_target_file_size_rotation(mklake, spark):
     live = lake.meta.query(
         "SELECT COUNT(*) FROM ducklake_data_file WHERE end_snapshot IS NULL"
     )[0][0]
-    assert live > 1  # rotated into multiple outputs
+    assert live == 5  # reference-exact rotation count
     assert lake.table("t").count() == 18000
     # rowids survive the rotation intact
     rows = lake.table("t", with_virtual=True).select("rowid", "id").collect()
