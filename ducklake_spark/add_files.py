@@ -228,12 +228,18 @@ def add_data_files(lake: DuckLake, table: str, pattern, *,
     # (add_file_partitioned.test re-adds one and expects the error)
     if any(re.search(r"[*?\[]", str(pat)) for pat in patterns):
         data_fs = lake.lfs.strip_scheme(lake.data_path).rstrip("/") + "/"
+        # per-TABLE: the same physical file may be adopted into a
+        # DIFFERENT table (add_files_overlapping_globs.test test2 swept
+        # files already registered to another table and expects them
+        # added)
         registered = {
             p for (p,) in lake.meta.query(
-                "SELECT path FROM ducklake_data_file")
+                "SELECT path FROM ducklake_data_file WHERE table_id=?",
+                (h.table_id,))
         } | {
             p for (p,) in lake.meta.query(
-                "SELECT path FROM ducklake_delete_file")
+                "SELECT path FROM ducklake_delete_file WHERE table_id=?",
+                (h.table_id,))
         }
         if lake._txn is not None:
             for fl in lake._txn.new_data_files.values():

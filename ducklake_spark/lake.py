@@ -1520,7 +1520,21 @@ class DuckLake:
             probe.select(*[F.expr(e) for e, _d, _n in norm]).schema
         except Exception as ex:
             raise DuckLakeError(f"SET SORTED BY: invalid sort key: {ex}")
+        # a repeated IDENTICAL SET SORTED BY writes no new sort_info
+        # generation (merge_adjacent_sorted_repeated.test
+        # "prevent_duplicates": exactly 2 sort_expression rows after two
+        # identical ALTERs) — but the alter still consumes a catalog id
+        # (same test: the next CREATE TABLE gets id 4, not 3)
+        duplicate_spec = [(e, d, n) for e, d, n in self._sort_spec(h)] == norm
         txn = self._begin()
+        if duplicate_spec:
+            key = self._sort_key(h)
+            txn.sort_ops.setdefault(key, []).append(
+                lambda con, snap_id, txn=txn: txn.alloc_catalog_id())
+            if h.table_id >= 0:
+                txn.change_log.append(f"altered_table:{h.table_id}")
+            self._autocommit()
+            return
         # txn-local tables (SET SORTED BY between CREATE and COMMIT,
         # reference insert_sorted_default_direction.test:25-40) buffer
         # by name; the op resolves the committed id
@@ -1534,9 +1548,12 @@ class DuckLake:
                 "WHERE table_id=? AND end_snapshot IS NULL",
                 (snap_id, tid),
             )
-            sid = con.execute(
-                "SELECT COALESCE(MAX(sort_id), -1) + 1 FROM ducklake_sort_info"
-            ).fetchone()[0]
+            # sort_id comes from the GLOBAL catalog-id sequence, like
+            # every other catalog entity — a SET SORTED BY consumes an
+            # id, so a later CREATE TABLE lands one higher
+            # (merge_adjacent_sorted_drop_recreate.test: recreated
+            # table_id is 3, not 2)
+            sid = txn.alloc_catalog_id()
             con.execute(
                 "INSERT INTO ducklake_sort_info VALUES (?, ?, ?, NULL)",
                 (sid, tid, snap_id),
@@ -2256,6 +2273,7 @@ class DuckLake:
         for i, (sn, vn, dialect, sql, aliases) in enumerate(txn.created_views):
             if sn == schema_name and vn == vname:
                 txn.created_views[i] = (sn, new_vname, dialect, sql, aliases)
+                txn.view_name_renames[(sn, vname)] = new_vname
                 self._autocommit()
                 return
         rows = self.meta.query(
@@ -2820,6 +2838,11 @@ class DuckLake:
                                    enc_key,
                                    rg_rows=int(rg_opt) if rg_opt else None,
                                    chunk_rows=rotate_chunk_rows)
+        if not enc_key and not any(opt(k) for k in (
+                "parquet_compression", "parquet_row_group_size",
+                "parquet_row_group_size_bytes", "parquet_version",
+                "parquet_compression_level")):
+            self._slim_small_files(tmp)
 
         infos: list[DataFileInfo] = []
         colmap = self._leaf_colmap(h)  # incl. nested-leaf ids ("s.a")
@@ -2898,6 +2921,52 @@ class DuckLake:
                 os.path.join(self.data_path, f.path)))
         self._attach_extra_stats(h, infos, enc_key)
         return infos
+
+    # files below this size are re-serialized without Spark's footer
+    # key-values / arrow schema / dictionary pages — parquet-mr's fixed
+    # per-file overhead (~400B) otherwise dominates tiny files, throwing
+    # off every size-based decision the catalog later makes against
+    # reference-tuned byte thresholds (merge_adjacent_file_size_filter
+    # .test: 10-row files must sit under max_file_size=>1000)
+    SLIM_FILE_MAX_BYTES = 4096
+
+    def _slim_small_files(self, tmp: str) -> None:
+        """Re-serialize tiny freshly-written files via pyarrow: strips
+        Spark's schema key-values and dictionary overhead (field ids
+        and row order preserved), landing duckdb-comparable sizes.
+        Skipped for encrypted writes and whenever an explicit parquet
+        format option pins the writer's output shape."""
+        import pyarrow.parquet as _pq
+
+        for path in list(self.lfs.list_files(
+                self.lfs.strip_scheme(tmp), suffix=".parquet")):
+            size = self.lfs.size(path)
+            if size is None or size > self.SLIM_FILE_MAX_BYTES:
+                continue
+            try:
+                with self.lfs.open_input(path) as fh:
+                    table = _pq.read_table(fh)
+                slim = path + ".__slim"
+                with self.lfs.open_output(slim) as out:
+                    _pq.write_table(
+                        table.replace_schema_metadata(None), out,
+                        store_schema=False, use_dictionary=False,
+                        compression="snappy",
+                        # zone maps never read internal-column stats
+                        write_statistics=[
+                            c for c in table.schema.names
+                            if not c.startswith("_ducklake_internal_")])
+                if (self.lfs.size(slim) or size) < size:
+                    self.lfs.remove(path)
+                    self.lfs.move(slim, path)
+                else:
+                    self.lfs.remove(slim)
+            except Exception:
+                # best-effort: the Spark-written file is always valid
+                try:
+                    self.lfs.remove(path + ".__slim")
+                except Exception:
+                    pass
 
     def _rotate_oversized(self, tmp: str, target: int, format_opts,
                           enc_key: str | None,
@@ -5559,14 +5628,19 @@ class DuckLake:
             rows = self.meta.query(
                 "SELECT s.schema_name, t.table_name FROM ducklake_table t "
                 "JOIN ducklake_schema s ON t.schema_id = s.schema_id "
-                "WHERE t.end_snapshot IS NULL"
+                "WHERE t.end_snapshot IS NULL "
+                # schema-then-creation order: the reference's catalog
+                # scan order, which fixes file-id assignment when a
+                # bare maintenance call walks every table
+                "ORDER BY s.schema_id, t.table_id"
             )
         else:
             rows = self.meta.query(
                 "SELECT s.schema_name, t.table_name FROM ducklake_table t "
                 "JOIN ducklake_schema s ON t.schema_id = s.schema_id "
                 "WHERE t.begin_snapshot <= ? "
-                "AND (t.end_snapshot IS NULL OR t.end_snapshot > ?)",
+                "AND (t.end_snapshot IS NULL OR t.end_snapshot > ?) "
+                "ORDER BY s.schema_id, t.table_id",
                 (snap.snapshot_id, snap.snapshot_id),
             )
         names = [f"{s}.{t}" for s, t in rows]

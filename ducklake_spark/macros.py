@@ -386,11 +386,17 @@ def set_comment(lake: DuckLake, object_name: str, comment: str,
             raise
         txn = lake._begin()
 
-        def vop(con, snap_id, vid=vid, sn=sn, vn=vn):
+        def vop(con, snap_id, vid=vid, sn=sn, vn=vn, txn=txn):
             if vid is None:
                 # view created earlier in THIS transaction: its id is
                 # allocated when the DDL applies, before column ops run
-                # (reference comment_same_transaction.test)
+                # (reference comment_same_transaction.test); a later
+                # same-txn RENAME moved the name — chase it
+                # (rename_view_preserves_comment_in_transaction.test)
+                seen = set()
+                while (sn, vn) in txn.view_name_renames and vn not in seen:
+                    seen.add(vn)
+                    vn = txn.view_name_renames[(sn, vn)]
                 got = con.execute(
                     "SELECT v.view_id FROM ducklake_view v "
                     "JOIN ducklake_schema s ON v.schema_id=s.schema_id "

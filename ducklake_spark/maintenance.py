@@ -43,6 +43,23 @@ _TXN_BUF_LOCK = threading.Lock()
 PACK_POOL_WORKERS = 8
 
 
+def _effective_target_file_size(lake, h=None, default: str = "0") -> int:
+    """target_file_size with the reference's precedence: session
+    SET ducklake_target_file_size overrides every metadata scope
+    (compaction_session_target_file_size.test), then table > schema >
+    global options."""
+    from ducklake_spark.lake import parse_memory_limit
+
+    session_tfs = getattr(lake, "session_target_file_size", None)
+    if session_tfs:
+        return parse_memory_limit(str(session_tfs))
+    kw = {}
+    if h is not None:
+        kw = dict(scope="table", scope_id=h.table_id, schema_id=h.schema_id)
+    return parse_memory_limit(
+        lake.meta.option("target_file_size", default, **kw) or default)
+
+
 def merge_adjacent_files(lake: DuckLake, *, target_file_size: int | None = None,
                          table: str | None = None,
                          schema: str | None = None,
@@ -66,12 +83,16 @@ def merge_adjacent_files(lake: DuckLake, *, target_file_size: int | None = None,
     if max_compacted_files is not None and max_compacted_files <= 0:
         raise DuckLakeError(
             "The max_compacted_files option must be greater than zero.")
-    if target_file_size is None:
-        from ducklake_spark.lake import parse_memory_limit
-
-        target_file_size = parse_memory_limit(
-            lake.meta.option("target_file_size", str(DEFAULT_TARGET_FILE_SIZE))
-        )
+    if max_file_size is not None and max_file_size <= 0:
+        raise DuckLakeError(
+            "The max_file_size option must be greater than zero.")
+    if (min_file_size is not None and max_file_size is not None
+            and min_file_size >= max_file_size):
+        raise DuckLakeError(
+            "The min_file_size must be less than max_file_size.")
+    # target resolves PER TABLE inside the loop when not given
+    # explicitly (reference GetTargetFileSize(schema_id, table_id)
+    # with the session setting overriding every metadata scope)
     if table:
         if schema and schema != "main" and "." not in table:
             table = f"{schema}.{table}"
@@ -105,12 +126,16 @@ def merge_adjacent_files(lake: DuckLake, *, target_file_size: int | None = None,
             min_file_size, max_file_size, detail)
 
 
-def _merge_adjacent_in_txn(lake, tables, target_file_size,
+def _merge_adjacent_in_txn(lake, tables, target_file_size_arg,
                            max_compacted_files, min_file_size,
                            max_file_size, detail=None) -> int:
     n_groups = 0
     for tname in tables:
         h = lake._handle(tname)
+        target_file_size = (target_file_size_arg
+                            if target_file_size_arg is not None
+                            else _effective_target_file_size(
+                                lake, h, str(DEFAULT_TARGET_FILE_SIZE)))
         snap = lake.meta.latest_snapshot()
         files = lake._visible_files(h, snap, None)
         with_deletes = {
@@ -246,7 +271,8 @@ def _merge_adjacent_in_txn(lake, tables, target_file_size,
                     continue
                 groups.setdefault(
                     (part_vals[f["data_file_id"]],
-                     pid_by_fid.get(f["data_file_id"]), epoch,
+                     pid_by_fid.get(f["data_file_id"]),
+                     (epoch[0], epoch[1], epoch[3]),
                      _colgen_epoch(f)),
                     []).append(f)
                 continue
@@ -271,9 +297,15 @@ def _merge_adjacent_in_txn(lake, tables, target_file_size,
                 # the physical bytes (NULL) would disagree with the scan
                 # (default-filled) — keep these files isolated
                 continue
+            # the group key deliberately EXCLUDES the absent-column set
+            # (epoch[2]): the reference merges across an ADD COLUMN ...
+            # DEFAULT boundary, materializing the default for the files
+            # that predate the column (merge_adjacent_cross_schema.test
+            # "t_default 3 1" + old rows read 'unknown' after cleanup)
             groups.setdefault(
                 (part_vals[f["data_file_id"]],
-                 pid_by_fid.get(f["data_file_id"]), epoch,
+                 pid_by_fid.get(f["data_file_id"]),
+                 (epoch[0], epoch[1], epoch[3]),
                  _colgen_epoch(f)), []).append(f)
         all_packs: list[tuple[list[dict], tuple, int | None, tuple]] = []
         # max_compacted_files caps each TABLE separately — the
@@ -326,14 +358,16 @@ def _merge_adjacent_in_txn(lake, tables, target_file_size,
             ) as pool:
                 futs = [
                     pool.submit(_rewrite_pack, lake, h, pack, pv, pid,
-                                epoch, _epoch_handle(cge))
+                                epoch, _epoch_handle(cge), epoch_keys,
+                                init_defaults)
                     for pack, pv, pid, epoch, cge in all_packs
                 ]
                 pack_out = [fut.result() for fut in futs]
         elif all_packs:
             pack, pv, pid, epoch, cge = all_packs[0]
             pack_out = [_rewrite_pack(lake, h, pack, pv, pid, epoch,
-                                      _epoch_handle(cge))]
+                                      _epoch_handle(cge), epoch_keys,
+                                      init_defaults)]
         if detail is not None:
             for (pack, _pv, _pid, _epoch, _cge), nf in zip(
                     all_packs, pack_out):
@@ -343,18 +377,44 @@ def _merge_adjacent_in_txn(lake, tables, target_file_size,
     return n_groups
 
 
+def _spec_for_pid(lake: DuckLake, h, pid: int | None) -> list:
+    """Partition spec (column, transform) list for a SPECIFIC spec id —
+    a pack written under a retired spec must keep writing through THAT
+    spec, not the table's live one (merge_adjacent_cross_schema_
+    isolation.test: old-spec pack of 2 merges into ONE file, not one
+    per live-spec key value)."""
+    if pid is None:
+        return []
+    if pid == lake._partition_spec_id(h):
+        return lake._partition_spec(h)
+    rows = lake.meta.query(
+        "SELECT pc.column_id, pc.transform FROM ducklake_partition_column "
+        "pc WHERE pc.table_id=? AND pc.partition_id=? "
+        "ORDER BY pc.partition_key_index",
+        (h.table_id, pid))
+    colmap = {c[0]: c[1] for c in h.columns}
+    return [(colmap[cid], t) for cid, t in rows if cid in colmap]
+
+
 def _rewrite_pack(lake: DuckLake, h, pack: list[dict], part_vals: tuple,
                   part_pid: int | None, epoch: tuple,
-                  h_epoch=None) -> int:
+                  h_epoch=None, epoch_keys: dict | None = None,
+                  init_defaults: dict | None = None) -> int:
     """Merge one same-epoch pack into one file, preserving the epoch's
-    PHYSICAL shape: read with the epoch's reverted nested names, write
-    those names back, and keep ADD COLUMN ... DEFAULT columns physically
-    absent. The merged file's begin_snapshot rewinds to the pack minimum
-    (time travel), which re-classifies it into the SAME epoch at scan —
-    so the scan's rename revert / field-default fill / initial-default
-    fill treat it exactly like the files it replaced. Materializing any
-    of those fills here would double-apply or disable them
-    (round-4 verdict repros a-c; ADVICE ffill-straddle).
+    PHYSICAL shape: read with the epoch's reverted nested names and
+    write those names back. An ADD COLUMN ... DEFAULT column absent
+    from EVERY member stays physically absent (writing it as NULL
+    would create stats rows and silently turn off the scan's
+    initial_default fill); when members MIX presence, the default is
+    materialized for the files that predate the column — the
+    reference's bind-to-latest rewrite does the same
+    (merge_adjacent_cross_schema.test: 3 files merge into 1 and old
+    rows read 'unknown' even after the sources are cleaned up).
+
+    The merged file's begin_snapshot rewinds to the pack minimum
+    (time travel), which re-classifies it into the SAME epoch at scan
+    — so the scan's rename revert / field-default fill treat it
+    exactly like the files it replaced.
 
     ``h_epoch``: for a pack isolated in an OLD column-generation epoch
     (dropped/renamed/retyped columns since), a synthetic handle with
@@ -363,7 +423,21 @@ def _rewrite_pack(lake: DuckLake, h, pack: list[dict], part_vals: tuple,
     columns (compaction_alter_table.test time travel)."""
     hs = h_epoch or h
     schema = lake._spark_schema(hs)
-    later, _ffill, absent, _fadds = epoch
+    if len(epoch) == 4:
+        later, _ffill, absent, _fadds = epoch
+        absent_by_fid = {f["data_file_id"]: absent for f in pack}
+    else:
+        later, _ffill, _fadds = epoch
+        absent_by_fid = {
+            f["data_file_id"]:
+                (epoch_keys or {}).get(
+                    f["data_file_id"], ((), (), frozenset(), ()))[2]
+            for f in pack
+        }
+        # only columns absent from EVERY member stay absent
+        absent = frozenset.intersection(
+            *[frozenset(v) for v in absent_by_fid.values()]
+        ) if absent_by_fid else frozenset()
     gschema, _fixups = lake._epoch_schema(
         hs, lake._reader_schema(hs, schema), later)
     # adopted files in the pack resolve by NAME (no field ids); the
@@ -397,7 +471,8 @@ def _rewrite_pack(lake: DuckLake, h, pack: list[dict], part_vals: tuple,
             # merged output writes through the partition transform into
             # the canonical hive path
             # (merge_adjacent_external_hive_paths.test)
-            for pi_, (pcname, ptf) in enumerate(lake._partition_spec(h)):
+            for pi_, (pcname, ptf) in enumerate(
+                    _spec_for_pid(lake, h, part_pid)):
                 if (ptf or "identity") == "identity" \
                         and pi_ < len(part_vals) \
                         and part_vals[pi_] is not None \
@@ -408,6 +483,21 @@ def _rewrite_pack(lake: DuckLake, h, pack: list[dict], part_vals: tuple,
                             F.col(pcname),
                             F.lit(part_vals[pi_]).cast(
                                 schema[pcname].dataType)))
+        for cname in sorted(
+                set(absent_by_fid.get(f["data_file_id"], ())) - set(absent)):
+            # this member predates the column but another member carries
+            # it: materialize the initial default into the merged bytes
+            from ducklake_spark.lake import _lit_as_string
+
+            if (init_defaults or {}).get(cname) is None:
+                continue
+            df = df.withColumn(
+                cname,
+                F.coalesce(
+                    F.col(cname),
+                    F.expr("try_cast(%s AS %s)" % (
+                        _lit_as_string(init_defaults[cname]),
+                        schema[cname].dataType.simpleString()))))
         rowid = (
             F.lit(f["row_id_start"]) + F.col("_metadata.row_index")
             if f["row_id_start"] is not None
@@ -435,14 +525,20 @@ def _rewrite_pack(lake: DuckLake, h, pack: list[dict], part_vals: tuple,
     # (target_file_size splitting would shard the single ordered task
     # into several files whose rowid offsets we could no longer assign
     # — keep the embedded form in that case)
-    from ducklake_spark.lake import parse_memory_limit
-
-    tfs = parse_memory_limit(lake.meta.option(
-        "target_file_size", "0", scope="table", scope_id=h.table_id,
-        schema_id=h.schema_id) or 0)
+    tfs = _effective_target_file_size(lake, h, "0")
+    # positional (no embedded rowid) is the reference's adjacency rule
+    # (write_row_id = !files_are_adjacent, ducklake_compaction_
+    # functions.cpp:586-590). It is only unsafe when the write could
+    # SPLIT (maxRecordsPerFile kicks in at target//200 >= 10000 rows
+    # and the pack holds more rows than one file would take) — a split
+    # would shard the single ordered task into pieces whose rowid
+    # offsets we could no longer assign.
+    pack_rows = sum(f["record_count"] or 0 for f in pack)
+    could_split = (tfs and tfs // 200 >= 10_000
+                   and pack_rows > tfs // 200)
     positional = (
         not sort_spec
-        and not tfs
+        and not could_split
         and all(f["row_id_start"] is not None for f in pack)
         and all(
             ordered[i]["row_id_start"] + ordered[i]["record_count"]
@@ -471,18 +567,23 @@ def _rewrite_pack(lake: DuckLake, h, pack: list[dict], part_vals: tuple,
     # table's partition spec keeps the merged file under its hive path
     # (compaction_hive_structure.test counts %sale_date% paths)
     files = lake._write_parquet(hs, merged, schema,
-                                lake._partition_spec(h), [],
+                                _spec_for_pid(lake, h, part_pid), [],
                                 rotate=False)
     if positional and len(files) != 1:  # defensive: offsets unknowable
         raise DuckLakeError(
             "compaction: positional merge unexpectedly split into "
             f"{len(files)} files")
     begin = min(snapmap.values())
-    pmax = max(snapmap.values())
+    # a previously-merged member contributes its own partial_max, not
+    # just its (rewound) begin snapshot: merging AB(pm=3) with CD(pm=6)
+    # yields pm=6 (merge_adjacent_partial_file_info.test line 76)
+    pmax = max((f.get("partial_max") or snapmap[f["data_file_id"]])
+               for f in pack)
     for fi in files:
         fi.allocate = False
         fi.row_id_start = ordered[0]["row_id_start"] if positional else None
-        fi.partial_max = pmax if len(set(snapmap.values())) > 1 else None
+        fi.partial_max = (pmax if len(set(snapmap.values())) > 1
+                          or pmax != begin else None)
         fi.begin_snapshot_override = begin
         fi.partition_values = [(i, v) for i, v in enumerate(part_vals)]
         fi.partition_id = part_pid
@@ -601,12 +702,8 @@ def _rewrite_data_files_in_txn(lake, tables, delete_threshold,
         # reference's rewrite packs like merge_adjacent
         # (test_rewrite_max_files.test: 6 victims -> "example 6 1"
         # under a 512MB target; a 1B target keeps them singletons)
-        from ducklake_spark.lake import parse_memory_limit
-
-        tfs = parse_memory_limit(lake.meta.option(
-            "target_file_size", str(DEFAULT_TARGET_FILE_SIZE),
-            scope="table", scope_id=h.table_id,
-            schema_id=h.schema_id) or DEFAULT_TARGET_FILE_SIZE)
+        tfs = _effective_target_file_size(
+            lake, h, str(DEFAULT_TARGET_FILE_SIZE))
         epoch_keys = all_epochs
         pv_rows = lake.meta.query(
             "SELECT data_file_id, partition_key_index, partition_value "
@@ -903,10 +1000,20 @@ def expire_snapshots(lake: DuckLake, *, older_than: str | None = None,
             "(SELECT sort_id FROM ducklake_sort_info)")
         for t in ("ducklake_column", "ducklake_table_stats",
                   "ducklake_table_column_stats",
-                  "ducklake_schema_versions"):
+                  "ducklake_schema_versions",
+                  # a fully-vanished table's live sort/partition specs
+                  # too (merge_adjacent_sorted_basic.test: sort_info
+                  # empties once no snapshot relies on the table)
+                  "ducklake_sort_info", "ducklake_partition_info"):
             con.execute(
                 f"DELETE FROM {t} WHERE table_id IS NOT NULL AND "
                 "table_id NOT IN (SELECT table_id FROM ducklake_table)")
+        con.execute(
+            "DELETE FROM ducklake_partition_column WHERE partition_id "
+            "NOT IN (SELECT partition_id FROM ducklake_partition_info)")
+        con.execute(
+            "DELETE FROM ducklake_sort_expression WHERE sort_id NOT IN "
+            "(SELECT sort_id FROM ducklake_sort_info)")
         # data/delete files of fully-vanished tables (a dropped table's
         # files keep end_snapshot at the DROP snapshot of the TABLE row,
         # or may still be NULL): once no table version survives, the

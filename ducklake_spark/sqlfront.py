@@ -899,7 +899,7 @@ def _sub_getvariable(sql: str, variables: dict) -> str:
         return _render(v)
 
     return re.sub(
-        r"\bgetvariable\s*\(\s*'(\w+)'\s*\)\s*(?:\[\s*(\d+)\s*\])?",
+        r"\bgetvariable\s*\(\s*'(\w+)'\s*\)(?:\s*\[\s*(\d+)\s*\])?",
         _one, sql, flags=re.I)
 
 
@@ -1020,6 +1020,9 @@ class SQLSession:
             pass  # already registered by a prior session on this JVM
         self.settings: dict[str, str] = {}
         self.variables: dict[str, object] = {}  # SET VARIABLE / getvariable
+        # host (memory-catalog) tables created without USE: name ->
+        # declared Spark schema; data lives in a same-named temp view
+        self.host_tables: dict[str, object] = {}
 
     # -- plumbing ----------------------------------------------------------
 
@@ -1185,8 +1188,27 @@ class SQLSession:
                     rf"(?:IF\s+NOT\s+EXISTS\s+)?{_IDENT}\s+AS\b",
                     stmt, re.I):
                 return self._create_temp_table(stmt)
+            mh = re.match(
+                r"CREATE\s+(?:OR\s+REPLACE\s+)?TABLE\s+"
+                rf"(?:IF\s+NOT\s+EXISTS\s+)?({_IDENT})\s*\((.*)\)\s*$",
+                stmt, re.I | re.S)
+            if not self.explicit_use and mh:
+                # plain column-list CREATE without USE also lands in
+                # the HOST catalog (duckdb memory semantics —
+                # add_files_hive.test's partitioned_tbl fixture must
+                # not write files into the lake's data root)
+                return self._create_host_table(
+                    _unquote(mh.group(1)), mh.group(2))
             return self._create_table(stmt)
         if kw2 == "DROP TABLE":
+            mdh = re.match(
+                r"DROP\s+TABLE\s+(?:IF\s+EXISTS\s+)?"
+                rf"({_IDENT})\s*$", stmt, re.I)
+            if mdh and _unquote(mdh.group(1)).lower() in self.host_tables:
+                hn = _unquote(mdh.group(1))
+                self.host_tables.pop(hn.lower(), None)
+                self.spark.catalog.dropTempView(hn)
+                return None
             return self._drop_table(stmt)
         if kw2 == "ALTER TABLE":
             return self._alter_table(stmt)
@@ -2003,6 +2025,30 @@ class SQLSession:
         meta = self._meta_dml(stmt, m.group(1))
         if meta is not None:
             return meta
+        hname = _unquote(m.group(1)).lower()
+        if "." not in m.group(1) and hname in self.host_tables:
+            # host (memory-catalog) table: union the rows into the
+            # backing temp view
+            from pyspark.sql import functions as F
+
+            hschema = self.host_tables[hname]
+            src = self.query(_strip_parens(m.group(4).strip()))
+            collist_h = ([_unquote(c) for c in _split_top(m.group(3))]
+                         if m.group(3)
+                         else [f.name for f in hschema.fields])
+            src = src.toDF(*collist_h[:len(src.columns)])
+            for f_ in hschema.fields:
+                if f_.name not in src.columns:
+                    src = src.withColumn(f_.name, F.lit(None))
+                src = src.withColumn(
+                    f_.name, F.col(f_.name).cast(f_.dataType))
+            src = src.select(*[f_.name for f_ in hschema.fields])
+            cur = self.spark.table(hname)
+            new_rows = src.collect()
+            merged = self.spark.createDataFrame(
+                cur.collect() + new_rows, hschema)
+            merged.createOrReplaceTempView(hname)
+            return self._one_row(len(new_rows))
         lake, api, *_ = self._resolve(m.group(1))
         by_name = bool(m.group(2)) and "NAME" in m.group(2).upper()
         collist = ([_unquote(c) for c in _split_top(m.group(3))]
@@ -2601,6 +2647,31 @@ class SQLSession:
                     fh.write(bytes(r[0]))
             return None
         raise SQLFrontUnsupported(f"COPY format {fmt!r}")
+
+    def _create_host_table(self, name: str, coltext: str) -> None:
+        """CREATE TABLE name(cols) without USE: a host (memory-catalog)
+        table, materialized as a mutable empty temp view. INSERTs union
+        into it (_insert host branch); reads resolve as temp views."""
+        from pyspark.sql import types as T
+
+        from ducklake_spark.catalog.types import ducklake_to_spark
+
+        fields = []
+        for part in _split_top(coltext):
+            part = part.strip()
+            mm = re.match(rf"({_IDENT})\s+(.+?)"
+                          r"(?:\s+(?:NOT\s+NULL|PRIMARY\s+KEY|UNIQUE"
+                          r"|DEFAULT\s+.+))?\s*$", part, re.I | re.S)
+            if not mm:
+                raise SQLFrontUnsupported(f"host table column: {part!r}")
+            fields.append(T.StructField(
+                _unquote(mm.group(1)),
+                ducklake_to_spark(duck_type_to_ducklake(
+                    mm.group(2).strip())), True))
+        df = self.spark.createDataFrame([], T.StructType(fields))
+        df.createOrReplaceTempView(name)
+        self.host_tables[name.lower()] = T.StructType(fields)
+        return None
 
     def _create_temp_table(self, stmt: str) -> None:
         """CREATE TEMP TABLE lives in the session (DuckDB: in the memory
@@ -3297,6 +3368,31 @@ class SQLSession:
 
         sql = re.sub(r"\bread_parquet\s*\(([^()]*)\)", _read_parquet, sql,
                      flags=re.I)
+
+        # duckdb's bare quoted-path table refs: FROM 'x.parquet' /
+        # FROM 'x.csv' (insert_sorted_default_direction.test reads a
+        # csv fixture). Suffix-restricted so EXTRACT(YEAR FROM '...')
+        # style uses of FROM never match.
+        def _fileref(m: re.Match) -> str:
+            path = m.group(2)
+            low = path.lower()
+            try:
+                if low.endswith((".parquet", ".pq")):
+                    paths = _pq_paths(path)
+                    if not paths:
+                        return m.group(0)
+                    df = self.spark.read.parquet(*paths)
+                elif low.endswith(".csv"):
+                    df = (self.spark.read.option("header", "true")
+                          .option("inferSchema", "true").csv(path))
+                else:
+                    return m.group(0)
+            except Exception:
+                return m.group(0)
+            return f"{m.group(1)} {self._register(df)}"
+
+        sql = re.sub(r"(\bFROM|\bJOIN)\s+'([^']+\.(?:parquet|pq|csv))'",
+                     _fileref, sql, flags=re.I)
 
         def _read_blob(m: re.Match) -> str:
             # read_blob('path'): (filename, content, size, last_modified)
@@ -4154,6 +4250,35 @@ class SQLSession:
                     rows.append((name, s, t, cname, int(idx) + 1,
                                  ducklake_type_display(ctype),
                                  pc if hit else comment, bool(nn)))
+                # buffered in-txn ALTERs (ADD/DROP/RENAME COLUMN) are
+                # visible to same-transaction introspection
+                # (set_sorted_by_rollback_mixed.test reads a,b,c before
+                # COMMIT) — the handle reflects the buffered shape
+                if txn:
+                    for tid2 in sorted(t2 for t2 in txn.column_changes
+                                       if isinstance(t2, int) and t2 >= 0):
+                        nm = lake.meta.query(
+                            "SELECT s.schema_name, t.table_name FROM "
+                            "ducklake_table t JOIN ducklake_schema s ON "
+                            "t.schema_id=s.schema_id AND "
+                            "s.end_snapshot IS NULL WHERE t.table_id=? "
+                            "AND t.end_snapshot IS NULL", (tid2,))
+                        if not nm or tid2 in dropped_t:
+                            continue
+                        s2, t2n = nm[0]
+                        t2n = renamed_t.get(tid2, t2n)
+                        api2 = t2n if s2 == "main" else f"{s2}.{t2n}"
+                        try:
+                            hh = lake._handle(api2)
+                        except Exception:
+                            continue
+                        rows = [r for r in rows
+                                if not (r[0] == name and r[1] == s2
+                                        and r[2] == t2n)]
+                        for i2, c2 in enumerate(hh.columns):
+                            rows.append((name, s2, t2n, c2[1], i2 + 1,
+                                         ducklake_type_display(c2[2]),
+                                         None, bool(c2[3])))
                 # view OUTPUT columns (comments keyed by name in
                 # ducklake_view_column_tag)
                 for s, v, vid in lake.meta.query(

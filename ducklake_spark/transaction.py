@@ -249,6 +249,10 @@ class Transaction:
         # buffered ADD FIELD ... DEFAULTs, visible to same-txn reads:
         # [(table_id, column_id, field_name, default_sql)]
         self.pending_field_defaults: list[tuple[int, int, str, str]] = []
+        # txn-local view renames by NAME: (schema, old_name) -> new_name
+        # (a comment op recorded under the old name must still bind —
+        # rename_view_preserves_comment_in_transaction.test)
+        self.view_name_renames: dict[tuple[str, str], str] = {}
         self.change_log: list[str] = []
         self.touched_delete_data_files: set[int] = set()  # for delete/delete conflicts
         self.commit_message: tuple[str | None, str | None, str | None] = (None, None, None)
@@ -1274,10 +1278,13 @@ class Transaction:
             for op in self.mapping_ops:
                 op(con, snap_id)
 
-            # --- sort-spec alters (no schema_version bump, see above)
+            # --- sort-spec alters (no schema_version bump, see above;
+            # sort_id mints from the commit allocator, so re-sync
+            # next_cat after they run)
             for _tid, ops in self.sort_ops.items():
                 for op in ops:
                     op(con, snap_id)
+            next_cat = self._commit_alloc[0]
 
             # --- dropped-file global stats rule (reference:
             # ApplyDroppedFileStats, ducklake_transaction_state.cpp:962-998;

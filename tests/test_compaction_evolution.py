@@ -52,16 +52,25 @@ def test_compact_after_add_column_default(lake, spark):
     assert len(_live_files(lake)) == 1
 
 
-def test_compact_never_straddles_add_column_default(lake, spark):
-    # pre-add file + post-add file (with a real value) must NOT merge:
-    # merging would either bake NULL for the old rows or disable the
-    # default fill for the new ones
+def test_compact_straddles_add_column_default_materializing(lake, spark):
+    # pre-add file + post-add file DO merge — the reference's
+    # bind-to-latest rewrite materializes the initial default for the
+    # rows that predate the column (merge_adjacent_cross_schema.test:
+    # "t_default 3 1", old rows read 'unknown' after the sources are
+    # cleaned up) — and the default fill must not double-apply
     lake.create_table("t", [("i", "int64")])
     _insert(lake, spark, "t", [(1,)], "i long")
     lake.add_column("t", "b", "int32", default="42")
     _insert(lake, spark, "t", [(2, 7)], "i long, b int")
     n = lake.merge_adjacent_files(table="t")
-    assert n == 0  # two files, different epochs -> no pack
+    assert n == 1  # one merged pack across the ADD COLUMN boundary
+    rows = sorted(lake.table("t").select("i", "b").collect())
+    assert [tuple(r) for r in rows] == [(1, 42), (2, 7)]
+    # the merged file physically carries the materialized default, so
+    # dropping the scan-side fill source (the old files) changes nothing
+    from ducklake_spark import maintenance as maint
+
+    maint.cleanup_old_files(lake, cleanup_all=True)
     rows = sorted(lake.table("t").select("i", "b").collect())
     assert [tuple(r) for r in rows] == [(1, 42), (2, 7)]
 
