@@ -2912,6 +2912,24 @@ class DuckLake:
             )
         self.lfs.rmtree(tmp_fs)
         self._harvest_file_meta(infos, colmap)
+        # TIME columns persist as int64 µs in parquet; their footer
+        # stats arrive as raw ints — store duckdb's clock-text form so
+        # the file/global stats rows read like the reference's
+        time_cids = {c[0]: ("+00" if str(c[2]).lower() == "timetz"
+                            else "")
+                     for c in h.columns
+                     if str(c[2] or "").lower() in ("time", "timetz")}
+        if time_cids:
+            for fi in infos:
+                for cs in fi.column_stats:
+                    if cs.column_id in time_cids:
+                        for attr in ("min_value", "max_value"):
+                            v = getattr(cs, attr)
+                            if v is not None and re.fullmatch(
+                                    r"-?\d+", str(v)):
+                                setattr(cs, attr,
+                                        _us_to_time_text(int(v))
+                                        + time_cids[cs.column_id])
         # empty part files (Spark can emit one per empty partition) are
         # never registered — the reference writes no file for 0 rows
         empties = [f for f in infos if f.record_count == 0]
@@ -6124,6 +6142,17 @@ def _harvest_stats(pf, colmap: dict[str, int]) -> list[ColumnStatsRow]:
                     row.min_value = mn if row.min_value is None else _min2(row.min_value, mn, smin)
                     row.max_value = mx if row.max_value is None else _max2(row.max_value, mx, smax)
     return list(agg.values())
+
+
+def _us_to_time_text(us: int) -> str:
+    """µs-since-midnight -> duckdb's TIME display text."""
+    h, rem = divmod(int(us), 3_600_000_000)
+    m, rem = divmod(rem, 60_000_000)
+    s, frac = divmod(rem, 1_000_000)
+    out = f"{h:02d}:{m:02d}:{s:02d}"
+    if frac:
+        out += f".{frac:06d}".rstrip("0")
+    return out
 
 
 def _stat_str(v) -> str:

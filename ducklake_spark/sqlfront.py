@@ -874,6 +874,38 @@ def _rewrite_typeof(sql: str, json_cols: frozenset = frozenset()) -> str:
     return "".join(out)
 
 
+_SQL_RESERVED = frozenset(
+    "SELECT FROM WHERE TABLE VIEW ORDER GROUP BY HAVING LIMIT JOIN "
+    "UNION ALL AND OR NOT IN AS CASE WHEN THEN ELSE END CREATE DROP "
+    "INSERT UPDATE DELETE VALUES WITH ON USING DISTINCT".split())
+
+
+def _tosql_normalize(sql: str) -> str:
+    """Approximate duckdb's ToSQL rendering of a stored view body
+    (view_tosql_performance.test): parenthesize WHERE conditions and
+    binary expressions before AS, and spell derived-table aliases with
+    the AS keyword."""
+    out = re.sub(
+        r"\bWHERE\s+(.+?)(\s+(?:GROUP\s+BY|ORDER\s+BY|LIMIT|HAVING"
+        r"|QUALIFY|WINDOW)\b|\s*$)",
+        lambda mw: (mw.group(0)
+                    if mw.group(1).startswith("(")
+                    and mw.group(1).endswith(")")
+                    else "WHERE (" + mw.group(1) + ")" + mw.group(2)),
+        sql, count=1, flags=re.I | re.S)
+    # binary arithmetic before an AS alias: id * 2 AS d -> (id * 2) AS d
+    out = re.sub(
+        r"(?<![\w)('])((?:\"[^\"]+\"|[A-Za-z_][\w.]*|\d+)\s*[*/%+-]\s*"
+        r"(?:\"[^\"]+\"|[A-Za-z_][\w.]*|\d+))\s+AS\b",
+        r"(\1) AS", out, flags=re.I)
+    # derived-table alias without AS: ") sq" -> ") AS sq"
+    out = re.sub(
+        r"\)\s+(?!AS\b|WHERE\b|ORDER\b|GROUP\b|LIMIT\b|HAVING\b|ON\b"
+        r"|JOIN\b|UNION\b|QUALIFY\b|WINDOW\b)([A-Za-z_]\w*)\b",
+        r") AS \1", out, flags=re.I)
+    return out
+
+
 def _sub_getvariable(sql: str, variables: dict) -> str:
     """getvariable('v') -> SQL literal, with optional 1-based
     subscript (getvariable('files')[1]) and list values rendered as
@@ -4186,7 +4218,11 @@ class SQLSession:
                     if int(vid) in vdropped:
                         continue
                     v = vrenamed.get(int(vid), v)
-                    ddl = f"CREATE VIEW {v}{alias_txt} AS {sql_};"
+                    body = _tosql_normalize(sql_)
+                    vq = (v if re.fullmatch(r"[a-z_][a-z0-9_]*$", v)
+                          and v.upper() not in _SQL_RESERVED
+                          else '"' + v.replace('"', '""') + '"')
+                    ddl = f"CREATE VIEW {vq}{alias_txt} AS {body};"
                     from ducklake_spark.macros import pending_comment
 
                     hit, pc = pending_comment(lake, "view", s, v)

@@ -1858,8 +1858,10 @@ class Transaction:
                 cid, ctype = crow
                 base = str(ctype).split("(")[0].lower()
                 if base.startswith(("struct", "list", "map", "array")) \
-                        or base in ("blob", "binary", "geometry",
-                                    "variant", "json"):
+                        or base in ("geometry", "variant", "json"):
+                    # blob/binary DO merge (bytes min/max, text-
+                    # serialized like the file-stats harvest —
+                    # all_types_column_default_stats.test c_blob row)
                     continue
                 vals = [r[3 + j] for r in rows]
                 if base in ("decimal", "numeric"):
@@ -1874,6 +1876,30 @@ class Transaction:
                         except (ArithmeticError, ValueError, TypeError):
                             return v
                     vals = [None if v is None else _dv(v) for v in vals]
+                if base.startswith("timestamp"):
+                    # duckdb renders timestamps with MINIMAL fractional
+                    # digits ('.123', not '.123000')
+                    import re as _re
+
+                    def _trim(v):
+                        if not isinstance(v, str):
+                            return v
+                        return _re.sub(
+                            r"(\.\d*?)0+(?=$|\+)",
+                            lambda m2: m2.group(1).rstrip("."), v)
+                    vals = [None if v is None else _trim(v) for v in vals]
+                if base in ("time", "timetz"):
+                    # packed TIME is µs-since-midnight; duckdb stats
+                    # store clock text (all_types_column_default_stats
+                    # .test: c_time min '01:00:00', c_time_tz
+                    # '01:00:00+00' — offsets normalize to UTC)
+                    from ducklake_spark.lake import _us_to_time_text
+
+                    suf = "+00" if base == "timetz" else ""
+                    vals = [None if v is None else
+                            (_us_to_time_text(v) + suf
+                             if isinstance(v, int) else v)
+                            for v in vals]
                 nonnull = [v for v in vals if v is not None]
                 nn = [v for v in nonnull
                       if not (isinstance(v, float) and v != v)]
@@ -1890,6 +1916,9 @@ class Transaction:
                         return None
                     if isinstance(v, bool):
                         return "true" if v else "false"
+                    if isinstance(v, (bytes, bytearray)):
+                        # same text form the file-stats harvest stores
+                        return bytes(v).decode("utf-8", "replace")
                     return str(v)
 
                 self._merge_global_column_stats(con, tid, ColumnStatsRow(
