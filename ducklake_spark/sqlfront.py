@@ -996,7 +996,10 @@ def _parse_args(argtext: str) -> tuple[list, dict]:
     pos: list = []
     named: dict = {}
     for part in _split_top(argtext):
-        m = re.match(rf"({_IDENT})\s*(?::=|=>)\s*(.+)", part, re.S)
+        # duckdb accepts :=, => and plain = for named parameters
+        # (add_file_specific_schema.test: schema = 'schema_test')
+        m = re.match(rf"({_IDENT})\s*(?::=|=>|=(?![=>]))\s*(.+)",
+                     part, re.S)
         if m:
             named[_unquote(m.group(1))] = _parse_value(m.group(2))
         else:
@@ -1303,13 +1306,26 @@ class SQLSession:
 
     def _attach(self, stmt: str) -> None:
         m = re.match(
-            r"ATTACH\s+(IF\s+NOT\s+EXISTS\s+)?'([^']+)'(?:\s+AS\s+"
-            rf"({_IDENT}))?\s*(?:\((.*)\))?\s*$",
+            r"ATTACH\s+(IF\s+NOT\s+EXISTS\s+|OR\s+REPLACE\s+)?'([^']+)'"
+            rf"(?:\s+AS\s+({_IDENT}))?\s*(?:\((.*)\))?\s*$",
             stmt, re.I | re.S)
         if not m:
             raise SQLFrontUnsupported(f"ATTACH grammar: {stmt!r}")
         if_not_exists, url, alias, opttext = (
             m.group(1), m.group(2), m.group(3), m.group(4))
+        or_replace = bool(if_not_exists
+                          and "REPLACE" in if_not_exists.upper())
+        if or_replace:
+            if_not_exists = None
+            # replace: drop the existing attachment of that alias
+            probe = alias or ""
+            if probe in self.lakes:
+                self.lakes.pop(probe, None)
+                self.meta_catalogs = {
+                    a: ln for a, ln in self.meta_catalogs.items()
+                    if ln != probe}
+                if self.current == probe:
+                    self.current = None
         if not url.lower().startswith("ducklake:"):
             raise SQLFrontUnsupported("only ducklake: URLs are supported")
         target = url[len("ducklake:"):]
@@ -2087,7 +2103,22 @@ class SQLSession:
                    if m.group(3) else None)
         body = m.group(4).strip()
         if re.match(r"DEFAULT\s+VALUES\s*$", body, re.I):
-            raise SQLFrontUnsupported("INSERT ... DEFAULT VALUES")
+            # one row of column defaults (missing default -> NULL)
+            from ducklake_spark.catalog.types import ducklake_to_spark
+
+            defs = dict(lake.meta.query(
+                "SELECT column_name, default_value FROM ducklake_column "
+                "WHERE table_id=? AND end_snapshot IS NULL "
+                "AND parent_column IS NULL",
+                (lake._handle(api).table_id,)))
+            exprs = []
+            for _cid, cname, ctype, _nn in lake._handle(api).columns:
+                dv = defs.get(cname)
+                exprs.append(
+                    (f"CAST({dv} AS "
+                     f"{ducklake_to_spark(ctype).simpleString()})"
+                     if dv is not None else "NULL") + f" AS `{cname}`")
+            body = "SELECT " + ", ".join(exprs)
         df = self.query(_strip_parens(body))
         h = lake._handle(api)
         tcols = [c[1] for c in h.columns]
@@ -2526,9 +2557,13 @@ class SQLSession:
         elif schema:
             kw["schema"] = str(schema)
         rows = maint.flush_inlined_data(lake, report=True, **kw)
+        out = []
+        for t, n in rows:
+            sn, _, tn = str(t).rpartition(".")
+            out.append((sn or "main", tn, int(n)))
         return self.spark.createDataFrame(
-            [(t, int(n)) for t, n in rows],
-            "table_name string, rows_flushed bigint")
+            out, "schema_name string, table_name string, "
+                 "rows_flushed bigint")
 
     def _call_set_option(self, lake, pos, named):
         kw = {}
@@ -2553,7 +2588,25 @@ class SQLSession:
                   "hive_partitioning"):
             if k in named:
                 kw[k] = bool(named[k])
-        add_files.add_data_files(lake, str(pos[0]), pos[1], **kw)
+        table = str(pos[0])
+        schema = named.get("schema") or named.get("schema_name")
+        if schema and str(schema) != "main" and "." not in table:
+            table = f"{schema}.{table}"
+        elif "." not in table:
+            # no schema arg: the bare name must exist in main — the
+            # reference suggests the qualified name otherwise
+            # (add_file_specific_schema.test)
+            try:
+                lake._handle(table)
+            except DuckLakeError:
+                hit = [t for t in lake._table_names()
+                       if t.split(".")[-1] == table]
+                if hit:
+                    raise DuckLakeError(
+                        f"table '{table}' does not exist in schema "
+                        f'"main". Did you mean "{hit[0]}"?')
+                raise
+        add_files.add_data_files(lake, table, pos[1], **kw)
         return None
 
     def _call_set_commit_message(self, lake, pos, named):
@@ -2944,6 +2997,10 @@ class SQLSession:
                         else:
                             scan_tag = "TABLE_SCAN "
                     total = len(lake._visible_files(h, snap, None))
+                    if not files:
+                        # duckdb's optimizer folds a stats-contradicted
+                        # filter into EMPTY_RESULT (global_stats.test)
+                        scan_tag = "EMPTY_RESULT " + scan_tag
                     txt = (f"DUCKLAKE_SCAN {api} {scan_tag}"
                            f"Total Files Read: {len(files)} "
                            f"of {total} candidate files")
@@ -3372,9 +3429,24 @@ class SQLSession:
                           if os.path.isfile(h))  # duckdb GLOB lists files
             df = self.spark.createDataFrame(
                 [(h,) for h in hits], "file string")
+            # a following duckdb alias-with-columns `t(path)` renames
+            # the output column (data_inlining_partitions.test)
+            alias = m.group(2)
+            if alias:
+                acols = [_unquote(c)
+                         for c in _split_top(m.group(3) or "")] if \
+                    m.group(3) else []
+                if acols:
+                    df = df.toDF(*acols)
+                return f"{self._register(df)} AS {alias}"
             return f"{self._register(df)} AS glob"
 
-        sql = re.sub(r"\bglob\s*\(\s*'([^']+)'\s*\)", _glob, sql, flags=re.I)
+        sql = re.sub(
+            r"\bglob\s*\(\s*'([^']+)'\s*\)"
+            r"(?:\s+(?:AS\s+)?"
+            r"(?!WHERE\b|ORDER\b|GROUP\b|LIMIT\b|JOIN\b|ON\b|UNION\b"
+            rf"|HAVING\b|QUALIFY\b|WINDOW\b)({_IDENT})\s*\(([^()]*)\))?",
+            _glob, sql, flags=re.I)
 
         # 0e. parquet introspection TVFs (reference ships them via the
         # parquet extension; tests use them to check written footers).
@@ -3400,6 +3472,40 @@ class SQLSession:
 
         sql = re.sub(r"\bread_parquet\s*\(([^()]*)\)", _read_parquet, sql,
                      flags=re.I)
+
+        # duckdb's stats(col) scalar: renders the GLOBAL column stats
+        # (ducklake_table_column_stats feeds duckdb's BaseStatistics
+        # display — stats/global_stats.test, data_inlining_update.test)
+        if re.search(r"\bstats\s*\(", sql, re.I):
+            mfrom = re.search(
+                rf"\bFROM\s+((?:{_IDENT}\s*\.\s*)*{_IDENT})", sql, re.I)
+
+            def _stats_lit(m: re.Match) -> str:
+                col = _unquote(m.group(1).strip())
+                if mfrom is None:
+                    return m.group(0)
+                try:
+                    lake0, api0, *_r = self._resolve(mfrom.group(1))
+                    h0 = lake0._handle(api0)
+                except Exception:
+                    return m.group(0)
+                crow = next((c for c in h0.columns if c[1] == col), None)
+                if crow is None:
+                    return m.group(0)
+                srow = lake0.meta.query(
+                    "SELECT contains_null, min_value, max_value FROM "
+                    "ducklake_table_column_stats WHERE table_id=? AND "
+                    "column_id=?", (h0.table_id, crow[0]))
+                if not srow:
+                    return m.group(0)
+                cn, mn, mx = srow[0]
+                body = (f"'has_no_null': {str(mn is not None).lower()}, "
+                        f"'has_null': {str(bool(cn)).lower()}, "
+                        f"'max': {mx}, 'min': {mn}")
+                return "'" + ("{" + body + "}").replace("'", "''") + "'"
+
+            sql = re.sub(rf"\bstats\s*\(\s*({_IDENT})\s*\)", _stats_lit,
+                         sql, flags=re.I)
 
         # duckdb's bare quoted-path table refs: FROM 'x.parquet' /
         # FROM 'x.csv' (insert_sorted_default_direction.test reads a
