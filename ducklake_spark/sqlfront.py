@@ -2664,7 +2664,29 @@ class SQLSession:
                     row_groups_per_file = int(mm.group(2).strip())
                 # compression etc.: defaults are fine for fixtures
         if src.startswith("("):
-            df = self.query(_strip_parens(src))
+            inner = _strip_parens(src)
+            if fmt == "parquet" and not partition_by and not re.search(
+                    r"\bFROM\b(?!\s+range\s*\()", inner, re.I):
+                # pure-literal fixture: write through duckdb itself so
+                # the file carries duckdb's EXACT physical types
+                # (uint32, TIME, TIMESTAMP_S, JSON annotation, blob) —
+                # the add_files type_check family pins those
+                try:
+                    import duckdb as _dk
+
+                    opts = ["FORMAT PARQUET"]
+                    if row_group_size:
+                        opts.append(f"ROW_GROUP_SIZE {row_group_size}")
+                    if row_groups_per_file:
+                        opts.append(
+                            f"ROW_GROUPS_PER_FILE {row_groups_per_file}")
+                    _dk.connect().execute(
+                        f"COPY ({inner}) TO "
+                        f"'{path}' ({', '.join(opts)})")
+                    return None
+                except Exception:
+                    pass  # fall through to the Spark writer
+            df = self.query(inner)
         elif "." not in src and self.spark.catalog.tableExists(
                 _unquote(src)):
             # a host-catalog fixture table (CREATE TABLE x AS without
@@ -3383,7 +3405,9 @@ class SQLSession:
             r"(INTERVAL\s+'?\d+'?\s*\w+)",
             lambda m: (m.group(0) if m.group(1).upper() in
                        ("INTERVAL", "DATE", "TIMESTAMP", "TIME")
-                       else f"CAST({m.group(1)} AS TIMESTAMP) "
+                       # duckdb's DATE + INTERVAL is a PLAIN timestamp
+                       # (renders without the +00 offset)
+                       else f"CAST({m.group(1)} AS TIMESTAMP_NTZ) "
                             f"{m.group(2)} {m.group(3)}"),
             sql, flags=re.I)
         sql = re.sub(r"\bprintf\s*\(", "format_string(", sql, flags=re.I)
@@ -3472,6 +3496,19 @@ class SQLSession:
 
         sql = re.sub(r"\bread_parquet\s*\(([^()]*)\)", _read_parquet, sql,
                      flags=re.I)
+
+        # duckdb MAP([k...],[v...]) builds a map from two lists; Spark's
+        # map() takes interleaved args — route through map_from_arrays
+        if re.search(r"\bMAP\s*\(", sql, re.I):
+            def _map2(m: re.Match) -> str:
+                args = _split_top(m.group(2))
+                if len(args) == 2 and all(
+                        a.strip().startswith(("[", "array(", "ARRAY("))
+                        for a in args):
+                    return f"map_from_arrays({m.group(2)})"
+                return f"{m.group(1)}({m.group(2)})"
+
+            sql = _sub_balanced_calls(sql, ["map"], _map2)
 
         # duckdb's stats(col) scalar: renders the GLOBAL column stats
         # (ducklake_table_column_stats feeds duckdb's BaseStatistics

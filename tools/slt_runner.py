@@ -315,6 +315,8 @@ class FileRunner:
                 return str(uuidlib.uuid4())
             if key in self.env:
                 return self.env[key]
+            if key in self.loop_vars:  # UPPERCASE foreach vars
+                return self.loop_vars[key]
             raise Skip(f"unknown substitution {{{key}}}")
 
         text = re.sub(r"\{([A-Z][A-Z0-9_]*)\}", repl, text)
