@@ -2626,6 +2626,15 @@ class DuckLake:
         # type); 'HH:MM:SS[.ffffff]' strings convert on the way in
         ctypes = {c[1]: (c[2] or "").lower().split("(")[0] for c in h.columns}
         for n in names:
+            # Spark 4 TIME literals arrive as TimeType — convert to the
+            # stored micros-since-midnight unit (CAST to LONG alone
+            # truncates to SECONDS, silently mixing units with adopted
+            # time64 files)
+            if ctypes.get(n) in ("time", "timetz") and type(
+                    by_name.get(n)).__name__ == "TimeType":
+                df = df.withColumn(
+                    n, (F.col(n).cast(T.DecimalType(18, 6))
+                        * 1_000_000).cast(T.LongType()))
             if ctypes.get(n) in ("time", "timetz") and isinstance(
                     by_name.get(n), T.StringType):
                 df = df.withColumn(

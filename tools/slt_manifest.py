@@ -70,6 +70,17 @@ DOCUMENTED_DIVERGENCES: dict[str, str] = {
         "cannot up-cast unsigned physicals to decimal in one fixed "
         "read schema. Homogeneous unsigned adoption passes; the mixed "
         "UHUGEINT read is the single diverging step."),
+    "test/sql/add_files/add_files_type_check_timestamp.test": (
+        "TIME columns run as BIGINT micros-since-midnight (Spark 4.1's "
+        "TimeType cannot be cast to, written to parquet, or used in "
+        "most expressions), so a raw SELECT of a TIME column shows the "
+        "micros int, not duckdb's clock text. All the adoption "
+        "accept/reject checks in this file pass; only the one raw TIME "
+        "display row diverges. Stats/catalog text renders clock form."),
+    "test/sql/data_inlining/data_inlining_types.test": (
+        "same TIME/TIMETZ raw-display class as "
+        "add_files_type_check_timestamp.test, plus INTERVAL display "
+        "(stored micros)."),
     "test/sql/default/all_types_column_default_stats.test": (
         "TIMESTAMP_NS values truncate to microseconds (Spark's "
         "TimestampNTZ precision), so the pinned ns-precision stats "
