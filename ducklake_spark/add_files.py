@@ -132,8 +132,15 @@ def _file_type_ok(dl_type: str, at, enum_names=frozenset(),
         if not (pa.types.is_list(at) or pa.types.is_large_list(at)):
             return f"Expected list, found {name}"
         m = re.fullmatch(r"(?:list|array)[<(](.+)[)>]", t)
-        return (_file_type_ok(m.group(1), at.value_type,
-                              enum_names, fname) if m else None)
+        vt = at.value_type
+        # legacy avro 2-level lists surface in arrow as
+        # list<struct<array: T>> — Spark's reader unwraps them, and so
+        # does the reference (add_old_list.test)
+        if (pa.types.is_struct(vt) and vt.num_fields == 1
+                and vt.field(0).name in ("array", "element", "item")):
+            vt = vt.field(0).type
+        return (_file_type_ok(m.group(1), vt, enum_names, fname)
+                if m else None)
     if t.startswith("map"):
         if not pa.types.is_map(at):
             return f"Expected map, found {name}"

@@ -2979,6 +2979,11 @@ class DuckLake:
                         table.replace_schema_metadata(None), out,
                         store_schema=False, use_dictionary=False,
                         compression="snappy",
+                        # an INT96 source column round-trips through
+                        # arrow as ns — Spark cannot read ns NTZ, so
+                        # pin the output unit to micros
+                        coerce_timestamps="us",
+                        allow_truncated_timestamps=True,
                         # zone maps never read internal-column stats
                         write_statistics=[
                             c for c in table.schema.names

@@ -1656,7 +1656,15 @@ class SQLSession:
                 raise DuckLakeError(
                     "unsupported type: ENUM types are not supported in "
                     "DuckLake")
-            df = self.query(_strip_parens(mas.group(2)))
+            body_sql = mas.group(2)
+            # CTAS ... WITH NO DATA: schema only, zero rows
+            no_data = re.search(r"\s+WITH\s+NO\s+DATA\s*;?\s*$", body_sql,
+                                re.I)
+            if no_data:
+                body_sql = body_sql[:no_data.start()]
+            df = self.query(_strip_parens(body_sql))
+            if no_data:
+                df = df.limit(0)
             if mas.group(1):
                 names = [_unquote(c) for c in _split_top(mas.group(1))]
                 df = df.toDF(*names)
@@ -3172,7 +3180,24 @@ class SQLSession:
             kw = {}
             if "at_version" in named:
                 kw["at_version"] = int(named["at_version"])
-            return tf.list_files(lake, str(args[0]), **kw)
+            if "snapshot_version" in named:
+                kw["at_version"] = int(named["snapshot_version"])
+            if "snapshot_time" in named:
+                kw["at_timestamp"] = str(named["snapshot_time"])
+            if "at_version" in kw and "at_timestamp" in kw:
+                raise DuckLakeError(
+                    "cannot specify both snapshot_version and "
+                    "snapshot_time")
+            table = str(args[0])
+            if "schema" in named:
+                sn = str(named["schema"])
+                if not lake.meta.query(
+                        "SELECT 1 FROM ducklake_schema WHERE "
+                        "schema_name=? AND end_snapshot IS NULL", (sn,)):
+                    raise DuckLakeError(f"schema {sn!r} does not exist")
+                if sn != "main":
+                    table = f"{sn}.{table}"
+            return tf.list_files(lake, table, **kw)
         if fn in ("table_insertions", "table_deletions", "table_changes"):
             # global signature: (catalog, schema, table, start, end);
             # lake-scoped sugar: db.table_changes(table, start, end)
@@ -3484,8 +3509,8 @@ class SQLSession:
                 hits = [pattern]
             return hits
 
-        def _read_parquet(m: re.Match) -> str:
-            pats = re.findall(r"'([^']+)'", m.group(1))
+        def _read_parquet(argtext: str) -> str:
+            pats = re.findall(r"'([^']+)'", argtext)
             paths: list[str] = []
             for p in pats:
                 paths.extend(_pq_paths(p))
@@ -3494,8 +3519,12 @@ class SQLSession:
                     f"read_parquet: no files match {pats!r}")
             return f"{self._register(self.spark.read.parquet(*paths))} "
 
-        sql = re.sub(r"\bread_parquet\s*\(([^()]*)\)", _read_parquet, sql,
-                     flags=re.I)
+        if re.search(r"\bread_parquet\s*\(", sql, re.I):
+            # balanced-call substitution: the argument may be an
+            # array('a','b') list from a getvariable expansion
+            sql = _sub_balanced_calls(
+                sql, ["read_parquet"],
+                lambda m: _read_parquet(m.group(2)))
 
         # duckdb MAP([k...],[v...]) builds a map from two lists; Spark's
         # map() takes interleaved args — route through map_from_arrays
@@ -3509,6 +3538,97 @@ class SQLSession:
                 return f"{m.group(1)}({m.group(2)})"
 
             sql = _sub_balanced_calls(sql, ["map"], _map2)
+
+        # duckdb string literals are escape-free: a lone '\' must be
+        # doubled for Spark's parser (default_path.test replace('\','/'))
+        sql = re.sub(r"'\\'", r"'\\\\'", sql)
+        # duckdb dot-call sugar: col.replace(a, b) -> replace(col, a, b)
+        sql = re.sub(
+            rf"(?<![\w.'\"])({_IDENT})\s*\.\s*(replace|lower|upper|trim"
+            r"|split|contains|len|length)\s*\(",
+            lambda m: f"{m.group(2)}({m.group(1)}"
+                      + ("" if m.string[m.end():].lstrip().startswith(")")
+                         else ", "),
+            sql, flags=re.I)
+        # duckdb 'needle' IN haystack_string = contains(); the haystack
+        # may be an identifier or a function call (file.replace(...)
+        # already rewritten to replace(file, ...) above)
+        def _in_contains(sql_in: str) -> str:
+            out = []
+            pos = 0
+            pat = re.compile(
+                rf"'((?:[^']|'')*)'\s+IN\s+({_IDENT})\s*(\()?", re.I)
+            while True:
+                m = pat.search(sql_in, pos)
+                if not m:
+                    out.append(sql_in[pos:])
+                    break
+                if m.group(3) is None:
+                    if m.group(2).upper() in ("SELECT", "VALUES"):
+                        out.append(sql_in[pos:m.end()])
+                        pos = m.end()
+                        continue
+                    out.append(sql_in[pos:m.start()])
+                    out.append(f"contains({m.group(2)}, '{m.group(1)}')")
+                    pos = m.end()
+                    continue
+                # function-call haystack: take the balanced call
+                depth, k = 1, m.end()
+                q = False
+                while k < len(sql_in) and depth:
+                    ch = sql_in[k]
+                    if q:
+                        q = ch != "'"
+                    elif ch == "'":
+                        q = True
+                    elif ch == "(":
+                        depth += 1
+                    elif ch == ")":
+                        depth -= 1
+                    k += 1
+                call = sql_in[m.start(2):k]
+                out.append(sql_in[pos:m.start()])
+                out.append(f"contains({call}, '{m.group(1)}')")
+                pos = k
+            return "".join(out)
+
+        if re.search(r"'\s+IN\s+", sql, re.I):
+            sql = _in_contains(sql)
+        # (DESCRIBE SELECT ...) in FROM position -> (column_name,
+        # column_type) rows with duckdb display type names
+        while True:
+            md = re.search(r"\(\s*DESCRIBE\s+(QUERY\s+)?(?=SELECT|FROM"
+                           r"|WITH|VALUES)", sql, re.I)
+            if not md:
+                break
+            # find the matching close paren
+            depth, k = 1, md.end()
+            q = False
+            while k < len(sql) and depth:
+                ch = sql[k]
+                if q:
+                    q = ch != "'"
+                elif ch == "'":
+                    q = True
+                elif ch == "(":
+                    depth += 1
+                elif ch == ")":
+                    depth -= 1
+                k += 1
+            inner = sql[md.end():k - 1]
+            from ducklake_spark.catalog.types import (
+                ducklake_type_display,
+                spark_to_ducklake,
+            )
+
+            idf = self.query(inner)
+            rows2 = [(f_.name,
+                      ducklake_type_display(spark_to_ducklake(f_.dataType)))
+                     for f_ in idf.schema.fields]
+            ddf = self.spark.createDataFrame(
+                rows2, "column_name string, column_type string")
+            sql = (sql[:md.start()] + self._register(ddf) + " "
+                   + sql[k:])
 
         # duckdb's stats(col) scalar: renders the GLOBAL column stats
         # (ducklake_table_column_stats feeds duckdb's BaseStatistics
@@ -3556,7 +3676,16 @@ class SQLSession:
                     paths = _pq_paths(path)
                     if not paths:
                         return m.group(0)
-                    df = self.spark.read.parquet(*paths)
+                    reader = self.spark.read
+                    if any(ch in path for ch in "*?["):
+                        # a glob over hive dirs keeps the partition
+                        # columns: anchor basePath at the non-glob
+                        # prefix (add_files_hive_many_columns.test)
+                        base = re.split(r"[*?\[]", path, 1)[0]
+                        base = base.rsplit("/", 1)[0]
+                        if base:
+                            reader = reader.option("basePath", base)
+                    df = reader.parquet(*paths)
                 elif low.endswith(".csv"):
                     df = (self.spark.read.option("header", "true")
                           .option("inferSchema", "true").csv(path))

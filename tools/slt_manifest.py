@@ -36,6 +36,13 @@ DOCUMENTED_DIVERGENCES: dict[str, str] = {
         "changing the storage convention is a catalog migration, tracked "
         "as future work. The compaction behavior itself (canonical hive "
         "output paths, external files preserved) passes."),
+    "test/sql/general/paths.test": (
+        "same path-namespace convention as merge_adjacent_external_"
+        "hive_paths.test: ducklake_table.path stores data-root-relative "
+        "('main/test/'), the reference stores schema-relative "
+        "('test/'). Internally consistent; migration tracked."),
+    "test/sql/general/default_path.test": (
+        "same path-namespace convention as general/paths.test."),
     "test/sql/settings/parquet_compression.test": (
         "parquet-mr (Spark's writer) encodes V2 strings as "
         "DELTA_BYTE_ARRAY; duckdb's writer uses DELTA_LENGTH_BYTE_ARRAY. "
