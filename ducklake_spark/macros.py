@@ -531,13 +531,28 @@ def set_view_column_comment(lake: DuckLake, view_name: str, column: str,
     vid = _live_view_id(lake, view_name)
     if vid is None:
         raise DuckLakeError(f"no view {view_name!r}")
-    cols = lake.view(view_name).columns
+    # a view with an explicit alias list only exposes THOSE names to
+    # COMMENT ON COLUMN (reference: comment_on_view_column.test —
+    # 'View "pv" does not have a column with name "y"' even though the
+    # unaliased tail column binds as y)
+    arow = lake.meta.query(
+        "SELECT column_aliases FROM ducklake_view "
+        "WHERE view_id=?", (vid,))
+    aliases = None
+    if arow and arow[0][0]:
+        import json as _json
+
+        try:
+            aliases = _json.loads(arow[0][0])
+        except Exception:
+            aliases = None
+    cols = aliases if aliases else lake.view(view_name).columns
     canon = {c.lower(): c for c in cols}.get(column.lower())
     if canon is None:
+        _, bare = lake._split_name(view_name)
         raise DuckLakeError(
-            f"view {view_name!r} has no column {column!r} "
-            f"(columns: {', '.join(cols)})"
-        )
+            f'View "{bare}" does not have a column with name '
+            f'"{column}"')
     txn = lake._begin()
 
     def op(con, snap_id, vid=vid, canon=canon, comment=comment):

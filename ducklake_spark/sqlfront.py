@@ -1058,6 +1058,9 @@ class SQLSession:
         # host (memory-catalog) tables created without USE: name ->
         # declared Spark schema; data lives in a same-named temp view
         self.host_tables: dict[str, object] = {}
+        # CREATE SECRET (TYPE DUCKLAKE ...): name -> options; "" is the
+        # unnamed default (secrets/ducklake_secrets.test)
+        self.secrets: dict[str, dict] = {}
 
     # -- plumbing ----------------------------------------------------------
 
@@ -1264,6 +1267,15 @@ class SQLSession:
             return self._drop_view(stmt)
         if kw2 == "ALTER VIEW":
             return self._alter_view(stmt)
+        if re.match(r"CREATE\s+(OR\s+REPLACE\s+)?(?:PERSISTENT\s+)?SECRET",
+                    stmt, re.I):
+            return self._create_secret(stmt)
+        if re.match(r"DROP\s+SECRET", stmt, re.I):
+            ms = re.match(rf"DROP\s+SECRET\s+(IF\s+EXISTS\s+)?({_IDENT})",
+                          stmt, re.I)
+            if ms:
+                self.secrets.pop(_unquote(ms.group(2)), None)
+            return None
         if re.match(r"CREATE\s+(OR\s+REPLACE\s+)?(TEMP(ORARY)?\s+)?MACRO",
                     stmt, re.I):
             return self._create_macro(stmt)
@@ -1304,6 +1316,37 @@ class SQLSession:
 
     # -- session statements --------------------------------------------------
 
+    def _create_secret(self, stmt: str) -> None:
+        """CREATE SECRET [name] (TYPE DUCKLAKE, METADATA_PATH '...',
+        DATA_PATH '...', [METADATA_PARAMETERS MAP {...}]) — resolved by
+        ATTACH 'ducklake:[name]' (secrets/ducklake_secrets.test)."""
+        m = re.match(
+            r"CREATE\s+(?:OR\s+REPLACE\s+)?(?:PERSISTENT\s+)?SECRET\s*"
+            rf"({_IDENT})?\s*\((.*)\)\s*$", stmt, re.I | re.S)
+        if not m:
+            raise SQLFrontUnsupported(f"CREATE SECRET grammar: {stmt!r}")
+        name = _unquote(m.group(1)) if m.group(1) else ""
+        opts: dict = {}
+        for part in _split_top(m.group(2)):
+            mm = re.match(rf"({_IDENT})\s+(.+)$", part.strip(), re.S)
+            if not mm:
+                continue
+            key = _unquote(mm.group(1)).lower()
+            val = mm.group(2).strip()
+            if key == "metadata_parameters":
+                mp = re.search(r"MAP\s*\{(.*)\}", val, re.I | re.S)
+                params = {}
+                if mp:
+                    for kv in _split_top(mp.group(1)):
+                        k2, _, v2 = kv.partition(":")
+                        params[k2.strip().strip("'\"")] = \
+                            v2.strip().strip("'\"")
+                opts[key] = params
+            else:
+                opts[key] = val.strip("'")
+        self.secrets[name] = opts
+        return None
+
     def _attach(self, stmt: str) -> None:
         m = re.match(
             r"ATTACH\s+(IF\s+NOT\s+EXISTS\s+|OR\s+REPLACE\s+)?'([^']+)'"
@@ -1329,6 +1372,30 @@ class SQLSession:
         if not url.lower().startswith("ducklake:"):
             raise SQLFrontUnsupported("only ducklake: URLs are supported")
         target = url[len("ducklake:"):]
+        # secret-resolved attach: ATTACH 'ducklake:' (default secret)
+        # or 'ducklake:name' — the secret supplies METADATA_PATH /
+        # DATA_PATH (secrets/ducklake_secrets.test)
+        if target == "" or (
+                target in self.secrets
+                or (re.fullmatch(r"\w+", target)
+                    and "://" not in target and not os.sep in target
+                    and not target.endswith((".db", ".sqlite",
+                                             ".duckdb")))):
+            sec = self.secrets.get(target)
+            if sec is None:
+                raise DuckLakeError(
+                    f'Secret "{target}" was not found' if target
+                    else "no default DUCKLAKE secret")
+            mp = sec.get("metadata_parameters") or {}
+            mtype = str(mp.get("TYPE", mp.get("type", ""))).lower()
+            if mtype and mtype not in ("duckdb", "sqlite", "postgres"):
+                raise DuckLakeError(
+                    f"unsupported metadata backend {mtype!r}")
+            target = sec.get("metadata_path", "")
+            if sec.get("data_path") and not (opttext and re.search(
+                    r"\bDATA_PATH\b", opttext, re.I)):
+                opttext = ((opttext + ", ") if opttext else "") + \
+                    f"DATA_PATH '{sec['data_path']}'"
         # backend scheme inside the ducklake: URL; plain paths use the
         # session default catalog backend
         if target.startswith("sqlite:"):

@@ -272,7 +272,10 @@ class FileRunner:
         self.tmpdir = os.path.join(
             tmp_root, re.sub(r"\W+", "_", os.path.relpath(path, "/")))
         os.makedirs(self.tmpdir, exist_ok=True)
-        self.env: dict[str, str] = {}
+        self.env: dict[str, str] = {
+            # duckdb's sqllogictest built-in: the test file's stem
+            "BASE_TEST_NAME": os.path.splitext(os.path.basename(path))[0],
+        }
         self.spark = spark
         self.sessions: dict = {}
         self.attach_replay: list[str] = []
