@@ -2272,12 +2272,17 @@ class SQLSession:
             src_df = self.query(f"SELECT * FROM {src_name}")
             src_bare_name = _unquote(src_name.split(".")[-1])
         s_alias = None
-        ma = re.match(rf"(?:AS\s+)?({_IDENT})\s+(?=(ON|USING|WHEN)\b)(.*)$",
-                      rest, re.I | re.S)
+        ma = re.match(
+            rf"(?:AS\s+)?({_IDENT})\s*(\(([^()]*)\))?\s+"
+            r"(?=(ON|USING|WHEN)\b)(.*)$",
+            rest, re.I | re.S)
         if ma:
             s_alias = _unquote(ma.group(1))
-            rest = (ma.group(2) + ma.group(3)).strip() \
-                if False else rest[ma.end(1):].strip()
+            if ma.group(3):  # alias column list: src(id, val)
+                src_df = src_df.toDF(*[
+                    _unquote(c) for c in _split_top(ma.group(3))])
+            rest = rest[ma.end(2) if ma.group(2)
+                        else ma.end(1):].strip()
         # join condition
         mon = re.match(r"ON\s+(.+?)\s*(WHEN\s+.+)$", rest, re.I | re.S)
         mkeys = re.match(r"USING\s*\(([^)]*)\)\s*(WHEN\s+.+)$", rest,
