@@ -36,8 +36,51 @@ _INT_ACCEPT = {
 }
 
 
+def _legacy_list_columns(pf) -> frozenset:
+    """Top-level column names whose PARQUET schema contains a legacy
+    2-level LIST encoding: under a LIST-annotated group, the repeated
+    node is the element itself (a repeated non-group, a repeated group
+    named 'array'/'<col>_tuple', or a repeated group carrying its own
+    LIST annotation — parquet-format LogicalTypes.md backward-compat
+    rules). Arrow field names alone can't distinguish these from a
+    genuine list<struct<array: T>> (round-9 advisor finding)."""
+    node = re.compile(
+        r"^(required|optional|repeated)\s+(\S+)\s+"
+        r"(?:field_id=\S+\s+)?(\S+?)(?:\s+\(([^)]*)\))?\s*([{;])$")
+    out: set[str] = set()
+    # stack entries: (name, annotation); stack[0] is the schema root,
+    # stack[1] the top-level column (the object-repr header line and
+    # any other non-node line simply doesn't match the regex)
+    stack: list[tuple[str, str | None]] = []
+    try:
+        lines = str(pf.schema).splitlines()
+    except Exception:
+        return frozenset()
+    for ln in lines:
+        s = ln.strip()
+        if s == "}":
+            if stack:
+                stack.pop()
+            continue
+        m = node.match(s)
+        if not m:
+            continue
+        rep, typ, name, annot, tail = m.groups()
+        parent_annot = stack[-1][1] if stack else None
+        if (rep == "repeated"
+                and parent_annot in ("List", "LIST")
+                and (typ != "group"
+                     or name == "array"
+                     or name.endswith("_tuple")
+                     or annot in ("List", "LIST"))):
+            out.add(stack[1][0] if len(stack) > 1 else name)
+        if tail == "{":
+            stack.append((name, annot))
+    return frozenset(out)
+
+
 def _file_type_ok(dl_type: str, at, enum_names=frozenset(),
-                  fname: str = "") -> str | None:
+                  fname: str = "", legacy_list: bool = False) -> str | None:
     """None when the parquet arrow type ``at`` may serve a column of
     DuckLake type ``dl_type``; else an error description.
     ``enum_names``: leaf names whose PARQUET logical type is Enum —
@@ -124,7 +167,7 @@ def _file_type_ok(dl_type: str, at, enum_names=frozenset(),
             f = at.field(i)
             if f.name in parts:
                 err = _file_type_ok(parts[f.name], f.type,
-                                    enum_names, f.name)
+                                    enum_names, f.name, legacy_list)
                 if err:
                     return f"field {f.name!r}: {err}"
         return None
@@ -135,11 +178,14 @@ def _file_type_ok(dl_type: str, at, enum_names=frozenset(),
         vt = at.value_type
         # legacy avro 2-level lists surface in arrow as
         # list<struct<array: T>> — Spark's reader unwraps them, and so
-        # does the reference (add_old_list.test)
-        if (pa.types.is_struct(vt) and vt.num_fields == 1
+        # does the reference (add_old_list.test). Gate on the PARQUET
+        # schema's verdict (legacy_list) so a genuine
+        # list<struct<array: T>> column is checked against the struct
+        if (legacy_list and pa.types.is_struct(vt) and vt.num_fields == 1
                 and vt.field(0).name in ("array", "element", "item")):
             vt = vt.field(0).type
-        return (_file_type_ok(m.group(1), vt, enum_names, fname)
+        return (_file_type_ok(m.group(1), vt, enum_names, fname,
+                              legacy_list)
                 if m else None)
     if t.startswith("map"):
         if not pa.types.is_map(at):
@@ -151,11 +197,11 @@ def _file_type_ok(dl_type: str, at, enum_names=frozenset(),
             parts = _st(m.group(1))
             if len(parts) == 2:
                 err = _file_type_ok(parts[0].strip(), at.key_type,
-                                    enum_names, fname)
+                                    enum_names, fname, legacy_list)
                 if err:
                     return f"map key: {err}"
                 err = _file_type_ok(parts[1].strip(), at.item_type,
-                                    enum_names, fname)
+                                    enum_names, fname, legacy_list)
                 if err:
                     return f"map value: {err}"
         return None
@@ -332,6 +378,7 @@ def add_data_files(lake: DuckLake, table: str, pattern, *,
             }
         except Exception:
             enum_leaves = {"enum": frozenset(), "json": frozenset()}
+        legacy_cols = _legacy_list_columns(pf)
         for cname, (cid, _n, ctype, _na) in table_cols.items():
             if cname in hive_vals:
                 # hive partition value takes PRECEDENCE over a parquet
@@ -342,7 +389,8 @@ def add_data_files(lake: DuckLake, table: str, pattern, *,
             at = arrow_types.get(cname)
             if at is None:
                 continue
-            err = _file_type_ok(ctype, at, enum_leaves, cname)
+            err = _file_type_ok(ctype, at, enum_leaves, cname,
+                                legacy_list=cname in legacy_cols)
             if err:
                 raise DuckLakeError(
                     f'Failed to map column "{cname}" from file "{path}" '

@@ -2984,10 +2984,14 @@ class DuckLake:
                         # pin the output unit to micros
                         coerce_timestamps="us",
                         allow_truncated_timestamps=True,
-                        # zone maps never read internal-column stats
-                        write_statistics=[
-                            c for c in table.schema.names
-                            if not c.startswith("_ducklake_internal_")])
+                        # zone maps never read internal-column stats;
+                        # pyarrow keys write_statistics by dotted LEAF
+                        # path ('s.a', 'l.list.element') — top-level
+                        # names would silently drop every nested-leaf
+                        # stat from the slimmed file
+                        write_statistics=_parquet_leaf_paths(
+                            table.schema,
+                            exclude_prefix="_ducklake_internal_"))
                 if (self.lfs.size(slim) or size) < size:
                     self.lfs.remove(path)
                     self.lfs.move(slim, path)
@@ -3604,6 +3608,39 @@ class DuckLake:
                     val = val + " 00:00:00"
                 elif ctype == "date" and val.endswith(" 00:00:00"):
                     val = val[: -len(" 00:00:00")]
+            if ctype in ("time", "timetz"):
+                # TIME surfaces Spark-side as BIGINT µs, but the zone
+                # map stores duckdb's clock text ('01:00:00'[+00]) — a
+                # numeric-vs-text compare over-prunes (SQLite CASTs
+                # text to 1.0) or errors (duckdb backend). Normalize
+                # the literal to the stored text; fall back to no
+                # pruning when the literal shape is unrecognized.
+                def _time_lit(v2):
+                    suf = "+00" if ctype == "timetz" else ""
+                    if isinstance(v2, bool):
+                        return None
+                    if isinstance(v2, int):
+                        return _us_to_time_text(v2) + suf
+                    if isinstance(v2, str):
+                        if re.fullmatch(r"-?\d+", v2):
+                            return _us_to_time_text(int(v2)) + suf
+                        if re.fullmatch(
+                                r"\d{2}:\d{2}:\d{2}(\.\d+)?", v2):
+                            return v2.rstrip("0").rstrip(".") + suf \
+                                if "." in v2 else v2 + suf
+                        if ctype == "timetz" and re.fullmatch(
+                                r"\d{2}:\d{2}:\d{2}(\.\d+)?\+00", v2):
+                            return v2
+                    return None
+                if op == "or":
+                    vals2 = [(o2, _time_lit(v2)) for o2, v2 in val]
+                    if any(v2 is None for _, v2 in vals2):
+                        continue
+                    val = vals2
+                elif op not in ("isnull", "notnull"):
+                    val = _time_lit(val)
+                    if val is None:
+                        continue
             for entry in part_keys.get(col, []):
                 part_clause = self._partition_prune_clause(
                     h, entry, live_pid, col, op, val)
@@ -6156,6 +6193,26 @@ def _harvest_stats(pf, colmap: dict[str, int]) -> list[ColumnStatsRow]:
                     row.min_value = mn if row.min_value is None else _min2(row.min_value, mn, smin)
                     row.max_value = mx if row.max_value is None else _max2(row.max_value, mx, smax)
     return list(agg.values())
+
+
+def _parquet_leaf_paths(schema, exclude_prefix: str | None = None) -> list[str]:
+    """Dotted parquet leaf-column paths for an arrow schema (the key
+    space pyarrow's write_statistics expects: 's.a', 'l.list.element').
+    Derived by serializing an empty table once — exact for whatever
+    list/struct naming convention the installed pyarrow emits."""
+    import io
+
+    import pyarrow.parquet as _pq2
+
+    sink = io.BytesIO()
+    _pq2.write_table(schema.empty_table(), sink)
+    sink.seek(0)
+    ps = _pq2.ParquetFile(sink).schema
+    paths = [ps.column(i).path for i in range(len(ps.names))]
+    if exclude_prefix:
+        paths = [p for p in paths
+                 if not p.split(".", 1)[0].startswith(exclude_prefix)]
+    return paths
 
 
 def _us_to_time_text(us: int) -> str:

@@ -1360,15 +1360,6 @@ class SQLSession:
                           and "REPLACE" in if_not_exists.upper())
         if or_replace:
             if_not_exists = None
-            # replace: drop the existing attachment of that alias
-            probe = alias or ""
-            if probe in self.lakes:
-                self.lakes.pop(probe, None)
-                self.meta_catalogs = {
-                    a: ln for a, ln in self.meta_catalogs.items()
-                    if ln != probe}
-                if self.current == probe:
-                    self.current = None
         if not url.lower().startswith("ducklake:"):
             raise SQLFrontUnsupported("only ducklake: URLs are supported")
         target = url[len("ducklake:"):]
@@ -1412,6 +1403,17 @@ class SQLSession:
             meta_url = target
         name = _unquote(alias) if alias else re.sub(
             r"\.[^.]*$", "", target.rsplit("/", 1)[-1]) or "ducklake"
+        if or_replace and name in self.lakes:
+            # replace: drop the existing attachment under the SAME
+            # alias the new attach will claim — an unaliased attach is
+            # keyed by its path-derived alias, never '' (round-9
+            # advisor finding)
+            self.lakes.pop(name, None)
+            self.meta_catalogs = {
+                a: ln for a, ln in self.meta_catalogs.items()
+                if ln != name}
+            if self.current == name:
+                self.current = None
         if name in self.lakes:
             if if_not_exists:
                 return None

@@ -266,3 +266,45 @@ def test_macro_multiple_implementations(lake, spark):
         lake.call_macro("multi_add", 1, 2, 3, 4)
     with pytest.raises(DuckLakeError, match="distinct"):
         lake.create_macro("dup", overloads=[(["a"], "a"), (["x"], "x")])
+
+
+def test_add_files_legacy_list_unwrap_gated_on_parquet_schema(
+        lake, spark, tmp_path):
+    """The legacy avro 2-level list unwrap (add_old_list.test) must key
+    on the PARQUET schema's backward-compat shape, not on the arrow
+    field name: a genuine list<struct<array: T>> column written by a
+    modern 3-level writer is type-checked against the STRUCT (round-9
+    advisor finding)."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from ducklake_spark.lake import DuckLakeError
+
+    ext = tmp_path / "ext3"
+    ext.mkdir()
+    pq.write_table(
+        pa.table({"l": pa.array([[{"array": 7}]],
+                                pa.list_(pa.struct([("array", pa.int64())])))}),
+        str(ext / "f.parquet"))
+    # declared as the struct it really is: adopts and reads back
+    lake.create_table("gs", [("l", "list<struct<array:int64>>")])
+    assert lake.add_data_files("gs", str(ext / "*.parquet")) == 1
+    assert [[row.asDict() for row in r.l]
+            for r in lake.table("gs").collect()] == [[{"array": 7}]]
+    # mis-declared as list<int64>: the old name-based unwrap ACCEPTED
+    # this; the parquet-schema gate rejects it
+    lake.create_table("gm", [("l", "list<int64>")])
+    try:
+        lake.add_data_files("gm", str(ext / "*.parquet"))
+        raise AssertionError("expected type-check rejection")
+    except DuckLakeError:
+        pass
+    # the reference's real legacy fixture still adopts
+    import shutil
+    lake.create_table("old", [("a", "list<list<int32>>")])
+    legacy = tmp_path / "legacy"
+    legacy.mkdir()
+    shutil.copy("/root/reference/data/parquet/old_list_structure.parquet",
+                str(legacy / "old.parquet"))
+    assert lake.add_data_files("old", str(legacy / "*.parquet")) == 1
+    assert [r.a for r in lake.table("old").collect()] == [[[1, 2], [3, 4]]]

@@ -301,3 +301,39 @@ def test_add_column_default_seeds_global_stats(lake, spark):
     lake.add_column("acds2", "b", "int32", default="7")
     stats2 = {r.column_name: r for r in lake.column_stats("acds2").collect()}
     assert "b" not in stats2
+
+
+def test_in_txn_sorted_by_inlined_insert_epoch_routing(spark, tmp_path):
+    """BEGIN; SET SORTED BY; INSERT(inlined); COMMIT — sort_ops DOES
+    bump the GLOBAL snapshot schema_version at commit (reference:
+    schema_version_mixed_operations.test pins 1 -> 3 across a comment +
+    real alter), so routing the in-txn inlined rows into the sv+1
+    table exactly matches the committed stamp: a later real ALTER
+    allocates the NEXT epoch's table and never mixes epochs
+    (round-9 advisor finding adjudicated as by-design)."""
+    from ducklake_spark.lake import DuckLake
+
+    import conftest
+    lake = DuckLake.attach(
+        spark, conftest.catalog_url(tmp_path), str(tmp_path / "data"),
+        data_inlining_row_limit=10)
+    lake.create_table("t", [("k", "int64"), ("v", "varchar")])
+    lake.insert("t", spark.createDataFrame([(1, "a")], "k long, v string"))
+    lake.begin()
+    lake.set_sorted_by("t", [("k", "asc")])
+    lake.insert("t", spark.createDataFrame([(2, "b")], "k long, v string"))
+    lake.commit()
+    assert sorted((r.k, r.v) for r in lake.table("t").collect()) == [
+        (1, "a"), (2, "b")]
+    sv_after_sort = lake.meta.latest_snapshot().schema_version
+    names = {r[1]: r[2] for r in lake.meta.con.execute(
+        "SELECT * FROM ducklake_inlined_data_tables").fetchall()}
+    # in-txn rows landed in the table matching the committed stamp
+    assert f"ducklake_inlined_data_1_{sv_after_sort}" in names
+    # a later real ALTER gets its own epoch (no reuse/mixing)
+    lake.add_column("t", "w", "int64")
+    lake.insert("t", spark.createDataFrame(
+        [(3, "c", 7)], "k long, v string, w long"))
+    assert sorted((r.k, r.v, r.w) for r in lake.table("t").collect()) == [
+        (1, "a", None), (2, "b", None), (3, "c", 7)]
+    assert lake.meta.latest_snapshot().schema_version == sv_after_sort + 1

@@ -364,3 +364,33 @@ def test_partition_write_shuffle_one_file_per_value(lake, spark):
     lake.meta.set_option("partition_write_shuffle", "false")
     lake.insert("pw", df)
     assert lake.table("pw").count() == 8000
+
+
+def test_time_timetz_zone_map_pruning_normalizes_micros(lake, spark):
+    """TIME/TIMETZ stats are stored as duckdb clock text but predicates
+    arrive as BIGINT micros (Spark has no TIME type) — pruning must
+    normalize the literal to the stored text instead of comparing
+    CAST('01:00:00' AS REAL) against 3600000000 (which over-prunes on
+    SQLite and errors on a DuckDB catalog)."""
+    lake.create_table("tt", [("k", "int64"), ("t", "time"),
+                             ("tz", "timetz")])
+    lake.insert("tt", spark.createDataFrame(
+        [(1, 3_600_000_000, 3_600_000_000),
+         (2, 3_660_000_000, 3_660_000_000)],
+        "k long, t long, tz long").coalesce(1))
+    lake.insert("tt", spark.createDataFrame(
+        [(3, 7_200_000_000, 7_200_000_000),
+         (4, 7_260_000_000, 7_260_000_000)],
+        "k long, t long, tz long").coalesce(1))
+    assert sorted(r.k for r in
+                  lake.table("tt", where="t = 3600000000").collect()) == [1]
+    assert sorted(r.k for r in
+                  lake.table("tt", where="t > 3660000000").collect()) == [3, 4]
+    assert sorted(r.k for r in
+                  lake.table("tt", where="t <= 3660000000").collect()) == [1, 2]
+    assert sorted(r.k for r in
+                  lake.table("tt", where="tz = 7200000000").collect()) == [3]
+    # the = prune actually eliminates the 02:00 file, not just filters
+    clause, params = lake._pruning_clauses(
+        lake._handle("tt"), "t = 3600000000")
+    assert "01:00:00" in str(params)

@@ -120,3 +120,22 @@ def test_nested_leaf_stats_ctas(lk, spark):
         "JOIN ducklake_column c ON c.column_id = s.column_id "
         "WHERE c.parent_column IS NOT NULL")
     assert [tuple(r) for r in rows] == [("0", "9")]
+
+
+def test_slimmed_small_file_keeps_struct_leaf_stats(lk, spark):
+    """Files under SLIM_FILE_MAX_BYTES are re-serialized via pyarrow;
+    write_statistics is keyed by dotted LEAF path ('s.a'), so a
+    top-level-names include list silently dropped every nested-leaf
+    stat from slimmed files (round-9 advisor finding)."""
+    lk.create_table("t", [("i", "int64"), ("s", "struct<a:int64,b:varchar>")])
+    lk.insert("t", spark.createDataFrame(
+        [(1, (10, "x")), (2, (20, "y"))],
+        "i long, s struct<a: long, b: string>").coalesce(1))
+    stats = {r[0]: (r[1], r[2]) for r in lk.meta.con.execute(
+        "SELECT column_id, min_value, max_value "
+        "FROM ducklake_file_column_stats").fetchall()}
+    cols = {r[1]: r[0] for r in lk.meta.con.execute(
+        "SELECT column_id, column_name FROM ducklake_column "
+        "WHERE end_snapshot IS NULL").fetchall()}
+    assert stats[cols["a"]] == ("10", "20")
+    assert stats[cols["b"]] == ("x", "y")

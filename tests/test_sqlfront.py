@@ -234,3 +234,25 @@ def test_tvf_call_after_identifier_prefix(sess):
         "SELECT (SELECT COUNT(*) FROM dl.ducklake_snapshots_v2) AS a, "
         "(SELECT COUNT(*) FROM ducklake_snapshots('dl')) AS b"))
     assert len(out) == 1 and out[0][0] == 1 and out[0][1] >= 1
+
+
+def test_attach_or_replace_unaliased_uses_path_alias(spark, tmp_path):
+    """ATTACH OR REPLACE without AS must replace the existing
+    attachment keyed by its path-derived alias (never the literal '')
+    — round-9 advisor finding."""
+    from ducklake_spark.sqlfront import SQLSession
+
+    s = SQLSession(spark)
+    s.execute(f"ATTACH 'ducklake:{tmp_path}/meta.db' "
+              f"(DATA_PATH '{tmp_path}/files')")
+    assert "meta" in s.lakes
+    s.execute("USE meta")
+    s.execute("CREATE TABLE meta.t(i INTEGER)")
+    # re-attach over the same alias: must not raise "already attached"
+    s.execute(f"ATTACH OR REPLACE 'ducklake:{tmp_path}/meta.db' "
+              f"(DATA_PATH '{tmp_path}/files')")
+    assert list(s.lakes) == ["meta"]
+    assert [tuple(r) for r in
+            s.query("SELECT COUNT(*) AS n FROM meta.t").collect()] == [(0,)]
+    for name in list(s.lakes):
+        s.lakes.pop(name).meta.close()
