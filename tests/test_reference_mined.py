@@ -1306,7 +1306,8 @@ def test_view_column_comments(lake, spark):
         "WHERE end_snapshot IS NULL").fetchone()
     assert live == 1
     assert lake.get_view_column_comment("v", "col_a") == "upper-case update"
-    with pytest.raises(DuckLakeError, match="no column"):
+    with pytest.raises(DuckLakeError,
+                       match='does not have a column with name'):
         lake.set_view_column_comment("v", "nope", "x")
     # rename preserves (same view_id)
     lake.rename_view("v", "v2")
