@@ -487,6 +487,43 @@ def add_data_files(lake: DuckLake, table: str, pattern, *,
                      None if v in ("__HIVE_DEFAULT_PARTITION__", "NULL")
                      else v))
         stats = _harvest_stats(pf, colmap)
+        # FLBA(16)-UUID footer stats decode as mojibake text through the
+        # generic bytes path — rewrite them from the raw footer bytes
+        # into canonical uuid text (FLBA byte order == hex-text order,
+        # so zone-map compares stay consistent with query literals)
+        uuid_cols = {cn for cn, tup in table_cols.items()
+                     if str(tup[2] or "").lower() == "uuid"}
+        if uuid_cols:
+            import uuid as _uuidlib
+
+            rawmm: dict[str, tuple[bytes, bytes]] = {}
+            md_ = pf.metadata
+            for rg_ in range(md_.num_row_groups):
+                g_ = md_.row_group(rg_)
+                for ci_ in range(g_.num_columns):
+                    col_ = g_.column(ci_)
+                    nm_ = col_.path_in_schema.split(".")[0]
+                    if nm_ not in uuid_cols:
+                        continue
+                    s_ = col_.statistics
+                    if s_ is None or not s_.has_min_max:
+                        continue
+                    mn_, mx_ = s_.min, s_.max
+                    if not (isinstance(mn_, bytes) and len(mn_) == 16
+                            and isinstance(mx_, bytes) and len(mx_) == 16):
+                        continue
+                    cur_ = rawmm.get(nm_)
+                    rawmm[nm_] = ((mn_, mx_) if cur_ is None
+                                  else (min(cur_[0], mn_),
+                                        max(cur_[1], mx_)))
+            if rawmm:
+                cid2name = {colmap[n]: n for n in rawmm if n in colmap}
+                for cs in stats:
+                    nm_ = cid2name.get(cs.column_id)
+                    if nm_ is not None:
+                        mn_, mx_ = rawmm[nm_]
+                        cs.min_value = str(_uuidlib.UUID(bytes=mn_))
+                        cs.max_value = str(_uuidlib.UUID(bytes=mx_))
         # hive-derived columns are constant across the file: synthesize
         # the stats row min=max=value so zone-map pruning covers adopted
         # hive files (reference add_file_partitioned.test: the added

@@ -223,17 +223,20 @@ def _scan(buf: bytes, off: int, st: GeoStats) -> tuple:
 # Shredded VARIANT stats
 # --------------------------------------------------------------------------
 
-# scalar JSON value -> DuckLake shredded type; int widens to double when a
-# field mixes the two, any other mix un-shreds the field (the reference
-# drops fields whose shredded types differ, ducklake_variant_stats.cpp:39-43)
-_NUM_TYPES = {"bigint", "double"}
+# scalar JSON value -> DuckLake shredded type; numerics widen WITHIN a
+# file (int32 -> int64 -> double), but across files any type mismatch
+# un-shreds the field (the reference drops fields whose shredded types
+# differ, ducklake_variant_stats.cpp:39-43). int32 for INTEGER-ranged
+# values matches duckdb's 42::VARIANT (variant_mixed_type_stats.test
+# pins 'root int32 42 42' in ducklake_file_variant_stats).
+_NUM_TYPES = {"int32", "int64", "double"}
 
 
 def _classify(v) -> str | None:
     if isinstance(v, bool):
         return "boolean"
     if isinstance(v, int):
-        return "bigint"
+        return "int32" if -2**31 <= v < 2**31 else "int64"
     if isinstance(v, float):
         return "double"
     if isinstance(v, str):
@@ -272,7 +275,9 @@ class VariantFieldAcc:
         if self.shredded_type is None or self.shredded_type == t:
             self.shredded_type = t
         elif t in _NUM_TYPES and self.shredded_type in _NUM_TYPES:
-            self.shredded_type = "double"
+            # within-file numeric widening: int32 -> int64 -> double
+            self.shredded_type = ("double" if "double" in
+                                  (t, self.shredded_type) else "int64")
         else:
             self.dropped = True
 
@@ -554,7 +559,7 @@ def merge_extra_stats_json(old: str | None, new: str | None) -> str | None:
         if an[1] != bn[1]:
             continue
         typ = an[1]
-        numeric = typ in ("bigint", "double")
+        numeric = typ in ("int32", "int64", "bigint", "double")
 
         def _key(x):
             return float(x) if numeric else x

@@ -1681,7 +1681,13 @@ class DuckLake:
     def set_default(self, name: str, col_name: str, default: str | None) -> None:
         """SET/DROP DEFAULT (ducklake_table_entry.cpp:831): applies to
         future inserts; stored as SQL text."""
+        h = self._handle(name)
         self._alter_column(name, col_name, lambda v: {**v, "default_value": default})
+        if self._txn is not None:
+            self._txn.pending_defaults.setdefault(h.table_id, {})[
+                col_name] = (None if default is None else
+                             (_default_storage_text(default),
+                              _default_kind(default)))
 
     # -- nested struct field evolution (ducklake_table_entry.cpp:1069-1306) --
 
@@ -2597,6 +2603,13 @@ class DuckLake:
                         self._txn.pending_columns.get(h.table_id, [])):
                     if dflt is not None:
                         defaults.setdefault(cname, dflt)
+                # txn-local SET/DROP DEFAULT overrides the committed one
+                for cname, pv in self._txn.pending_defaults.get(
+                        h.table_id, {}).items():
+                    if pv is None:
+                        defaults.pop(cname, None)
+                    else:
+                        defaults[cname] = _default_expr_text(*pv)
                 if h.table_id < 0:
                     # table created in THIS transaction: its DEFAULTs
                     # live on the buffered TableDef, not the catalog
@@ -3451,7 +3464,7 @@ class DuckLake:
                 # stats compare only within the literal's type class —
                 # stored text ordering differs per shredded type
                 if vclass == "numeric":
-                    if styp not in ("bigint", "double"):
+                    if styp not in ("int32", "int64", "bigint", "double"):
                         continue
                     try:
                         lo, hi = float(mn), float(mx)
@@ -4679,6 +4692,7 @@ class DuckLake:
                     (f["mapping_id"],
                      absent_f.get(f["data_file_id"], frozenset())), []
                 ).append(f)
+            dl_types = {c[1]: str(c[2] or "").lower() for c in h.columns}
             for (mid_, absent), members in fgroups.items():
                 tgt_src = name_map.get(mid_, {})
                 # read schema uses the SOURCE names for mapped columns
@@ -4691,6 +4705,27 @@ class DuckLake:
                     if src is None:
                         out_cols.append(
                             F.lit(None).cast(f_.dataType).alias(f_.name))
+                    elif dl_types.get(f_.name) == "uuid":
+                        # adopted UUID columns may be duckdb's
+                        # FIXED_LEN_BYTE_ARRAY(16) with a UUID logical
+                        # annotation — Spark's schema converter rejects
+                        # that outright (PARQUET_TYPE_ILLEGAL) but reads
+                        # it fine as BINARY; 16-byte payloads format to
+                        # canonical uuid text, longer ones are already
+                        # text (add_files_type_check_uuid.test)
+                        read_fields.append(
+                            T.StructField(src, T.BinaryType(), True))
+                        b = F.col(src)
+                        hx = F.lower(F.hex(b))
+                        canon = F.concat_ws(
+                            "-", F.substring(hx, 1, 8),
+                            F.substring(hx, 9, 4), F.substring(hx, 13, 4),
+                            F.substring(hx, 17, 4), F.substring(hx, 21, 12))
+                        out_cols.append(
+                            F.when(b.isNull(), F.lit(None).cast("string"))
+                            .when(F.length(b) == 16, canon)
+                            .otherwise(b.cast("string"))
+                            .alias(f_.name))
                     else:
                         read_fields.append(
                             T.StructField(src, f_.dataType, True))

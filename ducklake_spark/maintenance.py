@@ -103,20 +103,20 @@ def merge_adjacent_files(lake: DuckLake, *, target_file_size: int | None = None,
             tables = [t for t in tables
                       if (t.split(".")[0] if "." in t else "main")
                       == schema]
-        else:
-            # bare call: only tables with auto_compact enabled
-            # (table > schema > global scope, default true —
-            # merge_adjacent_global_option.test)
-            kept = []
-            for t in tables:
-                ht = lake._handle(t)
-                v = (lake.meta.option(
-                    "auto_compact", "true", scope="table",
-                    scope_id=ht.table_id, schema_id=ht.schema_id)
-                    or "true").lower()
-                if v in ("true", "1"):
-                    kept.append(t)
-            tables = kept
+    # auto_compact gates EVERY path, named table included (reference
+    # ducklake_compaction_functions.cpp:842-845,879-884; table >
+    # schema > global scope, default true —
+    # merge_adjacent_global_option.test)
+    kept = []
+    for t in tables:
+        ht = lake._handle(t)
+        v = (lake.meta.option(
+            "auto_compact", "true", scope="table",
+            scope_id=ht.table_id, schema_id=ht.schema_id)
+            or "true").lower()
+        if v in ("true", "1"):
+            kept.append(t)
+    tables = kept
     # ONE snapshot for the whole call (the reference's compaction plan
     # executes under a single transaction) — a 1000-pack compaction must
     # not write 1000 snapshots; joins an already-open user transaction
@@ -1227,6 +1227,18 @@ def flush_inlined_data(lake: DuckLake, *, table: str | None = None,
                 raise DuckLakeError(f"schema {schema!r} not found")
             tables = [t for t in tables
                       if t.split(".", 1)[0] == schema]
+    # auto_compact gates EVERY path, named table included (reference
+    # ducklake_flush_inlined_data.cpp:659-662; table > schema > global
+    # scope, default true — inlining_global_options.test)
+    kept = []
+    for t in tables:
+        ht = lake._handle(t)
+        v = (lake.meta.option(
+            "auto_compact", "true", scope="table",
+            scope_id=ht.table_id, schema_id=ht.schema_id) or "true")
+        if str(v).lower() in ("true", "1"):
+            kept.append(t)
+    tables = kept
     per_table: list[tuple[str, int]] = []
     flushed_tids: set[int] = set()
     with lake.transaction():
@@ -1385,7 +1397,10 @@ def _flush_inlined_data_in_txn(lake, tables, per_table=None) -> int:
             n_flushed += len(rows)
         n_flushed += _flush_inlined_deletes(lake, h)
         if per_table is not None and n_flushed > before:
-            per_table.append((tname.split(".")[-1], n_flushed - before))
+            # keep the schema qualifier: the TVF result carries
+            # (schema_name, table_name) and 's1.example_2' must not
+            # report as main (inlining_global_options.test:97)
+            per_table.append((tname, n_flushed - before))
     return n_flushed
 
 

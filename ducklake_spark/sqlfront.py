@@ -2188,6 +2188,12 @@ class SQLSession:
                 "WHERE table_id=? AND end_snapshot IS NULL "
                 "AND parent_column IS NULL",
                 (lake._handle(api).table_id,)))
+            if lake._txn is not None:
+                # txn-local SET/DROP DEFAULT applies to this txn's own
+                # INSERTs (add_column_with_default.test)
+                for cname, pv in lake._txn.pending_defaults.get(
+                        lake._handle(api).table_id, {}).items():
+                    defs[cname] = None if pv is None else pv[0]
             exprs = []
             for _cid, cname, ctype, _nn in lake._handle(api).columns:
                 dv = defs.get(cname)
@@ -3454,6 +3460,46 @@ class SQLSession:
             sql = re.sub(rf"(\bAS\s+){duck}\b(?=\s*[)\[])",
                          lambda m, t=spark_t: m.group(1) + t, sql,
                          flags=re.I)
+        # nested-literal ::VARIANT casts: Spark rejects
+        # CAST(struct/array/map AS VARIANT) — route those through
+        # to_variant_object(), which accepts nested inputs
+        # (variant_mixed_type_stats.test: {'a': 1}::VARIANT). Scalar
+        # ::VARIANT casts Spark handles natively.
+        _vcast = re.compile(r"::\s*VARIANT\b", re.I)
+        _VFNS = ("named_struct", "struct", "array", "map",
+                 "map_from_arrays", "map_from_entries")
+        for m in reversed(list(_vcast.finditer(sql))):
+            j = m.start() - 1
+            while j >= 0 and sql[j].isspace():
+                j -= 1
+            if j < 0 or sql[j] != ")":
+                continue
+            depth, k = 0, j
+            q = None
+            while k >= 0:
+                ch = sql[k]
+                if q:
+                    if ch == q:
+                        q = None
+                elif ch in "'\"":
+                    q = ch
+                elif ch == ")":
+                    depth += 1
+                elif ch == "(":
+                    depth -= 1
+                    if depth == 0:
+                        break
+                k -= 1
+            s = k - 1
+            while s >= 0 and (sql[s].isalnum() or sql[s] == "_"):
+                s -= 1
+            fname = sql[s + 1:k].lower()
+            if fname not in _VFNS:
+                continue
+            x = sql[s + 1:j + 1]
+            sql = (sql[:s + 1] + f"to_variant_object({x})"
+                   + sql[m.end():])
+
         # duckdb array-type suffix: INT[] -> ARRAY<INT> (iterate for
         # nested INT[][]); [N] fixed-size arrays map to plain arrays
         _ARRT = (r"(::\s*|\bAS\s+)((?:ARRAY\s*<\s*)*[A-Za-z_]\w*"
@@ -3723,6 +3769,42 @@ class SQLSession:
                 crow = next((c for c in h0.columns if c[1] == col), None)
                 if crow is None:
                     return m.group(0)
+                if str(crow[2] or "").lower() in ("variant", "json"):
+                    # duckdb's variant stats display: shredded type +
+                    # state (SHREDDED / INCONSISTENT —
+                    # variant_mixed_type_stats.test). extra_stats NULL
+                    # with data files present means the shredded types
+                    # were dropped as incompatible.
+                    vrow = lake0.meta.query(
+                        "SELECT extra_stats FROM "
+                        "ducklake_table_column_stats WHERE table_id=? "
+                        "AND column_id=?", (h0.table_id, crow[0]))
+                    import json as _json
+
+                    es = vrow[0][0] if vrow else None
+                    if es:
+                        from ducklake_spark.catalog.types import (
+                            ducklake_type_display,
+                        )
+
+                        try:
+                            ents = _json.loads(es)
+                        except Exception:
+                            ents = []
+                        root = next(
+                            (e for e in ents
+                             if e.get("field_name") == "root"), None)
+                        if root:
+                            t = ducklake_type_display(
+                                root.get("shredded_type", ""))
+                            body = (f"shredded type: {t}, "
+                                    "state: SHREDDED")
+                        else:
+                            body = "state: SHREDDED (fields)"
+                    else:
+                        body = "state: INCONSISTENT"
+                    return "'" + ("[Variant Stats - " + body + "]"
+                                  ).replace("'", "''") + "'"
                 srow = lake0.meta.query(
                     "SELECT contains_null, min_value, max_value FROM "
                     "ducklake_table_column_stats WHERE table_id=? AND "

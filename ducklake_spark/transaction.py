@@ -264,6 +264,11 @@ class Transaction:
         # data_inlining_transaction_local_alter.test):
         # table_id -> [(reserved column_id, name, type, default)]
         self.pending_columns: dict[int, list[tuple]] = {}
+        # SET/DROP DEFAULT by THIS open transaction, visible to its own
+        # later INSERTs (add_column_with_default.test: in-txn ALTER SET
+        # DEFAULT then INSERT DEFAULT VALUES uses the NEW default):
+        # table_id -> {column_name: (storage_text, kind) | None=DROP}
+        self.pending_defaults: dict[int, dict] = {}
         # columns RENAMED by THIS open transaction, applied in order on
         # top of the committed schema + pending_columns so later
         # statements in the txn (e.g. ADD -> RENAME -> DROP chains,
@@ -1778,6 +1783,20 @@ class Transaction:
             )
         return cache[key]
 
+    def _column_is_variant(self, con, tid: int, column_id: int) -> bool:
+        cache = getattr(self, "_col_variant_cache", None)
+        if cache is None:
+            cache = self._col_variant_cache = {}
+        key = (tid, column_id)
+        if key not in cache:
+            row = con.execute(
+                "SELECT column_type FROM ducklake_column "
+                "WHERE table_id=? AND column_id=? AND end_snapshot IS NULL",
+                (tid, column_id),
+            ).fetchone()
+            cache[key] = (row[0] if row else "").strip().lower() == "variant"
+        return cache[key]
+
     def _insert_variant_stats(self, con, fid: int, tid: int, rows) -> None:
         if not rows:
             return
@@ -1949,6 +1968,27 @@ class Transaction:
             from ducklake_spark.extra_stats import merge_extra_stats_json
 
             extra = merge_extra_stats_json(acc.extra_stats, cs.extra_stats)
+        if self._column_is_variant(con, tid, cs.column_id):
+            # VARIANT global stats: min/max always NULL (the shredded
+            # stats in extra_stats are the real payload — reference
+            # per-file variant column stats carry no min/max), and an
+            # emptied shredded set is STICKY: empty ∩ anything = empty
+            # (DuckLakeColumnVariantStats::Merge "nothing to merge",
+            # ducklake_variant_stats.cpp:25-28;
+            # variant_mixed_type_stats.test int-varchar-int -> NULL)
+            return ColumnStatsRow(
+                column_id=cs.column_id,
+                column_size_bytes=(acc.column_size_bytes
+                                   + cs.column_size_bytes),
+                value_count=None
+                if acc.value_count is None or cs.value_count is None
+                else acc.value_count + cs.value_count,
+                null_count=nulls,
+                min_value=None, max_value=None,
+                contains_nan=acc.contains_nan or cs.contains_nan,
+                extra_stats=(None if acc.extra_stats is None
+                             or cs.extra_stats is None else extra),
+            )
         return ColumnStatsRow(
             column_id=cs.column_id,
             column_size_bytes=acc.column_size_bytes + cs.column_size_bytes,
@@ -2030,10 +2070,21 @@ class Transaction:
             "SELECT COUNT(*) FROM ducklake_data_file "
             "WHERE table_id=? AND end_snapshot IS NULL", (tid,),
         ).fetchone()[0]
-        for (cid,) in con.execute(
+        # recompute existing global rows AND seed columns whose global
+        # row never existed but whose per-file coverage is complete —
+        # inlined-insert seeding only covers top-level columns, so a
+        # struct leaf's global row first becomes derivable here
+        # (min_max_nested_leaf_rewrite_corruption.test: flush + rewrite
+        # must leave s.a with its full [1,100] range)
+        cids = [r[0] for r in con.execute(
             "SELECT column_id FROM ducklake_table_column_stats "
-            "WHERE table_id=?", (tid,),
-        ).fetchall():
+            "WHERE table_id=? UNION SELECT DISTINCT f.column_id "
+            "FROM ducklake_file_column_stats f "
+            "JOIN ducklake_data_file d ON d.data_file_id=f.data_file_id "
+            "AND d.end_snapshot IS NULL WHERE f.table_id=?",
+            (tid, tid),
+        ).fetchall()]
+        for cid in cids:
             frows = con.execute(
                 "SELECT f.value_count, f.null_count, f.min_value, "
                 "f.max_value, f.contains_nan, f.extra_stats "
@@ -2064,13 +2115,27 @@ class Transaction:
 
                     extra = (fextra if extra is None
                              else merge_extra_stats_json(extra, fextra))
-            con.execute(
-                "UPDATE ducklake_table_column_stats SET contains_null=?, "
-                "contains_nan=?, min_value=?, max_value=?, extra_stats=? "
-                "WHERE table_id=? AND column_id=?",
-                (has_null, has_nan, mn, mx,
-                 None if extra_missing else extra, tid, cid),
-            )
+            if self._column_is_variant(con, tid, cid):
+                mn = mx = None
+            exists = con.execute(
+                "SELECT 1 FROM ducklake_table_column_stats "
+                "WHERE table_id=? AND column_id=?", (tid, cid),
+            ).fetchone()
+            if exists:
+                con.execute(
+                    "UPDATE ducklake_table_column_stats SET contains_null=?, "
+                    "contains_nan=?, min_value=?, max_value=?, extra_stats=? "
+                    "WHERE table_id=? AND column_id=?",
+                    (has_null, has_nan, mn, mx,
+                     None if extra_missing else extra, tid, cid),
+                )
+            else:
+                con.execute(
+                    "INSERT INTO ducklake_table_column_stats VALUES "
+                    "(?, ?, ?, ?, ?, ?, ?)",
+                    (tid, cid, has_null, has_nan, mn, mx,
+                     None if extra_missing else extra),
+                )
         return True
 
     def _merge_global_column_stats(self, con, tid: int, cs: ColumnStatsRow,
@@ -2092,10 +2157,13 @@ class Transaction:
                 # seeding from this commit's files alone would lie —
                 # reference UpdateGlobalTableStatsSql UPDATEs only
                 return
+            smin, smax = cs.min_value, cs.max_value
+            if self._column_is_variant(con, tid, cs.column_id):
+                smin = smax = None
             con.execute(
                 "INSERT INTO ducklake_table_column_stats VALUES (?, ?, ?, ?, ?, ?, ?)",
-                (tid, cs.column_id, has_null, cs.contains_nan, cs.min_value,
-                 cs.max_value, cs.extra_stats),
+                (tid, cs.column_id, has_null, cs.contains_nan, smin,
+                 smax, cs.extra_stats),
             )
             return
         cn, cnan, mn, mx, extra = row
@@ -2107,6 +2175,12 @@ class Transaction:
             from ducklake_spark.extra_stats import merge_extra_stats_json
 
             new_extra = merge_extra_stats_json(extra, cs.extra_stats)
+        if self._column_is_variant(con, tid, cs.column_id):
+            # VARIANT global stats: min/max always NULL; an emptied
+            # shredded set is sticky (see _fold_column_stats)
+            new_min = new_max = None
+            if extra is None or cs.extra_stats is None:
+                new_extra = None
         con.execute(
             "UPDATE ducklake_table_column_stats SET contains_null=?, contains_nan=?, "
             "min_value=?, max_value=?, extra_stats=? WHERE table_id=? AND column_id=?",

@@ -154,7 +154,7 @@ def test_variant_stats_shred_and_nulls():
     vs.add_json(None)
     vs.add_json("not json")
     rows = {r[0]: r for r in vs.rows()}
-    assert rows["a"] == ("a", "bigint", 2, 1, "1", "9")
+    assert rows["a"] == ("a", "int32", 2, 1, "1", "9")
     assert rows["b"] == ("b", "varchar", 2, 1, "m", "x")
     assert rows["flag"] == ("flag", "boolean", 1, 2, "true", "true")
 
@@ -205,8 +205,8 @@ def test_table_level_merge_semantics():
     # it would report bounds that exclude the stats-less file's data
     assert merge_extra_stats_json(geo_a, None) is None
 
-    var_a = '[{"field_name": "a", "shredded_type": "bigint", "num_values": 2, "null_count": 0, "min": "1", "max": "9"}, {"field_name": "b", "shredded_type": "varchar", "num_values": 1, "null_count": 1, "min": "x", "max": "x"}]'
-    var_b = '[{"field_name": "a", "shredded_type": "bigint", "num_values": 1, "null_count": 2, "min": "-4", "max": "0"}, {"field_name": "b", "shredded_type": "bigint", "num_values": 1, "null_count": 0, "min": "1", "max": "1"}]'
+    var_a = '[{"field_name": "a", "shredded_type": "int32", "num_values": 2, "null_count": 0, "min": "1", "max": "9"}, {"field_name": "b", "shredded_type": "varchar", "num_values": 1, "null_count": 1, "min": "x", "max": "x"}]'
+    var_b = '[{"field_name": "a", "shredded_type": "int32", "num_values": 1, "null_count": 2, "min": "-4", "max": "0"}, {"field_name": "b", "shredded_type": "int32", "num_values": 1, "null_count": 0, "min": "1", "max": "1"}]'
     out = json.loads(merge_extra_stats_json(var_a, var_b))
     # "b" dropped (type mismatch, reference ducklake_variant_stats.cpp:39-43),
     # "a" merged with numeric min/max
@@ -299,8 +299,8 @@ def test_variant_lake_stats_and_pruning(lake, spark):
     widths = [r for r in vs if r.variant_path == "width"]
     assert len(widths) == 2
     assert {(r.shredded_type, r.min_value, r.max_value) for r in widths} == {
-        ("bigint", "10", "20"),
-        ("bigint", "500", "900"),
+        ("int32", "10", "20"),
+        ("int32", "500", "900"),
     }
     tags = [r for r in vs if r.variant_path == "tag"]
     assert {(r.value_count, r.null_count) for r in tags} == {(1, 1)}
@@ -349,7 +349,7 @@ def test_add_data_files_harvests_extra_stats(lake, spark, tmp_path):
     assert lake.add_data_files("adopted_v", str(ext / "*.parquet")) == 1
     vs = lake.variant_stats("adopted_v").collect()
     assert [(r.variant_path, r.shredded_type, r.min_value, r.max_value) for r in vs] == [
-        ("n", "bigint", "5", "50")
+        ("n", "int32", "5", "50")
     ]
 
 

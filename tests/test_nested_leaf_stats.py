@@ -139,3 +139,40 @@ def test_slimmed_small_file_keeps_struct_leaf_stats(lk, spark):
         "WHERE end_snapshot IS NULL").fetchall()}
     assert stats[cols["a"]] == ("10", "20")
     assert stats[cols["b"]] == ("x", "y")
+
+
+def test_flush_then_rewrite_seeds_nested_leaf_global_stats(lk, spark):
+    """Inlined-insert seeding covers only top-level columns; after a
+    flush + rewrite_data_files the recompute must SEED the struct
+    leaf's global stats row from complete per-file coverage — not just
+    update existing rows (reference
+    min_max_nested_leaf_rewrite_corruption.test: s.a keeps [1,100])."""
+    import conftest
+    from ducklake_spark.dml import delete
+    from ducklake_spark.lake import DuckLake
+    from ducklake_spark.maintenance import (
+        flush_inlined_data,
+        rewrite_data_files,
+    )
+
+    lk2 = lk  # reuse fixture attach but with inlining via option
+    lk2.meta.set_option("data_inlining_row_limit", "100")
+    lk2.create_table("fl", [("i", "int32"), ("s", "struct<a:int32>")])
+    lk2.insert("fl", spark.range(1, 51).selectExpr(
+        "cast(id as int) i", "named_struct('a', cast(id as int)) s"))
+    flush_inlined_data(lk2)
+    lk2.insert("fl", spark.range(51, 101).selectExpr(
+        "cast(id as int) i", "named_struct('a', cast(id as int)) s"))
+    flush_inlined_data(lk2)
+    delete(lk2, "fl", "i = 75")
+    rewrite_data_files(lk2, delete_threshold=0)
+    assert lk2.table("fl", where="s.a < 51").count() == 50
+    assert lk2.table("fl", where="s.a = 10").count() == 1
+    cols = {r[1]: r[0] for r in lk2.meta.con.execute(
+        "SELECT column_id, column_name FROM ducklake_column "
+        "WHERE end_snapshot IS NULL").fetchall()}
+    stats = {r[0]: (r[1], r[2]) for r in lk2.meta.con.execute(
+        "SELECT column_id, min_value, max_value "
+        "FROM ducklake_table_column_stats").fetchall()}
+    assert stats[cols["i"]] == ("1", "100")
+    assert stats[cols["a"]] == ("1", "100")

@@ -84,6 +84,21 @@ DOCUMENTED_DIVERGENCES: dict[str, str] = {
         "micros int, not duckdb's clock text. All the adoption "
         "accept/reject checks in this file pass; only the one raw TIME "
         "display row diverges. Stats/catalog text renders clock form."),
+    "test/sql/stats/min_max_nested_leaf_rewrite_corruption.test": (
+        "the functional guard passes (s.a keeps [1,100] after flush + "
+        "rewrite; files never wrongly pruned) — the residual diff is "
+        "the pinned per-node column-id listing: the reference ids "
+        "EVERY schema node incl. list elements / map key+value (ids "
+        "5,7,8), this engine's catalog ids struct leaves only. Same "
+        "class as schema_evolution/field_ids.test."),
+    "test/sql/stats/variant_mixed_type_stats.test": (
+        "the stats semantics pass (per-file shredded rows int32/"
+        "varchar, global min/max+extra_stats dropped on inconsistent "
+        "roots, sticky invalidation, stats(v) SHREDDED/INCONSISTENT "
+        "display) — the residual diff is duckdb's VARIANT value "
+        "RENDERING: this engine stores VARIANT as JSON text, so "
+        "SELECT v shows '{\"a\": 1}' where duckdb shows {'a': 1}, and "
+        "ORDER BY v::VARCHAR sorts the JSON text form."),
     "test/sql/data_inlining/data_inlining_types.test": (
         "same TIME/TIMETZ raw-display class as "
         "add_files_type_check_timestamp.test, plus INTERVAL display "
