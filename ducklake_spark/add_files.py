@@ -379,6 +379,22 @@ def add_data_files(lake: DuckLake, table: str, pattern, *,
         except Exception:
             enum_leaves = {"enum": frozenset(), "json": frozenset()}
         legacy_cols = _legacy_list_columns(pf)
+        # GeoParquet v1 stores geometry as BLOB + a "geo" footer key;
+        # the reference accepts only native Parquet(V3) GEOMETRY
+        # (ducklake_add_data_files.cpp:828-835). Our own writer emits
+        # un-annotated WKB binary, so plain binary stays adoptable —
+        # only the GeoParquet v1 metadata marker rejects.
+        geo_cols = [cn for cn, tup in table_cols.items()
+                    if str(tup[2] or "").lower() == "geometry"]
+        if geo_cols:
+            fmeta = pf.metadata.metadata or {}
+            if b"geo" in fmeta or "geo" in fmeta:
+                raise DuckLakeError(
+                    f'Failed to map column "{geo_cols[0]}" from file '
+                    f'"{path}": Expected type "GEOMETRY" but found type '
+                    '"BLOB". Is this a GeoParquet v1.*.* file? DuckLake '
+                    "only supports GEOMETRY types stored in native "
+                    "Parquet(V3) format, not GeoParquet(v1.*.*)")
         for cname, (cid, _n, ctype, _na) in table_cols.items():
             if cname in hive_vals:
                 # hive partition value takes PRECEDENCE over a parquet

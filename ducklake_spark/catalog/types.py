@@ -134,7 +134,10 @@ def ducklake_to_catalog_sql(name: str) -> str:
         return "DOUBLE"
     if base == "boolean":
         return "BOOLEAN"
-    if base == "blob":
+    if base in ("blob", "geometry"):
+        # geometry is WKB bytes — a VARCHAR column on a DuckDB catalog
+        # would cast them through duckdb's blob-text escaping and read
+        # back as mangled text (geo/ducklake_geometry_inlining.test)
         return "BLOB"
     return "VARCHAR"
 

@@ -28,6 +28,7 @@ from __future__ import annotations
 
 import json
 import math
+import re
 import struct
 from dataclasses import dataclass, field
 
@@ -97,24 +98,20 @@ class GeoStats:
         self.types |= other.types
 
     def to_json(self) -> str:
+        # reference-exact text (ducklake_geo_stats.cpp serializes with
+        # printf %f — ducklake_geometry.test pins "xmin": 1.000000)
         def lo(v):
-            return None if v == math.inf else v
+            return "null" if v == math.inf else f"{v:.6f}"
 
         def hi(v):
-            return None if v == -math.inf else v
+            return "null" if v == -math.inf else f"{v:.6f}"
 
-        return json.dumps(
-            {
-                "bbox": {
-                    "xmin": lo(self.xmin), "xmax": hi(self.xmax),
-                    "ymin": lo(self.ymin), "ymax": hi(self.ymax),
-                    "zmin": lo(self.zmin), "zmax": hi(self.zmax),
-                    "mmin": lo(self.mmin), "mmax": hi(self.mmax),
-                },
-                "types": sorted(self.types),
-            },
-            separators=(", ", ": "),
-        )
+        bbox = (f'"xmin": {lo(self.xmin)}, "xmax": {hi(self.xmax)}, '
+                f'"ymin": {lo(self.ymin)}, "ymax": {hi(self.ymax)}, '
+                f'"zmin": {lo(self.zmin)}, "zmax": {hi(self.zmax)}, '
+                f'"mmin": {lo(self.mmin)}, "mmax": {hi(self.mmax)}')
+        types = ", ".join(json.dumps(t) for t in sorted(self.types))
+        return '{"bbox": {' + bbox + '}, "types": [' + types + "]}"
 
     @classmethod
     def from_json(cls, s: str) -> "GeoStats":
@@ -637,15 +634,35 @@ def harvest_extra_stats(spark, paths, geo_cols, var_cols):
                     # always emitted for geometry columns (a file of
                     # NULLs still records an empty bbox + type set);
                     # malformed WKB values are skipped — extended stats
-                    # are a pruning aid and must never fail the write
+                    # are a pruning aid and must never fail the write.
+                    # Values may be NESTED (list/struct/map of
+                    # geometry): walk containers and fold every WKB
+                    # payload into the one column-level bbox, like the
+                    # reference (geo/ducklake_geometry_nested_*.test)
                     gs = GeoStats()
-                    for v in grp[c]:
+
+                    def _fold(v):
                         if v is None:
-                            continue
-                        try:
-                            gs.update_wkb(bytes(v))
-                        except (ValueError, IndexError, struct.error):
-                            pass
+                            return
+                        if isinstance(v, (bytes, bytearray)):
+                            try:
+                                gs.update_wkb(bytes(v))
+                            except (ValueError, IndexError,
+                                    struct.error):
+                                pass
+                            return
+                        if isinstance(v, dict):
+                            for k2, v2 in v.items():
+                                _fold(k2)
+                                _fold(v2)
+                            return
+                        if hasattr(v, "__iter__") and not isinstance(
+                                v, str):
+                            for x in v:
+                                _fold(x)
+
+                    for v in grp[c]:
+                        _fold(v)
                     out.append((fp, c, "geo", gs.to_json()))
                 for c in var_cols:
                     vs = VariantStats()
@@ -677,3 +694,266 @@ def harvest_extra_stats(spark, paths, geo_cols, var_cols):
             else:
                 per_col[row["column"]] = vs
     return result
+
+
+# ------------------------------------------------------------- WKT <-> WKB
+# The engine stores GEOMETRY as ISO WKB (little-endian); duckdb's SQL
+# surface speaks WKT ('POINT (1 2)'::GEOMETRY, and GEOMETRY values
+# display as WKT). These converters back the dialect translation and
+# the sqllogictest renderer (test/sql/geo/*).
+
+_WKT_CODES = {v.upper(): k for k, v in _BASE_NAMES.items() if k}
+
+
+def _wkt_tokens(s: str) -> list:
+    return re.findall(r"[A-Za-z]+|\(|\)|,|-?\d+(?:\.\d+)?(?:[eE][+-]?\d+)?",
+                      s)
+
+
+def wkt_to_wkb(wkt: str) -> bytes:
+    """Parse a WKT literal into ISO little-endian WKB. Supports all 7
+    geometry types with Z/M/ZM dimensions and EMPTY."""
+    toks = _wkt_tokens(wkt)
+    pos = 0
+
+    def peek():
+        return toks[pos] if pos < len(toks) else None
+
+    def take():
+        nonlocal pos
+        t = peek()
+        pos += 1
+        return t
+
+    def expect(t):
+        got = take()
+        if got != t:
+            raise ValueError(f"WKT: expected {t!r}, got {got!r}")
+
+    def number():
+        return float(take())
+
+    def coords(ndims):
+        return [number() for _ in range(ndims)]
+
+    def point_seq(ndims):
+        out = []
+        expect("(")
+        while True:
+            out.append(coords(ndims))
+            if peek() == ",":
+                take()
+                continue
+            break
+        expect(")")
+        return out
+
+    def geometry() -> bytes:
+        nonlocal pos
+        name = take()
+        if name is None:
+            raise ValueError("WKT: empty input")
+        base = _WKT_CODES.get(name.upper())
+        if base is None:
+            raise ValueError(f"WKT: unknown type {name!r}")
+        dim = ""
+        if peek() and peek().upper() in ("Z", "M", "ZM"):
+            dim = take().upper()
+        code = base + {"": 0, "Z": 1000, "M": 2000, "ZM": 3000}[dim]
+        ndims = 2 + len(dim)
+        hdr = struct.pack("<BI", 1, code)
+        if peek() and peek().upper() == "EMPTY":
+            take()
+            if base == 1:  # empty point: NaN coords
+                return hdr + struct.pack(f"<{ndims}d",
+                                         *([float("nan")] * ndims))
+            return hdr + struct.pack("<I", 0)
+        if base == 1:
+            expect("(")
+            c = coords(ndims)
+            expect(")")
+            return hdr + struct.pack(f"<{ndims}d", *c)
+        if base == 2:
+            pts = point_seq(ndims)
+            return hdr + struct.pack("<I", len(pts)) + b"".join(
+                struct.pack(f"<{ndims}d", *p) for p in pts)
+        if base == 3:
+            expect("(")
+            rings = []
+            while True:
+                rings.append(point_seq(ndims))
+                if peek() == ",":
+                    take()
+                    continue
+                break
+            expect(")")
+            return hdr + struct.pack("<I", len(rings)) + b"".join(
+                struct.pack("<I", len(r)) + b"".join(
+                    struct.pack(f"<{ndims}d", *p) for p in r)
+                for r in rings)
+        if base in (4, 5, 6):
+            # parts are written as full WKB children; WKT allows the
+            # bare form (MULTIPOINT (1 2, 3 4)) and the parenthesized
+            # form (MULTIPOINT ((1 2), (3 4)))
+            child_name = {4: "POINT", 5: "LINESTRING", 6: "POLYGON"}[base]
+            expect("(")
+            parts = []
+            while True:
+                sub = (f"{child_name} {dim} " if dim else f"{child_name} ")
+                if peek() == "(" or (base == 4 and peek() not in (")",)):
+                    # reconstruct the child's token stream
+                    depth = 0
+                    start = pos
+                    if peek() != "(":  # bare multipoint coords
+                        c = coords(ndims)
+                        parts.append(wkt_to_wkb(
+                            sub + "(" + " ".join(map(repr, c)) + ")"))
+                    else:
+                        while pos < len(toks):
+                            t = toks[pos]
+                            if t == "(":
+                                depth += 1
+                            elif t == ")":
+                                depth -= 1
+                            pos += 1
+                            if depth == 0:
+                                break
+                        inner = " ".join(
+                            t if t not in (",",) else ", "
+                            for t in toks[start:pos])
+                        parts.append(wkt_to_wkb(sub + inner))
+                if peek() == ",":
+                    take()
+                    continue
+                break
+            expect(")")
+            return hdr + struct.pack("<I", len(parts)) + b"".join(parts)
+        # geometrycollection
+        expect("(")
+        parts = []
+        while True:
+            parts.append(geometry())
+            if peek() == ",":
+                take()
+                continue
+            break
+        expect(")")
+        return hdr + struct.pack("<I", len(parts)) + b"".join(parts)
+
+    out = geometry()
+    if pos != len(toks):
+        raise ValueError("WKT: trailing tokens")
+    return out
+
+
+def _wkt_num(v: float) -> str:
+    if v == v and v == int(v) and abs(v) < 1e15:
+        return str(int(v))
+    return repr(v)
+
+
+def wkb_to_wkt(buf: bytes) -> str:
+    """Render ISO/EWKB bytes as duckdb-style WKT text. Raises on
+    anything that is not a complete, valid WKB payload."""
+    if not isinstance(buf, (bytes, bytearray)) or len(buf) < 5:
+        raise ValueError("not wkb")
+
+    def parse(off: int) -> tuple:
+        if off + 5 > len(buf):
+            raise ValueError("truncated")
+        endian = buf[off]
+        if endian not in (0, 1):
+            raise ValueError("bad endian byte")
+        fmt = "<" if endian == 1 else ">"
+        (code,) = struct.unpack_from(fmt + "I", buf, off + 1)
+        off += 5
+        has_srid = bool(code & 0x20000000)
+        z = bool(code & _EWKB_Z)
+        m = bool(code & _EWKB_M)
+        code &= ~(0x20000000 | _EWKB_Z | _EWKB_M)
+        if has_srid:
+            off += 4
+        if code >= 3000:
+            base, z, m = code - 3000, True, True
+        elif code >= 2000:
+            base, m = code - 2000, True
+        elif code >= 1000:
+            base, z = code - 1000, True
+        else:
+            base = code
+        if base not in _BASE_NAMES or base == 0:
+            raise ValueError(f"bad geometry code {code}")
+        ndims = 2 + z + m
+        dim = (" Z" if z and not m else " M" if m and not z
+               else " ZM" if z and m else "")
+        name = _BASE_NAMES[base].upper()
+
+        def pt(off):
+            if off + 8 * ndims > len(buf):
+                raise ValueError("truncated point")
+            vals = struct.unpack_from(f"{fmt}{ndims}d", buf, off)
+            return " ".join(_wkt_num(v) for v in vals), off + 8 * ndims
+
+        def count(off):
+            if off + 4 > len(buf):
+                raise ValueError("truncated count")
+            (n,) = struct.unpack_from(fmt + "I", buf, off)
+            if n > 10_000_000:
+                raise ValueError("implausible count")
+            return n, off + 4
+
+        if base == 1:
+            txt, off = pt(off)
+            if "nan" in txt:
+                return f"{name}{dim} EMPTY", off
+            return f"{name}{dim} ({txt})", off
+        if base == 2:
+            n, off = count(off)
+            pts = []
+            for _ in range(n):
+                t, off = pt(off)
+                pts.append(t)
+            if not pts:
+                return f"{name}{dim} EMPTY", off
+            return f"{name}{dim} (" + ", ".join(pts) + ")", off
+        if base == 3:
+            n, off = count(off)
+            rings = []
+            for _ in range(n):
+                k, off = count(off)
+                pts = []
+                for _ in range(k):
+                    t, off = pt(off)
+                    pts.append(t)
+                rings.append("(" + ", ".join(pts) + ")")
+            if not rings:
+                return f"{name}{dim} EMPTY", off
+            return f"{name}{dim} (" + ", ".join(rings) + ")", off
+        # multi*/collection: children are full WKB geometries
+        n, off = count(off)
+        parts = []
+        for _ in range(n):
+            t, off = parse(off)
+            if base in (4, 5, 6):
+                # duckdb strips the child's type name inside multis
+                t = t.split("(", 1)[1].rsplit(")", 0)[0] if False else t
+            parts.append(t)
+        if not parts:
+            return f"{name}{dim} EMPTY", off
+        if base == 4:
+            # MULTIPOINT ((1 2), (3 4)) — duckdb keeps parens per point
+            inner = ", ".join(
+                "(" + p.split("(", 1)[1] if "(" in p else p
+                for p in parts)
+        elif base in (5, 6):
+            inner = ", ".join(
+                p.split(" (", 1)[1].join(["(", ""]) if False
+                else "(" + p.split("(", 1)[1] for p in parts)
+        else:
+            inner = ", ".join(parts)
+        return f"{name}{dim} (" + inner + ")", off
+
+    txt, end = parse(0)
+    if end != len(buf):
+        raise ValueError("trailing bytes")
+    return txt

@@ -2478,6 +2478,13 @@ class DuckLake:
         df = self._conform(df, schema, h)
 
         inline_limit = self._inline_limit(h.table_id, h.schema_id)
+        if any("geometry" in str(c[2] or "").lower() for c in h.columns):
+            # GEOMETRY columns are never inlined (reference
+            # DuckLakeMetadataManager::SupportsInlining,
+            # ducklake_metadata_manager.cpp:97-102 — geo stats need a
+            # real parquet file; ducklake_geometry.test expects a file
+            # stats row for a 1-row insert)
+            inline_limit = 0
         if (inline_limit > 0 and h.table_id >= 0 and not (
                 self._txn is not None
                 and self._txn.pending_columns.get(h.table_id))):
@@ -2986,6 +2993,13 @@ class DuckLake:
             try:
                 with self.lfs.open_input(path) as fh:
                     table = _pq.read_table(fh)
+                if _any_float_nan(table):
+                    # pyarrow's writer EXCLUDES NaN from footer min/max
+                    # while parquet-mr writes max=NaN — re-serializing
+                    # would erase the contains_nan signal the zone maps
+                    # need (filter_pushdown_float_nan.test: x <> 1.0
+                    # must keep the NaN row's file)
+                    continue
                 slim = path + ".__slim"
                 with self.lfs.open_output(slim) as out:
                     _pq.write_table(
@@ -3209,7 +3223,10 @@ class DuckLake:
         var: dict[str, int] = {}
         for cid, cname, ctype, _na in h.columns:
             base = ctype.split("(")[0].strip().lower()
-            if base == "geometry":
+            if "geometry" in ctype.lower():
+                # plain OR nested (list<geometry>, struct<a:geometry>,
+                # map<_,geometry>): one column-level bbox, like the
+                # reference (geo/ducklake_geometry_nested_*.test)
                 geo[cname] = cid
             elif base in ("variant", "json"):
                 var[cname] = cid
@@ -6223,11 +6240,55 @@ def _harvest_stats(pf, colmap: dict[str, int]) -> list[ColumnStatsRow]:
                         continue  # keep counts, no range
                 mn, mx = _stat_str(smin), _stat_str(smax)
                 if isinstance(smin, float) and (smin != smin or smax != smax):
+                    # parquet-mr's comparator sorts NaN greatest, so a
+                    # NaN-bearing file writes max=NaN (sometimes both) —
+                    # flag contains_nan and keep whichever bound is real
                     row.contains_nan = True
+                    if smin == smin:
+                        row.min_value = (mn if row.min_value is None
+                                         else _min2(row.min_value, mn, smin))
+                    if smax == smax:
+                        row.max_value = (mx if row.max_value is None
+                                         else _max2(row.max_value, mx, smax))
                 else:
                     row.min_value = mn if row.min_value is None else _min2(row.min_value, mn, smin)
                     row.max_value = mx if row.max_value is None else _max2(row.max_value, mx, smax)
     return list(agg.values())
+
+
+def _any_float_nan(table) -> bool:
+    """True when any float value anywhere in the (small) table is NaN —
+    nested containers included; tables here are <= 4KB so a python walk
+    is fine."""
+    import pyarrow as _pa
+
+    def _has_float(t) -> bool:
+        if _pa.types.is_floating(t):
+            return True
+        if _pa.types.is_struct(t):
+            return any(_has_float(t.field(i).type)
+                       for i in range(t.num_fields))
+        if (_pa.types.is_list(t) or _pa.types.is_large_list(t)
+                or _pa.types.is_fixed_size_list(t)):
+            return _has_float(t.value_type)
+        if _pa.types.is_map(t):
+            return _has_float(t.key_type) or _has_float(t.item_type)
+        return False
+
+    def _walk(v) -> bool:
+        if isinstance(v, float):
+            return v != v
+        if isinstance(v, dict):
+            return any(_walk(x) for x in v.values())
+        if isinstance(v, (list, tuple)):
+            return any(_walk(x) for x in v)
+        return False
+
+    for i, col in enumerate(table.columns):
+        if _has_float(table.schema.field(i).type):
+            if _walk(col.to_pylist()):
+                return True
+    return False
 
 
 def _parquet_leaf_paths(schema, exclude_prefix: str | None = None) -> list[str]:

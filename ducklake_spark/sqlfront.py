@@ -596,6 +596,27 @@ def translate_duck_literals(sql: str) -> str:
     return sql
 
 
+def translate_geometry_literals(sql: str) -> str:
+    """WKT literals: 'POINT (1 2)'::GEOMETRY compiles to the stored
+    ISO-WKB binary literal (GEOMETRY lives as WKB binary;
+    test/sql/geo/*). Unparseable WKT falls through to Spark's error.
+    Applied in _rewrite_query and to UPDATE/MERGE assignment
+    expressions (geo/ducklake_geometry_merge.test)."""
+    def _geom_lit(m: re.Match) -> str:
+        from ducklake_spark.extra_stats import wkt_to_wkb
+
+        try:
+            return "X'" + wkt_to_wkb(m.group(1)).hex() + "'"
+        except Exception:
+            return m.group(0)
+
+    sql = re.sub(r"'([^']+)'\s*::\s*GEOMETRY\b", _geom_lit, sql,
+                 flags=re.I)
+    sql = re.sub(r"(?:CAST\s*\()\s*'([^']+)'\s+AS\s+GEOMETRY\s*\)",
+                 _geom_lit, sql, flags=re.I)
+    return sql
+
+
 def translate_list_literals(sql: str) -> str:
     """DuckDB bare list literals -> Spark ``array(...)`` calls:
     ``[1, 2]`` -> ``array(1, 2)``, ``[]`` -> ``array()``. A ``[`` that
@@ -2202,7 +2223,34 @@ class SQLSession:
                      f"{ducklake_to_spark(ctype).simpleString()})"
                      if dv is not None else "NULL") + f" AS `{cname}`")
             body = "SELECT " + ", ".join(exprs)
-        df = self.query(_strip_parens(body))
+        try:
+            df = self.query(_strip_parens(body))
+        except Exception as e:
+            # duckdb coerces each VALUES literal to the TARGET column
+            # type; Spark's inline-table typing refuses mixed literals
+            # (VALUES ('NaN'), (1) into FLOAT — types/floats.test).
+            # Rebuild as SELECT ... UNION ALL with explicit casts.
+            if ("INLINE_TABLE" not in str(e)
+                    or not re.match(r"VALUES\s*\(", body, re.I)):
+                raise
+            from ducklake_spark.catalog.types import ducklake_to_spark
+
+            hh = lake._handle(api)
+            names = collist or [c[1] for c in hh.columns]
+            types = {c[1].lower(): ducklake_to_spark(c[2]).simpleString()
+                     for c in hh.columns}
+            tuples = _split_top(re.sub(r"^\s*VALUES\s*", "", body,
+                                       flags=re.I))
+            selects = []
+            for tup in tuples:
+                exprs = _split_top(tup.strip()[1:-1])
+                if len(exprs) != len(names) or any(
+                        nm.lower() not in types for nm in names):
+                    raise
+                selects.append("SELECT " + ", ".join(
+                    f"CAST(({ex.strip()}) AS {types[nm.lower()]}) AS `{nm}`"
+                    for ex, nm in zip(exprs, names)))
+            df = self.query(" UNION ALL ".join(selects))
         h = lake._handle(api)
         tcols = [c[1] for c in h.columns]
         if collist:
@@ -2459,7 +2507,8 @@ class SQLSession:
             ma = re.match(rf"({_IDENT})\s*=\s*(.+)$", part.strip(), re.S)
             if not ma:
                 raise SQLFrontUnsupported(f"UPDATE assignment {part!r}")
-            assignments[_unquote(ma.group(1))] = ma.group(2).strip()
+            assignments[_unquote(ma.group(1))] = translate_geometry_literals(
+                ma.group(2).strip())
         n = lake.update(api, assignments,
                         _dq_to_backticks(m.group(3).strip())
                         if m.group(3) else None)
@@ -2736,6 +2785,7 @@ class SQLSession:
             else "csv" if path.lower().endswith(".csv") else None
         partition_by = None
         row_group_size = row_groups_per_file = None
+        geoparquet_version = None
         if opttext:
             for part in _split_top(opttext):
                 mm = re.match(rf"({_IDENT})\s*(.*)$", part.strip(), re.S)
@@ -2750,9 +2800,26 @@ class SQLSession:
                     row_group_size = int(mm.group(2).strip())
                 elif key == "row_groups_per_file":
                     row_groups_per_file = int(mm.group(2).strip())
+                elif key == "geoparquet_version":
+                    geoparquet_version = mm.group(2).strip().strip("'")
                 # compression etc.: defaults are fine for fixtures
         if src.startswith("("):
             inner = _strip_parens(src)
+            if fmt == "parquet" and re.search(r"::\s*GEOMETRY\b", inner,
+                                              re.I):
+                # geometry COPY: duckdb writes GeoParquet v1 ("geo"
+                # footer key) by default, native V3 with
+                # GEOPARQUET_VERSION NONE — pip duckdb lacks the
+                # GEOMETRY type, so write the WKB ourselves and stamp
+                # the marker (geo/ducklake_geometry_add_files.test)
+                import pyarrow.parquet as _pqg
+
+                tblg = self.query(inner).toArrow()
+                if (geoparquet_version or "").upper() != "NONE":
+                    tblg = tblg.replace_schema_metadata(
+                        {"geo": '{"version": "1.1.0"}'})
+                _pqg.write_table(tblg, path)
+                return None
             if fmt == "parquet" and not partition_by and not re.search(
                     r"\bFROM\b(?!\s+range\s*\()", inner, re.I):
                 # pure-literal fixture: write through duckdb itself so
@@ -3312,6 +3379,11 @@ class SQLSession:
         if "{" in sql:
             sql = translate_duck_literals(sql)
         if "[" in sql:
+            # duckdb's optional ARRAY prefix is sugar for a bare list
+            # literal (ARRAY['a', 'b'] ≡ ['a', 'b'] —
+            # geo/ducklake_geometry_nested_list.test); strip it so the
+            # literal path below applies instead of subscript parsing
+            sql = re.sub(r"\bARRAY\s*\[", "[", sql, flags=re.I)
             sql = translate_list_literals(sql)
             sql = translate_subscripts(sql)
         # 0-macro. textual scalar/table macro expansion (the reference
@@ -3460,6 +3532,8 @@ class SQLSession:
             sql = re.sub(rf"(\bAS\s+){duck}\b(?=\s*[)\[])",
                          lambda m, t=spark_t: m.group(1) + t, sql,
                          flags=re.I)
+        sql = translate_geometry_literals(sql)
+
         # nested-literal ::VARIANT casts: Spark rejects
         # CAST(struct/array/map AS VARIANT) — route those through
         # to_variant_object(), which accepts nested inputs
@@ -3769,6 +3843,97 @@ class SQLSession:
                 crow = next((c for c in h0.columns if c[1] == col), None)
                 if crow is None:
                     return m.group(0)
+                if "geometry" in str(crow[2] or "").lower():
+                    # duckdb's GeometryStats display: alphabetical
+                    # extent keys from the column-level bbox + null
+                    # flags, nested shapes wrapped in child_stats
+                    # (geo/ducklake_geometry_stats.test,
+                    # _nested_list.test, _nested_struct.test)
+                    vrow = lake0.meta.query(
+                        "SELECT extra_stats, contains_null FROM "
+                        "ducklake_table_column_stats WHERE table_id=? "
+                        "AND column_id=?", (h0.table_id, crow[0]))
+                    if not vrow or not vrow[0][0]:
+                        return m.group(0)
+                    from ducklake_spark.extra_stats import GeoStats
+
+                    g0 = GeoStats.from_json(vrow[0][0])
+                    import math as _math
+
+                    def _geo_body(cn: bool) -> str:
+                        ext = {}
+                        if g0.mmin != _math.inf:
+                            ext["m_max"], ext["m_min"] = g0.mmax, g0.mmin
+                        ext["x_max"], ext["x_min"] = g0.xmax, g0.xmin
+                        ext["y_max"], ext["y_min"] = g0.ymax, g0.ymin
+                        if g0.zmin != _math.inf:
+                            ext["z_max"], ext["z_min"] = g0.zmax, g0.zmin
+                        extent = ", ".join(
+                            f"{k!r}: {float(v)}" for k, v in ext.items())
+                        return ("{'extent': {" + extent + "}, "
+                                "'has_empty_geom': true, "
+                                "'has_empty_part': true, "
+                                f"'has_no_null': "
+                                f"{'false' if cn else 'true'}, "
+                                "'has_non_empty_geom': true, "
+                                "'has_non_empty_part': true, "
+                                f"'has_null': "
+                                f"{'true' if cn else 'false'}" + "}")
+
+                    leaf_rows = {
+                        r[0]: (bool(r[1]), r[2], r[3])
+                        for r in lake0.meta.query(
+                            "SELECT c.column_name, s.contains_null, "
+                            "s.min_value, s.max_value "
+                            "FROM ducklake_table_column_stats s "
+                            "JOIN ducklake_column c "
+                            "ON c.column_id = s.column_id "
+                            "AND c.table_id = s.table_id "
+                            "WHERE s.table_id=? AND c.parent_column=? "
+                            "AND c.end_snapshot IS NULL",
+                            (h0.table_id, crow[0]))}
+
+                    def _type_body(t: str, leaf: str | None = None) -> str:
+                        t = t.strip()
+                        low = t.lower()
+                        if low == "geometry":
+                            cn = (leaf_rows.get(leaf, (False,))[0]
+                                  if leaf else bool(vrow[0][1]))
+                            return _geo_body(cn)
+                        mm2 = re.fullmatch(r"list\s*<(.+)>", low, re.S)
+                        if mm2:
+                            return ("{'child_stats': "
+                                    + _type_body(mm2.group(1))
+                                    + ", 'has_no_null': true, "
+                                    "'has_null': true}")
+                        mm2 = re.fullmatch(r"struct\s*<(.+)>", t,
+                                           re.I | re.S)
+                        if mm2:
+                            from ducklake_spark.lake import DuckLake as _DL
+
+                            kids = ", ".join(
+                                f"'{n}': {_type_body(ty, leaf=n)}"
+                                for n, ty in _DL._struct_parts(
+                                    "struct<" + mm2.group(1) + ">"))
+                            return ("{'child_stats': {" + kids + "}, "
+                                    "'has_no_null': true, "
+                                    "'has_null': true}")
+                        # simple leaf inside the nest: generic stats
+                        lr = leaf_rows.get(leaf or "")
+                        if lr is None:
+                            raise KeyError(leaf)
+                        cn2, mn2, mx2 = lr
+                        return ("{" + f"'has_no_null': "
+                                f"{'false' if cn2 else 'true'}, "
+                                f"'has_null': "
+                                f"{'true' if cn2 else 'false'}, "
+                                f"'max': {mx2}, 'min': {mn2}" + "}")
+
+                    try:
+                        body = _type_body(str(crow[2]))
+                    except Exception:
+                        return m.group(0)
+                    return "'" + body.replace("'", "''") + "'"
                 if str(crow[2] or "").lower() in ("variant", "json"):
                     # duckdb's variant stats display: shredded type +
                     # state (SHREDDED / INCONSISTENT —

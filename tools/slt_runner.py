@@ -190,6 +190,16 @@ def render(v, tz: bool = False) -> str:
     if isinstance(v, datetime.timedelta):
         return str(v)
     if isinstance(v, (bytes, bytearray)):
+        # GEOMETRY columns are stored as ISO WKB binary — duckdb's
+        # sqllogictest shows them as WKT (test/sql/geo/*). A blob that
+        # fully parses as WKB is rendered that way; anything else keeps
+        # the raw-bytes rendering.
+        try:
+            from ducklake_spark.extra_stats import wkb_to_wkt
+
+            return wkb_to_wkt(bytes(v))
+        except Exception:
+            pass
         return v.decode("utf8", "backslashreplace")
     if isinstance(v, str):
         if v == "":
@@ -212,7 +222,20 @@ def render(v, tz: bool = False) -> str:
 
 def _inner(v) -> str:
     if isinstance(v, str):
-        return v
+        # duckdb quotes VARCHAR values inside nested renderings when
+        # they need it ({'b': hello} but {'a': 'POINT (1 2)'})
+        if v and re.fullmatch(r"[A-Za-z0-9_\-\.+/]+", v):
+            return v
+        return "'" + v.replace("'", "''") + "'"
+    if isinstance(v, (bytes, bytearray)):
+        # nested GEOMETRY: WKT, quoted like any special-char string
+        try:
+            from ducklake_spark.extra_stats import wkb_to_wkt
+
+            return "'" + wkb_to_wkt(bytes(v)) + "'"
+        except Exception:
+            pass
+        return v.decode("utf8", "backslashreplace")
     return render(v)
 
 
