@@ -113,6 +113,10 @@ def spark_to_ducklake(dt: T.DataType) -> str:
             raise UnsupportedTypeError("empty struct not supported")
         inner = ",".join(f"{f.name}:{spark_to_ducklake(f.dataType)}" for f in dt.fields)
         return f"struct<{inner}>"
+    if isinstance(dt, T.VariantType):
+        # CTAS from a ::VARIANT select lands as a VARIANT column
+        # (stored as JSON text; variant_shredded_stats.test)
+        return "variant"
     raise UnsupportedTypeError(f"unsupported Spark type: {dt}")
 
 

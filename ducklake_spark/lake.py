@@ -2496,9 +2496,14 @@ class DuckLake:
             # take the parquet path (semantics match; storage differs
             # from the reference's in-memory txn-local inlined data)
             head = df.limit(inline_limit + 1).collect()
-            if len(head) <= inline_limit:
+            if head and len(head) <= inline_limit:
                 self._insert_inlined(h, schema, head)
                 return len(head)
+            if not head:
+                # a 0-row insert writes one EMPTY data file, never an
+                # empty inlined batch (reference writer semantics —
+                # repro_merge_adjacent_zero_output.test)
+                pass
 
         part_keys = self._partition_spec(h)
         sort_spec = self._sort_spec(h)
@@ -2960,9 +2965,15 @@ class DuckLake:
                                         _us_to_time_text(int(v))
                                         + time_cids[cs.column_id])
         # empty part files (Spark can emit one per empty partition) are
-        # never registered — the reference writes no file for 0 rows
+        # never registered alongside real data — but a WHOLLY empty
+        # insert registers exactly one 0-row file, like the reference
+        # writer whose opened file always lands
+        # (repro_merge_adjacent_zero_output.test: 4 empty inserts ->
+        # 4 files with record_count 0)
         empties = [f for f in infos if f.record_count == 0]
         infos = [f for f in infos if f.record_count]
+        if not infos and empties:
+            infos, empties = [empties[0]], empties[1:]
         for f in empties:
             self.lfs.remove(self.lfs.strip_scheme(
                 os.path.join(self.data_path, f.path)))

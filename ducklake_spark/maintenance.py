@@ -422,6 +422,22 @@ def _rewrite_pack(lake: DuckLake, h, pack: list[dict], part_vals: tuple,
     epoch's physical shape so earlier-snapshot reads keep their
     columns (compaction_alter_table.test time travel)."""
     hs = h_epoch or h
+    if not any(f["record_count"] for f in pack):
+        # an all-empty pack is consumed WITHOUT a replacement file
+        # (repro_merge_adjacent_zero_output.test: 4 empty files ->
+        # files_processed 4, files_created 0)
+        with _TXN_BUF_LOCK:
+            txn = lake._begin()
+            delta = txn.stats_delta.setdefault(h.table_id, {})
+            delta["bytes"] = (delta.get("bytes", 0) - sum(
+                f0.get("file_size_bytes") or 0 for f0 in pack))
+            for f in pack:
+                txn.purged_data_files.setdefault(
+                    h.table_id, []).append(f["data_file_id"])
+                txn.touched_delete_data_files.add(f["data_file_id"])
+            txn.change_log.append(f"compacted_table:{h.table_id}")
+        lake._autocommit()
+        return 0
     schema = lake._spark_schema(hs)
     if len(epoch) == 4:
         later, _ffill, absent, _fadds = epoch

@@ -388,9 +388,9 @@ def _split_top(s: str, sep: str = ",") -> list[str]:
             cur.append("<>")
             i += 2
             continue
-        if c in "([<":
+        if c in "([<{":
             depth += 1
-        elif c in ")]>":
+        elif c in ")]>}":
             depth -= 1
         if c == sep and depth == 0:
             out.append("".join(cur))
@@ -1054,6 +1054,7 @@ class SQLSession:
         # reference's fixture tables (types/all_types.test)
         self.explicit_use = False
         self.default_backend = default_backend
+        self.prepared: dict[str, str] = {}  # PREPARE name AS <sql>
         self.attach_log: list[str] = []  # replayed on `restart`
         self._seq = itertools.count()
         # fresh session ⇒ fresh metadata-log state (the reference's
@@ -1325,6 +1326,25 @@ class SQLSession:
         if kw in ("SELECT", "WITH", "FROM", "VALUES", "SHOW", "DESCRIBE",
                   "DESC", "SUMMARIZE", "EXPLAIN"):
             return self.query(stmt)
+        if kw == "PREPARE":
+            mp = re.match(r"PREPARE\s+(\w+)\s+AS\s+(.+)$", stmt,
+                          re.I | re.S)
+            if not mp:
+                raise SQLFrontUnsupported(f"PREPARE grammar: {stmt!r}")
+            self.prepared[mp.group(1).lower()] = mp.group(2).strip()
+            return None
+        if kw == "EXECUTE":
+            mp = re.match(r"EXECUTE\s+(\w+)\s*(?:\((.*)\))?\s*$", stmt,
+                          re.I | re.S)
+            if not mp or mp.group(1).lower() not in getattr(
+                    self, "prepared", {}):
+                raise SQLFrontUnsupported(f"EXECUTE: {stmt!r}")
+            body = self.prepared[mp.group(1).lower()]
+            if mp.group(2):
+                argtext = _sub_getvariable(mp.group(2), self.variables)
+                for i, a in enumerate(_split_top(argtext), 1):
+                    body = body.replace(f"${i}", a.strip())
+            return self.execute(body)
         if kw == "DROP":  # DROP <other>
             raise SQLFrontUnsupported(f"statement: {stmt.split()[1]}")
         raise SQLFrontUnsupported(f"statement kind {kw!r}")
@@ -2247,9 +2267,18 @@ class SQLSession:
                 if len(exprs) != len(names) or any(
                         nm.lower() not in types for nm in names):
                     raise
+                def _coerce(ex: str, nm: str) -> str:
+                    hh2 = {c[1].lower(): str(c[2] or "").lower()
+                           for c in hh.columns}
+                    if hh2.get(nm.lower()) in ("variant", "json"):
+                        # ::VARIANT routes nested constructors through
+                        # to_variant_object via the dialect rewrite
+                        return f"(({ex.strip()})::VARIANT) AS `{nm}`"
+                    return (f"CAST(({ex.strip()}) AS "
+                            f"{types[nm.lower()]}) AS `{nm}`")
+
                 selects.append("SELECT " + ", ".join(
-                    f"CAST(({ex.strip()}) AS {types[nm.lower()]}) AS `{nm}`"
-                    for ex, nm in zip(exprs, names)))
+                    _coerce(ex, nm) for ex, nm in zip(exprs, names)))
             df = self.query(" UNION ALL ".join(selects))
         h = lake._handle(api)
         tcols = [c[1] for c in h.columns]
@@ -2493,6 +2522,8 @@ class SQLSession:
     def _update(self, stmt: str) -> DataFrame:
         m = re.match(
             rf"UPDATE\s+((?:{_IDENT}\s*\.\s*)*{_IDENT})\s+SET\s+(.+?)"
+            rf"(?:\s+FROM\s+(\((?:[^()]|\([^()]*\))*\)\s*(?:AS\s+)?\w+"
+            rf"|(?:{_IDENT}\s*\.\s*)*{_IDENT}))?"
             r"(?:\s+WHERE\s+(.+?))?\s*$", stmt, re.I | re.S)
         if not m:
             raise SQLFrontUnsupported(f"UPDATE grammar: {stmt!r}")
@@ -2500,7 +2531,7 @@ class SQLSession:
         if meta is not None:
             return meta
         if re.search(r"\bFROM\b", m.group(2), re.I):
-            raise SQLFrontUnsupported("UPDATE ... FROM")
+            raise SQLFrontUnsupported("UPDATE ... FROM in SET")
         lake, api, *_ = self._resolve(m.group(1))
         assignments: dict[str, str] = {}
         for part in _split_top(m.group(2)):
@@ -2509,9 +2540,86 @@ class SQLSession:
                 raise SQLFrontUnsupported(f"UPDATE assignment {part!r}")
             assignments[_unquote(ma.group(1))] = translate_geometry_literals(
                 ma.group(2).strip())
+        if m.group(3):
+            # UPDATE t SET ... FROM src WHERE t.k = src.k — joined
+            # update, duplicate source matches first-write-wins
+            # (update_join_duplicates.test); the dml layer implements
+            # it over merge_into(multi_match='first')
+            srcname = m.group(3).strip()
+            if srcname.startswith("("):
+                ms = re.match(r"(\((?:[^()]|\([^()]*\))*\))\s*"
+                              r"(?:AS\s+)?(\w+)\s*$", srcname,
+                              re.I | re.S)
+                src = self.query(_strip_parens(ms.group(1)))
+                salias = ms.group(2)
+            else:
+                src = self.query(f"SELECT * FROM {srcname}")
+                salias = _unquote(srcname.split(".")[-1])
+            on, renames = [], {}
+            for conj in re.split(r"(?i)\s+AND\s+",
+                                 (m.group(4) or "").strip()):
+                mc = re.match(
+                    rf"\s*({_IDENT}(?:\s*\.\s*{_IDENT})?)\s*=\s*"
+                    rf"({_IDENT}(?:\s*\.\s*{_IDENT})?)\s*$", conj)
+                if not mc:
+                    raise SQLFrontUnsupported(
+                        f"joined UPDATE predicate {conj!r}")
+                sides = [re.sub(r"\s", "", _unquote(x))
+                         for x in (mc.group(1), mc.group(2))]
+
+                def _split_side(s2):
+                    if "." in s2:
+                        q, c = s2.rsplit(".", 1)
+                        return q, c
+                    return None, s2
+                (qa, ca), (qb, cb) = map(_split_side, sides)
+                if qa == salias or (qa is None and ca in src.columns
+                                    and qb is not None):
+                    skey, tkey = ca, cb
+                else:
+                    skey, tkey = cb, ca
+                renames[skey] = tkey
+                on.append(tkey)
+            for sc, tc in renames.items():
+                if sc != tc:
+                    src = src.withColumnRenamed(sc, tc)
+            on = sorted(set(on))
+            refs_source = any(
+                re.search(rf"\b{re.escape(salias)}\s*\.", ex)
+                for ex in assignments.values())
+            if not refs_source:
+                # target-only assignments: first-write-wins over
+                # duplicate sources ≡ plain UPDATE over the DISTINCT
+                # matched keys — rides the txn-aware update pipeline
+                # (update_join_duplicates.test runs inside BEGIN after
+                # an INSERT, which MERGE refuses)
+                keys = src.select(*on).distinct().limit(100_001).collect()
+                if len(keys) > 100_000:
+                    raise SQLFrontUnsupported(
+                        "joined UPDATE over >100k distinct keys")
+                def _lit(v):
+                    if isinstance(v, bool):
+                        return "true" if v else "false"
+                    if isinstance(v, (int, float)):
+                        return repr(v)
+                    return "'" + str(v).replace("'", "''") + "'"
+
+                pred = " OR ".join(
+                    "(" + " AND ".join(
+                        f"`{k}` IS NULL" if r[k] is None
+                        else f"`{k}` = {_lit(r[k])}"
+                        for k in on) + ")"
+                    for r in keys) or "false"
+                n = lake.update(api, assignments, pred)
+                return self._one_row(n)
+            from ducklake_spark import dml as _dml
+
+            n = _dml.update(lake, api, assignments, None,
+                            source=src.select(*on), on=on)
+            return self._one_row(n)
         n = lake.update(api, assignments,
-                        _dq_to_backticks(m.group(3).strip())
-                        if m.group(3) else None)
+                        _dq_to_backticks(m.group(4).strip())
+                        if m.group(4) else None)
         return self._one_row(n)
 
     # -- CALL / CHECKPOINT / SET ---------------------------------------------------
@@ -2865,6 +2973,21 @@ class SQLSession:
                 df = df.repartition(*[F.col(c) for c in partition_by])
             df.write.mode("append").partitionBy(*partition_by) \
                 .parquet(path)
+            # duckdb names partitioned COPY output data_<N>.parquet per
+            # hive dir (partitioning/partition_insert_bug.test reads
+            # '.../partition_key=value/data_0.parquet' back by path)
+            import glob as _glob2
+
+            for d in {os.path.dirname(p) for p in _glob2.glob(
+                    os.path.join(path, "**", "part-*.parquet"),
+                    recursive=True)}:
+                n = 0
+                for p in sorted(_glob2.glob(
+                        os.path.join(d, "part-*.parquet"))):
+                    while os.path.exists(
+                            os.path.join(d, f"data_{n}.parquet")):
+                        n += 1
+                    os.rename(p, os.path.join(d, f"data_{n}.parquet"))
             return None
         if fmt == "parquet":
             import pyarrow.parquet as pq
@@ -3281,7 +3404,13 @@ class SQLSession:
 
     _TF_LAKE = {"snapshots", "table_info", "options", "settings",
                 "list_files", "table_insertions", "table_deletions",
-                "table_changes"}
+                "table_changes",
+                # maintenance TVFs are also callable catalog-qualified:
+                # FROM ducklake.merge_adjacent_files()
+                # (add_files_compaction.test, small_insert_compaction)
+                "merge_adjacent_files", "rewrite_data_files",
+                "flush_inlined_data", "expire_snapshots",
+                "cleanup_old_files", "delete_orphaned_files"}
     _TF_GLOBAL = {
         "ducklake_snapshots": ("snapshots", 1),
         "ducklake_table_info": ("table_info", 1),
@@ -3304,6 +3433,14 @@ class SQLSession:
 
         from ducklake_spark import cdc, table_functions as tf
 
+        if fn in ("merge_adjacent_files", "rewrite_data_files",
+                  "flush_inlined_data", "expire_snapshots",
+                  "cleanup_old_files", "delete_orphaned_files"):
+            df = getattr(self, f"_call_{fn}")(lake, args, named)
+            if df is None:
+                df = self.spark.createDataFrame(
+                    [(True,)], "Success boolean")
+            return df
         if fn == "snapshots":
             # the SQL surface renders `changes` the way DuckDB prints a
             # MAP(VARCHAR, VARCHAR[]) — {key=[v1, v2]} — so display and
@@ -3366,7 +3503,8 @@ class SQLSession:
         # WITH them; * still expands to data columns only (the reference
         # treats rowid/snapshot_id/… as virtual — sorted_table family)
         wants_virtual = bool(re.search(
-            r"\browid\b|\bfile_row_number\b|\bfilename\b|\bfile_index\b",
+            r"\browid\b|\bfile_row_number\b|\bfilename\b|\bfile_index\b"
+            r"|\bsnapshot_id\b",
             sql, re.I))
         star_expand: dict[str, list[str]] = {}
 
@@ -3474,6 +3612,45 @@ class SQLSession:
             % (m.group(1), m.group(2)),
             sql, flags=re.I)
 
+        # 0h2. (SHOW ALL TABLES) as a subquery
+        # (metadata/hide_metadata_catalog.test counts rows per database
+        # — metadata catalogs are not databases and never appear)
+        if re.search(r"\(\s*SHOW\s+ALL\s+TABLES\s*\)", sql, re.I):
+            rows_sat = []
+            for alias, lk0 in self.lakes.items():
+                for t in lk0._table_names():
+                    sn, _, tn = t.rpartition(".")
+                    rows_sat.append((alias, sn or "main", tn, False))
+                for sn, vn in self._view_names(lk0):
+                    rows_sat.append((alias, sn, vn, False))
+            dfs = self.spark.createDataFrame(
+                rows_sat or [("", "", "", True)],
+                "database string, schema string, name string, "
+                "temporary boolean")
+            if not rows_sat:
+                dfs = dfs.limit(0)
+            sql = re.sub(r"\(\s*SHOW\s+ALL\s+TABLES\s*\)",
+                         self._register(dfs), sql, flags=re.I)
+
+        # 0h3. duckdb's COLUMNS(*) star routine with a per-column
+        # suffix expression: SELECT COLUMNS(*)::VARIANT FROM src
+        # expands to one cast per source column
+        # (variant_shredded_stats.test)
+        mcols = re.match(
+            r"(.*?\bSELECT\s+)COLUMNS\s*\(\s*\*\s*\)\s*(::\s*\w+"
+            r"(?:\([^()]*\))?)?\s+FROM\s+(.+)$", sql, re.I | re.S)
+        if mcols:
+            try:
+                srccols = self.query(
+                    "SELECT * FROM " + mcols.group(3)).columns
+                suffix = mcols.group(2) or ""
+                sql = (mcols.group(1)
+                       + ", ".join(f"`{c}`{suffix} AS `{c}`"
+                                   for c in srccols)
+                       + " FROM " + mcols.group(3))
+            except Exception:
+                pass
+
         # 0i. current_database() -> the USE'd lake name
         if self.current is not None:
             sql = re.sub(r"\bcurrent_database\s*\(\s*\)",
@@ -3481,6 +3658,18 @@ class SQLSession:
 
         # 0a. getvariable('v') -> literal (optional 1-based subscript)
         sql = _sub_getvariable(sql, self.variables)
+
+        # duckdb's lexer splits a number glued to a keyword ("= 1FROM"
+        # parses as 1 FROM — data_inlining_update_inline_verification
+        # .test writes exactly that); Spark's does not
+        sql = re.sub(r"(?<![A-Za-z_0-9.])(\d+)(FROM\b)", r"\1 \2", sql,
+                     flags=re.I)
+        # duckdb numeric underscore separators: range(100_000)
+        sql = re.sub(
+            r"(?<![\w.])(\d[\d_]*\d)(?![\w])",
+            lambda m: m.group(1).replace("_", ""), sql)
+        # duckdb STRLEN alias for length
+        sql = re.sub(r"\bSTRLEN\s*\(", "length(", sql, flags=re.I)
 
         # 0b. DuckDB type names Spark lacks, in :: casts and CAST targets
         sql = re.sub(r"::\s*(VARCHAR|TEXT)\b(?!\s*\()", "::STRING", sql,
@@ -3568,10 +3757,21 @@ class SQLSession:
             while s >= 0 and (sql[s].isalnum() or sql[s] == "_"):
                 s -= 1
             fname = sql[s + 1:k].lower()
-            if fname not in _VFNS:
+            if fname == "":
+                # bare parenthesized expr: nested constructor inside?
+                inner = sql[k + 1:j].strip()
+                if not re.match(r"(?:" + "|".join(_VFNS) + r")\s*\(",
+                                inner, re.I):
+                    continue
+            elif fname not in _VFNS:
                 continue
             x = sql[s + 1:j + 1]
-            sql = (sql[:s + 1] + f"to_variant_object({x})"
+            # parse_json(to_json(...)) instead of to_variant_object:
+            # the latter rejects untyped NULL struct fields
+            # ({'b': NULL} -> VOID — types/variant.test)
+            sql = (sql[:s + 1]
+                   + f"parse_json(to_json({x}, "
+                   "map('ignoreNullFields', 'false')))"
                    + sql[m.end():])
 
         # duckdb array-type suffix: INT[] -> ARRAY<INT> (iterate for
@@ -3649,7 +3849,10 @@ class SQLSession:
             lead, args, alias, collist = (m.group(1), m.group(2),
                                           m.group(3), m.group(4))
             if alias and alias.lower() in _KWS:
-                alias, tail = None, " " + m.group(3) + (m.group(4) or "")
+                # trailing space: the regex's \s* before the column
+                # list ate the separator (WHERE range -> WHERErange)
+                alias, tail = None, (" " + m.group(3)
+                                     + (m.group(4) or "") + " ")
             else:
                 tail = ""
             if collist:  # range(..) t(i): Spark renames the column fine
@@ -3941,17 +4144,18 @@ class SQLSession:
                     # with data files present means the shredded types
                     # were dropped as incompatible.
                     vrow = lake0.meta.query(
-                        "SELECT extra_stats FROM "
+                        "SELECT extra_stats, contains_null FROM "
                         "ducklake_table_column_stats WHERE table_id=? "
                         "AND column_id=?", (h0.table_id, crow[0]))
                     import json as _json
 
                     es = vrow[0][0] if vrow else None
+                    cn0 = bool(vrow[0][1]) if vrow else False
+                    outer = (f"'has_no_null': "
+                             f"{'false' if cn0 else 'true'}, "
+                             "'has_null': true")
+                    root = None
                     if es:
-                        from ducklake_spark.catalog.types import (
-                            ducklake_type_display,
-                        )
-
                         try:
                             ents = _json.loads(es)
                         except Exception:
@@ -3959,17 +4163,33 @@ class SQLSession:
                         root = next(
                             (e for e in ents
                              if e.get("field_name") == "root"), None)
-                        if root:
-                            t = ducklake_type_display(
-                                root.get("shredded_type", ""))
-                            body = (f"shredded type: {t}, "
-                                    "state: SHREDDED")
-                        else:
-                            body = "state: SHREDDED (fields)"
+                    if root:
+                        # duckdb's exact VariantStats display
+                        # (variant_shredded_stats.test:31)
+                        from ducklake_spark.catalog.types import (
+                            ducklake_type_display,
+                        )
+
+                        t = ducklake_type_display(
+                            root.get("shredded_type", ""))
+                        rnull = (root.get("null_count") or 0) > 0
+                        inner = (f"'has_no_null': "
+                                 f"{'false' if rnull else 'true'}, "
+                                 f"'has_null': "
+                                 f"{'true' if rnull else 'false'}, "
+                                 f"'max': {root.get('max')}, "
+                                 f"'min': {root.get('min')}")
+                        body = ("{'fully_shredded': {'stats': {"
+                                + inner + "}, 'type': " + t + "}, "
+                                + outer
+                                + ", 'shredding_state': SHREDDED}")
+                    elif es:
+                        body = ("{" + outer
+                                + ", 'shredding_state': SHREDDED}")
                     else:
-                        body = "state: INCONSISTENT"
-                    return "'" + ("[Variant Stats - " + body + "]"
-                                  ).replace("'", "''") + "'"
+                        body = ("{" + outer
+                                + ", 'shredding_state': INCONSISTENT}")
+                    return "'" + body.replace("'", "''") + "'"
                 srow = lake0.meta.query(
                     "SELECT contains_null, min_value, max_value FROM "
                     "ducklake_table_column_stats WHERE table_id=? AND "
@@ -4006,6 +4226,20 @@ class SQLSession:
                         base = base.rsplit("/", 1)[0]
                         if base:
                             reader = reader.option("basePath", base)
+                    else:
+                        # duckdb's hive_partitioning AUTO also binds
+                        # key=value path segments of a DIRECT file path
+                        # (partition_insert_bug.test: reading
+                        # .../partition_key=value/data_0.parquet
+                        # surfaces partition_key)
+                        segs = path.split("/")
+                        first_kv = next(
+                            (i for i, s2 in enumerate(segs[:-1])
+                             if re.fullmatch(r"[\w.]+=[^/]*", s2)),
+                            None)
+                        if first_kv is not None:
+                            reader = reader.option(
+                                "basePath", "/".join(segs[:first_kv]))
                     df = reader.parquet(*paths)
                 elif low.endswith(".csv"):
                     df = (self.spark.read.option("header", "true")
@@ -4427,7 +4661,8 @@ class SQLSession:
             return f"{vn} AS {fn}"
 
         sql = re.sub(
-            rf"\b({_IDENT})\s*\.\s*({_IDENT})\s*\(([^()]*)\)",
+            rf"\b({_IDENT})\s*\.\s*({_IDENT})\s*"
+            r"\(((?:[^()]|\([^()]*\))*)\)",
             _tfl, sql, flags=re.I)
 
         # 5. qualified table/view references db[.schema].table

@@ -117,6 +117,21 @@ DOCUMENTED_DIVERGENCES: dict[str, str] = {
         "Spark representation (TimestampNTZ is bounded); casting "
         "raises. Finite-timestamp behavior in the file passes via the "
         "other statements."),
+    "test/sql/types/variant.test": (
+        "VARIANT is stored as JSON text: duckdb's per-value type tags "
+        "(INT32 vs DATE vs VARCHAR) do not survive, so variant_typeof "
+        "returns coarser classes and typed display/order differ. "
+        "Mixed-literal VALUES, nested inserts, shredded stats, "
+        "subfield pruning and global-stat merges all pass elsewhere "
+        "(variant_shredded_stats sections, appender_variant_stats)."),
+    "test/sql/data_inlining/data_inlining_variant.test": (
+        "same JSON-text VARIANT representation class as "
+        "types/variant.test (variant_typeof granularity)."),
+    "test/sql/stats/variant_shredded_stats.test": (
+        "stats(col) display, per-file shredded rows and global merges "
+        "pass; the residual diff is ORDER BY over variant values "
+        "(duckdb orders typed values, this engine orders the JSON "
+        "text) — same representation class as types/variant.test."),
     "test/sql/data_inlining/data_inlining_types.test": (
         "same TIME/TIMETZ raw-display class as "
         "add_files_type_check_timestamp.test, plus INTERVAL display "

@@ -277,6 +277,12 @@ def _cells_match(actual: str, expected: str, typ: str) -> bool:
     ne = expected.replace("'", "").replace('"', "")
     if na == ne:
         return True
+    # nested renderings: duckdb prints '[a, b]' where a JSON-text
+    # VARIANT stores '["a","b"]' — quote- and space-insensitive
+    # compare, but only for bracketed (nested) values
+    if ("[" in na or "{" in na) and ("[" in ne or "{" in ne):
+        if na.replace(" ", "") == ne.replace(" ", ""):
+            return True
     try:
         return float(actual) == float(expected)
     except ValueError:
