@@ -415,7 +415,14 @@ def add_data_files(lake: DuckLake, table: str, pattern, *,
             c for c in table_cols
             if c not in file_cols and c not in hive_vals
         ]
-        extra = [c for c in file_cols if c not in table_cols]
+        # this engine's own rowid/snapshot carrier columns (written by
+        # flush/compaction to preserve row ids) are engine internals,
+        # not user data — adopting our own files back must not trip the
+        # extra-column check (bucket_partitioning.test re-adds flushed
+        # bucket files)
+        extra = [c for c in file_cols
+                 if c not in table_cols
+                 and not c.startswith("_ducklake_internal_")]
         # nested struct fields must be present too (reference
         # add_files_missing_fields.test: 'Column "s.i" exists in table
         # ... but was not found in file' without allow_missing)
@@ -480,6 +487,11 @@ def add_data_files(lake: DuckLake, table: str, pattern, *,
                             "partition value for the table configuration")
                 else:
                     mb = re.fullmatch(r"bucket\s*\(\s*(\d+)\s*\)", tf)
+                    if mb and v in ("__HIVE_DEFAULT_PARTITION__", "NULL"):
+                        # a NULL bucket value (NULL key column) is a
+                        # valid partition dir (bucket_partitioning.test
+                        # re-adds flushed files incl. the NULL bucket)
+                        mb = None
                     if mb and not (
                             v.lstrip("-").isdigit()
                             and 0 <= int(v) < int(mb.group(1))):

@@ -19,6 +19,7 @@ Two forms:
 from __future__ import annotations
 
 import datetime
+import struct
 from typing import Any
 
 import pandas as pd
@@ -64,6 +65,13 @@ def _iceberg_bytes(v: Any) -> bytes:
     """Value -> bytes per the Iceberg bucket-transform spec."""
     if isinstance(v, bool):
         v = 1 if v else 0
+    if isinstance(v, float):
+        # Iceberg: float widens to double -> doubleToLongBits, -0.0
+        # normalized (ducklake_murmur3.cpp:56-79)
+        if v == 0.0:
+            v = 0.0
+        return struct.pack("<q", struct.unpack(
+            "<q", struct.pack("<d", v))[0])
     if isinstance(v, int):
         return v.to_bytes(8, "little", signed=True)
     if isinstance(v, str):

@@ -1394,6 +1394,18 @@ class DuckLake:
         """keys = [(column_name, transform)] with transform in
         identity|year|month|day|hour|bucket(N)
         (reference: ducklake_partition_data.cpp:14-66)."""
+        for _cname, transform in keys:
+            mb = re.match(r"bucket\s*\((.*)\)\s*$",
+                          str(transform or ""), re.I)
+            if mb:
+                arg = mb.group(1).strip().strip("'\"")
+                if not re.fullmatch(r"-?\d+", arg):
+                    raise DuckLakeError("Bucket count must be an integer")
+                if int(arg) <= 0:
+                    raise DuckLakeError("Bucket count must be positive")
+                if int(arg) > 2**31 - 1:
+                    raise DuckLakeError(
+                        "Bucket count cannot exceed the INT32 maximum")
         h = self._handle(name)
         if h.table_id < 0:
             # SET PARTITIONED BY on a table created in this transaction:

@@ -3670,6 +3670,12 @@ class SQLSession:
             lambda m: m.group(1).replace("_", ""), sql)
         # duckdb STRLEN alias for length
         sql = re.sub(r"\bSTRLEN\s*\(", "length(", sql, flags=re.I)
+        # duckdb allows unordered ranking windows; Spark requires an
+        # ORDER BY — stamp a stable arbitrary one
+        sql = re.sub(
+            r"\b(row_number|rank|dense_rank)\s*\(\s*\)\s*OVER\s*\(\s*\)",
+            r"\1() OVER (ORDER BY monotonically_increasing_id())",
+            sql, flags=re.I)
 
         # 0b. DuckDB type names Spark lacks, in :: casts and CAST targets
         sql = re.sub(r"::\s*(VARCHAR|TEXT)\b(?!\s*\()", "::STRING", sql,
@@ -3722,6 +3728,36 @@ class SQLSession:
                          lambda m, t=spark_t: m.group(1) + t, sql,
                          flags=re.I)
         sql = translate_geometry_literals(sql)
+
+        # duckdb STRUCT(...)/MAP(...) cast TARGETS (optionally with []
+        # suffixes): translate the type text to Spark's STRUCT<>/MAP<>
+        # (add_files_nested_list_struct_nulls.test NULL::STRUCT(...)[])
+        _ctt = re.compile(r"::\s*(STRUCT|MAP)\s*\(", re.I)
+        for m in reversed(list(_ctt.finditer(sql))):
+            k = m.end() - 1
+            depth = 0
+            while k < len(sql):
+                if sql[k] == "(":
+                    depth += 1
+                elif sql[k] == ")":
+                    depth -= 1
+                    if depth == 0:
+                        break
+                k += 1
+            if depth != 0:
+                continue
+            end = k + 1
+            while re.match(r"\s*\[\s*\]", sql[end:]):
+                end += re.match(r"\s*\[\s*\]", sql[end:]).end()
+            ducktype = sql[m.start() + 2:end].strip()
+            try:
+                from ducklake_spark.catalog.types import ducklake_to_spark
+
+                spark_t = ducklake_to_spark(
+                    duck_type_to_ducklake(ducktype)).simpleString()
+            except Exception:
+                continue
+            sql = sql[:m.start()] + "::" + spark_t + sql[end:]
 
         # nested-literal ::VARIANT casts: Spark rejects
         # CAST(struct/array/map AS VARIANT) — route those through
@@ -4252,6 +4288,92 @@ class SQLSession:
 
         sql = re.sub(r"(\bFROM|\bJOIN)\s+'([^']+\.(?:parquet|pq|csv))'",
                      _fileref, sql, flags=re.I)
+
+        def _parquet_scan(m: re.Match) -> str:
+            # parquet_scan / read_parquet TVF (+ filename=true adds the
+            # source path column — bucket_partitioning.test joins it
+            # against glob() output)
+            args = _split_top(m.group(2))
+            if not args:
+                return m.group(0)
+            first = args[0].strip()
+            if not (first.startswith("'") and first.endswith("'")):
+                return m.group(0)
+            path = first[1:-1]
+            want_filename = any(
+                re.fullmatch(r"filename\s*(=>?|=)\s*true", a.strip(),
+                             re.I) for a in args[1:])
+            try:
+                paths = _pq_paths(path)
+                if not paths:
+                    return m.group(0)
+                reader = self.spark.read
+                if any(ch in path for ch in "*?["):
+                    base = re.split(r"[*?\[]", path, 1)[0]
+                    base = base.rsplit("/", 1)[0]
+                    if base:
+                        reader = reader.option("basePath", base)
+                df = reader.parquet(*paths)
+                if want_filename:
+                    from ducklake_spark.lake import DECODED_FILE_PATH
+
+                    df = df.withColumn(
+                        "filename",
+                        F_mod.regexp_replace(
+                            F_mod.expr(DECODED_FILE_PATH),
+                            "^file:", ""))
+            except Exception:
+                return m.group(0)
+            return f"{m.group(1)} {self._register(df)}"
+
+        from pyspark.sql import functions as F_mod
+
+        sql = re.sub(
+            r"(\bFROM|\bJOIN|,)\s+(?:parquet_scan|read_parquet)\s*"
+            r"\(((?:[^()]|\([^()]*\))*)\)",
+            _parquet_scan, sql, flags=re.I)
+
+        def _parquet_metadata(m: re.Match) -> str:
+            # duckdb's parquet_metadata('file') footer introspection
+            # (add_files_nested_list_struct_nulls.test)
+            import pyarrow.parquet as _pqm
+
+            path = m.group(2)
+            rows = []
+            try:
+                for p in sorted(_pq_paths(path)):
+                    md = _pqm.ParquetFile(p).metadata
+                    for rg in range(md.num_row_groups):
+                        g = md.row_group(rg)
+                        for ci in range(g.num_columns):
+                            col = g.column(ci)
+                            s2 = col.statistics
+                            rows.append((
+                                p, rg, ci, col.path_in_schema,
+                                col.num_values,
+                                str(s2.min) if s2 is not None
+                                and s2.has_min_max else None,
+                                str(s2.max) if s2 is not None
+                                and s2.has_min_max else None,
+                                s2.null_count if s2 is not None
+                                and s2.has_null_count else None,
+                                col.total_compressed_size,
+                                col.total_uncompressed_size,
+                            ))
+            except Exception:
+                return m.group(0)
+            df = self.spark.createDataFrame(
+                rows, "file_name string, row_group_id long, "
+                      "column_id long, path_in_schema string, "
+                      "num_values long, stats_min_value string, "
+                      "stats_max_value string, stats_null_count long, "
+                      "total_compressed_size long, "
+                      "total_uncompressed_size long")
+            return f"{m.group(1)} {self._register(df)}"
+
+        sql = re.sub(
+            r"(\bFROM|\bJOIN|,)\s+parquet_metadata\s*\(\s*'([^']+)'\s*\)",
+            _parquet_metadata, sql, flags=re.I)
 
         def _read_blob(m: re.Match) -> str:
             # read_blob('path'): (filename, content, size, last_modified)

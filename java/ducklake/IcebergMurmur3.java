@@ -113,9 +113,74 @@ public class IcebergMurmur3 implements UDF2<Object, Integer, Integer> {
         } else if (v instanceof LocalDateTime) {
             Instant i = ((LocalDateTime) v).toInstant(ZoneOffset.UTC);
             return hashLong(i.getEpochSecond() * 1_000_000L + i.getNano() / 1_000L);
+        } else if (v instanceof Double || v instanceof Float) {
+            // Iceberg: float widens to double -> doubleToLongBits,
+            // -0.0 normalized (ducklake_murmur3.cpp:56-79)
+            double d = ((Number) v).doubleValue();
+            if (d == 0.0) {
+                d = 0.0;
+            }
+            return hashLong(Double.doubleToLongBits(d));
+        } else if (v instanceof org.apache.spark.sql.Row
+                || v instanceof scala.collection.Seq
+                || v instanceof scala.collection.Map) {
+            // complex types hash their duckdb-style display text
+            // (ducklake_murmur3.cpp:87-91 Value::ToString)
+            return hashBytes(renderValue(v).getBytes(StandardCharsets.UTF_8));
         }
         throw new IllegalArgumentException(
                 "unsupported bucket value type: " + v.getClass().getName());
+    }
+
+    /** duckdb-style display text for nested values. */
+    private static String renderValue(Object v) {
+        if (v == null) {
+            return "NULL";
+        }
+        if (v instanceof org.apache.spark.sql.Row) {
+            org.apache.spark.sql.Row r = (org.apache.spark.sql.Row) v;
+            StringBuilder sb = new StringBuilder("{");
+            String[] names = r.schema() != null
+                    ? r.schema().fieldNames() : null;
+            for (int i = 0; i < r.length(); i++) {
+                if (i > 0) {
+                    sb.append(", ");
+                }
+                sb.append('\'')
+                  .append(names != null ? names[i] : String.valueOf(i))
+                  .append("': ")
+                  .append(renderValue(r.get(i)));
+            }
+            return sb.append('}').toString();
+        }
+        if (v instanceof scala.collection.Seq) {
+            scala.collection.Seq<?> s = (scala.collection.Seq<?>) v;
+            StringBuilder sb = new StringBuilder("[");
+            for (int i = 0; i < s.length(); i++) {
+                if (i > 0) {
+                    sb.append(", ");
+                }
+                sb.append(renderValue(s.apply(i)));
+            }
+            return sb.append(']').toString();
+        }
+        if (v instanceof scala.collection.Map) {
+            scala.collection.Iterator<?> it =
+                    ((scala.collection.Map<?, ?>) v).iterator();
+            StringBuilder sb = new StringBuilder("{");
+            boolean first = true;
+            while (it.hasNext()) {
+                scala.Tuple2<?, ?> kv = (scala.Tuple2<?, ?>) it.next();
+                if (!first) {
+                    sb.append(", ");
+                }
+                first = false;
+                sb.append(renderValue(kv._1())).append("=")
+                  .append(renderValue(kv._2()));
+            }
+            return sb.append('}').toString();
+        }
+        return String.valueOf(v);
     }
 
     @Override
