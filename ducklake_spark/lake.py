@@ -1526,10 +1526,15 @@ class DuckLake:
                 raise DuckLakeError(f"bad null order {null_order!r}")
             norm.append((expr, direction, null_order))
         # analyze (driver-side, no job) so an unknown column or a syntax
-        # error is rejected at ALTER time like the reference
+        # error is rejected at ALTER time like the reference; stored
+        # text stays RAW (macro calls re-bind at every use, so dropping
+        # the macro later breaks the flush exactly like the reference —
+        # data_inlining_flush_sorted_macro_errors.test)
         probe = self.spark.createDataFrame([], self._spark_schema(h))
+        xlate = getattr(self, "sort_expr_translator", None)
         try:
-            probe.select(*[F.expr(e) for e, _d, _n in norm]).schema
+            probe.select(*[F.expr(xlate(e) if xlate else e)
+                           for e, _d, _n in norm]).schema
         except Exception as ex:
             raise DuckLakeError(f"SET SORTED BY: invalid sort key: {ex}")
         # a repeated IDENTICAL SET SORTED BY writes no new sort_info
@@ -5869,8 +5874,30 @@ class DuckLake:
             "ORDER BY se.sort_key_index",
             (h.table_id,),
         )
-        return [(e, (d or "asc").lower(), (n or "nulls_last").lower())
-                for e, d, n in rows]
+        xlate = getattr(self, "sort_expr_translator", None)
+        out = []
+        for e, d, n in rows:
+            e2 = xlate(e) if xlate else e
+            out.append((e2, (d or "asc").lower(),
+                        (n or "nulls_last").lower()))
+        if xlate is not None and out:
+            # sort text stores RAW macro calls that re-bind here; a
+            # macro dropped since SET SORTED BY must fail with the
+            # reference's message
+            # (data_inlining_flush_sorted_macro_errors.test)
+            try:
+                probe = self.spark.createDataFrame(
+                    [], self._spark_schema(h))
+                probe.select(*[F.expr(e2) for e2, _d, _n in out]).schema
+            except Exception as ex:
+                mfn = re.search(
+                    r"UNRESOLVED_ROUTINE[^`]*`([^`]+)`", str(ex))
+                if mfn:
+                    raise DuckLakeError(
+                        "Catalog Error: Scalar Function with name "
+                        f"{mfn.group(1)} does not exist!")
+                raise
+        return out
 
 
 def _parse_byte_size(v) -> int:

@@ -287,6 +287,33 @@ def live_macro_names(lake: DuckLake) -> list[tuple[str, str, str]]:
     return out
 
 
+def _bind_macro_args(ps, args) -> list | None:
+    """Bind call args (positional + 'name := value') to the parameter
+    list ``ps`` (tuples whose [0] is the name, [1] the default).
+    Returns the value list or None when the call doesn't fit."""
+    named = {}
+    pos = []
+    for a in args:
+        m = re.match(r"\s*(\w+)\s*:=\s*(.+)$", str(a), re.S)
+        if m and any(p[0] == m.group(1) for p in ps):
+            named[m.group(1)] = m.group(2).strip()
+        else:
+            pos.append(a)
+    if len(pos) + len(named) > len(ps):
+        return None
+    values = []
+    for i, p in enumerate(ps):
+        if p[0] in named:
+            values.append(named[p[0]])
+        elif i < len(pos):
+            values.append(pos[i])
+        elif p[1] is not None:
+            values.append(p[1])
+        else:
+            return None
+    return values
+
+
 def call_macro(lake: DuckLake, name: str, *args) -> DataFrame | str:
     """Expand a stored macro; table macros return a DataFrame."""
     schema_name, mname = lake._split_name(name)
@@ -297,16 +324,15 @@ def call_macro(lake: DuckLake, name: str, *args) -> DataFrame | str:
             _w, parsed, is_table = entry_p
             chosen = None
             for ps, b in parsed:
-                required = sum(1 for _n, d, _t in ps if d is None)
-                if required <= len(args) <= len(ps):
-                    chosen = (ps, b)
+                vals = _bind_macro_args(ps, args)
+                if vals is not None:
+                    chosen = (ps, b, vals)
                     break
             if chosen is None:
                 raise DuckLakeError(
                     f"macro {name!r} has no implementation "
                     f"taking {len(args)} args")
-            ps, expanded = chosen
-            values = list(args) + [d for _n, d, _t in ps[len(args):]]
+            ps, expanded, values = chosen
             for (p, _d, _t), a in zip(ps, values):
                 expanded = re.sub(rf"\b{re.escape(p)}\b", str(a), expanded)
             from ducklake_spark.sqlfront import _dq_to_backticks
@@ -337,18 +363,18 @@ def call_macro(lake: DuckLake, name: str, *args) -> DataFrame | str:
     ):
         params_by_impl.setdefault(ii, []).append((pname, pdefault))
     # overload resolution by arity: required <= len(args) <= declared
-    chosen = None
+    # (named 'p := v' args bind by name — insert_sorted_macro_expression)
+    chosen = values = None
     for ii in sorted(bodies):
         ps = params_by_impl.get(ii, [])
-        required = sum(1 for _n, d in ps if d is None)
-        if required <= len(args) <= len(ps):
-            chosen = ii
+        vals = _bind_macro_args(ps, args)
+        if vals is not None:
+            chosen, values = ii, vals
             break
     if chosen is None:
         raise DuckLakeError(
             f"macro {name!r} has no implementation taking {len(args)} args")
     ps = params_by_impl.get(chosen, [])
-    values = list(args) + [d for _n, d in ps[len(args):]]
     expanded = bodies[chosen]
     for (p, _d), a in zip(ps, values):
         expanded = re.sub(rf"\b{re.escape(p)}\b", str(a), expanded)

@@ -567,6 +567,27 @@ def _rewrite_pack(lake: DuckLake, h, pack: list[dict], part_vals: tuple,
         # spec, not rowid (test/sql/sorted_table/merge_adjacent_sorted_basic)
         from ducklake_spark.lake import _sort_columns
 
+        if hs is not h:
+            # old-epoch pack: the frame carries the EPOCH's physical
+            # column names; rewrite the (current-name) sort text by
+            # column id (merge_adjacent_sorted_expression.test renames
+            # a column used in the sort expression)
+            import re as _re
+
+            cur_by_id = {c[0]: c[1] for c in h.columns}
+            old_by_id = {c[0]: c[1] for c in hs.columns}
+            ren = {cur_by_id[cid]: old_by_id[cid]
+                   for cid in cur_by_id
+                   if cid in old_by_id
+                   and cur_by_id[cid] != old_by_id[cid]}
+            if ren:
+                def _ren_expr(e2: str) -> str:
+                    for newn, oldn in ren.items():
+                        e2 = _re.sub(rf"\b{_re.escape(newn)}\b",
+                                     oldn, e2)
+                    return e2
+                sort_spec = [(_ren_expr(e2), d2, n2)
+                             for e2, d2, n2 in sort_spec]
         merged = merged.coalesce(1).sortWithinPartitions(
             *_sort_columns(sort_spec))
     else:

@@ -388,6 +388,11 @@ def _split_top(s: str, sep: str = ",") -> list[str]:
             cur.append("<>")
             i += 2
             continue
+        if c == "-" and i + 1 < n and s[i + 1] == ">":
+            # lambda arrow: its '>' is not a generic-type closer
+            cur.append("->")
+            i += 2
+            continue
         if c in "([<{":
             depth += 1
         elif c in ")]>}":
@@ -593,6 +598,196 @@ def translate_duck_literals(sql: str) -> str:
             repl = ("named_struct("
                     + ", ".join(f"{k}, {v}" for k, v in pairs) + ")")
             sql = sql[:a] + repl + sql[b + 1:]
+    return sql
+
+
+_CHAIN_FNS = {
+    "rpad": "rpad", "lpad": "lpad", "string_split": "split",
+    "split": "split", "flatten": "flatten",
+    "array_to_string": "array_join", "trim": "trim", "lower": "lower",
+    "upper": "upper", "len": "length", "length": "length",
+    "list_transform": "transform", "list_filter": "filter",
+    "string_agg": "string_agg", "list_sort": "sort_array",
+}
+
+
+def translate_duck_expr_sugar(sql: str) -> str:
+    """DuckDB expression sugar the Spark parser lacks:
+
+    - list comprehensions ``[E FOR v IN L]`` -> ``transform(L, v -> E)``
+    - method chaining ``x.f(args)`` -> ``f(x, args)`` for a whitelist
+      of scalar/list functions (duckdb resolves any function this way;
+      a whitelist keeps struct-field access and db.fn() refs intact)
+    - ``list_value(...)`` -> ``array(...)``
+    - ``list_zip(A, B)`` -> ``zip_with(A, B, (x, y) -> array(x, y))``
+      (homogeneous inputs; subscripts z[1]/z[2] then work 1-based)
+
+    Drives the sorted_table macro-expression corpus family
+    (insert_sorted_macro_expression.test et al.).
+    """
+    # list comprehensions (before the list-literal rewrite, which
+    # would otherwise mangle the brackets)
+    changed = True
+    guard = 0
+    while changed and guard < 32:
+        changed = False
+        guard += 1
+        spans = _quote_spans(sql)
+
+        def _in_str(pos: int) -> bool:
+            return any(a <= pos <= b for a, b in spans)
+
+        for i, ch in enumerate(sql):
+            if ch != "[" or _in_str(i):
+                continue
+            depth, j = 0, i
+            while j < len(sql):
+                if _in_str(j):
+                    j += 1
+                    continue
+                if sql[j] == "[":
+                    depth += 1
+                elif sql[j] == "]":
+                    depth -= 1
+                    if depth == 0:
+                        break
+                j += 1
+            if depth != 0:
+                continue
+            inner = sql[i + 1:j]
+            mfor = re.search(
+                r"(?is)^(.*?)\sFOR\s+(\w+)\s+IN\s+(.+)$", inner)
+            if not mfor:
+                continue
+            expr, var, src = (mfor.group(1).strip(), mfor.group(2),
+                              mfor.group(3).strip())
+            mif = re.search(r"(?is)^(.*?)\sIF\s+(.+)$", src)
+            if mif:
+                src_t, cond = mif.group(1).strip(), mif.group(2).strip()
+                new = (f"transform(filter({src_t}, {var} -> {cond}), "
+                       f"{var} -> {expr})")
+            else:
+                new = f"transform({src}, {var} -> {expr})"
+            sql = sql[:i] + new + sql[j + 1:]
+            changed = True
+            break
+
+    sql = re.sub(r"\blist_value\s*\(", "array(", sql, flags=re.I)
+    # duckdb function names in plain call form (stored macro bodies are
+    # duckdb-deparsed: main.list_apply(L, (z -> E)), string_split, ...)
+    sql = re.sub(r"\b(?:main\s*\.\s*)?list_(?:apply|transform)\s*\(",
+                 "transform(", sql, flags=re.I)
+    sql = re.sub(r"\b(?:main\s*\.\s*)?list_filter\s*\(", "filter(",
+                 sql, flags=re.I)
+    sql = re.sub(r"\bstring_split\s*\(", "split(", sql, flags=re.I)
+    sql = re.sub(r"\barray_to_string\s*\(", "array_join(", sql,
+                 flags=re.I)
+
+    # list_zip with a balanced-paren scan (args nest arbitrarily)
+    lz = re.compile(r"\blist_zip\s*\(", re.I)
+    guard0 = 0
+    while guard0 < 16:
+        guard0 += 1
+        m0 = lz.search(sql)
+        if m0 is None:
+            break
+        depth, k, q = 1, m0.end(), None
+        while k < len(sql) and depth:
+            ch0 = sql[k]
+            if q:
+                if ch0 == q:
+                    q = None
+            elif ch0 == "'":
+                q = ch0
+            elif ch0 == "(":
+                depth += 1
+            elif ch0 == ")":
+                depth -= 1
+            k += 1
+        parts = _split_top(sql[m0.end():k - 1])
+        if len(parts) != 2:
+            break
+        sql = (sql[:m0.start()]
+               + f"zip_with({parts[0]}, {parts[1]}, "
+               "(__zx, __zy) -> array(__zx, __zy))" + sql[k:])
+
+    # method chaining, innermost-first until fixpoint
+    chain = re.compile(
+        r"\.\s*(" + "|".join(_CHAIN_FNS) + r")\s*\(", re.I)
+    guard = 0
+    while guard < 64:
+        guard += 1
+        spans = _quote_spans(sql)
+        m = None
+        for cand in chain.finditer(sql):
+            if not any(a <= cand.start() <= b for a, b in spans):
+                m = cand
+                break
+        if m is None:
+            break
+        # receiver: string literal, or balanced ()/[] group with an
+        # optional function-name prefix
+        r_end = m.start() - 1
+        while r_end >= 0 and sql[r_end].isspace():
+            r_end -= 1
+        if r_end < 0:
+            break
+        c = sql[r_end]
+        if c == "'":
+            k = r_end - 1
+            while k >= 0:
+                if sql[k] == "'" and (k == 0 or sql[k - 1] != "'"):
+                    break
+                k -= 1
+            r_start = k
+        elif c in ")]":
+            opener = "(" if c == ")" else "["
+            closer = c
+            depth, k = 0, r_end
+            while k >= 0:
+                if sql[k] == closer:
+                    depth += 1
+                elif sql[k] == opener:
+                    depth -= 1
+                    if depth == 0:
+                        break
+                k -= 1
+            r_start = k
+            s2 = k - 1
+            while s2 >= 0 and (sql[s2].isalnum() or sql[s2] == "_"):
+                s2 -= 1
+            if c == ")":
+                r_start = s2 + 1
+        elif c.isalnum() or c == "_":
+            s2 = r_end
+            while s2 >= 0 and (sql[s2].isalnum() or sql[s2] == "_"):
+                s2 -= 1
+            r_start = s2 + 1
+        else:
+            break
+        receiver = sql[r_start:r_end + 1]
+        # args: balanced scan from the chain call's '('
+        depth, k = 0, m.end() - 1
+        q = None
+        while k < len(sql):
+            ch2 = sql[k]
+            if q:
+                if ch2 == q:
+                    q = None
+            elif ch2 == "'":
+                q = ch2
+            elif ch2 == "(":
+                depth += 1
+            elif ch2 == ")":
+                depth -= 1
+                if depth == 0:
+                    break
+            k += 1
+        args = sql[m.end():k].strip()
+        fn = _CHAIN_FNS[m.group(1).lower()]
+        call = (f"{fn}({receiver}, {args})" if args
+                else f"{fn}({receiver})")
+        sql = sql[:r_start] + call + sql[k + 1:]
     return sql
 
 
@@ -1583,6 +1778,9 @@ class SQLSession:
         # parallel one-file-per-task writes; either surface can
         # override with the per_thread_output option.
         lake.session_pto_default = "false"
+        # sort expressions store raw duckdb text (macro calls re-bind
+        # at every use); the session supplies the binder
+        lake.sort_expr_translator = self._translate_scalar_expr
         for k, v in opts.items():
             lake.set_option(k, v)
         self.lakes[name] = lake
@@ -2518,6 +2716,58 @@ class SQLSession:
             raise SQLFrontUnsupported(f"TRUNCATE grammar: {stmt!r}")
         lake, api, *_ = self._resolve(m.group(1))
         return self._one_row(lake.delete(api, None))
+
+    def _translate_scalar_expr(self, expr: str) -> str:
+        """Macro-expand + de-sugar a bare scalar expression (a SET
+        SORTED BY key, an UPDATE assignment) so the stored text is
+        Spark-evaluable (insert_sorted_macro_expression.test sorts by a
+        stored macro over list comprehensions)."""
+        if self.current is not None:
+            from ducklake_spark import macros as M
+
+            lake0 = self.lakes.get(self.current)
+            try:
+                known = {n for _s, n, t in M.live_macro_names(lake0)
+                         if t != "table"}
+            except Exception:
+                known = set()
+            for _ in range(8):
+                hit = False
+                for mn in known:
+                    mm = re.search(rf"\b{re.escape(mn)}\s*\(", expr, re.I)
+                    if not mm:
+                        continue
+                    i = mm.end()
+                    depth, j = 1, i
+                    while j < len(expr) and depth:
+                        if expr[j] == "(":
+                            depth += 1
+                        elif expr[j] == ")":
+                            depth -= 1
+                        j += 1
+                    if depth:
+                        continue
+                    argtext = expr[i:j - 1]
+                    args = ([a for a in _split_top(argtext)]
+                            if argtext.strip() else [])
+                    try:
+                        body = M.call_macro(lake0, mn, *args)
+                    except DuckLakeError:
+                        continue
+                    if not isinstance(body, str):
+                        continue
+                    expr = expr[:mm.start()] + "(" + body + ")" + expr[j:]
+                    hit = True
+                if not hit:
+                    break
+        expr = translate_duck_expr_sugar(expr)
+        if "{" in expr:
+            expr = translate_duck_literals(expr)
+        if "[" in expr:
+            expr = re.sub(r"\bARRAY\s*\[", "[", expr, flags=re.I)
+            expr = translate_list_literals(expr)
+            expr = translate_subscripts(expr)
+        return expr
 
     def _update(self, stmt: str) -> DataFrame:
         m = re.match(
@@ -3513,6 +3763,15 @@ class SQLSession:
                     c in df.columns for c in ("rowid", "snapshot_id")):
                 star_expand[vname] = [
                     c for c in df.columns if c not in self._VIRTUAL_COLS]
+        # 0-sugar. list comprehensions / method chaining / list_zip —
+        # BEFORE the bracket-literal rewrite, which would mangle
+        # [E FOR v IN L]
+        if re.search(r"(?is)\[.*\sFOR\s.*\sIN\s|\.\s*(?:"
+                     + "|".join(_CHAIN_FNS) + r")\s*\(|\blist_value\s*\("
+                     r"|\blist_zip\s*\(|\bstring_split\s*\("
+                     r"|\barray_to_string\s*\(|\blist_apply\s*\("
+                     r"|\blist_transform\s*\(|\blist_filter\s*\(", sql):
+            sql = translate_duck_expr_sugar(sql)
         # 0. duckdb struct/map/list literal syntax -> Spark calls
         if "{" in sql:
             sql = translate_duck_literals(sql)
@@ -3563,6 +3822,19 @@ class SQLSession:
                         continue
                     if not isinstance(expanded, str):
                         continue  # table macro: handled in FROM pos
+                    # the macro body is stored RAW duckdb text — the
+                    # sugar/literal passes already ran on the OUTER
+                    # statement, so translate the body before splicing
+                    # (insert_sorted_macro_expression.test bodies use
+                    # comprehensions + method chaining)
+                    expanded = translate_duck_expr_sugar(expanded)
+                    if "{" in expanded:
+                        expanded = translate_duck_literals(expanded)
+                    if "[" in expanded:
+                        expanded = re.sub(r"\bARRAY\s*\[", "[",
+                                          expanded, flags=re.I)
+                        expanded = translate_list_literals(expanded)
+                        expanded = translate_subscripts(expanded)
                     sql = (sql[:mm.start()] + "(" + expanded + ")"
                            + sql[j:])
                     hit = True
