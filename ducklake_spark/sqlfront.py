@@ -4940,6 +4940,54 @@ class SQLSession:
                    + _tt(m.group(1), m.group(2).upper(), raw)
                    + sql[k:])
 
+        # 2a2. system.information_schema.{schemata,tables,columns}
+        # over the attached lakes (metadata/ducklake_ui_catalog_query)
+        def _info_schema(m: re.Match) -> str:
+            kind = m.group(1).lower()
+            rows_is: list[tuple] = []
+            for alias, lk0 in self.lakes.items():
+                schemas = {r[0] for r in lk0.meta.query(
+                    "SELECT schema_name FROM ducklake_schema "
+                    "WHERE end_snapshot IS NULL")} or {"main"}
+                if kind == "schemata":
+                    rows_is += [(alias, sn) for sn in schemas]
+                    continue
+                for t in lk0._table_names():
+                    sn, _, tn = t.rpartition(".")
+                    sn = sn or "main"
+                    if kind == "tables":
+                        rows_is.append((alias, sn, tn, "BASE TABLE",
+                                        None))
+                    else:
+                        from ducklake_spark.catalog.types import (
+                            ducklake_type_display,
+                        )
+
+                        for i, c in enumerate(
+                                lk0._handle(t).columns, 1):
+                            rows_is.append(
+                                (alias, sn, tn, c[1], i,
+                                 ducklake_type_display(c[2]), None))
+            schemas_ddl = {
+                "schemata": "catalog_name string, schema_name string",
+                "tables": "table_catalog string, table_schema string, "
+                          "table_name string, table_type string, "
+                          "table_comment string",
+                "columns": "table_catalog string, table_schema string, "
+                           "table_name string, column_name string, "
+                           "ordinal_position int, data_type string, "
+                           "column_comment string",
+            }
+            df = self.spark.createDataFrame(rows_is, schemas_ddl[kind]) \
+                if rows_is else self.spark.createDataFrame(
+                    [], schemas_ddl[kind])
+            return f"{self._register(df)}"
+
+        sql = re.sub(
+            r"\b(?:system\s*\.\s*)?information_schema\s*\.\s*"
+            r"(schemata|tables|columns)\b",
+            _info_schema, sql, flags=re.I)
+
         # 2b. duckdb_* introspection TVFs over the attached lakes
         def _duck_intro(m: re.Match) -> str:
             kind = m.group(1).lower()
@@ -4948,6 +4996,10 @@ class SQLSession:
             head = m.string[:m.start()]
             if re.search(r"\bAS\s*$", head, re.I) or head.count("'") % 2:
                 return m.group(0)
+            if re.match(r"\s+AS\b", m.string[m.end():], re.I):
+                # caller supplies its own alias (… duckdb_tables() AS
+                # table_metadata — ducklake_ui_catalog_query.test)
+                return self._register(self._introspect_df(kind))
             return f"{self._register(self._introspect_df(kind))} AS {kind}"
 
         sql = re.sub(
