@@ -313,7 +313,11 @@ def add_data_files(lake: DuckLake, table: str, pattern, *,
         table_cols = {c[1]: c for c in h.columns}
     table_key = (str(h.table_id) if h.table_id >= 0
                  else f"{h.schema_name}.{h.table_name}")
-    colmap = {c[1]: c[0] for c in h.columns}
+    # parquet path -> id including per-node nested ids ("a.list
+    # .element"): _harvest_stats keys footer chunks by path_in_schema,
+    # so adopted files gain list-element / struct-in-list leaf stats
+    # rows like the reference (add_files_complex_nested_stats_mre.test)
+    colmap = lake._leaf_colmap(h)
     added = 0
     infos: list[DataFileInfo] = []
     name_map_rows: list[tuple[int, str]] = []

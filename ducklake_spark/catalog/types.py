@@ -329,6 +329,72 @@ def nested_evolution(src: str, dst: str) -> list[str]:
     return added
 
 
+def field_nodes(type_name: str) -> list[dict]:
+    """Pre-order DFS rows for EVERY schema node nested under a column
+    of the given type — the reference assigns each node its own
+    ``ducklake_column`` row and parquet field id
+    (DuckLakeFieldId::FieldIdFromType, ducklake_field_data.cpp:75-121:
+    struct children in order, list/array -> one child named
+    ``element``, map -> ``key`` then ``value``; ids allocated parent
+    first, then children, depth-first).
+
+    Each dict: ``name`` (plain segment name), ``type`` (the node's
+    ducklake type TEXT, sliced from the input so spellings like
+    ``geometry`` survive), ``path`` (dotted catalog path relative to
+    the top-level column, '' prefix excluded), ``parent_path`` ('' =
+    the top-level column itself), ``pq_path`` (the parquet
+    path_in_schema relative to the top-level column: lists interpose a
+    ``list`` group, maps a ``key_value`` group). Scalar types yield
+    []."""
+    out: list[dict] = []
+
+    def walk(t: str, cat: str, pq: str) -> None:
+        t = t.strip()
+        low = t.lower()
+
+        def add(name: str, typ: str, pq_seg: str) -> str:
+            """Append a node; returns its cat path."""
+            cpath = f"{cat}.{name}" if cat else name
+            ppath = f"{pq}.{pq_seg}" if pq else pq_seg
+            out.append({
+                "name": name, "type": typ.strip(), "path": cpath,
+                "parent_path": cat, "pq_path": ppath,
+            })
+            return cpath
+
+        inner = None
+        if low.startswith("list<") and t.endswith(">"):
+            inner = t[5:-1]
+        elif t.endswith("[]"):
+            inner = t[:-2]
+        if inner is not None:
+            cp = add("element", inner, "list.element")
+            walk(inner, cp, f"{pq}.list.element" if pq else "list.element")
+            return
+        if low.startswith("map<") and t.endswith(">"):
+            kv = _split_top(t[4:-1])
+            if len(kv) == 2:
+                kp = add("key", kv[0], "key_value.key")
+                walk(kv[0], kp,
+                     f"{pq}.key_value.key" if pq else "key_value.key")
+                vp = add("value", kv[1], "key_value.value")
+                walk(kv[1], vp,
+                     f"{pq}.key_value.value" if pq else "key_value.value")
+            return
+        if low.startswith("struct<") and t.endswith(">"):
+            for part in _split_top(t[7:-1]):
+                if ":" not in part:
+                    continue
+                n, ty = part.split(":", 1)
+                n = n.strip()
+                cp = add(n, ty, n)
+                walk(ty, cp, f"{pq}.{n}" if pq else n)
+            return
+
+    walk(type_name, "", "")
+    return out
+
+
 def struct_leaf_paths(type_name: str) -> list[tuple[str, str]]:
     """[(dotted_path, leaf_type)] for the scalar leaves nested in a
     STRUCT type — the paths parquet uses in ``path_in_schema`` for pure

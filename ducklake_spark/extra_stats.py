@@ -934,21 +934,16 @@ def wkb_to_wkt(buf: bytes) -> str:
         parts = []
         for _ in range(n):
             t, off = parse(off)
-            if base in (4, 5, 6):
-                # duckdb strips the child's type name inside multis
-                t = t.split("(", 1)[1].rsplit(")", 0)[0] if False else t
             parts.append(t)
         if not parts:
             return f"{name}{dim} EMPTY", off
-        if base == 4:
-            # MULTIPOINT ((1 2), (3 4)) — duckdb keeps parens per point
+        if base in (4, 5, 6):
+            # duckdb strips the child's type name inside multis:
+            # MULTIPOINT ((1 2), (3 4)), MULTILINESTRING ((0 0, 1 1));
+            # an EMPTY child has no "(" — rendered as bare EMPTY
             inner = ", ".join(
-                "(" + p.split("(", 1)[1] if "(" in p else p
+                "(" + p.split("(", 1)[1] if "(" in p else "EMPTY"
                 for p in parts)
-        elif base in (5, 6):
-            inner = ", ".join(
-                p.split(" (", 1)[1].join(["(", ""]) if False
-                else "(" + p.split("(", 1)[1] for p in parts)
         else:
             inner = ", ".join(parts)
         return f"{name}{dim} (" + inner + ")", off

@@ -924,14 +924,21 @@ class DuckLake:
             + path_component(table_name, tuid),
             table_uuid=tuid,
         )
-        # per-leaf child rows for struct columns: nested zone maps key
-        # off these ids (reference assigns every nested leaf a column id)
-        from ducklake_spark.catalog.types import struct_leaf_paths
+        # per-NODE child rows for nested columns: the reference assigns
+        # every schema node (struct children, list element, map
+        # key/value) its own ducklake_column row + parquet field id in
+        # pre-order DFS (ducklake_field_data.cpp:75-121;
+        # schema_evolution/field_ids.test pins the numbering). Child
+        # rows carry the plain node name; parent_column holds the
+        # parent's ABSOLUTE dotted path until ids exist at commit.
+        from ducklake_spark.catalog.types import field_nodes
 
         for c in cols:
-            for lpath, ltype in struct_leaf_paths(c.type):
+            for nd in field_nodes(c.type):
+                parent = (c.name if not nd["parent_path"]
+                          else f"{c.name}.{nd['parent_path']}")
                 td.child_columns.append(
-                    ColumnDef(lpath, ltype, parent_column=c.name)
+                    ColumnDef(nd["name"], nd["type"], parent_column=parent)
                 )
         txn.created_tables.append(td)
         txn.change_log.append(f'created_table:"{schema_name}"."{table_name}"')
@@ -1094,9 +1101,9 @@ class DuckLake:
         if self._inline_limit(h.table_id, h.schema_id) > 0:
             _check_inline_reserved(col_name)
         txn = self._begin()
-        from ducklake_spark.catalog.types import struct_leaf_paths
+        from ducklake_spark.catalog.types import field_nodes
 
-        leaves = struct_leaf_paths(col_type)
+        leaves = field_nodes(col_type)
         if default is not None and _default_kind(default) == "expression":
             # reference: ducklake_table_entry.cpp AddColumn rejects
             # non-literal defaults (default_expressions.test)
@@ -1156,11 +1163,6 @@ class DuckLake:
         def op(con, snap_id, h=h, col_name=col_name, col_type=col_type,
                default=default, txn=txn, pending_id=pending_id,
                leaves=leaves, seed_default=seed_default):
-            order = con.execute(
-                "SELECT COALESCE(MAX(column_order), -1) + 1 FROM ducklake_column "
-                "WHERE table_id=? AND end_snapshot IS NULL",
-                (h.table_id,),
-            ).fetchone()[0]
             # per-table id (reference GetNextColumnId): MAX over the
             # table's FULL history so a drop-readd never reuses an id —
             # unless the ids were already reserved for txn-local use
@@ -1171,21 +1173,27 @@ class DuckLake:
                     "FROM ducklake_column WHERE table_id=?",
                     (h.table_id,),
                 ).fetchone()[0]
+            # column_order == column_id (reference convention,
+            # ducklake_metadata_manager.cpp:2636)
             con.execute(
                 "INSERT INTO ducklake_column VALUES "
                 "(?, ?, NULL, ?, ?, ?, ?, ?, ?, 1, NULL, ?, 'duckdb')",
-                (new_id, snap_id, h.table_id, order, col_name, col_type,
+                (new_id, snap_id, h.table_id, new_id, col_name, col_type,
                  _default_storage_text(default), _default_storage_text(default),
                  _default_kind(default)),
             )
-            for k, (lpath, ltype) in enumerate(leaves):
-                leaf_id = new_id + 1 + k
+            # per-NODE nested rows, parent resolved within the batch
+            # (DFS order guarantees parents precede children)
+            path_to_id = {"": new_id}
+            for k, nd in enumerate(leaves):
+                node_id = new_id + 1 + k
+                path_to_id[nd["path"]] = node_id
                 con.execute(
                     "INSERT INTO ducklake_column VALUES "
                     "(?, ?, NULL, ?, ?, ?, ?, NULL, NULL, 1, ?, "
                     "'literal', 'duckdb')",
-                    (leaf_id, snap_id, h.table_id, order + 1 + k,
-                     lpath, ltype, new_id),
+                    (node_id, snap_id, h.table_id, node_id,
+                     nd["name"], nd["type"], path_to_id[nd["parent_path"]]),
                 )
             # a literal DEFAULT becomes the new column's value for every
             # existing row, so the global stats start at that literal
@@ -1779,37 +1787,56 @@ class DuckLake:
         struct_evolution_reuse.test), and overlay the type on the open
         transaction's own later statements."""
         col_name = cur[1]
-        # regenerate the per-leaf child rows for the new shape (fresh
+        # regenerate the per-NODE child rows for the new shape (fresh
         # ids: old files' leaf stats stay keyed to the retired ids, so
         # pruning on a renamed/added field keeps them — no-stats ⇒ keep)
-        from ducklake_spark.catalog.types import struct_leaf_paths
+        from ducklake_spark.catalog.types import field_nodes
 
-        leaves = struct_leaf_paths(new_type)
+        leaves = field_nodes(new_type)
         txn = self._begin()
 
         def regen(con, snap_id, h=h, cid=cur[0], leaves=leaves, txn=txn):
-            con.execute(
-                "UPDATE ducklake_column SET end_snapshot=? "
-                "WHERE table_id=? AND parent_column=? AND end_snapshot IS NULL",
-                (snap_id, h.table_id, cid),
-            )
-            base_order = con.execute(
-                "SELECT COALESCE(MAX(column_order), -1) + 1 "
-                "FROM ducklake_column WHERE table_id=? "
-                "AND end_snapshot IS NULL",
-                (h.table_id,),
-            ).fetchone()[0]
+            # end-stamp the column's ENTIRE nested subtree (per-node
+            # rows: children of children too)
+            live = [cid]
+            seen = set()
+            while live:
+                frontier = [i for i in live if i not in seen]
+                seen.update(frontier)
+                if not frontier:
+                    break
+                qs = ",".join("?" * len(frontier))
+                rows = con.execute(
+                    "SELECT column_id FROM ducklake_column "
+                    f"WHERE table_id=? AND parent_column IN ({qs}) "
+                    "AND end_snapshot IS NULL",
+                    (h.table_id, *frontier),
+                ).fetchall()
+                kids = [r[0] for r in rows]
+                if kids:
+                    qs2 = ",".join("?" * len(kids))
+                    con.execute(
+                        "UPDATE ducklake_column SET end_snapshot=? "
+                        f"WHERE table_id=? AND column_id IN ({qs2}) "
+                        "AND end_snapshot IS NULL",
+                        (snap_id, h.table_id, *kids),
+                    )
+                live = kids
             lid = con.execute(
                 "SELECT COALESCE(MAX(column_id), 0) FROM ducklake_column "
                 "WHERE table_id=?", (h.table_id,),
             ).fetchone()[0]
-            for k, (lpath, ltype) in enumerate(leaves):
+            path_to_id = {"": cid}
+            for k, nd in enumerate(leaves):
+                node_id = lid + 1 + k
+                path_to_id[nd["path"]] = node_id
                 con.execute(
                     "INSERT INTO ducklake_column VALUES "
                     "(?, ?, NULL, ?, ?, ?, ?, NULL, NULL, 1, ?, "
                     "'literal', 'duckdb')",
-                    (lid + 1 + k, snap_id, h.table_id,
-                     base_order + k, lpath, ltype, cid),
+                    (node_id, snap_id, h.table_id,
+                     node_id, nd["name"], nd["type"],
+                     path_to_id[nd["parent_path"]]),
                 )
 
         txn.column_changes.setdefault(h.table_id, []).append(regen)
@@ -2533,7 +2560,8 @@ class DuckLake:
                              schema_id=h.schema_id) or "true"
         ).lower() == "false":
             sort_spec = []
-        files = self._write_parquet(h, df, schema, part_keys, sort_spec)
+        files = self._write_parquet(h, df, schema, part_keys, sort_spec,
+                                    keep_empty=True)
         txn = self._begin()
         # txn-local tables buffer by name: ids exist only after commit
         key = (str(h.table_id) if h.table_id >= 0
@@ -2583,7 +2611,8 @@ class DuckLake:
                         (c.column_id, c.name, c.type) for c in td.columns]))
                     self._txn.change_log.append(f"inlined_insert:{key}")
                     return
-            files = self._write_parquet(h, self._conform(df, schema, h), schema, [], [])
+            files = self._write_parquet(h, self._conform(df, schema, h),
+                                        schema, [], [], keep_empty=True)
             self._txn.new_data_files.setdefault(key, []).extend(files)
             self._txn.change_log.append(
                 f"inserted_into_table:{schema_name}.{table_name}"
@@ -2603,7 +2632,11 @@ class DuckLake:
                 c.column_id = nxt
             nxt = max(nxt, c.column_id) + 1
             for ch in td.child_columns:
-                if ch.parent_column == c.name:
+                # child rows carry the parent's ABSOLUTE dotted path;
+                # rows under this column share its root segment and sit
+                # in pre-order DFS within the list
+                root = str(ch.parent_column).split(".", 1)[0]
+                if root == c.name:
                     if ch.column_id is None:
                         ch.column_id = nxt
                     nxt = max(nxt, ch.column_id) + 1
@@ -2749,7 +2782,8 @@ class DuckLake:
     def _write_parquet(self, h: TableHandle, df: DataFrame, schema: T.StructType,
                        part_keys, sort_spec,
                        rotate: bool = True,
-                       rotate_chunk_rows: float = 2048.0) -> list[DataFileInfo]:
+                       rotate_chunk_rows: float = 2048.0,
+                       keep_empty: bool = False) -> list[DataFileInfo]:
         import pyarrow.parquet as pq
 
         table_dir = os.path.join(self.data_path, h.path)
@@ -2764,6 +2798,7 @@ class DuckLake:
         id_by_name = {cname: cid for cid, cname, _t, _na in h.columns}
         id_by_name[ROWID_COL] = ROWID_FIELD_ID
         id_by_name[SNAPID_COL] = SNAPID_FIELD_ID
+        colmap = self._leaf_colmap(h)  # per-node nested ids (pq paths)
         out = df.select(
             [
                 F.col(f_.name).alias(
@@ -2774,6 +2809,20 @@ class DuckLake:
                 for f_ in df.schema.fields
             ]
         )
+        if any("." in k for k in colmap):
+            # nested STRUCT members get their per-node ids stamped at
+            # write time (Spark's writer reads parquet.field.id off any
+            # StructField, however deep — executor-side, no rewrite);
+            # only the synthetic list/map element nodes need the
+            # pyarrow post-pass below
+            new_fields = [
+                T.StructField(
+                    f_.name,
+                    _spark_type_with_ids(f_.dataType, f_.name, colmap),
+                    f_.nullable, f_.metadata)
+                for f_ in out.schema.fields
+            ]
+            out = out.to(T.StructType(new_fields))
 
         writer = out
         part_cols = []
@@ -2893,10 +2942,9 @@ class DuckLake:
                 "parquet_compression", "parquet_row_group_size",
                 "parquet_row_group_size_bytes", "parquet_version",
                 "parquet_compression_level")):
-            self._slim_small_files(tmp)
+            self._slim_small_files(tmp, field_ids=colmap)
 
         infos: list[DataFileInfo] = []
-        colmap = self._leaf_colmap(h)  # incl. nested-leaf ids ("s.a")
         # hive_file_pattern (default true, reference
         # disable_hive_partitioning.test): partitioned files land in
         # <col>=<value>/ subdirs; false keeps a flat layout — either way
@@ -2983,13 +3031,17 @@ class DuckLake:
                                         + time_cids[cs.column_id])
         # empty part files (Spark can emit one per empty partition) are
         # never registered alongside real data — but a WHOLLY empty
-        # insert registers exactly one 0-row file, like the reference
-        # writer whose opened file always lands
+        # INSERT/CTAS registers exactly one 0-row file, like the
+        # reference writer whose opened file always lands
         # (repro_merge_adjacent_zero_output.test: 4 empty inserts ->
-        # 4 files with record_count 0)
+        # 4 files with record_count 0). Only the insert paths pass
+        # keep_empty: rewrite/compaction/flush/DML drop fully-empty
+        # output with NO replacement file
+        # (rewrite_deletes_full_file_delete_after_flush.test:85
+        # expects files_created=0 on a fully-deleted source file)
         empties = [f for f in infos if f.record_count == 0]
         infos = [f for f in infos if f.record_count]
-        if not infos and empties:
+        if keep_empty and not infos and empties:
             infos, empties = [empties[0]], empties[1:]
         for f in empties:
             self.lfs.remove(self.lfs.strip_scheme(
@@ -3005,22 +3057,45 @@ class DuckLake:
     # .test: 10-row files must sit under max_file_size=>1000)
     SLIM_FILE_MAX_BYTES = 4096
 
-    def _slim_small_files(self, tmp: str) -> None:
+    def _slim_small_files(self, tmp: str,
+                          field_ids: dict | None = None) -> None:
         """Re-serialize tiny freshly-written files via pyarrow: strips
         Spark's schema key-values and dictionary overhead (field ids
         and row order preserved), landing duckdb-comparable sizes.
-        Skipped for encrypted writes and whenever an explicit parquet
-        format option pins the writer's output shape."""
+        ``field_ids`` maps parquet paths -> column ids; when given,
+        EVERY schema node (struct children, list elements) is stamped
+        with its id — Spark's writer only stamps nodes a StructField
+        metadata slot exists for, but the reference stamps all nodes
+        (ducklake_field_data.cpp; schema_evolution/field_ids.test pins
+        element ids). Skipped for encrypted writes and whenever an
+        explicit parquet format option pins the writer's output
+        shape."""
         import pyarrow.parquet as _pq
 
+        # list-element / map-entry nodes can't carry ids through Spark
+        # (no StructField slot) — files holding such nodes get the
+        # pyarrow stamp even above the slim size cap, bounded at 8 MiB
+        # (bigger files keep Spark's struct-member ids; our reads
+        # resolve element stats by name, so only external parity
+        # tooling would notice)
+        needs_el = any(".list." in k or ".key_value." in k
+                       for k in (field_ids or {}))
         for path in list(self.lfs.list_files(
                 self.lfs.strip_scheme(tmp), suffix=".parquet")):
             size = self.lfs.size(path)
-            if size is None or size > self.SLIM_FILE_MAX_BYTES:
+            if size is None:
+                continue
+            small = size <= self.SLIM_FILE_MAX_BYTES
+            if not small and not (needs_el and size <= (8 << 20)):
                 continue
             try:
                 with self.lfs.open_input(path) as fh:
                     table = _pq.read_table(fh)
+                if field_ids:
+                    try:
+                        table = _stamp_field_ids(table, field_ids)
+                    except Exception:
+                        pass  # ids best-effort; Spark's remain valid
                 if _any_float_nan(table):
                     # pyarrow's writer EXCLUDES NaN from footer min/max
                     # while parquet-mr writes max=NaN — re-serializing
@@ -3047,7 +3122,11 @@ class DuckLake:
                         write_statistics=_parquet_leaf_paths(
                             table.schema,
                             exclude_prefix="_ducklake_internal_"))
-                if (self.lfs.size(slim) or size) < size:
+                # small files replace only when the rewrite shrank
+                # them (the whole point of slimming); element-stamp
+                # rewrites of bigger files replace unconditionally —
+                # the ids are the point there
+                if not small or (self.lfs.size(slim) or size) < size:
                     self.lfs.remove(path)
                     self.lfs.move(slim, path)
                 else:
@@ -3119,10 +3198,16 @@ class DuckLake:
             self.lfs.rmtree(split_dir)
 
     def _leaf_colmap(self, h: TableHandle) -> dict[str, int]:
-        """name -> column_id, including nested STRUCT leaves under their
-        dotted parquet path ("s.a" -> the child row's id). Child rows
-        store the leaf path relative to the top-level column, so one
-        parent hop resolves arbitrary struct depth."""
+        """PARQUET path -> column_id for every nested schema node, plus
+        top-level names. Per-node child rows (reference
+        ducklake_field_data.cpp) are matched against the column's type
+        tree, so keys are parquet path_in_schema form: struct leaves
+        under dotted paths ("s.a"), list elements under
+        "l.list.element", map entries under "m.key_value.key" — exactly
+        what footer stats harvest sees. Legacy dotted-leaf rows (older
+        catalogs of this engine) fall back to the one-hop keying."""
+        from ducklake_spark.catalog.types import field_nodes
+
         out = {c[1]: c[0] for c in h.columns}
         if h.table_id < 0:
             # txn-local (CTAS): children live on the buffered TableDef
@@ -3130,10 +3215,19 @@ class DuckLake:
                 for td in self._txn.created_tables:
                     if (td.schema_name == h.schema_name
                             and td.table_name == h.table_name):
-                        for c in td.child_columns:
-                            if c.column_id is not None:
-                                out[f"{c.parent_column}.{c.name}"] = c.column_id
+                        by_path = {
+                            f"{c.parent_column}.{c.name}": c.column_id
+                            for c in td.child_columns
+                            if c.column_id is not None
+                        }
+                        for c in td.columns:
+                            for nd in field_nodes(c.type):
+                                nid = by_path.get(f"{c.name}.{nd['path']}")
+                                if nid is not None:
+                                    out[f"{c.name}.{nd['pq_path']}"] = nid
             return out
+        kids: dict[int, dict[str, int]] = {}
+        legacy: list[tuple[int, str, int]] = []
         pname = {c[0]: c[1] for c in h.columns}
         for cid, cname, parent in self.meta.query(
             "SELECT column_id, column_name, parent_column FROM ducklake_column "
@@ -3141,8 +3235,23 @@ class DuckLake:
             "AND parent_column IS NOT NULL",
             (h.table_id,),
         ):
-            if parent in pname:
-                out[f"{pname[parent]}.{cname}"] = cid
+            kids.setdefault(parent, {})[str(cname).lower()] = cid
+            if "." in str(cname) and parent in pname:
+                legacy.append((cid, cname, parent))
+        for tl_id, tl_name, tl_type, *_r in h.columns:
+            nodes = field_nodes(str(tl_type or ""))
+            path_to_id = {"": tl_id}
+            for nd in nodes:
+                pid = path_to_id.get(nd["parent_path"])
+                if pid is None:
+                    continue
+                nid = kids.get(pid, {}).get(nd["name"].lower())
+                if nid is None:
+                    continue
+                path_to_id[nd["path"]] = nid
+                out[f"{tl_name}.{nd['pq_path']}"] = nid
+        for cid, cname, parent in legacy:
+            out.setdefault(f"{pname[parent]}.{cname}", cid)
         return out
 
     # above this many files, footer harvesting runs as a Spark job
@@ -3247,16 +3356,11 @@ class DuckLake:
         without such columns. Encrypted writes skip the harvest — the
         re-read would need the per-file keys wired into a second scan, and
         extended stats are an optional pruning aid."""
-        geo: dict[str, int] = {}
+        geo = self._geo_stat_ids(h)
         var: dict[str, int] = {}
         for cid, cname, ctype, _na in h.columns:
             base = ctype.split("(")[0].strip().lower()
-            if "geometry" in ctype.lower():
-                # plain OR nested (list<geometry>, struct<a:geometry>,
-                # map<_,geometry>): one column-level bbox, like the
-                # reference (geo/ducklake_geometry_nested_*.test)
-                geo[cname] = cid
-            elif base in ("variant", "json"):
+            if base in ("variant", "json"):
                 var[cname] = cid
         if (not geo and not var) or enc_key or not infos:
             return
@@ -3287,6 +3391,36 @@ class DuckLake:
                     f.variant_stats.extend(
                         VariantStatsRow(cid, *vals) for vals in payload.rows()
                     )
+
+    def _geo_stat_ids(self, h: TableHandle) -> dict[str, int]:
+        """column name -> the column id its geometry bbox stats key
+        off: the column's own id for a plain GEOMETRY column, the
+        geometry LEAF node's id for nested shapes (per-node rows —
+        the reference stores the bbox on the leaf's stats row,
+        geo/ducklake_geometry_nested_struct.test:45 expects exactly
+        one file_column_stats row)."""
+        from ducklake_spark.catalog.types import field_nodes
+
+        out: dict[str, int] = {}
+        colmap = None
+        for cid, cname, ctype, _na in h.columns:
+            low = str(ctype or "").lower()
+            if "geometry" not in low:
+                continue
+            if low.split("(")[0].strip() == "geometry":
+                out[cname] = cid
+                continue
+            if colmap is None:
+                colmap = self._leaf_colmap(h)
+            for nd in field_nodes(str(ctype)):
+                if nd["type"].split("(")[0].strip().lower() == "geometry":
+                    nid = colmap.get(f"{cname}.{nd['pq_path']}")
+                    if nid is not None:
+                        out[cname] = nid
+                        break
+            else:
+                out.setdefault(cname, cid)  # legacy catalogs: no node
+        return out
 
     def _ensure_inlined_table(self, h: TableHandle) -> str:
         """Create-if-missing the CURRENT schema-version's inlined table
@@ -3455,6 +3589,15 @@ class DuckLake:
             for _cid, cname, ctype, _na in h.columns:
                 if ctype.split("(")[0].strip().lower() in ("variant", "json"):
                     df = df.withColumn(cname, F.try_parse_json(F.col(cname)))
+        # GEOMETRY and BLOB both surface as BinaryType; stamp the
+        # ducklake type into the field metadata so renderers (slt WKT
+        # display) can tell them apart without sniffing bytes
+        out_names = set(df.columns)
+        for _cid, cname, ctype, _na in h.columns:
+            low = str(ctype or "").lower()
+            if (("geometry" in low or "blob" in low)
+                    and cname in out_names):
+                df = df.withMetadata(cname, {"dl_type": str(ctype)})
         return df
 
     def _bbox_prune(self, h: TableHandle, files: list[dict],
@@ -3465,6 +3608,7 @@ class DuckLake:
         the zone maps)."""
         from ducklake_spark.extra_stats import bbox_disjoint_json
 
+        geo_ids = self._geo_stat_ids(h)
         pruned_ids: set[int] = set()
         for cname, box in bbox.items():
             if cname not in colmap:
@@ -3472,7 +3616,7 @@ class DuckLake:
             for fid, extra in self.meta.query(
                 "SELECT data_file_id, extra_stats FROM ducklake_file_column_stats "
                 "WHERE table_id = ? AND column_id = ? AND extra_stats IS NOT NULL",
-                (h.table_id, colmap[cname]),
+                (h.table_id, geo_ids.get(cname, colmap[cname])),
             ):
                 if bbox_disjoint_json(extra, box):
                     pruned_ids.add(fid)
@@ -6232,19 +6376,26 @@ def _harvest_stats(pf, colmap: dict[str, int]) -> list[ColumnStatsRow]:
             name = path[0]
             if name not in colmap:
                 continue
-            row = agg.setdefault(name, ColumnStatsRow(column_id=colmap[name]))
-            row.column_size_bytes += col.total_compressed_size
             if len(path) > 1:
-                # nested leaf: stats key off the leaf's own child-column
-                # id when one exists ("s.a" in colmap — struct leaves);
-                # list/map leaves (synthetic path segments) have no id
-                # and must never merge into the parent's min/max
+                # nested leaf: stats key off the leaf node's OWN
+                # column id (per-node rows, ducklake_field_data.cpp) —
+                # struct leaves ("s.a"), list elements
+                # ("l.list.element"), map entries. The reference
+                # records NO stats row for the nested parent column
+                # itself (add_files_complex_nested_stats_mre.test
+                # lists only leaf ids; ducklake_geometry_nested_struct
+                # .test:45 expects exactly one row); a leaf without an
+                # id (legacy catalogs) contributes nothing.
                 leaf = col.path_in_schema
                 if leaf not in colmap:
                     continue
                 row = agg.setdefault(
                     leaf, ColumnStatsRow(column_id=colmap[leaf])
                 )
+            else:
+                row = agg.setdefault(
+                    name, ColumnStatsRow(column_id=colmap[name]))
+            row.column_size_bytes += col.total_compressed_size
             s = col.statistics
             if s is None:
                 # chunk carries no statistics at all: the file's counts
@@ -6359,6 +6510,77 @@ def _parquet_leaf_paths(schema, exclude_prefix: str | None = None) -> list[str]:
         paths = [p for p in paths
                  if not p.split(".", 1)[0].startswith(exclude_prefix)]
     return paths
+
+
+def _spark_type_with_ids(dt: T.DataType, pq_prefix: str,
+                         ids: dict) -> T.DataType:
+    """Rebuild a Spark DataType with ``parquet.field.id`` metadata on
+    every nested StructField, keyed by parquet path (the reference
+    stamps per-node ids — ducklake_field_data.cpp). Synthetic list/map
+    nodes have no Spark metadata slot; those ids are stamped by the
+    pyarrow pass in _slim_small_files."""
+    if isinstance(dt, T.StructType):
+        fields = []
+        for f_ in dt.fields:
+            child = f"{pq_prefix}.{f_.name}"
+            meta = dict(f_.metadata or {})
+            nid = ids.get(child)
+            if nid is not None:
+                meta["parquet.field.id"] = nid
+            fields.append(T.StructField(
+                f_.name, _spark_type_with_ids(f_.dataType, child, ids),
+                f_.nullable, meta or None))
+        return T.StructType(fields)
+    if isinstance(dt, T.ArrayType):
+        return T.ArrayType(
+            _spark_type_with_ids(dt.elementType,
+                                 f"{pq_prefix}.list.element", ids),
+            dt.containsNull)
+    if isinstance(dt, T.MapType):
+        return T.MapType(
+            _spark_type_with_ids(dt.keyType,
+                                 f"{pq_prefix}.key_value.key", ids),
+            _spark_type_with_ids(dt.valueType,
+                                 f"{pq_prefix}.key_value.value", ids),
+            dt.valueContainsNull)
+    return dt
+
+
+def _stamp_field_ids(table, ids: dict):
+    """Return ``table`` with parquet field ids stamped on EVERY schema
+    node (struct children, list elements, map key/value) from ``ids``
+    (parquet path -> column id — _leaf_colmap's key space). pyarrow's
+    parquet writer emits a field's b'PARQUET:field_id' metadata as the
+    footer field_id, which is how the reference's per-node ids
+    (ducklake_field_data.cpp) reach adopted-file readers."""
+    import pyarrow as pa
+
+    def stamp(field, path):
+        t = field.type
+        if pa.types.is_struct(t):
+            t = pa.struct([
+                stamp(t.field(i), f"{path}.{t.field(i).name}")
+                for i in range(t.num_fields)
+            ])
+        elif pa.types.is_list(t) or pa.types.is_large_list(t):
+            child = stamp(t.value_field.with_name("element"),
+                          f"{path}.list.element")
+            t = pa.list_(child)
+        elif pa.types.is_map(t):
+            kf = stamp(
+                t.key_field.with_name("key").with_nullable(False),
+                f"{path}.key_value.key")
+            vf = stamp(t.item_field.with_name("value"),
+                       f"{path}.key_value.value")
+            t = pa.map_(kf, vf)
+        fid = ids.get(path)
+        meta = dict(field.metadata or {})
+        if fid is not None:
+            meta[b"PARQUET:field_id"] = str(fid).encode()
+        return pa.field(field.name, t, field.nullable, meta or None)
+
+    new_schema = pa.schema([stamp(f, f.name) for f in table.schema])
+    return table.cast(new_schema)
 
 
 def _us_to_time_text(us: int) -> str:

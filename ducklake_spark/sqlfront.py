@@ -547,6 +547,21 @@ def _quote_spans(s: str) -> list[tuple[int, int]]:
     return spans
 
 
+def _sub_outside_quotes(pattern, repl, sql: str, flags: int = 0) -> str:
+    """re.sub that leaves matches inside single-quoted literals alone
+    (match positions index the input string, so spans computed once
+    up-front stay valid for every match)."""
+    spans = _quote_spans(sql)
+
+    def _guard(m: re.Match) -> str:
+        p = m.start()
+        if any(a <= p <= b for a, b in spans):
+            return m.group(0)
+        return repl(m) if callable(repl) else m.expand(repl)
+
+    return re.sub(pattern, _guard, sql, flags=flags)
+
+
 def translate_duck_literals(sql: str) -> str:
     """DuckDB struct/map literal syntax -> Spark function calls:
     ``{'i': 1, 'j': 2}`` -> ``named_struct('i', 1, 'j', 2)`` and
@@ -1537,8 +1552,12 @@ class SQLSession:
             body = self.prepared[mp.group(1).lower()]
             if mp.group(2):
                 argtext = _sub_getvariable(mp.group(2), self.variables)
-                for i, a in enumerate(_split_top(argtext), 1):
-                    body = body.replace(f"${i}", a.strip())
+                argmap = {str(i): a.strip() for i, a in
+                          enumerate(_split_top(argtext), 1)}
+                # single pass ($10 never corrupted by $1), literal-safe
+                body = _sub_outside_quotes(
+                    r"\$(\d+)",
+                    lambda m: argmap.get(m.group(1), m.group(0)), body)
             return self.execute(body)
         if kw == "DROP":  # DROP <other>
             raise SQLFrontUnsupported(f"statement: {stmt.split()[1]}")
@@ -3934,10 +3953,11 @@ class SQLSession:
         # duckdb's lexer splits a number glued to a keyword ("= 1FROM"
         # parses as 1 FROM — data_inlining_update_inline_verification
         # .test writes exactly that); Spark's does not
-        sql = re.sub(r"(?<![A-Za-z_0-9.])(\d+)(FROM\b)", r"\1 \2", sql,
-                     flags=re.I)
+        sql = _sub_outside_quotes(
+            r"(?<![A-Za-z_0-9.])(\d+)(FROM\b)", r"\1 \2", sql,
+            flags=re.I)
         # duckdb numeric underscore separators: range(100_000)
-        sql = re.sub(
+        sql = _sub_outside_quotes(
             r"(?<![\w.])(\d[\d_]*\d)(?![\w])",
             lambda m: m.group(1).replace("_", ""), sql)
         # duckdb STRLEN alias for length
@@ -4359,11 +4379,15 @@ class SQLSession:
                     # extent keys from the column-level bbox + null
                     # flags, nested shapes wrapped in child_stats
                     # (geo/ducklake_geometry_stats.test,
-                    # _nested_list.test, _nested_struct.test)
+                    # _nested_list.test, _nested_struct.test).
+                    # Per-node rows: the bbox lives on the geometry
+                    # LEAF node's stats row for nested shapes
+                    geo_ids = lake0._geo_stat_ids(h0)
                     vrow = lake0.meta.query(
                         "SELECT extra_stats, contains_null FROM "
                         "ducklake_table_column_stats WHERE table_id=? "
-                        "AND column_id=?", (h0.table_id, crow[0]))
+                        "AND column_id=?",
+                        (h0.table_id, geo_ids.get(col, crow[0])))
                     if not vrow or not vrow[0][0]:
                         return m.group(0)
                     from ducklake_spark.extra_stats import GeoStats
@@ -4381,6 +4405,12 @@ class SQLSession:
                             ext["z_max"], ext["z_min"] = g0.zmax, g0.zmin
                         extent = ", ".join(
                             f"{k!r}: {float(v)}" for k, v in ext.items())
+                        # the four emptiness flags are always true:
+                        # DuckLakeColumnGeoStats (ducklake_geo_stats
+                        # .hpp:30-31) carries only bbox+types, so core's
+                        # GeometryStats renders unknown-as-maybe — every
+                        # pinned expectation in test/sql/geo/* shows
+                        # true/true regardless of data
                         return ("{'extent': {" + extent + "}, "
                                 "'has_empty_geom': true, "
                                 "'has_empty_part': true, "
@@ -4391,30 +4421,81 @@ class SQLSession:
                                 f"'has_null': "
                                 f"{'true' if cn else 'false'}" + "}")
 
-                    leaf_rows = {
+                    # per-node descendants of this column, keyed by the
+                    # dotted path RELATIVE to it (matches _type_body's
+                    # recursion keys)
+                    from ducklake_spark.catalog.types import (
+                        field_nodes as _fnodes,
+                    )
+
+                    kid_by_parent: dict = {}
+                    for cid2, cn2, par2 in lake0.meta.query(
+                            "SELECT column_id, column_name, "
+                            "parent_column FROM ducklake_column "
+                            "WHERE table_id=? AND end_snapshot IS NULL "
+                            "AND parent_column IS NOT NULL",
+                            (h0.table_id,)):
+                        kid_by_parent.setdefault(par2, {})[
+                            str(cn2).lower()] = cid2
+                    node_ids = {"": crow[0]}
+                    for nd0 in _fnodes(str(crow[2] or "")):
+                        pid0 = node_ids.get(nd0["parent_path"])
+                        if pid0 is None:
+                            continue
+                        nid0 = kid_by_parent.get(pid0, {}).get(
+                            nd0["name"].lower())
+                        if nid0 is not None:
+                            node_ids[nd0["path"]] = nid0
+                    stat_by_id = {
                         r[0]: (bool(r[1]), r[2], r[3])
                         for r in lake0.meta.query(
-                            "SELECT c.column_name, s.contains_null, "
-                            "s.min_value, s.max_value "
-                            "FROM ducklake_table_column_stats s "
-                            "JOIN ducklake_column c "
-                            "ON c.column_id = s.column_id "
-                            "AND c.table_id = s.table_id "
-                            "WHERE s.table_id=? AND c.parent_column=? "
-                            "AND c.end_snapshot IS NULL",
-                            (h0.table_id, crow[0]))}
+                            "SELECT column_id, contains_null, "
+                            "min_value, max_value "
+                            "FROM ducklake_table_column_stats "
+                            "WHERE table_id=?", (h0.table_id,))}
+                    leaf_rows = {
+                        path: stat_by_id[nid]
+                        for path, nid in node_ids.items()
+                        if nid in stat_by_id}
 
-                    def _type_body(t: str, leaf: str | None = None) -> str:
+                    def _jn(path: str, seg: str) -> str:
+                        return f"{path}.{seg}" if path else seg
+
+                    def _type_body(t: str, path: str = "") -> str:
                         t = t.strip()
                         low = t.lower()
                         if low == "geometry":
-                            cn = (leaf_rows.get(leaf, (False,))[0]
-                                  if leaf else bool(vrow[0][1]))
+                            cn = (leaf_rows.get(path, (False,))[0]
+                                  if path else bool(vrow[0][1]))
                             return _geo_body(cn)
-                        mm2 = re.fullmatch(r"list\s*<(.+)>", low, re.S)
+                        mm2 = re.fullmatch(r"list\s*<(.+)>", t,
+                                           re.I | re.S)
                         if mm2:
                             return ("{'child_stats': "
-                                    + _type_body(mm2.group(1))
+                                    + _type_body(mm2.group(1),
+                                                 _jn(path, "element"))
+                                    + ", 'has_no_null': true, "
+                                    "'has_null': true}")
+                        mm2 = re.fullmatch(r"map\s*<(.+)>", t,
+                                           re.I | re.S)
+                        if mm2:
+                            from ducklake_spark.catalog.types import (
+                                _split_top as _st,
+                            )
+
+                            kv = _st(mm2.group(1))
+                            # duckdb renders MAP stats as list-of-
+                            # entry-struct: outer list wrapper, inner
+                            # {'key','value'} child_stats
+                            # (geo/ducklake_geometry_nested_map.test)
+                            inner = ("{'child_stats': {'key': "
+                                     + _type_body(kv[0], _jn(path, "key"))
+                                     + ", 'value': "
+                                     + _type_body(kv[1],
+                                                  _jn(path, "value"))
+                                     + "}, 'has_no_null': true, "
+                                     "'has_null': true}")
+                            return ("{'child_stats': " + inner
                                     + ", 'has_no_null': true, "
                                     "'has_null': true}")
                         mm2 = re.fullmatch(r"struct\s*<(.+)>", t,
@@ -4423,16 +4504,16 @@ class SQLSession:
                             from ducklake_spark.lake import DuckLake as _DL
 
                             kids = ", ".join(
-                                f"'{n}': {_type_body(ty, leaf=n)}"
+                                f"'{n}': {_type_body(ty, _jn(path, n))}"
                                 for n, ty in _DL._struct_parts(
                                     "struct<" + mm2.group(1) + ">"))
                             return ("{'child_stats': {" + kids + "}, "
                                     "'has_no_null': true, "
                                     "'has_null': true}")
                         # simple leaf inside the nest: generic stats
-                        lr = leaf_rows.get(leaf or "")
+                        lr = leaf_rows.get(path or "")
                         if lr is None:
-                            raise KeyError(leaf)
+                            raise KeyError(path)
                         cn2, mn2, mx2 = lr
                         return ("{" + f"'has_no_null': "
                                 f"{'false' if cn2 else 'true'}, "
@@ -4689,22 +4770,32 @@ class SQLSession:
             for path in _pq_paths(m.group(1)):
                 arrow = pq.read_schema(path)
 
-                def walk(field, out):
+                def walk(field, out, wrapper=None):
                     t = field.type
                     fid = None
                     if field.metadata and b"PARQUET:field_id" in field.metadata:
                         fid = int(field.metadata[b"PARQUET:field_id"])
                     kids = []
                     if pa.types.is_struct(t):
-                        kids = [t.field(i) for i in range(t.num_fields)]
+                        kids = [(t.field(i), None)
+                                for i in range(t.num_fields)]
                     elif pa.types.is_list(t) or pa.types.is_large_list(t):
-                        kids = [t.value_field]
+                        # parquet's 3-level list: a repeated group named
+                        # "list" wraps the element (duckdb's
+                        # parquet_schema shows it with NULL field_id)
+                        kids = [(t.value_field.with_name("element"),
+                                 "list")]
                     elif pa.types.is_map(t):
-                        kids = [t.key_field, t.item_field]
+                        kids = [(t.key_field.with_name("key"),
+                                 "key_value"),
+                                (t.item_field.with_name("value"), None)]
                     if kids:  # group node: no physical type
                         out.append((os.path.basename(path), field.name,
                                     None, "group", fid))
-                        for k in kids:
+                        for k, wrap in kids:
+                            if wrap:
+                                out.append((os.path.basename(path), wrap,
+                                            None, "group", None))
                             walk(k, out)
                     else:
                         ts = str(t)

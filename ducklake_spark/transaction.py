@@ -1061,7 +1061,10 @@ class Transaction:
                             c.column_id = cseq
                         cseq = max(cseq, c.column_id) + 1
                         for ch in td.child_columns:
-                            if ch.parent_column == c.name:
+                            # child parent_column = ABSOLUTE dotted
+                            # path; pre-order DFS within the list
+                            root = str(ch.parent_column).split(".", 1)[0]
+                            if root == c.name:
                                 if ch.column_id is None:
                                     ch.column_id = cseq
                                 cseq = max(cseq, ch.column_id) + 1
@@ -1069,14 +1072,17 @@ class Transaction:
                         if ch.column_id is None:
                             ch.column_id = cseq
                             cseq += 1
-                order = 0
-                name_to_id: dict[str, int] = {}
+                path_to_id: dict[str, int] = {}
                 for c in list(td.columns) + list(td.child_columns):
                     parent = c.parent_column
-                    if isinstance(parent, str):  # child row: parent by name
-                        parent = name_to_id[parent]
+                    if isinstance(parent, str):  # child row: parent by path
+                        path_to_id[f"{parent}.{c.name}"] = c.column_id
+                        parent = path_to_id[parent]
                     else:
-                        name_to_id[c.name] = c.column_id
+                        path_to_id[c.name] = c.column_id
+                    order = c.column_id  # reference: column_order ==
+                    # column_id for every row
+                    # (ducklake_metadata_manager.cpp:2636,665)
                     from ducklake_spark.lake import (
                         _default_kind,
                         _default_storage_text,

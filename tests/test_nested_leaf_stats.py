@@ -37,12 +37,14 @@ def test_nested_leaf_stats_and_pruning(lk, spark):
 
     lk.create_table("t", [("i", "int32"), ("s", "struct<a:int32>"),
                           ("l", "list<int32>")])
-    # child row exists for the struct leaf, none for the list element
+    # per-NODE child rows (reference ducklake_field_data.cpp): the
+    # struct leaf AND the list element each get a row
     kids = lk.meta.query(
         "SELECT column_name, column_type, parent_column FROM ducklake_column "
         "WHERE parent_column IS NOT NULL AND end_snapshot IS NULL")
-    # per-table pre-order ids: i=1, s=2, s.a=3, l=4 -> a's parent is 2
-    assert [tuple(k) for k in kids] == [("a", "int32", 2)]
+    # per-table pre-order ids: i=1, s=2, s.a=3, l=4, l.element=5
+    assert [tuple(k) for k in kids] == [("a", "int32", 2),
+                                        ("element", "int32", 4)]
     # the handle's schema is unaffected by child rows
     assert [c[1] for c in lk._handle("t").columns] == ["i", "s", "l"]
 
@@ -65,7 +67,8 @@ def test_nested_leaf_stats_and_pruning(lk, spark):
             "JOIN ducklake_column c ON c.column_id = s.column_id "
             "WHERE c.parent_column IS NOT NULL")
     }
-    assert list(stats.values()) == [("1", "100")]
+    # struct leaf AND list element both carry global leaf stats now
+    assert list(stats.values()) == [("1", "100"), ("1", "100")]
 
     # file-level pruning on the dotted leaf predicate
     snap = lk._resolve_snapshot(None, None)

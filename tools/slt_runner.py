@@ -158,7 +158,7 @@ def parse_file(path: str) -> list[Record]:
 # rendering Spark values the way duckdb's sqllogictest renders them
 
 
-def render(v, tz: bool = False) -> str:
+def render(v, tz: bool = False, geo: bool | None = None) -> str:
     import datetime
     import decimal
 
@@ -191,15 +191,19 @@ def render(v, tz: bool = False) -> str:
         return str(v)
     if isinstance(v, (bytes, bytearray)):
         # GEOMETRY columns are stored as ISO WKB binary — duckdb's
-        # sqllogictest shows them as WKT (test/sql/geo/*). A blob that
-        # fully parses as WKB is rendered that way; anything else keeps
-        # the raw-bytes rendering.
-        try:
-            from ducklake_spark.extra_stats import wkb_to_wkt
+        # sqllogictest shows them as WKT (test/sql/geo/*). Tri-state:
+        # the engine stamps dl_type field metadata on scan output, so
+        # geo=True decodes, geo=False (a known BLOB column — bytes that
+        # coincidentally parse as WKB keep the raw rendering) never
+        # decodes, and geo=None (metadata lost through an expression)
+        # falls back to parse-sniffing.
+        if geo or geo is None:
+            try:
+                from ducklake_spark.extra_stats import wkb_to_wkt
 
-            return wkb_to_wkt(bytes(v))
-        except Exception:
-            pass
+                return wkb_to_wkt(bytes(v))
+            except Exception:
+                pass
         return v.decode("utf8", "backslashreplace")
     if isinstance(v, str):
         if v == "":
@@ -207,20 +211,20 @@ def render(v, tz: bool = False) -> str:
         # duckdb's sqllogictest escapes embedded NUL bytes
         return v.replace("\x00", "\\0")
     if isinstance(v, list):
-        return "[" + ", ".join(_inner(x) for x in v) + "]"
+        return "[" + ", ".join(_inner(x, geo=geo) for x in v) + "]"
     if isinstance(v, dict):
         # Spark MapType -> duckdb's MAP rendering: {key=value, ...}
-        return ("{" + ", ".join(f"{k}={_inner(x)}"
+        return ("{" + ", ".join(f"{k}={_inner(x, geo=geo)}"
                                 for k, x in v.items()) + "}")
     try:  # Row -> dict
         d = v.asDict(recursive=False)
-        return ("{" + ", ".join(f"'{k}': {_inner(x)}"
+        return ("{" + ", ".join(f"'{k}': {_inner(x, geo=geo)}"
                                 for k, x in d.items()) + "}")
     except AttributeError:
         return str(v)
 
 
-def _inner(v) -> str:
+def _inner(v, geo: bool | None = None) -> str:
     if isinstance(v, str):
         # duckdb quotes VARCHAR values inside nested renderings when
         # they need it ({'b': hello} but {'a': 'POINT (1 2)'})
@@ -229,14 +233,15 @@ def _inner(v) -> str:
         return "'" + v.replace("'", "''") + "'"
     if isinstance(v, (bytes, bytearray)):
         # nested GEOMETRY: WKT, quoted like any special-char string
-        try:
-            from ducklake_spark.extra_stats import wkb_to_wkt
+        if geo or geo is None:
+            try:
+                from ducklake_spark.extra_stats import wkb_to_wkt
 
-            return "'" + wkb_to_wkt(bytes(v)) + "'"
-        except Exception:
-            pass
+                return "'" + wkb_to_wkt(bytes(v)) + "'"
+            except Exception:
+                pass
         return v.decode("utf8", "backslashreplace")
-    return render(v)
+    return render(v, geo=geo)
 
 
 def _cells_match(actual: str, expected: str, typ: str) -> bool:
@@ -626,13 +631,17 @@ class FileRunner:
             raise Fail(f"query [line {r.lineno}]: returned "
                        f"{len(rows[0])} columns, expected {ncols}"
                        f"\nSQL: {sql}")
-        tzcols = []
+        tzcols, geocols = [], []
         if df is not None:
             from pyspark.sql import types as _T
 
             tzcols = [isinstance(f.dataType, _T.TimestampType)
                       for f in df.schema.fields]
-        table = [[render(v, tz=(i < len(tzcols) and tzcols[i]))
+            for f in df.schema.fields:
+                dlt = str((f.metadata or {}).get("dl_type", "")).lower()
+                geocols.append("geometry" in dlt if dlt else None)
+        table = [[render(v, tz=(i < len(tzcols) and tzcols[i]),
+                         geo=(geocols[i] if i < len(geocols) else None))
                   for i, v in enumerate(row)] for row in rows]
         # duckdb's nosort relies on its insertion-order scans; Spark
         # orders scan splits by size, so without an ORDER BY we compare
