@@ -620,10 +620,20 @@ def add_data_files(lake: DuckLake, table: str, pattern, *,
                 mid = mid0
                 break
         if mid is None:
-            mid = con.execute(
-                "SELECT COALESCE(MAX(mapping_id), -1) + 1 "
-                "FROM ducklake_column_mapping"
-            ).fetchone()[0]
+            # mapping ids live in the FILE-id space (reference
+            # ducklake_transaction_state.cpp:539 allocates
+            # next_file_id++ per new name map at commit); fall back to
+            # the old MAX+1 scheme if the allocator isn't wired (older
+            # callers)
+            falloc = getattr(txn, "_commit_falloc", None)
+            if falloc is not None:
+                mid = falloc[0]
+                falloc[0] += 1
+            else:
+                mid = con.execute(
+                    "SELECT COALESCE(MAX(mapping_id), -1) + 1 "
+                    "FROM ducklake_column_mapping"
+                ).fetchone()[0]
             con.execute(
                 "INSERT INTO ducklake_column_mapping VALUES "
                 "(?, ?, 'map_by_name')",

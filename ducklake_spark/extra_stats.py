@@ -311,7 +311,9 @@ def _stat_text(v) -> str | None:
     if v is None:
         return None
     if isinstance(v, bool):
-        return "true" if v else "false"
+        # duckdb serializes boolean shredded min/max as 1/0
+        # (variant_shredded_stats.test pins "b" boolean 1 1)
+        return "1" if v else "0"
     return str(v)
 
 
@@ -395,10 +397,11 @@ class VariantStats:
         """[(variant_path, shredded_type, value_count, null_count,
         min_value, max_value)] for ducklake_file_variant_stats.
         Top-level scalars shred under 'root', homogeneous lists under
-        'element'; MIXED top-level shapes shred nothing (reference
-        variant_shredded_stats.test)."""
-        if self.root_kind == "mixed":
-            return []
+        'element' — each ONLY when the top-level shape is uniformly
+        that kind. Object FIELDS always shred (a mixed object+scalar
+        file still lists its sub-fields — variant_shredded_stats.test
+        not_fully_shredded_object: "a"/"b"/"c" rows with no root
+        row)."""
         out = []
         if self.root_kind == "scalar" and self.root is not None \
                 and not self.root.dropped \
@@ -425,10 +428,18 @@ class VariantStats:
                 continue
             out.append(
                 (
-                    name,
+                    # object-field paths store QUOTED segments — the
+                    # reference's variant_path / field_name text is
+                    # '"a"' (variant_shredded_stats.test listings)
+                    f'"{name}"',
                     acc.shredded_type,
                     acc.value_count,
-                    self.object_rows - acc.value_count,
+                    # null_count counts every row NOT carrying the
+                    # field — top-level NULL variants included
+                    # (variant_shredded_stats.test
+                    # fully_shredded_object_with_nulls: "a" over
+                    # (NULL, {a,b}, NULL, {a,c}) -> null_count 2)
+                    self.total_rows - acc.value_count,
                     _stat_text(acc.min_value),
                     _stat_text(acc.max_value),
                 )
@@ -594,6 +605,41 @@ def bbox_disjoint_json(extra: str, box: tuple) -> bool:
 # --------------------------------------------------------------------------
 # Distributed harvest
 # --------------------------------------------------------------------------
+
+
+def variant_display_text(txt):
+    """duckdb's VARIANT rendering from JSON-text storage: unquoted
+    strings (nested too), NULL for json null, {'k': v} objects and
+    [a, b] arrays (types/variant.test; VARIANT::VARCHAR casts sort by
+    this text — variant_mixed_type_stats.test ORDER BY v::VARCHAR)."""
+    if txt is None:
+        return None
+    try:
+        val = json.loads(txt)
+    except (ValueError, TypeError):
+        return txt
+
+    def r(v) -> str:
+        if v is None:
+            return "NULL"
+        if v is True:
+            return "true"
+        if v is False:
+            return "false"
+        if isinstance(v, str):
+            return v
+        if isinstance(v, float):
+            return repr(v)
+        if isinstance(v, int):
+            return str(v)
+        if isinstance(v, list):
+            return "[" + ", ".join(r(x) for x in v) + "]"
+        if isinstance(v, dict):
+            return "{" + ", ".join(f"'{k}': {r(x)}"
+                                   for k, x in v.items()) + "}"
+        return str(v)
+
+    return r(val)
 
 
 def harvest_extra_stats(spark, paths, geo_cols, var_cols):

@@ -3589,13 +3589,15 @@ class DuckLake:
             for _cid, cname, ctype, _na in h.columns:
                 if ctype.split("(")[0].strip().lower() in ("variant", "json"):
                     df = df.withColumn(cname, F.try_parse_json(F.col(cname)))
-        # GEOMETRY and BLOB both surface as BinaryType; stamp the
-        # ducklake type into the field metadata so renderers (slt WKT
-        # display) can tell them apart without sniffing bytes
+        # GEOMETRY and BLOB both surface as BinaryType, VARIANT as a
+        # JSON string; stamp the ducklake type into the field metadata
+        # so renderers (slt WKT / duckdb-style variant display) can
+        # tell them apart without sniffing values
         out_names = set(df.columns)
         for _cid, cname, ctype, _na in h.columns:
             low = str(ctype or "").lower()
-            if (("geometry" in low or "blob" in low)
+            if (("geometry" in low or "blob" in low
+                 or low.split("(")[0].strip() == "variant")
                     and cname in out_names):
                 df = df.withMetadata(cname, {"dl_type": str(ctype)})
         return df
@@ -3637,7 +3639,9 @@ class DuckLake:
             if cname not in colmap:
                 continue
             if isinstance(val, bool):
-                vclass, v = "boolean", ("true" if val else "false")
+                # stored boolean shredded min/max are 1/0 (reference
+                # serialization, variant_shredded_stats.test)
+                vclass, v = "boolean", ("1" if val else "0")
             elif isinstance(val, (int, float)):
                 vclass, v = "numeric", float(val)
             else:
@@ -6202,15 +6206,24 @@ def _bbox_intersects_udf(box: tuple):
 
 
 def _variant_path_key(path: str) -> str:
-    """Catalog key for a variant path: strip only an exact '$.' prefix
-    (a field literally named '$ref' must stay intact)."""
-    return re.sub(r"^\$\.", "", str(path))
+    """Catalog key for a variant path: strip an exact '$.' prefix (a
+    field literally named '$ref' stays intact) and quote each segment
+    — stored variant_path text uses the reference's quoted form
+    ('"a"', '"a"."b"'; variant_shredded_stats.test listings).
+    Already-quoted input and the special 'root'/'element' paths pass
+    through."""
+    p = re.sub(r"^\$\.", "", str(path))
+    if p in ("root", "element") or p.startswith('"'):
+        return p
+    return ".".join(f'"{seg}"' for seg in p.split("."))
 
 
 def _variant_row_predicate(cname: str, path: str, op: str, val):
     """Row-level twin of the variant-stats file pruning: extract the
-    JSON path and compare with the literal's type semantics."""
-    key = _variant_path_key(path)
+    JSON path and compare with the literal's type semantics. Uses the
+    RAW path for extraction (the quoted form in _variant_path_key is
+    a catalog-key convention only)."""
+    key = re.sub(r"^\$\.", "", str(path)).strip('"')
     jpath = "$." + key if re.fullmatch(r"\w+", key) else f"$['{key}']"
     extracted = F.get_json_object(F.col(cname), jpath)
     if isinstance(val, bool):
@@ -6368,6 +6381,7 @@ def _harvest_stats(pf, colmap: dict[str, int]) -> list[ColumnStatsRow]:
     pyarrow on the driver)."""
     md = pf.metadata
     agg: dict[str, ColumnStatsRow] = {}
+    unsigned_fixups: set[str] = set()
     for rg in range(md.num_row_groups):
         g = md.row_group(rg)
         for ci in range(g.num_columns):
@@ -6454,7 +6468,56 @@ def _harvest_stats(pf, colmap: dict[str, int]) -> list[ColumnStatsRow]:
                 else:
                     row.min_value = mn if row.min_value is None else _min2(row.min_value, mn, smin)
                     row.max_value = mx if row.max_value is None else _max2(row.max_value, mx, smax)
+            elif "isSigned=false" in str(md.schema.column(ci).logical_type):
+                # pyarrow hides min/max behind has_min_max=False for
+                # UNSIGNED int columns with legacy footer stats (the
+                # parquet UNSIGNED sort-order ambiguity); duckdb both
+                # writes and trusts them. Recompute from the data once
+                # — adoption-time only, one column read
+                # (add_files_complex_nested_stats_mre.test: UINTEGER
+                # seq_num must land min=max=100)
+                unsigned_fixups.add(col.path_in_schema)
+    for pth in unsigned_fixups:
+        row = agg.get(pth)  # agg keys ARE parquet paths
+        if row is None or row.min_value is not None:
+            continue
+        try:
+            mn_v, mx_v = _arrow_leaf_minmax(pf, pth)
+        except Exception:
+            continue
+        if mn_v is not None:
+            row.min_value = _stat_str(mn_v)
+            row.max_value = _stat_str(mx_v)
     return list(agg.values())
+
+
+def _arrow_leaf_minmax(pf, pq_path: str):
+    """(min, max) of one parquet leaf column computed from the data —
+    the stats-hidden unsigned-int fallback for _harvest_stats. Walks
+    synthetic list/key_value segments by flattening."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    segs = pq_path.split(".")
+    tbl = pf.read([segs[0]])
+    arr = tbl.column(0).combine_chunks()
+    i = 1
+    while i < len(segs):
+        t = arr.type
+        if pa.types.is_list(t) or pa.types.is_large_list(t):
+            arr = arr.flatten()
+            i += 2  # 'list' + 'element'
+        elif pa.types.is_map(t):
+            which = segs[i + 1] if i + 1 < len(segs) else "key"
+            arr = (arr.keys if which == "key" else arr.items)
+            i += 2  # 'key_value' + key/value
+        elif pa.types.is_struct(t):
+            arr = arr.field(segs[i])
+            i += 1
+        else:
+            break
+    mm = pc.min_max(arr)
+    return mm["min"].as_py(), mm["max"].as_py()
 
 
 def _any_float_nan(table) -> bool:

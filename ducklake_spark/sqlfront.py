@@ -1308,10 +1308,10 @@ class SQLSession:
                 f'Catalog "{broken[db]}" does not exist!')
         return self.lakes[db]
 
-    def _json_typed_columns(self, sql: str) -> frozenset:
-        """Lake columns whose CATALOG type is json among tables the
-        statement references (Spark stores json as string, so typeof()
-        reports the catalog type — json.test)."""
+    def _cat_typed_columns(self, sql: str, want: str) -> frozenset:
+        """Lake columns whose CATALOG type is ``want`` among tables the
+        statement references (Spark stores json/variant as string, so
+        dialect rewrites consult the catalog type)."""
         out: set[str] = set()
         other: set[str] = set()
         for lake in self.lakes.values():
@@ -1328,12 +1328,114 @@ class SQLSession:
                 except Exception:
                     continue
                 for c in cols:
-                    (out if str(c[2]).lower() == "json"
+                    (out if str(c[2]).lower() == want
                      else other).add(c[1].lower())
-        # a bare column name only means JSON when no other referenced
-        # table types the same name non-json — the pooled-name rewrite
-        # must not hijack an identically-named string column
+        # a bare column name only means the target type when no other
+        # referenced table types the same name differently — the
+        # pooled-name rewrite must not hijack an identically-named
+        # string column
         return frozenset(out - other)
+
+    def _json_typed_columns(self, sql: str) -> frozenset:
+        return self._cat_typed_columns(sql, "json")
+
+    def _variant_rewrite(self, sql: str, context: str | None = None) -> str:
+        """VARIANT dialect surface over JSON-text storage
+        (types/variant.test): ``v.c`` field access ->
+        ``to_json(variant_get(try_parse_json(v), '$.c'))`` (stays
+        variant-JSON: missing -> NULL -> VARIANT_NULL),
+        ``variant_typeof(x)`` -> the dl_variant_typeof UDF,
+        ``v::VARCHAR`` -> ``get_json_object(v, '$')`` (duckdb's
+        VARIANT->VARCHAR unquotes strings — ORDER BY v::VARCHAR in
+        variant_mixed_type_stats.test sorts '42' < '7' < 'hello')."""
+        has_fn = re.search(r"\bvariant_typeof\s*\(", sql, re.I)
+        # ``context`` carries the statement's table references when
+        # ``sql`` is a bare WHERE/SET fragment (DELETE/UPDATE paths)
+        vcols = self._cat_typed_columns(context or sql, "variant")
+        if not vcols and not has_fn:
+            return sql
+        for c in sorted(vcols):
+            # field access first, so casts/typeof see the extraction
+            sql = re.sub(
+                rf"(?<![\w.'])`?({re.escape(c)})`?"
+                r"\.((?:\w+\.)*\w+)\b(?!\s*\()",
+                lambda m: ("to_json(variant_get(try_parse_json("
+                           f"`{m.group(1)}`), '$.{m.group(2)}'))"),
+                sql, flags=re.I)
+            found = re.search(
+                rf"(?<![\w.'])`?({re.escape(c)})`?\s*::\s*"
+                r"(VARCHAR|STRING|TEXT)\b", sql, re.I)
+            if found:
+                self._ensure_variant_udf()
+                sql = re.sub(
+                    rf"(?<![\w.'])`?({re.escape(c)})`?\s*::\s*"
+                    r"(VARCHAR|STRING|TEXT)\b",
+                    lambda m: f"dl_variant_text(`{m.group(1)}`)",
+                    sql, flags=re.I)
+        if has_fn:
+            self._ensure_variant_udf()
+            sql = re.sub(r"\bvariant_typeof\s*\(", "dl_variant_typeof(",
+                         sql, flags=re.I)
+        return sql
+
+    def _ensure_variant_udf(self) -> None:
+        if getattr(self, "_variant_udf_done", False):
+            return
+        from pyspark.sql import functions as F
+        from pyspark.sql import types as T
+
+        def dl_variant_typeof(txt):
+            import json as _j
+            import re as _re
+            if txt is None:
+                return "VARIANT_NULL"
+            t = txt.strip()
+            if t == "null":
+                return "VARIANT_NULL"
+            if t.startswith("{"):
+                try:
+                    keys = list(_j.loads(t).keys())
+                except Exception:
+                    return "OBJECT()"
+                return "OBJECT(" + ", ".join(keys) + ")"
+            if t.startswith("["):
+                try:
+                    n = len(_j.loads(t))
+                except Exception:
+                    n = 0
+                return f"ARRAY({n})"
+            if t.startswith('"'):
+                try:
+                    s = _j.loads(t)
+                except Exception:
+                    return "VARCHAR"
+                if _re.fullmatch(r"\d{4}-\d{2}-\d{2}", s):
+                    return "DATE"
+                if _re.fullmatch(
+                        r"\d{4}-\d{2}-\d{2}[ T]\d{2}:\d{2}:\d{2}"
+                        r"(\.\d+)?", s):
+                    return "TIMESTAMP"
+                return "VARCHAR"
+            if t in ("true", "false"):
+                return "BOOLEAN"
+            if re.fullmatch(r"-?\d+", t):
+                v = int(t)
+                if -(2**31) <= v < 2**31:
+                    return "INT32"
+                if -(2**63) <= v < 2**63:
+                    return "INT64"
+                return "INT128"
+            return "DOUBLE"
+
+        self.spark.udf.register(
+            "dl_variant_typeof",
+            F.udf(dl_variant_typeof, T.StringType()))
+        from ducklake_spark.extra_stats import variant_display_text
+
+        self.spark.udf.register(
+            "dl_variant_text",
+            F.udf(variant_display_text, T.StringType()))
+        self._variant_udf_done = True
 
     def _resolve(self, qname: str) -> tuple[DuckLake, str, str, str, str]:
         """qualified name -> (lake, api_name, db, schema, table)."""
@@ -2529,7 +2631,10 @@ class SQLSession:
         if meta is not None:
             return meta
         lake, api, *_ = self._resolve(m.group(1))
-        where = _dq_to_backticks(m.group(3).strip()) if m.group(3) else None
+        where = (self._variant_rewrite(
+                     _dq_to_backticks(m.group(3).strip()),
+                     context=m.group(1))
+                 if m.group(3) else None)
         if m.group(2):
             # DELETE ... USING a, b WHERE cond -> EXISTS semi-join; the
             # engine's victim scan applies it with Catalyst's subquery
@@ -2859,13 +2964,24 @@ class SQLSession:
             if not refs_source:
                 # target-only assignments: first-write-wins over
                 # duplicate sources ≡ plain UPDATE over the DISTINCT
-                # matched keys — rides the txn-aware update pipeline
+                # matched keys. Small key sets ride the txn-aware
+                # update pipeline as a literal predicate
                 # (update_join_duplicates.test runs inside BEGIN after
-                # an INSERT, which MERGE refuses)
-                keys = src.select(*on).distinct().limit(100_001).collect()
-                if len(keys) > 100_000:
-                    raise SQLFrontUnsupported(
-                        "joined UPDATE over >100k distinct keys")
+                # an INSERT, which MERGE refuses); big ones route
+                # through the fully distributed merge join — a literal
+                # predicate with 100k terms is a Catalyst pathology
+                # and a driver-memory hazard.
+                KEY_CAP = 10_000
+                keys = (src.select(*on).distinct()
+                        .limit(KEY_CAP + 1).collect())
+                if len(keys) > KEY_CAP:
+                    from ducklake_spark import dml as _dml
+
+                    n = _dml.update(lake, api, assignments, None,
+                                    source=src.select(*on).distinct(),
+                                    on=on)
+                    return self._one_row(n)
+
                 def _lit(v):
                     if isinstance(v, bool):
                         return "true" if v else "false"
@@ -2873,12 +2989,27 @@ class SQLSession:
                         return repr(v)
                     return "'" + str(v).replace("'", "''") + "'"
 
-                pred = " OR ".join(
-                    "(" + " AND ".join(
-                        f"`{k}` IS NULL" if r[k] is None
-                        else f"`{k}` = {_lit(r[k])}"
-                        for k in on) + ")"
-                    for r in keys) or "false"
+                if len(on) == 1 and keys:
+                    # single key: IN-list (Catalyst folds to InSet;
+                    # an equal-length OR chain analyzes quadratically)
+                    k = on[0]
+                    vals = [r[k] for r in keys]
+                    nn = [v for v in vals if v is not None]
+                    parts = []
+                    if nn:
+                        parts.append(
+                            f"`{k}` IN ("
+                            + ", ".join(_lit(v) for v in nn) + ")")
+                    if len(nn) < len(vals):
+                        parts.append(f"`{k}` IS NULL")
+                    pred = " OR ".join(parts) or "false"
+                else:
+                    pred = " OR ".join(
+                        "(" + " AND ".join(
+                            f"`{k}` IS NULL" if r[k] is None
+                            else f"`{k}` = {_lit(r[k])}"
+                            for k in on) + ")"
+                        for r in keys) or "false"
                 n = lake.update(api, assignments, pred)
                 return self._one_row(n)
             from ducklake_spark import dml as _dml
@@ -2886,8 +3017,26 @@ class SQLSession:
             n = _dml.update(lake, api, assignments, None,
                             source=src.select(*on), on=on)
             return self._one_row(n)
+        vcols = self._cat_typed_columns(m.group(1), "variant")
+        if vcols:
+            for col in list(assignments):
+                if col.lower() not in vcols:
+                    continue
+                ex = assignments[col]
+                # SET v = v + 100 (variant arithmetic): unwrap the
+                # JSON text, compute, re-serialize (types/variant.test
+                # UPDATE ... WHERE variant_typeof(v)='INT32')
+                ma2 = re.fullmatch(
+                    rf"\s*{re.escape(col)}\s*([+\-*])\s*(\d+)\s*", ex)
+                if ma2:
+                    assignments[col] = (
+                        f"CAST(CAST(get_json_object(`{col}`, '$') AS "
+                        f"BIGINT) {ma2.group(1)} {ma2.group(2)} "
+                        "AS STRING)")
         n = lake.update(api, assignments,
-                        _dq_to_backticks(m.group(4).strip())
+                        self._variant_rewrite(
+                            _dq_to_backticks(m.group(4).strip()),
+                            context=m.group(1))
                         if m.group(4) else None)
         return self._one_row(n)
 
@@ -3287,7 +3436,34 @@ class SQLSession:
             import os as _os
 
             _os.makedirs(_os.path.dirname(path) or ".", exist_ok=True)
-            df.toPandas().to_csv(path, index=False)
+            # small results keep the exact local rendering; big ones
+            # write distributed part files and concatenate on the fs —
+            # COPY of a large table through the SQL front door must
+            # never materialize on the driver
+            CSV_LOCAL_CAP = 100_000
+            head = df.limit(CSV_LOCAL_CAP + 1).toPandas()
+            if len(head) <= CSV_LOCAL_CAP:
+                head.to_csv(path, index=False)
+                return None
+            import shutil as _sh
+            import tempfile as _tf
+
+            tmpd = _tf.mkdtemp(prefix="dl_copy_csv_")
+            try:
+                (df.write.mode("overwrite")
+                 .option("header", True).csv(tmpd))
+                parts = sorted(
+                    p for p in _os.listdir(tmpd)
+                    if p.startswith("part-") and p.endswith(".csv"))
+                with open(path, "w", encoding="utf-8") as outf:
+                    for i, p in enumerate(parts):
+                        with open(_os.path.join(tmpd, p),
+                                  encoding="utf-8") as pf:
+                            if i > 0:
+                                pf.readline()  # drop repeated header
+                            _sh.copyfileobj(pf, outf)
+            finally:
+                _sh.rmtree(tmpd, ignore_errors=True)
             return None
         if fmt == "blob":
             # COPY (SELECT content FROM read_blob(...)) TO 'p' (FORMAT
@@ -3338,7 +3514,21 @@ class SQLSession:
         if not m:
             raise SQLFrontUnsupported(f"CREATE TEMP TABLE grammar: {stmt!r}")
         df = self.query(_strip_parens(m.group(2)))
-        local = self.spark.createDataFrame(df.collect(), df.schema)
+        # snapshot semantics without driver materialization: tiny
+        # results stay as a local DataFrame (exact for the slt
+        # corpus); anything bigger lands in a session-scoped parquet
+        # scratch dir and is re-read distributed — a temp table over a
+        # big query must never collect() to the driver
+        TEMP_LOCAL_CAP = 100_000
+        head = df.limit(TEMP_LOCAL_CAP + 1).collect()
+        if len(head) <= TEMP_LOCAL_CAP:
+            local = self.spark.createDataFrame(head, df.schema)
+        else:
+            import tempfile as _tf
+
+            scratch = _tf.mkdtemp(prefix="dl_temp_table_")
+            df.write.mode("overwrite").parquet(scratch)
+            local = self.spark.read.schema(df.schema).parquet(scratch)
         local.createOrReplaceTempView(_unquote(m.group(1)))
         return None
 
@@ -4164,6 +4354,7 @@ class SQLSession:
         # not Spark's lowercase ones (json.test, hive_partition_cast)
         if re.search(r"\btypeof\s*\(", sql, re.I):
             sql = _rewrite_typeof(sql, self._json_typed_columns(sql))
+        sql = self._variant_rewrite(sql)
 
         # 0c. bare range(...) in FROM position: DuckDB's output column is
         # named `range`; Spark's is `id` — wrap unless the test aliases

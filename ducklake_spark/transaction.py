@@ -1285,9 +1285,17 @@ class Transaction:
                     (tid, tname, schema_version, tid, tname),
                 )
 
-            # --- adoption name maps (no schema_version bump)
+            # --- adoption name maps (no schema_version bump).
+            # mapping_id mints from the FILE-id allocator, BEFORE the
+            # data files — reference GetNewNameMaps:
+            # `MappingIndex(commit_snapshot.next_file_id++)`
+            # (ducklake_transaction_state.cpp:539), which is why a
+            # fresh catalog's first adopted file is data_file_id 1,
+            # not 0 (add_files_complex_nested_stats_mre.test)
+            self._commit_falloc = [next_file]
             for op in self.mapping_ops:
                 op(con, snap_id)
+            next_file = self._commit_falloc[0]
 
             # --- sort-spec alters (no schema_version bump, see above;
             # sort_id mints from the commit allocator, so re-sync

@@ -154,9 +154,12 @@ def test_variant_stats_shred_and_nulls():
     vs.add_json(None)
     vs.add_json("not json")
     rows = {r[0]: r for r in vs.rows()}
-    assert rows["a"] == ("a", "int32", 2, 1, "1", "9")
-    assert rows["b"] == ("b", "varchar", 2, 1, "m", "x")
-    assert rows["flag"] == ("flag", "boolean", 1, 2, "true", "true")
+    # reference shape (variant_shredded_stats.test): quoted field
+    # paths, null_count = total rows - value_count (NULL/garbage rows
+    # included), boolean min/max as 1/0
+    assert rows['"a"'] == ('"a"', "int32", 2, 3, "1", "9")
+    assert rows['"b"'] == ('"b"', "varchar", 2, 3, "m", "x")
+    assert rows['"flag"'] == ('"flag"', "boolean", 1, 4, "1", "1")
 
 
 def test_variant_stats_type_conflict_drops_field():
@@ -189,8 +192,8 @@ def test_variant_partial_merge_accounts_missing_fields():
     a.merge(VariantStats.from_partial_json(b.to_partial_json()))
     rows = {r[0]: r for r in a.rows()}
     # 3 object rows total; "a" appears once -> 2 nulls, "b" twice -> 1 null
-    assert rows["a"][2:4] == (1, 2)
-    assert rows["b"][2:4] == (2, 1)
+    assert rows['"a"'][2:4] == (1, 2)
+    assert rows['"b"'][2:4] == (2, 1)
 
 
 def test_table_level_merge_semantics():
@@ -296,13 +299,13 @@ def test_variant_lake_stats_and_pruning(lake, spark):
     lake.insert("vt", df2)
 
     vs = lake.variant_stats("vt").collect()
-    widths = [r for r in vs if r.variant_path == "width"]
+    widths = [r for r in vs if r.variant_path == '"width"']
     assert len(widths) == 2
     assert {(r.shredded_type, r.min_value, r.max_value) for r in widths} == {
         ("int32", "10", "20"),
         ("int32", "500", "900"),
     }
-    tags = [r for r in vs if r.variant_path == "tag"]
+    tags = [r for r in vs if r.variant_path == '"tag"']
     assert {(r.value_count, r.null_count) for r in tags} == {(1, 1)}
 
     # file pruning via shredded stats
@@ -349,7 +352,7 @@ def test_add_data_files_harvests_extra_stats(lake, spark, tmp_path):
     assert lake.add_data_files("adopted_v", str(ext / "*.parquet")) == 1
     vs = lake.variant_stats("adopted_v").collect()
     assert [(r.variant_path, r.shredded_type, r.min_value, r.max_value) for r in vs] == [
-        ("n", "int32", "5", "50")
+        ('"n"', "int32", "5", "50")
     ]
 
 

@@ -256,3 +256,25 @@ def test_attach_or_replace_unaliased_uses_path_alias(spark, tmp_path):
             s.query("SELECT COUNT(*) AS n FROM meta.t").collect()] == [(0,)]
     for name in list(s.lakes):
         s.lakes.pop(name).meta.close()
+
+
+def test_joined_update_large_key_set_distributed(sess, spark):
+    """A target-only joined UPDATE whose source has more distinct keys
+    than the literal-predicate cap must route through the distributed
+    merge join (it used to raise 'unsupported' above 100k keys and
+    build a Catalyst-hostile OR chain below it)."""
+    sess.execute("CREATE TABLE dl.big(k INTEGER, v INTEGER)")
+    spark.range(15_000).selectExpr(
+        "cast(id as int) k", "cast(0 as int) v"
+    ).createOrReplaceTempView("big_src_all")
+    sess.lakes["dl"].insert(
+        "big", spark.table("big_src_all").repartition(4))
+    # 12k distinct source keys > the 10k literal cap
+    spark.range(12_000).selectExpr(
+        "cast(id as int) k").createOrReplaceTempView("big_keys")
+    n = sess.execute(
+        "UPDATE dl.big SET v = 1 FROM big_keys WHERE big.k = big_keys.k")
+    assert [tuple(r) for r in n.collect()] == [(12_000,)]
+    got = sess.execute(
+        "SELECT SUM(v) AS s, COUNT(*) AS c FROM dl.big").collect()
+    assert [tuple(r) for r in got] == [(12_000, 15_000)]

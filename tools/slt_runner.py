@@ -158,7 +158,16 @@ def parse_file(path: str) -> list[Record]:
 # rendering Spark values the way duckdb's sqllogictest renders them
 
 
-def render(v, tz: bool = False, geo: bool | None = None) -> str:
+def _variant_display(txt: str) -> str:
+    """duckdb's VARIANT rendering from the engine's JSON-text storage
+    (shared with the SQL frontend's VARIANT::VARCHAR cast)."""
+    from ducklake_spark.extra_stats import variant_display_text
+
+    return variant_display_text(txt)
+
+
+def render(v, tz: bool = False, geo: bool | None = None,
+           var: bool = False) -> str:
     import datetime
     import decimal
 
@@ -206,6 +215,8 @@ def render(v, tz: bool = False, geo: bool | None = None) -> str:
                 pass
         return v.decode("utf8", "backslashreplace")
     if isinstance(v, str):
+        if var:
+            v = _variant_display(v)
         if v == "":
             return "(empty)"
         # duckdb's sqllogictest escapes embedded NUL bytes
@@ -637,11 +648,16 @@ class FileRunner:
 
             tzcols = [isinstance(f.dataType, _T.TimestampType)
                       for f in df.schema.fields]
+            varcols = []
             for f in df.schema.fields:
                 dlt = str((f.metadata or {}).get("dl_type", "")).lower()
                 geocols.append("geometry" in dlt if dlt else None)
+                varcols.append(dlt.split("(")[0].strip() == "variant")
+        else:
+            varcols = []
         table = [[render(v, tz=(i < len(tzcols) and tzcols[i]),
-                         geo=(geocols[i] if i < len(geocols) else None))
+                         geo=(geocols[i] if i < len(geocols) else None),
+                         var=(i < len(varcols) and varcols[i]))
                   for i, v in enumerate(row)] for row in rows]
         # duckdb's nosort relies on its insertion-order scans; Spark
         # orders scan splits by size, so without an ORDER BY we compare
