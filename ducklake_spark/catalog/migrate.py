@@ -197,3 +197,38 @@ def migrate_if_required(meta: MetadataManager) -> list[str]:
         safe_rollback(con)
         raise
     return actions
+
+
+def migrate_table_paths(meta: MetadataManager) -> int:
+    """Strip the schema-path prefix from ducklake_table.path rows that
+    still store the full data-root-relative form ('main/test/') — the
+    reference convention is SCHEMA-relative ('test/',
+    general/paths.test), and handle loading now resolves
+    ``s.path || t.path``. Idempotent: rows already schema-relative (or
+    absolute, path_is_relative = false) don't start with their
+    schema's path and pass through. Returns the number of rows
+    rewritten."""
+    con = meta.con
+    rows = con.execute(
+        "SELECT t.table_id, t.begin_snapshot, t.path, s.path "
+        "FROM ducklake_table t "
+        "JOIN ducklake_schema s ON t.schema_id = s.schema_id "
+        "WHERE t.path_is_relative AND s.path IS NOT NULL "
+        "AND s.path != '' AND t.path LIKE s.path || '%' "
+        "AND LENGTH(t.path) > LENGTH(s.path)"
+    ).fetchall()
+    if not rows:
+        return 0
+    meta.begin_write()
+    try:
+        for tid, begin, tpath, spath in rows:
+            con.execute(
+                "UPDATE ducklake_table SET path=? "
+                "WHERE table_id=? AND begin_snapshot=?",
+                (tpath[len(spath):], tid, begin),
+            )
+        meta.commit()
+    except Exception:
+        meta.rollback()
+        raise
+    return len(rows)

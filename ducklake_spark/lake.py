@@ -399,6 +399,18 @@ class DuckLake:
                 )
             else:
                 migrate_if_required(self.meta)
+        if not read_only:
+            # same-format-version layout fixup: older catalogs of THIS
+            # engine stored ducklake_table.path data-root-relative; the
+            # reference convention (and the handle resolver) is
+            # schema-relative (general/paths.test). Idempotent, no-op
+            # on reference-written catalogs.
+            from ducklake_spark.catalog.migrate import migrate_table_paths
+
+            try:
+                migrate_table_paths(self.meta)
+            except Exception:
+                pass  # read-only backends / locked catalogs: leave as-is
         if read_only:
             try:
                 bootstrapped = self.meta.query(
@@ -5797,16 +5809,23 @@ class DuckLake:
 
     def _find_table(self, schema_name: str, table_name: str,
                     snap: Snapshot | None = None) -> tuple | None:
+        # t.path is SCHEMA-RELATIVE in the catalog (reference
+        # convention, general/paths.test); resolve the full
+        # data-root-relative path here so every downstream consumer
+        # keeps seeing h.path as before. Absolute table paths
+        # (path_is_relative = false) pass through untouched.
+        path_expr = ("CASE WHEN t.path_is_relative "
+                     "THEN s.path || t.path ELSE t.path END")
         if snap is None:
             rows = self.meta.query(
-                "SELECT t.table_id, t.table_uuid, t.schema_id, t.path "
+                f"SELECT t.table_id, t.table_uuid, t.schema_id, {path_expr} "
                 "FROM ducklake_table t JOIN ducklake_schema s ON t.schema_id=s.schema_id "
                 "WHERE s.schema_name=? AND t.table_name=? AND t.end_snapshot IS NULL",
                 (schema_name, table_name),
             )
         else:
             rows = self.meta.query(
-                "SELECT t.table_id, t.table_uuid, t.schema_id, t.path "
+                f"SELECT t.table_id, t.table_uuid, t.schema_id, {path_expr} "
                 "FROM ducklake_table t JOIN ducklake_schema s ON t.schema_id=s.schema_id "
                 "WHERE s.schema_name=? AND t.table_name=? AND t.begin_snapshot <= ? "
                 "AND (t.end_snapshot IS NULL OR t.end_snapshot > ?)",
@@ -5843,7 +5862,9 @@ class DuckLake:
                     if nname == table_name and tid >= 0:
                         hit = self.meta.query(
                             "SELECT t.table_id, t.table_uuid, t.schema_id, "
-                            "t.path FROM ducklake_table t "
+                            "CASE WHEN t.path_is_relative "
+                            "THEN s.path || t.path ELSE t.path END "
+                            "FROM ducklake_table t "
                             "JOIN ducklake_schema s ON t.schema_id=s.schema_id "
                             "WHERE t.table_id=? AND s.schema_name=? "
                             "AND t.begin_snapshot <= ? "

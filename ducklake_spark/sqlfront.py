@@ -5086,15 +5086,18 @@ class SQLSession:
         sql = re.sub(r"\bPRAGMA_database_size\s*\(\s*\)", _dbsize, sql,
                      flags=re.I)
 
-        # 0h. information_schema.tables / .columns over the attached lakes
-        if re.search(r"\binformation_schema\s*\.\s*(tables|columns)\b",
-                     sql, flags=re.I):
+        # 0h. information_schema.tables / .columns over the attached
+        # lakes. NOT when catalog-qualified (system.information_schema
+        # .tables) — that form carries catalog columns and is handled
+        # by the 2a2 rewrite (metadata/ducklake_ui_catalog_query.test)
+        if re.search(r"(?<!\.)\binformation_schema\s*\.\s*"
+                     r"(tables|columns)\b", sql, flags=re.I):
             sql = re.sub(
-                r"\binformation_schema\s*\.\s*tables\b",
+                r"(?<!\.)\binformation_schema\s*\.\s*tables\b",
                 lambda m: f"{self._register(self._info_schema('tables'))} ",
                 sql, flags=re.I)
             sql = re.sub(
-                r"\binformation_schema\s*\.\s*columns\b",
+                r"(?<!\.)\binformation_schema\s*\.\s*columns\b",
                 lambda m: f"{self._register(self._info_schema('columns'))} ",
                 sql, flags=re.I)
 

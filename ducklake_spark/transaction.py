@@ -1046,9 +1046,20 @@ class Transaction:
                 sid = self._schema_id(td.schema_name, snap_id)
                 td.table_id = next_cat
                 next_cat += 1
+                # ducklake_table.path stores the SCHEMA-RELATIVE
+                # component (reference convention: general/paths.test
+                # pins 'test/', not 'main/test/'); handles re-resolve
+                # the full path via s.path || t.path on load
+                srow = con.execute(
+                    "SELECT path FROM ducklake_schema WHERE schema_id=? "
+                    "AND end_snapshot IS NULL", (sid,),
+                ).fetchone()
+                tpath = td.path
+                if srow and srow[0] and tpath.startswith(srow[0]):
+                    tpath = tpath[len(srow[0]):]
                 con.execute(
                     "INSERT INTO ducklake_table VALUES (?, ?, ?, NULL, ?, ?, ?, 1)",
-                    (td.table_id, td.table_uuid, snap_id, sid, td.table_name, td.path),
+                    (td.table_id, td.table_uuid, snap_id, sid, td.table_name, tpath),
                 )
                 # per-table column ids, pre-order from 1 (reference:
                 # GetNextColumnId allocates within the table; field_ids
@@ -1126,7 +1137,7 @@ class Transaction:
                         con.execute(
                             "INSERT INTO ducklake_partition_column VALUES "
                             "(?, ?, ?, ?, ?)",
-                            (pid, td.table_id, i, name_to_id[cname],
+                            (pid, td.table_id, i, path_to_id[cname],
                              transform),
                         )
                     txn_local_pids[td.table_id] = pid

@@ -36,29 +36,11 @@ DOCUMENTED_DIVERGENCES: dict[str, str] = {
         "changing the storage convention is a catalog migration, tracked "
         "as future work. The compaction behavior itself (canonical hive "
         "output paths, external files preserved) passes."),
-    "test/sql/general/paths.test": (
-        "same path-namespace convention as merge_adjacent_external_"
-        "hive_paths.test: ducklake_table.path stores data-root-relative "
-        "('main/test/'), the reference stores schema-relative "
-        "('test/'). Internally consistent; migration tracked."),
-    "test/sql/general/default_path.test": (
-        "same path-namespace convention as general/paths.test."),
     "test/sql/settings/parquet_compression.test": (
         "parquet-mr (Spark's writer) encodes V2 strings as "
         "DELTA_BYTE_ARRAY; duckdb's writer uses DELTA_LENGTH_BYTE_ARRAY. "
         "The encoding choice is not configurable in parquet-mr. Readers "
         "handle both; the test pins the writer's encoding name."),
-    "test/sql/schema_evolution/field_ids.test": (
-        "the reference's ducklake_column catalog assigns a field id to "
-        "EVERY schema node (struct children, list elements) in DFS "
-        "order and stamps them all into parquet; this engine's catalog "
-        "stores dotted struct-LEAF child rows (c2.n1) with their own id "
-        "sequence — top-level and struct-leaf ids are stable and id-"
-        "resolved on scan, but intermediate/list-element nodes carry no "
-        "ids, so the pinned per-node id listing differs. Changing the "
-        "catalog shape is a cross-cutting migration of the stats/"
-        "evolution machinery, tracked as future work; schema evolution "
-        "itself (rename/add/drop fields) passes the corpus."),
     "test/sql/add_files/add_files_type_check_string_blob.test": (
         "the reference accepts only Json-converted_type parquet into a "
         "JSON column; neither pip duckdb (writes UTF8 for ::JSON) nor "
@@ -66,11 +48,6 @@ DOCUMENTED_DIVERGENCES: dict[str, str] = {
         "json fixture is indistinguishable from the string fixture and "
         "this engine accepts both (string/blob sections all pass; only "
         "the json-section negative check diverges)."),
-    "test/sql/add_files/add_files_complex_nested_stats_mre.test": (
-        "expects per-file stats rows for LIST-element / nested-struct "
-        "leaf ids (the reference's per-node DFS column ids); this "
-        "engine's catalog stores dotted struct-leaf child rows only — "
-        "same class as schema_evolution/field_ids.test."),
     "test/sql/add_files/add_files_type_check_integer.test": (
         "adopting a MIX of uint8..uint64 files into one UHUGEINT "
         "(DECIMAL(38,0)) column: Spark's vectorized parquet reader "
@@ -84,54 +61,11 @@ DOCUMENTED_DIVERGENCES: dict[str, str] = {
         "micros int, not duckdb's clock text. All the adoption "
         "accept/reject checks in this file pass; only the one raw TIME "
         "display row diverges. Stats/catalog text renders clock form."),
-    "test/sql/stats/min_max_nested_leaf_rewrite_corruption.test": (
-        "the functional guard passes (s.a keeps [1,100] after flush + "
-        "rewrite; files never wrongly pruned) — the residual diff is "
-        "the pinned per-node column-id listing: the reference ids "
-        "EVERY schema node incl. list elements / map key+value (ids "
-        "5,7,8), this engine's catalog ids struct leaves only. Same "
-        "class as schema_evolution/field_ids.test."),
-    "test/sql/stats/variant_mixed_type_stats.test": (
-        "the stats semantics pass (per-file shredded rows int32/"
-        "varchar, global min/max+extra_stats dropped on inconsistent "
-        "roots, sticky invalidation, stats(v) SHREDDED/INCONSISTENT "
-        "display) — the residual diff is duckdb's VARIANT value "
-        "RENDERING: this engine stores VARIANT as JSON text, so "
-        "SELECT v shows '{\"a\": 1}' where duckdb shows {'a': 1}, and "
-        "ORDER BY v::VARCHAR sorts the JSON text form."),
-    "test/sql/geo/ducklake_geometry_nested_struct.test": (
-        "data, display, bbox harvest and stats(g) child rendering all "
-        "pass — the residual diff is the per-file stats ROW SHAPE: the "
-        "reference emits one stats row (the geometry leaf, carrying "
-        "the bbox), this engine emits the struct parent row (bbox) "
-        "plus the dotted leaf row. Same per-node-id catalog class as "
-        "schema_evolution/field_ids.test."),
-    "test/sql/geo/ducklake_geometry_nested_map.test": (
-        "map<int, geometry>: data, display and bbox harvest pass; "
-        "stats(g) needs the map KEY leaf's min/max, which duckdb holds "
-        "only in its in-memory statistics — this catalog records no "
-        "stats rows for map key/value leaves (same class as "
-        "field_ids.test), so the nested stats text cannot be derived."),
     "test/sql/types/timestamp.test": (
         "duckdb's 'infinity'/'-infinity' TIMESTAMP sentinels have no "
         "Spark representation (TimestampNTZ is bounded); casting "
         "raises. Finite-timestamp behavior in the file passes via the "
         "other statements."),
-    "test/sql/types/variant.test": (
-        "VARIANT is stored as JSON text: duckdb's per-value type tags "
-        "(INT32 vs DATE vs VARCHAR) do not survive, so variant_typeof "
-        "returns coarser classes and typed display/order differ. "
-        "Mixed-literal VALUES, nested inserts, shredded stats, "
-        "subfield pruning and global-stat merges all pass elsewhere "
-        "(variant_shredded_stats sections, appender_variant_stats)."),
-    "test/sql/data_inlining/data_inlining_variant.test": (
-        "same JSON-text VARIANT representation class as "
-        "types/variant.test (variant_typeof granularity)."),
-    "test/sql/stats/variant_shredded_stats.test": (
-        "stats(col) display, per-file shredded rows and global merges "
-        "pass; the residual diff is ORDER BY over variant values "
-        "(duckdb orders typed values, this engine orders the JSON "
-        "text) — same representation class as types/variant.test."),
     "test/sql/data_inlining/data_inlining_types.test": (
         "same TIME/TIMETZ raw-display class as "
         "add_files_type_check_timestamp.test, plus INTERVAL display "
@@ -168,9 +102,17 @@ def main() -> int:
         "skip": len(manifest["skip"]),
         "unadjudicated_fail": len(manifest["unadjudicated_fail"]),
     }
+    # an adjudication whose test now PASSes is stale — the manifest
+    # must shrink as divergences retire, not accumulate excuses
+    stale = [n for n in DOCUMENTED_DIVERGENCES
+             if n in sweep and sweep[n]["status"] == "PASS"]
     json.dump(manifest, sys.stdout, indent=1)
     print(file=sys.stderr)
     print("counts:", manifest["counts"], file=sys.stderr)
+    if stale:
+        print("STALE adjudications (test passes — remove):",
+              stale, file=sys.stderr)
+        return 1
     return 1 if manifest["unadjudicated_fail"] else 0
 
 
