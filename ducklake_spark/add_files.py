@@ -331,13 +331,27 @@ def add_data_files(lake: DuckLake, table: str, pattern, *,
         # DIFFERENT table (add_files_overlapping_globs.test test2 swept
         # files already registered to another table and expects them
         # added)
+        from ducklake_spark.lake import _resolve_rel_path as _rrp
+
+        def _rrp2(tp, p, prel):
+            # adopted-outside-table rows store ABSOLUTE paths
+            # (flag 0); normalize back under the data root so the
+            # re-adoption check compares root-relative on both sides
+            p = _rrp(tp, p, prel)
+            for root in (data_fs, str(lake.data_path).rstrip("/") + "/"):
+                if p.startswith(root):
+                    return p[len(root):]
+            return p
+
         registered = {
-            p for (p,) in lake.meta.query(
-                "SELECT path FROM ducklake_data_file WHERE table_id=?",
+            _rrp2(h.path, p, prel) for (p, prel) in lake.meta.query(
+                "SELECT path, path_is_relative FROM ducklake_data_file "
+                "WHERE table_id=?",
                 (h.table_id,))
         } | {
-            p for (p,) in lake.meta.query(
-                "SELECT path FROM ducklake_delete_file WHERE table_id=?",
+            _rrp2(h.path, p, prel) for (p, prel) in lake.meta.query(
+                "SELECT path, path_is_relative FROM ducklake_delete_file "
+                "WHERE table_id=?",
                 (h.table_id,))
         }
         if lake._txn is not None:

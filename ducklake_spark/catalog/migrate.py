@@ -232,3 +232,53 @@ def migrate_table_paths(meta: MetadataManager) -> int:
         meta.rollback()
         raise
     return len(rows)
+
+
+def migrate_file_paths(meta: MetadataManager) -> int:
+    """Strip the table-path prefix from ducklake_data_file /
+    ducklake_delete_file rows that still store the data-root-relative
+    form — the reference convention is TABLE-relative
+    (general/paths.test, merge_adjacent_external_hive_paths.test).
+    Run AFTER migrate_table_paths (the resolution joins the schema
+    path). Idempotent; absolute rows (path_is_relative = false) and
+    already-relative rows pass through. Returns rows rewritten."""
+    con = meta.con
+    total = 0
+    tpaths = {
+        tid: tp
+        for tid, tp in con.execute(
+            "SELECT t.table_id, CASE WHEN t.path_is_relative "
+            "THEN s.path || t.path ELSE t.path END "
+            "FROM ducklake_table t JOIN ducklake_schema s "
+            "ON t.schema_id = s.schema_id ORDER BY t.begin_snapshot"
+        ).fetchall()
+    }
+    updates: dict[str, list[tuple]] = {"ducklake_data_file": [],
+                                       "ducklake_delete_file": []}
+    for table, pk in (("ducklake_data_file", "data_file_id"),
+                      ("ducklake_delete_file", "delete_file_id")):
+        for rid, begin, tid, path in con.execute(
+            f"SELECT {pk}, begin_snapshot, table_id, path FROM {table} "
+            "WHERE path_is_relative"
+        ).fetchall():
+            tp = tpaths.get(tid)
+            if tp and path.startswith(tp) and len(path) > len(tp):
+                updates[table].append((path[len(tp):], rid, begin))
+    if not any(updates.values()):
+        return 0
+    meta.begin_write()
+    try:
+        for table, pk in (("ducklake_data_file", "data_file_id"),
+                          ("ducklake_delete_file", "delete_file_id")):
+            for newp, rid, begin in updates[table]:
+                con.execute(
+                    f"UPDATE {table} SET path=? "
+                    f"WHERE {pk}=? AND begin_snapshot=?",
+                    (newp, rid, begin),
+                )
+                total += 1
+        meta.commit()
+    except Exception:
+        meta.rollback()
+        raise
+    return total

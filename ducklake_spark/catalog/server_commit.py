@@ -63,6 +63,35 @@ def decode_payload(encoded: str) -> dict:
     return json.loads(base64.b64decode(encoded.encode()).decode())
 
 
+def _table_path(con, tid: int) -> str:
+    """Full data-root-relative path of a table (s.path || t.path)."""
+    row = con.execute(
+        "SELECT CASE WHEN t.path_is_relative "
+        "THEN s.path || t.path ELSE t.path END "
+        "FROM ducklake_table t JOIN ducklake_schema s "
+        "ON t.schema_id=s.schema_id "
+        "WHERE t.table_id=? AND t.end_snapshot IS NULL", (tid,),
+    ).fetchone()
+    return row[0] if row else ""
+
+
+def _cat_path(con, tid: int, path: str) -> tuple[str, int]:
+    """data-root-relative file path -> the catalog's TABLE-relative
+    storage form (reference convention; mirrors the client-side
+    transaction commit's _cat_path)."""
+    tp = _table_path(con, tid)
+    if tp and path.startswith(tp):
+        return path[len(tp):], 1
+    if "://" in path or path.startswith("/"):
+        return path, 0
+    drow = con.execute(
+        "SELECT value FROM ducklake_metadata "
+        "WHERE key='data_path' AND scope IS NULL"
+    ).fetchone()
+    root = (drow[0].rstrip("/") + "/") if drow and drow[0] else ""
+    return root + path, 0
+
+
 def _is_retryable(exc: Exception) -> bool:
     msg = str(exc).lower()
     return (
@@ -249,7 +278,7 @@ def _attempt(con, payload: dict) -> dict:
                         if f["begin_snapshot_override"] is not None
                         else snap_id,
                         f["file_order"],
-                        f["path"],
+                        *_cat_path(con, tid, f["path"]),
                         f["record_count"],
                         f["file_size_bytes"],
                         f["footer_size"],
@@ -268,7 +297,7 @@ def _attempt(con, payload: dict) -> dict:
             if file_rows:
                 con.executemany(
                     "INSERT INTO ducklake_data_file VALUES "
-                    "(?, ?, ?, NULL, ?, ?, 1, 'parquet', "
+                    "(?, ?, ?, NULL, ?, ?, ?, 'parquet', "
                     "?, ?, ?, ?, ?, ?, ?, ?, ?)",
                     file_rows,
                 )
@@ -304,7 +333,8 @@ def _attempt(con, payload: dict) -> dict:
         # ducklake_metadata_manager.cpp:4077-4112)
         for dfid in payload.get("replaced_delete_files", ()):
             row = con.execute(
-                "SELECT path FROM ducklake_delete_file "
+                "SELECT path, path_is_relative, table_id "
+                "FROM ducklake_delete_file "
                 "WHERE delete_file_id=?", (dfid,)
             ).fetchone()
             con.execute(
@@ -315,7 +345,10 @@ def _attempt(con, payload: dict) -> dict:
                 con.execute(
                     "INSERT INTO ducklake_files_scheduled_for_deletion "
                     "VALUES (?, ?, 1, ?)",
-                    (dfid, row[0], _now_ts()),
+                    (dfid,
+                     (_table_path(con, row[2]) + row[0])
+                     if row[1] else row[0],
+                     _now_ts()),
                 )
         for tid_s, pairs in payload.get("inlined_deletes", {}).items():
             tid = int(tid_s)
@@ -348,10 +381,10 @@ def _attempt(con, payload: dict) -> dict:
                     dfid = committed_path_fid[dfid]
                 con.execute(
                     "INSERT INTO ducklake_delete_file VALUES "
-                    "(?, ?, ?, NULL, ?, ?, 1, ?, ?, ?, ?, ?, ?, ?)",
+                    "(?, ?, ?, NULL, ?, ?, ?, ?, ?, ?, ?, ?, ?, ?)",
                     (next_file, tid,
                      dbegin if dbegin is not None else snap_id,
-                     dfid, dpath, dfmt,
+                     dfid, *_cat_path(con, tid, dpath), dfmt,
                      dcount, dsize, dfooter, denc, dpm, drgc),
                 )
                 next_file += 1
@@ -372,7 +405,8 @@ def _attempt(con, payload: dict) -> dict:
         for tid_s, fids in payload.get("purged_data_files", {}).items():
             for fid in fids:
                 row = con.execute(
-                    "SELECT path FROM ducklake_data_file WHERE data_file_id=?",
+                    "SELECT path, path_is_relative, table_id "
+                    "FROM ducklake_data_file WHERE data_file_id=?",
                     (fid,),
                 ).fetchone()
                 for tbl in ("ducklake_data_file",
@@ -386,7 +420,10 @@ def _attempt(con, payload: dict) -> dict:
                     con.execute(
                         "INSERT INTO ducklake_files_scheduled_for_deletion "
                         "VALUES (?, ?, 1, ?)",
-                        (fid, row[0], _now_ts()),
+                        (fid,
+                         (_table_path(con, row[2]) + row[0])
+                         if row[1] else row[0],
+                         _now_ts()),
                     )
         for tid_s, delta in payload.get("stats_delta", {}).items():
             # presence probe, not UPDATE+rowcount (duckdb DB-API

@@ -22,7 +22,12 @@ import os
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-from ducklake_spark.lake import ROWID_COL, DuckLake
+from ducklake_spark.lake import ROWID_COL, DuckLake, _resolve_rel_path
+
+
+def _rel(h, path, prel):
+    """Catalog TABLE-relative file path -> data-root-relative."""
+    return _resolve_rel_path(h.path, path, prel)
 
 
 def _with_rowid(schema):
@@ -59,22 +64,47 @@ def table_insertions(lake: DuckLake, name: str, start, end) -> DataFrame:
     h = lake._handle(name)
     schema = lake._spark_schema(h)
     files = lake.meta.query(
-        "SELECT data_file_id, path, record_count, row_id_start, partial_max, "
+        "SELECT data_file_id, path, path_is_relative, record_count, "
+        "row_id_start, partial_max, "
         "file_size_bytes, begin_snapshot FROM ducklake_data_file "
-        "WHERE table_id = ? AND begin_snapshot >= ? AND begin_snapshot <= ? "
-        "AND row_id_start IS NOT NULL "
+        "WHERE table_id = ? AND row_id_start IS NOT NULL "
+        "AND ((begin_snapshot >= ? AND begin_snapshot <= ?) "
+        "     OR (partial_max IS NOT NULL AND begin_snapshot <= ? "
+        "         AND partial_max >= ?)) "
         "ORDER BY data_file_id",
-        (h.table_id, start, end),
+        (h.table_id, start, end, end, start),
     )
+    from ducklake_spark.lake import SNAPID_COL as _SNAP
+
     frames = []
-    for fid, path, rc, rid_start, pmax, fsz, bsnap in files:
+    for fid, path, prel, rc, rid_start, pmax, fsz, bsnap in files:
+        path = _rel(h, path, prel)
+        raw = lake.spark.read.parquet(os.path.join(lake.data_path, path))
         df = (
-            lake.spark.read.schema(schema)
-            .parquet(os.path.join(lake.data_path, path))
+            raw
             .withColumn("rowid", F.lit(rid_start) + F.col("_metadata.row_index"))
-            .withColumn("snapshot_id", F.lit(bsnap))
         )
-        frames.append(df)
+        if pmax is not None and _SNAP in raw.columns:
+            # compacted POSITIONAL output spanning several snapshots:
+            # rows carry their original insert snapshot — filter to the
+            # range (the merged file replaced the per-snapshot sources,
+            # whose rows were purged by compaction)
+            df = (
+                df.filter((F.col(_SNAP) >= F.lit(start))
+                          & (F.col(_SNAP) <= F.lit(end)))
+                .withColumn("snapshot_id", F.col(_SNAP))
+            )
+        elif start <= bsnap <= end:
+            df = df.withColumn("snapshot_id", F.lit(bsnap))
+        else:
+            continue
+        frames.append(df.select(
+            *[
+                (F.col(f.name).cast(f.dataType)
+                 if f.name in raw.columns
+                 else F.lit(None).cast(f.dataType)).alias(f.name)
+                for f in schema.fields
+            ], "rowid", "snapshot_id"))
     # snapshots in range that actually performed inserts on this table —
     # distinguishes update-written files (insert CDC) from rewrite /
     # compaction / flush files (not new rows)
@@ -88,7 +118,8 @@ def table_insertions(lake: DuckLake, name: str, start, end) -> DataFrame:
         if f"inserted_into_table:{h.table_id}" in (changes or "")
     }
     upd_files = lake.meta.query(
-        "SELECT path, begin_snapshot, partial_max FROM ducklake_data_file "
+        "SELECT path, path_is_relative, begin_snapshot, partial_max "
+        "FROM ducklake_data_file "
         "WHERE table_id = ? AND row_id_start IS NULL "
         "AND ((begin_snapshot >= ? AND begin_snapshot <= ?) "
         "     OR (partial_max IS NOT NULL AND begin_snapshot <= ? AND partial_max >= ?)) "
@@ -97,7 +128,8 @@ def table_insertions(lake: DuckLake, name: str, start, end) -> DataFrame:
     )
     from ducklake_spark.lake import SNAPID_COL
 
-    for path, bsnap, pmax in upd_files:
+    for path, prel, bsnap, pmax in upd_files:
+        path = _rel(h, path, prel)
         df = lake.spark.read.parquet(os.path.join(lake.data_path, path))
         if pmax is not None and SNAPID_COL in df.columns:
             # compacted multi-snapshot file: rows carry their original
@@ -176,11 +208,14 @@ def table_deletions(lake: DuckLake, name: str, start, end) -> DataFrame:
 
     # predecessor delete-file lookup, batched ONCE for the table — a CDC
     # range over 100k delete files must not mean 100k catalog queries
-    all_dels = sorted(lake.meta.query(
-        "SELECT data_file_id, begin_snapshot, path, format "
-        "FROM ducklake_delete_file WHERE table_id=?",
-        (h.table_id,),
-    ))
+    all_dels = sorted(
+        (fid_, b_, _rel(h, p_, prel_), f_)
+        for fid_, b_, p_, prel_, f_ in lake.meta.query(
+            "SELECT data_file_id, begin_snapshot, path, "
+            "path_is_relative, format "
+            "FROM ducklake_delete_file WHERE table_id=?",
+            (h.table_id,),
+        ))
 
     def _prev_delete(data_fid: int, before_snap: int):
         """(path, format) of the latest delete file for data_fid with
@@ -205,13 +240,15 @@ def table_deletions(lake: DuckLake, name: str, start, end) -> DataFrame:
     from ducklake_spark.lake import SNAPID_COL
 
     dels = lake.meta.query(
-        "SELECT delete_file_id, data_file_id, path, begin_snapshot, "
+        "SELECT delete_file_id, data_file_id, path, path_is_relative, "
+        "begin_snapshot, "
         "format FROM ducklake_delete_file WHERE table_id=? "
         "AND begin_snapshot <= ? "
         "AND COALESCE(partial_max, begin_snapshot) >= ?",
         (h.table_id, end, start),
     )
-    for dfid, data_fid, path, bsnap, fmt in dels:
+    for dfid, data_fid, path, prel, bsnap, fmt in dels:
+        path = _rel(h, path, prel)
         cur = lake._delete_file_df(path, fmt, with_snap=True)
         cur = cur.withColumn(
             "__snap", F.coalesce(F.col(SNAPID_COL), F.lit(bsnap))
@@ -241,12 +278,14 @@ def table_deletions(lake: DuckLake, name: str, start, end) -> DataFrame:
         if f"deleted_from_table:{h.table_id}" in (changes or "")
     }
     dropped = lake.meta.query(
-        "SELECT data_file_id, path, row_id_start, end_snapshot "
+        "SELECT data_file_id, path, path_is_relative, row_id_start, "
+        "end_snapshot "
         "FROM ducklake_data_file WHERE table_id=? "
         "AND end_snapshot >= ? AND end_snapshot <= ?",
         (h.table_id, start, end),
     )
-    for fid, path, rid_start, esnap in dropped:
+    for fid, path, prel, rid_start, esnap in dropped:
+        path = _rel(h, path, prel)
         if esnap not in delete_snaps:
             continue  # compaction/rewrite, not a logical delete
         read_schema = schema if rid_start is not None else _with_rowid(schema)
@@ -351,12 +390,14 @@ def _rows_at_positions(lake, h, schema, data_fid, positions: DataFrame,
     ``__snap`` column (consolidated delete files embedding the snapshot
     each position was deleted at, ducklake_delete.cpp:426-489)."""
     row = lake.meta.query(
-        "SELECT path, row_id_start FROM ducklake_data_file WHERE data_file_id=?",
+        "SELECT path, path_is_relative, row_id_start "
+        "FROM ducklake_data_file WHERE data_file_id=?",
         (data_fid,),
     )
     if not row:
         return None
-    path, rid_start = row[0]
+    path, prel, rid_start = row[0]
+    path = _rel(h, path, prel)
     read_schema = schema if rid_start is not None else _with_rowid(schema)
     df = (
         lake.spark.read.schema(read_schema)

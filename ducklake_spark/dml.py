@@ -376,8 +376,11 @@ def _apply_file_deletes_fused(lake: DuckLake, h: TableHandle, snap,
     existing: dict = {}
     existing_ids: dict = {}
     prev_begin: dict = {}
-    for fid, path, fmt, dc, ekey, dfid, dbegin in lake.meta.query(
-        "SELECT data_file_id, path, format, delete_count, encryption_key, "
+    from ducklake_spark.lake import _resolve_rel_path as _rrp
+
+    for fid, path, prel, fmt, dc, ekey, dfid, dbegin in lake.meta.query(
+        "SELECT data_file_id, path, path_is_relative, format, "
+        "delete_count, encryption_key, "
         "delete_file_id, begin_snapshot FROM ducklake_delete_file "
         "WHERE table_id=? AND begin_snapshot <= ? "
         "AND (end_snapshot IS NULL OR end_snapshot > ?)",
@@ -385,7 +388,7 @@ def _apply_file_deletes_fused(lake: DuckLake, h: TableHandle, snap,
     ):
         if dfid in already_replaced:
             continue  # superseded earlier in this open transaction
-        existing[fid] = (path, fmt, dc, ekey)
+        existing[fid] = (_rrp(h.path, path, prel), fmt, dc, ekey)
         existing_ids[fid] = dfid
         prev_begin[fid] = dbegin
     # delete files BUFFERED by this open transaction supersede the

@@ -405,10 +405,14 @@ class DuckLake:
             # reference convention (and the handle resolver) is
             # schema-relative (general/paths.test). Idempotent, no-op
             # on reference-written catalogs.
-            from ducklake_spark.catalog.migrate import migrate_table_paths
+            from ducklake_spark.catalog.migrate import (
+                migrate_file_paths,
+                migrate_table_paths,
+            )
 
             try:
                 migrate_table_paths(self.meta)
+                migrate_file_paths(self.meta)
             except Exception:
                 pass  # read-only backends / locked catalogs: leave as-is
         if read_only:
@@ -3002,8 +3006,15 @@ class DuckLake:
                                else tf.split("(")[0])
                     else:
                         key = f"p{idx}"
+                    # duckdb's hive-dir encoding escapes only %, /, =
+                    # and control chars — notably NOT space
+                    # (merge_adjacent_external_hive_paths.test pins the
+                    # 'weird=a%2Fb%3Dc%25 d' segment byte-for-byte)
                     vtxt = ("__HIVE_DEFAULT_PARTITION__" if v is None
-                            else urllib.parse.quote(v, safe=""))
+                            else "".join(
+                                f"%{ord(c):02X}"
+                                if c in "%/=" or ord(c) < 0x20 else c
+                                for c in v))
                     dest_dir = "/".join((dest_dir, f"{key}={vtxt}"))
                 self.lfs.makedirs(dest_dir)
             final = f"{dest_dir}/ducklake-{uuid.uuid4().hex}.parquet"
@@ -3719,8 +3730,12 @@ class DuckLake:
     def _visible_files(self, h: TableHandle, snap: Snapshot,
                        where: str | None, *,
                        txn_overlay: bool = False) -> list[dict]:
+        # catalog paths are TABLE-relative (reference convention);
+        # resolve to the engine's data-root-relative form here so every
+        # downstream consumer keeps seeing the full path
         sql = (
-            "SELECT data_file_id, path, record_count, row_id_start, partial_max, "
+            "SELECT data_file_id, path, path_is_relative, record_count, "
+            "row_id_start, partial_max, "
             "file_size_bytes, mapping_id, begin_snapshot, encryption_key "
             "FROM ducklake_data_file "
             "WHERE table_id = ? AND begin_snapshot <= ? "
@@ -3730,13 +3745,16 @@ class DuckLake:
         pruned_sql, pruned_params = self._pruning_clauses(h, where)
         rows = self.meta.query(sql + pruned_sql + " ORDER BY data_file_id",
                                tuple(params + pruned_params))
-        out = [
-            dict(zip(
-                ["data_file_id", "path", "record_count", "row_id_start",
+        out = []
+        for r in rows:
+            d = dict(zip(
+                ["data_file_id", "path", "path_is_relative",
+                 "record_count", "row_id_start",
                  "partial_max", "file_size_bytes", "mapping_id",
                  "begin_snapshot", "encryption_key"], r))
-            for r in rows
-        ]
+            d["path"] = _resolve_rel_path(h.path, d["path"],
+                                          d.pop("path_is_relative"))
+            out.append(d)
         if txn_overlay and self._txn is not None:
             txn = self._txn
             # files this txn removed (whole-file deletes / rewrites) OR
@@ -4594,8 +4612,8 @@ class DuckLake:
         if not file_ids:
             return []
         rows = self.meta.query(
-            "SELECT data_file_id, path, delete_count, format, "
-            "encryption_key, delete_file_id "
+            "SELECT data_file_id, path, path_is_relative, delete_count, "
+            "format, encryption_key, delete_file_id "
             "FROM ducklake_delete_file "
             "WHERE table_id = ? AND begin_snapshot <= ? "
             "AND (end_snapshot IS NULL OR end_snapshot > ?)",
@@ -4606,8 +4624,8 @@ class DuckLake:
         if txn_overlay and self._txn is not None:
             replaced = set(self._txn.replaced_delete_files)
         out = [
-            (fid, p, dc, fmt, ekey)
-            for fid, p, dc, fmt, ekey, dfid in rows
+            (fid, _resolve_rel_path(h.path, p, prel), dc, fmt, ekey)
+            for fid, p, prel, dc, fmt, ekey, dfid in rows
             if fid in keep and dfid not in replaced
         ]
         if txn_overlay and self._txn is not None:
@@ -5271,10 +5289,14 @@ class DuckLake:
                 .select(*cols)
             )
         if self.encrypted:
+            # stored paths are TABLE-relative; rel_path arrives
+            # data-root-relative — suffix-match (file names carry a
+            # uuid, so the suffix is unique)
             krow = self.meta.query(
                 "SELECT encryption_key FROM ducklake_delete_file "
-                "WHERE path=? AND encryption_key IS NOT NULL LIMIT 1",
-                (rel_path,),
+                "WHERE (path=? OR ? LIKE '%' || path) "
+                "AND encryption_key IS NOT NULL LIMIT 1",
+                (rel_path, rel_path),
             )
             if krow:
                 return self._read_encrypted_delete_files(
@@ -6224,6 +6246,16 @@ def _bbox_intersects_udf(box: tuple):
     # stringify inline hints, which pandas_udf cannot resolve here
     intersects.__annotations__ = {"col": pd.Series, "return": pd.Series}
     return pandas_udf(intersects, "boolean")
+
+
+def _resolve_rel_path(table_path: str, path: str, is_rel) -> str:
+    """Catalog file path -> the engine's data-root-relative form.
+    Catalog rows store TABLE-relative paths (reference convention);
+    absolute rows (adopted external files, path_is_relative = false)
+    pass through — downstream os.path.join treats them as final."""
+    if is_rel:
+        return (table_path or "") + path
+    return path
 
 
 def _variant_path_key(path: str) -> str:

@@ -30,8 +30,14 @@ from ducklake_spark.lake import (
     DuckLake,
     DuckLakeError,
     _expr_references,
+    _resolve_rel_path,
 )
 from ducklake_spark.transaction import DataFileInfo
+
+
+def _rel(h, path, prel):
+    """Catalog TABLE-relative file path -> data-root-relative."""
+    return _resolve_rel_path(h.path, path, prel)
 
 DEFAULT_TARGET_FILE_SIZE = 512 * 1024 * 1024
 
@@ -699,16 +705,23 @@ def _rewrite_data_files_in_txn(lake, tables, delete_threshold,
         # catalog is still a rewrite victim (reference:
         # test/sql/rewrite_data_files/test_rewrite_inlined_file_deletes
         # .test — files_processed=1 with zero delete files on disk)
-        rows = lake.meta.query(
-            "SELECT d.data_file_id, d.path, d.record_count, d.row_id_start, "
-            "del.delete_count, del.path, del.format, d.encryption_key, "
-            "d.begin_snapshot, d.mapping_id, d.file_size_bytes "
-            "FROM ducklake_data_file d LEFT JOIN ducklake_delete_file del "
-            "ON del.data_file_id = d.data_file_id AND del.end_snapshot IS NULL "
-            "WHERE d.table_id=? AND d.end_snapshot IS NULL "
-            "ORDER BY d.data_file_id",
-            (h.table_id,),
-        )
+        rows = [
+            (r[0], _rel(h, r[1], r[2]), r[3], r[4], r[5],
+             None if r[6] is None else _rel(h, r[6], r[7]),
+             r[8], r[9], r[10], r[11], r[12])
+            for r in lake.meta.query(
+                "SELECT d.data_file_id, d.path, d.path_is_relative, "
+                "d.record_count, d.row_id_start, "
+                "del.delete_count, del.path, del.path_is_relative, "
+                "del.format, d.encryption_key, "
+                "d.begin_snapshot, d.mapping_id, d.file_size_bytes "
+                "FROM ducklake_data_file d LEFT JOIN ducklake_delete_file del "
+                "ON del.data_file_id = d.data_file_id AND del.end_snapshot IS NULL "
+                "WHERE d.table_id=? AND d.end_snapshot IS NULL "
+                "ORDER BY d.data_file_id",
+                (h.table_id,),
+            )
+        ]
         schema = lake._spark_schema(h)
         inl_pos = _inlined_delete_positions(lake, h)
         all_fdicts = [{"data_file_id": r[0], "begin_snapshot": r[8]}
@@ -978,19 +991,36 @@ def expire_snapshots(lake: DuckLake, *, older_than: str | None = None,
         from ducklake_spark.catalog.metadata import _now_ts
 
         live = [s for (s,) in con.execute("SELECT snapshot_id FROM ducklake_snapshot").fetchall()]
+        # tombstoned paths store the DATA-ROOT-relative form (the
+        # owning table row may be purged before cleanup runs), so
+        # resolve the catalog's TABLE-relative file paths now; capture
+        # every table version's path before any purging below
+        tbl_paths: dict[int, str] = {}
+        for tid3, tp3 in con.execute(
+            "SELECT t.table_id, CASE WHEN t.path_is_relative "
+            "THEN s.path || t.path ELSE t.path END "
+            "FROM ducklake_table t JOIN ducklake_schema s "
+            "ON t.schema_id = s.schema_id ORDER BY t.begin_snapshot"
+        ).fetchall():
+            tbl_paths[tid3] = tp3
+
+        def _sched_path(tid3, path3, prel3):
+            return (tbl_paths.get(tid3, "") + path3) if prel3 else path3
+
         for table, pk in (("ducklake_data_file", "data_file_id"),
                           ("ducklake_delete_file", "delete_file_id")):
             rows = con.execute(
-                f"SELECT {pk}, begin_snapshot, end_snapshot, path FROM {table} "
+                f"SELECT {pk}, begin_snapshot, end_snapshot, path, "
+                f"path_is_relative, table_id FROM {table} "
                 "WHERE end_snapshot IS NOT NULL"
             ).fetchall()
-            for rid, b, e, path in rows:
+            for rid, b, e, path, prel, tid3 in rows:
                 if not any(b <= s < e for s in live):
                     con.execute(f"DELETE FROM {table} WHERE {pk}=?", (rid,))
                     con.execute(
                         "INSERT INTO ducklake_files_scheduled_for_deletion "
                         "VALUES (NULL, ?, 1, ?)",
-                        (path, _now_ts()),
+                        (_sched_path(tid3, path, prel), _now_ts()),
                     )
         # files purged above leave no orphaned per-file metadata
         con.execute(
@@ -1058,15 +1088,16 @@ def expire_snapshots(lake: DuckLake, *, older_than: str | None = None,
         for table, pk in (("ducklake_data_file", "data_file_id"),
                           ("ducklake_delete_file", "delete_file_id")):
             rows = con.execute(
-                f"SELECT {pk}, path FROM {table} WHERE table_id NOT IN "
+                f"SELECT {pk}, path, path_is_relative, table_id "
+                f"FROM {table} WHERE table_id NOT IN "
                 "(SELECT table_id FROM ducklake_table)"
             ).fetchall()
-            for rid, path in rows:
+            for rid, path, prel, tid3 in rows:
                 con.execute(f"DELETE FROM {table} WHERE {pk}=?", (rid,))
                 con.execute(
                     "INSERT INTO ducklake_files_scheduled_for_deletion "
                     "VALUES (NULL, ?, 1, ?)",
-                    (path, _now_ts()),
+                    (_sched_path(tid3, path, prel), _now_ts()),
                 )
             con.execute(
                 f"DELETE FROM ducklake_file_column_stats WHERE "
@@ -1206,14 +1237,33 @@ def delete_orphaned_files(lake: DuckLake, *, older_than: str | None = None,
         else:
             iv = lake.meta.option("delete_older_than", "2 days") or "2 days"
             cutoff = datetime.datetime.now(datetime.timezone.utc) - _parse_interval(iv)
+    _resolve_sql = (
+        "SELECT CASE WHEN f.path_is_relative THEN "
+        "(CASE WHEN t.path_is_relative THEN s.path || t.path "
+        " ELSE t.path END) || f.path ELSE f.path END "
+        "FROM ducklake_{kind}_file f "
+        # join EVERY table-row version (a dropped table's files must
+        # stay in the known set or cleanup would orphan-delete them);
+        # duplicate resolutions are harmless in a set union
+        "JOIN ducklake_table t ON f.table_id = t.table_id "
+        "JOIN ducklake_schema s ON t.schema_id = s.schema_id")
     known = {
         p
-        for (p,) in lake.meta.query("SELECT path FROM ducklake_data_file")
+        for (p,) in lake.meta.query(_resolve_sql.format(kind="data"))
     } | {
-        p for (p,) in lake.meta.query("SELECT path FROM ducklake_delete_file")
+        p for (p,) in lake.meta.query(_resolve_sql.format(kind="delete"))
     } | {
         p for (p,) in lake.meta.query(
             "SELECT path FROM ducklake_files_scheduled_for_deletion")
+    }
+    # ABSOLUTE rows (adopted files outside their table's directory,
+    # path_is_relative = false) normalize back under the data root so
+    # they match the scan's root-relative candidates
+    # (remove_orphans/mixed_paths.test)
+    _roots = (lake.lfs.strip_scheme(lake.data_path).rstrip("/") + "/",
+              str(lake.data_path).rstrip("/") + "/")
+    known |= {
+        p[len(r):] for p in list(known) for r in _roots if p.startswith(r)
     }
     orphans = []
     doomed = []
@@ -1602,16 +1652,21 @@ def _flush_inlined_deletes(lake: DuckLake, h) -> int:
     delete_dir = os.path.join(lake.data_path, h.path)
     for fid, positions in by_fid.items():
         frow = lake.meta.query(
-            "SELECT path FROM ducklake_data_file WHERE data_file_id=?", (fid,)
+            "SELECT path, path_is_relative FROM ducklake_data_file "
+            "WHERE data_file_id=?", (fid,)
         )
         if not frow:
             continue
-        rel = frow[0][0]
-        prev = lake.meta.query(
-            "SELECT delete_file_id, path, format, encryption_key, "
-            "begin_snapshot FROM ducklake_delete_file "
-            "WHERE data_file_id=? AND end_snapshot IS NULL", (fid,)
-        )
+        rel = _rel(h, frow[0][0], frow[0][1])
+        prev = [
+            (r[0], _rel(h, r[1], r[2]), r[3], r[4], r[5])
+            for r in lake.meta.query(
+                "SELECT delete_file_id, path, path_is_relative, format, "
+                "encryption_key, "
+                "begin_snapshot FROM ducklake_delete_file "
+                "WHERE data_file_id=? AND end_snapshot IS NULL", (fid,)
+            )
+        ]
         if prev:
             # inherited positions take the previous file's
             # begin_snapshot (reference MergeDeletesWithSnapshots)

@@ -99,14 +99,29 @@ class DuckLakeChangesStreamReader(DataSourceStreamReader):
             if row is None:
                 return []
             tid = row[0]
+            trow = con.execute(
+                "SELECT CASE WHEN t.path_is_relative "
+                "THEN s.path || t.path ELSE t.path END "
+                "FROM ducklake_table t JOIN ducklake_schema s "
+                "ON t.schema_id=s.schema_id "
+                "WHERE t.table_id=? AND t.end_snapshot IS NULL", (tid,),
+            ).fetchone()
+            tpath = trow[0] if trow else ""
+
+            def _fp(path, prel):
+                # catalog file paths are TABLE-relative
+                return (tpath + path) if prel else path
+
             parts: list[InputPartition] = []
             # inserted files in (lo, hi]
-            for path, rid, bsnap in con.execute(
-                "SELECT path, row_id_start, begin_snapshot FROM ducklake_data_file "
+            for path, prel, rid, bsnap in con.execute(
+                "SELECT path, path_is_relative, row_id_start, "
+                "begin_snapshot FROM ducklake_data_file "
                 "WHERE table_id=? AND begin_snapshot > ? AND begin_snapshot <= ? "
                 "AND row_id_start IS NOT NULL",
                 (tid, lo, hi),
             ).fetchall():
+                path = _fp(path, prel)
                 parts.append(
                     _FilePartition(
                         path=os.path.join(self.data_path, path),
@@ -117,33 +132,40 @@ class DuckLakeChangesStreamReader(DataSourceStreamReader):
                     )
                 )
             # delete files committed in (lo, hi] -> deletions feed
-            for dpath, data_fid, bsnap in con.execute(
-                "SELECT path, data_file_id, begin_snapshot FROM ducklake_delete_file "
+            for dpath, dprel, data_fid, bsnap in con.execute(
+                "SELECT path, path_is_relative, data_file_id, "
+                "begin_snapshot FROM ducklake_delete_file "
                 "WHERE table_id=? AND begin_snapshot > ? AND begin_snapshot <= ?",
                 (tid, lo, hi),
             ).fetchall():
+                dpath = _fp(dpath, dprel)
                 base = con.execute(
-                    "SELECT path, row_id_start FROM ducklake_data_file "
+                    "SELECT path, path_is_relative, row_id_start "
+                    "FROM ducklake_data_file "
                     "WHERE data_file_id=?",
                     (data_fid,),
                 ).fetchone()
                 if base is None:
                     continue
                 prev = con.execute(
-                    "SELECT path FROM ducklake_delete_file WHERE data_file_id=? "
+                    "SELECT path, path_is_relative "
+                    "FROM ducklake_delete_file WHERE data_file_id=? "
                     "AND begin_snapshot < ? ORDER BY begin_snapshot DESC LIMIT 1",
                     (data_fid, bsnap),
                 ).fetchone()
                 parts.append(
                     _FilePartition(
-                        path=os.path.join(self.data_path, base[0]),
-                        row_id_start=base[1],
+                        path=os.path.join(self.data_path,
+                                          _fp(base[0], base[1])),
+                        row_id_start=base[2],
                         snapshot_id=bsnap,
                         change_type="delete",
                         col_names=self.col_names,
                         delete_path=os.path.join(self.data_path, dpath),
                         prev_delete_path=(
-                            os.path.join(self.data_path, prev[0]) if prev else None
+                            os.path.join(self.data_path,
+                                         _fp(prev[0], prev[1]))
+                            if prev else None
                         ),
                     )
                 )
@@ -157,19 +179,24 @@ class DuckLakeChangesStreamReader(DataSourceStreamReader):
                 ).fetchall()
                 if f"deleted_from_table:{tid}" in (changes or "")
             }
-            for path, rid, esnap, fid in con.execute(
-                "SELECT path, row_id_start, end_snapshot, data_file_id "
+            for path, prel, rid, esnap, fid in con.execute(
+                "SELECT path, path_is_relative, row_id_start, "
+                "end_snapshot, data_file_id "
                 "FROM ducklake_data_file WHERE table_id=? "
                 "AND end_snapshot > ? AND end_snapshot <= ?",
                 (tid, lo, hi),
             ).fetchall():
+                path = _fp(path, prel)
                 if esnap not in delete_snaps:
                     continue  # compaction/rewrite, not a logical delete
                 prev = con.execute(
-                    "SELECT path FROM ducklake_delete_file WHERE data_file_id=? "
+                    "SELECT path, path_is_relative "
+                    "FROM ducklake_delete_file WHERE data_file_id=? "
                     "AND begin_snapshot < ? ORDER BY begin_snapshot DESC LIMIT 1",
                     (fid, esnap),
                 ).fetchone()
+                if prev:
+                    prev = (_fp(prev[0], prev[1]),)
                 parts.append(
                     _FilePartition(
                         path=os.path.join(self.data_path, path),

@@ -155,8 +155,8 @@ def list_files(lake: DuckLake, table: str, *, at_version: int | None = None,
     snap = lake._resolve_snapshot(at_version, at_timestamp)
     rows = lake.meta.query(
         """
-        SELECT d.path, d.file_size_bytes, d.footer_size,
-               del.path, del.file_size_bytes, del.footer_size
+        SELECT d.path, d.path_is_relative, d.file_size_bytes, d.footer_size,
+               del.path, del.path_is_relative, del.file_size_bytes, del.footer_size
         FROM ducklake_data_file d
         LEFT JOIN ducklake_delete_file del ON del.data_file_id = d.data_file_id
              AND del.begin_snapshot <= ? AND (del.end_snapshot IS NULL OR del.end_snapshot > ?)
@@ -166,16 +166,19 @@ def list_files(lake: DuckLake, table: str, *, at_version: int | None = None,
         """,
         (snap.snapshot_id, snap.snapshot_id, h.table_id, snap.snapshot_id, snap.snapshot_id),
     )
-    def full(p):
+    def full(p, prel=1):
         # catalog stores table-relative paths; the function's contract is
         # directly-readable paths (reference ducklake_list_files.test
         # feeds the output straight into read_parquet/add_data_files)
         if p is None or "://" in p or os.path.isabs(p):
             return p
+        if prel:
+            p = h.path + p
         return lake.data_path + p
 
     return lake.spark.createDataFrame(
-        [(full(r[0]), r[1], r[2], full(r[3]), r[4], r[5]) for r in rows],
+        [(full(r[0], r[1]), r[2], r[3], full(r[4], r[5]), r[6], r[7])
+         for r in rows],
         "data_file string, data_file_size_bytes long, data_file_footer_size long, "
         "delete_file string, delete_file_size_bytes long, delete_file_footer_size long",
     )

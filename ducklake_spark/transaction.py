@@ -1348,6 +1348,48 @@ class Transaction:
             # written against a not-yet-committed data file (flush)
             # reference it by path and resolve here
             committed_path_fid: dict[str, int] = {}
+
+            # catalog file paths store the TABLE-relative form
+            # (reference convention — general/paths.test,
+            # merge_adjacent_external_hive_paths.test); in-memory
+            # DataFileInfo paths stay data-root-relative, so strip the
+            # table prefix at the catalog boundary. Files outside the
+            # table directory (adopted hive/external files) store
+            # their full path with path_is_relative = false.
+            tpath_cache: dict[int, str] = {}
+
+            def _tpath(tid2: int) -> str:
+                tp = tpath_cache.get(tid2)
+                if tp is None:
+                    row2 = con.execute(
+                        "SELECT CASE WHEN t.path_is_relative "
+                        "THEN s.path || t.path ELSE t.path END "
+                        "FROM ducklake_table t JOIN ducklake_schema s "
+                        "ON t.schema_id=s.schema_id "
+                        "WHERE t.table_id=? AND t.end_snapshot IS NULL",
+                        (tid2,),
+                    ).fetchone()
+                    tp = tpath_cache[tid2] = (row2[0] if row2 else "")
+                return tp
+
+            drow = con.execute(
+                "SELECT value FROM ducklake_metadata "
+                "WHERE key='data_path' AND scope IS NULL"
+            ).fetchone()
+            _data_root = ((drow[0].rstrip("/") + "/") if drow and drow[0]
+                          else "")
+
+            def _cat_path(tid2: int, path: str) -> tuple[str, int]:
+                tp = _tpath(tid2)
+                if tp and path.startswith(tp):
+                    return path[len(tp):], 1
+                # outside the table directory (adopted hive/external
+                # files): absolute path, flag false — readers
+                # re-relativize under the data root on load
+                if "://" in path or path.startswith("/"):
+                    return path, 0
+                return _data_root + path, 0
+
             for key, files in self.new_data_files.items():
                 tid = self._resolve_table_id(key)
                 stats = con.execute(
@@ -1391,7 +1433,7 @@ class Transaction:
                             if f.begin_snapshot_override is not None
                             else snap_id,
                             f.file_order,
-                            f.path,
+                            *_cat_path(tid, f.path),
                             f.record_count,
                             f.file_size_bytes,
                             f.footer_size,
@@ -1428,7 +1470,7 @@ class Transaction:
                     self._insert_variant_stats(con, fid, tid, f.variant_stats)
                 con.executemany(
                     "INSERT INTO ducklake_data_file VALUES "
-                    "(?, ?, ?, NULL, ?, ?, 1, 'parquet', ?, ?, ?, ?, ?, ?, ?, ?, ?)",
+                    "(?, ?, ?, NULL, ?, ?, ?, 'parquet', ?, ?, ?, ?, ?, ?, ?, ?, ?)",
                     file_rows,
                 )
                 if pv_rows:
@@ -1475,7 +1517,8 @@ class Transaction:
             # ducklake_metadata_manager.cpp:4077-4112)
             for dfid in self.replaced_delete_files:
                 row = con.execute(
-                    "SELECT path FROM ducklake_delete_file "
+                    "SELECT path, path_is_relative, table_id "
+                    "FROM ducklake_delete_file "
                     "WHERE delete_file_id=?", (dfid,)
                 ).fetchone()
                 con.execute(
@@ -1483,10 +1526,12 @@ class Transaction:
                     (dfid,),
                 )
                 if row:
+                    # tombstones store the data-root-relative form
+                    p0 = (_tpath(row[2]) + row[0]) if row[1] else row[0]
                     con.execute(
                         "INSERT INTO ducklake_files_scheduled_for_deletion "
                         "VALUES (?, ?, 1, ?)",
-                        (dfid, row[0], _now_ts()),
+                        (dfid, p0, _now_ts()),
                     )
             for tid, pairs in self.inlined_deletes.items():
                 # reference-exact layout: exactly (file_id, row_id,
@@ -1517,7 +1562,7 @@ class Transaction:
                         target_fid = committed_path_fid[target_fid]
                     con.execute(
                         "INSERT INTO ducklake_delete_file VALUES "
-                        "(?, ?, ?, NULL, ?, ?, 1, ?, ?, ?, ?, ?, ?, ?)",
+                        "(?, ?, ?, NULL, ?, ?, ?, ?, ?, ?, ?, ?, ?, ?)",
                         (
                             next_file,
                             tid,
@@ -1525,7 +1570,7 @@ class Transaction:
                             if df.begin_snapshot_override is not None
                             else snap_id,
                             target_fid,
-                            df.path,
+                            *_cat_path(tid, df.path),
                             df.format,
                             df.delete_count,
                             df.file_size_bytes,
@@ -1562,7 +1607,8 @@ class Transaction:
             for tid, fids in self.purged_data_files.items():
                 for fid in fids:
                     row = con.execute(
-                        "SELECT path FROM ducklake_data_file WHERE data_file_id=?",
+                        "SELECT path, path_is_relative, table_id "
+                        "FROM ducklake_data_file WHERE data_file_id=?",
                         (fid,),
                     ).fetchone()
                     con.execute(
@@ -1581,10 +1627,12 @@ class Transaction:
                         (fid,),
                     )
                     if row:
+                        p0 = ((_tpath(row[2]) + row[0]) if row[1]
+                              else row[0])
                         con.execute(
                             "INSERT INTO ducklake_files_scheduled_for_deletion "
                             "VALUES (?, ?, 1, ?)",
-                            (fid, row[0], _now_ts()),
+                            (fid, p0, _now_ts()),
                         )
 
             # --- row-preserving removals (rewrite/compaction) attempt an

@@ -31,10 +31,16 @@ def test_dv_delete_roundtrip(lake, spark):
     snap0 = lake.meta.latest_snapshot().snapshot_id
     assert delete(lake, "t", "i % 10 = 0") == 100
     # catalog row says puffin, delete_count 100, non-trivial footer meta
-    rows = lake.meta.query(
-        "SELECT format, delete_count, path FROM ducklake_delete_file "
-        "WHERE end_snapshot IS NULL"
-    )
+    # catalog paths are TABLE-relative (reference convention) —
+    # resolve against the table's path for the direct-disk check
+    h = lake._handle("t")
+    rows = [
+        (fmt, dc, (h.path + p) if prel else p)
+        for fmt, dc, p, prel in lake.meta.query(
+            "SELECT format, delete_count, path, path_is_relative "
+            "FROM ducklake_delete_file WHERE end_snapshot IS NULL"
+        )
+    ]
     assert rows and all(fmt == "puffin" for fmt, _, _ in rows)
     assert sum(dc for _, dc, _ in rows) == 100
     # the file on disk really is a deletion vector

@@ -59,6 +59,7 @@ def test_encrypted_roundtrip(elake, spark):
     (path,) = lk.meta.query(
         "SELECT path FROM ducklake_data_file WHERE end_snapshot IS NULL LIMIT 1"
     )[0]
+    path = lk._handle("t").path + path  # catalog paths are table-relative
     with open(os.path.join(lk.data_path, path), "rb") as fh:
         raw = fh.read()
     assert b"secret_" not in raw
@@ -125,6 +126,7 @@ def test_encrypted_footer_unreadable_without_key(elake, spark):
     (path, key, rc) = lk.meta.query(
         "SELECT path, encryption_key, record_count FROM ducklake_data_file "
         "WHERE end_snapshot IS NULL LIMIT 1")[0]
+    path = lk._handle("t").path + path  # catalog paths are table-relative
     full = _os.path.join(lk.data_path, path)
     with open(full, "rb") as fh:
         raw = fh.read()
@@ -153,9 +155,12 @@ def test_encrypted_delete_files(elake, spark, tmp_path):
     lk.create_table("t", [("i", "int64")])
     lk.insert("t", spark.range(100).withColumnRenamed("id", "i"))
     assert lk.delete("t", "i % 10 = 3") == 10
-    rows = lk.meta.query(
-        "SELECT path, encryption_key, delete_count FROM ducklake_delete_file "
-        "WHERE end_snapshot IS NULL")
+    rows = [
+        (lk._handle("t").path + p, k, c)  # table-relative catalog paths
+        for p, k, c in lk.meta.query(
+            "SELECT path, encryption_key, delete_count "
+            "FROM ducklake_delete_file WHERE end_snapshot IS NULL")
+    ]
     assert rows and all(k for _p, k, _c in rows)
     total = 0
     for rel, key, dc in rows:

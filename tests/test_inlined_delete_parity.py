@@ -71,9 +71,13 @@ def test_flush_removes_rows_and_embeds_snapshots(mklake, spark):
     assert lk.table("t", at_version=s_after_first).count() == 97
     # each flushed delete parquet (one per data file) embeds
     # per-position snapshots and the catalog row records the span
-    drows = lk.meta.query(
-        "SELECT path, begin_snapshot, partial_max FROM ducklake_delete_file "
-        "WHERE end_snapshot IS NULL")
+    h = lk._handle("t")
+    drows = [
+        ((h.path + p) if prel else p, b, pm)
+        for p, prel, b, pm in lk.meta.query(
+            "SELECT path, path_is_relative, begin_snapshot, partial_max "
+            "FROM ducklake_delete_file WHERE end_snapshot IS NULL")
+    ]
     assert drows
     import os
 

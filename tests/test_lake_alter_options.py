@@ -192,7 +192,8 @@ def test_option_parquet_version_and_level(lake, spark):
     (path,) = lake.meta.query(
         "SELECT path FROM ducklake_data_file WHERE end_snapshot IS NULL"
     )[0]
-    pf = pq.ParquetFile(os.path.join(lake.data_path, path))
+    pf = pq.ParquetFile(os.path.join(
+        lake.data_path, lake._handle("pvv").path + path))
     assert pf.metadata.row_group(0).column(0).compression.lower() == "zstd"
 
 

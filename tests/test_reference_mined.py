@@ -895,7 +895,7 @@ def test_special_name_paths_use_uuid(lake, spark, tmp_path):
     lake.create_table("plain", [("i", "int32")])
     (p,) = lake.meta.query(
         "SELECT path FROM ducklake_table WHERE table_name='plain'")[0]
-    assert p == "main/plain/"
+    assert p == "plain/"  # schema-relative (reference convention)
 
 
 # -- partitioning/partition_null.test ------------------------------------
@@ -943,8 +943,9 @@ def test_compaction_rotation_mode(lake, spark):
         "SELECT path, row_id_start FROM ducklake_data_file "
         "WHERE end_snapshot IS NULL")
     assert len(rows) == 1 and rows[0][1] == 0  # positional
-    cols = pq.ParquetFile(
-        os.path.join(lake.data_path, rows[0][0])).schema_arrow.names
+    cols = pq.ParquetFile(os.path.join(
+        lake.data_path, lake._handle("adj").path + rows[0][0]
+    )).schema_arrow.names
     assert ROWID_COL not in cols
     # rowids preserved positionally
     got = sorted((r.rowid, r.id) for r in
@@ -963,8 +964,9 @@ def test_compaction_rotation_mode(lake, spark):
         "JOIN ducklake_table t USING (table_id) "
         "WHERE t.table_name='gap' AND d.end_snapshot IS NULL")
     assert len(rows) == 1 and rows[0][1] is None  # embedded
-    cols = pq.ParquetFile(
-        os.path.join(lake.data_path, rows[0][0])).schema_arrow.names
+    cols = pq.ParquetFile(os.path.join(
+        lake.data_path, lake._handle("gap").path + rows[0][0]
+    )).schema_arrow.names
     assert ROWID_COL in cols
     got = sorted(r.rowid for r in
                  lake.table("gap", with_virtual=True).collect())

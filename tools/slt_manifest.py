@@ -28,14 +28,6 @@ DOCUMENTED_DIVERGENCES: dict[str, str] = {
         "driver-side footer read per data file per scan. Re-adopting the "
         "files via ducklake_add_data_files restores them. Deliberate "
         "scale trade-off."),
-    "test/sql/compaction/merge_adjacent_external_hive_paths.test": (
-        "the reference stores ducklake_data_file.path relative to the "
-        "TABLE directory; this engine stores it relative to the data "
-        "root. The test pins an anchored 'source=audio/...' regex on the "
-        "raw catalog path. All data/path joins are consistent internally; "
-        "changing the storage convention is a catalog migration, tracked "
-        "as future work. The compaction behavior itself (canonical hive "
-        "output paths, external files preserved) passes."),
     "test/sql/settings/parquet_compression.test": (
         "parquet-mr (Spark's writer) encodes V2 strings as "
         "DELTA_BYTE_ARRAY; duckdb's writer uses DELTA_LENGTH_BYTE_ARRAY. "
