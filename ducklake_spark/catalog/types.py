@@ -395,31 +395,3 @@ def field_nodes(type_name: str) -> list[dict]:
     return out
 
 
-def struct_leaf_paths(type_name: str) -> list[tuple[str, str]]:
-    """[(dotted_path, leaf_type)] for the scalar leaves nested in a
-    STRUCT type — the paths parquet uses in ``path_in_schema`` for pure
-    struct nesting ("a", "a.b"). Non-struct types (and leaves under
-    list/map, whose parquet paths use synthetic ``list.element`` /
-    ``key_value`` segments) yield nothing. Used to create the
-    reference-style child ``ducklake_column`` rows that key nested-leaf
-    zone maps (the reference assigns every nested leaf a column id —
-    see test/sql/stats/min_max_nested_leaf_rewrite_corruption.test)."""
-    try:
-        dt = ducklake_to_spark(type_name)
-    except UnsupportedTypeError:
-        return []
-    if not isinstance(dt, T.StructType):
-        return []
-    out: list[tuple[str, str]] = []
-
-    def walk(prefix: list, t: T.DataType) -> None:
-        if isinstance(t, T.StructType):
-            for f_ in t.fields:
-                walk(prefix + [f_.name], f_.dataType)
-        elif isinstance(t, (T.ArrayType, T.MapType)):
-            return
-        else:
-            out.append((".".join(prefix), spark_to_ducklake(t)))
-
-    walk([], dt)
-    return out
