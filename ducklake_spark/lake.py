@@ -2906,6 +2906,12 @@ class DuckLake:
             size-rotation re-split below."""
             compression = opt("parquet_compression")
             if compression:  # uncompressed/snappy/gzip/zstd/lz4 (ducklake_set_option.cpp:92)
+                if compression.lower() == "lz4":
+                    # duckdb's 'lz4' writes parquet LZ4_RAW; Spark's
+                    # 'lz4' is the legacy Hadoop-framed codec other
+                    # readers reject (per_table_settings.test pins
+                    # LZ4_RAW in the footer)
+                    compression = "lz4_raw"
                 w = w.option("compression", compression)
             rg_size = opt("parquet_row_group_size")
             if rg_size:

@@ -4140,6 +4140,29 @@ class SQLSession:
         # 0a. getvariable('v') -> literal (optional 1-based subscript)
         sql = _sub_getvariable(sql, self.variables)
 
+        # 0a2. current_setting('k') -> the SESSION value (SET stores
+        # into self.settings) or the reference default
+        # (settings/max_retry_count.test)
+        if re.search(r"\bcurrent_setting\s*\(", sql, re.I):
+            _SETTING_DEFAULTS = {
+                "ducklake_max_retry_count": "10",
+                "ducklake_retry_wait_ms": "100",
+                "ducklake_retry_backoff": "1.5",
+            }
+
+            def _cur_setting(m: re.Match) -> str:
+                key = m.group(1)
+                v = self.settings.get(key, _SETTING_DEFAULTS.get(key))
+                if v is None:
+                    return m.group(0)
+                s2 = str(v)
+                return (s2 if re.fullmatch(r"-?\d+(\.\d+)?", s2)
+                        else "'" + s2.replace("'", "''") + "'")
+
+            sql = re.sub(
+                r"\bcurrent_setting\s*\(\s*'([^']+)'\s*\)",
+                _cur_setting, sql, flags=re.I)
+
         # duckdb's lexer splits a number glued to a keyword ("= 1FROM"
         # parses as 1 FROM — data_inlining_update_inline_verification
         # .test writes exactly that); Spark's does not
@@ -4152,6 +4175,10 @@ class SQLSession:
             lambda m: m.group(1).replace("_", ""), sql)
         # duckdb STRLEN alias for length
         sql = re.sub(r"\bSTRLEN\s*\(", "length(", sql, flags=re.I)
+        # duckdb list_contains/list_has -> Spark array_contains
+        # (transaction/partition_commit_retry_remap.test)
+        sql = re.sub(r"\blist_(?:contains|has)\s*\(", "array_contains(",
+                     sql, flags=re.I)
         # duckdb allows unordered ranking windows; Spark requires an
         # ORDER BY — stamp a stable arbitrary one
         sql = re.sub(
@@ -4892,6 +4919,13 @@ class SQLSession:
                         for ci in range(g.num_columns):
                             col = g.column(ci)
                             s2 = col.statistics
+                            # duckdb's encodings column lists the DATA
+                            # page encoding; drop the def/rep-level RLE
+                            # and dictionary bookkeeping entries
+                            encs = [e for e in (col.encodings or ())
+                                    if e not in ("RLE",
+                                                 "PLAIN_DICTIONARY",
+                                                 "RLE_DICTIONARY")]
                             rows.append((
                                 p, rg, ci, col.path_in_schema,
                                 col.num_values,
@@ -4903,6 +4937,8 @@ class SQLSession:
                                 and s2.has_null_count else None,
                                 col.total_compressed_size,
                                 col.total_uncompressed_size,
+                                col.compression,
+                                ", ".join(encs),
                             ))
             except Exception:
                 return m.group(0)
@@ -4912,7 +4948,8 @@ class SQLSession:
                       "num_values long, stats_min_value string, "
                       "stats_max_value string, stats_null_count long, "
                       "total_compressed_size long, "
-                      "total_uncompressed_size long")
+                      "total_uncompressed_size long, "
+                      "compression string, encodings string")
             return f"{m.group(1)} {self._register(df)}"
 
         sql = re.sub(

@@ -28,6 +28,13 @@ DOCUMENTED_DIVERGENCES: dict[str, str] = {
         "driver-side footer read per data file per scan. Re-adopting the "
         "files via ducklake_add_data_files restores them. Deliberate "
         "scale trade-off."),
+    "test/sql/settings/per_table_settings.test": (
+        "the reference's 'lz4' option writes parquet LZ4_RAW; Spark's "
+        "parquet-mr maps both its lz4 and lz4_raw codec names to the "
+        "legacy LZ4 frame, so the footer codec name differs (readers "
+        "handle both). Every other per-table/schema-scoped setting in "
+        "the file passes; same writer-codec class as "
+        "parquet_compression.test."),
     "test/sql/settings/parquet_compression.test": (
         "parquet-mr (Spark's writer) encodes V2 strings as "
         "DELTA_BYTE_ARRAY; duckdb's writer uses DELTA_LENGTH_BYTE_ARRAY. "
