@@ -234,7 +234,8 @@ def migrate_table_paths(meta: MetadataManager) -> int:
     return len(rows)
 
 
-def migrate_file_paths(meta: MetadataManager) -> int:
+def migrate_file_paths(meta: MetadataManager,
+                       legacy_hint: bool = False) -> int:
     """Strip the table-path prefix from ducklake_data_file /
     ducklake_delete_file rows that still store the data-root-relative
     form — the reference convention is TABLE-relative
@@ -253,8 +254,24 @@ def migrate_file_paths(meta: MetadataManager) -> int:
             "ON t.schema_id = s.schema_id ORDER BY t.begin_snapshot"
         ).fetchall()
     }
+    data_root = (con.execute(
+        "SELECT value FROM ducklake_metadata WHERE key='data_path'"
+    ).fetchone() or ("",))[0] or ""
+    if data_root and not data_root.endswith("/"):
+        data_root += "/"
+    # (new_path, new_is_rel, rid, begin)
     updates: dict[str, list[tuple]] = {"ducklake_data_file": [],
                                        "ducklake_delete_file": []}
+    # Rows not matching their table prefix are ambiguous: in a LEGACY
+    # (data-root-relative) catalog they are adopted external files that
+    # must become absolute (_resolve_rel_path would wrongly prepend the
+    # table path — ADVICE r11); in a new-format catalog they are the
+    # normal table-relative rows and must pass through. Disambiguate by
+    # whether this attach found any legacy-layout rows at all (a row
+    # matching its table prefix, or migrate_table_paths rewrites).
+    external: dict[str, list[tuple]] = {"ducklake_data_file": [],
+                                        "ducklake_delete_file": []}
+    legacy = bool(legacy_hint)
     for table, pk in (("ducklake_data_file", "data_file_id"),
                       ("ducklake_delete_file", "delete_file_id")):
         for rid, begin, tid, path in con.execute(
@@ -263,18 +280,28 @@ def migrate_file_paths(meta: MetadataManager) -> int:
         ).fetchall():
             tp = tpaths.get(tid)
             if tp and path.startswith(tp) and len(path) > len(tp):
-                updates[table].append((path[len(tp):], rid, begin))
+                updates[table].append((path[len(tp):], 1, rid, begin))
+                legacy = True
+            else:
+                if "://" in path or path.startswith("/"):
+                    newp = path
+                else:
+                    newp = data_root + path
+                external[table].append((newp, 0, rid, begin))
+    if legacy:
+        for table in updates:
+            updates[table].extend(external[table])
     if not any(updates.values()):
         return 0
     meta.begin_write()
     try:
         for table, pk in (("ducklake_data_file", "data_file_id"),
                           ("ducklake_delete_file", "delete_file_id")):
-            for newp, rid, begin in updates[table]:
+            for newp, newrel, rid, begin in updates[table]:
                 con.execute(
-                    f"UPDATE {table} SET path=? "
+                    f"UPDATE {table} SET path=?, path_is_relative=? "
                     f"WHERE {pk}=? AND begin_snapshot=?",
-                    (newp, rid, begin),
+                    (newp, bool(newrel), rid, begin),
                 )
                 total += 1
         meta.commit()

@@ -64,13 +64,19 @@ def decode_payload(encoded: str) -> dict:
 
 
 def _table_path(con, tid: int) -> str:
-    """Full data-root-relative path of a table (s.path || t.path)."""
+    """Full data-root-relative path of a table (s.path || t.path).
+    Takes the LATEST table-row version rather than filtering on
+    end_snapshot IS NULL: a replaced/purged file whose table has been
+    dropped still needs its tombstone written with the table-dir
+    prefix or cleanup can never find it (ADVICE r11)."""
     row = con.execute(
         "SELECT CASE WHEN t.path_is_relative "
         "THEN s.path || t.path ELSE t.path END "
         "FROM ducklake_table t JOIN ducklake_schema s "
         "ON t.schema_id=s.schema_id "
-        "WHERE t.table_id=? AND t.end_snapshot IS NULL", (tid,),
+        "WHERE t.table_id=? "
+        "ORDER BY t.begin_snapshot DESC, s.begin_snapshot DESC "
+        "LIMIT 1", (tid,),
     ).fetchone()
     return row[0] if row else ""
 

@@ -411,8 +411,8 @@ class DuckLake:
             )
 
             try:
-                migrate_table_paths(self.meta)
-                migrate_file_paths(self.meta)
+                n_tbl = migrate_table_paths(self.meta)
+                migrate_file_paths(self.meta, legacy_hint=n_tbl > 0)
             except Exception:
                 pass  # read-only backends / locked catalogs: leave as-is
         if read_only:
@@ -3109,6 +3109,7 @@ class DuckLake:
         # tooling would notice)
         needs_el = any(".list." in k or ".key_value." in k
                        for k in (field_ids or {}))
+        work: list[tuple[str, bool]] = []  # (path, small)
         for path in list(self.lfs.list_files(
                 self.lfs.strip_scheme(tmp), suffix=".parquet")):
             size = self.lfs.size(path)
@@ -3117,55 +3118,24 @@ class DuckLake:
             small = size <= self.SLIM_FILE_MAX_BYTES
             if not small and not (needs_el and size <= (8 << 20)):
                 continue
-            try:
-                with self.lfs.open_input(path) as fh:
-                    table = _pq.read_table(fh)
-                if field_ids:
-                    try:
-                        table = _stamp_field_ids(table, field_ids)
-                    except Exception:
-                        pass  # ids best-effort; Spark's remain valid
-                if _any_float_nan(table):
-                    # pyarrow's writer EXCLUDES NaN from footer min/max
-                    # while parquet-mr writes max=NaN — re-serializing
-                    # would erase the contains_nan signal the zone maps
-                    # need (filter_pushdown_float_nan.test: x <> 1.0
-                    # must keep the NaN row's file)
-                    continue
-                slim = path + ".__slim"
-                with self.lfs.open_output(slim) as out:
-                    _pq.write_table(
-                        table.replace_schema_metadata(None), out,
-                        store_schema=False, use_dictionary=False,
-                        compression="snappy",
-                        # an INT96 source column round-trips through
-                        # arrow as ns — Spark cannot read ns NTZ, so
-                        # pin the output unit to micros
-                        coerce_timestamps="us",
-                        allow_truncated_timestamps=True,
-                        # zone maps never read internal-column stats;
-                        # pyarrow keys write_statistics by dotted LEAF
-                        # path ('s.a', 'l.list.element') — top-level
-                        # names would silently drop every nested-leaf
-                        # stat from the slimmed file
-                        write_statistics=_parquet_leaf_paths(
-                            table.schema,
-                            exclude_prefix="_ducklake_internal_"))
-                # small files replace only when the rewrite shrank
-                # them (the whole point of slimming); element-stamp
-                # rewrites of bigger files replace unconditionally —
-                # the ids are the point there
-                if not small or (self.lfs.size(slim) or size) < size:
-                    self.lfs.remove(path)
-                    self.lfs.move(slim, path)
-                else:
-                    self.lfs.remove(slim)
-            except Exception:
-                # best-effort: the Spark-written file is always valid
-                try:
-                    self.lfs.remove(path + ".__slim")
-                except Exception:
-                    pass
+            work.append((path, small))
+        if not work:
+            return
+        lfs = self.lfs
+        fids = dict(field_ids or {})
+        if len(work) <= 2:
+            for path, small in work:
+                _slim_one_file(lfs, path, small, fids)
+        else:
+            # many files: the per-file pyarrow rewrite runs as a Spark
+            # job on the executors — a nested-type table writing K
+            # files must not funnel K sequential read+rewrite passes
+            # through the driver (ADVICE r11). LakeFS wraps a pyarrow
+            # filesystem, which pickles.
+            self.spark.sparkContext.parallelize(
+                work, min(len(work), 32)
+            ).foreach(lambda rec: _slim_one_file(
+                lfs, rec[0], rec[1], fids))
 
     def _rotate_oversized(self, tmp: str, target: int, format_opts,
                           enc_key: str | None,
@@ -6668,13 +6638,89 @@ def _spark_type_with_ids(dt: T.DataType, pq_prefix: str,
     return dt
 
 
-def _stamp_field_ids(table, ids: dict):
-    """Return ``table`` with parquet field ids stamped on EVERY schema
-    node (struct children, list elements, map key/value) from ``ids``
-    (parquet path -> column id — _leaf_colmap's key space). pyarrow's
-    parquet writer emits a field's b'PARQUET:field_id' metadata as the
-    footer field_id, which is how the reference's per-node ids
-    (ducklake_field_data.cpp) reach adopted-file readers."""
+def _slim_one_file(lfs, path: str, small: bool, field_ids: dict) -> None:
+    """Slim/stamp ONE freshly-written parquet file (see
+    _slim_small_files). Module-level and LakeFS-parameterized so it
+    runs on executors — pyarrow filesystems pickle, so the driver can
+    fan a K-file commit out as a Spark job instead of rewriting
+    sequentially. Best-effort: the Spark-written file is always valid."""
+    import pyarrow.parquet as _pq
+
+    try:
+        rg_rows = None
+        if not small:
+            # element-stamp path for a 4KB-8MiB file: cheap footer
+            # checks first — skip when the file already carries every
+            # expected id (re-entrant commits / already-stamped
+            # sources), and preserve the original row-group layout
+            # (ADVICE r11: the rewrite must not collapse Spark's
+            # row groups)
+            with lfs.open_input(path) as fh:
+                pf = _pq.ParquetFile(fh)
+                meta, schema = pf.metadata, pf.schema_arrow
+            if meta.num_row_groups >= 1:
+                rg_rows = max(meta.row_group(i).num_rows
+                              for i in range(meta.num_row_groups))
+            try:
+                if _stamp_schema(schema, field_ids).equals(
+                        schema, check_metadata=True):
+                    return
+            except Exception:
+                pass
+        with lfs.open_input(path) as fh:
+            table = _pq.read_table(fh)
+        if field_ids:
+            try:
+                table = _stamp_field_ids(table, field_ids)
+            except Exception:
+                pass  # ids best-effort; Spark's remain valid
+        if _any_float_nan(table):
+            # pyarrow's writer EXCLUDES NaN from footer min/max
+            # while parquet-mr writes max=NaN — re-serializing
+            # would erase the contains_nan signal the zone maps
+            # need (filter_pushdown_float_nan.test: x <> 1.0
+            # must keep the NaN row's file)
+            return
+        size = lfs.size(path)
+        slim = path + ".__slim"
+        with lfs.open_output(slim) as out:
+            _pq.write_table(
+                table.replace_schema_metadata(None), out,
+                store_schema=False, use_dictionary=False,
+                compression="snappy",
+                # an INT96 source column round-trips through
+                # arrow as ns — Spark cannot read ns NTZ, so
+                # pin the output unit to micros
+                coerce_timestamps="us",
+                allow_truncated_timestamps=True,
+                **({"row_group_size": rg_rows} if rg_rows else {}),
+                # zone maps never read internal-column stats;
+                # pyarrow keys write_statistics by dotted LEAF
+                # path ('s.a', 'l.list.element') — top-level
+                # names would silently drop every nested-leaf
+                # stat from the slimmed file
+                write_statistics=_parquet_leaf_paths(
+                    table.schema,
+                    exclude_prefix="_ducklake_internal_"))
+        # small files replace only when the rewrite shrank
+        # them (the whole point of slimming); element-stamp
+        # rewrites of bigger files replace unconditionally —
+        # the ids are the point there
+        if not small or (lfs.size(slim) or size) < size:
+            lfs.remove(path)
+            lfs.move(slim, path)
+        else:
+            lfs.remove(slim)
+    except Exception:
+        try:
+            lfs.remove(path + ".__slim")
+        except Exception:
+            pass
+
+
+def _stamp_schema(schema, ids: dict):
+    """The schema-only core of _stamp_field_ids: return ``schema``
+    with parquet field ids stamped on every node from ``ids``."""
     import pyarrow as pa
 
     def stamp(field, path):
@@ -6701,8 +6747,17 @@ def _stamp_field_ids(table, ids: dict):
             meta[b"PARQUET:field_id"] = str(fid).encode()
         return pa.field(field.name, t, field.nullable, meta or None)
 
-    new_schema = pa.schema([stamp(f, f.name) for f in table.schema])
-    return table.cast(new_schema)
+    return pa.schema([stamp(f, f.name) for f in schema])
+
+
+def _stamp_field_ids(table, ids: dict):
+    """Return ``table`` with parquet field ids stamped on EVERY schema
+    node (struct children, list elements, map key/value) from ``ids``
+    (parquet path -> column id — _leaf_colmap's key space). pyarrow's
+    parquet writer emits a field's b'PARQUET:field_id' metadata as the
+    footer field_id, which is how the reference's per-node ids
+    (ducklake_field_data.cpp) reach adopted-file readers."""
+    return table.cast(_stamp_schema(table.schema, ids))
 
 
 def _us_to_time_text(us: int) -> str:

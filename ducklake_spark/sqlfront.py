@@ -1293,6 +1293,50 @@ class SQLSession:
         # CREATE SECRET (TYPE DUCKLAKE ...): name -> options; "" is the
         # unnamed default (secrets/ducklake_secrets.test)
         self.secrets: dict[str, dict] = {}
+        # (path, LakeFS|None) scratch dirs to remove at close()
+        self._scratch_dirs: list[tuple[str, object]] = []
+
+    def _scratch_dir(self, prefix: str) -> tuple[str, object]:
+        """Session scratch directory on SHARED storage (under the
+        current lake's data path) so distributed writes land where the
+        driver — and, on a real cluster, every executor — can read
+        them back; a driver-local tempfile would be empty on a
+        non-local cluster (ADVICE r11). Falls back to a local tempdir
+        only when no lake is attached. Returns (path, LakeFS|None);
+        the dir is registered for removal at session close()."""
+        import uuid as _uuid
+
+        lake = self.lakes.get(self.current) if self.current else None
+        if lake is not None:
+            path = (lake.data_path + ".dl_scratch/"
+                    + prefix + _uuid.uuid4().hex)
+            lake.lfs.makedirs(path)
+            pair = (path, lake.lfs)
+        else:
+            import tempfile as _tf
+
+            pair = (_tf.mkdtemp(prefix="dl_" + prefix), None)
+        self._scratch_dirs.append(pair)
+        return pair
+
+    def _drop_scratch(self, path: str, fs) -> None:
+        try:
+            if fs is not None:
+                fs.rmtree(path)
+            else:
+                import shutil as _sh
+
+                _sh.rmtree(path, ignore_errors=True)
+        except Exception:
+            pass
+        self._scratch_dirs = [
+            p for p in self._scratch_dirs if p[0] != path]
+
+    def close(self) -> None:
+        """Release session-scoped scratch storage (temp-table parquet
+        dirs survive until close because temp views read from them)."""
+        for path, fs in list(self._scratch_dirs):
+            self._drop_scratch(path, fs)
 
     # -- plumbing ----------------------------------------------------------
 
@@ -1355,27 +1399,28 @@ class SQLSession:
         if not vcols and not has_fn:
             return sql
         for c in sorted(vcols):
-            # field access first, so casts/typeof see the extraction
-            sql = re.sub(
+            # field access first, so casts/typeof see the extraction.
+            # Quote-guarded: a string literal containing 'v.note' must
+            # not be rewritten (ADVICE r11).
+            sql = _sub_outside_quotes(
                 rf"(?<![\w.'])`?({re.escape(c)})`?"
                 r"\.((?:\w+\.)*\w+)\b(?!\s*\()",
                 lambda m: ("to_json(variant_get(try_parse_json("
                            f"`{m.group(1)}`), '$.{m.group(2)}'))"),
                 sql, flags=re.I)
-            found = re.search(
+            before = sql
+            sql = _sub_outside_quotes(
                 rf"(?<![\w.'])`?({re.escape(c)})`?\s*::\s*"
-                r"(VARCHAR|STRING|TEXT)\b", sql, re.I)
-            if found:
+                r"(VARCHAR|STRING|TEXT)\b",
+                lambda m: f"dl_variant_text(`{m.group(1)}`)",
+                sql, flags=re.I)
+            if sql != before:
                 self._ensure_variant_udf()
-                sql = re.sub(
-                    rf"(?<![\w.'])`?({re.escape(c)})`?\s*::\s*"
-                    r"(VARCHAR|STRING|TEXT)\b",
-                    lambda m: f"dl_variant_text(`{m.group(1)}`)",
-                    sql, flags=re.I)
         if has_fn:
             self._ensure_variant_udf()
-            sql = re.sub(r"\bvariant_typeof\s*\(", "dl_variant_typeof(",
-                         sql, flags=re.I)
+            sql = _sub_outside_quotes(
+                r"\bvariant_typeof\s*\(", "dl_variant_typeof(",
+                sql, flags=re.I)
         return sql
 
     def _ensure_variant_udf(self) -> None:
@@ -3446,24 +3491,32 @@ class SQLSession:
                 head.to_csv(path, index=False)
                 return None
             import shutil as _sh
-            import tempfile as _tf
 
-            tmpd = _tf.mkdtemp(prefix="dl_copy_csv_")
+            tmpd, tfs = self._scratch_dir("copy_csv_")
             try:
                 (df.write.mode("overwrite")
                  .option("header", True).csv(tmpd))
-                parts = sorted(
-                    p for p in _os.listdir(tmpd)
-                    if p.startswith("part-") and p.endswith(".csv"))
-                with open(path, "w", encoding="utf-8") as outf:
+                if tfs is not None:
+                    parts = sorted(
+                        p for p in tfs.list_files(tmpd, suffix=".csv")
+                        if _os.path.basename(p).startswith("part-"))
+                    opener = tfs.open_input
+                else:
+                    parts = sorted(
+                        _os.path.join(tmpd, p)
+                        for p in _os.listdir(tmpd)
+                        if p.startswith("part-") and p.endswith(".csv"))
+
+                    def opener(p):
+                        return open(p, "rb")
+                with open(path, "wb") as outf:
                     for i, p in enumerate(parts):
-                        with open(_os.path.join(tmpd, p),
-                                  encoding="utf-8") as pf:
+                        with opener(p) as pf:
                             if i > 0:
                                 pf.readline()  # drop repeated header
                             _sh.copyfileobj(pf, outf)
             finally:
-                _sh.rmtree(tmpd, ignore_errors=True)
+                self._drop_scratch(tmpd, tfs)
             return None
         if fmt == "blob":
             # COPY (SELECT content FROM read_blob(...)) TO 'p' (FORMAT
@@ -3524,9 +3577,9 @@ class SQLSession:
         if len(head) <= TEMP_LOCAL_CAP:
             local = self.spark.createDataFrame(head, df.schema)
         else:
-            import tempfile as _tf
-
-            scratch = _tf.mkdtemp(prefix="dl_temp_table_")
+            # shared-storage scratch (registered for session close()
+            # cleanup — the temp view reads from it until then)
+            scratch, _tfs = self._scratch_dir("temp_table_")
             df.write.mode("overwrite").parquet(scratch)
             local = self.spark.read.schema(df.schema).parquet(scratch)
         local.createOrReplaceTempView(_unquote(m.group(1)))
