@@ -44,6 +44,15 @@ class CatalogBackend:
         msg = str(exc).lower()
         return "lock" in msg or "conflict" in msg or "busy" in msg
 
+    def use_schema(self, con, schema: str) -> None:
+        """Scope this connection's unqualified table names to
+        ``schema`` (ATTACH ... METADATA_SCHEMA 'x': multiple lakes
+        share one catalog database under different schemas —
+        transaction/transaction_schema.test). Engines without schema
+        support refuse, like the reference on SQLite."""
+        raise ValueError(
+            "METADATA_SCHEMA is not supported by this metadata backend")
+
 
 class SqliteBackend(CatalogBackend):
     begin_write_sql = "BEGIN IMMEDIATE"
@@ -73,6 +82,14 @@ class DuckDBBackend(CatalogBackend):
 
         return _DuckConnection(duckdb.connect(self.path))
 
+    def use_schema(self, con, schema: str) -> None:
+        esc = schema.replace('"', '""')
+        con.execute(f'CREATE SCHEMA IF NOT EXISTS "{esc}"')
+        con.execute(f'USE "{esc}"')
+        # duckdb's sqlite_master compat view is NOT schema-scoped —
+        # existence probes must go through information_schema instead
+        con.schema = schema
+
     def is_retryable(self, exc: Exception) -> bool:
         msg = str(exc).lower()
         # "duplicate key" on a catalog id is the PK form of the same
@@ -93,19 +110,36 @@ class _DuckConnection:
     batch whatever rows the commit collected, possibly none), and the
     catalog layer treats cursors as the connection's return value."""
 
-    __slots__ = ("raw",)
+    __slots__ = ("raw", "schema")
 
     def __init__(self, raw):
         self.raw = raw
+        self.schema = None  # set by DuckDBBackend.use_schema
+
+    def _translate(self, sql: str) -> str:
+        if self.schema is None:
+            return sql
+        esc = self.schema.replace("'", "''")
+        sql = _SQLITE_MASTER_LIST.sub(
+            "SELECT table_name FROM information_schema.tables "
+            f"WHERE table_schema = '{esc}'", sql)
+
+        def _one(m: "re.Match[str]") -> str:
+            return (
+                "SELECT 1 FROM information_schema.tables "
+                f"WHERE table_schema = '{esc}' AND table_name = "
+                + m.group(1))
+
+        return _SQLITE_MASTER_ONE.sub(_one, sql)
 
     def execute(self, sql: str, params=()):
-        return self.raw.execute(sql, tuple(params))
+        return self.raw.execute(self._translate(sql), tuple(params))
 
     def executemany(self, sql: str, seq):
         rows = [tuple(p) for p in seq]
         if not rows:
             return self.raw
-        return self.raw.executemany(sql, rows)
+        return self.raw.executemany(self._translate(sql), rows)
 
     def __getattr__(self, name):
         return getattr(self.raw, name)
@@ -200,6 +234,13 @@ class PostgresBackend(CatalogBackend):
             from ducklake_spark.catalog import pg_client
 
             return _PgConnection(pg_client.connect(self.dsn))
+
+    def use_schema(self, con, schema: str) -> None:
+        esc = schema.replace('"', '""')
+        con.execute(f'CREATE SCHEMA IF NOT EXISTS "{esc}"')
+        # current_schema() drives the information_schema rewrites, so
+        # the existence probes scope automatically
+        con.execute(f'SET search_path TO "{esc}"')
 
     def is_retryable(self, exc: Exception) -> bool:
         msg = str(exc).lower()

@@ -191,10 +191,14 @@ class MetadataManager:
     ``duckdb://path`` → DuckDB, ``postgresql://…`` → Postgres
     (reference supports the same trio, test/configs/postgres.json)."""
 
-    def __init__(self, db_path: str):
+    def __init__(self, db_path: str, schema: str | None = None):
         from ducklake_spark.catalog.backends import backend_for
 
         self.db_path = db_path
+        #: METADATA_SCHEMA: scope every catalog table to this schema so
+        #: multiple lakes can share one catalog database
+        #: (transaction/transaction_schema.test)
+        self.schema = schema
         self.backend = backend_for(db_path)
         self._local = threading.local()
         # attach alias, stamped by the SQL surface; the metadata log
@@ -207,6 +211,8 @@ class MetadataManager:
         con = getattr(self._local, "con", None)
         if con is None:
             con = self.backend.connect()
+            if self.schema and self.schema != "main":
+                self.backend.use_schema(con, self.schema)
             self._local.con = con
         from ducklake_spark import metadata_log
 

@@ -322,7 +322,8 @@ class DuckLake:
                  disabled_filesystems: str | None = None,
                  automatic_migration: bool = False,
                  format_version: str | None = None,
-                 alias: str | None = None):
+                 alias: str | None = None,
+                 metadata_schema: str | None = None):
         from ducklake_spark.fsio import LakeFS
 
         self.spark = spark
@@ -371,7 +372,7 @@ class DuckLake:
                     f"cannot ATTACH {metadata_path!r} READ_ONLY: "
                     "catalog database does not exist"
                 )
-        self.meta = MetadataManager(metadata_path)
+        self.meta = MetadataManager(metadata_path, schema=metadata_schema)
         # attach alias — the metadata log's `catalog` column
         # (ducklake_transaction.cpp:1589 logs the catalog name)
         self.meta.catalog_name = alias
@@ -501,7 +502,8 @@ class DuckLake:
         from ducklake_spark.secrets import get_secret, path_is_secret
 
         if data_path is None and not path_is_secret(metadata_path):
-            stored = cls._stored_data_path(metadata_path)
+            stored = cls._stored_data_path(
+                metadata_path, schema=kw.get("metadata_schema"))
             if stored:
                 data_path = stored
         if data_path is None or path_is_secret(metadata_path):
@@ -522,7 +524,8 @@ class DuckLake:
         return cls(spark, metadata_path, data_path, **kw)
 
     @staticmethod
-    def _stored_data_path(metadata_path: str) -> str | None:
+    def _stored_data_path(metadata_path: str,
+                          schema: str | None = None) -> str | None:
         """The data_path recorded in an EXISTING catalog, or None if the
         catalog does not exist / is not initialized yet."""
         from ducklake_spark.catalog.metadata import MetadataManager
@@ -532,7 +535,7 @@ class DuckLake:
             if not os.path.exists(local):
                 return None  # fresh lake: don't create the file probing it
         try:
-            meta = MetadataManager(metadata_path)
+            meta = MetadataManager(metadata_path, schema=schema)
             # read-only existence probe FIRST: treat missing tables as
             # "not initialized" instead of issuing a failing SELECT (a
             # remote backend may abort its session transaction on

@@ -121,7 +121,7 @@ def split_statements(text: str) -> list[str]:
     return parts
 
 
-_IDENT = r'(?:"[^"]+"|`[^`]+`|[A-Za-z_][A-Za-z0-9_]*)'
+_IDENT = r'(?:"(?:[^"]|"")+"|`[^`]+`|[A-Za-z_][A-Za-z0-9_]*)'
 
 _TRAILING_ORDER_ALL = re.compile(
     r"\bORDER\s+BY\s+ALL\s*(ASC|DESC)?"
@@ -266,26 +266,52 @@ def _split_top_commas(s: str) -> list[str]:
 def _unquote(tok: str) -> str:
     tok = tok.strip()
     if tok.startswith('"') and tok.endswith('"'):
-        return tok[1:-1]
+        return tok[1:-1].replace('""', '"')
     if tok.startswith("`") and tok.endswith("`"):
-        return tok[1:-1]
+        return tok[1:-1].replace("``", "`")
     return tok.lower()
 
 
 def _dq_to_backticks(sql: str) -> str:
     """duckdb double-quoted identifiers -> Spark backticks, leaving
-    single-quoted string literals untouched."""
+    single-quoted string literals untouched. Char-wise scan: a naive
+    quote toggle would treat a single quote INSIDE a double-quoted
+    identifier as a string delimiter
+    (catalog/quoted_identifiers.test)."""
     if '"' not in sql:
         return sql
-    parts, out, instr = re.split(r"(')", sql), [], False
-    for tk in parts:
-        if tk == "'":
-            instr = not instr
-            out.append(tk)
-        elif instr:
-            out.append(tk)
+    out: list[str] = []
+    i, n = 0, len(sql)
+    while i < n:
+        ch = sql[i]
+        if ch == "'":
+            j = i + 1
+            while j < n:
+                if sql[j] == "'":
+                    if j + 1 < n and sql[j + 1] == "'":
+                        j += 2
+                        continue
+                    break
+                j += 1
+            out.append(sql[i:j + 1])
+            i = j + 1
+        elif ch == '"':
+            j = i + 1
+            buf: list[str] = []
+            while j < n:
+                if sql[j] == '"':
+                    if j + 1 < n and sql[j + 1] == '"':
+                        buf.append('"')
+                        j += 2
+                        continue
+                    break
+                buf.append(sql[j])
+                j += 1
+            out.append("`" + "".join(buf).replace("`", "``") + "`")
+            i = j + 1
         else:
-            out.append(re.sub(r'"([^"]*)"', r"`\1`", tk))
+            out.append(ch)
+            i += 1
     return "".join(out)
 
 
@@ -1751,13 +1777,15 @@ class SQLSession:
 
     def _attach(self, stmt: str) -> None:
         m = re.match(
-            r"ATTACH\s+(IF\s+NOT\s+EXISTS\s+|OR\s+REPLACE\s+)?'([^']+)'"
+            r"ATTACH\s+(IF\s+NOT\s+EXISTS\s+|OR\s+REPLACE\s+)?"
+            r"'((?:[^']|'')+)'"  # SQL literal: '' escapes a quote
             rf"(?:\s+AS\s+({_IDENT}))?\s*(?:\((.*)\))?\s*$",
             stmt, re.I | re.S)
         if not m:
             raise SQLFrontUnsupported(f"ATTACH grammar: {stmt!r}")
         if_not_exists, url, alias, opttext = (
-            m.group(1), m.group(2), m.group(3), m.group(4))
+            m.group(1), m.group(2).replace("''", "'"), m.group(3),
+            m.group(4))
         or_replace = bool(if_not_exists
                           and "REPLACE" in if_not_exists.upper())
         if or_replace:
@@ -1873,9 +1901,9 @@ class SQLSession:
                 elif key == "create_if_not_exists":
                     kw["create_if_not_exists"] = bool(val)
                 elif key == "metadata_schema" and str(val) != "main":
-                    raise SQLFrontUnsupported(
-                        "METADATA_SCHEMA: multiple lakes per catalog "
-                        "database are not supported")
+                    # multiple lakes per catalog database, one schema
+                    # each (transaction/transaction_schema.test)
+                    kw["metadata_schema"] = str(val)
                 elif key in ("migrate_if_required", "metadata_schema",
                              "metadata_parameters"):
                     pass  # migrate is the default behavior here
@@ -1928,7 +1956,8 @@ class SQLSession:
         data_path = kw.pop("data_path", None)
         if data_path is None:
             local = meta_url.split("://", 1)[-1]
-            stored = DuckLake._stored_data_path(meta_url)
+            stored = DuckLake._stored_data_path(
+                meta_url, schema=kw.get("metadata_schema"))
             data_path = stored or (local + ".files")
         lake = DuckLake.attach(self.spark, meta_url, str(data_path),
                                alias=name, **kw)
@@ -2545,6 +2574,32 @@ class SQLSession:
         lake.meta.con.execute(bare)
         return self._one_row(0)
 
+    def _default_expr(self, lake, api: str, cname: str) -> str:
+        """SQL text of a column's default value (cast to its declared
+        type), NULL when none — used by DEFAULT VALUES and by bare
+        DEFAULT tokens inside VALUES rows. Txn-local SET/DROP DEFAULT
+        applies to this txn's own INSERTs
+        (add_column_with_default.test)."""
+        from ducklake_spark.catalog.types import ducklake_to_spark
+
+        h = lake._handle(api)
+        defs = dict(lake.meta.query(
+            "SELECT column_name, default_value FROM ducklake_column "
+            "WHERE table_id=? AND end_snapshot IS NULL "
+            "AND parent_column IS NULL", (h.table_id,)))
+        if lake._txn is not None:
+            for cn, pv in lake._txn.pending_defaults.get(
+                    h.table_id, {}).items():
+                defs[cn] = None if pv is None else pv[0]
+        dv = defs.get(cname)
+        if dv is None:
+            return "NULL"
+        ctype = next((c[2] for c in h.columns if c[1] == cname), None)
+        if ctype is None:
+            return "NULL"
+        return (f"CAST({dv} AS "
+                f"{ducklake_to_spark(ctype).simpleString()})")
+
     def _insert(self, stmt: str) -> DataFrame:
         m = re.match(
             rf"INSERT\s+INTO\s+((?:{_IDENT}\s*\.\s*)*{_IDENT})\s*"
@@ -2586,27 +2641,34 @@ class SQLSession:
         body = m.group(4).strip()
         if re.match(r"DEFAULT\s+VALUES\s*$", body, re.I):
             # one row of column defaults (missing default -> NULL)
-            from ducklake_spark.catalog.types import ducklake_to_spark
-
-            defs = dict(lake.meta.query(
-                "SELECT column_name, default_value FROM ducklake_column "
-                "WHERE table_id=? AND end_snapshot IS NULL "
-                "AND parent_column IS NULL",
-                (lake._handle(api).table_id,)))
-            if lake._txn is not None:
-                # txn-local SET/DROP DEFAULT applies to this txn's own
-                # INSERTs (add_column_with_default.test)
-                for cname, pv in lake._txn.pending_defaults.get(
-                        lake._handle(api).table_id, {}).items():
-                    defs[cname] = None if pv is None else pv[0]
             exprs = []
-            for _cid, cname, ctype, _nn in lake._handle(api).columns:
-                dv = defs.get(cname)
-                exprs.append(
-                    (f"CAST({dv} AS "
-                     f"{ducklake_to_spark(ctype).simpleString()})"
-                     if dv is not None else "NULL") + f" AS `{cname}`")
+            for cname in [c[1] for c in lake._handle(api).columns]:
+                exprs.append(self._default_expr(lake, api, cname)
+                             + f" AS `{cname}`")
             body = "SELECT " + ", ".join(exprs)
+        elif (re.match(r"VALUES\s*\(", body, re.I)
+                and re.search(r"\bDEFAULT\b", body, re.I)):
+            # bare DEFAULT inside a VALUES row -> that target column's
+            # default expression (insert/insert_column_list.test:
+            # VALUES (1000, DEFAULT), (DEFAULT, 'xxx'))
+            names = (collist
+                     or [c[1] for c in lake._handle(api).columns])
+            tuples = _split_top(re.sub(r"^\s*VALUES\s*", "", body,
+                                       flags=re.I))
+            out_tuples = []
+            for tup in tuples:
+                tup = tup.strip()
+                if not (tup.startswith("(") and tup.endswith(")")):
+                    out_tuples.append(tup)
+                    continue
+                exprs = _split_top(tup[1:-1])
+                for i, ex in enumerate(exprs):
+                    if (re.fullmatch(r"DEFAULT", ex.strip(), re.I)
+                            and i < len(names)):
+                        exprs[i] = self._default_expr(
+                            lake, api, names[i])
+                out_tuples.append("(" + ", ".join(exprs) + ")")
+            body = "VALUES " + ", ".join(out_tuples)
         try:
             df = self.query(_strip_parens(body))
         except Exception as e:
@@ -5529,7 +5591,7 @@ class SQLSession:
             _note_virtual(vn, df)
             if self._alias_follows(m):
                 return vn
-            return f"{vn} AS {table}"
+            return f"{vn} AS {self._safe_alias(table)}"
 
         sql = re.sub(
             rf"(?<![\w.`])({_IDENT})\s*\.\s*(?:({_IDENT})\s*\.\s*)?"
@@ -5609,6 +5671,15 @@ class SQLSession:
         "then", "else", "end", "and", "or", "not", "as", "asof",
     })
 
+    @staticmethod
+    def _safe_alias(name: str) -> str:
+        """Spark-safe rendering of a table alias: plain identifiers
+        pass through, anything else (quoted names with spaces/quotes —
+        catalog/quoted_identifiers.test) is backtick-quoted."""
+        if re.fullmatch(r"[A-Za-z_]\w*", name):
+            return name
+        return "`" + name.replace("`", "``") + "`"
+
     def _alias_follows(self, m: re.Match) -> bool:
         """True when the matched relation is followed by an explicit
         alias token — appending our own ``AS name`` would double-alias
@@ -5624,7 +5695,8 @@ class SQLSession:
         db = _unquote(m.group(1))
         table = _unquote(m.group(3))
         vn = self._register(self._meta_df(db, table))
-        return vn if self._alias_follows(m) else f"{vn} AS {table}"
+        return (vn if self._alias_follows(m)
+                else f"{vn} AS {self._safe_alias(table)}")
 
     def _meta_df(self, db: str, table: str) -> DataFrame:
         from pyspark.sql import types as T

@@ -1280,7 +1280,8 @@ class Transaction:
 
                 try:
                     col_ddl = ", ".join(
-                        f'"{n}" {ducklake_to_catalog_sql(t)}'
+                        '"{}" {}'.format(n.replace('"', '""'),
+                                         ducklake_to_catalog_sql(t))
                         for n, t in cols)
                 except Exception:
                     continue  # exotic type: register lazily on insert
@@ -1709,7 +1710,8 @@ class Transaction:
                 )
 
                 col_ddl = ", ".join(
-                    f'"{n}" {ducklake_to_catalog_sql(t)}'
+                    '"{}" {}'.format(n.replace('"', '""'),
+                                     ducklake_to_catalog_sql(t))
                     for _i, n, t in cols)
                 con.execute(
                     f"CREATE TABLE IF NOT EXISTS {ctname} "
