@@ -785,7 +785,7 @@ class DuckLake:
                                 if td.schema_name == name]
                 local_views = [vn for sn, vn, _d, _s, _a in txn.created_views
                                if sn == name]
-                local_macros = [mn for sn, mn in getattr(
+                local_macros = [mn for sn, mn, _k in getattr(
                     txn, "_pending_macros", {}) if sn == name]
                 if (local_tables or local_views or local_macros) \
                         and not cascade:
@@ -1359,6 +1359,41 @@ class DuckLake:
                     )
 
         txn.column_changes.setdefault(h.table_id, []).append(op)
+        # a SET SORTED BY buffered in this SAME transaction inserts its
+        # expression rows in the sort_ops pass, which runs AFTER
+        # column_changes at commit — the rename op above can't see
+        # them. Re-apply the rename as a trailing sort_op and keep the
+        # txn-local pending spec in sync
+        # (sorted_table/merge_adjacent_sorted_transaction_renamed.test)
+        skey = self._sort_key(h)
+        spec = txn.pending_sort_specs.get(skey)
+        if spec:
+            txn.pending_sort_specs[skey] = [
+                ((_rename_identifier(e, col_name, new_name)
+                  if _expr_references(e, col_name) else e), d, n)
+                for e, d, n in spec]
+
+        def _sort_rename(con, snap_id, h=h, col_name=col_name,
+                         new_name=new_name):
+            for sid, idx, expr in con.execute(
+                "SELECT se.sort_id, se.sort_key_index, se.expression "
+                "FROM ducklake_sort_expression se "
+                "JOIN ducklake_sort_info si ON si.sort_id = se.sort_id "
+                "AND si.table_id = se.table_id "
+                "WHERE si.table_id=? AND si.end_snapshot IS NULL",
+                (h.table_id,),
+            ).fetchall():
+                if _expr_references(expr, col_name):
+                    con.execute(
+                        "UPDATE ducklake_sort_expression SET expression=? "
+                        "WHERE sort_id=? AND table_id=? "
+                        "AND sort_key_index=?",
+                        (_rename_identifier(expr, col_name, new_name),
+                         sid, h.table_id, idx),
+                    )
+
+        if txn.sort_ops.get(skey):
+            txn.sort_ops[skey].append(_sort_rename)
         txn.change_log.append(f"altered_table:{h.table_id}")
         self._autocommit()
 

@@ -140,12 +140,14 @@ def create_macro(lake: DuckLake, name: str, parameters: list | None = None,
         dropped_mids = _txn_dropped_macro_ids(lake)
         committed = [r for r in committed if r[0] not in dropped_mids]
         pend = getattr(lake._txn, "_pending_macros", {}).get(
-            (schema_name, mname))
-        if pend is not None and pend[2] == is_table_macro:
+            (schema_name, mname, is_table_macro))
+        if pend is not None:
             committed = committed or [("txn-local",)]
     if committed:
         raise DuckLakeError(
-            f'Macro Function with name "{mname}" already exists')
+            ('Table Macro Function' if is_table_macro
+             else 'Macro Function')
+            + f' with name "{mname}" already exists')
     txn = lake._begin()
 
     def op(con, snap_id):
@@ -188,7 +190,11 @@ def create_macro(lake: DuckLake, name: str, parameters: list | None = None,
     pending = getattr(txn, "_pending_macros", None)
     if pending is None:
         pending = txn._pending_macros = {}
-    pending[(schema_name, mname)] = (wrapped, parsed, is_table_macro)
+    # keyed by kind too: a scalar and a table macro may share a name,
+    # even when both are created in ONE transaction
+    # (test_multi_macro_transaction.test)
+    pending[(schema_name, mname, is_table_macro)] = (
+        wrapped, parsed, is_table_macro)
     # reference change-type vocabulary (ducklake_transaction_changes.cpp:
     # 47-51): scalar vs table macros log distinct change types
     _kind = "created_table_macro" if is_table_macro else "created_scalar_macro"
@@ -205,7 +211,8 @@ def drop_macro(lake: DuckLake, name: str) -> None:
     schema_name, mname = lake._split_name(name)
     txn = lake._begin()
     pending = getattr(txn, "_pending_macros", {})
-    entry_p = pending.pop((schema_name, mname), None)
+    entry_p = (pending.pop((schema_name, mname, False), None)
+               or pending.pop((schema_name, mname, True), None))
     if entry_p is not None:
         wrapped = entry_p[0]
         txn.column_changes[-1].remove(wrapped)
@@ -281,10 +288,23 @@ def live_macro_names(lake: DuckLake) -> list[tuple[str, str, str]]:
         "JOIN ducklake_schema s ON m.schema_id = s.schema_id "
         f"WHERE {_macro_live_clause(lake)}") if r[0] not in dropped]
     if lake._txn is not None:
-        for (s, n), (_w, _p, is_table) in getattr(
+        for (s, n, is_table), _e in getattr(
                 lake._txn, "_pending_macros", {}).items():
             out.append((s, n, "table" if is_table else "scalar"))
     return out
+
+
+def _subst_param(body: str, pname: str, value: str) -> str:
+    """Replace a macro parameter reference with its argument text.
+    Matches the bare name and duckdb's deparsed quoted form ("name"),
+    but never text inside single-quoted string literals
+    (catalog/macro_special_characters.test: greet('bob') must not
+    rewrite the 'name' inside 'hello ').
+    """
+    from ducklake_spark.sqlfront import _sub_outside_quotes
+
+    pat = rf'"{re.escape(pname)}"|\b{re.escape(pname)}\b'
+    return _sub_outside_quotes(pat, lambda m: value, body)
 
 
 def _bind_macro_args(ps, args) -> list | None:
@@ -314,13 +334,21 @@ def _bind_macro_args(ps, args) -> list | None:
     return values
 
 
-def call_macro(lake: DuckLake, name: str, *args) -> DataFrame | str:
-    """Expand a stored macro; table macros return a DataFrame."""
+def call_macro(lake: DuckLake, name: str, *args,
+               kind: str | None = None) -> DataFrame | str:
+    """Expand a stored macro; table macros return a DataFrame.
+    ``kind`` ('scalar'|'table') prefers that entry type when a scalar
+    and a table macro share the name (test_scalar_table_macros.test —
+    SELECT xt(1) vs FROM xt(5,'tom'))."""
     schema_name, mname = lake._split_name(name)
     if lake._txn is not None:
-        entry_p = getattr(lake._txn, "_pending_macros", {}).get(
-            (schema_name, mname))
-        if entry_p is not None:
+        pend = getattr(lake._txn, "_pending_macros", {})
+        order = ([kind == "table"] if kind is not None
+                 else [False, True])
+        entries = [pend.get((schema_name, mname, it)) for it in order]
+        for entry_p in entries:
+            if entry_p is None:
+                continue
             _w, parsed, is_table = entry_p
             chosen = None
             for ps, b in parsed:
@@ -329,12 +357,14 @@ def call_macro(lake: DuckLake, name: str, *args) -> DataFrame | str:
                     chosen = (ps, b, vals)
                     break
             if chosen is None:
+                if any(e is not None for e in entries[1:]):
+                    continue
                 raise DuckLakeError(
                     f"macro {name!r} has no implementation "
                     f"taking {len(args)} args")
             ps, expanded, values = chosen
             for (p, _d, _t), a in zip(ps, values):
-                expanded = re.sub(rf"\b{re.escape(p)}\b", str(a), expanded)
+                expanded = _subst_param(expanded, p, str(a))
             from ducklake_spark.sqlfront import _dq_to_backticks
 
             expanded = _dq_to_backticks(expanded)
@@ -348,6 +378,8 @@ def call_macro(lake: DuckLake, name: str, *args) -> DataFrame | str:
     ) if r[0] not in dropped]
     if not rows:
         raise DuckLakeError(f"no macro {name!r}")
+    if kind is not None and any(r[1] == kind for r in rows):
+        rows = [r for r in rows if r[1] == kind]
     mid, is_table = rows[0][0], rows[0][1] == "table"
     bodies = dict(
         (ii, b) for ii, b in lake.meta.query(
@@ -377,7 +409,7 @@ def call_macro(lake: DuckLake, name: str, *args) -> DataFrame | str:
     ps = params_by_impl.get(chosen, [])
     expanded = bodies[chosen]
     for (p, _d), a in zip(ps, values):
-        expanded = re.sub(rf"\b{re.escape(p)}\b", str(a), expanded)
+        expanded = _subst_param(expanded, p, str(a))
     # stored duckdb-deparsed bodies quote identifiers ("name"); Spark
     # wants backticks
     from ducklake_spark.sqlfront import _dq_to_backticks

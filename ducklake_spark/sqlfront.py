@@ -2482,7 +2482,20 @@ class SQLSession:
         rest = m.group(3).strip()
         overloads = []
         is_table = False
-        for impl in _split_top(rest):
+        # overloads are comma-separated `(params) AS body` units — but
+        # a top-level comma INSIDE a body (SELECT x AS a, y AS b) does
+        # not start a new implementation
+        # (test_multi_macro_transaction.test)
+        _mp = r"[A-Za-z_]\w*(?:\s+[A-Za-z_][\w<>(), ]*?)?(?:\s*:=\s*[^,]+)?"
+        _impl_start = (rf"\s*\(\s*(?:{_mp}(?:\s*,\s*{_mp})*)?\s*\)"
+                       r"\s*AS\s")
+        parts = []
+        for p in _split_top(rest):
+            if parts and not re.match(_impl_start, p, re.I | re.S):
+                parts[-1] += "," + p
+            else:
+                parts.append(p)
+        for impl in parts:
             mi = re.match(r"\((.*?)\)\s*AS\s+(TABLE\s+)?(.+)$",
                           impl.strip(), re.I | re.S)
             if not mi:
@@ -4122,8 +4135,21 @@ class SQLSession:
             for _round in range(8):
                 hit = False
                 for mn in known:
-                    mm = re.search(rf"\b{re.escape(mn)}\s*\(", sql,
-                                   re.I)
+                    mm = None
+                    # plain or double-quoted call site — macro names
+                    # may hold quotes/spaces
+                    # (catalog/macro_special_characters.test)
+                    _qn = '"' + mn.replace('"', '""') + '"'
+                    for cand in re.finditer(
+                            rf"(?:\b{re.escape(mn)}|{re.escape(_qn)})"
+                            r"\s*\(", sql, re.I):
+                        # relation position: leave for the table-macro
+                        # pass (a scalar + table macro may share the
+                        # name — test_scalar_table_macros.test)
+                        if not re.search(r"(?:\bFROM|\bJOIN)\s*$",
+                                         sql[:cand.start()], re.I):
+                            mm = cand
+                            break
                     if not mm:
                         continue
                     # balanced-paren argument span
@@ -4141,7 +4167,8 @@ class SQLSession:
                     args = [a for a in _split_top(argtext)] \
                         if argtext.strip() else []
                     try:
-                        expanded = M.call_macro(lake0, mn, *args)
+                        expanded = M.call_macro(lake0, mn, *args,
+                                                kind="scalar")
                     except DuckLakeError:
                         continue
                     if not isinstance(expanded, str):
@@ -4174,7 +4201,7 @@ class SQLSession:
                     name = _unquote(m.group(2))
                     args = ([a for a in _split_top(m.group(3))]
                             if m.group(3).strip() else [])
-                    df = M.call_macro(lake0, name, *args)
+                    df = M.call_macro(lake0, name, *args, kind="table")
                     return (f"{m.group(1)} {self._register(df)} "
                             f"AS {name}")
 
@@ -4695,8 +4722,60 @@ class SQLSession:
             mfrom = re.search(
                 rf"\bFROM\s+((?:{_IDENT}\s*\.\s*)*{_IDENT})", sql, re.I)
 
+            def _node_stats_body(lake0, h0, cid: int, segs: list[str],
+                                 col: str) -> str | None:
+                """Generic min/max/null display for a NESTED node
+                (struct child / list element) resolved by walking the
+                per-node catalog rows (types/list.test, struct.test:
+                stats(l[1]), stats(s.i)). Falls back to a live 1-row
+                aggregate when the table's rows are inlined in the
+                catalog (no parquet stats harvested yet)."""
+                ncid = cid
+                for seg in segs:
+                    rows0 = lake0.meta.query(
+                        "SELECT column_id FROM ducklake_column "
+                        "WHERE table_id=? AND parent_column=? "
+                        "AND end_snapshot IS NULL "
+                        "AND LOWER(column_name)=?",
+                        (h0.table_id, ncid, seg.lower()))
+                    if not rows0:
+                        return None
+                    ncid = rows0[0][0]
+                srow0 = lake0.meta.query(
+                    "SELECT contains_null, min_value, max_value FROM "
+                    "ducklake_table_column_stats WHERE table_id=? AND "
+                    "column_id=?", (h0.table_id, ncid))
+                if srow0:
+                    cn0, mn0, mx0 = srow0[0]
+                else:
+                    if segs == ["element"]:
+                        expr0 = "_e"
+                        src0 = (f"(SELECT explode(`{col}`) AS _e "
+                                f"FROM {mfrom.group(1)}) _dl_el")
+                    else:
+                        expr0 = "`" + col + "`." + ".".join(segs)
+                        src0 = mfrom.group(1)
+                    try:
+                        r0 = self.query(
+                            f"SELECT MIN({expr0}), MAX({expr0}), "
+                            f"SUM(CASE WHEN {expr0} IS NULL THEN 1 "
+                            f"ELSE 0 END) FROM {src0}").collect()[0]
+                    except Exception:
+                        return None
+                    mn0, mx0, cn0 = r0[0], r0[1], bool(r0[2])
+                body0 = (f"'has_no_null': "
+                         f"{str(mn0 is not None).lower()}, "
+                         f"'has_null': {str(bool(cn0)).lower()}, "
+                         f"'max': {mx0}, 'min': {mn0}")
+                return "'" + ("{" + body0 + "}").replace("'", "''") + "'"
+
             def _stats_lit(m: re.Match) -> str:
                 col = _unquote(m.group(1).strip())
+                segs = ([s for s in re.split(r"\s*\.\s*",
+                                             m.group(2).strip(". \t"))
+                         if s]
+                        if m.lastindex and m.lastindex >= 2
+                        and m.group(2) else [])
                 if mfrom is None:
                     return m.group(0)
                 try:
@@ -4707,6 +4786,10 @@ class SQLSession:
                 crow = next((c for c in h0.columns if c[1] == col), None)
                 if crow is None:
                     return m.group(0)
+                if segs:
+                    out0 = _node_stats_body(lake0, h0, crow[0], segs,
+                                            col)
+                    return out0 if out0 is not None else m.group(0)
                 if "geometry" in str(crow[2] or "").lower():
                     # duckdb's GeometryStats display: alphabetical
                     # extent keys from the column-level bbox + null
@@ -4924,8 +5007,32 @@ class SQLSession:
                         f"'max': {mx}, 'min': {mn}")
                 return "'" + ("{" + body + "}").replace("'", "''") + "'"
 
-            sql = re.sub(rf"\bstats\s*\(\s*({_IDENT})\s*\)", _stats_lit,
-                         sql, flags=re.I)
+            def _stats_elem(m: re.Match) -> str:
+                # stats(l[1]) arrives as stats(element_at(l, 1)) after
+                # the subscript pass: the list ELEMENT node's stats
+                if mfrom is None:
+                    return m.group(0)
+                try:
+                    lake0, api0, *_r = self._resolve(mfrom.group(1))
+                    h0 = lake0._handle(api0)
+                except Exception:
+                    return m.group(0)
+                col = _unquote(m.group(1).strip())
+                crow = next((c for c in h0.columns if c[1] == col),
+                            None)
+                if crow is None:
+                    return m.group(0)
+                out0 = _node_stats_body(lake0, h0, crow[0],
+                                        ["element"], col)
+                return out0 if out0 is not None else m.group(0)
+
+            sql = re.sub(
+                rf"\bstats\s*\(\s*element_at\s*\(\s*`?({_IDENT})`?"
+                r"\s*,[^()]*\)\s*\)",
+                _stats_elem, sql, flags=re.I)
+            sql = re.sub(
+                rf"\bstats\s*\(\s*({_IDENT})((?:\s*\.\s*\w+)*)\s*\)",
+                _stats_lit, sql, flags=re.I)
 
         # duckdb's bare quoted-path table refs: FROM 'x.parquet' /
         # FROM 'x.csv' (insert_sorted_default_direction.test reads a
