@@ -351,6 +351,9 @@ class DuckLake:
         # through this pyarrow.fs-backed seam — see fsio.LakeFS;
         # injectable for tests and for pre-configured object stores
         self.lfs: LakeFS = filesystem or LakeFS.for_path(self.data_path)
+        # snapshot-keyed file-list cache (see _visible_files); expire/
+        # cleanup maintenance clears it (issue_852_cache_growth.test)
+        self._file_cache: dict[tuple, list[dict]] = {}
         # session-scoped default for data_inlining_row_limit when no
         # catalog scope sets it: the SQL frontend pins this to the
         # reference's interactive default (10,
@@ -449,8 +452,10 @@ class DuckLake:
         stored = self.meta.option("data_path")
         if stored and stored.rstrip("/") != self.data_path.rstrip("/"):
             if override_data_path:
-                if not read_only:
-                    self.meta.set_option("data_path", self.data_path)
+                # session-scoped: the catalog keeps its recorded
+                # data_path — a later plain re-attach returns the
+                # ORIGINAL path (general/data_path_tag.test)
+                pass
             else:
                 raise DuckLakeError(
                     f"DATA_PATH {data_path!r} does not match existing "
@@ -598,6 +603,8 @@ class DuckLake:
             self._commit_note = (None, None, None)
         if snap is not None:
             DuckLake._LAST_COMMITTED[self.meta.db_path] = snap
+        for op_ in getattr(txn, "post_commit_ops", []):
+            op_()
         return snap
 
     def rollback(self) -> None:
@@ -3741,6 +3748,15 @@ class DuckLake:
             )
         return self.spark.sql(query)
 
+    def object_cache_bytes(self) -> int:
+        """Estimated bytes held by the file-list cache — surfaced as
+        duckdb_memory()'s OBJECT_CACHE row."""
+        total = 0
+        for files in self._file_cache.values():
+            total += 512 + sum(
+                192 + len(str(f.get("path") or "")) for f in files)
+        return total
+
     def _visible_files(self, h: TableHandle, snap: Snapshot,
                        where: str | None, *,
                        txn_overlay: bool = False) -> list[dict]:
@@ -3756,6 +3772,17 @@ class DuckLake:
             "AND (end_snapshot IS NULL OR end_snapshot > ?)"
         )
         params: list = [h.table_id, snap.snapshot_id, snap.snapshot_id]
+        # snapshot-keyed file-list cache: repeated scans of the same
+        # table at the same snapshot + predicate skip the catalog
+        # round-trip. Bypassed inside open transactions (the overlay
+        # mutates); entries for older snapshots of a table are evicted
+        # on insert, so DDL/commit churn cannot grow it unboundedly
+        # (issues/issue_852_cache_growth.test)
+        ckey = (h.table_id, snap.snapshot_id, where or "")
+        if self._txn is None:
+            hit = self._file_cache.get(ckey)
+            if hit is not None:
+                return [dict(f) for f in hit]
         pruned_sql, pruned_params = self._pruning_clauses(h, where)
         rows = self.meta.query(sql + pruned_sql + " ORDER BY data_file_id",
                                tuple(params + pruned_params))
@@ -3769,6 +3796,13 @@ class DuckLake:
             d["path"] = _resolve_rel_path(h.path, d["path"],
                                           d.pop("path_is_relative"))
             out.append(d)
+        if self._txn is None:
+            for k in [k for k in self._file_cache
+                      if k[0] == h.table_id and k[1] != snap.snapshot_id]:
+                del self._file_cache[k]
+            if len(self._file_cache) > 512:
+                self._file_cache.clear()
+            self._file_cache[ckey] = [dict(f) for f in out]
         if txn_overlay and self._txn is not None:
             txn = self._txn
             # files this txn removed (whole-file deletes / rewrites) OR

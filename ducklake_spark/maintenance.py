@@ -949,6 +949,15 @@ def expire_snapshots(lake: DuckLake, *, older_than: str | None = None,
     ducklake_expire_snapshots.cpp:25-105). Returns expired ids."""
     if older_than is not None and versions is not None:
         raise ValueError("cannot specify both 'versions' and 'older_than'")
+    if not dry_run and lake._txn is not None:
+        # inside an explicit transaction: defer to commit so ROLLBACK
+        # discards the expire (issues/issue_852_cache_growth.test)
+        victims = expire_snapshots(lake, older_than=older_than,
+                                   versions=versions, dry_run=True)
+        lake._txn.post_commit_ops.append(
+            lambda: expire_snapshots(lake, older_than=older_than,
+                                     versions=versions))
+        return victims
     latest = lake.meta.latest_snapshot().snapshot_id
     if older_than is None and versions is None:
         # bare call: the global expire_older_than option supplies the
@@ -1153,11 +1162,23 @@ def expire_snapshots(lake: DuckLake, *, older_than: str | None = None,
                 con.execute(
                     f"DROP TABLE IF EXISTS ducklake_inlined_delete_{tid}"
                 )
+        # adoption name/column mapping rows whose data files are all
+        # gone are unreachable — expire releases them (the issue-852
+        # cache-growth fix; issues/issue_852_cache_growth.test expects
+        # both mapping tables emptied once no file references remain)
+        for mtab in ("ducklake_name_mapping", "ducklake_column_mapping"):
+            con.execute(
+                f"DELETE FROM {mtab} WHERE mapping_id NOT IN ("
+                "SELECT mapping_id FROM ducklake_data_file "
+                "WHERE mapping_id IS NOT NULL)")
         con.execute("COMMIT")
     except BaseException:
         from ducklake_spark.catalog.metadata import safe_rollback
         safe_rollback(con)
         raise
+    # release file-list cache entries held for the expired snapshots
+    # (issues/issue_852_cache_growth.test)
+    lake._file_cache.clear()
     return victims
 
 

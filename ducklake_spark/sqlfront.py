@@ -1791,6 +1791,25 @@ class SQLSession:
         if or_replace:
             if_not_exists = None
         if not url.lower().startswith("ducklake:"):
+            if url.lower().endswith((".db", ".duckdb")) \
+                    and "://" not in url:
+                # host-engine database attach (a plain duckdb file,
+                # initialize/read_only_mode.test): create the file so
+                # later ducklake: attaches see an existing-but-
+                # uninitialized catalog; track the alias for DETACH
+                hname = (_unquote(alias) if alias
+                         else re.sub(r"\.[^.]*$", "",
+                                     url.rsplit("/", 1)[-1]))
+                try:
+                    import duckdb as _dk
+
+                    _dk.connect(url).close()
+                except Exception:
+                    pass
+                if not hasattr(self, "host_dbs"):
+                    self.host_dbs = set()
+                self.host_dbs.add(hname)
+                return None
             raise SQLFrontUnsupported("only ducklake: URLs are supported")
         target = url[len("ducklake:"):]
         # secret-resolved attach: ATTACH 'ducklake:' (default secret)
@@ -1857,12 +1876,21 @@ class SQLSession:
                     raise SQLFrontUnsupported(f"ATTACH option {part!r}")
                 key = _unquote(mm.group(1)).lower()
                 raw = mm.group(2).strip()
-                val = _parse_value(raw) if raw else True
+                try:
+                    val = _parse_value(raw) if raw else True
+                except SQLFrontUnsupported:
+                    # duckdb accepts bare-word option values
+                    # (general/data_path_tag.test:
+                    # DATA_PATH something_else)
+                    if re.fullmatch(r"[\w./:-]+", raw):
+                        val = raw
+                    else:
+                        raise
                 if key == "data_path":
                     kw["data_path"] = val
                 elif key == "metadata_catalog":
                     meta_alias = str(val)
-                elif key == "read_only":
+                elif key in ("read_only", "readonly"):
                     kw["read_only"] = bool(val)
                 elif key == "read_write":
                     kw["_read_write"] = bool(val)
@@ -1940,13 +1968,29 @@ class SQLSession:
                 "SNAPSHOT_VERSION/SNAPSHOT_TIME can only be used in "
                 "read-only mode")
         opts = kw.pop("_options", {})
-        if not kw.pop("create_if_not_exists", True):
-            local = meta_url.split("://", 1)[-1]
-            if not os.path.exists(local):
+        cine = kw.pop("create_if_not_exists", None)
+        local = meta_url.split("://", 1)[-1]
+        if cine is False and not os.path.exists(local):
+            raise DuckLakeError(
+                f"metadata catalog {local!r} does not exist and "
+                "creating a new DuckLake is explicitly disabled "
+                "(CREATE_IF_NOT_EXISTS false)")
+        if kw.get("read_only") and "://" not in meta_url.split(
+                "duckdb://")[-1]:
+            # read-only attach of a missing/uninitialized catalog can
+            # never bootstrap it (initialize/read_only_mode.test)
+            initialized = DuckLake._stored_data_path(
+                meta_url, schema=kw.get("metadata_schema")) is not None
+            if not initialized:
+                if cine:
+                    raise DuckLakeError(
+                        f'Cannot execute statement of type "CREATE" on '
+                        f'database "__ducklake_metadata_{name}" which '
+                        "is attached in read-only mode!")
                 raise DuckLakeError(
-                    f"metadata catalog {local!r} does not exist and "
-                    "creating a new DuckLake is explicitly disabled "
-                    "(CREATE_IF_NOT_EXISTS false)")
+                    f"metadata catalog {local!r} is not an initialized "
+                    "DuckLake and creating a new DuckLake is "
+                    "explicitly disabled in read-only mode")
         if meta_alias and meta_alias == name:
             # reference: general/recursive_metadata_catalog.test — the
             # metadata catalog cannot shadow the lake's own name
@@ -1996,6 +2040,9 @@ class SQLSession:
         if not m:
             raise SQLFrontUnsupported(f"DETACH grammar: {stmt!r}")
         name = _unquote(m.group(2))
+        if name in getattr(self, "host_dbs", set()):
+            self.host_dbs.discard(name)
+            return None
         if name not in self.lakes:
             if name in self.meta_catalogs:
                 # detaching the metadata catalog alias strands the lake:
@@ -3931,7 +3978,56 @@ class SQLSession:
         if re.match(r"FROM\s", sql, re.I):
             sql = translate_from_first(sql)
         rewritten = self._rewrite_query(sql)
-        return self._run_with_duck_order(rewritten)
+        try:
+            return self._run_with_duck_order(rewritten)
+        except Exception as e:
+            # duckdb lets WHERE reference a SELECT-list alias
+            # (general/data_path_tag.test: ... AS data_path ... WHERE
+            # data_path ILIKE ...); Spark doesn't — inline the alias
+            # expression and retry once
+            em = re.search(r"UNRESOLVED_COLUMN[^`]*`([^`]+)`", str(e))
+            if not em:
+                raise
+            alias = em.group(1)
+            am = re.search(
+                rf"\sAS\s+`?{re.escape(alias)}`?(?=\s*,|\s+FROM\b)",
+                rewritten, re.I)
+            if not am:
+                raise
+            # balanced backward scan from ' AS' to the select-list
+            # entry start (top-level comma / enclosing paren / SELECT)
+            spans0 = _quote_spans(rewritten)
+            depth0, i0, start0 = 0, am.start() - 1, 0
+            while i0 >= 0:
+                sp = next((a for a, b in spans0 if a <= i0 <= b), None)
+                if sp is not None:
+                    i0 = sp - 1
+                    continue
+                c0 = rewritten[i0]
+                if c0 == ")":
+                    depth0 += 1
+                elif c0 == "(":
+                    if depth0 == 0:
+                        start0 = i0 + 1
+                        break
+                    depth0 -= 1
+                elif c0 == "," and depth0 == 0:
+                    start0 = i0 + 1
+                    break
+                i0 -= 1
+            expr0 = re.sub(r"^\s*(?:SELECT\s+)?(?:DISTINCT\s+)?", "",
+                           rewritten[start0:am.start() + 1], count=1,
+                           flags=re.I).strip()
+            if not expr0:
+                raise
+            fixed = _sub_outside_quotes(
+                rf"(?<![\w.`'\"]){re.escape(alias)}(?![\w.`])",
+                lambda m2, _x=expr0: f"({_x})",
+                rewritten[am.end():])
+            if fixed == rewritten[am.end():]:
+                raise
+            return self._run_with_duck_order(
+                rewritten[:am.end()] + fixed)
 
     def _run_with_duck_order(self, sql: str) -> DataFrame:
         """Execute a rewritten SELECT under the reference's ordering
@@ -5548,13 +5644,13 @@ class SQLSession:
 
         sql = re.sub(
             r"\b(duckdb_tables|duckdb_views|duckdb_schemas|duckdb_columns"
-            r"|duckdb_databases)\s*\(\s*\)",
+            r"|duckdb_databases|duckdb_memory)\s*\(\s*\)",
             _duck_intro, sql, flags=re.I)
         # duckdb also accepts the bare (paren-less) view form:
         # FROM duckdb_views WHERE … (transaction_conflicts_view.test)
         sql = re.sub(
             r"\b(duckdb_tables|duckdb_views|duckdb_schemas|duckdb_columns"
-            r"|duckdb_databases)\b(?!\s*\()",
+            r"|duckdb_databases|duckdb_memory)\b(?!\s*\()",
             _duck_intro, sql, flags=re.I)
 
         # 2c. bare lake-scoped TVFs on the CURRENT database:
@@ -5948,6 +6044,17 @@ class SQLSession:
         explicit_meta = {a: ln for a, ln in self.meta_catalogs.items()
                          if not a.startswith("__ducklake_metadata_")}
         rows: list[tuple] = []
+        if kind == "duckdb_memory":
+            # duckdb's memory ledger; OBJECT_CACHE maps to the engine's
+            # snapshot-keyed file-list/stats cache — issue-852 asserts
+            # DDL churn doesn't grow it and expire releases entries
+            # (issues/issue_852_cache_growth.test)
+            total = sum(lk.object_cache_bytes()
+                        for lk in self.lakes.values())
+            mem_rows = [("BASE_TABLE", 0, 0), ("OBJECT_CACHE", total, 0)]
+            return self.spark.createDataFrame(
+                mem_rows, "tag string, memory_usage_bytes bigint, "
+                          "temporary_storage_bytes bigint")
         if kind == "duckdb_databases":
             for name, lake in self.lakes.items():
                 rows.append((name, "ducklake",

@@ -203,6 +203,11 @@ class Transaction:
         # (reference: insert_sorted_transaction.test — inserts in the
         # SAME transaction already sort by the new spec)
         self.pending_sort_specs: dict[int, list] = {}
+        # maintenance calls issued INSIDE an explicit transaction
+        # (CALL ducklake_expire_snapshots under BEGIN) apply only when
+        # the transaction commits; ROLLBACK drops them
+        # (issues/issue_852_cache_growth.test)
+        self.post_commit_ops: list = []
         self.inlined_inserts: list[tuple[int, str, list[tuple]]] = []
         # like inlined_inserts, but row_id holds a 0-based OFFSET that is
         # rebased onto table_stats.next_row_id inside the commit txn (new
