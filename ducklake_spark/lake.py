@@ -2940,12 +2940,36 @@ class DuckLake:
                 self.spark.sparkContext.defaultParallelism)
         w = writer.write.mode("overwrite")
         if target_file_size and target_file_size // 200 >= 10_000:
-            # coarse in-flight rotation from a bytes/row guess; the
+            # coarse in-flight rotation from a bytes/row estimate; the
             # exact size-based split below corrects the stragglers.
             # Micro targets (< ~2MB, reference tests) skip the guess —
             # the post-split alone lands the exact reference file count
-            # (insert_partitioned_file_size.test: 5 per partition)
-            w = w.option("maxRecordsPerFile", target_file_size // 200)
+            # (insert_partitioned_file_size.test: 5 per partition).
+            # The rate comes from the table's OWN stats when it has
+            # data (duckdb rotates on actual written bytes — a fixed
+            # 200B/row guess split a 28B/row lineitem insert into 3
+            # files where the reference writes 1:
+            # compaction/compaction_size_limit.test); a fresh table
+            # falls back to the conservative 200B/row guess only when
+            # the target is large enough that one unsplit file would
+            # be painful to rewrite.
+            rate = 0
+            try:
+                strow = self.meta.query(
+                    "SELECT record_count, file_size_bytes FROM "
+                    "ducklake_table_stats WHERE table_id=?",
+                    (h.table_id,))
+                if strow and strow[0][0]:
+                    rate = max(1, int(strow[0][1]) // int(strow[0][0]))
+            except Exception:
+                pass
+            if rate:
+                if target_file_size // rate >= 10_000:
+                    w = w.option("maxRecordsPerFile",
+                                 target_file_size // rate)
+            elif target_file_size >= (64 << 20):
+                w = w.option("maxRecordsPerFile",
+                             target_file_size // 200)
         def _format_opts(w):
             """Writer options shared by the main write and the
             size-rotation re-split below."""

@@ -1732,6 +1732,16 @@ class SQLSession:
                     r"\$(\d+)",
                     lambda m: argmap.get(m.group(1), m.group(0)), body)
             return self.execute(body)
+        if kw in ("LOAD", "INSTALL"):
+            # duckdb extension loads with built-in Spark equivalents
+            # (LOAD icu — remove_orphans/remove_orphaned_files.test);
+            # anything genuinely missing fails at its point of use
+            mload = re.match(r"(?:LOAD|INSTALL)\s+'?(\w+)'?\s*$", stmt,
+                             re.I)
+            if mload and mload.group(1).lower() in (
+                    "icu", "parquet", "json", "tpch", "core_functions"):
+                return None
+            raise SQLFrontUnsupported(f"statement kind {kw!r}")
         if kw == "DROP":  # DROP <other>
             raise SQLFrontUnsupported(f"statement: {stmt.split()[1]}")
         raise SQLFrontUnsupported(f"statement kind {kw!r}")
@@ -2682,11 +2692,23 @@ class SQLSession:
                          if m.group(3)
                          else [f.name for f in hschema.fields])
             src = src.toDF(*collist_h[:len(src.columns)])
+            from pyspark.sql import types as T
+
             for f_ in hschema.fields:
                 if f_.name not in src.columns:
                     src = src.withColumn(f_.name, F.lit(None))
-                src = src.withColumn(
-                    f_.name, F.col(f_.name).cast(f_.dataType))
+                if (isinstance(f_.dataType, T.ArrayType)
+                        and isinstance(src.schema[f_.name].dataType,
+                                       T.StringType)):
+                    # duckdb casts list TEXT ('[0.0]') to a list value
+                    # (data_inlining/data_inlining_types.test) — Spark
+                    # needs the JSON reader for string -> array
+                    src = src.withColumn(
+                        f_.name, F.from_json(F.col(f_.name),
+                                             f_.dataType))
+                else:
+                    src = src.withColumn(
+                        f_.name, F.col(f_.name).cast(f_.dataType))
             src = src.select(*[f_.name for f_ in hschema.fields])
             cur = self.spark.table(hname)
             new_rows = src.collect()
@@ -3058,6 +3080,15 @@ class SQLSession:
             expr = re.sub(r"\bARRAY\s*\[", "[", expr, flags=re.I)
             expr = translate_list_literals(expr)
             expr = translate_subscripts(expr)
+        # duckdb type names Spark lacks in :: casts / CAST targets
+        # (merge_adjacent_after_add_files_schema_evolution.test:
+        # UPDATE ... SET name = 'x' || id::VARCHAR)
+        expr = re.sub(r"::\s*(VARCHAR|TEXT)\b(?!\s*\()", "::STRING",
+                      expr, flags=re.I)
+        expr = re.sub(r"(\bAS\s+)(VARCHAR|TEXT)\b(?!\s*\()(\s*\))",
+                      r"\1STRING\3", expr, flags=re.I)
+        expr = re.sub(r"::\s*(HUGEINT|INT128)\b", "::DECIMAL(38,0)",
+                      expr, flags=re.I)
         return expr
 
     def _update(self, stmt: str) -> DataFrame:
@@ -3079,8 +3110,9 @@ class SQLSession:
             ma = re.match(rf"({_IDENT})\s*=\s*(.+)$", part.strip(), re.S)
             if not ma:
                 raise SQLFrontUnsupported(f"UPDATE assignment {part!r}")
-            assignments[_unquote(ma.group(1))] = translate_geometry_literals(
-                ma.group(2).strip())
+            assignments[_unquote(ma.group(1))] = \
+                self._translate_scalar_expr(translate_geometry_literals(
+                    ma.group(2).strip()))
         if m.group(3):
             # UPDATE t SET ... FROM src WHERE t.k = src.k — joined
             # update, duplicate source matches first-write-wins
@@ -3245,6 +3277,24 @@ class SQLSession:
             fn = fn[len("ducklake_"):]
             if db is None and pos:
                 db = str(pos.pop(0))
+        if fn.lower() == "dbgen":
+            # duckdb's tpch generator: materialize the 8 TPC-H tables
+            # as host (memory-catalog) tables via the local duckdb
+            # (compaction/compaction_size_limit.test needs dbgen-exact
+            # row counts)
+            sf = float(named.get("sf", pos[0] if pos else 1))
+            import duckdb as _dk
+
+            con = _dk.connect()
+            con.execute(f"CALL dbgen(sf = {sf})")
+            for t in ("region", "nation", "customer", "supplier",
+                      "part", "partsupp", "orders", "lineitem"):
+                tbl = con.execute(f"SELECT * FROM {t}").arrow()
+                sdf = self.spark.createDataFrame(tbl.to_pandas())
+                sdf.createOrReplaceTempView(t)
+                self.host_tables[t] = sdf.schema
+            con.close()
+            return None
         if fn not in self._CALL_FNS:
             raise SQLFrontUnsupported(f"CALL function {fn!r}")
         lake = self._lake(db)
@@ -5760,6 +5810,14 @@ class SQLSession:
             db = _unquote(m.group(1))
             if db in self.meta_catalogs:
                 return self._meta_ref(m)
+            if db == "memory" and m.group(3) is not None:
+                # host-catalog reference (memory.main.lineitem after
+                # CALL dbgen — compaction/compaction_size_limit.test):
+                # host tables live as same-named temp views
+                t = _unquote(m.group(3))
+                if t.lower() in self.host_tables:
+                    return (t if self._alias_follows(m)
+                            else f"{t} AS {self._safe_alias(t)}")
             if db not in self.lakes:
                 # schema-qualified name in the CURRENT database:
                 # USE dl; SELECT * FROM s1.t

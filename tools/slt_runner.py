@@ -639,9 +639,16 @@ class FileRunner:
         types = r.arg
         ncols = len(types)
         if rows and len(rows[0]) != ncols:
-            raise Fail(f"query [line {r.lineno}]: returned "
-                       f"{len(rows[0])} columns, expected {ncols}"
-                       f"\nSQL: {sql}")
+            if r.label and not r.expected:
+                # duckdb's runner compares label-only queries by
+                # result hash and does not validate the declared
+                # column count (data_inlining_types.test: `query I
+                # nosort extra_types` over a 10-column table)
+                ncols = len(rows[0])
+            else:
+                raise Fail(f"query [line {r.lineno}]: returned "
+                           f"{len(rows[0])} columns, expected {ncols}"
+                           f"\nSQL: {sql}")
         tzcols, geocols = [], []
         if df is not None:
             from pyspark.sql import types as _T
