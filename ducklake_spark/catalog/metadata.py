@@ -519,19 +519,34 @@ class MetadataManager:
 
     def set_option(self, key: str, value: str,
                    scope: str | None = None, scope_id: int | None = None) -> None:
-        if scope is None:
-            self.con.execute(
-                "DELETE FROM ducklake_metadata WHERE key=? AND scope IS NULL", (key,)
-            )
-        else:
-            self.con.execute(
-                "DELETE FROM ducklake_metadata WHERE key=? AND scope=? AND scope_id=?",
-                (key, scope, scope_id),
-            )
-        self.con.execute(
-            "INSERT INTO ducklake_metadata VALUES (?, ?, ?, ?)",
-            (key, value, scope, scope_id),
-        )
+        # retried: concurrent sessions SETting the same option race on
+        # the delete+insert (settings/max_retry_count.test runs SET
+        # inside a concurrentloop)
+        import time as _time
+
+        for attempt in range(6):
+            try:
+                if scope is None:
+                    self.con.execute(
+                        "DELETE FROM ducklake_metadata "
+                        "WHERE key=? AND scope IS NULL", (key,)
+                    )
+                else:
+                    self.con.execute(
+                        "DELETE FROM ducklake_metadata "
+                        "WHERE key=? AND scope=? AND scope_id=?",
+                        (key, scope, scope_id),
+                    )
+                self.con.execute(
+                    "INSERT INTO ducklake_metadata VALUES (?, ?, ?, ?)",
+                    (key, value, scope, scope_id),
+                )
+                return
+            except Exception as exc:
+                safe_rollback(self.con)
+                if attempt == 5 or not self.is_retryable(exc):
+                    raise
+                _time.sleep(0.05 * (attempt + 1))
 
     def close(self) -> None:
         con = getattr(self._local, "con", None)

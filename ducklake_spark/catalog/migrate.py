@@ -125,6 +125,16 @@ def migrate_if_required(meta: MetadataManager) -> list[str]:
                         f"ALTER TABLE {table} ADD COLUMN {cname} {ctype}"
                     )
                     actions.append(f"addcol:{table}.{cname}")
+        # reference migration defaults: schema/table path columns are
+        # '' + relative, NOT NULL (ducklake_metadata_manager.cpp:310-313
+        # ADD COLUMN path VARCHAR DEFAULT ''); NULL paths break every
+        # os.path.join downstream (migration/v01_partitioned.test)
+        for table in ("ducklake_schema", "ducklake_table"):
+            con.execute(
+                f"UPDATE {table} SET path='' WHERE path IS NULL")
+            con.execute(
+                f"UPDATE {table} SET path_is_relative=TRUE "
+                "WHERE path_is_relative IS NULL")
 
         # --- v0.1 fixup: partition_column.column_id held an ORDINAL
         if version.startswith("0.1"):
@@ -162,6 +172,32 @@ def migrate_if_required(meta: MetadataManager) -> list[str]:
             )
             actions.append("fixup:schema_versions_backfill")
 
+        # --- global -> per-table schema versions: legacy catalogs
+        # recorded one (begin_snapshot, schema_version) row for the
+        # WHOLE lake; the current format keys them by table. Explode
+        # each global row across every table alive at that snapshot
+        # (migration/per_table_schema.test pins the expansion)
+        glob_rows = con.execute(
+            "SELECT begin_snapshot, schema_version "
+            "FROM ducklake_schema_versions WHERE table_id IS NULL"
+        ).fetchall()
+        tbl_rows = con.execute(
+            "SELECT table_id, MIN(begin_snapshot) FROM ducklake_table "
+            "GROUP BY table_id"
+        ).fetchall()
+        if glob_rows and tbl_rows:
+            con.execute(
+                "DELETE FROM ducklake_schema_versions "
+                "WHERE table_id IS NULL")
+            for tid, tbegin in sorted(tbl_rows):
+                for begin, ver in sorted(glob_rows):
+                    if begin >= (tbegin or 0):
+                        con.execute(
+                            "INSERT INTO ducklake_schema_versions "
+                            "(begin_snapshot, schema_version, table_id) "
+                            "VALUES (?, ?, ?)", (begin, ver, tid))
+            actions.append("fixup:schema_versions_per_table")
+
         # --- legacy partial_file_info -> partial_max (MigrateV03)
         df_cols = {
             r[1]
@@ -186,6 +222,32 @@ def migrate_if_required(meta: MetadataManager) -> list[str]:
                 "UPDATE ducklake_data_file SET partial_file_info=NULL"
             )
             actions.append("fixup:partial_file_info")
+
+        # canonical column ORDER: the engine's catalog writes are
+        # positional INSERTs — a reference-written legacy table whose
+        # surviving columns sit in a different order (or that carries
+        # dropped legacy extras like file_order/partial_file_info)
+        # must be rebuilt into the canonical shape
+        # (migration/v01_partitioned.test)
+        for table, cols in expected.items():
+            want_order = [c[0] for c in cols]
+            have_order = [
+                r[1] for r in con.execute(
+                    f"PRAGMA table_info({table})").fetchall()
+            ]
+            if have_order == want_order:
+                continue
+            tmp = table + "__mig"
+            stmt = next(s for s in SCHEMA_STATEMENTS if f" {table}(" in s)
+            con.execute(f"DROP TABLE IF EXISTS {tmp}")
+            con.execute(stmt.replace(f" {table}(", f" {tmp}(", 1))
+            collist = ", ".join(want_order)
+            con.execute(
+                f"INSERT INTO {tmp}({collist}) "
+                f"SELECT {collist} FROM {table}")
+            con.execute(f"DROP TABLE {table}")
+            con.execute(f"ALTER TABLE {tmp} RENAME TO {table}")
+            actions.append(f"reorder:{table}")
 
         con.execute(
             "UPDATE ducklake_metadata SET value=? WHERE key='version'",

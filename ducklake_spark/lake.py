@@ -393,9 +393,16 @@ class DuckLake:
             # '1.x' catalogs are format-compatible and keep their tag —
             # only AUTOMATIC_MIGRATION bumps them to the current head
             # (attach/attach_ducklake_version.test); pre-1.0 catalogs
-            # always migrate
+            # require explicit AUTOMATIC_MIGRATION TRUE, like the
+            # reference (migration/migration.test: plain attach errors)
             if cur_ver.startswith("1.") and not automatic_migration:
                 pass
+            elif not automatic_migration:
+                raise DuckLakeError(
+                    f"DuckLake catalog version mismatch: catalog is "
+                    f"{cur_ver!r}, engine expects {FORMAT_VERSION!r} — "
+                    "re-attach with AUTOMATIC_MIGRATION TRUE to upgrade"
+                )
             elif read_only:
                 raise DuckLakeError(
                     "catalog requires a format migration; re-attach without "
@@ -580,6 +587,12 @@ class DuckLake:
         self._check_writable()
         if self._txn is None:
             self._txn = Transaction(self.meta)
+            # the SESSION's data root (OVERRIDE_DATA_PATH may differ
+            # from the catalog-recorded one): commit-time absolute
+            # paths for outside-table files must name the real
+            # location (migration/migration.test adopts under an
+            # overridden root)
+            self._txn.active_data_root = self.data_path
             self._txn.commit_message = self._commit_note
             self._txn.session_inline_default = self._inline_limit()
         return self._txn
@@ -5118,23 +5131,65 @@ class DuckLake:
             plain_dels = [e for e in pq_dels if not e[4]]
             enc_dels = [e for e in pq_dels if e[4]]
             if plain_dels:
-                del_paths = [os.path.join(self.data_path, p)
-                             for _, p, _, _, _ in plain_dels]
-                # flushed delete files embed a per-position snapshot
-                # column (reference WriteDeleteFileWithSnapshots):
-                # positions deleted after the read snapshot must not
-                # apply; files without the column read it as NULL
-                ddf = (
-                    self.spark.read.schema(
-                        f"file_path string, pos long, {SNAPID_COL} long")
-                    .parquet(*del_paths)
-                    .filter(F.col(SNAPID_COL).isNull()
-                            | (F.col(SNAPID_COL) <= F.lit(read_snap)))
-                    .select(
-                        self._file_uri_col(F.col("file_path")).alias("__dfile"),
-                        F.col("pos").alias("__dpos"),
+                # the reference binds a delete file to its data file
+                # through the CATALOG (ducklake_delete_file.data_file_id
+                # — ScanDeleteFile ignores the embedded file_path text,
+                # ducklake_delete_filter.cpp:218-221), so deletes keep
+                # applying after a DATA_PATH relocation
+                # (delete/delete_ignore_extra_columns.test). Only
+                # txn-local buffered deletes (synthetic id -1, data
+                # file not yet committed) match on the embedded path.
+                path_by_dfid = {f["data_file_id"]: f["path"]
+                                for f in files}
+                cat_dels = [e for e in plain_dels
+                            if e[0] >= 0 and e[0] in path_by_dfid]
+                path_dels = [e for e in plain_dels if e[0] < 0]
+                if cat_dels:
+                    dpaths = [os.path.join(self.data_path, p)
+                              for _, p, _, _, _ in cat_dels]
+                    mapping = [
+                        (self._file_uri(p),
+                         self._file_uri(path_by_dfid[fid]))
+                        for fid, p, _, _, _ in cat_dels
+                    ]
+                    mdf = F.broadcast(self.spark.createDataFrame(
+                        mapping, "__delpath string, __dfile string"))
+                    # flushed delete files embed a per-position
+                    # snapshot column (WriteDeleteFileWithSnapshots):
+                    # positions deleted after the read snapshot must
+                    # not apply; files without it read NULL
+                    ddf = (
+                        self.spark.read.schema(
+                            f"file_path string, pos long, "
+                            f"{SNAPID_COL} long")
+                        .parquet(*dpaths)
+                        .filter(F.col(SNAPID_COL).isNull()
+                                | (F.col(SNAPID_COL)
+                                   <= F.lit(read_snap)))
+                        .select(
+                            F.expr(DECODED_FILE_PATH).alias("__delpath"),
+                            F.col("pos").alias("__dpos"))
+                        .join(mdf, "__delpath")
+                        .select("__dfile", "__dpos")
                     )
-                )
+                if path_dels:
+                    del_paths = [os.path.join(self.data_path, p)
+                                 for _, p, _, _, _ in path_dels]
+                    pdf = (
+                        self.spark.read.schema(
+                            f"file_path string, pos long, "
+                            f"{SNAPID_COL} long")
+                        .parquet(*del_paths)
+                        .filter(F.col(SNAPID_COL).isNull()
+                                | (F.col(SNAPID_COL)
+                                   <= F.lit(read_snap)))
+                        .select(
+                            self._file_uri_col(
+                                F.col("file_path")).alias("__dfile"),
+                            F.col("pos").alias("__dpos"),
+                        )
+                    )
+                    ddf = pdf if ddf is None else ddf.unionByName(pdf)
             if enc_dels:
                 edf = self._read_encrypted_delete_files(
                     [(os.path.join(self.data_path, p), k)
@@ -6001,6 +6056,20 @@ class DuckLake:
                 (table_id, snap.snapshot_id, snap.snapshot_id),
             )
         ]
+        if any((c[2] or "").lower() in ("struct", "list", "map")
+               for c in cols):
+            # reference-written catalogs store BARE composite tags on
+            # the root row and the shape in per-node child rows
+            # (migration/v01_partitioned.test fixtures) — reconstruct
+            # the full type text from the children
+            cols = [
+                (cid, cn,
+                 (self._compose_node_type(table_id, snap.snapshot_id,
+                                          cid, ct)
+                  if (ct or "").lower() in ("struct", "list", "map")
+                  else ct), nn)
+                for cid, cn, ct, nn in cols
+            ]
         # columns ADDED by this open transaction overlay the committed
         # schema for the transaction's own statements (reference
         # txn-local schema; at_version/at_timestamp reads stay pinned)
@@ -6034,6 +6103,36 @@ class DuckLake:
                 ]
         return TableHandle(table_id, table_uuid, schema_id, schema_name,
                            table_name, path, cols)
+
+    def _compose_node_type(self, table_id: int, snap_id: int,
+                           cid: int, bare: str) -> str:
+        """Rebuild a composite type's full text from its per-node child
+        rows (reference catalogs store 'struct'/'list'/'map' on the
+        parent and one row per nested node)."""
+        kids = self.meta.query(
+            "SELECT column_id, column_name, column_type "
+            "FROM ducklake_column WHERE table_id=? AND parent_column=? "
+            "AND begin_snapshot <= ? "
+            "AND (end_snapshot IS NULL OR end_snapshot > ?) "
+            "ORDER BY column_order",
+            (table_id, cid, snap_id, snap_id))
+        parts = [
+            (n, (self._compose_node_type(table_id, snap_id, k, t)
+                 if (t or "").lower() in ("struct", "list", "map")
+                 else t))
+            for k, n, t in kids
+        ]
+        b = (bare or "").lower()
+        if b == "struct":
+            return ("struct<"
+                    + ",".join(f"{n}:{t}" for n, t in parts) + ">")
+        if b == "list":
+            return f"list<{parts[0][1]}>" if parts else "list<int32>"
+        if b == "map":
+            by = {n.lower(): t for n, t in parts}
+            return (f"map<{by.get('key', 'varchar')},"
+                    f"{by.get('value', 'varchar')}>")
+        return bare
 
     def _table_names(self, snap: Snapshot | None = None) -> list[str]:
         if snap is None:

@@ -4474,6 +4474,8 @@ class SQLSession:
             r"\1() OVER (ORDER BY monotonically_increasing_id())",
             sql, flags=re.I)
 
+        # duckdb's zero-arg COUNT() is COUNT(*) (retry/commit_failure)
+        sql = re.sub(r"\bCOUNT\s*\(\s*\)", "COUNT(*)", sql, flags=re.I)
         # 0b. DuckDB type names Spark lacks, in :: casts and CAST targets
         sql = re.sub(r"::\s*(VARCHAR|TEXT)\b(?!\s*\()", "::STRING", sql,
                      flags=re.I)

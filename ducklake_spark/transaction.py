@@ -1378,16 +1378,24 @@ class Transaction:
                     tp = tpath_cache[tid2] = (row2[0] if row2 else "")
                 return tp
 
-            drow = con.execute(
-                "SELECT value FROM ducklake_metadata "
-                "WHERE key='data_path' AND scope IS NULL"
-            ).fetchone()
-            _data_root = ((drow[0].rstrip("/") + "/") if drow and drow[0]
-                          else "")
+            _data_root = getattr(self, "active_data_root", None)
+            if not _data_root:
+                drow = con.execute(
+                    "SELECT value FROM ducklake_metadata "
+                    "WHERE key='data_path' AND scope IS NULL"
+                ).fetchone()
+                _data_root = (drow[0] if drow and drow[0] else "")
+            _data_root = (_data_root.rstrip("/") + "/") if _data_root \
+                else ""
 
             def _cat_path(tid2: int, path: str) -> tuple[str, int]:
                 tp = _tpath(tid2)
-                if tp and path.startswith(tp):
+                if tp is not None and path.startswith(tp) \
+                        and not path.startswith("/") \
+                        and "://" not in path:
+                    # tp == '' (migrated legacy catalogs: the table
+                    # dir IS the data root) still means table-relative
+                    # (migration/migration.test flush-after-upgrade)
                     return path[len(tp):], 1
                 # outside the table directory (adopted hive/external
                 # files): absolute path, flag false — readers

@@ -77,7 +77,8 @@ def test_migrate_reference_fixture(spark, tmp_path, fixture):
     db2 = str(tmp_path / f"{fixture}_2.db")
     _gunzip(src, db2)
     lk = DuckLake.attach(spark, "duckdb://" + db2, str(tmp_path / "data"),
-                         override_data_path=True)  # fixture recorded its own path
+                         override_data_path=True,  # fixture records its own path
+                         automatic_migration=True)
     assert lk.meta.latest_snapshot().snapshot_id >= 0
     names = lk._table_names()
     assert isinstance(names, list)
@@ -107,7 +108,8 @@ def test_migrate_downgraded_sqlite(spark, tmp_path):
     con.commit()
     con.close()
 
-    lk2 = DuckLake.attach(spark, db, str(tmp_path / "data"))
+    lk2 = DuckLake.attach(spark, db, str(tmp_path / "data"),
+                          automatic_migration=True)
     from ducklake_spark.catalog.metadata import FORMAT_VERSION
     from ducklake_spark.catalog.migrate import detect_version
 

@@ -522,7 +522,45 @@ class FileRunner:
                 self.loop_vars[var] = outer
             return stop + 1
         if head == "concurrentloop":
-            raise Skip("concurrentloop")
+            # duckdb sqllogictest: N threads, each running the loop
+            # body on its OWN connection with the loop var bound to its
+            # thread index (test/sql/concurrent/*). Each thread gets a
+            # fresh session (attach-replayed), so writers race through
+            # the shared catalog like real concurrent clients.
+            import copy as _copy
+            import threading as _th
+
+            var = toks[1]
+            lo = int(self._subst(toks[2]))
+            hi = int(self._subst(toks[3]))
+            stop = self._find_matching_end(records, i, end)
+            errors: list[BaseException] = []
+            uncheck = [0] * (hi - lo)
+
+            def _worker(tid: int, slot: int) -> None:
+                sub = _copy.copy(self)
+                sub.sessions = {}
+                sub.loop_vars = dict(self.loop_vars)
+                sub.loop_vars[var] = str(tid)
+                sub.label_results = {}
+                sub.unchecked_errors = 0
+                try:
+                    sub._run_block(records, i + 1, stop)
+                except BaseException as e:  # noqa: BLE001
+                    errors.append(e)
+                finally:
+                    uncheck[slot] = sub.unchecked_errors
+
+            threads = [_th.Thread(target=_worker, args=(t, s))
+                       for s, t in enumerate(range(lo, hi))]
+            for t in threads:
+                t.start()
+            for t in threads:
+                t.join()
+            self.unchecked_errors += sum(uncheck)
+            if errors:
+                raise errors[0]
+            return stop + 1
         if head == "restart":
             for s in self.sessions.values():
                 s.restart()
@@ -538,7 +576,28 @@ class FileRunner:
         if head in ("set",):
             return i + 1  # host-engine knobs (threads, autoload, …)
         if head == "unzip":
-            raise Skip("unzip fixture")
+            # `unzip data/old_ducklake/v01.db.gz {TEST_DIR}/v01.db` —
+            # reference fixtures are gzip files relative to the repo
+            # root (migration/*.test)
+            import gzip as _gz
+            import shutil as _sh
+
+            src = toks[1]
+            if not os.path.isabs(src):
+                for base in (os.environ.get("SLT_REF",
+                                            "/root/reference"),):
+                    cand = os.path.join(base, src)
+                    if os.path.exists(cand):
+                        src = cand
+                        break
+            dst = self._subst(toks[2]) if len(toks) > 2 else \
+                os.path.join(self.tmpdir, os.path.basename(src)[:-3])
+            if not os.path.exists(src):
+                raise Skip(f"unzip fixture missing: {toks[1]}")
+            os.makedirs(os.path.dirname(dst) or ".", exist_ok=True)
+            with _gz.open(src, "rb") as fin, open(dst, "wb") as fout:
+                _sh.copyfileobj(fin, fout)
+            return i + 1
         if head in ("load", "reconnect", "halt"):
             raise Skip(head)
         raise Skip(f"directive {head}")
@@ -547,6 +606,24 @@ class FileRunner:
         from ducklake_spark.sqlfront import SQLFrontUnsupported
 
         sql = self._subst(r.sql)
+        if re.match(r"\s*ATTACH\b", sql, re.I):
+            # the reference runner resolves relative DATA_PATHs against
+            # its repo checkout (delete_ignore_extra_columns.test:
+            # DATA_PATH 'data/iceberg_deletes/...') — ours runs from a
+            # different CWD, so anchor them explicitly
+            ref = os.environ.get("SLT_REF", "/root/reference")
+
+            def _abs_dp(m: "re.Match[str]") -> str:
+                rel = m.group(2)
+                if rel.startswith(("/", "s3://", "file://")):
+                    return m.group(0)
+                cand = os.path.join(ref, rel)
+                if os.path.exists(cand):
+                    return f"{m.group(1)}'{cand}'"
+                return m.group(0)
+
+            sql = re.sub(r"(DATA_PATH\s+)'([^']+)'", _abs_dp, sql,
+                         flags=re.I)
         sess = self._session(r.conn)
         try:
             df = sess.execute(sql)
@@ -560,6 +637,13 @@ class FileRunner:
             raise Skip(f"unsupported: {e} [line {r.lineno}]")
         except Exception as e:
             err = e
+        if err is not None and r.arg == "ok" \
+                and "database file with version number" in str(err):
+            # fixture written by a NEWER duckdb storage format than the
+            # installed library can read (migration.test v04.db needs
+            # duckdb >= 1.1) — environment gate, not a divergence
+            raise Skip(f"fixture needs newer duckdb storage "
+                       f"[line {r.lineno}]")
         if r.arg == "ok":
             if err is not None:
                 if self._looks_dialect(err):
