@@ -272,6 +272,17 @@ def add_data_files(lake: DuckLake, table: str, pattern, *,
     # adoption never assumes POSIX: the pattern resolves through the
     # lake's pyarrow.fs seam (one recursive LIST, client-side match)
     patterns = [pattern] if isinstance(pattern, str) else list(pattern)
+    if getattr(lake, "_s3fs", None) is not None:
+        # mirror-mode lake: pull any fresh object-store files into the
+        # mirror, then adopt via the mirror path
+        # (add_files/add_files_s3_settings.test)
+        lake._s3_sync_down()
+        rd = lake.remote_data_path.rstrip("/") + "/"
+        patterns = [
+            (os.path.join(lake.data_path, p[len(rd):])
+             if str(p).startswith(rd) else p)
+            for p in patterns
+        ]
     paths: list[str] = []
     seen: set[str] = set()
     for pat in patterns:

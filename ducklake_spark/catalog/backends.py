@@ -268,6 +268,66 @@ def register_backend(prefix: str, factory) -> None:
     _EXTRA_BACKENDS.append((prefix, factory))
 
 
+class S3StagedDuckDBBackend(DuckDBBackend):
+    """DuckDB catalog file living on an object store: staged to a
+    local cache (download on first connect, upload after each COMMIT
+    and on close). Used when ATTACH names an s3:// metadata path
+    (metadata/ducklake_settings_minio.test); a production deployment
+    would put the catalog on a database server instead."""
+
+    def __init__(self, url: str):
+        import os as _os
+
+        from ducklake_spark.fsio import (
+            mirror_root_for,
+            s3_boto_client,
+            split_s3,
+        )
+
+        self.url = url
+        self.bucket, self.key = split_s3(url)
+        local = _os.path.join(
+            mirror_root_for(url.rsplit("/", 1)[0]),
+            _os.path.basename(url))
+        if not _os.path.exists(local):
+            try:
+                s3_boto_client().download_file(self.bucket, self.key,
+                                               local)
+            except Exception:
+                pass  # fresh catalog
+        super().__init__(local)
+
+    def connect(self):
+        con = super().connect()
+        backend = self
+
+        class _Synced(_DuckConnection):
+            __slots__ = ()
+
+            def execute(self2, sql: str, params=()):  # noqa: N805
+                out = _DuckConnection.execute(self2, sql, params)
+                if sql.strip().upper().startswith("COMMIT"):
+                    backend._upload(self2)
+                return out
+
+        syn = _Synced(con.raw)
+        syn.schema = con.schema
+        return syn
+
+    def _upload(self, con) -> None:
+        from ducklake_spark.fsio import s3_boto_client
+
+        try:
+            con.raw.execute("CHECKPOINT")
+        except Exception:
+            pass
+        try:
+            s3_boto_client().upload_file(self.path, self.bucket,
+                                         self.key)
+        except Exception:
+            pass  # durability is best-effort under the mock server
+
+
 def backend_for(db_path: str) -> CatalogBackend:
     for prefix, factory in _EXTRA_BACKENDS:
         if db_path.startswith(prefix):
@@ -276,4 +336,6 @@ def backend_for(db_path: str) -> CatalogBackend:
         return DuckDBBackend(db_path[len("duckdb://"):])
     if db_path.startswith(("postgresql://", "postgres://")):
         return PostgresBackend(db_path)
+    if db_path.startswith(("s3://", "s3a://")):
+        return S3StagedDuckDBBackend(db_path)
     return SqliteBackend(db_path)

@@ -22,6 +22,7 @@ from __future__ import annotations
 import os
 import posixpath
 import re
+import tempfile
 
 import pyarrow.fs as pafs
 
@@ -214,7 +215,23 @@ def open_input_any(path: str):
 
 def open_output_any(path: str):
     """Open ``path`` for writing through the filesystem its scheme
-    names. Executor-safe counterpart of ``open_input_any``."""
+    names. Executor-safe counterpart of ``open_input_any``. S3 writes
+    go through a put-on-close buffer (see s3_boto_client)."""
+    if path.startswith(("s3://", "s3a://")):
+        import io
+
+        bucket, key = split_s3(path)
+
+        class _PutOnClose(io.BytesIO):
+            def close(self2) -> None:  # noqa: N805
+                try:
+                    s3_boto_client().put_object(
+                        Bucket=bucket, Key=key,
+                        Body=self2.getvalue())
+                finally:
+                    io.BytesIO.close(self2)
+
+        return _PutOnClose()
     if _has_scheme(path):
         fs, p = pafs.FileSystem.from_uri(path)
     else:
@@ -234,3 +251,80 @@ def size_any(path: str) -> int:
 def join(base: str, *parts: str) -> str:
     """posix join — object-store keys always use '/'."""
     return posixpath.join(base.replace(os.sep, "/"), *parts)
+
+
+# -- object-store (S3) support -----------------------------------------
+
+def s3_filesystem(url: str, options: dict | None = None):
+    """pyarrow S3FileSystem for ``url`` (s3://bucket/prefix) from
+    duckdb-shaped session settings (SET s3_endpoint / s3_access_key_id
+    / ... — reference httpfs semantics) with AWS_* env fallback.
+    Returns (fs, key_prefix)."""
+    o = {k.lower(): v for k, v in (options or {}).items()}
+    kwargs: dict = {"allow_bucket_creation": True,
+                    "allow_bucket_deletion": True}
+    endpoint = (o.get("s3_endpoint")
+                or os.environ.get("AWS_ENDPOINT_URL")
+                or os.environ.get("AWS_ENDPOINT_URL_S3"))
+    if endpoint:
+        if "://" not in endpoint:
+            use_ssl = str(o.get("s3_use_ssl", "false")).lower() \
+                in ("1", "true")
+            endpoint = ("https://" if use_ssl else "http://") + endpoint
+        kwargs["endpoint_override"] = endpoint
+    ak = o.get("s3_access_key_id") or os.environ.get("AWS_ACCESS_KEY_ID")
+    sk = (o.get("s3_secret_access_key")
+          or os.environ.get("AWS_SECRET_ACCESS_KEY"))
+    if ak:
+        kwargs["access_key"] = ak
+        kwargs["secret_key"] = sk or ""
+    kwargs["region"] = o.get("s3_region") or os.environ.get(
+        "AWS_REGION", "us-east-1")
+    fs = pafs.S3FileSystem(**kwargs)
+    prefix = url.split("://", 1)[1].rstrip("/")
+    return fs, prefix
+
+
+def mirror_root_for(url: str) -> str:
+    """Shared local mirror directory for an object-store data path —
+    every session attaching the same URL maps to the same mirror, so
+    cross-session reads see each other's files immediately while the
+    commit hooks sync the mirror to the store. This is the data plane
+    used when the Spark runtime has no hadoop-aws jars (this test
+    container); a production cluster reads s3a:// directly and never
+    enters mirror mode."""
+    import hashlib
+
+    h = hashlib.sha1(url.rstrip("/").encode()).hexdigest()[:16]
+    root = os.path.join(tempfile.gettempdir(), "dl_s3_mirror", h)
+    os.makedirs(root, exist_ok=True)
+    return root
+
+
+def s3_boto_client(options: dict | None = None):
+    """boto3 S3 client from duckdb-shaped settings / AWS env. Used for
+    WRITES in mirror mode: arrow's multipart CompleteMultipartUpload
+    trips over moto's testing server, while plain PutObject round-trips
+    cleanly; arrow handles reads/listings."""
+    import boto3
+
+    o = {k.lower(): v for k, v in (options or {}).items()}
+    endpoint = o.get("s3_endpoint") or os.environ.get("AWS_ENDPOINT_URL")
+    if endpoint and "://" not in endpoint:
+        use_ssl = str(o.get("s3_use_ssl", "false")).lower() in ("1", "true")
+        endpoint = ("https://" if use_ssl else "http://") + endpoint
+    return boto3.client(
+        "s3", endpoint_url=endpoint or None,
+        aws_access_key_id=(o.get("s3_access_key_id")
+                           or os.environ.get("AWS_ACCESS_KEY_ID")),
+        aws_secret_access_key=(o.get("s3_secret_access_key")
+                               or os.environ.get("AWS_SECRET_ACCESS_KEY")),
+        region_name=(o.get("s3_region")
+                     or os.environ.get("AWS_DEFAULT_REGION", "us-east-1")))
+
+
+def split_s3(path: str) -> tuple[str, str]:
+    """'s3://bucket/key...' -> (bucket, key)."""
+    rest = path.split("://", 1)[1]
+    bucket, _, key = rest.partition("/")
+    return bucket, key

@@ -323,7 +323,8 @@ class DuckLake:
                  automatic_migration: bool = False,
                  format_version: str | None = None,
                  alias: str | None = None,
-                 metadata_schema: str | None = None):
+                 metadata_schema: str | None = None,
+                 s3_options: dict | None = None):
         from ducklake_spark.fsio import LakeFS
 
         self.spark = spark
@@ -347,6 +348,34 @@ class DuckLake:
                     f"data path {self.data_path!r} uses filesystem "
                     f"{fs_name}, which is disabled "
                     "(disabled_filesystems)")
+        # Object-store data path without a hadoop-aws-capable Spark
+        # (this container): run the data plane on a SHARED local mirror
+        # and sync it to the store via pyarrow at commit/maintenance
+        # boundaries. The catalog keeps the s3:// data_path; a
+        # production cluster with hadoop-aws reads s3a:// directly and
+        # never enters mirror mode.
+        self.remote_data_path: str | None = None
+        self._s3fs = None
+        self._s3_prefix = ""
+        if self.data_path.startswith(("s3://", "s3a://")) \
+                and filesystem is None:
+            from ducklake_spark.fsio import mirror_root_for, s3_filesystem
+
+            from ducklake_spark.fsio import s3_boto_client, split_s3
+
+            self.remote_data_path = self.data_path
+            self._s3fs, self._s3_prefix = s3_filesystem(
+                self.data_path, s3_options)
+            self._s3_opts = dict(s3_options or {})
+            self._boto = s3_boto_client(s3_options)
+            self._s3_bucket, _ = split_s3(self.remote_data_path)
+            self.data_path = (
+                mirror_root_for(self.remote_data_path).rstrip("/") + "/")
+            try:
+                self._boto.create_bucket(Bucket=self._s3_bucket)
+            except Exception:
+                pass  # exists / owned
+            self._s3_sync_down()
         # every driver-side file op (finalize/adopt/cleanup) routes
         # through this pyarrow.fs-backed seam — see fsio.LakeFS;
         # injectable for tests and for pre-configured object stores
@@ -441,8 +470,9 @@ class DuckLake:
             if data_inlining_row_limit is not None:
                 raise DuckLakeError("cannot set options on a READ_ONLY lake")
         else:
-            self.meta.initialize(self.data_path, encrypted=encrypted,
-                                 format_version=format_version)
+            self.meta.initialize(
+                self.remote_data_path or self.data_path,
+                encrypted=encrypted, format_version=format_version)
             # unconditional layout repair (not gated on
             # AUTOMATIC_MIGRATION): catalogs written before the
             # reference-exact inlined-delete layout landed used
@@ -457,7 +487,8 @@ class DuckLake:
         # every read (reference: attach/different_paths.test,
         # OVERRIDE_DATA_PATH opt-out)
         stored = self.meta.option("data_path")
-        if stored and stored.rstrip("/") != self.data_path.rstrip("/"):
+        if stored and stored.rstrip("/") != (
+                self.remote_data_path or self.data_path).rstrip("/"):
             if override_data_path:
                 # session-scoped: the catalog keeps its recorded
                 # data_path — a later plain re-attach returns the
@@ -614,10 +645,14 @@ class DuckLake:
         finally:
             self._txn = None
             self._commit_note = (None, None, None)
+            from ducklake_spark.maintenance import release_flush_claims
+
+            release_flush_claims(txn)
         if snap is not None:
             DuckLake._LAST_COMMITTED[self.meta.db_path] = snap
         for op_ in getattr(txn, "post_commit_ops", []):
             op_()
+        self._s3_sync_up()
         return snap
 
     def rollback(self) -> None:
@@ -628,6 +663,9 @@ class DuckLake:
         # test_base_audit.test "ROLLBACK doesn't mess things up")
         self._commit_note = (None, None, None)
         if txn is not None:
+            from ducklake_spark.maintenance import release_flush_claims
+
+            release_flush_claims(txn)
             self._discard_buffered_files(txn)
 
     def _discard_buffered_files(self, txn: Transaction) -> None:
@@ -3203,9 +3241,13 @@ class DuckLake:
             work.append((path, small))
         if not work:
             return
+        from ducklake_spark.fsio import LakeFS as _LFS
+
         lfs = self.lfs
         fids = dict(field_ids or {})
-        if len(work) <= 2:
+        if len(work) <= 2 or type(lfs) is not _LFS:
+            # few files — or an injected filesystem wrapper that may
+            # not survive pickling to executors — rewrite on the driver
             for path, small in work:
                 _slim_one_file(lfs, path, small, fids)
         else:
@@ -3784,6 +3826,69 @@ class DuckLake:
                 None if self._txn is not None else (id(self), key)
             )
         return self.spark.sql(query)
+
+    def _s3_sync_down(self) -> None:
+        """Materialize the object store's state into the local mirror
+        (attach time; cheap no-op when sizes already match)."""
+        if self._s3fs is None:
+            return
+        import pyarrow.fs as pafs
+
+        sel = pafs.FileSelector(self._s3_prefix, recursive=True,
+                                allow_not_found=True)
+        for info in self._s3fs.get_file_info(sel):
+            if info.type != pafs.FileType.File:
+                continue
+            rel = info.path[len(self._s3_prefix):].lstrip("/")
+            lp = os.path.join(self.data_path, rel)
+            if os.path.exists(lp) \
+                    and os.path.getsize(lp) == info.size:  # noqa: posix-ok
+                continue
+            os.makedirs(os.path.dirname(lp), exist_ok=True)  # noqa: posix-ok
+            with self._s3fs.open_input_file(info.path) as fin, \
+                    open(lp, "wb") as fout:
+                import shutil as _sh
+
+                _sh.copyfileobj(fin, fout)
+
+    def _s3_sync_up(self) -> None:
+        """Push the mirror's state to the object store: upload new or
+        changed files, drop remote keys whose local file is gone
+        (cleanup/expire/compaction removals). Runs after commits and
+        maintenance calls — the mirror is the authoritative working
+        copy between syncs."""
+        if self._s3fs is None:
+            return
+        import pyarrow.fs as pafs
+
+        sel = pafs.FileSelector(self._s3_prefix, recursive=True,
+                                allow_not_found=True)
+        remote = {
+            info.path[len(self._s3_prefix):].lstrip("/"): info.size
+            for info in self._s3fs.get_file_info(sel)
+            if info.type == pafs.FileType.File
+        }
+        local: dict[str, str] = {}
+        for root, _dirs, names in os.walk(self.data_path):  # noqa: posix-ok
+            for n in names:
+                lp = os.path.join(root, n)
+                local[os.path.relpath(lp, self.data_path)
+                      .replace(os.sep, "/")] = lp
+        key_base = self._s3_prefix.split("/", 1)
+        key_prefix = key_base[1] + "/" if len(key_base) > 1 else ""
+        for rel, lp in local.items():
+            if remote.get(rel) == os.path.getsize(lp):  # noqa: posix-ok
+                continue
+            # boto3 PutObject (arrow's multipart completion trips over
+            # the moto test server; see fsio.s3_boto_client)
+            self._boto.upload_file(lp, self._s3_bucket,
+                                   key_prefix + rel)
+        for rel in set(remote) - set(local):
+            try:
+                self._boto.delete_object(Bucket=self._s3_bucket,
+                                         Key=key_prefix + rel)
+            except Exception:
+                pass
 
     def object_cache_bytes(self) -> int:
         """Estimated bytes held by the file-list cache — surfaced as

@@ -1313,6 +1313,19 @@ def delete_orphaned_files(lake: DuckLake, *, older_than: str | None = None,
     return orphans
 
 
+# in-process claims of tables whose inlined data an OPEN transaction
+# is flushing: db_path -> {table_id: id(txn)}; released at commit/
+# rollback (transaction_conflict_inlining.test)
+_PENDING_FLUSHES: dict[str, dict[int, int]] = {}
+
+
+def release_flush_claims(txn) -> None:
+    for db_path, tid in getattr(txn, "_flush_claims", ()):  # noqa: B007
+        claims = _PENDING_FLUSHES.get(db_path, {})
+        if claims.get(tid) == id(txn):
+            del claims[tid]
+
+
 def flush_inlined_data(lake: DuckLake, *, table: str | None = None,
                        schema: str | None = None,
                        report: bool = False) -> int | list[tuple[str, int]]:
@@ -1349,6 +1362,31 @@ def flush_inlined_data(lake: DuckLake, *, table: str | None = None,
     tables = kept
     per_table: list[tuple[str, int]] = []
     flushed_tids: set[int] = set()
+    if lake._txn is not None:
+        # two OPEN transactions must not both flush the same table's
+        # inlined rows: the reference's immediate-mode metadata txn
+        # holds row locks, so the second CALL errors at the statement
+        # (transaction/transaction_conflict_inlining.test). Commit-time
+        # detection still backstops cross-process writers.
+        claims = _PENDING_FLUSHES.setdefault(lake.meta.db_path, {})
+        mine = id(lake._txn)
+        for t in tables:
+            tid = lake._handle(t).table_id
+            owner = claims.get(tid)
+            if owner is not None and owner != mine:
+                err = DuckLakeError(
+                    "Conflict on flush_inlined_data: another open "
+                    "transaction is flushing this table's inlined data")
+                # duckdb reports this without poisoning the txn —
+                # COMMIT afterwards still succeeds
+                err.no_invalidate = True
+                raise err
+        own = lake._txn._flush_claims = getattr(
+            lake._txn, "_flush_claims", set())
+        for t in tables:
+            tid = lake._handle(t).table_id
+            claims[tid] = mine
+            own.add((lake.meta.db_path, tid))
     with lake.transaction():
         total = _flush_inlined_data_in_txn(lake, tables, per_table)
         if lake._txn is not None:
@@ -1524,9 +1562,14 @@ def _read_flushed_ids(lake, fi) -> tuple[list[int], list[int]]:
     dec = {}
     if fi.encryption_key:
         from ducklake_spark.crypto_pme import decrypt_properties, key_id_for
+        from ducklake_spark.lake import _crypto_key_id
 
+        # Spark's Java factory stamps the BARE key id; pyarrow-written
+        # delete files carry the dlk-prefixed one — offer both
+        # (compaction/compaction_encrypted.test flush-then-read)
         dec = {"decryption_properties": decrypt_properties(
-            {key_id_for(fi.encryption_key): fi.encryption_key})}
+            {key_id_for(fi.encryption_key): fi.encryption_key,
+             _crypto_key_id(fi.encryption_key): fi.encryption_key})}
     with lake.lfs.open_input(full) as fh:
         t = pq.ParquetFile(fh, **dec).read(
             columns=[ROWID_COL, SNAPID_COL], use_threads=False)

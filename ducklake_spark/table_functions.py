@@ -287,8 +287,11 @@ def settings(lake: DuckLake) -> DataFrame:
         else type(b).__name__
     )
     version = lake.meta.option("created_by") or ""
+    # mirror-mode object-store lakes report the REMOTE data path (the
+    # user-facing one; metadata/ducklake_settings_minio.test)
+    dp = getattr(lake, "remote_data_path", None) or lake.data_path
     return lake.spark.createDataFrame(
-        [(catalog_type, version, lake.data_path)],
+        [(catalog_type, version, dp)],
         "catalog_type string, extension_version string, data_path string",
     )
 

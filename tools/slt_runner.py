@@ -358,6 +358,14 @@ class FileRunner:
         def repl(m: re.Match) -> str:
             key = m.group(1)
             if key == "TEST_DIR":
+                # minio-family tests run under the reference's minio CI
+                # config, where the whole TEST_DIR lives on the object
+                # store — mirror that when the local S3 mock is up
+                if ("minio" in os.path.basename(self.path)
+                        and os.environ.get(
+                            "S3_TEST_SERVER_AVAILABLE") == "1"):
+                    return ("s3://test-bucket/"
+                            + os.path.basename(self.tmpdir))
                 return self.tmpdir
             if key == "UUID":
                 return str(uuidlib.uuid4())
@@ -478,6 +486,12 @@ class FileRunner:
         head = toks[0]
         if head == "require":
             what = toks[1] if len(toks) > 1 else ""
+            if what == "httpfs":
+                # satisfied when a local S3 mock is serving (main()
+                # boots moto_server on :9000 when available)
+                if os.environ.get("S3_TEST_SERVER_AVAILABLE") == "1":
+                    return i + 1
+                raise Skip("require httpfs")
             if what not in _ALLOWED_REQUIRES:
                 raise Skip(f"require {what}")
             if what == "vector_size":
@@ -818,6 +832,49 @@ class FileRunner:
                     f"actual={a!r} expected={e!r}\nSQL: {sql}")
 
 
+def _ensure_s3_mock() -> None:
+    """Serve an S3 API on 127.0.0.1:9000 (the reference's minio
+    address) via moto so `require httpfs` tests run. No-op if a
+    server is already listening or moto is unavailable."""
+    import socket
+    import subprocess
+
+    def _up() -> bool:
+        try:
+            with socket.create_connection(("127.0.0.1", 9000),
+                                          timeout=0.5):
+                return True
+        except OSError:
+            return False
+
+    def _export_env() -> None:
+        # the reference minio test config installs a default S3 secret
+        # (admin/password @ 127.0.0.1:9000) — mirror it into the AWS
+        # env so credential-less tests (delete_metadata.test) resolve
+        os.environ["S3_TEST_SERVER_AVAILABLE"] = "1"
+        os.environ.setdefault("AWS_ENDPOINT_URL",
+                              "http://127.0.0.1:9000")
+        os.environ.setdefault("AWS_ACCESS_KEY_ID", "admin")
+        os.environ.setdefault("AWS_SECRET_ACCESS_KEY", "password")
+        os.environ.setdefault("AWS_DEFAULT_REGION", "us-east-1")
+
+    if _up():
+        _export_env()
+        return
+    try:
+        subprocess.Popen(
+            ["moto_server", "-p", "9000", "-H", "127.0.0.1"],
+            stdout=subprocess.DEVNULL, stderr=subprocess.DEVNULL,
+            start_new_session=True)
+    except Exception:
+        return
+    for _ in range(40):
+        if _up():
+            _export_env()
+            return
+        time.sleep(0.25)
+
+
 def main(argv: list[str]) -> int:
     import argparse
 
@@ -845,6 +902,7 @@ def main(argv: list[str]) -> int:
     # orphan_after_expire); we run them — the postgres-backed ones still
     # skip on their `require postgres_scanner`
     os.environ.setdefault("DUCKLAKE_CI", "1")
+    _ensure_s3_mock()
     spark = get_spark("slt", cpus=int(os.environ.get("SLT_CPUS", "8")))
     import tempfile
 
