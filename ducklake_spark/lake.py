@@ -2230,6 +2230,16 @@ class DuckLake:
             raise DuckLakeError(f"no schema {schema_name!r}")
         return rows[0][0]
 
+    def _pg_identifier_blocked(self, h: TableHandle) -> bool:
+        """True when the metadata backend is Postgres and a column name
+        exceeds PG's 63-byte identifier limit — inlining would
+        silently truncate the inlined-data table's column."""
+        from ducklake_spark.catalog.backends import PostgresBackend
+
+        if not isinstance(self.meta.backend, PostgresBackend):
+            return False
+        return any(len(str(c[1]).encode()) > 63 for c in h.columns)
+
     def _inline_limit(self, table_id: int | None = None,
                       schema_id: int | None = None) -> int:
         """Effective data_inlining_row_limit (table over schema over
@@ -2640,6 +2650,12 @@ class DuckLake:
             # ducklake_metadata_manager.cpp:97-102 — geo stats need a
             # real parquet file; ducklake_geometry.test expects a file
             # stats row for a 1-row insert)
+            inline_limit = 0
+        if inline_limit > 0 and self._pg_identifier_blocked(h):
+            # a Postgres catalog truncates identifiers at 63 bytes —
+            # the inlined-data table could not carry the column, so
+            # such tables never inline (reference SupportsInlining;
+            # data_inlining/postgres_identifier_limit.test)
             inline_limit = 0
         if (inline_limit > 0 and h.table_id >= 0 and not (
                 self._txn is not None

@@ -1792,6 +1792,11 @@ class SQLSession:
         return None
 
     def _attach(self, stmt: str) -> None:
+        if re.search(r"\bgetvariable\s*\(", stmt, re.I):
+            # ATTACH options may reference SET VARIABLE state
+            # (issues/issue_sqlite_snapshot_time.test:
+            # SNAPSHOT_TIME getvariable('t1'))
+            stmt = _sub_getvariable(stmt, self.variables)
         m = re.match(
             r"ATTACH\s+(IF\s+NOT\s+EXISTS\s+|OR\s+REPLACE\s+)?"
             r"'((?:[^']|'')+)'"  # SQL literal: '' escapes a quote
@@ -1859,7 +1864,21 @@ class SQLSession:
         elif target.startswith("duckdb:"):
             meta_url = "duckdb://" + target[len("duckdb:"):]
         elif target.startswith(("postgres:", "postgresql:")):
-            meta_url = target
+            if "://" in target:
+                meta_url = target
+            else:
+                # libpq key=value DSN ('ducklake:postgres:dbname=x' —
+                # metadata/ducklake_settings_postgres.test) -> URL,
+                # host/port from PGHOST/PGPORT like libpq
+                rest = target.split(":", 1)[1]
+                kv = dict(p.split("=", 1) for p in rest.split()
+                          if "=" in p)
+                host = kv.get("host",
+                              os.environ.get("PGHOST", "127.0.0.1"))
+                port = kv.get("port", os.environ.get("PGPORT", "5432"))
+                dbn = kv.get("dbname", rest if "=" not in rest
+                             else "ducklake")
+                meta_url = f"postgresql://{host}:{port}/{dbn}"
         elif "://" in target:
             meta_url = target
         elif self.default_backend == "duckdb":

@@ -492,6 +492,19 @@ class FileRunner:
                 if os.environ.get("S3_TEST_SERVER_AVAILABLE") == "1":
                     return i + 1
                 raise Skip("require httpfs")
+            if what == "sqlite_scanner":
+                # the engine speaks sqlite natively (ducklake:sqlite:
+                # URLs) — the host-duckdb extension is irrelevant here
+                return i + 1
+            if what == "postgres_scanner":
+                # satisfied when the DuckDB-backed PG wire server is up
+                # (main() boots tests/pg_tcp_server on :5432); the
+                # reference PG CI also redirects the catalog to
+                # postgres — mirror that for DUCKLAKE_CONNECTION
+                if os.environ.get("PG_TEST_SERVER_AVAILABLE") == "1":
+                    self._pg_required = True
+                    return i + 1
+                raise Skip("require postgres_scanner")
             if what not in _ALLOWED_REQUIRES:
                 raise Skip(f"require {what}")
             if what == "vector_size":
@@ -505,7 +518,17 @@ class FileRunner:
         if head == "test-env":
             name = toks[1]
             val = r.sql.split(None, 2)[2] if len(toks) > 2 else ""
-            self.env[name] = self._subst(val)
+            val = self._subst(val)
+            if (name == "DUCKLAKE_CONNECTION"
+                    and getattr(self, "_pg_required", False)
+                    and not val.startswith(("postgres:",
+                                            "postgresql:"))):
+                # PG CI config: the catalog lives in postgres
+                # (data_inlining/postgres_identifier_limit.test)
+                val = ("postgres:dbname=slt_"
+                       + re.sub(r"\W+", "_",
+                                os.path.basename(self.tmpdir))[:40])
+            self.env[name] = val
             return i + 1
         if head == "mode":
             if len(toks) > 1 and toks[1] == "skip":
@@ -875,6 +898,35 @@ def _ensure_s3_mock() -> None:
         time.sleep(0.25)
 
 
+def _ensure_pg_mock() -> None:
+    """Serve a PostgreSQL wire API on 127.0.0.1:5432 via the repo's
+    DuckDB-backed wire server so `require postgres_scanner` tests run
+    (the reference PG CI uses a real postgres; the wire server speaks
+    the same protocol the engine's pg_client targets)."""
+    import socket
+    import tempfile
+
+    try:
+        with socket.create_connection(("127.0.0.1", 5432), timeout=0.5):
+            os.environ["PG_TEST_SERVER_AVAILABLE"] = "1"
+            os.environ.setdefault("PGPORT", "5432")
+            return
+    except OSError:
+        pass
+    try:
+        sys.path.insert(0, os.path.join(os.path.dirname(__file__),
+                                        "..", "tests"))
+        from pg_tcp_server import DuckPgServer
+
+        srv = DuckPgServer(tempfile.mkdtemp(prefix="slt_pg_"),
+                          port=5432)
+        globals()["_PG_SERVER"] = srv  # keep alive for the run
+        os.environ["PG_TEST_SERVER_AVAILABLE"] = "1"
+        os.environ.setdefault("PGPORT", str(srv.port))
+    except Exception:
+        pass
+
+
 def main(argv: list[str]) -> int:
     import argparse
 
@@ -903,6 +955,7 @@ def main(argv: list[str]) -> int:
     # skip on their `require postgres_scanner`
     os.environ.setdefault("DUCKLAKE_CI", "1")
     _ensure_s3_mock()
+    _ensure_pg_mock()
     spark = get_spark("slt", cpus=int(os.environ.get("SLT_CPUS", "8")))
     import tempfile
 
