@@ -80,7 +80,8 @@ def _legacy_list_columns(pf) -> frozenset:
 
 
 def _file_type_ok(dl_type: str, at, enum_names=frozenset(),
-                  fname: str = "", legacy_list: bool = False) -> str | None:
+                  fname: str = "", legacy_list: bool = False,
+                  min_stat=None) -> str | None:
     """None when the parquet arrow type ``at`` may serve a column of
     DuckLake type ``dl_type``; else an error description.
     ``enum_names``: leaf names whose PARQUET logical type is Enum —
@@ -102,14 +103,28 @@ def _file_type_ok(dl_type: str, at, enum_names=frozenset(),
     if t in ("boolean", "bool"):
         return None if name == "bool" else f"Expected boolean, found {name}"
     if t == "json":
-        # the reference adopts only Json-converted_type files into JSON
-        # columns; neither pip duckdb nor pyarrow 16 can WRITE that
-        # annotation, so string-typed files are accepted here
-        # (documented divergence: add_files_type_check_string_blob.test
-        # json section expects the strict check)
-        return (None if pa.types.is_string(at)
-                or pa.types.is_large_string(at)
-                else f"Expected json, found {name}")
+        # the reference adopts only Json-annotated files into JSON
+        # columns. The local duckdb/pyarrow writers can't EMIT that
+        # annotation, so when it is absent fall back to sniffing the
+        # footer min statistic: valid JSON text adopts, a plain string
+        # is refused like the reference
+        # (add_files_type_check_string_blob.test json section)
+        if isinstance(enum_names, dict) and fname in enum_names.get(
+                "json", frozenset()):
+            return None
+        if pa.types.is_string(at) or pa.types.is_large_string(at):
+            if min_stat is None:
+                return None  # no stats recorded: stay permissive
+            try:
+                import json as _json
+
+                sample = (min_stat.decode("utf-8", "replace")
+                          if isinstance(min_stat, bytes) else str(min_stat))
+                _json.loads(sample)
+                return None
+            except Exception:
+                return "Expected json, found VARCHAR"
+        return f"Expected json, found {name}"
     if t == "varchar":
         # plain BINARY does NOT serve a varchar column (the reference
         # rejects blob->varchar, add_files_type_check_string_blob.test);
@@ -144,9 +159,17 @@ def _file_type_ok(dl_type: str, at, enum_names=frozenset(),
         return (None if pa.types.is_time(at)
                 else f"Expected {t}, found {name}")
     if t.startswith("timestamp"):
-        # any unit adopts (reference CheckTimestamp accepts s/ms/us/ns)
-        return (None if pa.types.is_timestamp(at)
-                else f"Expected {t}, found {name}")
+        # reference CheckTimestamp (add_files_type_check_timestamp.test):
+        # tz-ness must match; s/ms columns refuse ns files (lossy),
+        # us/ns columns accept every unit
+        if not pa.types.is_timestamp(at):
+            return f"Expected {t}, found {name}"
+        tz_col = "tz" in t.replace("timestamp", "", 1)
+        if tz_col != (at.tz is not None):
+            return f"Expected {t}, found TIMESTAMP{'' if tz_col else 'TZ'}"
+        if t in ("timestamp_s", "timestamp_ms") and at.unit == "ns":
+            return f"Expected {t}, found TIMESTAMP_NS"
+        return None
     m = re.fullmatch(r"decimal\((\d+),\s*(\d+)\)", t)
     if m:
         if not pa.types.is_decimal(at):
@@ -434,8 +457,18 @@ def add_data_files(lake: DuckLake, table: str, pattern, *,
             at = arrow_types.get(cname)
             if at is None:
                 continue
+            mstat = None
+            if str(ctype or "").lower() == "json":
+                try:
+                    _md = pf.metadata
+                    _ci = list(pf.schema_arrow.names).index(cname)
+                    _st = _md.row_group(0).column(_ci).statistics
+                    mstat = _st.min if _st and _st.has_min_max else None
+                except Exception:
+                    mstat = None
             err = _file_type_ok(ctype, at, enum_leaves, cname,
-                                legacy_list=cname in legacy_cols)
+                                legacy_list=cname in legacy_cols,
+                                min_stat=mstat)
             if err:
                 raise DuckLakeError(
                     f'Failed to map column "{cname}" from file "{path}" '

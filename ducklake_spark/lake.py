@@ -3736,7 +3736,9 @@ class DuckLake:
         for _cid, cname, ctype, _na in h.columns:
             low = str(ctype or "").lower()
             if (("geometry" in low or "blob" in low
-                 or low.split("(")[0].strip() == "variant")
+                 or low.split("(")[0].strip() == "variant"
+                 or (low.startswith("time")
+                     and not low.startswith("timestamp")))
                     and cname in out_names):
                 df = df.withMetadata(cname, {"dl_type": str(ctype)})
         return df

@@ -167,7 +167,7 @@ def _variant_display(txt: str) -> str:
 
 
 def render(v, tz: bool = False, geo: bool | None = None,
-           var: bool = False) -> str:
+           var: bool = False, timecol: str | None = None) -> str:
     import datetime
     import decimal
 
@@ -175,6 +175,13 @@ def render(v, tz: bool = False, geo: bool | None = None,
         return "NULL"
     if isinstance(v, bool):
         return "true" if v else "false"
+    if timecol and isinstance(v, int):
+        # TIME surfaces Spark-side as BIGINT microseconds; duckdb's
+        # sqllogictest shows clock text (add_files_type_check_timestamp)
+        from ducklake_spark.lake import _us_to_time_text
+
+        return _us_to_time_text(v) + ("+00" if timecol == "timetz"
+                                      else "")
     if isinstance(v, float):
         if math.isnan(v):
             return "nan"
@@ -777,15 +784,21 @@ class FileRunner:
             tzcols = [isinstance(f.dataType, _T.TimestampType)
                       for f in df.schema.fields]
             varcols = []
+            timecols = []
             for f in df.schema.fields:
                 dlt = str((f.metadata or {}).get("dl_type", "")).lower()
                 geocols.append("geometry" in dlt if dlt else None)
                 varcols.append(dlt.split("(")[0].strip() == "variant")
+                timecols.append(
+                    dlt if dlt in ("time", "timetz") else None)
         else:
             varcols = []
+            timecols = []
         table = [[render(v, tz=(i < len(tzcols) and tzcols[i]),
                          geo=(geocols[i] if i < len(geocols) else None),
-                         var=(i < len(varcols) and varcols[i]))
+                         var=(i < len(varcols) and varcols[i]),
+                         timecol=(timecols[i]
+                                  if i < len(timecols) else None))
                   for i, v in enumerate(row)] for row in rows]
         # duckdb's nosort relies on its insertion-order scans; Spark
         # orders scan splits by size, so without an ORDER BY we compare
