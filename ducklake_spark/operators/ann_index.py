@@ -120,7 +120,9 @@ def topk(
             f"{prefix}_cells", where=f"cell_id = {c}"
         ).filter(f"cell_id = {c}")
         indexed = part if indexed is None else indexed.unionByName(part)
-    cand = probes.join(indexed.alias("x"), on="cell_id").filter(
+    # probes are |queries| x nprobe rows by construction — broadcast
+    # them so the pruned cell scan is NOT shuffled by cell_id
+    cand = F.broadcast(probes).join(indexed.alias("x"), on="cell_id").filter(
         F.col("query_id") != F.col("x.vec_id")
     )
     rank_w = Window.partitionBy("query_id").orderBy(

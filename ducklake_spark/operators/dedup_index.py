@@ -85,28 +85,61 @@ def neardup_candidates(
     iview = f"_dedup_idx_idx_{uuid.uuid4().hex}"
     sigs_new.createOrReplaceTempView(nview)
     lake.table(table).createOrReplaceTempView(iview)
-    both = (
-        f"SELECT doc_id, band, minhash FROM {iview} "
-        f"UNION ALL SELECT * FROM {nview}"
+    # Single-pass shape: the old form referenced the new-batch signature
+    # CTE three times (the bucket-size count, the join build side and
+    # the pair probe side) and Spark plans each reference as a fresh
+    # subtree — the whole shingle+md5 pipeline executed 3x. Grouping
+    # each (band, minhash) bucket once and emitting in-bucket pairs
+    # from the sorted doc list (the batch operator's shape,
+    # queries/dedup.py) computes every signature exactly once, and the
+    # bucket-size window + both group-bys share ONE exchange (all key
+    # on the bucket). Pair semantics are unchanged:
+    #  - bucket size n counts the same rows the old bsize counted
+    #    (index + new when include_new_vs_new, else index only);
+    #  - a pair is kept iff one side is from the new batch (and, for
+    #    include_new_vs_new=False, the other side is from the index);
+    #  - the hot-bucket cap and the final DISTINCT are identical.
+    count_expr = (
+        "COUNT(*)" if include_new_vs_new else "SUM(1 - is_new)"
+    )
+    keep_cond = (
+        "x.any_new = 1 OR y.any_new = 1"
         if include_new_vs_new
-        else f"SELECT doc_id, band, minhash FROM {iview}"
+        else "(x.any_new = 1 AND y.any_idx = 1) "
+             "OR (y.any_new = 1 AND x.any_idx = 1)"
     )
     out = spark.sql(f"""
-        WITH others AS ({both}),
-        bsize AS (
-            SELECT band, minhash, COUNT(*) AS n
-            FROM others GROUP BY band, minhash
+        WITH rows_ AS (
+            SELECT doc_id, band, minhash, 0 AS is_new FROM {iview}
+            UNION ALL
+            SELECT doc_id, band, minhash, 1 AS is_new FROM {nview}
+        ),
+        sized AS (
+            SELECT doc_id, band, minhash, is_new,
+                   {count_expr} OVER (PARTITION BY band, minhash) AS n
+            FROM rows_
+        ),
+        docs_ AS (
+            SELECT band, minhash, doc_id,
+                   MAX(is_new) AS any_new, MAX(1 - is_new) AS any_idx
+            FROM sized WHERE n BETWEEN 2 AND {MAX_LSH_BUCKET}
+            GROUP BY band, minhash, doc_id
+        ),
+        buckets AS (
+            SELECT array_sort(collect_list(
+                       struct(doc_id, any_new, any_idx))) AS ds
+            FROM docs_ GROUP BY band, minhash
         ),
         pairs AS (
-            SELECT LEAST(n.doc_id, o.doc_id) AS doc_a,
-                   GREATEST(n.doc_id, o.doc_id) AS doc_b
-            FROM {nview} n
-            JOIN bsize z ON z.band = n.band AND z.minhash = n.minhash
-                        AND z.n BETWEEN 2 AND {MAX_LSH_BUCKET}
-            JOIN others o ON o.band = n.band AND o.minhash = n.minhash
-                         AND o.doc_id <> n.doc_id
+            SELECT explode(flatten(transform(ds, (x, i) ->
+                filter(transform(slice(ds, i + 2, size(ds)),
+                           y -> named_struct('doc_a', x.doc_id,
+                                             'doc_b', y.doc_id,
+                                             'keep', {keep_cond})),
+                       p -> p.keep)))) AS p
+            FROM buckets
         )
-        SELECT DISTINCT doc_a, doc_b FROM pairs
+        SELECT DISTINCT p.doc_a AS doc_a, p.doc_b AS doc_b FROM pairs
     """)
     # analysis has resolved both views into the plan: drop them so a
     # long-lived session doesn't accumulate one pair per call

@@ -68,21 +68,38 @@ def ivf_assign(
 
     ``centroids`` is expected to be small (hundreds–thousands of rows)
     and is broadcast; the cross join is C-per-row work, pruned to the
-    argmax with one window. Returns ``vectors`` + ``cell_id``.
-    """
-    from pyspark.sql.window import Window
+    argmax with one grouped ``max_by``. Returns ``vectors`` + ``cell_id``.
 
+    The argmax is an aggregation, NOT a window: the C scored copies of
+    each vector are born co-located (broadcast join), so map-side
+    partial aggregation collapses them C->1 before the exchange — the
+    shuffle carries |vectors| rows instead of C x |vectors| sorted rows
+    (guide 2.3, "aggregate before you shuffle"). The ordering struct
+    (__sim, -cell_id) is unique per group (each centroid scores once),
+    so the result is deterministic and identical to the previous
+    row_number window (ORDER BY __sim DESC, cell_id ASC): max of the
+    struct is max __sim, ties broken to the smallest cell_id; NaN sorts
+    greatest in both forms.
+    """
     v, c = vectors.alias("v"), F.broadcast(centroids).alias("c")
     scored = v.join(c).select(
         "v.*",
         F.col(f"c.{centroid_id_col}").alias("cell_id"),
         cosine(F.col(f"v.{vec_col}"), F.col(f"c.{centroid_vec_col}")).alias("__sim"),
     )
-    w = Window.partitionBy(id_col).orderBy(F.desc("__sim"), F.asc("cell_id"))
-    return (
-        scored.withColumn("__rk", F.row_number().over(w))
-        .filter("__rk = 1")
-        .drop("__rk", "__sim")
+    payload = [name for name in vectors.columns if name != id_col]
+    best = F.max_by(
+        F.struct(*[F.col(name) for name in payload], F.col("cell_id")),
+        F.struct(F.col("__sim").alias("s"), (-F.col("cell_id")).alias("t")),
+    )
+    agg = scored.groupBy(id_col).agg(best.alias("__best"))
+    return agg.select(
+        *[
+            F.col(name) if name == id_col
+            else F.col(f"__best.{name}").alias(name)
+            for name in vectors.columns
+        ],
+        F.col("__best.cell_id").alias("cell_id"),
     )
 
 
@@ -124,7 +141,11 @@ def ivf_topk(
         .drop("__rk", "__sim")
     )
 
-    cand = probes.join(indexed.alias("x"), on="cell_id").filter(
+    # probes are |queries| x nprobe rows by construction — broadcast
+    # them so the (huge) indexed side is NOT shuffled by cell_id; the
+    # planner's size estimate after the window pipeline is way off and
+    # plans a sort-merge join otherwise (both sides exchanged + sorted)
+    cand = F.broadcast(probes).join(indexed.alias("x"), on="cell_id").filter(
         F.col("query_id") != F.col(f"x.{id_col}")
     )
     rank_w = Window.partitionBy("query_id").orderBy(
@@ -203,7 +224,9 @@ def lsh_topk(
         F.col(vec_col).alias("qvec"),
         lsh_bucket(F.col(vec_col), n_planes).alias("__bucket"),
     )
-    cand = qtagged.join(tagged.alias("x"), on="__bucket").filter(
+    # query set is small by contract: broadcast it so the corpus side
+    # joins in place instead of shuffling by bucket
+    cand = F.broadcast(qtagged).join(tagged.alias("x"), on="__bucket").filter(
         F.col("query_id") != F.col(f"x.{id_col}")
     )
     w = Window.partitionBy("query_id").orderBy(F.desc("__sim"), F.asc(f"x.{id_col}"))

@@ -60,7 +60,34 @@ sql_query(
 
 sql_query(
     "ev_sessionize",
+    # Spark side counts sessions as SUM(new_session): the running-sum
+    # session_id is nondecreasing and increments exactly on the flagged
+    # rows, so COUNT(DISTINCT session_id) == SUM(new_session) per user —
+    # one LAG window (partitioned by user_id) feeds a groupBy on the
+    # SAME key (no second exchange), dropping the cumulative-sum window
+    # pass and the count-distinct Expand. The oracle keeps the
+    # canonical lag + cumulative-sum + distinct text, so the driver
+    # still hash-checks the textbook semantics.
     """
+    WITH flagged AS (
+        SELECT
+            user_id,
+            CASE
+                WHEN LAG(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) IS NULL THEN 1
+                WHEN ts - LAG(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+                     > INTERVAL 30 MINUTE THEN 1
+                ELSE 0
+            END AS new_session
+        FROM events
+    )
+    SELECT user_id,
+           CAST(SUM(new_session) AS BIGINT) AS n_sessions,
+           COUNT(*) AS n_events
+    FROM flagged
+    GROUP BY user_id
+    ORDER BY user_id
+    """,
+    oracle="""
     WITH flagged AS (
         SELECT
             user_id,
