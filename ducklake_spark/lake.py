@@ -5181,6 +5181,53 @@ class DuckLake:
                         ROWID_COL, F.lit(None).cast("long")
                     ).withColumn(SNAPID_COL, F.lit(None).cast("long"))
                 parts.append(fdf)
+        # ---- overlay-need analysis (driver-side, catalog-only) -------
+        # The per-row overlay machinery below (URL-decoded __file key,
+        # broadcast join against the per-file map, positional-delete
+        # anti-join, embedded-snapshot filter) exists for deletes,
+        # virtual columns, foreign hive backfill and compaction
+        # visibility. A plain read of a table that needs NONE of those —
+        # the common full-scan/aggregate shape — must not pay a per-row
+        # string decode + hash join + filter: Spark cannot prune the
+        # LeftOuter join itself (it cannot prove the build side unique).
+        inline_dels = self._inlined_delete_positions(
+            h, snap, [f["data_file_id"] for f in files]
+        )
+        if txn_overlay and self._txn is not None:
+            keep_ids = {f["data_file_id"] for f in files}
+            inline_dels = list(inline_dels) + [
+                (fid, pos)
+                for fid, pos in self._txn.inlined_deletes.get(h.table_id, [])
+                if fid in keep_ids
+            ]
+        # the open transaction's own writes (merged delete files, flushed
+        # rows) are stamped with the ANTICIPATED commit snapshot
+        # (ducklake_delete.cpp:433: current + 1) — an overlay read must
+        # see them, so its snapshot bound is snap+1; committed artifacts
+        # never carry ids beyond the committed head, so nothing foreign
+        # leaks in
+        read_snap = (snap.snapshot_id + 1
+                     if txn_overlay and self._txn is not None
+                     else snap.snapshot_id)
+        # per-file row_id_start / begin-snapshot / hive-value map (small;
+        # broadcast join — at 100 TB this is #files rows, not data rows)
+        pv_fill = self._foreign_partition_values(h, files)
+        # a compacted file's rows can postdate the read snapshot only
+        # when its recorded partial_max does (rows are stamped at most
+        # partial_max) — at-head reads never need the filter
+        partial_need = any(
+            f["partial_max"] is not None and f["partial_max"] > read_snap
+            for f in files
+        )
+        if (not with_virtual and not deletes and not inline_dels
+                and not any(pv_fill.values()) and not partial_need):
+            df = None
+            for p in parts:
+                if "_metadata" in p.columns:
+                    p = p.drop("_metadata")
+                df = p if df is None else df.unionByName(p)
+            return df.select(*[f.name for f in schema.fields])
+
         df = None
         for p in parts:
             p = (
@@ -5192,9 +5239,6 @@ class DuckLake:
                 # the mapped projection; drop it for the union
                 p = p.drop("_metadata")
             df = p if df is None else df.unionByName(p)
-        # per-file row_id_start / begin-snapshot / hive-value map (small;
-        # broadcast join — at 100 TB this is #files rows, not data rows)
-        pv_fill = self._foreign_partition_values(h, files)
         file_rows = [
             (self._file_uri(f["path"]), f["row_id_start"],
              self._file_begin_snapshot(f), f["partial_max"],
@@ -5224,25 +5268,7 @@ class DuckLake:
 
         # positional deletes -> anti join on (file, pos); positions come
         # from delete parquet files and/or catalog-inlined small deletes
-        inline_dels = self._inlined_delete_positions(
-            h, snap, [f["data_file_id"] for f in files]
-        )
-        if txn_overlay and self._txn is not None:
-            keep = {f["data_file_id"] for f in files}
-            inline_dels = list(inline_dels) + [
-                (fid, pos)
-                for fid, pos in self._txn.inlined_deletes.get(h.table_id, [])
-                if fid in keep
-            ]
-        # the open transaction's own writes (merged delete files, flushed
-        # rows) are stamped with the ANTICIPATED commit snapshot
-        # (ducklake_delete.cpp:433: current + 1) — an overlay read must
-        # see them, so its snapshot bound is snap+1; committed artifacts
-        # never carry ids beyond the committed head, so nothing foreign
-        # leaks in
-        read_snap = (snap.snapshot_id + 1
-                     if txn_overlay and self._txn is not None
-                     else snap.snapshot_id)
+        # (inline_dels / read_snap computed above for the fast-path gate)
         if deletes or inline_dels:
             ddf = None
             pq_dels = [

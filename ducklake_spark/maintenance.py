@@ -483,7 +483,52 @@ def _rewrite_pack(lake: DuckLake, h, pack: list[dict], part_vals: tuple,
     }
     frames = []
     copts = lake._crypto_read_options(pack)
-    for f in pack:
+    # Members needing no per-file column surgery (native, no
+    # member-specific default fill) batch into ONE multi-file read with
+    # a broadcast per-file map for rowid/snapid — building one
+    # DataFrame per member serializes O(|pack|) analysis passes on the
+    # driver (~60-90 ms each), which for a 1000-file pack is a minute
+    # of driver-side planning before a single task runs.
+    simple = [
+        f for f in pack
+        if f.get("mapping_id") is None
+        and f["row_id_start"] is not None
+        and not (set(absent_by_fid.get(f["data_file_id"], ()))
+                 - set(absent))
+    ]
+    if len(simple) > 1:
+        from ducklake_spark.lake import DECODED_FILE_PATH
+
+        simple_ids = {f["data_file_id"] for f in simple}
+        bdf = lake.spark.read.options(**copts).schema(gschema).parquet(
+            *[os.path.join(lake.data_path, f["path"]) for f in simple]
+        )
+        fmap = F.broadcast(lake.spark.createDataFrame(
+            [(lake._file_uri(f["path"]), f["row_id_start"],
+              snapmap[f["data_file_id"]]) for f in simple],
+            "____path string, __rid_start long, __fsnap long",
+        ))
+        # capture the metadata columns BEFORE the join — the hidden
+        # _metadata struct does not survive join output resolution
+        bdf = (bdf.withColumn("__file", F.expr(DECODED_FILE_PATH))
+               .withColumn("__ridx", F.col("_metadata.row_index"))
+               .join(fmap, F.col("__file") == F.col("____path"), "left"))
+        rowid_b = F.col("__rid_start") + F.col("__ridx")
+        snapid_b = (
+            F.coalesce(F.col(SNAPID_COL), F.col("__fsnap"))
+            if SNAPID_COL in bdf.columns
+            else F.col("__fsnap")
+        )
+        frames.append(
+            bdf.withColumn(ROWID_COL, rowid_b)
+            .withColumn(SNAPID_COL, snapid_b)
+            .select(*out_cols, ROWID_COL, SNAPID_COL)
+        )
+        pack_iter = [f for f in pack
+                     if f["data_file_id"] not in simple_ids]
+    else:
+        pack_iter = pack
+    for f in pack_iter:
         path = os.path.join(lake.data_path, f["path"])
         fschema = plain_schema if f.get("mapping_id") is not None else gschema
         df = lake.spark.read.options(**copts).schema(fschema).parquet(path)

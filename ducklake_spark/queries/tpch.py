@@ -564,19 +564,20 @@ sql_query(
           AND o_orderstatus = 'F'
           AND l_shipdate > o_orderdate + INTERVAL 60 DAY
     ),
+    lateagg AS (
+        SELECT l_orderkey, MIN(l_suppkey) AS mn, MAX(l_suppkey) AS mx,
+               COUNT(*) AS cnt
+        FROM late GROUP BY l_orderkey
+    ),
     ordstats AS (
         SELECT l_orderkey, MIN(l_suppkey) AS mn, MAX(l_suppkey) AS mx
         FROM lineitem GROUP BY l_orderkey
-    ),
-    latestats AS (
-        SELECT l_orderkey, MIN(l_suppkey) AS mn, MAX(l_suppkey) AS mx
-        FROM late GROUP BY l_orderkey
     )
-    SELECT s_name, COUNT(*) AS numwait
-    FROM late l1, ordstats os, latestats ls, supplier, nation
-    WHERE os.l_orderkey = l1.l_orderkey AND os.mn <> os.mx
-      AND ls.l_orderkey = l1.l_orderkey AND ls.mn = ls.mx
-      AND s_suppkey = l1.l_suppkey
+    SELECT s_name, CAST(SUM(la.cnt) AS BIGINT) AS numwait
+    FROM lateagg la, ordstats os, supplier, nation
+    WHERE os.l_orderkey = la.l_orderkey AND os.mn <> os.mx
+      AND la.mn = la.mx
+      AND s_suppkey = la.mn
       AND s_nationkey = n_nationkey
       AND n_name = 'NATION_1'
     GROUP BY s_name
@@ -609,8 +610,11 @@ sql_query(
     """,
     doc="suppliers who kept orders waiting — EXISTS becomes min<>max and "
         "NOT-EXISTS-other-late becomes min=max over per-order supplier "
-        "bounds (plain hash aggs, no COUNT DISTINCT expand), lineitem "
-        "joined to orders once instead of three semi/anti passes; the "
+        "bounds (plain hash aggs, no COUNT DISTINCT expand); the late "
+        "CTE is referenced ONCE (its aggregate carries the per-order "
+        "late-row count, so numwait = SUM(cnt)) — Spark re-plans every "
+        "CTE reference, and the old l1 x latestats self-reference "
+        "recomputed the lineitem-orders join and row-level SMJ; the "
         "oracle keeps the textbook EXISTS/NOT EXISTS form so the gate "
         "proves the rewrite",
 )
