@@ -36,8 +36,34 @@ _DUCK_COS = """
 """
 
 
-def _knn_sql(cos: str) -> str:
+# Spark-side pair cosine over PRE-NORMALIZED rows: the all-pairs join
+# evaluates the cosine per PAIR, so computing each row's norm inside the
+# pair expression does |a|x|b| norm evaluations where |a|+|b| suffice.
+# The normed CTE computes sqrt(sum(x^2)) once per row; the pair
+# expression divides by (a.nrm * b.nrm) — the identical float operation
+# tree (sqrt per side, then multiply), so every cosine is bit-identical
+# to the inline form and the ranking/threshold semantics cannot move.
+_SPARK_NORMED = """
+    normed AS (
+        SELECT *,
+               sqrt(aggregate(transform(embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)),
+                              CAST(0.0 AS DOUBLE), (acc, v) -> acc + v)) AS nrm
+        FROM embeddings
+    )
+"""
+
+_SPARK_COS_PRE = """
+    aggregate(zip_with(a.embedding, b.embedding, (x, y) -> CAST(x AS DOUBLE) * CAST(y AS DOUBLE)),
+              CAST(0.0 AS DOUBLE), (acc, v) -> acc + v)
+    / (a.nrm * b.nrm)
+"""
+
+
+def _knn_sql(cos: str, *, spark_normed: bool = False) -> str:
+    src = "normed" if spark_normed else "embeddings"
+    with_cte = f"WITH {_SPARK_NORMED}" if spark_normed else ""
     return f"""
+    {with_cte}
     SELECT query_id, neighbor_id, rank
     FROM (
         SELECT
@@ -47,8 +73,8 @@ def _knn_sql(cos: str) -> str:
                 PARTITION BY a.vec_id
                 ORDER BY ({cos}) DESC, b.vec_id
             ) AS rank
-        FROM embeddings a
-        JOIN embeddings b ON a.vec_id < {N_QUERIES} AND b.vec_id <> a.vec_id
+        FROM {src} a
+        JOIN {src} b ON a.vec_id < {N_QUERIES} AND b.vec_id <> a.vec_id
     ) ranked
     WHERE rank <= {TOP_K}
     ORDER BY query_id, rank
@@ -57,18 +83,21 @@ def _knn_sql(cos: str) -> str:
 
 sql_query(
     "sim_knn_cosine",
-    _knn_sql(_SPARK_COS),
+    _knn_sql(_SPARK_COS_PRE, spark_normed=True),
     oracle=_knn_sql(_DUCK_COS),
     tables=["embeddings"],
     doc=f"brute-force cosine top-{TOP_K} for {N_QUERIES} probe vectors (id/rank output)",
 )
 
 
-def _neardup_sql(cos: str) -> str:
+def _neardup_sql(cos: str, *, spark_normed: bool = False) -> str:
+    src = "normed" if spark_normed else "embeddings"
+    with_cte = f"WITH {_SPARK_NORMED}" if spark_normed else ""
     return f"""
+    {with_cte}
     SELECT a.vec_id AS vec_a, b.vec_id AS vec_b
-    FROM embeddings a
-    JOIN embeddings b ON a.vec_id < b.vec_id
+    FROM {src} a
+    JOIN {src} b ON a.vec_id < b.vec_id
     WHERE ({cos}) > 0.45
     ORDER BY vec_a, vec_b
     """
@@ -76,15 +105,18 @@ def _neardup_sql(cos: str) -> str:
 
 sql_query(
     "sim_neardup_cosine",
-    _neardup_sql(_SPARK_COS),
+    _neardup_sql(_SPARK_COS_PRE, spark_normed=True),
     oracle=_neardup_sql(_DUCK_COS),
     tables=["embeddings"],
     doc="embedding near-duplicate pairs (cosine > 0.45, all-pairs)",
 )
 
 
-def _label_knn_sql(cos: str) -> str:
+def _label_knn_sql(cos: str, *, spark_normed: bool = False) -> str:
+    src = "normed" if spark_normed else "embeddings"
+    with_cte = f"WITH {_SPARK_NORMED}" if spark_normed else ""
     return f"""
+    {with_cte}
     SELECT query_id, rank, neighbor_label
     FROM (
         SELECT
@@ -94,8 +126,8 @@ def _label_knn_sql(cos: str) -> str:
                 PARTITION BY a.vec_id
                 ORDER BY ({cos}) DESC, b.vec_id
             ) AS rank
-        FROM embeddings a
-        JOIN embeddings b ON a.vec_id < {N_QUERIES} AND b.vec_id <> a.vec_id
+        FROM {src} a
+        JOIN {src} b ON a.vec_id < {N_QUERIES} AND b.vec_id <> a.vec_id
     ) ranked
     WHERE rank <= {TOP_K}
     ORDER BY query_id, rank
@@ -104,7 +136,7 @@ def _label_knn_sql(cos: str) -> str:
 
 sql_query(
     "sim_knn_label_vote",
-    _label_knn_sql(_SPARK_COS),
+    _label_knn_sql(_SPARK_COS_PRE, spark_normed=True),
     oracle=_label_knn_sql(_DUCK_COS),
     tables=["embeddings"],
     doc="kNN label lookup (classification-style vote inputs)",
