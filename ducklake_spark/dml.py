@@ -1050,36 +1050,55 @@ def _update_files(lake: DuckLake, h: TableHandle, matched: DataFrame,
         if len(head) <= inline_limit:
             return _update_files_via_inlining(lake, h, head, matched,
                                               where, schema)
-    # write replacement rows first (they carry preserved rowids); the
-    # matched-row count comes from the written-file footers — no
-    # separate count() job over the matched relation (_write_parquet
-    # already drops zero-row part files)
-    # replacement rows honor the table's partition spec like the
+    # Materialize the shared victims cache with ONE pass (the scan +
+    # predicate runs exactly once, into the persisted blocks), then run
+    # the two independent consumers — the replacement-file write and
+    # the fused delete-file write — as CONCURRENT Spark jobs from a
+    # driver thread (guide 2.6: the second job's tasks back-fill
+    # executors as the first one drains). Neither job depends on the
+    # other's output: the write touches no transaction state, and the
+    # delete-apply's inputs are the catalog file list + the cache.
+    # Replacement rows honor the table's partition spec like the
     # reference (update_partitioning.test: updated rows land under
-    # their new partition dirs with partition values recorded)
-    files = lake._write_parquet(h, new_rows, schema,
-                                lake._partition_spec(h), [], rotate=False)
-    n = sum(f.record_count for f in files)
-    if n == 0:
+    # their new partition dirs with partition values recorded).
+    n_matched = matched.count()
+    if n_matched == 0:
         return 0
-    with lake.transaction():
-        for f in files:
-            f.row_id_start = None  # rowid comes from the embedded column
-            f.allocate = False
-        txn = lake._begin()
-        txn.new_data_files.setdefault(str(h.table_id), []).extend(files)
-        # victims re-use the matched relation — no second predicate scan
-        snap = lake._resolve_snapshot(None, None)
-        vfiles = _live_files(lake, h, snap, where)
-        victims = matched.select(
-            F.col("filename"), F.col("file_row_number").alias("pos")
-        )
-        # gross record_count convention: the delete half leaves stats
-        # alone (whole-file drops decrement inside the fused writer);
-        # the replacement files add their counts at commit
-        _apply_file_deletes(lake, h, snap, vfiles, victims)
-        txn.change_log.append(f"inserted_into_table:{h.table_id}")
-    return n
+    import concurrent.futures as _cf
+
+    part_spec = lake._partition_spec(h)
+    with _cf.ThreadPoolExecutor(max_workers=1) as pool:
+        fut = pool.submit(lake._write_parquet, h, new_rows, schema,
+                          part_spec, [], rotate=False)
+        try:
+            with lake.transaction():
+                txn = lake._begin()
+                # victims re-use the matched relation — no second
+                # predicate scan
+                snap = lake._resolve_snapshot(None, None)
+                vfiles = _live_files(lake, h, snap, where)
+                victims = matched.select(
+                    F.col("filename"),
+                    F.col("file_row_number").alias("pos"),
+                )
+                # gross record_count convention: the delete half leaves
+                # stats alone (whole-file drops decrement inside the
+                # fused writer); the replacement files add their counts
+                # at commit
+                _apply_file_deletes(lake, h, snap, vfiles, victims)
+                files = fut.result()
+                fut = None
+                for f in files:
+                    # rowid comes from the embedded column
+                    f.row_id_start = None
+                    f.allocate = False
+                txn.new_data_files.setdefault(
+                    str(h.table_id), []).extend(files)
+                txn.change_log.append(f"inserted_into_table:{h.table_id}")
+        finally:
+            if fut is not None:  # txn aborted: drain the writer thread
+                _cf.wait([fut])
+    return sum(f.record_count for f in files)
 
 
 def _update_files_via_inlining(lake: DuckLake, h: TableHandle, head,
