@@ -878,7 +878,86 @@ def _rewrite_victims_pack(lake, h, schema, pack, epoch_keys,
     (test_rewrite_target_file_size_rotation.test: one oversized source
     -> exactly 5 target-sized outputs)."""
     frames = []
-    for row, inl_positions in pack:
+    # Homogeneous members — native, allocated rowid range, plain
+    # unencrypted parquet deletes — batch into ONE multi-file live read:
+    # all members of a pack share an evolution epoch (the caller's pack
+    # key), so one reader schema + one epoch treatment serve them all,
+    # and their delete files read as one multi-path scan bound to the
+    # data files through the catalog mapping (the same binding the
+    # table scan uses). The per-member loop below remains for adopted /
+    # encrypted / puffin-DV / embedded-rowid members; building one
+    # DataFrame per member serializes O(|victims|) driver analysis
+    # passes otherwise.
+    simple = [
+        (row, pos) for row, pos in pack
+        if row[9] is None and row[3] is not None and row[7] is None
+        and (row[6] or "parquet").lower() != "puffin"
+        and not lake.encrypted
+    ]
+    if len(simple) > 1:
+        from ducklake_spark.lake import DECODED_FILE_PATH
+
+        later_b, ffill_b, absent_b, fadds_b = epoch_keys[simple[0][0][0]]
+        gschema_b, fixups_b = lake._epoch_schema(
+            h, lake._reader_schema(h, schema), later_b)
+        bdf = (
+            lake.spark.read.schema(gschema_b).parquet(
+                *[os.path.join(lake.data_path, r[1]) for r, _ in simple])
+            .withColumn("__file", F.expr(DECODED_FILE_PATH))
+            .withColumn("__pos", F.col("_metadata.row_index"))
+        )
+        bdf = lake._apply_epoch_evolution(
+            h, bdf, schema, fixups_b, ffill_b, absent_b, init_defaults,
+            fadds_b)
+        ddf = None
+        with_dels = [(r, p) for r, p in simple if r[5] is not None]
+        if with_dels:
+            mdf = F.broadcast(lake.spark.createDataFrame(
+                [(lake._file_uri(r[5]), lake._file_uri(r[1]))
+                 for r, _ in with_dels],
+                "__delpath string, __dfile string"))
+            ddf = (
+                lake.spark.read.schema("file_path string, pos long")
+                .parquet(*[os.path.join(lake.data_path, r[5])
+                           for r, _ in with_dels])
+                .select(F.expr(DECODED_FILE_PATH).alias("__delpath"),
+                        F.col("pos").alias("__dpos"))
+                .join(mdf, "__delpath")
+                .select("__dfile", "__dpos")
+            )
+        inl_rows = [(lake._file_uri(r[1]), int(p))
+                    for r, pos in simple for p in (pos or ())]
+        if inl_rows:
+            idf = lake.spark.createDataFrame(
+                inl_rows, "__dfile string, __dpos long")
+            ddf = idf if ddf is None else ddf.unionByName(idf)
+        live_b = bdf
+        if ddf is not None:
+            n_del = sum((r[4] or 0) for r, _ in with_dels) + len(inl_rows)
+            limit = int(lake.meta.option("delete_broadcast_row_limit",
+                                         "1000000") or 0)
+            if n_del <= limit:
+                ddf = F.broadcast(ddf)
+            live_b = bdf.join(
+                ddf,
+                (bdf["__file"] == ddf["__dfile"])
+                & (bdf["__pos"] == ddf["__dpos"]),
+                "left_anti",
+            )
+        rmap = F.broadcast(lake.spark.createDataFrame(
+            [(lake._file_uri(r[1]), r[3]) for r, _ in simple],
+            "____path string, __rid long"))
+        live_b = live_b.join(
+            rmap, live_b["__file"] == rmap["____path"], "left")
+        frames.append(
+            live_b.withColumn(ROWID_COL, F.col("__rid") + F.col("__pos"))
+            .select(*[x.name for x in schema.fields], ROWID_COL)
+        )
+        simple_ids = {r[0] for r, _ in simple}
+        pack_iter = [(r, p) for r, p in pack if r[0] not in simple_ids]
+    else:
+        pack_iter = pack
+    for row, inl_positions in pack_iter:
         (fid, path, rc, rid_start, del_cnt, del_path, del_fmt, enc_key,
          begin_snap, mapping_id, file_size) = row
         later, ffill, absent, fadds = epoch_keys[fid]
