@@ -1043,6 +1043,7 @@ def _update_files(lake: DuckLake, h: TableHandle, matched: DataFrame,
     # -> inlined deletions; NO new file is written). The probe is cheap:
     # `matched` is persisted by the caller, and limit+1 bounds the fetch
     inline_limit = lake._inline_limit(h.table_id, h.schema_id)
+    probed_nonempty = False
     if (inline_limit > 0 and h.table_id >= 0 and not (
             lake._txn is not None
             and lake._txn.pending_columns.get(h.table_id))):
@@ -1050,10 +1051,19 @@ def _update_files(lake: DuckLake, h: TableHandle, matched: DataFrame,
         if len(head) <= inline_limit:
             return _update_files_via_inlining(lake, h, head, matched,
                                               where, schema)
-    # Materialize the shared victims cache with ONE pass (the scan +
-    # predicate runs exactly once, into the persisted blocks), then run
-    # the two independent consumers — the replacement-file write and
-    # the fused delete-file write — as CONCURRENT Spark jobs from a
+        # the overflowing probe proves matched is non-empty — no
+        # separate zero-check pass needed
+        probed_nonempty = True
+    # Zero-match early exit BEFORE any transaction state is touched.
+    # When the inline probe already overflowed, this is free; otherwise
+    # a limit-1 probe replaces the former full matched.count() pass —
+    # the full materialization is left to the consumer jobs below,
+    # which fill the persisted blocks while doing useful work (the
+    # cache's per-block locks dedupe concurrent computes).
+    if not probed_nonempty and matched.isEmpty():
+        return 0
+    # Run the two independent consumers — the replacement-file write
+    # and the fused delete-file write — as CONCURRENT Spark jobs from a
     # driver thread (guide 2.6: the second job's tasks back-fill
     # executors as the first one drains). Neither job depends on the
     # other's output: the write touches no transaction state, and the
@@ -1061,9 +1071,6 @@ def _update_files(lake: DuckLake, h: TableHandle, matched: DataFrame,
     # Replacement rows honor the table's partition spec like the
     # reference (update_partitioning.test: updated rows land under
     # their new partition dirs with partition values recorded).
-    n_matched = matched.count()
-    if n_matched == 0:
-        return 0
     import concurrent.futures as _cf
 
     part_spec = lake._partition_spec(h)

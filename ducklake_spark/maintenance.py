@@ -894,6 +894,12 @@ def _rewrite_victims_pack(lake, h, schema, pack, epoch_keys,
         and (row[6] or "parquet").lower() != "puffin"
         and not lake.encrypted
     ]
+    if len(simple) > 1 and len({epoch_keys[r[0]] for r, _ in simple}) != 1:
+        # the caller packs by epoch key, so this cannot happen today —
+        # but the batched read applies ONE epoch treatment to every
+        # member, so a future caller violating the invariant must fall
+        # back to the per-member path, not silently mis-evolve rows
+        simple = []
     if len(simple) > 1:
         from ducklake_spark.lake import DECODED_FILE_PATH
 

@@ -102,27 +102,35 @@ def topk(
         .drop("__rk", "__sim")
     )
     # the probed cell set is tiny (|queries| x nprobe distinct ids):
-    # push it into the scan as a partition-pruning predicate
-    cells = sorted(
-        {r.cell_id for r in probes.select("cell_id").distinct().collect()}
-    )
+    # push it into the scan as a partition-pruning predicate. One
+    # grouped collect yields both the distinct cells AND the probe row
+    # count (for the broadcast gate below) — no extra action.
+    cell_rows = probes.groupBy("cell_id").count().collect()
+    cells = sorted(int(r["cell_id"]) for r in cell_rows)
+    n_probe_rows = sum(int(r["count"]) for r in cell_rows)
     if not cells:
         return probes.select(
             "query_id", F.lit(None).cast("long").alias("neighbor_id"),
             F.lit(0).alias("rank"),
         ).limit(0)
-    # one pruned scan per probed cell (the predicate compiler prunes
-    # simple conjuncts; a per-cell equality prunes to that cell's
-    # files exactly) — cells are few (<= |queries| x nprobe distinct)
-    indexed = None
-    for c in cells:
-        part = lake.table(
-            f"{prefix}_cells", where=f"cell_id = {c}"
-        ).filter(f"cell_id = {c}")
-        indexed = part if indexed is None else indexed.unionByName(part)
+    # ONE pruned scan for every probed cell: the predicate compiler
+    # prunes IN-lists file-by-file (identity partitioning keeps each
+    # cell in its own files), so a single cell_id IN (...) read plans
+    # one scan node instead of one DataFrame per cell — O(1) driver
+    # analysis passes instead of O(nprobe)
+    in_list = ", ".join(str(c) for c in cells)
+    indexed = lake.table(f"{prefix}_cells", where=f"cell_id IN ({in_list})")
     # probes are |queries| x nprobe rows by construction — broadcast
-    # them so the pruned cell scan is NOT shuffled by cell_id
-    cand = F.broadcast(probes).join(indexed.alias("x"), on="cell_id").filter(
+    # them so the pruned cell scan is NOT shuffled by cell_id; a huge
+    # caller-supplied query set must not OOM the driver, so the hint is
+    # gated on the exact probe row count (same limit pattern as
+    # delete_broadcast_row_limit) with a shuffle-join fallback
+    bcast_limit = int(
+        lake.meta.option("probe_broadcast_row_limit", "1000000") or 0
+    )
+    if n_probe_rows <= bcast_limit:
+        probes = F.broadcast(probes)
+    cand = probes.join(indexed.alias("x"), on="cell_id").filter(
         F.col("query_id") != F.col("x.vec_id")
     )
     rank_w = Window.partitionBy("query_id").orderBy(

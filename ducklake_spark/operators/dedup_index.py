@@ -91,9 +91,14 @@ def neardup_candidates(
     # subtree — the whole shingle+md5 pipeline executed 3x. Grouping
     # each (band, minhash) bucket once and emitting in-bucket pairs
     # from the sorted doc list (the batch operator's shape,
-    # queries/dedup.py) computes every signature exactly once, and the
-    # bucket-size window + both group-bys share ONE exchange (all key
-    # on the bucket). Pair semantics are unchanged:
+    # queries/dedup.py) computes every signature exactly once, and one
+    # explicit repartition on the bucket key serves BOTH group-bys
+    # (hash partitioning on (band, minhash) satisfies the per-doc
+    # group's (band, minhash, doc_id) clustering too) — no window, no
+    # per-bucket sort of the raw signature rows. The bucket size n is
+    # per-bucket-CONSTANT, so summing the per-doc row counts and
+    # filtering whole buckets in HAVING keeps exactly the rows the old
+    # per-row window filter kept. Pair semantics are unchanged:
     #  - bucket size n counts the same rows the old bsize counted
     #    (index + new when include_new_vs_new, else index only);
     #  - a pair is kept iff one side is from the new batch (and, for
@@ -110,25 +115,25 @@ def neardup_candidates(
     )
     out = spark.sql(f"""
         WITH rows_ AS (
-            SELECT doc_id, band, minhash, 0 AS is_new FROM {iview}
-            UNION ALL
-            SELECT doc_id, band, minhash, 1 AS is_new FROM {nview}
-        ),
-        sized AS (
-            SELECT doc_id, band, minhash, is_new,
-                   {count_expr} OVER (PARTITION BY band, minhash) AS n
-            FROM rows_
+            SELECT /*+ REPARTITION(band, minhash) */
+                   doc_id, band, minhash, is_new FROM (
+                SELECT doc_id, band, minhash, 0 AS is_new FROM {iview}
+                UNION ALL
+                SELECT doc_id, band, minhash, 1 AS is_new FROM {nview}
+            )
         ),
         docs_ AS (
             SELECT band, minhash, doc_id,
-                   MAX(is_new) AS any_new, MAX(1 - is_new) AS any_idx
-            FROM sized WHERE n BETWEEN 2 AND {MAX_LSH_BUCKET}
+                   MAX(is_new) AS any_new, MAX(1 - is_new) AS any_idx,
+                   {count_expr} AS cnt
+            FROM rows_
             GROUP BY band, minhash, doc_id
         ),
         buckets AS (
             SELECT array_sort(collect_list(
                        struct(doc_id, any_new, any_idx))) AS ds
             FROM docs_ GROUP BY band, minhash
+            HAVING SUM(cnt) BETWEEN 2 AND {MAX_LSH_BUCKET}
         ),
         pairs AS (
             SELECT explode(flatten(transform(ds, (x, i) ->

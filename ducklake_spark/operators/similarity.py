@@ -28,6 +28,38 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame, functions as F
 
 
+def _maybe_broadcast_probes(
+    df: DataFrame, base: DataFrame, factor: int = 1
+) -> DataFrame:
+    """Broadcast hint for the probe side of an ANN join, gated on a
+    driver-side size estimate with a shuffle-join fallback.
+
+    The probe side is small *by contract* (a handful of query vectors x
+    nprobe), but a caller passing a huge query set must degrade to a
+    slow shuffle join, not a driver/executor OOM. Catalyst's own
+    estimate after the probe pipeline (cross join x window) is garbage
+    — the join inflates sizeInBytes multiplicatively — so the gate
+    reads the estimate of the RAW query relation (before the pipeline)
+    times ``factor`` (= nprobe copies) and compares it against
+    ``spark.graft.probeBroadcastBytes`` (default 256 MB). Estimates of
+    genuinely large inputs are large, so the fallback errs safe; AQE
+    can still broadcast at runtime if the probe side turns out tiny.
+    """
+    try:
+        est = int(
+            str(base._jdf.queryExecution().optimizedPlan().stats()
+                .sizeInBytes())
+        )
+        limit = int(
+            base.sparkSession.conf.get(
+                "spark.graft.probeBroadcastBytes", str(256 << 20)
+            )
+        )
+    except Exception:
+        return df
+    return F.broadcast(df) if est * max(factor, 1) <= limit else df
+
+
 def _dot(a: Column, b: Column) -> Column:
     return F.aggregate(
         F.zip_with(a, b, lambda x, y: x.cast("double") * y.cast("double")),
@@ -144,8 +176,11 @@ def ivf_topk(
     # probes are |queries| x nprobe rows by construction — broadcast
     # them so the (huge) indexed side is NOT shuffled by cell_id; the
     # planner's size estimate after the window pipeline is way off and
-    # plans a sort-merge join otherwise (both sides exchanged + sorted)
-    cand = F.broadcast(probes).join(indexed.alias("x"), on="cell_id").filter(
+    # plans a sort-merge join otherwise (both sides exchanged + sorted).
+    # Gated on the raw query relation's size estimate so a huge query
+    # set degrades to a shuffle join instead of an OOM.
+    probes = _maybe_broadcast_probes(probes, queries, factor=nprobe)
+    cand = probes.join(indexed.alias("x"), on="cell_id").filter(
         F.col("query_id") != F.col(f"x.{id_col}")
     )
     rank_w = Window.partitionBy("query_id").orderBy(
@@ -225,8 +260,10 @@ def lsh_topk(
         lsh_bucket(F.col(vec_col), n_planes).alias("__bucket"),
     )
     # query set is small by contract: broadcast it so the corpus side
-    # joins in place instead of shuffling by bucket
-    cand = F.broadcast(qtagged).join(tagged.alias("x"), on="__bucket").filter(
+    # joins in place instead of shuffling by bucket (size-estimate
+    # gated — a huge query set falls back to the shuffle join)
+    qtagged = _maybe_broadcast_probes(qtagged, queries)
+    cand = qtagged.join(tagged.alias("x"), on="__bucket").filter(
         F.col("query_id") != F.col(f"x.{id_col}")
     )
     w = Window.partitionBy("query_id").orderBy(F.desc("__sim"), F.asc(f"x.{id_col}"))

@@ -1,4 +1,5 @@
-"""Capture .explain("formatted") for bench queries into plans/r12/.
+"""Capture .explain("formatted") for bench queries into plans/<round>/
+(round from $PLANS_ROUND, default r13).
 
 Usage:
     python tools/capture_plans.py before [query ...]
@@ -24,7 +25,8 @@ def main() -> None:
     tag = sys.argv[1] if len(sys.argv) > 1 else "before"
     names = sys.argv[2:] or BENCH_QUERIES
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
-    out_dir = Path(__file__).resolve().parents[1] / "plans" / "r12"
+    out_dir = (Path(__file__).resolve().parents[1] / "plans"
+               / os.environ.get("PLANS_ROUND", "r13"))
     out_dir.mkdir(parents=True, exist_ok=True)
     spark = get_spark("capture_plans")
     load_tables(spark, sf_dir)
