@@ -128,10 +128,26 @@ def _delete_buffered_as_files(lake: DuckLake, h: TableHandle, where: str,
         new_dels = part if new_dels is None else new_dels.unionByName(part)
     if new_dels is None:
         return 0
-    rel_map = lake.spark.createDataFrame(
-        list(uri_to_rel.items()), "__file string, file_path string")
-    new_dels = (new_dels.join(F.broadcast(rel_map), "__file")
-                .select("file_path", "pos")
+    if len(uri_to_rel) <= int(
+            lake.meta.option("filemap_inline_limit", "64") or 0):
+        # literal map instead of a broadcast join (see
+        # _apply_file_deletes_fused): inner-join semantics preserved
+        # by the not-null filter
+        new_dels = new_dels.select(
+            F.try_element_at(
+                F.create_map(*[
+                    F.lit(x) for kv in uri_to_rel.items() for x in kv]),
+                F.col("__file")).alias("file_path"),
+            "pos",
+        ).filter(F.col("file_path").isNotNull())
+    else:
+        from ducklake_spark.lake import _local_df
+
+        rel_map = _local_df(lake.spark, list(uri_to_rel.items()),
+                            "__file string, file_path string")
+        new_dels = new_dels.join(
+            F.broadcast(rel_map), "__file").select("file_path", "pos")
+    new_dels = (new_dels
                 .withColumn("is_new", F.lit(True))
                 .withColumn("snap", F.lit(anticipated).cast("long")))
     prev_df = None
@@ -409,22 +425,42 @@ def _apply_file_deletes_fused(lake: DuckLake, h: TableHandle, snap,
     # forced broadcast ships hundreds of MB to every executor, so past
     # the limit the hint is dropped and AQE picks the join strategy
     # (shuffle, or its own runtime broadcast if the map turns out small)
-    fname_map = lake.spark.createDataFrame(
-        [(lake._file_uri(f["path"]), f["path"]) for f in files],
-        "filename string, file_path string",
-    )
-    bcast_limit = int(lake.meta.option("delete_broadcast_row_limit",
-                                       "1000000") or 0)
-    if len(files) <= bcast_limit:
-        fname_map = F.broadcast(fname_map)
     # positions written by THIS delete are stamped with the anticipated
     # commit snapshot, like the reference (ducklake_delete.cpp:433:
     # current_snapshot.snapshot_id + 1) — merged delete files embed a
     # per-position snapshot column so one file serves every snapshot
     anticipated = snap.snapshot_id + 1
-    new_dels = victims.join(fname_map, "filename").select(
-        "file_path", "pos"
-    ).withColumn("is_new", F.lit(True)).withColumn(
+    inline_files = int(lake.meta.option("filemap_inline_limit", "64") or 0)
+    if len(files) <= inline_files:
+        # literal map instead of a broadcast join (same rewrite as
+        # _read_files' file-info map): no driver-RDD broadcast job per
+        # DELETE, and inner-join semantics preserved by the not-null
+        # filter. Past the limit the join returns — the map lookup is
+        # a linear key scan and a million-file literal has no place in
+        # a plan.
+        fmap_expr = F.create_map(*[
+            F.lit(x) for f in files
+            for x in (lake._file_uri(f["path"]), f["path"])])
+        new_dels = victims.select(
+            F.try_element_at(fmap_expr, F.col("filename")).alias(
+                "file_path"),
+            "pos",
+        ).filter(F.col("file_path").isNotNull())
+    else:
+        from ducklake_spark.lake import _local_df
+
+        fname_map = _local_df(
+            lake.spark,
+            [(lake._file_uri(f["path"]), f["path"]) for f in files],
+            "filename string, file_path string",
+        )
+        bcast_limit = int(lake.meta.option("delete_broadcast_row_limit",
+                                           "1000000") or 0)
+        if len(files) <= bcast_limit:
+            fname_map = F.broadcast(fname_map)
+        new_dels = victims.join(fname_map, "filename").select(
+            "file_path", "pos")
+    new_dels = new_dels.withColumn("is_new", F.lit(True)).withColumn(
         "snap", F.lit(anticipated).cast("long"))
 
     # pre-existing delete content of candidate files, narrowed to files
@@ -472,14 +508,32 @@ def _apply_file_deletes_fused(lake: DuckLake, h: TableHandle, snap,
         # inherited positions lacking an embedded snapshot take the
         # previous delete file's begin_snapshot (reference
         # MergeDeletesWithSnapshots fallback)
-        begin_map = lake.spark.createDataFrame(
-            [(rel, prev_begin.get(fid))
-             for rel, fid in fid_by_path.items() if fid in existing],
-            "file_path string, __prev_begin long",
-        )
+        begin_rows = [(rel, prev_begin.get(fid))
+                      for rel, fid in fid_by_path.items() if fid in existing]
         prev_df = prev_df.join(
             new_dels.select("file_path").distinct(), "file_path", "left_semi"
-        ).join(F.broadcast(begin_map), "file_path", "left").select(
+        )
+        if len(begin_rows) <= inline_files:
+            # literal map (LeftOuter semantics: NULL on missing keys,
+            # None-valued entries skipped — try_element_at yields NULL)
+            bm_entries = [F.lit(x) for rel, b in begin_rows
+                          if b is not None for x in (rel, b)]
+            prev_begin_col = (
+                F.try_element_at(
+                    F.create_map(*bm_entries), F.col("file_path"))
+                .cast("long")
+                if bm_entries else F.lit(None).cast("long"))
+            prev_df = prev_df.withColumn("__prev_begin", prev_begin_col)
+        else:
+            from ducklake_spark.lake import _local_df
+
+            begin_map = _local_df(
+                lake.spark, begin_rows,
+                "file_path string, __prev_begin long",
+            )
+            prev_df = prev_df.join(
+                F.broadcast(begin_map), "file_path", "left")
+        prev_df = prev_df.select(
             "file_path", "pos",
             F.lit(False).alias("is_new"),
             F.coalesce(F.col("snap"), F.col("__prev_begin")).alias("snap"),

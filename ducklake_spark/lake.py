@@ -70,6 +70,25 @@ DELETE_FILE_PATH_FIELD_ID = 2147483546
 DELETE_POS_FIELD_ID = 2147483545
 
 
+def _local_df(spark, rows, schema):
+    """Small driver-built DataFrame without the default-parallelism
+    Python-RDD fan-out: ``createDataFrame(list)`` parallelizes into
+    ``defaultParallelism`` slices, so materializing a handful of
+    metadata rows (file maps, inlined positions) costs a 32-task wave
+    every time it is broadcast or unioned. One slice carries up to 50k
+    rows; bigger row sets scale slices with size."""
+    rows = list(rows)
+    if not rows:
+        return spark.createDataFrame([], schema)
+    if isinstance(schema, str):
+        from pyspark.sql.types import _parse_datatype_string
+
+        schema = _parse_datatype_string(schema)
+    n = min(1 + len(rows) // 50_000, 64)
+    return spark.createDataFrame(
+        spark.sparkContext.parallelize(rows, n), schema)
+
+
 @dataclass
 class TableHandle:
     table_id: int
@@ -5239,19 +5258,56 @@ class DuckLake:
                 # the mapped projection; drop it for the union
                 p = p.drop("_metadata")
             df = p if df is None else df.unionByName(p)
-        file_rows = [
-            (self._file_uri(f["path"]), f["row_id_start"],
-             self._file_begin_snapshot(f), f["partial_max"],
-             pv_fill.get(f["data_file_id"]) or {}, i)
-            for i, f in enumerate(files)
-        ]
-        fmap = self.spark.createDataFrame(
-            file_rows,
-            "____path string, __row_id_start long, __file_snap long, "
-            "__partial_max long, __pv map<string,string>, "
-            "__file_index long",
-        )
-        df = df.join(F.broadcast(fmap), df["__file"] == fmap["____path"], "left").drop("____path")
+        inline_files = int(self.meta.option(
+            "filemap_inline_limit", "64") or 0)
+        if len(files) <= inline_files and not any(pv_fill.values()):
+            # literal lookup map instead of a broadcast LeftOuter join:
+            # the driver-built map relation costs a scheduler round trip
+            # (its RDD must be evaluated to build the broadcast) on
+            # EVERY overlay read, and the join survives column pruning
+            # even when nothing downstream reads its columns. A
+            # try_element_at on a literal map is a plain expression —
+            # pruned together with its column, NULL on a missing key
+            # exactly like the unmatched LeftOuter probe. Lookup cost is
+            # a linear key scan, so past the (configurable) entry limit
+            # the broadcast join returns — a million-file read must not
+            # inline a million-entry literal into the plan.
+            entries = []
+            for i, f in enumerate(files):
+                entries += [
+                    F.lit(self._file_uri(f["path"])),
+                    F.struct(
+                        F.lit(f["row_id_start"]).cast("long").alias("r"),
+                        F.lit(self._file_begin_snapshot(f)).cast(
+                            "long").alias("s"),
+                        F.lit(f["partial_max"]).cast("long").alias("p"),
+                        F.lit(i).cast("long").alias("i"),
+                    ),
+                ]
+            finfo = F.try_element_at(
+                F.create_map(*entries), F.col("__file"))
+            df = (
+                df.withColumn("__row_id_start", finfo["r"])
+                .withColumn("__file_snap", finfo["s"])
+                .withColumn("__partial_max", finfo["p"])
+                .withColumn("__file_index", finfo["i"])
+            )
+        else:
+            file_rows = [
+                (self._file_uri(f["path"]), f["row_id_start"],
+                 self._file_begin_snapshot(f), f["partial_max"],
+                 pv_fill.get(f["data_file_id"]) or {}, i)
+                for i, f in enumerate(files)
+            ]
+            fmap = _local_df(
+                self.spark, file_rows,
+                "____path string, __row_id_start long, __file_snap long, "
+                "__partial_max long, __pv map<string,string>, "
+                "__file_index long",
+            )
+            df = df.join(
+                F.broadcast(fmap), df["__file"] == fmap["____path"], "left"
+            ).drop("____path")
         # foreign hive-partitioned files: the partition column exists only in
         # the directory name -> backfill from recorded partition values
         if any(pv_fill.values()):
@@ -5301,8 +5357,6 @@ class DuckLake:
                          self._file_uri(path_by_dfid[fid]))
                         for fid, p, _, _, _ in cat_dels
                     ]
-                    mdf = F.broadcast(self.spark.createDataFrame(
-                        mapping, "__delpath string, __dfile string"))
                     # flushed delete files embed a per-position
                     # snapshot column (WriteDeleteFileWithSnapshots):
                     # positions deleted after the read snapshot must
@@ -5318,9 +5372,25 @@ class DuckLake:
                         .select(
                             F.expr(DECODED_FILE_PATH).alias("__delpath"),
                             F.col("pos").alias("__dpos"))
-                        .join(mdf, "__delpath")
-                        .select("__dfile", "__dpos")
                     )
+                    if len(mapping) <= inline_files:
+                        # same literal-map rewrite as the file-info
+                        # join above: inner-join semantics preserved
+                        # by the not-null filter (a delete path
+                        # outside the map contributes nothing)
+                        dmap = F.create_map(*[
+                            F.lit(x) for pair in mapping for x in pair])
+                        ddf = ddf.select(
+                            F.try_element_at(
+                                dmap, F.col("__delpath")).alias("__dfile"),
+                            "__dpos",
+                        ).filter(F.col("__dfile").isNotNull())
+                    else:
+                        mdf = F.broadcast(_local_df(
+                            self.spark, mapping,
+                            "__delpath string, __dfile string"))
+                        ddf = ddf.join(mdf, "__delpath").select(
+                            "__dfile", "__dpos")
                 if path_dels:
                     del_paths = [os.path.join(self.data_path, p)
                                  for _, p, _, _, _ in path_dels]
@@ -5377,7 +5447,8 @@ class DuckLake:
                     f["data_file_id"]: self._file_uri(f["path"])
                     for f in files
                 }
-                idf = self.spark.createDataFrame(
+                idf = _local_df(
+                    self.spark,
                     [(path_by_fid[fid], pos) for fid, pos in inline_dels],
                     "__dfile string, __dpos long",
                 )

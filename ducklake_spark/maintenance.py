@@ -503,16 +503,42 @@ def _rewrite_pack(lake: DuckLake, h, pack: list[dict], part_vals: tuple,
         bdf = lake.spark.read.options(**copts).schema(gschema).parquet(
             *[os.path.join(lake.data_path, f["path"]) for f in simple]
         )
-        fmap = F.broadcast(lake.spark.createDataFrame(
-            [(lake._file_uri(f["path"]), f["row_id_start"],
-              snapmap[f["data_file_id"]]) for f in simple],
-            "____path string, __rid_start long, __fsnap long",
-        ))
-        # capture the metadata columns BEFORE the join — the hidden
-        # _metadata struct does not survive join output resolution
+        inline_files = int(lake.meta.option(
+            "filemap_inline_limit", "64") or 0)
         bdf = (bdf.withColumn("__file", F.expr(DECODED_FILE_PATH))
-               .withColumn("__ridx", F.col("_metadata.row_index"))
-               .join(fmap, F.col("__file") == F.col("____path"), "left"))
+               .withColumn("__ridx", F.col("_metadata.row_index")))
+        if len(simple) <= inline_files:
+            # literal lookup map instead of a broadcast LeftOuter join
+            # (same rewrite as _read_files' file-info map): no
+            # driver-RDD broadcast job per pack, NULL on missing keys
+            # like the unmatched LeftOuter probe
+            finfo = F.try_element_at(
+                F.create_map(*[
+                    x for f in simple
+                    for x in (
+                        F.lit(lake._file_uri(f["path"])),
+                        F.struct(
+                            F.lit(f["row_id_start"]).cast(
+                                "long").alias("r"),
+                            F.lit(snapmap[f["data_file_id"]]).cast(
+                                "long").alias("s"),
+                        ),
+                    )
+                ]),
+                F.col("__file"))
+            bdf = (bdf.withColumn("__rid_start", finfo["r"])
+                   .withColumn("__fsnap", finfo["s"]))
+        else:
+            from ducklake_spark.lake import _local_df
+
+            fmap = F.broadcast(_local_df(
+                lake.spark,
+                [(lake._file_uri(f["path"]), f["row_id_start"],
+                  snapmap[f["data_file_id"]]) for f in simple],
+                "____path string, __rid_start long, __fsnap long",
+            ))
+            bdf = bdf.join(
+                fmap, F.col("__file") == F.col("____path"), "left")
         rowid_b = F.col("__rid_start") + F.col("__ridx")
         snapid_b = (
             F.coalesce(F.col(SNAPID_COL), F.col("__fsnap"))
@@ -915,27 +941,44 @@ def _rewrite_victims_pack(lake, h, schema, pack, epoch_keys,
         bdf = lake._apply_epoch_evolution(
             h, bdf, schema, fixups_b, ffill_b, absent_b, init_defaults,
             fadds_b)
+        from ducklake_spark.lake import _local_df
+
+        inline_files = int(lake.meta.option(
+            "filemap_inline_limit", "64") or 0)
         ddf = None
         with_dels = [(r, p) for r, p in simple if r[5] is not None]
         if with_dels:
-            mdf = F.broadcast(lake.spark.createDataFrame(
-                [(lake._file_uri(r[5]), lake._file_uri(r[1]))
-                 for r, _ in with_dels],
-                "__delpath string, __dfile string"))
+            dmapping = [(lake._file_uri(r[5]), lake._file_uri(r[1]))
+                        for r, _ in with_dels]
             ddf = (
                 lake.spark.read.schema("file_path string, pos long")
                 .parquet(*[os.path.join(lake.data_path, r[5])
                            for r, _ in with_dels])
                 .select(F.expr(DECODED_FILE_PATH).alias("__delpath"),
                         F.col("pos").alias("__dpos"))
-                .join(mdf, "__delpath")
-                .select("__dfile", "__dpos")
             )
+            if len(dmapping) <= inline_files:
+                # literal map instead of a broadcast join (same rewrite
+                # as _read_files): inner-join semantics preserved by
+                # the not-null filter
+                ddf = ddf.select(
+                    F.try_element_at(
+                        F.create_map(*[
+                            F.lit(x) for pair in dmapping for x in pair]),
+                        F.col("__delpath")).alias("__dfile"),
+                    "__dpos",
+                ).filter(F.col("__dfile").isNotNull())
+            else:
+                mdf = F.broadcast(_local_df(
+                    lake.spark, dmapping,
+                    "__delpath string, __dfile string"))
+                ddf = ddf.join(mdf, "__delpath").select(
+                    "__dfile", "__dpos")
         inl_rows = [(lake._file_uri(r[1]), int(p))
                     for r, pos in simple for p in (pos or ())]
         if inl_rows:
-            idf = lake.spark.createDataFrame(
-                inl_rows, "__dfile string, __dpos long")
+            idf = _local_df(
+                lake.spark, inl_rows, "__dfile string, __dpos long")
             ddf = idf if ddf is None else ddf.unionByName(idf)
         live_b = bdf
         if ddf is not None:
@@ -950,11 +993,22 @@ def _rewrite_victims_pack(lake, h, schema, pack, epoch_keys,
                 & (bdf["__pos"] == ddf["__dpos"]),
                 "left_anti",
             )
-        rmap = F.broadcast(lake.spark.createDataFrame(
-            [(lake._file_uri(r[1]), r[3]) for r, _ in simple],
-            "____path string, __rid long"))
-        live_b = live_b.join(
-            rmap, live_b["__file"] == rmap["____path"], "left")
+        if len(simple) <= inline_files:
+            live_b = live_b.withColumn(
+                "__rid",
+                F.try_element_at(
+                    F.create_map(*[
+                        x for r, _ in simple
+                        for x in (F.lit(lake._file_uri(r[1])),
+                                  F.lit(r[3]).cast("long"))]),
+                    F.col("__file")))
+        else:
+            rmap = F.broadcast(_local_df(
+                lake.spark,
+                [(lake._file_uri(r[1]), r[3]) for r, _ in simple],
+                "____path string, __rid long"))
+            live_b = live_b.join(
+                rmap, live_b["__file"] == rmap["____path"], "left")
         frames.append(
             live_b.withColumn(ROWID_COL, F.col("__rid") + F.col("__pos"))
             .select(*[x.name for x in schema.fields], ROWID_COL)

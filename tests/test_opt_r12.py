@@ -38,15 +38,21 @@ def test_scan_fast_path_and_overlay_gating(spark, tmp_path):
     assert "Join" not in plan and "UrlCodec" not in plan
     assert lake.table("t").count() == 1000
 
-    # virtual columns force the overlay (rowid needs the per-file map)
+    # virtual columns force the overlay (rowid needs the per-file
+    # info). Round 13 replaced the small-file-set overlay JOIN with
+    # literal map lookups on the decoded path, so the overlay's
+    # signature in the plan is the per-row UrlCodec decode (a join
+    # remains only past filemap_inline_limit).
     vplan = _plan(lake.table("t", with_virtual=True))
-    assert "Join" in vplan
+    assert "UrlCodec" in vplan
 
-    # deletes force the overlay and apply
+    # deletes force the overlay and apply (the positional anti-join
+    # is a genuine join in any mode)
     dml.delete(lake, "t", "v = 0")
     live = 1000 - 1000 // 7 - 1  # ids with id%7==0 in [0,1000)
     assert lake.table("t").count() == live
-    assert "Join" in _plan(lake.table("t"))
+    dirty_plan = _plan(lake.table("t"))
+    assert "Join" in dirty_plan and "UrlCodec" in dirty_plan
 
     # time travel to the pre-delete snapshot sees every row
     assert lake.table("t", at_version=pre_delete_snap).count() == 1000

@@ -217,14 +217,20 @@ def test_fast_path_time_travel_partial_max_boundary(spark, tmp_path):
     at_head = lake.table("t")
     assert at_head.count() == 250
     assert "Join" not in _plan(at_head)
+    assert "UrlCodec" not in _plan(at_head)
 
     at_s2 = lake.table("t", at_version=s2)
     assert at_s2.count() == 250
     # read_snap == partial_max: filter vacuous, fast path taken
     assert "Join" not in _plan(at_s2)
+    assert "UrlCodec" not in _plan(at_s2)
 
     at_s1 = lake.table("t", at_version=s1)
-    # read_snap < partial_max: overlay filter required and correct
-    assert "Join" in _plan(at_s1)
+    # read_snap < partial_max: overlay filter required and correct.
+    # The overlay's per-file info now comes from a literal map lookup
+    # on the decoded path (no join below filemap_inline_limit), so its
+    # plan signature is the UrlCodec decode feeding the snapshot filter
+    s1_plan = _plan(at_s1)
+    assert "UrlCodec" in s1_plan
     assert at_s1.count() == 100
     assert at_s1.agg(F.max("id")).collect()[0][0] == 99
