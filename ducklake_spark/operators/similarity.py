@@ -200,6 +200,35 @@ def ivf_topk(
 # LSH (sign random projection)
 
 
+# The projection signs are derived from md5('p<plane>_<i>') — a pure
+# function of (plane, dimension index). Computing that md5 INSIDE the
+# per-element lambda made every row pay dims x planes md5+conv calls
+# (the optimizer cannot fold a lambda-variable-dependent expression),
+# and the pushed-down isnotnull filter evaluated the whole bucket
+# expression a second time. The signs are precomputed driver-side into
+# one literal '+'/'-' string per plane; dimensions beyond the
+# precomputed range (none in practice) keep the exact original md5
+# expression as a dormant fallback, so semantics are unchanged for any
+# input shape.
+_SIGNS_MAX_DIM = 4096
+
+
+def _plane_sign_str(plane: int) -> str:
+    import functools
+    import hashlib
+
+    @functools.lru_cache(maxsize=None)
+    def _cached(p: int) -> str:
+        return "".join(
+            "+" if int(hashlib.md5(
+                f"p{p}_{i}".encode()).hexdigest()[0], 16) % 2 == 0
+            else "-"
+            for i in range(_SIGNS_MAX_DIM)
+        )
+
+    return _cached(plane)
+
+
 def _projection_sign(vec_col: Column, plane: int) -> Column:
     """Sign bit of <v, r_plane> with r derived from md5 — deterministic,
     engine-portable, computed inline (no fitted model to ship).
@@ -207,20 +236,29 @@ def _projection_sign(vec_col: Column, plane: int) -> Column:
     r_plane[i] = +1 if the first hex digit of md5('p<plane>_<i>') is
     even else -1.
     """
-    signed = F.transform(
-        vec_col,
-        lambda x, i: x.cast("double")
-        * F.when(
+    signs = F.lit(_plane_sign_str(plane))
+
+    def _sign_of(i: Column) -> Column:
+        # exact md5 form, evaluated only for i >= _SIGNS_MAX_DIM
+        slow = F.when(
             F.conv(
-                F.substring(F.md5(F.concat(F.lit(f"p{plane}_"), i.cast("string"))), 1, 1),
+                F.substring(
+                    F.md5(F.concat(F.lit(f"p{plane}_"), i.cast("string"))),
+                    1, 1),
                 16,
                 10,
             ).cast("int")
             % 2
             == 0,
             F.lit(1.0),
-        ).otherwise(F.lit(-1.0)),
-    )
+        ).otherwise(F.lit(-1.0))
+        fast = F.when(
+            F.substr(signs, i + F.lit(1), F.lit(1)) == "+", F.lit(1.0)
+        ).otherwise(F.lit(-1.0))
+        return F.when(i < F.lit(_SIGNS_MAX_DIM), fast).otherwise(slow)
+
+    signed = F.transform(
+        vec_col, lambda x, i: x.cast("double") * _sign_of(i))
     dot = F.aggregate(signed, F.lit(0.0), lambda acc, v: acc + v)
     return (dot >= 0).cast("int")
 

@@ -234,3 +234,75 @@ def test_fast_path_time_travel_partial_max_boundary(spark, tmp_path):
     assert "UrlCodec" in s1_plan
     assert at_s1.count() == 100
     assert at_s1.agg(F.max("id")).collect()[0][0] == 99
+
+
+def test_filemap_inline_vs_join_paths_identical(spark, tmp_path):
+    """The literal-map overlay (filemap_inline_limit >= #files) and the
+    broadcast-join overlay (limit 0) must return identical rows for a
+    virtual-column read over a deleted + compacted table, and the
+    inline plan must carry no join for the file-info lookup."""
+    import conftest
+    from ducklake_spark import dml
+    from ducklake_spark.lake import DuckLake
+    from ducklake_spark.maintenance import merge_adjacent_files
+
+    lake = DuckLake.attach(
+        spark, conftest.catalog_url(tmp_path), str(tmp_path / "data"))
+    lake.create_table_as(
+        "t", spark.range(3000).select(
+            F.col("id"), (F.col("id") % 13).alias("v")).repartition(4))
+    merge_adjacent_files(lake)
+    dml.delete(lake, "t", "v = 5")
+
+    def rows():
+        return sorted(map(tuple, lake.table("t", with_virtual=True).select(
+            "id", "v", "rowid", "snapshot_id", "file_row_number").collect()))
+
+    inline = rows()
+    plan_inline = _plan(lake.table("t", with_virtual=True))
+    lake.set_option("filemap_inline_limit", "0")
+    try:
+        joined = rows()
+        plan_join = _plan(lake.table("t", with_virtual=True))
+    finally:
+        lake.set_option("filemap_inline_limit", "64")
+    assert inline == joined and inline
+    # join mode has the LeftOuter fmap join; inline mode only the
+    # positional-delete anti-join
+    assert plan_join.count("Join") > plan_inline.count("Join")
+
+
+def test_lsh_literal_signs_match_md5_expression(spark):
+    """The precomputed sign-string bucket equals the original
+    md5-in-lambda bucket for ragged arrays of every size."""
+    from ducklake_spark.operators.similarity import lsh_bucket
+
+    def old_sign(vec_col, plane):
+        signed = F.transform(
+            vec_col,
+            lambda x, i: x.cast("double")
+            * F.when(
+                F.conv(
+                    F.substring(F.md5(F.concat(
+                        F.lit(f"p{plane}_"), i.cast("string"))), 1, 1),
+                    16, 10).cast("int") % 2 == 0,
+                F.lit(1.0)).otherwise(F.lit(-1.0)))
+        dot = F.aggregate(signed, F.lit(0.0), lambda acc, v: acc + v)
+        return (dot >= 0).cast("int")
+
+    def old_bucket(vec_col, n_planes):
+        bits = [old_sign(vec_col, p) * F.lit(1 << p)
+                for p in range(n_planes)]
+        out = bits[0]
+        for b in bits[1:]:
+            out = out + b
+        return out
+
+    df = spark.range(300).select(
+        F.transform(
+            F.sequence(F.lit(0), (F.col("id") % 97 + 1).cast("int")),
+            lambda i: F.rand(7) * 2 - 1).alias("v"))
+    bad = df.select(
+        (lsh_bucket(F.col("v"), 8) == old_bucket(F.col("v"), 8)).alias("eq")
+    ).filter("NOT eq").count()
+    assert bad == 0
