@@ -129,7 +129,7 @@ def _delete_buffered_as_files(lake: DuckLake, h: TableHandle, where: str,
     if new_dels is None:
         return 0
     if len(uri_to_rel) <= int(
-            lake.meta.option("filemap_inline_limit", "64") or 0):
+            lake.meta.option("filemap_inline_limit", "16") or 0):
         # literal map instead of a broadcast join (see
         # _apply_file_deletes_fused): inner-join semantics preserved
         # by the not-null filter
@@ -430,7 +430,7 @@ def _apply_file_deletes_fused(lake: DuckLake, h: TableHandle, snap,
     # current_snapshot.snapshot_id + 1) — merged delete files embed a
     # per-position snapshot column so one file serves every snapshot
     anticipated = snap.snapshot_id + 1
-    inline_files = int(lake.meta.option("filemap_inline_limit", "64") or 0)
+    inline_files = int(lake.meta.option("filemap_inline_limit", "16") or 0)
     if len(files) <= inline_files:
         # literal map instead of a broadcast join (same rewrite as
         # _read_files' file-info map): no driver-RDD broadcast job per

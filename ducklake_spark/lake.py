@@ -5259,7 +5259,7 @@ class DuckLake:
                 p = p.drop("_metadata")
             df = p if df is None else df.unionByName(p)
         inline_files = int(self.meta.option(
-            "filemap_inline_limit", "64") or 0)
+            "filemap_inline_limit", "16") or 0)
         if len(files) <= inline_files and not any(pv_fill.values()):
             # literal lookup map instead of a broadcast LeftOuter join:
             # the driver-built map relation costs a scheduler round trip

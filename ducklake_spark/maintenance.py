@@ -504,7 +504,7 @@ def _rewrite_pack(lake: DuckLake, h, pack: list[dict], part_vals: tuple,
             *[os.path.join(lake.data_path, f["path"]) for f in simple]
         )
         inline_files = int(lake.meta.option(
-            "filemap_inline_limit", "64") or 0)
+            "filemap_inline_limit", "16") or 0)
         bdf = (bdf.withColumn("__file", F.expr(DECODED_FILE_PATH))
                .withColumn("__ridx", F.col("_metadata.row_index")))
         if len(simple) <= inline_files:
@@ -944,7 +944,7 @@ def _rewrite_victims_pack(lake, h, schema, pack, epoch_keys,
         from ducklake_spark.lake import _local_df
 
         inline_files = int(lake.meta.option(
-            "filemap_inline_limit", "64") or 0)
+            "filemap_inline_limit", "16") or 0)
         ddf = None
         with_dels = [(r, p) for r, p in simple if r[5] is not None]
         if with_dels:

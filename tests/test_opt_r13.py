@@ -265,7 +265,7 @@ def test_filemap_inline_vs_join_paths_identical(spark, tmp_path):
         joined = rows()
         plan_join = _plan(lake.table("t", with_virtual=True))
     finally:
-        lake.set_option("filemap_inline_limit", "64")
+        lake.set_option("filemap_inline_limit", "16")
     assert inline == joined and inline
     # join mode has the LeftOuter fmap join; inline mode only the
     # positional-delete anti-join
